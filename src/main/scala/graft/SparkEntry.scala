@@ -1,13 +1,195 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 re-expressed
+  * over the driver fixture tables; [[oracleSql]] carries the DuckDB-runnable
+  * ANSI SQL equivalent for the driver's differential check. Column names and
+  * types are aligned pairwise (the driver sorts columns by name and hashes
+  * values). Floating aggregates use [[Relational.exactSum]] (exact decimal
+  * accumulation surfaced as double) so both engines produce bit-identical
+  * doubles regardless of aggregation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's labeling pipeline heart (SURVEY §7.2 slice 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.tune(spark)
+    val dir = "/root/testdata/sf0.001"
+    Relational.labelJoin(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+  }
+
+  // ---------------------------------------------------------------------
+  // queries: one per implemented operator from SURVEY.md §2
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A5 generalized: grouped pricing summary (map-side partial agg)
+    "q01_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(Tables.lineitem(s, dir))),
+
+    // SURVEY §7.2 slice 0: J3 + P7 + P11 + A2 + J4 (label, distinct, re-attach)
+    "q02_label_join" -> ((s, dir) =>
+      Relational.labelJoin(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
+    // J3/J5-shaped dimension chain with broadcast joins
+    "q03_dims_rollup" -> ((s, dir) =>
+      Relational.dimsRollup(
+        Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+
+    // J6: theta self-join (equi bucket + inequality residual)
+    "q04_theta_pairs" -> ((s, dir) =>
+      Relational.thetaPairs(Tables.supplier(s, dir))),
+
+    // J1/J2: left-outer equi join preserving unmatched rows, NULL→0 agg
+    "q05_cust_orders" -> ((s, dir) =>
+      Relational.customerOrderCounts(Tables.customer(s, dir), Tables.orders(s, dir))),
+
+    // A2: distinct (dedup) on business keys
+    "q06_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .distinct()),
+
+    // A1/M10: one-pass confusion matrix (vs the reference's 4 scans, lr.scala:51-54)
+    "q07_confusion" -> ((s, dir) =>
+      Relational.confusionMatrix(
+        Tables.events(s, dir)
+          .withColumn("label", when(col("event_type") === "purchase", 1).otherwise(0))
+          .withColumn("pred", when(col("value") >= 50.0, 1).otherwise(0)),
+        "label", "pred")),
+
+    // §2.5 grouped top-k via row_number window
+    "q08_topk_orders" -> ((s, dir) =>
+      Relational.groupedTopK(
+        Tables.orders(s, dir).select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+        .withColumn("rank", col("rank").cast("long"))),
+
+    // J7 as left-semi: customers with ≥1 order (EXISTS)
+    "q09_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+      Relational.semiJoin(c, o, c("c_custkey") === o("o_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J7 as left-anti: customers with no big-ticket order (NOT EXISTS —
+    // broadcast stopword-filter semantics, acq_etl_code.scala:34,41)
+    "q10_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+      Relational.antiJoin(c, o, c("c_custkey") === o("o_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // §2.5 set ops: UNION / INTERSECT / EXCEPT with op tags
+    "q11_set_ops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def keys(status: String) =
+        o.filter(col("o_orderstatus") === status).select(col("o_custkey")).distinct()
+      val f = keys("F"); val oo = keys("O")
+      f.union(oo).distinct().select(lit("union").as("op"), col("o_custkey"))
+        .union(f.intersect(oo).select(lit("intersect").as("op"), col("o_custkey")))
+        .union(f.except(oo).select(lit("except").as("op"), col("o_custkey")))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // oracleSql: DuckDB equivalents (driver registers each parquet as a view
+  // named by table). Aliases match the Spark column names exactly.
+  // ---------------------------------------------------------------------
+
+  /** `exactSum` rendered in DuckDB SQL. */
+  private def dSum(expr: String, scale: Int = 2, as: String = ""): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)" +
+      (if (as.nonEmpty) s" AS $as" else "")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dSum("l_quantity", 2, "sum_qty")},
+         |  ${dSum("l_extendedprice", 2, "sum_base_price")},
+         |  ${dSum("l_extendedprice * (1.0 - l_discount)", 6, "sum_disc_price")},
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_label_join" ->
+      """WITH joined AS (
+        |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS odate, o.o_orderpriority,
+        |         datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS diff
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), labeled AS (
+        |  SELECT *, CASE WHEN diff >= 0 AND diff < 365 THEN 1 ELSE 0 END AS acquired
+        |  FROM joined
+        |), positives AS (
+        |  SELECT DISTINCT o_orderkey AS p_orderkey, odate AS p_odate, acquired AS p_acquired
+        |  FROM labeled WHERE acquired = 1
+        |)
+        |SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_date, o.o_orderpriority,
+        |       COALESCE(p.p_acquired, 0) AS acquired
+        |FROM orders o LEFT JOIN positives p
+        |  ON o.o_orderkey = p.p_orderkey AND CAST(o.o_orderdate AS DATE) = p.p_odate""".stripMargin,
+
+    "q03_dims_rollup" ->
+      s"""SELECT r_name, COUNT(*) AS n_customers, ${dSum("c_acctbal", 2, "sum_acctbal")}
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1""".stripMargin,
+
+    "q04_theta_pairs" ->
+      """SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey,
+        |       a.s_nationkey AS nationkey, a.s_acctbal + b.s_acctbal AS pair_bal
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey""".stripMargin,
+
+    "q05_cust_orders" ->
+      s"""SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders,
+         |  ${dSum("COALESCE(o.o_totalprice, 0.0)", 2, "sum_spend")}
+         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q06_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem""".stripMargin,
+
+    "q07_confusion" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+        |       CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS prediction,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q08_topk_orders" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
+
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 450000.0)""".stripMargin,
+
+    "q11_set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     oo AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'union' AS op, o_custkey FROM (SELECT * FROM f UNION SELECT * FROM oo)
+        |UNION ALL
+        |SELECT 'intersect' AS op, o_custkey FROM (SELECT * FROM f INTERSECT SELECT * FROM oo)
+        |UNION ALL
+        |SELECT 'except' AS op, o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM oo)""".stripMargin
+  )
 }

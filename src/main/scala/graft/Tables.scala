@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed loaders for the driver fixture tables (`/root/repo/FIXTURES.md` §B).
+  *
+  * The reference read every CSV schemaless (all-string columns consumed
+  * positionally — `mergers_acquisitions_code/join_acquirers.scala:15-16`,
+  * `acq_etl_code.scala:86-87`). Engine rule (SURVEY.md §1.3): every source
+  * has an explicit `StructType`; a drifted fixture fails fast instead of
+  * silently re-typing downstream arithmetic.
+  *
+  * Parquet carries its own schema, so here the declared schema is an
+  * assertion: `load` verifies (name, type) pairs after the footer read.
+  * At 100 TB this costs one footer read, not a data scan.
+  */
+object Tables {
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      // fixtures store naive (isAdjustedToUTC=false) parquet timestamps
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampNTZType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+  )
+
+  /** Load one fixture table and assert its schema matches the declaration
+    * (nullability ignored — parquet footers mark everything nullable).
+    *
+    * `events.ts` is physically TIMESTAMP(NANOS), which the vectorized
+    * parquet reader rejects; we read it as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and restore a microsecond
+    * `timestamp_ntz` — the same truncation DuckDB applies, so oracle
+    * comparisons agree to the microsecond. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name == "events")
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      else raw
+    schemas.get(name).foreach { expected =>
+      val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val want = expected.fields.map(f => (f.name, f.dataType)).toSeq
+      require(got == want,
+        s"schema drift for $name: got $got, expected $want")
+    }
+    df
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator layer (SURVEY.md §2.2–2.5) — every projection /
+  * filter / join / aggregation shape the reference exercises, as small,
+  * individually-testable `DataFrame => DataFrame` combinators.
+  *
+  * Scale notes apply to every function here:
+  *   - No `.collect()` and no driver-side loops — everything stays a lazy
+  *     Catalyst plan, so filters/projections push to the parquet scan.
+  *   - Joins against dimension-sized inputs take an explicit `broadcast()`
+  *     hint; fact×fact joins shuffle on their keys and rely on AQE for
+  *     coalescing/skew splitting (enabled in [[graft.GraftSession]]).
+  */
+object Relational {
+
+  /** Exact-decimal sum, surfaced as a double.
+    *
+    * Cross-engine oracle parity trick: summing IEEE doubles is
+    * order-dependent, so a Spark sum and a DuckDB sum of the same column can
+    * differ in the low bits (and any rounding of the two sums can then
+    * disagree). Casting each value to a decimal first makes the aggregation
+    * exact and order-independent in both engines; the final double cast is
+    * then bit-deterministic. Costs one decimal conversion per row — still
+    * whole-stage-codegen'd, and at 100 TB the sum stays map-side partial.
+    */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  // -------------------------------------------------------------------------
+  // Aggregations (SURVEY §2.4)
+  // -------------------------------------------------------------------------
+
+  /** TPC-H-Q1-shaped pricing summary: grouped sums/averages/counts over
+    * lineitem. Generalizes A1/A5 (the reference's scalar `count`s,
+    * `lr.scala:14-15`) into the grouped form. Map-side partial aggregation
+    * means the shuffle carries one row per (group × partition), not per row
+    * — the correct shape at any scale. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        exactSum($"l_quantity").as("sum_qty"),
+        exactSum($"l_extendedprice").as("sum_base_price"),
+        exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** One-pass confusion matrix: `groupBy(label, pred).count()`.
+    * The reference computed TP/TN/FP/FN as four separate filtered `count()`
+    * actions (`mergers_acquisitions_code/lr.scala:51-54`) — four scans of the
+    * data. One grouped aggregation is a single scan at any scale. */
+  def confusionMatrix(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.groupBy(col(labelCol).as("label"), col(predCol).as("prediction"))
+      .agg(count(lit(1)).as("n"))
+
+  // -------------------------------------------------------------------------
+  // The flagship labeling query (SURVEY §7.2 slice 0)
+  // -------------------------------------------------------------------------
+
+  /** The reference's analytical heart re-expressed over the fixture star
+    * schema (`mergers_acquisitions_code/acq_etl_code.scala:92-102`):
+    *
+    *   1. entity ⋈ events (inner equi, 1:many fan-out) — J3 (corpus ⋈ deals)
+    *   2. `datediff(eventDate, anchorDate)`            — P11
+    *   3. label `IF (0 <= diff < 365, 1, 0)`           — P7 (the 1-year window)
+    *   4. `distinct` positives on the composite key    — A2
+    *   5. composite-key LEFT OUTER re-attach + NULL→0  — J4 + P7's coalesce
+    *
+    * Entity = orders (stands in for the filing corpus keyed by
+    * (CIK, reportDate) — here (o_orderkey, o_orderdate)); events = lineitem
+    * (stands in for deals). An order is labeled `acquired = 1` iff ANY of
+    * its lineitems shipped within [0, 365) days of the order date — exactly
+    * the reference's "filing within one year before an announcement" rule.
+    *
+    * Scale: step 1 is fact×fact ⇒ shuffle join on orderkey (AQE coalesces);
+    * the positives set after distinct is ≤ |entities|, so the step-5
+    * re-attach broadcasts when small and otherwise reuses the orderkey
+    * exchange. The composite-key distinct happens BEFORE the re-attach, so
+    * fan-out never doubles.
+    */
+  def labelJoin(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val joined = orders
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .withColumn("odate", $"o_orderdate".cast("date"))
+      .withColumn("diff", datediff($"l_shipdate".cast("date"), $"odate"))
+      .withColumn("acquired",
+        when($"diff" >= 0 && $"diff" < 365, 1).otherwise(0))
+
+    // positives, deduped on the composite business key (vectors stay out of
+    // dedup keys per SURVEY §7.4)
+    val positives = joined
+      .filter($"acquired" === 1)
+      .select($"o_orderkey".as("p_orderkey"), $"odate".as("p_odate"),
+        $"acquired".as("p_acquired"))
+      .distinct()
+
+    // composite-key left-outer re-attach onto the entity table; the
+    // reference's `IF(acquired=1,1,0)` after a left join is
+    // three-valued-logic NULL→0, i.e. coalesce.
+    orders
+      .withColumn("o_date", $"o_orderdate".cast("date"))
+      .join(positives,
+        $"o_orderkey" === $"p_orderkey" && $"o_date" === $"p_odate",
+        "left_outer")
+      .withColumn("acquired", coalesce($"p_acquired", lit(0)))
+      .select($"o_orderkey", $"o_date", $"o_orderpriority", $"acquired")
+  }
+
+  // -------------------------------------------------------------------------
+  // Joins (SURVEY §2.3)
+  // -------------------------------------------------------------------------
+
+  /** J1/J2-shaped dimension chain: customer ⋈ nation ⋈ region, rolled up by
+    * region. nation/region are tiny ⇒ explicit broadcast; the aggregate is
+    * map-side partial so only (region × partitions) rows shuffle. */
+  def dimsRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        exactSum($"c_acctbal").as("sum_acctbal"))
+
+  /** J1 semantics proper: LEFT OUTER equi join + aggregate, preserving
+    * unmatched left rows (`mergers_acquisitions_code/join_acquirers.scala:26`).
+    * Customers with zero orders keep n_orders = 0 via the count(key) NULL
+    * semantics — the same NULL→0 pattern as P7's `IF(acquired=1,1,0)`. */
+  def customerOrderCounts(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        exactSum(coalesce($"o_totalprice", lit(0.0))).as("sum_spend"))
+
+  /** J6: the theta self-join — equi on a low-cardinality bucket plus an
+    * inequality residual (`mergers_acquisitions_code/predictions.scala:37`,
+    * `ON ap.SIC1 = tp.SIC1 AND ap.CIK != tp.CIK`). Here suppliers pair
+    * within a nation. This is the join where skew explodes quadratically at
+    * scale (SURVEY §7.4): popular buckets ⇒ AQE skew-join splitting; for
+    * extreme skew compose with [[groupedTopK]] to prune each side first. */
+  def thetaPairs(supplier: DataFrame): DataFrame = {
+    val a = supplier.select(
+      $"s_suppkey".as("a_suppkey"), $"s_nationkey".as("nationkey"),
+      $"s_acctbal".as("a_acctbal"))
+    val b = supplier.select(
+      $"s_suppkey".as("b_suppkey"), $"s_nationkey".as("b_nationkey"),
+      $"s_acctbal".as("b_acctbal"))
+    a.join(b, $"nationkey" === $"b_nationkey" && $"a_suppkey" =!= $"b_suppkey")
+      .select($"a_suppkey", $"b_suppkey", $"nationkey",
+        ($"a_acctbal" + $"b_acctbal").as("pair_bal"))
+  }
+
+  /** Left-semi join (EXISTS): rows of `left` with ≥1 match in `right`. */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** Left-anti join (NOT EXISTS) — relational form of the reference's
+    * broadcast stopword filter J7 (`acq_etl_code.scala:34,41`). */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
+  // -------------------------------------------------------------------------
+  // Sorts / top-k / windows (SURVEY §2.5)
+  // -------------------------------------------------------------------------
+
+  /** Grouped top-k via row_number window — the distributed form of
+    * `describeTopics(5)`-style per-group selection
+    * (`mergers_acquisitions_code/acq_etl_code.scala:112`). `tieBreak` makes
+    * the ranking total, hence deterministic across engines and runs.
+    * Scale: one shuffle on the partition keys; rank prune happens before
+    * any downstream join, which is the pre-filter for J6 blow-ups. */
+  def groupedTopK(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCol: String,
+      tieBreak: String,
+      k: Int,
+      descending: Boolean = true): DataFrame = {
+    val ord =
+      if (descending) Seq(col(orderCol).desc, col(tieBreak).asc)
+      else Seq(col(orderCol).asc, col(tieBreak).asc)
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(ord: _*)
+    df.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+  }
+
+  // `$"name"` sugar without a SparkSession in scope, so the combinators
+  // read like the user-facing DSL.
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.parts.mkString)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+/** Shared session for all suites — one JVM-wide local session. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession
+      .builder(master = "local[4]", appName = "graft-test", shufflePartitions = 4)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs on sf0.001 and every oracle key exists") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracleSql key $k missing from queries")
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, TestSpark.sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // forces execution
+    }
+  }
+
+  test("labelJoin: label is 1 iff any lineitem ships within [0,365) days") {
+    val o = Tables.orders(spark, TestSpark.sf)
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val got = Relational.labelJoin(o, li)
+    // independent recomputation via EXISTS-style aggregation
+    val expect = o
+      .join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+      .groupBy(o("o_orderkey"))
+      .agg(max(
+        when(datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date"))
+          .between(0, 364), 1).otherwise(0)).as("expect_acq"))
+    val diff = got.join(expect, "o_orderkey")
+      .filter($"acquired" =!= $"expect_acq").count()
+    assert(diff === 0)
+    assert(got.count() === o.count(), "labeling must not fan out the entity table")
+  }
+
+  test("thetaPairs excludes self-pairs and is symmetric") {
+    val pairs = Relational.thetaPairs(Tables.supplier(spark, TestSpark.sf)).cache()
+    assert(pairs.filter($"a_suppkey" === $"b_suppkey").count() === 0)
+    val asym = pairs.select($"a_suppkey", $"b_suppkey")
+      .except(pairs.select($"b_suppkey".as("a_suppkey"), $"a_suppkey".as("b_suppkey")))
+      .count()
+    assert(asym === 0)
+    pairs.unpersist()
+  }
+
+  test("confusionMatrix cell counts sum to the table size") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .withColumn("label", when($"event_type" === "purchase", 1).otherwise(0))
+      .withColumn("pred", when($"value" >= 50.0, 1).otherwise(0))
+    val cm = Relational.confusionMatrix(ev, "label", "pred")
+    assert(cm.agg(sum($"n")).as[Long].head() === ev.count())
+    assert(cm.count() <= 4)
+  }
+
+  test("groupedTopK returns at most k rows per group, ranked deterministically") {
+    val topk = Relational.groupedTopK(
+      Tables.orders(spark, TestSpark.sf),
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+    val over = topk.groupBy($"o_orderpriority").count().filter($"count" > 3).count()
+    assert(over === 0)
+    // rank 1 is the max totalprice within its group
+    val r1 = topk.filter($"rank" === 1)
+      .select($"o_orderpriority", $"o_totalprice".as("top"))
+    val mx = Tables.orders(spark, TestSpark.sf)
+      .groupBy($"o_orderpriority").agg(max($"o_totalprice").as("mx"))
+    assert(r1.join(mx, "o_orderpriority").filter($"top" =!= $"mx").count() === 0)
+  }
+
+  test("exactSum equals BigDecimal-exact sum") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val got = li.agg(Relational.exactSum($"l_quantity")).as[Double].head()
+    val expect = li.select($"l_quantity").as[Double].collect()
+      .map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(got === expect)
+  }
+}
