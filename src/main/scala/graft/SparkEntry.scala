@@ -144,10 +144,21 @@ object SparkEntry {
          |JOIN region r ON n.n_regionkey = r.r_regionkey
          |GROUP BY 1""".stripMargin,
 
+    // Declared semantic: pair the top-1000 suppliers per nation bucket
+    // (acctbal desc, suppkey tiebreak) — the quadratic-output cap that makes
+    // the theta join scale-safe. At sf<=0.1 no bucket reaches the cap, so
+    // this equals the unpruned join.
     "q04_theta_pairs" ->
-      """SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey,
+      """WITH pruned AS (
+        |  SELECT * FROM (
+        |    SELECT s_suppkey, s_nationkey, s_acctbal,
+        |           ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |                              ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        |    FROM supplier) WHERE rk <= 1000
+        |)
+        |SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey,
         |       a.s_nationkey AS nationkey, a.s_acctbal + b.s_acctbal AS pair_bal
-        |FROM supplier a JOIN supplier b
+        |FROM pruned a JOIN pruned b
         |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey""".stripMargin,
 
     "q05_cust_orders" ->

