@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -98,6 +99,45 @@ object SparkEntry {
       f.union(oo).distinct().select(lit("union").as("op"), col("o_custkey"))
         .union(f.intersect(oo).select(lit("intersect").as("op"), col("o_custkey")))
         .union(f.except(oo).select(lit("except").as("op"), col("o_custkey")))
+    }),
+
+    // P12-P15 + M2: tokenize (lower + regex runs) and count, per document —
+    // pure projection, no shuffle (acq_etl_code.scala:38-44 semantics)
+    "q12_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // A3 relational core: document frequency with [minDF, maxDF] vocabulary
+    // pruning (CountVectorizer minDF/maxDF, acq_etl_code.scala:73)
+    "q13_doc_freq" -> ((s, dir) =>
+      TextOps.docFreq(Tables.documents(s, dir), "doc_id", "text",
+        minDF = 5L, maxDF = 400L)),
+
+    // A3+A4+§2.5 top-k: tf × df → integer-scaled tf-idf score, top-3 terms
+    // per doc. Integer DIV keeps the score engine-portable (no float sums).
+    "q14_tfidf_topterms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = TextOps.termFreq(docs, "doc_id", "text")
+      val df = TextOps.docFreq(docs, "doc_id", "text")
+      Relational.groupedTopK(
+        tf.join(broadcast(df), "token")
+          .withColumn("score", expr("(tf * 1000000) DIV df")),
+        Seq("doc_id"), "score", "token", 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // M3 + §2.5 set-op: bigrams/trigrams + distinct union of gram arrays
+    // (NGram ×2 + the mergeArrays UDF → array_union, acq_etl_code.scala:56-69)
+    "q15_ngram_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val bi = TextOps.ngrams(toks, 2)
+      val tri = TextOps.ngrams(toks, 3)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_uni"),
+        size(bi).cast("long").as("n_bi"),
+        size(tri).cast("long").as("n_tri"),
+        size(TextOps.mergeGrams(toks, bi, tri)).cast("long").as("n_merged"))
     })
   )
 
@@ -201,6 +241,53 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'intersect' AS op, o_custkey FROM (SELECT * FROM f INTERSECT SELECT * FROM oo)
         |UNION ALL
-        |SELECT 'except' AS op, o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM oo)""".stripMargin
+        |SELECT 'except' AS op, o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM oo)""".stripMargin,
+
+    "q12_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_distinct
+        |FROM documents""".stripMargin,
+
+    "q13_doc_freq" ->
+      """SELECT tok AS token, CAST(count(*) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+        |      FROM documents)
+        |GROUP BY tok HAVING count(*) >= 5 AND count(*) <= 400""".stripMargin,
+
+    "q14_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok AS token, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+        |        FROM documents)
+        |  GROUP BY tok
+        |)
+        |SELECT doc_id, token, tf, score, rank FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, (tf.tf * 1000000) // df.df AS score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |                ORDER BY (tf.tf * 1000000) // df.df DESC, tf.token) AS BIGINT) AS rank
+        |  FROM tf JOIN df ON tf.token = df.token
+        |) WHERE rank <= 3""".stripMargin,
+
+    "q15_ngram_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), g AS (
+        |  SELECT doc_id, ts,
+        |    list_transform(generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]) AS bi,
+        |    list_transform(generate_series(1, len(ts)-2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS tri
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_uni,
+        |  CAST(len(bi) AS BIGINT) AS n_bi,
+        |  CAST(len(tri) AS BIGINT) AS n_tri,
+        |  CAST(len(list_distinct(ts || bi || tri)) AS BIGINT) AS n_merged
+        |FROM g""".stripMargin
   )
 }

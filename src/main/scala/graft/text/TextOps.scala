@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The text/NLP feature chain (SURVEY.md §2.2 P6/P12–P15, §2.6 M2–M5, §2.4
+  * A3–A4) — the reference's core workload
+  * (`mergers_acquisitions_code/acq_etl_code.scala:37-81`,
+  * `tgt_etl_code.scala:22-67`) re-expressed as Catalyst expressions and
+  * grouped aggregations. Zero ScalaUDFs (SURVEY §2.7 rule): everything here
+  * is built-ins + higher-order functions, so the whole chain stays inside
+  * whole-stage codegen and pushes through the optimizer.
+  *
+  * Scale notes:
+  *   - Per-document work (tokenize, n-grams, merges, stats) is embarrassingly
+  *     parallel — pure projections, no shuffle at any scale.
+  *   - Corpus-level work (document frequency, IDF) is one explode + one
+  *     map-side-partial grouped aggregation; the shuffle carries (token ×
+  *     partition) partial counts, not (token × doc) rows.
+  *   - Vocabulary pruning (minDF/maxDF) happens IN the aggregation's HAVING,
+  *     before any join back to documents, so the vocab broadcast stays small.
+  */
+object TextOps {
+
+  /** Word characters for tokenization — the reference's `split("\\W")` +
+    * `replaceAll("[^a-z]","")` (`acq_etl_code.scala:41,44`) composes to
+    * "runs of [a-z0-9] in lowercased text", which one `regexp_extract_all`
+    * expresses without the empty-token debris `split` leaves behind. */
+  val TokenPattern = "[a-z0-9]+"
+
+  /** P12+P13+P14: lowercase → extract token runs. Returns array<string>. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** P15: canonical single-space re-join of the token stream; the
+    * normalization the reference's `.mkString(" ")` produced
+    * (`acq_etl_code.scala:44`). */
+  def normalizedText(text: Column): Column = array_join(tokens(text), " ")
+
+  /** P6/J7: stopword removal that PRESERVES duplicates and order (the
+    * reference filters the token list, `acq_etl_code.scala:41` — it does not
+    * set-subtract, so `array_except` would be wrong). The stopword set is a
+    * plan-embedded literal array: for dimension-sized lists this is the
+    * broadcast-anti-join pattern with zero shuffle. */
+  def removeStopwords(toks: Column, stopwords: Seq[String]): Column = {
+    val stop = array(stopwords.map(lit): _*)
+    filter(toks, t => !array_contains(stop, t))
+  }
+
+  /** Count of stopword OCCURRENCES (not distinct hits) in a token array. */
+  def countStopwords(toks: Column, stopwords: Seq[String]): Column = {
+    val stop = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stop, t)))
+  }
+
+  /** M3: n-grams over a token array, joined with single spaces — the
+    * `NGram` transformer's exact output shape (`acq_etl_code.scala:56-69`)
+    * without its UDF. Guarded for short docs: `sequence(1, size-n+1)` would
+    * count DOWN for size < n (Spark's sequence defaults to step -1), so the
+    * guard is correctness, not just tidiness. */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** §2.5 set-op: distinct union of gram arrays — the reference's
+    * `mergeArrays = (a++b).toSet.toSeq` UDF (`acq_etl_code.scala:63-69`)
+    * replaced by chained built-in `array_union` (first-occurrence order;
+    * downstream counting is order-insensitive, SURVEY §2.5). */
+  def mergeGrams(grams: Column*): Column =
+    grams.reduceLeft(array_union)
+
+  // -------------------------------------------------------------------------
+  // Corpus-level aggregations (A3/A4 relational core)
+  // -------------------------------------------------------------------------
+
+  /** A3 relational core: document frequency per token with [minDF, maxDF]
+    * vocabulary pruning — what `CountVectorizer(minDF, maxDF)` computes
+    * internally (`acq_etl_code.scala:73` — minDF=100, maxDF=20000;
+    * `tgt_etl_code.scala:57` — minDF=500). `array_distinct` BEFORE the
+    * explode keeps the shuffle at one row per (doc, distinct token), and the
+    * grouped count is map-side partial. */
+  def docFreq(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDF: Long = 1L,
+      maxDF: Long = Long.MaxValue): DataFrame =
+    docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDF && col("df") <= maxDF)
+
+  /** Term frequency per (doc, token) — the per-document half of A3. */
+  def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** A4: smoothed inverse document frequency, spark.ml `IDF` formula
+    * `log((m+1)/(df+1))` (m = corpus size). Returns (token, df, idf). */
+  def idf(docFreqDf: DataFrame, numDocs: Long): DataFrame =
+    docFreqDf.withColumn(
+      "idf", log((lit(numDocs.toDouble) + 1.0) / (col("df") + lit(1.0))))
+
+  /** TF-IDF per (doc, token): termFreq ⋈ idf. The df/idf side is
+    * vocabulary-sized ⇒ explicit broadcast; no fact×fact shuffle. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val weights = idf(docFreq(docs, idCol, textCol), n)
+    termFreq(docs, idCol, textCol)
+      .join(broadcast(weights), "token")
+      .withColumn("tfidf", col("tf") * col("idf"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Per-document text analysis (north-star: quality / lang-id / fingerprint)
+  // -------------------------------------------------------------------------
+
+  /** Token-count statistics per document — pure projection, no shuffle. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(ts).cast("long").as("n_tokens"),
+      size(array_distinct(ts)).cast("long").as("n_distinct"))
+  }
+
+  /** Document fingerprint: md5 of the canonical token stream — exact-dup
+    * detection that ignores case/punctuation/whitespace drift. Deterministic
+    * and engine-portable (md5 of UTF-8 bytes). */
+  def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** Tiny function-word list for the heuristic scorers below. Public
+    * English function words — the same idea as the reference's stopword
+    * file (`acq_etl_code.scala:33`), inlined so the operator has no file
+    * dependency. */
+  val EnglishFunctionWords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Language-ID heuristic (north-star text analysis): per-mille of
+    * function-word occurrences among tokens. Integer-valued arithmetic only
+    * (`floor(1000*hits / n)` — exact in doubles at these magnitudes), so the
+    * score is bit-identical on any engine. */
+  def functionWordScore(toks: Column, stopwords: Seq[String] = EnglishFunctionWords): Column =
+    when(size(toks) > 0,
+      floor((countStopwords(toks, stopwords).cast("long") * 1000L) / size(toks)))
+      .otherwise(0L).cast("long")
+
+  /** Quality bucket from doc length — the length/stopword-ratio style
+    * heuristic of LLM-corpus quality filters, as a deterministic CASE. */
+  def qualityBucket(nTokens: Column): Column =
+    when(nTokens >= 80, "long")
+      .when(nTokens >= 40, "medium")
+      .otherwise("short")
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "the the THE a an of"),
+    (3L, "one-token"),
+    (4L, "xy"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("tokens: lowercases, strips punctuation, drops empties") {
+    val got = docs.select($"doc_id", TextOps.tokens($"text").as("ts"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog"))
+    assert(got(3L) === Seq("one", "token"))
+    assert(got(5L) === Seq.empty)
+  }
+
+  test("removeStopwords preserves duplicates and order (reference filter semantics)") {
+    val got = Seq(Tuple1(Seq("a", "x", "a", "y", "x"))).toDF("ts")
+      .select(TextOps.removeStopwords($"ts", Seq("a")).as("r"))
+      .as[Seq[String]].head()
+    assert(got === Seq("x", "y", "x"), "must keep duplicate non-stopwords, unlike array_except")
+  }
+
+  test("ngrams: standard case, short-doc guard, n=1 identity") {
+    val df = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("ts")
+    assert(df.select(TextOps.ngrams($"ts", 2).as("g")).as[Seq[String]].head()
+      === Seq("a b", "b c", "c d"))
+    assert(df.select(TextOps.ngrams($"ts", 3).as("g")).as[Seq[String]].head()
+      === Seq("a b c", "b c d"))
+    assert(df.select(TextOps.ngrams($"ts", 1).as("g")).as[Seq[String]].head()
+      === Seq("a", "b", "c", "d"))
+    // size < n must give [], not sequence(1,0)'s descending [1,0] garbage
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("ts")
+    assert(short.select(TextOps.ngrams($"ts", 3).as("g")).as[Seq[String]].head() === Seq.empty)
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("ts")
+    assert(empty.select(TextOps.ngrams($"ts", 2).as("g")).as[Seq[String]].head() === Seq.empty)
+  }
+
+  test("mergeGrams = reference mergeArrays set semantics (acq_etl_code.scala:63)") {
+    val df = Seq((Seq("a", "b", "a"), Seq("b", "c"), Seq("c", "d")))
+      .toDF("u", "b", "t")
+    val got = df.select(TextOps.mergeGrams($"u", $"b", $"t").as("m"))
+      .as[Seq[String]].head()
+    // (a++b++c).toSet equality — order not part of the contract (SURVEY §2.5)
+    assert(got.toSet === Set("a", "b", "c", "d"))
+    assert(got.length === got.toSet.size, "merged array must be duplicate-free")
+  }
+
+  test("docFreq counts documents (not occurrences) and applies [minDF, maxDF]") {
+    val d = Seq(
+      (1L, "x x x shared"), (2L, "y shared"), (3L, "z shared")
+    ).toDF("doc_id", "text")
+    val all = TextOps.docFreq(d, "doc_id", "text").as[(String, Long)].collect().toMap
+    assert(all("x") === 1L, "x appears 3 times in one doc: df must be 1")
+    assert(all("shared") === 3L)
+    val pruned = TextOps.docFreq(d, "doc_id", "text", minDF = 2L, maxDF = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(pruned.isEmpty, "df=1 and df=3 both pruned by [2,2]")
+  }
+
+  test("idf matches spark.ml IDF formula log((m+1)/(df+1))") {
+    val d = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextOps.idf(TextOps.docFreq(d, "doc_id", "text"), 2L)
+      .select($"token", $"idf").as[(String, Double)].collect().toMap
+    assert(got("a") === math.log(3.0 / 3.0))
+    assert(got("b") === math.log(3.0 / 2.0))
+  }
+
+  test("tfidf: tf * idf over the joined vocabulary") {
+    val d = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextOps.tfidf(d, "doc_id", "text")
+      .select($"doc_id", $"token", $"tfidf").as[(Long, String, Double)]
+      .collect().map { case (id, t, v) => (id, t) -> v }.toMap
+    assert(got((1L, "a")) === 2.0 * math.log(3.0 / 3.0))
+    assert(got((1L, "b")) === 1.0 * math.log(3.0 / 2.0))
+  }
+
+  test("fingerprint is invariant to case/punctuation/whitespace drift") {
+    val df = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "different text")
+    ).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("functionWordScore: integer per-mille, 0 for empty docs") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextOps.functionWordScore(TextOps.tokens($"text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 333L) // 2 hits / 6 tokens -> floor(1000*2/6)
+    assert(got(2L) === 0L)
+  }
+}
