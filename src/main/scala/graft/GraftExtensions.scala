@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+
+import graft.expr.{MinHashSignature, QuantizedDotProduct, SimHash64}
+
+/** SQL-surface registration for graft's native expressions
+  * (SURVEY.md §7.3 — `SparkSessionExtensions` is the sanctioned extension
+  * point). Activate with:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * after which `SELECT minhash_sig(shingles, 8)`, `simhash64(tokens)` and
+  * `quantized_dot(a, b)` parse as native catalyst expressions (codegen'd —
+  * no UDF fence). The Column API in [[graft.exprapi]] needs no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr, IntegerLiteral(k)) => MinHashSignature(arr, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(array<string>, <int literal k>)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => SimHash64(arr)
+        case _ => throw new IllegalArgumentException("simhash64(array<string>)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDotProduct].getName, "quantized_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => QuantizedDotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          "quantized_dot(array<float>, array<float>)")
+      }))
+  }
+}

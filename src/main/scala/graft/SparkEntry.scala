@@ -138,6 +138,27 @@ object SparkEntry {
         size(bi).cast("long").as("n_bi"),
         size(tri).cast("long").as("n_tri"),
         size(TextOps.mergeGrams(toks, bi, tri)).cast("long").as("n_merged"))
+    }),
+
+    // North-star near-dedup: MinHash (k=6, md5-portable) -> 3 LSH bands of
+    // r=2 -> candidate pairs. Join key is the band bucket, so pair space is
+    // sum(bucket^2), never n^2 (llm.Dedup scale notes).
+    "q16_near_dedup" -> ((s, dir) =>
+      llm.Dedup.candidatePairs(
+        llm.Dedup.bandBuckets(Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 6, bands = 3, shingleWidth = 3),
+        "doc_id")),
+
+    // North-star similarity search, exactness baseline: broadcast 10 query
+    // vectors x all candidates, integer-quantized dot product (order-free,
+    // engine-portable), top-5 per query.
+    "q17_sim_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      llm.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        k = 5)
     })
   )
 
@@ -288,6 +309,43 @@ object SparkEntry {
         |  CAST(len(bi) AS BIGINT) AS n_bi,
         |  CAST(len(tri) AS BIGINT) AS n_tri,
         |  CAST(len(list_distinct(ts || bi || tri)) AS BIGINT) AS n_merged
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q16_near_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id, md5(mh[2*b-1] || '|' || mh[2*b]) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |)
+        |SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |FROM bands a JOIN bands b
+        |  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q17_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS n_id, embedding AS ce FROM embeddings),
+        |dots AS (
+        |  SELECT q_id, n_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qe)), i ->
+        |      CAST(floor(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+        |      AS BIGINT) AS dot_q
+        |  FROM q, c WHERE q_id <> n_id
+        |)
+        |SELECT * FROM (
+        |  SELECT q_id, n_id, dot_q,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+        |  FROM dots) WHERE rank <= 5""".stripMargin
   )
 }

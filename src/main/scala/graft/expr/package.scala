@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-API surface for graft's native catalyst expressions — usable on
+  * ANY SparkSession (no registration needed; the expressions are wrapped
+  * directly). For SQL-string access register [[GraftExtensions]] via
+  * `spark.sql.extensions`.
+  */
+package object exprapi {
+
+  /** `array<string>` shingles → `array<long>` MinHash signature (k minima,
+    * xxhash64 double-hashing). See [[graft.expr.MinHashSignature]]. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      expr.MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  /** `array<string>` tokens → 64-bit SimHash sketch. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(expr.SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Fused integer-quantized dot product of two `array<float>` columns. */
+  def quantizedDotFast(a: Column, b: Column): Column =
+    ColumnBridge.column(expr.QuantizedDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

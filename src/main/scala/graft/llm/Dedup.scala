@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Near-duplicate detection for LLM-corpus curation (north-star component;
+  * SURVEY.md §7.3): MinHash signatures → LSH band bucketing → candidate
+  * pairs → exact n-gram-Jaccard verification, all without ever forming the
+  * all-pairs product.
+  *
+  * Scale design (the whole point at 100 TB):
+  *   - Signatures are per-document projections (no shuffle).
+  *   - The ONLY join key is the (band_id, band-bucket-hash) pair — docs
+  *     meet iff they collide in at least one band, so the shuffle carries
+  *     b rows per doc and the pair space is Σ bucket² instead of n².
+  *   - Exact Jaccard runs on candidates only (≪ n² by the LSH bound).
+  *   - A popular bucket (boilerplate collisions) is quadratic in its OWN
+  *     size only; `maxBucketSize` drops degenerate buckets with a declared
+  *     semantic ("boilerplate clusters larger than B are handled by exact
+  *     dedup upstream, not pairwise").
+  */
+object Dedup {
+
+  /** w-shingles over the canonical token stream (SURVEY A2 generalized —
+    * `mergers_acquisitions_code/acq_etl_code.scala:96-100`'s `distinct` was
+    * the exact-dup form; shingling is its near-dup generalization). */
+  def shingles(text: Column, w: Int = 3): Column =
+    TextOps.ngrams(TextOps.tokens(text), w)
+
+  /** MinHash signature as k independent minima, engine-portable form:
+    * hash_j(s) = md5(j ‖ ':' ‖ s), minima taken in binary string order.
+    * md5 hex is identical in every engine, which is what makes the oracle
+    * differential test possible. For the throughput path see
+    * [[graft.expr.MinHashSignature]] (one xxhash64 pass per shingle). */
+  def minhashSignatureMd5(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)),
+      j => array_min(transform(shingleCol, s => md5(concat(j.cast("string"), lit(":"), s)))))
+
+  /** LSH banding: split the k-row signature into `bands` bands of r rows,
+    * hash each band to one bucket id. Emits (id, band_id, bucket) — b rows
+    * per doc. Docs with fewer than `w` tokens have no shingles and are
+    * excluded (they cannot near-dup by this measure; exact dedup covers
+    * them). */
+  def bandBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 6,
+      bands: Int = 3,
+      shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val r = numHashes / bands
+    docs
+      .select(col(idCol), shingles(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), minhashSignatureMd5(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), explode(sequence(lit(1), lit(bands))).as("band_id"), col("sig"))
+      .select(col(idCol), col("band_id"),
+        md5(concat_ws("|", slice(col("sig"), (col("band_id") - 1) * r + 1, lit(r))))
+          .as("bucket"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing ≥1 band bucket, each pair once
+    * (a < b). `maxBucketSize` guards the quadratic blow-up of degenerate
+    * boilerplate buckets — dropped buckets are a declared semantic, not a
+    * silent cap, and the default keeps every bucket at the tested SFs. */
+  def candidatePairs(
+      buckets: DataFrame,
+      idCol: String,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sized = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = sized.select(col(idCol).as("a_doc"), col("band_id"), col("bucket"))
+    val b = sized.select(col(idCol).as("b_doc"), col("band_id"), col("bucket"))
+    a.join(b, Seq("band_id", "bucket"))
+      .filter(col("a_doc") < col("b_doc"))
+      .select(col("a_doc"), col("b_doc"))
+      .distinct()
+  }
+
+  /** Throughput-path banding using the native [[graft.expr.MinHashSignature]]
+    * expression (two xxhash64 per shingle + k multiply-adds, vs k md5
+    * digests in the portable form) and `xxhash64` band bucketing. Same LSH
+    * structure and guarantees as [[bandBuckets]]; signatures are long-typed
+    * so this path is NOT oracle-portable — it's the one to run at 100 TB. */
+  def bandBucketsFast(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val r = numHashes / bands
+    docs
+      .select(col(idCol), shingles(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), graft.exprapi.minhashSig(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), explode(sequence(lit(1), lit(bands))).as("band_id"), col("sig"))
+      .select(col(idCol), col("band_id"),
+        xxhash64(col("band_id") +:
+          (0 until r).map(o => element_at(col("sig"), (col("band_id") - 1) * r + o + 1)): _*)
+          .as("bucket"))
+  }
+
+  /** End-to-end near-dup pairs with exact Jaccard verification on the
+    * candidate set only: J(A,B) = |A∩B| / |A∪B| over distinct shingle sets.
+    * Returns (a_doc, b_doc, jaccard) for pairs with jaccard ≥ threshold. */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWidth: Int = 3): DataFrame = {
+    val cands = candidatePairs(
+      bandBucketsFast(docs, idCol, textCol, numHashes, bands, shingleWidth), idCol)
+    val sets = docs.select(
+      col(idCol), array_distinct(shingles(col(textCol), shingleWidth)).as("sset"))
+    cands
+      .join(sets.select(col(idCol).as("a_doc"), col("sset").as("a_set")), "a_doc")
+      .join(sets.select(col(idCol).as("b_doc"), col("sset").as("b_set")), "b_doc")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
+          size(array_union(col("a_set"), col("b_set"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_doc"), col("b_doc"), col("jaccard"))
+  }
+
+  /** Exact dedup on a fingerprint of the canonical token stream — keeps the
+    * lowest id per fingerprint group (deterministic survivor rule). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idCol))
+    docs
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("fp", "rn")
+  }
+}

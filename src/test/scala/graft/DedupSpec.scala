@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+import graft.text.TextOps
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc 2 is doc 1 with one word changed; doc 3 is unrelated; doc 4 = doc 1 verbatim
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+    (3L, "completely different content about spark query engines and shuffles here"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home")
+  ).toDF("doc_id", "text")
+
+  test("minhashSignatureMd5: k elements, deterministic, identical docs get identical sigs") {
+    val sigs = corpus
+      .select($"doc_id", Dedup.minhashSignatureMd5(Dedup.shingles($"text"), 6).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs.values.forall(_.length === 6))
+    assert(sigs(1L) === sigs(4L), "verbatim dup must have an identical signature")
+    assert(sigs(1L) !== sigs(3L))
+    // near-dup shares most minima
+    val shared = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(shared >= 3, s"near-identical docs should share most minhashes, shared=$shared")
+  }
+
+  test("candidatePairs finds the planted dups and never the unrelated doc (both paths)") {
+    for (buckets <- Seq(
+        Dedup.bandBuckets(corpus, "doc_id", "text"),
+        Dedup.bandBucketsFast(corpus, "doc_id", "text"))) {
+      val pairs = Dedup.candidatePairs(buckets, "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 4L)), "verbatim pair must always collide")
+      assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+        "unrelated doc must not be a candidate")
+    }
+  }
+
+  test("nearDupPairs: jaccard-verified, threshold filters the near pair correctly") {
+    val strict = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.999)
+      .select($"a_doc", $"b_doc").as[(Long, Long)].collect().toSet
+    assert(strict === Set((1L, 4L)), s"only the verbatim pair survives 0.999, got $strict")
+    val loose = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select($"a_doc", $"b_doc").as[(Long, Long)].collect().toSet
+    assert(loose.contains((1L, 2L)), "one-word-changed pair passes 0.5")
+    val j = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.0)
+      .select($"jaccard").as[Double].collect()
+    assert(j.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("LSH candidate count is far below n^2 on real fixture data") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs.count()
+    val cands = Dedup.candidatePairs(
+      Dedup.bandBucketsFast(docs, "doc_id", "text"), "doc_id").count()
+    assert(cands < n * (n - 1) / 20,
+      s"candidates=$cands must be <<< all-pairs=${n * (n - 1) / 2}")
+  }
+
+  test("exactDedup keeps exactly one survivor per fingerprint, the lowest id") {
+    val d = Seq(
+      (10L, "Hello,  World!"), (7L, "hello world"), (3L, "something else")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(d, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(7L, 3L), "10 is a normalized dup of 7; 7 < 10 survives")
+  }
+
+  test("native minhash_sig: deterministic, identical for identical input, SQL-registered") {
+    val df = corpus.select($"doc_id",
+      graft.exprapi.minhashSig(Dedup.shingles($"text"), 8).as("sig"))
+    val sigs = df.as[(Long, Seq[Long])].collect().toMap
+    assert(sigs.values.forall(_.length === 8))
+    assert(sigs(1L) === sigs(4L))
+    assert(sigs(1L) !== sigs(3L))
+    // same result through the SQL surface (GraftExtensions)
+    corpus.createOrReplaceTempView("dedup_corpus")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sig(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 8) AS sig " +
+        "FROM dedup_corpus").as[(Long, Seq[Long])].collect().toMap
+    // SQL path shingles differently (unigrams) — only check it parses + runs
+    assert(viaSql.size === 4)
+  }
+
+  test("simhash64: hamming distance separates near-dups from unrelated docs") {
+    val h = corpus.select($"doc_id",
+        graft.exprapi.simhash64(TextOps.tokens($"text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(4L))
+    val near = graft.expr.SimHash64.hamming(h(1L), h(2L))
+    val far = graft.expr.SimHash64.hamming(h(1L), h(3L))
+    assert(near < far, s"near=$near must be < far=$far")
+    assert(near <= 16, s"one-word change should flip few bits, got $near")
+  }
+}

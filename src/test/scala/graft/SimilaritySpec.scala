@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quantizedDot HOF and native quantized_dot are bit-identical on fixture vectors") {
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(50)
+    val pairs = e.select($"vec_id".as("a_id"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("b")).limit(10))
+    val diff = pairs
+      .withColumn("hof", Similarity.quantizedDot($"a", $"b"))
+      .withColumn("native", graft.exprapi.quantizedDotFast($"a", $"b"))
+      .filter($"hof" =!= $"native")
+      .count()
+    assert(diff === 0L, "native expression must match the HOF formulation exactly")
+  }
+
+  test("quantized_dot: nulls and length mismatch yield NULL, not garbage") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f), Seq(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val got = df.select(graft.exprapi.quantizedDotFast($"a", $"b").as("d"))
+      .as[Option[Long]].collect()
+    assert(got(0) === Some(math.floor(3.0 * 1e12).toLong + math.floor(8.0 * 1e12).toLong))
+    assert(got(1) === None)
+  }
+
+  test("bruteForceTopK: rank-1 neighbor is the true argmax (independent recomputation)") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val queries = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val topk = Similarity.bruteForceTopK(queries, cands, k = 3).cache()
+
+    assert(topk.groupBy($"q_id").count().filter($"count" > 3).count() === 0)
+    // rank 1 matches a from-scratch max over the full product
+    val best = cands.join(broadcast(queries), $"q_id" =!= $"n_id")
+      .withColumn("d", Similarity.quantizedDot($"q_emb", $"n_emb"))
+      .groupBy($"q_id").agg(max($"d").as("best"))
+    val bad = topk.filter($"rank" === 1).join(best, "q_id")
+      .filter($"dot_q" =!= $"best").count()
+    assert(bad === 0)
+    topk.unpersist()
+  }
+
+  test("cosine is 1 for identical vectors, -1 for opposite") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(-1.0f, -2.0f, -3.0f))).toDF("a", "b")
+    val (same, opp) = df.select(
+      Similarity.cosine($"a", $"a").as("s"), Similarity.cosine($"a", $"b").as("o"))
+      .as[(Double, Double)].head()
+    assert(math.abs(same - 1.0) < 1e-12)
+    assert(math.abs(opp + 1.0) < 1e-12)
+  }
+
+  test("lshTopK: bucketed candidates agree with brute force on high-cosine pairs (recall)") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    // ground truth: all pairs with cosine >= 0.8 (sf0.001 is 500 rows — ok for a test)
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("a"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("b"))
+    val truth = a.join(b, $"a_id" < $"b_id")
+      .withColumn("cos", Similarity.cosine($"a", $"b"))
+      .filter($"cos" >= 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+
+    val lsh = Similarity.lshTopK(e, minCosine = 0.8, bucketLength = 2.0, numHashTables = 6)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+
+    if (truth.nonEmpty) {
+      val recall = truth.intersect(lsh).size.toDouble / truth.size
+      assert(recall >= 0.9, s"LSH recall $recall too low (truth=${truth.size}, lsh=${lsh.size})")
+    }
+    // no self pairs, each pair once
+    assert(lsh.forall { case (x, y) => x < y })
+  }
+}
