@@ -159,7 +159,53 @@ object SparkEntry {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
         e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
         k = 5)
-    })
+    }),
+
+    // M7/A5: class-balancing weights as a pure plan (two-scalar agg
+    // cross-joined back + when()), lr.scala:11-29 semantics with zero UDFs
+    "q18_class_weights" -> ((s, dir) => {
+      val labeled = Tables.events(s, dir)
+        .withColumn("label", when(col("event_type") === "purchase", 1).otherwise(0))
+      ml.Models.withClassWeights(labeled, "label", "weight")
+        .groupBy(col("label"), col("weight"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(col("label"), col("n"), col("weight"))
+    }),
+
+    // North-star text analysis: function-word score (integer-valued
+    // per-mille), language guess, quality bucket — all deterministic CASE
+    // arithmetic, pure projection
+    "q19_doc_quality" -> ((s, dir) => {
+      val ts = TextOps.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(ts).cast("long").as("n_tokens"),
+        TextOps.functionWordScore(ts).as("fw_score"),
+        when(TextOps.functionWordScore(ts) >= 100, "en_like").otherwise("other")
+          .as("lang_guess"),
+        TextOps.qualityBucket(size(ts)).as("quality"))
+    }),
+
+    // North-star exact-dup detection: md5 fingerprint of the canonical
+    // token stream + per-fingerprint group size via window count
+    "q20_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .withColumn("n_same",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp")))
+            .cast("long"))),
+
+    // §2.8 batch form of the streaming tumbling-window aggregate: 1-hour
+    // windows over events (the same date_trunc bucketing the streaming
+    // surface uses with a watermark)
+    "q21_window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Relational.exactSum(col("value")).as("sum_value")))
   )
 
   // ---------------------------------------------------------------------
@@ -346,6 +392,45 @@ object SparkEntry {
         |SELECT * FROM (
         |  SELECT q_id, n_id, dot_q,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
-        |  FROM dots) WHERE rank <= 5""".stripMargin
+        |  FROM dots) WHERE rank <= 5""".stripMargin,
+
+    "q18_class_weights" ->
+      """WITH lab AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label FROM events
+        |), stats AS (
+        |  SELECT count(*) AS total, sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS neg FROM lab
+        |)
+        |SELECT l.label, CAST(count(*) AS BIGINT) AS n,
+        |       CASE WHEN l.label = 0 THEN CAST(s.neg AS DOUBLE) / s.total
+        |            ELSE 1.0 - CAST(s.neg AS DOUBLE) / s.total END AS weight
+        |FROM lab l, stats s GROUP BY l.label, s.neg, s.total""".stripMargin,
+
+    "q19_doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), s AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |         CAST(floor(1000.0 * len(list_filter(ts,
+        |           x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) / len(ts))
+        |           AS BIGINT) AS fw_score
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, fw_score,
+        |       CASE WHEN fw_score >= 100 THEN 'en_like' ELSE 'other' END AS lang_guess,
+        |       CASE WHEN n_tokens >= 80 THEN 'long'
+        |            WHEN n_tokens >= 40 THEN 'medium'
+        |            ELSE 'short' END AS quality
+        |FROM s""".stripMargin,
+
+    "q20_fingerprint" ->
+      """SELECT doc_id, fp, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same
+        |FROM (SELECT doc_id,
+        |             md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+        |      FROM documents)""".stripMargin,
+
+    "q21_window_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n, ${dSum("value", 2, "sum_value")}
+         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,135 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.clustering.{LDA, LDAModel}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's ML layer (SURVEY.md §2.6 M1–M12) as a coherent, compiled
+  * surface: the TF-IDF feature pipeline composed as a real `ml.Pipeline`
+  * (the reference applied stages ad hoc — `acq_etl_code.scala:51-81`),
+  * class-weighted logistic regression with the reference's exact
+  * hyperparameters (`lr.scala:32-44`), LDA topics
+  * (`acq_etl_code.scala:106-117`), and evaluation (`lr.scala:46-54`).
+  *
+  * Scale notes: the weight computation is a two-scalar aggregate + a
+  * `when()` projection (the reference's `calculateWeights` UDF replaced per
+  * the SURVEY §2.7 zero-UDF rule); LR/LDA/IDF are spark.ml's distributed
+  * `treeAggregate` loops — the driver holds coefficients, never data.
+  */
+object Models {
+
+  /** M7: class-balancing weights, `lr.scala:11-29` semantics — negatives get
+    * `balancingRatio` = negatives/total, positives get `1 − balancingRatio`
+    * — as a pure plan (stats cross-joined back, no driver collect). */
+  def withClassWeights(df: DataFrame, labelCol: String,
+      weightCol: String = "classWeightCol"): DataFrame = {
+    val stats = df.agg(
+      count(lit(1)).as("w_total"),
+      sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("w_neg"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(weightCol,
+        when(col(labelCol) === 0, col("w_neg").cast("double") / col("w_total"))
+          .otherwise(lit(1.0) - col("w_neg").cast("double") / col("w_total")))
+      .drop("w_total", "w_neg")
+  }
+
+  /** M8: the reference's deterministic 80/20 split (`lr.scala:32`). */
+  def trainTestSplit(df: DataFrame, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed)
+    (train, test)
+  }
+
+  /** M2–M5 as one Pipeline: tokenize → stopwords → 2/3-grams →
+    * distinct-union merge (SQLTransformer keeps it UDF-free) →
+    * CountVectorizer(minDF/maxDF) → IDF. Mirrors
+    * `acq_etl_code.scala:51-81` / `tgt_etl_code.scala:35-67` with the
+    * stages actually composed (and persistable) instead of applied ad hoc. */
+  def tfidfPipeline(
+      textCol: String = "text",
+      minDF: Double = 1.0,
+      maxDF: Double = Long.MaxValue.toDouble,
+      vocabSize: Int = 1 << 18,
+      stopwords: Array[String] = Array.empty): Pipeline = {
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("g_tokens")
+      .setPattern("[a-z0-9]+").setGaps(false).setToLowercase(true)
+    val stop = new StopWordsRemover()
+      .setInputCol("g_tokens").setOutputCol("g_clean")
+      .setStopWords(if (stopwords.nonEmpty) stopwords
+        else StopWordsRemover.loadDefaultStopWords("english"))
+    val bi = new NGram().setN(2).setInputCol("g_clean").setOutputCol("g_bi")
+    val tri = new NGram().setN(3).setInputCol("g_clean").setOutputCol("g_tri")
+    val merge = new SQLTransformer().setStatement(
+      "SELECT *, array_union(array_union(g_clean, g_bi), g_tri) AS g_full FROM __THIS__")
+    val cv = new CountVectorizer()
+      .setInputCol("g_full").setOutputCol("g_counts")
+      .setMinDF(minDF).setMaxDF(maxDF).setVocabSize(vocabSize)
+    val idf = new IDF().setInputCol("g_counts").setOutputCol("tfidf")
+    new Pipeline().setStages(Array(tok, stop, bi, tri, merge, cv, idf))
+  }
+
+  /** M9: the reference's exact LR config — weighted, elasticNet 0.5,
+    * reg 0.03, decision threshold 0.68 (`lr.scala:36-44`). */
+  def fitWeightedLR(
+      train: DataFrame,
+      labelCol: String,
+      featuresCol: String = "tfidf",
+      weightCol: String = "classWeightCol"): LogisticRegressionModel =
+    new LogisticRegression()
+      .setLabelCol(labelCol).setFeaturesCol(featuresCol).setWeightCol(weightCol)
+      .setElasticNetParam(0.5).setRegParam(0.03)
+      .fit(train)
+      .setThreshold(0.68)
+
+  /** M10: AUC (`BinaryClassificationEvaluator`, `lr.scala:46-48`). The
+    * confusion matrix half lives in [[graft.ops.Relational.confusionMatrix]]
+    * — one pass, vs the reference's four filtered counts (`lr.scala:51-54`). */
+  def auc(predictions: DataFrame, labelCol: String): Double =
+    new BinaryClassificationEvaluator()
+      .setLabelCol(labelCol).setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC")
+      .evaluate(predictions)
+
+  /** M11: P(class=1) from the probability vector — built-in
+    * `vector_to_array`, killing the reference's `v.toArray(1)` UDF
+    * (`predictions.scala:29`, SURVEY §2.7). */
+  def positiveProbability(predictions: DataFrame, probCol: String = "probability"): DataFrame =
+    predictions.withColumn("prob",
+      element_at(org.apache.spark.ml.functions.vector_to_array(col(probCol)), 2))
+
+  /** M6: LDA with the reference's config — k=20, 20 iterations, doc/topic
+    * concentration 0.25 (`acq_etl_code.scala:106-110`). Online optimizer
+    * (the 4.x default) scales as mini-batch `treeAggregate`s. */
+  def fitLDA(
+      features: DataFrame,
+      featuresCol: String = "tfidf",
+      k: Int = 20,
+      maxIter: Int = 20,
+      concentration: Double = 0.25,
+      seed: Long = 42L): LDAModel =
+    new LDA()
+      .setK(k).setMaxIter(maxIter)
+      .setDocConcentration(concentration).setTopicConcentration(concentration)
+      .setFeaturesCol(featuresCol).setSeed(seed)
+      .fit(features)
+
+  /** A7: top-`n` terms per topic with vocabulary resolved to strings —
+    * `describeTopics(5)` + the driver-side vocab printout
+    * (`acq_etl_code.scala:112-117`) as a proper DataFrame. */
+  def describeTopicsWithVocab(model: LDAModel, vocab: Array[String], n: Int = 5): DataFrame = {
+    val vocabCol = array(vocab.map(lit).toIndexedSeq: _*)
+    model.describeTopics(n)
+      .withColumn("terms",
+        transform(col("termIndices"), i => element_at(vocabCol, i + 1)))
+      .select(col("topic"), col("termIndices"), col("terms"), col("termWeights"))
+  }
+
+  /** S8: model persistence (`acq_etl_code.scala:124-125` round-trip). */
+  def savePipeline(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+  def loadPipeline(path: String): PipelineModel = PipelineModel.load(path)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Models
+
+class ModelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("withClassWeights implements lr.scala:16-24: neg -> ratio, pos -> 1-ratio") {
+    val df = Seq.fill(8)(0).map(l => Tuple1(l)).union(Seq.fill(2)(1).map(l => Tuple1(l)))
+      .toDF("label")
+    val w = Models.withClassWeights(df, "label", "w")
+      .select($"label", $"w").distinct().as[(Int, Double)].collect().toMap
+    assert(w(0) === 0.8) // balancingRatio = 8/10
+    assert(w(1) === 1.0 - 0.8)
+  }
+
+  test("trainTestSplit seed 42 is deterministic and ~80/20") {
+    val df = spark.range(10000).toDF("id")
+    val (tr1, te1) = Models.trainTestSplit(df)
+    val (tr2, te2) = Models.trainTestSplit(df)
+    assert(tr1.count() === tr2.count())
+    assert(te1.count() === te2.count())
+    val frac = tr1.count().toDouble / 10000
+    assert(frac > 0.75 && frac < 0.85)
+  }
+
+  test("weighted LR on separable data: AUC >= 0.95, threshold 0.68 set (lr.scala:44)") {
+    // separable: label 1 iff x > 0; imbalanced 9:1 like the M&A labels
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      val pos = rnd.nextDouble() < 0.1
+      val x = if (pos) 1.0 + rnd.nextDouble() else -1.0 - rnd.nextDouble()
+      (if (pos) 1.0 else 0.0, Vectors.dense(x, rnd.nextDouble()))
+    }
+    val df = rows.toDF("acquired", "tfidf")
+    val weighted = Models.withClassWeights(df, "acquired")
+    val (train, test) = Models.trainTestSplit(weighted)
+    val model = Models.fitWeightedLR(train, "acquired")
+    assert(model.getThreshold === 0.68)
+    val preds = model.transform(test)
+    assert(Models.auc(preds, "acquired") >= 0.95)
+    // M11: positive probability via vector_to_array (no UDF)
+    val probs = Models.positiveProbability(preds).select($"prob").as[Double].collect()
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("tfidf pipeline: pinned vocabulary and exact golden vector (SURVEY §5.3)") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma"),
+      (3L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val model = Models.tfidfPipeline(minDF = 1.0, stopwords = Array("nonewords")).fit(docs)
+    val cv = model.stages.collectFirst {
+      case m: org.apache.spark.ml.feature.CountVectorizerModel => m }.get
+    // unigrams + bigrams(+trigram for doc1); doc-frequency order: alpha(3) first
+    assert(cv.vocabulary.head === "alpha")
+    assert(cv.vocabulary.contains("alpha beta"))
+    val out = model.transform(docs)
+    val tfidf = out.select($"doc_id",
+        org.apache.spark.ml.functions.vector_to_array($"tfidf").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val vocabIdx = cv.vocabulary.indexOf("alpha")
+    // alpha appears in all 3 docs: idf = log((3+1)/(3+1)) = 0 -> tfidf 0
+    assert(tfidf(1L)(vocabIdx) === 0.0)
+    // "alpha beta" df=2: idf = log(4/3); merge dedups so tf=1
+    val abIdx = cv.vocabulary.indexOf("alpha beta")
+    assert(math.abs(tfidf(3L)(abIdx) - math.log(4.0 / 3.0)) < 1e-12)
+    // doc 2 has no "alpha beta"
+    assert(tfidf(2L)(abIdx) === 0.0)
+  }
+
+  test("LDA invariants: k topics, valid vocab indices, resolvable terms (A6/A7)") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+    val pipe = Models.tfidfPipeline(minDF = 2.0, vocabSize = 500).fit(docs)
+    val feats = pipe.transform(docs).select($"doc_id", $"tfidf")
+    val vocab = pipe.stages.collectFirst {
+      case m: org.apache.spark.ml.feature.CountVectorizerModel => m }.get.vocabulary
+    val lda = Models.fitLDA(feats, k = 5, maxIter = 3)
+    val topics = Models.describeTopicsWithVocab(lda, vocab, n = 4)
+    val rows = topics.as[(Int, Seq[Int], Seq[String], Seq[Double])].collect()
+    assert(rows.length === 5)
+    rows.foreach { case (_, idx, terms, weights) =>
+      assert(idx.forall(i => i >= 0 && i < vocab.length))
+      assert(terms.length === idx.length)
+      assert(idx.zip(terms).forall { case (i, t) => vocab(i) == t })
+      assert(weights.forall(w => w >= 0.0 && w <= 1.0))
+    }
+  }
+
+  test("pipeline persistence round-trip: identical transform output (S8)") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"))
+      .toDF("doc_id", "text")
+    val model = Models.tfidfPipeline(minDF = 1.0).fit(docs)
+    val path = "target/tmp/models/tfidf_roundtrip"
+    Models.savePipeline(model, path)
+    val reloaded = Models.loadPipeline(path)
+    val before = model.transform(docs)
+      .select($"doc_id", org.apache.spark.ml.functions.vector_to_array($"tfidf").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val after = reloaded.transform(docs)
+      .select($"doc_id", org.apache.spark.ml.functions.vector_to_array($"tfidf").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(before === after)
+  }
+}
