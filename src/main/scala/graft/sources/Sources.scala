@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources and sinks (SURVEY.md §2.1 S1–S3, S5–S7, P16) — every ingest/egest
+  * shape the reference exercises, DataFrame-native.
+  *
+  * The reference's two RDD-only paths are eliminated (SURVEY §3.3):
+  * `sc.wholeTextFiles` becomes the `binaryFile` source (S1, still
+  * file-granular but Catalyst-visible, columnar-pruned and parallel by
+  * file), and the `rdd.coalesce(1).map(stripParens).saveAsTextFile` export
+  * hack becomes a real single-file CSV sink (S7).
+  */
+object Sources {
+
+  /** S1: whole-file corpus scan — directory of text documents as
+    * (path, text) rows. `binaryFile` preserves file boundaries (one row per
+    * file, unlike `spark.read.text`), parallelizes by file, and prunes the
+    * content column when only paths are projected. Replaces
+    * `sc.wholeTextFiles(dir, minPartitions)`
+    * (`mergers_acquisitions_code/acq_etl_code.scala:37`,
+    * `tgt_etl_code.scala:22`). */
+  def corpus(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        col("path"),
+        decode(col("content"), "UTF-8").as("text"))
+
+  /** P16: filename-encoded keys — split the path on `/` and `_` and pick
+    * fields, the reference's `extractDateCik`
+    * (`acq_etl_code.scala:12-16`: fields 9 and 11 of the split) as a pure
+    * expression over `path`. 1-based `indices`, keyed by caller-chosen
+    * names. */
+  def pathKeys(path: Column, indices: Map[String, Int]): Seq[Column] = {
+    val parts = split(path, "/|_")
+    indices.toSeq.map { case (name, idx) => element_at(parts, idx).as(name) }
+  }
+
+  /** Corpus with (key, date) parsed from the filename, the full S1+P16
+    * composition: `<dir>/<date>_<cik>_<form>.txt` → (report_date, cik,
+    * text). Filename layout is a parameter, not a constant — the
+    * reference hard-coded absolute split offsets (9, 11) that broke the
+    * moment the directory moved. */
+  def corpusWithKeys(
+      spark: SparkSession,
+      dir: String,
+      dateIdxFromEnd: Int = 4,
+      keyIdxFromEnd: Int = 3): DataFrame = {
+    val parts = split(col("path"), "/|_|\\.")
+    corpus(spark, dir).select(
+      element_at(parts, -dateIdxFromEnd).as("report_date_raw"),
+      element_at(parts, -keyIdxFromEnd).as("cik"),
+      col("path"),
+      col("text"))
+  }
+
+  /** S2: line-oriented text scan (stopword lists etc.,
+    * `acq_etl_code.scala:33`). One string column named `value`. */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** S3: CSV scan with EXPLICIT schema (engine rule, SURVEY §1.3 — the
+    * reference read everything schemaless/positional). `header=false`
+    * consumers get Spark's positional `_c0.._cN` names when `schema` names
+    * them so. */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("enforceSchema", "true")
+      .csv(path)
+
+  /** S6: CSV sink (`join_acquirers.scala:37`). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** S7: single-file CSV export — the semantic the reference emulated with
+    * `rdd.coalesce(1).map(row-string strip "[]").saveAsTextFile`
+    * (`predictions.scala:39-41`). One output partition BY DESIGN: this is a
+    * final small-result export, never a data-scale write (the only
+    * legitimate coalesce(1) in the engine). */
+  def writeSingleCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** S5: parquet sink (stage checkpoints, `acq_etl_code.scala:104`). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** P10: `to_date` with the reference's `MM/dd/yy` two-digit-year pattern
+    * (`join_acquirers.scala:20-21`) under Spark 4 semantics.
+    *
+    * Drift trap (SURVEY §7.4): Spark 2.4's legacy parser windowed 2-digit
+    * years around "now" (so `"05/15/92"` → 1992); Spark 4's
+    * DateTimeFormatter maps `yy` into 2000–2099 (→ 2092). The reference's
+    * deal data is 1990s M&A, so the engine restores the sliding-window
+    * reading explicitly: years above `pivot` (default 2068, the POSIX
+    * convention) roll back a century. The correction is visible in the
+    * plan, not hidden in a parser flag. */
+  def toDateMMDDYY(s: Column, pivotYear: Int = 2068): Column = {
+    val parsed = to_date(s, "MM/dd/yy")
+    when(year(parsed) > pivotYear, add_months(parsed, -1200)).otherwise(parsed)
+  }
+}

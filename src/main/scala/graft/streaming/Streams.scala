@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Structured Streaming surface (SURVEY.md §2.8 — additive; the reference is
+  * batch-only, the `events` fixture and north-star require streams).
+  *
+  * Every transform here works IDENTICALLY on a batch DataFrame and a
+  * streaming one (`readStream` source) — the Spark contract this module
+  * leans on. Watermarks bound state: without them, windowed aggregations
+  * on an unbounded stream grow state forever; with them, windows older
+  * than the watermark are finalized and evicted. That bounded-state
+  * property is the 100-TB design answer for streams.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation over an event-time column: count + exact
+    * sum per (window, key). Batch form = q21's date_trunc bucketing;
+    * streaming form emits finalized windows once the watermark passes. */
+  def tumblingAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      width: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        Relational.exactSum(col(valueCol)).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n"), col("sum_value"))
+
+  /** Sliding-window variant (overlapping windows every `slide`). */
+  def slidingAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      width: String = "1 hour",
+      slide: String = "15 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
+  /** Session windows per user: activity bursts separated by `gap` collapse
+    * into one session (dynamic-length windows — `session_window` state is
+    * merged by the engine, evicted past the watermark). */
+  def sessionize(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(userCol), col("n_events"))
+
+  /** Streaming dedup: first occurrence per key wins; the watermark bounds
+    * the dedup state (keys older than it are forgotten — the declared
+    * semantic of at-most-once-within-horizon). The streaming form of the
+    * north-star exact dedup. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCols: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val marked = events.withWatermark(tsCol, watermarkDelay)
+    if (marked.isStreaming) marked.dropDuplicatesWithinWatermark(keyCols)
+    else marked.dropDuplicates(keyCols)
+  }
+}

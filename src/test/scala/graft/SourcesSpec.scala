@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tmp = "target/tmp/sources"
+
+  test("corpus source: one row per file, UTF-8 text, path preserved (S1)") {
+    val dir = s"$tmp/corpus"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/19950630_0000098765_10-K.txt"),
+      "management discussion alpha")
+    Files.writeString(Paths.get(s"$dir/20010215_0000011111_10-Q.txt"),
+      "quarterly beta text")
+    val got = Sources.corpus(spark, dir).select($"path", $"text")
+      .as[(String, String)].collect().toMap
+    assert(got.size === 2)
+    assert(got.exists { case (p, t) =>
+      p.endsWith("19950630_0000098765_10-K.txt") && t == "management discussion alpha" })
+  }
+
+  test("corpusWithKeys extracts date and CIK from the filename (P16)") {
+    val dir = s"$tmp/corpus"
+    val got = Sources.corpusWithKeys(spark, dir)
+      .select($"report_date_raw", $"cik").as[(String, String)].collect().toSet
+    assert(got === Set(("19950630", "0000098765"), ("20010215", "0000011111")))
+  }
+
+  test("headered CSV with reference-shaped column names round-trips (S3/S6)") {
+    // A4 shape: spaces, dots, parens, slash in names (FIXTURES.md §A4)
+    val deals = Seq(
+      ("ACME CORP", "TARGET ONE", "05/15/92", "250.5"),
+      ("BETA INC", "TARGET TWO", "01/02/05", "13.0")
+    ).toDF("Acquirer Name", "Target Name", "Announce Date", "Announced Total Value (mil.)")
+    val path = s"$tmp/deals_csv"
+    Sources.writeCsv(deals, path, header = true)
+    val schema = StructType(Seq(
+      StructField("Acquirer Name", StringType),
+      StructField("Target Name", StringType),
+      StructField("Announce Date", StringType),
+      StructField("Announced Total Value (mil.)", StringType)))
+    val back = Sources.csv(spark, path, schema, header = true)
+    assert(back.columns.toSeq === deals.columns.toSeq)
+    assert(back.count() === 2)
+    // backtick-quoted SQL over space-containing names (acq_etl_code.scala:92)
+    back.createOrReplaceTempView("deals_v")
+    val sql = spark.sql(
+      "SELECT `Acquirer Name`, `Announced Total Value (mil.)` FROM deals_v " +
+        "WHERE `Target Name` = 'TARGET ONE'").collect()
+    assert(sql.length === 1 && sql.head.getString(0) === "ACME CORP")
+  }
+
+  test("headerless CSV consumed positionally as _c0.._cN (A5 shape)") {
+    val df = Seq(("12345", "x", "ACME", "7372")).toDF("a", "b", "c", "d")
+    val path = s"$tmp/headerless_csv"
+    Sources.writeCsv(df, path, header = false)
+    val schema = StructType((0 to 3).map(i => StructField(s"_c$i", StringType)))
+    val back = Sources.csv(spark, path, schema, header = false)
+    assert(back.select($"_c0", $"_c2").as[(String, String)].head() === ("12345", "ACME"))
+  }
+
+  test("toDateMMDDYY restores the reference's sliding-century window (P10)") {
+    val df = Seq("05/15/92", "01/02/05", "12/31/68", "07/04/69").toDF("s")
+    val got = df.select($"s", Sources.toDateMMDDYY($"s").cast("string").as("d"))
+      .as[(String, String)].collect().toMap
+    assert(got("05/15/92") === "1992-05-15", "2-digit 92 must be 1992, not 2092")
+    assert(got("01/02/05") === "2005-01-02")
+    assert(got("12/31/68") === "2068-12-31", "68 stays 2068 (POSIX pivot)")
+    assert(got("07/04/69") === "1969-07-04", "69 rolls back to 1969")
+  }
+
+  test("J1 left-outer name join over reference-shaped CSVs with date parse") {
+    val cik = Seq(("0001", "ACME CORP", "7372"), ("0002", "NOMATCH LLC", "1311"))
+      .toDF("CIK", "Name", "SIC")
+    val deals = Seq(("ACME CORP", "TARGET ONE", "05/15/92"))
+      .toDF("Acquirer Name", "Target Name", "Announce Date")
+    val joined = cik.join(deals, cik("Name") === deals("Acquirer Name"), "left_outer")
+      .withColumn("announce", Sources.toDateMMDDYY(col("Announce Date")))
+    assert(joined.count() === 2, "left outer preserves the unmatched CIK row")
+    val matched = joined.filter($"CIK" === "0001")
+      .select($"announce".cast("string")).as[String].head()
+    assert(matched === "1992-05-15")
+    assert(joined.filter($"CIK" === "0002").select($"announce").head().isNullAt(0))
+  }
+
+  test("writeSingleCsv emits exactly one part file (S7)") {
+    val path = s"$tmp/single_csv"
+    Sources.writeSingleCsv(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts.length === 1)
+  }
+
+  test("textLines reads one row per line (S2)") {
+    val p = s"$tmp/stopwords.txt"
+    Files.createDirectories(Paths.get(tmp))
+    Files.writeString(Paths.get(p), "the\na\nof\n")
+    assert(Sources.textLines(spark, p).as[String].collect().toSeq === Seq("the", "a", "of"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample = Seq(
+    Ev(1, t(0), 100, "click", 10.0),
+    Ev(2, t(5), 100, "click", 20.0),
+    Ev(3, t(65), 100, "view", 30.0),   // next hour
+    Ev(4, t(10), 200, "click", 40.0),
+    Ev(5, t(70), 200, "view", 50.0)
+  )
+
+  test("tumblingAgg streaming (complete mode) equals the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = Streams.tumblingAgg(mem.toDF()).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete")
+      .option("checkpointLocation", "target/tmp/streams/tumbling_ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select($"window_start".cast("string"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = Streams.tumblingAgg(sample.toDF())
+      .select($"window_start".cast("string"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.contains(("2024-01-01 10:00:00", "click", 3L, 70.0)))
+    assert(batch.contains(("2024-01-01 11:00:00", "view", 2L, 80.0)))
+  }
+
+  test("sessionize: 30-min gap splits user activity into sessions") {
+    val sessions = Streams.sessionize(sample.toDF())
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+    // user 100: events at 10:00,10:05 (one session), 11:05 (second)
+    // user 200: 10:10, then 11:10 (two sessions)
+    assert(sessions === Set((100L, 2L), (100L, 1L), (200L, 1L)))
+  }
+
+  test("dedupWithinWatermark drops re-delivered event ids (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample ++ Seq(sample(0), sample(1)): _*) // redeliver ids 1,2
+    val q = Streams.dedupWithinWatermark(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", "target/tmp/streams/dedup_ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().toSeq
+    assert(ids.sorted === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("tumblingAgg works identically over the events fixture in batch mode") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val viaStreamOp = Streams.tumblingAgg(ev)
+      .select($"window_start", $"event_type", $"n")
+    val viaTrunc = ev.groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n2"))
+    val joined = viaStreamOp.join(viaTrunc,
+      viaStreamOp("window_start") === viaTrunc("h") &&
+        viaStreamOp("event_type") === viaTrunc("event_type"))
+    assert(joined.filter($"n" =!= $"n2").count() === 0)
+    assert(viaStreamOp.count() === viaTrunc.count())
+  }
+}
