@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.expr.{MinHashSignature, QuantizedDotProduct, SimHash64}
+import graft.expr.{MinHashSignature, QuantizedDotProduct, SimHash64, WordShingles}
 
 /** SQL-surface registration for graft's native expressions
   * (SURVEY.md §7.3 — `SparkSessionExtensions` is the sanctioned extension
@@ -37,6 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(arr) => SimHash64(arr)
         case _ => throw new IllegalArgumentException("simhash64(array<string>)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr, IntegerLiteral(w)) => WordShingles(arr, w)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(array<string>, <int literal w>)")
       }))
 
     ext.injectFunction((

@@ -24,4 +24,9 @@ package object exprapi {
   def quantizedDotFast(a: Column, b: Column): Column =
     ColumnBridge.column(expr.QuantizedDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native w-shingles over a token array (output identical to
+    * `TextOps.ngrams(toks, w)`, fused loop instead of interpreted HOF). */
+  def wordShingles(tokens: Column, width: Int): Column =
+    ColumnBridge.column(expr.WordShingles(ColumnBridge.expression(tokens), width))
 }

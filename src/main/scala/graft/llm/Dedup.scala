@@ -25,9 +25,11 @@ object Dedup {
 
   /** w-shingles over the canonical token stream (SURVEY A2 generalized —
     * `mergers_acquisitions_code/acq_etl_code.scala:96-100`'s `distinct` was
-    * the exact-dup form; shingling is its near-dup generalization). */
+    * the exact-dup form; shingling is its near-dup generalization). Uses the
+    * native [[graft.expr.WordShingles]] expression — same output as
+    * `TextOps.ngrams`, ~20× faster (HOF lambdas evaluate interpreted). */
   def shingles(text: Column, w: Int = 3): Column =
-    TextOps.ngrams(TextOps.tokens(text), w)
+    graft.exprapi.wordShingles(TextOps.tokens(text), w)
 
   /** MinHash signature as k independent minima, engine-portable form:
     * hash_j(s) = md5(j ‖ ':' ‖ s), minima taken in binary string order.
@@ -52,14 +54,27 @@ object Dedup {
       shingleWidth: Int = 3): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val r = numHashes / bands
-    docs
-      .select(col(idCol), shingles(col(textCol), shingleWidth).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col(idCol), minhashSignatureMd5(col("sh"), numHashes).as("sig"))
-      .select(col(idCol), explode(sequence(lit(1), lit(bands))).as("band_id"), col("sig"))
-      .select(col(idCol), col("band_id"),
-        md5(concat_ws("|", slice(col("sig"), (col("band_id") - 1) * r + 1, lit(r))))
-          .as("bucket"))
+    // Formulated as explode → k codegen'd md5 projections → map-side-partial
+    // min aggregation, NOT as nested higher-order functions: Spark evaluates
+    // HOF lambdas interpreted (outside whole-stage codegen), which benched
+    // ~20ms/doc at sf0.1. This shape keeps every hash inside codegen; the
+    // shuffle carries k partial minima per (doc × partition).
+    val hashed = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleWidth)).as("sh"))
+      .select(col(idCol) +:
+        (1 to numHashes).map(j => md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
+    val sig = hashed
+      .groupBy(col(idCol))
+      .agg(min(col("h1")).as("mh1"),
+        (2 to numHashes).map(j => min(col(s"h$j")).as(s"mh$j")): _*)
+    // one row per band via stack (codegen'd generator), bucket = md5 of the
+    // band's r signature rows joined with '|'
+    val stackArgs = (1 to bands).flatMap { b =>
+      val bandCols = ((b - 1) * r + 1 to b * r).map(j => s"mh$j")
+      Seq(b.toString, s"md5(concat_ws('|', ${bandCols.mkString(", ")}))")
+    }
+    sig.selectExpr(idCol,
+      s"stack($bands, ${stackArgs.mkString(", ")}) AS (band_id, bucket)")
   }
 
   /** Candidate near-dup pairs: docs sharing ≥1 band bucket, each pair once
@@ -98,8 +113,11 @@ object Dedup {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val r = numHashes / bands
     docs
+      // cheap pre-filter on token count — filtering on size(sh) AFTER the
+      // projection makes predicate pushdown substitute the alias and
+      // re-evaluate the shingling per row (benched ~2x)
+      .filter(size(graft.text.TextOps.tokens(col(textCol))) >= shingleWidth)
       .select(col(idCol), shingles(col(textCol), shingleWidth).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col(idCol), graft.exprapi.minhashSig(col("sh"), numHashes).as("sig"))
       .select(col(idCol), explode(sequence(lit(1), lit(bands))).as("band_id"), col("sig"))
       .select(col(idCol), col("band_id"),

@@ -16,6 +16,13 @@ class StreamsSpec extends AnyFunSuite {
 
   private def t(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
+  /** Fresh checkpoint dir per run — streaming checkpoints are not
+    * recoverable across MemoryStream restarts. */
+  private def ckpt(name: String): String = {
+    val dir = java.nio.file.Paths.get(s"target/tmp/streams/${name}_${System.nanoTime()}")
+    dir.toString
+  }
+
   private val sample = Seq(
     Ev(1, t(0), 100, "click", 10.0),
     Ev(2, t(5), 100, "click", 20.0),
@@ -30,7 +37,7 @@ class StreamsSpec extends AnyFunSuite {
     mem.addData(sample: _*)
     val q = Streams.tumblingAgg(mem.toDF()).writeStream
       .format("memory").queryName("tumbling_out").outputMode("complete")
-      .option("checkpointLocation", "target/tmp/streams/tumbling_ckpt")
+      .option("checkpointLocation", ckpt("tumbling"))
       .start()
     try q.processAllAvailable() finally q.stop()
 
@@ -59,7 +66,7 @@ class StreamsSpec extends AnyFunSuite {
     mem.addData(sample ++ Seq(sample(0), sample(1)): _*) // redeliver ids 1,2
     val q = Streams.dedupWithinWatermark(mem.toDF()).writeStream
       .format("memory").queryName("dedup_out").outputMode("append")
-      .option("checkpointLocation", "target/tmp/streams/dedup_ckpt")
+      .option("checkpointLocation", ckpt("dedup"))
       .start()
     try q.processAllAvailable() finally q.stop()
     val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().toSeq

@@ -96,6 +96,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("native word_shingles is element-identical to the HOF ngrams on fixture docs") {
+    for (w <- Seq(1, 2, 3, 5)) {
+      val diff = Tables.documents(spark, TestSpark.sf)
+        .select(TextOps.tokens($"text").as("ts"))
+        .select(
+          TextOps.ngrams($"ts", w).as("hof"),
+          graft.exprapi.wordShingles($"ts", w).as("native"))
+        .filter($"hof" =!= $"native")
+        .count()
+      assert(diff === 0L, s"w=$w: native shingles must equal HOF ngrams")
+    }
+  }
+
   test("functionWordScore: integer per-mille, 0 for empty docs") {
     val df = Seq((1L, "the cat sat on the mat"), (2L, "")).toDF("doc_id", "text")
     val got = df.select($"doc_id",
