@@ -80,21 +80,36 @@ object Dedup {
   /** Candidate near-dup pairs: docs sharing ≥1 band bucket, each pair once
     * (a < b). `maxBucketSize` guards the quadratic blow-up of degenerate
     * boilerplate buckets — dropped buckets are a declared semantic, not a
-    * silent cap, and the default keeps every bucket at the tested SFs. */
+    * silent cap ("clusters larger than B are exact-dup territory, handled
+    * upstream"), and the default keeps every bucket at the tested SFs.
+    *
+    * Shape: ONE aggregation to (band, bucket) → sorted id list → pairs
+    * emitted per bucket row. The obvious self-join formulation computes the
+    * whole signature subtree twice (plan audit at sf0.01: 2 scans, no
+    * exchange reuse even under AQE) — grouping first halves the dominant
+    * cost and drops the join and the bucket-size window outright. Pair
+    * expansion is per-bucket-local (≤ maxBucketSize² structs per row, which
+    * the cap bounds), so output stays Σ bucket², never n². */
   def candidatePairs(
       buckets: DataFrame,
       idCol: String,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val sized = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val a = sized.select(col(idCol).as("a_doc"), col("band_id"), col("bucket"))
-    val b = sized.select(col(idCol).as("b_doc"), col("band_id"), col("bucket"))
-    a.join(b, Seq("band_id", "bucket"))
-      .filter(col("a_doc") < col("b_doc"))
-      .select(col("a_doc"), col("b_doc"))
+      maxBucketSize: Int = 1000): DataFrame = {
+    val grouped = buckets
+      .groupBy(col("band_id"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    // all (i < j) pairs of the sorted id list; buckets are near-always tiny,
+    // so the interpreted HOF here is off the hot path by construction
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("ids")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("ids"))),
+        j => struct(
+          element_at(col("ids"), i).as("a_doc"),
+          element_at(col("ids"), j).as("b_doc")))))
+    grouped
+      .select(explode(pairs).as("p"))
+      .select(col("p.a_doc"), col("p.b_doc"))
       .distinct()
   }
 
