@@ -254,7 +254,25 @@ object SparkEntry {
     // decode -> per-modality feature stats (decode is a STUB; plumbing real)
     "q26_multimodal_stats" -> ((s, dir) =>
       multimodal.Multimodal.featureStats(
-        multimodal.Multimodal.syntheticAssets(s, 2000)))
+        multimodal.Multimodal.syntheticAssets(s, 2000))),
+
+    // M11+M12+J6 end-to-end (predictions.scala complete): LR probabilities
+    // via vector_to_array, positives bucketed by integer-divided label
+    // (the SIC/10 shape), top-k-capped within-bucket pairing with joint
+    // probability. LR fit is iterative — rows-only check.
+    "q27_pair_scoring" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("label", when(col("lang") === "en", 1.0).otherwise(0.0))
+        // numeric pseudo-SIC from the source tag, predictions.scala:18 shape
+        .withColumn("sic", regexp_extract(col("source"), "(\\d+)", 1).cast("int") * 7 + 3)
+      val feats = ml.Models.tfidfPipeline(minDF = 2.0, vocabSize = 1000)
+        .fit(docs).transform(docs)
+      val model = ml.Models.fitWeightedLR(
+        ml.Models.withClassWeights(feats, "label"), "label")
+      val scored = pairs.Pairing.scoredPositives(
+        model.transform(feats), "doc_id", "sic")
+      pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
+    })
   )
 
   // ---------------------------------------------------------------------

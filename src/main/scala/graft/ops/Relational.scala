@@ -30,6 +30,14 @@ object Relational {
   def exactSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
+  /** P1: projection-by-exclusion — the reference's dominant projection form
+    * (`mergers_acquisitions_code/join_acquirers.scala:23-24` drops 8+4
+    * columns, incl. a duplicate entry the engine tolerates the same way
+    * `drop` does). Catalyst turns the exclusion into a positive column
+    * list, so pruning reaches the scan regardless of form. */
+  def projectByExclusion(df: DataFrame, dropCols: String*): DataFrame =
+    df.drop(dropCols: _*)
+
   // -------------------------------------------------------------------------
   // Aggregations (SURVEY §2.4)
   // -------------------------------------------------------------------------
