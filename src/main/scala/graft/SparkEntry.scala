@@ -272,6 +272,17 @@ object SparkEntry {
       val scored = pairs.Pairing.scoredPositives(
         model.transform(feats), "doc_id", "sic")
       pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
+    }),
+
+    // North-star similarity, scale path #2: cosine IVF — KMeans coarse
+    // quantizer, nprobe cell probing, exact re-rank within cells only
+    "q28_sim_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      llm.Similarity.ivfTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        k = 5, nlist = 16, nprobe = 4)
     })
   )
 

@@ -95,4 +95,67 @@ object Similarity {
         (lit(1.0) - col("dist") * col("dist") / 2.0).as("cosine"))
       .filter(col("a_id") < col("b_id"))
   }
+
+  /** Scale path #2: cosine IVF (inverted-file) top-k.
+    *
+    * Coarse quantizer = KMeans over unit vectors (`nlist` cells, fixed
+    * seed); every candidate is assigned to its nearest cell ONCE; a query
+    * probes only its `nprobe` highest-affinity cells and exact-re-ranks
+    * within them. Work per query drops from |candidates| to
+    * ~|candidates|·nprobe/nlist. The cell assignment is the partition key
+    * at scale — candidates can be written bucketed by cell so a probe reads
+    * only its cells' files (partition pruning); centroids are always tiny
+    * and broadcast.
+    *
+    * Returns (q_id, n_id, dot_q, rank) like [[bruteForceTopK]] — same
+    * quantized scoring, so results are comparable (recall measured in
+    * tests). Requires unit-normalized scoring to make IVF's euclidean
+    * cells align with dot ranking, so vectors are L2-normalized inside. */
+  def ivfTopK(
+      queries: DataFrame,   // (q_id, q_emb: array<float>)
+      candidates: DataFrame, // (n_id, n_emb: array<float>)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.Normalizer
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    def unitArr(raw: Column): Column = vector_to_array(raw).cast("array<float>")
+
+    val candVec = new Normalizer().setInputCol("rawv").setOutputCol("v").setP(2.0)
+      .transform(candidates.withColumn("rawv",
+        array_to_vector(col("n_emb").cast("array<double>"))))
+    val km = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("v")
+      .setPredictionCol("cell").fit(candVec)
+    val cells = km.transform(candVec)
+      .select(col("n_id"), col("cell"), unitArr(col("v")).as("n_unit"))
+
+    // centroid table: nlist rows — broadcast everywhere
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = km.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cell", "c_arr")
+
+    val qUnit = new Normalizer().setInputCol("rawv").setOutputCol("v").setP(2.0)
+      .transform(queries.withColumn("rawv",
+        array_to_vector(col("q_emb").cast("array<double>"))))
+      .select(col("q_id"), unitArr(col("v")).as("q_unit"))
+
+    // nprobe highest-affinity cells per query (tiny cross product)
+    val probes = graft.ops.Relational.groupedTopK(
+      qUnit.crossJoin(broadcast(centroids))
+        .withColumn("aff", graft.exprapi.quantizedDotFast(col("q_unit"), col("c_arr"))),
+      Seq("q_id"), "aff", "cell", nprobe)
+      .select(col("q_id"), col("q_unit"), col("cell"))
+
+    // exact re-rank within probed cells only
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dot_q", graft.exprapi.quantizedDotFast(col("q_unit"), col("n_unit")))
+    graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "dot_q", "n_id", k)
+      .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ops.Relational
+
+/** Output row of [[Streams.runningUserTotals]] — cumulative per-user state. */
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming surface (SURVEY.md §2.8 — additive; the reference is
   * batch-only, the `events` fixture and north-star require streams).
@@ -74,6 +78,36 @@ object Streams {
     * the dedup state (keys older than it are forgotten — the declared
     * semantic of at-most-once-within-horizon). The streaming form of the
     * north-star exact dedup. */
+  /** Custom keyed state (SURVEY §2.8 north-star): cumulative per-user
+    * totals via `flatMapGroupsWithState` — the arbitrary-state primitive
+    * (`KeyValueGroupedDataset`) for logic windows can't express. Each
+    * micro-batch folds its rows into the user's state and emits the updated
+    * total (Update mode). State is one small record per key — bounded by
+    * key cardinality, not event volume; pair with a timeout to expire idle
+    * keys at true scale. Runs on batch frames too (single fold). */
+  def runningUserTotals(
+      events: DataFrame,
+      userCol: String = "user_id",
+      valueCol: String = "value"): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val updated = UserTotal(user, n, tot)
+          state.update(updated)
+          Iterator(updated)
+      }
+  }
+
   def dedupWithinWatermark(
       events: DataFrame,
       tsCol: String = "ts",

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.expr.{MinHashSignature, QuantizedDotProduct, SimHash64, WordShingles}
+
+/** Property-based checks (SURVEY §5.4) of the native expressions' compute
+  * kernels as PURE functions — no SparkSession, so hundreds of generated
+  * cases run in milliseconds. Column-level equivalence with the HOF
+  * formulations is covered separately in the suite specs.
+  */
+object ExprProps extends Properties("graft.expr") {
+
+  private val token: Gen[String] = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val tokens: Gen[List[String]] = Gen.listOfN(30, token).flatMap(l =>
+    Gen.choose(0, 30).map(l.take))
+
+  private def arr(ts: Seq[String]) =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t)).toArray[Any])
+  private def strings(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  private def longs(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[Long] =
+    (0 until a.numElements()).map(a.getLong)
+
+  // --- word_shingles ------------------------------------------------------
+
+  property("word_shingles == sliding-window model") =
+    forAll(tokens, Gen.choose(1, 5)) { (ts, w) =>
+      val got = strings(WordShingles.compute(arr(ts), w))
+      val want = if (ts.length < w) Seq.empty
+        else ts.sliding(w).map(_.mkString(" ")).toSeq
+      got == want
+    }
+
+  // --- minhash_sig --------------------------------------------------------
+
+  property("minhash_sig: length k, shuffle-invariant, deterministic") =
+    forAll(tokens, Gen.choose(1, 12), Gen.choose(0L, Long.MaxValue)) { (ts, k, seed) =>
+      val a = longs(MinHashSignature.compute(arr(ts), k))
+      val shuffled = new scala.util.Random(seed).shuffle(ts)
+      val b = longs(MinHashSignature.compute(arr(shuffled), k))
+      a.length == k && a == b
+    }
+
+  property("minhash_sig: adding elements never increases any minimum") =
+    forAll(tokens, token, Gen.choose(1, 8)) { (ts, extra, k) =>
+      val base = longs(MinHashSignature.compute(arr(ts), k))
+      val more = longs(MinHashSignature.compute(arr(ts :+ extra), k))
+      base.zip(more).forall { case (b, m) => m <= b }
+    }
+
+  // --- simhash64 ----------------------------------------------------------
+
+  property("simhash64: deterministic; hamming(a,a)=0; bounded by 64") =
+    forAll(tokens, tokens) { (a, b) =>
+      val ha = SimHash64.compute(arr(a))
+      val hb = SimHash64.compute(arr(b))
+      SimHash64.compute(arr(a)) == ha &&
+        SimHash64.hamming(ha, ha) == 0 &&
+        SimHash64.hamming(ha, hb) >= 0 && SimHash64.hamming(ha, hb) <= 64
+    }
+
+  // --- quantized_dot ------------------------------------------------------
+
+  private val floats: Gen[List[Float]] =
+    Gen.listOfN(16, Gen.choose(-4.0f, 4.0f))
+
+  property("quantized_dot == per-element floor model (order-free, exact)") =
+    forAll(floats, floats) { (a, b) =>
+      val ad = new GenericArrayData(a.toArray[Any])
+      val bd = new GenericArrayData(b.toArray[Any])
+      val got = QuantizedDotProduct.compute(ad, bd)
+      val want = a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12).toLong }.sum
+      got != null && got.longValue == want
+    }
+
+  property("quantized_dot: length mismatch is null") =
+    forAll(floats, Gen.choose(0, 15)) { (a, n) =>
+      val ad = new GenericArrayData(a.toArray[Any])
+      val bd = new GenericArrayData(a.take(n).toArray[Any])
+      QuantizedDotProduct.compute(ad, bd) == null
+    }
+
+  // --- label rule (P7: the 1-year window, acq_etl_code.scala:96) ----------
+
+  property("label window [0,365) matches the reference IF-rule at boundaries") =
+    forAll(Gen.choose(-1000, 1000)) { diff =>
+      val engine = diff >= 0 && diff < 365
+      val reference = if (diff < 365 && diff >= 0) 1 else 0 // IF(diff<365 AND diff>=0,1,0)
+      engine == (reference == 1) &&
+        !(diff == 365 && engine) && !(diff == -1 && engine) &&
+        (diff != 0 || engine) && (diff != 364 || engine)
+    }
+}

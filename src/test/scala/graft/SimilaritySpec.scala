@@ -59,6 +59,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(opp + 1.0) < 1e-12)
   }
 
+  test("ivfTopK: probed-cell top-k overlaps exhaustive cosine top-k (recall)") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val queries = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val k = 5
+    val ivf = Similarity.ivfTopK(queries, cands, k, nlist = 16, nprobe = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    // exhaustive cosine ground truth (cosine is normalization-invariant)
+    val truth = graft.ops.Relational.groupedTopK(
+        cands.join(broadcast(queries), $"q_id" =!= $"n_id")
+          .withColumn("cos", Similarity.cosine($"q_emb", $"n_emb")),
+        Seq("q_id"), "cos", "n_id", k)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(ivf).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor (nprobe=8/nlist=16)")
+    // shape: k rows per query, no self-matches
+    assert(ivf.size === truth.size)
+    assert(!ivf.exists { case (q, n) => q == n })
+  }
+
   test("lshTopK: bucketed candidates agree with brute force on high-cosine pairs (recall)") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     // ground truth: all pairs with cosine >= 0.8 (sf0.001 is 500 rows — ok for a test)

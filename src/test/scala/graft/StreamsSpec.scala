@@ -73,6 +73,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.sorted === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("runningUserTotals accumulates keyed state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample.take(2): _*) // user 100: 2 clicks (10+20)
+    val q = graft.streaming.Streams.runningUserTotals(mem.toDF()).writeStream
+      .format("memory").queryName("totals_out").outputMode("update")
+      .option("checkpointLocation", ckpt("totals"))
+      .start()
+    try {
+      q.processAllAvailable()
+      mem.addData(sample.drop(2): _*) // +1 for user 100, +2 for user 200
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user carries the cumulative state
+    val last = spark.table("totals_out")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_value")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(last === Set((100L, 3L, 60.0), (200L, 2L, 90.0)))
+    // batch-mode fold gives the same totals in one pass
+    val batch = graft.streaming.Streams.runningUserTotals(sample.toDF())
+      .as[graft.streaming.UserTotal].collect()
+      .map(u => (u.user_id, u.n_events, u.total_value)).toSet
+    assert(batch === last)
+  }
+
   test("tumblingAgg works identically over the events fixture in batch mode") {
     val ev = Tables.events(spark, TestSpark.sf)
     val viaStreamOp = Streams.tumblingAgg(ev)
