@@ -152,10 +152,23 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4,
       shingleWidth: Int = 3): DataFrame = {
+    // The candidate set is re-read three times below (id prune ×2 + the
+    // verify join). It is orders of magnitude smaller than the corpus, so
+    // persisting it — rather than recomputing the whole LSH pipeline per
+    // use — is the correct call at any scale (ContextCleaner evicts the
+    // block once the frame is unreachable).
     val cands = candidatePairs(
       bandBucketsFast(docs, idCol, textCol, numHashes, bands, shingleWidth), idCol)
-    val sets = docs.select(
-      col(idCol), array_distinct(shingles(col(textCol), shingleWidth)).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle sets only for docs that appear in a candidate pair — the
+    // semi-join prune keeps the verify stage proportional to |candidates|,
+    // not |corpus| (at 100 TB candidates are orders of magnitude smaller)
+    val candIds = cands.select(col("a_doc").as(idCol))
+      .union(cands.select(col("b_doc").as(idCol)))
+      .distinct()
+    val sets = docs
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(shingles(col(textCol), shingleWidth)).as("sset"))
     cands
       .join(sets.select(col(idCol).as("a_doc"), col("sset").as("a_set")), "a_doc")
       .join(sets.select(col(idCol).as("b_doc"), col("sset").as("b_set")), "b_doc")
