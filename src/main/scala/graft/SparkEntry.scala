@@ -245,10 +245,12 @@ object SparkEntry {
         threshold = 0.5)),
 
     // North-star similarity, scale path: BucketedRandomProjectionLSH cosine
-    // candidates (bucket-local joins only)
+    // candidates (bucket-local joins only). Floor 0.3 because the fixture
+    // embeddings are near-random (max pairwise cosine ≈ 0.6 at sf0.1) — a
+    // higher floor returns an empty, meaningless result.
     "q25_sim_lsh" -> ((s, dir) =>
       llm.Similarity.lshTopK(Tables.embeddings(s, dir),
-        minCosine = 0.8, bucketLength = 2.0, numHashTables = 6)),
+        minCosine = 0.3, bucketLength = 2.0, numHashTables = 6)),
 
     // North-star multimodal plumbing: synthetic binary assets -> stub
     // decode -> per-modality feature stats (decode is a STUB; plumbing real)

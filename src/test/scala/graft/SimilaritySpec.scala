@@ -80,24 +80,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!ivf.exists { case (q, n) => q == n })
   }
 
-  test("lshTopK: bucketed candidates agree with brute force on high-cosine pairs (recall)") {
+  test("lshTopK: bucketed candidates agree with brute force above the cosine floor (recall)") {
     val e = Tables.embeddings(spark, TestSpark.sf)
-    // ground truth: all pairs with cosine >= 0.8 (sf0.001 is 500 rows — ok for a test)
+    // fixture embeddings are near-random (max pairwise cosine ≈ 0.48 at
+    // sf0.001), so anchor the test at 0.3 where real pairs exist — an
+    // empty-truth test would be vacuous
+    val minCos = 0.3
     val a = e.select($"vec_id".as("a_id"), $"embedding".as("a"))
     val b = e.select($"vec_id".as("b_id"), $"embedding".as("b"))
     val truth = a.join(b, $"a_id" < $"b_id")
       .withColumn("cos", Similarity.cosine($"a", $"b"))
-      .filter($"cos" >= 0.8)
+      .filter($"cos" >= minCos)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test must not be vacuous — lower minCos if fixtures changed")
+
+    val lsh = Similarity.lshTopK(e, minCosine = minCos, bucketLength = 2.0, numHashTables = 6)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
 
-    val lsh = Similarity.lshTopK(e, minCosine = 0.8, bucketLength = 2.0, numHashTables = 6)
-      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
-
-    if (truth.nonEmpty) {
-      val recall = truth.intersect(lsh).size.toDouble / truth.size
-      assert(recall >= 0.9, s"LSH recall $recall too low (truth=${truth.size}, lsh=${lsh.size})")
-    }
-    // no self pairs, each pair once
-    assert(lsh.forall { case (x, y) => x < y })
+    val recall = truth.intersect(lsh).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (truth=${truth.size}, lsh=${lsh.size})")
+    assert(lsh.forall { case (x, y) => x < y }, "each pair once, no self pairs")
+    // approxSimilarityJoin post-filters exact distance, so precision is exact
+    assert(lsh.subsetOf(truth), "no pair below the cosine floor may appear")
   }
 }
