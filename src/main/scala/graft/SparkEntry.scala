@@ -437,6 +437,9 @@ object SparkEntry {
         |  CAST(len(list_distinct(ts || bi || tri)) AS BIGINT) AS n_merged
         |FROM g""".stripMargin,
 
+    // hash_j(s) = first 15 hex digits of md5(j:s) as BIGINT — numeric minima
+    // keep Spark's signature aggregation in a primitive hash-agg buffer;
+    // md5 hex and the 60-bit prefix parse identically in both engines
     "q16_near_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
@@ -449,10 +452,12 @@ object SparkEntry {
         |  SELECT doc_id,
         |         list_transform(generate_series(1, 6),
         |                        j -> list_aggregate(list_transform(shingles,
-        |                               s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min')) AS mh
+        |                               s -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)),
+        |                             'min')) AS mh
         |  FROM sh
         |), bands AS (
-        |  SELECT doc_id, b AS band_id, md5(mh[2*b-1] || '|' || mh[2*b]) AS bucket
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
         |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
         |)
         |SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc

@@ -31,14 +31,23 @@ object Dedup {
   def shingles(text: Column, w: Int = 3): Column =
     graft.exprapi.wordShingles(TextOps.tokens(text), w)
 
-  /** MinHash signature as k independent minima, engine-portable form:
-    * hash_j(s) = md5(j ‖ ':' ‖ s), minima taken in binary string order.
-    * md5 hex is identical in every engine, which is what makes the oracle
-    * differential test possible. For the throughput path see
-    * [[graft.expr.MinHashSignature]] (one xxhash64 pass per shingle). */
+  /** Engine-portable per-shingle hash for hash family j: the first 15 hex
+    * digits of md5(j ‖ ':' ‖ s) as a 60-bit integer. Identical in DuckDB as
+    * `CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)` — md5 hex matches
+    * across engines and 60 bits fit a signed long exactly. Numeric minima
+    * keep the signature aggregation in a primitive buffer (HashAggregate;
+    * a string min forces SortAggregate — plan-audited). */
+  def portableHash(shingle: Column, j: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"), shingle)), 1, 15),
+      16, 10).cast("long")
+
+  /** MinHash signature as k independent minima of [[portableHash]] —
+    * `array<long>`, reproducible in any engine with md5. For the
+    * throughput path see [[graft.expr.MinHashSignature]] (one xxhash64
+    * pass per shingle instead of k md5 digests). */
   def minhashSignatureMd5(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(1), lit(k)),
-      j => array_min(transform(shingleCol, s => md5(concat(j.cast("string"), lit(":"), s)))))
+      j => array_min(transform(shingleCol, s => portableHash(s, j))))
 
   /** LSH banding: split the k-row signature into `bands` bands of r rows,
     * hash each band to one bucket id. Emits (id, band_id, bucket) — b rows
@@ -62,7 +71,7 @@ object Dedup {
     val hashed = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleWidth)).as("sh"))
       .select(col(idCol) +:
-        (1 to numHashes).map(j => md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
+        (1 to numHashes).map(j => portableHash(col("sh"), lit(j)).as(s"h$j")): _*)
     val sig = hashed
       .groupBy(col(idCol))
       .agg(min(col("h1")).as("mh1"),
@@ -70,7 +79,7 @@ object Dedup {
     // one row per band via stack (codegen'd generator), bucket = md5 of the
     // band's r signature rows joined with '|'
     val stackArgs = (1 to bands).flatMap { b =>
-      val bandCols = ((b - 1) * r + 1 to b * r).map(j => s"mh$j")
+      val bandCols = ((b - 1) * r + 1 to b * r).map(j => s"cast(mh$j as string)")
       Seq(b.toString, s"md5(concat_ws('|', ${bandCols.mkString(", ")}))")
     }
     sig.selectExpr(idCol,

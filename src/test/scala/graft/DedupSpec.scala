@@ -21,7 +21,7 @@ class DedupSpec extends AnyFunSuite {
   test("minhashSignatureMd5: k elements, deterministic, identical docs get identical sigs") {
     val sigs = corpus
       .select($"doc_id", Dedup.minhashSignatureMd5(Dedup.shingles($"text"), 6).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     assert(sigs.values.forall(_.length === 6))
     assert(sigs(1L) === sigs(4L), "verbatim dup must have an identical signature")
     assert(sigs(1L) !== sigs(3L))
