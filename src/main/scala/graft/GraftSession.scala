@@ -24,6 +24,8 @@ object GraftSession {
       .master(master)
       .appName(appName)
       .withExtensions(new GraftExtensions)
+      // keep managed-table data out of the repo root (bucketed tables etc.)
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -180,6 +180,34 @@ object Relational {
         ($"a_acctbal" + $"b_acctbal").as("pair_bal"))
   }
 
+  /** Skew-salted inner equi join (SURVEY §7.4): for a hot key that AQE's
+    * skew splitting can't fully tame, spread the LEFT side's rows across
+    * `saltFactor` sub-keys and replicate the RIGHT side once per sub-key.
+    * Result is identical to the plain join (verified in tests); the hot
+    * key's work now lands on `saltFactor` tasks instead of one. The left
+    * salt comes from `monotonically_increasing_id` — any assignment is
+    * correct (it only distributes row INSTANCES), so content-independence
+    * is a feature: fully duplicate rows still spread. Right-side
+    * replication multiplies that side by `saltFactor` — use when right is
+    * the smaller (but not broadcastable) side. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1)
+    val saltedLeft = left.withColumn("graft_salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+    val saltedRight = right.withColumn("graft_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft
+      .join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("graft_salt") === saltedRight("graft_salt"))
+      .drop("graft_salt")
+  }
+
   /** Left-semi join (EXISTS): rows of `left` with ≥1 match in `right`. */
   def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_semi")

@@ -94,6 +94,24 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Bucketed parquet table: pre-shuffled on `bucketCols` so joins and
+    * aggregations on those keys need NO exchange at read time — the
+    * co-located-join story for repeatedly-joined fact tables at scale
+    * (pay the shuffle once at write, never again). Catalog-backed
+    * (`saveAsTable`) because bucket metadata lives in the metastore. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int = 32,
+      sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** P10: `to_date` with the reference's `MM/dd/yy` two-digit-year pattern
     * (`join_acquirers.scala:20-21`) under Spark 4 semantics.
     *

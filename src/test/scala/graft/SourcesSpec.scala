@@ -106,4 +106,45 @@ class SourcesSpec extends AnyFunSuite {
     Files.writeString(Paths.get(p), "the\na\nof\n")
     assert(Sources.textLines(spark, p).as[String].collect().toSeq === Seq("the", "a", "of"))
   }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    // the warehouse dir outlives the in-memory catalog across JVM runs —
+    // clear stale locations or saveAsTable refuses to create the table
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"target/spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val o = Tables.orders(spark, TestSpark.sf)
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    Sources.writeBucketed(o, "b_orders", Seq("o_orderkey"), numBuckets = 4)
+    Sources.writeBucketed(li, "b_lineitem", Seq("l_orderkey"), numBuckets = 4)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${plan.take(2000)}")
+    // same result as the plain (shuffled) join
+    val plain = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).count()
+    assert(joined.except(plain).count() === 0 && plain.except(joined).count() === 0)
+  }
+
+  test("saltedJoin returns exactly the plain join result (skew mitigation)") {
+    val o = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"), col("o_totalprice"))
+    val li = Tables.lineitem(spark, TestSpark.sf).select(col("l_orderkey"), col("l_quantity"))
+    val salted = graft.ops.Relational.saltedJoin(li, o, "l_orderkey", "o_orderkey", saltFactor = 8)
+      .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0 && plain.except(salted).count() === 0)
+  }
 }
