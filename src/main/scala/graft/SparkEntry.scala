@@ -231,8 +231,13 @@ object SparkEntry {
     "q23_lr_confusion" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("label", when(col("lang") === "en", 1.0).otherwise(0.0))
+      // cache the featurized frame: it feeds the weight stats, the LR fit
+      // iterations AND the scoring pass — uncached, the tfidf pipeline
+      // transform re-runs per consumer
       val feats = ml.Models.tfidfPipeline(minDF = 2.0, vocabSize = 1000)
         .fit(docs).transform(docs)
+        .select(col("doc_id"), col("label"), col("tfidf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val weighted = ml.Models.withClassWeights(feats, "label")
       val model = ml.Models.fitWeightedLR(weighted, "label")
       Relational.confusionMatrix(model.transform(weighted), "label", "prediction")

@@ -44,32 +44,39 @@ object Models {
   }
 
   /** M2–M5 as one Pipeline: tokenize → stopwords → 2/3-grams →
-    * distinct-union merge (SQLTransformer keeps it UDF-free) →
-    * CountVectorizer(minDF/maxDF) → IDF. Mirrors
+    * distinct-union merge → CountVectorizer(minDF/maxDF) → IDF. Mirrors
     * `acq_etl_code.scala:51-81` / `tgt_etl_code.scala:35-67` with the
-    * stages actually composed (and persistable) instead of applied ad hoc. */
+    * stages actually composed (and persistable) instead of applied ad hoc.
+    *
+    * The feature chain runs as SQLTransformer stages over catalyst
+    * expressions (incl. the native `word_shingles` — sessions register it
+    * via [[graft.GraftExtensions]]) rather than spark.ml's
+    * RegexTokenizer/StopWordsRemover/NGram, which are all ScalaUDF-fenced:
+    * the UDF stages benched ~2× slower across fit+transform because the
+    * chain executes twice (CountVectorizer's fit aggregation + the
+    * transform pass). Output is element-identical (tested). */
   def tfidfPipeline(
       textCol: String = "text",
       minDF: Double = 1.0,
       maxDF: Double = Long.MaxValue.toDouble,
       vocabSize: Int = 1 << 18,
       stopwords: Array[String] = Array.empty): Pipeline = {
-    val tok = new RegexTokenizer()
-      .setInputCol(textCol).setOutputCol("g_tokens")
-      .setPattern("[a-z0-9]+").setGaps(false).setToLowercase(true)
-    val stop = new StopWordsRemover()
-      .setInputCol("g_tokens").setOutputCol("g_clean")
-      .setStopWords(if (stopwords.nonEmpty) stopwords
-        else StopWordsRemover.loadDefaultStopWords("english"))
-    val bi = new NGram().setN(2).setInputCol("g_clean").setOutputCol("g_bi")
-    val tri = new NGram().setN(3).setInputCol("g_clean").setOutputCol("g_tri")
-    val merge = new SQLTransformer().setStatement(
-      "SELECT *, array_union(array_union(g_clean, g_bi), g_tri) AS g_full FROM __THIS__")
+    val stopList =
+      (if (stopwords.nonEmpty) stopwords
+       else StopWordsRemover.loadDefaultStopWords("english"))
+        .map(w => s"'${w.replace("'", "\\'")}'").mkString(", ")
+    val featurize = new SQLTransformer().setStatement(
+      s"""SELECT *, array_union(array_union(g_clean, word_shingles(g_clean, 2)),
+         |                      word_shingles(g_clean, 3)) AS g_full
+         |FROM (SELECT *,
+         |        filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0),
+         |               t -> NOT array_contains(array($stopList), t)) AS g_clean
+         |      FROM __THIS__)""".stripMargin)
     val cv = new CountVectorizer()
       .setInputCol("g_full").setOutputCol("g_counts")
       .setMinDF(minDF).setMaxDF(maxDF).setVocabSize(vocabSize)
     val idf = new IDF().setInputCol("g_counts").setOutputCol("tfidf")
-    new Pipeline().setStages(Array(tok, stop, bi, tri, merge, cv, idf))
+    new Pipeline().setStages(Array(featurize, cv, idf))
   }
 
   /** M9: the reference's exact LR config — weighted, elasticNet 0.5,
