@@ -1,0 +1,87 @@
+package graft.ml
+
+import org.apache.spark.ml.Estimator
+import org.apache.spark.ml.feature.CountVectorizerModel
+import org.apache.spark.ml.linalg.SQLDataTypes
+import org.apache.spark.ml.param.{DoubleParam, IntParam, Param, ParamMap}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** DataFrame-native CountVectorizer fit (A3).
+  *
+  * spark.ml's `CountVectorizer.fit` aggregates term statistics on the RDD
+  * path (`flatMap` + `reduceByKey` over boxed maps) — profiled as the
+  * dominant cost of the TF-IDF pipeline fit (~7 s of a 9 s fit at sf0.1).
+  * This estimator computes the same vocabulary with two codegen'd grouped
+  * aggregations (term totals + document frequencies, map-side partial) and
+  * then hands off to the STOCK `CountVectorizerModel` — transform behavior,
+  * persistence, and downstream IDF are exactly spark.ml's.
+  *
+  * Selection semantics match `CountVectorizer`: df bounds `[minDF, maxDF]`
+  * (absolute when ≥ 1.0, fraction of the corpus when < 1.0), then top
+  * `vocabSize` terms by total count. Ties break on the term string
+  * ascending — DETERMINISTIC, unlike the RDD `takeOrdered` on count alone
+  * (a reproducibility fix, not a semantic drift: tie order among
+  * equal-count terms is unspecified in spark.ml).
+  */
+final class FastCountVectorizer(override val uid: String)
+    extends Estimator[CountVectorizerModel] {
+
+  def this() = this(Identifiable.randomUID("graftFastCV"))
+
+  val inputCol = new Param[String](this, "inputCol", "token-array input column")
+  val outputCol = new Param[String](this, "outputCol", "count-vector output column")
+  val minDF = new DoubleParam(this, "minDF",
+    "min document frequency (absolute if >= 1.0 else fraction)")
+  val maxDF = new DoubleParam(this, "maxDF",
+    "max document frequency (absolute if >= 1.0 else fraction)")
+  val vocabSize = new IntParam(this, "vocabSize", "max vocabulary size")
+  setDefault(minDF -> 1.0, maxDF -> Long.MaxValue.toDouble,
+    vocabSize -> (1 << 18))
+
+  def setInputCol(v: String): this.type = set(inputCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+  def setMinDF(v: Double): this.type = set(minDF, v)
+  def setMaxDF(v: Double): this.type = set(maxDF, v)
+  def setVocabSize(v: Int): this.type = set(vocabSize, v)
+
+  override def fit(ds: Dataset[_]): CountVectorizerModel = {
+    // The input is typically an unmaterialized feature chain (tokenize +
+    // n-grams); three passes read it (count, totals, dfs), so persist the
+    // token column for the duration of the fit.
+    val df = ds.toDF().select(col($(inputCol))).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val toks = col($(inputCol))
+      val nDocs = df.count()
+      def bound(v: Double): Double = if (v >= 1.0) v else v * nDocs
+      val (lo, hi) = (bound($(minDF)), bound($(maxDF)))
+
+      val totals = df.select(explode(toks).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("tc"))
+      val dfs = df.select(explode(array_distinct(toks)).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      val vocab = totals.join(dfs, "t")
+        .filter(col("df") >= lo && col("df") <= hi)
+        .orderBy(col("tc").desc, col("t").asc)
+        .limit($(vocabSize))
+        .select("t")
+        .collect().map(_.getString(0))
+      require(vocab.nonEmpty, "empty vocabulary after [minDF, maxDF] pruning")
+      buildModel(vocab)
+    } finally df.unpersist()
+  }
+
+  private def buildModel(vocab: Array[String]): CountVectorizerModel =
+    new CountVectorizerModel(uid, vocab)
+      .setInputCol($(inputCol)).setOutputCol($(outputCol))
+      .setParent(this)
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+
+      StructField($(outputCol), SQLDataTypes.VectorType, nullable = false))
+
+  override def copy(extra: ParamMap): FastCountVectorizer = defaultCopy(extra)
+}

@@ -72,7 +72,7 @@ object Models {
          |        filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0),
          |               t -> NOT array_contains(array($stopList), t)) AS g_clean
          |      FROM __THIS__)""".stripMargin)
-    val cv = new CountVectorizer()
+    val cv = new FastCountVectorizer()
       .setInputCol("g_full").setOutputCol("g_counts")
       .setMinDF(minDF).setMaxDF(maxDF).setVocabSize(vocabSize)
     val idf = new IDF().setInputCol("g_counts").setOutputCol("tfidf")
