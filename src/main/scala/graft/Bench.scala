@@ -33,6 +33,15 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // Pay one-time session/codegen/JIT warmup OUTSIDE the timed queries so
+    // the alphabetically-first query doesn't absorb ~6 s of fixed cost.
+    try {
+      spark.range(1000).selectExpr("sum(id) AS s")
+        .write.format("noop").mode("overwrite").save()
+      Tables.lineitem(spark, sfDir).limit(1000)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -212,7 +212,18 @@ object SparkEntry {
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          Relational.exactSum(col("value")).as("sum_value")))
+          Relational.exactSum(col("value")).as("sum_value"))),
+
+    // M1: rule-based stemming (the pluggable lemmatizer's default) over the
+    // corpus — stem frequency. The rule chain is anchored-suffix regexes,
+    // expressible identically in DuckDB's RE2.
+    "q29_stem_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .select(text.Stemmer.stemToken(col("t")).as("stem"))
+        .groupBy(col("stem"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20))
   )
 
   /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
@@ -541,6 +552,26 @@ object SparkEntry {
         |)
         |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       user_id, CAST(count(*) AS BIGINT) AS n_events
-        |FROM g GROUP BY user_id, sid""".stripMargin
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // Mirror of graft.text.Stemmer.stemToken — same ordered rule chain;
+    // all patterns are $-anchored so replace-first vs replace-all agree
+    "q29_stem_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents
+        |), stems AS (
+        |  SELECT CASE
+        |    WHEN regexp_matches(t, 'sses$') THEN regexp_replace(t, 'sses$', 'ss')
+        |    WHEN regexp_matches(t, 'ies$') THEN regexp_replace(t, 'ies$', 'y')
+        |    WHEN regexp_matches(t, '^[a-z]*[aeiou][a-z]{2,}ing$') THEN regexp_replace(t, 'ing$', '')
+        |    WHEN regexp_matches(t, '^[a-z]*[aeiou][a-z]+ed$') THEN regexp_replace(t, 'ed$', '')
+        |    WHEN regexp_matches(t, '^[a-z]{3,}ly$') THEN regexp_replace(t, 'ly$', '')
+        |    WHEN regexp_matches(t, '^[a-z]*[aeiou][a-z]*[^su]s$')
+        |         AND NOT regexp_matches(t, 'ss$') THEN regexp_replace(t, 's$', '')
+        |    ELSE t END AS stem
+        |  FROM toks
+        |)
+        |SELECT stem, CAST(count(*) AS BIGINT) AS n
+        |FROM stems GROUP BY stem HAVING count(*) >= 20""".stripMargin
   )
 }

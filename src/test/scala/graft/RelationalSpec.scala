@@ -87,6 +87,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(r1.join(mx, "o_orderpriority").filter($"top" =!= $"mx").count() === 0)
   }
 
+  test("Tables.load fails fast on schema drift (SURVEY §1.3 explicit-schema rule)") {
+    // write a parquet with a re-typed column under a fixture name
+    val dir = "target/tmp/drifted"
+    Tables.region(spark, TestSpark.sf)
+      .withColumn("r_regionkey", col("r_regionkey").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.load(spark, dir, "region")
+    }
+    assert(e.getMessage.contains("schema drift"))
+  }
+
   test("exactSum equals BigDecimal-exact sum") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val got = li.agg(Relational.exactSum($"l_quantity")).as[Double].head()

@@ -100,6 +100,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch === last)
   }
 
+  test("file-source streaming: readStream over the events fixture matches batch") {
+    // stream the real fixture parquet through the same transform; event-time
+    // watermarks require TIMESTAMP (not NTZ), so cast — value-preserving
+    // under the engine's UTC session
+    val batchEv = Tables.events(spark, TestSpark.sf)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val dir = "target/tmp/streams/events_src"
+    batchEv.write.mode("overwrite").parquet(dir)
+    val streamEv = spark.readStream
+      .schema(batchEv.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Streams.tumblingAgg(streamEv).writeStream
+      .format("memory").queryName("file_stream_out").outputMode("complete")
+      .option("checkpointLocation", ckpt("filestream"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_stream_out")
+      .select($"window_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    val batch = Streams.tumblingAgg(batchEv)
+      .select($"window_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("tumblingAgg works identically over the events fixture in batch mode") {
     val ev = Tables.events(spark, TestSpark.sf)
     val viaStreamOp = Streams.tumblingAgg(ev)
