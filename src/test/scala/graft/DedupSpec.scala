@@ -86,6 +86,18 @@ class DedupSpec extends AnyFunSuite {
         "FROM dedup_corpus").as[(Long, Seq[Long])].collect().toMap
     // SQL path shingles differently (unigrams) — only check it parses + runs
     assert(viaSql.size === 4)
+    // remaining registered functions parse and agree with the Column API
+    val sqlShingles = spark.sql(
+      "SELECT word_shingles(array('a','b','c'), 2) AS s").as[Seq[String]].head()
+    assert(sqlShingles === Seq("a b", "b c"))
+    val sqlDot = spark.sql(
+      "SELECT quantized_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d").as[Long].head()
+    assert(sqlDot === math.floor(3.0 * 1e12).toLong + math.floor(8.0 * 1e12).toLong)
+    val sqlSim = spark.sql(
+      "SELECT simhash64(array('x','y')) AS h, simhash64(array('x','y')) AS h2")
+      .as[(Long, Long)].head()
+    assert(sqlSim._1 === sqlSim._2)
   }
 
   test("simhash64: hamming distance separates near-dups from unrelated docs") {
