@@ -260,13 +260,14 @@ object SparkEntry {
       llm.Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.5)),
 
-    // North-star similarity, scale path: BucketedRandomProjectionLSH cosine
-    // candidates (bucket-local joins only). Floor 0.3 because the fixture
-    // embeddings are near-random (max pairwise cosine ≈ 0.6 at sf0.1) — a
-    // higher floor returns an empty, meaningless result.
+    // North-star similarity, scale path: sign-LSH cosine candidate pairs
+    // (bucket-local joins, exact re-score on candidates only). Floor 0.3
+    // because the fixture embeddings are near-random (max pairwise cosine
+    // ≈ 0.6 at sf0.1) — a higher floor returns an empty, meaningless
+    // result; bits=2 keeps recall ≈ 97% at that low floor.
     "q25_sim_lsh" -> ((s, dir) =>
-      llm.Similarity.lshTopK(Tables.embeddings(s, dir),
-        minCosine = 0.3, bucketLength = 2.0, numHashTables = 6)),
+      llm.Similarity.lshCosinePairs(Tables.embeddings(s, dir),
+        minCosine = 0.3, bits = 2, tables = 8)),
 
     // North-star multimodal plumbing: synthetic binary assets -> stub
     // decode -> per-modality feature stats (decode is a STUB; plumbing real)

@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   *   - [[bruteForceTopK]] — the exactness baseline: broadcast the (small)
   *     query set against all candidates. Linear in candidates, never a
   *     shuffled cross-join; the right plan when |queries| is dimension-sized.
-  *   - [[lshTopK]] — the scale path: `BucketedRandomProjectionLSH` over
-  *     L2-normalized vectors (Euclidean on unit vectors is monotone in
-  *     cosine: ‖a−b‖² = 2−2·cos), so candidate generation is bucket-local
-  *     and only candidates get exact re-ranking.
+  *   - [[lshCosinePairs]] — the scale path for a similarity floor: sign-LSH
+  *     (random-hyperplane buckets), candidate generation bucket-local, exact
+  *     re-scoring on candidates only.
+  *   - [[ivfTopK]] — the scale path for top-k: coarse KMeans cells + nprobe.
   */
 object Similarity {
 
@@ -60,40 +60,72 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
   }
 
-  /** Scale path: cosine ANN via bucketed random projections.
+  /** Scale path: all cosine-similar pairs via sign-LSH (random hyperplanes,
+    * SimHash for real vectors — Charikar '02).
     *
-    * Normalizes to unit length, fits `BucketedRandomProjectionLSH` (fixed
-    * seed), and runs `approxSimilarityJoin` within a Euclidean threshold
-    * derived from `minCosine` (d² = 2−2·cos). Bucket-local joins only —
-    * the all-pairs product never materializes. Output: candidate pairs with
-    * exact cosine, for downstream top-k re-ranking. */
-  def lshTopK(
+    * Each of `tables` hash tables assigns a vector to one of 2^`bits`
+    * buckets: bit i is the sign of the dot product with a seeded Gaussian
+    * hyperplane. Vectors meet iff they share a bucket in ≥1 table, so the
+    * shuffle carries `tables` rows per vector and the pair space is
+    * Σ bucket² — the all-pairs product never materializes. Candidates are
+    * then exact-scored (integer-quantized dot, norms precomputed once per
+    * vector) and filtered to `minCosine`, so precision is exact; recall is
+    * 1−(1−p^bits)^tables with p = 1−θ/π.
+    *
+    * Tuning at scale: bucket count is 2^bits per table and does NOT grow
+    * with n — pick bits ≈ log₂(n / targetBucketSize) so per-bucket work
+    * stays bounded, and spend `tables` to buy recall back. High-similarity
+    * floors (near-dup, cos ≥ 0.8) prune hard with bits=6..8; low floors
+    * admit inherently large candidate sets (LSH bound) — for top-k at a low
+    * floor use [[ivfTopK]] instead.
+    *
+    * Everything is codegen'd long/int arithmetic on `array<float>` — no
+    * Vector UDT, no ml fit. The hyperplanes are plan literals (fixed seed ⇒
+    * deterministic across runs and engines); the only driver-side action is
+    * a one-row scan to learn the dimension. */
+  def lshCosinePairs(
       embeddings: DataFrame, // (vec_id, embedding: array<float>)
       minCosine: Double = 0.5,
-      bucketLength: Double = 1.0,
-      numHashTables: Int = 3): DataFrame = {
-    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
-    import org.apache.spark.ml.functions.array_to_vector
+      bits: Int = 2,
+      tables: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"bits=$bits out of range")
+    val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Array[Float]]] =
+      Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
 
-    val vecs = embeddings.select(
-      col("vec_id"),
-      array_to_vector(col("embedding").cast("array<double>")).as("raw"))
-    val unit = new Normalizer().setInputCol("raw").setOutputCol("v").setP(2.0)
-      .transform(vecs).select(col("vec_id"), col("v"))
+    // bucket id per table: packed sign bits of the hyperplane projections
+    def bucket(tPlanes: Seq[Array[Float]]): Column =
+      tPlanes.zipWithIndex.map { case (h, i) =>
+        when(graft.exprapi.quantizedDotFast(col("embedding"), typedLit(h.toSeq)) >= 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
 
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("v").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(42L)
-    val model = lsh.fit(unit)
-    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    val bucketed = embeddings.select(
+      col("vec_id") +: (0 until tables).map(t => bucket(planes(t)).as(s"b$t")): _*)
+    val stacked = bucketed.selectExpr("vec_id",
+      s"stack($tables, ${(0 until tables).map(t => s"$t, b$t").mkString(", ")}) AS (band_id, bucket)")
+    val cands = Dedup.candidatePairs(stacked, "vec_id", maxBucketSize)
 
-    model.approxSimilarityJoin(unit, unit, maxDist, "dist")
-      .select(
-        col("datasetA.vec_id").as("a_id"),
-        col("datasetB.vec_id").as("b_id"),
-        (lit(1.0) - col("dist") * col("dist") / 2.0).as("cosine"))
-      .filter(col("a_id") < col("b_id"))
+    // exact verify on candidates only: cos = dot_q / √(nrm_a·nrm_b) — the
+    // 10¹² quantization scales cancel. Tiny conservative margin keeps the
+    // quantized score from admitting a pair an exact-double filter would
+    // reject at the boundary.
+    val norms = embeddings.select(
+      col("vec_id"), col("embedding"),
+      graft.exprapi.quantizedDotFast(col("embedding"), col("embedding")).as("nrm"))
+    cands
+      .join(norms.select(col("vec_id").as("a_doc"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm")), "a_doc")
+      .join(norms.select(col("vec_id").as("b_doc"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")), "b_doc")
+      .withColumn("cosine",
+        graft.exprapi.quantizedDotFast(col("a_emb"), col("b_emb")).cast("double") /
+          sqrt(col("a_nrm").cast("double") * col("b_nrm").cast("double")))
+      .filter(col("cosine") >= minCosine + 1e-9)
+      .select(col("a_doc").as("a_id"), col("b_doc").as("b_id"), col("cosine"))
   }
 
   /** Scale path #2: cosine IVF (inverted-file) top-k.

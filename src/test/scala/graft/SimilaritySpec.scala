@@ -80,7 +80,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!ivf.exists { case (q, n) => q == n })
   }
 
-  test("lshTopK: bucketed candidates agree with brute force above the cosine floor (recall)") {
+  test("lshCosinePairs: bucketed candidates agree with brute force above the cosine floor (recall)") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     // fixture embeddings are near-random (max pairwise cosine ≈ 0.48 at
     // sf0.001), so anchor the test at 0.3 where real pairs exist — an
@@ -94,13 +94,21 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(truth.nonEmpty, "test must not be vacuous — lower minCos if fixtures changed")
 
-    val lsh = Similarity.lshTopK(e, minCosine = minCos, bucketLength = 2.0, numHashTables = 6)
+    val lsh = Similarity.lshCosinePairs(e, minCosine = minCos, bits = 2, tables = 8)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
 
     val recall = truth.intersect(lsh).size.toDouble / truth.size
     assert(recall >= 0.9, s"LSH recall $recall too low (truth=${truth.size}, lsh=${lsh.size})")
     assert(lsh.forall { case (x, y) => x < y }, "each pair once, no self pairs")
-    // approxSimilarityJoin post-filters exact distance, so precision is exact
+    // exact re-score post-filters every candidate, so precision is exact
     assert(lsh.subsetOf(truth), "no pair below the cosine floor may appear")
+
+    // the LSH structural guarantee: candidate generation must prune — the
+    // verified join may never see the full n²/2 product
+    val nDocs = e.count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    val cands = Similarity.lshCosinePairs(e, minCosine = -1.0, bits = 4, tables = 4).count()
+    assert(cands < allPairs / 2,
+      s"bits=4/tables=4 candidates $cands not ≪ all-pairs $allPairs")
   }
 }
