@@ -223,7 +223,48 @@ object SparkEntry {
         .select(text.Stemmer.stemToken(col("t")).as("stem"))
         .groupBy(col("stem"))
         .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 20))
+        .filter(col("n") >= 20)),
+
+    // As-of join (operator Spark lacks; Temporal.asofJoin): each click
+    // attaches the most recent prior-or-simultaneous purchase value of the
+    // same user. Union + one window pass — never an inequality join.
+    "q30_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.Temporal.asofJoin(
+        clicks, purchases, Seq("user_id"), "ts", Seq("last_purchase_value"))
+    }),
+
+    // Range join (point-in-interval; Temporal.rangeJoin): clicks inside the
+    // 30-minute window after each purchase, counted per window. Equi join
+    // on (user, grain cell) + residual — no inequality-driven cross product.
+    "q31_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("lo"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.ops.Temporal
+        .rangeJoin(clicks, windows, Seq("user_id"), "ts", "lo", "hi",
+          grainSeconds = 1800L)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+    }),
+
+    // North-star token counting: whitespace tokens vs BPE-ish pre-tokens
+    // (contractions / letter runs / digit runs / punctuation runs) — both
+    // pure projections, regex verified identical across engines.
+    "q32_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long").as("n_ws"),
+        size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe")))
   )
 
   /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
@@ -245,8 +286,8 @@ object SparkEntry {
       // cache the featurized frame: it feeds the weight stats, the LR fit
       // iterations AND the scoring pass — uncached, the tfidf pipeline
       // transform re-runs per consumer
-      val feats = ml.Models.tfidfPipeline(minDF = 2.0, vocabSize = 1000)
-        .fit(docs).transform(docs)
+      val feats = ml.Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000)
+        .transform(docs)
         .select(col("doc_id"), col("label"), col("tfidf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val weighted = ml.Models.withClassWeights(feats, "label")
@@ -284,12 +325,17 @@ object SparkEntry {
         .withColumn("label", when(col("lang") === "en", 1.0).otherwise(0.0))
         // numeric pseudo-SIC from the source tag, predictions.scala:18 shape
         .withColumn("sic", regexp_extract(col("source"), "(\\d+)", 1).cast("int") * 7 + 3)
-      val feats = ml.Models.tfidfPipeline(minDF = 2.0, vocabSize = 1000)
-        .fit(docs).transform(docs)
-      val model = ml.Models.fitWeightedLR(
-        ml.Models.withClassWeights(feats, "label"), "label")
+      // persisted: the featurized frame feeds the weight stats, the LR fit,
+      // the scoring transform AND both sides of the pairing — recomputing
+      // the tfidf chain per consumer benched ~2× the whole query
+      val feats = ml.Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000)
+        .transform(docs)
+        .select(col("doc_id"), col("label"), col("sic"), col("tfidf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val weighted = ml.Models.withClassWeights(feats, "label")
+      val model = ml.Models.fitWeightedLR(weighted, "label")
       val scored = pairs.Pairing.scoredPositives(
-        model.transform(feats), "doc_id", "sic")
+        model.transform(weighted), "doc_id", "sic")
       pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
     }),
 
@@ -554,6 +600,29 @@ object SparkEntry {
         |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q30_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q31_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS lo,
+        |                  ts + INTERVAL 30 MINUTE AS hi
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.lo AND c.ts <= p.hi
+        |GROUP BY 1""".stripMargin,
+
+    "q32_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |       '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
 
     // Mirror of graft.text.Stemmer.stemToken — same ordered rule chain;
     // all patterns are $-anchored so replace-first vs replace-all agree

@@ -107,7 +107,20 @@ object Similarity {
       col("vec_id") +: (0 until tables).map(t => bucket(planes(t)).as(s"b$t")): _*)
     val stacked = bucketed.selectExpr("vec_id",
       s"stack($tables, ${(0 until tables).map(t => s"$t, b$t").mkString(", ")}) AS (band_id, bucket)")
-    val cands = Dedup.candidatePairs(stacked, "vec_id", maxBucketSize)
+    // Pair generation is a bucket-equi SELF-JOIN, not the grouped
+    // collect_list + lambda expansion Dedup.candidatePairs uses: with few
+    // bits, buckets hold n/2^bits vectors and the per-bucket pair lambdas
+    // evaluate interpreted — the join stays codegen'd and AQE-splittable.
+    // The bucketing subtree is a cheap projection, so computing it for both
+    // sides costs less than materializing grouped id lists.
+    val big = stacked.groupBy(col("band_id"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+    val pruned = stacked.join(broadcast(big), Seq("band_id", "bucket"), "left_anti")
+    val cands = pruned.alias("x")
+      .join(pruned.alias("y"), Seq("band_id", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_doc"), col("y.vec_id").as("b_doc"))
+      .distinct()
 
     // exact verify on candidates only: cos = dot_q / √(nrm_a·nrm_b) — the
     // 10¹² quantization scales cancel. Tiny conservative margin keeps the

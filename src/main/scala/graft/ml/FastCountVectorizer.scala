@@ -50,9 +50,14 @@ final class FastCountVectorizer(override val uid: String)
   override def fit(ds: Dataset[_]): CountVectorizerModel = {
     // The input is typically an unmaterialized feature chain (tokenize +
     // n-grams); three passes read it (count, totals, dfs), so persist the
-    // token column for the duration of the fit.
-    val df = ds.toDF().select(col($(inputCol))).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // token column for the duration of the fit — unless the caller already
+    // cached the input (Models.fitTfidf), in which case a second copy would
+    // only burn executor memory.
+    val callerCached =
+      ds.toDF().storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val df0 = ds.toDF().select(col($(inputCol)))
+    val df = if (callerCached) df0
+      else df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val toks = col($(inputCol))
       val nDocs = df.count()
@@ -71,7 +76,7 @@ final class FastCountVectorizer(override val uid: String)
         .collect().map(_.getString(0))
       require(vocab.nonEmpty, "empty vocabulary after [minDF, maxDF] pruning")
       buildModel(vocab)
-    } finally df.unpersist()
+    } finally { if (!callerCached) df.unpersist(); () }
   }
 
   private def buildModel(vocab: Array[String]): CountVectorizerModel =

@@ -65,18 +65,49 @@ object Models {
       (if (stopwords.nonEmpty) stopwords
        else StopWordsRemover.loadDefaultStopWords("english"))
         .map(w => s"'${w.replace("'", "\\'")}'").mkString(", ")
+    // stopwords as an IN-list, not array_contains(array(...)): OptimizeIn
+    // rewrites it to a hashed InSet — O(1) per token vs a linear scan over
+    // ~180 literals inside the (interpreted) filter lambda
     val featurize = new SQLTransformer().setStatement(
       s"""SELECT *, array_union(array_union(g_clean, word_shingles(g_clean, 2)),
          |                      word_shingles(g_clean, 3)) AS g_full
          |FROM (SELECT *,
          |        filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0),
-         |               t -> NOT array_contains(array($stopList), t)) AS g_clean
+         |               t -> t NOT IN ($stopList)) AS g_clean
          |      FROM __THIS__)""".stripMargin)
     val cv = new FastCountVectorizer()
       .setInputCol("g_full").setOutputCol("g_counts")
       .setMinDF(minDF).setMaxDF(maxDF).setVocabSize(vocabSize)
     val idf = new IDF().setInputCol("g_counts").setOutputCol("tfidf")
     new Pipeline().setStages(Array(featurize, cv, idf))
+  }
+
+  /** [[tfidfPipeline]] fit with one shared cache: stock `Pipeline.fit`
+    * re-evaluates the featurize chain once for the CountVectorizer fit and
+    * again for the IDF fit (each stage's input is the previous stage's LAZY
+    * transform). Here the featurized frame is persisted once and both fits
+    * read it; the result is the very same `PipelineModel` (same uid, same
+    * stage models — persistable, transform-identical). ~2× faster fit at
+    * sf0.1; the gap widens with corpus size since the featurize chain is
+    * the per-document-dominant cost. */
+  def fitTfidf(
+      docs: DataFrame,
+      textCol: String = "text",
+      minDF: Double = 1.0,
+      maxDF: Double = Long.MaxValue.toDouble,
+      vocabSize: Int = 1 << 18,
+      stopwords: Array[String] = Array.empty): PipelineModel = {
+    val pipe = tfidfPipeline(textCol, minDF, maxDF, vocabSize, stopwords)
+    val Array(featurize: SQLTransformer, cv: FastCountVectorizer, idf: IDF) =
+      pipe.getStages
+    val featurized = featurize.transform(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cvModel = cv.fit(featurized)
+      val idfModel = idf.fit(cvModel.transform(featurized))
+      org.apache.spark.ml.graftbridge.PipelineBridge.assemble(
+        pipe.uid, Array(featurize, cvModel, idfModel))
+    } finally { featurized.unpersist(); () }
   }
 
   /** M9: the reference's exact LR config — weighted, elasticNet 0.5,

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark's built-in operator set lacks: as-of join and
+  * point-in-interval range join. Both are composed from shuffle-minimal
+  * primitives (per the engine rule: compose existing ops before reaching
+  * for a custom SparkPlan).
+  *
+  * Scale design:
+  *   - [[asofJoin]] is NOT a join at all: both sides union into one stream,
+  *     one hash shuffle on the key, one per-key sort, one incremental
+  *     window pass (`last(_, ignoreNulls)` over unbounded-preceding runs in
+  *     O(rows)). A join formulation (`l.ts >= r.ts` + argmax) shuffles both
+  *     sides AND explodes the inequality pairs before pruning; the union
+  *     form's shuffle carries exactly |L| + |R| rows at any scale.
+  *   - [[rangeJoin]] never evaluates the inequality against the full cross
+  *     product: both sides are bucketed to coarse time cells (intervals
+  *     explode to the cells they overlap), the join is EQUI on
+  *     (keys, cell) — shuffle-partitionable, AQE-skew-splittable — and the
+  *     residual `lo <= p <= hi` filters within cells only. Work scales with
+  *     cell co-occupancy, not |P|×|I|.
+  */
+object Temporal {
+
+  /** As-of join: attach to each left row the LATEST right row with
+    * `right.ts <= left.ts` in the same key group (the time-series "most
+    * recent fact as of" join — DuckDB `ASOF JOIN`, kdb `aj`). Left rows with
+    * no prior right row keep NULL attach columns (left-outer semantics).
+    *
+    * Contract: `right`'s columns must be exactly `keys ++ tsCol ++
+    * attachCols`; `attachCols` must not collide with `left`'s columns; and
+    * (key, ts) should be unique on the right — pre-aggregate if not, or
+    * which duplicate wins is unspecified (as in DuckDB/kdb).
+    *
+    * Attach columns are carried as ONE struct, so all values always come
+    * from the SAME right row even when some of its fields are null. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      attachCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(attachCols.nonEmpty, "asofJoin needs at least one attach column")
+    val rightCols = right.columns.toSet
+    require(rightCols == (keys ++ Seq(tsCol) ++ attachCols).toSet,
+      s"right side must be exactly keys+ts+attach, got ${right.columns.mkString(",")}")
+    require(attachCols.forall(!left.columns.contains(_)),
+      "attach columns collide with left columns — rename before joining")
+
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          attachCols.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))))
+    val r = right
+      .withColumn("__asof", struct(attachCols.map(col): _*))
+      .drop(attachCols: _*)
+      .withColumn("__side", lit(0))
+    // right (side 0) sorts BEFORE left (side 1) at equal ts, so an
+    // exactly-coincident right row is visible to the left row (ts >= ts)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        attachCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  /** Point-in-interval range join: every (point, interval) pair with the
+    * same keys and `lo <= point <= hi` (inclusive bounds).
+    *
+    * `grainSeconds` is the bucketing grain: intervals explode to the grain
+    * cells they overlap, points map to exactly one cell, and the join is
+    * equi on (keys, cell) with the interval predicate as a residual filter.
+    * Pick the grain near the typical interval length — each interval emits
+    * `len/grain + 1` rows (too fine explodes the build side; too coarse
+    * degrades toward per-cell cross products). A point meets an interval in
+    * exactly one cell, so no post-join dedup is needed.
+    *
+    * Column contract: `points` and `intervals` may share only the key
+    * columns. Timestamps may be timestamp or timestamp_ntz. */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointTs: String,
+      loCol: String,
+      hiCol: String,
+      grainSeconds: Long): DataFrame = {
+    require(grainSeconds > 0, "grainSeconds must be positive")
+    val overlap = (points.columns.toSet -- keys)
+      .intersect(intervals.columns.toSet -- keys)
+    require(overlap.isEmpty,
+      s"points/intervals share non-key columns: ${overlap.mkString(",")}")
+    def cellOf(c: String) =
+      expr(s"cast(cast(`$c` as timestamp) as bigint) div $grainSeconds")
+    val p = points.withColumn("__cell", cellOf(pointTs))
+    val i = intervals
+      .withColumn("__cell", explode(sequence(cellOf(loCol), cellOf(hiCol))))
+    p.join(i, keys :+ "__cell")
+      .filter(col(pointTs) >= col(loCol) && col(pointTs) <= col(hiCol))
+      .drop("__cell")
+  }
+}

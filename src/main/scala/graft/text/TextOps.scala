@@ -32,6 +32,19 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
+  /** BPE-ish pre-tokenizer (north-star token counting): contraction
+    * suffixes, letter runs, digit runs, punctuation runs — the GPT-2-style
+    * pre-token split without the byte-pair merge table (vocabulary-free, so
+    * it stays a plan expression, not a model artifact). The pattern avoids
+    * lookarounds/backreferences, and tokenizes identically under
+    * java.util.regex (Spark) and RE2 (DuckDB) — verified on contraction,
+    * hyphen, and whitespace-run cases. */
+  val BpePattern = """'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"""
+
+  /** BPE-ish pre-tokens of lowercased text. Returns array<string>. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePattern), lit(0))
+
   /** P15: canonical single-space re-join of the token stream; the
     * normalization the reference's `.mkString(" ")` produced
     * (`acq_etl_code.scala:44`). */
@@ -40,18 +53,16 @@ object TextOps {
   /** P6/J7: stopword removal that PRESERVES duplicates and order (the
     * reference filters the token list, `acq_etl_code.scala:41` — it does not
     * set-subtract, so `array_except` would be wrong). The stopword set is a
-    * plan-embedded literal array: for dimension-sized lists this is the
-    * broadcast-anti-join pattern with zero shuffle. */
-  def removeStopwords(toks: Column, stopwords: Seq[String]): Column = {
-    val stop = array(stopwords.map(lit): _*)
-    filter(toks, t => !array_contains(stop, t))
-  }
+    * plan-embedded IN-list: for dimension-sized lists this is the
+    * broadcast-anti-join pattern with zero shuffle, and Catalyst's
+    * OptimizeIn turns lists past the conversion threshold into a hashed
+    * `InSet` — O(1) per token instead of a linear literal-array scan. */
+  def removeStopwords(toks: Column, stopwords: Seq[String]): Column =
+    filter(toks, t => !t.isInCollection(stopwords))
 
   /** Count of stopword OCCURRENCES (not distinct hits) in a token array. */
-  def countStopwords(toks: Column, stopwords: Seq[String]): Column = {
-    val stop = array(stopwords.map(lit): _*)
-    size(filter(toks, t => array_contains(stop, t)))
-  }
+  def countStopwords(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stopwords)))
 
   /** M3: n-grams over a token array, joined with single spaces — the
     * `NGram` transformer's exact output shape (`acq_etl_code.scala:56-69`)

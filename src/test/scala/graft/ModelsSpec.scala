@@ -75,6 +75,20 @@ class ModelsSpec extends AnyFunSuite {
     assert(tfidf(2L)(abIdx) === 0.0)
   }
 
+  test("fitTfidf (shared-cache fit) is transform-identical to stock Pipeline.fit") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(300)
+    val stock = Models.tfidfPipeline(minDF = 2.0, vocabSize = 400).fit(docs)
+    val cached = Models.fitTfidf(docs, minDF = 2.0, vocabSize = 400)
+    def vecs(m: org.apache.spark.ml.PipelineModel) = m.transform(docs)
+      .select($"doc_id", org.apache.spark.ml.functions.vector_to_array($"tfidf").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(vecs(stock) === vecs(cached))
+    // persistable like the stock model (S8 contract)
+    Models.savePipeline(cached, "target/tmp/models/fit_tfidf_roundtrip")
+    val reloaded = Models.loadPipeline("target/tmp/models/fit_tfidf_roundtrip")
+    assert(vecs(reloaded) === vecs(cached))
+  }
+
   test("LDA invariants: k topics, valid vocab indices, resolvable terms (A6/A7)") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(200)
     val pipe = Models.tfidfPipeline(minDF = 2.0, vocabSize = 500).fit(docs)

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: latest right row at or before each left ts, per key; null when none") {
+    val right = Seq(
+      (1L, ts("2020-01-01 00:00:00"), 10.0),
+      (1L, ts("2020-01-01 02:00:00"), 20.0),
+      (2L, ts("2020-01-01 05:00:00"), 99.0)
+    ).toDF("k", "ts", "v")
+    val left = Seq(
+      (100L, 1L, ts("2020-01-01 01:00:00")), // between the two -> 10.0
+      (101L, 1L, ts("2020-01-01 02:00:00")), // exactly coincident -> 20.0 (>= semantics)
+      (102L, 1L, ts("2020-01-01 03:00:00")), // after both -> 20.0
+      (103L, 2L, ts("2020-01-01 04:00:00")), // before key-2's only row -> null
+      (104L, 3L, ts("2020-01-01 04:00:00"))  // key with no right rows -> null
+    ).toDF("id", "k", "ts")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(
+      100L -> Some(10.0), 101L -> Some(20.0), 102L -> Some(20.0),
+      103L -> None, 104L -> None))
+  }
+
+  test("asofJoin struct carry: all attach columns come from the SAME right row") {
+    val right = Seq(
+      (1L, ts("2020-01-01 00:00:00"), Some(10.0), Some("a")),
+      (1L, ts("2020-01-01 01:00:00"), None, Some("b")) // v null in the newest row
+    ).toDF("k", "ts", "v", "tag")
+    val left = Seq((7L, 1L, ts("2020-01-01 02:00:00"))).toDF("id", "k", "ts")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("v", "tag"))
+      .select($"v", $"tag").as[(Option[Double], String)].head()
+    // the newest row wins as a unit: v is ITS null, not 10.0 seen through
+    assert(got === (None, "b"))
+  }
+
+  test("asofJoin matches a brute-force inequality-join argmax on fixture events") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("pv"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+
+    val fast = Temporal.asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pv"))
+      .select($"event_id", $"pv").as[(Long, Option[Double])].collect().toMap
+
+    // independent recomputation: inner-join eligible purchases, argmax on
+    // p_ts; clicks with no eligible purchase must surface as None in `fast`
+    val matched = clicks
+      .join(purchases.select($"user_id", $"ts".as("p_ts"), $"pv"), Seq("user_id"))
+      .filter($"p_ts" <= $"ts")
+      .groupBy($"event_id")
+      .agg(max_by($"pv", $"p_ts").as("pv"))
+      .select($"event_id", $"pv").as[(Long, Double)].collect().toMap
+
+    assert(fast.size === clicks.count())
+    fast.foreach { case (id, v) => assert(v === matched.get(id), s"event $id") }
+  }
+
+  test("rangeJoin: inclusive bounds, key isolation, grain-invariant result") {
+    val points = Seq(
+      (1L, ts("2020-01-01 00:10:00")),
+      (1L, ts("2020-01-01 00:30:00")), // == hi, inclusive
+      (1L, ts("2020-01-01 00:31:00")), // outside
+      (2L, ts("2020-01-01 00:10:00"))  // right key, interval belongs to key 1
+    ).toDF("k", "pt")
+    val intervals = Seq(
+      (900L, 1L, ts("2020-01-01 00:00:00"), ts("2020-01-01 00:30:00"))
+    ).toDF("iid", "k", "lo", "hi")
+    def run(grain: Long) =
+      Temporal.rangeJoin(points, intervals, Seq("k"), "pt", "lo", "hi", grain)
+        .select($"iid", $"pt").as[(Long, Timestamp)].collect().toSet
+    val expected = Set((900L, ts("2020-01-01 00:10:00")), (900L, ts("2020-01-01 00:30:00")))
+    assert(run(60L) === expected)
+    assert(run(3600L) === expected)
+    assert(run(7L) === expected) // grain not dividing the bounds evenly
+  }
+
+  test("rangeJoin with NO keys: pure interval containment still equi-joins on the cell") {
+    val points = Seq(Tuple1(ts("2020-01-01 00:05:00")), Tuple1(ts("2020-01-01 09:00:00")))
+      .toDF("pt")
+    val intervals = Seq((1L, ts("2020-01-01 00:00:00"), ts("2020-01-01 01:00:00")))
+      .toDF("iid", "lo", "hi")
+    val got = Temporal.rangeJoin(points, intervals, Seq.empty, "pt", "lo", "hi", 600L)
+      .select($"iid", $"pt").as[(Long, Timestamp)].collect().toSet
+    assert(got === Set((1L, ts("2020-01-01 00:05:00"))))
+  }
+
+  test("rangeJoin matches a brute-force inequality join on fixture events") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val windows = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("lo"), ($"ts" + expr("INTERVAL 30 MINUTES")).as("hi"))
+    val clicks = ev.filter($"event_type" === "click").select($"user_id", $"ts")
+    val fast = Temporal.rangeJoin(clicks, windows, Seq("user_id"), "ts", "lo", "hi", 1800L)
+      .select($"purchase_id", $"ts").as[(Long, Timestamp)].collect().toSet
+    val brute = clicks.join(windows,
+        clicks("user_id") === windows("user_id") &&
+          clicks("ts") >= windows("lo") && clicks("ts") <= windows("hi"))
+      .select($"purchase_id", clicks("ts")).as[(Long, Timestamp)].collect().toSet
+    assert(fast === brute)
+    assert(fast.nonEmpty, "fixture should produce at least one in-window click")
+  }
+}
