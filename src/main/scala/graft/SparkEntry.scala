@@ -500,9 +500,11 @@ object SparkEntry {
         |  CAST(len(list_distinct(ts || bi || tri)) AS BIGINT) AS n_merged
         |FROM g""".stripMargin,
 
-    // hash_j(s) = first 15 hex digits of md5(j:s) as BIGINT — numeric minima
-    // keep Spark's signature aggregation in a primitive hash-agg buffer;
-    // md5 hex and the 60-bit prefix parse identically in both engines
+    // hash_j(s) = a 15-hex (60-bit) slice of md5(ceil(j/2):s) as BIGINT —
+    // odd j takes hex 1-15, even j hex 16-30, so one digest feeds two hash
+    // families (halves the md5 work on the Spark side; numeric minima keep
+    // the signature aggregation in a primitive hash-agg buffer). md5 hex
+    // and the 60-bit slices parse identically in both engines.
     "q16_near_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
@@ -515,7 +517,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |         list_transform(generate_series(1, 6),
         |                        j -> list_aggregate(list_transform(shingles,
-        |                               s -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)),
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
         |                             'min')) AS mh
         |  FROM sh
         |), bands AS (

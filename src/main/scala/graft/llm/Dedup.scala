@@ -31,23 +31,27 @@ object Dedup {
   def shingles(text: Column, w: Int = 3): Column =
     graft.exprapi.wordShingles(TextOps.tokens(text), w)
 
-  /** Engine-portable per-shingle hash for hash family j: the first 15 hex
-    * digits of md5(j ‖ ':' ‖ s) as a 60-bit integer. Identical in DuckDB as
-    * `CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)` — md5 hex matches
+  /** Engine-portable per-shingle hash for hash family j: a 15-hex-digit
+    * (60-bit) slice of `md5(⌈j/2⌉ ‖ ':' ‖ s)` — odd j takes hex digits
+    * 1–15, even j takes 16–30, so each digest feeds TWO hash families and
+    * only ⌈k/2⌉ md5 evaluations run per shingle (subexpression elimination
+    * dedups the shared digest inside codegen). Identical in DuckDB as
+    * `CAST('0x' || substr(md5(...), off, 15) AS BIGINT)` — md5 hex matches
     * across engines and 60 bits fit a signed long exactly. Numeric minima
     * keep the signature aggregation in a primitive buffer (HashAggregate;
     * a string min forces SortAggregate — plan-audited). */
-  def portableHash(shingle: Column, j: Column): Column =
-    conv(substring(md5(concat(j.cast("string"), lit(":"), shingle)), 1, 15),
-      16, 10).cast("long")
+  def portableHash(shingle: Column, j: Int): Column = {
+    val digest = md5(concat(lit(s"${(j + 1) / 2}:"), shingle))
+    conv(substring(digest, if (j % 2 == 1) 1 else 16, 15), 16, 10).cast("long")
+  }
 
   /** MinHash signature as k independent minima of [[portableHash]] —
     * `array<long>`, reproducible in any engine with md5. For the
     * throughput path see [[graft.expr.MinHashSignature]] (one xxhash64
-    * pass per shingle instead of k md5 digests). */
+    * pass per shingle instead of ⌈k/2⌉ md5 digests). */
   def minhashSignatureMd5(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(1), lit(k)),
-      j => array_min(transform(shingleCol, s => portableHash(s, j))))
+    array((1 to k).map(j =>
+      array_min(transform(shingleCol, s => portableHash(s, j)))): _*)
 
   /** LSH banding: split the k-row signature into `bands` bands of r rows,
     * hash each band to one bucket id. Emits (id, band_id, bucket) — b rows
@@ -71,7 +75,7 @@ object Dedup {
     val hashed = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleWidth)).as("sh"))
       .select(col(idCol) +:
-        (1 to numHashes).map(j => portableHash(col("sh"), lit(j)).as(s"h$j")): _*)
+        (1 to numHashes).map(j => portableHash(col("sh"), j).as(s"h$j")): _*)
     val sig = hashed
       .groupBy(col(idCol))
       .agg(min(col("h1")).as("mh1"),

@@ -68,6 +68,23 @@ class TemporalSpec extends AnyFunSuite {
     fast.foreach { case (id, v) => assert(v === matched.get(id), s"event $id") }
   }
 
+  test("asofJoin plan shape: no join operator, one exchange (union + window only)") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("pv"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val df = Temporal.asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pv"))
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asofJoin must not produce a join:\n$plan")
+    // the window pass shuffles once on the key; the purchases pre-agg adds
+    // its own exchange upstream — but nothing may shuffle the union twice
+    val windowExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(windowExchanges <= 2, s"unexpected extra shuffles:\n$plan")
+  }
+
   test("rangeJoin: inclusive bounds, key isolation, grain-invariant result") {
     val points = Seq(
       (1L, ts("2020-01-01 00:10:00")),
