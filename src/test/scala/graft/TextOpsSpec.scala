@@ -86,6 +86,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got((1L, "b")) === 1.0 * math.log(3.0 / 2.0))
   }
 
+  test("bpeTokens: contractions split, punctuation runs kept, n_bpe >= whitespace tokens") {
+    val cases = Seq(
+      (1L, "It's the CEO's 3rd-quarter report... (really)!"),
+      (2L, "we'll merge; they're acquired, 100% cash-only"),
+      (3L, "  spaces   and\ttabs  "),
+      (4L, ""))
+    val df = cases.toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.bpeTokens($"text").as("b"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("it", "'s", "the", "ceo", "'s", "3", "rd", "-",
+      "quarter", "report", "...", "(", "really", ")!"))
+    assert(got(3L) === Seq("spaces", "and", "tabs"))
+    assert(got(4L) === Seq.empty)
+    // every whitespace-delimited token contains >= 1 non-space char, each of
+    // which falls in one alternation class => n_bpe >= n_ws, on real docs too
+    val viol = Tables.documents(spark, TestSpark.sf)
+      .select(
+        size(regexp_extract_all($"text", lit("""\S+"""), lit(0))).as("n_ws"),
+        size(TextOps.bpeTokens($"text")).as("n_bpe"))
+      .filter($"n_bpe" < $"n_ws").count()
+    assert(viol === 0L)
+  }
+
   test("fingerprint is invariant to case/punctuation/whitespace drift") {
     val df = Seq(
       (1L, "Hello,  World!"), (2L, "hello world"), (3L, "different text")
