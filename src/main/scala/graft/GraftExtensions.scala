@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.expr.{MinHashSignature, QuantizedDotProduct, SimHash64, WordShingles}
+import graft.expr.{Int8DotProduct, MinHashSignature, QuantizedDotProduct, SimHash64, WordShingles}
 
 /** SQL-surface registration for graft's native expressions
   * (SURVEY.md §7.3 — `SparkSessionExtensions` is the sanctioned extension
@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => QuantizedDotProduct(a, b)
         case _ => throw new IllegalArgumentException(
           "quantized_dot(array<float>, array<float>)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("int8_dot"),
+      new ExpressionInfo(classOf[Int8DotProduct].getName, "int8_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => Int8DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          "int8_dot(array<tinyint>, array<tinyint>)")
       }))
   }
 }

@@ -264,7 +264,19 @@ object SparkEntry {
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
           .cast("long").as("n_ws"),
-        size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe")))
+        size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe"))),
+
+    // North-star similarity, storage-efficiency path: int8 global-scale
+    // quantization (floor — bit-identical across engines) + exact integer
+    // dot ranking. 4× less candidate bandwidth than float32; scores and
+    // ranks are pure integers, so the whole path hash-matches DuckDB.
+    "q33_sim_int8" -> ((s, dir) => {
+      val q8 = llm.Similarity.quantizeInt8Global(Tables.embeddings(s, dir))
+      llm.Similarity.bruteForceTopKInt8(
+        q8.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("q_id"), col("qv")),
+        q8.select(col("vec_id").as("n_id"), col("qv").as("cv")),
+        k = 5)
+    })
   )
 
   /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
@@ -626,6 +638,31 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text),
         |       '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+
+    // Global scale g = max|x|/127 (float max cast to double in both
+    // engines), q_i = floor(x/g) — floor is the one rounding both engines
+    // share bit-for-bit; all scores share g², so ranking is integer-only
+    "q33_sim_int8" ->
+      """WITH s AS (
+        |  SELECT CAST(max(list_max(list_transform(embedding, x -> abs(x)))) AS DOUBLE) / 127 AS g
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / g) AS BIGINT)) AS qv
+        |  FROM embeddings, s WHERE vec_id % 50 = 0
+        |), c AS (
+        |  SELECT vec_id AS n_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / g) AS BIGINT)) AS cv
+        |  FROM embeddings, s
+        |), dots AS (
+        |  SELECT q_id, n_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i])) AS BIGINT) AS dot_i8
+        |  FROM q, c WHERE q_id <> n_id
+        |)
+        |SELECT * FROM (
+        |  SELECT q_id, n_id, dot_i8,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_i8 DESC, n_id) AS BIGINT) AS rank
+        |  FROM dots) WHERE rank <= 5""".stripMargin,
 
     // Mirror of graft.text.Stemmer.stemToken — same ordered rule chain;
     // all patterns are $-anchored so replace-first vs replace-all agree

@@ -25,6 +25,11 @@ package object exprapi {
     ColumnBridge.column(expr.QuantizedDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Exact dot product of two int8-quantized `array<tinyint>` columns. */
+  def int8Dot(a: Column, b: Column): Column =
+    ColumnBridge.column(expr.Int8DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Native w-shingles over a token array (output identical to
     * `TextOps.ngrams(toks, w)`, fused loop instead of interpreted HOF). */
   def wordShingles(tokens: Column, width: Int): Column =

@@ -141,6 +141,49 @@ object Similarity {
       .select(col("a_doc").as("a_id"), col("b_doc").as("b_id"), col("cosine"))
   }
 
+  /** Int8 global-scale quantization of a float-embedding column — the
+    * memory-bandwidth lever at corpus scale: 4× smaller vectors mean 4×
+    * more candidates per cache line / scan byte, and one corpus-wide scale
+    * keeps RANKING purely integer (every score shares the factor scale², so
+    * top-k order needs no rescaling and no float arithmetic at all).
+    *
+    * Quantizer: `q_i = floor(x_i / g)` with `g = max|x| / 127` over the
+    * whole corpus — floor (not round) because floor is bit-identical in
+    * every engine, making the int8 path oracle-checkable end to end. The
+    * one-time quantization pass uses an interpreted HOF (acceptable for a
+    * write-once transform); the hot path is the codegen'd `int8_dot`.
+    *
+    * Returns (idCol, qv: array<tinyint>). The corpus-wide max is a scalar
+    * agg broadcast back — one extra pass, no driver collect. */
+  def quantizeInt8Global(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val g = embeddings.agg(
+      (max(array_max(transform(col(embCol), x => abs(x)))).cast("double") / 127.0)
+        .as("g"))
+    embeddings.crossJoin(broadcast(g))
+      .select(col(idCol),
+        transform(col(embCol), x => floor(x.cast("double") / col("g")).cast("tinyint"))
+          .as("qv"))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors (global scale ⇒ integer
+    * ranking; ties on candidate id). Same contract as [[bruteForceTopK]]
+    * but 4× less candidate bandwidth — the shape to use when the candidate
+    * set must stream from storage. */
+  def bruteForceTopKInt8(
+      queries: DataFrame,   // (q_id, qv: array<tinyint>)
+      candidates: DataFrame, // (n_id, cv: array<tinyint>)
+      k: Int): DataFrame = {
+    val scored = candidates
+      .join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("dot_i8", graft.exprapi.int8Dot(col("qv"), col("cv")))
+    graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "dot_i8", "n_id", k, descending = true)
+      .select(col("q_id"), col("n_id"), col("dot_i8"), col("rank").cast("long").as("rank"))
+  }
+
   /** Scale path #2: cosine IVF (inverted-file) top-k.
     *
     * Coarse quantizer = KMeans over unit vectors (`nlist` cells, fixed

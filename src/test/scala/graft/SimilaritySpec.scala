@@ -59,6 +59,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(opp + 1.0) < 1e-12)
   }
 
+  test("int8_dot: exact integer dot, SQL-registered, null/mismatch contract") {
+    val df = Seq(
+      (Seq(1.toByte, (-2).toByte, 127.toByte), Seq(3.toByte, 4.toByte, (-128).toByte)),
+      (Seq(1.toByte), Seq(3.toByte, 4.toByte))
+    ).toDF("a", "b")
+    val got = df.select(graft.exprapi.int8Dot($"a", $"b").as("d"))
+      .as[Option[Long]].collect()
+    assert(got(0) === Some(3L - 8L + 127L * -128L))
+    assert(got(1) === None)
+    // SQL surface via GraftExtensions
+    df.limit(1).createOrReplaceTempView("i8t")
+    val sql = spark.sql("SELECT int8_dot(a, b) AS d FROM i8t").as[Long].head()
+    assert(sql === 3L - 8L + 127L * -128L)
+  }
+
+  test("quantizeInt8Global: values within [-127,127], int8 top-k recalls float top-k") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q8 = Similarity.quantizeInt8Global(e)
+    val outOfRange = q8.select(explode($"qv").as("v"))
+      .filter($"v" > 127 || $"v" < -127).count()
+    assert(outOfRange === 0L)
+
+    val k = 5
+    val int8 = Similarity.bruteForceTopKInt8(
+      q8.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"qv"),
+      q8.select($"vec_id".as("n_id"), $"qv".as("cv")), k)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val float = Similarity.bruteForceTopK(
+      e.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"embedding".as("q_emb")),
+      e.select($"vec_id".as("n_id"), $"embedding".as("n_emb")), k)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = float.intersect(int8).size.toDouble / float.size
+    assert(recall >= 0.6, s"int8 top-$k recall $recall vs float ground truth")
+    assert(int8.size === float.size)
+  }
+
   test("ivfTopK: probed-cell top-k overlaps exhaustive cosine top-k (recall)") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val queries = e.filter($"vec_id" % 100 === 0)
