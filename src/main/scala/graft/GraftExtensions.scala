@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.expr.{Int8DotProduct, MinHashSignature, QuantizedDotProduct, SimHash64, WordShingles}
+import graft.expr.{Int8DotProduct, MinHashSignature, QuantizedDotProduct, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SQL-surface registration for graft's native expressions
   * (SURVEY.md §7.3 — `SparkSessionExtensions` is the sanctioned extension
@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => QuantizedDotProduct(a, b)
         case _ => throw new IllegalArgumentException(
           "quantized_dot(array<float>, array<float>)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, IntegerLiteral(k), IntegerLiteral(w)) => WinnowFingerprints(s, k, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_fps(string, <int literal k>, <int literal w>)")
       }))
 
     ext.injectFunction((

@@ -266,6 +266,49 @@ object SparkEntry {
           .cast("long").as("n_ws"),
         size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe"))),
 
+    // North-star language-ID, char-n-gram form: per-mille of top-English
+    // character bigrams — integer arithmetic, IN-list membership. Pure
+    // projection, complements the function-word score of q19.
+    "q34_lang_bigrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.englishBigramScore(col("text")).as("bg_score"))
+        .select(col("doc_id"), col("bg_score"),
+          when(col("bg_score") >= 80, "en").otherwise("other").as("lang_bg"))),
+
+    // North-star rolling-hash fingerprinting: winnowing (MOSS) — min-hash
+    // per sliding window over k-gram hashes, then fingerprints shared by
+    // ≥2 docs. Any shared substring of ≥ k+w-1 chars is caught.
+    // RELATIONAL formulation: explode positions → codegen'd substr+md5 →
+    // window-frame min per w-window → distinct. The HOF form
+    // (TextOps.winnowFingerprints) re-evaluates the normalized-text
+    // subtree per lambda use — per POSITION — and is test-scale only; here
+    // every k-gram hashes once, the shuffle carries (doc, pos, hash)
+    // triples, and the window sort is per-doc-partition.
+    "q35_winnow" -> ((s, dir) => {
+      val k = 8; val w = 4
+      val norm = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.normalizedText(col("text")).as("s"))
+        .filter(length(col("s")) >= k + w - 1)
+      val hashes = norm
+        .select(col("doc_id"), col("s"),
+          explode(sequence(lit(1), length(col("s")) - (k - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          // window starts only where a full w-window fits
+          (col("pos") <= length(col("s")) - (k - 1) - (w - 1)).as("is_start"),
+          conv(substring(md5(col("s").substr(col("pos"), lit(k))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+      hashes
+        .withColumn("fp", min(col("h")).over(win))
+        .filter(col("is_start"))
+        .select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+    }),
+
     // North-star similarity, storage-efficiency path: int8 global-scale
     // quantization (floor — bit-identical across engines) + exact integer
     // dot ranking. 4× less candidate bandwidth than float32; scores and
@@ -350,6 +393,19 @@ object SparkEntry {
         model.transform(weighted), "doc_id", "sic")
       pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
     }),
+
+    // North-star rolling-hash fingerprinting, throughput path: the native
+    // O(n) Karp-Rabin winnowing expression (one codegen'd pass per doc vs
+    // one md5 per k-gram in q35). Different hash family than the portable
+    // form, so rows-only — the q24-vs-q16 dual-path pattern.
+    "q36_winnow_fast" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.exprapi.winnowFps(
+            text.TextOps.normalizedText(col("text")), 8, 4)).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)),
 
     // North-star similarity, scale path #2: cosine IVF — KMeans coarse
     // quantizer, nprobe cell probing, exact re-rank within cells only
@@ -638,6 +694,46 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text),
         |       '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+
+    "q34_lang_bigrams" ->
+      """WITH n AS (
+        |  SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS s
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(s) >= 2 THEN
+        |      CAST(floor((len(list_filter(list_transform(generate_series(1, len(s)-1),
+        |                                                 i -> substr(s, i, 2)),
+        |             x -> x IN ('th','he','in','er','an','re','on','at','en','nd',
+        |                        'ti','es','or','te','of','ed','is','it','al','ar',
+        |                        'st','to','nt','ng','se','ha','as','ou','io','le'))) * 1000)
+        |                 / (len(s) - 1)) AS BIGINT)
+        |    ELSE 0 END AS bg_score
+        |  FROM n
+        |)
+        |SELECT doc_id, bg_score,
+        |       CASE WHEN bg_score >= 80 THEN 'en' ELSE 'other' END AS lang_bg
+        |FROM sc""".stripMargin,
+
+    // same 60-bit md5 hash family as q16; hs[i:i+3] is the w=4 window,
+    // min per window, distinct per doc, then cross-doc sharing counts
+    "q35_winnow" ->
+      """WITH n AS (
+        |  SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS s
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(s) - 7),
+        |                        i -> CAST('0x' || substr(md5(substr(s, i, 8)), 1, 15) AS BIGINT)) AS hs
+        |  FROM n WHERE len(s) >= 11
+        |), m AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(hs) - 3),
+        |                                      i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+        |  FROM h
+        |), e AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM e GROUP BY fp HAVING count(*) >= 2""".stripMargin,
 
     // Global scale g = max|x|/127 (float max cast to double in both
     // engines), q_i = floor(x/g) — floor is the one rounding both engines

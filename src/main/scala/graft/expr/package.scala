@@ -34,4 +34,9 @@ package object exprapi {
     * `TextOps.ngrams(toks, w)`, fused loop instead of interpreted HOF). */
   def wordShingles(tokens: Column, width: Int): Column =
     ColumnBridge.column(expr.WordShingles(ColumnBridge.expression(tokens), width))
+
+  /** O(n) rolling-hash winnowing fingerprints of a string column
+    * (Karp–Rabin + monotonic-deque window minima). */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(expr.WinnowFingerprints(ColumnBridge.expression(text), k, w))
 }

@@ -169,4 +169,59 @@ object TextOps {
     when(nTokens >= 80, "long")
       .when(nTokens >= 40, "medium")
       .otherwise("short")
+
+  /** The 30 most frequent English character bigrams (public frequency
+    * tables — Norvig's Google-corpus counts). Basis of the char-n-gram
+    * language-ID heuristic. */
+  val EnglishCharBigrams: Seq[String] = Seq(
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le")
+
+  /** Language-ID n-gram heuristic: per-mille of character bigrams of the
+    * canonical text that are top-English bigrams. Same integer-arithmetic
+    * portability contract as [[functionWordScore]]; the bigram membership
+    * is an IN-list (hashed `InSet`). Character n-grams catch languages that
+    * share function words or have none in the list — the standard
+    * complement to word-level scoring. */
+  def englishBigramScore(text: Column): Column = {
+    val s = normalizedText(text)
+    val bigrams = transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2)))
+    val hits = size(filter(bigrams, b => b.isInCollection(EnglishCharBigrams)))
+    // guard: sequence(1, n) counts DOWN for n < 1 (step -1 default)
+    when(length(s) >= 2,
+      floor((hits.cast("long") * 1000L) / (length(s) - 1).cast("long")))
+      .otherwise(0L).cast("long")
+  }
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD '03 — the
+    * MOSS scheme): hash every k-gram of the canonical text, keep the
+    * minimum hash of every sliding window of w consecutive k-gram hashes,
+    * distinct the kept set. Guarantee: two documents sharing ANY substring
+    * of length ≥ k+w−1 share at least one fingerprint; density is ~2/(w+1)
+    * of positions. This is the rolling-hash fingerprinting scheme of the
+    * north-star text-analysis set, in its engine-portable form (60-bit md5
+    * slices — the hash family of [[graft.llm.Dedup.portableHash]]); for
+    * the O(n) native rolling-hash path see [[graft.expr.WinnowFingerprints]].
+    *
+    * WARNING — test-scale only: the lambdas below reference the normalized
+    * text, and Spark inlines that whole subtree into every lambda use, so
+    * the tokenize+join re-runs PER CHARACTER POSITION (hung a 500-doc run
+    * for minutes). This form is the readable spec and the small-data
+    * utility; at corpus scale use the relational window formulation
+    * (q35 in SparkEntry: explode positions → codegen substr+md5 →
+    * window-frame min) or the native expression — both hash each k-gram
+    * exactly once. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k, w=$w")
+    val s = normalizedText(text)
+    val hs = transform(
+      sequence(lit(1), length(s) - (k - 1)),
+      i => conv(substring(md5(s.substr(i, lit(k))), 1, 15), 16, 10).cast("long"))
+    val mins = transform(
+      sequence(lit(1), size(hs) - (w - 1)),
+      i => array_min(slice(hs, i, lit(w))))
+    when(length(s) >= k + w - 1, array_distinct(mins))
+      .otherwise(array().cast("array<long>"))
+  }
 }

@@ -109,6 +109,64 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viol === 0L)
   }
 
+  test("englishBigramScore: English text scores high, digit noise low, short/empty = 0") {
+    val df = Seq(
+      (1L, "the merger of the other entities is in there"),
+      (2L, "zzq 9981 7743 xxw 0001 9090 qqzx 4455"),
+      (3L, "a"), (4L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.englishBigramScore($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) > 250, s"English text scored ${got(1L)}")
+    assert(got(2L) < 80, s"noise scored ${got(2L)}")
+    assert(got(3L) === 0L && got(4L) === 0L)
+  }
+
+  test("winnowing guarantee: docs sharing a substring >= k+w-1 chars share a fingerprint") {
+    val shared = "unmistakable common passage of text"
+    val df = Seq(
+      (1L, s"first document begins here $shared and then diverges completely"),
+      (2L, s"totally different opening $shared with another ending altogether"),
+      (3L, "no overlap with anybody else at all in this one")
+    ).toDF("doc_id", "text")
+    for (fps <- Seq(
+        TextOps.winnowFingerprints($"text", k = 8, w = 4),
+        graft.exprapi.winnowFps(TextOps.normalizedText($"text"), 8, 4))) {
+      val m = df.select($"doc_id", fps.as("f")).as[(Long, Seq[Long])].collect().toMap
+      assert(m(1L).toSet.intersect(m(2L).toSet).nonEmpty, "shared substring must collide")
+      assert(m(3L).toSet.intersect(m(1L).toSet).isEmpty &&
+        m(3L).toSet.intersect(m(2L).toSet).isEmpty, "unrelated doc must not collide")
+      assert(m.values.forall(_.nonEmpty))
+    }
+    // short doc: no fingerprints rather than a down-counting sequence
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+      .select(TextOps.winnowFingerprints($"text", 8, 4).as("f"))
+      .as[Seq[Long]].head()
+    assert(short === Seq.empty)
+  }
+
+  test("native winnow_fps: deterministic, density ~2/(w+1), SQL-registered") {
+    val doc = Tables.documents(spark, TestSpark.sf).limit(100)
+      .select($"doc_id", TextOps.normalizedText($"text").as("s"))
+    val a = doc.select($"doc_id", graft.exprapi.winnowFps($"s", 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = doc.select($"doc_id", graft.exprapi.winnowFps($"s", 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a === b)
+    // winnowing keeps roughly 2/(w+1) of positions (distinct can only lower)
+    val dens = doc.select(
+        (size(graft.exprapi.winnowFps($"s", 8, 4)).cast("double") /
+          (length($"s") - 7)).as("d"))
+      .agg(avg($"d")).as[Double].head()
+    assert(dens > 0.1 && dens < 0.5, s"winnow density $dens outside plausible band")
+    doc.createOrReplaceTempView("wdocs")
+    val viaSql = spark.sql("SELECT size(winnow_fps(s, 8, 4)) AS n FROM wdocs")
+      .agg(sum($"n")).as[Long].head()
+    val viaApi = doc.select(size(graft.exprapi.winnowFps($"s", 8, 4)).as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(viaSql === viaApi)
+  }
+
   test("fingerprint is invariant to case/punctuation/whitespace drift") {
     val df = Seq(
       (1L, "Hello,  World!"), (2L, "hello world"), (3L, "different text")
