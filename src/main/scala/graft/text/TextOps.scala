@@ -178,21 +178,29 @@ object TextOps {
     "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
     "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le")
 
+  /** Let-binding idiom for HOF columns: binds `v` (evaluated ONCE per row)
+    * to a lambda variable, because a Scala `val` holding a Column only
+    * shares the expression TREE — a lambda body that references an
+    * expensive subtree re-evaluates it per array element (a 1500-char doc
+    * re-tokenized 1500 times; benched 23 s on 5000 docs before this). */
+  private def letBound(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Language-ID n-gram heuristic: per-mille of character bigrams of the
     * canonical text that are top-English bigrams. Same integer-arithmetic
     * portability contract as [[functionWordScore]]; the bigram membership
     * is an IN-list (hashed `InSet`). Character n-grams catch languages that
     * share function words or have none in the list — the standard
     * complement to word-level scoring. */
-  def englishBigramScore(text: Column): Column = {
-    val s = normalizedText(text)
-    val bigrams = transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2)))
-    val hits = size(filter(bigrams, b => b.isInCollection(EnglishCharBigrams)))
-    // guard: sequence(1, n) counts DOWN for n < 1 (step -1 default)
-    when(length(s) >= 2,
-      floor((hits.cast("long") * 1000L) / (length(s) - 1).cast("long")))
-      .otherwise(0L).cast("long")
-  }
+  def englishBigramScore(text: Column): Column =
+    letBound(normalizedText(text)) { s =>
+      val bigrams = transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2)))
+      val hits = size(filter(bigrams, b => b.isInCollection(EnglishCharBigrams)))
+      // guard: sequence(1, n) counts DOWN for n < 1 (step -1 default)
+      when(length(s) >= 2,
+        floor((hits.cast("long") * 1000L) / (length(s) - 1).cast("long")))
+        .otherwise(0L)
+    }.cast("long")
 
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD '03 — the
     * MOSS scheme): hash every k-gram of the canonical text, keep the
@@ -204,24 +212,25 @@ object TextOps {
     * slices — the hash family of [[graft.llm.Dedup.portableHash]]); for
     * the O(n) native rolling-hash path see [[graft.expr.WinnowFingerprints]].
     *
-    * WARNING — test-scale only: the lambdas below reference the normalized
-    * text, and Spark inlines that whole subtree into every lambda use, so
-    * the tokenize+join re-runs PER CHARACTER POSITION (hung a 500-doc run
-    * for minutes). This form is the readable spec and the small-data
-    * utility; at corpus scale use the relational window formulation
-    * (q35 in SparkEntry: explode positions → codegen substr+md5 →
-    * window-frame min) or the native expression — both hash each k-gram
-    * exactly once. */
+    * The normalized text and the k-gram hash array are let-bound (see
+    * [[letBound]]) so each evaluates once per row, not once per position —
+    * still interpreted-HOF work (~O(n·w) per doc), so at corpus scale
+    * prefer the relational window formulation (q35 in SparkEntry: explode
+    * positions → codegen substr+md5 → window-frame min) or the native
+    * expression. */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
     require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k, w=$w")
-    val s = normalizedText(text)
-    val hs = transform(
-      sequence(lit(1), length(s) - (k - 1)),
-      i => conv(substring(md5(s.substr(i, lit(k))), 1, 15), 16, 10).cast("long"))
-    val mins = transform(
-      sequence(lit(1), size(hs) - (w - 1)),
-      i => array_min(slice(hs, i, lit(w))))
-    when(length(s) >= k + w - 1, array_distinct(mins))
-      .otherwise(array().cast("array<long>"))
+    letBound(normalizedText(text)) { s =>
+      val hsExpr = transform(
+        sequence(lit(1), length(s) - (k - 1)),
+        i => conv(substring(md5(s.substr(i, lit(k))), 1, 15), 16, 10).cast("long"))
+      letBound(hsExpr) { hs =>
+        val mins = transform(
+          sequence(lit(1), size(hs) - (w - 1)),
+          i => array_min(slice(hs, i, lit(w))))
+        when(length(s) >= k + w - 1, array_distinct(mins))
+          .otherwise(array().cast("array<long>"))
+      }
+    }
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.expr.{MinHashSignature, QuantizedDotProduct, SimHash64, WordShingles}
+import graft.expr.{Int8DotProduct, MinHashSignature, QuantizedDotProduct, SimHash64, WinnowFingerprints, WordShingles}
 
 /** Property-based checks (SURVEY §5.4) of the native expressions' compute
   * kernels as PURE functions — no SparkSession, so hundreds of generated
@@ -83,6 +83,49 @@ object ExprProps extends Properties("graft.expr") {
       val ad = new GenericArrayData(a.toArray[Any])
       val bd = new GenericArrayData(a.take(n).toArray[Any])
       QuantizedDotProduct.compute(ad, bd) == null
+    }
+
+  // --- int8_dot -----------------------------------------------------------
+
+  private val bytes: Gen[List[Byte]] =
+    Gen.listOfN(16, Gen.choose(-127, 127).map(_.toByte))
+
+  property("int8_dot == integer sum-of-products; symmetric") =
+    forAll(bytes, bytes) { (a, b) =>
+      val ad = new GenericArrayData(a.toArray[Any])
+      val bd = new GenericArrayData(b.toArray[Any])
+      val got = Int8DotProduct.compute(ad, bd)
+      val want = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+      got != null && got.longValue == want &&
+        Int8DotProduct.compute(bd, ad).longValue == want
+    }
+
+  // --- winnow_fps ---------------------------------------------------------
+
+  private val asciiText: Gen[String] =
+    Gen.listOfN(80, Gen.frequency(8 -> Gen.alphaLowerChar, 2 -> Gen.const(' ')))
+      .map(_.mkString)
+
+  private def fps(s: String, k: Int, w: Int): Set[Long] = {
+    val a = WinnowFingerprints.compute(UTF8String.fromString(s), k, w)
+    (0 until a.numElements()).map(a.getLong).toSet
+  }
+
+  property("winnow_fps: deterministic; short input empty; nonempty past k+w-1") =
+    forAll(asciiText, Gen.choose(2, 8), Gen.choose(1, 5)) { (s, k, w) =>
+      val a = fps(s, k, w)
+      a == fps(s, k, w) &&
+        (s.length >= k + w - 1) == a.nonEmpty
+    }
+
+  property("winnow_fps guarantee: shared substring >= k+w-1 chars => shared fingerprint") =
+    forAll(asciiText, asciiText, asciiText, Gen.choose(2, 6), Gen.choose(1, 4)) {
+      (prefixA, prefixB, shared0, k, w) =>
+        // pad the shared block to the guarantee length
+        val shared = (shared0 + "zqxjvzqxjvzqxjv").take(math.max(k + w - 1, shared0.length))
+        val a = fps(prefixA + shared, k, w)
+        val b = fps(prefixB + shared, k, w)
+        a.intersect(b).nonEmpty
     }
 
   // --- label rule (P7: the 1-year window, acq_etl_code.scala:96) ----------
