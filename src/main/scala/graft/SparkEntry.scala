@@ -180,14 +180,18 @@ object SparkEntry {
     }),
 
     // North-star text analysis: function-word score (integer-valued
-    // per-mille), language guess, quality bucket — all deterministic CASE
-    // arithmetic, pure projection
+    // per-mille), punctuation ratio, language guess, quality bucket — all
+    // deterministic integer/CASE arithmetic, pure projection
     "q19_doc_quality" -> ((s, dir) => {
       val ts = TextOps.tokens(col("text"))
+      val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
       Tables.documents(s, dir).select(
         col("doc_id"),
         size(ts).cast("long").as("n_tokens"),
         TextOps.functionWordScore(ts).as("fw_score"),
+        when(length(col("text")) > 0,
+          floor((nPunct.cast("long") * 1000L) / length(col("text")).cast("long")))
+          .otherwise(0L).cast("long").as("punct_score"),
         when(TextOps.functionWordScore(ts) >= 100, "en_like").otherwise("other")
           .as("lang_guess"),
         TextOps.qualityBucket(size(ts)).as("quality"))
@@ -626,15 +630,18 @@ object SparkEntry {
 
     "q19_doc_quality" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
         |), s AS (
         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
         |         CAST(floor(1000.0 * len(list_filter(ts,
         |           x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) / len(ts))
-        |           AS BIGINT) AS fw_score
+        |           AS BIGINT) AS fw_score,
+        |         CASE WHEN len(text) > 0 THEN
+        |           CAST(floor((len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1000) / len(text)) AS BIGINT)
+        |         ELSE 0 END AS punct_score
         |  FROM t
         |)
-        |SELECT doc_id, n_tokens, fw_score,
+        |SELECT doc_id, n_tokens, fw_score, punct_score,
         |       CASE WHEN fw_score >= 100 THEN 'en_like' ELSE 'other' END AS lang_guess,
         |       CASE WHEN n_tokens >= 80 THEN 'long'
         |            WHEN n_tokens >= 40 THEN 'medium'

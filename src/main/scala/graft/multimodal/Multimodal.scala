@@ -58,6 +58,26 @@ object Multimodal {
       transform(sequence(lit(1), lit(dims)),
         i => (pmod(xxhash64(col("content"), i), lit(100000L)).cast("double") / 100000.0)))
 
+  /** STUB resize: the byte-plumbing of an image/video resize stage with
+    * the real output contract — a `resized` binary of EXACTLY `w·h·3`
+    * bytes (RGB24 shape) and meta updated to the target dimensions — while
+    * the pixel math is stubbed (deterministic bytes derived by tiling the
+    * md5 of the payload; a codec-backed implementation swaps in without
+    * touching schema or plan shape). Pure projection, no shuffle. */
+  def resizeStub(assets: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val hexNeeded = w * h * 3 * 2
+    val reps = (hexNeeded + 31) / 32 // md5 hex is 32 chars per block
+    assets
+      .withColumn("resized",
+        to_binary(substring(repeat(md5(col("content")), reps), 1, hexNeeded),
+          lit("hex")))
+      .withColumn("meta", struct(
+        col("meta.source").as("source"),
+        lit(w).as("declared_w"),
+        lit(h).as("declared_h")))
+  }
+
   /** Byte-range frame sampling: every `stride`-th window of `frameSize`
     * bytes, exploded to one row per frame — the batch shape for per-frame
     * feature extraction (video keyframes, audio windows). Binary substring

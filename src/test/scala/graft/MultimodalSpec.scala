@@ -50,6 +50,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0 === direct)
   }
 
+  test("resizeStub: exact w*h*3 output bytes, meta updated, deterministic (STUB contract)") {
+    val out = Multimodal.resizeStub(Multimodal.syntheticAssets(spark, 5), w = 4, h = 3)
+    val lens = out.select(length($"resized")).distinct().as[Int].collect().toSeq
+    assert(lens === Seq(4 * 3 * 3), "RGB24 byte budget must be exact")
+    val dims = out.select($"meta.declared_w", $"meta.declared_h")
+      .distinct().as[(Int, Int)].collect().toSeq
+    assert(dims === Seq((4, 3)))
+    val a = out.select($"asset_id", md5($"resized")).as[(Long, String)].collect().toMap
+    val b = Multimodal.resizeStub(Multimodal.syntheticAssets(spark, 5), 4, 3)
+      .select($"asset_id", md5($"resized")).as[(Long, String)].collect().toMap
+    assert(a === b)
+    // modality and payload untouched
+    assert(out.columns.contains("content") && out.columns.contains("modality"))
+  }
+
   test("featureStats: one row per modality, positive norms") {
     val stats = Multimodal.featureStats(Multimodal.syntheticAssets(spark, 30))
       .as[(String, Long, Double)].collect()
