@@ -279,28 +279,27 @@ object SparkEntry {
         .select(col("doc_id"), col("bg_score"),
           when(col("bg_score") >= 80, "en").otherwise("other").as("lang_bg"))),
 
-    // North-star rolling-hash fingerprinting: winnowing (MOSS) — min-hash
-    // per sliding window over k-gram hashes, then fingerprints shared by
-    // ≥2 docs. Any shared substring of ≥ k+w-1 chars is caught.
-    // RELATIONAL formulation: explode positions → codegen'd substr+md5 →
-    // window-frame min per w-window → distinct. The HOF form
-    // (TextOps.winnowFingerprints) re-evaluates the normalized-text
-    // subtree per lambda use — per POSITION — and is test-scale only; here
-    // every k-gram hashes once, the shuffle carries (doc, pos, hash)
-    // triples, and the window sort is per-doc-partition.
+    // North-star rolling-hash fingerprinting: winnowing (MOSS) over the
+    // TOKEN stream — min-hash per sliding window of w=4 over 3-token
+    // shingle hashes, then fingerprints shared by ≥2 docs. Guarantee: any
+    // shared run of ≥ k+w-1 = 6 tokens is caught. RELATIONAL formulation:
+    // native word_shingles → posexplode → codegen'd md5 → window-frame min
+    // → distinct; every shingle hashes ONCE, the shuffle carries
+    // (doc, pos, hash) triples, the window sort is per-doc-partition.
+    // (Character-level winnowing lives in TextOps.winnowFingerprints /
+    // native winnow_fps — q36; token granularity costs ~7× fewer digests
+    // per doc at the same near-dup power.)
     "q35_winnow" -> ((s, dir) => {
-      val k = 8; val w = 4
-      val norm = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.normalizedText(col("text")).as("s"))
-        .filter(length(col("s")) >= k + w - 1)
-      val hashes = norm
-        .select(col("doc_id"), col("s"),
-          explode(sequence(lit(1), length(col("s")) - (k - 1))).as("pos"))
+      val w = 4
+      val hashes = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.exprapi.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          posexplode(col("sh")).as(Seq("pos", "g")))
+        .filter(col("n") >= w) // a full window must fit
         .select(col("doc_id"), col("pos"),
-          // window starts only where a full w-window fits
-          (col("pos") <= length(col("s")) - (k - 1) - (w - 1)).as("is_start"),
-          conv(substring(md5(col("s").substr(col("pos"), lit(k))), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          (col("pos") <= col("n") - w).as("is_start"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
@@ -722,17 +721,21 @@ object SparkEntry {
         |       CASE WHEN bg_score >= 80 THEN 'en' ELSE 'other' END AS lang_bg
         |FROM sc""".stripMargin,
 
-    // same 60-bit md5 hash family as q16; hs[i:i+3] is the w=4 window,
-    // min per window, distinct per doc, then cross-doc sharing counts
+    // same 60-bit md5 hash family as q16 over 3-token shingles;
+    // hs[i:i+3] is the w=4 window, min per window, distinct per doc,
+    // then cross-doc sharing counts
     "q35_winnow" ->
-      """WITH n AS (
-        |  SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS s
-        |  FROM documents
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
         |), h AS (
         |  SELECT doc_id,
-        |         list_transform(generate_series(1, len(s) - 7),
-        |                        i -> CAST('0x' || substr(md5(substr(s, i, 8)), 1, 15) AS BIGINT)) AS hs
-        |  FROM n WHERE len(s) >= 11
+        |         list_transform(shingles, g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)) AS hs
+        |  FROM sh WHERE len(shingles) >= 4
         |), m AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(generate_series(1, len(hs) - 3),
