@@ -410,6 +410,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)),
 
+    // Sketch aggregates — the 100-TB aggregation staple: HyperLogLog++
+    // distinct counts and t-digest-style percentiles in ONE map-side-
+    // partial pass, constant memory per group regardless of cardinality.
+    // Sketch families differ across engines, so rows-only; the tolerance
+    // contract (approx within 5% of exact) is pinned in RelationalSpec.
+    "q37_approx_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)")
+            .as("price_pcts"),
+          count(lit(1)).as("n"))),
+
     // North-star similarity, scale path #2: cosine IVF — KMeans coarse
     // quantizer, nprobe cell probing, exact re-rank within cells only
     "q28_sim_ivf" -> ((s, dir) => {
