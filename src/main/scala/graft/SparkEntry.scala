@@ -422,7 +422,15 @@ object SparkEntry {
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)")
             .as("price_pcts"),
-          count(lit(1)).as("n"))),
+          count(lit(1)).as("n"))
+        // one shared sketch, projected to scalars: the driver's rows-only
+        // canonicalizer sorts/hashes column values and cannot order an
+        // array<double> cell (r2 harness err) — scalar p50/p95 can be.
+        .select(
+          col("l_returnflag"), col("approx_orders"),
+          element_at(col("price_pcts"), 1).as("p50"),
+          element_at(col("price_pcts"), 2).as("p95"),
+          col("n"))),
 
     // North-star similarity, scale path #2: cosine IVF — KMeans coarse
     // quantizer, nprobe cell probing, exact re-rank within cells only
