@@ -363,10 +363,12 @@ object SparkEntry {
     // (bucket-local joins, exact re-score on candidates only). Floor 0.3
     // because the fixture embeddings are near-random (max pairwise cosine
     // ≈ 0.6 at sf0.1) — a higher floor returns an empty, meaningless
-    // result; bits=2 keeps recall ≈ 97% at that low floor.
+    // result. bits is AUTO (ceil(log2(n/targetBucketSize))): the bucket
+    // count tracks the corpus, so this config never enters the quadratic
+    // regime at a bigger sf — the 100-TB-safe default, not a demo constant.
     "q25_sim_lsh" -> ((s, dir) =>
       llm.Similarity.lshCosinePairs(Tables.embeddings(s, dir),
-        minCosine = 0.3, bits = 2, tables = 8)),
+        minCosine = 0.3, tables = 8, targetBucketSize = 256)),
 
     // North-star multimodal plumbing: synthetic binary assets -> stub
     // decode -> per-modality feature stats (decode is a STUB; plumbing real)

@@ -73,25 +73,97 @@ object Similarity {
     * 1−(1−p^bits)^tables with p = 1−θ/π.
     *
     * Tuning at scale: bucket count is 2^bits per table and does NOT grow
-    * with n — pick bits ≈ log₂(n / targetBucketSize) so per-bucket work
-    * stays bounded, and spend `tables` to buy recall back. High-similarity
-    * floors (near-dup, cos ≥ 0.8) prune hard with bits=6..8; low floors
-    * admit inherently large candidate sets (LSH bound) — for top-k at a low
-    * floor use [[ivfTopK]] instead.
+    * with n — per-bucket work stays bounded only if bits tracks the corpus:
+    * bits ≈ log₂(n / targetBucketSize). That is the DEFAULT here
+    * (`bits = 0` ⇒ computed from one scalar count, see [[autoBits]]) so the
+    * operator never silently sits in the quadratic regime as n grows; pass
+    * an explicit `bits` to override. Spend `tables` to buy recall back.
+    * High-similarity floors (near-dup, cos ≥ 0.8) prune hard with
+    * bits=6..8; low floors admit inherently large candidate sets (LSH
+    * bound) — for top-k at a low floor use [[ivfTopK]] instead.
     *
     * Everything is codegen'd long/int arithmetic on `array<float>` — no
     * Vector UDT, no ml fit. The hyperplanes are plan literals (fixed seed ⇒
     * deterministic across runs and engines); the only driver-side action is
-    * a one-row scan to learn the dimension. */
+    * ONE scalar aggregate learning (n, dim) together. */
   def lshCosinePairs(
       embeddings: DataFrame, // (vec_id, embedding: array<float>)
       minCosine: Double = 0.5,
-      bits: Int = 2,
+      bits: Int = 0,         // 0 ⇒ auto: ceil(log2(n / targetBucketSize))
+      tables: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 100000,
+      targetBucketSize: Int = 256): DataFrame = {
+    require(bits >= 0 && bits <= 30, s"bits=$bits out of range")
+    // one action for both scalars the plan needs at build time
+    val row = embeddings
+      .agg(count(lit(1)).as("n"), first(size(col("embedding"))).as("d")).head()
+    val (n, dim) = (row.getLong(0), row.getInt(1))
+    val effBits = if (bits > 0) bits else autoBits(n, targetBucketSize)
+    signLshScored(embeddings, minCosine, effBits, tables, seed, maxBucketSize, dim)
+  }
+
+  /** Data-driven hyperplane count: 2^bits buckets per table sized so the
+    * expected bucket holds ~`targetBucketSize` vectors — per-bucket pair
+    * work stays ~n·targetBucketSize/2 per table (linear in n), never n².
+    * Clamped to [1, 24]. */
+  def autoBits(n: Long, targetBucketSize: Long): Int = {
+    require(targetBucketSize >= 1, s"targetBucketSize must be >= 1")
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.max(1, math.min(24, raw))
+  }
+
+  /** Candidate pairs only (no exact re-score): exposed so tests can pin the
+    * LSH structural guarantee — E[candidates] ≈ C(n,2)·(1−(1−2⁻ᵇⁱᵗˢ)ᵗ) for
+    * near-random vectors, i.e. per-table work ~n²/2ᵇⁱᵗˢ, never n². */
+  def signLshCandidates(
+      embeddings: DataFrame,
+      bits: Int,
       tables: Int = 8,
       seed: Long = 42L,
       maxBucketSize: Int = 100000): DataFrame = {
-    require(bits >= 1 && bits <= 30, s"bits=$bits out of range")
     val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    signLshCandidatePairs(embeddings, bits, tables, seed, maxBucketSize, dim)
+  }
+
+  private def signLshScored(
+      embeddings: DataFrame,
+      minCosine: Double,
+      bits: Int,
+      tables: Int,
+      seed: Long,
+      maxBucketSize: Int,
+      dim: Int): DataFrame = {
+    val cands = signLshCandidatePairs(embeddings, bits, tables, seed, maxBucketSize, dim)
+
+    // exact verify on candidates only: cos = dot_q / √(nrm_a·nrm_b) — the
+    // 10¹² quantization scales cancel. Tiny conservative margin keeps the
+    // quantized score from admitting a pair an exact-double filter would
+    // reject at the boundary.
+    val norms = embeddings.select(
+      col("vec_id"), col("embedding"),
+      graft.exprapi.quantizedDotFast(col("embedding"), col("embedding")).as("nrm"))
+    cands
+      .join(norms.select(col("vec_id").as("a_doc"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm")), "a_doc")
+      .join(norms.select(col("vec_id").as("b_doc"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")), "b_doc")
+      .withColumn("cosine",
+        graft.exprapi.quantizedDotFast(col("a_emb"), col("b_emb")).cast("double") /
+          sqrt(col("a_nrm").cast("double") * col("b_nrm").cast("double")))
+      .filter(col("cosine") >= minCosine + 1e-9)
+      .select(col("a_doc").as("a_id"), col("b_doc").as("b_id"), col("cosine"))
+  }
+
+  private def signLshCandidatePairs(
+      embeddings: DataFrame,
+      bits: Int,
+      tables: Int,
+      seed: Long,
+      maxBucketSize: Int,
+      dim: Int): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"bits=$bits out of range")
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Array[Float]]] =
       Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
@@ -116,29 +188,11 @@ object Similarity {
     val big = stacked.groupBy(col("band_id"), col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
     val pruned = stacked.join(broadcast(big), Seq("band_id", "bucket"), "left_anti")
-    val cands = pruned.alias("x")
+    pruned.alias("x")
       .join(pruned.alias("y"), Seq("band_id", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_doc"), col("y.vec_id").as("b_doc"))
       .distinct()
-
-    // exact verify on candidates only: cos = dot_q / √(nrm_a·nrm_b) — the
-    // 10¹² quantization scales cancel. Tiny conservative margin keeps the
-    // quantized score from admitting a pair an exact-double filter would
-    // reject at the boundary.
-    val norms = embeddings.select(
-      col("vec_id"), col("embedding"),
-      graft.exprapi.quantizedDotFast(col("embedding"), col("embedding")).as("nrm"))
-    cands
-      .join(norms.select(col("vec_id").as("a_doc"), col("embedding").as("a_emb"),
-        col("nrm").as("a_nrm")), "a_doc")
-      .join(norms.select(col("vec_id").as("b_doc"), col("embedding").as("b_emb"),
-        col("nrm").as("b_nrm")), "b_doc")
-      .withColumn("cosine",
-        graft.exprapi.quantizedDotFast(col("a_emb"), col("b_emb")).cast("double") /
-          sqrt(col("a_nrm").cast("double") * col("b_nrm").cast("double")))
-      .filter(col("cosine") >= minCosine + 1e-9)
-      .select(col("a_doc").as("a_id"), col("b_doc").as("b_id"), col("cosine"))
   }
 
   /** Int8 global-scale quantization of a float-embedding column — the
@@ -184,66 +238,110 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("dot_i8"), col("rank").cast("long").as("rank"))
   }
 
-  /** Scale path #2: cosine IVF (inverted-file) top-k.
+  /** A fitted IVF index: the SERVING-SHAPED half of [[ivfTopK]].
     *
-    * Coarse quantizer = KMeans over unit vectors (`nlist` cells, fixed
-    * seed); every candidate is assigned to its nearest cell ONCE; a query
-    * probes only its `nprobe` highest-affinity cells and exact-re-ranks
-    * within them. Work per query drops from |candidates| to
-    * ~|candidates|·nprobe/nlist. The cell assignment is the partition key
-    * at scale — candidates can be written bucketed by cell so a probe reads
-    * only its cells' files (partition pruning); centroids are always tiny
-    * and broadcast.
+    * `cells` — (n_id, cell, n_unit) — is every candidate assigned to its
+    * nearest coarse-quantizer cell ONCE, persisted so repeated probes never
+    * refit or re-normalize; `centroids` — (cell, c_arr) — is `nlist` rows,
+    * always broadcast. At scale, write `cells` bucketed by `cell`
+    * (`Sources.writeBucketed(cells, bucketCols = Seq("cell"))`) so a probe
+    * reads only its cells' files via partition pruning. Call [[IvfIndex.unpersist]]
+    * when done with the index. */
+  final case class IvfIndex(cells: DataFrame, centroids: DataFrame, nlist: Int) {
+    def unpersist(): Unit = cells.unpersist()
+  }
+
+  private def l2Normalized(df: DataFrame, embCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.ml.feature.Normalizer
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    new Normalizer().setInputCol("rawv").setOutputCol("nv").setP(2.0)
+      .transform(df.withColumn("rawv", array_to_vector(col(embCol).cast("array<double>"))))
+      .withColumn(outCol, vector_to_array(col("nv")).cast("array<float>"))
+      .drop("rawv", "nv", embCol)
+  }
+
+  /** Build the IVF index ONCE: L2-normalize candidates, fit the coarse
+    * KMeans quantizer (`nlist` cells), assign every candidate to its cell.
+    *
+    * The quantizer is deliberately cheap: random init + few Lloyd
+    * iterations — a COARSE partitioner only routes probes, it does not need
+    * converged clusters (FAISS trains IVF on a sample for the same reason),
+    * and recall is bought back with `nprobe`, not quantizer quality. The
+    * fit is the only iterative action and happens exactly once per index —
+    * the serving path ([[ivfProbe]]) is pure plan. */
+  def fitIvfIndex(
+      candidates: DataFrame, // (n_id, n_emb: array<float>)
+      nlist: Int = 16,
+      seed: Long = 42L,
+      maxIter: Int = 5): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+
+    val candVec = l2Normalized(candidates, "n_emb", "n_unit")
+      .withColumn("v", org.apache.spark.ml.functions.array_to_vector(
+        col("n_unit").cast("array<double>")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("v")
+      .setPredictionCol("cell").setInitMode("random").setMaxIter(maxIter)
+      .fit(candVec)
+    val cells = km.transform(candVec)
+      .select(col("n_id"), col("cell"), col("n_unit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count() // materialize the index before releasing the fit frame
+    candVec.unpersist()
+
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = km.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cell", "c_arr")
+    IvfIndex(cells, centroids, nlist)
+  }
+
+  /** Probe a fitted [[IvfIndex]]: each query ranks the broadcast centroids,
+    * keeps its `nprobe` highest-affinity cells, and exact-re-ranks (integer-
+    * quantized dot) within those cells only — work per query is
+    * ~|candidates|·nprobe/nlist. Pure plan: no fit, no action; any number
+    * of probe calls share one index.
     *
     * Returns (q_id, n_id, dot_q, rank) like [[bruteForceTopK]] — same
     * quantized scoring, so results are comparable (recall measured in
-    * tests). Requires unit-normalized scoring to make IVF's euclidean
-    * cells align with dot ranking, so vectors are L2-normalized inside. */
+    * tests). Scoring is over unit vectors (queries normalized here, the
+    * index at fit time) so IVF's euclidean cells align with dot ranking. */
+  def ivfProbe(
+      index: IvfIndex,
+      queries: DataFrame, // (q_id, q_emb: array<float>)
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val qUnit = l2Normalized(queries, "q_emb", "q_unit")
+      .select(col("q_id"), col("q_unit"))
+
+    // nprobe highest-affinity cells per query (tiny cross product)
+    val probes = graft.ops.Relational.groupedTopK(
+      qUnit.crossJoin(broadcast(index.centroids))
+        .withColumn("aff", graft.exprapi.quantizedDotFast(col("q_unit"), col("c_arr"))),
+      Seq("q_id"), "aff", "cell", nprobe)
+      .select(col("q_id"), col("q_unit"), col("cell"))
+
+    // exact re-rank within probed cells only
+    val scored = index.cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dot_q", graft.exprapi.quantizedDotFast(col("q_unit"), col("n_unit")))
+    graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "dot_q", "n_id", k)
+      .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Scale path #2: cosine IVF (inverted-file) top-k — the one-shot
+    * convenience form: [[fitIvfIndex]] + [[ivfProbe]] + index release.
+    * For repeated query batches, hold the [[IvfIndex]] and call
+    * [[ivfProbe]] directly — the fit then happens once, not per batch. */
   def ivfTopK(
       queries: DataFrame,   // (q_id, q_emb: array<float>)
       candidates: DataFrame, // (n_id, n_emb: array<float>)
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.feature.Normalizer
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-
-    def unitArr(raw: Column): Column = vector_to_array(raw).cast("array<float>")
-
-    val candVec = new Normalizer().setInputCol("rawv").setOutputCol("v").setP(2.0)
-      .transform(candidates.withColumn("rawv",
-        array_to_vector(col("n_emb").cast("array<double>"))))
-    val km = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("v")
-      .setPredictionCol("cell").fit(candVec)
-    val cells = km.transform(candVec)
-      .select(col("n_id"), col("cell"), unitArr(col("v")).as("n_unit"))
-
-    // centroid table: nlist rows — broadcast everywhere
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val centroids = km.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
-      .toDF("cell", "c_arr")
-
-    val qUnit = new Normalizer().setInputCol("rawv").setOutputCol("v").setP(2.0)
-      .transform(queries.withColumn("rawv",
-        array_to_vector(col("q_emb").cast("array<double>"))))
-      .select(col("q_id"), unitArr(col("v")).as("q_unit"))
-
-    // nprobe highest-affinity cells per query (tiny cross product)
-    val probes = graft.ops.Relational.groupedTopK(
-      qUnit.crossJoin(broadcast(centroids))
-        .withColumn("aff", graft.exprapi.quantizedDotFast(col("q_unit"), col("c_arr"))),
-      Seq("q_id"), "aff", "cell", nprobe)
-      .select(col("q_id"), col("q_unit"), col("cell"))
-
-    // exact re-rank within probed cells only
-    val scored = cells.join(broadcast(probes), Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("dot_q", graft.exprapi.quantizedDotFast(col("q_unit"), col("n_unit")))
-    graft.ops.Relational
-      .groupedTopK(scored, Seq("q_id"), "dot_q", "n_id", k)
-      .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
+    val index = fitIvfIndex(candidates, nlist)
+    ivfProbe(index, queries, k, nprobe)
   }
 }

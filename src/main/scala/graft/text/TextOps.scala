@@ -120,10 +120,16 @@ object TextOps {
       "idf", log((lit(numDocs.toDouble) + 1.0) / (col("df") + lit(1.0))))
 
   /** TF-IDF per (doc, token): termFreq ⋈ idf. The df/idf side is
-    * vocabulary-sized ⇒ explicit broadcast; no fact×fact shuffle. */
+    * vocabulary-sized ⇒ explicit broadcast; no fact×fact shuffle. The
+    * corpus size m enters as a broadcast one-row scalar aggregate (the
+    * `withClassWeights` pattern) — no eager action in the builder, the
+    * whole operator stays one lazy plan. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = docs.count()
-    val weights = idf(docFreq(docs, idCol, textCol), n)
+    val m = docs.agg(count(lit(1)).cast("double").as("m"))
+    val weights = docFreq(docs, idCol, textCol)
+      .crossJoin(broadcast(m))
+      .withColumn("idf", log((col("m") + 1.0) / (col("df") + 1.0)))
+      .drop("m")
     termFreq(docs, idCol, textCol)
       .join(broadcast(weights), "token")
       .withColumn("tfidf", col("tf") * col("idf"))

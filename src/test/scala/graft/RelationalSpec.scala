@@ -111,8 +111,8 @@ class RelationalSpec extends AnyFunSuite {
   test("q37 sketch aggregates: HLL within 5% of exact, percentiles ordered and in range") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val approx = SparkEntry.queries("q37_approx_stats")(spark, TestSpark.sf)
-      .select($"l_returnflag", $"approx_orders", $"price_pcts")
-      .as[(String, Long, Seq[Double])].collect()
+      .select($"l_returnflag", $"approx_orders", $"p50", $"p95")
+      .as[(String, Long, Double, Double)].collect()
     val exact = li.groupBy($"l_returnflag")
       .agg(org.apache.spark.sql.functions.countDistinct($"l_orderkey").as("d"),
         org.apache.spark.sql.functions.min($"l_extendedprice").as("lo"),
@@ -120,11 +120,11 @@ class RelationalSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double)].collect()
       .map { case (k, d, lo, hi) => k -> (d, lo, hi) }.toMap
     assert(approx.nonEmpty)
-    approx.foreach { case (k, a, pcts) =>
+    approx.foreach { case (k, a, p50, p95) =>
       val (d, lo, hi) = exact(k)
       assert(math.abs(a - d).toDouble / d <= 0.05, s"$k: HLL $a vs exact $d")
-      assert(pcts.length === 2 && pcts(0) <= pcts(1), s"$k: p50 <= p95")
-      assert(pcts.forall(p => p >= lo && p <= hi), s"$k: percentiles within range")
+      assert(p50 <= p95, s"$k: p50 $p50 <= p95 $p95")
+      assert(p50 >= lo && p95 <= hi, s"$k: percentiles within [$lo, $hi]")
     }
   }
 }

@@ -116,6 +116,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!ivf.exists { case (q, n) => q == n })
   }
 
+  test("fitIvfIndex: one index serves multiple probe batches (no refit) and matches the one-shot form") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val idx = Similarity.fitIvfIndex(cands, nlist = 16)
+    // the index is materialized + persisted at fit time: probes are pure plan
+    assert(idx.cells.storageLevel.useMemory, "index cells must be persisted")
+    assert(idx.centroids.count() === 16L)
+
+    val q1 = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val q2 = e.filter($"vec_id" % 100 === 7)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val r1 = Similarity.ivfProbe(idx, q1, k = 5, nprobe = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val r2 = Similarity.ivfProbe(idx, q2, k = 5, nprobe = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(r1.nonEmpty && r2.nonEmpty)
+    assert(r1.map(_._1).intersect(r2.map(_._1)).isEmpty, "distinct query batches")
+    // same seed ⇒ the one-shot convenience form returns the same pairs
+    val oneShot = Similarity.ivfTopK(q1, cands, k = 5, nlist = 16, nprobe = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(r1 === oneShot, "probe over a held index must equal the one-shot form")
+    idx.unpersist()
+  }
+
+  test("autoBits tracks corpus size; candidate count scales ~ C(n,2)·(1-(1-2^-bits)^tables)") {
+    // formula + clamps
+    assert(Similarity.autoBits(500, 256) === 1)
+    assert(Similarity.autoBits(1L << 20, 256) === 12)
+    assert(Similarity.autoBits(100, 256) === 1, "clamped low")
+    assert(Similarity.autoBits(Long.MaxValue, 1) === 24, "clamped high")
+
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2
+    val tables = 4
+    def expectFrac(bits: Int) = 1.0 - math.pow(1.0 - math.pow(2.0, -bits.toDouble), tables)
+    val c2 = Similarity.signLshCandidates(e, bits = 2, tables = tables).count()
+    val c4 = Similarity.signLshCandidates(e, bits = 4, tables = tables).count()
+    // more bits ⇒ geometrically fewer candidates, tracking the random-bucket
+    // expectation within a generous constant (fixture vectors are near-random)
+    assert(c4 < c2, s"candidates must shrink with bits: bits=2→$c2, bits=4→$c4")
+    assert(c2 <= allPairs * expectFrac(2) * 3 && c2 >= allPairs * expectFrac(2) / 3,
+      s"bits=2: $c2 outside 3× band of ${(allPairs * expectFrac(2)).toLong}")
+    assert(c4 <= allPairs * expectFrac(4) * 3 && c4 >= allPairs * expectFrac(4) / 3,
+      s"bits=4: $c4 outside 3× band of ${(allPairs * expectFrac(4)).toLong}")
+  }
+
   test("lshCosinePairs: bucketed candidates agree with brute force above the cosine floor (recall)") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     // fixture embeddings are near-random (max pairwise cosine ≈ 0.48 at
