@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.expr.{Int8DotProduct, MinHashSignature, QuantizedDotProduct, SimHash64, WinnowFingerprints, WordShingles}
+import graft.expr.{Int8DotProduct, MinHashSignature, PorterStem, QuantizedDotProduct, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SQL-surface registration for graft's native expressions
   * (SURVEY.md §7.3 — `SparkSessionExtensions` is the sanctioned extension
@@ -64,6 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s, IntegerLiteral(k), IntegerLiteral(w)) => WinnowFingerprints(s, k, w)
         case _ => throw new IllegalArgumentException(
           "winnow_fps(string, <int literal k>, <int literal w>)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("porter_stem"),
+      new ExpressionInfo(classOf[PorterStem].getName, "porter_stem"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => PorterStem(arr)
+        case _ => throw new IllegalArgumentException("porter_stem(array<string>)")
       }))
 
     ext.injectFunction((

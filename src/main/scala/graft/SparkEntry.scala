@@ -270,6 +270,19 @@ object SparkEntry {
           .cast("long").as("n_ws"),
         size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe"))),
 
+    // North-star token counting, merge-table half: BPE subword units via
+    // the native priority merge loop against the pinned DefaultMerges
+    // table — unit frequencies over the corpus. The table is
+    // rank-consistent, so the priority loop equals applying merges in rank
+    // order, which the DuckDB oracle mirrors as nested replaces over a
+    // double-space-joined char sequence (exact hash-match, not rows-only).
+    "q39_bpe_merges" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(text.Bpe.subwords(col("text"))).as("unit"))
+        .groupBy(col("unit"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)),
+
     // North-star language-ID, char-n-gram form: per-mille of top-English
     // character bigrams — integer arithmetic, IN-list membership. Pure
     // projection, complements the function-word score of q19.
@@ -370,8 +383,10 @@ object SparkEntry {
       llm.Similarity.lshCosinePairs(Tables.embeddings(s, dir),
         minCosine = 0.3, tables = 8, targetBucketSize = 256)),
 
-    // North-star multimodal plumbing: synthetic binary assets -> stub
-    // decode -> per-modality feature stats (decode is a STUB; plumbing real)
+    // North-star multimodal: synthetic binary assets -> per-modality
+    // feature stats. The IMAGE path is a REAL decode (native 24-bit BMP
+    // parser + channel means over actual pixel values); audio/video remain
+    // declared stubs (no codecs in this container).
     "q26_multimodal_stats" -> ((s, dir) =>
       multimodal.Multimodal.featureStats(
         multimodal.Multimodal.syntheticAssets(s, 2000))),
@@ -433,6 +448,19 @@ object SparkEntry {
           element_at(col("price_pcts"), 1).as("p50"),
           element_at(col("price_pcts"), 2).as("p95"),
           col("n"))),
+
+    // M1 full parity: COMPLETE Porter (1980) stemming over the corpus via
+    // the native porter_stem expression — stem frequency, q29's shape at
+    // full algorithm fidelity. The measure-based conditions (m, *o, *v*)
+    // are not regex-expressible in one SQL dialect portably, so rows-only;
+    // correctness is pinned by TextOpsSpec's verbatim paper example pairs.
+    "q38_porter_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(
+          graft.exprapi.porterStem(text.TextOps.tokens(col("text")))).as("stem"))
+        .groupBy(col("stem"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)),
 
     // North-star similarity, scale path #2: cosine IVF — KMeans coarse
     // quantizer, nprobe cell probing, exact re-rank within cells only
@@ -724,6 +752,28 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text),
         |       '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+
+    "q39_bpe_merges" -> {
+      // chars joined by DOUBLE spaces, whole string wrapped in single
+      // spaces; each merge = one literal replace of ' a  b ' with ' ab ' —
+      // the surrounding spaces anchor unit boundaries (a bare 'a  b'
+      // pattern would false-match the TAIL of a multi-char unit, e.g.
+      // 'st  o' ⊃ 't  o'). Left-to-right non-overlapping replace = the
+      // fuse-all semantics of one merge step; rank order = table order
+      // (rank-consistent table ⇒ in-order == priority loop).
+      val enc = text.Bpe.DefaultMerges.foldLeft(
+        "' ' || trim(regexp_replace(t, '(.)', '\\1  ', 'g')) || ' '") {
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+      }
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(lower(text),
+         |    '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+')) AS t
+         |  FROM documents
+         |), enc AS (SELECT $enc AS s FROM toks),
+         |u AS (SELECT unnest(string_split(trim(s), '  ')) AS unit FROM enc)
+         |SELECT unit, CAST(count(*) AS BIGINT) AS n
+         |FROM u GROUP BY 1 HAVING count(*) >= 20""".stripMargin
+    },
 
     "q34_lang_bigrams" ->
       """WITH n AS (

@@ -1,0 +1,265 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native full Porter stemmer: `porter_stem(tokens)` → the token array with
+  * every element stemmed by the COMPLETE Porter algorithm (M. F. Porter,
+  * "An algorithm for suffix stripping", Program 14(3), 1980 — public
+  * domain algorithm), replacing the 6-rule regex subset default of
+  * [[graft.text.Stemmer.stemToken]] when full parity with a real stemming
+  * stage is wanted (the reference lemmatized every token through an NLP
+  * library — `acq_etl_code.scala:54`; this is the engine's faithful,
+  * dependency-free equivalent).
+  *
+  * Implementation notes:
+  *   - Faithful to the PAPER's rule set (steps 1a–5b, measure m, *v*, *d,
+  *     *o conditions) — not the later "departure" variants (bli→ble,
+  *     logi→log) some distributions add; the published example pairs in
+  *     the paper are pinned verbatim in TextOpsSpec.
+  *   - Array-in/array-out fused loop (same rationale as [[WordShingles]]):
+  *     a per-token scalar expression would have to run under an interpreted
+  *     HOF lambda — this stays inside whole-stage codegen via one static
+  *     call, O(len) per token, zero regex.
+  *   - Tokens of length ≤ 2 are returned unchanged (the algorithm's
+  *     domain); digits classify as consonants, so mixed tokens like
+  *     `1990s` behave sensibly (`→ 1990`). Null elements pass through.
+  */
+case class PorterStem(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"porter_stem requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType)
+  }
+  override def prettyName: String = "porter_stem"
+
+  override def nullSafeEval(input: Any): Any =
+    PorterStem.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.PorterStem.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PorterStem =
+    copy(child = newChild)
+}
+
+object PorterStem {
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val u = toks.getUTF8String(i)
+        val s = u.toString
+        val t = stem(s)
+        out(i) = if (t == s) u else UTF8String.fromString(t)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Stem one lowercase token. Pure function, total on any string. */
+  def stem(word: String): String = {
+    if (word.length <= 2) return word
+    val e = new Engine(word)
+    e.run()
+    // NB: length-unchanged is NOT content-unchanged (step 1c rewrites y→i
+    // in place) — always materialize; compute() dedups vs the input string
+    new String(e.b, 0, e.k + 1)
+  }
+
+  /** Direct port of the 1980 paper's algorithm. `b[0..k]` is the working
+    * word; `j` marks the stem end set by the latest successful `ends`. */
+  private final class Engine(word: String) {
+    // +1 capacity: step-1b's at→ate / bl→ble / iz→ize grow the word by one
+    val b: Array[Char] = java.util.Arrays.copyOf(word.toCharArray, word.length + 1)
+    var k: Int = word.length - 1
+    private var j: Int = 0
+
+    private def cons(i: Int): Boolean = b(i) match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' => false
+      case 'y' => if (i == 0) true else !cons(i - 1)
+      case _ => true
+    }
+
+    /** m = number of VC sequences in b[0..j]. */
+    private def m(): Int = {
+      var n = 0
+      var i = 0
+      while (i <= j && cons(i)) i += 1
+      if (i > j) return n
+      i += 1
+      while (true) {
+        while (i <= j && !cons(i)) i += 1
+        if (i > j) return n
+        i += 1
+        n += 1
+        while (i <= j && cons(i)) i += 1
+        if (i > j) return n
+        i += 1
+      }
+      n
+    }
+
+    private def vowelInStem(): Boolean = {
+      var i = 0
+      while (i <= j) { if (!cons(i)) return true; i += 1 }
+      false
+    }
+
+    private def doubleC(i: Int): Boolean =
+      i >= 1 && b(i) == b(i - 1) && cons(i)
+
+    /** *o: stem ends cvc where the final c is not w, x or y. */
+    private def cvc(i: Int): Boolean =
+      i >= 2 && cons(i) && !cons(i - 1) && cons(i - 2) &&
+        b(i) != 'w' && b(i) != 'x' && b(i) != 'y'
+
+    private def ends(s: String): Boolean = {
+      val l = s.length
+      if (l > k + 1) return false
+      var i = 0
+      while (i < l) {
+        if (b(k - l + 1 + i) != s.charAt(i)) return false
+        i += 1
+      }
+      j = k - l
+      true
+    }
+
+    private def setTo(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { b(j + 1 + i) = s.charAt(i); i += 1 }
+      k = j + s.length
+    }
+
+    private def r(s: String): Unit = if (m() > 0) setTo(s)
+
+    /** Step 1a+1b: plurals, -ed, -ing. */
+    private def step1ab(): Unit = {
+      if (b(k) == 's') {
+        if (ends("sses")) k -= 2
+        else if (ends("ies")) setTo("i")
+        else if (b(k - 1) != 's') k -= 1
+      }
+      if (ends("eed")) { if (m() > 0) k -= 1 }
+      else if ((ends("ed") || ends("ing")) && vowelInStem()) {
+        k = j
+        if (ends("at")) setTo("ate")
+        else if (ends("bl")) setTo("ble")
+        else if (ends("iz")) setTo("ize")
+        else if (doubleC(k)) {
+          k -= 1
+          val ch = b(k)
+          if (ch == 'l' || ch == 's' || ch == 'z') k += 1
+        }
+        else if (m() == 1 && cvc(k)) setTo("e")
+      }
+    }
+
+    /** Step 1c: y → i when the stem has a vowel. */
+    private def step1c(): Unit =
+      if (ends("y") && vowelInStem()) b(k) = 'i'
+
+    /** Step 2: double/triple suffixes to single (m > 0). Dispatch on the
+      * penultimate char, as in the paper's implementation note. */
+    private def step2(): Unit = {
+      if (k < 1) return
+      (b(k - 1): @annotation.switch) match {
+        case 'a' =>
+          if (ends("ational")) r("ate")
+          else if (ends("tional")) r("tion")
+        case 'c' =>
+          if (ends("enci")) r("ence")
+          else if (ends("anci")) r("ance")
+        case 'e' =>
+          if (ends("izer")) r("ize")
+        case 'l' =>
+          if (ends("abli")) r("able")
+          else if (ends("alli")) r("al")
+          else if (ends("entli")) r("ent")
+          else if (ends("eli")) r("e")
+          else if (ends("ousli")) r("ous")
+        case 'o' =>
+          if (ends("ization")) r("ize")
+          else if (ends("ation")) r("ate")
+          else if (ends("ator")) r("ate")
+        case 's' =>
+          if (ends("alism")) r("al")
+          else if (ends("iveness")) r("ive")
+          else if (ends("fulness")) r("ful")
+          else if (ends("ousness")) r("ous")
+        case 't' =>
+          if (ends("aliti")) r("al")
+          else if (ends("iviti")) r("ive")
+          else if (ends("biliti")) r("ble")
+        case _ => ()
+      }
+    }
+
+    /** Step 3: -ic-, -full, -ness etc. (m > 0). */
+    private def step3(): Unit = (b(k): @annotation.switch) match {
+      case 'e' =>
+        if (ends("icate")) r("ic")
+        else if (ends("ative")) r("")
+        else if (ends("alize")) r("al")
+      case 'i' =>
+        if (ends("iciti")) r("ic")
+      case 'l' =>
+        if (ends("ical")) r("ic")
+        else if (ends("ful")) r("")
+      case 's' =>
+        if (ends("ness")) r("")
+      case _ => ()
+    }
+
+    /** Step 4: strip -ant, -ence etc. in context m > 1. */
+    private def step4(): Unit = {
+      if (k < 1) return
+      val matched = (b(k - 1): @annotation.switch) match {
+        case 'a' => ends("al")
+        case 'c' => ends("ance") || ends("ence")
+        case 'e' => ends("er")
+        case 'i' => ends("ic")
+        case 'l' => ends("able") || ends("ible")
+        case 'n' => ends("ant") || ends("ement") || ends("ment") || ends("ent")
+        case 'o' => (ends("ion") && j >= 0 && (b(j) == 's' || b(j) == 't')) ||
+          ends("ou")
+        case 's' => ends("ism")
+        case 't' => ends("ate") || ends("iti")
+        case 'u' => ends("ous")
+        case 'v' => ends("ive")
+        case 'z' => ends("ize")
+        case _ => false
+      }
+      if (matched && m() > 1) k = j
+    }
+
+    /** Step 5a+5b: final -e and -ll cleanup. */
+    private def step5(): Unit = {
+      j = k
+      if (b(k) == 'e') {
+        val a = m()
+        if (a > 1 || (a == 1 && !cvc(k - 1))) k -= 1
+      }
+      if (b(k) == 'l' && doubleC(k) && m() > 1) k -= 1
+    }
+
+    def run(): Unit = {
+      step1ab(); step1c(); step2(); step3(); step4(); step5()
+    }
+  }
+}

@@ -39,4 +39,23 @@ package object exprapi {
     * (Karp–Rabin + monotonic-deque window minima). */
   def winnowFps(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(expr.WinnowFingerprints(ColumnBridge.expression(text), k, w))
+
+  /** Full Porter (1980) stemmer over a token array — fused codegen loop,
+    * element-wise; see [[graft.expr.PorterStem]]. */
+  def porterStem(tokens: Column): Column =
+    ColumnBridge.column(expr.PorterStem(ColumnBridge.expression(tokens)))
+
+  /** BPE merge-table encode of a pre-token array → flattened subword
+    * units; the merge table rides the plan. See [[graft.expr.BpeEncode]]. */
+  def bpeEncode(pretokens: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(expr.BpeEncode(ColumnBridge.expression(pretokens), merges))
+
+  /** Uncompressed 24-bit BMP decode: binary → struct(w, h, rgb) or NULL.
+    * See [[graft.expr.BmpDecode]]. */
+  def bmpDecode(content: Column): Column =
+    ColumnBridge.column(expr.BmpDecode(ColumnBridge.expression(content)))
+
+  /** Channel means over an RGB24 buffer → [r, g, b, luma]. */
+  def rgbMeans(rgb: Column): Column =
+    ColumnBridge.column(expr.RgbMeans(ColumnBridge.expression(rgb)))
 }

@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north-star component): image/audio/video as
@@ -30,33 +30,74 @@ object Multimodal {
       StructField("declared_w", IntegerType),
       StructField("declared_h", IntegerType))), nullable = true)))
 
+  /** Width/height of the synthetic BMP image assets (rowSize 8·3 = 24 is
+    * already 4-byte aligned, so the pixel area is exactly w·h·3 bytes). */
+  val SyntheticImageW = 8
+  val SyntheticImageH = 6
+
   /** Deterministic synthetic assets (seeded by id) — stands in for a real
-    * binary ingest so the plumbing is testable offline. Payload bytes are
-    * repeated md5 blocks of the id: reproducible, incompressible-ish, and
-    * size-controllable. */
-  def syntheticAssets(spark: SparkSession, n: Int, payloadBlocks: Int = 8): DataFrame =
+    * binary ingest so the plumbing is testable offline.
+    *
+    * IMAGE assets are REAL uncompressed 24-bit BMPs (constant header +
+    * md5-derived pixel bytes) that [[decodeFeatures]] decodes with the
+    * actual [[graft.expr.BmpDecode]] parser — no stub on the image path.
+    * Audio/video payloads are repeated md5 blocks of the id:
+    * reproducible, incompressible-ish, and size-controllable. */
+  def syntheticAssets(spark: SparkSession, n: Int, payloadBlocks: Int = 8): DataFrame = {
+    val pixelBytes = SyntheticImageW * SyntheticImageH * 3
+    val pixelHexBlocks = (pixelBytes * 2 + 31) / 32
+    val header = graft.expr.BmpDecode
+      .encode(SyntheticImageW, SyntheticImageH, new Array[Byte](pixelBytes))
+      .take(54)
+    val bmp = concat(
+      lit(header),
+      to_binary(substring(concat_ws("",
+        (0 until pixelHexBlocks).map(b => md5(concat(col("id"), lit(s"_$b")))): _*),
+        1, pixelBytes * 2), lit("hex")))
+    val blob = to_binary(concat_ws("",
+      (0 until payloadBlocks).map(b => md5(concat(col("id"), lit(s"_$b")))): _*),
+      lit("hex"))
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("id"), lit(3)) + 1).cast("int"))
     spark.range(n.toLong).select(
       col("id").as("asset_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("id"), lit(3)) + 1).cast("int")).as("modality"),
-      to_binary(concat_ws("",
-        (0 until payloadBlocks).map(b => md5(concat(col("id"), lit(s"_$b")))): _*),
-        lit("hex")).as("content"),
+      modality.as("modality"),
+      when(modality === "image", bmp).otherwise(blob).as("content"),
       struct(
         lit("synthetic").as("source"),
-        lit(64).as("declared_w"),
-        lit(64).as("declared_h")).as("meta"))
+        when(modality === "image", lit(SyntheticImageW)).otherwise(lit(64))
+          .as("declared_w"),
+        when(modality === "image", lit(SyntheticImageH)).otherwise(lit(64))
+          .as("declared_h")).as("meta"))
+  }
 
-  /** STUB decode: deterministic pseudo-features from the payload bytes.
-    * Real implementation would decode pixels/samples here; the stub keeps
-    * the exact output contract (fixed-width `array<double>`, one row per
-    * asset, values in [0,1)) while deriving values from `xxhash64` of the
-    * bytes + a per-dimension salt. Pure projection — embarrassingly
-    * parallel at any scale, no shuffle. */
+  /** STUB feature column (audio/video only — images decode for real, see
+    * [[decodeFeatures]]): deterministic pseudo-features from the payload
+    * bytes. A codec-backed implementation would decode samples here; the
+    * stub keeps the exact output contract (fixed-width `array<double>`,
+    * values in [0,1)) while deriving values from `xxhash64` of the bytes +
+    * a per-dimension salt. Pure projection, no shuffle. */
+  def stubFeatures(content: Column, dims: Int = 16): Column =
+    transform(sequence(lit(1), lit(dims)),
+      i => (pmod(xxhash64(content, i), lit(100000L)).cast("double") / 100000.0))
+
+  /** STUB decode (kept for the audio/video contract tests). */
   def decodeStub(assets: DataFrame, dims: Int = 16): DataFrame =
-    assets.withColumn("features",
-      transform(sequence(lit(1), lit(dims)),
-        i => (pmod(xxhash64(col("content"), i), lit(100000L)).cast("double") / 100000.0)))
+    assets.withColumn("features", stubFeatures(col("content"), dims))
+
+  /** Decode + featurize: REAL decode for images — the native
+    * [[graft.expr.BmpDecode]] parses the BMP payload and
+    * [[graft.expr.RgbMeans]] reduces the actual pixel values to
+    * [mean_r, mean_g, mean_b, luma] — stub features for the modalities
+    * this container has no codec for (audio/video, loudly declared).
+    * Non-decodable image payloads yield NULL features rather than stub
+    * values, so corrupt inputs are visible, not silently faked. */
+  def decodeFeatures(assets: DataFrame, stubDims: Int = 16): DataFrame =
+    assets
+      .withColumn("img", graft.exprapi.bmpDecode(col("content")))
+      .withColumn("features",
+        when(col("modality") === "image", graft.exprapi.rgbMeans(col("img.rgb")))
+          .otherwise(stubFeatures(col("content"), stubDims)))
 
   /** STUB resize: the byte-plumbing of an image/video resize stage with
     * the real output contract — a `resized` binary of EXACTLY `w·h·3`
@@ -95,12 +136,16 @@ object Multimodal {
           .as("frame_bytes"))
   }
 
-  /** Per-modality feature batches: decode + fixed-width features, grouped
-    * stats as the sanity surface (count, avg feature norm). */
+  /** Per-modality feature batches: decode + features, grouped stats as the
+    * sanity surface (count, decoded count, avg feature norm). The image
+    * norm is over REAL pixel channel means. */
   def featureStats(assets: DataFrame, dims: Int = 16): DataFrame =
-    decodeStub(assets, dims)
-      .select(col("modality"),
+    decodeFeatures(assets, dims)
+      .select(col("modality"), col("img"),
         aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x).as("sq"))
       .groupBy(col("modality"))
-      .agg(count(lit(1)).as("n_assets"), avg(sqrt(col("sq"))).as("avg_feature_norm"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        count(col("img")).as("n_decoded"),
+        avg(sqrt(col("sq"))).as("avg_feature_norm"))
 }

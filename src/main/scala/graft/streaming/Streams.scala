@@ -117,4 +117,38 @@ object Streams {
     if (marked.isStreaming) marked.dropDuplicatesWithinWatermark(keyCols)
     else marked.dropDuplicates(keyCols)
   }
+
+  /** Stream-stream watermarked join (§2.8): each click enriched with every
+    * purchase by the same user within the preceding `horizon` — the
+    * standard conversion-attribution shape.
+    *
+    * Both inputs carry watermarks and the join predicate carries an
+    * event-time RANGE on both sides — the two conditions Spark needs to
+    * bound join state: a buffered click can be evicted once the purchase
+    * watermark passes `click.ts`, a buffered purchase once the click
+    * watermark passes `purchase.ts + horizon`. Without the range, state
+    * grows forever — the declared 100-TB contract of this operator, same
+    * as the windowed aggregations above. Works identically on batch
+    * frames (the watermark is a no-op there). */
+  def clickPurchaseJoin(
+      clicks: DataFrame,    // (event_id, user_id, ts, ...)
+      purchases: DataFrame, // (event_id, user_id, ts, value, ...)
+      horizon: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(
+        p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") <= col("click_ts") &&
+          col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
 }

@@ -46,7 +46,19 @@ object Stemmer {
       perToken: Column => Column = stemToken): Column =
     transform(tokens, perToken)
 
+  /** Full-parity stage: the COMPLETE Porter (1980) algorithm as a native
+    * codegen'd expression ([[graft.expr.PorterStem]]) — token array in,
+    * stemmed array out. This is the production path: a real stemming stage
+    * with the fidelity of the reference's NLP-library lemmatizer, fused in
+    * one pass instead of an interpreted per-token lambda. */
+  def porterLemmatize(tokens: Column): Column = graft.exprapi.porterStem(tokens)
+
   /** Full text → lemmatized tokens, the reference's `lemma('texts)` shape
     * (`acq_etl_code.scala:54`). */
   def lemmas(text: Column): Column = lemmatize(TextOps.tokens(text))
+
+  /** Full text → Porter-stemmed tokens (full-algorithm variant of
+    * [[lemmas]]). */
+  def porterLemmas(text: Column): Column =
+    porterLemmatize(TextOps.tokens(text))
 }

@@ -126,6 +126,37 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("clickPurchaseJoin: stream-stream watermarked join equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      Ev(10, t(2), 100, "purchase", 5.0),   // within 1h of clicks 2 (10:05)
+      Ev(11, t(58), 100, "purchase", 7.0),  // before no later click
+      Ev(12, t(8), 200, "purchase", 9.0),   // within 1h of click 4 (10:10)
+      Ev(13, t(90), 300, "purchase", 1.0))  // user with no clicks
+    val clicks = sample.filter(_.event_type == "click")
+
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    memC.addData(clicks: _*)
+    memP.addData(purchases: _*)
+    val q = Streams.clickPurchaseJoin(memC.toDF(), memP.toDF()).writeStream
+      .format("memory").queryName("ssjoin_out").outputMode("append")
+      .option("checkpointLocation", ckpt("ssjoin"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("ssjoin_out")
+      .select($"click_id", $"purchase_id", $"purchase_value")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Streams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .select($"click_id", $"purchase_id", $"purchase_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    // click 1 (10:00) precedes purchase 10 (10:02) -> not attributed;
+    // click 2 (10:05) sees purchase 10; click 4 (10:10) sees purchase 12
+    assert(batch === Set((2L, 10L, 5.0), (4L, 12L, 9.0)))
+  }
+
   test("tumblingAgg works identically over the events fixture in batch mode") {
     val ev = Tables.events(spark, TestSpark.sf)
     val viaStreamOp = Streams.tumblingAgg(ev)

@@ -198,4 +198,120 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1L) === 333L) // 2 hits / 6 tokens -> floor(1000*2/6)
     assert(got(2L) === 0L)
   }
+
+  private def assertRankConsistent(merges: Seq[(String, String)]): Unit = {
+    val created = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b) =>
+      Seq(a, b).filter(_.length > 1).foreach(u =>
+        assert(created.contains(u), s"unit $u referenced before being created"))
+      created += (a + b)
+    }
+  }
+
+  test("bpe subwords: priority merge loop against the pinned table (golden)") {
+    assertRankConsistent(graft.text.Bpe.DefaultMerges)
+    val df = Seq((1L, "the theme running and standing a don't 1990")).toDF("doc_id", "text")
+    val got = df.select(graft.text.Bpe.subwords($"text").as("u")).as[Seq[String]].head()
+    assert(got === Seq(
+      "the",                       // t+h -> th, th+e -> the
+      "the", "m", "e",             // theme
+      "r", "u", "n", "n", "ing",   // i+n, in+g
+      "and",                       // a+n, an+d
+      "st", "and", "ing",          // standing
+      "a",
+      "d", "on", "'", "t",         // don + 't pre-tokens
+      "1", "9", "9", "0"))
+  }
+
+  test("fitMerges learns expected merges on a toy corpus; learned ranks are training-consistent") {
+    val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val m = graft.text.Bpe.fitMerges(docs, "text", numMerges = 2)
+    assert(m === Seq("a" -> "a", "a" -> "b"))
+    assertRankConsistent(m)
+    val enc = docs.select(graft.text.Bpe.subwords($"text", m).as("u"))
+      .as[Seq[String]].head()
+    assert(enc === Seq("aa", "ab", "aa", "ab", "aa", "b"))
+    // a corpus-learned table on the fixture docs stays consistent too
+    val fitted = graft.text.Bpe.fitMerges(
+      Tables.documents(spark, TestSpark.sf), "text", numMerges = 20)
+    assert(fitted.size === 20)
+    assertRankConsistent(fitted)
+  }
+
+  // Golden pairs for the FULL Porter algorithm (Porter 1980). The first two
+  // are the paper's own end-to-end traces (§2); the rest are hand-traced
+  // through steps 1a–5b of the published rule set. Note these are FULL-
+  // pipeline outputs — the paper's per-step examples (e.g. step-2's
+  // "relational → relate") keep reducing in later steps, so they are NOT
+  // valid end-to-end expectations.
+  private val porterGolden: Seq[(String, String)] = Seq(
+    "generalizations" -> "gener", "oscillators" -> "oscil",
+    // step 1a
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "caress" -> "caress", "cats" -> "cat",
+    // step 1b (+ cleanup)
+    "feed" -> "feed", "plastered" -> "plaster", "motoring" -> "motor",
+    "sing" -> "sing", "conflated" -> "conflat", "troubled" -> "troubl",
+    "sized" -> "size", "hopping" -> "hop", "tanned" -> "tan",
+    "falling" -> "fall", "hissing" -> "hiss", "fizzed" -> "fizz",
+    "failing" -> "fail", "filing" -> "file", "running" -> "run",
+    // step 1c
+    "happy" -> "happi", "sky" -> "sky",
+    // step 2 chains
+    "vietnamization" -> "vietnam", "predication" -> "predic",
+    "operator" -> "oper", "feudalism" -> "feudal",
+    "decisiveness" -> "decis", "hopefulness" -> "hope",
+    "callousness" -> "callous", "formaliti" -> "formal",
+    "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+    // step 3 chains
+    "triplicate" -> "triplic", "formative" -> "form",
+    "formalize" -> "formal", "electriciti" -> "electr",
+    // step 4
+    "allowance" -> "allow", "inference" -> "infer", "airliner" -> "airlin",
+    "adjustable" -> "adjust", "defensible" -> "defens",
+    "replacement" -> "replac", "adjustment" -> "adjust",
+    "adoption" -> "adopt", "communism" -> "commun", "activate" -> "activ",
+    "angulariti" -> "angular", "homologou" -> "homolog",
+    "effective" -> "effect", "bowdlerize" -> "bowdler",
+    // step 5
+    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+    "controll" -> "control", "roll" -> "roll",
+    // connected family (classic regression set)
+    "connected" -> "connect", "connecting" -> "connect",
+    "connection" -> "connect", "connections" -> "connect",
+    // short tokens untouched; digits are consonants
+    "a" -> "a", "is" -> "is", "1990s" -> "1990")
+
+  test("porter_stem: golden pairs from the published 1980 algorithm") {
+    // direct static path (what codegen calls)
+    porterGolden.foreach { case (w, want) =>
+      assert(graft.expr.PorterStem.stem(w) === want, s"stem($w)")
+    }
+    // expression path through a DataFrame, element-wise with null passthrough
+    val df = Seq(Tuple1(porterGolden.map(_._1) :+ null)).toDF("ts")
+    val got = df.select(graft.exprapi.porterStem($"ts").as("s"))
+      .as[Seq[String]].head()
+    assert(got === (porterGolden.map(_._2) :+ null))
+    // SQL surface via GraftExtensions
+    df.createOrReplaceTempView("porter_t")
+    val sql = spark.sql("SELECT porter_stem(ts) AS s FROM porter_t")
+      .as[Seq[String]].head()
+    assert(sql === (porterGolden.map(_._2) :+ null))
+  }
+
+  test("porterLemmas: full text chain produces stemmed tokens; stems never longer than tokens+1") {
+    val d = Tables.documents(spark, TestSpark.sf).limit(200)
+    val pairs = d.select(explode(arrays_zip(
+        TextOps.tokens($"text").as("tok"),
+        graft.text.Stemmer.porterLemmas($"text").as("stem"))).as("p"))
+      .select($"p.tok", $"p.stem")
+      .as[(String, String)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (tok, stem) =>
+      // Porter only rewrites suffixes; output can exceed input by at most
+      // one char (step-1b's at→ate family) and never touches the head char
+      assert(stem.length <= tok.length + 1, s"$tok -> $stem")
+      assert(stem.nonEmpty && tok.head === stem.head, s"$tok -> $stem")
+    }
+  }
 }
