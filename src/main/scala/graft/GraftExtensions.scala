@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.expr.{Int8DotProduct, MinHashSignature, PorterStem, QuantizedDotProduct, SimHash64, WinnowFingerprints, WordShingles}
+import graft.expr.{BmpDecode, ByteStats, Int8DotProduct, MinHashSignature, PcmStats, PorterStem, QuantizedDotProduct, RgbMeans, SimHash64, WavDecode, WinnowFingerprints, WordShingles, Y4mDecode}
 
 /** SQL-surface registration for graft's native expressions
   * (SURVEY.md §7.3 — `SparkSessionExtensions` is the sanctioned extension
@@ -72,6 +72,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(arr) => PorterStem(arr)
         case _ => throw new IllegalArgumentException("porter_stem(array<string>)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bmp_decode"),
+      new ExpressionInfo(classOf[BmpDecode].getName, "bmp_decode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => BmpDecode(bin)
+        case _ => throw new IllegalArgumentException("bmp_decode(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("rgb_means"),
+      new ExpressionInfo(classOf[RgbMeans].getName, "rgb_means"),
+      (args: Seq[Expression]) => args match {
+        case Seq(rgb) => RgbMeans(rgb)
+        case _ => throw new IllegalArgumentException("rgb_means(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("wav_decode"),
+      new ExpressionInfo(classOf[WavDecode].getName, "wav_decode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => WavDecode(bin)
+        case _ => throw new IllegalArgumentException("wav_decode(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("pcm_stats"),
+      new ExpressionInfo(classOf[PcmStats].getName, "pcm_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(pcm) => PcmStats(pcm)
+        case _ => throw new IllegalArgumentException("pcm_stats(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("y4m_decode"),
+      new ExpressionInfo(classOf[Y4mDecode].getName, "y4m_decode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => Y4mDecode(bin)
+        case _ => throw new IllegalArgumentException("y4m_decode(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("byte_stats"),
+      new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => ByteStats(bin)
+        case _ => throw new IllegalArgumentException("byte_stats(binary)")
       }))
 
     ext.injectFunction((

@@ -335,7 +335,42 @@ object SparkEntry {
         q8.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("q_id"), col("qv")),
         q8.select(col("vec_id").as("n_id"), col("qv").as("cv")),
         k = 5)
-    })
+    }),
+
+    // S3+S6+P10+J1 end-to-end, oracle-checked: parquet → CSV sink →
+    // explicit-schema CSV scan → left-outer customer-name join →
+    // two-digit-year date parse with the POSIX century pivot. The CSV
+    // round trip is the Spark side only; the oracle replays the same
+    // format→parse on the parquet directly (DuckDB strptime's %y carries
+    // the identical 69/68 pivot), so a hash match proves the round trip
+    // lossless AND the pivot semantics equal.
+    "q41_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = new java.io.File("target/tmp/q41_csv").getAbsolutePath
+      sources.Sources.writeCsv(
+        Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          date_format(col("o_orderdate"), "MM/dd/yy").as("odate_s")),
+        out)
+      val back = sources.Sources.csv(s, out,
+        StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("odate_s", StringType))),
+        header = true)
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+      back.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("c_name"),
+          sources.Sources.toDateMMDDYY(col("odate_s")).as("o_date"))
+    }),
+
+    // North-star dedup, embedding-space method: exact cosine near-dup
+    // pairs over int8-quantized vectors — τ=0.4 as the integer 1600/10⁴.
+    // Pure integer predicate ⇒ hash-matches the oracle end to end.
+    "q42_emb_neardup" -> ((s, dir) =>
+      llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L))
   )
 
   /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
@@ -384,9 +419,10 @@ object SparkEntry {
         minCosine = 0.3, tables = 8, targetBucketSize = 256)),
 
     // North-star multimodal: synthetic binary assets -> per-modality
-    // feature stats. The IMAGE path is a REAL decode (native 24-bit BMP
-    // parser + channel means over actual pixel values); audio/video remain
-    // declared stubs (no codecs in this container).
+    // feature stats. ALL THREE modalities are REAL decodes of public
+    // uncompressed formats: 24-bit BMP (channel means over actual pixels),
+    // PCM16 WAV (stats over actual samples), YUV4MPEG2 (stats over actual
+    // luma planes).
     "q26_multimodal_stats" -> ((s, dir) =>
       multimodal.Multimodal.featureStats(
         multimodal.Multimodal.syntheticAssets(s, 2000))),
@@ -471,7 +507,14 @@ object SparkEntry {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
         e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
         k = 5, nlist = 16, nprobe = 4)
-    })
+    }),
+
+    // North-star dedup, SimHash method: banded 64-bit sketches, exact
+    // hamming verify — an EXACT hamming≤3 join by pigeonhole (hamMax <
+    // bands). xxhash64-based sketch has no DuckDB mirror ⇒ rows-only;
+    // the guarantee and separation contracts are pinned by DedupSpec.
+    "q40_simhash_dups" -> ((s, dir) =>
+      llm.Dedup.simhashDups(Tables.documents(s, dir)))
   )
 
   // ---------------------------------------------------------------------
@@ -862,6 +905,39 @@ object SparkEntry {
         |  FROM toks
         |)
         |SELECT stem, CAST(count(*) AS BIGINT) AS n
-        |FROM stems GROUP BY stem HAVING count(*) >= 20""".stripMargin
+        |FROM stems GROUP BY stem HAVING count(*) >= 20""".stripMargin,
+
+    // No CSV on the oracle side: the SQL replays format→parse on the
+    // parquet directly — DuckDB strftime/strptime's %y uses the same POSIX
+    // 68/69 century pivot as Sources.toDateMMDDYY's explicit correction.
+    "q41_csv_roundtrip" ->
+      """SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+        |       c.c_name AS c_name,
+        |       CAST(strptime(strftime(o.o_orderdate, '%m/%d/%y'), '%m/%d/%y') AS DATE) AS o_date
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    // Same floor int8 quantization as q33; the near-dup predicate is pure
+    // 64-bit integer arithmetic: dot>0 ∧ dot²·10⁴ ≥ 1600·|a|²·|b|² (τ=0.4)
+    "q42_emb_neardup" ->
+      """WITH s AS (
+        |  SELECT CAST(max(list_max(list_transform(embedding, x -> abs(x)))) AS DOUBLE) / 127 AS g
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / g) AS BIGINT)) AS qv
+        |  FROM embeddings, s
+        |), w AS (
+        |  SELECT vec_id, qv,
+        |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+        |  FROM v
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_i8,
+        |    a.n2 AS na2, b.n2 AS nb2
+        |  FROM w a JOIN w b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, dot_i8 FROM pairs
+        |WHERE dot_i8 > 0 AND dot_i8 * dot_i8 * 10000 >= 1600 * na2 * nb2""".stripMargin
   )
 }

@@ -58,4 +58,22 @@ package object exprapi {
   /** Channel means over an RGB24 buffer → [r, g, b, luma]. */
   def rgbMeans(rgb: Column): Column =
     ColumnBridge.column(expr.RgbMeans(ColumnBridge.expression(rgb)))
+
+  /** PCM16 RIFF/WAVE decode: binary → struct(channels, sample_rate,
+    * n_samples, pcm) or NULL. See [[graft.expr.WavDecode]]. */
+  def wavDecode(content: Column): Column =
+    ColumnBridge.column(expr.WavDecode(ColumnBridge.expression(content)))
+
+  /** Sample stats over a PCM16LE buffer → [mean, rms, peak, zcr]. */
+  def pcmStats(pcm: Column): Column =
+    ColumnBridge.column(expr.PcmStats(ColumnBridge.expression(pcm)))
+
+  /** YUV4MPEG2 video decode: binary → struct(w, h, n_frames, y) with all
+    * frames' luma planes concatenated, or NULL. See [[graft.expr.Y4mDecode]]. */
+  def y4mDecode(content: Column): Column =
+    ColumnBridge.column(expr.Y4mDecode(ColumnBridge.expression(content)))
+
+  /** Unsigned-byte stats over a binary buffer → [mean, std, min, max]/255. */
+  def byteStats(bytes: Column): Column =
+    ColumnBridge.column(expr.ByteStats(ColumnBridge.expression(bytes)))
 }

@@ -192,6 +192,55 @@ object Dedup {
       .select(col("a_doc"), col("b_doc"), col("jaccard"))
   }
 
+  /** SimHash near-duplicate pairs (north-star dedup family, third method
+    * next to exact fingerprints and MinHash-LSH): one 64-bit sketch per
+    * doc over its w-shingles, banded into `bands` equal bit-slices for
+    * candidate generation, exact hamming verify on candidates only.
+    *
+    * Guarantee (pigeonhole, Manku et al. WWW'07): two sketches within
+    * hamming distance `hamMax` < `bands` agree exactly on at least one
+    * band, so every true pair surfaces as a candidate — this is an EXACT
+    * hamming-threshold join, not a probabilistic one (enforced by the
+    * `require`). Scale shape: `bands` rows per doc, pair space
+    * Σ bucket² per band — never n². The bucket space per band is
+    * 2^(64/bands); at corpus sizes where n ≫ 2^(64/bands) the buckets
+    * saturate and the move is Manku's: more tables over bit-permutations
+    * of the sketch (wider effective prefixes), not wider bands. */
+  def simhashDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hamMax: Int = 3,
+      bands: Int = 4,
+      shingleWidth: Int = 3): DataFrame = {
+    require(hamMax < bands,
+      s"hamming guarantee needs hamMax < bands (got $hamMax >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val sigs = docs
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleWidth)
+      .select(col(idCol),
+        graft.exprapi.simhash64(shingles(col(textCol), shingleWidth)).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
+            .as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    banded.select(col("band"), col("key"), col(idCol).as("id_a"),
+        col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b"),
+        col("sig").as("sig_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= hamMax)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

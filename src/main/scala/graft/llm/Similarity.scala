@@ -238,6 +238,37 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("dot_i8"), col("rank").cast("long").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (north-star dedup family,
+    * embedding-space method), exact over int8-quantized vectors.
+    *
+    * The threshold test runs in pure 64-bit integer arithmetic so the whole
+    * path is bit-identical across engines (oracle-checkable, like
+    * [[bruteForceTopKInt8]]): for τ² pre-scaled by 10⁴ as `tau2E4`,
+    *
+    *   cos(a,b) ≥ τ  ⟺  dot > 0  ∧  dot²·10⁴ ≥ tau2E4·|a|²·|b|²
+    *
+    * over the quantized ints (dot ≤ 127²·d, so dot²·10⁴ stays far inside
+    * Long for any realistic d). Contract: this is the EXACT baseline for a
+    * bounded corpus — the pair space is n²/2 with the right side broadcast,
+    * linear per partition, never shuffled; [[lshCosinePairs]] is the
+    * scale path when n² is no longer affordable. */
+  def int8NearDupPairs(
+      embeddings: DataFrame,
+      tau2E4: Long,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q8 = quantizeInt8Global(embeddings, idCol, embCol)
+      .withColumn("n2", graft.exprapi.int8Dot(col("qv"), col("qv")))
+    val a = q8.select(col(idCol).as("id_a"), col("qv").as("va"), col("n2").as("na2"))
+    val b = q8.select(col(idCol).as("id_b"), col("qv").as("vb"), col("n2").as("nb2"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("dot_i8", graft.exprapi.int8Dot(col("va"), col("vb")))
+      .filter(col("dot_i8") > 0 &&
+        col("dot_i8") * col("dot_i8") * lit(10000L) >=
+          lit(tau2E4) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot_i8"))
+  }
+
   /** A fitted IVF index: the SERVING-SHAPED half of [[ivfTopK]].
     *
     * `cells` — (n_id, cell, n_unit) — is every candidate assigned to its

@@ -6,17 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north-star component): image/audio/video as
   * opaque `binary` columns with typed metadata, plus the Spark-side
-  * machinery — schema, batch shapes, partitioning, frame sampling — that a
-  * real decode stage plugs into.
+  * machinery — schema, batch shapes, partitioning, frame sampling — that
+  * the decode stage plugs into.
   *
-  * IMPORTANT — the DECODE STEP IS A STUB. This container has no image/audio
-  * codecs, so [[decodeStub]] derives deterministic fake features from the
-  * bytes (hash-seeded). Everything AROUND the stub is real and tested: the
-  * asset schema, binary-column handling (substring slicing, hashing,
-  * length), batch featurization shape (fixed-width `array<double>`), and
-  * frame-sample explode. Swapping [[decodeStub]] for a codec-backed
-  * implementation (e.g. a Pandas-UDF / mapInPandas stage on a PySpark
-  * deployment, or a JNI decoder here) changes no schema and no plan shape.
+  * All three modalities DECODE FOR REAL via pure-JVM parsers of public
+  * uncompressed formats: 24-bit BMP ([[graft.expr.BmpDecode]]), PCM16
+  * RIFF/WAVE ([[graft.expr.WavDecode]]), YUV4MPEG2
+  * ([[graft.expr.Y4mDecode]]) — each with a feature head over the actual
+  * decoded values. Compressed codecs (JPEG/MP3/H.264) are out of scope in
+  * this container; [[decodeStub]]/[[resizeStub]] keep the declared
+  * hash-derived contract for such payloads, and swapping a codec-backed
+  * implementation in (e.g. a Pandas-UDF / mapInPandas stage on a PySpark
+  * deployment, or JNI here) changes no schema and no plan shape.
   */
 object Multimodal {
 
@@ -35,14 +36,21 @@ object Multimodal {
   val SyntheticImageW = 8
   val SyntheticImageH = 6
 
+  /** Sample rate stamped on synthetic WAV audio assets. */
+  val SyntheticSampleRate = 16000
+
+  /** Frames per synthetic Y4M video asset (each frame is one
+    * SyntheticImageW×SyntheticImageH mono luma plane). */
+  val SyntheticVideoFrames = 2
+
   /** Deterministic synthetic assets (seeded by id) — stands in for a real
     * binary ingest so the plumbing is testable offline.
     *
-    * IMAGE assets are REAL uncompressed 24-bit BMPs (constant header +
-    * md5-derived pixel bytes) that [[decodeFeatures]] decodes with the
-    * actual [[graft.expr.BmpDecode]] parser — no stub on the image path.
-    * Audio/video payloads are repeated md5 blocks of the id:
-    * reproducible, incompressible-ish, and size-controllable. */
+    * ALL THREE modalities are REAL files: uncompressed 24-bit BMPs decoded
+    * by [[graft.expr.BmpDecode]], PCM16 RIFF/WAVE decoded by
+    * [[graft.expr.WavDecode]], and mono YUV4MPEG2 streams decoded by
+    * [[graft.expr.Y4mDecode]] — constant format framing + md5-derived
+    * payload bytes: reproducible, incompressible-ish, size-controllable. */
   def syntheticAssets(spark: SparkSession, n: Int, payloadBlocks: Int = 8): DataFrame = {
     val pixelBytes = SyntheticImageW * SyntheticImageH * 3
     val pixelHexBlocks = (pixelBytes * 2 + 31) / 32
@@ -54,15 +62,37 @@ object Multimodal {
       to_binary(substring(concat_ws("",
         (0 until pixelHexBlocks).map(b => md5(concat(col("id"), lit(s"_$b")))): _*),
         1, pixelBytes * 2), lit("hex")))
+    // md5 blocks are 16 bytes = 8 whole mono PCM16 frames, so the id-seeded
+    // block generator doubles as the WAV sample section
     val blob = to_binary(concat_ws("",
       (0 until payloadBlocks).map(b => md5(concat(col("id"), lit(s"_$b")))): _*),
       lit("hex"))
+    val wavHeader = graft.expr.WavDecode
+      .encode(1, SyntheticSampleRate, new Array[Byte](payloadBlocks * 16))
+      .take(44)
+    val wav = concat(lit(wavHeader), blob)
+    // Y4M: text header, then FRAME\n + luma plane per frame
+    val lumaBytes = SyntheticImageW * SyntheticImageH
+    val lumaHexBlocks = (lumaBytes * 2 + 31) / 32
+    val y4mRef = graft.expr.Y4mDecode.encode(
+      SyntheticImageW, SyntheticImageH, 1, new Array[Byte](lumaBytes))
+    val y4mHeader = y4mRef.take(y4mRef.length - lumaBytes - 6)
+    val y4m = concat(
+      lit(y4mHeader) +:
+        (0 until SyntheticVideoFrames).flatMap(f => Seq(
+          lit("FRAME\n".getBytes("US-ASCII")),
+          to_binary(substring(concat_ws("",
+            (0 until lumaHexBlocks).map(b =>
+              md5(concat(col("id"), lit(s"_f${f}_$b")))): _*),
+            1, lumaBytes * 2), lit("hex")))): _*)
     val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(col("id"), lit(3)) + 1).cast("int"))
     spark.range(n.toLong).select(
       col("id").as("asset_id"),
       modality.as("modality"),
-      when(modality === "image", bmp).otherwise(blob).as("content"),
+      when(modality === "image", bmp)
+        .when(modality === "audio", wav)
+        .otherwise(y4m).as("content"),
       struct(
         lit("synthetic").as("source"),
         when(modality === "image", lit(SyntheticImageW)).otherwise(lit(64))
@@ -71,8 +101,9 @@ object Multimodal {
           .as("declared_h")).as("meta"))
   }
 
-  /** STUB feature column (audio/video only — images decode for real, see
-    * [[decodeFeatures]]): deterministic pseudo-features from the payload
+  /** STUB feature column (compressed/unknown payloads only — all three
+    * synthetic modalities decode for real, see [[decodeFeatures]]):
+    * deterministic pseudo-features from the payload
     * bytes. A codec-backed implementation would decode samples here; the
     * stub keeps the exact output contract (fixed-width `array<double>`,
     * values in [0,1)) while deriving values from `xxhash64` of the bytes +
@@ -81,22 +112,29 @@ object Multimodal {
     transform(sequence(lit(1), lit(dims)),
       i => (pmod(xxhash64(content, i), lit(100000L)).cast("double") / 100000.0))
 
-  /** STUB decode (kept for the audio/video contract tests). */
+  /** STUB decode (kept for the declared-stub contract tests). */
   def decodeStub(assets: DataFrame, dims: Int = 16): DataFrame =
     assets.withColumn("features", stubFeatures(col("content"), dims))
 
-  /** Decode + featurize: REAL decode for images — the native
-    * [[graft.expr.BmpDecode]] parses the BMP payload and
-    * [[graft.expr.RgbMeans]] reduces the actual pixel values to
-    * [mean_r, mean_g, mean_b, luma] — stub features for the modalities
-    * this container has no codec for (audio/video, loudly declared).
-    * Non-decodable image payloads yield NULL features rather than stub
-    * values, so corrupt inputs are visible, not silently faked. */
+  /** Decode + featurize: REAL decode for ALL THREE modalities — the native
+    * [[graft.expr.BmpDecode]] parses BMP payloads into actual pixels
+    * reduced by [[graft.expr.RgbMeans]] to [mean_r, mean_g, mean_b, luma];
+    * [[graft.expr.WavDecode]] parses PCM16 WAV payloads into actual samples
+    * reduced by [[graft.expr.PcmStats]] to [mean, rms, peak, zcr];
+    * [[graft.expr.Y4mDecode]] parses YUV4MPEG2 payloads into actual luma
+    * planes reduced by [[graft.expr.ByteStats]] to [mean, std, min, max].
+    * Unknown modalities fall back to the declared stub. Non-decodable
+    * payloads yield NULL features rather than stub values, so corrupt
+    * inputs are visible, not silently faked. */
   def decodeFeatures(assets: DataFrame, stubDims: Int = 16): DataFrame =
     assets
       .withColumn("img", graft.exprapi.bmpDecode(col("content")))
+      .withColumn("aud", graft.exprapi.wavDecode(col("content")))
+      .withColumn("vid", graft.exprapi.y4mDecode(col("content")))
       .withColumn("features",
         when(col("modality") === "image", graft.exprapi.rgbMeans(col("img.rgb")))
+          .when(col("modality") === "audio", graft.exprapi.pcmStats(col("aud.pcm")))
+          .when(col("modality") === "video", graft.exprapi.byteStats(col("vid.y")))
           .otherwise(stubFeatures(col("content"), stubDims)))
 
   /** STUB resize: the byte-plumbing of an image/video resize stage with
@@ -137,15 +175,21 @@ object Multimodal {
   }
 
   /** Per-modality feature batches: decode + features, grouped stats as the
-    * sanity surface (count, decoded count, avg feature norm). The image
-    * norm is over REAL pixel channel means. */
+    * sanity surface (count, real-decoded count, avg feature norm) — every
+    * norm is over features of ACTUALLY DECODED payload values (pixels,
+    * samples, luma planes); `n_decoded` counts payloads the modality's
+    * real parser accepted. */
   def featureStats(assets: DataFrame, dims: Int = 16): DataFrame =
     decodeFeatures(assets, dims)
-      .select(col("modality"), col("img"),
+      .select(col("modality"),
+        (col("modality") === "image" && col("img").isNotNull ||
+          col("modality") === "audio" && col("aud").isNotNull ||
+          col("modality") === "video" && col("vid").isNotNull).cast("long")
+          .as("decoded"),
         aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x).as("sq"))
       .groupBy(col("modality"))
       .agg(
         count(lit(1)).as("n_assets"),
-        count(col("img")).as("n_decoded"),
+        sum(col("decoded")).as("n_decoded"),
         avg(sqrt(col("sq"))).as("avg_feature_norm"))
 }

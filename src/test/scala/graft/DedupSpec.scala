@@ -54,6 +54,35 @@ class DedupSpec extends AnyFunSuite {
     assert(j.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("simhashDups: finds verbatim pair at hamming 0, excludes unrelated doc") {
+    val pairs = Dedup.simhashDups(corpus, hamMax = 3, bands = 4)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 4L)) === Some(0), "verbatim dup must pair at hamming 0")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair within hamming 3")
+  }
+
+  test("simhashDups: banded join is EXACT vs brute-force hamming (pigeonhole)") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val hamMax = 3
+    val banded = Dedup.simhashDups(docs, hamMax = hamMax, bands = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sigs = docs
+      .filter(size(TextOps.tokens($"text")) >= 3)
+      .select($"doc_id",
+        graft.exprapi.simhash64(Dedup.shingles($"text", 3)).as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= hamMax
+    } yield (a, b)).toSet
+    assert(banded === brute,
+      s"banded=${banded.size} brute=${brute.size} — hamMax<bands must be exact")
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashDups(corpus, hamMax = 4, bands = 4))
+  }
+
   test("LSH candidate count is far below n^2 on real fixture data") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val n = docs.count()

@@ -15,8 +15,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a1.schema === a2.schema)
     val lens = a1.select($"modality", length($"content").as("l"))
       .distinct().as[(String, Int)].collect().toMap
-    assert(lens("audio") === 8 * 16, "8 blocks x 16 md5 bytes")
-    assert(lens("video") === 8 * 16)
+    assert(lens("audio") === 44 + 8 * 16, "44-byte WAV header + PCM16 samples")
+    assert(lens("video") === 36 + 2 * (6 + 8 * 6), "Y4M header + 2 x (FRAME\\n + luma)")
     assert(lens("image") === 54 + 8 * 6 * 3, "54-byte BMP header + RGB24 pixels")
     val c1 = a1.select($"asset_id", md5($"content")).as[(Long, String)].collect().toMap
     val c2 = a2.select($"asset_id", md5($"content")).as[(Long, String)].collect().toMap
@@ -58,7 +58,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(means(3) - wantLuma) < 1e-12)
   }
 
-  test("decodeFeatures: REAL decode on every image asset; stub only for audio/video") {
+  test("decodeFeatures: REAL decode on every image, audio, and video asset") {
     val out = Multimodal.decodeFeatures(Multimodal.syntheticAssets(spark, 30))
     val images = out.filter($"modality" === "image")
     assert(images.filter($"img".isNull).count() === 0,
@@ -68,9 +68,88 @@ class MultimodalSpec extends AnyFunSuite {
     // image features are channel means of real pixels: 4 values in [0,255]
     val feats = images.select($"features").as[Seq[Double]].collect()
     assert(feats.forall(f => f.length === 4 && f.forall(v => v >= 0.0 && v <= 255.0)))
-    // non-image features keep the declared stub contract
-    val stub = out.filter($"modality" =!= "image").select($"features").as[Seq[Double]].collect()
-    assert(stub.forall(f => f.length === 16 && f.forall(v => v >= 0.0 && v < 1.0)))
+    // audio: every synthetic WAV decodes; stats on the declared mono/16k contract
+    val audio = out.filter($"modality" === "audio")
+    assert(audio.filter($"aud".isNull).count() === 0,
+      "every synthetic audio asset must decode as a real PCM16 WAV")
+    val meta = audio.select($"aud.channels", $"aud.sample_rate", $"aud.n_samples")
+      .distinct().as[(Int, Int, Int)].collect().toSeq
+    assert(meta === Seq((1, Multimodal.SyntheticSampleRate, 8 * 16 / 2)))
+    // audio features are sample stats: [mean, rms, peak, zcr], all in [-1,1]
+    val afeats = audio.select($"features").as[Seq[Double]].collect()
+    assert(afeats.forall(f => f.length === 4 && f.forall(v => v >= -1.0 && v <= 1.0)))
+    // video: every synthetic Y4M decodes; luma-plane byte stats in [0,1]
+    val video = out.filter($"modality" === "video")
+    assert(video.filter($"vid".isNull).count() === 0,
+      "every synthetic video asset must decode as a real Y4M stream")
+    val vmeta = video.select($"vid.w", $"vid.h", $"vid.n_frames")
+      .distinct().as[(Int, Int, Int)].collect().toSeq
+    assert(vmeta === Seq((Multimodal.SyntheticImageW, Multimodal.SyntheticImageH,
+      Multimodal.SyntheticVideoFrames)))
+    val vfeats = video.select($"features").as[Seq[Double]].collect()
+    assert(vfeats.forall(f => f.length === 4 && f.forall(v => v >= 0.0 && v <= 1.0)))
+  }
+
+  test("wav_decode: golden bytes — chunk walk, PCM16 frames, stats, invalid→NULL") {
+    // 4 mono samples: 0, 16384 (half scale), -16384, -32768 (peak)
+    val pcm = Array[Byte](0, 0, 0, 64, 0, 192.toByte, 0, 128.toByte)
+    val wav = graft.expr.WavDecode.encode(1, 16000, pcm)
+    assert(wav.length === 44 + 8)
+    val decoded = graft.expr.WavDecode.compute(wav)
+    assert(decoded != null)
+    assert(decoded.getInt(0) === 1 && decoded.getInt(1) === 16000 && decoded.getInt(2) === 4)
+    assert(decoded.getBinary(3).toSeq === pcm.toSeq, "decode(encode(x)) == x")
+
+    // expression path incl. null for non-WAV payloads and truncated files
+    val df = Seq(
+      (1L, wav), (2L, Array[Byte](1, 2, 3)), (3L, "RIFFxxxxWAVEtruncated".getBytes)
+    ).toDF("id", "content")
+    val got = df.select($"id", graft.exprapi.wavDecode($"content").as("a"))
+      .select($"id", $"a".isNull.as("bad"), $"a.n_samples")
+      .as[(Long, Boolean, Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((false, Some(4))))
+    assert(got(2L)._1 === true)
+    assert(got(3L)._1 === true)
+    // stats over the golden samples: mean=(0+16384-16384-32768)/4/32768
+    val stats = df.filter($"id" === 1)
+      .select(graft.exprapi.pcmStats(graft.exprapi.wavDecode($"content")("pcm")).as("s"))
+      .as[Seq[Double]].head()
+    assert(stats(0) === -32768.0 / 4 / 32768.0, "mean")
+    val wantRms = math.sqrt((0.0 + 16384.0 * 16384 * 2 + 32768.0 * 32768) / 4) / 32768.0
+    assert(math.abs(stats(1) - wantRms) < 1e-12, "rms")
+    assert(stats(2) === 1.0, "peak is full scale")
+    // signs: 0(skip), +, -, - → one crossing over 3 transitions
+    assert(stats(3) === 1.0 / 3.0, "zero-crossing ratio")
+  }
+
+  test("y4m_decode: golden bytes — header parse, frame walk, luma concat, invalid→NULL") {
+    // 2 frames of 2x2 mono luma
+    val y = Array[Byte](0, 64, 128.toByte, 255.toByte, 10, 20, 30, 40)
+    val y4m = graft.expr.Y4mDecode.encode(2, 2, 2, y)
+    val decoded = graft.expr.Y4mDecode.compute(y4m)
+    assert(decoded != null)
+    assert(decoded.getInt(0) === 2 && decoded.getInt(1) === 2 && decoded.getInt(2) === 2)
+    assert(decoded.getBinary(3).toSeq === y.toSeq, "decode(encode(x)) == x")
+    // truncated payload (missing luma bytes) must be rejected, not mis-sliced
+    assert(graft.expr.Y4mDecode.compute(y4m.dropRight(1)) == null)
+
+    val df = Seq(
+      (1L, y4m), (2L, Array[Byte](1, 2, 3)), (3L, "YUV4MPEG2 W2 H2\n".getBytes)
+    ).toDF("id", "content")
+    val got = df.select($"id", graft.exprapi.y4mDecode($"content").as("v"))
+      .select($"id", $"v".isNull.as("bad"), $"v.n_frames")
+      .as[(Long, Boolean, Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((false, Some(2))))
+    assert(got(2L)._1 === true)
+    assert(got(3L)._1 === true, "header with no frames is not a video")
+    // byte stats over the golden luma: mean=(0+64+128+255+10+20+30+40)/8/255
+    val stats = df.filter($"id" === 1)
+      .select(graft.exprapi.byteStats(graft.exprapi.y4mDecode($"content")("y")).as("s"))
+      .as[Seq[Double]].head()
+    assert(stats(0) === 547.0 / 8 / 255.0, "mean")
+    assert(stats(2) === 0.0 && stats(3) === 1.0, "min 0, max 255")
   }
 
   test("decodeStub: fixed-width features in [0,1), deterministic (STUB contract)") {
@@ -84,8 +163,10 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("sampleFrames: correct frame count, size, and byte content") {
-    // audio/video assets keep the 128-byte md5 payloads
-    val assets = Multimodal.syntheticAssets(spark, 6).filter($"modality" =!= "image")
+    // raw 128-byte blobs — frame sampling is format-agnostic byte plumbing
+    val assets = (1L to 3L).map { id =>
+      (id, "blob", Array.tabulate[Byte](128)(i => (id * 31 + i).toByte))
+    }.toDF("asset_id", "modality", "content")
     val frames = Multimodal.sampleFrames(assets, frameSize = 32, stride = 32)
     val perAsset = frames.groupBy($"asset_id").count().as[(Long, Long)].collect().toMap
     assert(perAsset.values.forall(_ === 4L), "128/32 = 4 non-overlapping frames")
@@ -125,6 +206,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.forall(_._4 > 0.0))
     val byMod = stats.map(s => s._1 -> s).toMap
     assert(byMod("image")._3 === byMod("image")._2, "n_decoded == n_assets for images")
-    assert(byMod("audio")._3 === 0L && byMod("video")._3 === 0L)
+    assert(byMod("audio")._3 === byMod("audio")._2, "n_decoded == n_assets for audio")
+    assert(byMod("video")._3 === byMod("video")._2, "n_decoded == n_assets for video")
   }
 }

@@ -95,6 +95,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(int8.size === float.size)
   }
 
+  test("int8NearDupPairs: integer predicate brackets float cosine at the threshold") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val tau = 0.4 // tau2E4 = 1600
+    val got = Similarity.int8NearDupPairs(emb, tau2E4 = 1600L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val eps = 0.05 // int8 floor-quantization tolerance band around tau
+    for ((ia, va) <- vecs; (ib, vb) <- vecs if ia < ib) {
+      val c = cos(va, vb)
+      if (c >= tau + eps)
+        assert(got.contains((ia, ib)), s"pair ($ia,$ib) cos=$c must be found")
+      if (c < tau - eps)
+        assert(!got.contains((ia, ib)), s"pair ($ia,$ib) cos=$c must be excluded")
+    }
+    assert(got.nonEmpty, "fixture corpus must contain near-dup pairs at tau=0.4")
+  }
+
   test("ivfTopK: probed-cell top-k overlaps exhaustive cosine top-k (recall)") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val queries = e.filter($"vec_id" % 100 === 0)
