@@ -128,6 +128,47 @@ object ExprProps extends Properties("graft.expr") {
         a.intersect(b).nonEmpty
     }
 
+  // --- media decoders (BMP / WAV / Y4M round-trips + fuzz) ----------------
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.choose(0, 256).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127))
+      .map(_.map(_.toByte).toArray))
+
+  property("bmp_decode(encode(w,h,rgb)) round-trips exactly") =
+    forAll(Gen.choose(1, 9), Gen.choose(1, 9), Gen.long) { (w, h, seed) =>
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((seed + i * 31) & 0xff).toByte)
+      val row = expr.BmpDecode.compute(expr.BmpDecode.encode(w, h, rgb))
+      row != null && row.getInt(0) == w && row.getInt(1) == h &&
+        row.getBinary(2).toSeq == rgb.toSeq
+    }
+
+  property("wav_decode(encode(ch,rate,pcm)) round-trips exactly") =
+    forAll(Gen.choose(1, 4), Gen.choose(8000, 48000), Gen.choose(0, 40), Gen.long) {
+      (ch, rate, frames, seed) =>
+        val pcm = Array.tabulate[Byte](frames * ch * 2)(i => ((seed ^ (i * 131)) & 0xff).toByte)
+        val row = expr.WavDecode.compute(expr.WavDecode.encode(ch, rate, pcm))
+        // zero frames is a legal (empty) data chunk — decodes with n_samples=0
+        row != null && row.getInt(0) == ch && row.getInt(1) == rate &&
+          row.getInt(2) == frames && row.getBinary(3).toSeq == pcm.toSeq
+    }
+
+  property("y4m_decode(encode(w,h,f,y)) round-trips exactly") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 8), Gen.choose(1, 4), Gen.long) {
+      (w, h, f, seed) =>
+        val y = Array.tabulate[Byte](f * w * h)(i => ((seed + i * 17) & 0xff).toByte)
+        val row = expr.Y4mDecode.compute(expr.Y4mDecode.encode(w, h, f, y))
+        row != null && row.getInt(0) == w && row.getInt(1) == h &&
+          row.getInt(2) == f && row.getBinary(3).toSeq == y.toSeq
+    }
+
+  property("decoders never throw on arbitrary bytes (reject, don't crash)") =
+    forAll(rawBytes) { bytes =>
+      expr.BmpDecode.compute(bytes) // any result ok — must not throw
+      expr.WavDecode.compute(bytes)
+      expr.Y4mDecode.compute(bytes)
+      true
+    }
+
   // --- label rule (P7: the 1-year window, acq_etl_code.scala:96) ----------
 
   property("label window [0,365) matches the reference IF-rule at boundaries") =
