@@ -94,6 +94,20 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned parquet sink: one directory per distinct value
+    * of `partitionCols` (`.../col=value/part-*.parquet`). The 100-TB read
+    * story is PARTITION PRUNING: a filter on a partition column prunes at
+    * planning time — unmatched directories are never listed, opened, or
+    * scanned (visible as `PartitionFilters` in the explain output, with no
+    * corresponding data filter). Choose low-cardinality columns (date,
+    * region, modality); high-cardinality partitioning produces the
+    * million-small-files problem instead of pruning wins. */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed parquet table: pre-shuffled on `bucketCols` so joins and
     * aggregations on those keys need NO exchange at read time — the
     * co-located-join story for repeatedly-joined fact tables at scale

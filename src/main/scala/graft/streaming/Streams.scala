@@ -118,6 +118,22 @@ object Streams {
     else marked.dropDuplicates(keyCols)
   }
 
+  /** Stream-static enrichment join (§2.8): each streaming event decorated
+    * with dimension attributes — the streaming mirror of the batch
+    * broadcast dimension join (J5). The static side is re-read per
+    * micro-batch by the engine and carries NO state (nothing buffered,
+    * nothing watermarked): at any scale the stream side stays a pure
+    * pipeline and the dimension rides as a broadcast, so this is the
+    * cheapest join shape in the module. Works identically on batch
+    * frames. */
+  def enrichWithDim(
+      events: DataFrame, // streaming or batch fact
+      dim: DataFrame,    // small static dimension
+      keyCol: String,
+      joinType: String = "left_outer"): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq(keyCol), joinType)
+
   /** Stream-stream watermarked join (§2.8): each click enriched with every
     * purchase by the same user within the preceding `horizon` — the
     * standard conversion-attribution shape.

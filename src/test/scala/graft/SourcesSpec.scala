@@ -137,6 +137,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(joined.except(plain).count() === 0 && plain.except(joined).count() === 0)
   }
 
+  test("writePartitioned: filter on partition column prunes at planning time") {
+    val docs = Tables.documents(spark, TestSpark.sf).select($"doc_id", $"lang", $"text")
+    Sources.writePartitioned(docs, s"$tmp/part_docs", Seq("lang"))
+    val langs = docs.select($"lang").distinct().as[String].collect()
+    assert(langs.length >= 2, "fixture needs >= 2 partitions to prove pruning")
+
+    val one = spark.read.parquet(s"$tmp/part_docs").filter($"lang" === langs.head)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "scan must carry partition filters")
+    // the lang predicate must be a partition filter, NOT a data filter:
+    // no pushed-down data filter on lang remains after pruning
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(!pushed.contains("lang"), s"lang must prune, not scan-filter: $pushed")
+    // values round-trip and the pruned read returns exactly that partition
+    assert(one.count() === docs.filter($"lang" === langs.head).count())
+    // directory layout is hive-style lang=<value>
+    val dirs = new java.io.File(s"$tmp/part_docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(langs.forall(l => dirs.contains(s"lang=$l")))
+  }
+
   test("saltedJoin returns exactly the plain join result (skew mitigation)") {
     val o = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"), col("o_totalprice"))
     val li = Tables.lineitem(spark, TestSpark.sf).select(col("l_orderkey"), col("l_quantity"))

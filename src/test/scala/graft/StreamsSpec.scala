@@ -126,6 +126,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("enrichWithDim: stream-static broadcast join equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((100L, "gold"), (200L, "silver")).toDF("user_id", "segment")
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = Streams.enrichWithDim(mem.toDF(), dim, "user_id").writeStream
+      .format("memory").queryName("enrich_out").outputMode("append")
+      .option("checkpointLocation", ckpt("enrich"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("enrich_out")
+      .select($"event_id", $"segment").as[(Long, Option[String])].collect().toSet
+    val batch = Streams.enrichWithDim(sample.toDF(), dim, "user_id")
+      .select($"event_id", $"segment").as[(Long, Option[String])].collect().toSet
+    assert(streamed === batch)
+    assert(batch === Set(
+      (1L, Some("gold")), (2L, Some("gold")), (3L, Some("gold")),
+      (4L, Some("silver")), (5L, Some("silver"))))
+    // left-outer: unmatched fact rows survive with NULL attributes
+    val extra = Streams.enrichWithDim(
+      (sample :+ Ev(6, t(20), 999, "click", 1.0)).toDF(), dim, "user_id")
+    assert(extra.filter($"event_id" === 6 && $"segment".isNull).count() === 1)
+  }
+
   test("clickPurchaseJoin: stream-stream watermarked join equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = Seq(
