@@ -370,7 +370,18 @@ object SparkEntry {
     // pairs over int8-quantized vectors — τ=0.4 as the integer 1600/10⁴.
     // Pure integer predicate ⇒ hash-matches the oracle end to end.
     "q42_emb_neardup" -> ((s, dir) =>
-      llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L))
+      llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
+
+    // Dedup survivor selection: connected components over the q16 LSH pair
+    // graph — min-label propagation to a fixpoint; every doc in a
+    // component labeled with the component's min doc id. Oracle is the
+    // same pair SQL + a recursive-CTE transitive closure.
+    "q43_dup_clusters" -> ((s, dir) =>
+      llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(Tables.documents(s, dir), "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id")))
   )
 
   /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
@@ -938,6 +949,45 @@ object SparkEntry {
         |  FROM w a JOIN w b ON a.vec_id < b.vec_id
         |)
         |SELECT id_a, id_b, dot_i8 FROM pairs
-        |WHERE dot_i8 > 0 AND dot_i8 * dot_i8 * 10000 >= 1600 * na2 * nb2""".stripMargin
+        |WHERE dot_i8 > 0 AND dot_i8 * dot_i8 * 10000 >= 1600 * na2 * nb2""".stripMargin,
+
+    // q16's pair derivation verbatim, then connected components as a
+    // recursive transitive closure: min over each doc's reachable set ==
+    // min-label fixpoint (components are small, so closure is cheap here;
+    // the Spark side converges by iteration, not enumeration)
+    "q43_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin
   )
 }

@@ -241,6 +241,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the
+    * survivor-selection step that completes dedup: every doc in a
+    * component gets the component's MINIMUM doc id as `cluster_id`
+    * (deterministic survivor rule: keep `doc_id == cluster_id`, drop the
+    * rest).
+    *
+    * Iterative min-label propagation: each round, every vertex takes the
+    * min of its own label and its neighbors' labels (one equi-join + one
+    * map-side-partial min agg per round). Labels only ever decrease, so
+    * the label sum is a monotone convergence witness — one scalar agg per
+    * round, no driver-side label collection. Rounds ≈ component diameter;
+    * near-dup clusters are shallow (pairs share LSH buckets), so this
+    * converges in a handful of rounds, and at web scale the alternating
+    * large-star/small-star optimization (Kiveris et al., "Connected
+    * Components in MapReduce") drops in behind the same signature. A
+    * deliberate driver-side fixpoint loop, like every iterative fit in
+    * the engine (KMeans, LR); each round persists its label frame and
+    * releases the previous. */
+  def dupClusters(
+      pairs: DataFrame,
+      aCol: String = "a_doc",
+      bCol: String = "b_doc",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iters += 1
+    }
+    edges.unpersist()
+    // the final label frame STAYS persisted: its lineage is the whole
+    // iteration chain, so dropping the cache here would replay every round
+    // on first consumption. Callers release it via spark.catalog.clearCache
+    // or by unpersisting the returned frame after materializing.
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -83,6 +83,22 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashDups(corpus, hamMax = 4, bands = 4))
   }
 
+  test("dupClusters: min-label components, multi-round chains, survivor rule") {
+    // two components: a 5-node path (diameter 4 — needs >1 round) and a pair;
+    // labels deliberately NOT in path order so propagation must travel
+    val pairs = Seq(
+      (9L, 2L), (2L, 7L), (7L, 1L), (1L, 5L), // path 9-2-7-1-5 → min 1
+      (20L, 30L)                              // pair → min 20
+    ).toDF("a_doc", "b_doc")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      9L -> 1L, 2L -> 1L, 7L -> 1L, 1L -> 1L, 5L -> 1L,
+      20L -> 20L, 30L -> 20L))
+    // survivor rule: exactly one doc per cluster keeps doc_id == cluster_id
+    val survivors = got.filter { case (id, c) => id == c }.keys.toSet
+    assert(survivors === Set(1L, 20L))
+  }
+
   test("LSH candidate count is far below n^2 on real fixture data") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val n = docs.count()
