@@ -372,6 +372,15 @@ object SparkEntry {
     "q42_emb_neardup" -> ((s, dir) =>
       llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
 
+    // Reproducible train/holdout split: content-addressed md5-bucket
+    // assignment (partition-layout-independent, unlike randomSplit) +
+    // per-split corpus stats. Portable hash ⇒ exact oracle match.
+    "q44_hash_split" -> ((s, dir) =>
+      ml.Models.hashSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("split"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))),
+
     // Dedup survivor selection: connected components over the q16 LSH pair
     // graph — min-label propagation to a fixpoint; every doc in a
     // component labeled with the component's min doc id. Oracle is the
@@ -988,6 +997,14 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY id""".stripMargin
+        |FROM reach GROUP BY id""".stripMargin,
+
+    // Same md5 first-byte bucket arithmetic; token mirror is q12's
+    "q44_hash_split" ->
+      """SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 205
+        |            THEN 'train' ELSE 'holdout' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

@@ -43,6 +43,27 @@ object Models {
     (train, test)
   }
 
+  /** Content-addressed train/holdout split: assignment is a pure function
+    * of the KEY (first md5 byte, 256 buckets), so — unlike `randomSplit`,
+    * whose sampling depends on partition layout — the same row lands in
+    * the same split on any cluster, any partitioning, any day: the
+    * reproducibility contract a 100-TB training pipeline needs. Engine-
+    * portable arithmetic (md5 + hex), so split assignment is
+    * oracle-checkable. `trainBuckets`/256 is the train fraction
+    * (205 ≈ 80%). Pure projection, no shuffle, no action. */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      trainBuckets: Int = 205,
+      splitCol: String = "split"): DataFrame = {
+    require(trainBuckets > 0 && trainBuckets < 256,
+      s"trainBuckets must split [0,256), got $trainBuckets")
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    df.withColumn(splitCol,
+      when(bucket < trainBuckets, lit("train")).otherwise(lit("holdout")))
+  }
+
   /** M2–M5 as one Pipeline: tokenize → stopwords → 2/3-grams →
     * distinct-union merge → CountVectorizer(minDF/maxDF) → IDF. Mirrors
     * `acq_etl_code.scala:51-81` / `tgt_etl_code.scala:35-67` with the

@@ -29,6 +29,21 @@ class ModelsSpec extends AnyFunSuite {
     assert(frac > 0.75 && frac < 0.85)
   }
 
+  test("hashSplit: content-addressed, partition-invariant, ~trainBuckets/256 fraction") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val a = Models.hashSplit(docs, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // partition layout must not change any assignment (randomSplit's flaw)
+    val b = Models.hashSplit(docs.repartition(7, $"lang"), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a === b, "assignment must be a pure function of the key")
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(math.abs(frac - 205.0 / 256) < 0.1, s"~80% train, got $frac")
+    // boundary contract: trainBuckets outside (0,256) is rejected
+    assertThrows[IllegalArgumentException](Models.hashSplit(docs, "doc_id", 0))
+    assertThrows[IllegalArgumentException](Models.hashSplit(docs, "doc_id", 256))
+  }
+
   test("weighted LR on separable data: AUC >= 0.95, threshold 0.68 set (lr.scala:44)") {
     // separable: label 1 iff x > 0; imbalanced 9:1 like the M&A labels
     val rnd = new scala.util.Random(7)
