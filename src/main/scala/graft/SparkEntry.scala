@@ -372,6 +372,21 @@ object SparkEntry {
     "q42_emb_neardup" -> ((s, dir) =>
       llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
 
+    // North-star dedup, n-gram Jaccard method oracle-checked end to end:
+    // portable md5 LSH candidates (q16's derivation) + exact Jaccard
+    // verify over distinct 3-shingle sets. Same int-ratio division on both
+    // engines ⇒ the double jaccard column hash-matches too.
+    "q45_jaccard_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.jaccardVerify(
+        docs,
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id"),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
     // Reproducible train/holdout split: content-addressed md5-bucket
     // assignment (partition-layout-independent, unlike randomSplit) +
     // per-split corpus stats. Portable hash ⇒ exact oracle match.
@@ -998,6 +1013,46 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    // q16's pair CTEs + exact Jaccard over distinct shingle sets; the
+    // division is the same (int intersection)/(int union) in IEEE double
+    // on both engines, so even the float column hash-matches
+    "q45_jaccard_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |), scored AS (
+        |  SELECT p.a_doc, p.b_doc,
+        |         CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) /
+        |           (len(sa.sset) + len(sb.sset) - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+        |           AS jaccard
+        |  FROM pairs p
+        |  JOIN sets sa ON p.a_doc = sa.doc_id
+        |  JOIN sets sb ON p.b_doc = sb.doc_id
+        |)
+        |SELECT a_doc, b_doc, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
 
     // Same md5 first-byte bucket arithmetic; token mirror is q12's
     "q44_hash_split" ->

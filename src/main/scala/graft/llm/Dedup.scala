@@ -154,28 +154,19 @@ object Dedup {
           .as("bucket"))
   }
 
-  /** End-to-end near-dup pairs with exact Jaccard verification on the
-    * candidate set only: J(A,B) = |A∩B| / |A∪B| over distinct shingle sets.
-    * Returns (a_doc, b_doc, jaccard) for pairs with jaccard ≥ threshold. */
-  def nearDupPairs(
+  /** Exact n-gram Jaccard verification of a candidate pair set:
+    * J(A,B) = |A∩B| / |A∪B| over distinct shingle sets, computed ONLY for
+    * docs that appear in a candidate pair — the semi-join prune keeps this
+    * stage proportional to |candidates|, not |corpus| (at 100 TB
+    * candidates are orders of magnitude smaller). Returns
+    * (a_doc, b_doc, jaccard) for pairs with jaccard ≥ threshold. */
+  def jaccardVerify(
       docs: DataFrame,
+      cands: DataFrame, // (a_doc, b_doc)
       idCol: String,
       textCol: String,
-      threshold: Double = 0.7,
-      numHashes: Int = 8,
-      bands: Int = 4,
+      threshold: Double,
       shingleWidth: Int = 3): DataFrame = {
-    // The candidate set is re-read three times below (id prune ×2 + the
-    // verify join). It is orders of magnitude smaller than the corpus, so
-    // persisting it — rather than recomputing the whole LSH pipeline per
-    // use — is the correct call at any scale (ContextCleaner evicts the
-    // block once the frame is unreachable).
-    val cands = candidatePairs(
-      bandBucketsFast(docs, idCol, textCol, numHashes, bands, shingleWidth), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shingle sets only for docs that appear in a candidate pair — the
-    // semi-join prune keeps the verify stage proportional to |candidates|,
-    // not |corpus| (at 100 TB candidates are orders of magnitude smaller)
     val candIds = cands.select(col("a_doc").as(idCol))
       .union(cands.select(col("b_doc").as(idCol)))
       .distinct()
@@ -190,6 +181,27 @@ object Dedup {
           size(array_union(col("a_set"), col("b_set"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_doc"), col("b_doc"), col("jaccard"))
+  }
+
+  /** End-to-end near-dup pairs: fast-path LSH candidates + exact Jaccard
+    * verification ([[jaccardVerify]]). */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      shingleWidth: Int = 3): DataFrame = {
+    // The candidate set is re-read three times in the verify stage (id
+    // prune ×2 + the verify join). It is orders of magnitude smaller than
+    // the corpus, so persisting it — rather than recomputing the whole LSH
+    // pipeline per use — is the correct call at any scale (ContextCleaner
+    // evicts the block once the frame is unreachable).
+    val cands = candidatePairs(
+      bandBucketsFast(docs, idCol, textCol, numHashes, bands, shingleWidth), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(docs, cands, idCol, textCol, threshold, shingleWidth)
   }
 
   /** SimHash near-duplicate pairs (north-star dedup family, third method
