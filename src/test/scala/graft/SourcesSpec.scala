@@ -137,6 +137,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(joined.except(plain).count() === 0 && plain.except(joined).count() === 0)
   }
 
+  test("csvWithCorruptCapture quarantines malformed rows, parses the rest") {
+    import org.apache.spark.sql.types._
+    val dir = s"$tmp/corrupt_csv"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/rows.csv"),
+      "id,amount\n1,10.5\nnot-a-number,oops,extra\n3,30.25\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val df = Sources.csvWithCorruptCapture(spark, dir, schema, header = true)
+      .cache() // Spark requires materialization before corrupt-only queries
+    val good = df.filter($"corrupt".isNull)
+      .select($"id", $"amount").as[(Long, Double)].collect().toSet
+    assert(good === Set((1L, 10.5), (3L, 30.25)))
+    val bad = df.filter($"corrupt".isNotNull)
+      .select($"corrupt").as[String].collect().toSeq
+    assert(bad === Seq("not-a-number,oops,extra"),
+      "the raw malformed line must be preserved, not silently nulled")
+    df.unpersist()
+  }
+
   test("writePartitioned: filter on partition column prunes at planning time") {
     val docs = Tables.documents(spark, TestSpark.sf).select($"doc_id", $"lang", $"text")
     Sources.writePartitioned(docs, s"$tmp/part_docs", Seq("lang"))
