@@ -174,6 +174,25 @@ object Multimodal {
           .as("frame_bytes"))
   }
 
+  /** Per-frame video features: decode → one row per frame → byte stats
+    * over that frame's luma plane. The per-frame slice is a codegen'd
+    * binary substring over the concatenated planes (frames are fixed-size,
+    * so offsets are pure arithmetic), and the explode fans out WITHIN
+    * partitions — parallelism follows the asset partitioning, no shuffle.
+    * This is the video batch shape a frame-level model consumes. */
+  def videoFrameFeatures(assets: DataFrame): DataFrame = {
+    val frameLen = col("vid.w") * col("vid.h")
+    assets
+      .withColumn("vid", graft.exprapi.y4mDecode(col("content")))
+      .filter(col("vid").isNotNull)
+      .select(col("asset_id"), col("vid"),
+        explode(sequence(lit(0), col("vid.n_frames") - 1)).as("frame_no"))
+      .select(col("asset_id"), col("frame_no"),
+        graft.exprapi.byteStats(
+          col("vid.y").substr((col("frame_no") * frameLen + 1).cast("int"),
+            frameLen.cast("int"))).as("features"))
+  }
+
   /** Per-modality feature batches: decode + features, grouped stats as the
     * sanity surface (count, real-decoded count, avg feature norm) — every
     * norm is over features of ACTUALLY DECODED payload values (pixels,

@@ -152,6 +152,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats(2) === 0.0 && stats(3) === 1.0, "min 0, max 255")
   }
 
+  test("videoFrameFeatures: one row per frame, stats equal direct plane slices") {
+    val assets = Multimodal.syntheticAssets(spark, 9)
+    val frames = Multimodal.videoFrameFeatures(assets)
+      .as[(Long, Int, Seq[Double])].collect()
+    val videoIds = assets.filter($"modality" === "video")
+      .select($"asset_id").as[Long].collect().toSet
+    assert(frames.map(_._1).toSet === videoIds, "only video assets decode")
+    assert(frames.count(_._1 == frames.head._1) === Multimodal.SyntheticVideoFrames)
+    // frame 0 features == byteStats of the first w*h luma bytes, computed directly
+    val lumaLen = Multimodal.SyntheticImageW * Multimodal.SyntheticImageH
+    val direct = assets.filter($"asset_id" === frames.head._1)
+      .select(graft.exprapi.byteStats(
+        graft.exprapi.y4mDecode($"content")("y").substr(1, lumaLen)).as("f"))
+      .as[Seq[Double]].head()
+    val f0 = frames.find(f => f._1 == frames.head._1 && f._2 == 0).get._3
+    assert(f0 === direct)
+    // md5-derived planes: consecutive frames must differ
+    val f1 = frames.find(f => f._1 == frames.head._1 && f._2 == 1).get._3
+    assert(f0 !== f1, "distinct frames must yield distinct stats")
+  }
+
   test("decodeStub: fixed-width features in [0,1), deterministic (STUB contract)") {
     val feats = Multimodal.decodeStub(Multimodal.syntheticAssets(spark, 6), dims = 12)
       .select($"asset_id", $"features").as[(Long, Seq[Double])].collect().toMap

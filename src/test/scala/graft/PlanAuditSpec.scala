@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val audited = Seq("q02_label_join", "q04_theta_pairs", "q05_cust_orders",
       "q09_semi_join", "q10_anti_join", "q16_near_dedup", "q24_near_dedup_fast",
       "q25_sim_lsh", "q30_asof_join", "q31_range_join", "q34_lang_bigrams",
-      "q35_winnow", "q36_winnow_fast", "q40_simhash_dups", "q41_csv_roundtrip")
+      "q35_winnow", "q36_winnow_fast", "q40_simhash_dups", "q41_csv_roundtrip",
+      "q44_hash_split", "q45_jaccard_dedup")
     audited.foreach { name =>
       val plan = executed(SparkEntry.queries(name)(spark, TestSpark.sf))
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
