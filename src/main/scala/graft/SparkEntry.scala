@@ -973,7 +973,8 @@ object SparkEntry {
         |  FROM w a JOIN w b ON a.vec_id < b.vec_id
         |)
         |SELECT id_a, id_b, dot_i8 FROM pairs
-        |WHERE dot_i8 > 0 AND dot_i8 * dot_i8 * 10000 >= 1600 * na2 * nb2""".stripMargin,
+        |WHERE dot_i8 > 0
+        |  AND CAST(dot_i8 AS HUGEINT) * dot_i8 * 10000 >= CAST(1600 AS HUGEINT) * na2 * nb2""".stripMargin,
 
     // q16's pair derivation verbatim, then connected components as a
     // recursive transitive closure: min over each doc's reachable set ==

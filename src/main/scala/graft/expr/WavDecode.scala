@@ -69,10 +69,12 @@ object WavDecode {
     var sampleRate = 0
     var haveFmt = false
     var off = 12
-    // walk chunks: each is tag(4) + size(4) + payload (word-aligned)
+    // walk chunks: each is tag(4) + size(4) + payload (word-aligned).
+    // ALL bounds arithmetic in Long — a crafted size near Int.MaxValue must
+    // reject (NULL), not wrap negative and crash the task (cf. BmpDecode)
     while (off + 8 <= bytes.length) {
       val size = i32(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return null
+      if (size < 0 || off.toLong + 8L + size > bytes.length) return null
       if (tag(bytes, off, "fmt ")) {
         if (size < 16) return null
         val audioFormat = u16(bytes, off + 8)

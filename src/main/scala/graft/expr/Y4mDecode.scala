@@ -87,20 +87,27 @@ object Y4mDecode {
     }
     if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return null
     if (!mono && (w % 2 != 0 || h % 2 != 0)) return null
-    val lumaSize = w * h
-    val frameSize = if (mono) lumaSize else lumaSize + (w / 2) * (h / 2) * 2
+    // plane arithmetic in Long: header-claimed 65536×65536 overflows Int
+    // (w*h wraps negative) — a malformed header must reject (NULL), never
+    // index negatively or allocate a negative array (cf. BmpDecode)
+    val lumaSizeL = w.toLong * h
+    val frameSizeL = if (mono) lumaSizeL else lumaSizeL + (w / 2).toLong * (h / 2) * 2
+    if (frameSizeL > bytes.length) return null
+    val lumaSize = lumaSizeL.toInt
+    val frameSize = frameSizeL.toInt
 
     // count frames first (each is "FRAME[ params]\n" + planes)
     var off = eol + 1
     var nFrames = 0
     while (off < bytes.length) {
       val fe = frameDataStart(bytes, off)
-      if (fe < 0 || fe + frameSize > bytes.length) return null
+      if (fe < 0 || fe.toLong + frameSize > bytes.length) return null
       nFrames += 1
       off = fe + frameSize
     }
     if (nFrames == 0) return null
 
+    // nFrames * lumaSize <= bytes.length by the per-frame bound above
     val out = new Array[Byte](nFrames * lumaSize)
     off = eol + 1
     var f = 0

@@ -225,6 +225,10 @@ object Dedup {
       hamMax: Int = 3,
       bands: Int = 4,
       shingleWidth: Int = 3): DataFrame = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands) — a 64-bit sketch slices into " +
+        "1/2/4/8/16/32/64 equal bands; anything else truncates key bits " +
+        "or degenerates every doc into one bucket")
     require(hamMax < bands,
       s"hamming guarantee needs hamMax < bands (got $hamMax >= $bands)")
     val width = 64 / bands
@@ -261,16 +265,20 @@ object Dedup {
     *
     * Iterative min-label propagation: each round, every vertex takes the
     * min of its own label and its neighbors' labels (one equi-join + one
-    * map-side-partial min agg per round). Labels only ever decrease, so
-    * the label sum is a monotone convergence witness — one scalar agg per
-    * round, no driver-side label collection. Rounds ≈ component diameter;
-    * near-dup clusters are shallow (pairs share LSH buckets), so this
-    * converges in a handful of rounds, and at web scale the alternating
+    * map-side-partial min agg per round). Labels only ever decrease under
+    * the id ordering, so "no row changed this round" is an exact fixpoint
+    * witness — checked with a limit-1 join between the two tiny cached
+    * label frames, never by collecting labels, and valid for ANY orderable
+    * id type (numeric, string, ...). Rounds ≈ component diameter; near-dup
+    * clusters are shallow (pairs share LSH buckets), so this converges in
+    * a handful of rounds, and at web scale the alternating
     * large-star/small-star optimization (Kiveris et al., "Connected
     * Components in MapReduce") drops in behind the same signature. A
     * deliberate driver-side fixpoint loop, like every iterative fit in
     * the engine (KMeans, LR); each round persists its label frame and
-    * releases the previous. */
+    * releases the previous. Throws if `maxIters` rounds do not reach the
+    * fixpoint — a silent partial clustering would split components and
+    * yield multiple "survivors" per duplicate group. */
   def dupClusters(
       pairs: DataFrame,
       aCol: String = "a_doc",
@@ -284,32 +292,37 @@ object Dedup {
     // into initialization at the cost of zero extra jobs (the groupBy also
     // serves as the vertex-distinct)
     var labels = edges.groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("label"))
-      .select(col("src").as("id"), col("label")).persist()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-    var prevSum = labelSum(labels)
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .select(col("src").as("doc_id"), col("cluster_id")).persist()
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val msgs = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
-      val nextSum = labelSum(next)
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.union(msgs)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .limit(1).count()
       labels.unpersist()
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      converged = changed == 0
       iters += 1
     }
     edges.unpersist()
-    // the final label frame STAYS persisted: its lineage is the whole
-    // iteration chain, so dropping the cache here would replay every round
-    // on first consumption. Callers release it via spark.catalog.clearCache
-    // or by unpersisting the returned frame after materializing.
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not reach the label fixpoint in $maxIters rounds — " +
+          "a component's diameter exceeds maxIters; raise maxIters (rounds " +
+          "needed ~ longest near-dup chain)")
+    }
+    // the final (doc_id, cluster_id) frame IS the persisted frame — its
+    // lineage is the whole iteration chain, so it stays cached; callers
+    // release it with .unpersist() after materializing, or clearCache.
+    labels
   }
 
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the

@@ -241,17 +241,20 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (north-star dedup family,
     * embedding-space method), exact over int8-quantized vectors.
     *
-    * The threshold test runs in pure 64-bit integer arithmetic so the whole
+    * The threshold test runs in exact integer arithmetic so the whole
     * path is bit-identical across engines (oracle-checkable, like
     * [[bruteForceTopKInt8]]): for τ² pre-scaled by 10⁴ as `tau2E4`,
     *
     *   cos(a,b) ≥ τ  ⟺  dot > 0  ∧  dot²·10⁴ ≥ tau2E4·|a|²·|b|²
     *
-    * over the quantized ints (dot ≤ 127²·d, so dot²·10⁴ stays far inside
-    * Long for any realistic d). Contract: this is the EXACT baseline for a
-    * bounded corpus — the pair space is n²/2 with the right side broadcast,
-    * linear per partition, never shuffled; [[lshCosinePairs]] is the
-    * scale path when n² is no longer affordable. */
+    * over the quantized ints. Both products are ≤ ~2.6e12·d², which
+    * overflows Long once d ≳ 1.9k — real embedding dims (2048, 3072) hit
+    * that — so the comparison runs in decimal(38,0) (exact to 38 digits,
+    * good to d ≈ 1e12; the DuckDB mirror uses HUGEINT). Contract: this is
+    * the EXACT baseline for a bounded corpus — the pair space is n²/2 with
+    * the right side broadcast, linear per partition, never shuffled;
+    * [[lshCosinePairs]] is the scale path when n² is no longer
+    * affordable. */
   def int8NearDupPairs(
       embeddings: DataFrame,
       tau2E4: Long,
@@ -261,11 +264,12 @@ object Similarity {
       .withColumn("n2", graft.exprapi.int8Dot(col("qv"), col("qv")))
     val a = q8.select(col(idCol).as("id_a"), col("qv").as("va"), col("n2").as("na2"))
     val b = q8.select(col(idCol).as("id_b"), col("qv").as("vb"), col("n2").as("nb2"))
+    val dec = "decimal(38,0)"
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("dot_i8", graft.exprapi.int8Dot(col("va"), col("vb")))
       .filter(col("dot_i8") > 0 &&
-        col("dot_i8") * col("dot_i8") * lit(10000L) >=
-          lit(tau2E4) * col("na2") * col("nb2"))
+        col("dot_i8").cast(dec) * col("dot_i8") * lit(10000L) >=
+          lit(tau2E4).cast(dec) * col("na2") * col("nb2"))
       .select(col("id_a"), col("id_b"), col("dot_i8"))
   }
 
@@ -304,7 +308,8 @@ object Similarity {
       candidates: DataFrame, // (n_id, n_emb: array<float>)
       nlist: Int = 16,
       seed: Long = 42L,
-      maxIter: Int = 5): IvfIndex = {
+      maxIter: Int = 5,
+      persistCells: Boolean = true): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
 
     val candVec = l2Normalized(candidates, "n_emb", "n_unit")
@@ -314,10 +319,18 @@ object Similarity {
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("v")
       .setPredictionCol("cell").setInitMode("random").setMaxIter(maxIter)
       .fit(candVec)
-    val cells = km.transform(candVec)
+    // persistCells=true is the SERVING shape (pay the cache once, every
+    // probe reuses it — caller releases via IvfIndex.unpersist). The
+    // one-shot path passes false: its single probe reads the cells plan
+    // exactly once, so caching would be pure overhead plus a leaked block.
+    val cellsPlan = km.transform(candVec)
       .select(col("n_id"), col("cell"), col("n_unit"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cells.count() // materialize the index before releasing the fit frame
+    val cells =
+      if (persistCells) {
+        val c = cellsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count() // materialize the index before releasing the fit frame
+        c
+      } else cellsPlan
     candVec.unpersist()
 
     val spark = candidates.sparkSession
@@ -363,7 +376,8 @@ object Similarity {
   }
 
   /** Scale path #2: cosine IVF (inverted-file) top-k — the one-shot
-    * convenience form: [[fitIvfIndex]] + [[ivfProbe]] + index release.
+    * convenience form: [[fitIvfIndex]] (uncached cells — the single probe
+    * reads them once, so nothing is left persisted) + [[ivfProbe]].
     * For repeated query batches, hold the [[IvfIndex]] and call
     * [[ivfProbe]] directly — the fit then happens once, not per batch. */
   def ivfTopK(
@@ -372,7 +386,7 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    val index = fitIvfIndex(candidates, nlist)
+    val index = fitIvfIndex(candidates, nlist, persistCells = false)
     ivfProbe(index, queries, k, nprobe)
   }
 }

@@ -81,6 +81,12 @@ class DedupSpec extends AnyFunSuite {
       s"banded=${banded.size} brute=${brute.size} — hamMax<bands must be exact")
     assertThrows[IllegalArgumentException](
       Dedup.simhashDups(corpus, hamMax = 4, bands = 4))
+    // bands must divide 64: width-0 slices would put EVERY doc in one
+    // bucket (the quadratic regime the operator exists to avoid)
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashDups(corpus, hamMax = 3, bands = 65))
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashDups(corpus, hamMax = 3, bands = 5))
   }
 
   test("dupClusters: min-label components, multi-round chains, survivor rule") {
@@ -97,6 +103,20 @@ class DedupSpec extends AnyFunSuite {
     // survivor rule: exactly one doc per cluster keeps doc_id == cluster_id
     val survivors = got.filter { case (id, c) => id == c }.keys.toSet
     assert(survivors === Set(1L, 20L))
+    // the returned frame is the persisted one — caller release must work
+    Dedup.dupClusters(pairs).unpersist()
+  }
+
+  test("dupClusters: string ids cluster lexicographically; too-deep graph throws") {
+    // the convergence witness must be type-agnostic, not numeric-only
+    val pairs = Seq(("uuid-c", "uuid-a"), ("uuid-a", "uuid-b")).toDF("a_doc", "b_doc")
+    val got = Dedup.dupClusters(pairs).as[(String, String)].collect().toMap
+    assert(got === Map("uuid-a" -> "uuid-a", "uuid-b" -> "uuid-a", "uuid-c" -> "uuid-a"))
+    // refusing to return a partial clustering beats silently splitting a
+    // component into several "survivors"
+    val chain = (1L to 8L).sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("a_doc", "b_doc")
+    assertThrows[IllegalStateException](Dedup.dupClusters(chain, maxIters = 1))
   }
 
   test("LSH candidate count is far below n^2 on real fixture data") {

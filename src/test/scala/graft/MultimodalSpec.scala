@@ -111,6 +111,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L) === ((false, Some(4))))
     assert(got(2L)._1 === true)
     assert(got(3L)._1 === true)
+    // adversarial chunk size near Int.MaxValue: the bounds check must stay
+    // in Long (reject as NULL), never wrap negative and crash the task
+    val evil = java.util.Arrays.copyOf(wav, wav.length)
+    evil(16) = 0xF4.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0x7F.toByte // fmt size = 0x7FFFFFF4
+    assert(graft.expr.WavDecode.compute(evil) == null)
     // stats over the golden samples: mean=(0+16384-16384-32768)/4/32768
     val stats = df.filter($"id" === 1)
       .select(graft.exprapi.pcmStats(graft.exprapi.wavDecode($"content")("pcm")).as("s"))
@@ -133,6 +139,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.getBinary(3).toSeq === y.toSeq, "decode(encode(x)) == x")
     // truncated payload (missing luma bytes) must be rejected, not mis-sliced
     assert(graft.expr.Y4mDecode.compute(y4m.dropRight(1)) == null)
+    // header-claimed dims whose product overflows Int must reject as NULL,
+    // not index negatively or allocate a negative array
+    val evil = "YUV4MPEG2 W46341 H46341 Cmono\nFRAME\n".getBytes("US-ASCII")
+    assert(graft.expr.Y4mDecode.compute(evil) == null)
 
     val df = Seq(
       (1L, y4m), (2L, Array[Byte](1, 2, 3)), (3L, "YUV4MPEG2 W2 H2\n".getBytes)

@@ -223,6 +223,21 @@ class TextOpsSpec extends AnyFunSuite {
       "1", "9", "9", "0"))
   }
 
+  test("bpe_encode splits by code point: astral chars stay whole and mergeable") {
+    // U+1F600 is a surrogate PAIR in UTF-16; a code-unit split would break
+    // it into two lone surrogates (mojibake '?' bytes) — each emoji must
+    // stay one unit, and a merge listing the pair must fuse them
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((1L, Seq(emoji + emoji + "a"))).toDF("id", "toks")
+    val unmerged = df.select(
+      graft.exprapi.bpeEncode($"toks", Seq.empty).as("u")).as[Seq[String]].head()
+    assert(unmerged === Seq(emoji, emoji, "a"))
+    val merged = df.select(
+      graft.exprapi.bpeEncode($"toks", Seq(emoji -> emoji)).as("u"))
+      .as[Seq[String]].head()
+    assert(merged === Seq(emoji + emoji, "a"))
+  }
+
   test("fitMerges learns expected merges on a toy corpus; learned ranks are training-consistent") {
     val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
     val m = graft.text.Bpe.fitMerges(docs, "text", numMerges = 2)
