@@ -49,12 +49,7 @@ case class BmpDecode(child: Expression) extends UnaryExpression {
 }
 
 object BmpDecode {
-
-  private def u16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def i32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  import LittleEndian.{i32, u16}
 
   /** Returns (w, h, rgb) or null if the payload is not a decodable
     * 24-bit BI_RGB BMP. rgb is top-down row-major, 3 bytes/pixel. */
@@ -71,8 +66,11 @@ object BmpDecode {
     val compression = i32(bytes, 30)
     if (w <= 0 || w > (1 << 20) || hRaw == 0 || planes != 1 ||
       bpp != 24 || compression != 0) return null
-    val h = math.abs(hRaw)
-    if (h > (1 << 20)) return null
+    // abs in Long: math.abs(Int.MinValue) stays negative and would slip
+    // past every guard into a negative array allocation
+    val hL = math.abs(hRaw.toLong)
+    if (hL > (1 << 20)) return null
+    val h = hL.toInt
     val topDown = hRaw < 0
     val rowSize = ((w * 3 + 3) / 4) * 4
     if (pixOff < 54 || pixOff.toLong + rowSize.toLong * h > bytes.length)
@@ -106,11 +104,8 @@ object BmpDecode {
     val rowSize = ((w * 3 + 3) / 4) * 4
     val size = 54 + rowSize * h
     val b = new Array[Byte](size)
-    def putU16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
-    def putI32(o: Int, v: Int): Unit = {
-      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
-      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
-    }
+    def putU16(o: Int, v: Int): Unit = LittleEndian.putU16(b, o, v)
+    def putI32(o: Int, v: Int): Unit = LittleEndian.putI32(b, o, v)
     b(0) = 'B'; b(1) = 'M'
     putI32(2, size); putI32(10, 54)
     putI32(14, 40); putI32(18, w); putI32(22, h)

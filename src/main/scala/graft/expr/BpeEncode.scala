@@ -40,14 +40,15 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
 
-  /** pair key "a" + NUL + "b" → rank; built once per deserialized
-    * expression. The U+0000 separator (written as an escape so this file
-    * stays text for git/grep) cannot appear inside a unit, so keys are
-    * unambiguous. */
+  /** pair key `<a.length>:<a><b>` → rank; built once per deserialized
+    * expression. The length prefix makes the key unambiguous for ANY unit
+    * content — a separator character could itself appear inside a unit
+    * (the pre-tokenizer's fallback class matches control chars too) and
+    * would then collide distinct pairs onto one key. */
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + "\u0000" + b, Integer.valueOf(i))
+      m.putIfAbsent(BpeEncode.pairKey(a, b), Integer.valueOf(i))
     }
     m
   }
@@ -66,6 +67,11 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 }
 
 object BpeEncode {
+
+  /** Unambiguous pair key for any unit content: length-prefixed left unit. */
+  def pairKey(a: String, b: String): String =
+    new java.lang.StringBuilder(a.length + b.length + 8)
+      .append(a.length).append(':').append(a).append(b).toString
 
   def compute(toks: ArrayData, ranks: java.util.HashMap[String, Integer]): ArrayData = {
     val n = toks.numElements()
@@ -108,7 +114,7 @@ object BpeEncode {
       var bestRank = Int.MaxValue
       i = 0
       while (i < units.length - 1) {
-        val r = ranks.get(units(i) + "\u0000" + units(i + 1))
+        val r = ranks.get(pairKey(units(i), units(i + 1)))
         if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
         i += 1
       }
@@ -119,7 +125,7 @@ object BpeEncode {
         i = 0
         while (i < units.length) {
           if (i < units.length - 1 && {
-            val r = ranks.get(units(i) + "\u0000" + units(i + 1))
+            val r = ranks.get(pairKey(units(i), units(i + 1)))
             r != null && r.intValue() == bestRank
           }) {
             next += units(i) + units(i + 1)

@@ -50,12 +50,8 @@ case class WavDecode(child: Expression) extends UnaryExpression {
 }
 
 object WavDecode {
+  import LittleEndian.{i32, u16}
 
-  private def u16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def i32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
   private def tag(b: Array[Byte], o: Int, t: String): Boolean =
     b(o) == t(0) && b(o + 1) == t(1) && b(o + 2) == t(2) && b(o + 3) == t(3)
 
@@ -105,11 +101,8 @@ object WavDecode {
       "pcm must be whole 16-bit frames")
     val b = new Array[Byte](44 + pcm.length)
     def putTag(o: Int, t: String): Unit = (0 until 4).foreach(i => b(o + i) = t(i).toByte)
-    def putU16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
-    def putI32(o: Int, v: Int): Unit = {
-      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
-      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
-    }
+    def putU16(o: Int, v: Int): Unit = LittleEndian.putU16(b, o, v)
+    def putI32(o: Int, v: Int): Unit = LittleEndian.putI32(b, o, v)
     putTag(0, "RIFF"); putI32(4, 36 + pcm.length); putTag(8, "WAVE")
     putTag(12, "fmt "); putI32(16, 16)
     putU16(20, 1); putU16(22, channels); putI32(24, sampleRate)

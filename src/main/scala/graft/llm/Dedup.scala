@@ -224,7 +224,8 @@ object Dedup {
       textCol: String = "text",
       hamMax: Int = 3,
       bands: Int = 4,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(bands >= 1 && bands <= 64 && 64 % bands == 0,
       s"bands must divide 64 (got $bands) — a 64-bit sketch slices into " +
         "1/2/4/8/16/32/64 equal bands; anything else truncates key bits " +
@@ -244,12 +245,31 @@ object Dedup {
             .as("key"))): _*)).as("bk"))
       .select(col(idCol), col("sig"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-    banded.select(col("band"), col("key"), col(idCol).as("id_a"),
-        col("sig").as("sig_a"))
-      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b"),
-        col("sig").as("sig_b")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    // group-then-expand, NOT a self-join: a self-join would evaluate the
+    // whole tokenize+shingle+simhash subtree twice (2 corpus scans, no
+    // exchange reuse even under AQE — same audit finding as
+    // [[candidatePairs]]). Buckets above `maxBucketSize` are DROPPED as a
+    // saturation guard (a 2^(64/bands) key space can fill at extreme
+    // corpus sizes — that's the cue for Manku-style extra permutation
+    // tables, not a quadratic in-bucket expansion); below that, exactness
+    // is the pigeonhole guarantee above.
+    val grouped = banded
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig"))))
+        .as("members"))
+      .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucketSize)
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("members")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("members"))),
+        j => struct(
+          element_at(col("members"), i)("id").as("id_a"),
+          element_at(col("members"), i)("sig").as("sig_a"),
+          element_at(col("members"), j)("id").as("id_b"),
+          element_at(col("members"), j)("sig").as("sig_b")))))
+    grouped
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sig_a"), col("p.sig_b"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))

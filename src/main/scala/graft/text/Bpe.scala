@@ -67,7 +67,7 @@ object Bpe {
       .limit(maxVocab)
       .as[(String, Long)]
       .collect()
-      .map { case (w, n) => (w.map(String.valueOf(_)).toArray, n) }
+      .map { case (w, n) => (splitCodePoints(w), n) }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var vocab = dict
@@ -92,6 +92,22 @@ object Bpe {
       }
     }
     merges.toSeq
+  }
+
+  /** Split by CODE POINT — must match [[graft.expr.BpeEncode]]'s initial
+    * units exactly, or merges learned here (e.g. on a surrogate half)
+    * could never fire at encode time on non-BMP text. */
+  private def splitCodePoints(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var ci = 0
+    while (ci < w.length) {
+      val cc = Character.charCount(w.codePointAt(ci))
+      out(i) = w.substring(ci, ci + cc)
+      ci += cc
+      i += 1
+    }
+    out
   }
 
   private def fuse(units: Array[String], p: (String, String)): Array[String] = {

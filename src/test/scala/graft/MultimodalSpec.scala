@@ -49,6 +49,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L) === ((false, Some(2), Some(2))))
     assert(got(2L)._1 === true)
     assert(got(3L)._1 === true)
+    // height = Int.MinValue: math.abs stays negative in Int — must reject
+    // as NULL, not allocate a negative array and kill the task
+    val evil = java.util.Arrays.copyOf(bmp, bmp.length)
+    evil(22) = 0; evil(23) = 0; evil(24) = 0; evil(25) = 0x80.toByte
+    assert(graft.expr.BmpDecode.compute(evil) == null)
     // channel means over the golden pixels: r=(255+10)/4, g=(255+20)/4, b=(255+30)/4
     val means = df.filter($"id" === 1)
       .select(graft.exprapi.rgbMeans(graft.exprapi.bmpDecode($"content")("rgb")).as("m"))

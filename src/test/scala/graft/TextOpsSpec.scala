@@ -236,6 +236,15 @@ class TextOpsSpec extends AnyFunSuite {
       graft.exprapi.bpeEncode($"toks", Seq(emoji -> emoji)).as("u"))
       .as[Seq[String]].head()
     assert(merged === Seq(emoji + emoji, "a"))
+    // trainer/encoder consistency: a table fitMerges learns on astral text
+    // must actually fire at encode time (both sides split by code point)
+    val corpus = Seq((1L, s"$emoji$emoji $emoji$emoji $emoji$emoji"))
+      .toDF("doc_id", "text")
+    val learned = graft.text.Bpe.fitMerges(corpus, "text", numMerges = 1)
+    assert(learned === Seq(emoji -> emoji))
+    val enc = corpus.select(graft.text.Bpe.subwords($"text", learned).as("u"))
+      .as[Seq[String]].head()
+    assert(enc === Seq(emoji + emoji, emoji + emoji, emoji + emoji))
   }
 
   test("fitMerges learns expected merges on a toy corpus; learned ranks are training-consistent") {
