@@ -372,6 +372,31 @@ object SparkEntry {
     "q42_emb_neardup" -> ((s, dir) =>
       llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
 
+    // S1+P16 end-to-end, oracle-checked: documents staged as REAL text
+    // files named <date>_<cik>_doc.txt (driver-side fixture staging, like
+    // q41's CSV), then the whole-file binary scan + filename-key parse
+    // reads them back; the oracle recomputes the keys and char counts
+    // from the parquet directly — a hash match proves the file round trip
+    // and the path parsing both exact.
+    "q46_corpus_scan" -> ((s, dir) => {
+      val sub = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .collect() // bounded fixture staging (|docs|/10 small files)
+      val base = new java.io.File("target/tmp/q46_corpus")
+      if (base.exists()) base.listFiles().foreach(_.delete())
+      base.mkdirs()
+      sub.foreach { r =>
+        val id = r.getLong(0)
+        java.nio.file.Files.write(
+          new java.io.File(base, s"${20000101L + id}_${id}_doc.txt").toPath,
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      sources.Sources.corpusWithKeys(s, base.getAbsolutePath)
+        .select(col("cik").cast("long").as("doc_id"),
+          col("report_date_raw"),
+          length(col("text")).cast("long").as("n_chars"))
+    }),
+
     // North-star dedup, n-gram Jaccard method oracle-checked end to end:
     // portable md5 LSH candidates (q16's derivation) + exact Jaccard
     // verify over distinct 3-shingle sets. Same int-ratio division on both
@@ -1014,6 +1039,14 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    // Keys and char counts recomputed from parquet — the Spark side must
+    // round-trip them through real files and path parsing
+    "q46_corpus_scan" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(20000101 + doc_id AS VARCHAR) AS report_date_raw,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     // q16's pair CTEs + exact Jaccard over distinct shingle sets; the
     // division is the same (int intersection)/(int union) in IEEE double
