@@ -372,6 +372,15 @@ object SparkEntry {
     "q42_emb_neardup" -> ((s, dir) =>
       llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
 
+    // §2.5 RANGE-frame window (the rolling-aggregate shape tumbling
+    // windows can't express: a trailing hour per EVENT, not per bucket) —
+    // exact decimal sum inside the frame ⇒ hash-matches the oracle.
+    "q47_rolling_hour" -> ((s, dir) =>
+      ops.Temporal.rollingStats(Tables.events(s, dir), "user_id", "ts", "value")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("n_win"), col("sum_win"))),
+
     // S1+P16 end-to-end, oracle-checked: documents staged as REAL text
     // files named <date>_<cik>_doc.txt (driver-side fixture staging, like
     // q41's CSV), then the whole-file binary scan + filename-key parse
@@ -1039,6 +1048,17 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    // RANGE frame over epoch micros; ties on the timestamp are included by
+    // RANGE semantics identically in both engines
+    "q47_rolling_hour" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |       CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_win,
+        |       CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // Keys and char counts recomputed from parquet — the Spark side must
     // round-trip them through real files and path parsing

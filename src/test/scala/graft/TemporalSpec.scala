@@ -33,6 +33,39 @@ class TemporalSpec extends AnyFunSuite {
       103L -> None, 104L -> None))
   }
 
+  test("rollingStats: trailing-window count/sum equal brute-force recomputation; RANGE includes ties") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 100L, 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 100L, 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 10:30:00"), 100L, 4.0),  // tie with 2
+      (4L, Timestamp.valueOf("2024-01-01 11:15:00"), 100L, 8.0),  // 10:00 out of window
+      (5L, Timestamp.valueOf("2024-01-01 10:40:00"), 200L, 16.0)) // other key
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val got = Temporal.rollingStats(df, "user_id", "ts", "value")
+      .select($"event_id", $"n_win", $"sum_win").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1L, 1.0)))
+    // RANGE frame: both ties at 10:30 see each other regardless of order
+    assert(got(2L) === ((3L, 7.0)))
+    assert(got(3L) === ((3L, 7.0)))
+    // trailing hour at 11:15 spans (10:15, 11:15]: events 2,3,4
+    assert(got(4L) === ((3L, 14.0)))
+    assert(got(5L) === ((1L, 16.0)))
+    // brute-force cross-check on fixture events
+    val ev = Tables.events(spark, TestSpark.sf).limit(500)
+      .select($"event_id".cast("long"), $"ts", $"user_id".cast("long"), $"value")
+    val fast = Temporal.rollingStats(ev, "user_id", "ts", "value")
+      .select($"event_id", $"n_win").as[(Long, Long)].collect().toMap
+    val raw = ev.select($"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"), $"user_id")
+      .as[(Long, Long, Long)].collect()
+    raw.foreach { case (id, us, u) =>
+      val n = raw.count { case (_, us2, u2) => u2 == u && us2 <= us && us2 >= us - 3600000000L }
+      assert(fast(id) === n.toLong, s"event $id")
+    }
+  }
+
   test("asofJoin struct carry: all attach columns come from the SAME right row") {
     val right = Seq(
       (1L, ts("2020-01-01 00:00:00"), Some(10.0), Some("a")),
