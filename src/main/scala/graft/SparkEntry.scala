@@ -372,6 +372,12 @@ object SparkEntry {
     "q42_emb_neardup" -> ((s, dir) =>
       llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
 
+    // §2.5 ROLLUP: per-(region, nation) subtotals + grand total in one
+    // Expand + hash agg pass; NULL super-aggregate rows mirror ANSI
+    "q48_rollup" -> ((s, dir) =>
+      Relational.dimsHierarchy(
+        Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+
     // §2.5 RANGE-frame window (the rolling-aggregate shape tumbling
     // windows can't express: a trailing hour per EVENT, not per bucket) —
     // exact decimal sum inside the frame ⇒ hash-matches the oracle.
@@ -1048,6 +1054,13 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    "q48_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_customers, ${dSum("c_acctbal", 2, "sum_acctbal")}
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
     // RANGE frame over epoch micros; ties on the timestamp are included by
     // RANGE semantics identically in both engines

@@ -137,6 +137,21 @@ object Relational {
         count(lit(1)).as("n_customers"),
         exactSum($"c_acctbal").as("sum_acctbal"))
 
+  /** §2.5 ROLLUP: the (region, nation) hierarchy with per-level subtotals
+    * and the grand total in ONE pass — Catalyst expands the grouping sets
+    * through a single Expand node feeding one (still map-side-partial)
+    * hash aggregate, so the hierarchy costs one scan, not one scan per
+    * level. Super-aggregate rows carry NULL in the rolled-up columns
+    * (ANSI semantics, identical in DuckDB's GROUP BY ROLLUP). */
+  def dimsHierarchy(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        exactSum($"c_acctbal").as("sum_acctbal"))
+
   /** J1 semantics proper: LEFT OUTER equi join + aggregate, preserving
     * unmatched left rows (`mergers_acquisitions_code/join_acquirers.scala:26`).
     * Customers with zero orders keep n_orders = 0 via the count(key) NULL
