@@ -372,6 +372,29 @@ object SparkEntry {
     "q42_emb_neardup" -> ((s, dir) =>
       llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
 
+    // §2.5 PIVOT: long→wide with an EXPLICIT value list (no
+    // distinct-collect planning pass — the production form) — token-count
+    // buckets × language counts. Conditional-aggregation mirror in SQL.
+    "q49_pivot" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          (size(TextOps.tokens(col("text"))) >= 50).cast("int").as("long_doc"),
+          col("lang"))
+        .groupBy(col("long_doc"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // §2.5 exact percentiles (the exact counterpart of q37's sketches):
+    // sort-based interpolated median — identical (1-d)·a + d·b arithmetic
+    // in both engines ⇒ the double hash-matches.
+    "q50_median" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+          count(lit(1)).as("n"))),
+
     // §2.5 ROLLUP: per-(region, nation) subtotals + grand total in one
     // Expand + hash agg pass; NULL super-aggregate rows mirror ANSI
     "q48_rollup" -> ((s, dir) =>
@@ -1054,6 +1077,21 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    "q49_pivot" ->
+      """SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 50 AS INT) AS long_doc,
+        |       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+        |       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+        |       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+        |       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+        |       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q50_median" ->
+      """SELECT o_orderpriority,
+        |       quantile_cont(o_totalprice, 0.5) AS median_price,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q48_rollup" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_customers, ${dSum("c_acctbal", 2, "sum_acctbal")}
