@@ -383,7 +383,9 @@ object SparkEntry {
         .groupBy(col("long_doc"))
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .agg(count(lit(1)))
-        .na.fill(0L)),
+        // fill ONLY the pivoted value columns — an unscoped fill would also
+        // rewrite a NULL grouping key to 0 and diverge from the oracle
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))),
 
     // §2.5 exact percentiles (the exact counterpart of q37's sketches):
     // sort-based interpolated median — identical (1-d)·a + d·b arithmetic
@@ -417,7 +419,8 @@ object SparkEntry {
     // from the parquet directly — a hash match proves the file round trip
     // and the path parsing both exact.
     "q46_corpus_scan" -> ((s, dir) => {
-      val sub = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      val sub = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0 && col("text").isNotNull)
         .select(col("doc_id"), col("text"))
         .collect() // bounded fixture staging (|docs|/10 small files)
       val base = new java.io.File("target/tmp/q46_corpus")
@@ -1117,7 +1120,7 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(20000101 + doc_id AS VARCHAR) AS report_date_raw,
         |       CAST(length(text) AS BIGINT) AS n_chars
-        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+        |FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL""".stripMargin,
 
     // q16's pair CTEs + exact Jaccard over distinct shingle sets; the
     // division is the same (int intersection)/(int union) in IEEE double

@@ -125,17 +125,24 @@ object Relational {
   // Joins (SURVEY §2.3)
   // -------------------------------------------------------------------------
 
-  /** J1/J2-shaped dimension chain: customer ⋈ nation ⋈ region, rolled up by
-    * region. nation/region are tiny ⇒ explicit broadcast; the aggregate is
-    * map-side partial so only (region × partitions) rows shuffle. */
-  def dimsRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+  /** The shared J1/J2-shaped dimension chain: customer ⋈ nation ⋈ region.
+    * nation/region are tiny ⇒ explicit broadcast. */
+  private def customerDims(
+      customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     customer
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+
+  private def dimAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_customers"),
+    exactSum($"c_acctbal").as("sum_acctbal"))
+
+  /** Dimension chain rolled up by region. The aggregate is map-side
+    * partial so only (region × partitions) rows shuffle. */
+  def dimsRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customerDims(customer, nation, region)
       .groupBy($"r_name")
-      .agg(
-        count(lit(1)).as("n_customers"),
-        exactSum($"c_acctbal").as("sum_acctbal"))
+      .agg(dimAggs.head, dimAggs.tail: _*)
 
   /** §2.5 ROLLUP: the (region, nation) hierarchy with per-level subtotals
     * and the grand total in ONE pass — Catalyst expands the grouping sets
@@ -144,13 +151,9 @@ object Relational {
     * level. Super-aggregate rows carry NULL in the rolled-up columns
     * (ANSI semantics, identical in DuckDB's GROUP BY ROLLUP). */
   def dimsHierarchy(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
-    customer
-      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
-      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+    customerDims(customer, nation, region)
       .rollup($"r_name", $"n_name")
-      .agg(
-        count(lit(1)).as("n_customers"),
-        exactSum($"c_acctbal").as("sum_acctbal"))
+      .agg(dimAggs.head, dimAggs.tail: _*)
 
   /** J1 semantics proper: LEFT OUTER equi join + aggregate, preserving
     * unmatched left rows (`mergers_acquisitions_code/join_acquirers.scala:26`).

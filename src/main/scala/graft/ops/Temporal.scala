@@ -85,29 +85,6 @@ object Temporal {
     *
     * Column contract: `points` and `intervals` may share only the key
     * columns. Timestamps may be timestamp or timestamp_ntz. */
-  /** RANGE-frame rolling aggregate: per partition key, the count and exact
-    * sum of `valueCol` over the trailing `windowMicros` (inclusive of the
-    * current row and all ties on the timestamp — RANGE, not ROWS,
-    * semantics). One hash shuffle on the key + one per-key sort; the frame
-    * scan is incremental, O(rows) per partition. The sum accumulates in
-    * decimal inside the frame (order-free, engine-portable — the
-    * [[Relational.exactSum]] discipline applied to a window). */
-  def rollingStats(
-      df: DataFrame,
-      partCol: String,
-      tsCol: String,
-      valueCol: String,
-      windowMicros: Long = 3600000000L): DataFrame = {
-    val w = Window.partitionBy(col(partCol)).orderBy(col("ts_us"))
-      .rangeBetween(-windowMicros, 0L)
-    // NTZ → session-TZ timestamp (engine pins UTC) before epoch extraction;
-    // DuckDB's epoch_us on the naive timestamp is the same as-if-UTC value
-    df.withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
-      .withColumn("n_win", count(lit(1)).over(w).cast("long"))
-      .withColumn("sum_win",
-        sum(col(valueCol).cast("decimal(30,2)")).over(w).cast("double"))
-  }
-
   def rangeJoin(
       points: DataFrame,
       intervals: DataFrame,
@@ -129,5 +106,35 @@ object Temporal {
     p.join(i, keys :+ "__cell")
       .filter(col(pointTs) >= col(loCol) && col(pointTs) <= col(hiCol))
       .drop("__cell")
+  }
+
+  /** RANGE-frame rolling aggregate: per partition key, the count and exact
+    * sum of `valueCol` over the trailing `windowMicros` (inclusive of the
+    * current row and all ties on the timestamp — RANGE, not ROWS,
+    * semantics). One hash shuffle on the key + one per-key sort; the frame
+    * scan is incremental, O(rows) per partition. The sum accumulates in
+    * decimal inside the frame (order-free, engine-portable — the
+    * [[Relational.exactSum]] discipline applied to a window).
+    *
+    * Column contract: appends `ts_us` (epoch micros of `tsCol`), `n_win`,
+    * and `sum_win` — the input must not already use those names (they
+    * would be overwritten). `tsCol` may be timestamp or timestamp_ntz. */
+  def rollingStats(
+      df: DataFrame,
+      partCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowMicros: Long = 3600000000L): DataFrame = {
+    val reserved = Seq("ts_us", "n_win", "sum_win").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"rollingStats appends ${reserved.mkString(",")} — rename the input column(s)")
+    val w = Window.partitionBy(col(partCol)).orderBy(col("ts_us"))
+      .rangeBetween(-windowMicros, 0L)
+    // NTZ → session-TZ timestamp (engine pins UTC) before epoch extraction;
+    // DuckDB's epoch_us on the naive timestamp is the same as-if-UTC value
+    df.withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("n_win", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_win",
+        sum(col(valueCol).cast("decimal(30,2)")).over(w).cast("double"))
   }
 }
