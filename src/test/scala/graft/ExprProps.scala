@@ -169,6 +169,33 @@ object ExprProps extends Properties("graft.expr") {
       true
     }
 
+  // --- porter_stem / bpe_encode kernels on arbitrary unicode --------------
+
+  private val anyString: Gen[String] = Gen.oneOf(
+    Gen.alphaLowerStr,
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.choose(0, 0x10FFFF).suchThat(cp =>
+      Character.isValidCodePoint(cp) && !Character.isSurrogate(cp.toChar)))
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString))
+
+  property("porter_stem: never throws, never lengthens, stable on its own output domain") =
+    forAll(anyString) { s =>
+      val out = expr.PorterStem.stem(s)
+      out != null && out.length <= math.max(s.length, 2)
+    }
+
+  property("bpe_encode: concatenated units reconstruct the input exactly (any merges)") =
+    forAll(anyString, Gen.listOf(Gen.zip(Gen.alphaLowerStr, Gen.alphaLowerStr))) {
+      (s, merges) =>
+        val ranks = new java.util.HashMap[String, Integer]
+        merges.zipWithIndex.foreach { case ((a, b), i) =>
+          ranks.putIfAbsent(expr.BpeEncode.pairKey(a, b), Integer.valueOf(i))
+        }
+        val out = expr.BpeEncode.compute(arr(Seq(s)), ranks)
+        // merging only ever FUSES adjacent units — the byte stream is invariant
+        strings(out).mkString == s
+    }
+
   // --- label rule (P7: the 1-year window, acq_etl_code.scala:96) ----------
 
   property("label window [0,365) matches the reference IF-rule at boundaries") =
