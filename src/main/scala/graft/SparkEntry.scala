@@ -372,6 +372,23 @@ object SparkEntry {
     "q42_emb_neardup" -> ((s, dir) =>
       llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
 
+    // §2.3 FULL OUTER: completes the join-type inventory — both null
+    // sides exercised (rich customers with no orders; ordering customers
+    // below the balance cut). Same shuffle shape as the inner join; only
+    // the null-extension differs.
+    "q51_full_outer" -> ((s, dir) => {
+      val rich = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_name"))
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      rich.join(counts, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).cast("long").as("cust_id"),
+          col("c_name"), col("n_orders"))
+    }),
+
     // §2.5 PIVOT: long→wide with an EXPLICIT value list (no
     // distinct-collect planning pass — the production form) — token-count
     // buckets × language counts. Conditional-aggregation mirror in SQL.
@@ -1080,6 +1097,13 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    "q51_full_outer" ->
+      """WITH l AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000),
+        |r AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT CAST(COALESCE(l.c_custkey, r.o_custkey) AS BIGINT) AS cust_id,
+        |       l.c_name AS c_name, r.n_orders AS n_orders
+        |FROM l FULL JOIN r ON l.c_custkey = r.o_custkey""".stripMargin,
 
     "q49_pivot" ->
       """SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 50 AS INT) AS long_doc,
