@@ -91,7 +91,20 @@ object PorterStem {
 
     private def cons(i: Int): Boolean = b(i) match {
       case 'a' | 'e' | 'i' | 'o' | 'u' => false
-      case 'y' => if (i == 0) true else !cons(i - 1)
+      case 'y' =>
+        // 'y' is a consonant iff the previous char is a vowel — which for a
+        // run of consecutive 'y's alternates. Walk to the run start and
+        // derive parity iteratively: the recursive form (!cons(i-1)) blows
+        // the stack on a ~100k-'y' adversarial token.
+        var s = i
+        while (s > 0 && b(s - 1) == 'y') s -= 1
+        val consAtRunStart =
+          if (s == 0) true // leading 'y' is a consonant
+          else b(s - 1) match {
+            case 'a' | 'e' | 'i' | 'o' | 'u' => true // y after vowel: consonant
+            case _ => false // y after consonant: vowel
+          }
+        if (((i - s) & 1) == 0) consAtRunStart else !consAtRunStart
       case _ => true
     }
 

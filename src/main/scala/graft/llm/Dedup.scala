@@ -225,7 +225,25 @@ object Dedup {
       hamMax: Int = 3,
       bands: Int = 4,
       shingleWidth: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    simhashDupsWithDiagnostics(
+      docs, idCol, textCol, hamMax, bands, shingleWidth, maxBucketSize)._1
+
+  /** [[simhashDups]] plus a lazy diagnostics frame of the buckets the
+    * saturation guard dropped — `(band, key, bucket_size)` for every
+    * bucket above `maxBucketSize`. The hamming-threshold join is exact
+    * only while this frame is empty; counting it makes recall loss at
+    * bucket saturation observable instead of silent, with no eager
+    * action in the builder (the caller pays only if it executes the
+    * diagnostics side). */
+  def simhashDupsWithDiagnostics(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hamMax: Int = 3,
+      bands: Int = 4,
+      shingleWidth: Int = 3,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
     require(bands >= 1 && bands <= 64 && 64 % bands == 0,
       s"bands must divide 64 (got $bands) — a 64-bit sketch slices into " +
         "1/2/4/8/16/32/64 equal bands; anything else truncates key bits " +
@@ -248,15 +266,20 @@ object Dedup {
     // group-then-expand, NOT a self-join: a self-join would evaluate the
     // whole tokenize+shingle+simhash subtree twice (2 corpus scans, no
     // exchange reuse even under AQE — same audit finding as
-    // [[candidatePairs]]). Buckets above `maxBucketSize` are DROPPED as a
+    // [[candidatePairs]]). Buckets above `maxBucketSize` are dropped as a
     // saturation guard (a 2^(64/bands) key space can fill at extreme
     // corpus sizes — that's the cue for Manku-style extra permutation
-    // tables, not a quadratic in-bucket expansion); below that, exactness
-    // is the pigeonhole guarantee above.
-    val grouped = banded
+    // tables, not a quadratic in-bucket expansion) and reported on the
+    // diagnostics side; below that, exactness is the pigeonhole
+    // guarantee above.
+    val allBuckets = banded
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig"))))
         .as("members"))
+    val dropped = allBuckets
+      .filter(size(col("members")) > maxBucketSize)
+      .select(col("band"), col("key"), size(col("members")).as("bucket_size"))
+    val grouped = allBuckets
       .filter(size(col("members")) >= 2 && size(col("members")) <= maxBucketSize)
     val pairs = flatten(transform(
       sequence(lit(1), size(col("members")) - 1),
@@ -267,7 +290,7 @@ object Dedup {
           element_at(col("members"), i)("sig").as("sig_a"),
           element_at(col("members"), j)("id").as("id_b"),
           element_at(col("members"), j)("sig").as("sig_b")))))
-    grouped
+    val dups = grouped
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sig_a"), col("p.sig_b"))
       .distinct()
@@ -275,6 +298,7 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= hamMax)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    (dups, dropped)
   }
 
   /** Connected components over a near-duplicate pair graph — the

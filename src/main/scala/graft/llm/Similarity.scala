@@ -98,7 +98,10 @@ object Similarity {
     // one action for both scalars the plan needs at build time
     val row = embeddings
       .agg(count(lit(1)).as("n"), first(size(col("embedding"))).as("d")).head()
-    val (n, dim) = (row.getLong(0), row.getInt(1))
+    val n = row.getLong(0)
+    // empty input ⇒ first(size(embedding)) aggregates to NULL; any dim
+    // yields the same (empty) result frame, so use 1 instead of NPE-ing
+    val dim = if (row.isNullAt(1)) 1 else row.getInt(1)
     val effBits = if (bits > 0) bits else autoBits(n, targetBucketSize)
     signLshScored(embeddings, minCosine, effBits, tables, seed, maxBucketSize, dim)
   }
@@ -123,7 +126,10 @@ object Similarity {
       tables: Int = 8,
       seed: Long = 42L,
       maxBucketSize: Int = 100000): DataFrame = {
-    val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    // agg-first instead of head(): head() throws on an empty frame, and an
+    // agg over zero rows cleanly yields NULL (same guard as lshCosinePairs)
+    val dRow = embeddings.agg(first(size(col("embedding"))).as("d")).head()
+    val dim = if (dRow.isNullAt(0)) 1 else dRow.getInt(0)
     signLshCandidatePairs(embeddings, bits, tables, seed, maxBucketSize, dim)
   }
 

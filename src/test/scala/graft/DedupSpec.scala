@@ -89,6 +89,24 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashDups(corpus, hamMax = 3, bands = 5))
   }
 
+  test("simhashDupsWithDiagnostics: dropped buckets are observable, not silent") {
+    // maxBucketSize=1 forces EVERY >=2-member bucket over the cap: the
+    // pairs side goes empty and every dropped bucket shows up on the
+    // diagnostics side with its true size
+    val (dups, dropped) = Dedup.simhashDupsWithDiagnostics(
+      corpus, hamMax = 3, bands = 4, maxBucketSize = 1)
+    assert(dups.count() === 0L, "saturated buckets must yield no pairs")
+    val d = dropped.select($"bucket_size").as[Int].collect()
+    assert(d.nonEmpty, "recall loss must be visible on the diagnostics side")
+    assert(d.forall(_ >= 2), s"dropped buckets must report their size, got ${d.toSeq}")
+    // generous cap: nothing dropped, diagnostics empty, pairs unchanged
+    val (full, none) = Dedup.simhashDupsWithDiagnostics(corpus, hamMax = 3, bands = 4)
+    assert(none.count() === 0L)
+    assert(full.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ===
+      Dedup.simhashDups(corpus, hamMax = 3, bands = 4)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
+  }
+
   test("dupClusters: min-label components, multi-round chains, survivor rule") {
     // two components: a 5-node path (diameter 4 — needs >1 round) and a pair;
     // labels deliberately NOT in path order so propagation must travel

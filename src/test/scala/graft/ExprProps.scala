@@ -184,6 +184,13 @@ object ExprProps extends Properties("graft.expr") {
       out != null && out.length <= math.max(s.length, 2)
     }
 
+  property("porter_stem: total on adversarial 'y' runs (no stack overflow)") = {
+    // a 200k-'y' token overflows a recursive cons(i) = !cons(i-1); the
+    // iterative parity walk must stay total with any prefix
+    Seq("y" * 200000, "a" + "y" * 200000, "b" + "y" * 200000)
+      .forall(w => expr.PorterStem.stem(w) != null)
+  }
+
   property("bpe_encode: concatenated units reconstruct the input exactly (any merges)") =
     forAll(anyString, Gen.listOf(Gen.zip(Gen.alphaLowerStr, Gen.alphaLowerStr))) {
       (s, merges) =>

@@ -217,4 +217,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cands < allPairs / 2,
       s"bits=4/tables=4 candidates $cands not ≪ all-pairs $allPairs")
   }
+
+  test("lshCosinePairs / signLshCandidates: empty input yields empty result, not NPE") {
+    val empty = Tables.embeddings(spark, TestSpark.sf).filter(lit(false))
+    val pairs = Similarity.lshCosinePairs(empty, minCosine = 0.0)
+    assert(pairs.count() === 0L)
+    assert(pairs.columns.contains("a_id") && pairs.columns.contains("b_id"))
+    assert(Similarity.signLshCandidates(empty, bits = 4).count() === 0L)
+  }
 }
