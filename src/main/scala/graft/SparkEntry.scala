@@ -389,6 +389,47 @@ object SparkEntry {
           col("c_name"), col("n_orders"))
     }),
 
+    // §2.5 CUBE: all four (priority, status) margins in one Expand +
+    // map-side-partial hash agg; grouping_id disambiguates super-agg rows
+    "q52_cube" -> ((s, dir) =>
+      Relational.cubeSummary(
+        Tables.orders(s, dir), "o_orderpriority", "o_orderstatus", "o_totalprice")),
+
+    // §2.5 LAG/LEAD: per-customer order history deltas — one shuffle +
+    // one sort serves all four window expressions; o_orderkey tie-break
+    // makes the sequence total, hence deterministic
+    "q53_order_deltas" -> ((s, dir) =>
+      ops.Temporal.sequenceDeltas(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate", "o_totalprice",
+        tieBreak = "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("prev_value").as("prev_price"),
+          col("next_value").as("next_price"),
+          col("value_delta").as("price_delta"),
+          col("days_since_prev"))),
+
+    // §2.5 exact co-moment statistics: corr/covar from order-free BIGINT
+    // sums (floor-quantized inputs) — bit-reproducible across engines,
+    // unlike the streaming double accumulators of the corr() built-in
+    "q54_corr_stats" -> ((s, dir) =>
+      Relational.intCorrMoments(
+        Tables.lineitem(s, dir), "l_returnflag",
+        floor(col("l_quantity")), floor(col("l_extendedprice")))),
+
+    // §2.5 GROUPING SETS: the general margin-list form — exactly the
+    // margins asked for ((flag,status), (status), ()), nothing more
+    "q55_grouping_sets" -> ((s, dir) =>
+      Relational.groupingSetsSummary(
+        Tables.lineitem(s, dir),
+        Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_linestatus"), Seq.empty),
+        Seq("l_returnflag", "l_linestatus"),
+        "l_quantity")),
+
+    // §2.5 fixed-width histogram: floor-division bucketing + min/max —
+    // binned analytics as a pure projection + one hash agg
+    "q56_histogram" -> ((s, dir) =>
+      Relational.histogram(Tables.orders(s, dir), "o_totalprice", 20000.0)),
+
     // §2.5 PIVOT: long→wide with an EXPLICIT value list (no
     // distinct-collect planning pass — the production form) — token-count
     // buckets × language counts. Conditional-aggregation mirror in SQL.
@@ -1104,6 +1145,64 @@ object SparkEntry {
         |SELECT CAST(COALESCE(l.c_custkey, r.o_custkey) AS BIGINT) AS cust_id,
         |       l.c_name AS c_name, r.n_orders AS n_orders
         |FROM l FULL JOIN r ON l.c_custkey = r.o_custkey""".stripMargin,
+
+    "q52_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${dSum("o_totalprice", 2, "sum_value")}
+         |FROM orders
+         |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q53_order_deltas" ->
+      """SELECT o_orderkey, o_custkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       o_totalprice - lag(o_totalprice) OVER w AS price_delta,
+        |       CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |                      CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // co-moments as exact BIGINT sums over floor-quantized values; the
+    // closed-form corr/covar combination is the IDENTICAL double
+    // expression in both engines, so the doubles hash-match
+    "q54_corr_stats" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_quantity) AS BIGINT) AS xq,
+        |         CAST(floor(l_extendedprice) AS BIGINT) AS yq
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        |         CAST(sum(xq*xq) AS BIGINT) AS sxx,
+        |         CAST(sum(xq*yq) AS BIGINT) AS sxy,
+        |         CAST(sum(yq*yq) AS BIGINT) AS syy
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT l_returnflag, n, sx, sy, sxx, sxy, syy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        |FROM m""".stripMargin,
+
+    "q55_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${dSum("l_quantity", 2, "sum_value")}
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
+
+    "q56_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(o_totalprice) AS min_value,
+        |       max(o_totalprice) AS max_value
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q49_pivot" ->
       """SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 50 AS INT) AS long_doc,

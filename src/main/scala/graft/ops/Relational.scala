@@ -259,6 +259,92 @@ object Relational {
     df.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
   }
 
+  // -------------------------------------------------------------------------
+  // Multi-dimensional aggregates & exact statistics (§2.5 extensions)
+  // -------------------------------------------------------------------------
+
+  /** §2.5 CUBE: all four margins of (k1, k2) — per-cell, each key alone,
+    * and the grand total — through ONE Expand node feeding one map-side-
+    * partial hash aggregate: the cube costs one scan, not four. `gid`
+    * (`grouping_id`, leftmost key = most significant bit, identical to
+    * DuckDB/Postgres `GROUPING`) disambiguates super-aggregate rows from
+    * genuine NULL key values — the ANSI-exact discriminator. */
+  def cubeSummary(df: DataFrame, k1: String, k2: String, valueCol: String): DataFrame =
+    df.cube(col(k1), col(k2))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        exactSum(col(valueCol)).as("sum_value"))
+
+  /** §2.5 GROUPING SETS: arbitrary margin lists — the general form ROLLUP
+    * and CUBE are special cases of, for when a report needs exactly the
+    * margins it asks for (Expand emits one copy of each input row per
+    * set, so cost scales with |sets|, unlike CUBE's fixed 2^k). Same
+    * single-scan, map-side-partial shape as [[cubeSummary]]. */
+  def groupingSetsSummary(
+      df: DataFrame,
+      sets: Seq[Seq[String]],
+      groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        exactSum(col(valueCol)).as("sum_value"))
+
+  /** Exact co-moment statistics (correlation + population covariance) over
+    * INTEGER-VALUED columns, grouped.
+    *
+    * The streaming corr/covar built-ins accumulate doubles in partition
+    * order — correct, but not bit-reproducible across engines or even
+    * partitionings. This form is: every co-moment (Σx, Σy, Σx², Σxy, Σy²)
+    * is an exact BIGINT sum (order-free, map-side partial — one scan, one
+    * shuffle of 6 longs per group), and the closed-form combination
+    *   corr = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * happens once per group in double, so any engine evaluating the same
+    * formula over the same exact integers produces the identical IEEE
+    * result. Caller quantizes real-valued inputs (e.g. `floor(price)`) —
+    * that quantization is part of the operator's contract, not a hidden
+    * approximation. Guards: Σ(x²·rows) must stay under 2⁶³ — with k-digit
+    * inputs that holds to ~10^(18−2k) rows per group; quantize coarser for
+    * wider values. */
+  def intCorrMoments(
+      df: DataFrame,
+      groupCol: String,
+      xInt: Column,
+      yInt: Column): DataFrame = {
+    val x = xInt.cast("long")
+    val y = yInt.cast("long")
+    val moments = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    def d(name: String) = col(name).cast("double")
+    val nD = d("n")
+    moments
+      .withColumn("covar_pop",
+        (nD * d("sxy") - d("sx") * d("sy")) / (nD * nD))
+      .withColumn("corr",
+        (nD * d("sxy") - d("sx") * d("sy")) /
+          sqrt((nD * d("sxx") - d("sx") * d("sx")) *
+            (nD * d("syy") - d("sy") * d("sy"))))
+  }
+
+  /** Fixed-width histogram: bucket = floor(value / width), with per-bucket
+    * count and min/max. Pure projection + one map-side-partial hash agg —
+    * the degenerate (and fastest) form of binned analytics; empty buckets
+    * simply don't appear (dense axes are a presentation concern). min/max
+    * of doubles SELECT an input value (no arithmetic), so the output is
+    * engine-exact without any decimal detour. */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    df.groupBy(floor(col(valueCol) / lit(width)).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+  }
+
   // `$"name"` sugar without a SparkSession in scope, so the combinators
   // read like the user-facing DSL.
   private implicit class Dollar(val sc: StringContext) {

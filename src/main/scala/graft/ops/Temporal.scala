@@ -137,4 +137,34 @@ object Temporal {
       .withColumn("sum_win",
         sum(col(valueCol).cast("decimal(30,2)")).over(w).cast("double"))
   }
+
+  /** LAG/LEAD sequence deltas: per entity, each row sees its predecessor's
+    * and successor's value plus the value delta and the day gap — the
+    * order-history / time-between-events shape (churn features, inter-
+    * arrival analysis). One hash shuffle on the entity key + one per-key
+    * sort serves all four window expressions (single Window node, no
+    * repeated exchange). `tieBreak` must make the ordering total, or
+    * lag/lead are nondeterministic under ties — same discipline as
+    * [[Relational.groupedTopK]]. First/last rows keep NULLs (no default
+    * fill): a NULL gap is "no predecessor", which downstream feature code
+    * must see, not a smuggled 0. Appends prev_value, next_value,
+    * value_delta (IEEE subtraction — deterministic), days_since_prev. */
+  def sequenceDeltas(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valueCol: String,
+      tieBreak: String): DataFrame = {
+    val reserved = Seq("prev_value", "next_value", "value_delta", "days_since_prev")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"sequenceDeltas appends ${reserved.mkString(",")} — rename the input column(s)")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("prev_value", lag(col(valueCol), 1).over(w))
+      .withColumn("next_value", lead(col(valueCol), 1).over(w))
+      .withColumn("value_delta", col(valueCol) - col("prev_value"))
+      .withColumn("days_since_prev",
+        datediff(to_date(col(tsCol)), to_date(lag(col(tsCol), 1).over(w)))
+          .cast("long"))
+  }
 }

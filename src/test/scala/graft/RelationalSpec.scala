@@ -108,6 +108,63 @@ class RelationalSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("cubeSummary / groupingSetsSummary: margins reconcile with plain groupBy; gid discriminates") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+    val cube = Relational.cubeSummary(
+      orders, "o_orderpriority", "o_orderstatus", "o_totalprice")
+      .select($"gid", $"n_rows").as[(Long, Long)].collect()
+    // exactly the four margin classes, and each margin's counts re-total
+    assert(cube.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
+    val total = orders.count()
+    Seq(0L, 1L, 2L, 3L).foreach { g =>
+      assert(cube.filter(_._1 == g).map(_._2).sum === total,
+        s"gid=$g margin must re-total the table")
+    }
+    assert(cube.count(_._1 == 3L) === 1, "exactly one grand-total row")
+    val sets = Relational.groupingSetsSummary(
+      orders,
+      Seq(Seq("o_orderpriority", "o_orderstatus"), Seq("o_orderstatus"), Seq.empty),
+      Seq("o_orderpriority", "o_orderstatus"), "o_totalprice")
+      .select($"gid").as[Long].collect()
+    // (pri,status)→0, (status)→2 (pri aggregated = MSB), ()→3 — and NO
+    // gid=1 margin, because (pri) alone was not asked for
+    assert(sets.toSet === Set(0L, 2L, 3L))
+  }
+
+  test("intCorrMoments: exact co-moments; corr=1 on a perfect line, sign on anticorrelation") {
+    val line = Seq(("a", 1, 2), ("a", 2, 4), ("a", 3, 6), // y = 2x ⇒ corr 1
+      ("b", 1, 9), ("b", 2, 5), ("b", 3, 1))              // y = -4x+13 ⇒ corr -1
+      .toDF("g", "x", "y")
+    val got = Relational.intCorrMoments(line, "g", $"x", $"y")
+      .select($"g", $"n", $"sxy", $"covar_pop", $"corr")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a")._3 === (1 * 2 + 2 * 4 + 3 * 6))
+    assert(math.abs(got("a")._5 - 1.0) < 1e-12, s"perfect line: ${got("a")._5}")
+    assert(math.abs(got("b")._5 + 1.0) < 1e-12, s"anticorrelated: ${got("b")._5}")
+    assert(got("a")._4 > 0 && got("b")._4 < 0, "covariance signs")
+    // real data: corr stays in [-1, 1]
+    val li = Relational.intCorrMoments(
+      Tables.lineitem(spark, TestSpark.sf), "l_returnflag",
+      floor($"l_quantity"), floor($"l_extendedprice"))
+      .select($"corr").as[Double].collect()
+    assert(li.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("histogram: buckets partition the value range; min/max bracket each bucket") {
+    val h = Relational.histogram(Tables.orders(spark, TestSpark.sf), "o_totalprice", 20000.0)
+      .select($"bucket", $"n_rows", $"min_value", $"max_value")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(h.map(_._2).sum === Tables.orders(spark, TestSpark.sf).count())
+    h.foreach { case (b, _, lo, hi) =>
+      assert(lo <= hi)
+      assert(math.floor(lo / 20000.0).toLong === b, s"min of bucket $b in bucket")
+      assert(math.floor(hi / 20000.0).toLong === b, s"max of bucket $b in bucket")
+    }
+    assertThrows[IllegalArgumentException](
+      Relational.histogram(Tables.orders(spark, TestSpark.sf), "o_totalprice", 0.0))
+  }
+
   test("q37 sketch aggregates: HLL within 5% of exact, percentiles ordered and in range") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val approx = SparkEntry.queries("q37_approx_stats")(spark, TestSpark.sf)

@@ -33,6 +33,27 @@ class TemporalSpec extends AnyFunSuite {
       103L -> None, 104L -> None))
   }
 
+  test("sequenceDeltas: lag/lead/delta/day-gap per entity with total-order tie-break") {
+    val df = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:00"), 100.0),
+      (11L, 1L, ts("2024-01-03 00:00:00"), 150.0),
+      (12L, 1L, ts("2024-01-03 00:00:00"), 120.0), // same ts as 11 — id breaks the tie
+      (20L, 2L, ts("2024-02-01 00:00:00"), 50.0)   // singleton entity: all-NULL deltas
+    ).toDF("id", "ent", "ts", "v")
+    val got = Temporal.sequenceDeltas(df, "ent", "ts", "v", tieBreak = "id")
+      .select($"id", $"prev_value", $"next_value", $"value_delta", $"days_since_prev")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(10L) === ((None, Some(150.0), None, None)))
+    assert(got(11L) === ((Some(100.0), Some(120.0), Some(50.0), Some(2L))))
+    assert(got(12L) === ((Some(150.0), None, Some(-30.0), Some(0L))))
+    assert(got(20L) === ((None, None, None, None)))
+    // column-contract guard: reserved output names must be rejected
+    assertThrows[IllegalArgumentException](
+      Temporal.sequenceDeltas(
+        df.withColumnRenamed("v", "prev_value"), "ent", "ts", "prev_value", "id"))
+  }
+
   test("rollingStats: trailing-window count/sum equal brute-force recomputation; RANGE includes ties") {
     import spark.implicits._
     val rows = Seq(
