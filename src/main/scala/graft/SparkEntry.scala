@@ -668,6 +668,20 @@ object SparkEntry {
         k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // similarity scale path #3: product quantization — the ADC scan reads
+    // m-code compressed vectors (16-32× less bandwidth than raw floats),
+    // exact re-rank touches only k·rerankFactor rows per query. ANN
+    // internals (KMeans codebooks) are not SQL-portable → rows-only;
+    // recall vs exhaustive truth is pinned by SimilaritySpec.
+    "q57_sim_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      llm.Similarity.pqTopK(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        k = 5, m = 8, kc = 16, rerankFactor = 4)
+    }),
+
     // North-star dedup, SimHash method: banded 64-bit sketches, exact
     // hamming verify — an EXACT hamming≤3 join by pigeonhole (hamMax <
     // bands). xxhash64-based sketch has no DuckDB mirror ⇒ rows-only;

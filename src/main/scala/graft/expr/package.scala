@@ -76,4 +76,20 @@ package object exprapi {
   /** Unsigned-byte stats over a binary buffer → [mean, std, min, max]/255. */
   def byteStats(bytes: Column): Column =
     ColumnBridge.column(expr.ByteStats(ColumnBridge.expression(bytes)))
+
+  /** Product-quantization encode: vector → m nearest-subspace-centroid
+    * codes; the codebook rides the plan. See [[graft.expr.PqEncode]]. */
+  def pqEncode(v: Column, codebook: Array[Float], m: Int, kc: Int, subDim: Int): Column =
+    ColumnBridge.column(expr.PqEncode(ColumnBridge.expression(v), codebook, m, kc, subDim))
+
+  /** Per-query ADC lookup table: m·kc partial dot products against the
+    * codebook. See [[graft.expr.PqAdcTable]]. */
+  def pqAdcTable(q: Column, codebook: Array[Float], m: Int, kc: Int, subDim: Int): Column =
+    ColumnBridge.column(expr.PqAdcTable(ColumnBridge.expression(q), codebook, m, kc, subDim))
+
+  /** Asymmetric-distance approximate dot: m table lookups per candidate.
+    * See [[graft.expr.PqAdcDot]]. */
+  def pqAdcDot(table: Column, codes: Column, kc: Int): Column =
+    ColumnBridge.column(expr.PqAdcDot(
+      ColumnBridge.expression(table), ColumnBridge.expression(codes), kc))
 }

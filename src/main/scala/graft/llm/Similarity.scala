@@ -395,4 +395,143 @@ object Similarity {
     val index = fitIvfIndex(candidates, nlist, persistCells = false)
     ivfProbe(index, queries, k, nprobe)
   }
+
+  // -------------------------------------------------------------------------
+  // Product quantization (scale path #3 — the BANDWIDTH lever)
+  // -------------------------------------------------------------------------
+
+  /** A fitted PQ index (Jégou et al. 2011; see [[graft.expr.PqOps]]).
+    *
+    * `codes` — (n_id, codes: array<int> of m entries) — is the compressed
+    * corpus: m small codes instead of `dim` floats, a 16–32× cut in what
+    * the ADC scan reads. That is the 100-TB story IVF alone lacks: IVF
+    * prunes WHICH vectors are scored, PQ shrinks WHAT scoring reads —
+    * FAISS's IVFPQ composes both, and [[pqProbe]]'s scan-side is exactly
+    * the composable half. The codebook (m·kc·subDim floats, a few KiB)
+    * lives driver-side and rides query plans as a reference object. */
+  final case class PqIndex(
+      codes: DataFrame,
+      codebook: Array[Float],
+      m: Int,
+      kc: Int,
+      subDim: Int) {
+    def unpersist(): Unit = codes.unpersist()
+  }
+
+  /** Train the per-subspace codebooks and encode the corpus ONCE.
+    *
+    * Training: m independent KMeans fits (kc centroids each) over the
+    * corresponding `subDim`-wide slice of the L2-normalized vectors —
+    * `trainFraction` subsamples the fit input (FAISS trains PQ on a
+    * sample for the same reason the IVF quantizer does: codebooks need
+    * coverage, not convergence on every point). Encoding is one codegen'd
+    * projection pass. The only actions are the fits and the optional
+    * index materialization; [[pqProbe]] is pure plan. */
+  def fitPqIndex(
+      candidates: DataFrame, // (n_id, n_emb: array<float>)
+      m: Int = 8,
+      kc: Int = 16,
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      trainFraction: Double = 1.0,
+      persistCodes: Boolean = true): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    require(m >= 1 && kc >= 2, s"need m >= 1 subspaces and kc >= 2 centroids, got m=$m kc=$kc")
+    require(trainFraction > 0.0 && trainFraction <= 1.0, s"trainFraction=$trainFraction")
+
+    val candUnit = l2Normalized(candidates, "n_emb", "n_unit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dRow = candUnit.agg(first(size(col("n_unit"))).as("d")).head()
+    require(!dRow.isNullAt(0), "fitPqIndex: empty candidate set")
+    val dim = dRow.getInt(0)
+    require(dim % m == 0, s"dim=$dim must divide into m=$m equal subspaces")
+    val subDim = dim / m
+
+    val train =
+      if (trainFraction < 1.0) candUnit.sample(withReplacement = false, trainFraction, seed)
+      else candUnit
+    val codebook = new Array[Float](m * kc * subDim)
+    (0 until m).foreach { j =>
+      // slice() is 1-based; each fit sees only its subspace's columns
+      val sub = train.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col("n_unit"), j * subDim + 1, subDim).cast("array<double>")).as("v"))
+      val km = new KMeans().setK(kc).setSeed(seed + j).setFeaturesCol("v")
+        .setPredictionCol("c").setInitMode("random").setMaxIter(maxIter)
+        .fit(sub)
+      km.clusterCenters.zipWithIndex.foreach { case (ctr, ci) =>
+        val arr = ctr.toArray
+        var d = 0
+        while (d < subDim) {
+          codebook((j * kc + ci) * subDim + d) = arr(d).toFloat
+          d += 1
+        }
+      }
+    }
+
+    val codesPlan = candUnit.select(col("n_id"),
+      graft.exprapi.pqEncode(col("n_unit"), codebook, m, kc, subDim).as("codes"))
+    val codes =
+      if (persistCodes) {
+        val c = codesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count() // materialize before releasing the normalized frame
+        c
+      } else codesPlan
+    candUnit.unpersist()
+    PqIndex(codes, codebook, m, kc, subDim)
+  }
+
+  /** Probe a fitted [[PqIndex]]: ADC scan + exact re-rank.
+    *
+    * Per query, ONE [[graft.expr.PqAdcTable]] evaluation amortizes all
+    * float work (m·kc·subDim mults); every candidate then costs m table
+    * lookups ([[graft.expr.PqAdcDot]]) over its m codes — the scan reads
+    * the compressed codes column only, never raw vectors. The ADC top
+    * `k·rerankFactor` per query are exact-re-ranked (integer-quantized
+    * dot) against the full vectors, fetched via a broadcast semi-shaped
+    * join that touches only those rows — so raw-vector bandwidth is
+    * O(queries·k·rerankFactor), not O(corpus). Pure plan: no fit, no
+    * action; any number of probes share one index.
+    *
+    * Returns (q_id, n_id, dot_q, rank) like [[bruteForceTopK]]/[[ivfProbe]]
+    * — same exact final scoring, so recall is directly comparable. */
+  def pqProbe(
+      index: PqIndex,
+      queries: DataFrame,    // (q_id, q_emb: array<float>)
+      candidates: DataFrame, // (n_id, n_emb: array<float>) — re-rank source
+      k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && rerankFactor >= 1, s"k=$k rerankFactor=$rerankFactor")
+    val qTab = l2Normalized(queries, "q_emb", "q_unit")
+      .select(col("q_id"), col("q_unit"),
+        graft.exprapi.pqAdcTable(
+          col("q_unit"), index.codebook, index.m, index.kc, index.subDim).as("adc_tab"))
+
+    val scored = index.codes
+      .join(broadcast(qTab), col("q_id") =!= col("n_id"))
+      .withColumn("adc", graft.exprapi.pqAdcDot(col("adc_tab"), col("codes"), index.kc))
+    val shortlist = graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "adc", "n_id", k * rerankFactor)
+      .select(col("q_id"), col("q_unit"), col("n_id"))
+
+    val exact = l2Normalized(candidates, "n_emb", "n_unit")
+      .join(broadcast(shortlist), Seq("n_id"))
+      .withColumn("dot_q", graft.exprapi.quantizedDotFast(col("q_unit"), col("n_unit")))
+    graft.ops.Relational
+      .groupedTopK(exact, Seq("q_id"), "dot_q", "n_id", k)
+      .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
+  }
+
+  /** One-shot PQ top-k: [[fitPqIndex]] (uncached codes — the single scan
+    * reads them once) + [[pqProbe]]. Hold the [[PqIndex]] and call
+    * [[pqProbe]] directly for repeated query batches. */
+  def pqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      m: Int = 8,
+      kc: Int = 16,
+      rerankFactor: Int = 4): DataFrame = {
+    val index = fitPqIndex(candidates, m, kc, persistCodes = false)
+    pqProbe(index, queries, candidates, k, rerankFactor)
+  }
 }

@@ -218,6 +218,81 @@ class SimilaritySpec extends AnyFunSuite {
       s"bits=4/tables=4 candidates $cands not ≪ all-pairs $allPairs")
   }
 
+  test("pqTopK: ADC shortlist + exact re-rank recalls exhaustive cosine top-k") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val queries = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val k = 5
+    val pq = Similarity.pqTopK(queries, cands, k, m = 8, kc = 16, rerankFactor = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val truth = graft.ops.Relational.groupedTopK(
+        cands.join(broadcast(queries), $"q_id" =!= $"n_id")
+          .withColumn("cos", Similarity.cosine($"q_emb", $"n_emb")),
+        Seq("q_id"), "cos", "n_id", k)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(pq).size.toDouble / truth.size
+    assert(recall >= 0.5, s"PQ recall $recall below floor (m=8/kc=16/rerank=8)")
+    assert(pq.size === truth.size, "k rows per query")
+    assert(!pq.exists { case (q, n) => q == n })
+  }
+
+  test("fitPqIndex: codes are valid and deterministic; one index serves repeated probes") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val idx = Similarity.fitPqIndex(cands, m = 8, kc = 16)
+    assert(idx.codes.storageLevel.useMemory, "index codes must be persisted")
+    assert(idx.subDim === 8) // dim 64 / m 8
+    assert(idx.codebook.length === 8 * 16 * 8)
+    val codes = idx.codes.select($"codes").as[Seq[Int]].collect()
+    assert(codes.length.toLong === cands.count())
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // refit with the same seed reproduces the codebook bit-for-bit
+    val idx2 = Similarity.fitPqIndex(cands, m = 8, kc = 16, persistCodes = false)
+    assert(idx.codebook.toSeq === idx2.codebook.toSeq)
+
+    val q1 = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val q2 = e.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    // two probe batches against ONE index; probe results must match the
+    // one-shot form (same seed ⇒ same codebooks ⇒ same shortlists)
+    val r1 = Similarity.pqProbe(idx, q1, cands, k = 5, rerankFactor = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val r2 = Similarity.pqProbe(idx, q2, cands, k = 5, rerankFactor = 8)
+    assert(r2.count() > 0)
+    val oneShot = Similarity.pqTopK(q1, cands, k = 5, m = 8, kc = 16, rerankFactor = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(r1 === oneShot)
+    idx.unpersist()
+  }
+
+  test("PQ kernels: null discipline on mismatched dims/codes; ADC approximates the true dot") {
+    val cb = Array.tabulate(2 * 2 * 2)(_.toFloat) // m=2, kc=2, subDim=2
+    val enc = graft.expr.PqOps.encode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0.1f, 0.2f, 0.3f)),
+      cb, 2, 2, 2)
+    assert(enc === null, "wrong input dim must yield NULL, not garbage codes")
+    val tab = graft.expr.PqOps.adcTable(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0.1f, 0.2f, 0.3f, 0.4f)),
+      cb, 2, 2, 2)
+    assert(tab.numElements() === 4)
+    val badCodes = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0, 5))
+    assert(graft.expr.PqOps.adcDot(tab, badCodes, 2) === null, "out-of-range code → NULL")
+    // ADC score == sum of the query-centroid partial dots the codes select:
+    // reconstruct from the codebook and compare
+    val q = Array(0.1f, 0.2f, 0.3f, 0.4f)
+    val codes = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1, 0))
+    val got = graft.expr.PqOps.adcDot(
+      graft.expr.PqOps.adcTable(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q), cb, 2, 2, 2),
+      codes, 2)
+    // subspace 0 centroid 1 = cb[2..3] = (2,3); subspace 1 centroid 0 = cb[4..5] = (4,5)
+    val expect = (0.1f.toDouble * 2 + 0.2f.toDouble * 3).toFloat.toDouble +
+      (0.3f.toDouble * 4 + 0.4f.toDouble * 5).toFloat.toDouble
+    assert(math.abs(got - expect) < 1e-12, s"got $got expect $expect")
+  }
+
   test("lshCosinePairs / signLshCandidates: empty input yields empty result, not NPE") {
     val empty = Tables.embeddings(spark, TestSpark.sf).filter(lit(false))
     val pairs = Similarity.lshCosinePairs(empty, minCosine = 0.0)
