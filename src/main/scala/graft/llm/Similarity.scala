@@ -420,52 +420,52 @@ object Similarity {
 
   /** Train the per-subspace codebooks and encode the corpus ONCE.
     *
-    * Training: m independent KMeans fits (kc centroids each) over the
-    * corresponding `subDim`-wide slice of the L2-normalized vectors —
-    * `trainFraction` subsamples the fit input (FAISS trains PQ on a
-    * sample for the same reason the IVF quantizer does: codebooks need
-    * coverage, not convergence on every point). Encoding is one codegen'd
-    * projection pass. The only actions are the fits and the optional
-    * index materialization; [[pqProbe]] is pure plan. */
+    * Training is DRIVER-LOCAL Lloyd's over a bounded sample — one
+    * distributed action collects ≤ `trainSampleMax` normalized vectors
+    * (sorted by id ⇒ deterministic for a given seed and dataset), then
+    * all m·kc codebooks train in milliseconds of driver math. This is
+    * FAISS's design point: PQ codebooks need distributional COVERAGE,
+    * not convergence on every corpus point, so a 64k-row sample trains
+    * them as well as 100 TB would — and m distributed KMeans jobs for
+    * m tiny fits would be pure scheduler overhead. At corpus scale set
+    * `trainFraction` so fraction·n ≈ trainSampleMax (the sample is
+    * pushed into the scan; the sort+limit then touches only sampled
+    * rows). The bounded collect is the same documented exception as
+    * [[graft.ml.FastCountVectorizer]]'s vocabulary: a driver-side MODEL
+    * artifact, capped by construction, never corpus-sized. Encoding is
+    * one codegen'd projection pass; [[pqProbe]] is pure plan. */
   def fitPqIndex(
       candidates: DataFrame, // (n_id, n_emb: array<float>)
       m: Int = 8,
       kc: Int = 16,
       seed: Long = 42L,
-      maxIter: Int = 5,
+      maxIter: Int = 15,
       trainFraction: Double = 1.0,
+      trainSampleMax: Int = 65536,
       persistCodes: Boolean = true): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
     require(m >= 1 && kc >= 2, s"need m >= 1 subspaces and kc >= 2 centroids, got m=$m kc=$kc")
     require(trainFraction > 0.0 && trainFraction <= 1.0, s"trainFraction=$trainFraction")
+    require(trainSampleMax >= kc, s"trainSampleMax=$trainSampleMax < kc=$kc")
 
     val candUnit = l2Normalized(candidates, "n_emb", "n_unit")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dRow = candUnit.agg(first(size(col("n_unit"))).as("d")).head()
-    require(!dRow.isNullAt(0), "fitPqIndex: empty candidate set")
-    val dim = dRow.getInt(0)
+    val sampled =
+      if (trainFraction < 1.0)
+        candUnit.sample(withReplacement = false, trainFraction, seed)
+      else candUnit
+    val train: Array[Array[Float]] = sampled
+      .sort(col("n_id")).limit(trainSampleMax)
+      .select(col("n_unit")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, "fitPqIndex: empty candidate set")
+    val dim = train(0).length
     require(dim % m == 0, s"dim=$dim must divide into m=$m equal subspaces")
     val subDim = dim / m
 
-    val train =
-      if (trainFraction < 1.0) candUnit.sample(withReplacement = false, trainFraction, seed)
-      else candUnit
     val codebook = new Array[Float](m * kc * subDim)
     (0 until m).foreach { j =>
-      // slice() is 1-based; each fit sees only its subspace's columns
-      val sub = train.select(org.apache.spark.ml.functions.array_to_vector(
-        slice(col("n_unit"), j * subDim + 1, subDim).cast("array<double>")).as("v"))
-      val km = new KMeans().setK(kc).setSeed(seed + j).setFeaturesCol("v")
-        .setPredictionCol("c").setInitMode("random").setMaxIter(maxIter)
-        .fit(sub)
-      km.clusterCenters.zipWithIndex.foreach { case (ctr, ci) =>
-        val arr = ctr.toArray
-        var d = 0
-        while (d < subDim) {
-          codebook((j * kc + ci) * subDim + d) = arr(d).toFloat
-          d += 1
-        }
-      }
+      val sub = PqOpsTrain.lloyd(train, j * subDim, subDim, kc, maxIter, seed + j)
+      System.arraycopy(sub, 0, codebook, j * kc * subDim, kc * subDim)
     }
 
     val codesPlan = candUnit.select(col("n_id"),
@@ -519,6 +519,111 @@ object Similarity {
     graft.ops.Relational
       .groupedTopK(exact, Seq("q_id"), "dot_q", "n_id", k)
       .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Driver-local Lloyd's k-means for one PQ subspace (see [[fitPqIndex]]
+    * for why this is driver math, not a distributed fit). Deterministic:
+    * seeded k-means++ init (Arthur & Vassilvitskii 2007 — D² sampling
+    * spreads seeds, which matters on the near-uniform subspace
+    * distributions PQ sees), fixed iteration count, empty clusters keep
+    * their previous centroid. All arithmetic in double, centroids stored
+    * as float (the codebook's storage type). */
+  private[llm] object PqOpsTrain {
+    def lloyd(
+        rows: Array[Array[Float]],
+        offset: Int,
+        subDim: Int,
+        kc: Int,
+        maxIter: Int,
+        seed: Long): Array[Float] = {
+      val n = rows.length
+      val rnd = new scala.util.Random(seed)
+      // k-means++ seeding: first seed uniform, each next ∝ D²(x)
+      val centroids = Array.ofDim[Double](kc, subDim)
+      def copyRow(i: Int, c: Int): Unit = {
+        var d = 0
+        while (d < subDim) { centroids(c)(d) = rows(i)(offset + d).toDouble; d += 1 }
+      }
+      copyRow(rnd.nextInt(n), 0)
+      val minD2 = Array.fill(n)(Double.MaxValue)
+      var seeded = 1
+      while (seeded < kc) {
+        var i = 0
+        var total = 0.0
+        while (i < n) {
+          var d2 = 0.0
+          var d = 0
+          while (d < subDim) {
+            val diff = rows(i)(offset + d).toDouble - centroids(seeded - 1)(d)
+            d2 += diff * diff
+            d += 1
+          }
+          if (d2 < minD2(i)) minD2(i) = d2
+          total += minD2(i)
+          i += 1
+        }
+        if (total <= 0.0) copyRow(rnd.nextInt(n), seeded) // all points coincide
+        else {
+          var target = rnd.nextDouble() * total
+          var pick = 0
+          i = 0
+          var acc = 0.0
+          while (i < n && acc + minD2(i) < target) { acc += minD2(i); pick = i + 1; i += 1 }
+          copyRow(math.min(pick, n - 1), seeded)
+        }
+        seeded += 1
+      }
+      val assign = new Array[Int](n)
+      var iter = 0
+      while (iter < maxIter) {
+        var i = 0
+        while (i < n) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < kc) {
+            var d2 = 0.0
+            var d = 0
+            while (d < subDim) {
+              val diff = rows(i)(offset + d).toDouble - centroids(c)(d)
+              d2 += diff * diff
+              d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+        val sums = Array.ofDim[Double](kc, subDim)
+        val counts = new Array[Int](kc)
+        i = 0
+        while (i < n) {
+          val c = assign(i)
+          counts(c) += 1
+          var d = 0
+          while (d < subDim) { sums(c)(d) += rows(i)(offset + d).toDouble; d += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < kc) {
+          if (counts(c) > 0) {
+            var d = 0
+            while (d < subDim) { centroids(c)(d) = sums(c)(d) / counts(c); d += 1 }
+          }
+          c += 1
+        }
+        iter += 1
+      }
+      val out = new Array[Float](kc * subDim)
+      var c = 0
+      while (c < kc) {
+        var d = 0
+        while (d < subDim) { out(c * subDim + d) = centroids(c)(d).toFloat; d += 1 }
+        c += 1
+      }
+      out
+    }
   }
 
   /** One-shot PQ top-k: [[fitPqIndex]] (uncached codes — the single scan
