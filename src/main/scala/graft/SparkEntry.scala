@@ -682,6 +682,22 @@ object SparkEntry {
         k = 5, m = 8, kc = 16, rerankFactor = 4)
     }),
 
+    // similarity scale path #4: IVFPQ — cell pruning × code compression
+    // multiply (FAISS's corpus-scale workhorse). The stateless harness
+    // slot forces fit+probe in one call; serving holds the IvfPqIndex
+    // and calls ivfPqProbe per batch (reuse pinned by SimilaritySpec).
+    "q58_sim_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cands = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val idx = llm.Similarity.fitIvfPqIndex(
+        cands, nlist = 16, m = 8, kc = 16, persistEntries = false)
+      llm.Similarity.ivfPqProbe(
+        idx,
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        cands, k = 5, nprobe = 4, rerankFactor = 4)
+    }),
+
     // North-star dedup, SimHash method: banded 64-bit sketches, exact
     // hamming verify — an EXACT hamming≤3 join by pigeonhole (hamMax <
     // bands). xxhash64-based sketch has no DuckDB mirror ⇒ rows-only;

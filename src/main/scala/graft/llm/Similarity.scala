@@ -639,4 +639,104 @@ object Similarity {
     val index = fitPqIndex(candidates, m, kc, persistCodes = false)
     pqProbe(index, queries, candidates, k, rerankFactor)
   }
+
+  // -------------------------------------------------------------------------
+  // IVFPQ — the composed index (FAISS's workhorse at corpus scale)
+  // -------------------------------------------------------------------------
+
+  /** IVF cells × PQ codes in one index: IVF prunes WHICH vectors each
+    * query scores (~nprobe/nlist of the corpus), PQ shrinks WHAT that
+    * scoring reads (m codes, not dim floats) — multiplying to a
+    * bandwidth cut of (nlist/nprobe)·(dim·4/m·codeBytes) versus a brute
+    * scan. `entries` is (n_id, cell, codes); at scale write it bucketed
+    * by `cell` so a probe's scan prunes to its cells' files. */
+  final case class IvfPqIndex(
+      entries: DataFrame,
+      centroids: DataFrame,
+      codebook: Array[Float],
+      nlist: Int,
+      m: Int,
+      kc: Int,
+      subDim: Int) {
+    def unpersist(): Unit = entries.unpersist()
+  }
+
+  /** Fit both quantizers over one normalized pass: the coarse KMeans
+    * (cells, distributed — it routes data) and the PQ codebooks
+    * (driver-local over a bounded sample, see [[fitPqIndex]]), then
+    * assign + encode every candidate in a single projection. */
+  def fitIvfPqIndex(
+      candidates: DataFrame, // (n_id, n_emb: array<float>)
+      nlist: Int = 16,
+      m: Int = 8,
+      kc: Int = 16,
+      seed: Long = 42L,
+      trainSampleMax: Int = 65536,
+      persistEntries: Boolean = true): IvfPqIndex = {
+    val ivf = fitIvfIndex(candidates, nlist, seed, persistCells = persistEntries)
+    // PQ trains on the SAME normalized vectors the cells carry (n_unit),
+    // so the codebook quantizes exactly what the ADC scan approximates
+    val train: Array[Array[Float]] = ivf.cells
+      .sort(col("n_id")).limit(trainSampleMax)
+      .select(col("n_unit")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, "fitIvfPqIndex: empty candidate set")
+    val dim = train(0).length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m equal subspaces")
+    val subDim = dim / m
+    val codebook = new Array[Float](m * kc * subDim)
+    (0 until m).foreach { j =>
+      val sub = PqOpsTrain.lloyd(train, j * subDim, subDim, kc, 15, seed + j)
+      System.arraycopy(sub, 0, codebook, j * kc * subDim, kc * subDim)
+    }
+    val entriesPlan = ivf.cells.select(col("n_id"), col("cell"),
+      graft.exprapi.pqEncode(col("n_unit"), codebook, m, kc, subDim).as("codes"))
+    val entries =
+      if (persistEntries) {
+        val e = entriesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count() // materialize before releasing the cells frame
+        e
+      } else entriesPlan
+    if (persistEntries) ivf.cells.unpersist()
+    IvfPqIndex(entries, ivf.centroids, codebook, nlist, m, kc, subDim)
+  }
+
+  /** Probe an [[IvfPqIndex]]: rank the broadcast centroids per query,
+    * ADC-scan only the `nprobe` chosen cells' codes, exact-re-rank the
+    * top `k·rerankFactor`. Work per query ≈ |corpus|·(nprobe/nlist)·m
+    * lookups + k·rerankFactor full-vector dots — pure plan, no actions. */
+  def ivfPqProbe(
+      index: IvfPqIndex,
+      queries: DataFrame,    // (q_id, q_emb: array<float>)
+      candidates: DataFrame, // (n_id, n_emb: array<float>) — re-rank source
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && rerankFactor >= 1 && nprobe >= 1,
+      s"k=$k rerankFactor=$rerankFactor nprobe=$nprobe")
+    val qUnit = l2Normalized(queries, "q_emb", "q_unit")
+      .select(col("q_id"), col("q_unit"),
+        graft.exprapi.pqAdcTable(
+          col("q_unit"), index.codebook, index.m, index.kc, index.subDim).as("adc_tab"))
+
+    val probes = graft.ops.Relational.groupedTopK(
+      qUnit.crossJoin(broadcast(index.centroids))
+        .withColumn("aff", graft.exprapi.quantizedDotFast(col("q_unit"), col("c_arr"))),
+      Seq("q_id"), "aff", "cell", nprobe)
+      .select(col("q_id"), col("q_unit"), col("adc_tab"), col("cell"))
+
+    val scored = index.entries.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", graft.exprapi.pqAdcDot(col("adc_tab"), col("codes"), index.kc))
+    val shortlist = graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "adc", "n_id", k * rerankFactor)
+      .select(col("q_id"), col("q_unit"), col("n_id"))
+
+    val exact = l2Normalized(candidates, "n_emb", "n_unit")
+      .join(broadcast(shortlist), Seq("n_id"))
+      .withColumn("dot_q", graft.exprapi.quantizedDotFast(col("q_unit"), col("n_unit")))
+    graft.ops.Relational
+      .groupedTopK(exact, Seq("q_id"), "dot_q", "n_id", k)
+      .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
+  }
 }

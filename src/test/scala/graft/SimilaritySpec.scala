@@ -267,6 +267,33 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("ivfPqProbe: composed cell-prune + ADC scan recalls exhaustive truth; index reused across batches") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val queries = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val k = 5
+    val idx = Similarity.fitIvfPqIndex(cands, nlist = 16, m = 8, kc = 16)
+    assert(idx.entries.storageLevel.useMemory, "index entries must be persisted")
+    assert(idx.entries.columns.toSet === Set("n_id", "cell", "codes"))
+
+    val got = Similarity.ivfPqProbe(idx, queries, cands, k, nprobe = 8, rerankFactor = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val truth = graft.ops.Relational.groupedTopK(
+        cands.join(broadcast(queries), $"q_id" =!= $"n_id")
+          .withColumn("cos", Similarity.cosine($"q_emb", $"n_emb")),
+        Seq("q_id"), "cos", "n_id", k)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.4, s"IVFPQ recall $recall below floor (both quantizers lossy)")
+    assert(!got.exists { case (q, n) => q == n })
+    // same index, second batch — pure plan, no refit
+    val q2 = e.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    assert(Similarity.ivfPqProbe(idx, q2, cands, k).count() > 0)
+    idx.unpersist()
+  }
+
   test("PQ kernels: null discipline on mismatched dims/codes; ADC approximates the true dot") {
     val cb = Array.tabulate(2 * 2 * 2)(_.toFloat) // m=2, kc=2, subDim=2
     val enc = graft.expr.PqOps.encode(
