@@ -50,6 +50,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q52/q55 grouping-set expansions stay one Expand + partial hash agg; q53 one window sort") {
+    for (name <- Seq("q52_cube", "q55_grouping_sets")) {
+      val plan = executed(SparkEntry.queries(name)(spark, TestSpark.sf))
+      assert(plan.linesIterator.count(_.trim.startsWith("+- Expand")) +
+        plan.linesIterator.count(_.trim.startsWith("Expand")) >= 1,
+        s"$name must expand grouping sets in-plan:\n$plan")
+      assert(plan.contains("partial_"),
+        s"$name must partial-aggregate before the shuffle:\n$plan")
+      assert(!plan.contains("SortAggregate"), s"$name fell back to SortAggregate")
+      // one scan, not one per margin
+      assert(plan.linesIterator.count(_.contains("FileScan parquet")) === 1,
+        s"$name must read the fact table once:\n$plan")
+    }
+    // all four lag/lead/delta/gap expressions share ONE Window operator
+    val p53 = executed(SparkEntry.queries("q53_order_deltas")(spark, TestSpark.sf))
+    assert(p53.linesIterator.count(_.trim.stripPrefix("+- ").startsWith("Window")) <= 1,
+      s"q53 must serve every sequence expression from one window sort:\n$p53")
+  }
+
+  test("q54/q56 stats aggregate map-side partial off a single pruned scan") {
+    for ((name, wanted, banned) <- Seq(
+        ("q54_corr_stats", Seq("l_returnflag", "l_quantity", "l_extendedprice"), Seq("l_shipdate", "l_orderkey")),
+        ("q56_histogram", Seq("o_totalprice"), Seq("o_orderdate", "o_custkey")))) {
+      val plan = executed(SparkEntry.queries(name)(spark, TestSpark.sf))
+      assert(plan.contains("partial_"), s"$name must partial-aggregate:\n$plan")
+      val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      wanted.foreach(c => assert(reads.contains(c), s"$name scan missing $c:\n$reads"))
+      banned.foreach(c => assert(!reads.contains(c), s"$name scan reads unused $c:\n$reads"))
+    }
+  }
+
   test("q01 aggregation is map-side partial (partial_ before the exchange)") {
     val plan = executed(SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf))
     assert(plan.contains("partial_"),
@@ -60,5 +91,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = executed(SparkEntry.queries("q16_near_dedup")(spark, TestSpark.sf))
     assert(!plan.contains("SortAggregate"),
       s"60-bit numeric minhash minima must stay in a hash-agg buffer:\n$plan")
+  }
+
+  test("golden signatures: q36/q40 rows-only outputs are pinned bit-for-bit at sf0.001") {
+    // The two rows-only queries whose kernels (xxhash64 banding, Karp-Rabin
+    // winnowing) have no SQL oracle: pin the ENTIRE output as an order-free
+    // signature (xor of per-row hashes over sorted, stringified columns).
+    // Any semantic drift in the native expressions changes the signature;
+    // fixture data is driver-generated and stable across rounds.
+    val expected = Map(
+      "q36_winnow_fast" -> (3750L, 7464273404714165059L),
+      "q40_simhash_dups" -> (17L, -1078835608490449615L))
+    expected.foreach { case (name, (rows, sig)) =>
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+      val cols = df.columns.sorted.map(c => col(c).cast("string"))
+      val got = df.select(xxhash64(concat_ws("|", cols: _*)).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s")).head()
+      assert(got.getLong(0) === rows, s"$name row count drifted")
+      assert(got.getLong(1) === sig, s"$name output signature drifted")
+    }
   }
 }
