@@ -430,6 +430,38 @@ object SparkEntry {
     "q56_histogram" -> ((s, dir) =>
       Relational.histogram(Tables.orders(s, dir), "o_totalprice", 20000.0)),
 
+    // training-pipeline: deterministic per-language downsampling — the
+    // corpus language-mix rebalance as a pure function of doc_id (same
+    // decision on any cluster/partitioning/engine, unlike sampleBy's RNG)
+    "q59_stratified_sample" -> ((s, dir) =>
+      Relational.stratifiedHashSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.1))),
+
+    // training-pipeline: text canonicalization (accent fold + lower +
+    // whitespace collapse). The fixture corpus is ASCII, so accented
+    // input is constructed deterministically — BOTH precomposed (é) and
+    // combining-mark (e + U+0301) forms, exercising the NFD path
+    "q60_canonicalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        text.TextOps.canonicalizeText(
+          // explicit forms: precomposed \u00e9, combining \u0308 (NAÏVE)
+          // and \u0301 (étude) — the fold must converge precomposed and
+          // NFD inputs; the oracle mixes the forms the other way around
+          concat(lit("Caf\u00e9  NAI\u0308VE e\u0301tude:\t"), col("text"))).as("norm_text"))),
+
+    // training-pipeline: PII masking — URLs, emails, phone-shaped runs →
+    // typed placeholders. PII is injected deterministically from doc_id
+    // (the fixture corpus carries none), same construction in the oracle
+    "q61_pii_scrub" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        text.TextOps.scrubPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-000-"),
+          lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" see https://ex.com/d/"), col("doc_id"))).as("clean_text"))),
+
     // §2.5 PIVOT: long→wide with an EXPLICIT value list (no
     // distinct-collect planning pass — the production form) — token-count
     // buckets × language counts. Conditional-aggregation mirror in SQL.
@@ -1233,6 +1265,35 @@ object SparkEntry {
         |       min(o_totalprice) AS min_value,
         |       max(o_totalprice) AS max_value
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // first 32 bits of md5(key) as an unsigned int vs fraction*2^32 —
+    // the q44 content-addressed trick widened to per-stratum thresholds
+    "q59_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) <
+        |  CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 4294967296
+        |            WHEN 'es' THEN 1073741824 WHEN 'fr' THEN 429496729
+        |            ELSE 0 END""".stripMargin,
+
+    // strip_accents (utf8proc) ≡ NFD + drop combining marks for this
+    // input; same lower/collapse/trim chain, 'g' flag = Spark's
+    // replace-all default
+    "q60_canonicalize" ->
+      ("SELECT doc_id, " +
+        "trim(regexp_replace(lower(strip_accents('Café  NAÏVE étude:' || chr(9) || text)), " +
+        "'\\s+', ' ', 'g')) AS norm_text FROM documents"),
+
+    "q61_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-000-'
+        |             || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' see https://ex.com/d/' || CAST(doc_id AS VARCHAR),
+        |        'https?://[^ ]+', '[URL]', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean_text
+        |FROM documents""".stripMargin,
 
     "q49_pivot" ->
       """SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 50 AS INT) AS long_doc,

@@ -92,4 +92,9 @@ package object exprapi {
   def pqAdcDot(table: Column, codes: Column, kc: Int): Column =
     ColumnBridge.column(expr.PqAdcDot(
       ColumnBridge.expression(table), ColumnBridge.expression(codes), kc))
+
+  /** Accent folding (NFD + combining-mark removal, ASCII fast path).
+    * See [[graft.expr.FoldAccents]]. */
+  def foldAccents(s: Column): Column =
+    ColumnBridge.column(expr.FoldAccents(ColumnBridge.expression(s)))
 }

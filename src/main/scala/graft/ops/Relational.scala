@@ -330,6 +330,33 @@ object Relational {
             (nD * d("syy") - d("sy") * d("sy"))))
   }
 
+  /** Deterministic per-stratum downsampling — the class-rebalancing /
+    * language-mix step of a training-data pipeline, as a PURE FUNCTION of
+    * the row key: a row is kept iff the first 32 bits of md5(key), read
+    * as an unsigned int, fall below fraction·2³². Unlike `sampleBy`
+    * (partition-layout-dependent RNG), the same row always makes the same
+    * decision on any cluster, any partitioning, any engine — resumable
+    * and auditable, which is what reproducible corpus curation needs.
+    * Strata absent from `fractions` are dropped (fraction 0). Pure filter:
+    * pushes to the scan, no shuffle, no state. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "at least one stratum fraction required")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions")
+    def thr(f: Double): Long = math.floor(f * 4294967296.0).toLong
+    val pairs = fractions.toSeq.sortBy(_._1)
+    val threshold = pairs.tail
+      .foldLeft(when(col(stratumCol) === pairs.head._1, lit(thr(pairs.head._2)))) {
+        case (acc, (s, f)) => acc.when(col(stratumCol) === s, lit(thr(f)))
+      }.otherwise(lit(0L))
+    val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    df.filter(h32 < threshold)
+  }
+
   /** Fixed-width histogram: bucket = floor(value / width), with per-bucket
     * count and min/max. Pure projection + one map-side-partial hash agg —
     * the degenerate (and fastest) form of binned analytics; empty buckets

@@ -153,6 +153,35 @@ object TextOps {
     * and engine-portable (md5 of UTF-8 bytes). */
   def fingerprint(text: Column): Column = md5(normalizedText(text))
 
+  /** Corpus-text canonicalization (the standard LLM preprocessing chain):
+    * fold accents (NFD + strip combining marks — [[graft.expr.FoldAccents]],
+    * ASCII fast path), lowercase, collapse whitespace runs, trim. Pure
+    * projection, no shuffle; engine-portable (mirrors
+    * `strip_accents`/`lower`/`regexp_replace` in SQL engines). Folding
+    * happens BEFORE lowercasing so case-carrying accented letters fold
+    * the same way in any engine's lower(). */
+  def canonicalizeText(text: Column): Column =
+    trim(regexp_replace(lower(graft.exprapi.foldAccents(text)), "\\s+", " "))
+
+  /** PII scrub patterns — deliberately RE2-safe (character classes and
+    * counted repeats only, no backrefs/lookaround) so the exact same
+    * pattern strings run in Java regex and RE2-based engines. */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII masking for training corpora: URLs, emails, then phone-shaped
+    * digit runs → typed placeholder tokens. Order matters (URLs can
+    * contain digit runs and @-strings — scrub them first). Replacement is
+    * redaction-in-place: surrounding text is untouched, so downstream
+    * token statistics stay comparable. Pure projection. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "[URL]"),
+        EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
   /** Tiny function-word list for the heuristic scorers below. Public
     * English function words — the same idea as the reference's stopword
     * file (`acq_etl_code.scala:33`), inlined so the operator has no file

@@ -151,6 +151,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(li.forall(c => c >= -1.0 && c <= 1.0))
   }
 
+  test("stratifiedHashSample: content-addressed decisions — partition-invariant, fraction-accurate") {
+    val docs = Tables.documents(spark, TestSpark.sf).select($"doc_id", $"lang")
+    val fr = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25)
+    val a = Relational.stratifiedHashSample(docs, "lang", "doc_id", fr)
+      .as[(Long, String)].collect().toSet
+    // pure function of the key: any partitioning makes identical decisions
+    val b = Relational.stratifiedHashSample(docs.repartition(7), "lang", "doc_id", fr)
+      .as[(Long, String)].collect().toSet
+    assert(a === b)
+    val byLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val total = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("de") === total("de"), "fraction 1.0 keeps every row")
+    assert(!byLang.contains("fr") && !byLang.contains("zh"), "absent strata are dropped")
+    val enRate = byLang("en").toDouble / total("en")
+    assert(math.abs(enRate - 0.5) < 0.2, s"en sampled at $enRate, want ~0.5")
+    assertThrows[IllegalArgumentException](
+      Relational.stratifiedHashSample(docs, "lang", "doc_id", Map("en" -> 1.5)))
+  }
+
   test("histogram: buckets partition the value range; min/max bracket each bucket") {
     val h = Relational.histogram(Tables.orders(spark, TestSpark.sf), "o_totalprice", 20000.0)
       .select($"bucket", $"n_rows", $"min_value", $"max_value")

@@ -338,4 +338,31 @@ class TextOpsSpec extends AnyFunSuite {
       assert(stem.nonEmpty && tok.head === stem.head, s"$tok -> $stem")
     }
   }
+
+  test("canonicalizeText: precomposed and combining-mark inputs converge; ASCII passes through") {
+    val rows = Seq(
+      (1L, "Caf\u00e9  NA\u00cfVE"),          // precomposed e-acute, I-diaeresis
+      (2L, "Cafe\u0301  NAI\u0308VE"),        // same text, NFD combining marks
+      (3L, "plain ASCII  stays\tplain "),
+      (4L, "")
+    ).toDF("id", "s")
+    val got = rows.select($"id", TextOps.canonicalizeText($"s").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "cafe naive")
+    assert(got(2L) === got(1L), "NFD and precomposed forms must fold identically")
+    assert(got(3L) === "plain ascii stays plain")
+    assert(got(4L) === "")
+  }
+
+  test("scrubPii: URLs, emails, phones masked in order; surrounding text untouched") {
+    val s = "see https://ex.com/a?b=1 mail bob.smith+x@ex-mail.co.uk " +
+      "call +1 (555) 123-4567 or 555-000-0042 done"
+    val got = Seq(Tuple1(s)).toDF("t")
+      .select(TextOps.scrubPii($"t")).as[String].head()
+    assert(got === "see [URL] mail [EMAIL] call [PHONE] or [PHONE] done", got)
+    // no PII -> identity; URL digits must not leak a phone match
+    val clean = "just words 123 and 4567 here"
+    assert(Seq(Tuple1(clean)).toDF("t")
+      .select(TextOps.scrubPii($"t")).as[String].head() === clean)
+  }
 }
