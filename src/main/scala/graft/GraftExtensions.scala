@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.expr.{BmpDecode, ByteStats, Int8DotProduct, MinHashSignature, PcmStats, PorterStem, QuantizedDotProduct, RgbMeans, SimHash64, WavDecode, WinnowFingerprints, WordShingles, Y4mDecode}
+import graft.expr.{BmpDecode, ByteStats, FoldAccents, Int8DotProduct, MinHashSignature, PcmStats, PorterStem, QuantizedDotProduct, RgbMeans, SimHash64, WavDecode, WinnowFingerprints, WordShingles, Y4mDecode}
 
 /** SQL-surface registration for graft's native expressions
   * (SURVEY.md §7.3 — `SparkSessionExtensions` is the sanctioned extension
@@ -120,6 +120,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(bin) => ByteStats(bin)
         case _ => throw new IllegalArgumentException("byte_stats(binary)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("fold_accents"),
+      new ExpressionInfo(classOf[FoldAccents].getName, "fold_accents"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => FoldAccents(s)
+        case _ => throw new IllegalArgumentException("fold_accents(string)")
       }))
 
     ext.injectFunction((

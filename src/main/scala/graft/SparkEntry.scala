@@ -451,6 +451,16 @@ object SparkEntry {
           // NFD inputs; the oracle mixes the forms the other way around
           concat(lit("Caf\u00e9  NAI\u0308VE e\u0301tude:\t"), col("text"))).as("norm_text"))),
 
+    // training-pipeline: repetition quality signal (Gopher/C4 boilerplate
+    // rule) — duplicate trigram fraction per doc; one int-ratio division
+    // keeps the double engine-portable
+    "q62_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          text.TextOps.duplicateGramStats(col("text"), 3).as("r"))
+        .select(col("doc_id"), col("r.n_grams").as("n_tri"),
+          col("r.dup_grams").as("dup_tri"), col("r.dup_ratio"))),
+
     // training-pipeline: PII masking — URLs, emails, phone-shaped runs →
     // typed placeholders. PII is injected deterministically from doc_id
     // (the fixture corpus carries none), same construction in the oracle
@@ -1282,6 +1292,25 @@ object SparkEntry {
       ("SELECT doc_id, " +
         "trim(regexp_replace(lower(strip_accents('Café  NAÏVE étude:' || chr(9) || text)), " +
         "'\\s+', ' ', 'g')) AS norm_text FROM documents"),
+
+    "q62_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |         THEN list_transform(generate_series(1, len(ts)-2),
+        |                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        |         ELSE [] END AS tri
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(tri) AS BIGINT) AS n_tri,
+        |  CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS dup_tri,
+        |  CASE WHEN len(tri) > 0
+        |       THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
+        |       ELSE 0.0 END AS dup_ratio
+        |FROM g""".stripMargin,
 
     "q61_pii_scrub" ->
       """SELECT doc_id,

@@ -153,6 +153,24 @@ object TextOps {
     * and engine-portable (md5 of UTF-8 bytes). */
   def fingerprint(text: Column): Column = md5(normalizedText(text))
 
+  /** Repetition quality signal (the Gopher/C4 boilerplate rule family,
+    * public): per document, how many word n-grams are duplicates and the
+    * duplicate fraction — near-1 values mark boilerplate, spam, and
+    * templated text for corpus filtering. Integer counts plus ONE exact
+    * int-ratio double division (engine-portable bit-for-bit); pure
+    * projection, no shuffle at any scale. Returns
+    * struct(n_grams, dup_grams, dup_ratio). */
+  def duplicateGramStats(text: Column, n: Int = 3): Column =
+    letBound(ngrams(tokens(text), n)) { gs =>
+      val total = size(gs)
+      val dups = total - size(array_distinct(gs))
+      struct(
+        total.cast("long").as("n_grams"),
+        dups.cast("long").as("dup_grams"),
+        when(total > 0, dups.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+    }
+
   /** Corpus-text canonicalization (the standard LLM preprocessing chain):
     * fold accents (NFD + strip combining marks — [[graft.expr.FoldAccents]],
     * ASCII fast path), lowercase, collapse whitespace runs, trim. Pure

@@ -11,9 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class SqlSurfaceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("all 13 registered functions resolve and evaluate via spark.sql") {
+  test("all 14 registered functions resolve and evaluate via spark.sql") {
     val row = spark.sql(
       """SELECT
+        |  fold_accents('Café naïve')           AS fa,
         |  word_shingles(array('a','b','c'), 2)            AS ws,
         |  minhash_sig(array('x','y'), 4)                  AS mh,
         |  simhash64(array('x','y'))                       AS sh,
@@ -29,6 +30,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |  byte_stats(unhex('00FF'))                       AS bs
         |""".stripMargin).head()
 
+    assert(row.getString(row.fieldIndex("fa")) === "Cafe naive")
     assert(row.getSeq[String](row.fieldIndex("ws")) === Seq("a b", "b c"))
     assert(row.getSeq[Long](row.fieldIndex("mh")).length === 4)
     assert(!row.isNullAt(row.fieldIndex("sh")))

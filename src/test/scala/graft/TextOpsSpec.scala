@@ -354,6 +354,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(4L) === "")
   }
 
+  test("duplicateGramStats: boilerplate scores near 1, unique text scores 0, short text safe") {
+    val rows = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),  // 6 trigrams, 1 distinct
+      (2L, "one two three four five six seven"),        // all distinct
+      (3L, "a b"),                                       // under trigram width
+      (4L, "")
+    ).toDF("id", "text")
+    val got = rows.select($"id", TextOps.duplicateGramStats($"text", 3).as("r"))
+      .select($"id", $"r.n_grams", $"r.dup_grams", $"r.dup_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L)._2 === 6L && got(1L)._3 === 5L)
+    assert(math.abs(got(1L)._4 - 5.0 / 6.0) < 1e-15)
+    assert(got(2L)._3 === 0L && got(2L)._4 === 0.0)
+    assert(got(3L) === ((3L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((4L, 0L, 0L, 0.0)))
+  }
+
   test("scrubPii: URLs, emails, phones masked in order; surrounding text untouched") {
     val s = "see https://ex.com/a?b=1 mail bob.smith+x@ex-mail.co.uk " +
       "call +1 (555) 123-4567 or 555-000-0042 done"
