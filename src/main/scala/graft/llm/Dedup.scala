@@ -315,29 +315,39 @@ object Dedup {
     * label frames, never by collecting labels, and valid for ANY orderable
     * id type (numeric, string, ...). Rounds ≈ component diameter; near-dup
     * clusters are shallow (pairs share LSH buckets), so this converges in
-    * a handful of rounds, and at web scale the alternating
-    * large-star/small-star optimization (Kiveris et al., "Connected
-    * Components in MapReduce") drops in behind the same signature. A
-    * deliberate driver-side fixpoint loop, like every iterative fit in
-    * the engine (KMeans, LR); each round persists its label frame and
-    * releases the previous. Throws if `maxIters` rounds do not reach the
-    * fixpoint — a silent partial clustering would split components and
-    * yield multiple "survivors" per duplicate group. */
+    * a handful of rounds; for deep graphs use [[dupClustersAlternating]]
+    * (Kiveris et al.), which contracts in O(log) rounds behind the same
+    * signature. A deliberate driver-side fixpoint loop, like every
+    * iterative fit in the engine (KMeans, LR); each round is checkpoint-
+    * materialized so plans stay constant-size (see the loop comment).
+    * Throws if `maxIters` rounds do not reach the fixpoint — a silent
+    * partial clustering would split components and yield multiple
+    * "survivors" per duplicate group. */
   def dupClusters(
       pairs: DataFrame,
       aCol: String = "a_doc",
       bCol: String = "b_doc",
       maxIters: Int = 20): DataFrame = {
+    // localCheckpoint, not persist: a persisted round still NESTS the whole
+    // prior chain in its logical plan, and because each round references
+    // the previous labels twice (join + union), both analysis and the
+    // per-action plan-string rendering grow ~2^rounds — a deep chain
+    // (diameter ≫ the usual near-dup 3–4) stalls the DRIVER on plan
+    // strings long before any executor is busy (measured: a 10-node path
+    // never finished). Checkpointing truncates each round to a LogicalRDD:
+    // constant-size plans at any round count. Checkpoint blocks are freed
+    // by the ContextCleaner once a round's frame is unreachable.
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
+      .localCheckpoint(true)
     // seed with min(self, neighbors) — the first propagation round folded
     // into initialization at the cost of zero extra jobs (the groupBy also
     // serves as the vertex-distinct)
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-      .select(col("src").as("doc_id"), col("cluster_id")).persist()
+      .select(col("src").as("doc_id"), col("cluster_id"))
+      .localCheckpoint(true)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -345,27 +355,128 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("cluster_id"))
       val next = labels.union(msgs)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .filter(col("cluster_id") =!= col("prev"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iters += 1
     }
-    edges.unpersist()
     if (!converged) {
-      labels.unpersist()
       throw new IllegalStateException(
         s"dupClusters did not reach the label fixpoint in $maxIters rounds — " +
           "a component's diameter exceeds maxIters; raise maxIters (rounds " +
           "needed ~ longest near-dup chain)")
     }
-    // the final (doc_id, cluster_id) frame IS the persisted frame — its
-    // lineage is the whole iteration chain, so it stays cached; callers
-    // release it with .unpersist() after materializing, or clearCache.
+    // the final (doc_id, cluster_id) frame is checkpoint-materialized;
+    // its blocks live until the frame becomes unreachable.
+    labels
+  }
+
+  /** Connected components via the ALTERNATING star algorithm (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC 2014) — the web-scale drop-in for
+    * [[dupClusters]]: label propagation needs ~diameter rounds, the
+    * alternating large-star/small-star contraction needs O(log²) in the
+    * worst case and in practice collapses even long chains in a handful
+    * of rounds, because every round REWIRES edges toward component minima
+    * instead of moving labels one hop.
+    *
+    *   - large-star: per node u, every LARGER neighbor re-attaches to
+    *     m = min(N(u) ∪ {u})
+    *   - small-star: per edge orientation large→small, every smaller
+    *     neighbor (and u itself) re-attaches to m = min(N₍≤₎(u) ∪ {u})
+    *
+    * Both steps are one groupBy-min + one equi-join each — the same
+    * shuffle primitives as a label round, but edge count never grows
+    * (star steps only rewire), so the per-round cost is bounded by the
+    * input edge count. Fixpoint = the edge set stops changing (anti-join
+    * witness, never a collect); the final state is stars centered at
+    * component minima. Output and contract identical to [[dupClusters]]:
+    * (doc_id, cluster_id = component minimum), any orderable id type,
+    * throws rather than returning a silent partial clustering. */
+  def dupClustersAlternating(
+      pairs: DataFrame,
+      aCol: String = "a_doc",
+      bCol: String = "b_doc",
+      maxIters: Int = 35): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mins.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // Each star step references its input ~4× (symmetrize + min-join), so
+    // a round's UNTRUNCATED logical plan nests the previous round's ~12
+    // times over — analysis cost alone grows exponentially and stalls the
+    // driver by round 4 (measured). localCheckpoint materializes the round
+    // AND truncates the plan to a LogicalRDD, making every round's plan
+    // constant-size. (On a fault-tolerant cluster run, swap in reliable
+    // `checkpoint()` with a checkpoint dir — localCheckpoint trades
+    // executor-loss recovery for speed; the fixpoint loop itself is
+    // restartable from `pairs` either way.)
+    var edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val vertices = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("doc_id"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint witness: identical edge sets (both one-way anti-joins;
+      // star steps can rewire without changing cardinality, so a count
+      // comparison alone is NOT a witness). `next` derives from `edges`,
+      // so one side is renamed to keep the self-join unambiguous.
+      val prev = edges.select(col("src").as("p_src"), col("dst").as("p_dst"))
+      val fwd = col("src") === col("p_src") && col("dst") === col("p_dst")
+      val changed =
+        next.join(prev, fwd, "left_anti").limit(1).count() +
+          prev.join(next, fwd, "left_anti").limit(1).count()
+      edges.unpersist()
+      edges = next
+      converged = changed == 0
+      iters += 1
+    }
+    if (!converged) {
+      edges.unpersist(); vertices.unpersist()
+      throw new IllegalStateException(
+        s"dupClustersAlternating did not converge in $maxIters rounds")
+    }
+    // fixpoint edges are stars (v, root); isolated-after-dedup roots and
+    // any vertex the stars already folded away both come back through the
+    // vertex set with label = own id
+    val labels = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(vertices.select(col("doc_id"), col("doc_id").as("cluster_id")))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize before releasing the lineage caches
+    edges.unpersist()
+    vertices.unpersist()
     labels
   }
 

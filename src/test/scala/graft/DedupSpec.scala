@@ -107,6 +107,34 @@ class DedupSpec extends AnyFunSuite {
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
   }
 
+  test("dupClustersAlternating == dupClusters on chains, stars, merges, and the real pair graph") {
+    def pairsOf(es: (Long, Long)*) = es.toDF("a_doc", "b_doc")
+    val shapes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      // 10-node path with labels against the grain — the diameter case the
+      // star contraction exists to collapse
+      ("path", pairsOf((10L, 9L), (9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L),
+        (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))),
+      ("star", pairsOf((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))),
+      ("two components + dup edge", pairsOf((1L, 2L), (2L, 1L), (7L, 9L))),
+      ("bridge merge", pairsOf((1L, 2L), (3L, 4L), (2L, 3L))),
+      ("self loop + pair", pairsOf((6L, 6L), (6L, 8L)))
+    )
+    shapes.foreach { case (name, ps) =>
+      val a = Dedup.dupClusters(ps).as[(Long, Long)].collect().toSet
+      val b = Dedup.dupClustersAlternating(ps).as[(Long, Long)].collect().toSet
+      assert(a === b, s"shape '$name': alternating=$b minLabel=$a")
+    }
+    // the q16 production pair graph at test SF
+    val real = Dedup.nearDupPairs(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "text", threshold = 0.7)
+      .select($"a_doc", $"b_doc")
+    val a = Dedup.dupClusters(real).as[(Long, Long)].collect().toSet
+    val b = Dedup.dupClustersAlternating(real).as[(Long, Long)].collect().toSet
+    assert(a === b)
+    assert(b.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("dupClusters: min-label components, multi-round chains, survivor rule") {
     // two components: a 5-node path (diameter 4 — needs >1 round) and a pair;
     // labels deliberately NOT in path order so propagation must travel
@@ -121,7 +149,8 @@ class DedupSpec extends AnyFunSuite {
     // survivor rule: exactly one doc per cluster keeps doc_id == cluster_id
     val survivors = got.filter { case (id, c) => id == c }.keys.toSet
     assert(survivors === Set(1L, 20L))
-    // the returned frame is the persisted one — caller release must work
+    // checkpoint-materialized result: unpersist stays a safe no-op for
+    // callers that followed the old persisted-frame contract
     Dedup.dupClusters(pairs).unpersist()
   }
 
