@@ -451,6 +451,44 @@ object SparkEntry {
           // NFD inputs; the oracle mixes the forms the other way around
           concat(lit("Caf\u00e9  NAI\u0308VE e\u0301tude:\t"), col("text"))).as("norm_text"))),
 
+    // §2.5 rank-function family: ntile / percent_rank / cume_dist per
+    // priority group — one partitioned window sort serves all three;
+    // o_orderkey tie-break keeps rank-derived doubles deterministic
+    "q63_rank_family" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+
+    // §2.2 temporal bucketing: calendar-month rollup (date_trunc), count
+    // + exact sum per month — the time-series reporting shape
+    "q64_monthly" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        // month as ISO string: a DATE column round-trips through parquet
+        // and the two engines' readers with different physical types —
+        // the string form is representation-unambiguous for the compare
+        .groupBy(date_format(trunc(to_date(col("o_orderdate")), "month"), "yyyy-MM-dd")
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.exactSum(col("o_totalprice")).as("sum_price"))),
+
+    // J-family: fuzzy name join — edit distance within id-suffix blocks
+    // (the reference's exact name joins made typo-tolerant; blocking keeps
+    // the pair space Σ bucket², never |C|×|S|)
+    "q65_fuzzy_names" -> ((s, dir) =>
+      Relational.editDistanceJoin(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        "c_name", "s_name",
+        bucket = name => regexp_extract(name, "([0-9]{2})$", 1),
+        maxDist = 7)
+        .select(col("c_custkey"), col("s_suppkey"), col("edit_dist"))),
+
     // training-pipeline: repetition quality signal (Gopher/C4 boilerplate
     // rule) — duplicate trigram fraction per doc; one int-ratio division
     // keeps the double engine-portable
@@ -1292,6 +1330,27 @@ object SparkEntry {
       ("SELECT doc_id, " +
         "trim(regexp_replace(lower(strip_accents('Café  NAÏVE étude:' || chr(9) || text)), " +
         "'\\s+', ' ', 'g')) AS norm_text FROM documents"),
+
+    "q63_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "q64_monthly" ->
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${dSum("o_totalprice", 2, "sum_price")}
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q65_fuzzy_names" ->
+      """SELECT c_custkey, s_suppkey,
+        |       CAST(levenshtein(c_name, s_name) AS BIGINT) AS edit_dist
+        |FROM customer c JOIN supplier s
+        |  ON regexp_extract(c_name, '([0-9]{2})$', 1) = regexp_extract(s_name, '([0-9]{2})$', 1)
+        |WHERE levenshtein(c_name, s_name) <= 7""".stripMargin,
 
     "q62_repetition" ->
       """WITH t AS (

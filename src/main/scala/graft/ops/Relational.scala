@@ -330,6 +330,29 @@ object Relational {
             (nD * d("syy") - d("sy") * d("sy"))))
   }
 
+  /** Fuzzy string join by edit distance — the name-matching shape the
+    * reference's acquirer/target joins approximate with exact keys, made
+    * tolerant to typos/reformatting. NEVER all-pairs: `bucket` is a
+    * required blocking function (id-suffix, phonetic key, length band —
+    * same discipline as J6's theta buckets and the LSH families); pairs
+    * form only within equal buckets, then `levenshtein` (codegen'd
+    * built-in) prunes to `maxDist`. Scale = Σ bucket_l·bucket_r, tunable
+    * entirely by the blocking key. */
+  def editDistanceJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      bucket: Column => Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    left.withColumn("_block", bucket(col(leftCol)))
+      .join(right.withColumn("_block", bucket(col(rightCol))), "_block")
+      .withColumn("edit_dist", levenshtein(col(leftCol), col(rightCol)).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .drop("_block")
+  }
+
   /** Deterministic per-stratum downsampling — the class-rebalancing /
     * language-mix step of a training-data pipeline, as a PURE FUNCTION of
     * the row key: a row is kept iff the first 32 bits of md5(key), read

@@ -151,6 +151,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(li.forall(c => c >= -1.0 && c <= 1.0))
   }
 
+  test("editDistanceJoin: blocked pairs only, threshold prunes, distances verified") {
+    val l = Seq((1L, "smith corp"), (2L, "smyth corp"), (3L, "zeta llc")).toDF("lid", "lname")
+    val r = Seq((10L, "smith corp"), (11L, "smith co"), (12L, "omega llc")).toDF("rid", "rname")
+    // block on the last word — "corp"/"co"/"llc" bands
+    val got = Relational.editDistanceJoin(l, r, "lname", "rname",
+      bucket = n => element_at(split(n, " "), -1), maxDist = 2)
+      .select($"lid", $"rid", $"edit_dist").as[(Long, Long, Long)].collect().toSet
+    // smith~smith 0, smyth~smith 1 within the corp block; zeta~omega = 4 > 2
+    assert(got === Set((1L, 10L, 0L), (2L, 10L, 1L)))
+    assertThrows[IllegalArgumentException](
+      Relational.editDistanceJoin(l, r, "lname", "rname", n => n, maxDist = -1))
+  }
+
   test("stratifiedHashSample: content-addressed decisions — partition-invariant, fraction-accurate") {
     val docs = Tables.documents(spark, TestSpark.sf).select($"doc_id", $"lang")
     val fr = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25)
