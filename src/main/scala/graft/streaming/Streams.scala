@@ -9,6 +9,16 @@ import graft.ops.Relational
 /** Output row of [[Streams.runningUserTotals]] — cumulative per-user state. */
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** Output row of [[Streams.streamingNearDupMarks]]: `doc_id` collided with
+  * the earlier-seen `matched_id` in SimHash band `band` at the given
+  * hamming distance. One doc can emit several marks (several matches /
+  * several bands); `select(doc_id).distinct` is the drop set. */
+case class DupMark(doc_id: Long, matched_id: Long, band: Int, hamming: Int)
+
+/** Per-bucket state of [[Streams.streamingNearDupMarks]]: the ids and
+  * 64-bit sketches seen in one (band, key) bucket, newest last. */
+case class BandBucketState(ids: List[Long], sigs: List[Long])
+
 /** Structured Streaming surface (SURVEY.md §2.8 — additive; the reference is
   * batch-only, the `events` fixture and north-star require streams).
   *
@@ -166,5 +176,90 @@ object Streams {
           col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** Streaming NEAR-duplicate detection — SimHash dedup at ingestion time,
+    * the streaming counterpart of [[graft.llm.Dedup.simhashDups]] (exact
+    * key dedup is [[dedupWithinWatermark]]; this catches REWRITES).
+    *
+    * Shape: one codegen'd projection computes each doc's 64-bit sketch,
+    * explodes it into `bands` bit-slice keys, and the keyed state per
+    * (band, key) bucket holds the ids+sketches seen there. An arriving
+    * doc emits a [[DupMark]] for every stored sketch within `hamMax` —
+    * by the pigeonhole guarantee (hamMax < bands), every true near-dup
+    * pair collides in at least one band, so the marks over a corpus equal
+    * the batch pair set. State per bucket is capped at `maxBucketSize`
+    * (saturation ⇒ new sketches stop being stored and a mark against a
+    * full bucket still emits — recall on FUTURE arrivals degrades, the
+    * same documented guard as the batch form); total state is bounded by
+    * bands · 2^(64/bands) buckets · cap. Within one micro-batch, bucket
+    * rows are processed in ascending id order, so marks always point from
+    * the larger id to the earlier/smaller one — deterministic and equal
+    * to the batch pair orientation. Works on a batch frame too (fresh
+    * state ⇒ exactly the batch SimHash pairs, modulo the cap). */
+  def streamingNearDupMarks(
+      docs: DataFrame, // (doc_id: long, text: string, ...)
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hamMax: Int = 3,
+      bands: Int = 4,
+      shingleWidth: Int = 3,
+      maxBucketSize: Int = 10000): Dataset[DupMark] = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(hamMax < bands,
+      s"hamming guarantee needs hamMax < bands (got $hamMax >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val banded = docs
+      .filter(size(graft.text.TextOps.tokens(col(textCol))) >= shingleWidth)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.exprapi.simhash64(
+          graft.llm.Dedup.shingles(col(textCol), shingleWidth)).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
+              .as("key"))): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Long)]
+
+    banded
+      .groupByKey { case (band, key, _, _) => (band, key) }
+      .flatMapGroupsWithState[BandBucketState, DupMark](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bk: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+         state: GroupState[BandBucketState]) =>
+          val prev = state.getOption.getOrElse(BandBucketState(Nil, Nil))
+          // ascending-id processing inside the micro-batch: marks point
+          // larger → smaller, matching the batch pair orientation. The
+          // buffer is bounded by the bucket's batch volume (cap guards
+          // the retained state, not the transient sort).
+          val arrivals = rows.toArray.sortBy(_._3)
+          var ids = prev.ids
+          var sigs = prev.sigs
+          var stored = ids.size
+          val marks = scala.collection.mutable.ArrayBuffer.empty[DupMark]
+          arrivals.foreach { case (_, _, id, sig) =>
+            var i = ids
+            var s = sigs
+            while (i.nonEmpty) {
+              if (i.head != id) {
+                val d = java.lang.Long.bitCount(s.head ^ sig)
+                if (d <= hamMax) marks += DupMark(id, i.head, bk._1, d)
+              }
+              i = i.tail; s = s.tail
+            }
+            if (stored < maxBucketSize) {
+              ids = id :: ids; sigs = sig :: sigs; stored += 1
+            }
+          }
+          state.update(BandBucketState(ids, sigs))
+          marks.iterator
+      }
   }
 }

@@ -182,6 +182,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch === Set((2L, 10L, 5.0), (4L, 12L, 9.0)))
   }
 
+  test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+      (3L, "completely different content about spark query engines and shuffles here"),
+      (4L, "the quick brown fox jumps over the lazy dog and runs far away home")
+    )
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(corpus: _*)
+    val q = Streams.streamingNearDupMarks(
+        mem.toDF().toDF("doc_id", "text"), hamMax = 3, bands = 4)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("update")
+      .option("checkpointLocation", ckpt("neardup"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("neardup_out")
+        .select($"matched_id", $"doc_id").as[(Long, Long)].collect().toSet
+      val batchPairs = graft.llm.Dedup.simhashDups(
+          corpus.toDF("doc_id", "text"), hamMax = 3, bands = 4)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(afterBatch1 === batchPairs,
+        s"one-batch marks must equal the batch pair set: $afterBatch1 vs $batchPairs")
+      // a later arrival must be checked against STATE from batch 1
+      mem.addData((9L, corpus.head._2))
+      q.processAllAvailable()
+      val marked = spark.table("neardup_out")
+        .filter($"doc_id" === 9L).select($"matched_id").as[Long].collect().toSet
+      assert(marked.contains(1L) && marked.contains(4L),
+        s"cross-batch verbatim dup must mark both earlier copies, got $marked")
+    } finally q.stop()
+    // batch-frame form (fresh state) degenerates to the batch pair set
+    val batchForm = Streams.streamingNearDupMarks(corpus.toDF("doc_id", "text"))
+      .select($"matched_id", $"doc_id").as[(Long, Long)].collect().toSet
+    assert(batchForm === graft.llm.Dedup.simhashDups(corpus.toDF("doc_id", "text"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
+  }
+
   test("tumblingAgg works identically over the events fixture in batch mode") {
     val ev = Tables.events(spark, TestSpark.sf)
     val viaStreamOp = Streams.tumblingAgg(ev)
