@@ -451,6 +451,22 @@ object SparkEntry {
           // NFD inputs; the oracle mixes the forms the other way around
           concat(lit("Caf\u00e9  NAI\u0308VE e\u0301tude:\t"), col("text"))).as("norm_text"))),
 
+    // §2.2 semi-structured extraction: schema'd JSON parse of the props
+    // column (from_json — the production form: typed, null on malformed)
+    // + integer aggregation. The parse is a pure projection; at scale the
+    // win is parsing ONCE into a typed column, not per-expression
+    "q66_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+
     // §2.5 rank-function family: ntile / percent_rank / cume_dist per
     // priority group — one partitioned window sort serves all three;
     // o_orderkey tie-break keeps rank-derived doubles deterministic
@@ -1330,6 +1346,14 @@ object SparkEntry {
       ("SELECT doc_id, " +
         "trim(regexp_replace(lower(strip_accents('Café  NAÏVE étude:' || chr(9) || text)), " +
         "'\\s+', ' ', 'g')) AS norm_text FROM documents"),
+
+    "q66_json_extract" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q63_rank_family" ->
       """SELECT o_orderkey, o_orderpriority,
