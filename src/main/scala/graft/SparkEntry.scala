@@ -467,6 +467,37 @@ object SparkEntry {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    // §2.5 explicit ROWS frames: trailing-3 rolling spend + frame start +
+    // forward-3 look, per customer — the row-bounded counterpart of q47's
+    // RANGE frame; all four frame expressions share one partitioned sort.
+    // Integer-quantized values make every frame sum engine-exact; the
+    // trailing average divides two BIGINTs → identical IEEE double.
+    "q67_window_frames" -> ((s, dir) =>
+      Relational.rowsFrameStats(
+        Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice")).cast("long").as("price_i")),
+        partCol = "o_custkey", orderCol = "o_orderdate",
+        tieBreak = "o_orderkey", valueInt = col("price_i"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("trail_sum"), col("trail_n"),
+          (col("trail_sum") / col("trail_n")).as("trail_avg"),
+          col("frame_first"), col("ahead_sum"))),
+
+    // §2.3 UNPIVOT: wide→long melt of a per-flag aggregate — the inverse
+    // of q49's pivot, as the native Unpivot node (one Expand, no
+    // self-union re-scan of the input)
+    "q68_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("sum_price"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("n_rows"), col("sum_qty"), col("sum_price")),
+          "metric", "value")),
+
     // §2.5 rank-function family: ntile / percent_rank / cume_dist per
     // priority group — one partitioned window sort serves all three;
     // o_orderkey tie-break keeps rank-derived doubles deterministic
@@ -1354,6 +1385,33 @@ object SparkEntry {
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q67_window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(price_i) OVER w AS BIGINT) AS trail_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n,
+        |  CAST(sum(price_i) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT) AS trail_avg,
+        |  first_value(price_i) OVER w AS frame_first,
+        |  CAST(sum(price_i) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS ahead_sum
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |        CAST(floor(o_totalprice) AS BIGINT) AS price_i FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q68_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide""".stripMargin,
 
     "q63_rank_family" ->
       """SELECT o_orderkey, o_orderpriority,

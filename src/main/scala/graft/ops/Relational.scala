@@ -395,6 +395,41 @@ object Relational {
         max(col(valueCol)).as("max_value"))
   }
 
+  /** §2.5 explicit ROWS frames: trailing-k rolling sum/count/frame-start
+    * plus a forward-looking sum — four frame expressions served by ONE
+    * partitioned sort (Catalyst reuses the (partition, order) sort across
+    * same-spec windows, so the second frame costs no extra exchange).
+    * `tieBreak` makes the order total, hence every frame boundary — and
+    * therefore every output value — deterministic across engines, runs,
+    * and partitionings. `valueInt` must be integer-valued (caller
+    * quantizes, e.g. `floor(price)`): BIGINT frame sums are order-free
+    * exact, the same contract as [[intCorrMoments]].
+    * Scale: one shuffle on `partCol` + one sort per partition; frame
+    * evaluation is a sliding accumulator, O(1) per row, no per-row
+    * re-scan of the frame. Appends `trail_sum`/`trail_n`/`frame_first`/
+    * `ahead_sum`; the forward frame is NULL (empty frame) at partition
+    * tails, matching ANSI semantics in every engine. */
+  def rowsFrameStats(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      tieBreak: String,
+      valueInt: Column,
+      trailing: Int = 3,
+      ahead: Int = 3): DataFrame = {
+    require(trailing >= 0 && ahead >= 1,
+      s"need trailing >= 0 and ahead >= 1, got ($trailing, $ahead)")
+    val ord = Seq(col(orderCol).asc, col(tieBreak).asc)
+    val base = Window.partitionBy(col(partCol)).orderBy(ord: _*)
+    val wTrail = base.rowsBetween(-trailing, Window.currentRow)
+    val wAhead = base.rowsBetween(1, ahead)
+    val v = valueInt.cast("long")
+    df.withColumn("trail_sum", sum(v).over(wTrail))
+      .withColumn("trail_n", count(lit(1)).over(wTrail))
+      .withColumn("frame_first", first(v).over(wTrail))
+      .withColumn("ahead_sum", sum(v).over(wAhead))
+  }
+
   // `$"name"` sugar without a SparkSession in scope, so the combinators
   // read like the user-facing DSL.
   private implicit class Dollar(val sc: StringContext) {

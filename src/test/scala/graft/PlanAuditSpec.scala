@@ -81,6 +81,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q67 frames share one shuffle+sort; q68 melts via Expand off one scan") {
+    // two frame specs (trailing, forward) over the same (partition, order)
+    // must reuse a single exchange and a single sort — the second Window
+    // operator consumes the first's ordering instead of re-sorting
+    val p67 = executed(SparkEntry.queries("q67_window_frames")(spark, TestSpark.sf))
+    assert(p67.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"q67 must shuffle once for both frames:\n$p67")
+    assert(p67.linesIterator.count(_.contains("Sort [")) <= 1,
+      s"q67 must sort once for both frames:\n$p67")
+    // unpivot is an Expand (one pass over the aggregate), not a self-union
+    // that re-reads the input once per melted column
+    val p68 = executed(SparkEntry.queries("q68_unpivot")(spark, TestSpark.sf))
+    assert(p68.contains("Expand"), s"q68 must melt via Expand:\n$p68")
+    assert(p68.linesIterator.count(_.contains("FileScan parquet")) === 1,
+      s"q68 must read lineitem once:\n$p68")
+  }
+
   test("q01 aggregation is map-side partial (partial_ before the exchange)") {
     val plan = executed(SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf))
     assert(plan.contains("partial_"),

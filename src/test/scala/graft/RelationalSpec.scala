@@ -197,6 +197,29 @@ class RelationalSpec extends AnyFunSuite {
       Relational.histogram(Tables.orders(spark, TestSpark.sf), "o_totalprice", 0.0))
   }
 
+  test("rowsFrameStats: trailing/forward frame boundaries on a hand-computed sequence") {
+    val df = Seq(
+      ("a", 1, 10L), ("a", 2, 20L), ("a", 3, 30L), ("a", 4, 40L), ("a", 5, 50L),
+      ("b", 1, 7L)
+    ).toDF("k", "t", "v")
+    val out = Relational.rowsFrameStats(df, "k", "t", "t", col("v"))
+      .select($"k", $"t", $"trail_sum", $"trail_n", $"frame_first", $"ahead_sum")
+      .as[(String, Int, Long, Long, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._2))
+    val a = out.filter(_._1 == "a")
+    assert(a.map(_._3).toSeq === Seq(10L, 30L, 60L, 100L, 140L), "trailing sums")
+    assert(a.map(_._4).toSeq === Seq(1L, 2L, 3L, 4L, 4L), "frame sizes cap at 4")
+    assert(a.map(_._5).toSeq === Seq(10L, 10L, 10L, 10L, 20L), "frame start slides")
+    assert(a.map(_._6).toSeq ===
+      Seq(Some(90L), Some(120L), Some(90L), Some(50L), None),
+      "forward frame sums; empty frame at the tail is NULL")
+    val b = out.filter(_._1 == "b").head
+    assert(b._3 === 7L && b._5 === 7L && b._6.isEmpty,
+      "singleton partition: trailing frame is itself, forward frame empty")
+    assertThrows[IllegalArgumentException](
+      Relational.rowsFrameStats(df, "k", "t", "t", col("v"), ahead = 0))
+  }
+
   test("q37 sketch aggregates: HLL within 5% of exact, percentiles ordered and in range") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     val approx = SparkEntry.queries("q37_approx_stats")(spark, TestSpark.sf)
