@@ -284,10 +284,10 @@ object Similarity {
     * `cells` — (n_id, cell, n_unit) — is every candidate assigned to its
     * nearest coarse-quantizer cell ONCE, persisted so repeated probes never
     * refit or re-normalize; `centroids` — (cell, c_arr) — is `nlist` rows,
-    * always broadcast. At scale, write `cells` bucketed by `cell`
-    * (`Sources.writeBucketed(cells, bucketCols = Seq("cell"))`) so a probe
-    * reads only its cells' files via partition pruning. Call [[IvfIndex.unpersist]]
-    * when done with the index. */
+    * always broadcast. At scale, persist the index with [[writeIvfIndex]]
+    * (cells partitioned by `cell`) so a probe reads only its cells' files
+    * via partition pruning, and serve from [[loadIvfIndex]]. Call
+    * [[IvfIndex.unpersist]] when done with an in-memory index. */
   final case class IvfIndex(cells: DataFrame, centroids: DataFrame, nlist: Int) {
     def unpersist(): Unit = cells.unpersist()
   }
@@ -344,6 +344,37 @@ object Similarity {
     val centroids = km.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toDF("cell", "c_arr")
+    IvfIndex(cells, centroids, nlist)
+  }
+
+  /** Persist a fitted [[IvfIndex]] in its SERVING layout: `cells` written
+    * partitioned by `cell` — one directory per coarse cell, so a probe's
+    * cell predicate prunes the scan to exactly the probed cells' files
+    * (the disk analogue of the in-memory persist; with the probe side
+    * broadcast, Spark's dynamic partition pruning injects that predicate
+    * into the scan automatically) — and `centroids` as an nlist-row side
+    * table. This is the artifact a 100-TB deployment builds once and
+    * serves from: every probe after the build reads ~nprobe/nlist of the
+    * corpus bytes instead of all of them. */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted IVF index. `cells` comes back as a LAZY partitioned
+    * scan, deliberately uncached: a disk-resident index serves through
+    * partition pruning; caching it would re-materialize the whole corpus
+    * in executor memory and defeat the layout. Probes over the loaded
+    * index are plan-identical to probes over the fitted one. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    // partition-directory columns come back typed by directory inference —
+    // pin the fitted schema (int cell) regardless of inference settings
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select(col("n_id"), col("cell").cast("int").as("cell"), col("n_unit"))
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell").cast("int").as("cell"), col("c_arr"))
+    val nlist = centroids.select(max(col("cell"))).head.getInt(0) + 1
     IvfIndex(cells, centroids, nlist)
   }
 

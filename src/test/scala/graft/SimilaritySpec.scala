@@ -163,6 +163,36 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("writeIvfIndex/loadIvfIndex: disk round-trip probes identically; cell predicate prunes the scan") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val idx = Similarity.fitIvfIndex(cands, nlist = 16)
+    val dir = "target/tmp/ivf_index_rt"
+    Similarity.writeIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.nlist === idx.nlist)
+    assert(loaded.cells.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "loaded index must serve from disk, not re-materialize in memory")
+
+    val queries = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val mem = Similarity.ivfProbe(idx, queries, k = 5, nprobe = 8)
+      .select($"q_id", $"n_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val disk = Similarity.ivfProbe(loaded, queries, k = 5, nprobe = 8)
+      .select($"q_id", $"n_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(mem === disk, "disk-served probe must equal in-memory probe, rank for rank")
+
+    // the serving layout's point: a cell predicate reaches the scan as a
+    // PARTITION filter — a 2-cell read touches 2/nlist of the files
+    val pruned = loaded.cells.filter($"cell".isin(0, 1))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"cell predicate must prune partitions at the scan:\n$scan")
+    idx.unpersist()
+  }
+
   test("autoBits tracks corpus size; candidate count scales ~ C(n,2)·(1-(1-2^-bits)^tables)") {
     // formula + clamps
     assert(Similarity.autoBits(500, 256) === 1)
