@@ -498,6 +498,20 @@ object SparkEntry {
           Array(col("n_rows"), col("sum_qty"), col("sum_price")),
           "metric", "value")),
 
+    // graph analytics: exact-integer PageRank on the customer↔supplier
+    // trade graph (parity-disjoint node ids) — 5 fixed BIGINT rounds, so
+    // the iterative kernel is hash-checkable against the oracle's
+    // unrolled recurrence, not just tolerance-compared
+    "q69_pagerank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      ops.Graph.pageRankInt(edges, iters = 5)
+    }),
+
     // §2.5 rank-function family: ntile / percent_rank / cume_dist per
     // priority group — one partitioned window sort serves all three;
     // o_orderkey tie-break keeps rank-derived doubles deterministic
@@ -1412,6 +1426,34 @@ object SparkEntry {
         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
         |UNION ALL
         |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide""".stripMargin,
+
+    // 5 unrolled integer rounds — DuckDB's recursive CTEs forbid the
+    // per-round aggregation PageRank needs, and the unrolled form is the
+    // same recurrence the Spark loop runs, BIGINT for BIGINT
+    "q69_pagerank" -> {
+      def round(k: Int): String =
+        s"""pr$k AS (
+           |  SELECT n.node,
+           |    CAST((SELECT base FROM params) + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS score
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p.score // d.deg) AS s
+           |    FROM pr${k - 1} p JOIN deg d ON p.node = d.node
+           |    JOIN edges e ON e.src = p.node
+           |    GROUP BY e.dst) m ON n.node = m.node)""".stripMargin
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+        |params AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+        |                  CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS base
+        |           FROM nodes),
+        |pr0 AS (SELECT node, (SELECT init FROM params) AS score FROM nodes),
+        |""".stripMargin +
+        (1 to 5).map(round).mkString(",\n") +
+        "\nSELECT node, score FROM pr5"
+    },
 
     "q63_rank_family" ->
       """SELECT o_orderkey, o_orderpriority,

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames — the batch-synchronous
+  * ("Pregel-shaped") loop expressed as plain relational rounds: each round is
+  * one join (scatter messages along edges) + one aggregation (gather per
+  * destination), which is exactly the shape Spark distributes well — hash
+  * shuffle on the vertex key, map-side partial aggregation, AQE skew handling
+  * for power-law vertices. Complements [[graft.llm.Dedup.dupClusters]]
+  * (connected components / min-label propagation) with a weighted-importance
+  * operator.
+  */
+object Graph {
+
+  /** Exact-integer PageRank over a directed edge list.
+    *
+    * Scores live in integer units of `scaleUnit⁻¹` (default 10⁻¹²):
+    * initialization is `scaleUnit DIV N`, each round sends
+    * `score DIV out_degree` along every out-edge and gathers
+    * `base + (dampingPct · Σ inbound) DIV 100`. Every operation is BIGINT
+    * arithmetic — order-free, overflow-checked by construction (total mass
+    * ≤ scaleUnit, so `dampingPct · Σ` stays far below 2⁶³) — which makes a
+    * fixed-iteration run bit-identical on ANY engine evaluating the same
+    * recurrence: the property that turns an iterative float kernel, normally
+    * only comparable by tolerance, into a hash-checkable query. The
+    * quantization error vs float PageRank is ≤ N·iters·scaleUnit⁻¹ — noise
+    * at default scale.
+    *
+    * Semantics notes: dangling nodes (no out-edges) leak their mass — the
+    * standard simplification; symmetrize the edge list (as undirected graphs
+    * do anyway) to avoid it. Nodes = edge endpoints; isolated vertices are
+    * the caller's concern. `DIV` truncates toward zero in Spark and floors
+    * in DuckDB — identical on the non-negative values this recurrence
+    * produces, which is why the contract requires a non-negative
+    * `dampingPct`.
+    *
+    * Scale: each round is one (edges ⋈ scores) shuffle on the vertex key +
+    * one map-side-partial sum — the degree table and per-round score frames
+    * are vertex-sized, never edge-materialized beyond the message join.
+    * Rounds are `localCheckpoint`-truncated: the round-N plan references
+    * scores twice (degree scatter + gather join), so an uncheckpointed loop
+    * would grow its logical plan ~2^rounds (see dupClusters' loop comment).
+    */
+  def pageRankInt(
+      edges: DataFrame, // (src: long, dst: long)
+      iters: Int = 5,
+      dampingPct: Int = 85,
+      scaleUnit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    require(scaleUnit >= 1000000L, s"scaleUnit too coarse: $scaleUnit")
+
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+
+    // N enters as a broadcast scalar-agg cross join — a pure plan, no
+    // eager count() on the driver (the withClassWeights discipline)
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    var scores = nodes
+      .crossJoin(broadcast(nFrame))
+      .select(
+        col("node"),
+        expr(s"$scaleUnit DIV n").as("score"),
+        expr(s"(${100 - dampingPct} * ($scaleUnit DIV n)) DIV 100").as("base"))
+      .localCheckpoint(true)
+
+    for (_ <- 1 to iters) {
+      val msgs = e
+        .join(scores.select(col("node"), col("score")), e("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("score DIV deg").as("msg"))
+        .groupBy(col("dst")).agg(sum(col("msg")).as("inbound"))
+      scores = scores
+        .select(col("node"), col("base"))
+        .join(msgs, scores("node") === msgs("dst"), "left_outer")
+        .select(
+          col("node"),
+          (col("base") +
+            expr(s"($dampingPct * coalesce(inbound, 0L)) DIV 100")).as("score"),
+          col("base"))
+        .localCheckpoint(true)
+    }
+    scores.select(col("node"), col("score"))
+  }
+}
