@@ -512,6 +512,18 @@ object SparkEntry {
       ops.Graph.pageRankInt(edges, iters = 5)
     }),
 
+    // training-pipeline: benchmark decontamination — corpus docs sharing
+    // any EXACT word n-gram with the held-out eval split. n=4 here (the
+    // production check uses 8–13) because the fixture's ~50-word
+    // vocabulary has no 8-gram collisions to find
+    "q70_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
     // §2.5 rank-function family: ntile / percent_rank / cume_dist per
     // priority group — one partitioned window sort serves all three;
     // o_orderkey tie-break keeps rank-derived doubles deterministic
@@ -1454,6 +1466,23 @@ object SparkEntry {
         (1 to 5).map(round).mkString(",\n") +
         "\nSELECT node, score FROM pr5"
     },
+
+    "q70_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0)),
+        |      i -> array_to_string(t[i:i+3], ' ')))) AS gram
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+        |FROM grams g JOIN bg USING (gram)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY 1""".stripMargin,
 
     "q63_rank_family" ->
       """SELECT o_orderkey, o_orderpriority,

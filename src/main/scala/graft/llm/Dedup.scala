@@ -480,6 +480,36 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any EXACT
+    * word n-gram with an evaluation set — the standard leakage check run
+    * before training (GPT-3 used 13-grams, Gopher 8-grams; the fixture
+    * query uses a smaller n so its tiny vocabulary still overlaps).
+    * Returns (idCol, n_hit_grams): contaminated docs only, with the count
+    * of their distinct grams found in the benchmark — the triage signal
+    * ("1 hit = boilerplate collision, 50 hits = the benchmark is IN the
+    * doc").
+    *
+    * Scale shape: grams are per-doc projections (native
+    * [[graft.expr.WordShingles]], no shuffle); the benchmark side is
+    * eval-set-sized — millions of grams, not billions — so it broadcasts,
+    * and the corpus side never shuffles at all: scan → explode → broadcast
+    * hash semi-ish join → partial-agg count by doc. The join key is the
+    * exact gram string: no hash false positives in a REMOVAL decision. */
+  def contaminationReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val grams = array_distinct(shingles(col(textCol), n))
+    val cg = corpus.select(col(idCol), explode(grams).as("gram"))
+    val bg = bench.select(explode(grams).as("gram")).distinct()
+    cg.join(broadcast(bg), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

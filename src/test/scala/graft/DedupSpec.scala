@@ -184,6 +184,35 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(7L, 3L), "10 is a normalized dup of 7; 7 < 10 survives")
   }
 
+  test("contaminationReport: planted benchmark text is flagged with the right hit count, clean docs are not") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the full bench sentence → every one of its 4-grams hits;
+      // the sentence has 9 tokens = 6 distinct 4-grams
+      (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      // one shared 4-gram only
+      (2L, "quick brown fox jumps somewhere else entirely now"),
+      // disjoint vocabulary → must not appear
+      (3L, "completely unrelated content about spark plans")
+    ).toDF("doc_id", "text")
+    val hits = graft.llm.Dedup
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet === Set(1L, 2L), s"wrong docs flagged: $hits")
+    assert(hits(1L) === 6L, "full containment hits every bench 4-gram")
+    assert(hits(2L) === 1L, "single shared 4-gram counts once")
+
+    // the benchmark side must broadcast — the corpus side never shuffles
+    val plan = graft.llm.Dedup
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the join:\n$plan")
+  }
+
   test("native minhash_sig: deterministic, identical for identical input, SQL-registered") {
     val df = corpus.select($"doc_id",
       graft.exprapi.minhashSig(Dedup.shingles($"text"), 8).as("sig"))
