@@ -99,6 +99,38 @@ object Sources {
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
 
+  /** JSONL (newline-delimited JSON) scan with EXPLICIT schema — the
+    * interchange format LLM corpora actually ship in (one document object
+    * per line). Same §1.3 explicit-schema rule as [[csv]]: no inference
+    * pass over 100 TB, fields absent from a line are NULL, extra fields
+    * are ignored. Line-splittable, so a single huge .jsonl file still
+    * parallelizes across executors. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .json(path)
+
+  /** JSONL scan that CAPTURES malformed lines — the [[csvWithCorruptCapture]]
+    * contract for JSON: parsed lines keep `corrupt` NULL, unparseable lines
+    * carry their raw text with data fields NULL, so ingest quarantines bad
+    * lines with one filter instead of silently nulling them. (Same Spark
+    * caveat: keep a data column in any query over the corrupt column.) */
+  def jsonlWithCorruptCapture(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      corruptCol: String = "corrupt"): DataFrame =
+    spark.read
+      .schema(schema.add(StructField(corruptCol, StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** JSONL sink — one document object per line, the hand-off format for
+    * downstream tokenizer/training jobs. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** S6: CSV sink (`join_acquirers.scala:37`). */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
