@@ -524,6 +524,16 @@ object SparkEntry {
         "doc_id", "text", n = 4)
     }),
 
+    // retrieval: BM25 over a fixed 3-term query — one corpus-stats pass
+    // broadcast back, scoring a pure projection; the score ships
+    // µ-quantized so the only non-portable bit (ln's last ulp) can't
+    // flip the hash
+    "q71_bm25" -> ((s, dir) =>
+      text.TextOps.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "join", "fast"))
+        .select(col("doc_id"),
+          floor(col("bm25") * lit(1000000.0)).cast("long").as("bm25_q"))),
+
     // §2.5 rank-function family: ntile / percent_rank / cume_dist per
     // priority group — one partitioned window sort serves all three;
     // o_orderkey tie-break keeps rank-derived doubles deterministic
@@ -1483,6 +1493,37 @@ object SparkEntry {
         |FROM grams g JOIN bg USING (gram)
         |WHERE g.doc_id % 100 <> 0
         |GROUP BY 1""".stripMargin,
+
+    // constants written as the SAME double arithmetic the engine runs
+    // ((1.2 + 1.0), (1 - 0.75)) so both engines fold to identical bits
+    "q71_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(len(ts)) AS DOUBLE) AS sum_len,
+        |         CAST(sum(CASE WHEN list_contains(ts, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(ts, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(ts, 'fast') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM toks
+        |), per AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS DOUBLE) AS len,
+        |    CAST(len(ts) - len(list_filter(ts, x -> x <> 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(ts) - len(list_filter(ts, x -> x <> 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(ts) - len(list_filter(ts, x -> x <> 'fast')) AS DOUBLE) AS tf2
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  CAST(floor((
+        |      ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+        |        / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * len / (sum_len / n_docs)))
+        |    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+        |        / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * len / (sum_len / n_docs)))
+        |    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+        |        / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * len / (sum_len / n_docs)))
+        |  ) * 1000000.0) AS BIGINT) AS bm25_q
+        |FROM per, stats""".stripMargin,
 
     "q63_rank_family" ->
       """SELECT o_orderkey, o_orderpriority,

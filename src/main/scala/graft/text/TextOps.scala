@@ -237,6 +237,51 @@ object TextOps {
     "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
     "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le")
 
+  /** BM25 ranking (Robertson's probabilistic relevance, the default lexical
+    * retrieval scorer) for a FIXED query-term list — the serving shape: a
+    * query is a handful of terms, the corpus is the big side.
+    *
+    * One corpus pass computes N, Σlen, and every term's document frequency
+    * in a single map-side-partial aggregate whose 1-row result broadcasts
+    * back; scoring is then a pure projection (tf via `size − size∘
+    * array_remove` — native collection ops, no interpreted lambda in the
+    * per-term hot path). Per-term scores are summed in FIXED list order,
+    * so given identical IEEE sequencing the double is engine-reproducible
+    * (callers wanting a hash-stable artifact quantize, e.g.
+    * `floor(bm25·10⁶)` — the one residual wobble is `ln`'s last ulp, which
+    * quantization makes a ~10⁻¹⁰ tail risk, not a float-sum lottery).
+    * Appends `bm25` to (idCol): every doc scored, zero for term-free docs. */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"bm25 wants 1..16 query terms, got ${terms.size}")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val toksed = docs.select(col(idCol), tokens(col(textCol)).as("ts"))
+    val statAggs = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(col("ts"))).cast("double").as("sum_len")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("ts"), t).cast("long")).cast("double").as(s"df_$i")
+      }
+    val stats = toksed.agg(statAggs.head, statAggs.tail: _*)
+
+    val len = size(col("ts")).cast("double")
+    val avgLen = col("sum_len") / col("n_docs")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = (size(col("ts")) - size(array_remove(col("ts"), t))).cast("double")
+      val df = col(s"df_$i")
+      val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * len / avgLen))
+    }.reduceLeft(_ + _)
+    toksed.crossJoin(broadcast(stats)).select(col(idCol), score.as("bm25"))
+  }
+
   /** Let-binding idiom for HOF columns: binds `v` (evaluated ONCE per row)
     * to a lambda variable, because a Scala `val` holding a Column only
     * shares the expression TREE — a lambda body that references an

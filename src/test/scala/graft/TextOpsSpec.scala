@@ -382,4 +382,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(Seq(Tuple1(clean)).toDF("t")
       .select(TextOps.scrubPii($"t")).as[String].head() === clean)
   }
+
+  test("bm25: term frequency raises the score, document length normalizes it, absent terms give zero") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),            // high tf, short
+      (2L, "spark engine runs quickly today"),     // tf 1, short
+      (3L, "spark " + ("filler words here " * 40)), // tf 1, long — length-penalized
+      (4L, "nothing relevant at all")              // no query terms
+    ).toDF("doc_id", "text")
+    val scores = TextOps.bm25(docs, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.size === 4, "every doc scored")
+    assert(scores(4L) === 0.0, "no query terms → exactly zero")
+    assert(scores(1L) > scores(2L), "higher tf must outrank at similar length")
+    assert(scores(2L) > scores(3L), "same tf: shorter doc must outrank (length norm)")
+    assert(scores.values.forall(_ >= 0.0))
+
+    // multi-term: disjoint single-term docs score the per-term sum — adding
+    // a second matching term strictly increases the score
+    val two = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta gamma")
+    ).toDF("doc_id", "text")
+    val s1 = TextOps.bm25(two, "doc_id", "text", Seq("alpha")).as[(Long, Double)].collect().toMap
+    val s2 = TextOps.bm25(two, "doc_id", "text", Seq("alpha", "beta")).as[(Long, Double)].collect().toMap
+    assert(s2(1L) > s1(1L), "matching second term adds score")
+    assert(math.abs(s2(2L) - s1(2L)) < 1e-12, "non-matching term adds nothing")
+
+    assertThrows[IllegalArgumentException](
+      TextOps.bm25(docs, "doc_id", "text", Seq.empty))
+    assertThrows[IllegalArgumentException](
+      TextOps.bm25(docs, "doc_id", "text", Seq("a", "a")))
+  }
 }
