@@ -692,7 +692,41 @@ object SparkEntry {
         llm.Dedup.candidatePairs(
           llm.Dedup.bandBuckets(Tables.documents(s, dir), "doc_id", "text",
             numHashes = 6, bands = 3, shingleWidth = 3),
-          "doc_id")))
+          "doc_id"))),
+
+    // training-pipeline: GPT-style sequence packing — the corpus token
+    // stream concatenated in doc_id order and cut every 512 tokens; per
+    // doc its [start,end) offsets and first/last chunk. Two-phase bucketed
+    // cumsum (NO single-partition global window — see Packing scaladoc);
+    // the oracle states the naive global-window form and hash-matches,
+    // proving the parallel decomposition exact.
+    "q72_seq_pack" -> ((s, dir) =>
+      llm.Packing.packOffsets(
+        Tables.documents(s, dir), "doc_id",
+        size(TextOps.tokens(col("text"))).cast("long"),
+        budget = 512L)),
+
+    // q70 at the beyond-broadcast scale: Bloom sketch over the bench grams
+    // pre-prunes the corpus explode before the (non-broadcast) exact join.
+    // Same oracle SQL as q70 — the hash match proves the sketch path
+    // changes the data movement, not the answer.
+    "q73_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.contaminationReportBloom(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+    // EXACT heavy hitters (tokens with freq > N/100) via Misra–Gries
+    // sketch + candidate-only recount — the intermediate sketch is
+    // partition-dependent but the output is exact, so it hash-matches a
+    // plain HAVING oracle. No full-vocabulary shuffle at any scale.
+    "q74_heavy_hitters" -> ((s, dir) =>
+      Relational.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("token")),
+        "token", k = 100))
   )
 
   /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
@@ -1664,6 +1698,51 @@ object SparkEntry {
         |            THEN 'train' ELSE 'holdout' END AS split,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q72_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok, end_off - n_tok AS start_off, end_off,
+        |       CAST((end_off - n_tok) // 512 AS BIGINT) AS first_seq,
+        |       CAST(greatest((end_off - 1) // 512, (end_off - n_tok) // 512) AS BIGINT) AS last_seq
+        |FROM o""".stripMargin,
+
+    // identical to q70's oracle by design: the bloom path must return the
+    // exact-join answer bit for bit
+    "q73_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0)),
+        |      i -> array_to_string(t[i:i+3], ' ')))) AS gram
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+        |FROM grams g JOIN bg USING (gram)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    "q74_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok, tot
+        |GROUP BY token, n
+        |HAVING count(*) * 100 > n""".stripMargin
   )
 }

@@ -97,4 +97,40 @@ package object exprapi {
     * See [[graft.expr.FoldAccents]]. */
   def foldAccents(s: Column): Column =
     ColumnBridge.column(expr.FoldAccents(ColumnBridge.expression(s)))
+
+  /** Distributed Bloom-filter build: one-pass sketch aggregate over a
+    * pre-hashed LONG column (feed it `xxhash64(value)`), yielding the
+    * serialized filter bytes. Wraps Spark's own `BloomFilterAggregate` —
+    * the sketch the optimizer's runtime row-level filtering uses — so the
+    * merge semantics and serialized format are the engine's, not bespoke.
+    * `numBits = ceil(-n·ln(fpp)/ln²2)` is the standard optimal sizing. */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long, fpp: Double = 0.03): Column = {
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val ln2 = math.log(2.0)
+    val numBits = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+  }
+
+  /** Membership probe against a serialized Bloom filter (foldable binary —
+    * a literal of the [[bloomFilterAgg]] bytes): true = maybe present,
+    * false = DEFINITELY absent. Codegen'd; the filter deserializes once
+    * per task, not per row. Probe with the same `xxhash64(value)` hash
+    * that built the filter. */
+  def bloomMightContain(bloomBytes: Column, hashed: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bloomBytes), ColumnBridge.expression(hashed)))
+
+  /** Misra–Gries frequent-items sketch aggregate: ≤ k counters, one pass,
+    * mergeable — candidates ⊇ every item with frequency > N/(k+1).
+    * See [[graft.expr.MisraGriesAgg]]. */
+  def misraGries(value: Column, k: Int): Column =
+    ColumnBridge.column(
+      expr.MisraGriesAgg(ColumnBridge.expression(value), k).toAggregateExpression())
 }

@@ -510,6 +510,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** [[contaminationReport]] at the scale where the benchmark gram set no
+    * longer broadcasts (a full eval-suite union is easily 10⁸⁺ grams): a
+    * Bloom filter over the bench grams — built DISTRIBUTED in one sketch
+    * aggregate pass, collected as one serialized byte blob — pre-prunes
+    * the exploded corpus grams BEFORE the shuffle join, so the join input
+    * shrinks from every-corpus-gram to (true hits + fpp·|corpus grams|).
+    * The exact join then kills the false positives: the RESULT is
+    * bit-identical to [[contaminationReport]] (same oracle SQL applies) —
+    * the sketch changes where the data moves, never what comes out.
+    *
+    * The filter rides the probe side as a foldable binary literal
+    * (deserialized once per task by Spark's own codegen'd
+    * `might_contain`); at fpp 3% and 10⁸ grams it is ~91 MB — driver- and
+    * broadcast-sized, vs shuffling the grams themselves. */
+  def contaminationReportBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      expectedGrams: Long = 1L << 20,
+      fpp: Double = 0.03): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val grams = array_distinct(shingles(col(textCol), n))
+    val bg = bench.select(explode(grams).as("gram")).distinct()
+    val bfBytes = bg
+      .select(graft.exprapi.bloomFilterAgg(xxhash64(col("gram")), expectedGrams, fpp))
+      .head.getAs[Array[Byte]](0)
+    if (bfBytes == null) {
+      // empty bench side: the sketch aggregate yields NULL; the exact
+      // report is empty by the same emptiness — return that shape
+      return contaminationReport(corpus, bench, idCol, textCol, n)
+    }
+    val cg = corpus.select(col(idCol), explode(grams).as("gram"))
+      .filter(graft.exprapi.bloomMightContain(lit(bfBytes), xxhash64(col("gram"))))
+    // deliberately NOT broadcast: this is the beyond-broadcast regime the
+    // bloom path exists for — the shuffle join now carries only survivors
+    cg.join(bg, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

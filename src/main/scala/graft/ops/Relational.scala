@@ -395,6 +395,41 @@ object Relational {
         max(col(valueCol)).as("max_value"))
   }
 
+  /** EXACT heavy hitters (frequency > N/k) with NO full-domain shuffle —
+    * the two-pass sketch-then-verify composition:
+    *
+    *   1. one [[graft.expr.MisraGriesAgg]] pass: map-side ≤ k counters per
+    *      partition, one tiny reduce merge → a candidate set that
+    *      PROVABLY contains every item with frequency > N/(k+1) ⊇ > N/k
+    *      (any partitioning, any merge order);
+    *   2. exact recount of candidates only: the scan filters to ≤ k
+    *      in-list values (hashed InSet, codegen'd) before the groupBy, so
+    *      the second shuffle carries ≤ k·numPartitions rows instead of
+    *      the full domain — then `cnt·k > N` keeps the true hitters.
+    *
+    * At 100 TB the full-domain alternative (`groupBy(value).count`)
+    * shuffles every distinct token; this shape shuffles O(k) rows per
+    * partition twice. Output is EXACT and partition-independent even
+    * though the intermediate sketch is not — which is why the oracle can
+    * hash-match it. N is a scalar subframe (broadcast cross join, no
+    * eager driver count). */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cands = df
+      .select(graft.exprapi.misraGries(col(valueCol), k).as("mg"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getString(0))
+    val hits = if (cands.isEmpty) df.filter(lit(false))
+               else df.filter(col(valueCol).isInCollection(cands))
+    val total = df.agg(count(col(valueCol)).as("hh_total"))
+    hits
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k.toLong) > col("hh_total"))
+      .select(col(valueCol), col("cnt"))
+  }
+
   /** §2.5 explicit ROWS frames: trailing-k rolling sum/count/frame-start
     * plus a forward-looking sum — four frame expressions served by ONE
     * partitioned sort (Catalyst reuses the (partition, order) sort across

@@ -213,6 +213,33 @@ class DedupSpec extends AnyFunSuite {
       s"corpus side must not shuffle for the join:\n$plan")
   }
 
+  test("contaminationReportBloom: bit-identical to the exact path, no broadcast, empty-bench safe") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val exact = graft.llm.Dedup
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = graft.llm.Dedup
+      .contaminationReportBloom(corpus, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "fixture must actually contain contamination")
+    assert(bloomed === exact, "bloom pre-filter must never change the answer")
+
+    // the scale contract: the verify join is NOT a broadcast join (this is
+    // the beyond-broadcast regime), and the probe is the codegen'd
+    // might_contain, not a UDF
+    val plan = graft.llm.Dedup
+      .contaminationReportBloom(corpus, bench, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+
+    val empty = graft.llm.Dedup.contaminationReportBloom(
+      corpus, bench.limit(0), "doc_id", "text", n = 4)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("doc_id", "n_hit_grams"))
+  }
+
   test("native minhash_sig: deterministic, identical for identical input, SQL-registered") {
     val df = corpus.select($"doc_id",
       graft.exprapi.minhashSig(Dedup.shingles($"text"), 8).as("sig"))
