@@ -726,7 +726,26 @@ object SparkEntry {
       Relational.heavyHitters(
         Tables.documents(s, dir)
           .select(explode(TextOps.tokens(col("text"))).as("token")),
-        "token", k = 100))
+        "token", k = 100)),
+
+    // S5/S6 sibling for ORC: orders staged through the ORC sink/scan, then
+    // aggregated — the oracle reads the original parquet, so a hash match
+    // proves the ORC round trip value-exact (q41's contract, second format)
+    "q75_orc_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File("target/tmp/q75_orc").getAbsolutePath
+      sources.Sources.writeOrc(
+        Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          floor(col("o_totalprice")).cast("long").as("price_i")),
+        out)
+      sources.Sources.orc(s, out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_i")).as("sum_price_i"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    })
   )
 
   /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
@@ -1743,6 +1762,14 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM tok, tot
         |GROUP BY token, n
-        |HAVING count(*) * 100 > n""".stripMargin
+        |HAVING count(*) * 100 > n""".stripMargin,
+
+    "q75_orc_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_i,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

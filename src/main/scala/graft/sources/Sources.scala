@@ -147,6 +147,18 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC scan — the second columnar format warehouses standardize on;
+    * same pushdown/pruning story as parquet (predicate pushdown, column
+    * pruning, and stripe-level statistics skipping are native to Spark's
+    * ORC reader). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink — columnar interchange with Hive-ecosystem consumers that
+    * expect ORC stripes rather than parquet row groups. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet sink: one directory per distinct value
     * of `partitionCols` (`.../col=value/part-*.parquet`). The 100-TB read
     * story is PARTITION PRUNING: a filter on a partition column prunes at

@@ -59,6 +59,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(sql.length === 1 && sql.head.getString(0) === "ACME CORP")
   }
 
+  test("ORC sink/scan round-trips exactly and pushes filters to the scan") {
+    val df = Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+    val path = s"$tmp/orders_orc"
+    Sources.writeOrc(df, path)
+    val back = Sources.orc(spark, path)
+    assert(back.schema === df.schema)
+    assert(back.count() === df.count())
+    val a = df.orderBy($"o_orderkey").as[(Long, Long, Double, String)].collect()
+    val b = back.orderBy($"o_orderkey").as[(Long, Long, Double, String)].collect()
+    assert(a === b, "ORC round trip must be value-exact")
+
+    // pushdown + pruning reach the ORC scan, same contract as parquet
+    val plan = back.filter($"o_orderstatus" === "F").select($"o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter must push into the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),
+      s"scan must prune to the 2 referenced columns:\n$plan")
+  }
+
   test("headerless CSV consumed positionally as _c0.._cN (A5 shape)") {
     val df = Seq(("12345", "x", "ACME", "7372")).toDF("a", "b", "c", "d")
     val path = s"$tmp/headerless_csv"
