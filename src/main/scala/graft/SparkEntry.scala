@@ -728,6 +728,28 @@ object SparkEntry {
           .select(explode(TextOps.tokens(col("text"))).as("token")),
         "token", k = 100)),
 
+    // training-pipeline: per-language length gate — keep the longest half
+    // of EACH language's docs (distribution-aware quality filtering; a
+    // global cutoff right for one language is wrong for another). Exact
+    // per-group boundary, deterministic tie-break, one shuffle for both
+    // windows.
+    "q76_length_gate" -> ((s, dir) =>
+      Relational.topFractionPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+        Seq("lang"), "n_tok", "doc_id", fraction = 0.5)),
+
+    // training-pipeline: deterministic k-per-stratum subsample — exactly
+    // 20 docs per language, chosen by md5 order (a seeded reservoir
+    // equivalent that is a pure function of the key: same pick on any
+    // cluster, any partitioning, any engine)
+    "q77_group_sample" -> ((s, dir) =>
+      Relational.groupedTopK(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("h")),
+        Seq("lang"), "h", "doc_id", k = 20, descending = false)
+        .select(col("doc_id"), col("lang"))),
+
     // S5/S6 sibling for ORC: orders staged through the ORC sink/scan, then
     // aggregated — the oracle reads the original parquet, so a hash match
     // proves the ORC round trip value-exact (q41's contract, second format)
@@ -1770,6 +1792,28 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_i,
         |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q76_length_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tok FROM r WHERE rn <= CAST(ceil(n * 0.5) AS BIGINT)""".stripMargin,
+
+    "q77_group_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin
   )
 }

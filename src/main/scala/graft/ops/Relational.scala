@@ -395,6 +395,37 @@ object Relational {
         max(col(valueCol)).as("max_value"))
   }
 
+  /** Distribution-based quality gate: keep the top `fraction` of each
+    * group under a total order — e.g. "the longest half of each
+    * language's documents" (per-stratum length filtering, the
+    * distribution-aware cousin of a global threshold: a cutoff that is
+    * right for English is wrong for Chinese). Exact per-group membership:
+    * `row_number ≤ ceil(fraction · group_count)` under the
+    * (orderCol, tieBreak) order; the tie-break makes the boundary — and
+    * hence the row set — deterministic on any engine. ONE shuffle on the
+    * group key serves both window functions (the count reuses the
+    * row_number's exchange+sort), so at scale this costs the same as a
+    * single ranked window. */
+  def topFractionPerGroup(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCol: String,
+      tieBreak: String,
+      fraction: Double,
+      descending: Boolean = true): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0,1], got $fraction")
+    val ord =
+      if (descending) Seq(col(orderCol).desc, col(tieBreak).asc)
+      else Seq(col(orderCol).asc, col(tieBreak).asc)
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(ord: _*)
+    val wg = Window.partitionBy(partitionCols.map(col): _*)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("grp_n", count(lit(1)).over(wg))
+      .filter($"rn" <= ceil($"grp_n" * lit(fraction)))
+      .drop("rn", "grp_n")
+  }
+
   /** EXACT heavy hitters (frequency > N/k) with NO full-domain shuffle —
     * the two-pass sketch-then-verify composition:
     *

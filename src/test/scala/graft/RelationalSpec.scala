@@ -183,6 +183,30 @@ class RelationalSpec extends AnyFunSuite {
       Relational.stratifiedHashSample(docs, "lang", "doc_id", Map("en" -> 1.5)))
   }
 
+  test("topFractionPerGroup: exact ceil boundary, deterministic ties, one exchange for both windows") {
+    // group a: 5 rows → keep ceil(2.5)=3; group b: 2 rows → keep 1
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("a", 4L, 30L), ("a", 5L, 50L),
+      ("b", 6L, 7L), ("b", 7L, 9L)
+    ).toDF("g", "id", "v")
+    val kept = Relational.topFractionPerGroup(df, Seq("g"), "v", "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    // a keeps v=50, then the v=30 tie broken by id asc → ids 5,3,4; b keeps id 7
+    assert(kept === Set(5L, 3L, 4L, 7L))
+
+    // both window functions must share one exchange on the group key
+    val plan = Relational.topFractionPerGroup(
+        Tables.documents(spark, TestSpark.sf)
+          .select($"doc_id", $"lang", length($"text").as("v")),
+        Seq("lang"), "v", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(lang".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one shuffle on the group key, got $exchanges:\n$plan")
+
+    intercept[IllegalArgumentException](
+      Relational.topFractionPerGroup(df, Seq("g"), "v", "id", 0.0))
+  }
+
   test("histogram: buckets partition the value range; min/max bracket each bucket") {
     val h = Relational.histogram(Tables.orders(spark, TestSpark.sf), "o_totalprice", 20000.0)
       .select($"bucket", $"n_rows", $"min_value", $"max_value")
