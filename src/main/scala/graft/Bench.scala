@@ -43,7 +43,15 @@ object Bench {
     } catch { case _: Throwable => () }
 
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q69_pagerank,q25_sim_lsh benches a subset while
+    // iterating on specific queries; unset = the full suite (driver mode)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // every run starts from a clean cache: persisted blocks a previous
       // run leaked must not eat this run's storage memory nor pre-warm its
       // inputs. Each query is timed TWICE and the minimum reported:
