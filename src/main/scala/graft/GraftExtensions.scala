@@ -138,5 +138,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "int8_dot(array<tinyint>, array<tinyint>)")
       }))
+
+    // the one AGGREGATE on the surface: builders may return any Expression,
+    // so the wrapped AggregateExpression registers like a scalar function
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[graft.expr.MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, IntegerLiteral(k)) =>
+          graft.expr.MisraGriesAgg(v, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(string, <int literal k>)")
+      }))
   }
 }

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SqlSurfaceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("all 14 registered functions resolve and evaluate via spark.sql") {
+  test("all 14 scalar registered functions resolve and evaluate via spark.sql") {
     val row = spark.sql(
       """SELECT
         |  fold_accents('Café naïve')           AS fa,
@@ -51,5 +51,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
   test("wrong arity raises the declared usage error, not a resolution miss") {
     val e = intercept[Exception](spark.sql("SELECT winnow_fps('abc', 3)").head())
     assert(e.getMessage.contains("winnow_fps"), s"got: ${e.getMessage}")
+  }
+
+  test("misra_gries aggregates through the SQL surface") {
+    val rows = spark.sql(
+      """SELECT misra_gries(v, 2) AS mg FROM (
+        |  SELECT explode(array('a','a','a','b','c','a')) AS v
+        |)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.size <= 2)
+    assert(rows.map(_._1).contains("a"),
+      s"the > N/(k+1) item must survive the sketch, got $rows")
   }
 }
