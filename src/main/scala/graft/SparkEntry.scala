@@ -750,6 +750,36 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // retrieval-corpus prep: sliding-window chunking — 32-token windows
+    // every 16 tokens per doc with the trailing partial kept; a pure
+    // projection + generator, no shuffle. Text re-joined so the oracle
+    // hash pins the exact window contents, not just counts.
+    "q79_chunking" -> ((s, dir) =>
+      llm.Packing.slidingChunks(
+        Tables.documents(s, dir), "doc_id",
+        TextOps.tokens(col("text")), chunkSize = 32, stride = 16)),
+
+    // corpus mixing by token RECIPE: admit docs per language in md5 order
+    // until 2000 tokens are consumed (greedy, ≤1-doc overshoot) — the
+    // budget-shaped counterpart of q59's rate-shaped sampling
+    "q80_token_budget" -> ((s, dir) =>
+      llm.Packing.tokenBudgetSample(
+        Tables.documents(s, dir), "lang", "doc_id",
+        size(TextOps.tokens(col("text"))).cast("long"), budget = 2000L)),
+
+    // incremental-ingestion dedup: the "daily batch vs existing corpus"
+    // shape — every third doc plays the arriving batch, the rest the
+    // corpus; only cross-side LSH collisions become candidates, exact
+    // Jaccard ≥ 0.5 verifies. Same portable md5 banding as q16/q45, so
+    // the whole pipeline (banding, cross join, verify) hash-matches.
+    "q78_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.incrementalDupMarks(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
     // S5/S6 sibling for ORC: orders staged through the ORC sink/scan, then
     // aggregated — the oracle reads the original parquet, so a hash match
     // proves the ORC round trip value-exact (q41's contract, second format)
@@ -1814,6 +1844,75 @@ object SparkEntry {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents
         |)
-        |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin
+        |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin,
+
+    // q16/q45's md5-LSH pipeline with the pair space restricted to
+    // cross-side (new × existing) collisions
+    "q78_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |), scored AS (
+        |  SELECT p.a_doc, p.b_doc,
+        |         CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) /
+        |           (len(sa.sset) + len(sb.sset) - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+        |           AS jaccard
+        |  FROM pairs p
+        |  JOIN sets sa ON p.a_doc = sa.doc_id
+        |  JOIN sets sb ON p.b_doc = sb.doc_id
+        |)
+        |SELECT a_doc, b_doc, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "q79_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), k AS (
+        |  SELECT doc_id, ts,
+        |         CAST(greatest(ceil((len(ts) - 32.0) / 16), 0) AS BIGINT) AS last_k
+        |  FROM t WHERE len(ts) > 0
+        |)
+        |SELECT doc_id,
+        |       u.k AS chunk_id,
+        |       CAST(u.k * 16 + 1 AS BIGINT) AS start,
+        |       CAST(len(ts[(u.k*16+1):(u.k*16+32)]) AS BIGINT) AS n_tok,
+        |       array_to_string(ts[(u.k*16+1):(u.k*16+32)], ' ') AS chunk_text
+        |FROM k, unnest(generate_series(0, last_k)) AS u(k)""".stripMargin,
+
+    "q80_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         CAST(sum(n_tok) OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok - n_tok < 2000""".stripMargin
   )
 }

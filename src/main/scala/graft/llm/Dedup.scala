@@ -552,6 +552,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Incremental-ingestion dedup: mark every NEW document that
+    * near-duplicates something already in the corpus — the daily-crawl
+    * shape, where re-running [[nearDupPairs]] over (corpus ∪ batch) would
+    * re-pay the corpus-sized LSH work per batch. Here each side is banded
+    * independently (the corpus side's buckets can be precomputed and
+    * persisted once per epoch), candidates are the CROSS-side bucket
+    * collisions only — new×new and old×old pairs never form — and exact
+    * Jaccard verifies candidates against the union's texts. Cost per
+    * batch: LSH over the batch + one bucket-equi join + verify on
+    * candidates; never a corpus re-scan beyond the bucket join.
+    *
+    * Output: (a_doc = new id, b_doc = existing id, jaccard ≥ threshold).
+    * Ids must be unique across BOTH frames (disjoint id spaces — the
+    * ingest contract). `maxBucketSize` caps the corpus side's bucket
+    * width: a degenerate boilerplate bucket would otherwise emit
+    * |new ∩ bucket| × |old ∩ bucket| candidates (same declared semantic
+    * as [[candidatePairs]] — oversized clusters are exact-dup territory,
+    * handled upstream). */
+  def incrementalDupMarks(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 6,
+      bands: Int = 3,
+      shingleWidth: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("bucket"))
+    val ob = bandBuckets(oldDocs, idCol, textCol, numHashes, bands, shingleWidth)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band_id"), col("bucket"), col(idCol).as("b_doc"))
+    val nb = bandBuckets(newDocs, idCol, textCol, numHashes, bands, shingleWidth)
+      .select(col("band_id"), col("bucket"), col(idCol).as("a_doc"))
+    val cands = nb.join(ob, Seq("band_id", "bucket"))
+      .select(col("a_doc"), col("b_doc"))
+      .distinct()
+    jaccardVerify(newDocs.unionByName(oldDocs), cands, idCol, textCol,
+      threshold, shingleWidth)
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -92,4 +92,70 @@ object Packing {
     offsets.groupBy(col("first_seq").as("seq_id"))
       .agg(count(lit(1)).as("n_docs_starting"),
         sum(col("n_tok")).as("tok_started"))
+
+  /** Sliding-window chunking of each document's token stream — the
+    * retrieval-corpus shape (RAG prep): windows of `chunkSize` tokens
+    * every `stride` tokens, so consecutive chunks overlap by
+    * `chunkSize − stride`. Chunks are emitted until the last window's end
+    * reaches the document end (the final chunk may be shorter); empty
+    * documents emit nothing. Pure per-document projection + generator —
+    * no shuffle at any scale; the chunk count per doc is
+    * 1 + ⌈max(n−chunkSize, 0) / stride⌉.
+    *
+    * @return (idCol, chunk_id 0-based, start 1-based token offset,
+    *          n_tok actual window length, chunk_text space-joined) */
+  def slidingChunks(
+      docs: DataFrame,
+      idCol: String,
+      tokens: Column,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val base = docs.select(col(idCol), tokens.as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+    val lastK = ceil((col("n") - lit(chunkSize)).cast("double") / lit(stride))
+      .cast("long")
+    base
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), greatest(lastK, lit(0L)))))
+      .withColumn("start", (col("chunk_id") * lit(stride) + 1).cast("long"))
+      .select(col(idCol), col("chunk_id"), col("start"),
+        size(slice(col("ts"), col("start").cast("int"), lit(chunkSize)))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("ts"), col("start").cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Per-stratum token-budget fill — the corpus-mixing primitive: admit
+    * each stratum's documents in deterministic md5-of-key order until the
+    * stratum's token budget is exhausted ("2 M tokens of German, 1 M of
+    * French, ..." — a token RECIPE, where [[graft.ops.Relational.stratifiedHashSample]]
+    * is a rate recipe). A document is admitted iff the tokens consumed
+    * BEFORE it are under budget, so the realized total overshoots by at
+    * most one document — the standard greedy contract, and a pure function
+    * of (key, stratum, budget): identical selection on any cluster,
+    * partitioning, or engine.
+    *
+    * One window per stratum (cumsum in hash order). With few strata the
+    * window parallelism is the stratum count — for stratum-free global
+    * budgeting at scale use [[packOffsets]]'s two-phase decomposition
+    * instead. */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      nTok: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col(keyCol), col(stratumCol), nTok.cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") - col("n_tok") < budget)
+  }
 }

@@ -213,6 +213,40 @@ class DedupSpec extends AnyFunSuite {
       s"corpus side must not shuffle for the join:\n$plan")
   }
 
+  test("incrementalDupMarks: only cross-side pairs, equals the full run restricted to cross-side") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+      (3L, "completely different content about spark query engines and shuffles here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (11L, "entirely novel text with no overlap to anything stored before now"),
+      (12L, "the quick brown fox jumps over the lazy dog and runs far away home")
+    ).toDF("doc_id", "text")
+    val marks = Dedup.incrementalDupMarks(fresh, old, "doc_id", "text", threshold = 0.5)
+      .select($"a_doc", $"b_doc").as[(Long, Long)].collect().toSet
+    assert(marks.contains((10L, 1L)) && marks.contains((12L, 1L)),
+      s"verbatim copies of stored doc 1 must be marked: $marks")
+    assert(marks.forall { case (a, b) => a >= 10L && b < 10L },
+      s"never new×new or old×old pairs: $marks")
+    assert(!marks.exists { case (a, b) => a == 11L || b == 3L },
+      s"unrelated docs must not pair: $marks")
+
+    // equals the monolithic run restricted to cross-side pairs
+    val all = old.unionByName(fresh)
+    val full = Dedup.jaccardVerify(all,
+        Dedup.candidatePairs(Dedup.bandBuckets(all, "doc_id", "text"), "doc_id"),
+        "doc_id", "text", threshold = 0.5)
+      .select($"a_doc", $"b_doc").as[(Long, Long)].collect().toSet
+    val crossFromFull = full.collect {
+      case (a, b) if a >= 10L && b < 10L => (a, b)
+      case (a, b) if b >= 10L && a < 10L => (b, a)
+    }
+    assert(marks === crossFromFull,
+      s"incremental must equal full-run cross-side: $marks vs $crossFromFull")
+  }
+
   test("contaminationReportBloom: bit-identical to the exact path, no broadcast, empty-bench safe") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val corpus = docs.filter($"doc_id" % 10 =!= 0)

@@ -59,6 +59,52 @@ class PackingSpec extends AnyFunSuite {
     assert(occ === Array((0L, 2L, 8L), (2L, 1L, 4L)))
   }
 
+  test("slidingChunks: coverage, overlap, trailing partial, empty doc emits nothing") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, chunk 4 / stride 2 → starts 1,3,5
+      (2L, "x y"),           // shorter than one chunk → single chunk
+      (3L, "")               // empty → nothing
+    ).toDF("doc_id", "text")
+    val got = Packing.slidingChunks(docs, "doc_id",
+        graft.text.TextOps.tokens($"text"), chunkSize = 4, stride = 2)
+      .select($"doc_id", $"chunk_id", $"start", $"n_tok", $"chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array(
+      (1L, 0L, 1L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "c d e f"),
+      (1L, 2L, 5L, 3L, "e f g"),  // trailing partial reaches the doc end
+      (2L, 0L, 1L, 2L, "x y")
+    ))
+    // every token position is covered by at least one chunk
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered === (1L to 7L).toSet)
+    intercept[IllegalArgumentException](
+      Packing.slidingChunks(docs, "doc_id", col("text"), 4, 5)) // stride > chunk
+  }
+
+  test("tokenBudgetSample: greedy fill in md5 order, ≤1-doc overshoot, partition-invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val nTok = size(graft.text.TextOps.tokens($"text")).cast("long")
+    val budget = 1000L
+    val picked = Packing.tokenBudgetSample(docs, "lang", "doc_id", nTok, budget)
+      .as[(Long, String, Long, Long)].collect()
+    val byLang = picked.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total < budget + maxDoc,
+        s"$lang overshoots by more than one doc: total=$total")
+      // every admitted doc was admitted because the PRIOR cumsum < budget
+      rows.foreach { case (_, _, n, cum) => assert(cum - n < budget) }
+    }
+    // deterministic under repartitioning
+    val again = Packing.tokenBudgetSample(
+        docs.repartition(7), "lang", "doc_id", nTok, budget)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === picked.map(_._1).toSet)
+  }
+
   test("packOffsets: argument guards") {
     val d = Seq((1L, 1L)).toDF("doc_id", "n")
     intercept[IllegalArgumentException](Packing.packOffsets(d, "doc_id", $"n", 0L))
