@@ -91,6 +91,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("rgb_resize"),
+      new ExpressionInfo(classOf[graft.expr.RgbResize].getName, "rgb_resize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(rgb, w, h, IntegerLiteral(dw), IntegerLiteral(dh)) =>
+          graft.expr.RgbResize(rgb, w, h, dw, dh)
+        case _ => throw new IllegalArgumentException(
+          "rgb_resize(binary, int w, int h, <int literal dstW>, <int literal dstH>)")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("wav_decode"),
       new ExpressionInfo(classOf[WavDecode].getName, "wav_decode"),
       (args: Seq[Expression]) => args match {

@@ -169,3 +169,73 @@ object RgbMeans {
       r.toDouble / n, g.toDouble / n, b.toDouble / n, luma))
   }
 }
+
+/** Real nearest-neighbor resize of an RGB24 buffer:
+  * `rgb_resize(rgb, w, h, dstW, dstH)` → binary of exactly dstW·dstH·3
+  * bytes, NULL if the buffer doesn't hold w·h·3 bytes. Source dimensions
+  * are COLUMNS (they come per-row from [[BmpDecode]]); the target shape is
+  * a plan literal, so every output row has the same tensor shape — the
+  * batch contract a training pipeline needs. Center-point sampling in pure
+  * integer arithmetic (`sx = (2x+1)·w / 2·dstW`): deterministic on any
+  * JVM, no floating point. Pure projection, codegen-resident. */
+case class RgbResize(
+    first: Expression,  // rgb binary
+    second: Expression, // src w
+    third: Expression,  // src h
+    dstW: Int,
+    dstH: Int)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(dstW > 0 && dstH > 0 && dstW.toLong * dstH <= (1L << 24),
+    s"target dims out of range: ${dstW}x$dstH")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rgb_resize requires (binary, int, int), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rgb_resize"
+
+  override def nullSafeEval(rgb: Any, w: Any, h: Any): Any =
+    RgbResize.compute(rgb.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int], dstW, dstH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (rgb, w, h) => s"""
+      ${ev.value} = graft.expr.RgbResize.compute($rgb, $w, $h, $dstW, $dstH);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): RgbResize =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object RgbResize {
+  /** Nearest-neighbor with integer center sampling; null on shape
+    * mismatch (corrupt input stays visible, never silently reshaped). */
+  def compute(rgb: Array[Byte], w: Int, h: Int, dw: Int, dh: Int): Array[Byte] = {
+    if (rgb == null || w <= 0 || h <= 0) return null
+    if (rgb.length != w.toLong * h * 3) return null
+    val out = new Array[Byte](dw * dh * 3)
+    var y = 0
+    while (y < dh) {
+      // center of target pixel mapped to source grid, floored
+      val sy = (((2L * y + 1) * h) / (2L * dh)).toInt
+      var x = 0
+      while (x < dw) {
+        val sx = (((2L * x + 1) * w) / (2L * dw)).toInt
+        val src = (sy * w + sx) * 3
+        val dst = (y * dw + x) * 3
+        out(dst) = rgb(src)
+        out(dst + 1) = rgb(src + 1)
+        out(dst + 2) = rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

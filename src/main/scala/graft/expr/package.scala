@@ -59,6 +59,13 @@ package object exprapi {
   def rgbMeans(rgb: Column): Column =
     ColumnBridge.column(expr.RgbMeans(ColumnBridge.expression(rgb)))
 
+  /** Real nearest-neighbor resize of an RGB24 buffer to a fixed target
+    * shape (integer center sampling). See [[graft.expr.RgbResize]]. */
+  def rgbResize(rgb: Column, w: Column, h: Column, dstW: Int, dstH: Int): Column =
+    ColumnBridge.column(expr.RgbResize(
+      ColumnBridge.expression(rgb), ColumnBridge.expression(w),
+      ColumnBridge.expression(h), dstW, dstH))
+
   /** PCM16 RIFF/WAVE decode: binary → struct(channels, sample_rate,
     * n_samples, pcm) or NULL. See [[graft.expr.WavDecode]]. */
   def wavDecode(content: Column): Column =

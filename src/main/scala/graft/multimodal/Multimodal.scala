@@ -157,6 +157,26 @@ object Multimodal {
         lit(h).as("declared_h")))
   }
 
+  /** REAL image resize: decode the BMP payload to actual pixels
+    * ([[graft.expr.BmpDecode]]) and nearest-neighbor resample to a fixed
+    * `w×h` RGB24 tensor ([[graft.expr.RgbResize]], integer center
+    * sampling) — same schema and plan shape as [[resizeStub]], but
+    * `resized` now holds the image's own pixels. Non-decodable payloads
+    * yield NULL (corrupt input stays visible, never silently faked).
+    * Pure projection, both expressions codegen-resident. */
+  def resizeImages(assets: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    assets
+      .withColumn("img", graft.exprapi.bmpDecode(col("content")))
+      .withColumn("resized",
+        graft.exprapi.rgbResize(col("img.rgb"), col("img.w"), col("img.h"), w, h))
+      .withColumn("meta", struct(
+        col("meta.source").as("source"),
+        lit(w).as("declared_w"),
+        lit(h).as("declared_h")))
+      .drop("img")
+  }
+
   /** Byte-range frame sampling: every `stride`-th window of `frameSize`
     * bytes, exploded to one row per frame — the batch shape for per-frame
     * feature extraction (video keyframes, audio windows). Binary substring

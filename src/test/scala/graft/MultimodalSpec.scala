@@ -63,6 +63,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(means(3) - wantLuma) < 1e-12)
   }
 
+  test("rgb_resize + resizeImages: golden pixels up/down, shape contract, corrupt→NULL") {
+    // kernel: 2x2 distinct corners upscaled 4x4 → each corner tiles 2x2
+    val rgb = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 10, 20, 30)
+    val up = graft.expr.RgbResize.compute(rgb, 2, 2, 4, 4)
+    assert(up.length === 4 * 4 * 3)
+    def px(buf: Array[Byte], w: Int, x: Int, y: Int): Seq[Int] =
+      (0 to 2).map(c => buf((y * w + x) * 3 + c) & 0xff)
+    assert(px(up, 4, 0, 0) === Seq(255, 0, 0) && px(up, 4, 1, 1) === Seq(255, 0, 0))
+    assert(px(up, 4, 2, 0) === Seq(0, 255, 0) && px(up, 4, 3, 1) === Seq(0, 255, 0))
+    assert(px(up, 4, 0, 2) === Seq(0, 0, 255))
+    assert(px(up, 4, 3, 3) === Seq(10, 20, 30))
+    // downscale 4x4 → 2x2 recovers the corners (center sampling)
+    assert(graft.expr.RgbResize.compute(up, 4, 4, 2, 2).toSeq === rgb.toSeq)
+    // shape mismatch → null, never a reshaped lie
+    assert(graft.expr.RgbResize.compute(rgb, 3, 2, 2, 2) == null)
+
+    // DataFrame path over real synthetic BMPs + one corrupt payload
+    val assets = Multimodal.syntheticAssets(spark, 6)
+    val out = Multimodal.resizeImages(assets.filter($"modality" === "image"), 4, 3)
+    val rows = out.select($"resized", $"meta.declared_w", $"meta.declared_h")
+      .as[(Array[Byte], Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (r, w, h) =>
+      assert(r != null && r.length === 4 * 3 * 3 && w === 4 && h === 3)
+    }
+    val corrupt = Seq((99L, "image", Array[Byte](9, 9, 9))).toDF("asset_id", "modality", "content")
+      .withColumn("meta", struct(lit("t").as("source"),
+        lit(1).as("declared_w"), lit(1).as("declared_h")))
+    val bad = Multimodal.resizeImages(corrupt, 4, 3).select($"resized").head()
+    assert(bad.isNullAt(0), "corrupt payload must resize to NULL, not stub bytes")
+  }
+
   test("decodeFeatures: REAL decode on every image, audio, and video asset") {
     val out = Multimodal.decodeFeatures(Multimodal.syntheticAssets(spark, 30))
     val images = out.filter($"modality" === "image")

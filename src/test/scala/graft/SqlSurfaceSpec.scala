@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SqlSurfaceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("all 14 scalar registered functions resolve and evaluate via spark.sql") {
+  test("the zero-config scalar functions all resolve and evaluate via spark.sql") {
     val row = spark.sql(
       """SELECT
         |  fold_accents('Café naïve')           AS fa,
@@ -51,6 +51,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
   test("wrong arity raises the declared usage error, not a resolution miss") {
     val e = intercept[Exception](spark.sql("SELECT winnow_fps('abc', 3)").head())
     assert(e.getMessage.contains("winnow_fps"), s"got: ${e.getMessage}")
+  }
+
+  test("rgb_resize resolves and resizes through the SQL surface") {
+    val out = spark.sql(
+      "SELECT rgb_resize(unhex('FF0000'), 1, 1, 2, 2) AS r").head().getAs[Array[Byte]](0)
+    assert(out.toSeq === Seq[Byte](
+      0xFF.toByte, 0, 0, 0xFF.toByte, 0, 0, 0xFF.toByte, 0, 0, 0xFF.toByte, 0, 0))
   }
 
   test("misra_gries aggregates through the SQL surface") {
