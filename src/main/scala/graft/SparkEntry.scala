@@ -750,6 +750,16 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // training-pipeline: WEIGHTED k-per-language sampling (Efraimidis–
+    // Spirakis keyed by a content-addressed uniform) — longer docs more
+    // likely picked, the pick a pure function of (doc_id, n_tok); the
+    // sampling-family fourth member next to rate (q59), uniform-k (q77)
+    // and budget (q80)
+    "q81_weighted_sample" -> ((s, dir) =>
+      Relational.weightedGroupSample(
+        Tables.documents(s, dir), "lang", "doc_id",
+        size(TextOps.tokens(col("text"))).cast("long"), k = 15)),
+
     // retrieval-corpus prep: sliding-window chunking — 32-token windows
     // every 16 tokens per doc with the trailing partial kept; a pure
     // projection + generator, no shuffle. Text re-joined so the oracle
@@ -1913,6 +1923,24 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
         |  FROM t
         |)
-        |SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok - n_tok < 2000""".stripMargin
+        |SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok - n_tok < 2000""".stripMargin,
+
+    "q81_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w
+        |  FROM documents
+        |), kq AS (
+        |  SELECT doc_id, lang, w,
+        |         CAST(floor(1e12 * ln(
+        |             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+        |               / 4294967296.0) / w) AS BIGINT) AS key_q
+        |  FROM t WHERE w > 0
+        |), r AS (
+        |  SELECT doc_id, lang, w, key_q,
+        |         row_number() OVER (PARTITION BY lang ORDER BY key_q DESC, doc_id) AS rn
+        |  FROM kq
+        |)
+        |SELECT doc_id, lang, w, key_q FROM r WHERE rn <= 15""".stripMargin
   )
 }

@@ -395,6 +395,38 @@ object Relational {
         max(col(valueCol)).as("max_value"))
   }
 
+  /** Weighted k-per-stratum sampling WITHOUT randomness state — the
+    * Efraimidis–Spirakis A-ES scheme (key = u^(1/w), keep the k largest)
+    * driven by a content-addressed uniform: u = (md5₃₂(key)+1)/2³², so the
+    * inclusion probability scales with weight yet the pick is a pure
+    * function of (key, weight, k) — identical on any cluster,
+    * partitioning, or engine, re-runnable and auditable. Ranking uses the
+    * monotone-equivalent ln(u)/w, µ-quantized to an integer (the BM25
+    * trick: engines' ln may differ in the last ulp; a quantized ORDER plus
+    * the key tie-break makes the selected set engine-exact). One window
+    * per stratum; non-positive weights are excluded by contract. */
+  def weightedGroupSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df
+      .select(col(keyCol), col(stratumCol), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("u",
+        (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") + lit(1L)).cast("double") / lit(4294967296.0))
+      .withColumn("key_q",
+        floor(lit(1e12) * log(col("u")) / col("w")).cast("long"))
+    val win = Window.partitionBy(col(stratumCol))
+      .orderBy(col("key_q").desc, col(keyCol))
+    base.withColumn("rn", row_number().over(win))
+      .filter($"rn" <= k)
+      .select(col(keyCol), col(stratumCol), col("w"), col("key_q"))
+  }
+
   /** Distribution-based quality gate: keep the top `fraction` of each
     * group under a total order — e.g. "the longest half of each
     * language's documents" (per-stratum length filtering, the

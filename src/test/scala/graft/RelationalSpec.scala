@@ -183,6 +183,25 @@ class RelationalSpec extends AnyFunSuite {
       Relational.stratifiedHashSample(docs, "lang", "doc_id", Map("en" -> 1.5)))
   }
 
+  test("weightedGroupSample: k per stratum, weight-biased, partition-invariant, w<=0 excluded") {
+    val df = (1 to 200).map(i => (i.toLong, "g", 1L)).toDF("id", "grp", "wt")
+      .union(Seq((1000L, "g", 1000000L)).toDF("id", "grp", "wt")) // heavy item
+      .union(Seq((2000L, "g", 0L), (2001L, "g", -5L)).toDF("id", "grp", "wt"))
+    val picked = Relational.weightedGroupSample(df, "grp", "id", $"wt", k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(picked.size === 10)
+    assert(picked.contains(1000L),
+      s"a 10^6-weight item must dominate u^(1/w) ranking: $picked")
+    assert(!picked.contains(2000L) && !picked.contains(2001L),
+      "non-positive weights are excluded by contract")
+    val again = Relational.weightedGroupSample(
+        df.repartition(13), "grp", "id", $"wt", k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(again === picked, "selection must be a pure function of (key, weight)")
+    intercept[IllegalArgumentException](
+      Relational.weightedGroupSample(df, "grp", "id", $"wt", 0))
+  }
+
   test("topFractionPerGroup: exact ceil boundary, deterministic ties, one exchange for both windows") {
     // group a: 5 rows → keep ceil(2.5)=3; group b: 2 rows → keep 1
     val df = Seq(
