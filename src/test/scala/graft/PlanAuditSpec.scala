@@ -98,6 +98,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q68 must read lineitem once:\n$p68")
   }
 
+  test("q79 chunking is a pure projection: zero exchanges, zero shuffles") {
+    val plan = executed(SparkEntry.queries("q79_chunking")(spark, TestSpark.sf))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle — scan→filter→generate→project only:\n$plan")
+    assert(plan.contains("Generate"), s"expected the explode generator:\n$plan")
+  }
+
+  test("q72 packing: the only single-partition exchange carries bucket totals, not rows") {
+    val plan = executed(SparkEntry.queries("q72_seq_pack")(spark, TestSpark.sf))
+    // the doc-level window must partition by bucket; a global-order window
+    // over the full frame would show as a SinglePartition exchange feeding
+    // a Sort over doc rows with no partition key
+    val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"more than one single-partition exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"doc-level cumsum must partition by bucket:\n$plan")
+  }
+
   test("q01 aggregation is map-side partial (partial_ before the exchange)") {
     val plan = executed(SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.sf))
     assert(plan.contains("partial_"),
