@@ -173,6 +173,25 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Range-sorted parquet sink: rows range-partitioned then sorted within
+    * each file on `sortCols`. The 100-TB read story is ROW-GROUP SKIPPING:
+    * parquet footers carry per-row-group min/max for every column, and a
+    * range filter on a clustered column lets the reader skip whole row
+    * groups (and, with the range layout, whole FILES) without touching
+    * their pages — the cheap cousin of an index, paid once at write time.
+    * Unlike [[writePartitioned]] this handles HIGH-cardinality keys (time,
+    * ids): no directory explosion, just tight min/max bands per file. */
+  def writeSorted(
+      df: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      numFiles: Int = 32): Unit = {
+    require(sortCols.nonEmpty, "at least one sort column required")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed parquet table: pre-shuffled on `bucketCols` so joins and
     * aggregations on those keys need NO exchange at read time — the
     * co-located-join story for repeatedly-joined fact tables at scale

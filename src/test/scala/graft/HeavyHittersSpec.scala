@@ -48,6 +48,24 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters: randomized zipf-ish streams stay exact across seeds and layouts") {
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish: item i drawn with probability ∝ 1/(i+1)
+      val items = (0 until 2000).map { _ =>
+        val r = rnd.nextDouble()
+        val i = math.min((1.0 / (1.0 - r * 0.97) - 1.0).toInt, 40)
+        s"it_$i"
+      }
+      val df = items.toDF("v").repartition(1 + seed % 5)
+      for (k <- Seq(3, 10)) {
+        val got = Relational.heavyHitters(df, "v", k)
+          .as[(String, Long)].collect().toMap
+        assert(got === exact(df, k), s"seed=$seed k=$k")
+      }
+    }
+  }
+
   test("heavyHitters: uniform input below threshold returns empty; empty input safe") {
     val uniform = (1 to 100).map(i => s"u_$i").toDF("v")
     assert(Relational.heavyHitters(uniform, "v", 50).count() === 0L)

@@ -80,6 +80,30 @@ class SourcesSpec extends AnyFunSuite {
       s"scan must prune to the 2 referenced columns:\n$plan")
   }
 
+  test("writeSorted: range layout gives per-file disjoint min/max bands (row-group skip precondition)") {
+    val df = Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    val path = s"$tmp/orders_sorted"
+    Sources.writeSorted(df, path, Seq("o_orderdate"), numFiles = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === df.count())
+    // the skipping precondition: each file covers a disjoint key range, so
+    // a range predicate touches only the files whose band intersects it
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length > 1, "need several files to prove the range layout")
+    val bands = parts.map { f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .agg(min($"o_orderdate").cast("string"), max($"o_orderdate").cast("string"))
+        .as[(String, String)].head()
+    }.sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file bands overlap: $hi > $lo — range layout broken")
+      case _ =>
+    }
+  }
+
   test("headerless CSV consumed positionally as _c0.._cN (A5 shape)") {
     val df = Seq(("12345", "x", "ACME", "7372")).toDF("a", "b", "c", "d")
     val path = s"$tmp/headerless_csv"
