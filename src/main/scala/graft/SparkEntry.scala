@@ -750,6 +750,16 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // similarity, SPARSE lexical path: inverted-index self-join over
+    // integer tf/df weights — the embedding-free member of the similarity
+    // family (dense: q17/q25/q28/q33/q57/q58). Pair space Σ postings²
+    // bounded by the maxDF gate; exact integer dot ÷ IEEE sqrt ⇒
+    // hash-matches the oracle.
+    "q82_sparse_cosine" -> ((s, dir) =>
+      llm.Similarity.sparseCosinePairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        minCosine = 0.9, minDF = 2L, maxDF = 400L)),
+
     // training-pipeline: WEIGHTED k-per-language sampling (Efraimidis–
     // Spirakis keyed by a content-addressed uniform) — longer docs more
     // likely picked, the pick a pure function of (doc_id, n_tok); the
@@ -1941,6 +1951,32 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang ORDER BY key_q DESC, doc_id) AS rn
         |  FROM kq
         |)
-        |SELECT doc_id, lang, w, key_q FROM r WHERE rn <= 15""".stripMargin
+        |SELECT doc_id, lang, w, key_q FROM r WHERE rn <= 15""".stripMargin,
+
+    "q82_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  GROUP BY 1 HAVING count(*) >= 2 AND count(*) <= 400
+        |), w AS (
+        |  SELECT doc_id, tf.tok, (tf * 1000000) // df AS wt
+        |  FROM tf JOIN d ON tf.tok = d.tok
+        |), n AS (
+        |  SELECT doc_id, sum(wt * wt) AS nrm FROM w GROUP BY 1
+        |), dots AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, dot,
+        |       CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+        |FROM dots
+        |JOIN n na ON dots.a_id = na.doc_id
+        |JOIN n nb ON dots.b_id = nb.doc_id
+        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.9""".stripMargin
   )
 }

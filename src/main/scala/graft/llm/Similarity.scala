@@ -201,6 +201,55 @@ object Similarity {
       .distinct()
   }
 
+  /** SPARSE lexical cosine similarity via an inverted-index join — the
+    * embedding-free similarity path (complement of the dense ANN family
+    * and of [[graft.text.TextOps.bm25]]'s query-scoring shape): docs are
+    * similar when their integer-quantized tf/df weight vectors align.
+    *
+    * Scale shape: the ONLY join key is the token — an inverted-index
+    * self-join whose pair space is Σ postings², bounded by `maxDF`
+    * (tokens in more than maxDF docs are dropped BEFORE the join: the
+    * stopword postings lists are exactly the quadratic blow-up, and past
+    * maxDF a token carries no discriminative weight anyway — the same
+    * declared-cap discipline as the LSH bucket guards). Weights are the
+    * engine's q14 idiom (`tf·10⁶ DIV df` — integer, engine-exact); the
+    * final cosine divides the exact integer dot by √(n_a·n_b) computed in
+    * IEEE doubles, both operations correctly-rounded and therefore
+    * bit-identical on any engine — the whole operator hash-matches an
+    * oracle.
+    *
+    * @return (a_id, b_id, dot, cosine) for pairs with cosine ≥ minCosine,
+    *         a_id < b_id. */
+  def sparseCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCosine: Double = 0.5,
+      minDF: Long = 2L,
+      maxDF: Long = 400L): DataFrame = {
+    import graft.text.TextOps
+    val w = TextOps.termFreq(docs, idCol, textCol)
+      .join(broadcast(TextOps.docFreq(docs, idCol, textCol, minDF, maxDF)), "token")
+      .select(col(idCol), col("token"),
+        expr("(tf * 1000000) DIV df").as("wt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy(col(idCol))
+      .agg(sum(col("wt") * col("wt")).as("nrm"))
+    val dots = w.select(col(idCol).as("a_id"), col("token"), col("wt").as("wa"))
+      .join(w.select(col(idCol).as("b_id"), col("token"), col("wt").as("wb")), "token")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col(idCol).as("a_id"), col("nrm").as("na")), "a_id")
+      .join(norms.select(col(idCol).as("b_id"), col("nrm").as("nb")), "b_id")
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a_id"), col("b_id"), col("dot"), col("cosine"))
+  }
+
   /** Int8 global-scale quantization of a float-embedding column — the
     * memory-bandwidth lever at corpus scale: 4× smaller vectors mean 4×
     * more candidates per cache line / scan byte, and one corpus-wide scale

@@ -380,4 +380,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.columns.contains("a_id") && pairs.columns.contains("b_id"))
     assert(Similarity.signLshCandidates(empty, bits = 4).count() === 0L)
   }
+
+  test("sparseCosinePairs: identical docs score ~1, disjoint docs never pair, maxDF gates stopwords") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta the the"),
+      (2L, "alpha beta gamma delta alpha beta the the"), // identical to 1
+      (3L, "alpha beta gamma delta epsilon zeta the"),   // overlapping
+      (4L, "omega psi chi phi upsilon tau the"),         // disjoint content words
+      (5L, "unrelated totally different words here the")
+    ).toDF("doc_id", "text")
+    // maxDF=4 drops 'the' (df=5) — the stopword postings list never joins
+    val got = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+        minCosine = 0.0, minDF = 1L, maxDF = 4L)
+      .select($"a_id", $"b_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-9, s"identical docs: ${got((1L, 2L))}")
+    assert(got.keys.forall { case (a, b) => a < b })
+    assert(!got.contains((1L, 4L)) && !got.contains((2L, 4L)),
+      s"docs sharing only the gated stopword must not pair: ${got.keys}")
+    val overlap = got((1L, 3L))
+    assert(overlap > 0.3 && overlap < 1.0, s"partial overlap mid-range: $overlap")
+    // threshold filters
+    val strict = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+        minCosine = 0.99, minDF = 1L, maxDF = 4L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(strict === Set((1L, 2L)), s"only the identical pair survives 0.99: $strict")
+  }
 }
