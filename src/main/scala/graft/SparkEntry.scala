@@ -750,6 +750,14 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // training-pipeline: CCNet-style perplexity gate — per-doc average
+    // negative log-likelihood under the corpus's own unigram distribution.
+    // Per-token µ-quantization BEFORE the integer per-doc sum makes the
+    // aggregation order-free (a float avg would hash differently per
+    // partitioning) ⇒ hash-exact oracle.
+    "q83_unigram_nll" -> ((s, dir) =>
+      text.TextOps.unigramLogLoss(Tables.documents(s, dir), "doc_id", "text")),
+
     // similarity, SPARSE lexical path: inverted-index self-join over
     // integer tf/df weights — the embedding-free member of the similarity
     // family (dense: q17/q25/q28/q33/q57/q58). Pair space Σ postings²
@@ -1977,6 +1985,26 @@ object SparkEntry {
         |FROM dots
         |JOIN n na ON dots.a_id = na.doc_id
         |JOIN n nb ON dots.b_id = nb.doc_id
-        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.9""".stripMargin
+        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.9""".stripMargin,
+
+    "q83_unigram_nll" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+        |), vq AS (
+        |  SELECT tok,
+        |         CAST(floor(1e6 * (ln(CAST((SELECT sum(c) FROM c) AS DOUBLE))
+        |                           - ln(CAST(c AS DOUBLE)))) AS BIGINT) AS q
+        |  FROM c
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(tf) AS BIGINT) AS n_tok,
+        |       CAST(sum(tf * q) // sum(tf) AS BIGINT) AS nll_q
+        |FROM tf JOIN vq USING (tok)
+        |GROUP BY 1""".stripMargin
   )
 }

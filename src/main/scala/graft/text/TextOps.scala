@@ -135,6 +135,41 @@ object TextOps {
       .withColumn("tfidf", col("tf") * col("idf"))
   }
 
+  /** CCNet-style distributional quality score: each document's average
+    * negative log-likelihood under the CORPUS's own unigram distribution —
+    * boilerplate and in-distribution text score low, junk (rare-token
+    * soup) scores high; filtering on the score is the classic
+    * perplexity-gate of web-corpus curation, here with the corpus itself
+    * as the language model (no external LM artifact).
+    *
+    * Determinism design: a float `avg(-ln p)` would depend on Spark's
+    * aggregation ORDER (float addition is not associative — a different
+    * partitioning could flip the hash). Instead each DISTINCT token's
+    * `-ln p(t) = ln(total) − ln(count_t)` is µ-quantized to an integer
+    * ONCE on the vocabulary-sized side, then per-doc aggregation is an
+    * exact integer `Σ tf_t·q_t DIV n_tok` — order-free, engine-exact,
+    * hash-checkable. The vocabulary (token, q_t) frame broadcasts; the
+    * corpus total enters as a scalar agg (no eager action).
+    *
+    * @return (idCol, n_tok, nll_q) — nll_q ≈ 10⁶ · avg(−ln p), integer */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol) // (idCol, token, tf)
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val vocabQ = counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        floor(lit(1e6) * (log(col("total").cast("double")) - log(col("c").cast("double"))))
+          .cast("long").as("q"))
+    tf.join(broadcast(vocabQ), "token")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("q")).as("sum_q"))
+      .select(col(idCol), col("n_tok"),
+        expr("sum_q DIV n_tok").as("nll_q"))
+  }
+
   // -------------------------------------------------------------------------
   // Per-document text analysis (north-star: quality / lang-id / fingerprint)
   // -------------------------------------------------------------------------

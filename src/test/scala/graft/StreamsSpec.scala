@@ -226,6 +226,28 @@ class StreamsSpec extends AnyFunSuite {
       s"streaming outer must equal batch once watermarks pass: $streamed vs $batch")
   }
 
+  test("parquet file sink: append across micro-batches is exactly-once (no dup, no loss)") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = s"target/tmp/streams/file_sink_${System.nanoTime()}"
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt("file_sink"))
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(outDir).select($"event_id").as[Long].collect().sorted
+      assert(afterB1.toSeq === sample.map(_.event_id).sorted)
+      mem.addData(Ev(6, t(100), 300, "click", 60.0))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(outDir).select($"event_id").as[Long].collect().sorted
+      assert(afterB2.toSeq === (sample.map(_.event_id) :+ 6L).sorted,
+        "second batch must append exactly its own rows — no replay of batch 1")
+    } finally q.stop()
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(

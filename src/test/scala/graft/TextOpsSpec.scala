@@ -414,4 +414,24 @@ class TextOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       TextOps.bm25(docs, "doc_id", "text", Seq("a", "a")))
   }
+
+  test("unigramLogLoss: exact hand-derived scores; rare-token docs score higher; order-free") {
+    // corpus counts: a=4, b=2, z=1, total=7
+    val docs = Seq((1L, "a a b"), (2L, "a a b"), (3L, "z")).toDF("doc_id", "text")
+    def q(c: Long): Long = math.floor(1e6 * (math.log(7.0) - math.log(c.toDouble))).toLong
+    val got = TextOps.unigramLogLoss(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, (2 * q(4) + q(2)) / 3)))
+    assert(got(2L) === got(1L), "identical docs must score identically")
+    assert(got(3L) === ((1L, q(1))))
+    assert(got(3L)._2 > got(1L)._2, "the rare-token doc is the distributional outlier")
+
+    // partitioning must not change a single score (integer aggregation)
+    val fixture = Tables.documents(spark, TestSpark.sf)
+    val a = TextOps.unigramLogLoss(fixture, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = TextOps.unigramLogLoss(fixture.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }
