@@ -750,6 +750,23 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // dedup END-TO-END: LSH candidates → connected components → QUALITY
+    // survivor selection (keep the longest member per cluster, min-id
+    // ties) — the full curation pipeline in one query; oracle = q43's
+    // recursive-CTE closure + ranked selection
+    "q84_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id"))
+      llm.Dedup.selectSurvivors(clusters,
+        docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+        "doc_id", "n_tok")
+    }),
+
     // training-pipeline: CCNet-style perplexity gate — per-doc average
     // negative log-likelihood under the corpus's own unigram distribution.
     // Per-token µ-quantization BEFORE the integer per-doc sum makes the
@@ -2005,6 +2022,50 @@ object SparkEntry {
         |       CAST(sum(tf) AS BIGINT) AS n_tok,
         |       CAST(sum(tf * q) // sum(tf) AS BIGINT) AS nll_q
         |FROM tf JOIN vq USING (tok)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q84_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), clusters AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT c.cluster_id, c.doc_id,
+        |         CAST(len(t.ts) AS BIGINT) AS n_tok,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |           ORDER BY len(t.ts) DESC, c.doc_id) AS rn
+        |  FROM clusters c JOIN t ON c.doc_id = t.doc_id
+        |)
+        |SELECT cluster_id, doc_id AS survivor_id, n_tok
+        |FROM ranked WHERE rn = 1""".stripMargin
   )
 }

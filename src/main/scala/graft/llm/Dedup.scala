@@ -552,6 +552,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Quality-aware survivor selection — the final step of the dedup
+    * pipeline: given component labels ([[dupClusters]] /
+    * [[dupClustersAlternating]]) and a per-doc quality frame, keep the
+    * HIGHEST-quality member of each cluster (min id on quality ties —
+    * total order ⇒ deterministic on any engine). The min-id survivor rule
+    * the label algorithms use directly is the degenerate
+    * quality = constant case; a real pipeline keeps the best copy
+    * (longest, cleanest, highest LM score), not the lowest-numbered one.
+    * One broadcast-or-shuffle join + one ranked window on cluster_id. */
+  def selectSurvivors(
+      clusters: DataFrame, // (doc_id, cluster_id)
+      quality: DataFrame,  // (idCol, qCol)
+      idCol: String,
+      qCol: String): DataFrame =
+    graft.ops.Relational.groupedTopK(
+      clusters.join(quality.select(col(idCol).as("doc_id"), col(qCol)), "doc_id"),
+      Seq("cluster_id"), qCol, "doc_id", k = 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"), col(qCol))
+
   /** Incremental-ingestion dedup: mark every NEW document that
     * near-duplicates something already in the corpus — the daily-crawl
     * shape, where re-running [[nearDupPairs]] over (corpus ∪ batch) would

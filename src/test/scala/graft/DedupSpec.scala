@@ -213,6 +213,18 @@ class DedupSpec extends AnyFunSuite {
       s"corpus side must not shuffle for the join:\n$plan")
   }
 
+  test("selectSurvivors: highest quality wins per cluster, min-id on ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 50L), (4L, 10L), (7L, 3L), (8L, 3L))
+      .toDF("doc_id", "n_tok")
+    val got = Dedup.selectSurvivors(clusters, quality, "doc_id", "n_tok")
+      .select($"cluster_id", $"survivor_id", $"n_tok")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 50L), (7L, 7L, 3L)),
+      s"cluster 1 keeps its longest member, cluster 7 breaks the tie by min id: $got")
+  }
+
   test("incrementalDupMarks: only cross-side pairs, equals the full run restricted to cross-side") {
     val old = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
