@@ -750,6 +750,23 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // §2.3 temporal family third member: INTERVAL×INTERVAL overlap join
+    // (click windows × purchase windows per user) — grain-cell equi
+    // decomposition on BOTH sides + pair dedup + residual predicate;
+    // never an inequality-only (per-key cross product) join
+    "q85_overlap_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_lo"), (col("ts") + expr("INTERVAL 20 MINUTES")).as("c_hi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_lo"), (col("ts") + expr("INTERVAL 35 MINUTES")).as("p_hi"))
+      graft.ops.Temporal.overlapJoin(clicks, purchases, Seq("user_id"),
+          "c_lo", "c_hi", "p_lo", "p_hi", grainSeconds = 1800L)
+        .select(col("c_id"), col("p_id"))
+    }),
+
     // dedup END-TO-END: LSH candidates → connected components → QUALITY
     // survivor selection (keep the longest member per cluster, min-id
     // ties) — the full curation pipeline in one query; oracle = q43's
@@ -2066,6 +2083,17 @@ object SparkEntry {
         |  FROM clusters c JOIN t ON c.doc_id = t.doc_id
         |)
         |SELECT cluster_id, doc_id AS survivor_id, n_tok
-        |FROM ranked WHERE rn = 1""".stripMargin
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q85_overlap_join" ->
+      """WITH c AS (SELECT event_id AS c_id, user_id, ts AS c_lo,
+        |                  ts + INTERVAL 20 MINUTE AS c_hi
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS p_id, user_id, ts AS p_lo,
+        |                  ts + INTERVAL 35 MINUTE AS p_hi
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c_id, p_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |              AND c.c_lo < p.p_hi AND p.p_lo < c.c_hi""".stripMargin
   )
 }

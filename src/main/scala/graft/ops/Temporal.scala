@@ -108,6 +108,41 @@ object Temporal {
       .drop("__cell")
   }
 
+  /** INTERVAL×INTERVAL overlap join — the third temporal join shape next
+    * to [[asofJoin]] (point→latest) and [[rangeJoin]] (point∈interval):
+    * pairs of intervals with `a.lo < b.hi AND b.lo < a.hi` (half-open
+    * overlap), the session-vs-session / downtime-vs-deploy analytics
+    * shape. Same grain-cell decomposition as [[rangeJoin]] — both sides
+    * explode to their covered cells and meet equi on (keys, cell) — but
+    * unlike the point form an overlapping pair can share SEVERAL cells,
+    * so the join result dedups on the pair identity before the residual
+    * predicate. Shuffle carries `len/grain + 1` rows per interval; no
+    * inequality-only join (which Spark would execute as a per-key cross
+    * product) ever forms. */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftLo: String, leftHi: String,
+      rightLo: String, rightHi: String,
+      grainSeconds: Long): DataFrame = {
+    require(grainSeconds > 0, "grainSeconds must be positive")
+    val overlap = (left.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(overlap.isEmpty,
+      s"left/right share non-key columns: ${overlap.mkString(",")}")
+    def cellOf(c: String) =
+      expr(s"cast(cast(`$c` as timestamp) as bigint) div $grainSeconds")
+    val l = left.withColumn("__cell",
+      explode(sequence(cellOf(leftLo), cellOf(leftHi))))
+    val r = right.withColumn("__cell",
+      explode(sequence(cellOf(rightLo), cellOf(rightHi))))
+    l.join(r, keys :+ "__cell")
+      .drop("__cell")
+      .distinct() // a pair overlapping k cells must appear once, not k times
+      .filter(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+  }
+
   /** RANGE-frame rolling aggregate: per partition key, the count and exact
     * sum of `valueCol` over the trailing `windowMicros` (inclusive of the
     * current row and all ties on the timestamp — RANGE, not ROWS,

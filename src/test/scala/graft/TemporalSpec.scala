@@ -168,6 +168,45 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === Set((1L, ts("2020-01-01 00:05:00"))))
   }
 
+  test("overlapJoin: half-open semantics, multi-cell dedup, grain-invariant, key isolation") {
+    val a = Seq(
+      (1L, 10L, ts("2020-01-01 00:00:00"), ts("2020-01-01 02:00:00")), // long: many cells
+      (1L, 11L, ts("2020-01-01 03:00:00"), ts("2020-01-01 04:00:00")), // touches b20's start
+      (2L, 12L, ts("2020-01-01 00:30:00"), ts("2020-01-01 01:00:00"))  // other key
+    ).toDF("k", "a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (1L, 20L, ts("2020-01-01 01:00:00"), ts("2020-01-01 03:00:00")), // overlaps 10, touches 11
+      (1L, 21L, ts("2020-01-01 05:00:00"), ts("2020-01-01 06:00:00"))  // disjoint
+    ).toDF("k", "b_id", "b_lo", "b_hi")
+    def run(grain: Long) =
+      Temporal.overlapJoin(a, b, Seq("k"), "a_lo", "a_hi", "b_lo", "b_hi", grain)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq.sorted
+    // half-open: touching at a point (11 ends where 20 starts… actually 20
+    // ends at 03:00 where 11 starts) is NOT an overlap; key 2 never joins
+    assert(run(600L) === Seq((10L, 20L)))
+    assert(run(3600L) === Seq((10L, 20L)))
+    assert(run(7L) === Seq((10L, 20L)), "pair must appear once despite sharing many cells")
+  }
+
+  test("overlapJoin matches a brute-force inequality join on fixture events") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id",
+        $"ts".as("c_lo"), ($"ts" + expr("INTERVAL 20 MINUTES")).as("c_hi"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id",
+        $"ts".as("p_lo"), ($"ts" + expr("INTERVAL 35 MINUTES")).as("p_hi"))
+    val fast = Temporal.overlapJoin(c, p, Seq("user_id"),
+        "c_lo", "c_hi", "p_lo", "p_hi", 1800L)
+      .select($"c_id", $"p_id").as[(Long, Long)].collect().toSet
+    val brute = c.join(p,
+        c("user_id") === p("user_id") &&
+          c("c_lo") < p("p_hi") && p("p_lo") < c("c_hi"))
+      .select($"c_id", $"p_id").as[(Long, Long)].collect().toSet
+    assert(fast === brute)
+    assert(fast.nonEmpty, "fixture should produce overlapping windows")
+  }
+
   test("rangeJoin matches a brute-force inequality join on fixture events") {
     val ev = Tables.events(spark, TestSpark.sf)
     val windows = ev.filter($"event_type" === "purchase")
