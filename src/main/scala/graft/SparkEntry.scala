@@ -750,6 +750,18 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // tokenizer diagnostics: BPE-unit fertility per language (subword
+    // units per whitespace word, exact integer ratio) — what a
+    // token-budgeted corpus mix actually pays per language
+    "q86_fertility" -> ((s, dir) =>
+      text.TextOps.tokenizerFertility(Tables.documents(s, dir), "lang", "text")),
+
+    // quality: per-doc token-distribution ENTROPY (lexical diversity) —
+    // per-token µ-quantization before the integer sum keeps the
+    // aggregation order-free ⇒ hash-exact oracle (q83's discipline)
+    "q87_token_entropy" -> ((s, dir) =>
+      text.TextOps.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
+
     // §2.3 temporal family third member: INTERVAL×INTERVAL overlap join
     // (click windows × purchase windows per user) — grain-cell equi
     // decomposition on BOTH sides + pair dedup + residual predicate;
@@ -2094,6 +2106,37 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'purchase')
         |SELECT c_id, p_id
         |FROM c JOIN p ON c.user_id = p.user_id
-        |              AND c.c_lo < p.p_hi AND p.p_lo < c.c_hi""".stripMargin
+        |              AND c.c_lo < p.p_hi AND p.p_lo < c.c_hi""".stripMargin,
+
+    "q86_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |         '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_units,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents WHERE len(trim(text)) > 0
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_units) AS BIGINT) AS sum_units,
+        |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |       CAST((sum(n_units) * 1000000) // sum(n_words) AS BIGINT) AS fertility_q
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q87_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), n AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1
+        |), h AS (
+        |  SELECT tf.doc_id, n.n,
+        |         CAST(floor(1e6 * tf * (ln(CAST(n AS DOUBLE)) - ln(CAST(tf AS DOUBLE)))) AS BIGINT) AS h_q
+        |  FROM tf JOIN n ON tf.doc_id = n.doc_id
+        |)
+        |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tok,
+        |       CAST(sum(h_q) // min(n) AS BIGINT) AS entropy_q
+        |FROM h GROUP BY 1""".stripMargin
   )
 }

@@ -170,6 +170,52 @@ object TextOps {
         expr("sum_q DIV n_tok").as("nll_q"))
   }
 
+  /** Tokenizer fertility per group: BPE-style subword units per
+    * whitespace word — the standard tokenizer-quality diagnostic (a
+    * merge table tuned for one language inflates the token bill of
+    * another; fertility per language is what a token-budgeted corpus mix
+    * actually pays). Exact integer ratio (`Σ units · 10⁶ DIV Σ words`) —
+    * one map-side-partial hash agg, engine-exact. */
+  def tokenizerFertility(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val words = size(split(trim(col(textCol)), "\\s+"))
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(groupCol),
+        size(bpeTokens(col(textCol))).cast("long").as("n_units"),
+        words.cast("long").as("n_words"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_units")).as("sum_units"),
+        sum(col("n_words")).as("sum_words"))
+      .withColumn("fertility_q", expr("(sum_units * 1000000) DIV sum_words"))
+  }
+
+  /** Per-document token-distribution entropy (lexical diversity):
+    * H = Σ_t (tf/n)·ln(n/tf) over the doc's distinct tokens — boilerplate
+    * and repetition-heavy docs score low, diverse prose high; a quality
+    * signal orthogonal to [[unigramLogLoss]] (which scores against the
+    * CORPUS distribution, not the doc's own).
+    *
+    * Determinism: each distinct token's contribution is µ-quantized to an
+    * integer BEFORE the per-doc sum (`floor(10⁶·tf·(ln n − ln tf))`), so
+    * the aggregation is exact integer addition — order-free and
+    * hash-portable; the final DIV n normalizes. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFreq(docs, idCol, textCol)
+      .withColumn("n", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .withColumn("h_q",
+        floor(lit(1e6) * col("tf") *
+          (log(col("n").cast("double")) - log(col("tf").cast("double")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(first(col("n")).as("n_tok"),
+        sum(col("h_q")).as("sum_h"))
+      .select(col(idCol), col("n_tok"),
+        expr("sum_h DIV n_tok").as("entropy_q"))
+
   // -------------------------------------------------------------------------
   // Per-document text analysis (north-star: quality / lang-id / fingerprint)
   // -------------------------------------------------------------------------

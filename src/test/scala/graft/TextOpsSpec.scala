@@ -415,6 +415,37 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.bm25(docs, "doc_id", "text", Seq("a", "a")))
   }
 
+  test("tokenizerFertility: exact hand-derived ratio; whitespace-only docs excluded") {
+    val docs = Seq(
+      ("en", "hello world's fun 123"), // bpe: hello|world|'s|fun|123 = 5 units, 4 words
+      ("en", "one two"),               // 2 units, 2 words
+      ("de", "   ")                    // whitespace-only → excluded
+    ).toDF("lang", "text")
+    val got = TextOps.tokenizerFertility(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 2L, 7L, 6L, 7L * 1000000L / 6L)))
+    assert(!got.contains("de"), "whitespace-only docs carry no fertility signal")
+  }
+
+  test("tokenEntropy: uniform doc = ln(vocab), repeated-token doc = 0, order-free") {
+    val docs = Seq((1L, "a b c"), (2L, "a a a"), (3L, "a a b b")).toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, math.floor(1e6 * math.log(3.0)).toLong)),
+      s"uniform 3-token doc: ${got(1L)}")
+    assert(got(2L) === ((3L, 0L)), "single repeated token has zero entropy")
+    // "a a b b": per distinct token floor(1e6·2·ln2) summed ×2, DIV 4
+    val term = math.floor(1e6 * 2 * math.log(2.0)).toLong
+    assert(got(3L) === ((4L, 2 * term / 4)))
+
+    val fixture = Tables.documents(spark, TestSpark.sf)
+    val a = TextOps.tokenEntropy(fixture, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = TextOps.tokenEntropy(fixture.repartition(11), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("unigramLogLoss: exact hand-derived scores; rare-token docs score higher; order-free") {
     // corpus counts: a=4, b=2, z=1, total=7
     val docs = Seq((1L, "a a b"), (2L, "a a b"), (3L, "z")).toDF("doc_id", "text")
