@@ -750,6 +750,19 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // embedding health check: per-DIMENSION stats across the corpus (dead
+    // dims, scale drift, NaN screens) — posexplode + one hash agg; the
+    // mean uses the exactSum decimal discipline so the float reduction is
+    // order-free and hash-portable
+    "q88_emb_dim_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_vec"),
+          Relational.exactSum(col("x").cast("double"), scale = 9).as("sum_x"),
+          min(col("x")).cast("double").as("min_x"),
+          max(col("x")).cast("double").as("max_x"))),
+
     // tokenizer diagnostics: BPE-unit fertility per language (subword
     // units per whitespace word, exact integer ratio) — what a
     // token-budgeted corpus mix actually pays per language
@@ -2137,6 +2150,15 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tok,
         |       CAST(sum(h_q) // min(n) AS BIGINT) AS entropy_q
-        |FROM h GROUP BY 1""".stripMargin
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "q88_emb_dim_stats" ->
+      """SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |       CAST(count(*) AS BIGINT) AS n_vec,
+        |       CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,9))) AS DOUBLE) AS sum_x,
+        |       CAST(min(embedding[i]) AS DOUBLE) AS min_x,
+        |       CAST(max(embedding[i]) AS DOUBLE) AS max_x
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY 1""".stripMargin
   )
 }
