@@ -750,6 +750,17 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // embedding-space outlier screen: top-10 most-centroid-distant docs
+    // per language (misembedded / mislabeled / junk detection). All
+    // arithmetic integer-quantized (shift keeps sums positive so DIV and
+    // floor-div agree) ⇒ the iterative-free long-form pipeline
+    // hash-matches the oracle exactly.
+    "q89_emb_outliers" -> ((s, dir) =>
+      llm.Similarity.embeddingOutliers(
+        Tables.embeddings(s, dir).select(col("vec_id").as("doc_id"), col("embedding")),
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "embedding", "lang", k = 10)),
+
     // embedding health check: per-DIMENSION stats across the corpus (dead
     // dims, scale drift, NaN screens) — posexplode + one hash agg; the
     // mean uses the exactSum decimal discipline so the float reduction is
@@ -2159,6 +2170,26 @@ object SparkEntry {
         |       CAST(min(embedding[i]) AS DOUBLE) AS min_x,
         |       CAST(max(embedding[i]) AS DOUBLE) AS max_x
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q89_emb_outliers" ->
+      """WITH l AS (
+        |  SELECT d.lang, e.vec_id AS doc_id, i - 1 AS dim,
+        |         CAST(floor(1e6 * (CAST(embedding[i] AS DOUBLE) + 1024.0)) AS BIGINT) AS qx
+        |  FROM embeddings e
+        |  JOIN documents d ON e.vec_id = d.doc_id,
+        |       unnest(generate_series(1, len(embedding))) AS t(i)
+        |), c AS (
+        |  SELECT lang, dim, sum(qx) // count(*) AS qc FROM l GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT l.lang, l.doc_id,
+        |         CAST(sum((qx - qc) * (qx - qc)) AS BIGINT) AS dist_q
+        |  FROM l JOIN c USING (lang, dim) GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, doc_id, dist_q,
+        |         row_number() OVER (PARTITION BY lang ORDER BY dist_q DESC, doc_id) AS rn
+        |  FROM dist
+        |)
+        |SELECT lang, doc_id, dist_q FROM r WHERE rn <= 10""".stripMargin
   )
 }

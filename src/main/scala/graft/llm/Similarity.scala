@@ -250,6 +250,47 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("dot"), col("cosine"))
   }
 
+  /** Embedding-space outlier detection per group: each vector's squared
+    * distance to its group's centroid, ranked — the "misembedded /
+    * wrong-language / garbage doc" screen of embedding-based curation
+    * (a doc whose vector sits far from its language's centroid is either
+    * mislabeled or junk).
+    *
+    * Exactness design: a float centroid would make both the mean and the
+    * distance order-dependent. Instead every coordinate is quantized to
+    * an integer once (`floor(10⁶·(x+1024))` — the +1024 shift keeps all
+    * sums positive so truncating and flooring division agree on every
+    * engine; the shift cancels in differences), the centroid is the
+    * integer mean, and the distance is an exact integer Σ(qx−qc)² — a
+    * pure long-form relational pipeline (explode → two hash aggs → one
+    * ranked window), order-free and hash-portable. At serving scale the
+    * same screen runs as a broadcast centroid array + codegen'd quantized
+    * dot; this is the oracle-checkable reference form.
+    *
+    * @return (labelCol, idCol, dist_q) — top `k` most-distant vectors per
+    *         group, distance descending, id-ascending tie-break. */
+  def embeddingOutliers(
+      embeddings: DataFrame, // (idCol, embCol)
+      labels: DataFrame,     // (idCol, labelCol)
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val long = embeddings
+      .join(labels.select(col(idCol), col(labelCol)), idCol)
+      .select(col(idCol), col(labelCol), posexplode(col(embCol)).as(Seq("dim", "x")))
+      .withColumn("qx", floor(lit(1e6) * (col("x").cast("double") + lit(1024.0))).cast("long"))
+    val centroids = long.groupBy(col(labelCol), col("dim"))
+      .agg(expr("sum(qx) DIV count(1)").as("qc"))
+    val dists = long.join(centroids, Seq(labelCol, "dim"))
+      .withColumn("d", (col("qx") - col("qc")) * (col("qx") - col("qc")))
+      .groupBy(col(labelCol), col(idCol))
+      .agg(sum(col("d")).as("dist_q"))
+    graft.ops.Relational.groupedTopK(dists, Seq(labelCol), "dist_q", idCol, k)
+      .select(col(labelCol), col(idCol), col("dist_q"))
+  }
+
   /** Int8 global-scale quantization of a float-embedding column — the
     * memory-bandwidth lever at corpus scale: 4× smaller vectors mean 4×
     * more candidates per cache line / scan byte, and one corpus-wide scale

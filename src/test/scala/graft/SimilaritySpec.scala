@@ -381,6 +381,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.signLshCandidates(empty, bits = 4).count() === 0L)
   }
 
+  test("embeddingOutliers: planted far vector ranks first in its group, k bound holds") {
+    val base = Array.fill(8)(0.1f)
+    val near = (1L to 5L).map(i => (i, base.updated(0, 0.1f + i * 0.001f).toSeq))
+    val far = Seq((9L, Array.fill(8)(0.9f).toSeq))           // the planted outlier
+    val other = (20L to 23L).map(i => (i, Array.fill(8)(0.5f).toSeq))
+    val emb = (near ++ far ++ other).toDF("doc_id", "embedding")
+      .select($"doc_id", $"embedding".cast("array<float>"))
+    val labels = ((1L to 5L) :+ 9L).map(i => (i, "a")) ++ (20L to 23L).map(i => (i, "b"))
+    val got = Similarity.embeddingOutliers(
+        emb, labels.toDF("doc_id", "lang"), "doc_id", "embedding", "lang", k = 2)
+      .select($"lang", $"doc_id", $"dist_q")
+      .as[(String, Long, Long)].collect()
+    val aTop = got.filter(_._1 == "a").sortBy(-_._3)
+    assert(aTop.length === 2 && aTop.head._2 === 9L,
+      s"planted outlier must rank first in group a: ${aTop.toSeq}")
+    // group b is 4 identical vectors: centroid == every vector, distance 0
+    val b = got.filter(_._1 == "b")
+    assert(b.length === 2 && b.forall(_._3 === 0L), s"identical group: ${b.toSeq}")
+  }
+
   test("sparseCosinePairs: identical docs score ~1, disjoint docs never pair, maxDF gates stopwords") {
     val docs = Seq(
       (1L, "alpha beta gamma delta alpha beta the the"),
