@@ -750,6 +750,17 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // §2.5 distinct aggregation inside time buckets: exact distinct users
+    // + event count + exact sum per hour — the dashboard rollup shape
+    // (Spark plans COUNT(DISTINCT) as the two-phase Expand rewrite: both
+    // phases map-side partial, no per-group set materialization)
+    "q90_window_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          Relational.exactSum(col("value")).as("sum_value"))),
+
     // embedding-space outlier screen: top-10 most-centroid-distant docs
     // per language (misembedded / mislabeled / junk detection). All
     // arithmetic integer-quantized (shift keeps sums positive so DIV and
@@ -2190,6 +2201,13 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang ORDER BY dist_q DESC, doc_id) AS rn
         |  FROM dist
         |)
-        |SELECT lang, doc_id, dist_q FROM r WHERE rn <= 10""".stripMargin
+        |SELECT lang, doc_id, dist_q FROM r WHERE rn <= 10""".stripMargin,
+
+    "q90_window_distinct" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
