@@ -105,6 +105,28 @@ class PackingSpec extends AnyFunSuite {
     assert(again === picked.map(_._1).toSet)
   }
 
+  test("packOffsets: randomized streams — bucketed always equals the naive window") {
+    for (seed <- Seq(3, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // sparse, non-contiguous ids; heavy-tailed token counts incl. zeros
+      val rows = (1 to 300).map { _ =>
+        (rnd.nextInt(100000).toLong,
+          if (rnd.nextInt(10) == 0) 0L else rnd.nextInt(5000).toLong)
+      }.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "n_tok").repartition(1 + seed % 7)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val naive = df.withColumn("end_off", sum($"n_tok").over(w))
+        .select($"doc_id", ($"end_off" - $"n_tok").as("start_off"), $"end_off")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val bucketed = Packing.packOffsets(df, "doc_id", $"n_tok",
+          budget = 1 + rnd.nextInt(4096), bucketWidth = 1 + rnd.nextInt(5000))
+        .select($"doc_id", $"start_off", $"end_off")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(bucketed === naive, s"seed=$seed")
+    }
+  }
+
   test("packOffsets: argument guards") {
     val d = Seq((1L, 1L)).toDF("doc_id", "n")
     intercept[IllegalArgumentException](Packing.packOffsets(d, "doc_id", $"n", 0L))

@@ -207,6 +207,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(fast.nonEmpty, "fixture should produce overlapping windows")
   }
 
+  test("overlapJoin: randomized intervals equal brute force at several grains") {
+    val rnd = new scala.util.Random(17)
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextInt(100000)
+      (rnd.nextInt(4).toLong, s"$tag$i",
+        ts("2020-01-01 00:00:00").getTime / 1000 + lo,
+        ts("2020-01-01 00:00:00").getTime / 1000 + lo + 1 + rnd.nextInt(7200))
+    }.toDF("k", "id", "lo_s", "hi_s")
+      .select($"k", $"id",
+        timestamp_seconds($"lo_s").as("lo"), timestamp_seconds($"hi_s").as("hi"))
+    val a = mk(120, "a").select($"k", $"id".as("a_id"), $"lo".as("a_lo"), $"hi".as("a_hi"))
+    val b = mk(120, "b").select($"k", $"id".as("b_id"), $"lo".as("b_lo"), $"hi".as("b_hi"))
+    val brute = a.join(b, a("k") === b("k") &&
+        $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
+      .select($"a_id", $"b_id").as[(String, String)].collect().toSet
+    for (grain <- Seq(60L, 977L, 3600L)) {
+      val fast = Temporal.overlapJoin(a, b, Seq("k"),
+          "a_lo", "a_hi", "b_lo", "b_hi", grain)
+        .select($"a_id", $"b_id").as[(String, String)].collect().toSet
+      assert(fast === brute, s"grain=$grain: ${fast.size} vs ${brute.size}")
+    }
+    assert(brute.nonEmpty)
+  }
+
   test("rangeJoin matches a brute-force inequality join on fixture events") {
     val ev = Tables.events(spark, TestSpark.sf)
     val windows = ev.filter($"event_type" === "purchase")
