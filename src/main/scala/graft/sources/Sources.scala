@@ -173,6 +173,21 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Provenance tagging: attach the source file (and optionally its
+    * basename shard key) to every row at scan time — the audit column a
+    * curation pipeline carries so any surviving document can be traced
+    * back to its ingest shard ("which crawl dump did this come from").
+    * `input_file_name()` is scan-local metadata: zero shuffle, zero cost
+    * beyond the string column; it survives projections but is only
+    * populated directly above a file scan, so tag FIRST, transform after. */
+  def withProvenance(
+      df: DataFrame,
+      fileCol: String = "source_file",
+      shardCol: String = "source_shard"): DataFrame =
+    df.withColumn(fileCol, input_file_name())
+      .withColumn(shardCol,
+        regexp_extract(col(fileCol), "([^/]+)$", 1))
+
   /** Range-sorted parquet sink: rows range-partitioned then sorted within
     * each file on `sortCols`. The 100-TB read story is ROW-GROUP SKIPPING:
     * parquet footers carry per-row-group min/max for every column, and a

@@ -80,6 +80,21 @@ class SourcesSpec extends AnyFunSuite {
       s"scan must prune to the 2 referenced columns:\n$plan")
   }
 
+  test("withProvenance: every row carries its source file; shard key is the basename") {
+    val docs = Sources.withProvenance(Tables.documents(spark, TestSpark.sf))
+      .select($"doc_id", $"source_file", $"source_shard")
+    val rows = docs.as[(Long, String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, f, s) =>
+      assert(f.endsWith(".parquet") && f.contains("documents"), s"file: $f")
+      assert(s.nonEmpty && !s.contains("/") && f.endsWith(s), s"shard: $s from $f")
+    }
+    // survives downstream transforms (tag first, transform after)
+    val after = docs.filter($"doc_id" % 2 === 0)
+      .groupBy($"source_shard").count().collect()
+    assert(after.nonEmpty && after.forall(_.getLong(1) > 0))
+  }
+
   test("writeSorted: range layout gives per-file disjoint min/max bands (row-group skip precondition)") {
     val df = Tables.orders(spark, TestSpark.sf)
       .select($"o_orderkey", $"o_orderdate", $"o_totalprice")

@@ -226,6 +226,31 @@ class StreamsSpec extends AnyFunSuite {
       s"streaming outer must equal batch once watermarks pass: $streamed vs $batch")
   }
 
+  test("Trigger.AvailableNow: backfill drains all input then stops on its own") {
+    // the batch-backfill pattern: run the STREAMING pipeline over existing
+    // data with bounded micro-batches, terminate when caught up — one code
+    // path for backfill and live tail
+    val batchEv = Tables.events(spark, TestSpark.sf)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val dir = "target/tmp/streams/events_backfill"
+    batchEv.write.mode("overwrite").parquet(dir)
+    val streamEv = spark.readStream.schema(batchEv.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams.tumblingAgg(streamEv).writeStream
+      .format("memory").queryName("backfill_out").outputMode("complete")
+      .option("checkpointLocation", ckpt("backfill"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    val streamed = spark.table("backfill_out")
+      .select($"window_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    val batch = Streams.tumblingAgg(batchEv)
+      .select($"window_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed === batch, "drained backfill must equal the batch computation")
+  }
+
   test("parquet file sink: append across micro-batches is exactly-once (no dup, no loss)") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = s"target/tmp/streams/file_sink_${System.nanoTime()}"
