@@ -149,6 +149,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "int8_dot(array<tinyint>, array<tinyint>)")
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[graft.expr.DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => graft.expr.DeflateLen(bin)
+        case _ => throw new IllegalArgumentException("deflate_len(binary)")
+      }))
+
     // the one AGGREGATE on the surface: builders may return any Expression,
     // so the wrapped AggregateExpression registers like a scalar function
     ext.injectFunction((

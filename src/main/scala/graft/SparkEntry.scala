@@ -1080,7 +1080,19 @@ object SparkEntry {
     // bands). xxhash64-based sketch has no DuckDB mirror ⇒ rows-only;
     // the guarantee and separation contracts are pinned by DedupSpec.
     "q40_simhash_dups" -> ((s, dir) =>
-      llm.Dedup.simhashDups(Tables.documents(s, dir)))
+      llm.Dedup.simhashDups(Tables.documents(s, dir))),
+
+    // quality: DEFLATE compression ratio per doc (per-mille) — the
+    // long-range-redundancy screen complementing q62's fixed-width
+    // duplicate-gram rule. zlib output is engine-local ⇒ rows-only; the
+    // discrimination and determinism contracts are pinned by TextOpsSpec.
+    "q91_compress_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          graft.exprapi.deflateLen(col("text").cast("binary")).cast("long").as("z_bytes"))
+        .filter(col("n_bytes") > 0)
+        .withColumn("ratio_pm", expr("(z_bytes * 1000) DIV n_bytes")))
   )
 
   // ---------------------------------------------------------------------

@@ -134,6 +134,11 @@ package object exprapi {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ColumnBridge.expression(bloomBytes), ColumnBridge.expression(hashed)))
 
+  /** DEFLATE compressed size of a binary payload (fixed level) — the
+    * compression-ratio quality signal. See [[graft.expr.DeflateLen]]. */
+  def deflateLen(bytes: Column): Column =
+    ColumnBridge.column(expr.DeflateLen(ColumnBridge.expression(bytes)))
+
   /** Misra–Gries frequent-items sketch aggregate: ≤ k counters, one pass,
     * mergeable — candidates ⊇ every item with frequency > N/(k+1).
     * See [[graft.expr.MisraGriesAgg]]. */

@@ -415,6 +415,29 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.bm25(docs, "doc_id", "text", Seq("a", "a")))
   }
 
+  test("deflate_len: repetition compresses far below prose; deterministic; SQL-registered") {
+    val boiler = ("lorem ipsum " * 200).trim
+    val prose = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = Seq((1L, boiler), (2L, prose)).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.exprapi.deflateLen($"text".cast("binary")).as("z"),
+        octet_length($"text".cast("binary")).as("n"))
+    val got = df.as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (zb, nb) = got(1L); val (zp, np) = got(2L)
+    assert(zb.toDouble / nb < 0.1, s"boilerplate must compress hard: $zb/$nb")
+    assert(zp.toDouble / np > 3 * (zb.toDouble / nb),
+      s"prose must compress far less: $zp/$np vs $zb/$nb")
+    // deterministic across evaluations
+    val again = df.as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === got)
+    // SQL surface
+    // tiny inputs pay the fixed zlib header (~11 bytes); a 200-byte run
+    // must still land far under its input size
+    val viaSql = spark.sql(
+      s"SELECT deflate_len(CAST('${"a" * 200}' AS BINARY)) AS z").as[Int].head()
+    assert(viaSql > 0 && viaSql < 30, s"200-byte run compressed to $viaSql")
+  }
+
   test("tokenizerFertility: exact hand-derived ratio; whitespace-only docs excluded") {
     val docs = Seq(
       ("en", "hello world's fun 123"), // bpe: hello|world|'s|fun|123 = 5 units, 4 words
