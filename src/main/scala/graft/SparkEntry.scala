@@ -750,6 +750,21 @@ object SparkEntry {
         Seq("lang"), "h", "doc_id", k = 20, descending = false)
         .select(col("doc_id"), col("lang"))),
 
+    // graph analytics third member: per-vertex TRIANGLE counts on the
+    // co-supplier graph (suppliers sharing a high-quantity order) —
+    // degree-oriented wedge closure, each triangle found once, wedge work
+    // bounded by O(√m) outdegrees (never the hub-vertex C(deg,2) blow-up)
+    "q92_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      ops.Graph.triangleCounts(e)
+    }),
+
     // §2.5 distinct aggregation inside time buckets: exact distinct users
     // + event count + exact sum per hour — the dashboard rollup shape
     // (Spark plans COUNT(DISTINCT) as the two-phase Expand rewrite: both
@@ -2220,6 +2235,25 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q92_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45
+        |), e AS (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        |), tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri
+        |) GROUP BY 1""".stripMargin
   )
 }

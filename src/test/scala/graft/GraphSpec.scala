@@ -37,6 +37,43 @@ class GraphSpec extends AnyFunSuite {
     assert(r3 === r7, "uniform fixpoint is iteration-count-invariant")
   }
 
+  test("triangleCounts: K4, path, planted hub — exact per-vertex counts") {
+    // K4: every vertex sits in C(3,2)=3 triangles (4 triangles total)
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val gotK4 = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(gotK4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // path graph: no triangles at all
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(path).count() === 0L)
+
+    // star + one cross edge: exactly one triangle (hub, 2, 3); duplicates,
+    // reversed orientations, and self-loops must not change the answer
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val gotStar = Graph.triangleCounts(star).as[(Long, Long)].collect().toMap
+    assert(gotStar === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: random graph equals the brute-force triple join") {
+    val rnd = new scala.util.Random(29)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("src", "dst")
+    val und = edges.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val brute = und.alias("e1")
+      .join(und.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(und.alias("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
+    val bruteCounts = brute.select(explode(array($"u", $"v", $"w")).as("node"))
+      .groupBy($"node").count().as[(Long, Long)].collect().toMap
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got === bruteCounts)
+    assert(got.nonEmpty, "random graph at this density should contain triangles")
+  }
+
   test("pageRankInt: argument guards") {
     val e = undirected(1L -> 2L)
     assertThrows[IllegalArgumentException](Graph.pageRankInt(e, iters = 0))
