@@ -226,6 +226,34 @@ class StreamsSpec extends AnyFunSuite {
       s"streaming outer must equal batch once watermarks pass: $streamed vs $batch")
   }
 
+  test("sessionize streaming: session_window merges across micro-batches and equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionize(mem.toDF()).writeStream
+      .format("memory").queryName("session_stream_out").outputMode("complete")
+      .option("checkpointLocation", ckpt("session_stream"))
+      .start()
+    try {
+      // batch 1: two events 10 min apart (one session so far)
+      mem.addData(Ev(1, t(0), 100, "click", 1.0), Ev(2, t(10), 100, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a third event 20 min later must MERGE into the same
+      // session (cross-batch session-state merge), plus a distant event
+      // that opens a second session
+      mem.addData(Ev(3, t(30), 100, "click", 1.0), Ev(4, t(120), 100, "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("session_stream_out")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+    assert(streamed === Set((100L, 3L), (100L, 1L)),
+      s"three clustered events must merge into ONE session across batches: $streamed")
+    val batch = Streams.sessionize(Seq(
+        Ev(1, t(0), 100, "click", 1.0), Ev(2, t(10), 100, "click", 1.0),
+        Ev(3, t(30), 100, "click", 1.0), Ev(4, t(120), 100, "view", 1.0)).toDF())
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("Trigger.AvailableNow: backfill drains all input then stops on its own") {
     // the batch-backfill pattern: run the STREAMING pipeline over existing
     // data with bounded micro-batches, terminate when caught up — one code
