@@ -110,12 +110,28 @@ package object exprapi {
     * serialized filter bytes. Wraps Spark's own `BloomFilterAggregate` —
     * the sketch the optimizer's runtime row-level filtering uses — so the
     * merge semantics and serialized format are the engine's, not bespoke.
-    * `numBits = ceil(-n·ln(fpp)/ln²2)` is the standard optimal sizing. */
+    * `numBits = ceil(-n·ln(fpp)/ln²2)` is the standard optimal sizing.
+    *
+    * Spark SILENTLY clamps both `numBits` and `estimatedNumItems` to
+    * `spark.sql.optimizer.runtime.bloomFilter.{maxNumBits,maxNumItems}`
+    * (defaults 67,108,864 bits ≈ 8 MB / 4M items) — beyond ~13M expected
+    * items the requested fpp would quietly degrade. To make the sizing
+    * contract real, this builder RAISES those session confs when the
+    * optimal sizing exceeds them (they are runtime-settable SQLConfs), so
+    * e.g. 10⁸ grams at fpp .03 genuinely gets its ~91 MB filter. Callers
+    * sharing the session inherit the raised cap — a widen-only change. */
   def bloomFilterAgg(hashed: Column, expectedItems: Long, fpp: Double = 0.03): Column = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     val ln2 = math.log(2.0)
     val numBits = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
+    // BloomFilterAggregate takes min(requested, conf) at eval time; widen
+    // the conf first so the requested sizing is the effective sizing.
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    if (conf.get(bitsKey).toLong < numBits) conf.set(bitsKey, numBits)
+    if (conf.get(itemsKey).toLong < expectedItems) conf.set(itemsKey, expectedItems)
     ColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         ColumnBridge.expression(hashed),

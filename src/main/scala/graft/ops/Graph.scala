@@ -14,36 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Exact-integer PageRank over a directed edge list.
-    *
-    * Scores live in integer units of `scaleUnit⁻¹` (default 10⁻¹²):
-    * initialization is `scaleUnit DIV N`, each round sends
-    * `score DIV out_degree` along every out-edge and gathers
-    * `base + (dampingPct · Σ inbound) DIV 100`. Every operation is BIGINT
-    * arithmetic — order-free, overflow-checked by construction (total mass
-    * ≤ scaleUnit, so `dampingPct · Σ` stays far below 2⁶³) — which makes a
-    * fixed-iteration run bit-identical on ANY engine evaluating the same
-    * recurrence: the property that turns an iterative float kernel, normally
-    * only comparable by tolerance, into a hash-checkable query. The
-    * quantization error vs float PageRank is ≤ N·iters·scaleUnit⁻¹ — noise
-    * at default scale.
-    *
-    * Semantics notes: dangling nodes (no out-edges) leak their mass — the
-    * standard simplification; symmetrize the edge list (as undirected graphs
-    * do anyway) to avoid it. Nodes = edge endpoints; isolated vertices are
-    * the caller's concern. `DIV` truncates toward zero in Spark and floors
-    * in DuckDB — identical on the non-negative values this recurrence
-    * produces, which is why the contract requires a non-negative
-    * `dampingPct`.
-    *
-    * Scale: each round is one (edges ⋈ scores) shuffle on the vertex key +
-    * one map-side-partial sum. The out-degree is joined onto the edge list
-    * ONCE before the loop (one long per edge, checkpointed) — iteration-
-    * invariant work never repeats inside a round.
-    * Rounds are `localCheckpoint`-truncated: the round-N plan references
-    * scores twice (degree scatter + gather join), so an uncheckpointed loop
-    * would grow its logical plan ~2^rounds (see dupClusters' loop comment).
-    */
   /** Per-vertex triangle counts via DEGREE-ORIENTED wedge closure (the
     * "forward" algorithm, Schank & Wagner 2005 — the standard
     * MapReduce-scalable form): orient every undirected edge from its
@@ -87,6 +57,36 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Exact-integer PageRank over a directed edge list.
+    *
+    * Scores live in integer units of `scaleUnit⁻¹` (default 10⁻¹²):
+    * initialization is `scaleUnit DIV N`, each round sends
+    * `score DIV out_degree` along every out-edge and gathers
+    * `base + (dampingPct · Σ inbound) DIV 100`. Every operation is BIGINT
+    * arithmetic — order-free, overflow-checked by construction (total mass
+    * ≤ scaleUnit, so `dampingPct · Σ` stays far below 2⁶³) — which makes a
+    * fixed-iteration run bit-identical on ANY engine evaluating the same
+    * recurrence: the property that turns an iterative float kernel, normally
+    * only comparable by tolerance, into a hash-checkable query. The
+    * quantization error vs float PageRank is ≤ N·iters·scaleUnit⁻¹ — noise
+    * at default scale.
+    *
+    * Semantics notes: dangling nodes (no out-edges) leak their mass — the
+    * standard simplification; symmetrize the edge list (as undirected graphs
+    * do anyway) to avoid it. Nodes = edge endpoints; isolated vertices are
+    * the caller's concern. `DIV` truncates toward zero in Spark and floors
+    * in DuckDB — identical on the non-negative values this recurrence
+    * produces, which is why the contract requires a non-negative
+    * `dampingPct`.
+    *
+    * Scale: each round is one (edges ⋈ scores) shuffle on the vertex key +
+    * one map-side-partial sum. The out-degree is joined onto the edge list
+    * ONCE before the loop (one long per edge, checkpointed) — iteration-
+    * invariant work never repeats inside a round.
+    * Rounds are `localCheckpoint`-truncated: the round-N plan references
+    * scores twice (degree scatter + gather join), so an uncheckpointed loop
+    * would grow its logical plan ~2^rounds (see dupClusters' loop comment).
+    */
   def pageRankInt(
       edges: DataFrame, // (src: long, dst: long)
       iters: Int = 5,
