@@ -921,22 +921,16 @@ object SparkEntry {
           sum(col("price_i")).as("sum_price_i"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
-    })
-  )
+    }),
 
-  /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
-    * paths, synthetic inputs) — the driver records a weaker rows-only
-    * check; Bench times them as first-class headline queries. */
-  private def rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.8 session windows (oracle-checked: q22 IS in oracleSql — the
-    // gaps-and-islands SQL is an independent relational formulation of
-    // session_window's merge semantics)
-    "q22_session_windows" -> ((s, dir) =>
-      streaming.Streams.sessionize(Tables.events(s, dir))),
-
-    // M2-M10 end-to-end: tfidf pipeline -> class weights -> weighted LR
-    // (elasticNet .5, reg .03, threshold .68) -> one-pass confusion matrix.
-    // LR fit is iterative treeAggregate — not SQL-expressible.
+    // M2-M10 end-to-end, SPLIT at the fit/serve boundary: tfidf pipeline ->
+    // class weights -> weighted LR (elasticNet .5, reg .03, threshold .68)
+    // is the non-portable half and runs once, persisting flat predictions
+    // (doc_id, label, prediction, prob) to parquet; the one-pass confusion
+    // matrix is pure relational work over that parquet, so the oracle
+    // recomputes it in DuckDB from the SAME persisted file and hash-checks
+    // it — the fit stays spec-pinned (AUC/threshold specs in ModelsSpec),
+    // the aggregation gets a hard oracle row.
     "q23_lr_confusion" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("label", when(col("lang") === "en", 1.0).otherwise(0.0))
@@ -949,8 +943,109 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val weighted = ml.Models.withClassWeights(feats, "label")
       val model = ml.Models.fitWeightedLR(weighted, "label")
-      Relational.confusionMatrix(model.transform(weighted), "label", "prediction")
+      val preds = model.transform(weighted).select(
+        col("doc_id"), col("label"), col("prediction"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("prob"))
+      sources.Sources.writeParquet(preds, predsPath("q23_preds"))
+      Relational.confusionMatrix(
+        s.read.parquet(predsPath("q23_preds")), "label", "prediction")
     }),
+
+    // M11+M12+J6 end-to-end (predictions.scala complete), same fit/serve
+    // split: the LR fit persists flat scored predictions once; positives
+    // filter, SIC/10 bucketing, top-k-per-bucket prune and the
+    // `ap.prob * tp.prob` pair join (predictions.scala:37) are all pure
+    // relational work the oracle replays over the persisted parquet —
+    // IEEE-exact double multiply on identical stored bits hash-matches.
+    "q27_pair_scoring" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("label", when(col("lang") === "en", 1.0).otherwise(0.0))
+        // numeric pseudo-SIC from the source tag, predictions.scala:18 shape
+        .withColumn("sic", regexp_extract(col("source"), "(\\d+)", 1).cast("int") * 7 + 3)
+      // persisted: the featurized frame feeds the weight stats, the LR fit,
+      // the scoring transform AND both sides of the pairing — recomputing
+      // the tfidf chain per consumer benched ~2× the whole query
+      val feats = ml.Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000)
+        .transform(docs)
+        .select(col("doc_id"), col("label"), col("sic"), col("tfidf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val weighted = ml.Models.withClassWeights(feats, "label")
+      val model = ml.Models.fitWeightedLR(weighted, "label")
+      val preds = model.transform(weighted).select(
+        col("doc_id"), col("sic"), col("prediction"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("prob"))
+      sources.Sources.writeParquet(preds, predsPath("q27_preds"))
+      val scored = pairs.Pairing.scoredPositivesFlat(
+        s.read.parquet(predsPath("q27_preds")), "doc_id", "sic")
+      pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
+    }),
+
+    // §2.8 streaming, EXECUTED AS A STREAM: the events fixture staged to a
+    // file source, drained through session_window under
+    // Trigger.AvailableNow in bounded micro-batches (maxFilesPerTrigger
+    // forces several, so cross-batch session-state MERGING is on the
+    // hash-checked path, not just spec'd), self-terminating when caught
+    // up — the backfill pattern where one streaming pipeline serves both
+    // replay and live tail. Complete-mode memory sink: session windows
+    // only finalize past the watermark in append mode, so a finite drain
+    // needs complete mode to emit the tail; the result is the SESSIONS
+    // frame (aggregated, driver-sized at any input scale where session
+    // counts fit — a production tail uses the parquet sink in append
+    // mode and accepts watermark-trailing finalization, StreamsSpec's
+    // file-sink test). Oracle = q22's independent gaps-and-islands SQL:
+    // a green row means an actual stream execution matched the batch
+    // relational semantics bit-for-bit.
+    "q93_sessionize_stream" -> ((s, dir) => {
+      // streaming event time must be TIMESTAMP (not NTZ) — under the
+      // engine's pinned UTC session the cast is lossless, and the session
+      // bounds are cast back to NTZ below for oracle/type parity with q22
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q93_events")
+      sources.Sources.writeParquet(batchEv.repartition(8), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      // staged files are NOT in event-time order, so a live-sized
+      // watermark delay would LATE-DROP most of batches 2..n (the
+      // watermark races to max(ts)-delay after batch 1). For a bounded
+      // backfill drain the watermark's only job is state eviction —
+      // which complete mode disables anyway — so span the whole fixture:
+      // no late drops, and the drained result equals the batch frame. A
+      // live tail keeps the default 2h delay and time-ordered arrival.
+      val q = streaming.Streams.sessionize(stream, watermarkDelay = "3650 days")
+        .writeStream
+        .format("memory").queryName("q93_sessions").outputMode("complete")
+        // fresh checkpoint per run: a reused one would see the staged
+        // files as already-committed and drain zero batches
+        .option("checkpointLocation",
+          predsPath(s"q93_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q93_sessions").select(
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("user_id"), col("n_events"))
+    })
+  )
+
+  /** Absolute path for a query-persisted intermediate parquet — shared by
+    * the Spark query and its DuckDB oracle (which `read_parquet`s the same
+    * files), so both derive from identical stored bits. */
+  private def predsPath(name: String): String =
+    new java.io.File(s"target/tmp/$name").getAbsolutePath
+
+  /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
+    * paths, synthetic inputs) — the driver records a weaker rows-only
+    * check; Bench times them as first-class headline queries. */
+  private def rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.8 session windows (oracle-checked: q22 IS in oracleSql — the
+    // gaps-and-islands SQL is an independent relational formulation of
+    // session_window's merge semantics)
+    "q22_session_windows" -> ((s, dir) =>
+      streaming.Streams.sessionize(Tables.events(s, dir))),
 
     // North-star near-dedup, throughput path: native minhash_sig expression
     // + xxhash64 banding + jaccard verify (hashes not portable to DuckDB)
@@ -977,29 +1072,6 @@ object SparkEntry {
     "q26_multimodal_stats" -> ((s, dir) =>
       multimodal.Multimodal.featureStats(
         multimodal.Multimodal.syntheticAssets(s, 2000))),
-
-    // M11+M12+J6 end-to-end (predictions.scala complete): LR probabilities
-    // via vector_to_array, positives bucketed by integer-divided label
-    // (the SIC/10 shape), top-k-capped within-bucket pairing with joint
-    // probability. LR fit is iterative — rows-only check.
-    "q27_pair_scoring" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("label", when(col("lang") === "en", 1.0).otherwise(0.0))
-        // numeric pseudo-SIC from the source tag, predictions.scala:18 shape
-        .withColumn("sic", regexp_extract(col("source"), "(\\d+)", 1).cast("int") * 7 + 3)
-      // persisted: the featurized frame feeds the weight stats, the LR fit,
-      // the scoring transform AND both sides of the pairing — recomputing
-      // the tfidf chain per consumer benched ~2× the whole query
-      val feats = ml.Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000)
-        .transform(docs)
-        .select(col("doc_id"), col("label"), col("sic"), col("tfidf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val weighted = ml.Models.withClassWeights(feats, "label")
-      val model = ml.Models.fitWeightedLR(weighted, "label")
-      val scored = pairs.Pairing.scoredPositives(
-        model.transform(weighted), "doc_id", "sic")
-      pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
-    }),
 
     // North-star rolling-hash fingerprinting, throughput path: the native
     // O(n) Karp-Rabin winnowing expression (one codegen'd pass per doc vs
@@ -1085,6 +1157,29 @@ object SparkEntry {
         cands, nlist = 16, m = 8, kc = 16, persistEntries = false)
       llm.Similarity.ivfPqProbe(
         idx,
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        cands, k = 5, nprobe = 4, rerankFactor = 4)
+    }),
+
+    // similarity SERVING path: q58's index persisted in its disk layout
+    // (entries partitioned by cell + centroids + codebook meta), loaded
+    // back, and probed FROM THE PERSISTED FILES — the build-once/
+    // probe-forever shape a 100-TB deployment runs. The probe joins the
+    // partitioned entries scan against the broadcast probe side, so
+    // dynamic partition pruning restricts the scan to the probed cells'
+    // directories at runtime (executed-plan-audited in SimilaritySpec:
+    // nprobe=2 ⇒ ≤2 of nlist=16 partitions read). ANN internals are not
+    // SQL-portable → rows-only.
+    "q94_ivfpq_serving" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cands = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val idx = llm.Similarity.fitIvfPqIndex(
+        cands, nlist = 16, m = 8, kc = 16, persistEntries = false)
+      llm.Similarity.writeIvfPqIndex(idx, predsPath("q94_ivfpq_index"))
+      val loaded = llm.Similarity.loadIvfPqIndex(s, predsPath("q94_ivfpq_index"))
+      llm.Similarity.ivfPqProbe(
+        loaded,
         e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
         cands, k = 5, nprobe = 4, rerankFactor = 4)
@@ -1350,6 +1445,26 @@ object SparkEntry {
     // gaps-and-islands — new session iff the gap to the previous event is
     // NOT < 30 min (session_window merges strictly-before-window-end).
     "q22_session_windows" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   < INTERVAL 30 MINUTE
+        |              THEN 0 ELSE 1 END AS new_s
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // identical gaps-and-islands semantics as q22 — here the Spark side
+    // EXECUTED session_window as an actual AvailableNow stream, so the
+    // hash match pins streaming execution, not just the operator
+    "q93_sessionize_stream" ->
       """WITH m AS (
         |  SELECT user_id, ts,
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -1960,6 +2075,38 @@ object SparkEntry {
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders GROUP BY 1""".stripMargin,
 
+    // fit/serve split: the oracle replays the confusion aggregation over
+    // the SAME predictions parquet the Spark query persisted — the LR fit
+    // is upstream of the compared relational work, so identical stored
+    // bits make the count grouping hash-exact
+    "q23_lr_confusion" ->
+      s"""SELECT label, prediction, count(*) AS n
+         |FROM read_parquet('${predsPath("q23_preds")}/*.parquet')
+         |GROUP BY 1, 2""".stripMargin,
+
+    // fit/serve split: positives filter, SIC//10 bucketing, top-50-per-
+    // bucket prune (prob DESC, doc_id tiebreak — groupedTopK's total
+    // order) and the ap.prob*tp.prob pair join, replayed in DuckDB over
+    // the persisted predictions. Double multiply of identical stored bits
+    // is IEEE-exact on both engines.
+    "q27_pair_scoring" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, CAST(sic // 10 AS INTEGER) AS bucket, prob
+         |  FROM read_parquet('${predsPath("q27_preds")}/*.parquet')
+         |  WHERE prediction = 1.0
+         |), r AS (
+         |  SELECT doc_id, bucket, prob,
+         |         row_number() OVER (PARTITION BY bucket
+         |           ORDER BY prob DESC, doc_id ASC) AS rn
+         |  FROM s
+         |), k AS (
+         |  SELECT doc_id, bucket, prob FROM r WHERE rn <= 50
+         |)
+         |SELECT a.doc_id AS a_id, t.doc_id AS t_id, a.bucket AS bucket,
+         |       a.prob * t.prob AS pair_prob
+         |FROM k a JOIN k t ON a.bucket = t.bucket
+         |WHERE a.doc_id <> t.doc_id""".stripMargin,
+
     "q76_length_gate" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -2004,11 +2151,16 @@ object SparkEntry {
         |  SELECT doc_id, b AS band_id,
         |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
         |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), bandsz AS (
+        |  SELECT doc_id, band_id, bucket,
+        |         count(*) OVER (PARTITION BY band_id, bucket, doc_id % 3 = 0) AS bsz
+        |  FROM bands
         |), pairs AS (
         |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
-        |  FROM bands a JOIN bands b
+        |  FROM bandsz a JOIN bandsz b
         |    ON a.band_id = b.band_id AND a.bucket = b.bucket
         |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |    AND a.bsz <= 1000 AND b.bsz <= 1000
         |), sets AS (
         |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
         |), scored AS (

@@ -584,11 +584,15 @@ object Dedup {
     *
     * Output: (a_doc = new id, b_doc = existing id, jaccard ≥ threshold).
     * Ids must be unique across BOTH frames (disjoint id spaces — the
-    * ingest contract). `maxBucketSize` caps the corpus side's bucket
-    * width: a degenerate boilerplate bucket would otherwise emit
-    * |new ∩ bucket| × |old ∩ bucket| candidates (same declared semantic
-    * as [[candidatePairs]] — oversized clusters are exact-dup territory,
-    * handled upstream). */
+    * ingest contract). `maxBucketSize` caps EACH side's bucket width
+    * independently: candidate volume per bucket is
+    * |new ∩ bucket| × |old ∩ bucket|, so bounding only one factor still
+    * leaves an unbounded product when the other side degenerates (a
+    * boilerplate bucket in the arriving batch is as real a hazard as one
+    * in the corpus). Same declared drop semantic as [[candidatePairs]] —
+    * oversized clusters are exact-dup territory, handled upstream — and
+    * the q78 oracle mirrors the per-side cap so the declared semantics
+    * and the oracle agree at any scale, not just where the cap is slack. */
   def incrementalDupMarks(
       newDocs: DataFrame,
       oldDocs: DataFrame,
@@ -606,6 +610,8 @@ object Dedup {
       .filter(col("bsz") <= maxBucketSize)
       .select(col("band_id"), col("bucket"), col(idCol).as("b_doc"))
     val nb = bandBuckets(newDocs, idCol, textCol, numHashes, bands, shingleWidth)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucketSize)
       .select(col("band_id"), col("bucket"), col(idCol).as("a_doc"))
     val cands = nb.join(ob, Seq("band_id", "bucket"))
       .select(col("a_doc"), col("b_doc"))

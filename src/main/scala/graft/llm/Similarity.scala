@@ -852,6 +852,51 @@ object Similarity {
     IvfPqIndex(entries, ivf.centroids, codebook, nlist, m, kc, subDim)
   }
 
+  /** Persist a fitted [[IvfPqIndex]] in its SERVING layout — the artifact
+    * a 100-TB deployment builds once and probes forever: `entries`
+    * partitioned by `cell` (one directory per coarse cell, so a probe
+    * scan prunes to its nprobe cells' files), `centroids` as an
+    * nlist-row side table, and the codebook + shape parameters as a
+    * one-row `meta` parquet (a few KiB — the PQ model artifact). The
+    * layout composes both levers on the READ path: partition pruning
+    * cuts WHICH files a probe opens (nprobe/nlist of them), PQ codes cut
+    * WHAT those files hold (m bytes per vector, not dim·4). */
+  def writeIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    index.entries.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/entries")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    Seq((index.nlist, index.m, index.kc, index.subDim, index.codebook.toSeq))
+      .toDF("nlist", "m", "kc", "sub_dim", "codebook")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted IVFPQ index. `entries` comes back as a LAZY
+    * partitioned scan, deliberately uncached — the disk layout serves
+    * through partition pruning, and [[ivfPqProbe]]'s
+    * `entries ⋈ broadcast(probes)` on the partition column is exactly
+    * the shape Spark's DYNAMIC partition pruning rewrites: the probed
+    * cell set (computed at runtime from the broadcast side) is injected
+    * into the scan as a partition filter, so each probe batch opens only
+    * its nprobe cells' directories with no hand-plumbed cell list.
+    * Probes over the loaded index are result-identical to probes over
+    * the fitted one (pinned in SimilaritySpec). */
+  def loadIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val entries = spark.read.parquet(s"$dir/entries")
+      // partition-directory columns come back typed by directory
+      // inference — pin the fitted schema (int cell)
+      .select(col("n_id"), col("cell").cast("int").as("cell"), col("codes"))
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell").cast("int").as("cell"), col("c_arr"))
+    IvfPqIndex(entries, centroids,
+      meta.getAs[scala.collection.Seq[Float]]("codebook").toArray,
+      meta.getAs[Int]("nlist"), meta.getAs[Int]("m"), meta.getAs[Int]("kc"),
+      meta.getAs[Int]("sub_dim"))
+  }
+
   /** Probe an [[IvfPqIndex]]: rank the broadcast centroids per query,
     * ADC-scan only the `nprobe` chosen cells' codes, exact-re-rank the
     * top `k·rerankFactor`. Work per query ≈ |corpus|·(nprobe/nlist)·m

@@ -28,6 +28,23 @@ object Pairing {
       .withColumn("bucket", (col(sicCol).cast("double") / 10).cast("integer"))
       .select(col(idCol), col("bucket"), col("prob"))
 
+  /** [[scoredPositives]] over ALREADY-FLATTENED predictions — the persisted
+    * form, where P(1) was extracted to a double column before the parquet
+    * sink. This is the serving split: the LR fit (iterative, engine-local)
+    * writes (id, sic, prediction, prob) once; every downstream consumer —
+    * including a non-Spark engine — re-derives positives and buckets from
+    * the persisted columns with pure relational work. Same filter/bucket
+    * semantics as [[scoredPositives]], minus the vector access. */
+  def scoredPositivesFlat(
+      predictions: DataFrame, // (idCol, sicCol, prediction, probCol)
+      idCol: String,
+      sicCol: String,
+      probCol: String = "prob"): DataFrame =
+    predictions
+      .filter(col("prediction") === 1.0)
+      .withColumn("bucket", (col(sicCol).cast("double") / 10).cast("integer"))
+      .select(col(idCol), col("bucket"), col(probCol).as("prob"))
+
   /** M12 + J6: acquirer×target pairing within a bucket, scored
     * `ap.prob * tp.prob` (`predictions.scala:37`), with the same
     * top-k-per-bucket quadratic-output cap as

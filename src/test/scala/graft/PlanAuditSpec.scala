@@ -32,21 +32,55 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dimension joins must not shuffle both sides:\n$plan")
   }
 
-  test("no query plan contains a cartesian or broadcast-nested-loop join") {
+  test("no query plan contains a cartesian or unbounded nested-loop join (FULL map)") {
     // the two join strategies that are quadratic at scale; every graft
     // operator is designed to avoid them (grain cells, LSH buckets, equi
-    // keys). ML-fit queries are exercised via their featurize plans only —
-    // fitting models per audited query would dominate suite time.
-    val audited = Seq("q02_label_join", "q04_theta_pairs", "q05_cust_orders",
-      "q09_semi_join", "q10_anti_join", "q16_near_dedup", "q24_near_dedup_fast",
-      "q25_sim_lsh", "q30_asof_join", "q31_range_join", "q34_lang_bigrams",
-      "q35_winnow", "q36_winnow_fast", "q40_simhash_dups", "q41_csv_roundtrip",
-      "q44_hash_split", "q45_jaccard_dedup")
-    audited.foreach { name =>
-      val plan = executed(SparkEntry.queries(name)(spark, TestSpark.sf))
-      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
-      assert(!plan.contains("BroadcastNestedLoopJoin"),
-        s"$name has a nested-loop join")
+    // keys). The audit covers EVERY query in the map so a future query
+    // cannot introduce a quadratic join unnoticed. Static physical plan
+    // (queryExecution.sparkPlan) — no execution; AQE can only ever
+    // REPLACE a shuffle join with a broadcast one at runtime, never
+    // introduce a nested-loop, so the pre-AQE plan is the conservative
+    // thing to audit. A BroadcastNestedLoopJoin is allowed ONLY when its
+    // broadcast side is a grouping-free (scalar) aggregate or a
+    // single-row local relation — the `crossJoin(broadcast(df.agg(...)))`
+    // idiom that attaches one global statistic without an eager action
+    // (withClassWeights / pageRankInt / maxDF gates); anything else fails.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // excluded, each with a reason:
+    //  - q23/q27/q28/q57/q58/q94: constructing the frame FITS a model
+    //    (LR / KMeans / PQ codebooks) or writes an index — minutes of
+    //    suite time; their relational plans are hash-checked by the
+    //    driver and their ANN join shapes audited via q17/q25/q33 twins
+    //  - q17: the DECLARED brute-force baseline — quadratic by contract
+    //    (the comparison floor the scale paths are measured against)
+    //  - q93: constructing it executes an actual streaming query; its
+    //    plan is a single session-window aggregation, no joins
+    val excluded = Set("q17_sim_topk", "q23_lr_confusion", "q27_pair_scoring",
+      "q28_sim_ivf", "q57_sim_pq", "q58_sim_ivfpq", "q93_sessionize_stream",
+      "q94_ivfpq_serving")
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(flatten)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
+    assert(names.size >= 80, s"audit should cover the whole map, got ${names.size}")
+    names.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.sparkPlan
+      val nodes = flatten(plan)
+      assert(!nodes.exists(_.getClass.getSimpleName.startsWith("CartesianProduct")),
+        s"$name has a cartesian product:\n$plan")
+      nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+        val side = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        val s = side.toString
+        val scalarish = s.contains("keys=[]") ||
+          s.linesIterator.next().contains("LocalTableScan")
+        assert(scalarish,
+          s"$name has a nested-loop join whose broadcast side is not a " +
+            s"scalar aggregate:\n$b")
+      }
     }
   }
 

@@ -193,6 +193,62 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("writeIvfPqIndex/loadIvfPqIndex: disk round-trip probes identically; " +
+      "dynamic partition pruning reads only the probed cells") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val idx = Similarity.fitIvfPqIndex(cands, nlist = 16, m = 8, kc = 16)
+    val dir = "target/tmp/ivfpq_index_rt"
+    Similarity.writeIvfPqIndex(idx, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    assert(loaded.nlist === idx.nlist && loaded.m === idx.m &&
+      loaded.kc === idx.kc && loaded.subDim === idx.subDim)
+    assert(loaded.codebook.toSeq === idx.codebook.toSeq,
+      "codebook must round-trip bit-exact")
+    assert(loaded.entries.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "loaded index must serve from disk, not re-materialize in memory")
+
+    val queries = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val mem = Similarity.ivfPqProbe(idx, queries, cands, k = 5, nprobe = 4)
+      .select($"q_id", $"n_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val disk = Similarity.ivfPqProbe(loaded, queries, cands, k = 5, nprobe = 4)
+      .select($"q_id", $"n_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(mem === disk, "disk-served probe must equal in-memory probe, rank for rank")
+    idx.unpersist()
+
+    // THE serving claim: a probe against the persisted layout reads only
+    // its nprobe cells' files. One query × nprobe=2 ⇒ the entries scan,
+    // pruned at RUNTIME by dynamic partition pruning from the broadcast
+    // probe side, must open ≤ 2 of the 16 cell directories.
+    val oneQ = e.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val probed = Similarity.ivfPqProbe(loaded, oneQ, cands, k = 5, nprobe = 2)
+    probed.write.format("noop").mode("overwrite").save() // finalize AQE
+    val entriesScans = fileScans(probed.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivfpq_index_rt/entries")))
+    assert(entriesScans.nonEmpty, "probe plan must scan the persisted entries")
+    val scan = entriesScans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"entries scan must carry a dynamic partition filter on cell, got: " +
+        s"${scan.partitionFilters}")
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead <= 2,
+      s"nprobe=2 probe must read <= 2 of 16 cell partitions, read $partsRead")
+  }
+
+  /** Collect FileSourceScanExec leaves through AQE wrappers and reused
+    * query stages. */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(s.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
+
   test("autoBits tracks corpus size; candidate count scales ~ C(n,2)·(1-(1-2^-bits)^tables)") {
     // formula + clamps
     assert(Similarity.autoBits(500, 256) === 1)
