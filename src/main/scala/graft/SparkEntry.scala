@@ -1065,13 +1065,16 @@ object SparkEntry {
         minCosine = 0.3, tables = 8, targetBucketSize = 256)),
 
     // North-star multimodal: synthetic binary assets -> per-modality
-    // feature stats. ALL THREE modalities are REAL decodes of public
-    // uncompressed formats: 24-bit BMP (channel means over actual pixels),
-    // PCM16 WAV (stats over actual samples), YUV4MPEG2 (stats over actual
-    // luma planes).
+    // feature stats. ALL modalities are REAL decodes of public formats:
+    // 24-bit BMP + baseline JPEG (channel means over actual pixels — the
+    // JPEG payloads are real entropy-coded T.81 streams, distinguished
+    // from BMPs by content alone), PCM16 WAV (stats over actual samples),
+    // YUV4MPEG2 (stats over actual luma planes). n_decoded == n_assets in
+    // the image row proves the compressed path decodes, not just parses.
     "q26_multimodal_stats" -> ((s, dir) =>
       multimodal.Multimodal.featureStats(
-        multimodal.Multimodal.syntheticAssets(s, 2000))),
+        multimodal.Multimodal.syntheticAssets(s, 2000).unionByName(
+          multimodal.Multimodal.syntheticJpegAssets(s, 500)))),
 
     // North-star rolling-hash fingerprinting, throughput path: the native
     // O(n) Karp-Rabin winnowing expression (one codegen'd pass per doc vs

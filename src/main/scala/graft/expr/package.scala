@@ -55,6 +55,13 @@ package object exprapi {
   def bmpDecode(content: Column): Column =
     ColumnBridge.column(expr.BmpDecode(ColumnBridge.expression(content)))
 
+  /** Baseline-JPEG decode (ITU-T T.81 SOF0, pure JVM) →
+    * `struct<w int, h int, rgb binary>`, NULL for non-JPEG payloads.
+    * Same contract as [[bmpDecode]] — compose with `coalesce` for a
+    * format-agnostic image stage. See [[graft.expr.JpegDecode]]. */
+  def jpegDecode(content: Column): Column =
+    ColumnBridge.column(expr.JpegDecode(ColumnBridge.expression(content)))
+
   /** Channel means over an RGB24 buffer → [r, g, b, luma]. */
   def rgbMeans(rgb: Column): Column =
     ColumnBridge.column(expr.RgbMeans(ColumnBridge.expression(rgb)))

@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   * machinery — schema, batch shapes, partitioning, frame sampling — that
   * the decode stage plugs into.
   *
-  * All three modalities DECODE FOR REAL via pure-JVM parsers of public
-  * uncompressed formats: 24-bit BMP ([[graft.expr.BmpDecode]]), PCM16
-  * RIFF/WAVE ([[graft.expr.WavDecode]]), YUV4MPEG2
-  * ([[graft.expr.Y4mDecode]]) — each with a feature head over the actual
-  * decoded values. Compressed codecs (JPEG/MP3/H.264) are out of scope in
-  * this container; [[decodeStub]]/[[resizeStub]] keep the declared
-  * hash-derived contract for such payloads, and swapping a codec-backed
-  * implementation in (e.g. a Pandas-UDF / mapInPandas stage on a PySpark
-  * deployment, or JNI here) changes no schema and no plan shape.
+  * All modalities DECODE FOR REAL via pure-JVM parsers of public formats:
+  * 24-bit BMP ([[graft.expr.BmpDecode]]) AND baseline-sequential JPEG
+  * ([[graft.expr.JpegDecode]], ITU-T T.81 — the one COMPRESSED codec whose
+  * baseline mode is implementable spec-from-paper in pure JVM) for images,
+  * PCM16 RIFF/WAVE ([[graft.expr.WavDecode]]) for audio, YUV4MPEG2
+  * ([[graft.expr.Y4mDecode]]) for video — each with a feature head over
+  * the actual decoded values. The image stage is format-agnostic:
+  * `coalesce(bmp_decode, jpeg_decode)` — both emit the same
+  * `struct<w,h,rgb>`. Remaining compressed codecs (MP3/H.264) stay out of
+  * scope in this container; [[decodeStub]]/[[resizeStub]] keep the
+  * declared hash-derived contract for such payloads, and swapping a
+  * codec-backed implementation in (e.g. a Pandas-UDF / mapInPandas stage
+  * on a PySpark deployment, or JNI here) changes no schema and no plan
+  * shape.
   */
 object Multimodal {
 
@@ -101,6 +106,41 @@ object Multimodal {
           .as("declared_h")).as("meta"))
   }
 
+  /** Deterministic synthetic COMPRESSED image assets: md5-seeded RGB
+    * content run through the real baseline-JPEG encoder
+    * ([[graft.expr.JpegDecode.encode]], flat quant table) — actual
+    * entropy-coded T.81 payloads, so the decode stage exercises the full
+    * Huffman/IDCT path, not just header parsing. Generated driver-side
+    * (the encoder is a fixture tool, not a distributed operator) and
+    * parallelized for the decode: bounded by `n`, same staging discipline
+    * as the committed file fixtures. Modality tag is `image` — the
+    * format-agnostic image stage must tell BMP from JPEG by CONTENT, the
+    * way a real mixed crawl arrives. */
+  def syntheticJpegAssets(spark: SparkSession, n: Int, quantVal: Int = 4): DataFrame = {
+    val w = SyntheticImageW
+    val h = SyntheticImageH
+    val rows = (0 until n).map { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val rgb = new Array[Byte](w * h * 3)
+      var off = 0
+      var b = 0
+      while (off < rgb.length) {
+        val block = md.digest(s"jpeg_${id}_$b".getBytes("UTF-8"))
+        val take = math.min(16, rgb.length - off)
+        System.arraycopy(block, 0, rgb, off, take)
+        off += take
+        b += 1
+      }
+      org.apache.spark.sql.Row(
+        (1000000L + id),
+        "image",
+        graft.expr.JpegDecode.encode(w, h, rgb, quantVal),
+        org.apache.spark.sql.Row("synthetic_jpeg", w, h))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 256)), assetSchema)
+  }
+
   /** STUB feature column (compressed/unknown payloads only — all three
     * synthetic modalities decode for real, see [[decodeFeatures]]):
     * deterministic pseudo-features from the payload
@@ -128,7 +168,12 @@ object Multimodal {
     * inputs are visible, not silently faked. */
   def decodeFeatures(assets: DataFrame, stubDims: Int = 16): DataFrame =
     assets
-      .withColumn("img", graft.exprapi.bmpDecode(col("content")))
+      // format-agnostic image decode: BMP and baseline JPEG share the
+      // struct<w,h,rgb> contract, so the first decoder that accepts the
+      // payload wins (both return NULL on foreign bytes)
+      .withColumn("img", coalesce(
+        graft.exprapi.bmpDecode(col("content")),
+        graft.exprapi.jpegDecode(col("content"))))
       .withColumn("aud", graft.exprapi.wavDecode(col("content")))
       .withColumn("vid", graft.exprapi.y4mDecode(col("content")))
       .withColumn("features",
