@@ -1028,6 +1028,45 @@ object SparkEntry {
         col("session_start").cast("timestamp_ntz").as("session_start"),
         col("session_end").cast("timestamp_ntz").as("session_end"),
         col("user_id"), col("n_events"))
+    }),
+
+    // Bucketed CO-LOCATED join, driver-checked: both fact tables written
+    // bucketed on the join key (pay the shuffle once at write time), then
+    // joined AND aggregated on that key straight from the bucketed
+    // layout — the executed plan has ZERO hash exchanges (PlanAuditSpec):
+    // the scan's bucket partitioning serves the join's and the agg's
+    // distribution alike. This is the repeatedly-joined-fact story at
+    // 100 TB — the shuffle a daily pipeline would otherwise re-pay per
+    // run is amortized into the table layout. The oracle replays the
+    // join+agg over the ORIGINAL parquet, so a hash match also proves
+    // the bucketed round trip value-exact (q41/q75's contract, third
+    // layout).
+    "q95_bucketed_join" -> ((s, dir) => {
+      // the warehouse dir outlives the in-memory catalog across JVM
+      // runs — clear stale locations or saveAsTable refuses the name
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      for (t <- Seq("q95_orders_b", "q95_lineitem_b")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(new java.io.File(wh.getPath), t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      sources.Sources.writeBucketed(
+        Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("o_orderkey"), col("o_orderstatus")),
+        "q95_orders_b", Seq("o_orderkey"))
+      sources.Sources.writeBucketed(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast("long").as("l_orderkey"), col("l_quantity")),
+        "q95_lineitem_b", Seq("l_orderkey"))
+      s.table("q95_orders_b")
+        .join(s.table("q95_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          Relational.exactSum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -1483,6 +1522,16 @@ object SparkEntry {
         |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // the Spark side ran this join+agg from bucketed tables with zero
+    // hash exchanges; the oracle replays it over the original parquet —
+    // a hash match proves the bucketed layout is value-exact
+    "q95_bucketed_join" ->
+      s"""SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${dSum("l.l_quantity", 2, "sum_qty")}
+         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |GROUP BY 1, 2""".stripMargin,
 
     "q30_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase_value

@@ -84,6 +84,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q95 bucketed join+agg runs with ZERO hash exchanges (co-located layout)") {
+    // the bucketed layout's whole point: the scan's bucket partitioning
+    // satisfies the join's AND the aggregation's required distribution, so
+    // the executed plan contains no hash exchange anywhere — the shuffle
+    // was paid once at write time and never again
+    val plan = executed(SparkEntry.queries("q95_bucketed_join")(spark, TestSpark.sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join+agg must not shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan must actually read the bucketed layout:\n${plan.take(3000)}")
+  }
+
   test("q52/q55 grouping-set expansions stay one Expand + partial hash agg; q53 one window sort") {
     for (name <- Seq("q52_cube", "q55_grouping_sets")) {
       val plan = executed(SparkEntry.queries(name)(spark, TestSpark.sf))
