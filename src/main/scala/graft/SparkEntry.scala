@@ -1067,6 +1067,41 @@ object SparkEntry {
         .groupBy(col("o_orderkey"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"),
           Relational.exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Skew-salted join, driver-checked: the hot-key mitigation (spread the
+    // left side over saltFactor sub-keys, replicate the right side once
+    // per sub-key) must be RESULT-INVISIBLE — the oracle replays the
+    // plain join, so a hash match proves salting changes the schedule,
+    // never the answer. The salt comes from monotonically_increasing_id:
+    // any instance assignment is correct, which is exactly why the result
+    // is partition-independent.
+    "q96_salted_join" -> ((s, dir) =>
+      Relational.saltedJoin(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus")),
+        "l_orderkey", "o_orderkey", saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          Relational.exactSum(col("l_quantity")).as("sum_qty"))),
+
+    // Asymmetric CONTAINMENT decontamination: flag corpus docs holding
+    // ≥ threshold of an eval doc's distinct 4-gram shingles — the metric
+    // for the short-eval-item-inside-long-train-doc regime where
+    // union-normalized Jaccard (q45) under-triggers (DedupSpec pins the
+    // 1.0-vs-low separation on an embedded item). Same bench/corpus split
+    // convention as q70's exact-gram stage; the ratio is one IEEE
+    // int-ratio division. Threshold is fixture-calibrated: the synthetic
+    // docs contain no planted contamination (max pairwise containment
+    // ≈ 0.045 at sf0.01), so a production-style 0.6 gate would make this
+    // a trivially-empty frame — 0.02 keeps tens of rows flowing through
+    // every stage of the checked pipeline.
+    "q97_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.containmentMarks(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", threshold = 0.02, shingleWidth = 4)
     })
   )
 
@@ -1532,6 +1567,41 @@ object SparkEntry {
          |       ${dSum("l.l_quantity", 2, "sum_qty")}
          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          |GROUP BY 1, 2""".stripMargin,
+
+    // the Spark side salted the join; the oracle is the PLAIN join — the
+    // hash match proves the skew mitigation is result-invisible
+    "q96_salted_join" ->
+      s"""SELECT o.o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${dSum("l.l_quantity", 2, "sum_qty")}
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1""".stripMargin,
+
+    // asymmetric containment over distinct 4-gram shingles, bench side =
+    // doc_id % 100 = 0 (q70's split convention)
+    "q97_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0)),
+        |      i -> array_to_string(t[i:i+3], ' ')))) AS gram
+        |  FROM toks
+        |), bsz AS (
+        |  SELECT doc_id AS b_doc, CAST(count(*) AS BIGINT) AS b_n
+        |  FROM grams WHERE doc_id % 100 = 0 GROUP BY 1
+        |), hits AS (
+        |  SELECT c.doc_id AS c_doc, b.doc_id AS b_doc,
+        |         CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM grams c JOIN grams b USING (gram)
+        |  WHERE c.doc_id % 100 <> 0 AND b.doc_id % 100 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT h.c_doc, h.b_doc, h.n_hit, s.b_n,
+        |       CAST(h.n_hit AS DOUBLE) / s.b_n AS containment
+        |FROM hits h JOIN bsz s USING (b_doc)
+        |WHERE CAST(h.n_hit AS DOUBLE) / s.b_n >= 0.02""".stripMargin,
 
     "q30_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase_value

@@ -620,6 +620,45 @@ object Dedup {
       threshold, shingleWidth)
   }
 
+  /** Asymmetric CONTAINMENT decontamination: flag every corpus document
+    * that contains ≥ `threshold` of a benchmark document's distinct
+    * shingles — C(bench, corpus) = |sh(bench) ∩ sh(corpus)| / |sh(bench)|.
+    *
+    * This is the right metric where Jaccard under-triggers: an eval item
+    * is typically a few sentences embedded in a long training document, so
+    * the UNION-normalized Jaccard of the pair is tiny even at full
+    * containment, while the bench-normalized containment reads 1.0. The
+    * exact-overlap stage of [[contaminationReport]] catches verbatim n-grams;
+    * this stage catches whole-item inclusion with tolerance for edits.
+    *
+    * Shape: both sides explode to distinct (doc, shingle) postings; one
+    * shingle-equi join, one count per (corpus, bench) pair, one ratio.
+    * Scale: the bench side is eval-set-sized (thousands, not billions), so
+    * its postings broadcast; per-shingle fan-out is |corpus postings| ×
+    * |bench docs sharing the shingle| — width-4+ shingles make shared
+    * grams rare, the same sparsity [[contaminationReport]] relies on. Returns
+    * (c_doc, b_doc, n_hit, b_n, containment ≥ threshold). */
+  def containmentMarks(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      shingleWidth: Int = 4): DataFrame = {
+    val bsh = bench.select(col(idCol).as("b_doc"),
+      explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
+    val bsz = bsh.groupBy(col("b_doc")).agg(count(lit(1)).as("b_n"))
+    val csh = corpus.select(col(idCol).as("c_doc"),
+      explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
+    csh.join(bsh, "sh")
+      .groupBy(col("c_doc"), col("b_doc")).agg(count(lit(1)).as("n_hit"))
+      .join(bsz, "b_doc")
+      .withColumn("containment", col("n_hit").cast("double") / col("b_n"))
+      .filter(col("containment") >= threshold)
+      .select(col("c_doc"), col("b_doc"), col("n_hit"), col("b_n"),
+        col("containment"))
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

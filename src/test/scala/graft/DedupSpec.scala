@@ -324,4 +324,40 @@ class DedupSpec extends AnyFunSuite {
     assert(near < far, s"near=$near must be < far=$far")
     assert(near <= 16, s"one-word change should flip few bits, got $near")
   }
+
+  test("containmentMarks: whole-item inclusion flags at 1.0 where Jaccard under-triggers") {
+    // bench doc 100 is fully embedded in corpus doc 10 (a long doc), so
+    // containment = 1.0 while Jaccard(10, 100) is far below any near-dup
+    // threshold; doc 11 shares nothing; doc 12 holds roughly half.
+    val corpusSide = Seq(
+      (10L, "intro text first the quick brown fox jumps over the lazy dog " +
+        "conclusion text follows with much more unrelated filler material here"),
+      (11L, "completely different content about spark query engines and plans"),
+      (12L, "padding words the quick brown fox jumps nothing else matches now")
+    ).toDF("doc_id", "text")
+    val benchSide = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+
+    val marks = Dedup.containmentMarks(corpusSide, benchSide,
+      "doc_id", "text", threshold = 0.0, shingleWidth = 4)
+      .select($"c_doc", $"containment").as[(Long, Double)].collect().toMap
+    assert(marks(10L) === 1.0, "full inclusion must read containment 1.0")
+    assert(!marks.contains(11L), "no shared shingles, no row")
+    assert(marks(12L) > 0.2 && marks(12L) < 0.8, "partial overlap in between")
+
+    // the threshold gates rows, and the asymmetric metric catches what
+    // union-normalized Jaccard misses at typical thresholds
+    val gated = Dedup.containmentMarks(corpusSide, benchSide,
+      "doc_id", "text", threshold = 0.9, shingleWidth = 4)
+      .select($"c_doc").as[Long].collect().toSeq
+    assert(gated === Seq(10L))
+    val jac = Dedup.jaccardVerify(
+      corpusSide.unionByName(benchSide),
+      Seq((10L, 100L)).toDF("a_doc", "b_doc"),
+      "doc_id", "text", threshold = 0.0, shingleWidth = 4)
+      .select($"jaccard").as[Double].head()
+    assert(jac < 0.6, s"union-normalized Jaccard reads low ($jac) on the " +
+      "same pair containment flags at 1.0 - the metric this operator adds")
+  }
 }
