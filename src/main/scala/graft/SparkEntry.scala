@@ -1069,6 +1069,65 @@ object SparkEntry {
           Relational.exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // §2.8 streaming #2, EXECUTED AS A STREAM: watermarked tumbling-window
+    // aggregation (count + exact decimal-accumulated sum) drained under
+    // Trigger.AvailableNow — q93's harness applied to the time-window
+    // family, so both streaming aggregation shapes (merging session state,
+    // fixed windows) carry driver-checked rows. Same fixture-spanning
+    // watermark rationale as q93 (unordered backfill files must not
+    // late-drop); oracle = q21's independent date_trunc formulation.
+    "q98_tumbling_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q98_events")
+      sources.Sources.writeParquet(batchEv.repartition(8), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams
+        .tumblingAgg(stream, watermarkDelay = "3650 days")
+        .writeStream
+        .format("memory").queryName("q98_windows").outputMode("complete")
+        .option("checkpointLocation",
+          predsPath(s"q98_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q98_windows").select(
+        col("window_start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // §2.8 streaming #3, EXECUTED AS A STREAM: the CUSTOM-KEYED-STATE
+    // primitive (flatMapGroupsWithState) — cumulative per-user totals
+    // folded across micro-batches, drained under AvailableNow in update
+    // mode. Every micro-batch emits each touched user's running total;
+    // n_events is strictly monotone per user, so max(n_events) is the
+    // completed fold, and being an integer it oracle-compares exactly
+    // (the double total_value stays spec-pinned — a cross-batch float
+    // fold's addition ORDER is execution-dependent, which is precisely
+    // why the hash-checked column is the count). Oracle = plain
+    // per-user COUNT over events: a hash match proves arbitrary keyed
+    // state executed across batches loses and duplicates nothing.
+    "q99_keyed_state_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q99_events")
+      sources.Sources.writeParquet(batchEv.repartition(8), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams.runningUserTotals(stream)
+        .writeStream
+        .format("memory").queryName("q99_totals").outputMode("update")
+        .option("checkpointLocation",
+          predsPath(s"q99_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q99_totals")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+    }),
+
     // Skew-salted join, driver-checked: the hot-key mitigation (spread the
     // left side over saltFactor sub-keys, replicate the right side once
     // per sub-key) must be RESULT-INVISIBLE — the oracle replays the
@@ -1567,6 +1626,19 @@ object SparkEntry {
          |       ${dSum("l.l_quantity", 2, "sum_qty")}
          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          |GROUP BY 1, 2""".stripMargin,
+
+    // identical semantics as q21 — here the Spark side EXECUTED the
+    // windowed aggregation as an AvailableNow stream
+    "q98_tumbling_stream" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n, ${dSum("value", 2, "sum_value")}
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the final keyed state per user after a full drain == the plain
+    // per-user count; integer-exact across engines
+    "q99_keyed_state_stream" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the Spark side salted the join; the oracle is the PLAIN join — the
     // hash match proves the skew mitigation is result-invisible
