@@ -1004,7 +1004,7 @@ object SparkEntry {
       val batchEv = Tables.events(s, dir)
         .withColumn("ts", col("ts").cast("timestamp"))
       val stage = predsPath("q93_events")
-      sources.Sources.writeParquet(batchEv.repartition(8), stage)
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
       val stream = s.readStream.schema(batchEv.schema)
         .option("maxFilesPerTrigger", "2").parquet(stage)
       // staged files are NOT in event-time order, so a live-sized
@@ -1080,7 +1080,7 @@ object SparkEntry {
       val batchEv = Tables.events(s, dir)
         .withColumn("ts", col("ts").cast("timestamp"))
       val stage = predsPath("q98_events")
-      sources.Sources.writeParquet(batchEv.repartition(8), stage)
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
       val stream = s.readStream.schema(batchEv.schema)
         .option("maxFilesPerTrigger", "2").parquet(stage)
       val q = streaming.Streams
@@ -1112,7 +1112,7 @@ object SparkEntry {
       val batchEv = Tables.events(s, dir)
         .withColumn("ts", col("ts").cast("timestamp"))
       val stage = predsPath("q99_events")
-      sources.Sources.writeParquet(batchEv.repartition(8), stage)
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
       val stream = s.readStream.schema(batchEv.schema)
         .option("maxFilesPerTrigger", "2").parquet(stage)
       val q = streaming.Streams.runningUserTotals(stream)
