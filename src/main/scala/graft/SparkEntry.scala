@@ -1069,6 +1069,62 @@ object SparkEntry {
           Relational.exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // similarity SERVING path: q58's index persisted in its disk layout
+    // (entries partitioned by cell + centroids + codebook meta), loaded
+    // back, and probed FROM THE PERSISTED FILES — the build-once/
+    // probe-forever shape a 100-TB deployment runs. The probe joins the
+    // partitioned entries scan against the broadcast probe side, so
+    // dynamic partition pruning restricts the scan to the probed cells'
+    // directories at runtime (executed-plan-audited in SimilaritySpec:
+    // nprobe=2 ⇒ ≤2 of nlist=16 partitions read). SPLIT at the
+    // shortlist/re-rank boundary: the codebook-dependent ADC prune
+    // persists its (q_id, n_id) shortlist and the unit vectors persist
+    // once; the exact re-rank — quantized dots over stored float bits +
+    // top-k with total-order tie-break — is replayed by the oracle over
+    // the same files, so the serving path's FINAL ranking is
+    // hash-checked, not just recall-spec'd.
+    "q94_ivfpq_serving" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cands = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val idx = llm.Similarity.fitIvfPqIndex(
+        cands, nlist = 16, m = 8, kc = 16, persistEntries = false)
+      llm.Similarity.writeIvfPqIndex(idx, predsPath("q94_ivfpq_index"))
+      val loaded = llm.Similarity.loadIvfPqIndex(s, predsPath("q94_ivfpq_index"))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sl = llm.Similarity.ivfPqShortlist(
+        loaded, queries, k = 5, nprobe = 4, rerankFactor = 4)
+      sources.Sources.writeParquet(sl, predsPath("q94_shortlist"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q94_units"))
+      llm.Similarity.exactRerankFromUnits(
+        s.read.parquet(predsPath("q94_units")),
+        s.read.parquet(predsPath("q94_shortlist")), k = 5)
+    }),
+
+    // North-star similarity, scale path: sign-LSH cosine candidate pairs
+    // (bucket-local joins, exact re-score on candidates only). Floor 0.3
+    // because the fixture embeddings are near-random (max pairwise cosine
+    // ≈ 0.6 at sf0.1) — a higher floor returns an empty, meaningless
+    // result. bits is AUTO (ceil(log2(n/targetBucketSize))): the bucket
+    // count tracks the corpus, so this config never enters the quadratic
+    // regime at a bigger sf — the 100-TB-safe default, not a demo
+    // constant. SPLIT at the candidate/verify boundary (the q23/q27
+    // pattern): the hyperplane hashing is the non-portable half and
+    // persists its candidate pairs once; the exact verify — per-element
+    // floor products, integer sums, IEEE division/sqrt, threshold — is
+    // replayed by the oracle over the persisted ids, so the scoring
+    // stage is hash-checked, not just recall-spec'd.
+    "q25_sim_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val n = e.agg(count(lit(1))).head().getLong(0)
+      val cands = llm.Similarity.signLshCandidates(
+        e, bits = llm.Similarity.autoBits(n, 256), tables = 8)
+      sources.Sources.writeParquet(cands, predsPath("q25_cands"))
+      llm.Similarity.exactCosineVerify(
+        e, s.read.parquet(predsPath("q25_cands")), minCosine = 0.3)
+    }),
+
     // §2.8 streaming #2, EXECUTED AS A STREAM: watermarked tumbling-window
     // aggregation (count + exact decimal-accumulated sum) drained under
     // Trigger.AvailableNow — q93's harness applied to the time-window
@@ -1186,17 +1242,6 @@ object SparkEntry {
       llm.Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.5)),
 
-    // North-star similarity, scale path: sign-LSH cosine candidate pairs
-    // (bucket-local joins, exact re-score on candidates only). Floor 0.3
-    // because the fixture embeddings are near-random (max pairwise cosine
-    // ≈ 0.6 at sf0.1) — a higher floor returns an empty, meaningless
-    // result. bits is AUTO (ceil(log2(n/targetBucketSize))): the bucket
-    // count tracks the corpus, so this config never enters the quadratic
-    // regime at a bigger sf — the 100-TB-safe default, not a demo constant.
-    "q25_sim_lsh" -> ((s, dir) =>
-      llm.Similarity.lshCosinePairs(Tables.embeddings(s, dir),
-        minCosine = 0.3, tables = 8, targetBucketSize = 256)),
-
     // North-star multimodal: synthetic binary assets -> per-modality
     // feature stats. ALL modalities are REAL decodes of public formats:
     // 24-bit BMP + baseline JPEG (channel means over actual pixels — the
@@ -1298,28 +1343,6 @@ object SparkEntry {
         cands, k = 5, nprobe = 4, rerankFactor = 4)
     }),
 
-    // similarity SERVING path: q58's index persisted in its disk layout
-    // (entries partitioned by cell + centroids + codebook meta), loaded
-    // back, and probed FROM THE PERSISTED FILES — the build-once/
-    // probe-forever shape a 100-TB deployment runs. The probe joins the
-    // partitioned entries scan against the broadcast probe side, so
-    // dynamic partition pruning restricts the scan to the probed cells'
-    // directories at runtime (executed-plan-audited in SimilaritySpec:
-    // nprobe=2 ⇒ ≤2 of nlist=16 partitions read). ANN internals are not
-    // SQL-portable → rows-only.
-    "q94_ivfpq_serving" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val cands = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      val idx = llm.Similarity.fitIvfPqIndex(
-        cands, nlist = 16, m = 8, kc = 16, persistEntries = false)
-      llm.Similarity.writeIvfPqIndex(idx, predsPath("q94_ivfpq_index"))
-      val loaded = llm.Similarity.loadIvfPqIndex(s, predsPath("q94_ivfpq_index"))
-      llm.Similarity.ivfPqProbe(
-        loaded,
-        e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-        cands, k = 5, nprobe = 4, rerankFactor = 4)
-    }),
 
     // North-star dedup, SimHash method: banded 64-bit sketches, exact
     // hamming verify — an EXACT hamming≤3 join by pigeonhole (hamMax <
@@ -2268,6 +2291,57 @@ object SparkEntry {
         |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // shortlist/re-rank split: the oracle replays the exact re-rank
+    // (quantized dots over the persisted unit vectors' stored float
+    // bits + top-k with n_id tie-break) over the persisted shortlist —
+    // q17's ranking formulation applied to the serving path's files
+    "q94_ivfpq_serving" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q94_shortlist")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q94_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |)
+         |SELECT * FROM (
+         |  SELECT q_id, n_id, dot_q,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |  FROM dots) WHERE rank <= 5""".stripMargin,
+
+    // candidate/verify split: the oracle replays the exact-cosine verify
+    // (per-element floor products at 10^12, integer sums, IEEE
+    // division/sqrt, threshold with the engine's conservative margin)
+    // over the SAME persisted candidate pairs the LSH stage wrote —
+    // q17's quantized-dot formulation applied to stored ids
+    "q25_sim_lsh" ->
+      s"""WITH cands AS (
+         |  SELECT a_doc, b_doc
+         |  FROM read_parquet('${predsPath("q25_cands")}/*.parquet')
+         |), nrm AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(generate_series(1, len(embedding)), i ->
+         |      CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS nrm
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT c.a_doc AS a_id, c.b_doc AS b_id,
+         |    CAST(CAST(list_sum(list_transform(generate_series(1, len(a.embedding)), i ->
+         |      CAST(floor(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS DOUBLE)
+         |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cosine
+         |  FROM cands c
+         |  JOIN nrm a ON c.a_doc = a.vec_id
+         |  JOIN nrm b ON c.b_doc = b.vec_id
+         |)
+         |SELECT a_id, b_id, cosine FROM scored
+         |WHERE cosine >= CAST(0.3 AS DOUBLE) + CAST(1e-9 AS DOUBLE)""".stripMargin,
 
     // fit/serve split: the oracle replays the confusion aggregation over
     // the SAME predictions parquet the Spark query persisted — the LR fit

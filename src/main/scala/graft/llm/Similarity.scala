@@ -140,13 +140,27 @@ object Similarity {
       tables: Int,
       seed: Long,
       maxBucketSize: Int,
-      dim: Int): DataFrame = {
-    val cands = signLshCandidatePairs(embeddings, bits, tables, seed, maxBucketSize, dim)
+      dim: Int): DataFrame =
+    exactCosineVerify(embeddings,
+      signLshCandidatePairs(embeddings, bits, tables, seed, maxBucketSize, dim),
+      minCosine)
 
-    // exact verify on candidates only: cos = dot_q / √(nrm_a·nrm_b) — the
-    // 10¹² quantization scales cancel. Tiny conservative margin keeps the
-    // quantized score from admitting a pair an exact-double filter would
-    // reject at the boundary.
+  /** The exact verify stage of [[lshCosinePairs]], standalone: score a
+    * candidate pair set (a_doc, b_doc) with the quantized cosine and keep
+    * pairs ≥ `minCosine`. cos = dot_q / √(nrm_a·nrm_b) — the 10¹²
+    * quantization scales cancel; a tiny conservative margin keeps the
+    * quantized score from admitting a pair an exact-double filter would
+    * reject at the boundary. Public because it is the PORTABLE half of
+    * the LSH pipeline: every arithmetic step (per-element floor products,
+    * integer sums, IEEE division and sqrt) reproduces bit-for-bit in any
+    * engine, so a pipeline that persists its candidate pairs can have
+    * this whole stage independently re-verified over the stored ids —
+    * the q25 oracle does exactly that. Runs on candidates only, so cost
+    * is ∝ |candidates|, never n². */
+  def exactCosineVerify(
+      embeddings: DataFrame,
+      cands: DataFrame, // (a_doc, b_doc)
+      minCosine: Double): DataFrame = {
     val norms = embeddings.select(
       col("vec_id"), col("embedding"),
       graft.exprapi.quantizedDotFast(col("embedding"), col("embedding")).as("nrm"))
@@ -933,6 +947,65 @@ object Similarity {
       .withColumn("dot_q", graft.exprapi.quantizedDotFast(col("q_unit"), col("n_unit")))
     graft.ops.Relational
       .groupedTopK(exact, Seq("q_id"), "dot_q", "n_id", k)
+      .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The ADC-prune half of [[ivfPqProbe]], standalone: centroid ranking,
+    * cell-pruned ADC scan, top `k·rerankFactor` shortlist — everything
+    * that depends on the (non-portable) PQ codebooks — returning bare
+    * (q_id, n_id) candidate ids. The split's point: a pipeline that
+    * persists this shortlist (plus [[unitVectors]]) hands the REMAINING
+    * work — exact quantized dots + top-k ranking — to
+    * [[exactRerankFromUnits]], whose every step reproduces bit-for-bit in
+    * any engine; the q94 oracle replays it over the stored files. */
+  def ivfPqShortlist(
+      index: IvfPqIndex,
+      queries: DataFrame, // (q_id, q_emb: array<float>)
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && rerankFactor >= 1 && nprobe >= 1,
+      s"k=$k rerankFactor=$rerankFactor nprobe=$nprobe")
+    val qUnit = l2Normalized(queries, "q_emb", "q_unit")
+      .select(col("q_id"), col("q_unit"),
+        graft.exprapi.pqAdcTable(
+          col("q_unit"), index.codebook, index.m, index.kc, index.subDim).as("adc_tab"))
+    val probes = graft.ops.Relational.groupedTopK(
+      qUnit.crossJoin(broadcast(index.centroids))
+        .withColumn("aff", graft.exprapi.quantizedDotFast(col("q_unit"), col("c_arr"))),
+      Seq("q_id"), "aff", "cell", nprobe)
+      .select(col("q_id"), col("q_unit"), col("adc_tab"), col("cell"))
+    val scored = index.entries.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", graft.exprapi.pqAdcDot(col("adc_tab"), col("codes"), index.kc))
+    graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "adc", "n_id", k * rerankFactor)
+      .select(col("q_id"), col("n_id"))
+  }
+
+  /** L2-normalized unit vectors as a persistable frame (vec_id, unit) —
+    * the serving-side artifact [[exactRerankFromUnits]] and its oracle
+    * both read, so the normalization arithmetic happens ONCE and every
+    * consumer scores identical stored float bits. */
+  def unitVectors(embeddings: DataFrame): DataFrame =
+    l2Normalized(embeddings.select(col("vec_id"), col("embedding").as("q_emb")),
+      "q_emb", "unit")
+      .select(col("vec_id"), col("unit"))
+
+  /** Exact re-rank over PERSISTED unit vectors: join the shortlist's ids
+    * to their stored units, integer-quantized dot, top-k with total-order
+    * tie-break. Pure relational work over stored bits — the portable half
+    * of the IVFPQ serving path (hash-checked by the q94 oracle). */
+  def exactRerankFromUnits(
+      units: DataFrame,     // (vec_id, unit: array<float>)
+      shortlist: DataFrame, // (q_id, n_id)
+      k: Int): DataFrame = {
+    val scored = shortlist
+      .join(units.select(col("vec_id").as("q_id"), col("unit").as("q_unit")), "q_id")
+      .join(units.select(col("vec_id").as("n_id"), col("unit").as("n_unit")), "n_id")
+      .withColumn("dot_q", graft.exprapi.quantizedDotFast(col("q_unit"), col("n_unit")))
+    graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "dot_q", "n_id", k)
       .select(col("q_id"), col("n_id"), col("dot_q"), col("rank").cast("long").as("rank"))
   }
 }

@@ -237,6 +237,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"nprobe=2 probe must read <= 2 of 16 cell partitions, read $partsRead")
   }
 
+  test("ivfPqShortlist + exactRerankFromUnits == ivfPqProbe (the persistable serving split)") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val idx = Similarity.fitIvfPqIndex(cands, nlist = 16, m = 8, kc = 16)
+    val queries = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val oneShot = Similarity.ivfPqProbe(idx, queries, cands, k = 5, nprobe = 4)
+      .select($"q_id", $"n_id", $"dot_q", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sl = Similarity.ivfPqShortlist(idx, queries, k = 5, nprobe = 4)
+    val split = Similarity.exactRerankFromUnits(Similarity.unitVectors(e), sl, k = 5)
+      .select($"q_id", $"n_id", $"dot_q", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(split === oneShot,
+      "the persistable shortlist/re-rank split must reproduce the one-shot " +
+        "probe score-for-score, rank-for-rank")
+    idx.unpersist()
+  }
+
   /** Collect FileSourceScanExec leaves through AQE wrappers and reused
     * query stages. */
   private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
