@@ -83,6 +83,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("jpeg_decode"),
+      new ExpressionInfo(classOf[graft.expr.JpegDecode].getName, "jpeg_decode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => graft.expr.JpegDecode(bin)
+        case _ => throw new IllegalArgumentException("jpeg_decode(binary)")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("rgb_means"),
       new ExpressionInfo(classOf[RgbMeans].getName, "rgb_means"),
       (args: Seq[Expression]) => args match {

@@ -23,6 +23,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |  porter_stem(array('running'))                   AS ps,
         |  int8_dot(array(CAST(2 AS TINYINT)), array(CAST(3 AS TINYINT))) AS i8,
         |  bmp_decode(unhex('00'))                         AS bad_bmp,
+        |  jpeg_decode(unhex('00'))                        AS bad_jpeg,
         |  wav_decode(unhex('00'))                         AS bad_wav,
         |  y4m_decode(unhex('00'))                         AS bad_y4m,
         |  rgb_means(unhex('FF8000'))                      AS rgb,
@@ -40,6 +41,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("i8")) === 6L)
     // decoders reject garbage as NULL through the SQL path too
     assert(row.isNullAt(row.fieldIndex("bad_bmp")))
+    assert(row.isNullAt(row.fieldIndex("bad_jpeg")))
     assert(row.isNullAt(row.fieldIndex("bad_wav")))
     assert(row.isNullAt(row.fieldIndex("bad_y4m")))
     // feature heads over one pixel / one sample / two bytes
