@@ -1240,9 +1240,14 @@ object SparkEntry {
 
   /** Absolute path for a query-persisted intermediate parquet — shared by
     * the Spark query and its DuckDB oracle (which `read_parquet`s the same
-    * files), so both derive from identical stored bits. */
-  private def predsPath(name: String): String =
-    new java.io.File(s"target/tmp/$name").getAbsolutePath
+    * files), so both derive from identical stored bits. Namespaced by the
+    * `graft.preds.tag` system property (Verify sets it to the SF dir name)
+    * so multi-SF verify sequences keep each SF's persisted splits — and
+    * the paths its oracle_sql.json embeds — separate. */
+  private def predsPath(name: String): String = {
+    val tag = sys.props.getOrElse("graft.preds.tag", "default")
+    new java.io.File(s"target/tmp/$tag/$name").getAbsolutePath
+  }
 
   /** Queries with no SQL-expressible oracle (ML fits, non-portable hash
     * paths, synthetic inputs) — the driver records a weaker rows-only

@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Tag the persisted-split parquet paths (SparkEntry.predsPath) with
+    // the SF being verified: back-to-back runs at different SFs would
+    // otherwise overwrite each other's persisted predictions/candidates
+    // BEFORE the oracle for the earlier run executes, and the oracle SQL
+    // embeds the path at dump time.
+    sys.props("graft.preds.tag") =
+      new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
