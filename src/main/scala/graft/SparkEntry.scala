@@ -1235,6 +1235,37 @@ object SparkEntry {
         docs.filter(col("doc_id") % 100 =!= 0),
         docs.filter(col("doc_id") % 100 === 0),
         "doc_id", "text", threshold = 0.02, shingleWidth = 4)
+    }),
+
+    // SemDeDup-style SEMANTIC dedup (north-star dedup family, the
+    // embedding-space scale path): coarse KMeans cells block the pair
+    // space — compare only WITHIN a cell, the embedding analogue of q16's
+    // LSH bands — then the q42 exact-integer cosine predicate marks
+    // near-dups and the lower-id survivor rule keeps one per
+    // neighborhood. SPLIT at the fit/serve boundary (the q23/q27
+    // pattern): the KMeans fit is the non-portable half and persists its
+    // (vec_id, cell) assignments once; the serving half — int8
+    // quantization, cell-equi-join pairing, decimal threshold test, anti
+    // join — is replayed by the oracle over the same stored assignments,
+    // so the dedup DECISIONS are hash-checked end-to-end. τ = 0.4
+    // (tau2E4 = 1600) matches q42, so q42 (all-pairs exact) is this
+    // query's recall baseline: any pair q42 finds whose members share a
+    // cell must be re-found here.
+    "q100_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // nlist tracks the corpus (FAISS-style n/targetCellSize, floor 16 —
+      // q25's autoBits rationale): per-cell population stays ~256 at any
+      // SF, so the Σ|cell|² pair space never re-enters the quadratic
+      // regime a bigger corpus would otherwise create
+      val n = e.agg(count(lit(1))).head().getLong(0)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = math.max(16, (n / 256L).toInt), persistCells = false)
+      sources.Sources.writeParquet(
+        idx.cells.select(col("n_id").as("vec_id"), col("cell")),
+        predsPath("q100_cells"))
+      llm.Dedup.semanticDedup(
+        s.read.parquet(predsPath("q100_cells")), e, tau2E4 = 1600L)
     })
   )
 
@@ -1714,6 +1745,36 @@ object SparkEntry {
         |       CAST(h.n_hit AS DOUBLE) / s.b_n AS containment
         |FROM hits h JOIN bsz s USING (b_doc)
         |WHERE CAST(h.n_hit AS DOUBLE) / s.b_n >= 0.02""".stripMargin,
+
+    // fit/serve split: q42's exact int8 CTE chain verbatim, with the pair
+    // space restricted to same-cell pairs read from the PERSISTED KMeans
+    // assignments, then the lower-id survivor anti-join — the entire
+    // serving half of the semantic dedup replayed over identical stored
+    // bits
+    "q100_semantic_dedup" ->
+      s"""WITH s AS (
+         |  SELECT CAST(max(list_max(list_transform(embedding, x -> abs(x)))) AS DOUBLE) / 127 AS g
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / g) AS BIGINT)) AS qv
+         |  FROM embeddings, s
+         |), w AS (
+         |  SELECT c.vec_id, c.cell, v.qv,
+         |         CAST(list_sum(list_transform(v.qv, x -> x * x)) AS BIGINT) AS n2
+         |  FROM v JOIN read_parquet('${predsPath("q100_cells")}/*.parquet') c USING (vec_id)
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_i8,
+         |    a.n2 AS na2, b.n2 AS nb2
+         |  FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |), dropped AS (
+         |  SELECT DISTINCT id_b FROM pairs
+         |  WHERE dot_i8 > 0
+         |    AND CAST(dot_i8 AS HUGEINT) * dot_i8 * 10000 >= CAST(1600 AS HUGEINT) * na2 * nb2
+         |)
+         |SELECT w.vec_id, w.cell FROM w
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = w.vec_id)""".stripMargin,
 
     "q30_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase_value

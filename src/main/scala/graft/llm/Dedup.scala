@@ -659,6 +659,59 @@ object Dedup {
         col("containment"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space coarsely, then compare pairs ONLY within a
+    * cluster — the embedding-space analogue of LSH banding. The cluster
+    * assignment is the blocking artifact (fit once with
+    * [[graft.llm.Similarity.fitIvfIndex]]'s coarse KMeans, persist
+    * `(vec_id, cell)`); this serving half is pure plan and exact.
+    *
+    * Scale design: the pair space collapses from n²/2 to Σ_cell |cell|²/2 —
+    * with nlist sized to the corpus (like [[graft.llm.Similarity.autoBits]])
+    * the per-cell population is bounded, so the ONLY join is a cell
+    * equi-join, never a broadcast of the full corpus
+    * ([[graft.llm.Similarity.int8NearDupPairs]] is the bounded-corpus exact
+    * baseline this replaces at scale). The near-dup predicate is the same
+    * exact integer test as q42 — global int8 quantization, decimal(38,0)
+    * cross-multiplication — so the whole serving half is bit-identical
+    * across engines and oracle-checkable over the persisted assignments.
+    *
+    * Survivor rule (deterministic, non-transitive by design): a vector is
+    * DROPPED iff some lower-id vector in the SAME cell is within `tau` of
+    * it — whether or not that neighbor itself survives. This is SemDeDup's
+    * greedy keep-one-per-neighborhood applied with the id total order, and
+    * both engines state it identically (no fixpoint needed).
+    *
+    * Returns the kept `(vec_id, cell)` rows.
+    *
+    * @param assignments `(vec_id, cell)` — the persisted coarse-cluster fit
+    * @param tau2E4 τ²·10⁴ for the cosine floor τ (e.g. 1600 ⇒ τ = 0.4)
+    */
+  def semanticDedup(
+      assignments: DataFrame,
+      embeddings: DataFrame,
+      tau2E4: Long,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q8 = Similarity.quantizeInt8Global(embeddings, idCol, embCol)
+      .withColumn("n2", graft.exprapi.int8Dot(col("qv"), col("qv")))
+      .join(assignments.select(col(idCol), col("cell")), idCol)
+    val a = q8.select(col("cell"), col(idCol).as("id_a"),
+      col("qv").as("va"), col("n2").as("na2"))
+    val b = q8.select(col("cell"), col(idCol).as("id_b"),
+      col("qv").as("vb"), col("n2").as("nb2"))
+    val dec = "decimal(38,0)"
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot_i8", graft.exprapi.int8Dot(col("va"), col("vb")))
+      .filter(col("dot_i8") > 0 &&
+        col("dot_i8").cast(dec) * col("dot_i8") * lit(10000L) >=
+          lit(tau2E4).cast(dec) * col("na2") * col("nb2"))
+      .select(col("id_b").as(idCol)).distinct()
+    q8.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

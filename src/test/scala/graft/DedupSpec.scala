@@ -360,4 +360,29 @@ class DedupSpec extends AnyFunSuite {
     assert(jac < 0.6, s"union-normalized Jaccard reads low ($jac) on the " +
       "same pair containment flags at 1.0 - the metric this operator adds")
   }
+
+  test("semanticDedup: decisions == all-pairs int8 baseline restricted to shared cells") {
+    import graft.llm.Similarity
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val idx = Similarity.fitIvfIndex(
+      e.select($"vec_id".as("n_id"), $"embedding".as("n_emb")),
+      nlist = 8, persistCells = false)
+    val assigns = idx.cells.select($"n_id".as("vec_id"), $"cell")
+    val kept = Dedup.semanticDedup(assigns, e, tau2E4 = 1600L)
+      .as[(Long, Int)].collect().toMap
+
+    // independent ground truth: q42's exact all-pairs predicate, filtered
+    // to pairs the coarse cells co-locate — exactly those ids must drop
+    val cellOf = assigns.as[(Long, Int)].collect().toMap
+    val dropped = Similarity.int8NearDupPairs(e, tau2E4 = 1600L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+      .map(_._2).toSet
+    assert(dropped.nonEmpty,
+      "fixture must co-locate at least one near-dup pair for the test to bite")
+    assert(kept.keySet === cellOf.keySet -- dropped,
+      "kept set must be the corpus minus same-cell lower-id near-dups")
+    // survivors carry their fitted cell through unchanged
+    kept.foreach { case (id, c) => assert(c === cellOf(id)) }
+  }
 }
