@@ -1251,6 +1251,82 @@ object SparkEntry {
     // (tau2E4 = 1600) matches q42, so q42 (all-pairs exact) is this
     // query's recall baseline: any pair q42 finds whose members share a
     // cell must be re-found here.
+    // similarity scale path #3: product quantization — the ADC scan reads
+    // m-code compressed vectors (16-32× less bandwidth than raw floats),
+    // exact re-rank touches only k·rerankFactor rows per query. SPLIT at
+    // the shortlist/re-rank boundary (the q94 pattern): the
+    // codebook-dependent ADC prune persists its (q_id, n_id) shortlist
+    // and the unit vectors persist once; the exact re-rank is replayed by
+    // the oracle over the same files — identical frame to the one-shot
+    // pqTopK, now hash-checked.
+    "q57_sim_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitPqIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        m = 8, kc = 16, persistCodes = false)
+      sources.Sources.writeParquet(
+        llm.Similarity.pqShortlist(idx,
+          e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          k = 5, rerankFactor = 4),
+        predsPath("q57_shortlist"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q57_units"))
+      llm.Similarity.exactRerankFromUnits(
+        s.read.parquet(predsPath("q57_units")),
+        s.read.parquet(predsPath("q57_shortlist")), k = 5)
+    }),
+
+    // similarity scale path #4: IVFPQ — cell pruning × code compression
+    // multiply (FAISS's corpus-scale workhorse). The stateless harness
+    // slot forces fit+probe in one call; serving holds the IvfPqIndex
+    // and calls ivfPqProbe per batch (reuse pinned by SimilaritySpec).
+    // Same shortlist/re-rank split as q57/q94 — the in-memory-index twin
+    // of q94's persisted-layout serving path, hash-checked the same way.
+    "q58_sim_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cands = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val idx = llm.Similarity.fitIvfPqIndex(
+        cands, nlist = 16, m = 8, kc = 16, persistEntries = false)
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfPqShortlist(idx,
+          e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          k = 5, nprobe = 4, rerankFactor = 4),
+        predsPath("q58_shortlist"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q58_units"))
+      llm.Similarity.exactRerankFromUnits(
+        s.read.parquet(predsPath("q58_units")),
+        s.read.parquet(predsPath("q58_shortlist")), k = 5)
+    }),
+
+    // North-star similarity, scale path #2: cosine IVF — KMeans coarse
+    // quantizer, nprobe cell probing, exact re-rank within cells only.
+    // SPLIT at the candidate/re-rank boundary (the q94 pattern, applied to
+    // the plain-IVF path): the codebook-dependent probe selection persists
+    // its (q_id, n_id) candidate pairs and the unit vectors persist once;
+    // the exact re-rank — quantized dots over stored float bits + top-k
+    // with total-order tie-break — is replayed by the oracle over the same
+    // files. Result is IDENTICAL to the one-shot ivfTopK (same candidates,
+    // same scores, same tie-break), now hash-checked.
+    "q28_sim_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, persistCells = false)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfCandidatePairs(idx, queries, nprobe = 4),
+        predsPath("q28_cands"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q28_units"))
+      llm.Similarity.exactRerankFromUnits(
+        s.read.parquet(predsPath("q28_units")),
+        s.read.parquet(predsPath("q28_cands")), k = 5)
+    }),
+
     "q100_semantic_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // nlist tracks the corpus (FAISS-style n/targetCellSize, floor 16 —
@@ -1350,46 +1426,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 20)),
 
-    // North-star similarity, scale path #2: cosine IVF — KMeans coarse
-    // quantizer, nprobe cell probing, exact re-rank within cells only
-    "q28_sim_ivf" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      llm.Similarity.ivfTopK(
-        e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-        k = 5, nlist = 16, nprobe = 4)
-    }),
-
-    // similarity scale path #3: product quantization — the ADC scan reads
-    // m-code compressed vectors (16-32× less bandwidth than raw floats),
-    // exact re-rank touches only k·rerankFactor rows per query. ANN
-    // internals (KMeans codebooks) are not SQL-portable → rows-only;
-    // recall vs exhaustive truth is pinned by SimilaritySpec.
-    "q57_sim_pq" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      llm.Similarity.pqTopK(
-        e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-        k = 5, m = 8, kc = 16, rerankFactor = 4)
-    }),
-
-    // similarity scale path #4: IVFPQ — cell pruning × code compression
-    // multiply (FAISS's corpus-scale workhorse). The stateless harness
-    // slot forces fit+probe in one call; serving holds the IvfPqIndex
-    // and calls ivfPqProbe per batch (reuse pinned by SimilaritySpec).
-    "q58_sim_ivfpq" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val cands = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      val idx = llm.Similarity.fitIvfPqIndex(
-        cands, nlist = 16, m = 8, kc = 16, persistEntries = false)
-      llm.Similarity.ivfPqProbe(
-        idx,
-        e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-        cands, k = 5, nprobe = 4, rerankFactor = 4)
-    }),
 
 
     // North-star dedup, SimHash method: banded 64-bit sketches, exact
@@ -1745,6 +1781,70 @@ object SparkEntry {
         |       CAST(h.n_hit AS DOUBLE) / s.b_n AS containment
         |FROM hits h JOIN bsz s USING (b_doc)
         |WHERE CAST(h.n_hit AS DOUBLE) / s.b_n >= 0.02""".stripMargin,
+
+    // candidate/re-rank split (q94's oracle applied to the plain-IVF
+    // path): exact quantized-dot re-rank + deterministic top-k replayed
+    // over the persisted candidate pairs and unit vectors
+    "q28_sim_ivf" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q28_cands")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q28_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |)
+         |SELECT * FROM (
+         |  SELECT q_id, n_id, dot_q,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |  FROM dots) WHERE rank <= 5""".stripMargin,
+
+    // shortlist/re-rank split (q94's oracle, flat-PQ path): exact
+    // quantized-dot re-rank + deterministic top-k over the persisted ADC
+    // shortlist and unit vectors
+    "q57_sim_pq" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q57_shortlist")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q57_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |)
+         |SELECT * FROM (
+         |  SELECT q_id, n_id, dot_q,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |  FROM dots) WHERE rank <= 5""".stripMargin,
+
+    // shortlist/re-rank split (q94's oracle, in-memory IVFPQ path)
+    "q58_sim_ivfpq" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q58_shortlist")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q58_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |)
+         |SELECT * FROM (
+         |  SELECT q_id, n_id, dot_q,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |  FROM dots) WHERE rank <= 5""".stripMargin,
 
     // fit/serve split: q42's exact int8 CTE chain verbatim, with the pair
     // space restricted to same-cell pairs read from the PERSISTED KMeans

@@ -492,23 +492,45 @@ object Similarity {
     * quantized scoring, so results are comparable (recall measured in
     * tests). Scoring is over unit vectors (queries normalized here, the
     * index at fit time) so IVF's euclidean cells align with dot ranking. */
+  // nprobe highest-affinity cells per query (tiny cross product against
+  // the always-broadcast nlist-row centroid table) — (q_id, q_unit, cell)
+  private def probedCells(
+      index: IvfIndex,
+      queries: DataFrame, // (q_id, q_emb: array<float>)
+      nprobe: Int): DataFrame = {
+    val qUnit = l2Normalized(queries, "q_emb", "q_unit")
+      .select(col("q_id"), col("q_unit"))
+    graft.ops.Relational.groupedTopK(
+      qUnit.crossJoin(broadcast(index.centroids))
+        .withColumn("aff", graft.exprapi.quantizedDotFast(col("q_unit"), col("c_arr"))),
+      Seq("q_id"), "aff", "cell", nprobe)
+      .select(col("q_id"), col("q_unit"), col("cell"))
+  }
+
+  /** The CANDIDATE half of [[ivfProbe]]: every (q_id, n_id) pair the probed
+    * cells admit, no scoring. Persisting this is what makes the IVF serving
+    * result oracle-checkable (the q94 split): the probe selection is the
+    * only codebook-dependent stage, and the exact re-rank over stored unit
+    * vectors ([[exactRerankFromUnits]]) is pure relational work both
+    * engines replay identically. */
+  def ivfCandidatePairs(
+      index: IvfIndex,
+      queries: DataFrame, // (q_id, q_emb: array<float>)
+      nprobe: Int = 4): DataFrame =
+    index.cells
+      .join(broadcast(probedCells(index, queries, nprobe).select(col("q_id"), col("cell"))),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+
   def ivfProbe(
       index: IvfIndex,
       queries: DataFrame, // (q_id, q_emb: array<float>)
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    val qUnit = l2Normalized(queries, "q_emb", "q_unit")
-      .select(col("q_id"), col("q_unit"))
-
-    // nprobe highest-affinity cells per query (tiny cross product)
-    val probes = graft.ops.Relational.groupedTopK(
-      qUnit.crossJoin(broadcast(index.centroids))
-        .withColumn("aff", graft.exprapi.quantizedDotFast(col("q_unit"), col("c_arr"))),
-      Seq("q_id"), "aff", "cell", nprobe)
-      .select(col("q_id"), col("q_unit"), col("cell"))
-
     // exact re-rank within probed cells only
-    val scored = index.cells.join(broadcast(probes), Seq("cell"))
+    val scored = index.cells
+      .join(broadcast(probedCells(index, queries, nprobe)), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("dot_q", graft.exprapi.quantizedDotFast(col("q_unit"), col("n_unit")))
     graft.ops.Relational
@@ -803,6 +825,29 @@ object Similarity {
       rerankFactor: Int = 4): DataFrame = {
     val index = fitPqIndex(candidates, m, kc, persistCodes = false)
     pqProbe(index, queries, candidates, k, rerankFactor)
+  }
+
+  /** The ADC-prune half of [[pqProbe]], standalone — [[ivfPqShortlist]]'s
+    * contract for the flat-PQ path: full ADC scan of the codes, top
+    * `k·rerankFactor` per query, bare (q_id, n_id) ids. Persist this plus
+    * [[unitVectors]] and the remaining exact re-rank
+    * ([[exactRerankFromUnits]]) replays bit-for-bit in any engine. */
+  def pqShortlist(
+      index: PqIndex,
+      queries: DataFrame, // (q_id, q_emb: array<float>)
+      k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && rerankFactor >= 1, s"k=$k rerankFactor=$rerankFactor")
+    val qTab = l2Normalized(queries, "q_emb", "q_unit")
+      .select(col("q_id"), col("q_unit"),
+        graft.exprapi.pqAdcTable(
+          col("q_unit"), index.codebook, index.m, index.kc, index.subDim).as("adc_tab"))
+    val scored = index.codes
+      .join(broadcast(qTab), col("q_id") =!= col("n_id"))
+      .withColumn("adc", graft.exprapi.pqAdcDot(col("adc_tab"), col("codes"), index.kc))
+    graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "adc", "n_id", k * rerankFactor)
+      .select(col("q_id"), col("n_id"))
   }
 
   // -------------------------------------------------------------------------

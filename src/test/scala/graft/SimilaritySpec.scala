@@ -160,6 +160,19 @@ class SimilaritySpec extends AnyFunSuite {
     val oneShot = Similarity.ivfTopK(q1, cands, k = 5, nlist = 16, nprobe = 8)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     assert(r1 === oneShot, "probe over a held index must equal the one-shot form")
+
+    // the q28 candidate/re-rank split returns the IDENTICAL frame: same
+    // candidates, same quantized dots, same top-k tie-break — persisting
+    // the split's artifacts changes what is checkable, never the answer
+    val split = Similarity.exactRerankFromUnits(
+      Similarity.unitVectors(e),
+      Similarity.ivfCandidatePairs(idx, q1, nprobe = 8), k = 5)
+      .select($"q_id", $"n_id", $"dot_q", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val probe = Similarity.ivfProbe(idx, q1, k = 5, nprobe = 8)
+      .select($"q_id", $"n_id", $"dot_q", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(split === probe, "candidate/re-rank split must equal ivfProbe exactly")
     idx.unpersist()
   }
 
@@ -369,6 +382,18 @@ class SimilaritySpec extends AnyFunSuite {
     val oneShot = Similarity.pqTopK(q1, cands, k = 5, m = 8, kc = 16, rerankFactor = 8)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     assert(r1 === oneShot)
+
+    // q57's shortlist/re-rank split returns the IDENTICAL frame to the
+    // fused probe (same ADC shortlist, same dots, same tie-break)
+    val split = Similarity.exactRerankFromUnits(
+      Similarity.unitVectors(e),
+      Similarity.pqShortlist(idx, q1, k = 5, rerankFactor = 8), k = 5)
+      .select($"q_id", $"n_id", $"dot_q", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fused = Similarity.pqProbe(idx, q1, cands, k = 5, rerankFactor = 8)
+      .select($"q_id", $"n_id", $"dot_q", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(split === fused, "pqShortlist + exactRerankFromUnits must equal pqProbe exactly")
     idx.unpersist()
   }
 
