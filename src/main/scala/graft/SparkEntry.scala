@@ -1327,6 +1327,35 @@ object SparkEntry {
         s.read.parquet(predsPath("q28_cands")), k = 5)
     }),
 
+    // Z-order clustered layout (the multi-column data-skipping lever):
+    // write the fact slice clustered on the Morton interleave of
+    // min-max-scaled (l_partkey, l_suppkey), read it back from the
+    // clustered files, and return each row's z-value recomputed over the
+    // round-tripped rows. Scaling and interleave are IEEE-exact double ops
+    // + pure bit arithmetic — the oracle recomputes them bit-for-bit —
+    // and the round trip proves the layout write loses/duplicates
+    // nothing. The LAYOUT property itself (pruning-grade min/max bands on
+    // BOTH dimensions, vs a plain sort's one) is pinned by SourcesSpec.
+    "q101_zorder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      sources.Sources.writeZOrdered(li, predsPath("q101_zli"),
+        Seq("l_partkey", "l_suppkey"), bits = 16, numFiles = 8)
+      val back = s.read.parquet(predsPath("q101_zli"))
+      val stats = back.agg(
+        min(col("l_partkey")).cast("double").as("pmin"),
+        max(col("l_partkey")).cast("double").as("pmax"),
+        min(col("l_suppkey")).cast("double").as("smin"),
+        max(col("l_suppkey")).cast("double").as("smax"))
+      back.crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sources.Sources.mortonCode(Seq(
+            sources.Sources.scaleToBits(col("l_partkey"), col("pmin"), col("pmax"), 16),
+            sources.Sources.scaleToBits(col("l_suppkey"), col("smin"), col("smax"), 16)),
+            bits = 16).as("zval"))
+    }),
+
     "q100_semantic_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // nlist tracks the corpus (FAISS-style n/targetCellSize, floor 16 —
@@ -1781,6 +1810,27 @@ object SparkEntry {
         |       CAST(h.n_hit AS DOUBLE) / s.b_n AS containment
         |FROM hits h JOIN bsz s USING (b_doc)
         |WHERE CAST(h.n_hit AS DOUBLE) / s.b_n >= 0.02""".stripMargin,
+
+    // Morton interleave over min-max-scaled dims, recomputed bit-for-bit:
+    // scaled = floor((c - min)·2^16 / (max - min + 1)) is exact-in-double
+    // on both engines; column j's bit i lands at 2i+j, positions are
+    // disjoint so the sum over terms equals the OR
+    "q101_zorder" ->
+      """WITH s AS (
+        |  SELECT CAST(min(l_partkey) AS DOUBLE) AS pmin, CAST(max(l_partkey) AS DOUBLE) AS pmax,
+        |         CAST(min(l_suppkey) AS DOUBLE) AS smin, CAST(max(l_suppkey) AS DOUBLE) AS smax
+        |  FROM lineitem
+        |), v AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(floor((l_partkey - pmin) * 65536 / (pmax - pmin + 1)) AS BIGINT) AS p,
+        |    CAST(floor((l_suppkey - smin) * 65536 / (smax - smin + 1)) AS BIGINT) AS q
+        |  FROM lineitem, s
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |    (((p >> i) & 1) << (2*i)) + (((q >> i) & 1) << (2*i+1))
+        |  )) AS BIGINT) AS zval
+        |FROM v""".stripMargin,
 
     // candidate/re-rank split (q94's oracle applied to the plain-IVF
     // path): exact quantized-dot re-rank + deterministic top-k replayed

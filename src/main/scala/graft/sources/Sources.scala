@@ -207,6 +207,71 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Morton (Z-order) code: interleave the low `bits` bits of each column
+    * so rows close in EVERY dimension are close in the one-dimensional
+    * sort order (Morton 1966 — the multi-column clustering key behind
+    * Z-ORDER in the public lakehouse formats). Column j's bit i lands at
+    * position `i·d + j`; positions are disjoint, so the interleave is a
+    * plain bitwise-OR fold over builtin shift/mask ops — whole-stage
+    * codegen'd, no UDF, and bit-for-bit reproducible in any engine.
+    *
+    * Inputs must be non-negative and < 2^bits AND use comparable bit
+    * widths — a dimension whose values only reach bit 4 never influences
+    * the high interleaved bits, so the z-order degenerates to a sort on
+    * the wide dimension. Normalize first ([[scaleToBits]], as
+    * [[writeZOrdered]] does); `d·bits` must fit a signed long. */
+  def mortonCode(cols: Seq[Column], bits: Int = 16): Column = {
+    val d = cols.size
+    require(d >= 2, "morton code needs at least two dimensions")
+    require(d * bits <= 63, s"d=$d bits=$bits overflow a signed long")
+    cols.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * d + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Min-max scale a column onto the FULL `[0, 2^bits)` range so every
+    * z-order dimension drives every interleave level equally. The
+    * arithmetic is deliberately IEEE-portable (exact-in-double products,
+    * one floor): `(c - min)·2^bits` stays under 2^53 for any 32-bit key
+    * domain, so the scaled value reproduces bit-for-bit in any engine. */
+  def scaleToBits(c: Column, minC: Column, maxC: Column, bits: Int): Column =
+    floor((c.cast("double") - minC) * (1L << bits).toDouble /
+      (maxC - minC + lit(1.0))).cast("long")
+
+  /** Z-order-clustered parquet sink: [[writeSorted]]'s row-group-skipping
+    * story extended to MULTI-column predicates. A single-column range sort
+    * gives tight per-file min/max bands on that column only — a filter on
+    * any other column skips nothing. Clustering on the Morton interleave
+    * of the min-max-scaled dimensions gives every clustered column
+    * moderately tight bands in every file, so a predicate on ANY of them
+    * (or a box over several) prunes row groups and files. That trade —
+    * one perfectly-skippable column vs all dimensions skippable — is the
+    * 100-TB layout choice for fact tables filtered along several axes
+    * (time × key × metric). The per-column min/max is one scalar
+    * aggregate attached with the broadcast-cross-join idiom (no eager
+    * action); the z-value is layout-only and is not written. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      bits: Int = 16,
+      numFiles: Int = 32): Unit = {
+    val aggExprs = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")))
+    val stats = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val scaled = zCols.map(c =>
+      scaleToBits(col(c), col(s"__min_$c"), col(s"__max_$c"), bits))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", mortonCode(scaled, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z" +: zCols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed parquet table: pre-shuffled on `bucketCols` so joins and
     * aggregations on those keys need NO exchange at read time — the
     * co-located-join story for repeatedly-joined fact tables at scale

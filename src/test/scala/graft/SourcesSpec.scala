@@ -119,6 +119,64 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("mortonCode: bijective on the full 64x64 grid; deinterleave recovers both dims") {
+    val src = spark.range(4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    def deinterleave(z: org.apache.spark.sql.Column, offset: Int, bits: Int) =
+      (0 until bits).map { i =>
+        shiftleft(shiftright(z, 2 * i + offset).bitwiseAND(lit(1L)), i)
+      }.reduce(_ bitwiseOR _)
+    val rt = src
+      .withColumn("z", Sources.mortonCode(Seq($"a", $"b"), bits = 6))
+      .withColumn("a2", deinterleave($"z", 0, 6))
+      .withColumn("b2", deinterleave($"z", 1, 6))
+    assert(rt.filter($"a2" =!= $"a" || $"b2" =!= $"b").count() === 0L,
+      "even/odd bit extraction must recover the inputs exactly")
+    assert(rt.select($"z").distinct().count() === 4096L,
+      "the interleave must be a bijection on the grid")
+    assert(rt.agg(max($"z")).as[Long].head() === 4095L,
+      "6+6 bits must pack into exactly 12 bits")
+  }
+
+  test("writeZOrdered: every interleaved column gets pruning-grade per-file bands; plain sort does not") {
+    val df = Tables.lineitem(spark, TestSpark.sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val nFiles = 8
+
+    // fraction of files a point predicate on `c` must touch, given the
+    // written layout = sum over files of (band width / domain width)
+    def meanBandFraction(path: String, c: String): Double = {
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length > 1, "need several files")
+      val (lo, hi) = df.agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+        .as[(Long, Long)].head()
+      val widths = parts.map { f =>
+        val (flo, fhi) = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+          .as[(Long, Long)].head()
+        (fhi - flo + 1).toDouble / (hi - lo + 1)
+      }
+      widths.sum / widths.length
+    }
+
+    val zPath = s"$tmp/li_zorder"
+    Sources.writeZOrdered(df, zPath, Seq("l_partkey", "l_suppkey"), bits = 16, numFiles = nFiles)
+    assert(spark.read.parquet(zPath).count() === df.count())
+
+    val sPath = s"$tmp/li_sorted"
+    Sources.writeSorted(df, sPath, Seq("l_partkey"), numFiles = nFiles)
+
+    // single-column sort: the unsorted dimension's bands span ~the whole
+    // domain (no skipping); z-order: BOTH dimensions' bands are usable
+    val sSupp = meanBandFraction(sPath, "l_suppkey")
+    val zPart = meanBandFraction(zPath, "l_partkey")
+    val zSupp = meanBandFraction(zPath, "l_suppkey")
+    assert(sSupp > 0.9, s"sorted-by-partkey files should span suppkey ($sSupp)")
+    assert(zPart < 0.6, s"z-order partkey bands must prune ($zPart)")
+    assert(zSupp < 0.6, s"z-order suppkey bands must prune ($zSupp)")
+  }
+
   test("headerless CSV consumed positionally as _c0.._cN (A5 shape)") {
     val df = Seq(("12345", "x", "ACME", "7372")).toDF("a", "b", "c", "d")
     val path = s"$tmp/headerless_csv"
