@@ -1202,6 +1202,43 @@ object SparkEntry {
         .agg(max(col("n_events")).as("n_events"))
     }),
 
+    // §2.8 streaming #4, EXECUTED AS A STREAM: the stream-stream
+    // watermarked JOIN — two independent file streams over the same
+    // staged events (clicks side, purchases side), matched on user within
+    // the 1-hour attribution horizon, drained under AvailableNow in
+    // append mode. Inner-join matches emit as they form (the watermark
+    // only bounds state eviction), and the fixture-spanning delay keeps
+    // ALL state live across the unordered backfill batches, so the
+    // drained rows are exactly the batch join — oracle = the plain
+    // interval-join SQL (q31's shape with the roles flipped). Completes
+    // the driver-checked streaming family: windows (q98), sessions
+    // (q93), keyed state (q99), joins (here).
+    "q102_join_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q102_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      def src = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val joined = streaming.Streams.clickPurchaseJoin(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"),
+        horizon = "1 hour", watermarkDelay = "3650 days")
+      val q = joined.writeStream
+        .format("memory").queryName("q102_pairs").outputMode("append")
+        .option("checkpointLocation",
+          predsPath(s"q102_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q102_pairs").select(
+        col("click_id"), col("user_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("purchase_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("purchase_value"))
+    }),
+
     // Skew-salted join, driver-checked: the hot-key mitigation (spread the
     // left side over saltFactor sub-keys, replicate the right side once
     // per sub-key) must be RESULT-INVISIBLE — the oracle replays the
@@ -1925,6 +1962,24 @@ object SparkEntry {
          |)
          |SELECT w.vec_id, w.cell FROM w
          |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = w.vec_id)""".stripMargin,
+
+    // the stream-stream join drained under AvailableNow must equal the
+    // plain batch interval join — losing or duplicating a buffered match
+    // across micro-batches breaks the hash
+    "q102_join_stream" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_id, c.user_id, c.click_ts,
+        |       p.purchase_id, p.purchase_ts, p.purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts <= c.click_ts
+        |  AND p.purchase_ts >= c.click_ts - INTERVAL 1 HOUR""".stripMargin,
 
     "q30_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase_value

@@ -55,12 +55,13 @@ class PlanAuditSpec extends AnyFunSuite {
     //    driver and their ANN join shapes audited via q17/q25/q33 twins
     //  - q17: the DECLARED brute-force baseline — quadratic by contract
     //    (the comparison floor the scale paths are measured against)
-    //  - q93/q98/q99: constructing them executes an actual streaming
-    //    query; their plans are single windowed/keyed aggregations, no
-    //    joins
+    //  - q93/q98/q99/q102: constructing them executes an actual streaming
+    //    query; their plans are single windowed/keyed aggregations plus
+    //    one watermark-bounded equi join (q102)
     val excluded = Set("q17_sim_topk", "q23_lr_confusion", "q27_pair_scoring",
       "q28_sim_ivf", "q57_sim_pq", "q58_sim_ivfpq", "q93_sessionize_stream",
-      "q94_ivfpq_serving", "q98_tumbling_stream", "q99_keyed_state_stream")
+      "q94_ivfpq_serving", "q98_tumbling_stream", "q99_keyed_state_stream",
+      "q102_join_stream")
     def flatten(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(flatten)
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
     assert(names.size >= 80, s"audit should cover the whole map, got ${names.size}")
