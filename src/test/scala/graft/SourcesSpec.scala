@@ -138,6 +138,20 @@ class SourcesSpec extends AnyFunSuite {
       "6+6 bits must pack into exactly 12 bits")
   }
 
+  test("writeZOrdered: a constant dimension degrades gracefully (span-1 scaling, no crash, rows intact)") {
+    val df = spark.range(500).select(
+      col("id").as("k"), lit(7L).as("c"))
+    val path = s"$tmp/zorder_const"
+    // constant column: (c - min)·2^bits / (max - min + 1) = 0 for every
+    // row — the interleave degenerates to a sort on the varying column,
+    // which is exactly the right behavior, not an error
+    Sources.writeZOrdered(df, path, Seq("k", "c"), bits = 8, numFiles = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 500L)
+    assert(back.columns.sorted.toSeq === Seq("c", "k"), "helper columns must not leak")
+    assert(back.select($"k").distinct().count() === 500L)
+  }
+
   test("writeZOrdered: every interleaved column gets pruning-grade per-file bands; plain sort does not") {
     val df = Tables.lineitem(spark, TestSpark.sf)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
