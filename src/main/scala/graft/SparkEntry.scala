@@ -1408,7 +1408,15 @@ object SparkEntry {
         predsPath("q100_cells"))
       llm.Dedup.semanticDedup(
         s.read.parquet(predsPath("q100_cells")), e, tau2E4 = 1600L)
-    })
+    }),
+
+    // training-pipeline: cross-document duplicated-SPAN coverage (the
+    // Lee-et-al substring-dedup signal, approximated with rolling 8-grams
+    // + gaps-and-islands interval union). Span-level complement of the
+    // doc-level dedup family q06/q16/q40/q100.
+    "q103_dup_spans" -> ((s, dir) =>
+      llm.Dedup.dupSpanCoverage(
+        Tables.documents(s, dir), "doc_id", "text", l = 8, minDocs = 2))
   )
 
   /** Absolute path for a query-persisted intermediate parquet — shared by
@@ -1980,6 +1988,42 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.purchase_ts <= c.click_ts
         |  AND p.purchase_ts >= c.click_ts - INTERVAL 1 HOUR""".stripMargin,
+
+    "q103_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok, i AS pos,
+        |         array_to_string(ts[i:i+7], ' ') AS gram
+        |  FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |  WHERE len(ts) >= 8
+        |), d AS (
+        |  SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |), h AS (
+        |  SELECT g.doc_id, g.n_tok, g.pos FROM g JOIN d USING (gram)
+        |), m AS (
+        |  SELECT doc_id, n_tok, pos,
+        |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM h
+        |), isl AS (
+        |  SELECT doc_id, n_tok, pos,
+        |         CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM m
+        |), num AS (
+        |  SELECT doc_id, n_tok, pos,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), sp AS (
+        |  SELECT doc_id, n_tok, island, min(pos) AS s, max(pos + 7) AS e
+        |  FROM num GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, n_tok,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |       CAST(sum(e - s + 1) * 1000000 // n_tok AS BIGINT) AS cov_ppm
+        |FROM sp GROUP BY 1, 2""".stripMargin,
 
     "q30_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase_value

@@ -712,6 +712,64 @@ object Dedup {
       .select(col(idCol), col("cell"))
   }
 
+  /** Cross-document duplicated-SPAN coverage — the span-level member of the
+    * dedup family (doc-level: exactDedup / MinHash / SimHash / semantic).
+    * Approximates suffix-array substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022) with
+    * fixed-length rolling L-grams: a token position is duplicated iff it
+    * lies inside some L-gram that also occurs in ≥ `minDocs` distinct
+    * documents. Returns one row per document that has at least one
+    * duplicated span: (id, n_tok, n_spans, dup_tokens, cov_ppm) where
+    * cov_ppm = duplicated-token parts-per-million (exact integer floor
+    * division — engine-portable).
+    *
+    * Shape, for the 100 TB read: the posting list is one row per token
+    * position (linear), the cross-doc test is ONE doc-frequency aggregation
+    * keyed by gram, and re-attachment is a LEFT SEMI join — 1:1 per
+    * posting, so a boilerplate gram shared by a million documents
+    * contributes exactly its own postings, never a pairwise product.
+    * Interval union is the gaps-and-islands running max (q22's pattern)
+    * inside each document's window. At scale, key the aggregation on
+    * xxhash64(gram) to shrink shuffle bytes; the literal-gram form here is
+    * what the oracle can replay exactly.
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= l)
+    // 1-based start positions, mirroring the oracle's generate_series
+    val grams = toks
+      .select(col(idCol), size(col("ts")).cast("long").as("n_tok"),
+        explode(transform(sequence(lit(1), size(col("ts")) - l + 1),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("ts"), i, lit(l))).as("gram")))).as("g"))
+      .select(col(idCol), col("n_tok"),
+        col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("gram"))
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val marked = hits
+      // farthest interval end seen so far strictly before this row
+      .withColumn("pme", max(col("pos") + l - 1)
+        .over(byPos.rowsBetween(Long.MinValue, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("pos") > col("pme") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byPos))
+    marked
+      .groupBy(col(idCol), col("n_tok"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + l - 1).as("e"))
+      .groupBy(col(idCol), col("n_tok"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+      .withColumn("cov_ppm",
+        expr("CAST(dup_tokens * 1000000 DIV n_tok AS BIGINT)"))
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -175,6 +175,26 @@ class DedupSpec extends AnyFunSuite {
       s"candidates=$cands must be <<< all-pairs=${n * (n - 1) / 2}")
   }
 
+  test("dupSpanCoverage: interval union over cross-doc 3-grams, disjoint spans, clean docs absent") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // shares "a b c d" with doc 2
+      (2L, "x x a b c d y y z"),
+      (3L, "p q r s t u v w"),            // clean — must not appear
+      (4L, "a b c z z z b c d q")         // two DISJOINT duplicated spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, "doc_id", "text", l = 3, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    // doc 1: grams (a b c)@1 and (b c d)@2 overlap -> one span [1,4]
+    assert(out(1L) === ((8L, 1L, 4L, 500000L)))
+    // doc 2: same two grams at 3/4 -> one span [3,6] of 9 tokens
+    assert(out(2L) === ((9L, 1L, 4L, 444444L)))
+    // doc 4: (a b c)@1 and (b c d)@7 -> two islands [1,3] and [7,9]
+    assert(out(4L) === ((10L, 2L, 6L, 600000L)))
+  }
+
   test("exactDedup keeps exactly one survivor per fingerprint, the lowest id") {
     val d = Seq(
       (10L, "Hello,  World!"), (7L, "hello world"), (3L, "something else")
