@@ -1416,7 +1416,15 @@ object SparkEntry {
     // doc-level dedup family q06/q16/q40/q100.
     "q103_dup_spans" -> ((s, dir) =>
       llm.Dedup.dupSpanCoverage(
-        Tables.documents(s, dir), "doc_id", "text", l = 8, minDocs = 2))
+        Tables.documents(s, dir), "doc_id", "text", l = 8, minDocs = 2)),
+
+    // training-pipeline: DSIR importance weights — every doc scored by the
+    // unigram log-likelihood ratio of target (lang='en') vs the raw pool,
+    // deterministic top-50 selection; the data-MIXTURE member of the
+    // curation family (sampling: q59/q77/q80/q81; quality: q19/q76).
+    "q104_dsir_weights" -> ((s, dir) =>
+      llm.Dsir.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", k = 50))
   )
 
   /** Absolute path for a query-persisted intermediate parquet — shared by
@@ -2024,6 +2032,43 @@ object SparkEntry {
         |       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
         |       CAST(sum(e - s + 1) * 1000000 // n_tok AS BIGINT) AS cov_ppm
         |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    "q104_dsir_weights" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), tgt AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS ct
+        |  FROM tf
+        |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        |  GROUP BY 1
+        |), raw AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cr FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+        |         (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) FROM tgt) AS nt,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v
+        |), vq AS (
+        |  SELECT raw.tok,
+        |         CAST(floor(1e6 * ((ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE))
+        |                            - ln(CAST(tot.nt + tot.v AS DOUBLE)))
+        |                           - (ln(CAST(raw.cr + 1 AS DOUBLE))
+        |                              - ln(CAST(tot.nr + tot.v AS DOUBLE))))) AS BIGINT) AS q
+        |  FROM raw CROSS JOIN tot LEFT JOIN tgt USING (tok)
+        |), w AS (
+        |  SELECT doc_id,
+        |         CAST(sum(tf) AS BIGINT) AS n_tok,
+        |         CAST(sum(tf * q) AS BIGINT) AS w_q
+        |  FROM tf JOIN vq ON tf.tok = vq.tok
+        |  GROUP BY 1
+        |), top AS (
+        |  SELECT doc_id FROM w ORDER BY w_q DESC, doc_id LIMIT 50
+        |)
+        |SELECT w.doc_id, w.n_tok, w.w_q,
+        |       CAST(CASE WHEN top.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS sel
+        |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin,
 
     "q30_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase_value
