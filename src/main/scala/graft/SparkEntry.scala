@@ -1202,6 +1202,63 @@ object SparkEntry {
         .agg(max(col("n_events")).as("n_events"))
     }),
 
+    // §2.8 streaming #5, EXECUTED AS A STREAM: SLIDING windows (width 1 h,
+    // slide 30 min — every event lands in exactly two overlapping
+    // windows), drained under AvailableNow in complete mode. Closes the
+    // last window SHAPE that only had a batch-equivalence spec; oracle =
+    // an independent two-candidate-starts unnest per event.
+    "q105_sliding_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q105_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams
+        .slidingAgg(stream, width = "1 hour", slide = "30 minutes",
+          watermarkDelay = "3650 days")
+        .writeStream
+        .format("memory").queryName("q105_sliding").outputMode("complete")
+        .option("checkpointLocation",
+          predsPath(s"q105_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q105_sliding").select(
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"))
+    }),
+
+    // §2.8 streaming #6, EXECUTED AS A STREAM: watermark-bounded DEDUP
+    // (dropDuplicatesWithinWatermark) — first occurrence per
+    // (user_id, event_type) wins, one row emitted per key across the
+    // whole multi-batch drain. The output projects to the KEY columns:
+    // which physical row arrives first is execution-order-dependent, the
+    // key set is not — that projection is what makes a streaming dedup
+    // hash-checkable at all. Oracle = the distinct key set; a hash match
+    // proves cross-batch dedup state lost and duplicated nothing.
+    "q106_dedup_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q106_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams
+        .dedupWithinWatermark(stream,
+          keyCols = Seq("user_id", "event_type"),
+          watermarkDelay = "3650 days")
+        .select(col("user_id"), col("event_type"))
+        .writeStream
+        .format("memory").queryName("q106_keys").outputMode("append")
+        .option("checkpointLocation",
+          predsPath(s"q106_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q106_keys")
+    }),
+
     // §2.8 streaming #4, EXECUTED AS A STREAM: the stream-stream
     // watermarked JOIN — two independent file streams over the same
     // staged events (clicks side, purchases side), matched on user within
@@ -1828,6 +1885,23 @@ object SparkEntry {
     "q99_keyed_state_stream" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // independent formulation of window(ts, 1h, 30m): each event belongs
+    // to exactly the two 30-min-aligned hour windows covering it
+    "q105_sliding_stream" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+        |           AS window_start
+        |  FROM events
+        |)
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // the drained first-occurrence key set == the distinct key set
+    "q106_dedup_stream" ->
+      """SELECT user_id, event_type FROM events GROUP BY 1, 2""".stripMargin,
 
     // the Spark side salted the join; the oracle is the PLAIN join — the
     // hash match proves the skew mitigation is result-invisible

@@ -84,10 +84,6 @@ object Streams {
         col("session_window.end").as("session_end"),
         col(userCol), col("n_events"))
 
-  /** Streaming dedup: first occurrence per key wins; the watermark bounds
-    * the dedup state (keys older than it are forgotten — the declared
-    * semantic of at-most-once-within-horizon). The streaming form of the
-    * north-star exact dedup. */
   /** Custom keyed state (SURVEY §2.8 north-star): cumulative per-user
     * totals via `flatMapGroupsWithState` — the arbitrary-state primitive
     * (`KeyValueGroupedDataset`) for logic windows can't express. Each
@@ -118,6 +114,10 @@ object Streams {
       }
   }
 
+  /** Streaming dedup: first occurrence per key wins; the watermark bounds
+    * the dedup state (keys older than it are forgotten — the declared
+    * semantic of at-most-once-within-horizon). The streaming form of the
+    * north-star exact dedup. */
   def dedupWithinWatermark(
       events: DataFrame,
       tsCol: String = "ts",
