@@ -1259,6 +1259,37 @@ object SparkEntry {
       s.table("q106_keys")
     }),
 
+    // §2.8 streaming #7, EXECUTED AS A STREAM: stream-STATIC enrichment —
+    // the streaming mirror of the J5 broadcast dimension join. The static
+    // customer side is re-read per micro-batch and carries no state; the
+    // drained rows are exactly the batch left join (event_id is unique, so
+    // the result is deterministic row-for-row, unlike q106's key
+    // projection). Completes the driver-checked streaming family: every
+    // Streams operator except the order-dependent near-dup marker now has
+    // a CORRECTNESS row that executed as a stream.
+    "q107_enrich_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q107_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment"), col("c_nationkey"))
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams.enrichWithDim(stream, dim, "user_id")
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("c_mktsegment"), col("c_nationkey"))
+        .writeStream
+        .format("memory").queryName("q107_enriched").outputMode("append")
+        .option("checkpointLocation",
+          predsPath(s"q107_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q107_enriched")
+    }),
+
     // §2.8 streaming #4, EXECUTED AS A STREAM: the stream-stream
     // watermarked JOIN — two independent file streams over the same
     // staged events (clicks side, purchases side), matched on user within
@@ -1902,6 +1933,12 @@ object SparkEntry {
     // the drained first-occurrence key set == the distinct key set
     "q106_dedup_stream" ->
       """SELECT user_id, event_type FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the stream-static broadcast enrichment == the plain batch left join
+    "q107_enrich_stream" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |       c.c_mktsegment, c.c_nationkey
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     // the Spark side salted the join; the oracle is the PLAIN join — the
     // hash match proves the skew mitigation is result-invisible

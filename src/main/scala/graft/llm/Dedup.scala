@@ -738,14 +738,15 @@ object Dedup {
     val toks = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= l)
-    // 1-based start positions, mirroring the oracle's generate_series
+    // native codegen'd shingling (same rationale as `shingles` above: the
+    // HOF transform/slice/concat_ws form evaluates interpreted and
+    // dominates the query); posexplode's 0-based ordinal + 1 = the 1-based
+    // start position the oracle's generate_series produces
     val grams = toks
       .select(col(idCol), size(col("ts")).cast("long").as("n_tok"),
-        explode(transform(sequence(lit(1), size(col("ts")) - l + 1),
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("ts"), i, lit(l))).as("gram")))).as("g"))
+        posexplode(graft.exprapi.wordShingles(col("ts"), l)))
       .select(col(idCol), col("n_tok"),
-        col("g.pos").as("pos"), col("g.gram").as("gram"))
+        (col("pos") + 1).as("pos"), col("col").as("gram"))
     val dup = grams.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDocs)
