@@ -1512,7 +1512,36 @@ object SparkEntry {
     // curation family (sampling: q59/q77/q80/q81; quality: q19/q76).
     "q104_dsir_weights" -> ((s, dir) =>
       llm.Dsir.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
-        col("lang") === "en", k = 50))
+        col("lang") === "en", k = 50)),
+
+    // MERGE/upsert for plain-parquet tables (read-join-rewrite — the
+    // primitive every transactional format builds on): a deterministic
+    // synthetic change set derived from orders itself — status updates
+    // (keys %7), brand-new keys (%13, offset +1e8), and a CONFLICTING
+    // second version for %21 keys that must lose to last-writer-wins.
+    "q108_merge_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd2 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          col("o_totalprice"), lit(2).as("ver"))
+      val upd1 = o.filter(col("o_orderkey") % 21 === 0)
+        .select(col("o_orderkey"), lit("D").as("o_orderstatus"),
+          col("o_totalprice"), lit(1).as("ver"))
+      val ins = o.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"), lit(1).as("ver"))
+      Relational.upsert(o, upd2.unionByName(upd1).unionByName(ins),
+        Seq("o_orderkey"), orderCol = "ver", tieCol = "o_orderstatus")
+    }),
+
+    // SCD2 dimension-history build from a change log: per-user event_type
+    // versions with [valid_from, valid_to) intervals, no-op changes
+    // collapsed, (ts, event_id) ordering so duplicate timestamps stay
+    // deterministic.
+    "q109_scd2" -> ((s, dir) =>
+      ops.Temporal.scd2(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id"))
   )
 
   /** Absolute path for a query-persisted intermediate parquet — shared by
@@ -1939,6 +1968,49 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type,
         |       c.c_mktsegment, c.c_nationkey
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "q108_merge_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), u AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, 2 AS ver
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', o_totalprice, 1 FROM o WHERE o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1
+        |  FROM o WHERE o_orderkey % 13 = 0
+        |), win AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                    ORDER BY ver DESC, o_orderstatus DESC) AS rn
+        |        FROM u)
+        |  WHERE rn = 1
+        |)
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM o
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM win""".stripMargin,
+
+    // independent SCD2 formulation: lag-collapse no-ops, then lead over
+    // the survivors gives each version its [valid_from, valid_to)
+    "q109_scd2" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), k AS (
+        |  SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE prev IS NULL OR event_type <> prev
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS valid_to,
+        |       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) IS NULL
+        |            THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM k""".stripMargin,
 
     // the Spark side salted the join; the oracle is the PLAIN join — the
     // hash match proves the skew mitigation is result-invisible

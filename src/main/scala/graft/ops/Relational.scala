@@ -528,6 +528,35 @@ object Relational {
       .withColumn("ahead_sum", sum(v).over(wAhead))
   }
 
+  /** MERGE / upsert for plain-parquet tables (no transactional format in
+    * scope): updates win per key, untouched base rows survive, new keys
+    * insert. When `updates` carries several versions of a key, the LAST
+    * writer wins — highest `orderCol`, ties to the highest `tieCol`
+    * (deterministic; a max-timestamp rule, not arrival order).
+    *
+    * Scale shape: one row_number window over the updates (small side), one
+    * LEFT ANTI join of base against the winning keys, one union — the base
+    * table is never shuffled beyond the anti join's key exchange and no
+    * row is compared against more than its own key group. The caller
+    * rewrites the result (or just the touched partitions, with
+    * `writePartitioned`) — read-join-rewrite is the merge primitive every
+    * table format builds on. */
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    val winners = updates
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    base.join(winners.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(winners.select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
   // `$"name"` sugar without a SparkSession in scope, so the combinators
   // read like the user-facing DSL.
   private implicit class Dollar(val sc: StringContext) {

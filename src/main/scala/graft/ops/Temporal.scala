@@ -202,4 +202,38 @@ object Temporal {
         datediff(to_date(col(tsCol)), to_date(lag(col(tsCol), 1).over(w)))
           .cast("long"))
   }
+
+  /** Slowly-changing-dimension type-2 history build from a change log:
+    * each surviving change becomes one version row
+    * `[valid_from, valid_to)`, with `valid_to` NULL (open) on the current
+    * version. No-op changes — rows whose attribute equals the previous
+    * row's — are collapsed first, so consecutive identical versions never
+    * split an interval. Order within a key is (`tsCol`, `tieCol`):
+    * duplicate timestamps are resolved by the unique tiebreak, which makes
+    * the whole history deterministic.
+    *
+    * Scale shape: one hash shuffle on the key, one per-key sort, two
+    * window passes (the lag filter, then lead over the SURVIVORS — the
+    * second pass must run after collapsing or a dropped no-op would leave
+    * a hole in its predecessor's interval). No joins, no state beyond the
+    * per-key sort — the same shape as [[sequenceDeltas]]. */
+  def scd2(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCol: String,
+      tieCol: String): DataFrame = {
+    val ord = Seq(col(tsCol), col(tieCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val kept = changes
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .filter(col("prev_attr").isNull || col(attrCol) =!= col("prev_attr"))
+      .drop("prev_attr")
+    kept
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"), col("is_current"))
+  }
 }

@@ -282,4 +282,24 @@ class RelationalSpec extends AnyFunSuite {
       assert(p50 >= lo && p95 <= hi, s"$k: percentiles within [$lo, $hi]")
     }
   }
+
+  test("upsert: updates win, last writer per key, inserts land, base untouched rows survive") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val updates = Seq(
+      (2L, "b2", 21.0, 1, "t1"),  // superseded by ver 2
+      (2L, "b3", 22.0, 2, "t2"),  // last writer for key 2
+      (3L, "c1", 31.0, 2, "tA"),  // same ver as c2 -> tie goes to higher tieCol
+      (3L, "c2", 32.0, 2, "tB"),
+      (4L, "d", 40.0, 1, "t3")    // brand-new key
+    ).toDF("k", "v", "x", "ver", "tie")
+    val out = graft.ops.Relational
+      .upsert(base, updates, Seq("k"), orderCol = "ver", tieCol = "tie")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      1L -> (("a", 10.0)),   // untouched
+      2L -> (("b3", 22.0)),  // highest ver wins
+      3L -> (("c2", 32.0)),  // ver tie -> higher tie column wins
+      4L -> (("d", 40.0))))  // insert
+  }
 }

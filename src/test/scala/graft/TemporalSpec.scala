@@ -246,4 +246,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(fast === brute)
     assert(fast.nonEmpty, "fixture should produce at least one in-window click")
   }
+
+  test("scd2: no-op changes collapse, duplicate ts resolved by tiebreak, open current version") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "A"),  // no-op: collapsed
+      (1L, ts("2024-01-03 00:00:00"), 3L, "B"),
+      (1L, ts("2024-01-03 00:00:00"), 4L, "C"),  // same ts as B: id orders it after
+      (2L, ts("2024-01-05 00:00:00"), 5L, "Z")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Temporal
+      .scd2(changes, "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((Option(r.getTimestamp(2)), Option(r.getTimestamp(3)), r.getInt(4))))
+      .toMap
+    assert(out.keySet === Set((1L, "A"), (1L, "B"), (1L, "C"), (2L, "Z")),
+      "the collapsed no-op must not produce a version row")
+    // A runs until B takes over; the duplicate-ts B version is zero-length
+    assert(out((1L, "A")) ===
+      ((Some(ts("2024-01-01 00:00:00")), Some(ts("2024-01-03 00:00:00")), 0)))
+    assert(out((1L, "B")) ===
+      ((Some(ts("2024-01-03 00:00:00")), Some(ts("2024-01-03 00:00:00")), 0)))
+    assert(out((1L, "C")) === ((Some(ts("2024-01-03 00:00:00")), None, 1)))
+    assert(out((2L, "Z")) === ((Some(ts("2024-01-05 00:00:00")), None, 1)))
+  }
 }
