@@ -1519,20 +1519,45 @@ object SparkEntry {
     // synthetic change set derived from orders itself — status updates
     // (keys %7), brand-new keys (%13, offset +1e8), and a CONFLICTING
     // second version for %21 keys that must lose to last-writer-wins.
-    "q108_merge_upsert" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val upd2 = o.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
-          col("o_totalprice"), lit(2).as("ver"))
-      val upd1 = o.filter(col("o_orderkey") % 21 === 0)
-        .select(col("o_orderkey"), lit("D").as("o_orderstatus"),
-          col("o_totalprice"), lit(1).as("ver"))
-      val ins = o.filter(col("o_orderkey") % 13 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          lit("N").as("o_orderstatus"), col("o_totalprice"), lit(1).as("ver"))
-      Relational.upsert(o, upd2.unionByName(upd1).unionByName(ins),
-        Seq("o_orderkey"), orderCol = "ver", tieCol = "o_orderstatus")
+    "q108_merge_upsert" -> ((s, dir) =>
+      Relational.upsert(ordersSnapshot(s, dir), ordersChangeSet(s, dir),
+        Seq("o_orderkey"), orderCol = "ver", tieCol = "o_orderstatus")),
+
+    // CDC derivation: recover the change feed between the base snapshot
+    // and the merged+pruned successor — inserts from the new-key branch,
+    // updates from the %7 status rewrite, deletes from the %11 prune.
+    "q111_snapshot_diff" -> ((s, dir) => {
+      val base = ordersSnapshot(s, dir)
+      val next = Relational.upsert(base, ordersChangeSet(s, dir),
+          Seq("o_orderkey"), orderCol = "ver", tieCol = "o_orderstatus")
+        .filter(col("o_orderkey") % 11 =!= 5)
+      Relational.snapshotDiff(base, next, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
+    // distance-≤1 fuzzy self-pairing with NO blocking key (deletion
+    // neighborhoods, full-recall pigeonhole) — the generic form of q65's
+    // domain-bucketed editDistanceJoin
+    "q110_deletion_join" -> ((s, dir) =>
+      Relational.deletionJoinPairs(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name")),
+
+    // WARC round trip: serialize documents as spec-shaped response
+    // records (deterministic IDs/date), parse them back with the
+    // Content-Length-driven scanner — the oracle reads the ORIGINAL
+    // documents table, so a hash match proves parse(serialize(x)) == x
+    // byte-for-byte including multi-byte UTF-8 octet accounting.
+    "q112_warc_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .selectExpr("concat('https://corpus.local/doc/', doc_id) AS uri", "text")
+      sources.Warc.writeWarc(docs, "uri", "text", predsPath("q112_warc"))
+      sources.Warc.warcRecords(s, predsPath("q112_warc"))
+        .filter(col("warc_type") === "response")
+        .selectExpr(
+          "CAST(regexp_extract(target_uri, '([0-9]+)$', 1) AS BIGINT) AS doc_id",
+          "payload_text AS text",
+          "CAST(octet_length(payload) AS BIGINT) AS n_bytes")
     }),
 
     // SCD2 dimension-history build from a change log: per-user event_type
@@ -1550,6 +1575,29 @@ object SparkEntry {
     * `graft.preds.tag` system property (Verify sets it to the SF dir name)
     * so multi-SF verify sequences keep each SF's persisted splits — and
     * the paths its oracle_sql.json embeds — separate. */
+  /** q108/q111 shared fixture: the base orders snapshot and a
+    * deterministic synthetic change set derived from it — status updates
+    * (%7 keys, ver 2), a conflicting earlier version that must lose
+    * last-writer-wins (%21 keys, ver 1), and brand-new keys (%13,
+    * offset +1e8). */
+  private def ordersSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def ordersChangeSet(s: SparkSession, dir: String): DataFrame = {
+    val o = ordersSnapshot(s, dir)
+    val upd2 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        col("o_totalprice"), lit(2).as("ver"))
+    val upd1 = o.filter(col("o_orderkey") % 21 === 0)
+      .select(col("o_orderkey"), lit("D").as("o_orderstatus"),
+        col("o_totalprice"), lit(1).as("ver"))
+    val ins = o.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), lit(1).as("ver"))
+    upd2.unionByName(upd1).unionByName(ins)
+  }
+
   private def predsPath(name: String): String = {
     val tag = sys.props.getOrElse("graft.preds.tag", "default")
     new java.io.File(s"target/tmp/$tag/$name").getAbsolutePath
@@ -2011,6 +2059,63 @@ object SparkEntry {
         |                                     ORDER BY ts, event_id) IS NULL
         |            THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM k""".stripMargin,
+
+    // the Spark side serialized to WARC and parsed back; the oracle reads
+    // the ORIGINAL table — the hash match proves the round trip is exact
+    "q112_warc_roundtrip" ->
+      """SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    // the Spark side blocks with deletion neighborhoods; the oracle is the
+    // BRUTE-FORCE quadratic join — the hash match proves the blocking has
+    // full recall at distance <= 1
+    "q110_deletion_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    "q111_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), u AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, 2 AS ver
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', o_totalprice, 1 FROM o WHERE o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1
+        |  FROM o WHERE o_orderkey % 13 = 0
+        |), win AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                    ORDER BY ver DESC, o_orderstatus DESC) AS rn
+        |        FROM u)
+        |  WHERE rn = 1
+        |), nxt AS (
+        |  SELECT * FROM (
+        |    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM o
+        |    WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+        |    UNION ALL
+        |    SELECT o_orderkey, o_orderstatus, o_totalprice FROM win)
+        |  WHERE o_orderkey % 11 <> 5
+        |)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       o.o_orderstatus AS old_o_orderstatus,
+        |       o.o_totalprice  AS old_o_totalprice,
+        |       n.o_orderstatus AS new_o_orderstatus,
+        |       n.o_totalprice  AS new_o_totalprice,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |            WHEN n.o_orderkey IS NULL THEN 'D'
+        |            WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |              OR (o.o_totalprice  IS DISTINCT FROM n.o_totalprice)
+        |            THEN 'U' END AS change_type
+        |FROM o FULL JOIN nxt n ON o.o_orderkey = n.o_orderkey
+        |WHERE CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |           WHEN n.o_orderkey IS NULL THEN 'D'
+        |           WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |             OR (o.o_totalprice  IS DISTINCT FROM n.o_totalprice)
+        |           THEN 'U' END IS NOT NULL""".stripMargin,
 
     // the Spark side salted the join; the oracle is the PLAIN join — the
     // hash match proves the skew mitigation is result-invisible

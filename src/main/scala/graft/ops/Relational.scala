@@ -353,6 +353,84 @@ object Relational {
       .drop("_block")
   }
 
+  /** The deletion neighborhood of a string: itself plus every
+    * single-character deletion (FastSS, Bocek et al. 2007 / SymSpell).
+    * Two strings are within Levenshtein distance 1 **iff** their
+    * neighborhoods intersect — equal strings share themselves, a
+    * substitution at i shares the both-delete-i variant, and an
+    * insertion/deletion pair shares the shorter string — so an equi-join
+    * on variants has FULL recall for distance ≤ 1 with no domain
+    * blocking key at all (contrast [[editDistanceJoin]], which needs
+    * one). |neighborhood| = length+1, all computed inside codegen. */
+  def deletionNeighborhood(s: Column): Column =
+    concat(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        j => concat(s.substr(lit(1), j - 1), s.substr(j + 1, length(s)))))
+
+  /** Distance-≤1 fuzzy self-pairing with exact recall and no blocking
+    * key: explode each row's [[deletionNeighborhood]], equi-join on the
+    * variant, dedup candidate pairs, then verify with the codegen'd
+    * `levenshtein`. The verify runs once per DISTINCT candidate pair —
+    * identical-variant multiplicity is collapsed before it.
+    *
+    * Scale shape: Σ|variant bucket|² candidate structs instead of n²/2 —
+    * the fuzzy analogue of the MinHash band join. Variant buckets are
+    * near-singleton on real key spaces (a variant pins the original up
+    * to one insertion); a pathological hot variant is a skew problem,
+    * not a plan problem — AQE skew-join splitting (on in
+    * [[graft.GraftSession]]) handles it without losing recall, unlike a
+    * bucket-size cap, which is why this operator (exact contract) takes
+    * no `maxBucketSize` while the approximate LSH families do. */
+  def deletionJoinPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .withColumn("_var", explode(deletionNeighborhood(col("_s"))))
+    val a = v.select(col("_id").as("id_a"), col("_s").as("s_a"), col("_var"))
+    val b = v.select(col("_id").as("id_b"), col("_s").as("s_b"), col("_var"))
+    a.join(b, Seq("_var"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("edit_dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
+  /** Snapshot diff (CDC derivation): compare two versions of a keyed
+    * table and emit one row per changed key — `I` (inserted), `D`
+    * (deleted), `U` (any `valueCols` differs, null-safe) — with old/new
+    * values side by side. Unchanged keys are dropped. This is the
+    * inverse of [[upsert]]: upsert applies a change set, snapshotDiff
+    * recovers one, and together they give plain-parquet tables the
+    * change-data-feed primitive transactional formats expose.
+    *
+    * Scale shape: one full-outer hash join on the key plus a codegen'd
+    * comparison — no window, no state; the filter on `change_type`
+    * drops the (typically dominant) unchanged mass before anything
+    * downstream. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"old_$c"))
+        :+ lit(1).as("_po"): _*)
+    val n = newDf.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"new_$c"))
+        :+ lit(1).as("_pn"): _*)
+    val changed = valueCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_po").isNull, lit("I"))
+          .when(col("_pn").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("change_type").isNotNull)
+      .drop("_po", "_pn")
+  }
+
   /** Deterministic per-stratum downsampling — the class-rebalancing /
     * language-mix step of a training-data pipeline, as a PURE FUNCTION of
     * the row key: a row is kept iff the first 32 bits of md5(key), read

@@ -283,6 +283,50 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("deletionJoinPairs: full recall at distance <= 1 vs brute force, zero false positives") {
+    // substitution (abc/axc), deletion (abc/ab), insertion (abc/xabc),
+    // equal-distance-2 pair (abc/xyc must NOT pair), duplicates in the id
+    // space, and a longer realistic pair
+    val df = Seq(
+      (1L, "abc"), (2L, "axc"), (3L, "ab"), (4L, "xabc"), (5L, "xyc"),
+      (6L, "customer#0042"), (7L, "customer#0043"), (8L, "customer#942")
+    ).toDF("id", "s")
+    val fast = graft.ops.Relational.deletionJoinPairs(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    assert(fast === brute)
+    assert(fast.exists(_._3 == 1L), "fixture must exercise a distance-1 pair")
+    assert(!fast.exists(p => p._1 == 5L || p._2 == 5L),
+      "the distance-2 string must not pair with anything")
+  }
+
+  test("snapshotDiff: emits I/U/D with old/new values, drops unchanged keys") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "st", "v")
+    val nxt = Seq((1L, "a", 10.0), (2L, "b2", 20.0), (4L, "d", 40.0))
+      .toDF("k", "st", "v")
+    val out = graft.ops.Relational
+      .snapshotDiff(old, nxt, Seq("k"), Seq("st", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(5),
+        Option(r.getString(1)), Option(r.getString(3))))).toMap
+    assert(out.keySet === Set(2L, 3L, 4L), "key 1 unchanged -> dropped")
+    assert(out(2L) === (("U", Some("b"), Some("b2"))))
+    assert(out(3L) === (("D", Some("c"), None)))
+    assert(out(4L) === (("I", None, Some("d"))))
+  }
+
   test("upsert: updates win, last writer per key, inserts land, base untouched rows survive") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "v", "x")
