@@ -1543,6 +1543,52 @@ object SparkEntry {
         Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")),
 
+    // interpolated-bigram LM cross-entropy (the CCNet/KenLM-direction
+    // quality bucket, one model order up from q83's unigram NLL) —
+    // µ-quantized per DISTINCT bigram, so per-doc scoring is exact
+    // integer arithmetic and hash-checkable
+    "q115_bigram_nll" -> ((s, dir) =>
+      text.Lm.bigramLogLoss(Tables.documents(s, dir), "doc_id", "text")),
+
+    // HTML→text extraction over a staged HTML fixture (entity-escaped
+    // documents text wrapped in title/style/script/comment noise): both
+    // engines run the SAME RE2-safe extraction chain over the same stored
+    // bytes, so the hash match pins the extractor's cross-engine semantics
+    "q113_html_extract" -> ((s, dir) => {
+      val html = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><!-- fixture --><head><title>doc "), col("doc_id"),
+          lit("</title><style>p{color:red}</style></head><body><h1>"),
+          upper(col("lang")), lit("</h1><p>"),
+          web.WebOps.escapeHtml(col("text")),
+          lit("</p><script>var x=\"<p>no</p>\";</script></body></html>"))
+          .as("html"))
+      sources.Sources.writeParquet(html, predsPath("q113_html"))
+      s.read.parquet(predsPath("q113_html"))
+        .select(col("doc_id"), web.WebOps.htmlToText(col("html")).as("text"))
+    }),
+
+    // per-domain document cap (the C4/RefinedWeb crawl-curation step):
+    // tracking-decorated mixed-case URLs → canonical form → registrable
+    // domain (eTLD+1, incl. co.uk-style second-level suffixes) → keep the
+    // k lowest doc_ids per domain. The oracle re-derives everything from
+    // scratch in SQL — an independent formulation of both URL ops.
+    "q114_domain_cap" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://WWW."), col("source"),
+        when(col("doc_id") % 3 === 0, lit(".com"))
+          .when(col("doc_id") % 3 === 1, lit(".co.uk"))
+          .otherwise(lit(".org")),
+        lit(":443/p/"), col("doc_id"),
+        lit("?utm_source=feed&id="), col("doc_id"), lit("&utm_c=x#frag"))
+      val norm = Tables.documents(s, dir)
+        .select(col("doc_id"), web.WebOps.normalizeUrl(url).as("url_norm"))
+        .withColumn("domain", web.WebOps.registrableDomain(col("url_norm")))
+      Relational.groupedTopK(norm, Seq("domain"), "doc_id", "doc_id",
+          k = 5, descending = false)
+        .select(col("domain"), col("doc_id"), col("url_norm"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // WARC round trip: serialize documents as spec-shaped response
     // records (deterministic IDs/date), parse them back with the
     // Content-Length-driven scanner — the oracle reads the ORIGINAL
@@ -2059,6 +2105,100 @@ object SparkEntry {
         |                                     ORDER BY ts, event_id) IS NULL
         |            THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM k""".stripMargin,
+
+    "q115_bigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), pb AS (
+        |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(ts)-1),
+        |             i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS bg
+        |    FROM t WHERE len(ts) >= 2)
+        |), tfb AS (
+        |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tfb
+        |  FROM pb GROUP BY 1, 2, 3
+        |), cb AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pb GROUP BY 1, 2
+        |), cw1 AS (
+        |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cb GROUP BY 1
+        |), uni AS (
+        |  SELECT unnest(ts) AS w2 FROM t
+        |), cu AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY 1
+        |), model AS (
+        |  SELECT cb.w1, cb.w2,
+        |         CAST(floor(-1e6 * ln(
+        |           CAST(0.75 AS DOUBLE) * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE)) +
+        |           CAST(0.25 AS DOUBLE) * (CAST(cu AS DOUBLE) /
+        |             CAST((SELECT count(*) FROM uni) AS DOUBLE)))) AS BIGINT) AS q
+        |  FROM cb JOIN cw1 USING (w1) JOIN cu USING (w2)
+        |)
+        |SELECT doc_id, CAST(sum(tfb) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(tfb * q) // sum(tfb) AS BIGINT) AS nll_q
+        |FROM tfb JOIN model USING (w1, w2)
+        |GROUP BY 1""".stripMargin,
+
+    // both engines run the same RE2-safe extraction chain over the SAME
+    // staged HTML bytes — cross-engine semantic pin of htmlToText
+    "q113_html_extract" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+         |            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |        '<[^>]+>', ' ', 'g'),
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text
+         |FROM read_parquet('${predsPath("q113_html")}/*.parquet')""".stripMargin,
+
+    // independent SQL re-derivation of URL canonicalization, eTLD+1
+    // grouping, and the per-domain cap
+    "q114_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'HTTPS://WWW.' || source ||
+        |         CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |              WHEN doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END ||
+        |         ':443/p/' || doc_id || '?utm_source=feed&id=' || doc_id ||
+        |         '&utm_c=x#frag' AS url
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    || '://' ||
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      ':(80|443)$', ''), '^www\.', '') ||
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1),
+        |      '(?:utm_[^&=]*|fbclid|gclid)=[^&]*&', '', 'g'),
+        |      '[?&](?:utm_[^&=]*|fbclid|gclid)=[^&]*$', ''),
+        |      '\?$', '') AS url_norm
+        |  FROM u
+        |), h AS (
+        |  SELECT doc_id, url_norm,
+        |    regexp_extract(url_norm, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)
+        |      AS host
+        |  FROM n
+        |), d AS (
+        |  SELECT doc_id, url_norm,
+        |    coalesce(nullif(regexp_extract(host,
+        |      '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.(?:uk|au|jp|br|in|nz|za))$',
+        |      1), ''), regexp_extract(host, '([^.]+\.[^.]+)$', 1)) AS domain
+        |  FROM h
+        |)
+        |SELECT domain, doc_id, url_norm, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT domain, doc_id, url_norm,
+        |             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |      FROM d)
+        |WHERE rn <= 5""".stripMargin,
 
     // the Spark side serialized to WARC and parsed back; the oracle reads
     // the ORIGINAL table — the hash match proves the round trip is exact
