@@ -1543,6 +1543,71 @@ object SparkEntry {
         Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")),
 
+    // schema-evolution read: two parquet generations (v2 adds a column),
+    // one mergeSchema scan — v1 rows surface NULL for the late column,
+    // exactly DuckDB's union_by_name over the same files
+    "q120_schema_evolution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      sources.Sources.writeParquet(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        predsPath("q120_v1"))
+      sources.Sources.writeParquet(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+        predsPath("q120_v2"))
+      s.read.option("mergeSchema", "true")
+        .parquet(predsPath("q120_v1"), predsPath("q120_v2"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    }),
+
+    // robust batch-health monitoring: per-type MAD outliers over event
+    // values (exact interpolated median both engines — the q50 recipe)
+    "q121_mad_outliers" -> ((s, dir) =>
+      ops.Profile.madOutliers(Tables.events(s, dir), "event_type", "value",
+        keepCols = Seq("event_id"), k = 3.0)),
+
+    // ANALYZE-TABLE-shaped column profiler (long format, one shared
+    // scan); doubles pre-cast to DECIMAL so the string forms are
+    // engine-portable
+    "q116_profile" -> ((s, dir) =>
+      ops.Profile.profileColumns(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey"),
+          col("l_quantity").cast("decimal(12,2)").as("l_quantity"),
+          col("l_returnflag"), col("l_shipdate")),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
+
+    // join-key skew diagnostics: top-k hot keys + exact-integer Gini of
+    // the key distribution — the decision inputs for saltedJoin (q96)
+    "q117_key_skew" -> ((s, dir) =>
+      ops.Profile.keySkewProfile(Tables.orders(s, dir), "o_custkey", topK = 10)),
+
+    // C4-style cross-document boilerplate-line removal over a staged
+    // fixture (synthetic cookie-banner/footer sentences injected, since
+    // the raw corpus has no cross-doc repeated sentences): banners reach
+    // minDocs and drop, every unique body survives, in-doc repetition is
+    // NOT boilerplate
+    "q118_line_dedup" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("Accept cookies to continue. ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(". All rights reserved")).otherwise(lit(""))).as("text"))
+      sources.Sources.writeParquet(staged, predsPath("q118_docs"))
+      text.Lines.dropBoilerplateLines(
+        s.read.parquet(predsPath("q118_docs")), "doc_id", "text", minDocs = 3L)
+    }),
+
+    // temperature-scaled training-mixture allocation (p_g ∝ tokens_g^(1/2),
+    // Hamilton largest-remainder rounding sums EXACTLY to the budget)
+    "q119_mixture" -> ((s, dir) =>
+      llm.Mixture.temperatureAllocation(
+        Tables.documents(s, dir), "lang",
+        size(TextOps.tokens(col("text"))).cast("long"), budget = 100000L)),
+
     // interpolated-bigram LM cross-entropy (the CCNet/KenLM-direction
     // quality bucket, one model order up from q83's unigram NLL) —
     // µ-quantized per DISTINCT bigram, so per-doc scoring is exact
@@ -2105,6 +2170,123 @@ object SparkEntry {
         |                                     ORDER BY ts, event_id) IS NULL
         |            THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM k""".stripMargin,
+
+    "q120_schema_evolution" ->
+      s"""SELECT o_orderkey, o_totalprice, o_orderstatus
+         |FROM read_parquet(['${predsPath("q120_v1")}/*.parquet',
+         |                   '${predsPath("q120_v2")}/*.parquet'],
+         |                  union_by_name = true)""".stripMargin,
+
+    "q121_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT event_id, event_type, value, med, abs(value - med) AS dev
+        |  FROM events JOIN med USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT event_type, event_id, value, med, mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev > 3 * mad""".stripMargin,
+
+    "q116_profile" ->
+      """SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |       min(v) AS min_s, max(v) AS max_s
+        |FROM (SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem)
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT v) AS BIGINT), min(v), max(v)
+        |FROM (SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS v
+        |      FROM lineitem)
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT v) AS BIGINT), min(v), max(v)
+        |FROM (SELECT CAST(l_returnflag AS VARCHAR) AS v FROM lineitem)
+        |UNION ALL
+        |SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT v) AS BIGINT), min(v), max(v)
+        |FROM (SELECT CAST(l_shipdate AS VARCHAR) AS v FROM lineitem)""".stripMargin,
+
+    "q117_key_skew" ->
+      """WITH counts AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT key, c, row_number() OVER (ORDER BY c ASC, key ASC) AS i
+        |  FROM counts
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(sum(i * c) AS BIGINT) AS s1
+        |  FROM ranked
+        |)
+        |SELECT key, c, CAST(r AS BIGINT) AS metric
+        |FROM (SELECT key, c,
+        |             row_number() OVER (ORDER BY c DESC, key ASC) AS r
+        |      FROM counts)
+        |WHERE r <= 10
+        |UNION ALL
+        |SELECT '__gini__', n_keys,
+        |       CAST(floor(1e6 * (CAST(2*s1 - (n_keys+1)*n_rows AS DOUBLE) /
+        |                         CAST(n_keys*n_rows AS DOUBLE))) AS BIGINT)
+        |FROM stats""".stripMargin,
+
+    // both engines replay the df>=3 sentence filter over the SAME staged
+    // fixture; string_agg/array_join rebuild surviving text in order
+    "q118_line_dedup" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, bg.pos AS pos, bg.sent AS sent FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(string_split(lower(text), '. '),
+         |             (x, i) -> struct_pack(pos := i, sent := x))) AS bg
+         |    FROM read_parquet('${predsPath("q118_docs")}/*.parquet'))
+         |  WHERE trim(sent) <> ''
+         |), df AS (
+         |  SELECT sent, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM s GROUP BY 1
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent,
+         |       CAST(sum(CASE WHEN df >= 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN df < 3 THEN sent END, '. '
+         |                           ORDER BY pos), '') AS text
+         |FROM s JOIN df USING (sent)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q119_mixture" ->
+      """WITH sizes AS (
+        |  SELECT lang,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(floor(1e6 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wq
+        |  FROM sizes
+        |), ex AS (
+        |  SELECT lang, n_tokens, wq,
+        |         (100000 * CAST(wq AS DOUBLE)) /
+        |           CAST((SELECT sum(wq) FROM w) AS DOUBLE) AS share
+        |  FROM w
+        |), e2 AS (
+        |  SELECT *, CAST(floor(share) AS BIGINT) AS alloc0,
+        |         share - floor(share) AS frac
+        |  FROM ex
+        |), sp AS (
+        |  SELECT 100000 - sum(alloc0) AS spare FROM e2
+        |)
+        |SELECT lang, n_tokens, wq,
+        |       CAST(alloc0 + CASE WHEN row_number()
+        |           OVER (ORDER BY frac DESC, lang ASC) <= (SELECT spare FROM sp)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM e2""".stripMargin,
 
     "q115_bigram_nll" ->
       """WITH t AS (

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table- and key-health diagnostics — the "should I salt this join /
+  * can this key broadcast / which column is rotten" questions a 100 TB
+  * pipeline asks BEFORE running, answered as plans over the data itself.
+  */
+object Profile {
+
+  /** Long-format column profile: one row per profiled column with row
+    * count, null count, exact distinct count, and lexicographic min/max
+    * of the string form. The per-column frames union into one plan, so
+    * Spark shares the scan across all profiled columns (one pass over
+    * the parquet, map-side partial aggs — the ANALYZE TABLE shape
+    * without the catalog dependency).
+    *
+    * Values travel as strings so heterogeneous column types fit one
+    * schema; exact distinct (not approx) keeps the result
+    * engine-portable. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(
+        lit(c).as("column"),
+        col(c).cast("string").as("v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_s"),
+          max(col("v")).as("max_s"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
+
+  /** Robust per-group outlier flags via median absolute deviation — the
+    * pipeline-monitoring rule ("which metric values broke this batch")
+    * that survives the heavy tails a mean/stddev z-score drowns in:
+    * a row is an outlier when |x − median| > k·MAD of its group.
+    *
+    * `percentile` here is the EXACT sort-based aggregate so the result
+    * is engine-portable (DuckDB `quantile_cont` computes the same
+    * interpolated statistic — the q50 recipe); at 100 TB swap in
+    * `approx_percentile`, which changes only this one aggregate, not the
+    * operator shape. The median/MAD frames are group-count-sized, so
+    * both re-attach joins broadcast. */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      keepCols: Seq[String],
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select((groupCol +: keepCols).map(col) ++
+        Seq(col(valueCol), col("med"), col("mad")): _*)
+  }
+
+  /** Join-key skew profile: the exact decision inputs for
+    * [[Relational.saltedJoin]] — per-key frequencies reduced to (a) the
+    * top-k hot keys with their counts and (b) a µ-quantized Gini
+    * coefficient of the key distribution, computed with the exact
+    * integer form
+    *
+    *   gini_q = ⌊10⁶ · Σᵢ (2i − n − 1)·cᵢ / (n · Σ cᵢ)⌋,  cᵢ ascending
+    *
+    * (i is the 1-based rank; ties broken by key for determinism). A
+    * gini near 0 = uniform keys (hash join fine); near 1 = a few hot
+    * keys own the table (salt or broadcast the other side).
+    *
+    * Scale shape: the groupBy count is map-side partial on the key; the
+    * rank window runs over the DISTINCT-KEY frame (vocabulary-sized, not
+    * row-sized). The whole Gini reduces to one integer sum — no doubles
+    * until the final division. */
+  def keySkewProfile(
+      df: DataFrame,
+      keyCol: String,
+      topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("c"))
+    // global windows run over the DISTINCT-KEY frame only —
+    // vocabulary-sized, the same single-partition discipline as q74's
+    // candidate recount
+    val w = Window.orderBy(col("c").asc, col("key").asc)
+    val ranked = counts.withColumn("i", row_number().over(w))
+    // Σ(2i−n−1)cᵢ = 2·Σi·cᵢ − (n+1)·Σcᵢ — three plain integer sums; the
+    // final ratio goes through doubles (exact-int→double conversion and
+    // one division are IEEE-deterministic in any engine, and the integer
+    // products 10⁶·gnum would overflow a long at real key cardinalities)
+    val stats = ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      sum(col("i").cast("long") * col("c")).as("s1"))
+    val gini = stats.select(
+      lit("__gini__").as("key"),
+      col("n_keys").as("c"),
+      floor(lit(1e6) *
+        ((lit(2) * col("s1") - (col("n_keys") + 1) * col("n_rows")).cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double"))).cast("long")
+        .as("metric"))
+    val top = ranked
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("key").asc)))
+      .filter(col("r") <= topK)
+      .select(col("key"), col("c"), col("r").cast("long").as("metric"))
+    top.unionByName(gini)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Profile
+
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profileColumns: counts, nulls, distinct, min/max per column in one frame") {
+    val df = Seq(
+      (1L, Some("a"), 1.5), (2L, None, 2.5), (3L, Some("a"), 1.5),
+      (4L, Some("b"), -1.0)
+    ).toDF("id", "s", "v")
+    val out = Profile.profileColumns(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(out("id") === ((4L, 0L, 4L, Some("1"), Some("4"))))
+    assert(out("s") === ((4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(out("v")._1 === 4L)
+    assert(out("v")._3 === 3L, "distinct over the string form")
+  }
+
+  test("madOutliers: heavy tail flagged by MAD, zero-spread group flags nothing extra") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 100.0), // med 3, devs (2,1,0,1,97), mad 1 -> only 100 flags
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0) // mad 0, all dev 0
+    ).toDF("g", "id", "v")
+    val out = graft.ops.Profile
+      .madOutliers(df, "g", "v", keepCols = Seq("id"), k = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 5L, 100.0)))
+  }
+
+  test("keySkewProfile: uniform keys gini ~ 0, degenerate key gini -> 1, top-k ranked") {
+    val uniform = (1 to 100).map(i => (i % 10).toString).toDF("k")
+    val gU = Profile.keySkewProfile(uniform, "k", topK = 3)
+      .filter($"key" === "__gini__").collect()(0).getLong(2)
+    assert(gU === 0L, "10 keys x 10 rows each is perfectly uniform")
+
+    val skewed = (("hot" * 1) * 1, 1) // placate scalafmt
+    val skewDf = ((1 to 991).map(_ => "hot") ++ Seq("a", "b", "c", "d", "e",
+      "f", "g", "h", "i")).toDF("k")
+    val rows = Profile.keySkewProfile(skewDf, "k", topK = 2).collect()
+    val gS = rows.filter(_.getString(0) == "__gini__")(0).getLong(2)
+    assert(gS > 880000L && gS < 1000000L,
+      s"one key owning 99.1% of rows must push gini toward 1, got $gS")
+    val top = rows.filter(_.getString(0) != "__gini__")
+      .sortBy(_.getLong(2)).map(r => (r.getString(0), r.getLong(1)))
+    assert(top(0) === (("hot", 991L)))
+    assert(top(1)._2 === 1L)
+  }
+}
