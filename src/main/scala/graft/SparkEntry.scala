@@ -1543,6 +1543,39 @@ object SparkEntry {
         Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")),
 
+    // §2.8 streaming #8, EXECUTED AS A STREAM: CDC apply — the q108
+    // change set delivered as micro-batches, folded into a versioned
+    // parquet snapshot chain via foreachBatch + upsertVersioned. The
+    // per-key (ver, tie) max makes the fold independent of batch
+    // boundaries and arrival order, so the drained final snapshot must
+    // hash-match the ONE-SHOT batch merge oracle.
+    "q122_cdc_stream" -> ((s, dir) => {
+      val base = ordersSnapshot(s, dir).withColumn("ver", lit(0))
+      val changes = ordersChangeSet(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("ver"))
+      val root = predsPath(s"q122_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(base, s"$root/v0")
+      sources.Sources.writeParquet(changes.repartition(4), s"$root/changes")
+      streaming.Streams.cdcApply(s, s"$root/changes", changes.schema,
+          s"$root/v0", root, Seq("o_orderkey"),
+          orderCol = "ver", tieCol = "o_orderstatus")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
+    // small-file compaction round trip: 64-way fragmented lineitem
+    // rewritten as 4 range-sorted files — content identical (oracle reads
+    // the ORIGINAL table), layout assertions in SourcesSpec
+    "q123_compaction" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      sources.Sources.writeParquet(li.repartition(64), predsPath("q123_frag"))
+      sources.Sources.compact(s, predsPath("q123_frag"),
+        predsPath("q123_compacted"), sortCols = Seq("l_orderkey", "l_linenumber"),
+        numFiles = 4)
+    }),
+
     // schema-evolution read: two parquet generations (v2 adds a column),
     // one mergeSchema scan — v1 rows surface NULL for the late column,
     // exactly DuckDB's union_by_name over the same files
@@ -2170,6 +2203,36 @@ object SparkEntry {
         |                                     ORDER BY ts, event_id) IS NULL
         |            THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM k""".stripMargin,
+
+    // the drained streaming CDC fold == the one-shot batch merge (q108's
+    // oracle verbatim — same change set, same last-writer-wins rule)
+    "q122_cdc_stream" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), u AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, 2 AS ver
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', o_totalprice, 1 FROM o WHERE o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1
+        |  FROM o WHERE o_orderkey % 13 = 0
+        |), win AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                    ORDER BY ver DESC, o_orderstatus DESC) AS rn
+        |        FROM u)
+        |  WHERE rn = 1
+        |)
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM o
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM win""".stripMargin,
+
+    // compaction must be content-invariant: the oracle reads the ORIGINAL
+    "q123_compaction" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem""".stripMargin,
 
     "q120_schema_evolution" ->
       s"""SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -384,16 +384,54 @@ object Relational {
     * no `maxBucketSize` while the approximate LSH families do. */
   def deletionJoinPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val v = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
-      .withColumn("_var", explode(deletionNeighborhood(col("_s"))))
-    val a = v.select(col("_id").as("id_a"), col("_s").as("s_a"), col("_var"))
-    val b = v.select(col("_id").as("id_b"), col("_s").as("s_b"), col("_var"))
-    a.join(b, Seq("_var"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+    // candidate/verify split: the variant frame and the candidate
+    // distinct carry ONLY ids (8 bytes), not the strings — the pair
+    // dedup shuffle is the volume bottleneck and shrinks ~5× vs
+    // carrying both strings through it; names re-attach afterwards on
+    // the (much smaller) distinct pair set for the one levenshtein
+    // verify per candidate pair
+    val vars = v.select(col("_id"),
+      explode(deletionNeighborhood(col("_s"))).as("_var"))
+    val cand = vars.as("a")
+      .join(vars.as("b"),
+        col("a._var") === col("b._var") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
+    cand
+      .join(v.select(col("_id").as("id_a"), col("_s").as("s_a")), "id_a")
+      .join(v.select(col("_id").as("id_b"), col("_s").as("s_b")), "id_b")
       .withColumn("edit_dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
       .filter(col("edit_dist") <= 1)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
+  /** Version-aware MERGE — the idempotent, out-of-order-tolerant form of
+    * [[upsert]] that CDC apply needs: an incoming row replaces the stored
+    * row for its key only if its (`verCol`, `tieCol`) is GREATER (updates
+    * beat base on full ties, making a replay of an already-applied batch
+    * a no-op rather than a flip-flop). Because the rule is a per-key max,
+    * applying change batches in ANY order — or twice — converges to the
+    * same table, which is what makes it safe under micro-batch delivery
+    * where a key's ver-1 row can arrive after its ver-2 row.
+    *
+    * Scale shape: one union + one per-key window (the base shuffles on
+    * the key, same volume as upsert's anti join; at scale the stored
+    * table should be bucketed by the key so only the update side
+    * exchanges). */
+  def upsertVersioned(
+      base: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tieCol: String): DataFrame = {
+    val cols = base.columns.toIndexedSeq
+    val all = base.select(cols.map(col): _*).withColumn("_src", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).desc, col("_src").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
   }
 
   /** Snapshot diff (CDC derivation): compare two versions of a keyed

@@ -207,6 +207,24 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction — THE operational chore of a streaming or
+    * micro-batch ingest at scale (a 100 TB table fed by per-batch
+    * appends decays into millions of KB-files whose open/seek overhead
+    * dominates scans): read the fragmented layout, rewrite as `numFiles`
+    * range-sorted files ([[writeSorted]] — the rewrite is the natural
+    * moment to also establish the clustering that row-group skipping
+    * needs). Content is untouched; only layout changes, which is what a
+    * round-trip oracle can pin exactly. */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      sortCols: Seq[String],
+      numFiles: Int = 8): DataFrame = {
+    writeSorted(spark.read.parquet(inDir), outDir, sortCols, numFiles)
+    spark.read.parquet(outDir)
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` bits of each column
     * so rows close in EVERY dimension are close in the one-dimensional
     * sort order (Morton 1966 — the multi-column clustering key behind

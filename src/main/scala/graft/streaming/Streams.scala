@@ -280,4 +280,49 @@ object Streams {
           marks.iterator
       }
   }
+
+  /** Streaming CDC apply — the production merge pipeline: a stream of
+    * change rows folds into a persisted table via
+    * [[Relational.upsertVersioned]] inside `foreachBatch`, one table
+    * SNAPSHOT directory per micro-batch (`<root>/v{n}` — read v(n−1),
+    * write v(n), never rewrite what a concurrent reader may hold open:
+    * the snapshot chain is the poor man's transaction log, exactly the
+    * structure table formats formalize). Because upsertVersioned is a
+    * per-key (ver, tie) max, the result is independent of how the change
+    * set is split into micro-batches and of their arrival order, and a
+    * replayed batch is a no-op — the two guarantees exactly-once sinks
+    * are built from.
+    *
+    * Returns the final snapshot as a DataFrame after the
+    * `Trigger.AvailableNow` drain. */
+  def cdcApply(
+      spark: org.apache.spark.sql.SparkSession,
+      changesDir: String,
+      changesSchema: org.apache.spark.sql.types.StructType,
+      baseSnapshotDir: String,
+      snapshotRoot: String,
+      keys: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream.schema(changesSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(changesDir)
+    @volatile var current = baseSnapshotDir
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        s"$snapshotRoot/ckpt_${System.nanoTime()}")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val table = spark.read.parquet(current)
+        val next = s"$snapshotRoot/v${batchId + 1}"
+        Relational.upsertVersioned(table, batch, keys, orderCol, tieCol)
+          .write.mode("overwrite").parquet(next)
+        current = next
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "AvailableNow CDC stream must drain")
+    spark.read.parquet(current)
+  }
 }

@@ -327,6 +327,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(out(4L) === (("I", None, Some("d"))))
   }
 
+  test("upsertVersioned: per-key max is batch-order independent and replay-idempotent") {
+    val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0)).toDF("k", "v", "ver")
+    val b1 = Seq((1L, "a1", 1), (2L, "b2", 2)).toDF("k", "v", "ver")
+    val b2 = Seq((1L, "a2", 2), (2L, "b1", 1), (4L, "d", 1)).toDF("k", "v", "ver")
+    def apply(b: org.apache.spark.sql.DataFrame, u: org.apache.spark.sql.DataFrame) =
+      graft.ops.Relational.upsertVersioned(b, u, Seq("k"), "ver", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+    val fwd = snap(apply(apply(base, b1), b2))
+    val rev = snap(apply(apply(base, b2), b1))
+    val once = snap(apply(base, b1.unionByName(b2)))
+    val replayed = snap(apply(apply(apply(base, b1), b2), b1))
+    assert(fwd === once, "batch split must not change the result")
+    assert(rev === once, "batch ORDER must not change the result")
+    assert(replayed === once, "replaying an applied batch must be a no-op")
+    assert(once === Set((1L, "a2", 2), (2L, "b2", 2), (3L, "c", 0), (4L, "d", 1)))
+  }
+
   test("upsert: updates win, last writer per key, inserts land, base untouched rows survive") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "v", "x")

@@ -349,6 +349,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(langs.forall(l => dirs.contains(s"lang=$l")))
   }
 
+  test("compact: fragmented layout rewrites to numFiles range-sorted files, content identical") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val frag = s"target/tmp/sources/compact_frag_${System.nanoTime()}"
+    val out = s"target/tmp/sources/compact_out_${System.nanoTime()}"
+    li.repartition(16).write.parquet(frag)
+    def parts(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts(frag) === 16)
+
+    val back = graft.sources.Sources.compact(spark, frag, out,
+      sortCols = Seq("l_orderkey", "l_linenumber"), numFiles = 2)
+    assert(parts(out) === 2, "compaction must hit the target file count")
+    assert(back.count() === li.count())
+    assert(back.except(li).count() === 0 && li.except(back).count() === 0,
+      "compaction is layout-only: content must round-trip exactly")
+    // range-partitioned + sorted: per-file key ranges must not overlap
+    val ranges = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("l_orderkey"))
+      .groupBy("f").agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges must be disjoint: $hi1 vs $lo2")
+      case _ =>
+    }
+  }
+
   test("saltedJoin returns exactly the plain join result (skew mitigation)") {
     val o = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"), col("o_totalprice"))
     val li = Tables.lineitem(spark, TestSpark.sf).select(col("l_orderkey"), col("l_quantity"))

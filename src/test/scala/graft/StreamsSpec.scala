@@ -301,6 +301,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdcApply: micro-batched fold equals one-shot merge regardless of batch split") {
+    val root = s"target/tmp/streams/cdc_${System.nanoTime()}"
+    val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0)).toDF("k", "v", "ver")
+    // conflicting versions of key 1 and 2 deliberately placed so a
+    // 1-file-per-trigger split can deliver ver-2 BEFORE ver-1
+    val changes = Seq((1L, "a2", 2), (2L, "b1", 1), (1L, "a1", 1),
+      (2L, "b2", 2), (4L, "d", 1)).toDF("k", "v", "ver")
+    base.write.parquet(s"$root/v0")
+    changes.repartition(5).write.parquet(s"$root/changes")
+
+    val fin = graft.streaming.Streams.cdcApply(spark, s"$root/changes",
+      changes.schema, s"$root/v0", root, Seq("k"), "ver", "v",
+      maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val oneShot = graft.ops.Relational
+      .upsertVersioned(base, changes, Seq("k"), "ver", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(fin === oneShot)
+    assert(fin === Set((1L, "a2", 2), (2L, "b2", 2), (3L, "c", 0), (4L, "d", 1)))
+    // the snapshot chain must have one version per micro-batch
+    val versions = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.matches("v[0-9]+")).sorted
+    assert(versions.length >= 3, s"expected a snapshot chain, got ${versions.toSeq}")
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
