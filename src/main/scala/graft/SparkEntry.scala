@@ -1543,6 +1543,32 @@ object SparkEntry {
         Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")),
 
+    // Spark-4 native XML source round trip (format("xml") is built into
+    // spark-sql 4.x): write orders as <order> rows, read back with an
+    // explicit schema — the oracle reads the ORIGINAL table, so the hash
+    // match pins writer+parser inverse-ness incl. exact double round trip
+    // (shortest-repr write, exact parse)
+    "q124_xml_roundtrip" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      val stage = predsPath("q124_xml")
+      o.write.mode("overwrite").format("xml")
+        .option("rootTag", "orders").option("rowTag", "order").save(stage)
+      s.read.format("xml").option("rowTag", "order")
+        .schema(o.schema).load(stage)
+    }),
+
+    // Spark-4 VARIANT path for semi-structured columns: parse_json once,
+    // typed variant_get extraction — the open-schema twin of q66's
+    // fixed-schema from_json (the 100 TB-relevant difference: VARIANT
+    // keeps the full document queryable without committing to a schema
+    // at write time)
+    "q125_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))),
+
     // §2.8 streaming #8, EXECUTED AS A STREAM: CDC apply — the q108
     // change set delivered as micro-batches, folded into a versioned
     // parquet snapshot chain via foreachBatch + upsertVersioned. The
@@ -2203,6 +2229,16 @@ object SparkEntry {
         |                                     ORDER BY ts, event_id) IS NULL
         |            THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM k""".stripMargin,
+
+    // XML round trip: oracle reads the ORIGINAL table
+    "q124_xml_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders""".stripMargin,
+
+    // VARIANT extraction == plain JSON path extraction over the same strings
+    "q125_variant" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
 
     // the drained streaming CDC fold == the one-shot batch merge (q108's
     // oracle verbatim — same change set, same last-writer-wins rule)
