@@ -2675,11 +2675,15 @@ object SparkEntry {
          |  SELECT c.vec_id, c.cell, v.qv,
          |         CAST(list_sum(list_transform(v.qv, x -> x * x)) AS BIGINT) AS n2
          |  FROM v JOIN read_parquet('${predsPath("q100_cells")}/*.parquet') c USING (vec_id)
+         |), ok AS (
+         |  SELECT cell FROM read_parquet('${predsPath("q100_cells")}/*.parquet')
+         |  GROUP BY cell HAVING count(*) <= 10000
          |), pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_i8,
          |    a.n2 AS na2, b.n2 AS nb2
          |  FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN ok ON ok.cell = a.cell
          |), dropped AS (
          |  SELECT DISTINCT id_b FROM pairs
          |  WHERE dot_i8 > 0

@@ -85,11 +85,17 @@ object Tables {
   /** Load one fixture table and assert its schema matches the declaration
     * (nullability ignored — parquet footers mark everything nullable).
     *
-    * `events.ts` is physically TIMESTAMP(NANOS), which the vectorized
-    * parquet reader rejects; we read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and restore a microsecond
-    * `timestamp_ntz` — the same truncation DuckDB applies, so oracle
-    * comparisons agree to the microsecond. */
+    * `events.ts` has shipped under two physical encodings across fixture
+    * generations: TIMESTAMP(NANOS) (which the vectorized reader only
+    * accepts as raw longs via `spark.sql.legacy.parquet.nanosAsLong`) and
+    * plain TIMESTAMP(MICROS). We scan with the nanos conf enabled (a
+    * no-op for micros files), then branch on the type the scan actually
+    * produced and normalize both encodings to the declared microsecond
+    * `timestamp_ntz` — the same resolution DuckDB uses, so oracle
+    * comparisons agree. Branching on the scanned type instead of assuming
+    * one encoding is what makes a silent fixture regeneration a non-event
+    * (round-6 regression: 20 queries died on `ts div 1000` when the
+    * fixture moved to micros). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.GraftSession.tune(spark)
     val df =
@@ -102,10 +108,21 @@ object Tables {
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "true")
         try {
-          spark.read.parquet(s"$sfDir/$name.parquet")
-            .withColumn("ts",
+          val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+          val tsNorm = raw.schema("ts").dataType match {
+            case LongType => // nanos fixture, scanned as raw int64 nanos
               org.apache.spark.sql.functions.expr(
-                "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+                "cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            case TimestampNTZType => // micros fixture, already naive
+              org.apache.spark.sql.functions.col("ts")
+            case TimestampType => // micros fixture read as tz-adjusted
+              org.apache.spark.sql.functions.expr(
+                "cast(ts as timestamp_ntz)")
+            case other =>
+              throw new IllegalStateException(
+                s"events.ts scanned as unsupported type $other")
+          }
+          raw.withColumn("ts", tsNorm)
         } finally {
           prev match {
             case Some(v) => spark.conf.set(key, v)

@@ -684,21 +684,42 @@ object Dedup {
     *
     * Returns the kept `(vec_id, cell)` rows.
     *
+    * `maxCellSize` is the same quadratic guard every sibling in the dedup
+    * family carries ([[candidatePairs]] `maxBucketSize`, the SimHash band
+    * cap, [[incrementalDupMarks]] both-side caps): KMeans targets ~256
+    * vectors per cell, but real embedding clusters are skewed, and one
+    * boilerplate mega-cell at 100 TB is a single-task |cell|² blow-up.
+    * Cells above the cap contribute NO pairs — all their members survive,
+    * the declared-precision-loss semantics of the MinHash cap — and
+    * [[oversizedCells]] reports exactly which cells were skipped so the
+    * loss is observable, not silent.
+    *
     * @param assignments `(vec_id, cell)` — the persisted coarse-cluster fit
     * @param tau2E4 τ²·10⁴ for the cosine floor τ (e.g. 1600 ⇒ τ = 0.4)
+    * @param maxCellSize cells with more members than this are excluded
+    *                    from pairing (members all kept)
     */
   def semanticDedup(
       assignments: DataFrame,
       embeddings: DataFrame,
       tau2E4: Long,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      maxCellSize: Int = 10000): DataFrame = {
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
     val q8 = Similarity.quantizeInt8Global(embeddings, idCol, embCol)
       .withColumn("n2", graft.exprapi.int8Dot(col("qv"), col("qv")))
       .join(assignments.select(col(idCol), col("cell")), idCol)
-    val a = q8.select(col("cell"), col(idCol).as("id_a"),
+    // pairing universe: only cells within the cap (the semi-join is a tiny
+    // aggregate over the assignment table, broadcast-able at any scale)
+    val okCells = assignments.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxCellSize)
+      .select(col("cell"))
+    val paired = q8.join(okCells, Seq("cell"), "left_semi")
+    val a = paired.select(col("cell"), col(idCol).as("id_a"),
       col("qv").as("va"), col("n2").as("na2"))
-    val b = q8.select(col("cell"), col(idCol).as("id_b"),
+    val b = paired.select(col("cell"), col(idCol).as("id_b"),
       col("qv").as("vb"), col("n2").as("nb2"))
     val dec = "decimal(38,0)"
     val dropped = a.join(b, Seq("cell"))
@@ -711,6 +732,18 @@ object Dedup {
     q8.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
   }
+
+  /** Diagnostic companion to [[semanticDedup]]: the cells whose population
+    * exceeds `maxCellSize` and were therefore excluded from pairing, with
+    * their sizes — `(cell, cell_n)`, largest first. Run (or sink) this
+    * alongside the dedup so capped precision loss is a logged fact, not a
+    * silent one; at 100 TB it is one aggregation over the (id, cell)
+    * assignment table. */
+  def oversizedCells(assignments: DataFrame, maxCellSize: Int): DataFrame =
+    assignments.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > maxCellSize)
+      .orderBy(col("cell_n").desc)
 
   /** Cross-document duplicated-SPAN coverage — the span-level member of the
     * dedup family (doc-level: exactDedup / MinHash / SimHash / semantic).

@@ -405,4 +405,40 @@ class DedupSpec extends AnyFunSuite {
     // survivors carry their fitted cell through unchanged
     kept.foreach { case (id, c) => assert(c === cellOf(id)) }
   }
+
+  test("semanticDedup: maxCellSize cap skips oversized cells, keeps small-cell drops") {
+    import graft.llm.Similarity
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val idx = Similarity.fitIvfIndex(
+      e.select($"vec_id".as("n_id"), $"embedding".as("n_emb")),
+      nlist = 8, persistCells = false)
+    val assigns = idx.cells.select($"n_id".as("vec_id"), $"cell")
+    val sizes = assigns.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().sortBy(-_._2)
+    // cap chosen strictly between the largest and smallest cell so the cap
+    // provably engages on some cells and spares others
+    assert(sizes.length >= 2 && sizes.head._2 > sizes.last._2,
+      "fixture must give skewed cells for the cap test to bite")
+    val cap = sizes.head._2.toInt - 1
+    val capped = Dedup.semanticDedup(assigns, e, tau2E4 = 1600L,
+      maxCellSize = cap).as[(Long, Int)].collect().toMap
+    val uncapped = Dedup.semanticDedup(assigns, e, tau2E4 = 1600L)
+      .as[(Long, Int)].collect().toMap
+    val over = Dedup.oversizedCells(assigns, cap)
+      .as[(Int, Long)].collect().toMap
+    assert(over.keySet === sizes.filter(_._2 > cap).map(_._1).toSet,
+      "diagnostic must name exactly the cells above the cap")
+    val cellOf = assigns.as[(Long, Int)].collect().toMap
+    // members of oversized cells all survive under the cap
+    val overMembers = cellOf.collect { case (id, c) if over.contains(c) => id }
+    assert(overMembers.forall(capped.contains),
+      "every member of a capped cell must be kept")
+    // decisions for members of small cells are unchanged by the cap
+    val smallMembers = cellOf.collect { case (id, c) if !over.contains(c) => id }
+    assert(smallMembers.forall(id => capped.contains(id) == uncapped.contains(id)),
+      "cap must not change decisions inside cells under the cap")
+    // and the cap strictly changed SOMETHING iff the big cell had drops
+    val bigDrops = overMembers.count(id => !uncapped.contains(id))
+    assert(capped.size == uncapped.size + bigDrops)
+  }
 }
