@@ -1570,10 +1570,13 @@ object SparkEntry {
           expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))),
 
     // §2.8 streaming #8, EXECUTED AS A STREAM: CDC apply — the q108
-    // change set delivered as micro-batches, folded into a versioned
-    // parquet snapshot chain via foreachBatch + upsertVersioned. The
+    // change set delivered as micro-batches, folded into a key-bucketed
+    // partitioned table via foreachBatch + upsertVersioned, each batch
+    // reading and dynamically overwriting ONLY the kb= partitions its
+    // keys hash into (the 100 TB write-amplification fix; the
+    // snapshot-chain variant stays spec-covered in StreamsSpec). The
     // per-key (ver, tie) max makes the fold independent of batch
-    // boundaries and arrival order, so the drained final snapshot must
+    // boundaries and arrival order, so the drained final table must
     // hash-match the ONE-SHOT batch merge oracle.
     "q122_cdc_stream" -> ((s, dir) => {
       val base = ordersSnapshot(s, dir).withColumn("ver", lit(0))
@@ -1581,11 +1584,12 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           col("ver"))
       val root = predsPath(s"q122_root_${System.nanoTime()}")
-      sources.Sources.writeParquet(base, s"$root/v0")
+      sources.Sources.writeKeyBucketed(base, s"$root/table",
+        Seq("o_orderkey"), nBuckets = 16)
       sources.Sources.writeParquet(changes.repartition(4), s"$root/changes")
-      streaming.Streams.cdcApply(s, s"$root/changes", changes.schema,
-          s"$root/v0", root, Seq("o_orderkey"),
-          orderCol = "ver", tieCol = "o_orderstatus")
+      streaming.Streams.cdcApplyPartitioned(s, s"$root/changes",
+          changes.schema, s"$root/table", Seq("o_orderkey"),
+          orderCol = "ver", tieCol = "o_orderstatus", nBuckets = 16)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     }),
 

@@ -173,6 +173,31 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Deterministic key-hash bucket column: `pmod(xxhash64(keys), n)`.
+    * This is the layout key for [[writeKeyBucketed]] tables — a stable,
+    * engine-independent function of the logical key, so any writer (batch
+    * bootstrap, streaming CDC apply) computes the same bucket for the same
+    * key and partition-level upserts stay consistent. */
+  def keyBucket(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column = {
+    require(keys.nonEmpty && nBuckets > 0, "keys and nBuckets required")
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
+  }
+
+  /** Key-bucketed partitioned layout: hive-partition the table by
+    * `kb = pmod(xxhash64(keys), nBuckets)`. Unlike value partitioning
+    * ([[writePartitioned]]) this handles arbitrary-cardinality keys with a
+    * FIXED directory fan-out, and gives keyed upserts partition pruning:
+    * a change batch touches only the `kb` dirs its keys hash into, so a
+    * merge can read and rewrite just those — the property
+    * [[graft.streaming.Streams.cdcApplyPartitioned]] builds on. */
+  def writeKeyBucketed(
+      df: DataFrame,
+      path: String,
+      keys: Seq[String],
+      nBuckets: Int): Unit =
+    df.withColumn("kb", keyBucket(keys, nBuckets))
+      .write.mode("overwrite").partitionBy("kb").parquet(path)
+
   /** Provenance tagging: attach the source file (and optionally its
     * basename shard key) to every row at scan time — the audit column a
     * curation pipeline carries so any surviving document can be traced

@@ -325,4 +325,70 @@ object Streams {
     require(q.awaitTermination(300000), "AvailableNow CDC stream must drain")
     spark.read.parquet(current)
   }
+
+  /** Partition-pruned streaming CDC apply — the 100 TB form of
+    * [[cdcApply]]. The snapshot-chain variant rewrites the FULL table
+    * every micro-batch (O(snapshot × batches) write amplification — fine
+    * for a demo, fatal at scale); this one keeps the table in the
+    * [[graft.sources.Sources.writeKeyBucketed]] layout
+    * (`kb = pmod(xxhash64(key), nBuckets)` hive partitions) and each
+    * batch:
+    *
+    *   1. computes the buckets its keys hash into (≤ `nBuckets` ints —
+    *      driver-bounded by construction, not by data volume),
+    *   2. reads ONLY those partitions (`kb IN (...)` is a partition
+    *      filter: unmatched directories are never listed or scanned),
+    *   3. merges with [[Relational.upsertVersioned]] (same per-key
+    *      (ver, tie) max — idempotent, batch-split- and order-invariant),
+    *   4. dynamically overwrites ONLY the touched `kb=` directories
+    *      (`partitionOverwriteMode=dynamic`).
+    *
+    * Per-batch work is O(touched partitions), not O(table): a batch that
+    * touches 3 of 4096 buckets reads and rewrites 3 directories of a
+    * 100 TB table. The merged subset is `localCheckpoint`ed before the
+    * write so the dynamic overwrite never races its own lazy scan of the
+    * files it replaces. A transactional table format would add a commit
+    * log on top for concurrent readers; the directory layout and pruning
+    * shape are exactly what those formats do under the hood.
+    *
+    * Returns the final table (logical columns + `kb`) after the
+    * `Trigger.AvailableNow` drain. */
+  def cdcApplyPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      changesDir: String,
+      changesSchema: org.apache.spark.sql.types.StructType,
+      tableDir: String,
+      keys: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream.schema(changesSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(changesDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        s"${tableDir}_ckpt_${System.nanoTime()}")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.withColumn("kb",
+          graft.sources.Sources.keyBucket(keys, nBuckets))
+        val touched = b.select(col("kb")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val subset = spark.read.parquet(tableDir)
+            .filter(col("kb").isin(touched.map(Int.box): _*))
+          Relational.upsertVersioned(subset, b, keys, orderCol, tieCol)
+            .localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kb").parquet(tableDir)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow partitioned CDC stream must drain")
+    spark.read.parquet(tableDir)
+  }
 }

@@ -326,6 +326,54 @@ class StreamsSpec extends AnyFunSuite {
     assert(versions.length >= 3, s"expected a snapshot chain, got ${versions.toSeq}")
   }
 
+  test("cdcApplyPartitioned: equals one-shot merge; untouched kb partitions are never rewritten") {
+    import graft.sources.Sources
+    val root = s"target/tmp/streams/cdcp_${System.nanoTime()}"
+    val nBuckets = 8
+    // base keys spread over many buckets; changes confined to FEW keys so
+    // their bucket set is a strict subset of the table's
+    val base = (1L to 200L).map(k => (k, s"v$k", 0)).toDF("k", "v", "ver")
+    val changes = Seq((7L, "u2", 2), (7L, "u1", 1), (42L, "w1", 1),
+      (999L, "new", 1)).toDF("k", "v", "ver")
+    Sources.writeKeyBucketed(base, s"$root/table", Seq("k"), nBuckets)
+    changes.repartition(4).write.parquet(s"$root/changes")
+
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$root/table").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet)
+        .toMap
+    val before = partFiles()
+    assert(before.size == nBuckets, s"expected $nBuckets bucket dirs")
+
+    val fin = graft.streaming.Streams.cdcApplyPartitioned(spark,
+      s"$root/changes", changes.schema, s"$root/table", Seq("k"),
+      "ver", "v", nBuckets = nBuckets, maxFilesPerTrigger = 1)
+      .select($"k", $"v", $"ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val oneShot = graft.ops.Relational
+      .upsertVersioned(base, changes, Seq("k"), "ver", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(fin === oneShot)
+    assert(fin.contains((7L, "u2", 2)) && fin.contains((42L, "w1", 1)) &&
+      fin.contains((999L, "new", 1)) && fin.contains((1L, "v1", 0)))
+
+    // partition-pruning contract: only the buckets the change keys hash
+    // into may have new files; every other directory is bit-identical
+    val touched = changes.select(Sources.keyBucket(Seq("k"), nBuckets))
+      .distinct().collect().map(r => s"kb=${r.getInt(0)}").toSet
+    assert(touched.size < nBuckets,
+      "fixture must leave untouched buckets for the test to bite")
+    val after = partFiles()
+    val rewritten = after.keySet.filter(d => after(d) != before.getOrElse(d, Set()))
+    assert(rewritten.nonEmpty && rewritten.subsetOf(touched),
+      s"rewrote $rewritten but changes only touch $touched")
+    (after.keySet -- touched).foreach { d =>
+      assert(after(d) === before(d), s"untouched partition $d was rewritten")
+    }
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
