@@ -1569,6 +1569,32 @@ object SparkEntry {
         .select(col("event_id"),
           expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))),
 
+    // A6/A7 with a hard oracle row, via the q23/q27 fit/serve split: the
+    // LDA fit (non-portable treeAggregate loop) runs once and persists the
+    // FULL flattened topic-term matrix (model-sized: k × vocab); the
+    // describeTopics top-k is then pure relational work — per-topic window
+    // top-5 by weight, term_idx tie-break for engine-identical order —
+    // that DuckDB replays over the same stored doubles.
+    "q126_lda_topics" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pipe = ml.Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000)
+      val vocab = pipe.stages.collectFirst {
+        case m: org.apache.spark.ml.feature.CountVectorizerModel => m
+      }.get.vocabulary
+      val feats = pipe.transform(docs).select(col("doc_id"), col("tfidf"))
+      val lda = ml.Models.fitLDA(feats, k = 20)
+      sources.Sources.writeParquet(
+        ml.Models.topicTermRows(s, lda, vocab), predsPath("q126_topics"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("topic"))
+        .orderBy(col("weight").desc, col("term_idx").asc)
+      s.read.parquet(predsPath("q126_topics"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("topic"), col("rn"), col("term_idx"), col("term"),
+          col("weight"))
+    }),
+
     // §2.8 streaming #8, EXECUTED AS A STREAM: CDC apply — the q108
     // change set delivered as micro-batches, folded into a key-bucketed
     // partitioned table via foreachBatch + upsertVersioned, each batch
@@ -2268,6 +2294,16 @@ object SparkEntry {
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM win)
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM win""".stripMargin,
+
+    // the serve half of the LDA split replayed over the persisted
+    // topic-term matrix: same stored doubles, same deterministic
+    // (weight DESC, term_idx) top-5 — hash-identical ranks
+    "q126_lda_topics" ->
+      s"""SELECT topic, rn, term_idx, term, weight FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY topic
+         |            ORDER BY weight DESC, term_idx) AS rn
+         |  FROM read_parquet('${predsPath("q126_topics")}/*.parquet'))
+         |WHERE rn <= 5""".stripMargin,
 
     // compaction must be content-invariant: the oracle reads the ORIGINAL
     "q123_compaction" ->

@@ -187,6 +187,29 @@ object Models {
       .select(col("topic"), col("termIndices"), col("terms"), col("termWeights"))
   }
 
+  /** A6/A7 serve-side staging: the fitted topic-term matrix flattened to
+    * `(topic, term_idx, term, weight)` — MODEL-sized (k × vocabSize,
+    * e.g. 20 × 1000 = 20k rows at any corpus scale), so materializing it
+    * on the driver is the same bounded pull as holding the model itself.
+    * Persisting these rows turns [[describeTopicsWithVocab]]'s top-k into
+    * pure relational work (per-topic window top-k over stored doubles)
+    * that an independent engine can replay bit-for-bit — the q23/q27
+    * fit/serve split applied to LDA (`acq_etl_code.scala:106-117`). */
+  def topicTermRows(
+      spark: org.apache.spark.sql.SparkSession,
+      model: LDAModel,
+      vocab: Array[String]): DataFrame = {
+    val tm = model.topicsMatrix // vocabSize × k, driver-local by contract
+    require(tm.numRows == vocab.length,
+      s"vocab size ${vocab.length} != topicsMatrix rows ${tm.numRows}")
+    val rows = for {
+      t <- 0 until tm.numCols
+      w <- 0 until tm.numRows
+    } yield (t, w, vocab(w), tm(w, t))
+    import spark.implicits._
+    rows.toDF("topic", "term_idx", "term", "weight")
+  }
+
   /** S8: model persistence (`acq_etl_code.scala:124-125` round-trip). */
   def savePipeline(model: PipelineModel, path: String): Unit =
     model.write.overwrite().save(path)

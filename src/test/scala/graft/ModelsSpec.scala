@@ -122,6 +122,33 @@ class ModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("topicTermRows: relational top-k over the flattened matrix == describeTopics") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+    val pipe = Models.tfidfPipeline(minDF = 2.0, vocabSize = 500).fit(docs)
+    val feats = pipe.transform(docs).select($"doc_id", $"tfidf")
+    val vocab = pipe.stages.collectFirst {
+      case m: org.apache.spark.ml.feature.CountVectorizerModel => m }.get.vocabulary
+    val lda = Models.fitLDA(feats, k = 5, maxIter = 3)
+    val flat = Models.topicTermRows(spark, lda, vocab)
+    assert(flat.count() === 5L * vocab.length)
+    // per-topic top-4 by (weight desc, term_idx) from the flat rows must
+    // name the same terms describeTopics ranks (set-compare per topic:
+    // describeTopics' tie order is unspecified, ours is pinned)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"topic").orderBy($"weight".desc, $"term_idx".asc)
+    val mine = flat.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4)
+      .groupBy($"topic").agg(collect_set($"term_idx").as("idx"))
+      .as[(Int, Seq[Int])].collect().toMap
+    val ref = lda.describeTopics(4).select($"topic", $"termIndices")
+      .as[(Int, Seq[Int])].collect().toMap
+    assert(mine.keySet === ref.keySet)
+    // describeTopics ranks by the (normalized) topic distribution, which
+    // is a positive rescaling of the matrix columns — rank order agrees
+    ref.foreach { case (t, idx) => assert(mine(t).toSet === idx.toSet,
+      s"topic $t: relational top-k ${mine(t)} != describeTopics $idx") }
+  }
+
   test("pipeline persistence round-trip: identical transform output (S8)") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"))
       .toDF("doc_id", "text")
