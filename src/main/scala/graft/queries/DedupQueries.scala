@@ -1,0 +1,638 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.text.TextOps
+import QueryShared._
+
+/** Deduplication family: exact, MinHash-LSH, SimHash, winnow,
+Jaccard verify, clustering, incremental, semantic (SemDeDup), span-level,
+decontamination (exact/Bloom/containment), survivor selection.
+  *
+  * Extracted verbatim from the original single-file SparkEntry map; see
+  * [[graft.SparkEntry]] for the driver contract these entries satisfy
+  * (column names aligned with the DuckDB oracle SQL pairwise).
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // North-star near-dedup: MinHash (k=6, md5-portable) -> 3 LSH bands of
+    // r=2 -> candidate pairs. Join key is the band bucket, so pair space is
+    // sum(bucket^2), never n^2 (llm.Dedup scale notes).
+    "q16_near_dedup" -> ((s, dir) =>
+      llm.Dedup.candidatePairs(
+        llm.Dedup.bandBuckets(Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 6, bands = 3, shingleWidth = 3),
+        "doc_id")),
+
+
+    // North-star rolling-hash fingerprinting: winnowing (MOSS) over the
+    // TOKEN stream — min-hash per sliding window of w=4 over 3-token
+    // shingle hashes, then fingerprints shared by ≥2 docs. Guarantee: any
+    // shared run of ≥ k+w-1 = 6 tokens is caught. RELATIONAL formulation:
+    // native word_shingles → posexplode → codegen'd md5 → window-frame min
+    // → distinct; every shingle hashes ONCE, the shuffle carries
+    // (doc, pos, hash) triples, the window sort is per-doc-partition.
+    // (Character-level winnowing lives in TextOps.winnowFingerprints /
+    // native winnow_fps — q36; token granularity costs ~7× fewer digests
+    // per doc at the same near-dup power.)
+    "q35_winnow" -> ((s, dir) => {
+      val w = 4
+      val hashes = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.exprapi.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          posexplode(col("sh")).as(Seq("pos", "g")))
+        .filter(col("n") >= w) // a full window must fit
+        .select(col("doc_id"), col("pos"),
+          (col("pos") <= col("n") - w).as("is_start"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+      hashes
+        .withColumn("fp", min(col("h")).over(win))
+        .filter(col("is_start"))
+        .select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+    }),
+
+
+    // training-pipeline: benchmark decontamination — corpus docs sharing
+    // any EXACT word n-gram with the held-out eval split. n=4 here (the
+    // production check uses 8–13) because the fixture's ~50-word
+    // vocabulary has no 8-gram collisions to find
+    "q70_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+
+    // North-star dedup, n-gram Jaccard method oracle-checked end to end:
+    // portable md5 LSH candidates (q16's derivation) + exact Jaccard
+    // verify over distinct 3-shingle sets. Same int-ratio division on both
+    // engines ⇒ the double jaccard column hash-matches too.
+    "q45_jaccard_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.jaccardVerify(
+        docs,
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id"),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+
+    // Dedup survivor selection: connected components over the q16 LSH pair
+    // graph — min-label propagation to a fixpoint; every doc in a
+    // component labeled with the component's min doc id. Oracle is the
+    // same pair SQL + a recursive-CTE transitive closure.
+    "q43_dup_clusters" -> ((s, dir) =>
+      llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(Tables.documents(s, dir), "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id"))),
+
+
+    // q70 at the beyond-broadcast scale: Bloom sketch over the bench grams
+    // pre-prunes the corpus explode before the (non-broadcast) exact join.
+    // Same oracle SQL as q70 — the hash match proves the sketch path
+    // changes the data movement, not the answer.
+    "q73_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.contaminationReportBloom(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+
+    // dedup END-TO-END: LSH candidates → connected components → QUALITY
+    // survivor selection (keep the longest member per cluster, min-id
+    // ties) — the full curation pipeline in one query; oracle = q43's
+    // recursive-CTE closure + ranked selection
+    "q84_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id"))
+      llm.Dedup.selectSurvivors(clusters,
+        docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+        "doc_id", "n_tok")
+    }),
+
+
+    // incremental-ingestion dedup: the "daily batch vs existing corpus"
+    // shape — every third doc plays the arriving batch, the rest the
+    // corpus; only cross-side LSH collisions become candidates, exact
+    // Jaccard ≥ 0.5 verifies. Same portable md5 banding as q16/q45, so
+    // the whole pipeline (banding, cross join, verify) hash-matches.
+    "q78_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.incrementalDupMarks(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+
+    // North-star near-dedup, throughput path: native minhash_sig
+    // expression + xxhash64 banding + exact Jaccard verify. SPLIT at the
+    // candidate/verify boundary (the q25 pattern): the xxhash64 banding
+    // is the non-portable half and persists its candidate pairs once;
+    // the exact n-gram Jaccard — distinct shingle sets, integer
+    // intersection/union sizes, one IEEE division, threshold — is
+    // replayed by the oracle over the persisted ids (q45's scoring SQL
+    // over stored pairs), so the verify stage of the 100-TB dedup path
+    // is hash-checked and only the hash family stays spec-pinned.
+    "q24_near_dedup_fast" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = llm.Dedup.candidatePairs(
+        llm.Dedup.bandBucketsFast(docs, "doc_id", "text"), "doc_id")
+      sources.Sources.writeParquet(cands, predsPath("q24_cands"))
+      llm.Dedup.jaccardVerify(docs, s.read.parquet(predsPath("q24_cands")),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+
+    // Asymmetric CONTAINMENT decontamination: flag corpus docs holding
+    // ≥ threshold of an eval doc's distinct 4-gram shingles — the metric
+    // for the short-eval-item-inside-long-train-doc regime where
+    // union-normalized Jaccard (q45) under-triggers (DedupSpec pins the
+    // 1.0-vs-low separation on an embedded item). Same bench/corpus split
+    // convention as q70's exact-gram stage; the ratio is one IEEE
+    // int-ratio division. Threshold is fixture-calibrated: the synthetic
+    // docs contain no planted contamination (max pairwise containment
+    // ≈ 0.045 at sf0.01), so a production-style 0.6 gate would make this
+    // a trivially-empty frame — 0.02 keeps tens of rows flowing through
+    // every stage of the checked pipeline.
+    "q97_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      llm.Dedup.containmentMarks(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", threshold = 0.02, shingleWidth = 4)
+    }),
+
+
+    "q100_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // nlist tracks the corpus (FAISS-style n/targetCellSize, floor 16 —
+      // q25's autoBits rationale): per-cell population stays ~256 at any
+      // SF, so the Σ|cell|² pair space never re-enters the quadratic
+      // regime a bigger corpus would otherwise create
+      val n = e.agg(count(lit(1))).head().getLong(0)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = math.max(16, (n / 256L).toInt), persistCells = false)
+      sources.Sources.writeParquet(
+        idx.cells.select(col("n_id").as("vec_id"), col("cell")),
+        predsPath("q100_cells"))
+      llm.Dedup.semanticDedup(
+        s.read.parquet(predsPath("q100_cells")), e, tau2E4 = 1600L)
+    }),
+
+
+    // training-pipeline: cross-document duplicated-SPAN coverage (the
+    // Lee-et-al substring-dedup signal, approximated with rolling 8-grams
+    // + gaps-and-islands interval union). Span-level complement of the
+    // doc-level dedup family q06/q16/q40/q100.
+    "q103_dup_spans" -> ((s, dir) =>
+      llm.Dedup.dupSpanCoverage(
+        Tables.documents(s, dir), "doc_id", "text", l = 8, minDocs = 2)),
+
+
+    // North-star rolling-hash fingerprinting, throughput path: the native
+    // O(n) Karp-Rabin winnowing expression (one codegen'd pass per doc vs
+    // one md5 per k-gram in q35). Different hash family than the portable
+    // form, so rows-only — the q24-vs-q16 dual-path pattern.
+    "q36_winnow_fast" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.exprapi.winnowFps(
+            text.TextOps.normalizedText(col("text")), 8, 4)).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)),
+
+
+
+
+    // North-star dedup, SimHash method: banded 64-bit sketches, exact
+    // hamming verify — an EXACT hamming≤3 join by pigeonhole (hamMax <
+    // bands). xxhash64-based sketch has no DuckDB mirror ⇒ rows-only;
+    // the guarantee and separation contracts are pinned by DedupSpec.
+    "q40_simhash_dups" -> ((s, dir) =>
+      llm.Dedup.simhashDups(Tables.documents(s, dir))),
+  )
+
+  /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
+    * rows-only checked by the driver (non-portable hash/codec/fit paths,
+    * each pinned by a dedicated spec instead). */
+  val sql: Map[String, String] = Map(
+
+    // hash_j(s) = a 15-hex (60-bit) slice of md5(ceil(j/2):s) as BIGINT —
+    // odd j takes hex 1-15, even j hex 16-30, so one digest feeds two hash
+    // families (halves the md5 work on the Spark side; numeric minima keep
+    // the signature aggregation in a primitive hash-agg buffer). md5 hex
+    // and the 60-bit slices parse identically in both engines.
+    "q16_near_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |)
+        |SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |FROM bands a JOIN bands b
+        |  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+
+    // asymmetric containment over distinct 4-gram shingles, bench side =
+    // doc_id % 100 = 0 (q70's split convention)
+    "q97_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0)),
+        |      i -> array_to_string(t[i:i+3], ' ')))) AS gram
+        |  FROM toks
+        |), bsz AS (
+        |  SELECT doc_id AS b_doc, CAST(count(*) AS BIGINT) AS b_n
+        |  FROM grams WHERE doc_id % 100 = 0 GROUP BY 1
+        |), hits AS (
+        |  SELECT c.doc_id AS c_doc, b.doc_id AS b_doc,
+        |         CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM grams c JOIN grams b USING (gram)
+        |  WHERE c.doc_id % 100 <> 0 AND b.doc_id % 100 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT h.c_doc, h.b_doc, h.n_hit, s.b_n,
+        |       CAST(h.n_hit AS DOUBLE) / s.b_n AS containment
+        |FROM hits h JOIN bsz s USING (b_doc)
+        |WHERE CAST(h.n_hit AS DOUBLE) / s.b_n >= 0.02""".stripMargin,
+
+
+    // fit/serve split: q42's exact int8 CTE chain verbatim, with the pair
+    // space restricted to same-cell pairs read from the PERSISTED KMeans
+    // assignments, then the lower-id survivor anti-join — the entire
+    // serving half of the semantic dedup replayed over identical stored
+    // bits
+    "q100_semantic_dedup" ->
+      s"""WITH s AS (
+         |  SELECT CAST(max(list_max(list_transform(embedding, x -> abs(x)))) AS DOUBLE) / 127 AS g
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / g) AS BIGINT)) AS qv
+         |  FROM embeddings, s
+         |), w AS (
+         |  SELECT c.vec_id, c.cell, v.qv,
+         |         CAST(list_sum(list_transform(v.qv, x -> x * x)) AS BIGINT) AS n2
+         |  FROM v JOIN read_parquet('${predsPath("q100_cells")}/*.parquet') c USING (vec_id)
+         |), ok AS (
+         |  SELECT cell FROM read_parquet('${predsPath("q100_cells")}/*.parquet')
+         |  GROUP BY cell HAVING count(*) <= 10000
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_i8,
+         |    a.n2 AS na2, b.n2 AS nb2
+         |  FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN ok ON ok.cell = a.cell
+         |), dropped AS (
+         |  SELECT DISTINCT id_b FROM pairs
+         |  WHERE dot_i8 > 0
+         |    AND CAST(dot_i8 AS HUGEINT) * dot_i8 * 10000 >= CAST(1600 AS HUGEINT) * na2 * nb2
+         |)
+         |SELECT w.vec_id, w.cell FROM w
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = w.vec_id)""".stripMargin,
+
+
+    "q103_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok, i AS pos,
+        |         array_to_string(ts[i:i+7], ' ') AS gram
+        |  FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |  WHERE len(ts) >= 8
+        |), d AS (
+        |  SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |), h AS (
+        |  SELECT g.doc_id, g.n_tok, g.pos FROM g JOIN d USING (gram)
+        |), m AS (
+        |  SELECT doc_id, n_tok, pos,
+        |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM h
+        |), isl AS (
+        |  SELECT doc_id, n_tok, pos,
+        |         CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM m
+        |), num AS (
+        |  SELECT doc_id, n_tok, pos,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), sp AS (
+        |  SELECT doc_id, n_tok, island, min(pos) AS s, max(pos + 7) AS e
+        |  FROM num GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, n_tok,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |       CAST(sum(e - s + 1) * 1000000 // n_tok AS BIGINT) AS cov_ppm
+        |FROM sp GROUP BY 1, 2""".stripMargin,
+
+
+    // same 60-bit md5 hash family as q16 over 3-token shingles;
+    // hs[i:i+3] is the w=4 window, min per window, distinct per doc,
+    // then cross-doc sharing counts
+    "q35_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), h AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles, g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)) AS hs
+        |  FROM sh WHERE len(shingles) >= 4
+        |), m AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(hs) - 3),
+        |                                      i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+        |  FROM h
+        |), e AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM e GROUP BY fp HAVING count(*) >= 2""".stripMargin,
+
+
+    // q16's pair derivation verbatim, then connected components as a
+    // recursive transitive closure: min over each doc's reachable set ==
+    // min-label fixpoint (components are small, so closure is cheap here;
+    // the Spark side converges by iteration, not enumeration)
+    "q43_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
+
+
+    "q70_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0)),
+        |      i -> array_to_string(t[i:i+3], ' ')))) AS gram
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+        |FROM grams g JOIN bg USING (gram)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY 1""".stripMargin,
+
+
+    // q16's pair CTEs + exact Jaccard over distinct shingle sets; the
+    // division is the same (int intersection)/(int union) in IEEE double
+    // on both engines, so even the float column hash-matches
+    "q45_jaccard_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |), scored AS (
+        |  SELECT p.a_doc, p.b_doc,
+        |         CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) /
+        |           (len(sa.sset) + len(sb.sset) - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+        |           AS jaccard
+        |  FROM pairs p
+        |  JOIN sets sa ON p.a_doc = sa.doc_id
+        |  JOIN sets sb ON p.b_doc = sb.doc_id
+        |)
+        |SELECT a_doc, b_doc, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+
+    // identical to q70's oracle by design: the bloom path must return the
+    // exact-join answer bit for bit
+    "q73_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0)),
+        |      i -> array_to_string(t[i:i+3], ' ')))) AS gram
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+        |FROM grams g JOIN bg USING (gram)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY 1""".stripMargin,
+
+
+    // candidate/verify split: the oracle replays q45's exact-Jaccard
+    // scoring over the persisted candidate pairs the native-LSH stage
+    // wrote — distinct 3-token shingle sets, |A∩B| / (|A|+|B|−|A∩B|),
+    // threshold 0.5
+    "q24_near_dedup_fast" ->
+      s"""WITH cands AS (
+         |  SELECT a_doc, b_doc FROM read_parquet('${predsPath("q24_cands")}/*.parquet')
+         |), t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(generate_series(1, len(ts)-2),
+         |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sset
+         |  FROM t WHERE len(ts) >= 3
+         |), scored AS (
+         |  SELECT c.a_doc, c.b_doc,
+         |         CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) /
+         |           (len(sa.sset) + len(sb.sset) - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+         |           AS jaccard
+         |  FROM cands c
+         |  JOIN sh sa ON c.a_doc = sa.doc_id
+         |  JOIN sh sb ON c.b_doc = sb.doc_id
+         |)
+         |SELECT a_doc, b_doc, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+
+    // q16/q45's md5-LSH pipeline with the pair space restricted to
+    // cross-side (new × existing) collisions
+    "q78_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), bandsz AS (
+        |  SELECT doc_id, band_id, bucket,
+        |         count(*) OVER (PARTITION BY band_id, bucket, doc_id % 3 = 0) AS bsz
+        |  FROM bands
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bandsz a JOIN bandsz b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |    AND a.bsz <= 1000 AND b.bsz <= 1000
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |), scored AS (
+        |  SELECT p.a_doc, p.b_doc,
+        |         CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE) /
+        |           (len(sa.sset) + len(sb.sset) - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+        |           AS jaccard
+        |  FROM pairs p
+        |  JOIN sets sa ON p.a_doc = sa.doc_id
+        |  JOIN sets sb ON p.b_doc = sb.doc_id
+        |)
+        |SELECT a_doc, b_doc, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+
+    "q84_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), clusters AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT c.cluster_id, c.doc_id,
+        |         CAST(len(t.ts) AS BIGINT) AS n_tok,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |           ORDER BY len(t.ts) DESC, c.doc_id) AS rn
+        |  FROM clusters c JOIN t ON c.doc_id = t.doc_id
+        |)
+        |SELECT cluster_id, doc_id AS survivor_id, n_tok
+        |FROM ranked WHERE rn = 1""".stripMargin,
+  )
+}

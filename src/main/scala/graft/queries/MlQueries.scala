@@ -1,0 +1,202 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.text.TextOps
+import QueryShared._
+
+/** ML pipeline: class weights, weighted LR fit/serve splits with
+confusion/pair-scoring oracles, hash split, LDA topic fit/serve split.
+  *
+  * Extracted verbatim from the original single-file SparkEntry map; see
+  * [[graft.SparkEntry]] for the driver contract these entries satisfy
+  * (column names aligned with the DuckDB oracle SQL pairwise).
+  */
+object MlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // M7/A5: class-balancing weights as a pure plan (two-scalar agg
+    // cross-joined back + when()), lr.scala:11-29 semantics with zero UDFs
+    "q18_class_weights" -> ((s, dir) => {
+      val labeled = Tables.events(s, dir)
+        .withColumn("label", when(col("event_type") === "purchase", 1).otherwise(0))
+      ml.Models.withClassWeights(labeled, "label", "weight")
+        .groupBy(col("label"), col("weight"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(col("label"), col("n"), col("weight"))
+    }),
+
+
+    // Reproducible train/holdout split: content-addressed md5-bucket
+    // assignment (partition-layout-independent, unlike randomSplit) +
+    // per-split corpus stats. Portable hash ⇒ exact oracle match.
+    "q44_hash_split" -> ((s, dir) =>
+      ml.Models.hashSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("split"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))),
+
+
+    // M2-M10 end-to-end, SPLIT at the fit/serve boundary: tfidf pipeline ->
+    // class weights -> weighted LR (elasticNet .5, reg .03, threshold .68)
+    // is the non-portable half and runs once, persisting flat predictions
+    // (doc_id, label, prediction, prob) to parquet; the one-pass confusion
+    // matrix is pure relational work over that parquet, so the oracle
+    // recomputes it in DuckDB from the SAME persisted file and hash-checks
+    // it — the fit stays spec-pinned (AUC/threshold specs in ModelsSpec),
+    // the aggregation gets a hard oracle row.
+    "q23_lr_confusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("label", when(col("lang") === "en", 1.0).otherwise(0.0))
+      // cache the featurized frame: it feeds the weight stats, the LR fit
+      // iterations AND the scoring pass — uncached, the tfidf pipeline
+      // transform re-runs per consumer
+      val feats = ml.Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000)
+        .transform(docs)
+        .select(col("doc_id"), col("label"), col("tfidf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val weighted = ml.Models.withClassWeights(feats, "label")
+      val model = ml.Models.fitWeightedLR(weighted, "label")
+      val preds = model.transform(weighted).select(
+        col("doc_id"), col("label"), col("prediction"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("prob"))
+      sources.Sources.writeParquet(preds, predsPath("q23_preds"))
+      Relational.confusionMatrix(
+        s.read.parquet(predsPath("q23_preds")), "label", "prediction")
+    }),
+
+
+    // M11+M12+J6 end-to-end (predictions.scala complete), same fit/serve
+    // split: the LR fit persists flat scored predictions once; positives
+    // filter, SIC/10 bucketing, top-k-per-bucket prune and the
+    // `ap.prob * tp.prob` pair join (predictions.scala:37) are all pure
+    // relational work the oracle replays over the persisted parquet —
+    // IEEE-exact double multiply on identical stored bits hash-matches.
+    "q27_pair_scoring" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("label", when(col("lang") === "en", 1.0).otherwise(0.0))
+        // numeric pseudo-SIC from the source tag, predictions.scala:18 shape
+        .withColumn("sic", regexp_extract(col("source"), "(\\d+)", 1).cast("int") * 7 + 3)
+      // persisted: the featurized frame feeds the weight stats, the LR fit,
+      // the scoring transform AND both sides of the pairing — recomputing
+      // the tfidf chain per consumer benched ~2× the whole query
+      val feats = ml.Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000)
+        .transform(docs)
+        .select(col("doc_id"), col("label"), col("sic"), col("tfidf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val weighted = ml.Models.withClassWeights(feats, "label")
+      val model = ml.Models.fitWeightedLR(weighted, "label")
+      val preds = model.transform(weighted).select(
+        col("doc_id"), col("sic"), col("prediction"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("prob"))
+      sources.Sources.writeParquet(preds, predsPath("q27_preds"))
+      val scored = pairs.Pairing.scoredPositivesFlat(
+        s.read.parquet(predsPath("q27_preds")), "doc_id", "sic")
+      pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
+    }),
+
+
+    // A6/A7 with a hard oracle row, via the q23/q27 fit/serve split: the
+    // LDA fit (non-portable treeAggregate loop) runs once and persists the
+    // FULL flattened topic-term matrix (model-sized: k × vocab); the
+    // describeTopics top-k is then pure relational work — per-topic window
+    // top-5 by weight, term_idx tie-break for engine-identical order —
+    // that DuckDB replays over the same stored doubles.
+    "q126_lda_topics" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pipe = ml.Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000)
+      val vocab = pipe.stages.collectFirst {
+        case m: org.apache.spark.ml.feature.CountVectorizerModel => m
+      }.get.vocabulary
+      val feats = pipe.transform(docs).select(col("doc_id"), col("tfidf"))
+      val lda = ml.Models.fitLDA(feats, k = 20)
+      sources.Sources.writeParquet(
+        ml.Models.topicTermRows(s, lda, vocab), predsPath("q126_topics"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("topic"))
+        .orderBy(col("weight").desc, col("term_idx").asc)
+      s.read.parquet(predsPath("q126_topics"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("topic"), col("rn"), col("term_idx"), col("term"),
+          col("weight"))
+    }),
+  )
+
+  /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
+    * rows-only checked by the driver (non-portable hash/codec/fit paths,
+    * each pinned by a dedicated spec instead). */
+  val sql: Map[String, String] = Map(
+
+    "q18_class_weights" ->
+      """WITH lab AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label FROM events
+        |), stats AS (
+        |  SELECT count(*) AS total, sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS neg FROM lab
+        |)
+        |SELECT l.label, CAST(count(*) AS BIGINT) AS n,
+        |       CASE WHEN l.label = 0 THEN CAST(s.neg AS DOUBLE) / s.total
+        |            ELSE 1.0 - CAST(s.neg AS DOUBLE) / s.total END AS weight
+        |FROM lab l, stats s GROUP BY l.label, s.neg, s.total""".stripMargin,
+
+
+    // the serve half of the LDA split replayed over the persisted
+    // topic-term matrix: same stored doubles, same deterministic
+    // (weight DESC, term_idx) top-5 — hash-identical ranks
+    "q126_lda_topics" ->
+      s"""SELECT topic, rn, term_idx, term, weight FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY topic
+         |            ORDER BY weight DESC, term_idx) AS rn
+         |  FROM read_parquet('${predsPath("q126_topics")}/*.parquet'))
+         |WHERE rn <= 5""".stripMargin,
+
+
+    // Same md5 first-byte bucket arithmetic; token mirror is q12's
+    "q44_hash_split" ->
+      """SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 205
+        |            THEN 'train' ELSE 'holdout' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+
+
+    // fit/serve split: the oracle replays the confusion aggregation over
+    // the SAME predictions parquet the Spark query persisted — the LR fit
+    // is upstream of the compared relational work, so identical stored
+    // bits make the count grouping hash-exact
+    "q23_lr_confusion" ->
+      s"""SELECT label, prediction, count(*) AS n
+         |FROM read_parquet('${predsPath("q23_preds")}/*.parquet')
+         |GROUP BY 1, 2""".stripMargin,
+
+
+    // fit/serve split: positives filter, SIC//10 bucketing, top-50-per-
+    // bucket prune (prob DESC, doc_id tiebreak — groupedTopK's total
+    // order) and the ap.prob*tp.prob pair join, replayed in DuckDB over
+    // the persisted predictions. Double multiply of identical stored bits
+    // is IEEE-exact on both engines.
+    "q27_pair_scoring" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, CAST(sic // 10 AS INTEGER) AS bucket, prob
+         |  FROM read_parquet('${predsPath("q27_preds")}/*.parquet')
+         |  WHERE prediction = 1.0
+         |), r AS (
+         |  SELECT doc_id, bucket, prob,
+         |         row_number() OVER (PARTITION BY bucket
+         |           ORDER BY prob DESC, doc_id ASC) AS rn
+         |  FROM s
+         |), k AS (
+         |  SELECT doc_id, bucket, prob FROM r WHERE rn <= 50
+         |)
+         |SELECT a.doc_id AS a_id, t.doc_id AS t_id, a.bucket AS bucket,
+         |       a.prob * t.prob AS pair_prob
+         |FROM k a JOIN k t ON a.bucket = t.bucket
+         |WHERE a.doc_id <> t.doc_id""".stripMargin,
+  )
+}

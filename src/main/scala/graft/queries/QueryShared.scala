@@ -1,0 +1,50 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Helpers shared by every per-area query file (split out of the original
+  * single-file SparkEntry map).
+  */
+private[graft] object QueryShared {
+
+  /** Root for fit/serve-split staging parquet: the non-portable half of a
+    * query persists here once, and BOTH the Spark serve half and the DuckDB
+    * oracle read the same stored bits. Tagged per-SF via `graft.preds.tag`
+    * (set by [[graft.Verify]]) so back-to-back runs at different SFs don't
+    * overwrite each other's artifacts before the oracle replays them. */
+  def predsPath(name: String): String = {
+    val tag = sys.props.getOrElse("graft.preds.tag", "default")
+    new java.io.File(s"target/tmp/$tag/$name").getAbsolutePath
+  }
+
+  /** Keyed base table for the MERGE/CDC/SCD2 family (q108/q109/q111/q122). */
+  def ordersSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** Deterministic change set over [[ordersSnapshot]]: versioned updates
+    * (keys % 7, two versions for % 21) plus inserts (% 13, shifted keys) —
+    * the same rows the oracle SQL derives independently from `orders`. */
+  def ordersChangeSet(s: SparkSession, dir: String): DataFrame = {
+    val o = ordersSnapshot(s, dir)
+    val upd2 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        col("o_totalprice"), lit(2).as("ver"))
+    val upd1 = o.filter(col("o_orderkey") % 21 === 0)
+      .select(col("o_orderkey"), lit("D").as("o_orderstatus"),
+        col("o_totalprice"), lit(1).as("ver"))
+    val ins = o.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), lit(1).as("ver"))
+    upd2.unionByName(upd1).unionByName(ins)
+  }
+
+  /** [[graft.ops.Relational.exactSum]] rendered in DuckDB SQL — exact
+    * decimal accumulation surfaced as double, so both engines produce
+    * bit-identical sums regardless of aggregation order. */
+  def dSum(expr: String, scale: Int = 2, as: String = ""): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)" +
+      (if (as.nonEmpty) s" AS $as" else "")
+}

@@ -1,0 +1,399 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.text.TextOps
+import QueryShared._
+
+/** Structured Streaming drains (Trigger.AvailableNow over
+staged file sources): tumbling/sliding/session windows, keyed state,
+watermark dedup, stream-static enrich, stream-stream join, partitioned CDC
+apply.
+  *
+  * Extracted verbatim from the original single-file SparkEntry map; see
+  * [[graft.SparkEntry]] for the driver contract these entries satisfy
+  * (column names aligned with the DuckDB oracle SQL pairwise).
+  */
+object StreamingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.8 streaming, EXECUTED AS A STREAM: the events fixture staged to a
+    // file source, drained through session_window under
+    // Trigger.AvailableNow in bounded micro-batches (maxFilesPerTrigger
+    // forces several, so cross-batch session-state MERGING is on the
+    // hash-checked path, not just spec'd), self-terminating when caught
+    // up — the backfill pattern where one streaming pipeline serves both
+    // replay and live tail. Complete-mode memory sink: session windows
+    // only finalize past the watermark in append mode, so a finite drain
+    // needs complete mode to emit the tail; the result is the SESSIONS
+    // frame (aggregated, driver-sized at any input scale where session
+    // counts fit — a production tail uses the parquet sink in append
+    // mode and accepts watermark-trailing finalization, StreamsSpec's
+    // file-sink test). Oracle = q22's independent gaps-and-islands SQL:
+    // a green row means an actual stream execution matched the batch
+    // relational semantics bit-for-bit.
+    "q93_sessionize_stream" -> ((s, dir) => {
+      // streaming event time must be TIMESTAMP (not NTZ) — under the
+      // engine's pinned UTC session the cast is lossless, and the session
+      // bounds are cast back to NTZ below for oracle/type parity with q22
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q93_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      // staged files are NOT in event-time order, so a live-sized
+      // watermark delay would LATE-DROP most of batches 2..n (the
+      // watermark races to max(ts)-delay after batch 1). For a bounded
+      // backfill drain the watermark's only job is state eviction —
+      // which complete mode disables anyway — so span the whole fixture:
+      // no late drops, and the drained result equals the batch frame. A
+      // live tail keeps the default 2h delay and time-ordered arrival.
+      val q = streaming.Streams.sessionize(stream, watermarkDelay = "3650 days")
+        .writeStream
+        .format("memory").queryName("q93_sessions").outputMode("complete")
+        // fresh checkpoint per run: a reused one would see the staged
+        // files as already-committed and drain zero batches
+        .option("checkpointLocation",
+          predsPath(s"q93_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q93_sessions").select(
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("user_id"), col("n_events"))
+    }),
+
+
+    // §2.8 streaming #2, EXECUTED AS A STREAM: watermarked tumbling-window
+    // aggregation (count + exact decimal-accumulated sum) drained under
+    // Trigger.AvailableNow — q93's harness applied to the time-window
+    // family, so both streaming aggregation shapes (merging session state,
+    // fixed windows) carry driver-checked rows. Same fixture-spanning
+    // watermark rationale as q93 (unordered backfill files must not
+    // late-drop); oracle = q21's independent date_trunc formulation.
+    "q98_tumbling_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q98_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams
+        .tumblingAgg(stream, watermarkDelay = "3650 days")
+        .writeStream
+        .format("memory").queryName("q98_windows").outputMode("complete")
+        .option("checkpointLocation",
+          predsPath(s"q98_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q98_windows").select(
+        col("window_start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    }),
+
+
+    // §2.8 streaming #3, EXECUTED AS A STREAM: the CUSTOM-KEYED-STATE
+    // primitive (flatMapGroupsWithState) — cumulative per-user totals
+    // folded across micro-batches, drained under AvailableNow in update
+    // mode. Every micro-batch emits each touched user's running total;
+    // n_events is strictly monotone per user, so max(n_events) is the
+    // completed fold, and being an integer it oracle-compares exactly
+    // (the double total_value stays spec-pinned — a cross-batch float
+    // fold's addition ORDER is execution-dependent, which is precisely
+    // why the hash-checked column is the count). Oracle = plain
+    // per-user COUNT over events: a hash match proves arbitrary keyed
+    // state executed across batches loses and duplicates nothing.
+    "q99_keyed_state_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q99_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams.runningUserTotals(stream)
+        .writeStream
+        .format("memory").queryName("q99_totals").outputMode("update")
+        .option("checkpointLocation",
+          predsPath(s"q99_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q99_totals")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+    }),
+
+
+    // §2.8 streaming #5, EXECUTED AS A STREAM: SLIDING windows (width 1 h,
+    // slide 30 min — every event lands in exactly two overlapping
+    // windows), drained under AvailableNow in complete mode. Closes the
+    // last window SHAPE that only had a batch-equivalence spec; oracle =
+    // an independent two-candidate-starts unnest per event.
+    "q105_sliding_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q105_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams
+        .slidingAgg(stream, width = "1 hour", slide = "30 minutes",
+          watermarkDelay = "3650 days")
+        .writeStream
+        .format("memory").queryName("q105_sliding").outputMode("complete")
+        .option("checkpointLocation",
+          predsPath(s"q105_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q105_sliding").select(
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"))
+    }),
+
+
+    // §2.8 streaming #6, EXECUTED AS A STREAM: watermark-bounded DEDUP
+    // (dropDuplicatesWithinWatermark) — first occurrence per
+    // (user_id, event_type) wins, one row emitted per key across the
+    // whole multi-batch drain. The output projects to the KEY columns:
+    // which physical row arrives first is execution-order-dependent, the
+    // key set is not — that projection is what makes a streaming dedup
+    // hash-checkable at all. Oracle = the distinct key set; a hash match
+    // proves cross-batch dedup state lost and duplicated nothing.
+    "q106_dedup_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q106_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams
+        .dedupWithinWatermark(stream,
+          keyCols = Seq("user_id", "event_type"),
+          watermarkDelay = "3650 days")
+        .select(col("user_id"), col("event_type"))
+        .writeStream
+        .format("memory").queryName("q106_keys").outputMode("append")
+        .option("checkpointLocation",
+          predsPath(s"q106_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q106_keys")
+    }),
+
+
+    // §2.8 streaming #7, EXECUTED AS A STREAM: stream-STATIC enrichment —
+    // the streaming mirror of the J5 broadcast dimension join. The static
+    // customer side is re-read per micro-batch and carries no state; the
+    // drained rows are exactly the batch left join (event_id is unique, so
+    // the result is deterministic row-for-row, unlike q106's key
+    // projection). Completes the driver-checked streaming family: every
+    // Streams operator except the order-dependent near-dup marker now has
+    // a CORRECTNESS row that executed as a stream.
+    "q107_enrich_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q107_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment"), col("c_nationkey"))
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = streaming.Streams.enrichWithDim(stream, dim, "user_id")
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("c_mktsegment"), col("c_nationkey"))
+        .writeStream
+        .format("memory").queryName("q107_enriched").outputMode("append")
+        .option("checkpointLocation",
+          predsPath(s"q107_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q107_enriched")
+    }),
+
+
+    // §2.8 streaming #4, EXECUTED AS A STREAM: the stream-stream
+    // watermarked JOIN — two independent file streams over the same
+    // staged events (clicks side, purchases side), matched on user within
+    // the 1-hour attribution horizon, drained under AvailableNow in
+    // append mode. Inner-join matches emit as they form (the watermark
+    // only bounds state eviction), and the fixture-spanning delay keeps
+    // ALL state live across the unordered backfill batches, so the
+    // drained rows are exactly the batch join — oracle = the plain
+    // interval-join SQL (q31's shape with the roles flipped). Completes
+    // the driver-checked streaming family: windows (q98), sessions
+    // (q93), keyed state (q99), joins (here).
+    "q102_join_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q102_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      def src = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val joined = streaming.Streams.clickPurchaseJoin(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"),
+        horizon = "1 hour", watermarkDelay = "3650 days")
+      val q = joined.writeStream
+        .format("memory").queryName("q102_pairs").outputMode("append")
+        .option("checkpointLocation",
+          predsPath(s"q102_ckpt_${System.nanoTime()}"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q102_pairs").select(
+        col("click_id"), col("user_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("purchase_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("purchase_value"))
+    }),
+
+
+    // §2.8 streaming #8, EXECUTED AS A STREAM: CDC apply — the q108
+    // change set delivered as micro-batches, folded into a key-bucketed
+    // partitioned table via foreachBatch + upsertVersioned, each batch
+    // reading and dynamically overwriting ONLY the kb= partitions its
+    // keys hash into (the 100 TB write-amplification fix; the
+    // snapshot-chain variant stays spec-covered in StreamsSpec). The
+    // per-key (ver, tie) max makes the fold independent of batch
+    // boundaries and arrival order, so the drained final table must
+    // hash-match the ONE-SHOT batch merge oracle.
+    "q122_cdc_stream" -> ((s, dir) => {
+      val base = ordersSnapshot(s, dir).withColumn("ver", lit(0))
+      val changes = ordersChangeSet(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("ver"))
+      val root = predsPath(s"q122_root_${System.nanoTime()}")
+      sources.Sources.writeKeyBucketed(base, s"$root/table",
+        Seq("o_orderkey"), nBuckets = 16)
+      sources.Sources.writeParquet(changes.repartition(4), s"$root/changes")
+      streaming.Streams.cdcApplyPartitioned(s, s"$root/changes",
+          changes.schema, s"$root/table", Seq("o_orderkey"),
+          orderCol = "ver", tieCol = "o_orderstatus", nBuckets = 16)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+  )
+
+  /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
+    * rows-only checked by the driver (non-portable hash/codec/fit paths,
+    * each pinned by a dedicated spec instead). */
+  val sql: Map[String, String] = Map(
+
+    // identical gaps-and-islands semantics as q22 — here the Spark side
+    // EXECUTED session_window as an actual AvailableNow stream, so the
+    // hash match pins streaming execution, not just the operator
+    "q93_sessionize_stream" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   < INTERVAL 30 MINUTE
+        |              THEN 0 ELSE 1 END AS new_s
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+
+    // identical semantics as q21 — here the Spark side EXECUTED the
+    // windowed aggregation as an AvailableNow stream
+    "q98_tumbling_stream" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n, ${dSum("value", 2, "sum_value")}
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+
+    // the final keyed state per user after a full drain == the plain
+    // per-user count; integer-exact across engines
+    "q99_keyed_state_stream" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+
+    // independent formulation of window(ts, 1h, 30m): each event belongs
+    // to exactly the two 30-min-aligned hour windows covering it
+    "q105_sliding_stream" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+        |           AS window_start
+        |  FROM events
+        |)
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+
+    // the drained first-occurrence key set == the distinct key set
+    "q106_dedup_stream" ->
+      """SELECT user_id, event_type FROM events GROUP BY 1, 2""".stripMargin,
+
+
+    // the stream-static broadcast enrichment == the plain batch left join
+    "q107_enrich_stream" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |       c.c_mktsegment, c.c_nationkey
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+
+    // the drained streaming CDC fold == the one-shot batch merge (q108's
+    // oracle verbatim — same change set, same last-writer-wins rule)
+    "q122_cdc_stream" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), u AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, 2 AS ver
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', o_totalprice, 1 FROM o WHERE o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1
+        |  FROM o WHERE o_orderkey % 13 = 0
+        |), win AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                    ORDER BY ver DESC, o_orderstatus DESC) AS rn
+        |        FROM u)
+        |  WHERE rn = 1
+        |)
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM o
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM win""".stripMargin,
+
+
+    // the stream-stream join drained under AvailableNow must equal the
+    // plain batch interval join — losing or duplicating a buffered match
+    // across micro-batches breaks the hash
+    "q102_join_stream" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_id, c.user_id, c.click_ts,
+        |       p.purchase_id, p.purchase_ts, p.purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts <= c.click_ts
+        |  AND p.purchase_ts >= c.click_ts - INTERVAL 1 HOUR""".stripMargin,
+  )
+}

@@ -391,4 +391,54 @@ object Streams {
       "AvailableNow partitioned CDC stream must drain")
     spark.read.parquet(tableDir)
   }
+
+  /** Streaming ANN serving — real-time retrieval against a PERSISTED
+    * IVFPQ index ([[graft.llm.Similarity.writeIvfPqIndex]]): a stream of
+    * query vectors is drained in micro-batches, each batch shortlisted
+    * via the index (coarse probe + PQ ADC scan — the q94 serving path)
+    * and appended to `shortlistDir`; the exact re-rank then runs once
+    * over the drained shortlist against stored unit vectors.
+    *
+    * Shortlisting is query-row-local (each q_id's candidates depend only
+    * on its own vector and the static index), so the micro-batch split
+    * provably cannot change the result — the batch and streaming serving
+    * paths emit identical shortlists, which is what lets the drained
+    * output hash-match a relational oracle. The index side is a broadcast
+    * (stream-static join shape): per batch, only the query rows move.
+    *
+    * At 100 TB the index entries frame is the big side and stays
+    * partitioned by cell; the per-batch probe set joins into it exactly
+    * like q94's dynamic partition pruning — micro-batching adds no new
+    * shuffle of the corpus. */
+  def annServeStream(
+      spark: org.apache.spark.sql.SparkSession,
+      queriesDir: String,
+      queriesSchema: org.apache.spark.sql.types.StructType,
+      index: graft.llm.Similarity.IvfPqIndex,
+      unitsDir: String,
+      shortlistDir: String,
+      checkpointDir: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val stream = spark.readStream.schema(queriesSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(queriesDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Similarity
+          .ivfPqShortlist(index, batch, k, nprobe, rerankFactor)
+          .write.mode("append").parquet(shortlistDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow ANN serve stream must drain")
+    graft.llm.Similarity.exactRerankFromUnits(
+      spark.read.parquet(unitsDir),
+      spark.read.parquet(shortlistDir), k)
+  }
 }
