@@ -283,6 +283,40 @@ object StreamingQueries {
           orderCol = "ver", tieCol = "o_orderstatus", nBuckets = 16)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     }),
+
+    // streaming ANN serving: query vectors drained as micro-batches
+    // against the PERSISTED IVFPQ index (q94's artifacts), per-batch
+    // shortlists appended to parquet, exact re-rank over stored unit
+    // vectors. Shortlisting is query-row-local, so the micro-batch split
+    // provably equals the one-shot batch serve — the oracle replays the
+    // re-rank relationally over the STREAMED shortlist, so a green row
+    // means an actual stream execution produced it.
+    "q127_ann_stream" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitIvfPqIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, m = 8, kc = 16, persistEntries = false)
+      llm.Similarity.writeIvfPqIndex(idx, predsPath("q127_index"))
+      val loaded = llm.Similarity.loadIvfPqIndex(s, predsPath("q127_index"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q127_units"))
+      val qdf = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sources.Sources.writeParquet(qdf.repartition(4), predsPath("q127_queries"))
+      // the drain APPENDS per-batch shortlists: clear the dir (and use a
+      // fresh checkpoint) so a re-run of the same query starts empty
+      // instead of accumulating duplicates — the oracle then reads exactly
+      // one drain's worth of streamed shortlist files
+      val slDir = predsPath("q127_shortlist")
+      val slFile = new java.io.File(slDir)
+      if (slFile.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(slFile).deleteRecursively()
+      }
+      streaming.Streams.annServeStream(s, predsPath("q127_queries"),
+        qdf.schema, loaded, predsPath("q127_units"), slDir,
+        predsPath(s"q127_ckpt_${System.nanoTime()}"), k = 5)
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -376,6 +410,29 @@ object StreamingQueries {
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM win)
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM win""".stripMargin,
+
+    // q94's exact-rerank replay, over the shortlist the STREAM produced:
+    // identical stored unit-vector bits, identical integer-quantized dot,
+    // identical (dot_q DESC, n_id) top-5 — a green row certifies the
+    // micro-batched serve path end-to-end
+    "q127_ann_stream" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q127_shortlist")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q127_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |)
+         |SELECT * FROM (
+         |  SELECT q_id, n_id, dot_q,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |  FROM dots) WHERE rank <= 5""".stripMargin,
 
 
     // the stream-stream join drained under AvailableNow must equal the

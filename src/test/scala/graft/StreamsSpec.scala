@@ -374,6 +374,35 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("annServeStream: micro-batched serve equals the one-shot batch serve") {
+    import graft.llm.Similarity
+    val root = s"target/tmp/streams/ann_${System.nanoTime()}"
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val idx = Similarity.fitIvfPqIndex(
+      e.select($"vec_id".as("n_id"), $"embedding".as("n_emb")),
+      nlist = 8, m = 8, kc = 16, persistEntries = false)
+    Similarity.unitVectors(e).write.parquet(s"$root/units")
+    val qdf = e.filter($"vec_id" % 37 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    qdf.repartition(3).write.parquet(s"$root/queries")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rows(graft.streaming.Streams.annServeStream(spark,
+      s"$root/queries", qdf.schema, idx, s"$root/units", s"$root/sl",
+      s"$root/ckpt", k = 3))
+    val batch = rows(Similarity.exactRerankFromUnits(
+      spark.read.parquet(s"$root/units"),
+      Similarity.ivfPqShortlist(idx, qdf, k = 3), k = 3))
+    assert(streamed.nonEmpty && streamed === batch,
+      "micro-batched shortlist+rerank must equal the one-shot serve")
+    // the drain really was micro-batched: several appended shortlist files
+    val slFiles = new java.io.File(s"$root/sl").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length() > 0)
+    assert(slFiles >= 2, s"expected multi-batch appends, got $slFiles files")
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
