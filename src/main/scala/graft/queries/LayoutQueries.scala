@@ -315,6 +315,27 @@ object LayoutQueries {
         numFiles = 4)
     }),
 
+    // partition-selective compaction — q123's maintenance chore scoped to
+    // a hive-partitioned table: events staged with UNEVEN per-bucket
+    // fragmentation (bucket b gets b+1 single-file appends — the shape an
+    // incremental ingest leaves behind), then only the >maxFiles buckets
+    // rewritten in place; cold buckets keep their exact files
+    // (SourcesSpec pins the selectivity). Content-invariant: the oracle
+    // reads the ORIGINAL table.
+    "q129_partition_compaction" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("kb", sources.Sources.keyBucket(Seq("user_id"), 8))
+      val root = predsPath(s"q129_root_${System.nanoTime()}")
+      for (i <- 0 to 7)
+        ev.filter(col("kb") >= i && expr(s"pmod(event_id, kb + 1) = $i"))
+          .repartition(1).write.mode("append").partitionBy("kb").parquet(root)
+      sources.Sources.compactPartitions(s, root, "kb",
+        sortCols = Seq("event_id"), maxFiles = 4, numFiles = 1)
+      s.read.parquet(root)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
 
     // schema-evolution read: two parquet generations (v2 adds a column),
     // one mergeSchema scan — v1 rows surface NULL for the late column,
@@ -477,6 +498,12 @@ object LayoutQueries {
     "q123_compaction" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem""".stripMargin,
+
+    // partition-selective compaction is content-invariant too: whatever
+    // subset of buckets got rewritten, the table must still read as the
+    // ORIGINAL events projection
+    "q129_partition_compaction" ->
+      """SELECT event_id, user_id, value FROM events""".stripMargin,
 
 
     "q120_schema_evolution" ->

@@ -317,6 +317,23 @@ object StreamingQueries {
         qdf.schema, loaded, predsPath("q127_units"), slDir,
         predsPath(s"q127_ckpt_${System.nanoTime()}"), k = 5)
     }),
+
+    // incremental aggregate table: the events fixture drained as
+    // micro-batches into a key-bucketed parquet table of per-user
+    // (count, exact-decimal sum) — state lives in the TABLE, each batch
+    // ships only its partial aggregates and merges into the touched kb=
+    // partitions (the cdcApplyPartitioned bucket-pruned write). Decimal
+    // partials are associative, so the drained table must hash-match the
+    // one-shot GROUP BY oracle whatever the batch split.
+    "q128_agg_table_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("value"))
+      val root = predsPath(s"q128_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.aggTableApply(s, s"$root/events", ev.schema,
+        s"$root/table", s"$root/ckpt", keyCol = "user_id",
+        valueCol = "value", nBuckets = 16)
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -433,6 +450,13 @@ object StreamingQueries {
          |  SELECT q_id, n_id, dot_q,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
          |  FROM dots) WHERE rank <= 5""".stripMargin,
+
+    // the micro-batch-maintained aggregate table == the one-shot GROUP BY
+    // (decimal partials are associative; a double running sum would be
+    // batch-boundary-dependent and fail this hash)
+    "q128_agg_table_stream" ->
+      s"""SELECT user_id, COUNT(*) AS n_events, ${dSum("value", 2, "sum_value")}
+         |FROM events GROUP BY 1""".stripMargin,
 
 
     // the stream-stream join drained under AvailableNow must equal the

@@ -250,6 +250,51 @@ object Sources {
     spark.read.parquet(outDir)
   }
 
+  /** Partition-selective compaction — [[compact]] for a hive-partitioned
+    * table, rewriting ONLY partitions whose data-file count exceeds
+    * `maxFiles`. This is the maintenance half of incremental partitioned
+    * writes ([[graft.streaming.Streams.cdcApplyPartitioned]] and friends
+    * append/overwrite per batch, so hot partitions fragment over time
+    * while cold ones stay pristine): a nightly pass over a 100 TB table
+    * touches the handful of written-to partitions and leaves the rest
+    * unlisted and unread. Partition discovery is a directory listing
+    * (driver-side, O(#partitions) names — bounded by layout fan-out, not
+    * data); each selected partition is rewritten in place as `numFiles`
+    * sorted files via dynamic partition overwrite, preserving content.
+    *
+    * Returns the (partition, files_before) frame of compacted partitions
+    * so the operation is observable. */
+  def compactPartitions(
+      spark: SparkSession,
+      tableDir: String,
+      partitionCol: String,
+      sortCols: Seq[String],
+      maxFiles: Int,
+      numFiles: Int = 1): DataFrame = {
+    require(maxFiles >= 1 && numFiles >= 1, "maxFiles and numFiles >= 1")
+    val root = new java.io.File(tableDir)
+    val frag = root.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$partitionCol="))
+      .map(d => (d.getName.substring(partitionCol.length + 1),
+        d.listFiles().count(f => f.isFile && f.getName.startsWith("part-"))))
+      .filter(_._2 > maxFiles)
+    frag.foreach { case (value, _) =>
+      // one partition at a time: read THROUGH the root (so the partition
+      // column is present and typed), prune to the one directory,
+      // materialize off the files being replaced, dynamic-overwrite back
+      val part = spark.read.parquet(tableDir)
+        .filter(col(partitionCol) === value)
+        .repartitionByRange(numFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .localCheckpoint()
+      part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(tableDir)
+    }
+    import spark.implicits._
+    frag.toDF("partition", "files_before")
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` bits of each column
     * so rows close in EVERY dimension are close in the one-dimensional
     * sort order (Morton 1966 — the multi-column clustering key behind

@@ -441,4 +441,82 @@ object Streams {
       spark.read.parquet(unitsDir),
       spark.read.parquet(shortlistDir), k)
   }
+
+  /** Incremental aggregate table — a materialized per-key (count, sum)
+    * maintained in a [[graft.sources.Sources.writeKeyBucketed]]-layout
+    * parquet table by a stream, the table-backed alternative to keeping
+    * unbounded keyed state inside the streaming engine
+    * ([[runningUserTotals]]): state lives in the table, the stream only
+    * carries each micro-batch's PARTIAL aggregates.
+    *
+    * Per batch: map-side partial aggregate of the batch (one row per key
+    * in the batch — the shuffle carries aggregates, not events), then the
+    * same touched-bucket merge as [[cdcApplyPartitioned]] — read only the
+    * `kb=` partitions the batch's keys hash into, sum partials into
+    * stored totals, dynamically overwrite only those directories.
+    *
+    * The running sum is kept as DECIMAL(30,2) partials (exact, fully
+    * associative), so the final table is IDENTICAL however the input is
+    * split into micro-batches — double addition would make the result
+    * batch-boundary-dependent. The returned frame casts to double for
+    * consumers ([[graft.ops.Relational.exactSum]]'s contract).
+    *
+    * Restartable/incremental by construction: `checkpointDir` is caller
+    * owned — a later drain with the same checkpoint processes only files
+    * that arrived since, touching only THEIR buckets. */
+  def aggTableApply(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      tableDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      valueCol: String,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val part = batch.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col(valueCol).cast("decimal(30,2)")).as("sum_dec"))
+          .withColumn("kb",
+            graft.sources.Sources.keyBucket(Seq(keyCol), nBuckets))
+        val touched = part.select(col("kb")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val root = new java.io.File(tableDir)
+          val hasTable = root.exists() && root.listFiles()
+            .exists(d => d.isDirectory && d.getName.startsWith("kb="))
+          val merged =
+            if (!hasTable) part
+            else spark.read.parquet(tableDir)
+              .filter(col("kb").isin(touched.map(Int.box): _*))
+              .select(col(keyCol), col("n_events"),
+                col("sum_dec").cast("decimal(30,2)").as("sum_dec"), col("kb"))
+              .unionByName(part)
+              .groupBy(col(keyCol), col("kb"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("sum_dec")).as("sum_dec"))
+          merged
+            .select(col(keyCol), col("n_events"),
+              col("sum_dec").cast("decimal(30,2)").as("sum_dec"), col("kb"))
+            .localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kb").parquet(tableDir)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow aggregate-table stream must drain")
+    spark.read.parquet(tableDir)
+      .select(col(keyCol), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+  }
 }

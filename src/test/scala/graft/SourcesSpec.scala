@@ -377,6 +377,46 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("compactPartitions: only over-threshold partitions rewritten, content identical") {
+    import graft.sources.Sources
+    val root = s"target/tmp/sources/compactp_${System.nanoTime()}"
+    val base = (1L to 300L).map(i => (i, i % 6, i * 1.5)).toDF("id", "p", "v")
+    // fragment partitions unevenly: partition p receives p+1 single-file
+    // appends (p=0 → 1 file ... p=5 → 6 files). The slice driver uses
+    // id DIV 6, which is independent of p = id % 6 — id itself would be
+    // perfectly correlated with p and leave residues uncovered.
+    for (i <- 0 to 5) {
+      base.filter($"p" >= i && expr(s"pmod(id DIV 6, p + 1) = $i"))
+        .repartition(1)
+        .write.mode("append").partitionBy("p").parquet(root)
+    }
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("p="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet)
+        .toMap
+    val before = partFiles()
+    assert((0 to 5).forall(p => before(s"p=$p").size == p + 1),
+      s"fixture fragmentation shape broken: ${before.view.mapValues(_.size).toMap}")
+
+    val report = Sources.compactPartitions(spark, root, "p",
+      sortCols = Seq("id"), maxFiles = 3, numFiles = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(report === Map("3" -> 4, "4" -> 5, "5" -> 6),
+      s"must report exactly the >3-file partitions, got $report")
+    val after = partFiles()
+    for (p <- 0 to 2)
+      assert(after(s"p=$p") === before(s"p=$p"),
+        s"under-threshold partition p=$p must keep its exact files")
+    for (p <- 3 to 5)
+      assert(after(s"p=$p").size === 1 && after(s"p=$p") != before(s"p=$p"),
+        s"fragmented partition p=$p must be rewritten to one file")
+    val back = spark.read.parquet(root).select($"id", $"p".cast("long"), $"v")
+    assert(back.except(base).count() === 0 && base.except(back).count() === 0,
+      "partition compaction is layout-only: content must round-trip exactly")
+  }
+
   test("saltedJoin returns exactly the plain join result (skew mitigation)") {
     val o = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"), col("o_totalprice"))
     val li = Tables.lineitem(spark, TestSpark.sf).select(col("l_orderkey"), col("l_quantity"))

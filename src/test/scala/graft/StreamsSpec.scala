@@ -374,6 +374,53 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("aggTableApply: equals one-shot GROUP BY; restart drains only new files into their buckets") {
+    import graft.sources.Sources
+    val root = s"target/tmp/streams/aggt_${System.nanoTime()}"
+    val nBuckets = 8
+    val a = (1L to 400L).map(i => (i % 40, i * 0.03 + 0.01)).toDF("k", "v")
+    a.repartition(4).write.parquet(s"$root/events")
+
+    def drained() = graft.streaming.Streams.aggTableApply(spark,
+      s"$root/events", a.schema, s"$root/table", s"$root/ckpt",
+      keyCol = "k", valueCol = "v", nBuckets = nBuckets,
+      maxFilesPerTrigger = 1)
+    def expect(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k")
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.Relational.exactSum($"v").as("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(got(drained()) === expect(a),
+      "4-batch drain must equal the one-shot GROUP BY bit-for-bit")
+
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$root/table").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet)
+        .toMap
+    val before = partFiles()
+
+    // late arrivals confined to ONE key: the restart (same checkpoint)
+    // must process only the new file and rewrite only that key's bucket
+    val b = Seq((7L, 1.25), (7L, 2.50)).toDF("k", "v")
+    b.write.mode("append").parquet(s"$root/events")
+    assert(got(drained()) === expect(a.unionByName(b)),
+      "incremental drain must fold late arrivals into stored totals")
+    val touched = b.select(Sources.keyBucket(Seq("k"), nBuckets))
+      .distinct().collect().map(r => s"kb=${r.getInt(0)}").toSet
+    val after = partFiles()
+    (after.keySet -- touched).foreach { d =>
+      assert(after(d) === before(d),
+        s"bucket $d untouched by late keys was rewritten")
+    }
+    assert(touched.forall(d => after(d) != before.getOrElse(d, Set())),
+      "the late keys' bucket must have been rewritten")
+  }
+
   test("annServeStream: micro-batched serve equals the one-shot batch serve") {
     import graft.llm.Similarity
     val root = s"target/tmp/streams/ann_${System.nanoTime()}"
