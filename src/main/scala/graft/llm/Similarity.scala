@@ -956,6 +956,43 @@ object Similarity {
       meta.getAs[Int]("sub_dim"))
   }
 
+  /** Incremental index maintenance: encode NEW vectors against a
+    * PERSISTED index's frozen quantizers and append them to its serving
+    * layout — no refit, no rewrite of existing entries. Routing uses the
+    * same centroid-affinity rule the PROBE side ranks cells by
+    * (quantized dot on unit vectors), so an appended vector lives
+    * exactly where the queries that should find it will look; PQ codes
+    * come from the stored codebook, so appended codes are
+    * bit-compatible with fitted ones. The append writes ONLY the
+    * routed-to `cell=` directories (parquet append): existing files are
+    * never touched, and a concurrent reader sees either the old or the
+    * extended index, never a partial rewrite of history.
+    *
+    * This is the standard IVF maintenance story (FAISS `add` after
+    * `train`): quantizer drift under sustained growth is handled by a
+    * periodic refit + swap, not per-batch retraining. Returns the
+    * appended `(n_id, cell)` assignments for observability. */
+  def appendToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      newVectors: DataFrame): DataFrame = { // (n_id, n_emb: array<float>)
+    val index = loadIvfPqIndex(spark, dir)
+    val units = l2Normalized(newVectors, "n_emb", "n_unit")
+      .select(col("n_id"), col("n_unit"))
+    val routed = graft.ops.Relational.groupedTopK(
+      units.crossJoin(broadcast(index.centroids))
+        .withColumn("aff", graft.exprapi.quantizedDotFast(col("n_unit"), col("c_arr"))),
+      Seq("n_id"), "aff", "cell", 1)
+      .select(col("n_id"), col("cell"), col("n_unit"))
+    val entries = routed.select(col("n_id"), col("cell"),
+      graft.exprapi.pqEncode(
+        col("n_unit"), index.codebook, index.m, index.kc, index.subDim).as("codes"))
+    entries.write.mode("append").partitionBy("cell").parquet(s"$dir/entries")
+    spark.read.parquet(s"$dir/entries")
+      .join(routed.select(col("n_id")), Seq("n_id"), "left_semi")
+      .select(col("n_id"), col("cell").cast("int").as("cell"))
+  }
+
   /** Probe an [[IvfPqIndex]]: rank the broadcast centroids per query,
     * ADC-scan only the `nprobe` chosen cells' codes, exact-re-rank the
     * top `k·rerankFactor`. Work per query ≈ |corpus|·(nprobe/nlist)·m

@@ -239,6 +239,38 @@ object SimilarityQueries {
         s.read.parquet(predsPath("q28_units")),
         s.read.parquet(predsPath("q28_cands")), k = 5)
     }),
+
+    // incremental index maintenance: fit on 90% of the corpus, persist,
+    // APPEND the late 10% against the frozen quantizers (no refit — new
+    // codes land only in their routed cell= dirs), then serve the grown
+    // index through the q94 shortlist/rerank split. The oracle replays
+    // the exact re-rank over the persisted shortlist+units — a green row
+    // certifies the append-then-serve path: late vectors are routed,
+    // encoded, partition-pruned and ranked exactly like fitted ones.
+    "q130_ivfpq_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val late = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val idxDir = predsPath("q130_index")
+      llm.Similarity.writeIvfPqIndex(
+        llm.Similarity.fitIvfPqIndex(base, nlist = 16, m = 8, kc = 16,
+          persistEntries = false), idxDir) // overwrite => re-runs start clean
+      llm.Similarity.appendToIvfPqIndex(s, idxDir, late)
+      val loaded = llm.Similarity.loadIvfPqIndex(s, idxDir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfPqShortlist(loaded, queries, k = 5, nprobe = 4,
+          rerankFactor = 4),
+        predsPath("q130_shortlist"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q130_units"))
+      llm.Similarity.exactRerankFromUnits(
+        s.read.parquet(predsPath("q130_units")),
+        s.read.parquet(predsPath("q130_shortlist")), k = 5)
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -489,5 +521,26 @@ object SimilarityQueries {
         |  FROM dist
         |)
         |SELECT lang, doc_id, dist_q FROM r WHERE rn <= 10""".stripMargin,
+
+    // q94's rerank replay over the APPENDED index's shortlist: identical
+    // stored bits, identical integer dot, identical top-5
+    "q130_ivfpq_append" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q130_shortlist")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q130_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |)
+         |SELECT * FROM (
+         |  SELECT q_id, n_id, dot_q,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |  FROM dots) WHERE rank <= 5""".stripMargin,
   )
 }

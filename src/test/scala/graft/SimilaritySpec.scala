@@ -250,6 +250,56 @@ class SimilaritySpec extends AnyFunSuite {
       s"nprobe=2 probe must read <= 2 of 16 cell partitions, read $partsRead")
   }
 
+  test("appendToIvfPqIndex: new vectors served without refit; existing entry files untouched") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val late = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val dir = s"target/tmp/ivfpq_append_${System.nanoTime()}"
+    val idx = Similarity.fitIvfPqIndex(base, nlist = 8, m = 8, kc = 16,
+      persistEntries = false)
+    Similarity.writeIvfPqIndex(idx, dir)
+
+    def cellFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$dir/entries").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet)
+        .toMap
+    val before = cellFiles()
+
+    val appended = Similarity.appendToIvfPqIndex(spark, dir, late)
+      .as[(Long, Int)].collect().toMap
+    assert(appended.keySet === late.select($"n_id").as[Long].collect().toSet,
+      "every late vector must be routed and appended exactly once")
+
+    // append-only: every pre-existing file survives byte-named; new files
+    // appear ONLY in the cells the late vectors were routed to
+    val after = cellFiles()
+    before.foreach { case (d, files) =>
+      assert(files.subsetOf(after(d)), s"append must not rewrite $d") }
+    val grown = after.keySet.filter(d =>
+      after(d) != before.getOrElse(d, Set.empty[String]))
+    val routedCells = appended.values.map(c => s"cell=$c").toSet
+    assert(grown === routedCells,
+      s"new files in $grown but late vectors routed to $routedCells")
+
+    // the reloaded index serves the union; a query duplicating a late
+    // vector must retrieve it at rank 1 (identical unit vector => max dot)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    assert(loaded.entries.select($"n_id").as[Long].collect().toSet ===
+      e.select($"vec_id").as[Long].collect().toSet)
+    val lateId = appended.keySet.min
+    val probe = e.filter($"vec_id" === lateId)
+      .select(lit(-1L).as("q_id"), $"embedding".as("q_emb"))
+    val all = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val top = Similarity.ivfPqProbe(loaded, probe, all, k = 3, nprobe = 2)
+      .filter($"rank" === 1).select($"n_id").as[Long].head()
+    assert(top === lateId,
+      s"query cloning appended vector $lateId must retrieve it first, got $top")
+  }
+
   test("ivfPqShortlist + exactRerankFromUnits == ivfPqProbe (the persistable serving split)") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
