@@ -40,6 +40,28 @@ object MlQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))),
 
+    // leakage-safe train/holdout split: q44's content-addressed hash
+    // split keyed by the NEAR-DUP CLUSTER (q43's min-label components;
+    // singletons key by their own id) instead of the document — near
+    // duplicates land on the SAME side by construction, closing the
+    // classic eval-contamination hole where a test doc's near-copy sits
+    // in train. One extra join over the dup-cluster frame; the split
+    // stays deterministic, partition-invariant, and engine-portable.
+    "q131_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id"))
+      val keyed = docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_key"))
+      ml.Models.hashSplit(keyed, "cluster_key")
+        .select(col("doc_id"), col("cluster_key"), col("split"))
+    }),
+
 
     // M2-M10 end-to-end, SPLIT at the fit/serve boundary: tfidf pipeline ->
     // class weights -> weighted LR (elasticNet .5, reg .03, threshold .68)
@@ -164,6 +186,53 @@ object MlQueries {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q43's recursive min-label clustering chained into q44's md5 split,
+    // keyed by the cluster: the oracle derives the same components and
+    // the same bucket rule, so the no-straddle property is checked by
+    // hash equality over every (doc, cluster_key, split) row
+    "q131_leakage_safe_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), clusters AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), keyed AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_key
+        |  FROM documents d LEFT JOIN clusters c USING (doc_id)
+        |)
+        |SELECT doc_id, cluster_key,
+        |       CASE WHEN CAST('0x' || substr(md5(CAST(cluster_key AS VARCHAR)), 1, 2) AS INT) < 205
+        |            THEN 'train' ELSE 'holdout' END AS split
+        |FROM keyed""".stripMargin,
 
 
     // fit/serve split: the oracle replays the confusion aggregation over

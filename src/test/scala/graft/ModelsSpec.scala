@@ -122,6 +122,35 @@ class ModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split: no near-dup cluster straddles train/holdout") {
+    import graft.llm.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val clusters = Dedup.dupClusters(
+      Dedup.candidatePairs(
+        Dedup.bandBuckets(docs, "doc_id", "text",
+          numHashes = 6, bands = 3, shingleWidth = 3),
+        "doc_id"))
+    val keyed = docs.select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_key", coalesce($"cluster_id", $"doc_id"))
+    val split = Models.hashSplit(keyed, "cluster_key")
+    // the property the operator exists for: every cluster is entirely on
+    // one side — and the fixture's planted dups make the check non-vacuous
+    val multi = split.groupBy($"cluster_key")
+      .agg(count(lit(1)).as("n"), countDistinct($"split").as("n_sides"))
+    assert(multi.filter($"n" >= 2).count() > 0,
+      "fixture must contain at least one multi-doc dup cluster")
+    assert(multi.filter($"n_sides" > 1).count() === 0,
+      "a dup cluster must never straddle the split")
+    // doc-keyed split DOES straddle at least one of those clusters — the
+    // contamination hole this operator closes is real on this data
+    val docKeyed = Models.hashSplit(
+      docs.select($"doc_id").join(clusters, Seq("doc_id")), "doc_id")
+    assert(docKeyed.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("s")).filter($"s" > 1).count() > 0,
+      "doc-keyed split should straddle some cluster (else the test is vacuous)")
+  }
+
   test("topicTermRows: relational top-k over the flattened matrix == describeTopics") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(200)
     val pipe = Models.tfidfPipeline(minDF = 2.0, vocabSize = 500).fit(docs)
