@@ -270,6 +270,22 @@ object TextQueries {
         .groupBy(col("stem"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 20)),
+
+    // the curation FUNNEL end-to-end: language gate (q34's bigram score)
+    // → quality gate (q19's token/punct signals) → exact-dup survivor
+    // (q20's fingerprint, min-id keeps) → decontamination (q70's 4-gram
+    // overlap vs the bench split) — one verdict per document, labeled
+    // with the FIRST failing stage. Each gate runs only over the prior
+    // stage's survivors, so the composed plan is the production shape:
+    // the cheap projections prune before the grouped fingerprint shuffle,
+    // which prunes before the gram explode. One query certifies the whole
+    // pipeline's stage ordering and bookkeeping, not just each gate.
+    "q132_curation_funnel" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      TextOps.curationFunnel(
+        all.filter(col("doc_id") % 100 =!= 0),
+        all.filter(col("doc_id") % 100 === 0))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -648,5 +664,64 @@ object TextQueries {
         |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tok,
         |       CAST(sum(h_q) // min(n) AS BIGINT) AS entropy_q
         |FROM h GROUP BY 1""".stripMargin,
+
+    // the four gates' proven SQL fragments (q34 bigram score, q19
+    // token/punct, q20 md5 fingerprint, q70 4-gram overlap) composed with
+    // the same stage ordering and first-fail labeling
+    "q132_curation_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts,
+        |         array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS s
+        |  FROM documents WHERE doc_id % 100 <> 0
+        |), sc AS (
+        |  SELECT doc_id, text, ts,
+        |    CASE WHEN len(s) >= 2 THEN
+        |      CAST(floor((len(list_filter(list_transform(generate_series(1, len(s)-1),
+        |                                                 i -> substr(s, i, 2)),
+        |             x -> x IN ('th','he','in','er','an','re','on','at','en','nd',
+        |                        'ti','es','or','te','of','ed','is','it','al','ar',
+        |                        'st','to','nt','ng','se','ha','as','ou','io','le'))) * 1000)
+        |                 / (len(s) - 1)) AS BIGINT)
+        |    ELSE 0 END AS bg_score,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(text) > 0 THEN
+        |      CAST(floor((len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1000) / len(text)) AS BIGINT)
+        |    ELSE 0 END AS punct_score,
+        |    md5(s) AS fp
+        |  FROM t
+        |), qual AS (
+        |  SELECT * FROM sc
+        |  WHERE bg_score >= 80 AND n_tokens >= 40 AND punct_score <= 300
+        |), minfp AS (
+        |  SELECT fp, min(doc_id) AS min_doc FROM qual GROUP BY 1
+        |), duploser AS (
+        |  SELECT q.doc_id FROM qual q JOIN minfp m USING (fp)
+        |  WHERE q.doc_id <> m.min_doc
+        |), dupok AS (
+        |  SELECT q.doc_id, q.ts FROM qual q JOIN minfp m USING (fp)
+        |  WHERE q.doc_id = m.min_doc
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ts) - 3, 0)),
+        |      i -> array_to_string(ts[i:i+3], ' ')))) AS gram
+        |  FROM dupok
+        |), bgrams AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(bt) - 3, 0)),
+        |      i -> array_to_string(bt[i:i+3], ' ')))) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS bt
+        |        FROM documents WHERE doc_id % 100 = 0)
+        |), cont AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams USING (gram)
+        |)
+        |SELECT doc_id, bg_score, n_tokens, punct_score,
+        |  CASE WHEN bg_score < 80 THEN 'lang'
+        |       WHEN n_tokens < 40 OR punct_score > 300 THEN 'quality'
+        |       WHEN doc_id IN (SELECT doc_id FROM duploser) THEN 'dup'
+        |       WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+        |       ELSE 'kept' END AS verdict
+        |FROM sc""".stripMargin,
   )
 }

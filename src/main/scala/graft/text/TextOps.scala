@@ -418,4 +418,54 @@ object TextOps {
       }
     }
   }
+
+  /** The curation FUNNEL end-to-end (C4/Gopher-style gate chain over a
+    * corpus, first-fail labeled): language gate ([[englishBigramScore]]
+    * ≥ 80) → quality gate (≥ 40 tokens, punct per-mille ≤ 300) →
+    * exact-dup survivor ([[fingerprint]], min-id keeps) → benchmark
+    * decontamination ([[graft.llm.Dedup.contaminationReport]], 4-gram
+    * overlap vs `bench`). Returns one row per corpus document:
+    * `(doc_id, bg_score, n_tokens, punct_score, verdict)` with verdict ∈
+    * kept | lang | quality | dup | contaminated — the FIRST failing gate.
+    *
+    * Stage economics at 100 TB: the per-row projections (lang/quality)
+    * prune before the fingerprint group-by shuffles, which prunes before
+    * the gram explode — each expensive stage sees only the previous
+    * stage's survivors, and the expensive members (dup group-by, gram
+    * join) are computed ONLY over those survivor sets. */
+  def curationFunnel(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"),
+      lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val scored = corpus.select(
+      col("doc_id"), col("text"),
+      englishBigramScore(col("text")).as("bg_score"),
+      size(ts).cast("long").as("n_tokens"),
+      when(length(col("text")) > 0,
+        floor((nPunct.cast("long") * 1000L) / length(col("text")).cast("long")))
+        .otherwise(0L).cast("long").as("punct_score"),
+      fingerprint(col("text")).as("fp"))
+    val qualOk = scored.filter(col("bg_score") >= 80 &&
+      col("n_tokens") >= 40 && col("punct_score") <= 300)
+    val minFp = qualOk.groupBy(col("fp")).agg(min(col("doc_id")).as("min_doc"))
+    val dupLoser = qualOk.join(minFp, "fp")
+      .filter(col("doc_id") =!= col("min_doc"))
+      .select(col("doc_id"), lit(1).as("is_dup"))
+    val dupOk = qualOk.join(minFp, "fp")
+      .filter(col("doc_id") === col("min_doc"))
+      .select(col("doc_id"), col("text"))
+    val contam = graft.llm.Dedup.contaminationReport(dupOk, bench,
+        "doc_id", "text", n = 4)
+      .select(col("doc_id"), lit(1).as("is_cont"))
+    scored
+      .join(dupLoser, Seq("doc_id"), "left_outer")
+      .join(contam, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("bg_score"), col("n_tokens"),
+        col("punct_score"),
+        when(col("bg_score") < 80, "lang")
+          .when(col("n_tokens") < 40 || col("punct_score") > 300, "quality")
+          .when(col("is_dup") === 1, "dup")
+          .when(col("is_cont") === 1, "contaminated")
+          .otherwise("kept").as("verdict"))
+  }
 }

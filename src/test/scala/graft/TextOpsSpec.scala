@@ -488,4 +488,29 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("curationFunnel: every verdict branch fires with first-fail precedence") {
+    val en = ("the then there is it that and on the rate " * 12).trim
+    val corpus = Seq(
+      (1L, en),                                  // kept
+      (2L, "zzq xk qqv " * 40),                  // lang: no English bigrams
+      (3L, "the then there is it that"),         // quality: too short
+      (4L, en + " !!!???;;;###" * 60),           // quality: punct-heavy
+      (5L, en),                                  // dup of 1 (loses to min id)
+      (6L, en + " benchmark secret answer token leak four gram")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the benchmark secret answer token leak four gram end"))
+      .toDF("doc_id", "text")
+    val v = TextOps.curationFunnel(corpus, bench)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(v === Map(1L -> "kept", 2L -> "lang", 3L -> "quality",
+      4L -> "quality", 5L -> "dup", 6L -> "contaminated"), s"got $v")
+    // first-fail precedence: doc 2 is ALSO short-ish and never reaches
+    // later gates; doc 5's text is contaminated-free so dup is its first
+    // failure; a bench-free funnel keeps doc 6
+    val noBench = TextOps.curationFunnel(corpus,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(noBench(6L) === "kept")
+  }
 }
