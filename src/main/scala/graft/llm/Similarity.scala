@@ -993,6 +993,43 @@ object Similarity {
       .select(col("n_id"), col("cell").cast("int").as("cell"))
   }
 
+  /** Quantizer-drift report — the monitoring signal that tells an
+    * [[appendToIvfPqIndex]]-maintained index when its FROZEN quantizers
+    * need a refit: per (cell, cohort) — cohort = `fitted` vs `appended`
+    * — the entry count and the exact integer SUM of quantized
+    * centroid affinities (unit · centroid, the probe-side routing
+    * score). A healthy append keeps the appended cohort's mean affinity
+    * near the fitted cohort's; sustained decay means new data has
+    * drifted off the trained centroids and recall is leaking — time for
+    * the periodic refit + swap.
+    *
+    * Everything is read from PERSISTED serving artifacts (entries,
+    * centroids, units, appended-ids), the affinity is the same integer
+    * quantization the rerank oracle replays, and the aggregate is an
+    * integer sum — so the whole report is engine-portable and
+    * hash-checkable. One narrow join per entry row; centroids broadcast. */
+  def indexDriftReport(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      unitsDir: String,
+      appendedDir: String): DataFrame = {
+    val idx = loadIvfPqIndex(spark, indexDir)
+    val units = spark.read.parquet(unitsDir)
+      .select(col("vec_id").as("n_id"), col("unit"))
+    val appended = spark.read.parquet(appendedDir)
+      .select(col("n_id"), lit(1).as("is_new"))
+    idx.entries.select(col("n_id"), col("cell"))
+      .join(units, "n_id")
+      .join(broadcast(idx.centroids), "cell")
+      .join(appended, Seq("n_id"), "left_outer")
+      .withColumn("aff",
+        graft.exprapi.quantizedDotFast(col("unit"), col("c_arr")))
+      .withColumn("cohort",
+        when(col("is_new") === 1, "appended").otherwise("fitted"))
+      .groupBy(col("cell"), col("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("aff")).as("sum_aff_q"))
+  }
+
   /** Probe an [[IvfPqIndex]]: rank the broadcast centroids per query,
     * ADC-scan only the `nprobe` chosen cells' codes, exact-re-rank the
     * top `k·rerankFactor`. Work per query ≈ |corpus|·(nprobe/nlist)·m

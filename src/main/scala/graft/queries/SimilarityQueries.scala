@@ -271,6 +271,29 @@ object SimilarityQueries {
         s.read.parquet(predsPath("q130_units")),
         s.read.parquet(predsPath("q130_shortlist")), k = 5)
     }),
+
+    // quantizer-drift monitoring for the append-maintained index: per
+    // (cell, cohort = fitted|appended) entry counts and exact integer
+    // affinity sums over the persisted serving artifacts — the refit
+    // trigger signal, oracle-replayed bit-for-bit
+    "q133_index_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val late = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val idxDir = predsPath("q133_index")
+      llm.Similarity.writeIvfPqIndex(
+        llm.Similarity.fitIvfPqIndex(base, nlist = 16, m = 8, kc = 16,
+          persistEntries = false), idxDir)
+      sources.Sources.writeParquet(
+        llm.Similarity.appendToIvfPqIndex(s, idxDir, late),
+        predsPath("q133_appended"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q133_units"))
+      llm.Similarity.indexDriftReport(s, idxDir,
+        predsPath("q133_units"), predsPath("q133_appended"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -542,5 +565,29 @@ object SimilarityQueries {
          |  SELECT q_id, n_id, dot_q,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
          |  FROM dots) WHERE rank <= 5""".stripMargin,
+
+    // drift report replay: hive-partitioned entries + persisted units,
+    // centroids and appended ids; same integer affinity, same sums
+    "q133_index_drift" ->
+      s"""WITH en AS (
+         |  SELECT n_id, CAST(cell AS INT) AS cell
+         |  FROM read_parquet('${predsPath("q133_index")}/entries/*/*.parquet', hive_partitioning = true)
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q133_units")}/*.parquet')
+         |), c AS (
+         |  SELECT cell, c_arr FROM read_parquet('${predsPath("q133_index")}/centroids/*.parquet')
+         |), ap AS (
+         |  SELECT n_id FROM read_parquet('${predsPath("q133_appended")}/*.parquet')
+         |), j AS (
+         |  SELECT en.cell,
+         |    CASE WHEN en.n_id IN (SELECT n_id FROM ap) THEN 'appended' ELSE 'fitted' END AS cohort,
+         |    CAST(list_sum(list_transform(generate_series(1, len(u.unit)), i ->
+         |      CAST(floor(CAST(u.unit[i] AS DOUBLE) * CAST(c.c_arr[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS aff
+         |  FROM en JOIN u ON en.n_id = u.vec_id JOIN c ON en.cell = c.cell
+         |)
+         |SELECT cell, cohort, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(aff) AS BIGINT) AS sum_aff_q
+         |FROM j GROUP BY 1, 2""".stripMargin,
   )
 }
