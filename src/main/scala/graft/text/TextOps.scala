@@ -437,6 +437,9 @@ object TextOps {
     val ts = tokens(col("text"))
     val nPunct = size(regexp_extract_all(col("text"),
       lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    // four consumers branch off this frame (quality filter, dup group-by,
+    // contamination corpus, final verdict assembly) and the bigram-score
+    // HOF is the dominant per-row cost — cache once or pay it per branch
     val scored = corpus.select(
       col("doc_id"), col("text"),
       englishBigramScore(col("text")).as("bg_score"),
@@ -445,6 +448,7 @@ object TextOps {
         floor((nPunct.cast("long") * 1000L) / length(col("text")).cast("long")))
         .otherwise(0L).cast("long").as("punct_score"),
       fingerprint(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qualOk = scored.filter(col("bg_score") >= 80 &&
       col("n_tokens") >= 40 && col("punct_score") <= 300)
     val minFp = qualOk.groupBy(col("fp")).agg(min(col("doc_id")).as("min_doc"))
