@@ -143,15 +143,17 @@ object StreamingQueries {
       sources.Sources.writeParquet(batchEv.repartition(4), stage)
       val stream = s.readStream.schema(batchEv.schema)
         .option("maxFilesPerTrigger", "2").parquet(stage)
-      val q = streaming.Streams
-        .slidingAgg(stream, width = "1 hour", slide = "30 minutes",
-          watermarkDelay = "3650 days")
-        .writeStream
-        .format("memory").queryName("q105_sliding").outputMode("complete")
-        .option("checkpointLocation",
-          predsPath(s"q105_ckpt_${System.nanoTime()}"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = withShufflePartitions(s, 8) {
+        streaming.Streams
+          .slidingAgg(stream, width = "1 hour", slide = "30 minutes",
+            watermarkDelay = "3650 days")
+          .writeStream
+          .format("memory").queryName("q105_sliding").outputMode("complete")
+          .option("checkpointLocation",
+            predsPath(s"q105_ckpt_${System.nanoTime()}"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       require(q.awaitTermination(300000), "AvailableNow stream must drain")
       s.table("q105_sliding").select(
         col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -174,17 +176,19 @@ object StreamingQueries {
       sources.Sources.writeParquet(batchEv.repartition(4), stage)
       val stream = s.readStream.schema(batchEv.schema)
         .option("maxFilesPerTrigger", "2").parquet(stage)
-      val q = streaming.Streams
-        .dedupWithinWatermark(stream,
-          keyCols = Seq("user_id", "event_type"),
-          watermarkDelay = "3650 days")
-        .select(col("user_id"), col("event_type"))
-        .writeStream
-        .format("memory").queryName("q106_keys").outputMode("append")
-        .option("checkpointLocation",
-          predsPath(s"q106_ckpt_${System.nanoTime()}"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = withShufflePartitions(s, 8) {
+        streaming.Streams
+          .dedupWithinWatermark(stream,
+            keyCols = Seq("user_id", "event_type"),
+            watermarkDelay = "3650 days")
+          .select(col("user_id"), col("event_type"))
+          .writeStream
+          .format("memory").queryName("q106_keys").outputMode("append")
+          .option("checkpointLocation",
+            predsPath(s"q106_ckpt_${System.nanoTime()}"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       require(q.awaitTermination(300000), "AvailableNow stream must drain")
       s.table("q106_keys")
     }),
@@ -244,12 +248,17 @@ object StreamingQueries {
         src.filter(col("event_type") === "click"),
         src.filter(col("event_type") === "purchase"),
         horizon = "1 hour", watermarkDelay = "3650 days")
-      val q = joined.writeStream
-        .format("memory").queryName("q102_pairs").outputMode("append")
-        .option("checkpointLocation",
-          predsPath(s"q102_ckpt_${System.nanoTime()}"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // stream-stream join keeps four keyed state stores per shuffle
+      // partition per micro-batch — pin the stateful shuffle narrow for
+      // the drain (see QueryShared.withShufflePartitions)
+      val q = withShufflePartitions(s, 8) {
+        joined.writeStream
+          .format("memory").queryName("q102_pairs").outputMode("append")
+          .option("checkpointLocation",
+            predsPath(s"q102_ckpt_${System.nanoTime()}"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       require(q.awaitTermination(300000), "AvailableNow stream must drain")
       s.table("q102_pairs").select(
         col("click_id"), col("user_id"),
