@@ -315,6 +315,21 @@ object LayoutQueries {
         numFiles = 4)
     }),
 
+    // parquet layout audit: per (file, row group, column) value counts
+    // and compressed/uncompressed sizes read from the footers by a
+    // distributed one-file-per-task pass — the "which column is the
+    // table" storage observability primitive. Oracle = DuckDB's
+    // parquet_metadata() over the SAME files: two independent footer
+    // readers must agree byte-for-byte.
+    "q134_parquet_stats" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+      sources.Sources.writeSorted(li, predsPath("q134_table"),
+        sortCols = Seq("l_orderkey", "l_linenumber"), numFiles = 4)
+      sources.Sources.parquetColumnStats(s, predsPath("q134_table"))
+    }),
+
     // partition-selective compaction — q123's maintenance chore scoped to
     // a hive-partitioned table: events staged with UNEVEN per-bucket
     // fragmentation (bucket b gets b+1 single-file appends — the shape an
@@ -504,6 +519,14 @@ object LayoutQueries {
     // ORIGINAL events projection
     "q129_partition_compaction" ->
       """SELECT event_id, user_id, value FROM events""".stripMargin,
+
+    // an independent footer reader over the same files must report the
+    // same counts and byte sizes
+    "q134_parquet_stats" ->
+      s"""SELECT regexp_extract(file_name, '([^/]+)$$', 1) AS file_name,
+         |       row_group_id, path_in_schema, num_values,
+         |       total_compressed_size, total_uncompressed_size
+         |FROM parquet_metadata('${predsPath("q134_table")}/*.parquet')""".stripMargin,
 
 
     "q120_schema_evolution" ->

@@ -295,6 +295,46 @@ object Sources {
     frag.toDF("partition", "files_before")
   }
 
+  /** Parquet layout auditor: per (file, row group, column) value counts
+    * and compressed/uncompressed byte sizes read straight from the
+    * footers — the observability primitive behind every storage question
+    * at 100 TB ("which column is 60% of the table", "did dictionary
+    * encoding collapse", "are row groups too small to skip"). Footer
+    * reads only: cost is one metadata fetch per file, never a data scan,
+    * and the work is distributed one-file-per-task so a million-file
+    * table audits in parallel. Output aligns column-for-column with
+    * DuckDB's `parquet_metadata()`, so the whole report is
+    * oracle-checkable against an independent reader of the same files. */
+  def parquetColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    require(files.nonEmpty, s"no parquet data files under $dir")
+    val rows = spark.sparkContext
+      .parallelize(files, math.min(files.length, 64))
+      .flatMap { path =>
+        val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.conf.Configuration())
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+        try {
+          reader.getFooter.getBlocks.asScala.toList.zipWithIndex.flatMap {
+            case (bg, gi) =>
+              bg.getColumns.asScala.toList.map { cc =>
+                (new java.io.File(path).getName, gi.toLong,
+                  cc.getPath.toDotString, cc.getValueCount,
+                  cc.getTotalSize, cc.getTotalUncompressedSize)
+              }
+          }
+        } finally reader.close()
+      }
+    import spark.implicits._
+    rows.toDF("file_name", "row_group_id", "path_in_schema", "num_values",
+      "total_compressed_size", "total_uncompressed_size")
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` bits of each column
     * so rows close in EVERY dimension are close in the one-dimensional
     * sort order (Morton 1966 — the multi-column clustering key behind

@@ -417,6 +417,32 @@ class SourcesSpec extends AnyFunSuite {
       "partition compaction is layout-only: content must round-trip exactly")
   }
 
+  test("parquetColumnStats: footer report covers every file/column, counts sum to row count") {
+    import graft.sources.Sources
+    val dir = s"target/tmp/sources/pqstats_${System.nanoTime()}"
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    Sources.writeSorted(li, dir, Seq("l_orderkey"), numFiles = 3)
+    val stats = Sources.parquetColumnStats(spark, dir)
+    val rows = stats.collect()
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(rows.map(_.getString(0)).distinct.length === nFiles,
+      "every data file must appear in the report")
+    assert(rows.map(_.getString(2)).distinct.sorted.toSeq ===
+      Seq("l_orderkey", "l_quantity", "l_returnflag"))
+    // per column, value counts across files/row-groups sum to the table
+    val n = li.count()
+    stats.groupBy($"path_in_schema")
+      .agg(sum($"num_values").as("nv")).collect()
+      .foreach(r => assert(r.getLong(1) === n,
+        s"column ${r.getString(0)} counts ${r.getLong(1)} != $n rows"))
+    // compression did something measurable on the sorted numeric column
+    val key = rows.filter(_.getString(2) == "l_orderkey")
+    assert(key.forall(r => r.getLong(4) <= r.getLong(5)),
+      "compressed size must not exceed uncompressed for the sorted key")
+  }
+
   test("saltedJoin returns exactly the plain join result (skew mitigation)") {
     val o = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"), col("o_totalprice"))
     val li = Tables.lineitem(spark, TestSpark.sf).select(col("l_orderkey"), col("l_quantity"))
