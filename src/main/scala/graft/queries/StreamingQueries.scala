@@ -327,6 +327,30 @@ object StreamingQueries {
         predsPath(s"q127_ckpt_${System.nanoTime()}"), k = 5)
     }),
 
+    // the full table-maintenance loop composed: streaming CDC apply
+    // (partition-pruned dynamic overwrites fragment the hot buckets) →
+    // partition-selective compaction (only fragmented buckets rewritten,
+    // one sorted file each) → serve. Content must STILL equal the
+    // one-shot merge — maintenance is layout-only, and the same oracle
+    // that certifies the CDC fold certifies the compacted table.
+    "q135_cdc_maintain" -> ((s, dir) => {
+      val base = ordersSnapshot(s, dir).withColumn("ver", lit(0))
+      val changes = ordersChangeSet(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("ver"))
+      val root = predsPath(s"q135_root_${System.nanoTime()}")
+      sources.Sources.writeKeyBucketed(base, s"$root/table",
+        Seq("o_orderkey"), nBuckets = 16)
+      sources.Sources.writeParquet(changes.repartition(4), s"$root/changes")
+      streaming.Streams.cdcApplyPartitioned(s, s"$root/changes",
+        changes.schema, s"$root/table", Seq("o_orderkey"),
+        orderCol = "ver", tieCol = "o_orderstatus", nBuckets = 16)
+      sources.Sources.compactPartitions(s, s"$root/table", "kb",
+        sortCols = Seq("o_orderkey"), maxFiles = 1, numFiles = 1)
+      s.read.parquet(s"$root/table")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     // incremental aggregate table: the events fixture drained as
     // micro-batches into a key-bucketed parquet table of per-user
     // (count, exact-decimal sum) — state lives in the TABLE, each batch
@@ -459,6 +483,31 @@ object StreamingQueries {
          |  SELECT q_id, n_id, dot_q,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
          |  FROM dots) WHERE rank <= 5""".stripMargin,
+
+    // maintenance is layout-only: the CDC-folded-then-compacted table
+    // still equals the one-shot merge (q122's oracle verbatim)
+    "q135_cdc_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), u AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, 2 AS ver
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', o_totalprice, 1 FROM o WHERE o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1
+        |  FROM o WHERE o_orderkey % 13 = 0
+        |), win AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                    ORDER BY ver DESC, o_orderstatus DESC) AS rn
+        |        FROM u)
+        |  WHERE rn = 1
+        |)
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM o
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM win""".stripMargin,
 
     // the micro-batch-maintained aggregate table == the one-shot GROUP BY
     // (decimal partials are associative; a double running sum would be
