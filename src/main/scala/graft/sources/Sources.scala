@@ -278,18 +278,33 @@ object Sources {
       .map(d => (d.getName.substring(partitionCol.length + 1),
         d.listFiles().count(f => f.isFile && f.getName.startsWith("part-"))))
       .filter(_._2 > maxFiles)
-    frag.foreach { case (value, _) =>
-      // one partition at a time: read THROUGH the root (so the partition
-      // column is present and typed), prune to the one directory,
-      // materialize off the files being replaced, dynamic-overwrite back
-      val part = spark.read.parquet(tableDir)
-        .filter(col(partitionCol) === value)
-        .repartitionByRange(numFiles, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .localCheckpoint()
-      part.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCol).parquet(tableDir)
+    if (frag.nonEmpty) {
+      // read THROUGH the root (partition column present and typed), prune
+      // to the fragmented directories, materialize off the files being
+      // replaced, dynamic-overwrite back
+      val pruned = spark.read.parquet(tableDir)
+        .filter(col(partitionCol).isin(frag.map(_._1): _*))
+      if (numFiles == 1) {
+        // ONE job for the whole pass: one task per partition value (the
+        // common nightly-compaction shape) — a per-partition loop would
+        // schedule #fragmented separate jobs
+        pruned
+          .repartition(frag.size, col(partitionCol))
+          .sortWithinPartitions(
+            (col(partitionCol) +: sortCols.map(col)): _*)
+          .localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol).parquet(tableDir)
+      } else frag.foreach { case (value, _) =>
+        pruned.filter(col(partitionCol) === value)
+          .repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol).parquet(tableDir)
+      }
     }
     import spark.implicits._
     frag.toDF("partition", "files_before")
