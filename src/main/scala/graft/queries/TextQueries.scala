@@ -271,6 +271,21 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 20)),
 
+    // cross-source score calibration: raw quality signals aren't
+    // comparable across domains (a "short" doc on one source is median
+    // on another), so mixture weighting uses the PER-SOURCE percentile
+    // instead — percent_rank within source, deterministic (doc_id
+    // tie-break kills rank ties), and IEEE-exact: (rank-1)/(n-1) is one
+    // integer-to-double division both engines compute identically.
+    "q136_quality_calibration" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          percent_rank().over(w).as("pct"))
+    }),
+
     // the curation FUNNEL end-to-end: language gate (q34's bigram score)
     // → quality gate (q19's token/punct signals) → exact-dup survivor
     // (q20's fingerprint, min-id keeps) → decontamination (q70's 4-gram
@@ -664,6 +679,13 @@ object TextQueries {
         |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tok,
         |       CAST(sum(h_q) // min(n) AS BIGINT) AS entropy_q
         |FROM h GROUP BY 1""".stripMargin,
+
+    // same window, same tie-break, same one-division double
+    "q136_quality_calibration" ->
+      """SELECT doc_id, source, n_chars,
+        |       percent_rank() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS pct
+        |FROM documents""".stripMargin,
 
     // the four gates' proven SQL fragments (q34 bigram score, q19
     // token/punct, q20 md5 fingerprint, q70 4-gram overlap) composed with
