@@ -272,6 +272,43 @@ object SimilarityQueries {
         s.read.parquet(predsPath("q130_shortlist")), k = 5)
     }),
 
+    // recall@k measurement for the approximate path — "measure, don't
+    // guess" applied to ANN: exact brute-force top-5 and IVFPQ
+    // (nprobe=2, deliberately below the serving default so the
+    // approximation is visible) computed over the SAME persisted unit
+    // vectors, then per-query hit counts and integer recall_ppm. The
+    // oracle replays BOTH rankings and the recall arithmetic from the
+    // stored bits, so the reported recall itself is hash-certified.
+    "q137_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cands = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val idx = llm.Similarity.fitIvfPqIndex(cands, nlist = 16, m = 8,
+        kc = 16, persistEntries = false)
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q137_units"))
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfPqShortlist(idx, queries, k = 5, nprobe = 2,
+          rerankFactor = 4),
+        predsPath("q137_shortlist"))
+      val units = s.read.parquet(predsPath("q137_units"))
+      val approx = llm.Similarity.exactRerankFromUnits(units,
+          s.read.parquet(predsPath("q137_shortlist")), k = 5)
+        .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+      val exact = llm.Similarity.bruteForceTopK(
+        units.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("unit").as("q_emb")),
+        units.select(col("vec_id").as("n_id"), col("unit").as("n_emb")),
+        k = 5).select(col("q_id"), col("n_id"))
+      exact.join(approx, Seq("q_id", "n_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall_ppm",
+          expr("(n_hit * 1000000) DIV n_exact"))
+    }),
+
     // quantizer-drift monitoring for the append-maintained index: per
     // (cell, cohort = fitted|appended) entry counts and exact integer
     // affinity sums over the persisted serving artifacts — the refit
@@ -565,6 +602,43 @@ object SimilarityQueries {
          |  SELECT q_id, n_id, dot_q,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
          |  FROM dots) WHERE rank <= 5""".stripMargin,
+
+    // both rankings and the recall arithmetic replayed over the same
+    // stored unit bits: exact = q17's brute-force form over units,
+    // approx = q94's rerank form over the persisted shortlist
+    "q137_ann_recall" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q137_units")}/*.parquet')
+         |), qd AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(q.unit)), i ->
+         |      CAST(floor(CAST(q.unit[i] AS DOUBLE) * CAST(c.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM u q JOIN u c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+         |), ex AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS rnk
+         |    FROM qd) WHERE rnk <= 5
+         |), sd AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM read_parquet('${predsPath("q137_shortlist")}/*.parquet') s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |), ap AS (
+         |  SELECT q_id, n_id, 1 AS hit FROM (
+         |    SELECT q_id, n_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS rnk
+         |    FROM sd) WHERE rnk <= 5
+         |)
+         |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(COALESCE(ap.hit, 0)) AS BIGINT) AS n_hit,
+         |       CAST((sum(COALESCE(ap.hit, 0)) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+         |GROUP BY 1""".stripMargin,
 
     // drift report replay: hive-partitioned entries + persisted units,
     // centroids and appended ids; same integer affinity, same sums
