@@ -733,6 +733,44 @@ object Dedup {
       .select(col(idCol), col("cell"))
   }
 
+  /** EXACT Jaccard pairs via the inverted index — the ground truth the
+    * LSH path approximates, for recall measurement (q137's "measure,
+    * don't guess" applied to the dedup family). A pair with Jaccard > 0
+    * must share ≥ 1 shingle, so the posting self-join enumerates exactly
+    * the nonzero pairs: one equi-join on the shingle, one grouped count,
+    * one exact division. DECLARED hot-shingle-quadratic by contract —
+    * a stop-shingle shared by k docs contributes k·|sample| postings —
+    * which is why the left side is a SAMPLE (`sampleFilter` on the
+    * lower-id endpoint): the production shape measures recall on a
+    * sampled pair population, never all-pairs.
+    *
+    * Returns (a_doc, b_doc, jaccard) with a_doc < b_doc, a_doc sampled,
+    * jaccard ≥ `threshold`. */
+  def exactJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      sampleFilter: Column,
+      shingleWidth: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+        array_distinct(shingles(col(textCol), shingleWidth)).as("ss"))
+      .filter(size(col("ss")) > 0)
+    val post = sh.select(col(idCol), size(col("ss")).as("n"),
+      explode(col("ss")).as("sh"))
+    val a = post.filter(sampleFilter)
+      .select(col(idCol).as("a_doc"), col("n").as("na"), col("sh"))
+    val b = post.select(col(idCol).as("b_doc"), col("n").as("nb"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("a_doc") < col("b_doc"))
+      .groupBy(col("a_doc"), col("b_doc"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_doc"), col("b_doc"), col("jaccard"))
+  }
+
   /** Diagnostic companion to [[semanticDedup]]: the cells whose population
     * exceeds `maxCellSize` and were therefore excluded from pairing, with
     * their sizes — `(cell, cell_n)`, largest first. Run (or sink) this

@@ -92,6 +92,31 @@ object DedupQueries {
         "doc_id", "text", threshold = 0.5)
     }),
 
+    // LSH recall measured and hash-certified (q137's discipline applied
+    // to the dedup family): exact Jaccard ≥ 0.5 pairs from the inverted
+    // index (lower-id endpoint sampled — the declared-quadratic ground
+    // truth is bounded by the sample), LEFT-joined against the
+    // 6-hash/3-band candidate set. Threshold 0.35 deliberately sits in
+    // the banding curve's partial-recall regime (P = 1 − (1 − J²)³ ≈
+    // 0.32 at J = 0.35, ≈ 0.58 at 0.5) so the measurement can actually
+    // show loss; the report states recall per sampled doc.
+    "q138_lsh_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = llm.Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.35, sampleFilter = col("doc_id") % 5 === 0)
+      val cand = llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id")
+        .filter(col("a_doc") % 5 === 0)
+        .withColumn("hit", lit(1))
+      exact.join(cand, Seq("a_doc", "b_doc"), "left_outer")
+        .groupBy(col("a_doc"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall_ppm", expr("(n_hit * 1000000) DIV n_exact"))
+    }),
+
 
     // Dedup survivor selection: connected components over the q16 LSH pair
     // graph — min-label propagation to a fixpoint; every doc in a
@@ -497,6 +522,54 @@ object DedupQueries {
         |  JOIN sets sb ON p.b_doc = sb.doc_id
         |)
         |SELECT a_doc, b_doc, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    // LSH recall replay: exact ground truth via the posting self-join
+    // (sampled lower endpoint), candidates via q45's md5 banding CTEs,
+    // then the same per-doc hit counts and integer recall
+    "q138_lsh_recall" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |), post AS (
+        |  SELECT doc_id, len(sset) AS n, unnest(sset) AS g FROM sets
+        |), exc AS (
+        |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS inter,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 5 = 0
+        |  GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT a_doc, b_doc FROM exc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.35
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc, 1 AS hit
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 5 = 0
+        |)
+        |SELECT ex.a_doc, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(sum(COALESCE(c.hit, 0)) AS BIGINT) AS n_hit,
+        |       CAST((sum(COALESCE(c.hit, 0)) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+        |FROM ex LEFT JOIN cand c ON ex.a_doc = c.a_doc AND ex.b_doc = c.b_doc
+        |GROUP BY 1""".stripMargin,
 
 
     // identical to q70's oracle by design: the bloom path must return the

@@ -406,6 +406,43 @@ class DedupSpec extends AnyFunSuite {
     kept.foreach { case (id, c) => assert(c === cellOf(id)) }
   }
 
+  test("exactJaccardPairs: posting-join ground truth == brute-force over all pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // verbatim dup of 1
+      (3L, "a b c d x y z w"),          // partial overlap with 1
+      (4L, "p q r s t u v w"),          // disjoint-ish (shares 'w'? tokens not shingles)
+      (5L, "totally different words entirely here now ok")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.0, sampleFilter = lit(true))
+      .select($"a_doc", $"b_doc", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: every pair, shingle sets intersected in plain Scala
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = docs.as[(Long, String)].collect().toMap
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = shingles(texts(a)); sb = shingles(texts(b))
+      inter = (sa & sb).size if inter > 0
+    } yield (a, b, inter.toDouble / (sa.size + sb.size - inter))).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 1.0)), "verbatim pair at jaccard 1.0")
+    // threshold and sample filters prune as declared
+    val hi = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.9, sampleFilter = lit(true))
+      .select($"a_doc", $"b_doc").as[(Long, Long)].collect().toSet
+    assert(hi === Set((1L, 2L)))
+    // the sample binds the LOWER endpoint: sampling doc 1 yields its
+    // pairs with higher-id partners (2 and 3) and nothing else
+    val sampled = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.0, sampleFilter = col("doc_id") === 1L)
+      .select($"a_doc", $"b_doc").as[(Long, Long)].collect().toSet
+    assert(sampled === Set((1L, 2L), (1L, 3L)),
+      "only sampled lower endpoints may appear")
+  }
+
   test("semanticDedup: maxCellSize cap skips oversized cells, keeps small-cell drops") {
     import graft.llm.Similarity
     val e = Tables.embeddings(spark, TestSpark.sf)
