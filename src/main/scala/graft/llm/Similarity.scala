@@ -348,6 +348,54 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("dot_i8"), col("rank").cast("long").as("rank"))
   }
 
+  /** Deterministic ±1 sign matrix for [[randomSignProjection]]: entry
+    * (j, i) is +1 iff the first hex digit of md5("<seed>_<j>_<i>") is even
+    * — a pure function of (seed, j, i), so any engine (and the DuckDB
+    * oracle) rebuilds the identical matrix with no RNG state to ship. */
+  def signMatrix(k: Int, dim: Int, seed: String = "rp"): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { j =>
+      (0 until dim).map { i =>
+        val h = md.digest(s"${seed}_${j}_$i".getBytes("UTF-8"))
+        // first hex char = high nibble of byte 0
+        if (((h(0) >> 4) & 1) == 0) 1L else -1L
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss-style random sign projection (Achlioptas 2003,
+    * database-friendly random projections): project each int8-quantized
+    * embedding onto k ±1 sign rows, giving a k-dim integer sketch whose
+    * dot products approximate the original up to scale. The cheap
+    * dimensionality-reduction front for clustering / coarse filtering —
+    * d·4-byte floats become k·8-byte exact ints (k ≪ d), and because both
+    * the quantization (floor) and the signs (md5 parity) are engine-
+    * independent, the sketch hash-matches the oracle bit for bit.
+    *
+    * Scale shape: the k×d matrix is a plan literal (a few KB — the
+    * broadcast-a-tiny-projection-matrix serving shape), each row's sketch
+    * is a local d·k multiply-add, and the only data movement is the scan
+    * itself. Output exploded as (id, j, p) — one row per sketch dim. */
+  def randomSignProjection(
+      embeddings: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      seed: String = "rp"): DataFrame = {
+    require(k > 0, "k must be positive")
+    // one-row schema probe for the embedding dim (k-bounded driver pull,
+    // same class as the sample-bounded k-means fits)
+    val dim = embeddings.select(size(col(embCol)).as("d")).limit(1)
+      .collect()(0).getInt(0)
+    val signs = signMatrix(k, dim, seed)
+    quantizeInt8Global(embeddings, idCol, embCol)
+      .select(col(idCol), col("qv"), posexplode(typedLit(signs)).as(Seq("j", "srow")))
+      .select(col(idCol), col("j").cast("bigint").as("j"),
+        aggregate(
+          zip_with(col("qv"), col("srow"), (x, s) => x.cast("long") * s),
+          lit(0L), (a, x) => a + x).as("p"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (north-star dedup family,
     * embedding-space method), exact over int8-quantized vectors.
     *

@@ -609,6 +609,40 @@ object Relational {
       .select(col(valueCol), col("cnt"))
   }
 
+  /** Market-basket co-occurrence pairs (association-rule support counts):
+    * distinct items per basket, unordered within-basket item pairs, basket
+    * count per pair, `minSupport` floor. The frequent-pair half of
+    * FP-growth-style mining, expressed relationally.
+    *
+    * Scale: within-basket pair generation is quadratic in basket size, so
+    * `maxBasket` is REQUIRED (the family-standard guard — same contract as
+    * MinHash `candidatePairs` / SimHash bucket caps): oversized baskets
+    * are dropped whole, declared semantics the oracle mirrors. The basket
+    * size comes from one window count over the distinct item set (a single
+    * shuffle on the basket key that the pair self-join then reuses), and
+    * the pair aggregation shuffles only surviving pairs — bounded by
+    * baskets · maxBasket²/2, never |items|². */
+  def cooccurrencePairs(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int,
+      minSupport: Long): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val items = df.select(col(basketCol), col(itemCol)).distinct()
+    val sized = items
+      .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col(basketCol))))
+      .filter(col("__bs") <= maxBasket)
+      .drop("__bs")
+    val a = sized.select(col(basketCol), col(itemCol).as("item_a"))
+    val b = sized.select(col(basketCol), col(itemCol).as("item_b"))
+    a.join(b, Seq(basketCol))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** §2.5 explicit ROWS frames: trailing-k rolling sum/count/frame-start
     * plus a forward-looking sum — four frame expressions served by ONE
     * partitioned sort (Catalyst reuses the (partition, order) sort across

@@ -236,4 +236,101 @@ object Temporal {
       .select(col(keyCol), col(attrCol),
         col(tsCol).as("valid_from"), col("valid_to"), col("is_current"))
   }
+
+  /** Ordered conversion funnel (the product-analytics staple): for every
+    * entity that performed `steps.head`, the earliest time of each later
+    * step STRICTLY after the previous step's time — an event only advances
+    * the funnel once every earlier stage has already happened, so a
+    * purchase that precedes the first click does not count as stage 3.
+    * Output: keyCol, one `t_<step>` timestamp per step (NULL once the
+    * funnel is abandoned), and `stage` = furthest stage reached (1-based).
+    *
+    * Scale shape: one filtered grouped-min per step plus left equi joins
+    * on the entity key — every exchange hashes on `keyCol` only, so after
+    * the first shuffle all later stages co-partition (exchange reuse), and
+    * the per-step frames are pre-filtered to that step's events before
+    * they shuffle. Step count is a small constant; nothing is quadratic
+    * in events or entities. */
+  def funnel(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    def t(step: String) = s"t_$step"
+    val base = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as(t(steps.head)))
+    val chained = steps.tail.foldLeft((base, steps.head)) {
+      case ((acc, prev), step) =>
+        val si = events.filter(col(typeCol) === step)
+          .select(col(keyCol), col(tsCol).as("__ts"))
+        // left join keeps entities that stalled at `prev`; the strict
+        // `__ts > t_prev` guard lives in the aggregate so a NULL t_prev
+        // (funnel already abandoned) propagates NULL downstream for free
+        val next = acc.join(si, Seq(keyCol), "left")
+          .groupBy(acc.columns.map(col): _*)
+          .agg(min(when(col("__ts") > col(t(prev)), col("__ts"))).as(t(step)))
+        (next, step)
+    }._1
+    val stage = steps.tail.foldLeft(lit(1)) { (e, step) =>
+      e + when(col(t(step)).isNotNull, 1).otherwise(0)
+    }
+    chained.withColumn("stage", stage.cast("int"))
+  }
+
+  /** Cohort-retention matrix: entities are assigned to the cohort of their
+    * first active calendar day, and the output counts distinct entities per
+    * (cohort day, day offset) — the classic retention triangle.
+    *
+    * Scale shape: a per-entity grouped min, a distinct over (entity, day)
+    * — both hash on the entity key — then one co-partitioned equi join and
+    * a final grouped count whose cardinality is cohorts × offsets, tiny
+    * regardless of event volume. */
+  def retentionCohorts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val active = events
+      .select(col(keyCol), to_date(col(tsCol)).as("day")).distinct()
+    val first = active.groupBy(col(keyCol)).agg(min(col("day")).as("cohort_day"))
+    active.join(first, Seq(keyCol))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+
+  /** Fixed-step resample with last-observation-carried-forward: build each
+    * key its own time grid (`truncUnit`-aligned, `stepSeconds` apart,
+    * spanning that key's [min, max]) and attach at every grid instant the
+    * latest observation with `ts <= grid ts` via [[asofJoin]]. Grid points
+    * before the first observation keep NULL (left-outer, no forward fill
+    * from the future).
+    *
+    * Contract: `points` must be exactly keys + tsCol + valueCol with
+    * (keys, ts) unique — pre-aggregate duplicates, as with [[asofJoin]].
+    *
+    * Scale shape: the grid explodes from ONE row per key (span/step rows,
+    * bounded by each key's own observed span — days·24 for an hourly
+    * resample, never |events|·grid), and the LOCF attach is the asofJoin
+    * union-window: one shuffle carrying |grid| + |points| rows, one
+    * incremental window pass. No inequality join anywhere. */
+  def resampleLocf(
+      points: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      truncUnit: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val span = points.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+    val grid = span.select(
+      keys.map(col) :+
+        explode(expr(s"sequence(date_trunc('$truncUnit', __lo), " +
+          s"date_trunc('$truncUnit', __hi), interval $stepSeconds seconds)"))
+          .as(tsCol): _*)
+    asofJoin(grid, points, keys, tsCol, Seq(valueCol))
+  }
 }

@@ -467,6 +467,108 @@ object RelationalQueries {
     // session_window's merge semantics)
     "q22_session_windows" -> ((s, dir) =>
       streaming.Streams.sessionize(Tables.events(s, dir))),
+
+
+    // ordered conversion funnel view→click→purchase: per-user earliest
+    // step times under STRICT ordering (a purchase before the first
+    // click does not advance the funnel) + furthest stage reached.
+    // Grouped mins and key-equi left joins only — every shuffle is on
+    // user_id.
+    "q139_funnel" -> ((s, dir) =>
+      ops.Temporal.funnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
+
+    // cohort-retention triangle: first-active-day cohorts × day offset →
+    // distinct active users; output cardinality is cohorts × offsets,
+    // independent of event volume
+    "q140_retention" -> ((s, dir) =>
+      ops.Temporal.retentionCohorts(Tables.events(s, dir), "user_id", "ts")),
+
+
+    // hourly resample + last-observation-carried-forward per user: each
+    // user's own hour grid (sequence-exploded from one span row), values
+    // attached by the union+window as-of pass — the time-series
+    // gap-fill/downsample shape, zero inequality joins
+    "q142_gap_fill" -> ((s, dir) => {
+      val pts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("v"))
+      ops.Temporal.resampleLocf(pts, Seq("user_id"), "ts", "v",
+        truncUnit = "hour", stepSeconds = 3600L)
+    }),
+
+
+    // TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    // date-filtered orders ⋈ date-filtered lineitem, revenue per open
+    // order, deterministic top-10. Filters sit on each branch BEFORE the
+    // joins so pushdown reaches all three scans; joins key on o_custkey
+    // then o_orderkey — the orders⋈customer exchange is the small one and
+    // runs first. Total order (revenue desc, odate, orderkey) makes the
+    // LIMIT engine-invariant.
+    "q143_tpch_q3" -> ((s, dir) => {
+      val cut = to_date(lit("1998-01-01"))
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("odate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o.join(c, col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("odate"), col("o_orderpriority"))
+        .agg(Relational.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("odate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+
+    // TPC-H Q5 shape (local-supplier volume): six-way join where revenue
+    // only counts when the CUSTOMER's nation equals the SUPPLIER's nation.
+    // region→nation prune first (broadcast both — a handful of rows), the
+    // pruned supplier dim broadcasts into the fact side, and the only
+    // shuffles are lineitem⋈orders (orderkey) and ⋈customer (custkey);
+    // the nation-match residual rides the supplier broadcast join as a
+    // second equi conjunct, never a separate exchange.
+    "q144_tpch_q5" -> ((s, dir) => {
+      val lo = to_date(lit("1997-01-01"))
+      val n = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) >= lo &&
+          to_date(col("o_orderdate")) < add_months(lo, 12))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Relational.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+    }),
+
+
+    // market-basket co-occurrence: within-order part pairs with the
+    // family-standard quadratic guard (baskets > 8 distinct parts are
+    // dropped whole — declared semantics the oracle mirrors) and a
+    // support floor
+    "q146_cooccurrence" -> ((s, dir) =>
+      Relational.cooccurrencePairs(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", maxBasket = 8, minSupport = 2L)),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -987,5 +1089,99 @@ object RelationalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+
+    // same strict sequential mins: each stage's min is guarded by
+    // `> previous stage time`, and a NULL previous time nulls the guard
+    "q139_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t_view, min(e.ts) AS t_click
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |        AND e.ts > s1.t_view
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+        |       FROM s2 LEFT JOIN events e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |        AND e.ts > s2.t_click
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |       CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
+        |            AS INT) AS stage
+        |FROM s3""".stripMargin,
+
+
+    "q140_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT f.cohort_day,
+        |       CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+
+    "q143_tpch_q3" ->
+      s"""SELECT l_orderkey, odate, o_orderpriority, revenue FROM (
+         |  SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS odate,
+         |         o.o_orderpriority,
+         |         ${dSum("l.l_extendedprice * (1.0 - l.l_discount)", 6, "revenue")}
+         |  FROM customer c
+         |  JOIN orders o ON o.o_custkey = c.c_custkey
+         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  WHERE c.c_mktsegment = 'BUILDING'
+         |    AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+         |    AND CAST(l.l_shipdate AS DATE) > DATE '1998-01-01'
+         |  GROUP BY 1, 2, 3)
+         |ORDER BY revenue DESC, odate, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+
+    "q144_tpch_q5" ->
+      s"""SELECT n.n_name,
+         |       ${dSum("l.l_extendedprice * (1.0 - l.l_discount)", 6, "revenue")}
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |              AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+         |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+         |GROUP BY 1""".stripMargin,
+
+
+    // same distinct-items → window basket-size cap → a<b self-join →
+    // support floor
+    "q146_cooccurrence" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sz AS (SELECT l_orderkey, l_partkey,
+        |              count(*) OVER (PARTITION BY l_orderkey) AS bs
+        |       FROM it),
+        |ok AS (SELECT l_orderkey, l_partkey FROM sz WHERE bs <= 8)
+        |SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+        |       CAST(count(*) AS BIGINT) AS support
+        |FROM ok a JOIN ok b ON a.l_orderkey = b.l_orderkey
+        |                   AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
+
+    // DuckDB's native ASOF JOIN replays the union+window LOCF attach;
+    // generate_series spans each user's own [trunc(min), trunc(max)]
+    "q142_gap_fill" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS v
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+        |             date_trunc('hour', max(ts)) AS hi
+        |      FROM events GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+        |      FROM b)
+        |SELECT g.user_id, g.ts, p.v
+        |FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts >= p.ts""".stripMargin,
   )
 }

@@ -53,6 +53,15 @@ object SimilarityQueries {
       llm.Similarity.int8NearDupPairs(Tables.embeddings(s, dir), tau2E4 = 1600L)),
 
 
+    // JL-style ±1 sign projection: 64-dim float embeddings → 16 exact
+    // integer sketch dims. Quantization (floor) and signs (md5 parity of
+    // "rp_<j>_<i>") are engine-independent, so the sketch hash-matches
+    // the oracle; the k×d matrix is a plan literal, the matvec is
+    // row-local — scan-bound at any scale.
+    "q141_random_projection" -> ((s, dir) =>
+      llm.Similarity.randomSignProjection(Tables.embeddings(s, dir), k = 16)),
+
+
     // embedding-space outlier screen: top-10 most-centroid-distant docs
     // per language (misembedded / mislabeled / junk detection). All
     // arithmetic integer-quantized (shift keeps sums positive so DIV and
@@ -663,5 +672,27 @@ object SimilarityQueries {
          |SELECT cell, cohort, CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(aff) AS BIGINT) AS sum_aff_q
          |FROM j GROUP BY 1, 2""".stripMargin,
+
+
+    // same floor quantization as q33; sign(j,i) = parity of the first hex
+    // digit of md5('rp_<j>_<i>') — recomputed inline here, a driver-side
+    // literal matrix in the engine
+    "q141_random_projection" ->
+      """WITH s AS (
+        |  SELECT CAST(max(list_max(list_transform(embedding, x -> abs(x)))) AS DOUBLE) / 127 AS g
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / g) AS BIGINT)) AS qv
+        |  FROM embeddings, s
+        |), js AS (
+        |  SELECT unnest(generate_series(0, 15)) AS j
+        |)
+        |SELECT vec_id, CAST(js.j AS BIGINT) AS j,
+        |  CAST(list_sum(list_transform(generate_series(1, len(qv)), i ->
+        |    qv[i] * (CASE WHEN substr(md5('rp_' || js.j || '_' || (i - 1)), 1, 1)
+        |                       IN ('0','2','4','6','8','a','c','e')
+        |             THEN 1 ELSE -1 END))) AS BIGINT) AS p
+        |FROM v, js""".stripMargin,
   )
 }

@@ -301,6 +301,13 @@ object TextQueries {
         all.filter(col("doc_id") % 100 =!= 0),
         all.filter(col("doc_id") % 100 === 0))
     }),
+
+
+    // Flesch-style readability gate, integer-exact: word/sentence/vowel-
+    // group counts and the milli-scaled reading-ease score in pure BIGINT
+    // (all terms non-negative ⇒ DIV == floor-div in both engines)
+    "q145_readability" -> ((s, dir) =>
+      TextOps.readabilityStats(Tables.documents(s, dir), "doc_id", "text")),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -690,6 +697,23 @@ object TextQueries {
     // the four gates' proven SQL fragments (q34 bigram score, q19
     // token/punct, q20 md5 fingerprint, q70 4-gram overlap) composed with
     // the same stage ordering and first-fail labeling
+    // identical regex counts; 1015/84600 milli-coefficients; `//` == DIV
+    // on the non-negative terms
+    "q145_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words > 0 THEN
+        |    206835 - (1015 * words) // sentences - (84600 * syllables) // words
+        |  END AS score_m
+        |FROM c""".stripMargin,
+
+
     "q132_curation_funnel" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -472,4 +472,32 @@ object TextOps {
           .when(col("is_cont") === 1, "contaminated")
           .otherwise("kept").as("verdict"))
   }
+
+  /** Flesch-style readability signals, integer-exact: word count
+    * (alnum runs), sentence count ([.!?]+ runs, floored at 1 so headlines
+    * don't divide by zero), syllable estimate (vowel-group runs — the
+    * standard public heuristic), and a milli-scaled reading-ease score
+    *
+    *   score_m = 206835 − (1015·words) div sentences
+    *                    − (84600·syllables) div words
+    *
+    * computed entirely in BIGINT (all three terms non-negative, so
+    * truncating DIV and floor-div agree across engines — the q89
+    * discipline). NULL score for wordless docs. A training-data quality
+    * gate alongside [[duplicateGramStats]] / [[englishBigramScore]]:
+    * grade-level filtering of crawl text without a float in sight. */
+  def readabilityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        col(idCol),
+        size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+          .cast("bigint").as("words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("bigint"))
+          .as("sentences"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+          .cast("bigint").as("syllables"))
+      .withColumn("score_m",
+        when(col("words") > 0,
+          lit(206835L) - expr("(1015 * words) div sentences")
+            - expr("(84600 * syllables) div words")))
 }

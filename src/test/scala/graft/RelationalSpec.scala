@@ -365,4 +365,27 @@ class RelationalSpec extends AnyFunSuite {
       3L -> (("c2", 32.0)),  // ver tie -> higher tie column wins
       4L -> (("d", 40.0))))  // insert
   }
+
+  test("cooccurrencePairs: dup items collapse, oversized baskets drop whole, support floor") {
+    val rows = Seq(
+      // basket 1: {10, 20, 30} -> 3 pairs
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 20L), // dup item collapses
+      // basket 2: {10, 20} -> strengthens (10,20)
+      (2L, 10L), (2L, 20L),
+      // basket 3: 4 items, over the cap -> contributes NOTHING
+      (3L, 10L), (3L, 20L), (3L, 30L), (3L, 40L),
+      // basket 4: singleton -> no pairs
+      (4L, 10L)
+    ).toDF("basket", "item")
+    val got = graft.ops.Relational
+      .cooccurrencePairs(rows, "basket", "item", maxBasket = 3, minSupport = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (10L, 20L) -> 2L, (10L, 30L) -> 1L, (20L, 30L) -> 1L),
+      "capped basket 3 must not inflate any pair")
+    val floored = graft.ops.Relational
+      .cooccurrencePairs(rows, "basket", "item", maxBasket = 3, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(floored === Set((10L, 20L)))
+  }
 }

@@ -577,4 +577,29 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(strict === Set((1L, 2L)), s"only the identical pair survives 0.99: $strict")
   }
+
+  test("randomSignProjection: sketch equals driver-side matvec; signs are ±1, deterministic, ~balanced") {
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(20).cache()
+    val k = 8
+    val got = Similarity.randomSignProjection(e, k)
+      .select($"vec_id", $"j", $"p").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === 20 * k)
+    // independent recomputation: same global scale, same floor, plain loops
+    val raw = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val g = raw.flatMap(_._2.map(x => math.abs(x))).max.toDouble / 127.0
+    val signs = Similarity.signMatrix(k, raw.head._2.size)
+    for ((id, emb) <- raw; j <- 0 until k) {
+      val q = emb.map(x => math.floor(x.toDouble / g).toLong)
+      val want = q.zip(signs(j)).map { case (x, s) => x * s }.sum
+      assert(got((id, j.toLong)) === want, s"vec $id dim $j")
+    }
+    // the matrix itself: pure function of (seed, j, i), values only ±1,
+    // and no row is wildly unbalanced (md5 parity ~ coin flips)
+    assert(signs === Similarity.signMatrix(k, raw.head._2.size))
+    assert(signs.flatten.forall(s => s == 1L || s == -1L))
+    val worst = signs.map(r => math.abs(r.sum)).max
+    assert(worst < raw.head._2.size,
+      s"a constant sign row would be a degenerate projection (|sum|=$worst)")
+  }
 }

@@ -271,4 +271,104 @@ class TemporalSpec extends AnyFunSuite {
     assert(out((1L, "C")) === ((Some(ts("2024-01-03 00:00:00")), None, 1)))
     assert(out((2L, "Z")) === ((Some(ts("2024-01-05 00:00:00")), None, 1)))
   }
+
+  test("funnel: strict ordering — out-of-order later steps don't advance the stage") {
+    val ev = Seq(
+      // u1: full funnel in order
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase"),
+      // u2: purchase BEFORE the first click — must stall at stage 2
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:30:00"), "purchase"),
+      (2L, ts("2024-01-01 01:00:00"), "click"),
+      // u3: click before any view — never enters stage 2
+      (3L, ts("2024-01-01 01:00:00"), "view"),
+      (3L, ts("2024-01-01 00:00:00"), "click"),
+      // u4: no view at all — not in the funnel
+      (4L, ts("2024-01-01 00:00:00"), "click"),
+      // u5: two views, click between them — earliest view binds
+      (5L, ts("2024-01-01 00:00:00"), "view"),
+      (5L, ts("2024-01-01 00:10:00"), "click"),
+      (5L, ts("2024-01-01 00:20:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Temporal
+      .funnel(ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getInt(4))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L), "u4 never viewed — not an entrant")
+    assert(out(1L)._4 === 3)
+    assert(out(2L) === ((Some(ts("2024-01-01 00:00:00")),
+      Some(ts("2024-01-01 01:00:00")), None, 2)),
+      "pre-click purchase must not count as stage 3")
+    assert(out(3L) === ((Some(ts("2024-01-01 01:00:00")), None, None, 1)))
+    assert(out(5L)._2 === Some(ts("2024-01-01 00:10:00")))
+  }
+
+  test("funnel equals an independent per-user brute-force scan on fixture events") {
+    // fixture ts is timestamp_ntz; cast for java.sql.Timestamp collection
+    // (UTC session — both sides of the comparison read the same cast)
+    val ev = Tables.events(spark, TestSpark.sf)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val steps = Seq("view", "click", "purchase")
+    val got = Temporal.funnel(ev, "user_id", "ts", "event_type", steps)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getInt(4)))).toMap
+    // driver-side reference: sort each user's events, walk the chain
+    val byUser = ev.select($"user_id", $"ts", $"event_type")
+      .as[(Long, Timestamp, String)].collect().groupBy(_._1)
+    val want = byUser.flatMap { case (u, rows) =>
+      def minAfter(step: String, after: Option[Timestamp]): Option[Timestamp] =
+        after.flatMap(a => rows.filter(r => r._3 == step && r._2.after(a))
+          .map(_._2).sortBy(_.getTime).headOption)
+      val t1 = rows.filter(_._3 == "view").map(_._2).sortBy(_.getTime).headOption
+      if (t1.isEmpty) None else {
+        val t2 = minAfter("click", t1)
+        val t3 = minAfter("purchase", t2)
+        Some(u -> ((t1, t2, t3, 1 + t2.size + t3.size)))
+      }
+    }
+    assert(got === want)
+  }
+
+  test("retentionCohorts: day-0 row counts every cohort member; offsets from first day") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 23:00:00")),
+      (2L, ts("2024-01-01 23:30:00")), // same day twice — still one distinct
+      (3L, ts("2024-01-02 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Temporal.retentionCohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> 2L,   // u1 + u2 on their first day
+      ("2024-01-01", 2L) -> 1L,   // u1 back two days later
+      ("2024-01-02", 0L) -> 1L))  // u3's own cohort
+  }
+
+  test("resampleLocf: gaps carry the last value forward; leading grid points stay NULL") {
+    val pts = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 10.0),
+      (1L, ts("2024-01-01 03:15:00"), 30.0),
+      (2L, ts("2024-01-01 05:59:00"), 7.0)
+    ).toDF("user_id", "ts", "v")
+    val out = Temporal
+      .resampleLocf(pts, Seq("user_id"), "ts", "v", "hour", 3600L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> Option(r.get(2))).toMap
+    assert(out === Map(
+      (1L, ts("2024-01-01 00:00:00")) -> None,        // before first obs
+      (1L, ts("2024-01-01 01:00:00")) -> Some(10.0),  // LOCF across the gap
+      (1L, ts("2024-01-01 02:00:00")) -> Some(10.0),
+      (1L, ts("2024-01-01 03:00:00")) -> Some(10.0),  // 03:15 obs is later
+      (2L, ts("2024-01-01 05:00:00")) -> None),       // single-point span
+      "grid must span [trunc(min), trunc(max)] per key with LOCF values")
+  }
 }

@@ -513,4 +513,26 @@ class TextOpsSpec extends AnyFunSuite {
       .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
     assert(noBench(6L) === "kept")
   }
+
+  test("readabilityStats: counts match hand counts; sentence floor; wordless doc NULL score") {
+    val docs = Seq(
+      // 6 words, 2 sentences, syllable groups: the(1) cat(1) sat(1) down(1)
+      // it(1) was(1) = 6  ("down" -> 'ow' one group; "was" -> 'a')
+      (1L, "The cat sat down. It was!"),
+      // headline: no terminator -> sentences floored at 1
+      (2L, "markets rally on big tech earnings"),
+      // wordless -> NULL score, sentences floor still 1
+      (3L, "?!—…")
+    ).toDF("doc_id", "text")
+    val got = TextOps.readabilityStats(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(1L)._1 === 6L); assert(got(1L)._2 === 2L); assert(got(1L)._3 === 6L)
+    // 206835 - (1015*6) div 2 - (84600*6) div 6 = 206835 - 3045 - 84600
+    assert(got(1L)._4 === Some(206835L - 3045L - 84600L))
+    assert(got(2L)._2 === 1L, "terminator-free text floors sentences at 1")
+    assert(got(3L) === ((0L, 1L, 0L, None)))
+  }
 }
