@@ -367,6 +367,47 @@ object StreamingQueries {
         s"$root/table", s"$root/ckpt", keyCol = "user_id",
         valueCol = "value", nBuckets = 16)
     }),
+
+
+    // §2.8 streaming #8, EXECUTED AS A STREAM: the strict ordered funnel
+    // (q139's batch semantics) maintained in keyed state across several
+    // unordered micro-batches — monotone-pruned pending sets make the
+    // cross-batch reordering provably exact (see Streams.streamingFunnel).
+    // Update-mode drain; final fold = per-user min(times)/max(stage)
+    // (each is monotone across updates), entrants only.
+    "q147_funnel_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q147_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams
+          .streamingFunnel(stream, Seq("view", "click", "purchase"))
+          .toDF()
+          .writeStream
+          .format("memory").queryName("q147_updates").outputMode("update")
+          .option("checkpointLocation",
+            predsPath(s"q147_ckpt_${System.nanoTime()}"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q147_updates")
+        .groupBy(col("user_id"))
+        .agg(
+          min(element_at(col("times"), 1)).as("m1"),
+          min(element_at(col("times"), 2)).as("m2"),
+          min(element_at(col("times"), 3)).as("m3"),
+          max(col("stage")).as("stage"))
+        .filter(col("stage") >= 1)
+        .select(col("user_id"),
+          timestamp_micros(col("m1")).as("t_view"),
+          timestamp_micros(col("m2")).as("t_click"),
+          timestamp_micros(col("m3")).as("t_purchase"),
+          col("stage"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -534,5 +575,27 @@ object StreamingQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.purchase_ts <= c.click_ts
         |  AND p.purchase_ts >= c.click_ts - INTERVAL 1 HOUR""".stripMargin,
+
+
+    // q139's batch-funnel SQL verbatim — the streamed drain must equal it
+    // whatever the micro-batch split
+    "q147_funnel_stream" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t_view, min(e.ts) AS t_click
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |        AND e.ts > s1.t_view
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+        |       FROM s2 LEFT JOIN events e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |        AND e.ts > s2.t_click
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |       CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
+        |            AS INT) AS stage
+        |FROM s3""".stripMargin,
   )
 }

@@ -19,6 +19,19 @@ case class DupMark(doc_id: Long, matched_id: Long, band: Int, hamming: Int)
   * 64-bit sketches seen in one (band, key) bucket, newest last. */
 case class BandBucketState(ids: List[Long], sigs: List[Long])
 
+/** Update row of [[Streams.streamingFunnel]]: the user's current funnel
+  * chain — per-step earliest times (epoch micros, None = step not reached
+  * yet) and the furthest stage. Each `times(i)` is monotone non-increasing
+  * across updates and never reverts to None, so the final fold is
+  * `min(times(i))` + `max(stage)` per user. */
+case class FunnelUpdate(user_id: Long, times: Seq[Option[Long]], stage: Int)
+
+/** Keyed state of [[Streams.streamingFunnel]]: the resolved chain so far
+  * (`Long.MaxValue` = unresolved) plus, per step ≥ 1, the pending candidate
+  * times that could still become the answer if an earlier previous-step
+  * event arrives later (see the pruning proof on the method). */
+case class FunnelState(times: Seq[Long], pending: Seq[Seq[Long]])
+
 /** Structured Streaming surface (SURVEY.md §2.8 — additive; the reference is
   * batch-only, the `events` fixture and north-star require streams).
   *
@@ -111,6 +124,79 @@ object Streams {
           val updated = UserTotal(user, n, tot)
           state.update(updated)
           Iterator(updated)
+      }
+  }
+
+  /** Streaming form of [[graft.ops.Temporal.funnel]] — the strict ordered
+    * conversion funnel maintained incrementally under ARBITRARY batch
+    * splits and cross-batch event reordering, exactly equal to the batch
+    * form at drain.
+    *
+    * Why the state is exact AND prunable: `t(0)` (min first-step time) is
+    * an incremental min. For step i ≥ 1, the eventual answer is
+    * `min{c : c > t(i-1)_final}`, and `t(i-1)` only ever DECREASES as
+    * earlier events arrive, so the qualifying set only grows and `t(i)`
+    * only decreases. Hence (a) any candidate `c > t(i)_current` can never
+    * become the answer — discard; (b) any candidate `c ≤ t(i-1)_current`
+    * may yet qualify if `t(i-1)` later drops below it — keep. Per-step
+    * state is therefore {candidates ≤ t(i-1)} — events that PRECEDE the
+    * funnel's current entry chain. Under a watermark, once it passes
+    * `t(i-1)` no earlier previous-step event can arrive, `t(i-1)` is
+    * final, and the pending set collapses to nothing: O(1) state per user
+    * at steady state. (The checked drain uses the fixture-spanning
+    * watermark, so nothing is dropped and equality with batch is exact.)
+    *
+    * Emits one [[FunnelUpdate]] per touched user per micro-batch (update
+    * mode); fold with per-user `min(times)` / `max(stage)` and drop
+    * `stage = 0` rows (users that never performed `steps.head`). */
+  def streamingFunnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): Dataset[FunnelUpdate] = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.size
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (e, (st, i)) => when(col(typeCol) === st, lit(i)).otherwise(e)
+    }
+    events
+      .filter(col(typeCol).isInCollection(steps))
+      .select(col(userCol).cast("long"),
+        unix_micros(col(tsCol).cast("timestamp")), stepIdx.cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Int)],
+         state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(Seq.fill(n)(Long.MaxValue), Seq.fill(n)(Nil)))
+          val t = prev.times.toArray
+          val pend = prev.pending.map(_.toList).toArray
+          rows.foreach { case (_, ts, i) =>
+            if (i == 0) { if (ts < t(0)) t(0) = ts }
+            else pend(i) ::= ts
+          }
+          var i = 1
+          while (i < n) {
+            if (t(i - 1) != Long.MaxValue) {
+              val qual = pend(i).filter(_ > t(i - 1))
+              if (qual.nonEmpty) { val m = qual.min; if (m < t(i)) t(i) = m }
+              // (a)-discard: candidates above the current answer are dead
+              // (t(i) only decreases); (b)-keep: candidates ≤ t(i-1) may
+              // qualify if an earlier step-(i-1) event arrives later
+              pend(i) = pend(i).filter(_ <= t(i - 1))
+            }
+            i += 1
+          }
+          val updated = FunnelState(t.toSeq, pend.map(_.toSeq).toSeq)
+          state.update(updated)
+          Iterator(FunnelUpdate(user,
+            t.toSeq.map(v => if (v == Long.MaxValue) None else Some(v)),
+            t.count(_ != Long.MaxValue)))
       }
   }
 

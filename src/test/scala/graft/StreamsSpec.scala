@@ -489,6 +489,84 @@ class StreamsSpec extends AnyFunSuite {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
   }
 
+  test("streamingFunnel: cross-batch reordering is exact — a late earlier view re-opens pruned candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    def ev(id: Long, m: Int, u: Long, ty: String) = Ev(id, t(m), u, ty, 0.0)
+    // batch 1: u1 view@10, click@5 (click precedes the view -> pending),
+    //          u2 full in-order chain
+    mem.addData(
+      ev(1, 10, 1, "view"), ev(2, 5, 1, "click"),
+      ev(3, 0, 2, "view"), ev(4, 1, 2, "click"), ev(5, 2, 2, "purchase"))
+    val q = graft.streaming.Streams
+      .streamingFunnel(mem.toDF(), Seq("view", "click", "purchase"))
+      .toDF().writeStream
+      .format("memory").queryName("funnel_out").outputMode("update")
+      .option("checkpointLocation", ckpt("funnel"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val mid = spark.table("funnel_out")
+        .groupBy($"user_id").agg(max($"stage").as("st"))
+        .as[(Long, Int)].collect().toMap
+      assert(mid(1L) === 1, "click@5 must not count before any view")
+      assert(mid(2L) === 3)
+      // batch 2: an EARLIER view for u1 arrives late -> click@5 now
+      // qualifies (state kept it); purchase@7 completes the chain
+      mem.addData(ev(6, 3, 1, "view"), ev(7, 7, 1, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("funnel_out")
+      .groupBy($"user_id")
+      .agg(min(element_at($"times", 1)).as("m1"),
+        min(element_at($"times", 2)).as("m2"),
+        min(element_at($"times", 3)).as("m3"),
+        max($"stage").as("st"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def us(m: Int) = t(m).getTime * 1000L
+    assert(fin(1L) === ((Some(us(3)), Some(us(5)), Some(us(7)), 3)),
+      "the late earlier view must re-qualify the pruned click and finish the funnel")
+    assert(fin(2L) === ((Some(us(0)), Some(us(1)), Some(us(2)), 3)))
+  }
+
+  test("streamingFunnel drained over the fixture equals the batch funnel") {
+    val batchEv = Tables.events(spark, TestSpark.sf)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("funnel_stage").toString
+    graft.sources.Sources.writeParquet(batchEv.repartition(5), stage)
+    val stream = spark.readStream.schema(batchEv.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = graft.streaming.Streams
+      .streamingFunnel(stream, Seq("view", "click", "purchase"))
+      .toDF().writeStream
+      .format("memory").queryName("funnel_fix_out").outputMode("update")
+      .option("checkpointLocation", ckpt("funnel_fix"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "AvailableNow stream must drain")
+    val streamed = spark.table("funnel_fix_out")
+      .groupBy($"user_id")
+      .agg(min(element_at($"times", 1)).as("m1"),
+        min(element_at($"times", 2)).as("m2"),
+        min(element_at($"times", 3)).as("m3"),
+        max($"stage").as("st"))
+      .filter($"st" >= 1)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val batch = graft.ops.Temporal
+      .funnel(batchEv, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select($"user_id",
+        unix_micros($"t_view"), unix_micros($"t_click"),
+        unix_micros($"t_purchase"), $"stage")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(streamed === batch,
+      "per-file micro-batched funnel must equal the one-shot batch funnel")
+  }
+
   test("tumblingAgg works identically over the events fixture in batch mode") {
     val ev = Tables.events(spark, TestSpark.sf)
     val viaStreamOp = Streams.tumblingAgg(ev)
