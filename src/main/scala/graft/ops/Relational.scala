@@ -469,6 +469,65 @@ object Relational {
       .drop("_po", "_pn")
   }
 
+  /** Apply a change-data-capture op log onto a keyed base table — the
+    * missing half of [[snapshotDiff]], with DELETE support the plain
+    * upsert family lacks: `ops` carries an `opCol` of `I`/`U`/`D`, the
+    * LATEST op per key wins (by `orderCol`, then `tieCol`), a winning `D`
+    * removes the key, a winning `I`/`U` replaces or inserts the row, and
+    * untouched base keys pass through. The round-trip law
+    * `applyCdcOps(old, snapshotDiff(old, new)) == new` is what makes the
+    * pair a change-data-feed primitive for plain parquet tables (spec- and
+    * oracle-pinned by q148).
+    *
+    * Contract: `ops` must contain the base columns plus `opCol`,
+    * `orderCol`, `tieCol`; value columns of `D` rows may be NULL (only
+    * their keys matter). Scale shape: one window pass over the (small) op
+    * log + one key-equi anti join against the base — the base is never
+    * sorted, never widened, and AQE can broadcast the winner set when the
+    * log is small. */
+  def applyCdcOps(
+      base: DataFrame,
+      ops: DataFrame,
+      keys: Seq[String],
+      opCol: String,
+      orderCol: String,
+      tieCol: String): DataFrame = {
+    val cols = base.columns.toIndexedSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    val winners = ops
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val survivors = winners
+      .filter(col(opCol) =!= "D")
+      .select(cols.map(col): _*)
+    base.join(winners.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(survivors)
+  }
+
+  /** Referential-integrity audit: per child table, the count of rows,
+    * NULL foreign keys, and orphans (non-NULL keys with no parent) —
+    * table-health signals alongside [[Profile.profileColumns]] /
+    * [[Profile.keySkewProfile]]. Orphan detection is a LEFT ANTI join on
+    * the key (broadcastable parent key set after distinct); everything
+    * else is scan-local counts. Rates are exact integer ppm. */
+  def fkAudit(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String): DataFrame = {
+    val totals = child.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col(childKey).isNull, 1)).as("n_null_keys"))
+    val orphans = child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    totals.crossJoin(broadcast(orphans))
+      .select(col("n_rows"), col("n_null_keys"), col("n_orphans"),
+        expr("(n_orphans * 1000000) div n_rows").as("orphan_ppm"))
+  }
+
   /** Deterministic per-stratum downsampling — the class-rebalancing /
     * language-mix step of a training-data pipeline, as a PURE FUNCTION of
     * the row key: a row is kept iff the first 32 bits of md5(key), read

@@ -569,6 +569,43 @@ object RelationalQueries {
       Relational.cooccurrencePairs(
         Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", maxBasket = 8, minSupport = 2L)),
+
+
+    // CDC round-trip law: applyCdcOps(v0, snapshotDiff(v0, v1)) == v1 —
+    // the diff is DERIVED (never hand-built), converted to an I/U/D op
+    // log, and applied back with delete support; the oracle expresses v1
+    // directly, so a hash match proves diff∘apply is the identity on a
+    // change set containing all three op kinds
+    "q148_cdc_roundtrip" -> ((s, dir) => {
+      val v0 = QueryShared.ordersSnapshot(s, dir)
+      val kept = v0.filter(col("o_orderkey") % 19 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val ins = v0.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val v1 = kept.unionByName(ins)
+      val diff = Relational.snapshotDiff(v0, v1, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+      val opLog = diff.select(col("o_orderkey"),
+        col("new_o_orderstatus").as("o_orderstatus"),
+        col("new_o_totalprice").as("o_totalprice"),
+        col("change_type").as("op"),
+        lit(1L).as("ver"), col("o_orderkey").as("tie"))
+      Relational.applyCdcOps(v0, opLog, Seq("o_orderkey"),
+        opCol = "op", orderCol = "ver", tieCol = "tie")
+    }),
+
+
+    // referential-integrity audit with deterministically poked holes
+    // (parents %23 removed): row/NULL-key/orphan counts + exact-integer
+    // orphan ppm; orphan detection is a LEFT ANTI join on the key
+    "q149_fk_audit" -> ((s, dir) =>
+      Relational.fkAudit(
+        Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir).filter(col("o_orderkey") % 23 =!= 0),
+        "o_orderkey")),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -1121,6 +1158,36 @@ object RelationalQueries {
         |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+
+    // v1 expressed directly — the engine must reproduce it via
+    // diff-then-apply
+    "q148_cdc_roundtrip" ->
+      """WITH v0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice
+        |FROM v0 WHERE o_orderkey % 19 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |FROM v0 WHERE o_orderkey % 13 = 0""".stripMargin,
+
+
+    "q149_fk_audit" ->
+      """WITH p AS (SELECT DISTINCT o_orderkey FROM orders
+        |           WHERE o_orderkey % 23 <> 0),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+        |               AS n_null_keys
+        |      FROM lineitem),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        |      FROM lineitem l
+        |      WHERE l.l_orderkey IS NOT NULL
+        |        AND NOT EXISTS (SELECT 1 FROM p WHERE p.o_orderkey = l.l_orderkey))
+        |SELECT t.n_rows, t.n_null_keys, o.n_orphans,
+        |       (o.n_orphans * 1000000) // t.n_rows AS orphan_ppm
+        |FROM t, o""".stripMargin,
 
 
     "q143_tpch_q3" ->

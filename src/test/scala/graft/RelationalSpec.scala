@@ -366,6 +366,41 @@ class RelationalSpec extends AnyFunSuite {
       4L -> (("d", 40.0))))  // insert
   }
 
+  test("applyCdcOps: round-trip law apply(old, diff(old,new)) == new; latest op per key wins incl. delete") {
+    val v0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val v1 = Seq((1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v") // 1 updated, 2 deleted, 3 unchanged, 4 inserted
+    val diff = graft.ops.Relational.snapshotDiff(v0, v1, Seq("k"), Seq("s", "v"))
+    val opLog = diff.select($"k", $"new_s".as("s"), $"new_v".as("v"),
+      $"change_type".as("op"), lit(1L).as("ver"), $"k".as("tie"))
+    val applied = graft.ops.Relational
+      .applyCdcOps(v0, opLog, Seq("k"), "op", "ver", "tie")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(applied === Set((1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // latest-op-wins: U@1 then D@2 deletes; D@1 then U@2 resurrects
+    val log2 = Seq(
+      (1L, "x", 99.0, "U", 1L, 1L), (1L, null.asInstanceOf[String], 0.0, "D", 2L, 1L),
+      (2L, null.asInstanceOf[String], 0.0, "D", 1L, 1L), (2L, "b9", 29.0, "U", 2L, 1L)
+    ).toDF("k", "s", "v", "op", "ver", "tie")
+    val folded = graft.ops.Relational
+      .applyCdcOps(v0, log2, Seq("k"), "op", "ver", "tie")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(folded === Set((2L, "b9", 29.0), (3L, "c", 30.0)),
+      "key 1 must end deleted, key 2 must end resurrected")
+  }
+
+  test("fkAudit: exact orphan/null counts and integer ppm") {
+    val child = Seq(
+      (Some(1L), "r1"), (Some(1L), "r2"), (Some(9L), "r3"), // 9 is an orphan
+      (None, "r4")
+    ).toDF("fk", "payload")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = graft.ops.Relational.fkAudit(child, "fk", parent, "pk").collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ===
+      ((4L, 1L, 1L, 250000L)))
+  }
+
   test("cooccurrencePairs: dup items collapse, oversized baskets drop whole, support floor") {
     val rows = Seq(
       // basket 1: {10, 20, 30} -> 3 pairs
