@@ -149,6 +149,33 @@ object MlQueries {
         .select(col("topic"), col("rn"), col("term_idx"), col("term"),
           col("weight"))
     }),
+
+
+    // quantile-binning fit/serve split (feature prep): exact quartile
+    // boundaries fitted once (Spark `percentile` == DuckDB
+    // `quantile_cont` — the q50 identity), PERSISTED, and the equidepth
+    // bin assignment served from the stored doubles: any engine — and
+    // the oracle — reproduces the bins from the same artifact. Serve is
+    // three broadcast doubles + a scan-local comparison count (the
+    // re-aggregation of the one-row artifact keeps the broadcast side a
+    // scalar aggregate, the audited join idiom).
+    "q150_quantile_bins" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val fit = o.agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+        percentile(col("o_totalprice"), lit(0.5)).as("q2"),
+        percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+      sources.Sources.writeParquet(fit, predsPath("q150_bins"))
+      val b = s.read.parquet(predsPath("q150_bins"))
+        .agg(max(col("q1")).as("q1"), max(col("q2")).as("q2"),
+          max(col("q3")).as("q3"))
+      o.crossJoin(broadcast(b))
+        .select(col("o_orderkey"),
+          (when(col("o_totalprice") > col("q1"), 1).otherwise(0) +
+            when(col("o_totalprice") > col("q2"), 1).otherwise(0) +
+            when(col("o_totalprice") > col("q3"), 1).otherwise(0))
+            .cast("int").as("bin"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -267,5 +294,17 @@ object MlQueries {
          |       a.prob * t.prob AS pair_prob
          |FROM k a JOIN k t ON a.bucket = t.bucket
          |WHERE a.doc_id <> t.doc_id""".stripMargin,
+
+
+    // bin assignment replayed from the SAME persisted boundary artifact
+    "q150_quantile_bins" ->
+      s"""WITH b AS (
+         |  SELECT max(q1) AS q1, max(q2) AS q2, max(q3) AS q3
+         |  FROM read_parquet('${predsPath("q150_bins")}/*.parquet'))
+         |SELECT o_orderkey,
+         |  CAST((CASE WHEN o_totalprice > q1 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS INT) AS bin
+         |FROM orders, b""".stripMargin,
   )
 }

@@ -606,6 +606,32 @@ object RelationalQueries {
         Tables.lineitem(s, dir), "l_orderkey",
         Tables.orders(s, dir).filter(col("o_orderkey") % 23 =!= 0),
         "o_orderkey")),
+
+
+    // item-item similarity from co-occurrence (collaborative-filtering
+    // neighborhood): squared cosine support²·10⁶ div (freq_a·freq_b) in
+    // exact integers over q146's capped pair counts — the square avoids
+    // the sqrt, keeping the whole path BIGINT. Frequencies come from the
+    // SAME capped basket set the pairs do, so the ratio is internally
+    // consistent.
+    "q151_item_similarity" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val ok = items
+        .withColumn("__bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))))
+        .filter(col("__bs") <= 8).drop("__bs")
+      val freq = ok.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      Relational.cooccurrencePairs(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", maxBasket = 8, minSupport = 2L)
+        .join(freq.select(col("l_partkey").as("item_a"), col("f").as("fa")),
+          Seq("item_a"))
+        .join(freq.select(col("l_partkey").as("item_b"), col("f").as("fb")),
+          Seq("item_b"))
+        .select(col("item_a"), col("item_b"), col("support"),
+          expr("(support * support * 1000000) div (fa * fb)").as("cos2_q6"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -1172,6 +1198,26 @@ object RelationalQueries {
         |UNION ALL
         |SELECT o_orderkey + 100000000, 'N', o_totalprice
         |FROM v0 WHERE o_orderkey % 13 = 0""".stripMargin,
+
+
+    // same capped basket set feeds both the pair counts and the
+    // frequencies; the squared-cosine ratio is one integer floor-div
+    "q151_item_similarity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sz AS (SELECT l_orderkey, l_partkey,
+        |              count(*) OVER (PARTITION BY l_orderkey) AS bs
+        |       FROM it),
+        |ok AS (SELECT l_orderkey, l_partkey FROM sz WHERE bs <= 8),
+        |fr AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS f FROM ok GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+        |              CAST(count(*) AS BIGINT) AS support
+        |       FROM ok a JOIN ok b ON a.l_orderkey = b.l_orderkey
+        |                          AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.item_a, pr.item_b, pr.support,
+        |       (pr.support * pr.support * 1000000) // (fa.f * fb.f) AS cos2_q6
+        |FROM pr JOIN fr fa ON pr.item_a = fa.l_partkey
+        |        JOIN fr fb ON pr.item_b = fb.l_partkey""".stripMargin,
 
 
     "q149_fk_audit" ->
