@@ -143,8 +143,11 @@ object Streams {
     * funnel's current entry chain. Under a watermark, once it passes
     * `t(i-1)` no earlier previous-step event can arrive, `t(i-1)` is
     * final, and the pending set collapses to nothing: O(1) state per user
-    * at steady state. (The checked drain uses the fixture-spanning
-    * watermark, so nothing is dropped and equality with batch is exact.)
+    * at steady state. `watermarkDelay = None` (the checked drain's mode)
+    * keeps everything — exact equality with batch at unbounded state;
+    * `Some(delay)` trades declared late-drop semantics for the bounded
+    * state, with the drop enforced IN the operator so the finalization
+    * prune is sound regardless of engine pre-filtering.
     *
     * Emits one [[FunnelUpdate]] per touched user per micro-batch (update
     * mode); fold with per-user `min(times)` / `max(stage)` and drop
@@ -154,7 +157,8 @@ object Streams {
       steps: Seq[String],
       userCol: String = "user_id",
       tsCol: String = "ts",
-      typeCol: String = "event_type"): Dataset[FunnelUpdate] = {
+      typeCol: String = "event_type",
+      watermarkDelay: Option[String] = None): Dataset[FunnelUpdate] = {
     require(steps.size >= 2, "funnel needs at least two steps")
     val spark = events.sparkSession
     import spark.implicits._
@@ -162,23 +166,43 @@ object Streams {
     val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) {
       case (e, (st, i)) => when(col(typeCol) === st, lit(i)).otherwise(e)
     }
-    events
+    val watermarked = watermarkDelay.isDefined && events.isStreaming
+    // the event-time column must SURVIVE the projection for the watermark
+    // to reach the stateful operator, so `_et` rides along with the micros
+    // the state logic actually uses
+    val base = events
       .filter(col(typeCol).isInCollection(steps))
-      .select(col(userCol).cast("long"),
-        unix_micros(col(tsCol).cast("timestamp")), stepIdx.cast("int"))
-      .as[(Long, Long, Int)]
+      .select(col(userCol).cast("long").as("_u"),
+        col(tsCol).cast("timestamp").as("_et"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_mic"),
+        stepIdx.cast("int").as("_i"))
+    val src =
+      if (watermarked) base.withWatermark("_et", watermarkDelay.get)
+      else base
+    src
+      .as[(Long, java.sql.Timestamp, Long, Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Int)],
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Int)],
          state: GroupState[FunnelState]) =>
+          // the watermark at batch start (0 without one — reading it is
+          // only legal when a watermark is set). With a watermark the
+          // funnel ENFORCES the late-drop contract itself — rows below it
+          // are ignored here, whether or not the engine pre-filtered
+          // them — which is exactly what makes the finalization prune
+          // below sound.
+          val wm =
+            if (watermarked) state.getCurrentWatermarkMs() * 1000L else 0L
           val prev = state.getOption.getOrElse(
             FunnelState(Seq.fill(n)(Long.MaxValue), Seq.fill(n)(Nil)))
           val t = prev.times.toArray
           val pend = prev.pending.map(_.toList).toArray
-          rows.foreach { case (_, ts, i) =>
-            if (i == 0) { if (ts < t(0)) t(0) = ts }
-            else pend(i) ::= ts
+          rows.foreach { case (_, _, ts, i) =>
+            if (wm == 0L || ts >= wm) {
+              if (i == 0) { if (ts < t(0)) t(0) = ts }
+              else pend(i) ::= ts
+            }
           }
           var i = 1
           while (i < n) {
@@ -189,6 +213,11 @@ object Streams {
               // (t(i) only decreases); (b)-keep: candidates ≤ t(i-1) may
               // qualify if an earlier step-(i-1) event arrives later
               pend(i) = pend(i).filter(_ <= t(i - 1))
+              // finalization: once the watermark passes t(i-1), no event
+              // below it can arrive (enforced above), so t(i-1) is FINAL
+              // and every kept candidate ≤ t(i-1) is dead — state
+              // collapses to O(1) for this step
+              if (wm > t(i - 1)) pend(i) = Nil
             }
             i += 1
           }

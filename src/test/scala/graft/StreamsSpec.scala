@@ -530,6 +530,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(fin(2L) === ((Some(us(0)), Some(us(1)), Some(us(2)), 3)))
   }
 
+  test("streamingFunnel with a watermark: on-time data exact, late rows dropped by contract, state finalized") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    def ev(id: Long, m: Int, u: Long, ty: String) = Ev(id, t(m), u, ty, 0.0)
+    // batch 1: in-order chain for u1 up to click; wm advances to max ts
+    mem.addData(ev(1, 0, 1, "view"), ev(2, 10, 1, "click"),
+      ev(3, 60, 9, "view")) // u9 pushes event time (and thus wm) to m=60
+    val q = graft.streaming.Streams
+      .streamingFunnel(mem.toDF(), Seq("view", "click", "purchase"),
+        watermarkDelay = Some("0 seconds"))
+      .toDF().writeStream
+      .format("memory").queryName("funnel_wm_out").outputMode("update")
+      .option("checkpointLocation", ckpt("funnel_wm"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE earlier view (m=?<60 is below the wm) must be
+      // ignored — the declared bounded-state semantics — while an on-time
+      // purchase completes the chain
+      mem.addData(ev(4, 5, 1, "view"), ev(5, 70, 1, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("funnel_wm_out")
+      .groupBy($"user_id")
+      .agg(min(element_at($"times", 1)).as("m1"),
+        min(element_at($"times", 2)).as("m2"),
+        min(element_at($"times", 3)).as("m3"),
+        max($"stage").as("st"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def us(m: Int) = t(m).getTime * 1000L
+    assert(fin(1L) === ((Some(us(0)), Some(us(10)), Some(us(70)), 3)),
+      "late view@5 below the watermark must not rewrite t_view; on-time purchase completes")
+  }
+
   test("streamingFunnel drained over the fixture equals the batch funnel") {
     val batchEv = Tables.events(spark, TestSpark.sf)
       .withColumn("ts", $"ts".cast("timestamp"))
