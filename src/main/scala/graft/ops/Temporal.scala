@@ -173,6 +173,44 @@ object Temporal {
         sum(col(valueCol).cast("decimal(30,2)")).over(w).cast("double"))
   }
 
+  /** Rolling z-score anomaly detection, exactly reproducible: values are
+    * quantized to cents, one RANGE window (same trailing-interval frame as
+    * [[rollingStats]]) supplies count n, sum S, and sum-of-squares Q, and
+    * the z·σ test runs denominator-free in DECIMAL(38,0):
+    *
+    *   (v − S/n)² > z²·(nQ − S²)/n²   ⟺   (n·v − S)² > z²·(nQ − S²)
+    *
+    * so no float division or sqrt ever happens — the flag set is
+    * bit-identical across engines (the DuckDB mirror uses HUGEINT, the
+    * q42 discipline). Rows with fewer than `minN` trailing observations
+    * are not judged (cold-start guard). Emits only flagged rows.
+    * Magnitude contract: |v_c| ≤ ~1e9 with windows ≤ ~1e9 rows keeps every
+    * product under 38 digits; wider data needs a bigger decimal, not a
+    * different algorithm. One shuffle on the key + one per-key sort, the
+    * [[rollingStats]] scale shape. */
+  def rollingAnomaly(
+      df: DataFrame,
+      partCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowMicros: Long = 3600000000L,
+      z: Int = 3,
+      minN: Long = 12L): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col("ts_us"))
+      .rangeBetween(-windowMicros, 0L)
+    df.withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("v_c", floor(col(valueCol) * 100).cast("decimal(38,0)"))
+      .withColumn("n_w", count(lit(1)).over(w).cast("decimal(38,0)"))
+      .withColumn("s_w", sum(col("v_c")).over(w).cast("decimal(38,0)"))
+      .withColumn("q_w", sum(col("v_c") * col("v_c")).over(w).cast("decimal(38,0)"))
+      .filter(col("n_w") >= lit(minN))
+      .withColumn("d", col("n_w") * col("v_c") - col("s_w"))
+      .filter(col("d") * col("d") >
+        lit(z.toLong * z) * (col("n_w") * col("q_w") - col("s_w") * col("s_w")))
+      .select(col(partCol), col("ts_us"), col("v_c").cast("bigint").as("v_c"),
+        col("n_w").cast("bigint").as("n_w"))
+  }
+
   /** LAG/LEAD sequence deltas: per entity, each row sees its predecessor's
     * and successor's value plus the value delta and the day gap — the
     * order-history / time-between-events shape (churn features, inter-

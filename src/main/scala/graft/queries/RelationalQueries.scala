@@ -614,6 +614,17 @@ object RelationalQueries {
     // the sqrt, keeping the whole path BIGINT. Frequencies come from the
     // SAME capped basket set the pairs do, so the ratio is internally
     // consistent.
+    // rolling z-score anomaly flags, denominator-free in DECIMAL(38,0):
+    // (n·v − S)² > 9·(nQ − S²) over a trailing 7-day RANGE frame —
+    // no float division or sqrt, so the flag set is bit-identical to the
+    // oracle's HUGEINT replay
+    "q153_rolling_anomaly" -> ((s, dir) =>
+      ops.Temporal.rollingAnomaly(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value",
+        windowMicros = 604800000000L, z = 3, minN = 12L)),
+
+
     "q151_item_similarity" -> ((s, dir) => {
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -1198,6 +1209,26 @@ object RelationalQueries {
         |UNION ALL
         |SELECT o_orderkey + 100000000, 'N', o_totalprice
         |FROM v0 WHERE o_orderkey % 13 = 0""".stripMargin,
+
+
+    // HUGEINT mirror of the DECIMAL(38,0) arithmetic — same frame, same
+    // denominator-free test
+    "q153_rolling_anomaly" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |                  CAST(floor(value * 100) AS HUGEINT) AS v_c
+        |           FROM events),
+        |wnd AS (SELECT user_id, ts_us, v_c,
+        |               CAST(count(*) OVER w AS HUGEINT) AS n_w,
+        |               CAST(sum(v_c) OVER w AS HUGEINT) AS s_w,
+        |               CAST(sum(v_c * v_c) OVER w AS HUGEINT) AS q_w
+        |        FROM b
+        |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, CAST(v_c AS BIGINT) AS v_c,
+        |       CAST(n_w AS BIGINT) AS n_w
+        |FROM wnd
+        |WHERE n_w >= 12
+        |  AND (n_w * v_c - s_w) * (n_w * v_c - s_w) > 9 * (n_w * q_w - s_w * s_w)""".stripMargin,
 
 
     // same capped basket set feeds both the pair counts and the

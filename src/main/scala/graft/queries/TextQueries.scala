@@ -308,6 +308,14 @@ object TextQueries {
     // (all terms non-negative ⇒ DIV == floor-div in both engines)
     "q145_readability" -> ((s, dir) =>
       TextOps.readabilityStats(Tables.documents(s, dir), "doc_id", "text")),
+
+
+    // IR phrase query over positional postings: per-term postings are
+    // position-shifted and equi-joined on (doc, aligned position) — no
+    // string re-scan; cost tracks the rarest term's postings
+    "q152_phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("table", "hash"))),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -697,6 +705,18 @@ object TextQueries {
     // the four gates' proven SQL fragments (q34 bigram score, q19
     // token/punct, q20 md5 fingerprint, q70 4-gram overlap) composed with
     // the same stage ordering and first-fail labeling
+    // 1-based positions; hit iff both terms align at consecutive indices
+    "q152_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |           FROM documents),
+        |p AS (SELECT doc_id, i
+        |      FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |      WHERE ts[i] = 'table' AND ts[i + 1] = 'hash')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM p GROUP BY 1""".stripMargin,
+
+
     // identical regex counts; 1015/84600 milli-coefficients; `//` == DIV
     // on the non-negative terms
     "q145_readability" ->

@@ -473,6 +473,34 @@ object TextOps {
           .otherwise("kept").as("verdict"))
   }
 
+  /** IR phrase query over positional postings: documents containing the
+    * exact token sequence `phrase`, with per-doc occurrence counts. Each
+    * term's postings are position-shifted so a phrase hit is a plain
+    * equi-join on (doc, aligned position) — the classic positional-index
+    * intersection, no string re-scan, no LIKE. Scale: postings are
+    * filtered to the phrase terms BEFORE any shuffle (selective terms ⇒
+    * tiny join inputs), every join keys on (doc, pos) so the chain
+    * co-partitions after the first exchange, and cost is driven by the
+    * rarest term's postings size — the standard merge order a production
+    * engine would pick. */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch needs at least two tokens")
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    phrase.zipWithIndex
+      .map { case (w, i) =>
+        toks.filter(col("tok") === w)
+          .select(col(idCol), (col("pos") - i).as("p0"))
+      }
+      .reduce((a, b) => a.join(b, Seq(idCol, "p0")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Flesch-style readability signals, integer-exact: word count
     * (alnum runs), sentence count ([.!?]+ runs, floored at 1 so headlines
     * don't divide by zero), syllable estimate (vowel-group runs — the

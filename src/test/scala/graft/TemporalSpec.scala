@@ -272,6 +272,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(out((2L, "Z")) === ((Some(ts("2024-01-05 00:00:00")), None, 1)))
   }
 
+  test("rollingAnomaly: spike flagged, steady stream silent, cold start unjudged") {
+    // 12 steady observations then one spike; per-minute spacing inside
+    // one window
+    val steady = (0 until 12).map(m =>
+      (1L, ts(f"2024-01-01 10:$m%02d:00"), 100.0))
+    val spike = Seq((1L, ts("2024-01-01 10:12:00"), 5000.0))
+    // second key: identical spike pattern but only 3 trailing rows — below
+    // minN, never judged
+    val cold = Seq(
+      (2L, ts("2024-01-01 10:00:00"), 100.0),
+      (2L, ts("2024-01-01 10:01:00"), 100.0),
+      (2L, ts("2024-01-01 10:02:00"), 5000.0))
+    val df = (steady ++ spike ++ cold).toDF("user_id", "ts", "v")
+    val got = graft.ops.Temporal
+      .rollingAnomaly(df, "user_id", "ts", "v",
+        windowMicros = 3600000000L, z = 3, minN = 12L)
+      .select($"user_id", $"v_c").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 500000L)),
+      "only the post-warmup spike flags; steady rows and the cold-start key stay silent")
+  }
+
   test("funnel: strict ordering — out-of-order later steps don't advance the stage") {
     val ev = Seq(
       // u1: full funnel in order

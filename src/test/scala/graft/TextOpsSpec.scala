@@ -514,6 +514,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(noBench(6L) === "kept")
   }
 
+  test("phraseSearch: exact consecutive sequence only; overlaps counted; order matters") {
+    val docs = Seq(
+      (1L, "big data is big data is big"),     // "big data is" x2
+      (2L, "data big is"),                     // right words, wrong order
+      (3L, "big data and then is"),            // non-consecutive
+      (4L, "Big DATA is!")                     // case/punct-insensitive x1
+    ).toDF("doc_id", "text")
+    val got = TextOps.phraseSearch(docs, "doc_id", "text",
+        Seq("big", "data", "is"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 4L -> 1L))
+  }
+
   test("readabilityStats: counts match hand counts; sentence floor; wordless doc NULL score") {
     val docs = Seq(
       // 6 words, 2 sentences, syllable groups: the(1) cat(1) sat(1) down(1)
