@@ -614,6 +614,48 @@ object RelationalQueries {
     // the sqrt, keeping the whole path BIGINT. Frequencies come from the
     // SAME capped basket set the pairs do, so the ratio is internally
     // consistent.
+    // TPC-H Q18 shape (large-volume orders): HAVING over a fact
+    // aggregation feeding a join — the grouped sum runs FIRST (one
+    // shuffle on l_orderkey), survives the threshold, and only then joins
+    // orders and customer, so the join inputs are pre-shrunk to the
+    // qualifying keys
+    "q154_tpch_q18" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(Relational.exactSum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150.0)
+      big.join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // per-part average decorrelated into a grouped (n, S) join; the
+    // 0.2·avg predicate runs denominator-free as 5·q·n < S over the
+    // integral quantities — no float division before the single final
+    // IEEE divide both engines share
+    "q155_tpch_q17" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_quantity").cast("bigint").as("q_i"))
+      val perPart = li.groupBy(col("l_partkey").as("pp"))
+        .agg(count(lit(1)).as("n_p"), sum(col("q_i")).as("s_p"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#19")
+        .select(col("p_partkey"))
+      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pp"))
+        .filter(lit(5L) * col("q_i") * col("n_p") < col("s_p"))
+        .agg(count(lit(1)).as("n_small"),
+          (Relational.exactSum(col("l_extendedprice")) / lit(7.0))
+            .as("avg_yearly"))
+    }),
+
+
     // rolling z-score anomaly flags, denominator-free in DECIMAL(38,0):
     // (n·v − S)² > 9·(nQ − S²) over a trailing 7-day RANGE frame —
     // no float division or sqrt, so the flag set is bit-identical to the
@@ -1209,6 +1251,35 @@ object RelationalQueries {
         |UNION ALL
         |SELECT o_orderkey + 100000000, 'N', o_totalprice
         |FROM v0 WHERE o_orderkey % 13 = 0""".stripMargin,
+
+
+    "q154_tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${dSum("l_quantity", 2, "sum_qty")}
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) > 150.0)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, big.sum_qty
+         |FROM big
+         |JOIN orders o ON big.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+
+    "q155_tpch_q17" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_extendedprice,
+         |         CAST(l_quantity AS BIGINT) AS q_i
+         |  FROM lineitem),
+         |pp AS (
+         |  SELECT l_partkey AS pp, CAST(count(*) AS BIGINT) AS n_p,
+         |         CAST(sum(q_i) AS BIGINT) AS s_p
+         |  FROM li GROUP BY 1),
+         |pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#19')
+         |SELECT CAST(count(*) AS BIGINT) AS n_small,
+         |       ${dSum("l_extendedprice", 2)} / 7.0 AS avg_yearly
+         |FROM li
+         |JOIN pk ON li.l_partkey = pk.p_partkey
+         |JOIN pp ON li.l_partkey = pp.pp
+         |WHERE 5 * q_i * n_p < s_p""".stripMargin,
 
 
     // HUGEINT mirror of the DECIMAL(38,0) arithmetic — same frame, same
