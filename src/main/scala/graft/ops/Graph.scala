@@ -147,4 +147,47 @@ object Graph {
     }
     scores.select(col("node"), col("score"))
   }
+
+  /** Multi-source BFS hop distances: every node reachable from `seeds`
+    * within `maxHops`, labeled with its shortest hop count. Classic
+    * frontier expansion — each round joins ONLY the new frontier against
+    * the edge list, anti-joins away already-visited nodes (so a node's
+    * recorded hop is its first visit = BFS distance), and stops early on
+    * an empty frontier. Rounds are `localCheckpoint`-truncated like
+    * [[pageRankInt]]'s (the round references the visited set twice).
+    * Scale: per-round work is |frontier ⋈ edges|, the frontier never
+    * revisits nodes, and total rows are bounded by |reachable| — never
+    * walk-enumeration (the naive recursive-CTE UNION ALL blowup).
+    * Directed; pass both orientations for an undirected graph. */
+  def bfsHops(
+      edges: DataFrame, // (src: long, dst: long)
+      seeds: DataFrame, // (node: long)
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops must be in [1,50], got $maxHops")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    var dist = seeds
+      .select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node").as("__v")),
+          col("node") === col("__v"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint(true)
+        frontier = next.select(col("node"))
+      }
+      h += 1
+    }
+    dist
+  }
 }

@@ -614,6 +614,41 @@ object RelationalQueries {
     // the sqrt, keeping the whole path BIGINT. Frequencies come from the
     // SAME capped basket set the pairs do, so the ratio is internally
     // consistent.
+    // multi-source BFS over the q69 bipartite customer–supplier graph:
+    // shortest hop distances from the %97 customer seed set, frontier
+    // expansion with first-visit anti-joins (rows bounded by |reachable|,
+    // never walk enumeration)
+    "q156_bfs_hops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      ops.Graph.bfsHops(edges, seeds, maxHops = 4)
+    }),
+
+
+    // per-user event-type transition counts (the Markov-chain view of
+    // the clickstream): one window lag over a total (ts, event_id) order,
+    // then a grouped count — one shuffle + one sort
+    "q157_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+
     // TPC-H Q18 shape (large-volume orders): HAVING over a fact
     // aggregation feeding a join — the grouped sum runs FIRST (one
     // shuffle on l_orderkey), survives the threshold, and only then joins
@@ -1251,6 +1286,36 @@ object RelationalQueries {
         |UNION ALL
         |SELECT o_orderkey + 100000000, 'N', o_totalprice
         |FROM v0 WHERE o_orderkey % 13 = 0""".stripMargin,
+
+
+    // UNION (distinct) recursion keeps rows bounded by nodes × hops —
+    // (node, hop) pairs, not walks; min(hop) = BFS distance
+    "q156_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION SELECT dst, src FROM pairs),
+        |seeds AS (SELECT DISTINCT c_custkey * 2 AS node
+        |          FROM customer WHERE c_custkey % 97 = 0),
+        |bfs AS (
+        |  SELECT node, 0 AS hop FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.hop < 4)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS INT) AS hop
+        |FROM bfs GROUP BY 1""".stripMargin,
+
+
+    "q157_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
 
     "q154_tpch_q18" ->

@@ -74,6 +74,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty, "random graph at this density should contain triangles")
   }
 
+  test("bfsHops: shortest distances, multi-seed min, unreachable excluded, maxHops truncates") {
+    // chain 1-2-3-4-5, branch 3-7, detached 9-10; seeds {1, 7}
+    val edges = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      3L -> 7L, 9L -> 10L)
+    val seeds = Seq(1L, 7L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(
+      1L -> 0, 7L -> 0,   // seeds
+      2L -> 1, 3L -> 1,   // 3 via 7 beats 3 via 1-2-3
+      4L -> 2, 5L -> 3))  // 9/10 unreachable — absent
+    val truncated = Graph.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(truncated === Map(1L -> 0, 2L -> 1, 3L -> 2),
+      "maxHops=2 must stop before 4, 5, and 7")
+    assertThrows[IllegalArgumentException](Graph.bfsHops(edges, seeds, 0))
+  }
+
   test("pageRankInt: argument guards") {
     val e = undirected(1L -> 2L)
     assertThrows[IllegalArgumentException](Graph.pageRankInt(e, iters = 0))
