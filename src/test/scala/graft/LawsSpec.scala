@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Law-based differential checks over SEEDED random inputs: each law pits
+  * a distributed operator against an independent driver-side brute-force
+  * model on a batch of randomized scenarios. Deterministic seeds keep the
+  * suite reproducible; inputs stay tiny so each case is a handful of local
+  * Spark jobs.
+  */
+class LawsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("LAW funnel == per-user brute-force chain walk on random event sets") {
+    val steps = Seq("a", "b", "c")
+    val types = steps ++ Seq("x", "y") // noise types must be ignored
+    val rnd = new Random(7)
+    for (round <- 1 to 8) {
+      val events = (1 to 40 + round).map { _ =>
+        (rnd.nextInt(5) + 1L, ts(rnd.nextInt(60)),
+          types(rnd.nextInt(types.size)))
+      }
+      val got = graft.ops.Temporal
+        .funnel(events.toDF("u", "t", "ty"), "u", "t", "ty", steps)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+            Option(r.getTimestamp(3)), r.getInt(4)))).toMap
+      val want = events.groupBy(_._1).flatMap { case (u, evs) =>
+        def minAfter(step: String, after: Option[Timestamp]) =
+          after.flatMap(a => evs.filter(e => e._3 == step && e._2.after(a))
+            .map(_._2).sortBy(_.getTime).headOption)
+        val t1 = evs.filter(_._3 == "a").map(_._2).sortBy(_.getTime).headOption
+        if (t1.isEmpty) None else {
+          val t2 = minAfter("b", t1)
+          val t3 = minAfter("c", t2)
+          Some(u -> ((t1, t2, t3, 1 + t2.size + t3.size)))
+        }
+      }
+      assert(got === want, s"round $round diverged")
+    }
+  }
+
+  test("LAW applyCdcOps(old, snapshotDiff(old, new)) == new on random keyed tables") {
+    val rnd = new Random(11)
+    for (round <- 1 to 8) {
+      def table() = (1 to 30).flatMap { k =>
+        if (rnd.nextBoolean()) Some((k.toLong, s"s${rnd.nextInt(4)}",
+          rnd.nextInt(100).toDouble))
+        else None
+      }
+      val v0r = table(); val v1r = table()
+      val v0 = v0r.toDF("k", "s", "v")
+      val v1 = v1r.toDF("k", "s", "v")
+      val diff = graft.ops.Relational
+        .snapshotDiff(v0, v1, Seq("k"), Seq("s", "v"))
+      val opLog = diff.select($"k", $"new_s".as("s"), $"new_v".as("v"),
+        $"change_type".as("op"), lit(1L).as("ver"), $"k".as("tie"))
+      val applied = graft.ops.Relational
+        .applyCdcOps(v0, opLog, Seq("k"), "op", "ver", "tie")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(applied === v1r.toSet, s"round $round diverged")
+    }
+  }
+
+  test("LAW bfsHops == driver-side BFS on random graphs") {
+    val rnd = new Random(13)
+    for (round <- 1 to 8) {
+      val n = 12
+      val pairs = (1 to 25).map(_ =>
+        (rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L)).distinct
+        .filter(p => p._1 != p._2)
+      val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+      val seeds = Seq(1L, (rnd.nextInt(n) + 1).toLong).distinct
+      val maxHops = 1 + rnd.nextInt(4)
+      val got = graft.ops.Graph
+        .bfsHops(edges, seeds.toDF("node"), maxHops)
+        .as[(Long, Int)].collect().toMap
+      // driver BFS
+      val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._2).toSet }
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops) {
+        val next = frontier.flatMap(f => adj.getOrElse(f, Set.empty))
+          .diff(dist.keySet)
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      assert(got === dist, s"round $round diverged (maxHops=$maxHops)")
+    }
+  }
+}
