@@ -614,6 +614,23 @@ object RelationalQueries {
     // the sqrt, keeping the whole path BIGINT. Frequencies come from the
     // SAME capped basket set the pairs do, so the ratio is internally
     // consistent.
+    // SCD2 dimension LOOKUP (the serving half of q109): each purchase
+    // attaches the event-type version valid AT its timestamp — the
+    // version chain changes only at valid_from instants, so "the valid
+    // version" is exactly the latest valid_from ≤ fact ts: one asofJoin,
+    // no interval predicate, no inequality join
+    "q158_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hist = ops.Temporal
+        .scd2(ev, "user_id", "ts", "event_type", "event_id")
+        .groupBy(col("user_id"), col("valid_from").as("ts"))
+        .agg(max(col("event_type")).as("dim_type"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      ops.Temporal.asofJoin(facts, hist, Seq("user_id"), "ts", Seq("dim_type"))
+    }),
+
+
     // multi-source BFS over the q69 bipartite customer–supplier graph:
     // shortest hop distances from the %97 customer seed set, frontier
     // expansion with first-visit anti-joins (rows bounded by |reachable|,
@@ -1286,6 +1303,29 @@ object RelationalQueries {
         |UNION ALL
         |SELECT o_orderkey + 100000000, 'N', o_totalprice
         |FROM v0 WHERE o_orderkey % 13 = 0""".stripMargin,
+
+
+    // q109's version chain + per-(user, valid_from) max collapse, then
+    // DuckDB's native ASOF JOIN picks the version valid at each purchase
+    "q158_scd2_lookup" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), k AS (
+        |  SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE prev IS NULL OR event_type <> prev
+        |), hist AS (
+        |  SELECT user_id, ts, max(event_type) AS dim_type
+        |  FROM k GROUP BY 1, 2
+        |), f AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT f.event_id, f.user_id, f.ts, hist.dim_type
+        |FROM f ASOF LEFT JOIN hist
+        |  ON f.user_id = hist.user_id AND f.ts >= hist.ts""".stripMargin,
 
 
     // UNION (distinct) recursion keeps rows bounded by nodes × hops —
