@@ -113,4 +113,45 @@ object Profile {
       .select(col("key"), col("c"), col("r").cast("long").as("metric"))
     top.unionByName(gini)
   }
+
+  /** Per-group winsorized summary — the robust-mean monitoring rule for
+    * heavy-tailed metrics (the winsorized cousin of [[madOutliers]]):
+    * values are clamped to the group's exact [pLo, pHi] percentiles and
+    * the clamped mean is reported next to the clamp counts.
+    *
+    * Engine portability of the mean is the delicate part: a float SUM
+    * over doubles is order-dependent, so the clamped value is first
+    * quantized to integer micro-units with round-half-away-from-zero
+    * (`round(x·10⁶)` — the same rule in Spark's HALF_UP-on-BigDecimal
+    * and DuckDB's `round`), summed as a plain BIGINT (associative,
+    * order-free), and divided ONCE at the end — a single IEEE division
+    * both engines share bit-for-bit. The percentile frames are
+    * group-count-sized, so the re-attach join broadcasts; at 100 TB the
+    * exact `percentile` swaps for `approx_percentile` without changing
+    * the shape. */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(
+        percentile(col(valueCol), lit(pLo)).as("p_lo"),
+        percentile(col(valueCol), lit(pHi)).as("p_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("w", greatest(least(col(valueCol), col("p_hi")), col("p_lo")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("p_lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col(valueCol) > col("p_hi"), 1L).otherwise(0L)).as("n_high"),
+        min(col("p_lo")).as("p_lo"),
+        min(col("p_hi")).as("p_hi"),
+        sum(round(col("w") * lit(1e6)).cast("long")).as("wsum_micros"))
+      .withColumn("wmean",
+        col("wsum_micros").cast("double") / (col("n") * lit(1e6)))
+  }
 }

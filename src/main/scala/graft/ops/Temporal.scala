@@ -371,4 +371,51 @@ object Temporal {
           .as(tsCol): _*)
     asofJoin(grid, points, keys, tsCol, Seq(valueCol))
   }
+
+  /** Session path mining: sessionize by inactivity gap (gaps-and-islands —
+    * the same island rule as the streaming/session-window sessionizers:
+    * a new session starts iff the gap to the previous event is NOT
+    * < `gapSeconds`), then count ordered event-type n-grams of length
+    * `depth` WITHIN each session — the "what do users do in a sitting"
+    * view the per-user transition matrix (q157) can't see across session
+    * boundaries.
+    *
+    * `tieCols` break ordering ties at equal timestamps so the mined paths
+    * are deterministic (and match an oracle using the same total order).
+    *
+    * Scale shape: every window (island mark, running session id, the
+    * depth−1 lags) shares the user-key partitioning, so the whole operator
+    * is ONE hash shuffle on `userCol` + one per-key sort; the final
+    * grouped count's output is vocabulary-sized (≤ |event types|^depth),
+    * never event-sized. */
+  def sessionPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCols: Seq[String],
+      gapSeconds: Long = 1800L,
+      depth: Int = 3): DataFrame = {
+    require(depth >= 2, s"path depth must be >= 2, got $depth")
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val byUser = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val marked = events
+      .withColumn("__new_s",
+        when(col(tsCol) < lag(col(tsCol), 1).over(byUser) +
+          expr(s"INTERVAL $gapSeconds SECONDS"), 0L).otherwise(1L))
+      .withColumn("__sid",
+        sum(col("__new_s")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window
+      .partitionBy(col(userCol), col("__sid")).orderBy(order: _*)
+    val steps = (depth - 1 to 1 by -1).map(i =>
+      lag(col(typeCol), i).over(bySession).as(s"t${depth - i}")) :+
+      col(typeCol).as(s"t$depth")
+    marked
+      .select(steps: _*)
+      .filter(col("t1").isNotNull)
+      .groupBy((1 to depth).map(i => col(s"t$i")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -176,6 +176,31 @@ object MlQueries {
             when(col("o_totalprice") > col("q3"), 1).otherwise(0))
             .cast("int").as("bin"))
     }),
+
+
+    // deterministic training-shard assignment (the global-shuffle step a
+    // training pipeline runs before writing shards): q44's
+    // content-addressed md5 bucketing widened to a 16-way shard id, plus
+    // a full-md5 intra-shard sort key — shard membership AND within-shard
+    // order are functions of content alone (partition-layout- and
+    // cluster-size-independent, unlike repartition+sortWithinPartitions
+    // whose order depends on the task split). Per-shard stats + min/max
+    // sort key pin both properties for the oracle. At 100 TB this frame
+    // feeds repartitionByRange(shard, sk) → writePartitioned verbatim;
+    // here the stats aggregate is the checked surface.
+    "q163_training_shards" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("sk", md5(col("doc_id").cast("string")))
+        .withColumn("shard",
+          (conv(substring(col("sk"), 1, 2), 16, 10).cast("int") % 16)
+            .cast("int"))
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      d.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          min(col("sk")).as("first_key"),
+          max(col("sk")).as("last_key"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -306,5 +331,19 @@ object MlQueries {
          |       (CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END) +
          |       (CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS INT) AS bin
          |FROM orders, b""".stripMargin,
+
+
+    "q163_training_shards" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+        |           % 16 AS shard,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+        |  FROM documents)
+        |SELECT CAST(shard AS INT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |       min(sk) AS first_key, max(sk) AS last_key
+        |FROM a GROUP BY 1""".stripMargin,
   )
 }

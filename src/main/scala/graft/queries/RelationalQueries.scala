@@ -737,6 +737,115 @@ object RelationalQueries {
         .select(col("item_a"), col("item_b"), col("support"),
           expr("(support * support * 1000000) div (fa * fb)").as("cos2_q6"))
     }),
+
+
+    // TPC-H Q13 shape (customer order-count distribution): left-outer
+    // join so zero-order customers survive, then TWO stacked
+    // aggregations — per-customer counts (shuffle on custkey), then the
+    // histogram over those counts (shuffle on the count, a frame already
+    // reduced to |customers| rows). The second shuffle's input is the
+    // first agg's output, so the expensive exchange happens exactly once
+    // over fact-sized data.
+    "q159_order_count_distribution" -> ((s, dir) => {
+      val perCust = Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+
+    // TPC-H Q4 shape (priority counts over orders with a late-shipping
+    // line): EXISTS becomes a LEFT SEMI join whose condition carries the
+    // correlated comparison (l_shipdate > o_orderdate) as a join
+    // residual — lineitem is never materialized into the output, and
+    // the semi join short-circuits per order on first match.
+    "q160_late_ship_priority" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+
+
+    // TPC-H Q19 shape (disjunctive predicate join): the OR of brand ×
+    // size-band × quantity-band conjunctions references BOTH sides, so
+    // it stays a residual on the partkey equi-join; the per-side halves
+    // (p_size >= 1, quantity bounds) are what Catalyst can push below
+    // the join, and the broadcast keeps the residual evaluation local.
+    "q161_disjunctive_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val bands =
+        (col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(bands)
+        .agg(count(lit(1)).as("n_items"),
+          Relational.exactSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+    }),
+
+
+    // TPC-H Q22 shape (high-balance customers with no urgent orders):
+    // the correlated scalar subquery (avg positive balance) decorrelates
+    // into one global (n, S) aggregate attached by broadcast, compared
+    // DENOMINATOR-FREE as bal·n > S in DECIMAL — no float average, so
+    // the qualifying set is bit-identical to the oracle — then a LEFT
+    // ANTI join drops customers holding any '1-URGENT' order (the
+    // fixture has no fully order-less customers; the priority gate keeps
+    // the anti join selective instead of vacuous). The pushed-down
+    // priority filter shrinks the anti build side 5× before exchange.
+    "q162_no_order_high_balance" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val pos = c.filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(col("c_acctbal").cast("decimal(30,2)")).as("s_pos"))
+      c.crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast("decimal(30,2)") * col("n_pos") >
+          col("s_pos"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          Relational.exactSum(col("c_acctbal")).as("totacctbal"))
+    }),
+
+
+    // session path mining: q22's gaps-and-islands sessionization chained
+    // into q157's lag transitions, but WITHIN sessions and one step
+    // deeper — per-session ordered event-type trigrams. All three
+    // windows share the (user_id | user_id,sid) partitioning, so the
+    // whole query is ONE shuffle on user_id plus vocabulary-sized
+    // grouped counts (|event_types|³ upper bound on the output).
+    "q164_session_paths" -> ((s, dir) =>
+      ops.Temporal.sessionPaths(Tables.events(s, dir),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))),
+
+
+    // winsorized per-segment balance summary (robust-mean monitoring):
+    // exact [p05, p95] clamp + integer-µ clamped mean — see
+    // Profile.winsorizedStats for the order-free portability recipe.
+    "q165_winsorized_stats" -> ((s, dir) =>
+      ops.Profile.winsorizedStats(
+        Tables.customer(s, dir)
+          .select(col("c_mktsegment"), col("c_acctbal")),
+        "c_mktsegment", "c_acctbal")),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -1503,5 +1612,98 @@ object RelationalQueries {
         |      FROM b)
         |SELECT g.user_id, g.ts, p.v
         |FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts >= p.ts""".stripMargin,
+
+
+    "q159_order_count_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+
+    "q160_late_ship_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
+
+
+    "q161_disjunctive_join" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |       ${dSum("l_extendedprice * (1.0 - l_discount)", 6, "revenue")}
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+
+    // denominator-free decorrelation mirrored exactly: bal·n_pos > s_pos
+    // in DECIMAL, NOT EXISTS for the anti join
+    "q162_no_order_high_balance" ->
+      s"""WITH pos AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+         |         SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS s_pos
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+         |       ${dSum("c_acctbal", 2, "totacctbal")}
+         |FROM customer c, pos
+         |WHERE CAST(c.c_acctbal AS DECIMAL(30,2)) * pos.n_pos > pos.s_pos
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY 1""".stripMargin,
+
+
+    // q22's gaps-and-islands CTEs + a session-partitioned double lag;
+    // (ts, event_id) ordering on BOTH sides makes ties deterministic
+    "q164_session_paths" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id)
+        |                   < INTERVAL 30 MINUTE
+        |              THEN 0 ELSE 1 END AS new_s
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |), t AS (
+        |  SELECT lag(event_type, 2) OVER w AS t1,
+        |         lag(event_type, 1) OVER w AS t2,
+        |         event_type AS t3
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+        |)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE t1 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
+
+
+    // exact quantile_cont == Spark percentile (the q50 recipe); the
+    // clamped mean replayed through the same round(·10⁶)→BIGINT
+    // quantization so no float SUM exists on either side
+    "q165_winsorized_stats" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment,
+        |         quantile_cont(c_acctbal, 0.05) AS p_lo,
+        |         quantile_cont(c_acctbal, 0.95) AS p_hi
+        |  FROM customer GROUP BY 1)
+        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN c_acctbal < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(sum(CASE WHEN c_acctbal > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+        |       CAST(sum(CAST(round(greatest(least(c_acctbal, p_hi), p_lo) * 1e6)
+        |                     AS BIGINT)) AS BIGINT) AS wsum_micros,
+        |       CAST(sum(CAST(round(greatest(least(c_acctbal, p_hi), p_lo) * 1e6)
+        |                     AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0) AS wmean
+        |FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -316,6 +316,36 @@ object TextQueries {
     "q152_phrase_search" -> ((s, dir) =>
       TextOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
         Seq("table", "hash"))),
+
+
+    // vocabulary coverage curve (the tokenizer-sizing question: how much
+    // of the corpus do the top-k types cover?): corpus-sized explode →
+    // map-side-combined type counts, then rank + running-total windows
+    // over the VOCABULARY-sized frame only (the q74/q117 single-partition
+    // discipline — global windows never touch corpus-scale data). Exact
+    // integer coverage_ppm; (count desc, token asc) ordering makes ranks
+    // deterministic under ties.
+    "q166_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("total_tokens"))
+      val ranked = counts
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("token").asc)))
+        .withColumn("cum_tokens", sum(col("c")).over(
+          Window.orderBy(col("c").desc, col("token").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // checkpoint ranks sized to the fixture's 31-type synthetic
+      // vocabulary (a natural corpus would use 10/100/1000/10000)
+      ranked.filter(col("rank").isin(5, 15, 30))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("token"), col("cum_tokens"),
+          col("total_tokens"),
+          expr("cum_tokens * 1000000 div total_tokens").as("coverage_ppm"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -789,5 +819,26 @@ object TextQueries {
         |       WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
         |       ELSE 'kept' END AS verdict
         |FROM sc""".stripMargin,
+
+
+    "q166_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |        FROM documents)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT token, c,
+        |         row_number() OVER (ORDER BY c DESC, token ASC) AS rank,
+        |         sum(c) OVER (ORDER BY c DESC, token ASC
+        |                      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |         sum(c) OVER () AS total_tokens
+        |  FROM c
+        |)
+        |SELECT CAST(rank AS INT) AS rank, token,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |       CAST(total_tokens AS BIGINT) AS total_tokens,
+        |       CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
+        |FROM r WHERE rank IN (5, 15, 30)""".stripMargin,
   )
 }

@@ -53,4 +53,28 @@ class ProfileSpec extends AnyFunSuite {
     assert(top(0) === (("hot", 991L)))
     assert(top(1)._2 === 1L)
   }
+
+  test("winsorizedStats: clamp counts, exact bounds, order-free clamped mean") {
+    // group "a": values 1..20 -> p05 = 1.95, p95 = 19.05 (exact
+    // interpolated percentile); 1 clamps low, 20 clamps high.
+    val df = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 5.0), ("b", 7.0))).toDF("g", "v")
+    val out = Profile.winsorizedStats(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") === 20L)
+    assert(a.getAs[Long]("n_low") === 1L, "only v=1 sits below p05")
+    assert(a.getAs[Long]("n_high") === 1L, "only v=20 sits above p95")
+    assert(math.abs(a.getAs[Double]("p_lo") - 1.95) < 1e-9)
+    assert(math.abs(a.getAs[Double]("p_hi") - 19.05) < 1e-9)
+    // clamped sum = (2..19 sum = 189) + 1.95 + 19.05 = 210.0
+    assert(a.getAs[Long]("wsum_micros") === 210000000L)
+    assert(a.getAs[Double]("wmean") === 10.5)
+    // two-point group: p05 = 5.1, p95 = 6.9 — both points clamp inward,
+    // but the winsorized mean stays the midpoint
+    val b = out("b")
+    assert(b.getAs[Long]("n_low") === 1L)
+    assert(b.getAs[Long]("n_high") === 1L)
+    assert(b.getAs[Double]("wmean") === 6.0)
+  }
 }

@@ -392,4 +392,33 @@ class TemporalSpec extends AnyFunSuite {
       (2L, ts("2024-01-01 05:00:00")) -> None),       // single-point span
       "grid must span [trunc(min), trunc(max)] per key with LOCF values")
   }
+
+  test("sessionPaths: trigrams never cross a session gap; ties ordered by tie col") {
+    val ev = Seq(
+      // u1 session 1: A B C D -> trigrams ABC, BCD
+      (1L, 100L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, 100L, ts("2024-01-01 10:05:00"), "B"),
+      (3L, 100L, ts("2024-01-01 10:10:00"), "C"),
+      (4L, 100L, ts("2024-01-01 10:15:00"), "D"),
+      // 31-min gap -> new session: C B A -> trigram CBA only
+      (5L, 100L, ts("2024-01-01 10:46:00"), "C"),
+      (6L, 100L, ts("2024-01-01 10:50:00"), "B"),
+      (7L, 100L, ts("2024-01-01 10:55:00"), "A"),
+      // u2: tie at equal ts resolved by event_id -> ABC, not BAC
+      (10L, 200L, ts("2024-01-01 12:00:00"), "A"),
+      (11L, 200L, ts("2024-01-01 12:00:00"), "B"),
+      (12L, 200L, ts("2024-01-01 12:01:00"), "C")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Temporal
+      .sessionPaths(ev, "user_id", "ts", "event_type",
+        tieCols = Seq("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(out === Map(
+      ("A", "B", "C") -> 2L,   // u1 session 1 + u2's tie-ordered run
+      ("B", "C", "D") -> 1L,
+      ("C", "B", "A") -> 1L),  // second session only — no cross-gap DCB/CBA mix
+      "gap must reset the path window and ties must follow event_id")
+  }
 }
