@@ -154,4 +154,53 @@ object Profile {
       .withColumn("wmean",
         col("wsum_micros").cast("double") / (col("n") * lit(1e6)))
   }
+
+  /** Data-quality expectation report — the pre-flight assertion suite a
+    * pipeline runs before trusting a batch (the Deequ/Great-Expectations
+    * shape as one plan): each named rule is a boolean VIOLATION predicate
+    * evaluated per row, and all rules reduce in a single aggregation over
+    * ONE scan — adding a rule adds a sum column, never a pass over the
+    * data. Output is long-format (rule, n_rows, n_violations, pass).
+    *
+    * `uniqueKeys`, when set, appends a uniqueness expectation that a row
+    * predicate cannot express: the key-grouped count runs as its own
+    * map-side-partial aggregate and reports rows-in-duplicated-keys.
+    *
+    * NULL predicate results count as violations (an expectation that
+    * cannot be evaluated has not been met). */
+  def expectations(
+      df: DataFrame,
+      rules: Seq[(String, Column)],
+      uniqueKeys: Seq[String] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty, "no expectations given")
+    require(rules.forall(!_._1.contains("'")),
+      "rule names must not contain single quotes")
+    val rowPart = if (rules.isEmpty) None else Some {
+      val sums = count(lit(1)).as("n_rows") +:
+        rules.zipWithIndex.map { case ((_, violated), i) =>
+          sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L))
+            .as(s"v_$i")
+        }
+      // ONE wide scalar aggregate, then stack-unpivoted to long — a
+      // union of per-rule selects would re-run the scan once per rule
+      val pairs = rules.zipWithIndex
+        .map { case ((name, _), i) => s"'$name', v_$i" }.mkString(", ")
+      df.agg(sums.head, sums.tail: _*)
+        .select(col("n_rows"),
+          expr(s"stack(${rules.size}, $pairs)")
+            .as(Seq("rule", "n_violations")))
+        .select(col("rule"), col("n_rows"), col("n_violations"))
+    }
+    val uniquePart = if (uniqueKeys.isEmpty) None else Some {
+      df.groupBy(uniqueKeys.map(col): _*)
+        .agg(count(lit(1)).as("k_n"))
+        .agg(sum(col("k_n")).as("n_rows"),
+          sum(when(col("k_n") > 1L, col("k_n")).otherwise(0L))
+            .as("n_violations"))
+        .select(lit(s"unique(${uniqueKeys.mkString(",")})").as("rule"),
+          col("n_rows"), col("n_violations"))
+    }
+    (rowPart.toSeq ++ uniquePart.toSeq).reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
 }

@@ -418,4 +418,60 @@ object Temporal {
       .groupBy((1 to depth).map(i => col(s"t$i")): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Peak interval concurrency per key — the sweep-line answer to "how
+    * many sessions/calls/jobs were live at once" over half-open
+    * `[start, end)` intervals: each interval emits a +1 at its start and
+    * a −1 at its end, and the running sum of deltas in (t, delta) order
+    * is the live count (−1 sorts before +1 at equal t, so back-to-back
+    * intervals never double-count — exact half-open semantics).
+    *
+    * Reported per key: the max running count and the EARLIEST instant it
+    * is reached (min-t over peak rows, so ties are deterministic).
+    *
+    * Scale shape: the textbook sweep line is a single global ordered
+    * window — a one-partition sort of 2·n rows. Here the running sum is
+    * decomposed exactly like [[graft.llm.Packing.packOffsets]]'s cumsum:
+    * deltas bucket by coarse time cell (`bucketSeconds`), phase 1 cumsums
+    * WITHIN each (key, bucket) in parallel, phase 2 prefix-sums the
+    * per-bucket totals on a frame with one row per non-empty bucket
+    * (span/bucketSeconds rows, never 2·n) and broadcasts the bases back.
+    * Permuting equal (t, delta) rows only permutes equal partial sums, so
+    * the (max, argmin-t) result is partition-invariant. */
+  def intervalConcurrency(
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val keys = keyCols.map(col)
+    val deltas = intervals
+      .select(keys :+ col(startCol).as("t") :+ lit(1L).as("d"): _*)
+      .unionByName(intervals
+        .select(keys :+ col(endCol).as("t") :+ lit(-1L).as("d"): _*))
+      .withColumn("bucket",
+        floor(unix_timestamp(col("t").cast("timestamp")) / lit(bucketSeconds)))
+    val keyBucket = keyCols :+ "bucket"
+    val wIn = Window.partitionBy(keyBucket.map(col): _*)
+      .orderBy(col("t").asc, col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("local_c", sum(col("d")).over(wIn))
+    val wTot = Window.partitionBy(keys: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = deltas.groupBy(keyBucket.map(col): _*)
+      .agg(sum(col("d")).as("bucket_d"))
+      .select(keyBucket.map(col) :+
+        coalesce(sum(col("bucket_d")).over(wTot), lit(0L)).as("bucket_base"): _*)
+    val live = local.join(broadcast(bases), keyBucket)
+      .withColumn("c", col("bucket_base") + col("local_c"))
+    val peaks = broadcast(
+      live.groupBy(keys: _*).agg(max(col("c")).as("max_concurrent")))
+    live.as("L").join(peaks.as("P"),
+        keyCols.map(k => col(s"L.$k") === col(s"P.$k")).reduce(_ && _) &&
+          col("L.c") === col("P.max_concurrent"))
+      .groupBy(keyCols.map(k => col(s"L.$k").as(k)): _*)
+      .agg(max(col("P.max_concurrent")).as("max_concurrent"),
+        min(col("L.t")).as("peak_t"))
+  }
 }

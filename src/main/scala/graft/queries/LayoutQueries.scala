@@ -485,6 +485,30 @@ object LayoutQueries {
           graft.exprapi.deflateLen(col("text").cast("binary")).cast("long").as("z_bytes"))
         .filter(col("n_bytes") > 0)
         .withColumn("ratio_pm", expr("(z_bytes * 1000) DIV n_bytes"))),
+
+
+    // the full training-data EXPORT path composed end-to-end: curation
+    // funnel survivors (q132) → content-addressed train split (q44's
+    // md5 rule) → GPT-style sequence packing at budget 512 (q72's
+    // two-phase cumsum) → per-sequence occupancy roll-up. Each stage is
+    // individually oracle-proven; this query certifies their
+    // COMPOSITION — the survivors-only corpus enters the packer, and
+    // the packed layout is a pure function of content, so the oracle
+    // rebuilds it from the raw tables alone.
+    "q170_training_export" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val verdicts = TextOps.curationFunnel(
+        all.filter(col("doc_id") % 100 =!= 0),
+        all.filter(col("doc_id") % 100 === 0))
+      val kept = verdicts.filter(col("verdict") === "kept")
+        .select(col("doc_id"))
+      val train = ml.Models.hashSplit(kept, "doc_id")
+        .filter(col("split") === "train").select(col("doc_id"))
+      val corpus = train.join(all, Seq("doc_id"))
+      llm.Packing.chunkOccupancy(
+        llm.Packing.packOffsets(corpus, "doc_id",
+          size(TextOps.tokens(col("text"))).cast("long"), budget = 512L))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -846,5 +870,30 @@ object LayoutQueries {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri
         |) GROUP BY 1""".stripMargin,
+
+
+    // q132's funnel SQL verbatim as a CTE (cross-referenced, never
+    // duplicated), then the md5 train rule + q72's naive global-window
+    // packing form + the occupancy group-by
+    "q170_training_export" ->
+      s"""WITH funnel AS (
+         |${TextQueries.sql("q132_curation_funnel")}
+         |), kept AS (
+         |  SELECT doc_id FROM funnel WHERE verdict = 'kept'
+         |), tr AS (
+         |  SELECT k.doc_id,
+         |         CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+         |  FROM kept k JOIN documents d USING (doc_id)
+         |  WHERE CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) AS INT) < 205
+         |), o AS (
+         |  SELECT doc_id, n_tok,
+         |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM tr
+         |)
+         |SELECT CAST((end_off - n_tok) // 512 AS BIGINT) AS seq_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs_starting,
+         |       CAST(sum(n_tok) AS BIGINT) AS tok_started
+         |FROM o GROUP BY 1""".stripMargin,
   )
 }

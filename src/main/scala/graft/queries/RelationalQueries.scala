@@ -846,6 +846,29 @@ object RelationalQueries {
         Tables.customer(s, dir)
           .select(col("c_mktsegment"), col("c_acctbal")),
         "c_mktsegment", "c_acctbal")),
+
+
+    // peak concurrency per event type over 10-minute activity intervals
+    // (sweep line WITHOUT the single-partition global sort — the
+    // Packing-style two-phase cumsum; see Temporal.intervalConcurrency)
+    "q167_peak_concurrency" -> ((s, dir) =>
+      ops.Temporal.intervalConcurrency(
+        Tables.events(s, dir).select(col("event_type"),
+          col("ts").as("s_t"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e_t")),
+        Seq("event_type"), "s_t", "e_t")),
+
+
+    // data-quality expectation suite over orders: four row rules
+    // reduced in ONE scalar aggregate off one scan + the key-uniqueness
+    // expectation as its own grouped pass — the pre-flight batch gate
+    "q168_dq_expectations" -> ((s, dir) =>
+      ops.Profile.expectations(Tables.orders(s, dir), Seq(
+        "o_custkey_not_null" -> col("o_custkey").isNull,
+        "o_totalprice_positive" -> !(col("o_totalprice") > 0.0),
+        "o_orderstatus_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+        "o_totalprice_upper_400k" -> (col("o_totalprice") > 400000.0)),
+        uniqueKeys = Seq("o_orderkey"))),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -1705,5 +1728,52 @@ object RelationalQueries {
         |                     AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0) AS wmean
         |FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
         |GROUP BY 1""".stripMargin,
+
+
+    // the naive single-window sweep line — the oracle states the global
+    // form and hash-matches, proving the two-phase decomposition exact
+    // (the q72 packing proof pattern); -1 sorts before +1 at equal t
+    "q167_peak_concurrency" ->
+      """WITH d AS (
+        |  SELECT event_type, ts AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 10 MINUTE, -1 FROM events
+        |), r AS (
+        |  SELECT event_type, t,
+        |         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |                      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM d
+        |), m AS (
+        |  SELECT event_type, max(c) AS mx FROM r GROUP BY 1
+        |)
+        |SELECT r.event_type, CAST(m.mx AS BIGINT) AS max_concurrent,
+        |       min(r.t) AS peak_t
+        |FROM r JOIN m ON r.event_type = m.event_type AND r.c = m.mx
+        |GROUP BY 1, 2""".stripMargin,
+
+
+    // same rules, same NULL-counts-as-violation coalesce
+    "q168_dq_expectations" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    SUM(CASE WHEN COALESCE(o_custkey IS NULL, TRUE) THEN 1 ELSE 0 END) AS v0,
+        |    SUM(CASE WHEN COALESCE(NOT (o_totalprice > 0.0), TRUE) THEN 1 ELSE 0 END) AS v1,
+        |    SUM(CASE WHEN COALESCE(o_orderstatus NOT IN ('O','F','P'), TRUE) THEN 1 ELSE 0 END) AS v2,
+        |    SUM(CASE WHEN COALESCE(o_totalprice > 400000.0, TRUE) THEN 1 ELSE 0 END) AS v3
+        |  FROM orders
+        |), u AS (
+        |  SELECT CAST(sum(kn) AS BIGINT) AS n_rows,
+        |         CAST(sum(CASE WHEN kn > 1 THEN kn ELSE 0 END) AS BIGINT) AS v
+        |  FROM (SELECT count(*) AS kn FROM orders GROUP BY o_orderkey)
+        |)
+        |SELECT 'o_custkey_not_null' AS rule, n_rows,
+        |       CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS pass FROM base
+        |UNION ALL SELECT 'o_totalprice_positive', n_rows,
+        |       CAST(v1 AS BIGINT), v1 = 0 FROM base
+        |UNION ALL SELECT 'o_orderstatus_domain', n_rows,
+        |       CAST(v2 AS BIGINT), v2 = 0 FROM base
+        |UNION ALL SELECT 'o_totalprice_upper_400k', n_rows,
+        |       CAST(v3 AS BIGINT), v3 = 0 FROM base
+        |UNION ALL SELECT 'unique(o_orderkey)', n_rows, v, v = 0 FROM u""".stripMargin,
   )
 }

@@ -340,6 +340,31 @@ object SimilarityQueries {
       llm.Similarity.indexDriftReport(s, idxDir,
         predsPath("q133_units"), predsPath("q133_appended"))
     }),
+
+
+    // standard-scaler fit/serve split (feature prep for embeddings): the
+    // per-dim (mu, sigma) model is FITTED once over the full corpus and
+    // persisted — the q23/q126/q150 discipline: the float mean/stddev
+    // reduction is order-dependent, so it never appears in the checked
+    // surface; the oracle replays the SERVE from the stored doubles,
+    // where (x − mu) / sigma is one shared IEEE subtract+divide.
+    // Serve: dims-sized broadcast joined to a sampled explode;
+    // zero-variance dims are excluded on both sides (z undefined).
+    "q169_standard_scaler" -> ((s, dir) => {
+      val dims = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      val path = predsPath("q169_scaler")
+      dims.groupBy(col("d").cast("long").as("dim"))
+        .agg(avg(col("x").cast("double")).as("mu"),
+          stddev_samp(col("x").cast("double")).as("sigma"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      val scaler = s.read.parquet(path).filter(col("sigma") > 0.0)
+      val sample = dims.filter(col("vec_id") % 50 === 0)
+      sample.join(broadcast(scaler),
+          sample("d").cast("long") === scaler("dim"))
+        .select(col("vec_id"), col("dim"),
+          ((col("x").cast("double") - col("mu")) / col("sigma")).as("z"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -694,5 +719,21 @@ object SimilarityQueries {
         |                       IN ('0','2','4','6','8','a','c','e')
         |             THEN 1 ELSE -1 END))) AS BIGINT) AS p
         |FROM v, js""".stripMargin,
+
+
+    // serve replayed from the SAME persisted (dim, mu, sigma) artifact
+    "q169_standard_scaler" ->
+      s"""WITH m AS (
+         |  SELECT dim, mu, sigma
+         |  FROM read_parquet('${predsPath("q169_scaler")}/*.parquet')
+         |  WHERE sigma > 0.0
+         |), e AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |         CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+         |  WHERE vec_id % 50 = 0
+         |)
+         |SELECT e.vec_id, e.dim, (e.x - m.mu) / m.sigma AS z
+         |FROM e JOIN m ON e.dim = m.dim""".stripMargin,
   )
 }
