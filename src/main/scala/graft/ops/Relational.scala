@@ -469,6 +469,58 @@ object Relational {
       .drop("_po", "_pn")
   }
 
+  /** Merkle-style bucketed snapshot diff — the 100 TB form of
+    * [[snapshotDiff]]: comparing two table versions row-by-row shuffles
+    * BOTH snapshots in full, even when almost nothing changed. Here each
+    * side first reduces to a per-bucket digest (row count + a sum of
+    * per-row content hashes — two map-side-partial aggregates whose
+    * output is `nBuckets` rows, not table-sized), the digests full-outer
+    * join on the bucket id, and only buckets whose digests DISAGREE get
+    * the row-level [[snapshotDiff]] — restricted on BOTH sides by a
+    * pushed-down bucket filter, so the expensive exchange carries only
+    * the changed fraction of the table.
+    *
+    * The digest is md5-based (engine-portable): per row,
+    * `first 14 hex chars of md5('|'-joined key+values)` as a 56-bit int,
+    * summed in DECIMAL(30,0) (no overflow at any bucket size). A bucket
+    * whose contents changed escapes detection only if its hash-sum AND
+    * row count both collide — probability ~2⁻⁵⁶ per changed bucket, the
+    * standard anti-entropy trade (document, don't hide: callers needing
+    * certainty run the plain [[snapshotDiff]]).
+    *
+    * Returns the row-level change set (keys, change_type, old/new values)
+    * plus the `bucket` column that admitted each row. */
+  def merkleDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val keyStr = keys.map(col(_).cast("string"))
+      .reduce((a, b) => concat(a, lit("|"), b))
+    val bucket =
+      pmod(conv(substring(md5(keyStr), 1, 8), 16, 10).cast("long"),
+        lit(nBuckets.toLong))
+    val rowHash = conv(substring(md5(concat_ws("|",
+      (keys ++ valueCols).map(col(_).cast("string")): _*)), 1, 14), 16, 10)
+      .cast("decimal(20,0)")
+    def digest(df: DataFrame, tag: String) =
+      df.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(rowHash).cast("decimal(30,0)").as(s"h_$tag"))
+    val disagree = digest(oldDf, "o")
+      .join(digest(newDf, "n"), Seq("bucket"), "full_outer")
+      .filter(!(col("n_o") <=> col("n_n")) || !(col("h_o") <=> col("h_n")))
+      .select(col("bucket"))
+    val oldHit = oldDf.withColumn("bucket", bucket)
+      .join(broadcast(disagree), Seq("bucket"), "left_semi")
+    val newHit = newDf.withColumn("bucket", bucket)
+      .join(broadcast(disagree), Seq("bucket"), "left_semi")
+    snapshotDiff(oldHit, newHit, keys :+ "bucket", valueCols)
+  }
+
   /** Apply a change-data-capture op log onto a keyed base table — the
     * missing half of [[snapshotDiff]], with DELETE support the plain
     * upsert family lacks: `ops` carries an `opCol` of `I`/`U`/`D`, the

@@ -869,6 +869,60 @@ object RelationalQueries {
         "o_orderstatus_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
         "o_totalprice_upper_400k" -> (col("o_totalprice") > 400000.0)),
         uniqueKeys = Seq("o_orderkey"))),
+
+
+    // merkle-style bucketed snapshot diff (the 100 TB table-compare):
+    // per-bucket digests pre-screen which of the 64 buckets changed,
+    // and only those buckets pay the row-level full-outer diff — both
+    // sides semi-join-pruned before the expensive exchange. v1 derives
+    // deterministically from v0 (status flip %7, delete %11, insert
+    // %13), so the oracle rebuilds both snapshots AND the digest screen.
+    // The price travels as the STRING form of DECIMAL(30,2) — the fixed
+    // two-decimal rendering is engine-identical both in the digest hash
+    // AND in the output (raw double formatting is not portable, and
+    // decimal columns round-trip as non-comparable objects in the
+    // driver's pandas compare).
+    "q171_merkle_diff" -> ((s, dir) => {
+      val v0 = ordersSnapshot(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(30,2)").cast("string")
+            .as("o_price"))
+      val v1 = v0.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(v0.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_price")))
+      Relational.merkleDiff(v0, v1, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_price"), nBuckets = 64)
+    }),
+
+
+    // hourly OHLC bars per user (the time-series bar aggregation):
+    // open/close via total-order row_numbers (asc + desc share ONE
+    // shuffle on the bar key), high/low/count/decimal-sum in the same
+    // grouped pass; (ts, event_id) tie-break makes open/close exact
+    "q172_ohlc_bars" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("user_id"),
+        date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"))
+      val asc = Window.partitionBy(col("user_id"), col("hour"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val desc = Window.partitionBy(col("user_id"), col("hour"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy(col("user_id"), col("hour"))
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n"),
+          Relational.exactSum(col("value"), 6).as("sum_v"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -1775,5 +1829,81 @@ object RelationalQueries {
         |UNION ALL SELECT 'o_totalprice_upper_400k', n_rows,
         |       CAST(v3 AS BIGINT), v3 = 0 FROM base
         |UNION ALL SELECT 'unique(o_orderkey)', n_rows, v, v = 0 FROM u""".stripMargin,
+
+
+    // both snapshots, the md5 bucket/row-hash digests, the disagreement
+    // screen, and the restricted row diff — all rebuilt independently
+    "q171_merkle_diff" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(30,2)) AS VARCHAR) AS o_price
+        |  FROM orders
+        |), v1 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |           AS o_orderstatus,
+        |         o_price
+        |  FROM v0 WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_price
+        |  FROM v0 WHERE o_orderkey % 13 = 0
+        |), b0 AS (
+        |  SELECT *, CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |                 AS BIGINT) % 64 AS bucket,
+        |         CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+        |                  o_orderstatus || '|' || CAST(o_price AS VARCHAR)), 1, 14)
+        |              AS BIGINT) AS DECIMAL(20,0)) AS rh
+        |  FROM v0
+        |), b1 AS (
+        |  SELECT *, CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |                 AS BIGINT) % 64 AS bucket,
+        |         CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+        |                  o_orderstatus || '|' || CAST(o_price AS VARCHAR)), 1, 14)
+        |              AS BIGINT) AS DECIMAL(20,0)) AS rh
+        |  FROM v1
+        |), d0 AS (
+        |  SELECT bucket, count(*) AS n_o,
+        |         CAST(sum(rh) AS DECIMAL(30,0)) AS h_o FROM b0 GROUP BY 1
+        |), d1 AS (
+        |  SELECT bucket, count(*) AS n_n,
+        |         CAST(sum(rh) AS DECIMAL(30,0)) AS h_n FROM b1 GROUP BY 1
+        |), dis AS (
+        |  SELECT bucket FROM d0 FULL JOIN d1 USING (bucket)
+        |  WHERE n_o IS DISTINCT FROM n_n OR h_o IS DISTINCT FROM h_n
+        |), o AS (SELECT b0.* FROM b0 JOIN dis USING (bucket)
+        |), n AS (SELECT b1.* FROM b1 JOIN dis USING (bucket)
+        |), j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         COALESCE(o.bucket, n.bucket) AS bucket,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |              WHEN n.o_orderkey IS NULL THEN 'D'
+        |              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |                OR o.o_price IS DISTINCT FROM n.o_price THEN 'U'
+        |         END AS change_type,
+        |         o.o_orderstatus AS old_o_orderstatus,
+        |         n.o_orderstatus AS new_o_orderstatus,
+        |         o.o_price AS old_o_price, n.o_price AS new_o_price
+        |  FROM o FULL JOIN n
+        |    ON o.o_orderkey = n.o_orderkey AND o.bucket = n.bucket
+        |)
+        |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+
+    "q172_ohlc_bars" ->
+      s"""WITH e AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+         |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+         |                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+         |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+         |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM events
+         |)
+         |SELECT user_id, hour,
+         |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |       max(value) AS high, min(value) AS low,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       ${dSum("value", 6, "sum_v")}
+         |FROM e GROUP BY 1, 2""".stripMargin,
   )
 }

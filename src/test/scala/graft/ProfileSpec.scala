@@ -77,4 +77,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_high") === 1L)
     assert(b.getAs[Double]("wmean") === 6.0)
   }
+
+  test("expectations: NULL counts as violation; uniqueness counts duplicated-key rows") {
+    val df = Seq(
+      (Some(1L), Some(10.0)),
+      (Some(1L), Some(-5.0)),   // dup key + negative value
+      (Some(2L), None),         // null value -> violates v_positive
+      (None, Some(3.0))         // null key  -> violates key_not_null
+    ).toDF("id", "v")
+    val out = Profile.expectations(df, Seq(
+        "key_not_null" -> $"id".isNull,
+        "v_positive" -> !($"v" > 0.0)),
+        uniqueKeys = Seq("id"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("key_not_null") === ((4L, 1L, false)))
+    // -5.0 violates outright; NULL v makes the predicate NULL -> violation
+    assert(out("v_positive") === ((4L, 2L, false)))
+    // both rows of key 1 count as rows-in-duplicated-keys
+    assert(out("unique(id)") === ((4L, 2L, false)))
+
+    val clean = Profile.expectations(
+        df.filter($"id".isNotNull && $"v" > 0.0),
+        Seq("v_positive" -> !($"v" > 0.0)))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    assert(clean.toSeq === Seq(("v_positive", 0L, true)))
+  }
 }

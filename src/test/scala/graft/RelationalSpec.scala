@@ -423,4 +423,31 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(floored === Set((10L, 20L)))
   }
+
+  test("merkleDiff equals snapshotDiff and only touched buckets admit rows") {
+    val v0 = (1L to 200L).map(k => (k, s"s$k", (k * 7 % 100).toString))
+      .toDF("k", "a", "b")
+    // change 3 keys, delete 2, insert 2 — tiny fraction of 200 rows
+    val v1 = (1L to 200L)
+      .filterNot(k => k == 50L || k == 51L)
+      .map(k => (k, if (k <= 3) s"CHANGED$k" else s"s$k", (k * 7 % 100).toString))
+      .++(Seq((500L, "new", "0"), (501L, "new", "1")))
+      .toDF("k", "a", "b")
+    val got = Relational
+      .merkleDiff(v0, v1, Seq("k"), Seq("a", "b"), nBuckets = 32)
+      .collect()
+    val want = Relational
+      .snapshotDiff(v0, v1, Seq("k"), Seq("a", "b"))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSet
+    assert(got.map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSet === want,
+      "bucket pre-screen must lose no change (I/U/D all present)")
+    assert(want.size === 7)
+    // pruning engages: the 7 changed keys touch at most 7 of 32 buckets,
+    // and every admitted UNCHANGED row shares a bucket with a change
+    val buckets = got.map(_.getAs[Long]("bucket")).toSet
+    assert(buckets.size <= 7,
+      s"only touched buckets may reach the row diff, got $buckets")
+  }
 }

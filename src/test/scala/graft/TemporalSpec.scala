@@ -421,4 +421,29 @@ class TemporalSpec extends AnyFunSuite {
       ("C", "B", "A") -> 1L),  // second session only — no cross-gap DCB/CBA mix
       "gap must reset the path window and ties must follow event_id")
   }
+
+  test("intervalConcurrency: half-open touch doesn't overlap; peak and earliest peak instant exact") {
+    val iv = Seq(
+      // key "a": [10:00,10:30) [10:10,10:40) [10:20,10:50) -> 3 live at
+      // 10:20; [10:30,11:00) starts exactly as the first ends (touching,
+      // NOT overlapping under half-open) -> peak stays 3, first at 10:20
+      ("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      ("a", ts("2024-01-01 10:10:00"), ts("2024-01-01 10:40:00")),
+      ("a", ts("2024-01-01 10:20:00"), ts("2024-01-01 10:50:00")),
+      ("a", ts("2024-01-01 10:30:00"), ts("2024-01-01 11:00:00")),
+      // key "b": disjoint intervals -> peak 1 at the FIRST start
+      ("b", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:10:00")),
+      ("b", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:10:00"))
+    ).toDF("k", "s_t", "e_t")
+    // bucketSeconds = 60 forces many cumsum buckets so the two-phase
+    // decomposition (not the degenerate one-bucket case) is what's tested
+    val out = Temporal
+      .intervalConcurrency(iv, Seq("k"), "s_t", "e_t", bucketSeconds = 60L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getTimestamp(2)))).toMap
+    assert(out === Map(
+      "a" -> ((3L, ts("2024-01-01 10:20:00"))),
+      "b" -> ((1L, ts("2024-01-01 09:00:00")))),
+      "half-open sweep: -1 before +1 at equal t; earliest peak instant")
+  }
 }
