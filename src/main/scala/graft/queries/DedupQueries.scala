@@ -263,6 +263,31 @@ object DedupQueries {
     // the guarantee and separation contracts are pinned by DedupSpec.
     "q40_simhash_dups" -> ((s, dir) =>
       llm.Dedup.simhashDups(Tables.documents(s, dir))),
+
+
+    // entity resolution ACROSS sources composed end-to-end: q65's
+    // blocked edit-distance match (customer×supplier names) → matched
+    // pairs as edges on a parity-encoded node space (customer 2k,
+    // supplier 2k+1 — the q156 trick) → q43's min-label connected
+    // components → one canonical cluster id per matched entity. Each
+    // stage individually proven; this certifies the COMPOSITION (the
+    // record-linkage shape: block, score, cluster, canonicalize).
+    "q173_entity_resolution" -> ((s, dir) => {
+      val pairs = Relational.editDistanceJoin(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+          Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+          "c_name", "s_name",
+          bucket = name => regexp_extract(name, "([0-9]{2})$", 1),
+          maxDist = 7)
+        .select((col("c_custkey") * 2).as("a_node"),
+          (col("s_suppkey") * 2 + 1).as("b_node"))
+      llm.Dedup.dupClusters(pairs, "a_node", "b_node")
+        .select(col("doc_id").as("node"),
+          when(col("doc_id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("doc_id div 2").as("entity_id"),
+          col("cluster_id"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -707,5 +732,29 @@ object DedupQueries {
         |)
         |SELECT cluster_id, doc_id AS survivor_id, n_tok
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+
+    // q65's match SQL + the q43 recursive-CTE component pattern over the
+    // parity-encoded node space
+    "q173_entity_resolution" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT c_custkey * 2 AS a_node, s_suppkey * 2 + 1 AS b_node
+        |  FROM customer c JOIN supplier s
+        |    ON regexp_extract(c_name, '([0-9]{2})$', 1) =
+        |       regexp_extract(s_name, '([0-9]{2})$', 1)
+        |  WHERE levenshtein(c_name, s_name) <= 7
+        |), edges AS (
+        |  SELECT a_node AS src, b_node AS dst FROM pairs
+        |  UNION ALL SELECT b_node, a_node FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT id AS node,
+        |       CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |       CAST(id // 2 AS BIGINT) AS entity_id,
+        |       CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -346,6 +346,34 @@ object TextQueries {
           col("total_tokens"),
           expr("cum_tokens * 1000000 div total_tokens").as("coverage_ppm"))
     }),
+
+
+    // the data-MIXING pipeline composed end-to-end: per-source doc
+    // budgets from q119's temperature allocation (√-scaled, Hamilton
+    // rounding sums exactly to 500) → quality-ranked draw within each
+    // source (longest-first, doc_id tie-break) carrying q136's
+    // percent_rank calibration. Deterministic, partition-invariant —
+    // the "which docs actually enter the mix" step between allocation
+    // and export. Both windows share the source partitioning; the
+    // allocation frame is groups-sized and broadcasts.
+    "q174_mixture_draw" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val alloc = llm.Mixture
+        .temperatureAllocation(docs, "source", lit(1L), budget = 500L)
+        .select(col("source"), col("alloc"))
+      val byQuality = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val pctW = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pct", percent_rank().over(pctW))
+        .withColumn("rk", row_number().over(byQuality))
+        .join(broadcast(alloc), "source")
+        .filter(col("rk") <= col("alloc"))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("pct"),
+          col("rk").cast("long").as("rk"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -840,5 +868,46 @@ object TextQueries {
         |       CAST(total_tokens AS BIGINT) AS total_tokens,
         |       CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
         |FROM r WHERE rank IN (5, 15, 30)""".stripMargin,
+
+
+    // q119's allocation CTEs (doc-count weights) + q136's window + the
+    // rank-vs-alloc draw
+    "q174_mixture_draw" ->
+      """WITH sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_docs,
+        |         CAST(floor(1e6 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wq
+        |  FROM sizes
+        |), ex AS (
+        |  SELECT source, wq,
+        |         (500 * CAST(wq AS DOUBLE)) /
+        |           CAST((SELECT sum(wq) FROM w) AS DOUBLE) AS share
+        |  FROM w
+        |), e2 AS (
+        |  SELECT *, CAST(floor(share) AS BIGINT) AS alloc0,
+        |         share - floor(share) AS frac
+        |  FROM ex
+        |), sp AS (
+        |  SELECT 500 - sum(alloc0) AS spare FROM e2
+        |), al AS (
+        |  SELECT source,
+        |         alloc0 + CASE WHEN row_number()
+        |             OVER (ORDER BY frac DESC, source ASC) <=
+        |             (SELECT spare FROM sp)
+        |           THEN 1 ELSE 0 END AS alloc
+        |  FROM e2
+        |), r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         percent_rank() OVER (PARTITION BY source
+        |                              ORDER BY n_chars ASC, doc_id ASC) AS pct,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents
+        |)
+        |SELECT r.source, r.doc_id, r.n_chars, r.pct, CAST(r.rk AS BIGINT) AS rk
+        |FROM r JOIN al ON r.source = al.source
+        |WHERE r.rk <= al.alloc""".stripMargin,
   )
 }
