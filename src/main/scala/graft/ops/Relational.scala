@@ -510,10 +510,15 @@ object Relational {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as(s"n_$tag"),
           sum(rowHash).cast("decimal(30,0)").as(s"h_$tag"))
+    // localCheckpoint (eager): the disagreement set feeds BOTH semi
+    // joins — left as a plan it would re-scan and re-digest both
+    // snapshots once per consumer; materialized it is ≤ nBuckets rows
+    // and each side's broadcast reads the same computed bits
     val disagree = digest(oldDf, "o")
       .join(digest(newDf, "n"), Seq("bucket"), "full_outer")
       .filter(!(col("n_o") <=> col("n_n")) || !(col("h_o") <=> col("h_n")))
       .select(col("bucket"))
+      .localCheckpoint(true)
     val oldHit = oldDf.withColumn("bucket", bucket)
       .join(broadcast(disagree), Seq("bucket"), "left_semi")
     val newHit = newDf.withColumn("bucket", bucket)

@@ -408,6 +408,25 @@ object StreamingQueries {
           timestamp_micros(col("m3")).as("t_purchase"),
           col("stage"))
     }),
+
+
+    // q168's data-quality gate EXECUTED AS A STREAM: per-batch rule
+    // partials (integer counts — associative, so the merged report is
+    // batch-split-invariant) appended to a partials table, final report
+    // = rules-sized group-by; must hash-match the ONE-SHOT rule SQL
+    // whatever the 2-file micro-batch split did
+    "q175_dq_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val root = predsPath(s"q175_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.dqReportStream(s, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt", Seq(
+          "user_id_not_null" -> col("user_id").isNull,
+          "value_not_null" -> col("value").isNull,
+          "event_type_domain" ->
+            !col("event_type").isin("view", "click", "purchase")))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -597,5 +616,24 @@ object StreamingQueries {
         |              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
         |            AS INT) AS stage
         |FROM s3""".stripMargin,
+
+
+    // the one-shot rule SQL — the streamed per-batch partials must merge
+    // to exactly this
+    "q175_dq_stream" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    SUM(CASE WHEN COALESCE(user_id IS NULL, TRUE) THEN 1 ELSE 0 END) AS v0,
+        |    SUM(CASE WHEN COALESCE(value IS NULL, TRUE) THEN 1 ELSE 0 END) AS v1,
+        |    SUM(CASE WHEN COALESCE(event_type NOT IN ('view','click','purchase'), TRUE)
+        |             THEN 1 ELSE 0 END) AS v2
+        |  FROM events
+        |)
+        |SELECT 'user_id_not_null' AS rule, n_rows,
+        |       CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS pass FROM base
+        |UNION ALL SELECT 'value_not_null', n_rows,
+        |       CAST(v1 AS BIGINT), v1 = 0 FROM base
+        |UNION ALL SELECT 'event_type_domain', n_rows,
+        |       CAST(v2 AS BIGINT), v2 = 0 FROM base""".stripMargin,
   )
 }

@@ -634,4 +634,48 @@ object Streams {
       .select(col(keyCol), col("n_events"),
         col("sum_dec").cast("double").as("sum_value"))
   }
+
+  /** Streaming data-quality gate — [[graft.ops.Profile.expectations]]
+    * maintained ACROSS micro-batches: each batch reduces to its per-rule
+    * partial (rule, n_rows, n_violations) — integer counts, associative,
+    * so the merged report is provably batch-split-invariant — and appends
+    * it to a partials table; the final report is a rules-sized group-by
+    * over the partials. State lives in the partials parquet (rules ×
+    * batches rows — trivial at any scale), not in engine memory, and the
+    * caller-owned checkpoint makes restarts incremental exactly like
+    * [[aggTableApply]].
+    *
+    * Row rules only: the key-uniqueness expectation is NOT associative
+    * across batches (it needs keyed state or the batch
+    * [[graft.ops.Profile.expectations]] form). */
+  def dqReportStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Profile.expectations(batch, rules)
+          .select(col("rule"), col("n_rows"), col("n_violations"))
+          .coalesce(1)
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow DQ stream must drain")
+    spark.read.parquet(partialsDir)
+      .groupBy(col("rule"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_violations")).as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
 }

@@ -99,4 +99,37 @@ class LawsSpec extends AnyFunSuite {
       assert(got === dist, s"round $round diverged (maxHops=$maxHops)")
     }
   }
+
+  test("LAW intervalConcurrency == brute-force sweep on random interval sets") {
+    val rnd = new Random(13)
+    for (round <- 1 to 8) {
+      // minute-granular random half-open intervals over a 3-hour span,
+      // two keys; bucketSeconds varied so bucket boundaries land both ON
+      // and BETWEEN interval endpoints
+      val ivs = (1 to 30 + round).map { _ =>
+        val s = rnd.nextInt(180)
+        (if (rnd.nextBoolean()) "k1" else "k2",
+          ts(s), ts(s + 1 + rnd.nextInt(40)))
+      }
+      val bucketSeconds = Seq(60L, 600L, 3600L)(round % 3)
+      val got = graft.ops.Temporal
+        .intervalConcurrency(ivs.toDF("k", "s_t", "e_t"),
+          Seq("k"), "s_t", "e_t", bucketSeconds)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getTimestamp(2))))
+        .toMap
+      // driver sweep: sort (t, delta) with -1 first at equal t, scan
+      val want = ivs.groupBy(_._1).map { case (k, is) =>
+        val deltas = (is.map(i => (i._2.getTime, 1)) ++
+          is.map(i => (i._3.getTime, -1))).sortBy(d => (d._1, d._2))
+        var c = 0L; var mx = Long.MinValue; var peakT = 0L
+        deltas.foreach { case (t, d) =>
+          c += d
+          if (c > mx) { mx = c; peakT = t }
+        }
+        k -> ((mx, new Timestamp(peakT)))
+      }
+      assert(got === want, s"round $round diverged (bucket=$bucketSeconds)")
+    }
+  }
 }

@@ -421,6 +421,39 @@ class StreamsSpec extends AnyFunSuite {
       "the late keys' bucket must have been rewritten")
   }
 
+  test("dqReportStream: multi-batch report equals one-shot expectations; restart folds only new rows") {
+    val root = s"target/tmp/streams/dq_${System.nanoTime()}"
+    val rules = Seq(
+      "k_not_null" -> $"k".isNull,
+      "v_positive" -> !($"v" > 0.0))
+    val a = Seq[(Option[Long], Option[Double])](
+      (Some(1L), Some(1.0)), (Some(2L), Some(-1.0)), (None, Some(2.0)),
+      (Some(3L), None), (Some(4L), Some(4.0)), (Some(5L), Some(5.0))
+    ).toDF("k", "v")
+    a.repartition(3).write.parquet(s"$root/events")
+
+    def drained() = graft.streaming.Streams.dqReportStream(spark,
+      s"$root/events", a.schema, s"$root/partials", s"$root/ckpt",
+      rules, maxFilesPerTrigger = 1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+    val oneShot = asMap(graft.ops.Profile.expectations(a, rules))
+    assert(asMap(drained()) === oneShot,
+      "3-batch streamed report must equal the one-shot expectations")
+    assert(oneShot("v_positive") === ((6L, 2L, false)),
+      "-1.0 and the NULL v are the two violations")
+
+    // restart with the same checkpoint: only the new file is processed,
+    // its counts FOLD into the stored partials
+    Seq[(Option[Long], Option[Double])]((None, Some(-9.0)))
+      .toDF("k", "v").write.mode("append").parquet(s"$root/events")
+    val after = asMap(drained())
+    assert(after("k_not_null") === ((7L, 2L, false)))
+    assert(after("v_positive") === ((7L, 3L, false)))
+  }
+
   test("annServeStream: micro-batched serve equals the one-shot batch serve") {
     import graft.llm.Similarity
     val root = s"target/tmp/streams/ann_${System.nanoTime()}"
