@@ -360,8 +360,11 @@ object Temporal {
       tsCol: String,
       valueCol: String,
       truncUnit: String,
-      stepSeconds: Long): DataFrame = {
+      stepSeconds: Long,
+      maxStalenessSeconds: Option[Long] = None): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")
+    require(maxStalenessSeconds.forall(_ > 0),
+      "maxStalenessSeconds must be positive when set")
     val span = points.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
     val grid = span.select(
@@ -369,7 +372,22 @@ object Temporal {
         explode(expr(s"sequence(date_trunc('$truncUnit', __lo), " +
           s"date_trunc('$truncUnit', __hi), interval $stepSeconds seconds)"))
           .as(tsCol): _*)
-    asofJoin(grid, points, keys, tsCol, Seq(valueCol))
+    maxStalenessSeconds match {
+      case None => asofJoin(grid, points, keys, tsCol, Seq(valueCol))
+      case Some(tol) =>
+        // bounded-staleness LOCF (pandas merge_asof `tolerance` / kdb
+        // aj0-with-window): carry the matched observation's OWN ts as a
+        // second attach column and null the value back out when the grid
+        // instant has drifted more than `tol` past it — same one-shuffle
+        // union-window plan, one extra struct field
+        val pts = points.withColumn("__obs_ts", col(tsCol))
+        asofJoin(grid, pts, keys, tsCol, Seq(valueCol, "__obs_ts"))
+          .withColumn(valueCol,
+            when(col(tsCol) <=
+              col("__obs_ts") + expr(s"INTERVAL $tol SECONDS"),
+              col(valueCol)))
+          .drop("__obs_ts")
+    }
   }
 
   /** Session path mining: sessionize by inactivity gap (gaps-and-islands —

@@ -495,6 +495,28 @@ object LayoutQueries {
     // COMPOSITION — the survivors-only corpus enters the packer, and
     // the packed layout is a pure function of content, so the oracle
     // rebuilds it from the raw tables alone.
+    // JSONL round trip — the interchange format every training-data
+    // pipeline speaks: documents → newline-delimited JSON (2 files) →
+    // schema-pinned re-read → grouped stats INCLUDING a 56-bit md5
+    // content digest of the text, so the hash match proves the text
+    // round-trips byte-exactly through the JSON escape/unescape chain
+    // of BOTH engines (the oracle reads the SAME staged .json files)
+    "q176_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = predsPath("q176_jsonl")
+      docs.coalesce(2).write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 14), 16, 10)
+            .cast("decimal(20,0)")).cast("decimal(30,0)").cast("string")
+            .as("text_digest"))
+    }),
+
+
     "q170_training_export" -> ((s, dir) => {
       val all = Tables.documents(s, dir)
       val verdicts = TextOps.curationFunnel(
@@ -870,6 +892,23 @@ object LayoutQueries {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri
         |) GROUP BY 1""".stripMargin,
+
+
+    // the SAME staged newline-delimited JSON files re-read by DuckDB's
+    // independent JSON reader — schema pinned, digest over the decoded
+    // text proves both decoders produce identical bytes
+    "q176_jsonl_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |       CAST(CAST(sum(CAST(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT)
+         |                          AS DECIMAL(20,0))) AS DECIMAL(30,0)) AS VARCHAR)
+         |         AS text_digest
+         |FROM read_json('${predsPath("q176_jsonl")}/*.json',
+         |  format = 'newline_delimited',
+         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+         |             source: 'VARCHAR', n_chars: 'BIGINT'})
+         |GROUP BY 1""".stripMargin,
 
 
     // q132's funnel SQL verbatim as a CTE (cross-referenced, never

@@ -499,6 +499,19 @@ object RelationalQueries {
     }),
 
 
+    // q142 with BOUNDED staleness (pandas merge_asof `tolerance`): LOCF
+    // carries a value at most 2 h — a grid hour more than 2 h past the
+    // last observation reads NULL, the sensor-freshness contract
+    "q177_gap_fill_bounded" -> ((s, dir) => {
+      val pts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("v"))
+      ops.Temporal.resampleLocf(pts, Seq("user_id"), "ts", "v",
+        truncUnit = "hour", stepSeconds = 3600L,
+        maxStalenessSeconds = Some(7200L))
+    }),
+
+
     // TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
     // date-filtered orders ⋈ date-filtered lineitem, revenue per open
     // order, deterministic top-10. Filters sit on each branch BEFORE the
@@ -1887,6 +1900,20 @@ object RelationalQueries {
         |    ON o.o_orderkey = n.o_orderkey AND o.bucket = n.bucket
         |)
         |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+
+    // q142's ASOF replay + the staleness CASE on the matched ts
+    "q177_gap_fill_bounded" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS v
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+        |             date_trunc('hour', max(ts)) AS hi
+        |      FROM events GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+        |      FROM b)
+        |SELECT g.user_id, g.ts,
+        |       CASE WHEN g.ts - p.ts <= INTERVAL 2 HOUR THEN p.v END AS v
+        |FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts >= p.ts""".stripMargin,
 
 
     "q172_ohlc_bars" ->

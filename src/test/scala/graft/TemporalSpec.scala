@@ -393,6 +393,24 @@ class TemporalSpec extends AnyFunSuite {
       "grid must span [trunc(min), trunc(max)] per key with LOCF values")
   }
 
+  test("resampleLocf bounded staleness: grid points beyond the tolerance read NULL") {
+    val pts = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 10.0),
+      (1L, ts("2024-01-01 06:00:00"), 60.0)
+    ).toDF("user_id", "ts", "v")
+    val out = Temporal
+      .resampleLocf(pts, Seq("user_id"), "ts", "v", "hour", 3600L,
+        maxStalenessSeconds = Some(7200L))
+      .collect()
+      .map(r => r.getTimestamp(1).toString.take(13) -> Option(r.get(2))).toMap
+    assert(out("2024-01-01 00") === None, "before first obs")
+    assert(out("2024-01-01 01") === Some(10.0), "30 min stale — carried")
+    assert(out("2024-01-01 02") === Some(10.0), "90 min stale — carried")
+    assert(out("2024-01-01 03") === None, "150 min stale — past the 2 h bound")
+    assert(out("2024-01-01 05") === None)
+    assert(out("2024-01-01 06") === Some(60.0), "fresh observation")
+  }
+
   test("sessionPaths: trigrams never cross a session gap; ties ordered by tie col") {
     val ev = Seq(
       // u1 session 1: A B C D -> trigrams ABC, BCD
