@@ -912,6 +912,60 @@ object RelationalQueries {
     }),
 
 
+    // per-user TIME-WEIGHTED average (the piecewise-constant integral a
+    // plain AVG gets wrong when observations are unevenly spaced): lead
+    // over the (ts, event_id) total order makes [obs, next) segments,
+    // weight = whole seconds (identical floor arithmetic both engines),
+    // value in cents — the weighted sum stays exact BIGINT and ONE final
+    // double division yields the TWA. One shuffle on user_id.
+    "q178_time_weighted_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long")
+            .as("v_cents"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("nxt_us", lead(col("us"), 1).over(w))
+        .filter(col("nxt_us").isNotNull)
+        .withColumn("dur_s", expr("(nxt_us - us) div 1000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("dur_s")).as("span_s"),
+          sum(col("v_cents") * col("dur_s")).as("wsum"))
+        .filter(col("span_s") > 0)
+        .withColumn("twa",
+          col("wsum").cast("double") / (col("span_s").cast("double") * 100.0))
+    }),
+
+
+    // parent↔child reconciliation report (the cross-table DQ check):
+    // per order the lineitem gross sum in exact cents vs the stored
+    // total, grouped into a per-status report — orders without lines
+    // counted, max absolute drift surfaced. LEFT join + two grouped
+    // passes, both keyed on o_orderkey/o_orderstatus.
+    "q179_reconciliation" -> ((s, dir) => {
+      val child = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(30,2)") * 100)
+          .cast("long")).as("line_cents"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(30,2)") * 100).cast("long")
+            .as("total_cents"))
+        .join(child, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("line_cents").isNotNull, 1L).otherwise(0L))
+            .as("n_with_lines"),
+          sum(when(col("line_cents") === col("total_cents"), 1L)
+            .otherwise(0L)).as("n_exact"),
+          max(abs(col("total_cents") - col("line_cents")))
+            .as("max_abs_diff_cents"))
+    }),
+
+
     // hourly OHLC bars per user (the time-series bar aggregation):
     // open/close via total-order row_numbers (asc + desc share ONE
     // shuffle on the bar key), high/low/count/decimal-sum in the same
@@ -1900,6 +1954,49 @@ object RelationalQueries {
         |    ON o.o_orderkey = n.o_orderkey AND o.bucket = n.bucket
         |)
         |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+
+    // same segment construction: epoch_us + floor-div seconds + cents
+    "q178_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS v_cents,
+        |         epoch_us(ts) AS us,
+        |         lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) AS nxt_us
+        |  FROM events
+        |), seg AS (
+        |  SELECT user_id, v_cents, (nxt_us - us) // 1000000 AS dur_s
+        |  FROM e WHERE nxt_us IS NOT NULL
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |         CAST(sum(dur_s) AS BIGINT) AS span_s,
+        |         CAST(sum(v_cents * dur_s) AS BIGINT) AS wsum
+        |  FROM seg GROUP BY 1
+        |)
+        |SELECT user_id, n_segments, span_s, wsum,
+        |       CAST(wsum AS DOUBLE) / (CAST(span_s AS DOUBLE) * 100.0) AS twa
+        |FROM a WHERE span_s > 0""".stripMargin,
+
+
+    "q179_reconciliation" ->
+      """WITH child AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS line_cents
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN line_cents IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_with_lines,
+        |       CAST(sum(CASE WHEN line_cents =
+        |                  CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       CAST(max(abs(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |                    - line_cents)) AS BIGINT) AS max_abs_diff_cents
+        |FROM orders o LEFT JOIN child c ON o.o_orderkey = c.l_orderkey
+        |GROUP BY 1""".stripMargin,
 
 
     // q142's ASOF replay + the staleness CASE on the matched ts
