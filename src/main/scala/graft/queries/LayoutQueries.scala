@@ -495,6 +495,27 @@ object LayoutQueries {
     // COMPOSITION — the survivors-only corpus enters the packer, and
     // the packed layout is a pure function of content, so the oracle
     // rebuilds it from the raw tables alone.
+    // aggregate-navigator serve: monthly metrics answered from a
+    // PERSISTED daily rollup (events → daily once; month = re-aggregate
+    // of the ~1000× smaller daily table) — correct because count and
+    // integer-cent sums are associative. The oracle computes the month
+    // DIRECTLY from raw events: hash match proves serve-from-rollup ==
+    // serve-from-raw.
+    "q181_rollup_serve" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(30,2)") * 100).cast("long"))
+            .as("cents"))
+      val path = predsPath("q181_daily")
+      daily.coalesce(2).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("user_id"), trunc(col("day"), "month").as("month"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("cents")).as("sum_cents"))
+    }),
+
+
     // JSONL round trip — the interchange format every training-data
     // pipeline speaks: documents → newline-delimited JSON (2 files) →
     // schema-pinned re-read → grouped stats INCLUDING a 56-bit md5
@@ -892,6 +913,16 @@ object LayoutQueries {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri
         |) GROUP BY 1""".stripMargin,
+
+
+    // the month computed DIRECTLY from raw events — re-aggregation of
+    // the persisted daily rollup must land on exactly these rows
+    "q181_rollup_serve" ->
+      """SELECT user_id, date_trunc('month', CAST(ts AS DATE)) AS month,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
 
     // the SAME staged newline-delimited JSON files re-read by DuckDB's

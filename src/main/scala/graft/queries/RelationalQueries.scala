@@ -912,6 +912,58 @@ object RelationalQueries {
     }),
 
 
+    // the anti-entropy loop CLOSED: q171's bucket-pruned diff converted
+    // to an I/U/D op log and applied back onto v0 — the reconstructed
+    // snapshot must equal v1 row-for-row (oracle states v1 directly).
+    // This is the 100 TB replica-sync path: ship only the changed
+    // buckets' rows, replay them, converge.
+    "q180_merkle_sync" -> ((s, dir) => {
+      val v0 = ordersSnapshot(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(30,2)").cast("string")
+            .as("o_price"))
+      val v1 = v0.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(v0.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_price")))
+      val ops = Relational.merkleDiff(v0, v1, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_price"), nBuckets = 64)
+        .select(col("o_orderkey"),
+          col("new_o_orderstatus").as("o_orderstatus"),
+          col("new_o_price").as("o_price"),
+          col("change_type").as("op"),
+          lit(1L).as("ver"), col("o_orderkey").as("tie"))
+      Relational.applyCdcOps(v0, ops, Seq("o_orderkey"), "op", "ver", "tie")
+    }),
+
+
+    // A/B experiment readout with EXACT sufficient statistics: per
+    // variant n, Σx, Σx² in integer cents (one grouped pass, map-side
+    // partial), mean and sample variance derived by decimal-exact
+    // integer algebra + ONE final double division each — the float
+    // accumulation a naive avg/var_samp would make order-dependent
+    // never happens.
+    "q182_ab_metrics" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select((col("user_id") % 2).cast("int").as("variant"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).as("sum_cents"),
+          sum(col("c") * col("c")).as("sumsq_cents2"))
+        .withColumn("mean",
+          col("sum_cents").cast("double") / (col("n").cast("double") * 100.0))
+        .withColumn("var_cents2",
+          (col("n").cast("decimal(38,0)") *
+            col("sumsq_cents2").cast("decimal(38,0)") -
+            col("sum_cents").cast("decimal(38,0)") *
+            col("sum_cents").cast("decimal(38,0)")).cast("double") /
+            (col("n") * (col("n") - lit(1L))).cast("double"))),
+
+
     // per-user TIME-WEIGHTED average (the piecewise-constant integral a
     // plain AVG gets wrong when observations are unevenly spaced): lead
     // over the (ts, event_id) total order makes [obs, next) segments,
@@ -1954,6 +2006,37 @@ object RelationalQueries {
         |    ON o.o_orderkey = n.o_orderkey AND o.bucket = n.bucket
         |)
         |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+
+    // diff∘apply is identity: the oracle simply states v1
+    "q180_merkle_sync" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       CAST(CAST(o_totalprice AS DECIMAL(30,2)) AS VARCHAR) AS o_price
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'N',
+        |       CAST(CAST(o_totalprice AS DECIMAL(30,2)) AS VARCHAR)
+        |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
+
+
+    "q182_ab_metrics" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS variant,
+        |         CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), a AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c) AS BIGINT) AS sum_cents,
+        |         CAST(sum(c * c) AS BIGINT) AS sumsq_cents2
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT variant, n, sum_cents, sumsq_cents2,
+        |       CAST(sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean,
+        |       CAST(n * sumsq_cents2 - sum_cents * sum_cents AS DOUBLE) /
+        |         CAST(n * (n - 1) AS DOUBLE) AS var_cents2
+        |FROM a""".stripMargin,
 
 
     // same segment construction: epoch_us + floor-div seconds + cents
