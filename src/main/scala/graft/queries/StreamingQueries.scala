@@ -410,6 +410,35 @@ object StreamingQueries {
     }),
 
 
+    // q172's OHLC bars EXECUTED AS A STREAM: open/close as min_by/
+    // max_by over the unique (ts, event_id) struct order — the batch
+    // row_number trick has no streaming form, the struct-argmin does;
+    // drained under AvailableNow, must hash-match the batch windows
+    "q183_ohlc_stream" -> ((s, dir) => {
+      val batchEv = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val stage = predsPath("q183_events")
+      sources.Sources.writeParquet(batchEv.repartition(4), stage)
+      val stream = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams
+          .ohlcStream(stream, watermarkDelay = "3650 days")
+          .writeStream
+          .format("memory").queryName("q183_bars").outputMode("complete")
+          .option("checkpointLocation",
+            predsPath(s"q183_ckpt_${System.nanoTime()}"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      require(q.awaitTermination(300000), "AvailableNow stream must drain")
+      s.table("q183_bars").select(
+        col("window_start").cast("timestamp_ntz").as("hour"),
+        col("user_id"), col("open"), col("close"), col("high"),
+        col("low"), col("n"), col("sum_v"))
+    }),
+
+
     // q168's data-quality gate EXECUTED AS A STREAM: per-batch rule
     // partials (integer counts — associative, so the merged report is
     // batch-split-invariant) appended to a partials table, final report
@@ -616,6 +645,26 @@ object StreamingQueries {
         |              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
         |            AS INT) AS stage
         |FROM s3""".stripMargin,
+
+
+    // q172's batch bar SQL — the streamed windowed min_by/max_by state
+    // must finalize to exactly these rows
+    "q183_ohlc_stream" ->
+      s"""WITH e AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+         |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+         |                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+         |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+         |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM events
+         |)
+         |SELECT hour, user_id,
+         |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |       max(value) AS high, min(value) AS low,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       ${dSum("value", 6, "sum_v")}
+         |FROM e GROUP BY 1, 2""".stripMargin,
 
 
     // the one-shot rule SQL — the streamed per-batch partials must merge

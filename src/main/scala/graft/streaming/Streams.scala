@@ -65,6 +65,34 @@ object Streams {
         col("window.end").as("window_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** Streaming OHLC bars — q172's batch bar aggregation as a windowed
+    * streaming agg: open/close become `min_by`/`max_by` over the
+    * (ts, tie) struct order (declarative aggregates, legal in streaming
+    * group-bys, unlike the batch form's row_number), high/low/count/
+    * decimal-sum ride the same state. The (ts, tie) struct is unique per
+    * event, so open/close are deterministic under ANY batch split. */
+  def ohlcStream(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      valueCol: String = "value",
+      tieCol: String = "event_id",
+      width: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("open"),
+        max_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("close"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        count(lit(1)).as("n"),
+        Relational.exactSum(col(valueCol), 6).as("sum_v"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("open"), col("close"), col("high"), col("low"),
+        col("n"), col("sum_v"))
+
   /** Sliding-window variant (overlapping windows every `slide`). */
   def slidingAgg(
       events: DataFrame,

@@ -32,6 +32,52 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dimension joins must not shuffle both sides:\n$plan")
   }
 
+  test("TPC-H shape audits: q160 semi join w/ residual, q161 broadcast residual, q162 anti") {
+    val semi = executed(SparkEntry.queries("q160_late_ship_priority")(spark, TestSpark.sf))
+    assert(semi.contains("LeftSemi"),
+      s"EXISTS must compile to a LEFT SEMI join:\n${semi.take(2500)}")
+    assert(semi.contains("l_shipdate") && semi.linesIterator
+        .filter(_.contains("Join")).exists(_.contains("l_shipdate")),
+      "the correlated date comparison must ride the join as a residual, " +
+        s"not materialize lineitem:\n${semi.take(2500)}")
+
+    val dis = executed(SparkEntry.queries("q161_disjunctive_join")(spark, TestSpark.sf))
+    assert(dis.contains("BroadcastHashJoin"),
+      s"part side must broadcast:\n${dis.take(2500)}")
+    assert(!dis.contains("SortMergeJoin"),
+      s"disjunctive join must not shuffle both sides:\n${dis.take(2500)}")
+
+    val anti = executed(SparkEntry.queries("q162_no_order_high_balance")(spark, TestSpark.sf))
+    assert(anti.contains("LeftAnti"),
+      s"NOT EXISTS must compile to a LEFT ANTI join:\n${anti.take(2500)}")
+    assert(anti.linesIterator.filter(_.contains("PushedFilters"))
+        .exists(_.contains("1-URGENT")) ||
+      anti.contains("1-URGENT"),
+      s"the priority gate must prune the anti build side:\n${anti.take(2500)}")
+  }
+
+  test("q171 merkle diff: digest screen computed once, row diff semi-pruned by broadcast") {
+    val plan = executed(SparkEntry.queries("q171_merkle_diff")(spark, TestSpark.sf))
+    // the disagreement set is localCheckpoint-materialized: its digest
+    // full-outer join must appear in the plan at most once as a scan of
+    // the checkpointed RDD, and both restriction joins must be
+    // broadcast LeftSemi (never shuffled)
+    // >= 2: Catalyst may push the semi restriction THROUGH v1's union
+    // into its branches (3 semis then — one per branch + the v0 side),
+    // which is a strictly better plan; what matters is every one
+    // broadcasts
+    val semis = plan.linesIterator
+      .filter(l => l.contains("LeftSemi")).toSeq
+    assert(semis.size >= 2 && semis.forall(_.contains("BroadcastHashJoin")),
+      s"bucket restrictions must be broadcast semi joins:\n$semis")
+    val digestJoins = plan.linesIterator
+      .count(l => l.contains("SortMergeJoin") && l.contains("FullOuter"))
+    assert(digestJoins == 1,
+      s"digest screen must be materialized once — the only remaining " +
+        s"full-outer is the row-level diff, got $digestJoins:\n" +
+        plan.linesIterator.filter(_.contains("FullOuter")).mkString("\n"))
+  }
+
   test("no query plan contains a cartesian or unbounded nested-loop join (FULL map)") {
     // the two join strategies that are quadratic at scale; every graft
     // operator is designed to avoid them (grain cells, LSH buckets, equi
