@@ -188,6 +188,63 @@ object MlQueries {
     // sort key pin both properties for the oracle. At 100 TB this frame
     // feeds repartitionByRange(shard, sk) → writePartitioned verbatim;
     // here the stats aggregate is the checked surface.
+    // frequent-itemset mining via MLlib's parallel FP-Growth (PFP:
+    // Li et al. 2008 — group-dependent shards, no candidate generation)
+    // over q146's capped baskets. FP-Growth is EXACT, so the ≤3-item
+    // slice of its output is oracle-checkable against brute-force
+    // 1/2/3-itemset enumeration with the same ceil(minSupport·n) floor;
+    // itemsets surface as sorted CSV strings for engine-neutral compare.
+    "q184_fpgrowth" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val capped = items
+        .withColumn("__bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_orderkey"))))
+        .filter(col("__bs") <= 8).drop("__bs")
+      val baskets = capped.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("items"))
+      val model = new org.apache.spark.ml.fpm.FPGrowth()
+        .setItemsCol("items").setMinSupport(0.001).setMinConfidence(0.5)
+        .fit(baskets)
+      model.freqItemsets
+        .filter(size(col("items")) <= 3)
+        .select(
+          array_join(sort_array(col("items")), ",").as("itemset"),
+          size(col("items")).cast("int").as("k"),
+          col("freq"))
+    }),
+
+
+    // sequential-pattern mining via MLlib PrefixSpan (Pei et al. 2001,
+    // the projected-database parallel form) over each user's FIRST-
+    // OCCURRENCE event-type sequence (distinct types ordered by first
+    // touch — ≤ |types| long, so the oracle's subsequence enumeration
+    // is tractable while the operator exercises the real miner).
+    // PrefixSpan is exact ⇒ the ≤3-step slice must coincide with
+    // brute-force ordered-pair/triple support counting under the same
+    // ceil(minSupport·n) floor.
+    "q185_prefixspan" -> ((s, dir) => {
+      val first = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      val seqs = first
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("f"), col("event_type"))))
+          .as("ord"))
+        .select(expr("transform(ord, x -> array(x.event_type))")
+          .as("sequence"))
+      val patterns = new org.apache.spark.ml.fpm.PrefixSpan()
+        .setMinSupport(0.1).setMaxPatternLength(3)
+        .setSequenceCol("sequence")
+        .findFrequentSequentialPatterns(seqs)
+      patterns.select(
+        array_join(flatten(col("sequence")), ",").as("pattern"),
+        size(col("sequence")).cast("int").as("k"),
+        col("freq"))
+    }),
+
+
     "q163_training_shards" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .withColumn("sk", md5(col("doc_id").cast("string")))
@@ -331,6 +388,89 @@ object MlQueries {
          |       (CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END) +
          |       (CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS INT) AS bin
          |FROM orders, b""".stripMargin,
+
+
+    // brute-force subsequence support over the same first-occurrence
+    // sequences: rn from (min ts, min event_id) per (user, type),
+    // ordered pairs/triples = rn inequalities, same ceil floor
+    "q185_prefixspan" ->
+      """WITH f0 AS (
+        |  SELECT user_id, event_type, min(ts) AS m_ts
+        |  FROM events GROUP BY 1, 2
+        |), f AS (
+        |  SELECT e.user_id, e.event_type, f0.m_ts, min(e.event_id) AS m_eid
+        |  FROM events e JOIN f0 ON e.user_id = f0.user_id
+        |    AND e.event_type = f0.event_type AND e.ts = f0.m_ts
+        |  GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY m_ts, m_eid) AS rn
+        |  FROM f
+        |), nb AS (
+        |  SELECT CAST(ceil(0.1 * count(DISTINCT user_id)) AS BIGINT) AS mc
+        |  FROM r
+        |), k1 AS (
+        |  SELECT event_type AS pattern, 1 AS k,
+        |         count(DISTINCT user_id) AS freq
+        |  FROM r GROUP BY 1
+        |  HAVING count(DISTINCT user_id) >= (SELECT mc FROM nb)
+        |), k2 AS (
+        |  SELECT a.event_type || ',' || b.event_type AS pattern, 2 AS k,
+        |         count(DISTINCT a.user_id) AS freq
+        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn < b.rn
+        |  GROUP BY 1
+        |  HAVING count(DISTINCT a.user_id) >= (SELECT mc FROM nb)
+        |), k3 AS (
+        |  SELECT a.event_type || ',' || b.event_type || ',' || c.event_type
+        |           AS pattern, 3 AS k,
+        |         count(DISTINCT a.user_id) AS freq
+        |  FROM r a
+        |  JOIN r b ON a.user_id = b.user_id AND a.rn < b.rn
+        |  JOIN r c ON b.user_id = c.user_id AND b.rn < c.rn
+        |  GROUP BY 1
+        |  HAVING count(DISTINCT a.user_id) >= (SELECT mc FROM nb))
+        |SELECT pattern, CAST(k AS INT) AS k, CAST(freq AS BIGINT) AS freq
+        |FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+        |      UNION ALL SELECT * FROM k3)""".stripMargin,
+
+
+    // brute-force 1/2/3-itemset enumeration over the same capped
+    // baskets with the same ceil(minSupport·n) floor — FP-Growth is
+    // exact, so its ≤3-item slice must coincide
+    "q184_fpgrowth" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sz AS (SELECT l_orderkey, l_partkey,
+        |              count(*) OVER (PARTITION BY l_orderkey) AS bs
+        |       FROM it),
+        |ok AS (SELECT l_orderkey, l_partkey FROM sz WHERE bs <= 8),
+        |nb AS (SELECT CAST(ceil(0.001 * count(DISTINCT l_orderkey)) AS BIGINT) AS mc
+        |       FROM ok),
+        |k1 AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS k,
+        |         count(*) AS freq
+        |  FROM ok GROUP BY 1 HAVING count(*) >= (SELECT mc FROM nb)),
+        |k2 AS (
+        |  SELECT CAST(a.l_partkey AS VARCHAR) || ',' ||
+        |         CAST(b.l_partkey AS VARCHAR) AS itemset, 2 AS k,
+        |         count(*) AS freq
+        |  FROM ok a JOIN ok b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1 HAVING count(*) >= (SELECT mc FROM nb)),
+        |k3 AS (
+        |  SELECT CAST(a.l_partkey AS VARCHAR) || ',' ||
+        |         CAST(b.l_partkey AS VARCHAR) || ',' ||
+        |         CAST(c.l_partkey AS VARCHAR) AS itemset, 3 AS k,
+        |         count(*) AS freq
+        |  FROM ok a
+        |  JOIN ok b ON a.l_orderkey = b.l_orderkey
+        |           AND a.l_partkey < b.l_partkey
+        |  JOIN ok c ON b.l_orderkey = c.l_orderkey
+        |           AND b.l_partkey < c.l_partkey
+        |  GROUP BY 1 HAVING count(*) >= (SELECT mc FROM nb))
+        |SELECT itemset, CAST(k AS INT) AS k, CAST(freq AS BIGINT) AS freq
+        |FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+        |      UNION ALL SELECT * FROM k3)""".stripMargin,
 
 
     "q163_training_shards" ->
