@@ -188,6 +188,53 @@ object MlQueries {
     // sort key pin both properties for the oracle. At 100 TB this frame
     // feeds repartitionByRange(shard, sk) → writePartitioned verbatim;
     // here the stats aggregate is the checked surface.
+    // collaborative filtering via MLlib ALS (Hu/Koren/Volinsky-style
+    // alternating least squares, block-parallel): the factor matrices
+    // are the MODEL ARTIFACT (fit floats never enter the checked
+    // surface — the q23/q169 discipline); the serve half scores a
+    // sampled user set against ALL items from the STORED factors with
+    // the per-term floor(·10¹²)→BIGINT quantized dot (integer sum —
+    // order-free, the q94 recipe) and takes top-3 per user. The
+    // all-pairs scoring is the declared dense-serve baseline (the ANN
+    // family q17/q94 is the scale path for huge item spaces).
+    "q186_als_recs" -> ((s, dir) => {
+      val ratings = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").cast("int").as("user"),
+          col("l_partkey").cast("int").as("item"))
+        .agg(sum(col("l_quantity")).cast("float").as("rating"))
+      val model = new org.apache.spark.ml.recommendation.ALS()
+        .setRank(8).setMaxIter(5).setSeed(42L).setRegParam(0.1)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .fit(ratings)
+      model.userFactors.coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q186_userf"))
+      model.itemFactors.coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q186_itemf"))
+      val uf = s.read.parquet(predsPath("q186_userf"))
+        .filter(col("id") % 50 === 0)
+        .select(col("id").as("user"), col("features").as("ufeat"))
+      val itf = s.read.parquet(predsPath("q186_itemf"))
+        .select(col("id").as("item"), col("features").as("ifeat"))
+      val scored = itf.crossJoin(broadcast(uf))
+        .select(col("user"), col("item"),
+          expr("""aggregate(zip_with(ufeat, ifeat,
+                    (a, b) -> cast(floor(cast(a as double) * cast(b as double)
+                                         * 1000000000000) as bigint)),
+                  cast(0 as bigint), (acc, x) -> acc + x)""").as("score_q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user"))
+        .orderBy(col("score_q").desc, col("item").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user"), col("item"), col("score_q"),
+          col("rk").cast("int").as("rk"))
+    }),
+
+
     // frequent-itemset mining via MLlib's parallel FP-Growth (PFP:
     // Li et al. 2008 — group-dependent shards, no candidate generation)
     // over q146's capped baskets. FP-Growth is EXACT, so the ≤3-item
@@ -388,6 +435,32 @@ object MlQueries {
          |       (CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END) +
          |       (CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS INT) AS bin
          |FROM orders, b""".stripMargin,
+
+
+    // serve replayed from the SAME persisted factor matrices: identical
+    // per-term quantization, identical ranking
+    "q186_als_recs" ->
+      s"""WITH uf AS (
+         |  SELECT id AS u, features AS f
+         |  FROM read_parquet('${predsPath("q186_userf")}/*.parquet')
+         |  WHERE id % 50 = 0
+         |), itf AS (
+         |  SELECT id AS item, features AS g
+         |  FROM read_parquet('${predsPath("q186_itemf")}/*.parquet')
+         |), sc AS (
+         |  SELECT uf.u, itf.item,
+         |    CAST(list_sum(list_transform(generate_series(1, len(f)), i ->
+         |      CAST(floor(CAST(f[i] AS DOUBLE) * CAST(g[i] AS DOUBLE)
+         |                 * 1000000000000) AS BIGINT))) AS BIGINT) AS score_q
+         |  FROM uf, itf
+         |), r AS (
+         |  SELECT u, item, score_q,
+         |         row_number() OVER (PARTITION BY u
+         |                            ORDER BY score_q DESC, item ASC) AS rk
+         |  FROM sc
+         |)
+         |SELECT u AS "user", item, score_q, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 3""".stripMargin,
 
 
     // brute-force subsequence support over the same first-occurrence
