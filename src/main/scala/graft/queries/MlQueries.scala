@@ -188,6 +188,46 @@ object MlQueries {
     // sort key pin both properties for the oracle. At 100 TB this frame
     // feeds repartitionByRange(shard, sk) → writePartitioned verbatim;
     // here the stats aggregate is the checked surface.
+    // word embeddings via MLlib Word2Vec (skip-gram, distributed
+    // Hogwild fit): the UNIT-NORMALIZED vectors are the persisted model
+    // artifact (training floats never in the checked surface); serve =
+    // vocabulary-sized all-pairs nearest neighbors with the per-term
+    // floor(·10¹²)→BIGINT quantized cosine + top-3 per word — the
+    // "similar tokens" lookup, replayed by the oracle from the SAME
+    // stored doubles. All-pairs is vocabulary², not corpus-sized.
+    "q187_word2vec" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(TextOps.tokens(col("text")).as("words"))
+      val model = new org.apache.spark.ml.feature.Word2Vec()
+        .setInputCol("words").setOutputCol("vec")
+        .setVectorSize(16).setMinCount(2).setSeed(42L).setMaxIter(1)
+        .fit(toks)
+      model.getVectors
+        .select(col("word"),
+          org.apache.spark.ml.functions.vector_to_array(col("vector"))
+            .as("v"))
+        .select(col("word"),
+          expr("""transform(v, x -> x / sqrt(aggregate(v,
+                    cast(0.0 as double), (a, y) -> a + y * y)))""").as("u"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q187_w2v"))
+      val v = s.read.parquet(predsPath("q187_w2v"))
+      val pairs = v.select(col("word").as("w1"), col("u").as("u1"))
+        .crossJoin(v.select(col("word").as("w2"), col("u").as("u2")))
+        .filter(col("w1") =!= col("w2"))
+        .select(col("w1"), col("w2"),
+          expr("""aggregate(zip_with(u1, u2,
+                    (a, b) -> cast(floor(a * b * 1000000000000) as bigint)),
+                  cast(0 as bigint), (acc, x) -> acc + x)""").as("sim_q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w1")).orderBy(col("sim_q").desc, col("w2").asc)
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("w1"), col("w2"), col("sim_q"),
+          col("rk").cast("int").as("rk"))
+    }),
+
+
     // collaborative filtering via MLlib ALS (Hu/Koren/Volinsky-style
     // alternating least squares, block-parallel): the factor matrices
     // are the MODEL ARTIFACT (fit floats never enter the checked
@@ -435,6 +475,27 @@ object MlQueries {
          |       (CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END) +
          |       (CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS INT) AS bin
          |FROM orders, b""".stripMargin,
+
+
+    // neighbor lookup replayed from the SAME stored unit vectors
+    "q187_word2vec" ->
+      s"""WITH v AS (
+         |  SELECT word, u
+         |  FROM read_parquet('${predsPath("q187_w2v")}/*.parquet')
+         |), sc AS (
+         |  SELECT a.word AS w1, b.word AS w2,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.u)), i ->
+         |      CAST(floor(a.u[i] * b.u[i] * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS sim_q
+         |  FROM v a, v b WHERE a.word <> b.word
+         |), r AS (
+         |  SELECT w1, w2, sim_q,
+         |         row_number() OVER (PARTITION BY w1
+         |                            ORDER BY sim_q DESC, w2 ASC) AS rk
+         |  FROM sc
+         |)
+         |SELECT w1, w2, sim_q, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 3""".stripMargin,
 
 
     // serve replayed from the SAME persisted factor matrices: identical

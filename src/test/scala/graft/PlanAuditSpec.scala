@@ -113,7 +113,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val excluded = Set("q17_sim_topk", "q23_lr_confusion", "q27_pair_scoring",
       "q28_sim_ivf", "q57_sim_pq", "q58_sim_ivfpq", "q93_sessionize_stream",
       "q94_ivfpq_serving", "q98_tumbling_stream", "q99_keyed_state_stream",
-      "q102_join_stream", "q137_ann_recall", "q186_als_recs")
+      "q102_join_stream", "q137_ann_recall", "q186_als_recs",
+      "q187_word2vec")
     def flatten(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(flatten)
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
     assert(names.size >= 80, s"audit should cover the whole map, got ${names.size}")
