@@ -348,6 +348,41 @@ object TextQueries {
     }),
 
 
+    // corpus-drift monitor (distribution-shift report between two
+    // snapshot halves): per token the add-one-smoothed log prevalence
+    // ratio q = ⌊10⁶·ln((c1+1)(N0+V) / ((c0+1)(N1+V)))⌋ — the Lm
+    // discipline: ONE double expression evaluated on exact integer
+    // counts, so it is hash-stable across engines — and the top-10
+    // drifters by |mass| = |(c1+1)·q|. Three hash aggs + a
+    // vocabulary-sized full-outer join; nothing corpus-sized past the
+    // token counts.
+    "q188_corpus_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      def counts(half: Int) = d.filter(col("doc_id") % 2 === half)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(s"c$half"))
+      val joined = counts(0).join(counts(1), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1"))
+      val tot = joined.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        count(lit(1)).as("v"))
+      val q = joined.crossJoin(broadcast(tot))
+        .withColumn("q_unats",
+          floor(lit(1e6) * log(
+            ((col("c1") + 1) * (col("n0") + col("v"))).cast("double") /
+              ((col("c0") + 1) * (col("n1") + col("v"))).cast("double")))
+            .cast("long"))
+        .withColumn("mass", (col("c1") + 1) * col("q_unats"))
+      q.withColumn("rk", row_number().over(
+          Window.orderBy(abs(col("mass")).desc, col("token").asc)))
+        .filter(col("rk") <= 10)
+        .select(col("token"), col("c0"), col("c1"), col("q_unats"),
+          col("mass"), col("rk").cast("int").as("rk"))
+    }),
+
+
     // the data-MIXING pipeline composed end-to-end: per-source doc
     // budgets from q119's temperature allocation (√-scaled, Hamilton
     // rounding sums exactly to 500) → quality-ranked draw within each
@@ -868,6 +903,40 @@ object TextQueries {
         |       CAST(total_tokens AS BIGINT) AS total_tokens,
         |       CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
         |FROM r WHERE rank IN (5, 15, 30)""".stripMargin,
+
+
+    // same counts, same one-double-ln-on-integers quantization
+    "q188_corpus_drift" ->
+      """WITH t0 AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), t1 AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), c0 AS (SELECT token, CAST(count(*) AS BIGINT) AS c0 FROM t0 GROUP BY 1),
+        |c1 AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM t1 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(c0.token, c1.token) AS token,
+        |         COALESCE(c0.c0, 0) AS c0, COALESCE(c1.c1, 0) AS c1
+        |  FROM c0 FULL JOIN c1 ON c0.token = c1.token
+        |), tot AS (
+        |  SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS v FROM j
+        |), q AS (
+        |  SELECT token, c0, c1,
+        |         CAST(floor(1e6 * ln(
+        |           CAST((c1 + 1) * (n0 + v) AS DOUBLE) /
+        |           CAST((c0 + 1) * (n1 + v) AS DOUBLE))) AS BIGINT) AS q_unats
+        |  FROM j, tot
+        |), m AS (
+        |  SELECT token, c0, c1, q_unats,
+        |         CAST((c1 + 1) * q_unats AS BIGINT) AS mass
+        |  FROM q
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY abs(mass) DESC, token ASC) AS rk
+        |  FROM m
+        |)
+        |SELECT token, c0, c1, q_unats, mass, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 10""".stripMargin,
 
 
     // q119's allocation CTEs (doc-count weights) + q136's window + the
