@@ -912,6 +912,38 @@ object RelationalQueries {
     }),
 
 
+    // deterministic Poisson(1) bootstrap replicates — distributed error
+    // bars: each (event, replicate r) draws a weight from the Poisson
+    // inverse CDF evaluated on a 56-bit md5 uniform (content-addressed:
+    // the same row gets the same weight on any cluster), thresholds
+    // pre-quantized to exact integer literals so the draw is pure
+    // integer comparison. Output = per (type, replicate) exact integer
+    // sufficient stats (Σw, Σw·cents) + the one-division mean; the
+    // replicate spread IS the standard error. One explode (×16) + one
+    // grouped pass.
+    "q189_bootstrap" -> ((s, dir) => {
+      val th = Seq(26508507426831584L, 53017014853663168L,
+        66271268567078960L, 70689353138217560L, 71793874281002208L)
+      val u = conv(substring(md5(
+        concat(col("event_id").cast("string"), lit(":"),
+          col("r").cast("string"))), 1, 14), 16, 10).cast("long")
+      val w = th.map(t => when(u >= t, 1L).otherwise(0L))
+        .reduce(_ + _)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long")
+            .as("cents"))
+        .withColumn("r", explode(typedLit((0 until 16).toList)))
+        .withColumn("w", w)
+        .groupBy(col("event_type"), col("r"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("cents")).as("wsum_cents"))
+        .withColumn("mean_r",
+          col("wsum_cents").cast("double") /
+            (col("n_eff").cast("double") * 100.0))
+    }),
+
+
     // the anti-entropy loop CLOSED: q171's bucket-pruned diff converted
     // to an I/U/D op log and applied back onto v0 — the reconstructed
     // snapshot must equal v1 row-for-row (oracle states v1 directly).
@@ -2006,6 +2038,34 @@ object RelationalQueries {
         |    ON o.o_orderkey = n.o_orderkey AND o.bucket = n.bucket
         |)
         |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+
+    // same md5-uniform, same integer thresholds, same draw
+    "q189_bootstrap" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+        |         unnest(generate_series(0, 15)) AS r
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, r, cents,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+        |                            CAST(r AS VARCHAR)), 1, 14) AS BIGINT) AS u
+        |  FROM e
+        |), wtab AS (
+        |  SELECT event_type, CAST(r AS INT) AS r, cents,
+        |    (CASE WHEN u >= 26508507426831584 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN u >= 53017014853663168 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN u >= 66271268567078960 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN u >= 70689353138217560 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN u >= 71793874281002208 THEN 1 ELSE 0 END) AS w
+        |  FROM d
+        |)
+        |SELECT event_type, r, CAST(sum(w) AS BIGINT) AS n_eff,
+        |       CAST(sum(w * cents) AS BIGINT) AS wsum_cents,
+        |       CAST(sum(w * cents) AS DOUBLE) /
+        |         (CAST(sum(w) AS DOUBLE) * 100.0) AS mean_r
+        |FROM wtab GROUP BY 1, 2""".stripMargin,
 
 
     // diff∘apply is identity: the oracle simply states v1
