@@ -294,9 +294,12 @@ object Temporal {
       keyCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      maxStepGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, "funnel needs at least two steps")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(maxStepGapSeconds.forall(_ > 0),
+      "maxStepGapSeconds must be positive when set")
     def t(step: String) = s"t_$step"
     val base = events.filter(col(typeCol) === steps.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).as(t(steps.head)))
@@ -306,10 +309,19 @@ object Temporal {
           .select(col(keyCol), col(tsCol).as("__ts"))
         // left join keeps entities that stalled at `prev`; the strict
         // `__ts > t_prev` guard lives in the aggregate so a NULL t_prev
-        // (funnel already abandoned) propagates NULL downstream for free
+        // (funnel already abandoned) propagates NULL downstream for free.
+        // With a conversion window, the step must also land within
+        // `maxStepGapSeconds` of the previous step's FIRST-chain time —
+        // a later out-of-window event does not resurrect the funnel
+        // (first-attempt semantics, consistent with the unbounded chain).
+        val inWindow = maxStepGapSeconds match {
+          case None => col("__ts") > col(t(prev))
+          case Some(g) => col("__ts") > col(t(prev)) &&
+            col("__ts") <= col(t(prev)) + expr(s"INTERVAL $g SECONDS")
+        }
         val next = acc.join(si, Seq(keyCol), "left")
           .groupBy(acc.columns.map(col): _*)
-          .agg(min(when(col("__ts") > col(t(prev)), col("__ts"))).as(t(step)))
+          .agg(min(when(inWindow, col("__ts"))).as(t(step)))
         (next, step)
     }._1
     val stage = steps.tail.foldLeft(lit(1)) { (e, step) =>

@@ -912,6 +912,16 @@ object RelationalQueries {
     }),
 
 
+    // q139's strict funnel with CONVERSION WINDOWS: each step counts
+    // only within 24 h of the previous step's first-chain time (the
+    // product-analytics "converted within a day" semantics); an
+    // out-of-window later event does not resurrect the funnel
+    "q190_funnel_windowed" -> ((s, dir) =>
+      ops.Temporal.funnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxStepGapSeconds = Some(86400L))),
+
+
     // deterministic Poisson(1) bootstrap replicates — distributed error
     // bars: each (event, replicate r) draws a weight from the Poisson
     // inverse CDF evaluated on a 56-bit md5 uniform (content-addressed:
@@ -2038,6 +2048,29 @@ object RelationalQueries {
         |    ON o.o_orderkey = n.o_orderkey AND o.bucket = n.bucket
         |)
         |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+
+    // q139's guarded-min chain + the 24 h window bound on each step
+    "q190_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t_view, min(e.ts) AS t_click
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |        AND e.ts > s1.t_view
+        |        AND e.ts <= s1.t_view + INTERVAL 24 HOUR
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+        |       FROM s2 LEFT JOIN events e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |        AND e.ts > s2.t_click
+        |        AND e.ts <= s2.t_click + INTERVAL 24 HOUR
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |       CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
+        |            AS INT) AS stage
+        |FROM s3""".stripMargin,
 
 
     // same md5-uniform, same integer thresholds, same draw

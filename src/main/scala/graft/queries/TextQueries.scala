@@ -348,6 +348,31 @@ object TextQueries {
     }),
 
 
+    // mergeable distinct-count sketches (Apache DataSketches HLL via
+    // Spark 4's hll_sketch_agg/hll_union_agg): per-shard partial
+    // sketches union-merge to the same state as a global sketch — the
+    // 100 TB COUNT(DISTINCT) pattern: no re-shuffle of raw values when
+    // shards/partitions/days are combined, just kilobyte sketch merges.
+    // DataSketches has no DuckDB mirror ⇒ rows-only; ProfileSpec pins
+    // the merge law (shard-union estimate == one-shot estimate, exact)
+    // and the error bound vs exact distinct.
+    "q191_hll_mergeable" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), (col("doc_id") % 4).as("shard"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+      val merged = toks
+        .groupBy(col("source"), col("shard"))
+        .agg(expr("hll_sketch_agg(token, 12)").as("sk"))
+        .groupBy(col("source"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("hll_est"))
+      toks.groupBy(col("source"))
+        .agg(count_distinct(col("token")).as("exact_nd"))
+        .join(merged, "source")
+        .select(col("source"), col("exact_nd"), col("hll_est"))
+    }),
+
+
     // corpus-drift monitor (distribution-shift report between two
     // snapshot halves): per token the add-one-smoothed log prevalence
     // ratio q = ⌊10⁶·ln((c1+1)(N0+V) / ((c0+1)(N1+V)))⌋ — the Lm

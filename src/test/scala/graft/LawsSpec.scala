@@ -46,6 +46,30 @@ class LawsSpec extends AnyFunSuite {
         }
       }
       assert(got === want, s"round $round diverged")
+
+      // windowed variant: each step must land within 10 min of the
+      // previous step's first-chain time
+      val gapMs = 600000L
+      val gotW = graft.ops.Temporal
+        .funnel(events.toDF("u", "t", "ty"), "u", "t", "ty", steps,
+          maxStepGapSeconds = Some(gapMs / 1000))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+            Option(r.getTimestamp(3)), r.getInt(4)))).toMap
+      val wantW = events.groupBy(_._1).flatMap { case (u, evs) =>
+        def minIn(step: String, after: Option[Timestamp]) =
+          after.flatMap(a => evs.filter(e => e._3 == step && e._2.after(a) &&
+              e._2.getTime <= a.getTime + gapMs)
+            .map(_._2).sortBy(_.getTime).headOption)
+        val t1 = evs.filter(_._3 == "a").map(_._2).sortBy(_.getTime).headOption
+        if (t1.isEmpty) None else {
+          val t2 = minIn("b", t1)
+          val t3 = minIn("c", t2)
+          Some(u -> ((t1, t2, t3, 1 + t2.size + t3.size)))
+        }
+      }
+      assert(gotW === wantW, s"round $round windowed diverged")
     }
   }
 

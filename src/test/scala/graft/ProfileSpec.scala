@@ -78,6 +78,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(b.getAs[Double]("wmean") === 6.0)
   }
 
+  test("HLL merge law: shard-union estimate equals one-shot estimate; error bounded") {
+    import org.apache.spark.sql.functions.{expr, col}
+    // 60k values, 20k distinct — dense HLL regime, where merge order
+    // could plausibly matter if sketches weren't truly mergeable
+    val df = spark.range(60000)
+      .selectExpr("id % 8 AS shard", "CAST(id % 20000 AS STRING) AS v")
+    val oneShot = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 12))"))
+      .collect()(0).getLong(0)
+    val viaShards = df.groupBy(col("shard"))
+      .agg(expr("hll_sketch_agg(v, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .collect()(0).getLong(0)
+    assert(viaShards === oneShot,
+      "union of per-shard sketches must reach the SAME estimate as one pass")
+    assert(math.abs(oneShot - 20000L) < 1000L,
+      s"lgK=12 HLL must land within ~5% of the exact 20k, got $oneShot")
+  }
+
   test("expectations: NULL counts as violation; uniqueness counts duplicated-key rows") {
     val df = Seq(
       (Some(1L), Some(10.0)),
