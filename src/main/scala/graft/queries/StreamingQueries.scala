@@ -410,6 +410,39 @@ object StreamingQueries {
     }),
 
 
+    // streaming COUNT(DISTINCT) maintenance: per-batch kilobyte HLL
+    // sketches appended, estimate = union over the partials table —
+    // raw values never re-shuffle. DataSketches has no DuckDB mirror ⇒
+    // rows-only; StreamsSpec pins the streamed estimate within 1%
+    // of the one-shot estimate and ~5% of the exact count (HLL union
+    // is mergeable with bounded error, not bit-identical).
+    "q192_hll_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"))
+      val root = predsPath(s"q192_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.distinctSketchStream(s, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt", "event_type", "user_id")
+    }),
+
+
+    // streaming quantile maintenance via mergeable INTEGER histograms:
+    // per-batch (key, bucket) counts appended, quantiles served from
+    // the cumulated histogram — associative integer counts make this
+    // one ORACLE-CHECKABLE (unlike float sketches): the drained
+    // histogram must equal the one-shot binning whatever the batch split
+    "q193_histogram_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value"))
+      val root = predsPath(s"q193_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.histogramQuantileStream(s, s"$root/events",
+        ev.schema, s"$root/partials", s"$root/ckpt",
+        "event_type", "value", bucketWidth = 10.0,
+        percentilesPpm = Seq(500000L, 900000L, 990000L))
+    }),
+
+
     // q172's OHLC bars EXECUTED AS A STREAM: open/close as min_by/
     // max_by over the unique (ts, event_id) struct order — the batch
     // row_number trick has no streaming form, the struct-argmin does;
@@ -645,6 +678,28 @@ object StreamingQueries {
         |              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
         |            AS INT) AS stage
         |FROM s3""".stripMargin,
+
+
+    // the one-shot equi-width binning + histogram-quantile rule — the
+    // streamed per-batch partials must cumulate to exactly this
+    "q193_histogram_stream" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, bucket,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(n) OVER (PARTITION BY event_type) AS total
+        |  FROM h
+        |), p(p_ppm) AS (VALUES (500000), (900000), (990000))
+        |SELECT c.event_type, CAST(p.p_ppm AS BIGINT) AS p_ppm,
+        |       min(c.bucket) AS bucket,
+        |       CAST(min(c.bucket) AS DOUBLE) * 10.0 AS lo_edge
+        |FROM c, p
+        |WHERE c.cum * 1000000 >= c.total * p.p_ppm
+        |GROUP BY 1, 2""".stripMargin,
 
 
     // q172's batch bar SQL — the streamed windowed min_by/max_by state

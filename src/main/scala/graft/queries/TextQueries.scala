@@ -354,8 +354,8 @@ object TextQueries {
     // 100 TB COUNT(DISTINCT) pattern: no re-shuffle of raw values when
     // shards/partitions/days are combined, just kilobyte sketch merges.
     // DataSketches has no DuckDB mirror ⇒ rows-only; ProfileSpec pins
-    // the merge law (shard-union estimate == one-shot estimate, exact)
-    // and the error bound vs exact distinct.
+    // the merge law (shard-union estimate within 1% of one-shot) and
+    // the error bound vs exact distinct.
     "q191_hll_mergeable" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("source"), (col("doc_id") % 4).as("shard"),

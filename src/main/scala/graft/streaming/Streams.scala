@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -661,6 +662,103 @@ object Streams {
     spark.read.parquet(tableDir)
       .select(col(keyCol), col("n_events"),
         col("sum_dec").cast("double").as("sum_value"))
+  }
+
+  /** Streaming distinct-count maintenance via mergeable DataSketches
+    * HLL: each micro-batch reduces to per-key KILOBYTE sketches appended
+    * to a partials table; the final estimate union-merges them — the
+    * 100 TB streaming COUNT(DISTINCT) that never re-shuffles raw values
+    * and whose state lives in the table, not engine memory. Sketch
+    * union carries the same error bound as a one-shot sketch (NOT bit
+    * equality — the union operator's coupon handling differs; the merge
+    * law in ProfileSpec/StreamsSpec asserts the bound). */
+  def distinctSketchStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      valueCol: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col(keyCol))
+          .agg(expr(s"hll_sketch_agg($valueCol, 12)").as("sk"))
+          .coalesce(1)
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow distinct-sketch stream must drain")
+    spark.read.parquet(partialsDir)
+      .groupBy(col(keyCol))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .as("distinct_est"))
+  }
+
+  /** Streaming quantile maintenance via mergeable integer histograms:
+    * each micro-batch reduces to per-(key, fixed-width bucket) counts
+    * appended to a partials table (integer counts — associative, so the
+    * merged histogram is batch-split-invariant and ORACLE-CHECKABLE,
+    * unlike float sketches); serving reads the rules-sized histogram,
+    * cumulates, and returns the first bucket whose cumulative count
+    * reaches p·N — the equi-width-histogram quantile, deterministic to
+    * the bucket boundary. */
+  def histogramQuantileStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      valueCol: String,
+      bucketWidth: Double,
+      percentilesPpm: Seq[Long],
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(percentilesPpm.nonEmpty &&
+      percentilesPpm.forall(p => p > 0 && p <= 1000000L),
+      "percentilesPpm must be in (0, 1e6]")
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col(keyCol),
+            floor(col(valueCol) / lit(bucketWidth)).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .coalesce(1)
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow histogram stream must drain")
+    val hist = spark.read.parquet(partialsDir)
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy(col(keyCol))))
+    percentilesPpm.map { p =>
+      cum.filter(col("cum") * 1000000L >= col("total") * p)
+        .groupBy(col(keyCol))
+        .agg(min(col("bucket")).as("bucket"))
+        .select(col(keyCol), lit(p).as("p_ppm"), col("bucket"),
+          (col("bucket").cast("double") * bucketWidth).as("lo_edge"))
+    }.reduce(_ unionByName _)
   }
 
   /** Streaming data-quality gate — [[graft.ops.Profile.expectations]]

@@ -421,6 +421,31 @@ class StreamsSpec extends AnyFunSuite {
       "the late keys' bucket must have been rewritten")
   }
 
+  test("distinctSketchStream: streamed HLL estimate equals the one-shot estimate") {
+    val root = s"target/tmp/streams/hll_${System.nanoTime()}"
+    val a = (1L to 5000L).map(i => (s"k${i % 3}", i % 1200)).toDF("k", "v")
+    a.repartition(4).write.parquet(s"$root/events")
+    val streamed = graft.streaming.Streams.distinctSketchStream(spark,
+        s"$root/events", a.schema, s"$root/partials", s"$root/ckpt",
+        "k", "v", maxFilesPerTrigger = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = a.groupBy($"k")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 12))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL union is NOT state-identical to a single-pass sketch (the
+    // union operator's coupon promotion differs) — the contract is the
+    // ERROR BOUND, not bit equality: both must land within ~1% of each
+    // other and of the exact count (each key sees 400 distinct values:
+    // i ≡ r (mod 3) stepping through i % 1200)
+    assert(streamed.keySet === oneShot.keySet)
+    streamed.foreach { case (k, est) =>
+      assert(math.abs(est - oneShot(k)).toDouble / oneShot(k) < 0.01,
+        s"$k: streamed $est vs one-shot ${oneShot(k)}")
+      assert(math.abs(est - 400L) < 20L,
+        s"$k: estimate $est must be within ~5% of the exact 400")
+    }
+  }
+
   test("dqReportStream: multi-batch report equals one-shot expectations; restart folds only new rows") {
     val root = s"target/tmp/streams/dq_${System.nanoTime()}"
     val rules = Seq(
