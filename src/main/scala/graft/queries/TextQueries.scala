@@ -348,6 +348,19 @@ object TextQueries {
     }),
 
 
+    // WITHIN-doc line dedup (the in-doc half of C4's repetition
+    // cleanup; q118 is the cross-doc half): repetition injected
+    // deterministically (docs %4 double their whole text), first
+    // occurrence keeps, order preserved
+    "q194_within_doc_dedup" -> ((s, dir) =>
+      text.Lines.dedupLinesWithinDoc(
+        Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(". "), col("text")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text")),
+
+
     // mergeable distinct-count sketches (Apache DataSketches HLL via
     // Spark 4's hll_sketch_agg/hll_union_agg): per-shard partial
     // sketches union-merge to the same state as a global sketch — the
@@ -928,6 +941,32 @@ object TextQueries {
         |       CAST(total_tokens AS BIGINT) AS total_tokens,
         |       CAST(cum_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
         |FROM r WHERE rank IN (5, 15, 30)""".stripMargin,
+
+
+    // same staging, same first-occurrence rule; string_agg ORDER BY the
+    // first-occurrence position rebuilds the surviving text
+    "q194_within_doc_dedup" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0 THEN text || '. ' || text
+        |              ELSE text END AS text
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, bg.pos AS pos, bg.sent AS sent FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(string_split(lower(text), '. '),
+        |             (x, i) -> struct_pack(pos := i, sent := x))) AS bg
+        |    FROM staged)
+        |  WHERE trim(sent) <> ''
+        |), f AS (
+        |  SELECT doc_id, sent, min(pos) AS pos,
+        |         CAST(count(*) AS BIGINT) AS occ
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_sent,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(sent, '. ' ORDER BY pos), '') AS text
+        |FROM f GROUP BY doc_id""".stripMargin,
 
 
     // same counts, same one-double-ln-on-integers quantization

@@ -52,4 +52,36 @@ object Lines {
       .withColumn("n_kept", col("n_sent") - col("n_boiler"))
       .select(col(idCol), col("n_sent"), col("n_kept"), col("text"))
   }
+
+  /** WITHIN-document exact line dedup — the complement of
+    * [[dropBoilerplateLines]]'s cross-document rule: each sentence keeps
+    * its FIRST occurrence inside its own document and later repeats drop
+    * (the in-doc half of C4's repetition cleanup; cheap enough to run
+    * before any cross-doc pass because it needs no corpus-wide state).
+    * Surviving sentences re-join in original order.
+    *
+    * Scale shape: one groupBy on (doc, sentence) — co-partitioned with
+    * the per-doc re-aggregation that follows, so the whole operator is
+    * one hash exchange on the document key. */
+  def dedupLinesWithinDoc(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val sent = docs
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\. ")).as(Seq("pos", "sent")))
+      .filter(trim(col("sent")) =!= "")
+    sent.groupBy(col(idCol), col("sent"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("occ"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("occ")).as("n_sent"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("sent")))),
+            x => x.getField("sent")),
+          ". ").as("text"))
+      .select(col(idCol), col("n_sent"), col("n_kept"), col("text"))
+  }
 }
