@@ -495,6 +495,28 @@ object LayoutQueries {
     // COMPOSITION — the survivors-only corpus enters the packer, and
     // the packed layout is a pure function of content, so the oracle
     // rebuilds it from the raw tables alone.
+    // targeted key deletion in a bucketed lake table (GDPR /
+    // right-to-be-forgotten): the delete set prunes to its md5 buckets,
+    // only those partitions are read+rewritten (SourcesSpec proves
+    // untouched buckets bit-identical); the md5 layout makes the
+    // per-bucket report oracle-replayable. Fresh table per run — the
+    // operator MUTATES its table.
+    "q195_targeted_delete" -> ((s, dir) => {
+      val mdBucket = pmod(
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(16L)).cast("int")
+      val base = ordersSnapshot(s, dir)
+      val tableDir = predsPath(s"q195_table_${System.nanoTime()}")
+      base.withColumn("kb", mdBucket)
+        .write.mode("overwrite").partitionBy("kb").parquet(tableDir)
+      sources.Sources.deleteKeysBucketed(s, tableDir,
+        Seq("o_orderkey"), nBuckets = 16,
+        toDelete = base.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey")),
+        bucket = Some(mdBucket))
+    }),
+
+
     // aggregate-navigator serve: monthly metrics answered from a
     // PERSISTED daily rollup (events → daily once; month = re-aggregate
     // of the ~1000× smaller daily table) — correct because count and
@@ -913,6 +935,25 @@ object LayoutQueries {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri
         |) GROUP BY 1""".stripMargin,
+
+
+    // per-touched-bucket report rebuilt from the same md5 layout rule
+    "q195_targeted_delete" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |              AS BIGINT) % 16 AS kb
+        |  FROM orders
+        |), d AS (
+        |  SELECT DISTINCT kb FROM b WHERE o_orderkey % 97 = 0
+        |)
+        |SELECT CAST(b.kb AS INT) AS kb,
+        |       CAST(count(*) AS BIGINT) AS n_before,
+        |       CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_deleted,
+        |       CAST(count(*) - sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_after
+        |FROM b JOIN d USING (kb) GROUP BY 1""".stripMargin,
 
 
     // the month computed DIRECTLY from raw events — re-aggregation of

@@ -198,6 +198,67 @@ object Sources {
     df.withColumn("kb", keyBucket(keys, nBuckets))
       .write.mode("overwrite").partitionBy("kb").parquet(path)
 
+  /** Targeted key deletion in a key-bucketed table (the GDPR /
+    * right-to-be-forgotten primitive): the delete set's keys hash to a
+    * bounded set of `kb=` partitions; ONLY those are read, anti-joined,
+    * and dynamically overwritten — every untouched bucket's files stay
+    * bit-identical, so deleting k keys from a 100 TB table costs
+    * O(touched buckets), not a table rewrite. Returns the per-bucket
+    * deletion report (n_before / n_deleted / n_after).
+    *
+    * `bucket` must be the SAME function the table was written with
+    * (default: [[keyBucket]], the xxhash64 layout; pass an md5-based
+    * column for engine-portable layouts). Both the kept rows and the
+    * before-counts are localCheckpoint-materialized BEFORE the
+    * overwrite — reading and rewriting the same directories in one lazy
+    * plan would race the delete against its own input. */
+  def deleteKeysBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      toDelete: DataFrame,
+      bucket: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val kb = bucket.getOrElse(keyBucket(keys, nBuckets))
+    val del = toDelete.select(keys.map(col): _*).distinct()
+      .withColumn("kb", kb)
+      .localCheckpoint(true)
+    val touched = del.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nBuckets
+    if (touched.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Int, Long, Long, Long)]
+        .toDF("kb", "n_before", "n_deleted", "n_after")
+    }
+    val cur = spark.read.parquet(tableDir)
+      .filter(col("kb").isin(touched.map(Int.box): _*))
+    val before = cur.groupBy(col("kb"))
+      .agg(count(lit(1)).as("n_before")).localCheckpoint(true)
+    val kept = cur
+      .join(del.select(keys.map(col): _*), keys, "left_anti")
+      .localCheckpoint(true)
+    // dynamic overwrite only rewrites partitions PRESENT in the written
+    // frame — a bucket whose every row was deleted must have its
+    // directory dropped explicitly or the dead rows would survive
+    val survived = kept.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    touched.filterNot(survived).foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/kb=$b")
+      p.getFileSystem(hconf).delete(p, true)
+    }
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb").parquet(tableDir)
+    before
+      .join(kept.groupBy(col("kb")).agg(count(lit(1)).as("n_after")),
+        Seq("kb"), "left_outer")
+      .select(col("kb"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .withColumn("n_deleted", col("n_before") - col("n_after"))
+      .select(col("kb"), col("n_before"), col("n_deleted"), col("n_after"))
+  }
+
   /** Provenance tagging: attach the source file (and optionally its
     * basename shard key) to every row at scan time — the audit column a
     * curation pipeline carries so any surviving document can be traced

@@ -443,6 +443,44 @@ class SourcesSpec extends AnyFunSuite {
       "compressed size must not exceed uncompressed for the sorted key")
   }
 
+  test("deleteKeysBucketed: untouched buckets bit-identical, emptied bucket dir dropped, content exact") {
+    import graft.sources.Sources
+    val root = s"target/tmp/sources/del_${System.nanoTime()}/t"
+    // 4 buckets by k % 4 (a portable stand-in bucket function); bucket 3
+    // will be deleted ENTIRELY (keys 3, 7, 11, ...)
+    val bucket = org.apache.spark.sql.functions.pmod(col("k"), lit(4)).cast("int")
+    val base = (1L to 100L).map(k => (k, s"p$k")).toDF("k", "p")
+    base.withColumn("kb", bucket)
+      .write.partitionBy("kb").parquet(root)
+    def files(): Map[String, Set[String]] =
+      new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet)
+        .toMap
+    val before = files()
+    // delete: every key ≡ 3 (mod 4)  → bucket 3 fully emptied; plus key
+    // 8 → bucket 0 partially rewritten; buckets 1, 2 untouched
+    val toDel = ((3L to 100L by 4L) :+ 8L).toDF("k")
+    val report = Sources.deleteKeysBucketed(spark, root, Seq("k"), 4,
+        toDel, bucket = Some(bucket))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(report === Map(
+      0 -> ((25L, 1L, 24L)),   // key 8 deleted
+      3 -> ((25L, 25L, 0L))),  // whole bucket gone
+      "report must cover exactly the touched buckets")
+    val after = files()
+    assert(!after.contains("kb=3"), "fully-emptied bucket dir must be dropped")
+    assert(after("kb=1") === before("kb=1") && after("kb=2") === before("kb=2"),
+      "untouched buckets must keep their exact files")
+    assert(after("kb=0") !== before("kb=0"), "touched bucket rewritten")
+    val remaining = spark.read.parquet(root).select($"k").as[Long]
+      .collect().toSet
+    assert(remaining === (1L to 100L).filterNot(k => k % 4 == 3 || k == 8L).toSet,
+      "surviving content must equal the anti-join exactly")
+  }
+
   test("saltedJoin returns exactly the plain join result (skew mitigation)") {
     val o = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"), col("o_totalprice"))
     val li = Tables.lineitem(spark, TestSpark.sf).select(col("l_orderkey"), col("l_quantity"))
