@@ -495,6 +495,30 @@ object LayoutQueries {
     // COMPOSITION — the survivors-only corpus enters the packer, and
     // the packed layout is a pure function of content, so the oracle
     // rebuilds it from the raw tables alone.
+    // write-audit-publish gate: the batch stages, the DQ suite audits
+    // the STAGED BYTES, and only an all-pass report atomically promotes
+    // staging to publish — the checked aggregate reads FROM THE
+    // PUBLISHED DIR, so a hash match proves the content crossed the
+    // gate unchanged (SourcesSpec proves the failing-gate half: old
+    // publish untouched)
+    "q196_write_audit_publish" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = predsPath(s"q196_${System.nanoTime()}")
+      val (ok, _) = sources.Sources.writeAuditPublish(docs,
+        s"$root/staging", s"$root/published", Seq(
+          "doc_id_not_null" -> col("doc_id").isNull,
+          "text_not_null" -> col("text").isNull,
+          "n_chars_consistent" ->
+            (length(col("text")).cast("long") =!= col("n_chars"))))
+      require(ok, "WAP gate must pass on the clean fixture")
+      s.read.parquet(s"$root/published")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+
     // targeted key deletion in a bucketed lake table (GDPR /
     // right-to-be-forgotten): the delete set prunes to its md5 buckets,
     // only those partitions are read+rewritten (SourcesSpec proves
@@ -935,6 +959,14 @@ object LayoutQueries {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri
         |) GROUP BY 1""".stripMargin,
+
+
+    // the published table must equal the source — stated directly
+    "q196_write_audit_publish" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1""".stripMargin,
 
 
     // per-touched-bucket report rebuilt from the same md5 layout rule

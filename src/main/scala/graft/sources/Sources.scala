@@ -259,6 +259,40 @@ object Sources {
       .select(col("kb"), col("n_before"), col("n_deleted"), col("n_after"))
   }
 
+  /** Write-audit-publish (the WAP gate): the batch lands in a STAGING
+    * directory, the data-quality expectation suite runs over the staged
+    * bytes (never the in-memory frame — what was audited is exactly what
+    * readers will see), and only an all-pass report promotes staging to
+    * the publish directory via an atomic directory rename; on any
+    * failing rule the current publish is left untouched and staging
+    * remains for inspection. Readers never observe a half-written or
+    * failed batch.
+    *
+    * Returns (published?, the per-rule report). The rename is
+    * filesystem-atomic on HDFS/local (object stores substitute a
+    * manifest swap — same contract, different primitive). */
+  def writeAuditPublish(
+      df: DataFrame,
+      stagingDir: String,
+      publishDir: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): (Boolean, DataFrame) = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").parquet(stagingDir)
+    val report = graft.ops.Profile
+      .expectations(spark.read.parquet(stagingDir), rules)
+      .localCheckpoint(true)
+    val pass = report.filter(!col("pass")).isEmpty
+    if (pass) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val pub = new org.apache.hadoop.fs.Path(publishDir)
+      val fs = pub.getFileSystem(hconf)
+      if (fs.exists(pub)) fs.delete(pub, true)
+      fs.mkdirs(pub.getParent)
+      fs.rename(new org.apache.hadoop.fs.Path(stagingDir), pub)
+    }
+    (pass, report)
+  }
+
   /** Provenance tagging: attach the source file (and optionally its
     * basename shard key) to every row at scan time — the audit column a
     * curation pipeline carries so any surviving document can be traced

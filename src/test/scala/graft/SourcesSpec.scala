@@ -481,6 +481,32 @@ class SourcesSpec extends AnyFunSuite {
       "surviving content must equal the anti-join exactly")
   }
 
+  test("writeAuditPublish: failing gate leaves the old publish untouched; passing gate swaps atomically") {
+    import graft.sources.Sources
+    val root = s"target/tmp/sources/wap_${System.nanoTime()}"
+    val rules = Seq("v_not_null" -> col("v").isNull)
+    val good = Seq((1L, Some("a")), (2L, Some("b"))).toDF("k", "v")
+    val (ok1, rep1) = Sources.writeAuditPublish(good,
+      s"$root/staging", s"$root/pub", rules)
+    assert(ok1 && rep1.collect().forall(_.getBoolean(3)))
+    assert(spark.read.parquet(s"$root/pub").count() === 2)
+    assert(!new java.io.File(s"$root/staging").exists(),
+      "staging must have been renamed away on publish")
+
+    // second batch VIOLATES the rule: the published v1 must survive,
+    // the bad bytes stay quarantined in staging
+    val bad = Seq((3L, Some("c")), (4L, None: Option[String])).toDF("k", "v")
+    val (ok2, rep2) = Sources.writeAuditPublish(bad,
+      s"$root/staging", s"$root/pub", rules)
+    assert(!ok2)
+    assert(rep2.filter(!$"pass").count() === 1L)
+    assert(spark.read.parquet(s"$root/pub").select($"k").as[Long]
+      .collect().toSet === Set(1L, 2L),
+      "failed audit must not touch the published table")
+    assert(new java.io.File(s"$root/staging").exists(),
+      "failed batch stays staged for inspection")
+  }
+
   test("saltedJoin returns exactly the plain join result (skew mitigation)") {
     val o = Tables.orders(spark, TestSpark.sf).select(col("o_orderkey"), col("o_totalprice"))
     val li = Tables.lineitem(spark, TestSpark.sf).select(col("l_orderkey"), col("l_quantity"))
