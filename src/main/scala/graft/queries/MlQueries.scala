@@ -188,6 +188,49 @@ object MlQueries {
     // sort key pin both properties for the oracle. At 100 TB this frame
     // feeds repartitionByRange(shard, sk) → writePartitioned verbatim;
     // here the stats aggregate is the checked surface.
+    // cheap document embeddings from word vectors (the SIF/fastText
+    // averaging shape): doc_vec[d] = Σ_tokens idf_weight · word_vec[d],
+    // with BOTH factors integer-quantized BEFORE the sum (per-dim
+    // floor(u·10⁶) from the stored unit vectors × the 10⁶ div df
+    // rarity weight) so the reduction is an associative BIGINT sum —
+    // order-free, artifact-replayable. Word vectors fit once here
+    // (own artifact — queries must not depend on each other's run
+    // order); serve = sampled docs × vocabulary broadcast.
+    "q197_doc_embeddings" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("words"))
+      new org.apache.spark.ml.feature.Word2Vec()
+        .setInputCol("words").setOutputCol("vec")
+        .setVectorSize(16).setMinCount(2).setSeed(42L).setMaxIter(1)
+        .fit(toks).getVectors
+        .select(col("word"),
+          org.apache.spark.ml.functions.vector_to_array(col("vector"))
+            .as("v"))
+        .select(col("word"),
+          expr("""transform(v, x -> cast(floor(x / sqrt(aggregate(v,
+                    cast(0.0 as double), (a, y) -> a + y * y)) * 1000000)
+                    as bigint))""").as("u_q"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q197_w2v"))
+      val vecs = s.read.parquet(predsPath("q197_w2v"))
+      val df = TextOps.docFreq(docs, "doc_id", "text")
+        .withColumn("w_q", expr("1000000 div df"))
+      val exploded = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+      exploded
+        .join(broadcast(vecs), "word")
+        .join(broadcast(df.select(col("token").as("word"), col("w_q"))),
+          "word")
+        .select(col("doc_id"), col("w_q"),
+          posexplode(col("u_q")).as(Seq("dim", "v_q")))
+        .groupBy(col("doc_id"), col("dim").cast("int").as("dim"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("v_q") * col("w_q")).as("emb_q"))
+    }),
+
+
     // word embeddings via MLlib Word2Vec (skip-gram, distributed
     // Hogwild fit): the UNIT-NORMALIZED vectors are the persisted model
     // artifact (training floats never in the checked surface); serve =
@@ -487,6 +530,35 @@ object MlQueries {
          |       (CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END) +
          |       (CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS INT) AS bin
          |FROM orders, b""".stripMargin,
+
+
+    // per-term integer quantization replayed from the SAME stored
+    // quantized vectors + the q14 df formulation
+    "q197_doc_embeddings" ->
+      s"""WITH v AS (
+         |  SELECT word, u_q
+         |  FROM read_parquet('${predsPath("q197_w2v")}/*.parquet')
+         |), df AS (
+         |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT doc_id,
+         |          unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+         |        FROM documents)
+         |  GROUP BY tok
+         |), e AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents WHERE doc_id % 50 = 0
+         |), x AS (
+         |  SELECT e.doc_id, 1000000 // df.df AS w_q,
+         |         CAST(i - 1 AS INT) AS dim, v.u_q[i] AS v_q
+         |  FROM e
+         |  JOIN v USING (word)
+         |  JOIN df ON e.word = df.word,
+         |  unnest(generate_series(1, len(v.u_q))) AS t(i)
+         |)
+         |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS n_terms,
+         |       CAST(sum(v_q * w_q) AS BIGINT) AS emb_q
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
 
     // neighbor lookup replayed from the SAME stored unit vectors
