@@ -272,23 +272,53 @@ object DedupQueries {
     // components → one canonical cluster id per matched entity. Each
     // stage individually proven; this certifies the COMPOSITION (the
     // record-linkage shape: block, score, cluster, canonicalize).
-    "q173_entity_resolution" -> ((s, dir) => {
-      val pairs = Relational.editDistanceJoin(
-          Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
-          Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
-          "c_name", "s_name",
-          bucket = name => regexp_extract(name, "([0-9]{2})$", 1),
-          maxDist = 7)
-        .select((col("c_custkey") * 2).as("a_node"),
-          (col("s_suppkey") * 2 + 1).as("b_node"))
-      llm.Dedup.dupClusters(pairs, "a_node", "b_node")
-        .select(col("doc_id").as("node"),
-          when(col("doc_id") % 2 === 0, lit("customer"))
-            .otherwise(lit("supplier")).as("kind"),
-          expr("doc_id div 2").as("entity_id"),
-          col("cluster_id"))
+    "q173_entity_resolution" -> ((s, dir) => erClusters(s, dir)),
+
+
+    // the MDM survivorship step closing q173's record-linkage chain:
+    // per matched cluster, a GOLDEN RECORD assembled by per-attribute
+    // rules (lexicographic-min name, max account balance, member/kind
+    // counts) — one attributes union + one grouped pass keyed on the
+    // cluster, all deterministic aggregates
+    "q198_golden_record" -> ((s, dir) => {
+      val attrs = Tables.customer(s, dir)
+        .select(lit("customer").as("kind"),
+          col("c_custkey").as("entity_id"),
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+        .unionByName(Tables.supplier(s, dir)
+          .select(lit("supplier").as("kind"),
+            col("s_suppkey").as("entity_id"),
+            col("s_name").as("name"), col("s_acctbal").as("acctbal")))
+      erClusters(s, dir)
+        .join(attrs, Seq("kind", "entity_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("kind") === "customer", 1L).otherwise(0L))
+            .as("n_customers"),
+          min(col("name")).as("canonical_name"),
+          max(col("acctbal")).as("best_acctbal"))
     }),
   )
+
+  /** q173's shared construction: q65's blocked edit-distance match →
+    * parity-encoded edges (customer 2k / supplier 2k+1) → min-label
+    * connected components → (node, kind, entity_id, cluster_id). */
+  private def erClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Relational.editDistanceJoin(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        "c_name", "s_name",
+        bucket = name => regexp_extract(name, "([0-9]{2})$", 1),
+        maxDist = 7)
+      .select((col("c_custkey") * 2).as("a_node"),
+        (col("s_suppkey") * 2 + 1).as("b_node"))
+    llm.Dedup.dupClusters(pairs, "a_node", "b_node")
+      .select(col("doc_id").as("node"),
+        when(col("doc_id") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("doc_id div 2").as("entity_id"),
+        col("cluster_id"))
+  }
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
     * rows-only checked by the driver (non-portable hash/codec/fit paths,
@@ -756,5 +786,42 @@ object DedupQueries {
         |       CAST(id // 2 AS BIGINT) AS entity_id,
         |       CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY 1, 2, 3""".stripMargin,
+
+
+    // q173's CTEs + the attributes union + the survivorship aggregates
+    "q198_golden_record" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT c_custkey * 2 AS a_node, s_suppkey * 2 + 1 AS b_node
+        |  FROM customer c JOIN supplier s
+        |    ON regexp_extract(c_name, '([0-9]{2})$', 1) =
+        |       regexp_extract(s_name, '([0-9]{2})$', 1)
+        |  WHERE levenshtein(c_name, s_name) <= 7
+        |), edges AS (
+        |  SELECT a_node AS src, b_node AS dst FROM pairs
+        |  UNION ALL SELECT b_node, a_node FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), cl AS (
+        |  SELECT id,
+        |         CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |         CAST(id // 2 AS BIGINT) AS entity_id,
+        |         CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY 1, 2, 3
+        |), attrs AS (
+        |  SELECT 'customer' AS kind, c_custkey AS entity_id,
+        |         c_name AS name, c_acctbal AS acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', s_suppkey, s_name, s_acctbal FROM supplier
+        |)
+        |SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(sum(CASE WHEN cl.kind = 'customer' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_customers,
+        |       min(a.name) AS canonical_name,
+        |       max(a.acctbal) AS best_acctbal
+        |FROM cl JOIN attrs a
+        |  ON cl.kind = a.kind AND cl.entity_id = a.entity_id
+        |GROUP BY 1""".stripMargin,
   )
 }
