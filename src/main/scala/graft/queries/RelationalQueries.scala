@@ -922,6 +922,19 @@ object RelationalQueries {
         maxStepGapSeconds = Some(86400L))),
 
 
+    // the experiment readout PRODUCT teams actually ship: q190's
+    // windowed funnel split by assignment (user_id parity = the q182
+    // variant rule) → per-variant per-stage reach counts; integer
+    // counts only, the conversion-rate division left to the consumer
+    "q199_funnel_ab" -> ((s, dir) =>
+      ops.Temporal.funnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxStepGapSeconds = Some(86400L))
+        .select((col("user_id") % 2).cast("int").as("variant"), col("stage"))
+        .groupBy(col("variant"), col("stage"))
+        .agg(count(lit(1)).as("n_users"))),
+
+
     // deterministic Poisson(1) bootstrap replicates — distributed error
     // bars: each (event, replicate r) draws a weight from the Poisson
     // inverse CDF evaluated on a 56-bit md5 uniform (content-addressed:
@@ -2048,6 +2061,30 @@ object RelationalQueries {
         |    ON o.o_orderkey = n.o_orderkey AND o.bucket = n.bucket
         |)
         |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+
+    // q190's chain + the parity split + the stage histogram
+    "q199_funnel_ab" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t_view, min(e.ts) AS t_click
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |        AND e.ts > s1.t_view
+        |        AND e.ts <= s1.t_view + INTERVAL 24 HOUR
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t_click, min(e.ts) AS t_purchase
+        |       FROM s2 LEFT JOIN events e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |        AND e.ts > s2.t_click
+        |        AND e.ts <= s2.t_click + INTERVAL 24 HOUR
+        |       GROUP BY 1, 2)
+        |SELECT CAST(user_id % 2 AS INT) AS variant,
+        |       CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
+        |            AS INT) AS stage,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM s3 GROUP BY 1, 2""".stripMargin,
 
 
     // q139's guarded-min chain + the 24 h window bound on each step
