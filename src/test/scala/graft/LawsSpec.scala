@@ -124,6 +124,69 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("LAW winsorizedStats == driver brute force on random grouped doubles") {
+    val rnd = new Random(17)
+    for (round <- 1 to 6) {
+      val rows = (1 to 60 + round).map(_ =>
+        (s"g${rnd.nextInt(3)}", math.rint(rnd.nextGaussian() * 5000) / 100.0))
+      val got = graft.ops.Profile
+        .winsorizedStats(rows.toDF("g", "v"), "g", "v")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(6), r.getDouble(7)))).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs0) =>
+        val vs = vs0.map(_._2).sorted
+        val n = vs.size
+        // Spark's exact interpolated percentile: pos = p·(n−1)
+        def pct(p: Double) = {
+          val pos = p * (n - 1)
+          val lo = pos.toInt
+          val frac = pos - lo
+          if (lo + 1 < n) vs(lo) + frac * (vs(lo + 1) - vs(lo)) else vs(lo)
+        }
+        val (pLo, pHi) = (pct(0.05), pct(0.95))
+        val clamped = vs.map(v => math.max(pLo, math.min(pHi, v)))
+        val wsum = clamped.map(v =>
+          BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+            .toLong).sum
+        g -> ((n.toLong, vs.count(_ < pLo).toLong, vs.count(_ > pHi).toLong,
+          wsum, wsum.toDouble / (n * 1e6)))
+      }
+      assert(got === want, s"round $round diverged")
+    }
+  }
+
+  test("LAW sessionPaths == driver brute force on random event streams") {
+    val types = Seq("A", "B", "C", "D")
+    val rnd = new Random(19)
+    for (round <- 1 to 6) {
+      val events = (1 to 50 + round).map { i =>
+        (i.toLong, rnd.nextInt(4) + 1L, ts(rnd.nextInt(300)),
+          types(rnd.nextInt(types.size)))
+      }
+      val got = graft.ops.Temporal
+        .sessionPaths(events.toDF("id", "u", "t", "ty"),
+          "u", "t", "ty", tieCols = Seq("id"), gapSeconds = 1200L)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(3)).toMap
+      val want = events.groupBy(_._2).toSeq.flatMap { case (_, evs0) =>
+        val evs = evs0.sortBy(e => (e._3.getTime, e._1))
+        // split sessions on gaps >= 1200 s, then in-session trigrams
+        val sessions = evs.foldLeft(List.empty[List[(Long, Long, Timestamp, String)]]) {
+          case (acc, e) => acc match {
+            case (cur @ (last :: _)) :: rest
+              if e._3.getTime - last._3.getTime < 1200000L =>
+              (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+        }.map(_.reverse)
+        sessions.flatMap(sess => sess.map(_._4).sliding(3).filter(_.size == 3))
+      }.groupBy(w => (w(0), w(1), w(2))).map { case (k, ws) => k -> ws.size.toLong }
+      assert(got === want, s"round $round diverged")
+    }
+  }
+
   test("LAW intervalConcurrency == brute-force sweep on random interval sets") {
     val rnd = new Random(13)
     for (round <- 1 to 8) {
