@@ -922,6 +922,31 @@ object RelationalQueries {
         maxStepGapSeconds = Some(86400L))),
 
 
+    // LAST-TOUCH attribution (the marketing-analytics asof): each
+    // purchase credits the LATEST preceding view by the same user
+    // within a 24 h lookback — the asofJoin union-window (one shuffle,
+    // no inequality join) + the staleness null-out, rolled up by the
+    // credited view's hour-of-day; NULL hour = unattributed purchases.
+    // Both sides pre-grouped to the (user, ts) grain the asof contract
+    // requires, carrying exact multiplicity weights.
+    "q200_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("n_p"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts")).distinct()
+        .select(col("user_id"), col("ts"), col("ts").as("v_ts"))
+      ops.Temporal.asofJoin(purchases, views,
+          Seq("user_id"), "ts", Seq("v_ts"))
+        .withColumn("v_ok",
+          when(col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"),
+            col("v_ts")))
+        .groupBy(hour(col("v_ok")).cast("int").as("view_hour"))
+        .agg(sum(col("n_p")).as("n_purchases"))
+    }),
+
+
     // the experiment readout PRODUCT teams actually ship: q190's
     // windowed funnel split by assignment (user_id parity = the q182
     // variant rule) → per-variant per-stage reach counts; integer
@@ -2061,6 +2086,28 @@ object RelationalQueries {
         |    ON o.o_orderkey = n.o_orderkey AND o.bucket = n.bucket
         |)
         |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+
+
+    // DuckDB's native ASOF replays the union-window attach; same 24 h
+    // credit rule, same hour rollup
+    "q200_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, CAST(count(*) AS BIGINT) AS n_p
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), v AS (
+        |  SELECT user_id, ts, ts AS v_ts
+        |  FROM (SELECT DISTINCT user_id, ts FROM events
+        |        WHERE event_type = 'view')
+        |), a AS (
+        |  SELECT p.user_id, p.ts, p.n_p, v.v_ts
+        |  FROM p ASOF LEFT JOIN v
+        |    ON p.user_id = v.user_id AND p.ts >= v.ts
+        |)
+        |SELECT CAST(CASE WHEN a.ts <= a.v_ts + INTERVAL 24 HOUR
+        |                 THEN extract(hour FROM a.v_ts) END AS INT)
+        |         AS view_hour,
+        |       CAST(sum(n_p) AS BIGINT) AS n_purchases
+        |FROM a GROUP BY 1""".stripMargin,
 
 
     // q190's chain + the parity split + the stage histogram
