@@ -124,6 +124,31 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("LAW merkleDiff == snapshotDiff on random snapshot pairs across bucket widths") {
+    val rnd = new Random(23)
+    for (round <- 1 to 6) {
+      def snap(mutate: Boolean) = (1L to 80L).flatMap { k =>
+        val dropped = mutate && rnd.nextInt(10) == 0
+        if (dropped) None
+        else Some((k, if (mutate && rnd.nextInt(8) == 0) s"m$k" else s"s$k",
+          (k % 9).toString))
+      }
+      val v0 = snap(mutate = false).toDF("k", "a", "b")
+      val v1 = (snap(mutate = true) ++
+        Seq((900L + round, "new", "0"))).toDF("k", "a", "b")
+      val nBuckets = Seq(4, 16, 64)(round % 3)
+      val got = graft.ops.Relational
+        .merkleDiff(v0, v1, Seq("k"), Seq("a", "b"), nBuckets)
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSet
+      val want = graft.ops.Relational
+        .snapshotDiff(v0, v1, Seq("k"), Seq("a", "b"))
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSet
+      assert(got === want, s"round $round diverged (nBuckets=$nBuckets)")
+    }
+  }
+
   test("LAW winsorizedStats == driver brute force on random grouped doubles") {
     val rnd = new Random(17)
     for (round <- 1 to 6) {
