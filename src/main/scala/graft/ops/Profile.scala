@@ -128,7 +128,12 @@ object Profile {
     * both engines share bit-for-bit. The percentile frames are
     * group-count-sized, so the re-attach join broadcasts; at 100 TB the
     * exact `percentile` swaps for `approx_percentile` without changing
-    * the shape. */
+    * the shape.
+    *
+    * NULL contract: rows with a NULL `valueCol` are EXCLUDED up front
+    * (and surfaced as `n_null`) — without the filter, Spark's
+    * NULL-skipping `least`/`greatest` would silently clamp a missing
+    * value to `p_hi` and count it into the winsorized mean. */
   def winsorizedStats(
       df: DataFrame,
       groupCol: String,
@@ -137,11 +142,14 @@ object Profile {
       pHi: Double = 0.95): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
-    val bounds = df.groupBy(col(groupCol))
+    val nulls = df.filter(col(valueCol).isNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_null"))
+    val present = df.filter(col(valueCol).isNotNull)
+    val bounds = present.groupBy(col(groupCol))
       .agg(
         percentile(col(valueCol), lit(pLo)).as("p_lo"),
         percentile(col(valueCol), lit(pHi)).as("p_hi"))
-    df.join(broadcast(bounds), groupCol)
+    present.join(broadcast(bounds), groupCol)
       .withColumn("w", greatest(least(col(valueCol), col("p_hi")), col("p_lo")))
       .groupBy(col(groupCol))
       .agg(
@@ -153,6 +161,8 @@ object Profile {
         sum(round(col("w") * lit(1e6)).cast("long")).as("wsum_micros"))
       .withColumn("wmean",
         col("wsum_micros").cast("double") / (col("n") * lit(1e6)))
+      .join(broadcast(nulls), Seq(groupCol), "left_outer")
+      .withColumn("n_null", coalesce(col("n_null"), lit(0L)))
   }
 
   /** Data-quality expectation report — the pre-flight assertion suite a
@@ -173,23 +183,24 @@ object Profile {
       rules: Seq[(String, Column)],
       uniqueKeys: Seq[String] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueKeys.nonEmpty, "no expectations given")
-    require(rules.forall(!_._1.contains("'")),
-      "rule names must not contain single quotes")
     val rowPart = if (rules.isEmpty) None else Some {
       val sums = count(lit(1)).as("n_rows") +:
         rules.zipWithIndex.map { case ((_, violated), i) =>
           sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L))
             .as(s"v_$i")
         }
-      // ONE wide scalar aggregate, then stack-unpivoted to long — a
-      // union of per-rule selects would re-run the scan once per rule
-      val pairs = rules.zipWithIndex
-        .map { case ((name, _), i) => s"'$name', v_$i" }.mkString(", ")
+      // ONE wide scalar aggregate, then explode-unpivoted to long — a
+      // union of per-rule selects would re-run the scan once per rule.
+      // The names travel as typed lit()s inside struct/explode, never
+      // through a SQL string, so any rule name (quotes, backslashes,
+      // unicode) round-trips verbatim — no expr() escaping to get wrong.
+      val pairs = rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col(s"v_$i").as("n_violations"))
+      }
       df.agg(sums.head, sums.tail: _*)
-        .select(col("n_rows"),
-          expr(s"stack(${rules.size}, $pairs)")
-            .as(Seq("rule", "n_violations")))
-        .select(col("rule"), col("n_rows"), col("n_violations"))
+        .select(col("n_rows"), explode(array(pairs: _*)).as("kv"))
+        .select(col("kv.rule").as("rule"), col("n_rows"),
+          col("kv.n_violations").as("n_violations"))
     }
     val uniquePart = if (uniqueKeys.isEmpty) None else Some {
       df.groupBy(uniqueKeys.map(col): _*)

@@ -480,13 +480,23 @@ object Relational {
     * pushed-down bucket filter, so the expensive exchange carries only
     * the changed fraction of the table.
     *
-    * The digest is md5-based (engine-portable): per row,
-    * `first 14 hex chars of md5('|'-joined key+values)` as a 56-bit int,
-    * summed in DECIMAL(30,0) (no overflow at any bucket size). A bucket
-    * whose contents changed escapes detection only if its hash-sum AND
-    * row count both collide — probability ~2⁻⁵⁶ per changed bucket, the
-    * standard anti-entropy trade (document, don't hide: callers needing
-    * certainty run the plain [[snapshotDiff]]).
+    * The digest is md5-based (engine-portable) and INJECTIVE at the row
+    * level: each column first maps to its own fixed token
+    * `coalesce(md5(cast(c AS string)), 'N')` — a 32-char lowercase-hex
+    * token, or the non-hex sentinel `N` for NULL — and the row hash is
+    * the first 14 hex chars of md5 over the '|'-joined token stream as a
+    * 56-bit int, summed in DECIMAL(30,0) (no overflow at any bucket
+    * size). Per-column hashing makes the encoding unambiguous: a
+    * separator inside a value (`("a|b","c")` vs `("a","b|c")`), a NULL
+    * next to a shifted value, and NULL-vs-empty-string all produce
+    * different token streams, where a naive `concat_ws` over raw strings
+    * would collide deterministically. The bucket id hashes the SAME
+    * key-token stream, so NULL-key rows land in a real (never-NULL)
+    * bucket and reach the row-level diff. A bucket whose contents
+    * changed escapes detection only if its hash-sum AND row count both
+    * collide — probability ~2⁻⁵⁶ per changed bucket, the standard
+    * anti-entropy trade (document, don't hide: callers needing certainty
+    * run the plain [[snapshotDiff]]).
     *
     * Returns the row-level change set (keys, change_type, old/new values)
     * plus the `bucket` column that admitted each row. */
@@ -497,13 +507,15 @@ object Relational {
       valueCols: Seq[String],
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val keyStr = keys.map(col(_).cast("string"))
-      .reduce((a, b) => concat(a, lit("|"), b))
+    // fixed-width-or-sentinel column tokens: md5 hex never contains '|'
+    // or 'N', so the '|'-join below is an injective row encoding
+    def tok(c: String) = coalesce(md5(col(c).cast("string")), lit("N"))
+    val keyTok = concat_ws("|", keys.map(tok): _*)
     val bucket =
-      pmod(conv(substring(md5(keyStr), 1, 8), 16, 10).cast("long"),
+      pmod(conv(substring(md5(keyTok), 1, 8), 16, 10).cast("long"),
         lit(nBuckets.toLong))
     val rowHash = conv(substring(md5(concat_ws("|",
-      (keys ++ valueCols).map(col(_).cast("string")): _*)), 1, 14), 16, 10)
+      (keys ++ valueCols).map(tok): _*)), 1, 14), 16, 10)
       .cast("decimal(20,0)")
     def digest(df: DataFrame, tag: String) =
       df.withColumn("bucket", bucket)

@@ -1966,11 +1966,15 @@ object RelationalQueries {
     // clamped mean replayed through the same round(·10⁶)→BIGINT
     // quantization so no float SUM exists on either side
     "q165_winsorized_stats" ->
-      """WITH b AS (
+      """WITH nn AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_null
+        |  FROM customer WHERE c_acctbal IS NULL GROUP BY 1
+        |), b AS (
         |  SELECT c_mktsegment,
         |         quantile_cont(c_acctbal, 0.05) AS p_lo,
         |         quantile_cont(c_acctbal, 0.95) AS p_hi
-        |  FROM customer GROUP BY 1)
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1
+        |), a AS (
         |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CASE WHEN c_acctbal < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |       CAST(sum(CASE WHEN c_acctbal > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
@@ -1980,7 +1984,10 @@ object RelationalQueries {
         |       CAST(sum(CAST(round(greatest(least(c_acctbal, p_hi), p_lo) * 1e6)
         |                     AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0) AS wmean
         |FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
-        |GROUP BY 1""".stripMargin,
+        |WHERE c_acctbal IS NOT NULL
+        |GROUP BY 1)
+        |SELECT a.*, coalesce(nn.n_null, 0) AS n_null
+        |FROM a LEFT JOIN nn ON a.c_mktsegment = nn.c_mktsegment""".stripMargin,
 
 
     // the naive single-window sweep line — the oracle states the global
@@ -2047,17 +2054,23 @@ object RelationalQueries {
         |  SELECT o_orderkey + 100000000, 'N', o_price
         |  FROM v0 WHERE o_orderkey % 13 = 0
         |), b0 AS (
-        |  SELECT *, CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |  SELECT *, CAST('0x' || substr(md5(
+        |                 coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'N')), 1, 8)
         |                 AS BIGINT) % 64 AS bucket,
-        |         CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
-        |                  o_orderstatus || '|' || CAST(o_price AS VARCHAR)), 1, 14)
+        |         CAST(CAST('0x' || substr(md5(
+        |                  coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'N') || '|' ||
+        |                  coalesce(md5(o_orderstatus), 'N') || '|' ||
+        |                  coalesce(md5(CAST(o_price AS VARCHAR)), 'N')), 1, 14)
         |              AS BIGINT) AS DECIMAL(20,0)) AS rh
         |  FROM v0
         |), b1 AS (
-        |  SELECT *, CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |  SELECT *, CAST('0x' || substr(md5(
+        |                 coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'N')), 1, 8)
         |                 AS BIGINT) % 64 AS bucket,
-        |         CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
-        |                  o_orderstatus || '|' || CAST(o_price AS VARCHAR)), 1, 14)
+        |         CAST(CAST('0x' || substr(md5(
+        |                  coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'N') || '|' ||
+        |                  coalesce(md5(o_orderstatus), 'N') || '|' ||
+        |                  coalesce(md5(CAST(o_price AS VARCHAR)), 'N')), 1, 14)
         |              AS BIGINT) AS DECIMAL(20,0)) AS rh
         |  FROM v1
         |), d0 AS (

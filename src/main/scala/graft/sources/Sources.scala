@@ -286,9 +286,28 @@ object Sources {
       val hconf = spark.sparkContext.hadoopConfiguration
       val pub = new org.apache.hadoop.fs.Path(publishDir)
       val fs = pub.getFileSystem(hconf)
-      if (fs.exists(pub)) fs.delete(pub, true)
+      // Promote without a window where the previous publish is already
+      // destroyed but the new one not yet in place: the old copy is
+      // renamed ASIDE first (cheap metadata op), the staging rename is
+      // CHECKED (rename returns false on cross-filesystem moves,
+      // permissions, concurrent writers), and the old copy is deleted
+      // only after the new publish provably exists — on a failed
+      // promote the old publish is restored and the failure surfaces
+      // as an exception, never as a silent (true, report).
+      val old = new org.apache.hadoop.fs.Path(publishDir + ".old")
+      if (fs.exists(old)) fs.delete(old, true)
+      val hadPrev = fs.exists(pub)
+      if (hadPrev && !fs.rename(pub, old))
+        throw new java.io.IOException(
+          s"writeAuditPublish: could not move previous publish aside: $pub")
       fs.mkdirs(pub.getParent)
-      fs.rename(new org.apache.hadoop.fs.Path(stagingDir), pub)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(stagingDir), pub)) {
+        if (hadPrev) fs.rename(old, pub)
+        throw new java.io.IOException(
+          s"writeAuditPublish: staging->publish rename failed: " +
+            s"$stagingDir -> $pub (previous publish restored)")
+      }
+      if (hadPrev) fs.delete(old, true)
     }
     (pass, report)
   }

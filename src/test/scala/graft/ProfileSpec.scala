@@ -76,6 +76,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_low") === 1L)
     assert(b.getAs[Long]("n_high") === 1L)
     assert(b.getAs[Double]("wmean") === 6.0)
+    assert(a.getAs[Long]("n_null") === 0L)
+  }
+
+  test("winsorizedStats: NULL values are excluded and surfaced, not clamped to p_hi") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("a", None)).toDF("g", "v")
+    val r = Profile.winsorizedStats(df, "g", "v", pLo = 0.0, pHi = 1.0)
+      .collect()(0)
+    // without the null filter, least/greatest would map each NULL to
+    // p_hi=3.0 and report n=5, wmean=(1+2+3+3+3)/5; the contract is
+    // n=3 present rows, n_null=2, mean over present values only
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("n_null") === 2L)
+    assert(r.getAs[Double]("wmean") === 2.0)
   }
 
   test("HLL merge law: shard-union estimate equals one-shot estimate; error bounded") {
@@ -123,5 +137,16 @@ class ProfileSpec extends AnyFunSuite {
         Seq("v_positive" -> !($"v" > 0.0)))
       .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
     assert(clean.toSeq === Seq(("v_positive", 0L, true)))
+  }
+
+  test("expectations: rule names with quotes/backslashes round-trip verbatim") {
+    // names travel as typed lits, never through a SQL string — the
+    // expr(stack(...)) form would mangle the backslash or break on '
+    val nasty = Seq("""has\backslash""", "has'quote", "unié中code")
+    val out = Profile.expectations(
+        Seq((1L, 2.0)).toDF("id", "v"),
+        nasty.map(n => n -> !($"v" > 0.0)))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === nasty)
   }
 }

@@ -450,4 +450,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(buckets.size <= 7,
       s"only touched buckets may reach the row diff, got $buckets")
   }
+
+  test("merkleDiff digest is injective: separator-shifted and NULL-shifted " +
+      "value tuples are detected; NULL-key rows reach the row diff") {
+    // Each v0→v1 pair below hashes IDENTICALLY under a naive
+    // concat_ws('|') row digest (same joined string, same count), so a
+    // non-injective digest deterministically misses the change. The
+    // per-column-md5 token digest must flag all of them as U.
+    val v0 = Seq(
+      (java.lang.Long.valueOf(1L), "a|b", "c"),   // -> ("a","b|c")
+      (java.lang.Long.valueOf(2L), "x", null),    // -> (null,"x")
+      (java.lang.Long.valueOf(3L), "", "y"),      // -> (null,"y"): ""≠NULL
+      (null.asInstanceOf[java.lang.Long], "n0", "z") // NULL key, changes
+    ).toDF("k", "a", "b")
+    val v1 = Seq(
+      (java.lang.Long.valueOf(1L), "a", "b|c"),
+      (java.lang.Long.valueOf(2L), null, "x"),
+      (java.lang.Long.valueOf(3L), null, "y"),
+      (null.asInstanceOf[java.lang.Long], "n1", "z")
+    ).toDF("k", "a", "b")
+    val got = Relational
+      .merkleDiff(v0, v1, Seq("k"), Seq("a", "b"), nBuckets = 8)
+      .collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        r.getAs[String]("change_type"))).toSet
+    val want = Relational
+      .snapshotDiff(v0, v1, Seq("k"), Seq("a", "b"))
+      .collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        r.getAs[String]("change_type"))).toSet
+    assert(got === want, "merkleDiff must equal snapshotDiff on " +
+      "separator/NULL adversarial rows")
+    assert(Set[Option[Long]](Some(1L), Some(2L), Some(3L))
+        .subsetOf(got.map(_._1)),
+      s"all three shifted-tuple changes must be detected, got $got")
+    assert(got.exists(_._1.isEmpty),
+      "NULL-key rows must reach the row-level diff, not be dropped")
+  }
 }
