@@ -74,7 +74,10 @@ object Bench {
         }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 1 ms precision: sub-ms digits are noise and double the line length
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
@@ -99,8 +102,39 @@ object Bench {
     val vsNorm = ratios.map { case (k, r) => s"${jstr(k)}:$r" }.mkString("{", ",", "}")
     val outliers = ratios.filter(_._2 > 3.0)
       .map { case (k, r) => s"${jstr(k)}:$r" }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_norm":$vsNorm,"outliers":$outliers,"errors":$errs,"sf":"$sfDir"}"""
+    println(full)
+    // The driver records only the LAST ~2000 chars of this run's output;
+    // a 200-query map is ~5000 chars, so the line above always arrives
+    // truncated and unparseable (BENCH_r01..r07 all read "parsed": null).
+    // Two-part fix: persist the full per-query JSON to BENCH_FULL.json in
+    // the repo (human/judge-readable), and END stdout with a compact
+    // summary line — aggregate stats + a fixed headline subset — sized to
+    // survive the tail intact.
+    try {
+      val w = new java.io.PrintWriter(
+        new java.io.File("BENCH_FULL.json"), "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    val headline = Seq(
+      "q01_pricing_summary", "q04_theta_pairs", "q16_near_dedup",
+      "q17_sim_topk", "q23_lr_confusion", "q28_sim_ivf", "q43_dup_clusters",
+      "q69_pagerank", "q72_seq_pack", "q93_sessionize_stream",
+      "q100_semantic_dedup", "q102_join_stream", "q103_dup_spans",
+      "q110_deletion_join", "q114_domain_cap", "q119_mixture",
+      "q122_cdc_stream", "q143_tpch_q3", "q154_tpch_q18",
+      "q165_winsorized_stats", "q171_merkle_diff", "q184_fpgrowth",
+      "q190_funnel_windowed", "q200_attribution")
+    val resMap = results.toMap
+    val hq = headline.flatMap(k => resMap.get(k).map(v => s"${jstr(k)}:${r3(v)}"))
+      .mkString("{", ",", "}")
+    val sortedRatios = ratios.map(_._2).sorted
+    val median =
+      if (sortedRatios.isEmpty) 0.0 else sortedRatios(sortedRatios.size / 2)
+    val nOk = results.count(_._2 >= 0)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"vs_norm":$vsNorm,"outliers":$outliers,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nOk,"n_errors":${errors.size},"median_vs_norm":$median,"outliers":$outliers,"queries":$hq,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
