@@ -41,6 +41,7 @@ object SparkEntry {
     (MlQueries.queries, MlQueries.sql),
     (StreamingQueries.queries, StreamingQueries.sql),
     (LayoutQueries.queries, LayoutQueries.sql),
+    (TpchQueries.queries, TpchQueries.sql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
