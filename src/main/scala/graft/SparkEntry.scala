@@ -42,6 +42,7 @@ object SparkEntry {
     (StreamingQueries.queries, StreamingQueries.sql),
     (LayoutQueries.queries, LayoutQueries.sql),
     (TpchQueries.queries, TpchQueries.sql),
+    (ExperimentQueries.queries, ExperimentQueries.sql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
