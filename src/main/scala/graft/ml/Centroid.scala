@@ -1,0 +1,63 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nearest-centroid (Rocchio) classification over embedding columns —
+  * the supervised sibling of the IVF cell assignment in
+  * [[graft.llm.Similarity]]: class centroids from labeled vectors, then
+  * every vector classifies to its nearest centroid by exact integer
+  * squared distance.
+  *
+  * Portability recipe: dims quantize to OFFSET-POSITIVE micro-units
+  * (`round((x + offset)·10⁶)` — the constant offset cancels in every
+  * distance difference, and keeping values non-negative makes Spark's
+  * truncating `div` and DuckDB's flooring `//` agree on the centroid
+  * mean), centroids are floor-averaged per (label, dim), and the
+  * distance is a BIGINT `zip_with`/`aggregate` fold — codegen'd array
+  * math, no UDF, no float anywhere. Argmin breaks ties by label.
+  *
+  * Scale shape: the fit is a dims×labels aggregate whose output is tiny
+  * (|labels|·|dims| rows → |labels| packed arrays); the serve attaches
+  * that table to every vector through a BROADCAST hash join on a
+  * constant-valued but non-foldable key (Catalyst would fold a literal
+  * key's equality away into a nested-loop plan), so the corpus streams
+  * once and nothing is quadratic in it.
+  */
+object Centroid {
+
+  def classify(
+      emb: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      offset: Double = 1024.0): DataFrame = {
+    val q = emb.select(col(idCol), col(labelCol).cast("long").as("label"),
+      transform(col(vecCol),
+        x => round((x.cast("double") + lit(offset)) * 1e6).cast("long"))
+        .as("q"))
+    val cent = q
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      .withColumn("c", expr("sv div nv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+      .select(col("label").as("c_label"), col("cvec"))
+    q.withColumn("_k", pmod(col(idCol), lit(1L)).cast("int"))
+      .join(broadcast(cent
+          .withColumn("_k", pmod(col("c_label"), lit(1L)).cast("int"))),
+        Seq("_k"))
+      .withColumn("dist2",
+        aggregate(zip_with(col("q"), col("cvec"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("dist2"), col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label"), col("c_label").as("pred_label"),
+        col("dist2"))
+  }
+}

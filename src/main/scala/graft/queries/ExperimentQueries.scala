@@ -33,61 +33,18 @@ object ExperimentQueries {
     // mean Ŷ−θ(X̄_v−X̄) is exact-integer algebra + doubles at the end.
     // At 100 TB the user-grain frame is the only shuffle; the scalar
     // stats and the variant rollup both reduce it map-side.
-    "q207_cuped" -> ((s, dir) => {
-      val perUser = Tables.events(s, dir)
-        .select(col("user_id"),
-          (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"),
-          (col("ts") < lit(cut).cast("timestamp_ntz")).as("pre"))
-        .groupBy(col("user_id"))
-        .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
-          sum(when(col("pre"), lit(0L)).otherwise(col("c"))).as("y"))
-      val g = perUser.agg(
-        count(lit(1)).cast("double").as("gn"),
-        sum(col("x")).cast("double").as("gsx"),
-        sum(col("y")).cast("double").as("gsy"),
-        sum(col("x") * col("y")).cast("double").as("gsxy"),
-        sum(col("x") * col("x")).cast("double").as("gsxx"))
-      perUser
-        .groupBy((col("user_id") % 2).cast("int").as("variant"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sum_x_cents"),
-          sum(col("y")).as("sum_y_cents"))
-        .crossJoin(broadcast(g))
-        .withColumn("theta",
-          (col("gn") * col("gsxy") - col("gsx") * col("gsy")) /
-            (col("gn") * col("gsxx") - col("gsx") * col("gsx")))
-        .withColumn("mean_y",
-          col("sum_y_cents").cast("double") /
-            (col("n").cast("double") * 100.0))
-        .withColumn("mean_adj",
-          (col("sum_y_cents").cast("double") / col("n").cast("double") -
-            col("theta") *
-              (col("sum_x_cents").cast("double") / col("n").cast("double") -
-                col("gsx") / col("gn"))) / 100.0)
-        .select(col("variant"), col("n"), col("sum_x_cents"),
-          col("sum_y_cents"), col("theta"), col("mean_y"), col("mean_adj"))
-    }),
+    "q207_cuped" -> ((s, dir) =>
+      graft.ops.Experiment.cuped(Tables.events(s, dir),
+        "user_id", "ts", "value", cutover = cut)),
 
 
     // Sample-ratio mismatch gate: per event type, the 50/50 split's
     // chi-square statistic from exact counts — the pre-read every
     // experiment readout must pass before its metrics mean anything.
     // One grouped pass, map-side partial; the chi² is derived math.
-    "q208_srm_check" -> ((s, dir) => {
-      val d = Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
-          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
-        .withColumn("expected", (col("n0") + col("n1")).cast("double") / 2.0)
-      d.withColumn("chi2",
-          (col("n0").cast("double") - col("expected")) *
-            (col("n0").cast("double") - col("expected")) / col("expected") +
-            (col("n1").cast("double") - col("expected")) *
-              (col("n1").cast("double") - col("expected")) / col("expected"))
-        .withColumn("srm", col("chi2") > 3.841)
-        .select(col("event_type"), col("n0"), col("n1"), col("chi2"),
-          col("srm"))
-    }),
+    "q208_srm_check" -> ((s, dir) =>
+      graft.ops.Experiment.srmCheck(Tables.events(s, dir),
+        "event_type", "user_id")),
 
 
     // Multi-touch LINEAR attribution (the even-split counterpart of
@@ -97,24 +54,13 @@ object ExperimentQueries {
     // are not). The join is user-equi + a time-range residual — shuffle
     // by user only, never an inequality-only join; the per-purchase
     // window count runs on the already-joined grain.
-    "q209_linear_attribution" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          col("ts").as("p_ts"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("v_ts"))
-      val joined = purchases.join(views, Seq("user_id"))
-        .filter(col("v_ts") <= col("p_ts") &&
-          col("v_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
-        .withColumn("n_views",
-          count(lit(1)).over(Window.partitionBy(col("p_id"))))
-        .withColumn("credit_micros", expr("1000000 div n_views"))
-      joined
-        .groupBy(hour(col("v_ts")).cast("long").as("view_hour"))
+    "q209_linear_attribution" -> ((s, dir) =>
+      graft.ops.Experiment.linearAttribution(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id",
+        convType = "purchase", touchType = "view")
+        .groupBy(hour(col("touch_ts")).cast("long").as("view_hour"))
         .agg(count(lit(1)).as("n_credited"),
-          sum(col("credit_micros")).as("credit_micros"))
-    }),
+          sum(col("credit_micros")).as("credit_micros"))),
 
 
     // Grouped least squares (price-vs-quantity slope per brand): the
@@ -124,29 +70,17 @@ object ExperimentQueries {
     // driver round-trips — at any scale this is one map-side-partial
     // aggregate over the broadcast-joined brand key.
     "q210_group_regression" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)
-            .select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("p_brand"), col("l_quantity").cast("long").as("x"),
-          (col("l_extendedprice").cast("decimal(30,2)") * 100).cast("long")
-            .as("y"))
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        .withColumn("slope_cents",
-          (col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-            (col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")))
-        .withColumn("intercept_cents",
-          (col("sy").cast("double") -
-            col("slope_cents") * col("sx").cast("double")) /
-            col("n").cast("double"))
-        .select(col("p_brand"), col("n"), col("slope_cents"),
-          col("intercept_cents"))),
+      graft.ops.Experiment.groupedLeastSquares(
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+              .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_quantity").cast("long").as("x"),
+            (col("l_extendedprice").cast("decimal(30,2)") * 100).cast("long")
+              .as("y")),
+        "p_brand", "x", "y")
+        .select(col("p_brand"), col("n"), col("slope").as("slope_cents"),
+          col("intercept").as("intercept_cents"))),
 
 
     // Nearest-centroid classifier, fit+serve in one plan: class
@@ -158,41 +92,9 @@ object ExperimentQueries {
     // a dims×labels aggregate (tiny output), the serve is a constant-key
     // broadcast hash join — embeddings shuffle once for the per-vector
     // window, nothing is quadratic in the corpus.
-    "q211_centroid_classify" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          transform(col("embedding"),
-            x => round((x.cast("double") + lit(1024.0)) * 1e6).cast("long"))
-            .as("q"))
-      val cent = emb
-        .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
-        .withColumn("c", expr("sv div nv"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cvec"))
-        .select(col("label").as("c_label"), col("cvec"))
-      // the all-vectors×all-centroids attach as a BROADCAST HASH join:
-      // the key is constant-valued but derived from a real column on
-      // each side, so Catalyst cannot fold the equality away into a
-      // nested-loop plan — every row probes the tiny hash table instead
-      val scored = emb
-        .withColumn("_k", pmod(col("vec_id"), lit(1L)).cast("int"))
-        .join(broadcast(cent
-            .withColumn("_k", pmod(col("c_label"), lit(1L)).cast("int"))),
-          Seq("_k"))
-        .withColumn("dist2",
-          aggregate(zip_with(col("q"), col("cvec"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-      scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("dist2"), col("c_label"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("c_label").as("pred_label"),
-          col("dist2"))
-    }),
+    "q211_centroid_classify" -> ((s, dir) =>
+      graft.ml.Centroid.classify(Tables.embeddings(s, dir),
+        "vec_id", "label", "embedding")),
 
 
     // Cohort LTV curve: cohort = the user's first-activity date, age in
@@ -200,23 +102,11 @@ object ExperimentQueries {
     // running cumulative revenue per cohort. Two shuffles (user grain
     // for first-activity, cohort/age rollup) plus one cohort-partitioned
     // window — each cohort's curve is one partition, never a global sort.
-    "q212_cohort_ltv" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val cohorts = ev.groupBy(col("user_id"))
-        .agg(to_date(min(col("ts"))).as("cohort"))
-      ev.join(cohorts, Seq("user_id"))
-        .withColumn("age_days",
-          datediff(to_date(col("ts")), col("cohort")).cast("long"))
-        .groupBy(col("cohort"), col("age_days"))
-        .agg(countDistinct(col("user_id")).as("n_active"),
-          sum(when(col("event_type") === "purchase",
-            (col("value").cast("decimal(30,2)") * 100).cast("long"))
-            .otherwise(0L)).as("rev_cents"))
-        .withColumn("cum_rev_cents",
-          sum(col("rev_cents")).over(Window.partitionBy(col("cohort"))
-            .orderBy(col("age_days"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    }),
+    "q212_cohort_ltv" -> ((s, dir) =>
+      graft.ops.Experiment.cohortLtv(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "value", revenueType = "purchase")
+        .select(col("cohort"), col("age_days"), col("n_active"),
+          col("rev_cents"), col("cum_rev_cents"))),
   )
 
   val sql: Map[String, String] = Map(

@@ -1,0 +1,224 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.ops.Experiment
+
+/** Brute-force laws for the experiment-analytics operators: each law
+  * replays the operator's declared algebra in plain driver-side Scala
+  * over SEEDED random inputs and requires exact agreement — the same
+  * differential pattern as [[LawsSpec]]. */
+class ExperimentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = 1700000000000L
+  private def ts(m: Int) = new Timestamp(base + m * 60000L)
+
+  test("LAW cuped == driver brute force; adjusted estimator cuts the gap " +
+      "on correlated pre/post data") {
+    val rnd = new Random(31)
+    // correlated pre/post: each user's post spend tracks their pre spend
+    val rows = (1 to 80).flatMap { _ =>
+      val u = rnd.nextInt(20) + 1L
+      val rich = u % 5 // persistent per-user spend level
+      (1 to 3).map { _ =>
+        val pre = rnd.nextBoolean()
+        val v = (rich * 100 + rnd.nextInt(50)) / 100.0
+        (u, ts(if (pre) rnd.nextInt(100) else 200 + rnd.nextInt(100)), v)
+      }
+    }
+    val cut = new Timestamp(base + 150 * 60000L)
+    val cutStr = cut.toLocalDateTime.toString.replace('T', ' ')
+    val got = Experiment
+      .cuped(rows.toDF("u", "t", "v"), "u", "t", "v", cutStr)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(6)))).toMap
+
+    // driver model: identical integer/double algebra
+    val perUser = rows.groupBy(_._1).map { case (u, evs) =>
+      val cents = evs.map(e => (e._2.before(cut),
+        BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLong))
+      (u, cents.collect { case (true, c) => c }.sum,
+        cents.collect { case (false, c) => c }.sum)
+    }.toSeq
+    val gn = perUser.size.toDouble
+    val gsx = perUser.map(_._2).sum.toDouble
+    val gsy = perUser.map(_._3).sum.toDouble
+    val gsxy = perUser.map(p => p._2 * p._3).sum.toDouble
+    val gsxx = perUser.map(p => p._2 * p._2).sum.toDouble
+    val theta = (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx)
+    val want = perUser.groupBy(p => (p._1 % 2).toInt).map { case (v, us) =>
+      val n = us.size.toLong
+      val sx = us.map(_._2).sum
+      val sy = us.map(_._3).sum
+      val adj = (sy.toDouble / n.toDouble -
+        theta * (sx.toDouble / n.toDouble - gsx / gn)) / 100.0
+      v -> ((n, sx, sy, theta, adj))
+    }
+    assert(got === want)
+
+    // the estimator law: on correlated data, adjusting shrinks the
+    // variant gap toward the truth (variants only differ by sampling
+    // noise here, so |adj0 - adj1| <= |raw0 - raw1| is the expectation;
+    // assert theta engaged rather than exact shrinkage to avoid a flaky
+    // inequality on one seed)
+    assert(math.abs(got(0)._4) > 0.1, "pre/post correlation must yield " +
+      s"a non-trivial theta, got ${got(0)._4}")
+  }
+
+  test("LAW linearAttribution == driver brute force; per-conversion " +
+      "credit mass lands in (1e6 - n, 1e6]") {
+    val types = Seq("view", "purchase", "noise")
+    val rnd = new Random(47)
+    for (round <- 1 to 5) {
+      val rows = (1 to 120 + round).map { i =>
+        (i.toLong, ts(rnd.nextInt(72 * 60)), rnd.nextInt(6) + 1L,
+          types(rnd.nextInt(types.size)))
+      }
+      val got = Experiment
+        .linearAttribution(rows.toDF("id", "t", "u", "ty"),
+          "u", "t", "ty", "id", "purchase", "view", lookbackHours = 24)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val want = (for {
+        (pid, pts, pu, pty) <- rows if pty == "purchase"
+        touches = rows.filter(v => v._4 == "view" && v._3 == pu &&
+          !v._2.after(pts) &&
+          v._2.getTime >= pts.getTime - 24L * 3600 * 1000)
+        (_, vts, _, _) <- touches
+      } yield (pid, vts, touches.size.toLong,
+        1000000L / touches.size)).toSet
+      assert(got === want, s"round $round diverged")
+      got.groupBy(_._1).foreach { case (pid, credits) =>
+        val n = credits.head._3
+        val mass = credits.toSeq.map(_._4).sum
+        assert(mass > 1000000L - n && mass <= 1000000L,
+          s"purchase $pid credit mass $mass outside (1e6-$n, 1e6]")
+      }
+    }
+  }
+
+  test("LAW groupedLeastSquares == driver closed-form on random integer data") {
+    val rnd = new Random(59)
+    for (round <- 1 to 5) {
+      val rows = (1 to 50 + round).map { _ =>
+        val g = s"g${rnd.nextInt(3)}"
+        val x = rnd.nextInt(40) + 1L
+        (g, x, 7L * x + rnd.nextInt(200) - 100L)
+      }
+      val got = Experiment
+        .groupedLeastSquares(rows.toDF("g", "x", "y"), "g", "x", "y")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val n = rs.size.toLong
+        val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+        val sxy = rs.map(r => r._2 * r._3).sum
+        val sxx = rs.map(r => r._2 * r._2).sum
+        val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+          (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+        g -> ((n, slope, (sy.toDouble - slope * sx.toDouble) / n.toDouble))
+      }
+      assert(got === want, s"round $round diverged")
+      // the generator's slope is 7 ± sampling noise (uniform ±100 errors
+      // on ~17-point groups give a stderr near 1.2): a loose 3σ-ish band
+      // proves the fit engages without making the law seed-fragile
+      got.values.foreach { case (_, slope, _) =>
+        assert(math.abs(slope - 7.0) < 4.0, s"slope $slope far from 7")
+      }
+    }
+  }
+
+  test("LAW centroid classify == driver brute force nearest centroid; " +
+      "separated clusters classify perfectly") {
+    val rnd = new Random(83)
+    val dim = 8
+    // 3 well-separated clusters at (-3, 0, +3)·label with tiny noise
+    val rows = (1 to 90).map { i =>
+      val label = i % 3
+      val c = (label - 1) * 3.0
+      (i.toLong, label,
+        Array.fill(dim)((c + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val got = graft.ml.Centroid
+      .classify(rows.toDF("id", "lab", "vec"), "id", "lab", "vec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === rows.size)
+    got.foreach { case (_, label, pred, _) =>
+      assert(pred === label, "separated clusters must classify exactly")
+    }
+    // driver replay of the quantize→floor-centroid→argmin pipeline
+    val q = rows.map { case (id, lab, vec) =>
+      (id, lab.toLong, vec.map(x =>
+        BigDecimal((x.toDouble + 1024.0) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    }
+    val cents = q.groupBy(_._2).map { case (lab, vs) =>
+      lab -> (0 until dim).map { d =>
+        vs.map(_._3(d)).sum / vs.size // non-negative: / == div == floor
+      }.toArray
+    }
+    val want = q.map { case (id, lab, qv) =>
+      val scored = cents.toSeq.map { case (cl, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cl)
+      }.sortBy(identity)
+      (id, lab, scored.head._2, scored.head._1)
+    }.toSet
+    assert(got.toSet === want)
+  }
+
+  test("LAW cohortLtv == driver brute force on random event streams") {
+    val rnd = new Random(101)
+    val rows = (1 to 200).map { _ =>
+      (rnd.nextInt(8) + 1L, ts(rnd.nextInt(5 * 24 * 60)),
+        if (rnd.nextBoolean()) "purchase" else "view",
+        rnd.nextInt(10000) / 100.0)
+    }
+    val got = Experiment
+      .cohortLtv(rows.toDF("u", "t", "ty", "v"), "u", "t", "ty", "v",
+        "purchase")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val day = 24L * 3600 * 1000
+    def dateOf(t: Timestamp): String =
+      t.toLocalDateTime.toLocalDate.toString
+    val cohorts = rows.groupBy(_._1).map { case (u, evs) =>
+      u -> evs.map(_._2).minBy(_.getTime)
+    }
+    val perCell = rows.groupBy { case (u, t, _, _) =>
+      val c = cohorts(u).toLocalDateTime.toLocalDate
+      (c.toString, java.time.temporal.ChronoUnit.DAYS.between(
+        c, t.toLocalDateTime.toLocalDate))
+    }
+    val want = perCell.map { case ((c, age), evs) =>
+      (c, age) -> ((evs.map(_._1).distinct.size.toLong,
+        evs.collect { case (_, _, "purchase", v) =>
+          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .*(100).toLong }.sum))
+    }
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap ===
+      want.map { case (k, v) => k -> ((v._1, v._2)) })
+    // cumulative law: per cohort, cum at age a == Σ rev up to a
+    got.groupBy(_._1._1).foreach { case (c, cells) =>
+      val byAge = cells.toSeq.sortBy(_._1._2)
+      var run = 0L
+      byAge.foreach { case ((_, _), (_, rev, cum)) =>
+        run += rev
+        assert(cum === run, s"cohort $c cumulative mismatch")
+      }
+    }
+    assert(day > 0) // keep the constant used (documentation of grain)
+  }
+}
