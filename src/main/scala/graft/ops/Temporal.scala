@@ -504,4 +504,52 @@ object Temporal {
       .agg(max(col("P.max_concurrent")).as("max_concurrent"),
         min(col("L.t")).as("peak_t"))
   }
+
+  /** CUSUM changepoint locator: per key, the position where the series'
+    * cumulative deviation from its own mean peaks — the standard
+    * single-changepoint estimate for a level shift (the argmax of
+    * |Σ_{i≤t}(x_i − x̄)|).
+    *
+    * Exactness recipe: the deviation is evaluated SCALED BY n —
+    * `D_t = |n·prefix_t − t·total|` (= n·|Σ_{i≤t}(x_i − x̄)| in cents) —
+    * so the whole statistic is BIGINT algebra on quantized cents; the
+    * per-key mean is never materialized as a float and the argmax cannot
+    * be perturbed by rounding. Ties break to the earliest (ts, tie).
+    *
+    * Scale shape: one shuffle on the key, two window passes over each
+    * key's partition (running prefix + full-frame totals), one argmax
+    * window — no self-join, no global sort; each key's series is one
+    * partition. */
+  def cusumChangepoint(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val wRun = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSeq = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    // internal names underscore-prefixed so caller column names (ts
+    // columns called "t", value columns called "n", ...) cannot collide
+    val scored = df
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        (col(valueCol).cast("decimal(30,2)") * 100).cast("long").as("_c"))
+      .withColumn("_prefix", sum(col("_c")).over(wRun))
+      .withColumn("_t", row_number().over(wSeq).cast("long"))
+      .withColumn("_total", sum(col("_c")).over(wAll))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_dev",
+        abs(col("_n") * col("_prefix") - col("_t") * col("_total")))
+    scored
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("_dev").desc, col(tsCol), col(tieCol))))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol), col("_n").as("n"), col(tsCol).as("change_ts"),
+        col("_t").as("change_pos"), col("_dev").as("max_dev_scaled"))
+  }
 }

@@ -107,6 +107,76 @@ object ExperimentQueries {
         "user_id", "ts", "event_type", "value", revenueType = "purchase")
         .select(col("cohort"), col("age_days"), col("n_active"),
           col("rev_cents"), col("cum_rev_cents"))),
+
+
+    // CUSUM changepoint per user: argmax of the n-scaled cumulative
+    // deviation |n·prefix_t − t·total| — all-BIGINT algebra on cents
+    // (see ops.Temporal.cusumChangepoint for the exactness recipe).
+    "q214_cusum_changepoint" -> ((s, dir) =>
+      graft.ops.Temporal.cusumChangepoint(Tables.events(s, dir),
+        "user_id", "ts", "value", "event_id")),
+
+
+    // Time-to-convert distribution per variant: each user's FIRST view →
+    // the first purchase at-or-after it, delta in whole seconds (exact
+    // integer epoch math), then min/median/p90/max per variant — the
+    // exact interpolated percentile both engines share (the q50 recipe).
+    // Shape: two user-grain aggregates + one user-equi join; the
+    // distribution rollup sees user-count rows, never raw events.
+    "q215_time_to_convert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      firstView.join(purch, Seq("user_id"))
+        .filter(col("p_ts") >= col("v_ts"))
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+        .withColumn("delta_s",
+          expr("(unix_micros(CAST(p_ts AS TIMESTAMP)) - " +
+            "unix_micros(CAST(v_ts AS TIMESTAMP))) div 1000000"))
+        .groupBy((col("user_id") % 2).cast("int").as("variant"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("delta_s")).as("min_s"),
+          percentile(col("delta_s"), lit(0.5)).as("median_s"),
+          percentile(col("delta_s"), lit(0.9)).as("p90_s"),
+          max(col("delta_s")).as("max_s"))
+    }),
+
+
+    // Lag-1 autocorrelation of each user's value series (the
+    // repeated-behavior signal): consecutive pairs via lag over the
+    // (ts, event_id) total order, Pearson r over the pairs from SIX
+    // exact BIGINT sums; the only doubles are the final closed form
+    // (IEEE sqrt is correctly rounded, so both engines agree exactly).
+    // Zero-variance series are dropped (r undefined), keyed filter on
+    // the exact integer discriminants so the cut is engine-identical.
+    "q216_lag_autocorr" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("prev")).as("sx"), sum(col("c")).as("sy"),
+          sum(col("prev") * col("c")).as("sxy"),
+          sum(col("prev") * col("prev")).as("sxx"),
+          sum(col("c") * col("c")).as("syy"))
+        .filter(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n_pairs") * col("syy") - col("sy") * col("sy") > 0)
+        .withColumn("r",
+          (col("n_pairs").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n_pairs").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n_pairs").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+        .select(col("user_id"), col("n_pairs"), col("r"))
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -232,6 +302,83 @@ object ExperimentQueries {
         |)
         |SELECT vec_id, label, c_label AS pred_label, dist2
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q214_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS t,
+        |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM e
+        |), d AS (
+        |  SELECT *, abs(n * prefix - t * total) AS dev FROM w
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY dev DESC, ts, event_id) AS rn
+        |  FROM d
+        |)
+        |SELECT user_id, n, ts AS change_ts, t AS change_pos,
+        |       CAST(dev AS BIGINT) AS max_dev_scaled
+        |FROM r WHERE rn = 1""".stripMargin,
+
+
+    "q215_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS v_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), conv AS (
+        |  SELECT fv.user_id, fv.v_ts, min(e.ts) AS p_ts
+        |  FROM fv JOIN events e ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.v_ts
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT user_id,
+        |         (epoch_us(p_ts) - epoch_us(v_ts)) // 1000000 AS delta_s
+        |  FROM conv
+        |)
+        |SELECT CAST(user_id % 2 AS INT) AS variant,
+        |       CAST(count(*) AS BIGINT) AS n_converted,
+        |       CAST(min(delta_s) AS BIGINT) AS min_s,
+        |       quantile_cont(delta_s, 0.5) AS median_s,
+        |       quantile_cont(delta_s, 0.9) AS p90_s,
+        |       CAST(max(delta_s) AS BIGINT) AS max_s
+        |FROM d GROUP BY 1""".stripMargin,
+
+
+    "q216_lag_autocorr" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS c,
+        |         lag(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(prev) AS BIGINT) AS sx,
+        |         CAST(sum(c) AS BIGINT) AS sy,
+        |         CAST(sum(prev * c) AS BIGINT) AS sxy,
+        |         CAST(sum(prev * prev) AS BIGINT) AS sxx,
+        |         CAST(sum(c * c) AS BIGINT) AS syy
+        |  FROM e WHERE prev IS NOT NULL GROUP BY 1
+        |)
+        |SELECT user_id, n_pairs,
+        |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM a
+        |WHERE n_pairs * sxx - sx * sx > 0
+        |  AND n_pairs * syy - sy * sy > 0""".stripMargin,
+
 
     "q212_cohort_ltv" ->
       """WITH c AS (

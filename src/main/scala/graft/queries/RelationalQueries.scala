@@ -1122,6 +1122,31 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           Relational.exactSum(col("value"), 6).as("sum_v"))
     }),
+
+
+    // JOIN-CARDINALITY ESTIMATE from key histograms — the planner-style
+    // diagnostic run BEFORE a big join: |A ⋈ B| = Σ_k n_A(k)·n_B(k),
+    // computed exactly from two key-grain count frames (each a map-side
+    // partial aggregate, output |keys| rows not |rows|), plus the
+    // matched/unmatched key split and the worst single-key fanout (the
+    // skew red flag that says "salt this join"). The full-outer join
+    // runs on the key-grain frames only — the facts are never joined.
+    "q213_join_cardinality" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("n_o"))
+      val l = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("n_l"))
+      o.join(l, Seq("k"), "full_outer")
+        .agg(
+          sum(when(col("n_o").isNotNull && col("n_l").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched_keys"),
+          sum(when(col("n_l").isNull, 1L).otherwise(0L)).as("n_left_only"),
+          sum(when(col("n_o").isNull, 1L).otherwise(0L)).as("n_right_only"),
+          sum(when(col("n_o").isNotNull && col("n_l").isNotNull,
+            col("n_o") * col("n_l")).otherwise(0L)).as("join_rows"),
+          max(when(col("n_o").isNotNull && col("n_l").isNotNull,
+            col("n_o") * col("n_l"))).as("max_key_fanout"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -2302,5 +2327,27 @@ object RelationalQueries {
          |       CAST(count(*) AS BIGINT) AS n,
          |       ${dSum("value", 6, "sum_v")}
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+
+    "q213_join_cardinality" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_o
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_l
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN n_o IS NOT NULL AND n_l IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_keys,
+        |  CAST(sum(CASE WHEN n_l IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_left_only,
+        |  CAST(sum(CASE WHEN n_o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_right_only,
+        |  CAST(sum(CASE WHEN n_o IS NOT NULL AND n_l IS NOT NULL
+        |    THEN n_o * n_l ELSE 0 END) AS BIGINT) AS join_rows,
+        |  CAST(max(CASE WHEN n_o IS NOT NULL AND n_l IS NOT NULL
+        |    THEN n_o * n_l END) AS BIGINT) AS max_key_fanout
+        |FROM o FULL JOIN l USING (k)""".stripMargin,
   )
 }

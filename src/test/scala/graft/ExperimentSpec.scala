@@ -178,6 +178,44 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got.toSet === want)
   }
 
+  test("LAW cusumChangepoint == driver brute force; locates a planted " +
+      "level shift") {
+    val rnd = new Random(67)
+    for (round <- 1 to 4) {
+      // planted changepoint: level jumps from ~10 to ~30 at a known index
+      val rows = (1 to 6).flatMap { u =>
+        val shift = 10 + rnd.nextInt(20)
+        (1 to 40).map { i =>
+          val lvl = if (i <= shift) 10.0 else 30.0
+          (u.toLong, ts(i), i.toLong, lvl + rnd.nextInt(300) / 100.0)
+        }
+      }
+      val got = graft.ops.Temporal
+        .cusumChangepoint(rows.toDF("u", "t", "tie", "v"),
+          "u", "t", "v", "tie")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getTimestamp(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (u, evs0) =>
+        val evs = evs0.sortBy(e => (e._2.getTime, e._3))
+        val cs = evs.map(e =>
+          BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .*(100).toLong)
+        val n = cs.size.toLong
+        val total = cs.sum
+        val devs = cs.scanLeft(0L)(_ + _).drop(1).zipWithIndex.map {
+          case (prefix, i) =>
+            (math.abs(n * prefix - (i + 1).toLong * total),
+              (i + 1).toLong, evs(i)._2)
+        }
+        val best = devs.maxBy(d => (d._1, -d._2))
+        u -> ((n, best._3, best._2, best._1))
+      }
+      assert(got === want, s"round $round diverged")
+    }
+  }
+
   test("LAW cohortLtv == driver brute force on random event streams") {
     val rnd = new Random(101)
     val rows = (1 to 200).map { _ =>
