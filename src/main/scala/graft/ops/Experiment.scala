@@ -83,10 +83,24 @@ object Experiment {
       events: DataFrame,
       groupCol: String,
       userCol: String,
+      threshold: Double = 3.841): DataFrame =
+    srmFromCounts(
+      events.groupBy(col(groupCol))
+        .agg(sum(when(col(userCol) % 2 === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col(userCol) % 2 === 1, 1L).otherwise(0L)).as("n1")),
+      groupCol, threshold)
+
+  /** The χ² derivation over an already-counted (group, n0, n1) frame —
+    * shared by [[srmCheck]] and the streaming gate
+    * ([[graft.streaming.Streams.srmGateStream]]), so both paths compute
+    * the statistic from identical exact counts by identical double
+    * algebra. Counts are plain sums (associative, mergeable), which is
+    * what makes the streamed partial-fold exact. */
+  def srmFromCounts(
+      counts: DataFrame,
+      groupCol: String,
       threshold: Double = 3.841): DataFrame = {
-    val d = events.groupBy(col(groupCol))
-      .agg(sum(when(col(userCol) % 2 === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when(col(userCol) % 2 === 1, 1L).otherwise(0L)).as("n1"))
+    val d = counts
       .withColumn("expected", (col("n0") + col("n1")).cast("double") / 2.0)
     d.withColumn("chi2",
         (col("n0").cast("double") - col("expected")) *

@@ -177,6 +177,110 @@ object ExperimentQueries {
                 col("sy").cast("double") * col("sy").cast("double"))))
         .select(col("user_id"), col("n_pairs"), col("r"))
     }),
+
+
+    // Seasonality profile: the day-of-week × hour-of-day activity matrix
+    // with exact integer-ppm shares (n·10⁶ div total — no float ratio).
+    // One grouped pass + a scalar-total broadcast; at any scale the
+    // matrix is ≤ 7×24 rows. Spark's dayofweek is 1=Sunday; −1 aligns it
+    // with DuckDB's 0=Sunday.
+    "q218_seasonal_profile" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .groupBy(col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n"))
+      d.crossJoin(broadcast(d.agg(sum(col("n")).as("total"))))
+        .withColumn("share_ppm", expr("n * 1000000 div total"))
+        .select(col("dow"), col("hod"), col("n"), col("share_ppm"))
+    }),
+
+
+    // Order-to-ship latency distribution by priority: exact day deltas,
+    // per-priority min/median/p90/max through the exact interpolated
+    // percentile (the q50 recipe). One fact-fact join on orderkey, one
+    // grouped pass over priority — a handful of output rows.
+    "q219_ship_latency" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+              col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("latency_days", datediff(col("sd"), col("od")).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          min(col("latency_days")).as("min_d"),
+          percentile(col("latency_days"), lit(0.5)).as("median_d"),
+          percentile(col("latency_days"), lit(0.9)).as("p90_d"),
+          max(col("latency_days")).as("max_d"))),
+
+
+    // RFM segmentation without a global sort: recency/frequency/monetary
+    // fold at the user grain, each metric's quintile boundaries come from
+    // ONE exact-percentile scalar aggregate broadcast back (the q150
+    // threshold idiom — a global ntile would be a single-partition sort
+    // at 100 TB), and the bin is 1 + the count of exceeded boundaries.
+    // Reference "now" is the corpus max ts, itself a broadcast scalar.
+    "q220_rfm_segments" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val now = ev.agg(max(to_date(col("ts"))).as("now_d"))
+      val rfm = ev
+        .crossJoin(broadcast(now))
+        .groupBy(col("user_id"))
+        .agg(min(datediff(col("now_d"), to_date(col("ts"))).cast("long"))
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(when(col("event_type") === "purchase",
+            (col("value").cast("decimal(30,2)") * 100).cast("long"))
+            .otherwise(0L)).as("monetary_cents"))
+      val qs = rfm.agg(
+        percentile(col("recency_days"), lit(0.2)).as("r1"),
+        percentile(col("recency_days"), lit(0.4)).as("r2"),
+        percentile(col("recency_days"), lit(0.6)).as("r3"),
+        percentile(col("recency_days"), lit(0.8)).as("r4"),
+        percentile(col("frequency"), lit(0.2)).as("f1"),
+        percentile(col("frequency"), lit(0.4)).as("f2"),
+        percentile(col("frequency"), lit(0.6)).as("f3"),
+        percentile(col("frequency"), lit(0.8)).as("f4"),
+        percentile(col("monetary_cents"), lit(0.2)).as("m1"),
+        percentile(col("monetary_cents"), lit(0.4)).as("m2"),
+        percentile(col("monetary_cents"), lit(0.6)).as("m3"),
+        percentile(col("monetary_cents"), lit(0.8)).as("m4"))
+      def bin(v: String, t: Seq[String]) =
+        t.map(q => when(col(v) > col(q), 1).otherwise(0))
+          .reduce(_ + _).cast("int") + 1
+      rfm.crossJoin(broadcast(qs))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          bin("recency_days", Seq("r1", "r2", "r3", "r4")).as("r_bin"),
+          bin("frequency", Seq("f1", "f2", "f3", "f4")).as("f_bin"),
+          bin("monetary_cents", Seq("m1", "m2", "m3", "m4")).as("m_bin"))
+    }),
+
+
+    // Max drawdown per user (the finance-style worst peak-to-trough of
+    // the cumulative value series): running prefix in exact cents,
+    // running max of the prefix, drawdown = runmax − prefix, argmax with
+    // earliest-(ts, tie) tiebreak. Two window passes over each user's
+    // partition — no self-join, no global sort.
+    "q221_max_drawdown" -> ((s, dir) => {
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
+        .withColumn("prefix", sum(col("c")).over(wRun))
+        .withColumn("runmax", max(col("prefix")).over(wRun))
+        .withColumn("dd", col("runmax") - col("prefix"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("dd").desc, col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("dd_ts"),
+          col("dd").as("max_drawdown_cents"))
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -378,6 +482,107 @@ object ExperimentQueries {
         |FROM a
         |WHERE n_pairs * sxx - sx * sx > 0
         |  AND n_pairs * syy - sy * sy > 0""".stripMargin,
+
+
+    "q218_seasonal_profile" ->
+      """WITH d AS (
+        |  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |         CAST(date_part('hour', ts) AS BIGINT) AS hod,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+        |SELECT dow, hod, n,
+        |       CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM d, t""".stripMargin,
+
+
+    "q219_ship_latency" ->
+      """WITH d AS (
+        |  SELECT o.o_orderpriority,
+        |         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+        |                       CAST(l.l_shipdate AS DATE)) AS BIGINT)
+        |           AS latency_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(latency_days) AS BIGINT) AS min_d,
+        |       quantile_cont(latency_days, 0.5) AS median_d,
+        |       quantile_cont(latency_days, 0.9) AS p90_d,
+        |       CAST(max(latency_days) AS BIGINT) AS max_d
+        |FROM d GROUP BY 1""".stripMargin,
+
+
+    "q220_rfm_segments" ->
+      """WITH now_d AS (SELECT CAST(max(ts) AS DATE) AS nd FROM events),
+        |rfm AS (
+        |  SELECT user_id,
+        |    CAST(min(datediff('day', CAST(ts AS DATE), nd)) AS BIGINT)
+        |      AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS monetary_cents
+        |  FROM events, now_d GROUP BY 1
+        |), q AS (
+        |  SELECT
+        |    quantile_cont(recency_days, 0.2) AS r1,
+        |    quantile_cont(recency_days, 0.4) AS r2,
+        |    quantile_cont(recency_days, 0.6) AS r3,
+        |    quantile_cont(recency_days, 0.8) AS r4,
+        |    quantile_cont(frequency, 0.2) AS f1,
+        |    quantile_cont(frequency, 0.4) AS f2,
+        |    quantile_cont(frequency, 0.6) AS f3,
+        |    quantile_cont(frequency, 0.8) AS f4,
+        |    quantile_cont(monetary_cents, 0.2) AS m1,
+        |    quantile_cont(monetary_cents, 0.4) AS m2,
+        |    quantile_cont(monetary_cents, 0.6) AS m3,
+        |    quantile_cont(monetary_cents, 0.8) AS m4
+        |  FROM rfm
+        |)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  CAST(1 + (CASE WHEN recency_days > r1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN recency_days > r2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN recency_days > r3 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN recency_days > r4 THEN 1 ELSE 0 END) AS INT)
+        |    AS r_bin,
+        |  CAST(1 + (CASE WHEN frequency > f1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN frequency > f2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN frequency > f3 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN frequency > f4 THEN 1 ELSE 0 END) AS INT)
+        |    AS f_bin,
+        |  CAST(1 + (CASE WHEN monetary_cents > m1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN monetary_cents > m2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN monetary_cents > m3 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
+        |    AS m_bin
+        |FROM rfm, q""".stripMargin,
+
+
+    "q221_max_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+        |  FROM e
+        |), w AS (
+        |  SELECT user_id, ts, event_id, prefix,
+        |    CAST(max(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS runmax
+        |  FROM p
+        |), d AS (
+        |  SELECT *, runmax - prefix AS dd,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY runmax - prefix DESC, ts, event_id)
+        |      AS rn
+        |  FROM w
+        |)
+        |SELECT user_id, ts AS dd_ts, CAST(dd AS BIGINT) AS max_drawdown_cents
+        |FROM d WHERE rn = 1""".stripMargin,
 
 
     "q212_cohort_ltv" ->

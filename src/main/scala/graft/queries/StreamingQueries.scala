@@ -477,6 +477,21 @@ object StreamingQueries {
     // batch-split-invariant) appended to a partials table, final report
     // = rules-sized group-by; must hash-match the ONE-SHOT rule SQL
     // whatever the 2-file micro-batch split did
+    // §2.8 streaming: the SRM gate maintained AS assignments land —
+    // per-batch variant-count partials (plain sums, mergeable), final
+    // χ² via the same Experiment.srmFromCounts algebra as batch q208,
+    // so the streamed readout hash-equals the batch oracle.
+    "q217_srm_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+      val root = predsPath(s"q217_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.srmGateStream(s, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt",
+        groupCol = "event_type", userCol = "user_id")
+    }),
+
+
     "q175_dq_stream" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("value"))
@@ -720,6 +735,29 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n,
          |       ${dSum("value", 6, "sum_v")}
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+
+    // the batch SRM SQL (q208's shape) — the streamed per-batch count
+    // partials must merge to exactly this
+    "q217_srm_stream" ->
+      """WITH a AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM events GROUP BY 1
+        |), e AS (
+        |  SELECT *, CAST(n0 + n1 AS DOUBLE) / 2.0 AS expected FROM a
+        |)
+        |SELECT event_type, n0, n1,
+        |  (CAST(n0 AS DOUBLE) - expected) * (CAST(n0 AS DOUBLE) - expected)
+        |    / expected
+        |  + (CAST(n1 AS DOUBLE) - expected) * (CAST(n1 AS DOUBLE) - expected)
+        |    / expected AS chi2,
+        |  (CAST(n0 AS DOUBLE) - expected) * (CAST(n0 AS DOUBLE) - expected)
+        |    / expected
+        |  + (CAST(n1 AS DOUBLE) - expected) * (CAST(n1 AS DOUBLE) - expected)
+        |    / expected > 3.841 AS srm
+        |FROM e""".stripMargin,
 
 
     // the one-shot rule SQL — the streamed per-batch partials must merge

@@ -804,4 +804,52 @@ object Streams {
         sum(col("n_violations")).as("n_violations"))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Streaming sample-ratio-mismatch gate — the experiment-health monitor
+    * maintained AS the assignment stream lands, instead of a batch
+    * pre-read after the fact: each micro-batch folds its per-group
+    * variant counts map-side and appends one tiny partial (plain sums —
+    * associative, so arrival order and batch boundaries cannot change
+    * the result); the readout merges partials and derives χ² through the
+    * SAME [[graft.ops.Experiment.srmFromCounts]] algebra as the batch
+    * gate. Restart-safe via the checkpoint: a replayed batch would
+    * re-append, so the partials directory and checkpoint live and die
+    * together (the q175 dq-stream contract).
+    *
+    * At scale the state is zero (no watermark, no keyed store) — the
+    * stream reduces to per-batch counts; partials grow one row per
+    * (batch, group). */
+  def srmGateStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      groupCol: String,
+      userCol: String,
+      threshold: Double = 3.841,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col(groupCol))
+          .agg(sum(when(col(userCol) % 2 === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col(userCol) % 2 === 1, 1L).otherwise(0L)).as("n1"))
+          .coalesce(1)
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow SRM stream must drain")
+    graft.ops.Experiment.srmFromCounts(
+      spark.read.parquet(partialsDir)
+        .groupBy(col(groupCol))
+        .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1")),
+      groupCol, threshold)
+  }
 }
