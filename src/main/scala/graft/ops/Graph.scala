@@ -190,4 +190,46 @@ object Graph {
     }
     dist
   }
+
+  /** Synchronous min-label propagation, `rounds` fixed iterations:
+    * every node starts as its own label and each round takes the min of
+    * its label and its neighbors' labels — after k rounds equal labels
+    * certify connectivity within distance k (run to fixpoint it is
+    * connected components; the FIXED round count keeps the operator
+    * oracle-replayable round-for-round). Edges must be symmetric
+    * (caller unions both directions).
+    *
+    * Scale shape per round: one shuffle join edges⋈labels on the dst
+    * node + one min-aggregate by src — data-proportional, and
+    * localCheckpoint pins each round's frame so the plan stays constant
+    * size instead of doubling per iteration (the pageRankInt rule). */
+  def minLabelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var labels = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbr = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      labels = labels
+        .join(nbr, col("node") === col("src"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Degree histogram of a symmetric edge list: per-node degree (one
+    * grouped count over edges), then the distribution (degree →
+    * node count) — the graph-shape profile read before any iterative
+    * algorithm (a heavy tail says "salt or cap the hubs"). Two map-side
+    * partial aggregates; output is at most max-degree rows. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
 }

@@ -1147,6 +1147,71 @@ object RelationalQueries {
           max(when(col("n_o").isNotNull && col("n_l").isNotNull,
             col("n_o") * col("n_l"))).as("max_key_fanout"))
     }),
+
+
+    // min-label propagation, 3 SYNCHRONOUS rounds over the q156
+    // bipartite customer–supplier graph: after k rounds equal labels
+    // certify distance-k connectivity (to fixpoint it is connected
+    // components; the FIXED round count keeps it oracle-replayable
+    // round-for-round as three chained CTEs).
+    "q222_label_prop" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      ops.Graph.minLabelPropagation(edges, rounds = 3)
+    }),
+
+
+    // degree histogram of the same symmetric graph — the shape profile
+    // (hub detection) read before any iterative graph algorithm.
+    "q223_degree_histogram" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      ops.Graph.degreeHistogram(edges)
+    }),
+
+
+    // Benford first-digit conformance test on order totals — the
+    // forensic-accounting DQ read: leading digit via exact integer→
+    // string math (no libm log10 on data), expected mass from the
+    // hard-coded log10(1+1/d) literals (identical constants on both
+    // engines), per-digit chi-square contribution against a
+    // scalar-total broadcast.
+    "q224_benford" -> ((s, dir) => {
+      val digits = Seq(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      import s.implicits._
+      val p = digits.toDF("digit", "p_benford")
+      val obs = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 0.0)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val withP = broadcast(p).join(obs, Seq("digit"), "left_outer")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      withP
+        .crossJoin(broadcast(withP.agg(sum(col("n")).as("total"))))
+        .withColumn("expected", col("total").cast("double") * col("p_benford"))
+        .withColumn("chi2_term",
+          (col("n").cast("double") - col("expected")) *
+            (col("n").cast("double") - col("expected")) / col("expected"))
+        .select(col("digit"), col("n"), col("expected"), col("chi2_term"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -2349,5 +2414,80 @@ object RelationalQueries {
         |  CAST(max(CASE WHEN n_o IS NOT NULL AND n_l IS NOT NULL
         |    THEN n_o * n_l END) AS BIGINT) AS max_key_fanout
         |FROM o FULL JOIN l USING (k)""".stripMargin,
+
+
+    // three synchronous rounds, each a chained CTE of the same
+    // min-of-self-and-neighbors step
+    "q222_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), edges AS (
+        |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+        |), l0 AS (
+        |  SELECT node, node AS label FROM
+        |    (SELECT src AS node FROM edges
+        |     UNION SELECT dst FROM edges) n
+        |), l1 AS (
+        |  SELECT l.node,
+        |         least(l.label, coalesce(m.nl, l.label)) AS label
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT e.src AS node, min(x.label) AS nl
+        |    FROM edges e JOIN l0 x ON x.node = e.dst GROUP BY 1) m
+        |    USING (node)
+        |), l2 AS (
+        |  SELECT l.node,
+        |         least(l.label, coalesce(m.nl, l.label)) AS label
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT e.src AS node, min(x.label) AS nl
+        |    FROM edges e JOIN l1 x ON x.node = e.dst GROUP BY 1) m
+        |    USING (node)
+        |), l3 AS (
+        |  SELECT l.node,
+        |         least(l.label, coalesce(m.nl, l.label)) AS label
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT e.src AS node, min(x.label) AS nl
+        |    FROM edges e JOIN l2 x ON x.node = e.dst GROUP BY 1) m
+        |    USING (node)
+        |)
+        |SELECT node, label FROM l3""".stripMargin,
+
+
+    "q223_degree_histogram" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), edges AS (
+        |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+        |), deg AS (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM edges GROUP BY 1
+        |)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1""".stripMargin,
+
+
+    "q224_benford" ->
+      """WITH p(digit, p_benford) AS (VALUES
+        |  (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514)
+        |), obs AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice > 0.0 GROUP BY 1
+        |), w AS (
+        |  SELECT p.digit, p.p_benford, coalesce(obs.n, 0) AS n
+        |  FROM p LEFT JOIN obs USING (digit)
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM w)
+        |SELECT digit, n,
+        |       CAST(total AS DOUBLE) * p_benford AS expected,
+        |       (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * p_benford) *
+        |       (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * p_benford) /
+        |       (CAST(total AS DOUBLE) * p_benford) AS chi2_term
+        |FROM w, t""".stripMargin,
   )
 }

@@ -98,4 +98,45 @@ class GraphSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Graph.pageRankInt(e, dampingPct = 101))
     assertThrows[IllegalArgumentException](Graph.pageRankInt(e, scaleUnit = 10L))
   }
+
+  test("LAW minLabelPropagation at >= diameter rounds == driver union-find " +
+      "components; each round is exactly min-of-self-and-neighbors") {
+    val rnd = new scala.util.Random(29)
+    for (round <- 1 to 4) {
+      val pairs = (1 to 25 + round)
+        .map(_ => (rnd.nextInt(18) + 1L, rnd.nextInt(18) + 1L))
+        .filter(p => p._1 != p._2).distinct
+      val got = Graph
+        .minLabelPropagation(undirected(pairs: _*), rounds = 18)
+        .as[(Long, Long)].collect().toMap
+      // driver union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val comp = nodes.map(n => n -> find(n)).toMap
+      val want = nodes.map(n =>
+        n -> nodes.filter(m => comp(m) == comp(n)).min).toMap
+      assert(got === want, s"round $round diverged")
+    }
+    // single-round law on a path graph: labels move exactly one hop
+    val path = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val one = Graph.minLabelPropagation(path, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("degreeHistogram counts symmetric-edge degrees exactly") {
+    val hist = Graph
+      .degreeHistogram(undirected(1L -> 2L, 1L -> 3L, 1L -> 4L, 5L -> 6L))
+      .as[(Long, Long)].collect().toMap
+    // node 1 has degree 3; nodes 2,3,4,5,6 have degree 1
+    assert(hist === Map(3L -> 1L, 1L -> 5L))
+  }
 }
