@@ -73,6 +73,11 @@ package object exprapi {
       ColumnBridge.expression(rgb), ColumnBridge.expression(w),
       ColumnBridge.expression(h), dstW, dstH))
 
+  /** dHash perceptual fingerprint of a 9×8 RGB24 buffer → 64-bit long
+    * (NULL on shape mismatch). See [[graft.expr.DHash64]]. */
+  def dhash64(rgb: Column): Column =
+    ColumnBridge.column(expr.DHash64(ColumnBridge.expression(rgb)))
+
   /** PCM16 RIFF/WAVE decode: binary → struct(channels, sample_rate,
     * n_samples, pcm) or NULL. See [[graft.expr.WavDecode]]. */
   def wavDecode(content: Column): Column =

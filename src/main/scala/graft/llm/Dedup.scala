@@ -244,6 +244,32 @@ object Dedup {
       bands: Int = 4,
       shingleWidth: Int = 3,
       maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
+    val sigs = docs
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleWidth)
+      .select(col(idCol),
+        graft.exprapi.simhash64(shingles(col(textCol), shingleWidth)).as("sig"))
+    hamming64DupsWithDiagnostics(sigs, idCol, "sig", hamMax, bands,
+      maxBucketSize)
+  }
+
+  /** Banded-hamming near-duplicate join over PRECOMPUTED 64-bit
+    * signatures — the LSH machinery behind [[simhashDups]] factored over
+    * any fingerprint family with the same contract: items within
+    * `hamMax` bits share at least one of `bands` equal slices verbatim
+    * (pigeonhole, exact while no bucket saturates), so candidate
+    * generation is a bucket group-then-expand, never an all-pairs join.
+    * Feeds from [[graft.exprapi.simhash64]] (text),
+    * [[graft.exprapi.dhash64]] (images — see
+    * [[graft.multimodal.Multimodal.imageNearDups]]), or any other 64-bit
+    * sketch. Returns (pairs with exact hamming ≤ hamMax, dropped-bucket
+    * diagnostics). */
+  def hamming64DupsWithDiagnostics(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      hamMax: Int,
+      bands: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(bands >= 1 && bands <= 64 && 64 % bands == 0,
       s"bands must divide 64 (got $bands) — a 64-bit sketch slices into " +
         "1/2/4/8/16/32/64 equal bands; anything else truncates key bits " +
@@ -252,14 +278,10 @@ object Dedup {
       s"hamming guarantee needs hamMax < bands (got $hamMax >= $bands)")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sigs = docs
-      .filter(size(TextOps.tokens(col(textCol))) >= shingleWidth)
-      .select(col(idCol),
-        graft.exprapi.simhash64(shingles(col(textCol), shingleWidth)).as("sig"))
-    val banded = sigs.select(col(idCol), col("sig"),
+    val banded = sigs.select(col(idCol), col(sigCol).as("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
+          shiftrightunsigned(col(sigCol), b * width).bitwiseAND(lit(mask))
             .as("key"))): _*)).as("bk"))
       .select(col(idCol), col("sig"), col("bk.band").as("band"),
         col("bk.key").as("key"))

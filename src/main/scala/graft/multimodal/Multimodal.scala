@@ -258,6 +258,42 @@ object Multimodal {
             frameLen.cast("int"))).as("features"))
   }
 
+  /** Perceptual near-duplicate detection over IMAGE assets — the
+    * image-modality leg of the dedup family: format-agnostic decode
+    * (BMP or baseline JPEG by content), nearest-neighbor resize to the
+    * canonical 9×8 grid, [[graft.expr.DHash64]] gradient fingerprint,
+    * then the SAME banded-hamming LSH join the text SimHash path uses
+    * ([[graft.llm.Dedup.hamming64DupsWithDiagnostics]]) — bucketed
+    * candidate generation with a saturation cap, never an all-pairs
+    * join, so the shape survives a 100 TB image corpus. Re-encoded or
+    * lightly retouched copies land within a few bits; unrelated images
+    * differ in ~32 of 64. Returns (id_a, id_b, hamming) pairs with
+    * hamming ≤ `hamMax`; non-decodable payloads are excluded (visible
+    * via the count difference, never silently hashed).
+    *
+    * Default `bands = 8` gives the pigeonhole guarantee for
+    * `hamMax ≤ 7` — wider than the text default because one changed
+    * source pixel can move several resized cells. */
+  def imageNearDups(
+      assets: DataFrame,
+      hamMax: Int = 7,
+      bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = assets
+      .filter(col("modality") === "image")
+      .withColumn("img", coalesce(
+        graft.exprapi.bmpDecode(col("content")),
+        graft.exprapi.jpegDecode(col("content"))))
+      .filter(col("img").isNotNull)
+      .withColumn("small", graft.exprapi.rgbResize(
+        col("img.rgb"), col("img.w"), col("img.h"),
+        graft.expr.DHash64.W, graft.expr.DHash64.H))
+      .select(col("asset_id"), graft.exprapi.dhash64(col("small")).as("sig"))
+      .filter(col("sig").isNotNull)
+    graft.llm.Dedup.hamming64DupsWithDiagnostics(
+      sigs, "asset_id", "sig", hamMax, bands, maxBucketSize)._1
+  }
+
   /** Per-modality feature batches: decode + features, grouped stats as the
     * sanity surface (count, real-decoded count, avg feature norm) — every
     * norm is over features of ACTUALLY DECODED payload values (pixels,

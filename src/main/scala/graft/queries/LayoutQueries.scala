@@ -451,6 +451,28 @@ object LayoutQueries {
           multimodal.Multimodal.syntheticJpegAssets(s, 500)))),
 
 
+    // IMAGE near-dup via dHash + the text path's banded-hamming LSH:
+    // the corpus is every synthetic image plus a single-pixel-perturbed
+    // copy of each (one byte of the first stored pixel forced to 0x7f),
+    // so ground truth is known — each original pairs with its copy
+    // within a few bits. Rows-only (the decode→resize→dhash pipeline has
+    // no SQL form); MultimodalSpec pins the ground-truth recall and the
+    // unrelated-images-don't-pair precision.
+    "q225_image_neardup" -> ((s, dir) => {
+      val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
+        .filter(col("modality") === "image")
+      val copies = imgs.select(
+        (col("asset_id") + 1000000L).as("asset_id"),
+        col("modality"),
+        concat(substring(col("content"), 1, 54),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 56, length(content) - 55)"))
+          .as("content"),
+        col("meta"))
+      multimodal.Multimodal.imageNearDups(imgs.unionByName(copies))
+    }),
+
+
     // Sketch aggregates — the 100-TB aggregation staple: HyperLogLog++
     // distinct counts and t-digest-style percentiles in ONE map-side-
     // partial pass, constant memory per group regardless of cardinality.

@@ -279,4 +279,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byMod("audio")._3 === byMod("audio")._2, "n_decoded == n_assets for audio")
     assert(byMod("video")._3 === byMod("video")._2, "n_decoded == n_assets for video")
   }
+
+  test("dhash64: deterministic, shape-strict, brightness-shift invariant, " +
+      "unrelated images far apart") {
+    val rnd = new scala.util.Random(11)
+    val px = Array.fill(9 * 8 * 3)(rnd.nextInt(256).toByte)
+    val h1 = graft.expr.DHash64.compute(px)
+    assert(h1 != null && h1 === graft.expr.DHash64.compute(px.clone()))
+    assert(graft.expr.DHash64.compute(px.take(100)) == null,
+      "non-9x8x3 buffers must be NULL, not misread")
+    // uniform brightness shift: every gray moves together -> same hash
+    val brighter = px.map(b => math.min(255, (b & 0xff) + 40).toByte)
+    val clipped = px.exists(b => (b & 0xff) + 40 > 255)
+    if (!clipped)
+      assert(graft.expr.DHash64.compute(brighter) === h1,
+        "uniform brightness shift must not change the gradient hash")
+    // unrelated random images: expect ~32 differing bits, never near 0
+    val other = Array.fill(9 * 8 * 3)(rnd.nextInt(256).toByte)
+    val ham = java.lang.Long.bitCount(
+      h1.longValue() ^ graft.expr.DHash64.compute(other).longValue())
+    assert(ham > 10, s"unrelated images must differ in many bits, got $ham")
+  }
+
+  test("imageNearDups: every perturbed copy pairs with its original; " +
+      "unrelated originals never pair") {
+    val imgs = Multimodal.syntheticAssets(spark, 120)
+      .filter(col("modality") === "image") // ids 2,5,8,... -> 40 images
+    val copies = imgs.select(
+      (col("asset_id") + 1000000L).as("asset_id"),
+      col("modality"),
+      concat(substring(col("content"), 1, 54),
+        lit(Array[Byte](0x7f.toByte)),
+        expr("substring(content, 56, length(content) - 55)")).as("content"),
+      col("meta"))
+    val pairs = Multimodal.imageNearDups(imgs.unionByName(copies))
+      .as[(Long, Long, Int)].collect()
+    val ids = imgs.select(col("asset_id")).as[Long].collect().toSet
+    // recall: (i, i+1e6) present for every original — the single-pixel
+    // perturbation can move at most a couple of gradient bits
+    val expected = ids.map(i => (i, i + 1000000L))
+    val got = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(expected.subsetOf(got),
+      s"missing ${expected -- got} original→copy pairs")
+    // precision: no two DIFFERENT base images pair (md5 content is
+    // effectively random — 64-bit gradient hashes land ~32 bits apart)
+    val crossBase = got.filter { case (a, b) =>
+      (b - a) != 1000000L && !(a >= 1000000L) }
+    assert(crossBase.isEmpty, s"unrelated originals paired: $crossBase")
+    pairs.foreach(p => assert(p._3 <= 7))
+  }
 }
