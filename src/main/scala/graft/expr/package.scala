@@ -78,6 +78,11 @@ package object exprapi {
   def dhash64(rgb: Column): Column =
     ColumnBridge.column(expr.DHash64(ColumnBridge.expression(rgb)))
 
+  /** Energy-delta fingerprint of a PCM16 mono buffer → 64-bit long
+    * (NULL under 130 samples). See [[graft.expr.AudioHash64]]. */
+  def audioHash64(pcm: Column): Column =
+    ColumnBridge.column(expr.AudioHash64(ColumnBridge.expression(pcm)))
+
   /** PCM16 RIFF/WAVE decode: binary → struct(channels, sample_rate,
     * n_samples, pcm) or NULL. See [[graft.expr.WavDecode]]. */
   def wavDecode(content: Column): Column =

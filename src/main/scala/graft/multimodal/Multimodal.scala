@@ -294,6 +294,30 @@ object Multimodal {
       sigs, "asset_id", "sig", hamMax, bands, maxBucketSize)._1
   }
 
+  /** Perceptual near-duplicate detection over AUDIO assets — the audio
+    * leg of the dedup family, completing the text-SimHash / image-dHash
+    * trio over the SAME banded-hamming LSH join: real WAV decode,
+    * [[graft.expr.AudioHash64]] energy-delta fingerprint over 65 equal
+    * windows (gain-invariant — uniform scaling preserves every
+    * energy-< relation), bucketed candidate generation with a
+    * saturation cap. Clips shorter than 130 samples hash NULL and are
+    * excluded (visible, never silently fingerprinted). */
+  def audioNearDups(
+      assets: DataFrame,
+      hamMax: Int = 7,
+      bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = assets
+      .filter(col("modality") === "audio")
+      .withColumn("aud", graft.exprapi.wavDecode(col("content")))
+      .filter(col("aud").isNotNull)
+      .select(col("asset_id"),
+        graft.exprapi.audioHash64(col("aud.pcm")).as("sig"))
+      .filter(col("sig").isNotNull)
+    graft.llm.Dedup.hamming64DupsWithDiagnostics(
+      sigs, "asset_id", "sig", hamMax, bands, maxBucketSize)._1
+  }
+
   /** Per-modality feature batches: decode + features, grouped stats as the
     * sanity surface (count, real-decoded count, avg feature norm) — every
     * norm is over features of ACTUALLY DECODED payload values (pixels,

@@ -473,6 +473,27 @@ object LayoutQueries {
     }),
 
 
+    // AUDIO near-dup via the energy-delta fingerprint — same known-
+    // ground-truth construction as q225: every synthetic WAV plus a
+    // single-sample-perturbed copy (one PCM byte mid-stream forced to
+    // 0x7f → at most two energy-comparison bits move). Rows-only;
+    // MultimodalSpec pins recall + precision.
+    "q226_audio_neardup" -> ((s, dir) => {
+      val auds = multimodal.Multimodal
+        .syntheticAssets(s, 900, payloadBlocks = 64)
+        .filter(col("modality") === "audio")
+      val copies = auds.select(
+        (col("asset_id") + 1000000L).as("asset_id"),
+        col("modality"),
+        concat(substring(col("content"), 1, 556),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 558, length(content) - 557)"))
+          .as("content"),
+        col("meta"))
+      multimodal.Multimodal.audioNearDups(auds.unionByName(copies))
+    }),
+
+
     // Sketch aggregates — the 100-TB aggregation staple: HyperLogLog++
     // distinct counts and t-digest-style percentiles in ONE map-side-
     // partial pass, constant memory per group regardless of cardinality.

@@ -328,4 +328,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(crossBase.isEmpty, s"unrelated originals paired: $crossBase")
     pairs.foreach(p => assert(p._3 <= 7))
   }
+
+  test("audioHash64: gain-invariant, length-strict; audioNearDups pairs " +
+      "every perturbed copy with its original") {
+    // gain invariance: doubling every sample preserves all energy-<
+    val rnd = new scala.util.Random(13)
+    val samples = Array.fill(400)((rnd.nextInt(20000) - 10000).toShort)
+    def bytes(ss: Array[Short]): Array[Byte] = {
+      val b = new Array[Byte](ss.length * 2)
+      ss.indices.foreach { i =>
+        b(2 * i) = (ss(i) & 0xff).toByte; b(2 * i + 1) = (ss(i) >> 8).toByte }
+      b
+    }
+    val h = graft.expr.AudioHash64.compute(bytes(samples))
+    val gained = samples.map(s => (s * 2).toShort) // no clip at ±20000
+    assert(graft.expr.AudioHash64.compute(bytes(gained)) === h,
+      "uniform gain must not change the energy-delta hash")
+    assert(graft.expr.AudioHash64.compute(bytes(samples.take(100))) == null,
+      "clips under 130 samples must hash NULL")
+
+    val auds = Multimodal.syntheticAssets(spark, 120, payloadBlocks = 64)
+      .filter(col("modality") === "audio") // 40 clips
+    val copies = auds.select(
+      (col("asset_id") + 1000000L).as("asset_id"),
+      col("modality"),
+      concat(substring(col("content"), 1, 556),
+        lit(Array[Byte](0x7f.toByte)),
+        expr("substring(content, 558, length(content) - 557)")).as("content"),
+      col("meta"))
+    val pairs = Multimodal.audioNearDups(auds.unionByName(copies))
+      .as[(Long, Long, Int)].collect()
+    val ids = auds.select(col("asset_id")).as[Long].collect().toSet
+    val got = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val expected = ids.map(i => (i, i + 1000000L))
+    assert(expected.subsetOf(got),
+      s"missing ${expected -- got} original→copy pairs")
+    val crossBase = got.filter { case (a, b) =>
+      (b - a) != 1000000L && !(a >= 1000000L) }
+    assert(crossBase.isEmpty, s"unrelated clips paired: $crossBase")
+  }
 }
