@@ -165,6 +165,34 @@ object Profile {
       .withColumn("n_null", coalesce(col("n_null"), lit(0L)))
   }
 
+  /** Exact weighted median per group: the smallest value whose
+    * cumulative weight reaches half the group's total —
+    * `min{v : 2·cumw(v) ≥ totw}`. All-integer algebra (caller passes
+    * integral value/weight columns — quantize upstream), so the
+    * boundary decision can never be perturbed by float rounding; rows
+    * tied on the value share it, making the intra-tie window order
+    * irrelevant to the result. One shuffle on the group, one window
+    * pass, one grouped min — the same shape at any scale (the exact
+    * percentile's weighted cousin; swap in approx machinery only if the
+    * per-group sort ever dominates). */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(groupCol), col(valueCol), col(weightCol))
+      .withColumn("__cumw", sum(col(weightCol)).over(w))
+      .withColumn("__totw", sum(col(weightCol)).over(all))
+      .filter(col("__cumw") * 2 >= col("__totw"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("weighted_median"),
+        min(col("__totw")).as("total_weight"))
+  }
+
   /** Data-quality expectation report — the pre-flight assertion suite a
     * pipeline runs before trusting a batch (the Deequ/Great-Expectations
     * shape as one plan): each named rule is a boolean VIOLATION predicate

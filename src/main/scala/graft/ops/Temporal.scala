@@ -505,6 +505,42 @@ object Temporal {
         min(col("L.t")).as("peak_t"))
   }
 
+  /** Session bounce rate by ENTRY event type — the landing-page health
+    * metric: sessions form by the same inactivity-gap rule as
+    * [[sessionPaths]] (new session when the gap to the previous event
+    * exceeds `gapSeconds`), each session is labeled by its FIRST event's
+    * type, and a bounce is a single-event session. Share is exact
+    * integer ppm. Scale shape: one shuffle on the user, two window
+    * passes, one session-grain aggregate, one tiny entry-type rollup. */
+  def bounceRate(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCols: Seq[String],
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val byUser = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val marked = events
+      .withColumn("__new_s",
+        when(col(tsCol) < lag(col(tsCol), 1).over(byUser) +
+          expr(s"INTERVAL $gapSeconds SECONDS"), 0L).otherwise(1L))
+      .withColumn("__sid",
+        sum(col("__new_s")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    val sessions = marked
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(userCol), col("__sid")).orderBy(order: _*)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("__rn") === 1, col(typeCol))).as("entry_type"))
+    sessions.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_ppm", expr("n_bounce * 1000000 div n_sessions"))
+  }
+
   /** CUSUM changepoint locator: per key, the position where the series'
     * cumulative deviation from its own mean peaks — the standard
     * single-changepoint estimate for a level shift (the argmax of

@@ -259,6 +259,26 @@ object ExperimentQueries {
     }),
 
 
+    // Exact weighted median of price weighted by quantity, per return
+    // flag — the all-integer boundary rule (see Profile.weightedMedian)
+    // the float-interpolated percentile cannot give for weighted data.
+    "q227_weighted_median" -> ((s, dir) =>
+      graft.ops.Profile.weightedMedian(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(30,2)") * 100).cast("long")
+            .as("price_cents"),
+          col("l_quantity").cast("long").as("qty")),
+        "l_returnflag", "price_cents", "qty")),
+
+
+    // Session bounce rate by entry event type (30-min inactivity
+    // sessions, the q22/q164 gap rule): single-event sessions / all
+    // sessions as exact integer ppm.
+    "q228_bounce_rate" -> ((s, dir) =>
+      graft.ops.Temporal.bounceRate(Tables.events(s, dir),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))),
+
+
     // Max drawdown per user (the finance-style worst peak-to-trough of
     // the cumulative value series): running prefix in exact cents,
     // running max of the prefix, drawdown = runmax − prefix, argmax with
@@ -556,6 +576,57 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q227_weighted_median" ->
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem
+        |), w AS (
+        |  SELECT l_returnflag, v,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |    CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+        |  FROM d
+        |)
+        |SELECT l_returnflag,
+        |       CAST(min(v) AS BIGINT) AS weighted_median,
+        |       CAST(min(totw) AS BIGINT) AS total_weight
+        |FROM w WHERE cumw * 2 >= totw GROUP BY 1""".stripMargin,
+
+
+    "q228_bounce_rate" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN ts < lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) + INTERVAL 1800 SECOND
+        |         THEN 0 ELSE 1 END AS new_s
+        |  FROM events
+        |), sid AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS s_id
+        |  FROM m
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, s_id
+        |                               ORDER BY ts, event_id) AS rn
+        |  FROM sid
+        |), s AS (
+        |  SELECT user_id, s_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         max(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+        |  FROM r GROUP BY 1, 2
+        |), a AS (
+        |  SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_bounce
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT entry_type, n_sessions, n_bounce,
+        |       CAST(n_bounce * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
+        |FROM a""".stripMargin,
 
 
     "q221_max_drawdown" ->

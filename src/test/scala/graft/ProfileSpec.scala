@@ -139,6 +139,27 @@ class ProfileSpec extends AnyFunSuite {
     assert(clean.toSeq === Seq(("v_positive", 0L, true)))
   }
 
+  test("LAW weightedMedian == driver brute force on random weighted groups") {
+    val rnd = new scala.util.Random(41)
+    for (round <- 1 to 6) {
+      val rows = (1 to 40 + round).map(_ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(1000).toLong,
+          rnd.nextInt(9) + 1L))
+      val got = Profile
+        .weightedMedian(rows.toDF("g", "v", "wt"), "g", "v", "wt")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val tot = rs.map(_._3).sum
+        val sorted = rs.sortBy(_._2)
+        var cum = 0L
+        val med = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+        g -> ((med, tot))
+      }
+      assert(got === want, s"round $round diverged")
+    }
+  }
+
   test("expectations: rule names with quotes/backslashes round-trip verbatim") {
     // names travel as typed lits, never through a SQL string — the
     // expr(stack(...)) form would mangle the backslash or break on '
