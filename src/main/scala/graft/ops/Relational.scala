@@ -538,6 +538,28 @@ object Relational {
     snapshotDiff(oldHit, newHit, keys :+ "bucket", valueCols)
   }
 
+  /** Whole-table content checksum — [[merkleDiff]]'s digest collapsed to
+    * ONE row: count + DECIMAL(30,0) sum of per-row 56-bit content
+    * hashes over the same injective per-column-md5 token encoding.
+    * Order-free (sum is commutative) and partitioning-free, so two
+    * copies of a table agree iff their checksums do (up to the ~2⁻⁵⁶
+    * collision trade) — the replication/migration smoke test that costs
+    * one map-side-partial scan, no shuffle of the data itself. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    def tok(c: String) = coalesce(md5(col(c).cast("string")), lit("N"))
+    val rowHash = conv(substring(md5(concat_ws("|",
+      cols.map(tok): _*)), 1, 14), 16, 10).cast("decimal(20,0)")
+    // the checksum travels as the STRING rendering of the DECIMAL —
+    // a 21-digit integer exceeds every engine's comparable numeric
+    // range (doubles lose bits, decimals don't round-trip through
+    // column-compare layers), while its fixed decimal string is exact
+    // everywhere
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(rowHash).cast("decimal(30,0)").cast("string")
+        .as("content_checksum"))
+  }
+
   /** Apply a change-data-capture op log onto a keyed base table — the
     * missing half of [[snapshotDiff]], with DELETE support the plain
     * upsert family lacks: `ops` carries an `opCol` of `I`/`U`/`D`, the

@@ -259,6 +259,68 @@ object ExperimentQueries {
     }),
 
 
+    // Decile lift table of a ranking score (the model-eval gains chart,
+    // engine-exact): decile bins via broadcast percentile thresholds
+    // (the q150/q220 idiom — no global ntile sort), positive rate and
+    // lift from exact integer counts with one double ratio at the end.
+    // Score = order total, positives = 'F' status — a mechanical
+    // stand-in with the same plan shape as a model-score lift.
+    "q229_decile_lift" -> ((s, dir) => {
+      val scored = Tables.orders(s, dir)
+        .select(col("o_totalprice").as("score"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+      val qcols = (1 to 9).map(i =>
+        percentile(col("score"), lit(i / 10.0)).as(s"q$i"))
+      val qs = scored.agg(qcols.head, qcols.tail: _*)
+      val binned = scored.crossJoin(broadcast(qs))
+        .withColumn("decile",
+          (1 to 9).map(i => when(col("score") > col(s"q$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("int") + 1)
+      val totals = scored.agg(count(lit(1)).as("n_all"),
+        sum(col("pos")).as("pos_all"))
+      binned.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        .crossJoin(broadcast(totals))
+        .withColumn("pos_rate",
+          col("n_pos").cast("double") / col("n").cast("double"))
+        .withColumn("lift",
+          (col("n_pos").cast("double") * col("n_all").cast("double")) /
+            (col("n").cast("double") * col("pos_all").cast("double")))
+        .select(col("decile"), col("n"), col("n_pos"), col("pos_rate"),
+          col("lift"))
+    }),
+
+
+    // Two-sample Kolmogorov–Smirnov distance between the variants'
+    // value distributions, EXACT: at every value v the ecdf gap is
+    // |cum0·n1 − cum1·n0| in integers (RANGE frame so ties collapse
+    // deterministically); KS is the max, divided once at the end.
+    // Grouped by event type so the window partitions.
+    "q230_ks_test" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long").as("v"),
+          when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("is0"),
+          when(col("user_id") % 2 === 1, 1L).otherwise(0L).as("is1"))
+      val wRange = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      d.withColumn("cum0", sum(col("is0")).over(wRange))
+        .withColumn("cum1", sum(col("is1")).over(wRange))
+        .withColumn("n0", sum(col("is0")).over(wAll))
+        .withColumn("n1", sum(col("is1")).over(wAll))
+        .withColumn("gap",
+          abs(col("cum0") * col("n1") - col("cum1") * col("n0")))
+        .groupBy(col("event_type"))
+        .agg(min(col("n0")).as("n0"), min(col("n1")).as("n1"),
+          max(col("gap")).as("ks_scaled"))
+        .withColumn("ks",
+          col("ks_scaled").cast("double") /
+            (col("n0").cast("double") * col("n1").cast("double")))
+    }),
+
+
     // Exact weighted median of price weighted by quantity, per return
     // flag — the all-integer boundary rule (see Profile.weightedMedian)
     // the float-interpolated percentile cannot give for weighted data.
@@ -576,6 +638,75 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q229_decile_lift" ->
+      """WITH scored AS (
+        |  SELECT o_totalprice AS score,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        |  FROM orders
+        |), q AS (
+        |  SELECT quantile_cont(score, 0.1) AS q1, quantile_cont(score, 0.2) AS q2,
+        |         quantile_cont(score, 0.3) AS q3, quantile_cont(score, 0.4) AS q4,
+        |         quantile_cont(score, 0.5) AS q5, quantile_cont(score, 0.6) AS q6,
+        |         quantile_cont(score, 0.7) AS q7, quantile_cont(score, 0.8) AS q8,
+        |         quantile_cont(score, 0.9) AS q9
+        |  FROM scored
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |         CAST(sum(pos) AS BIGINT) AS pos_all
+        |  FROM scored
+        |), b AS (
+        |  SELECT CAST(1 + (CASE WHEN score > q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > q3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > q4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > q5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > q6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > q7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > q8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > q9 THEN 1 ELSE 0 END) AS INT) AS decile,
+        |    pos
+        |  FROM scored, q
+        |), a AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT decile, n, n_pos,
+        |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+        |       (CAST(n_pos AS DOUBLE) * CAST(n_all AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(pos_all AS DOUBLE)) AS lift
+        |FROM a, t""".stripMargin,
+
+
+    "q230_ks_test" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is0,
+        |         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS is1
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type,
+        |    CAST(sum(is0) OVER (PARTITION BY event_type ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum0,
+        |    CAST(sum(is1) OVER (PARTITION BY event_type ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum1,
+        |    CAST(sum(is0) OVER (PARTITION BY event_type) AS BIGINT) AS n0,
+        |    CAST(sum(is1) OVER (PARTITION BY event_type) AS BIGINT) AS n1
+        |  FROM d
+        |), g AS (
+        |  SELECT event_type, min(n0) AS n0, min(n1) AS n1,
+        |         CAST(max(abs(cum0 * n1 - cum1 * n0)) AS BIGINT) AS ks_scaled
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT event_type, n0, n1, ks_scaled,
+        |       CAST(ks_scaled AS DOUBLE) /
+        |         (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS ks
+        |FROM g""".stripMargin,
 
 
     "q227_weighted_median" ->

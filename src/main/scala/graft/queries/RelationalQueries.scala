@@ -1182,6 +1182,30 @@ object RelationalQueries {
     }),
 
 
+    // Mode per group with a deterministic tie-break (most frequent
+    // quantity per return flag; ties to the smallest value) — the
+    // categorical summary a profile pass reports next to the median.
+    "q231_group_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n").desc, col("qty"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n"))
+    }),
+
+
+    // Whole-table content checksum (merkleDiff's digest as ONE row):
+    // order-free, partitioning-free table fingerprint for replication /
+    // migration smoke tests — one map-side-partial scan.
+    "q232_table_checksum" -> ((s, dir) =>
+      Relational.tableChecksum(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
+
     // Benford first-digit conformance test on order totals — the
     // forensic-accounting DQ read: leading digit via exact integer→
     // string math (no libm log10 on data), expected mass from the
@@ -2465,6 +2489,31 @@ object RelationalQueries {
         |)
         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY 1""".stripMargin,
+
+
+    "q231_group_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |                               ORDER BY n DESC, qty) AS rn
+        |  FROM c
+        |)
+        |SELECT l_returnflag, qty AS mode_qty, n FROM r WHERE rn = 1""".stripMargin,
+
+
+    "q232_table_checksum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(CAST(CAST('0x' || substr(md5(
+        |    coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'N') || '|' ||
+        |    coalesce(md5(CAST(o_custkey AS VARCHAR)), 'N') || '|' ||
+        |    coalesce(md5(o_orderstatus), 'N') || '|' ||
+        |    coalesce(md5(o_orderpriority), 'N')), 1, 14)
+        |    AS BIGINT) AS DECIMAL(20,0))) AS DECIMAL(30,0)) AS VARCHAR)
+        |    AS content_checksum
+        |FROM orders""".stripMargin,
 
 
     "q224_benford" ->
