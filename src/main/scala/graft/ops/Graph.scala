@@ -205,13 +205,17 @@ object Graph {
     * size instead of doubling per iteration (the pageRankInt rule). */
   def minLabelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var labels = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // materialize the edge list once: it feeds every round's join, and
+    // left as a plan each round would re-run its whole upstream
+    // (joins/distinct/union) — the pageRankInt rule
+    val e = edges.localCheckpoint(true)
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val nbr = edges.join(labels, col("dst") === col("node"))
+      val nbr = e.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
       labels = labels
         .join(nbr, col("node") === col("src"), "left_outer")

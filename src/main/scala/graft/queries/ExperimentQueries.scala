@@ -269,18 +269,18 @@ object ExperimentQueries {
       val scored = Tables.orders(s, dir)
         .select(col("o_totalprice").as("score"),
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
-      val qcols = (1 to 9).map(i =>
-        percentile(col("score"), lit(i / 10.0)).as(s"q$i"))
-      val qs = scored.agg(qcols.head, qcols.tail: _*)
-      val binned = scored.crossJoin(broadcast(qs))
+      // thresholds AND grand totals in ONE scalar aggregate — one scan,
+      // one broadcast, instead of two passes over the scored frame
+      val gcols = (1 to 9).map(i =>
+        percentile(col("score"), lit(i / 10.0)).as(s"q$i")) ++
+        Seq(count(lit(1)).as("n_all"), sum(col("pos")).as("pos_all"))
+      val g = scored.agg(gcols.head, gcols.tail: _*)
+      val binned = scored.crossJoin(broadcast(g))
         .withColumn("decile",
           (1 to 9).map(i => when(col("score") > col(s"q$i"), 1).otherwise(0))
             .reduce(_ + _).cast("int") + 1)
-      val totals = scored.agg(count(lit(1)).as("n_all"),
-        sum(col("pos")).as("pos_all"))
-      binned.groupBy(col("decile"))
+      binned.groupBy(col("decile"), col("n_all"), col("pos_all"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
-        .crossJoin(broadcast(totals))
         .withColumn("pos_rate",
           col("n_pos").cast("double") / col("n").cast("double"))
         .withColumn("lift",
