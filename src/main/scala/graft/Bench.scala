@@ -112,11 +112,15 @@ object Bench {
     // the repo (human/judge-readable), and END stdout with a compact
     // summary line — aggregate stats + a fixed headline subset — sized to
     // survive the tail intact.
-    try {
-      val w = new java.io.PrintWriter(
-        new java.io.File("BENCH_FULL.json"), "UTF-8")
-      try w.println(full) finally w.close()
-    } catch { case _: Throwable => () }
+    // full-suite runs only: a SPARK_GRAFT_ONLY subset run must not
+    // clobber the last complete per-query record
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter(
+          new java.io.File("BENCH_FULL.json"), "UTF-8")
+        try w.println(full) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     val headline = Seq(
       "q01_pricing_summary", "q04_theta_pairs", "q16_near_dedup",
       "q17_sim_topk", "q23_lr_confusion", "q28_sim_ivf", "q43_dup_clusters",
