@@ -477,6 +477,19 @@ object StreamingQueries {
     // batch-split-invariant) appended to a partials table, final report
     // = rules-sized group-by; must hash-match the ONE-SHOT rule SQL
     // whatever the 2-file micro-batch split did
+    // §2.8 streaming: EXACT heavy hitters maintained as the corpus
+    // lands — per-batch Misra-Gries candidate sketches (union provably
+    // covers every global hitter), exact recount of candidates only at
+    // readout; hash-equals the one-shot q74 oracle.
+    "q233_topk_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = predsPath(s"q233_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(docs.repartition(6), s"$root/docs")
+      streaming.Streams.heavyHittersStream(s, s"$root/docs", docs.schema,
+        s"$root/partials", s"$root/ckpt", textCol = "text", k = 100)
+    }),
+
+
     // §2.8 streaming: the SRM gate maintained AS assignments land —
     // per-batch variant-count partials (plain sums, mergeable), final
     // χ² via the same Experiment.srmFromCounts algebra as batch q208,
@@ -735,6 +748,19 @@ object StreamingQueries {
          |       CAST(count(*) AS BIGINT) AS n,
          |       ${dSum("value", 6, "sum_v")}
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+
+    // the one-shot exact heavy-hitter SQL (q74's shape) — the streamed
+    // per-batch Misra-Gries candidates + exact recount must equal this
+    "q233_topk_stream" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok, tot
+        |GROUP BY token, n
+        |HAVING count(*) * 100 > n""".stripMargin,
 
 
     // the batch SRM SQL (q208's shape) — the streamed per-batch count

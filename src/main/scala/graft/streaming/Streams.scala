@@ -852,4 +852,58 @@ object Streams {
         .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1")),
       groupCol, threshold)
   }
+
+  /** Streaming EXACT heavy hitters — the sketch-then-verify composition
+    * of [[graft.ops.Relational.heavyHitters]] maintained as batches
+    * land: each micro-batch runs its own Misra-Gries pass and appends
+    * only the ≤ k candidate items (a per-batch sketch, tiny). The union
+    * of per-batch candidates PROVABLY contains every global hitter: if
+    * x exceeded N_i/(k+1) in no batch, then Σx_i ≤ ΣN_i/(k+1) = N/(k+1)
+    * — so a global freq > N/(k+1) forces x into some batch's sketch.
+    * The readout exactly recounts only the (≤ k·batches, deduped)
+    * candidates over the staged corpus — a broadcast semi-join prune
+    * before the shuffle — and keeps `cnt·k > N`, so the streamed answer
+    * hash-equals the one-shot batch oracle despite the intermediate
+    * sketches being batch-split-dependent. */
+  def heavyHittersStream(
+      spark: org.apache.spark.sql.SparkSession,
+      docsDir: String,
+      docsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      textCol: String,
+      k: Int,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(docsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(explode(graft.text.TextOps.tokens(col(textCol)))
+            .as("token"))
+          .select(graft.exprapi.misraGries(col("token"), k).as("mg"))
+          .select(explode(col("mg")).as("c"))
+          .select(col("c.item").as("token"))
+          .coalesce(1)
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow heavy-hitters stream must drain")
+    val cands = spark.read.parquet(partialsDir)
+      .select(col("token")).distinct()
+    val toks = spark.read.parquet(docsDir)
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+    val total = toks.agg(count(lit(1)).as("hh_total"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k.toLong) > col("hh_total"))
+      .select(col("token"), col("cnt"))
+  }
 }

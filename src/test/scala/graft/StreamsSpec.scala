@@ -479,6 +479,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(after("v_positive") === ((7L, 3L, false)))
   }
 
+  test("heavyHittersStream: multi-batch candidates + exact recount equals " +
+      "the one-shot batch heavyHitters, including a skewed token") {
+    val root = s"target/tmp/streams/hh_${System.nanoTime()}"
+    // skewed corpus: 'hot' appears in every doc, the rest are id-unique —
+    // the hitter must survive candidate sketching across EVERY batch split
+    val docs = (1 to 90).map(i => (i.toLong, s"hot token$i filler$i"))
+      .toDF("doc_id", "text")
+    docs.repartition(5).write.parquet(s"$root/docs")
+    val streamed = graft.streaming.Streams.heavyHittersStream(spark,
+      s"$root/docs", docs.schema, s"$root/partials", s"$root/ckpt",
+      textCol = "text", k = 10, maxFilesPerTrigger = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Relational.heavyHitters(
+      docs.select(explode(graft.text.TextOps.tokens($"text")).as("token")),
+      "token", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      "5-batch streamed heavy hitters must equal the one-shot batch pass")
+    assert(streamed === Map("hot" -> 90L),
+      "'hot' is 90 of 270 tokens (> n/10); every other token is unique")
+  }
+
   test("annServeStream: micro-batched serve equals the one-shot batch serve") {
     import graft.llm.Similarity
     val root = s"target/tmp/streams/ann_${System.nanoTime()}"
