@@ -113,13 +113,20 @@ object Bench {
     // summary line — aggregate stats + a fixed headline subset — sized to
     // survive the tail intact.
     // full-suite runs only: a SPARK_GRAFT_ONLY subset run must not
-    // clobber the last complete per-query record
-    if (only.isEmpty) {
+    // clobber the last complete per-query record. A failed write must
+    // not silently leave a STALE file advertised as this run's record —
+    // the compact line only claims the file when the write succeeded.
+    val fullWritten = only.isEmpty && {
       try {
         val w = new java.io.PrintWriter(
           new java.io.File("BENCH_FULL.json"), "UTF-8")
         try w.println(full) finally w.close()
-      } catch { case _: Throwable => () }
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH_FULL.json write failed: $e")
+          false
+      }
     }
     val headline = Seq(
       "q01_pricing_summary", "q04_theta_pairs", "q16_near_dedup",
@@ -137,8 +144,9 @@ object Bench {
     val median =
       if (sortedRatios.isEmpty) 0.0 else sortedRatios(sortedRatios.size / 2)
     val nOk = results.count(_._2 >= 0)
+    val fullRef = if (fullWritten) "BENCH_FULL.json" else ""
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nOk,"n_errors":${errors.size},"median_vs_norm":$median,"outliers":$outliers,"queries":$hq,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nOk,"n_errors":${errors.size},"median_vs_norm":$median,"outliers":$outliers,"queries":$hq,"full":"$fullRef","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

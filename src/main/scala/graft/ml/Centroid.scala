@@ -53,6 +53,11 @@ object Centroid {
       .withColumn("dist2",
         aggregate(zip_with(col("q"), col("cvec"),
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      // a ragged vector (length != centroid dim) folds to a NULL dist2 —
+      // which would sort FIRST under asc-nulls-first and silently
+      // "classify" to the lowest label; exclude it instead (corrupt
+      // input visible by absence, the decoder-family contract)
+      .filter(col("dist2").isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("dist2"), col("c_label"))))

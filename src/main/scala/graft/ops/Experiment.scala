@@ -59,9 +59,16 @@ object Experiment {
         sum(col("x")).as("sum_x_cents"),
         sum(col("y")).as("sum_y_cents"))
       .crossJoin(broadcast(g))
+      // var(X) = 0 (all pre-period metrics identical — e.g. a cutover
+      // before any event zeroes every x) would make theta 0/0 = NaN and
+      // poison every adjusted mean; the estimator's correct degenerate
+      // limit is theta = 0, i.e. fall back to the raw means
       .withColumn("theta",
-        (col("gn") * col("gsxy") - col("gsx") * col("gsy")) /
-          (col("gn") * col("gsxx") - col("gsx") * col("gsx")))
+        when(col("gn") * col("gsxx") - col("gsx") * col("gsx") === 0.0,
+          lit(0.0))
+          .otherwise(
+            (col("gn") * col("gsxy") - col("gsx") * col("gsy")) /
+              (col("gn") * col("gsxx") - col("gsx") * col("gsx"))))
       .withColumn("mean_y",
         col("sum_y_cents").cast("double") /
           (col("n").cast("double") * 100.0))

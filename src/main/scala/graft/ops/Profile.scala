@@ -133,7 +133,10 @@ object Profile {
     * NULL contract: rows with a NULL `valueCol` are EXCLUDED up front
     * (and surfaced as `n_null`) — without the filter, Spark's
     * NULL-skipping `least`/`greatest` would silently clamp a missing
-    * value to `p_hi` and count it into the winsorized mean. */
+    * value to `p_hi` and count it into the winsorized mean. A group
+    * whose values are ALL NULL still appears in the output (n = 0,
+    * clamp counts 0, NULL percentiles/mean, its full n_null) — dropped
+    * rows must never drop their group from the DQ report. */
   def winsorizedStats(
       df: DataFrame,
       groupCol: String,
@@ -161,8 +164,14 @@ object Profile {
         sum(round(col("w") * lit(1e6)).cast("long")).as("wsum_micros"))
       .withColumn("wmean",
         col("wsum_micros").cast("double") / (col("n") * lit(1e6)))
-      .join(broadcast(nulls), Seq(groupCol), "left_outer")
+      // FULL outer: an all-NULL group has no present-side row but must
+      // still surface with its n_null count
+      .join(broadcast(nulls), Seq(groupCol), "full_outer")
       .withColumn("n_null", coalesce(col("n_null"), lit(0L)))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_low", coalesce(col("n_low"), lit(0L)))
+      .withColumn("n_high", coalesce(col("n_high"), lit(0L)))
+      .withColumn("wsum_micros", coalesce(col("wsum_micros"), lit(0L)))
   }
 
   /** Exact weighted median per group: the smallest value whose

@@ -507,16 +507,11 @@ object Relational {
       valueCols: Seq[String],
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    // fixed-width-or-sentinel column tokens: md5 hex never contains '|'
-    // or 'N', so the '|'-join below is an injective row encoding
-    def tok(c: String) = coalesce(md5(col(c).cast("string")), lit("N"))
-    val keyTok = concat_ws("|", keys.map(tok): _*)
+    val keyTok = concat_ws("|", keys.map(colTok): _*)
     val bucket =
       pmod(conv(substring(md5(keyTok), 1, 8), 16, 10).cast("long"),
         lit(nBuckets.toLong))
-    val rowHash = conv(substring(md5(concat_ws("|",
-      (keys ++ valueCols).map(tok): _*)), 1, 14), 16, 10)
-      .cast("decimal(20,0)")
+    val rowHash = rowDigest56(keys ++ valueCols)
     def digest(df: DataFrame, tag: String) =
       df.withColumn("bucket", bucket)
         .groupBy(col("bucket"))
@@ -545,11 +540,23 @@ object Relational {
     * copies of a table agree iff their checksums do (up to the ~2⁻⁵⁶
     * collision trade) — the replication/migration smoke test that costs
     * one map-side-partial scan, no shuffle of the data itself. */
+  /** Injective per-column token shared by [[merkleDiff]] and
+    * [[tableChecksum]]: md5 hex never contains '|' or 'N', so the
+    * '|'-join of these tokens is an unambiguous row encoding (NULL,
+    * empty string, and separator-bearing values all stay distinct). */
+  private def colTok(c: String): Column =
+    coalesce(md5(col(c).cast("string")), lit("N"))
+
+  /** 56-bit row content hash over [[colTok]] tokens as DECIMAL(20,0) —
+    * the ONE digest definition behind merkleDiff buckets and table
+    * checksums, so the two can never silently diverge. */
+  private def rowDigest56(cols: Seq[String]): Column =
+    conv(substring(md5(concat_ws("|", cols.map(colTok): _*)), 1, 14),
+      16, 10).cast("decimal(20,0)")
+
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column required")
-    def tok(c: String) = coalesce(md5(col(c).cast("string")), lit("N"))
-    val rowHash = conv(substring(md5(concat_ws("|",
-      cols.map(tok): _*)), 1, 14), 16, 10).cast("decimal(20,0)")
+    val rowHash = rowDigest56(cols)
     // the checksum travels as the STRING rendering of the DECIMAL —
     // a 21-digit integer exceeds every engine's comparable numeric
     // range (doubles lose bits, decimals don't round-trip through

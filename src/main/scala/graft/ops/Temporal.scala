@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -427,16 +427,8 @@ object Temporal {
       gapSeconds: Long = 1800L,
       depth: Int = 3): DataFrame = {
     require(depth >= 2, s"path depth must be >= 2, got $depth")
-    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
-    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
-    val byUser = Window.partitionBy(col(userCol)).orderBy(order: _*)
-    val marked = events
-      .withColumn("__new_s",
-        when(col(tsCol) < lag(col(tsCol), 1).over(byUser) +
-          expr(s"INTERVAL $gapSeconds SECONDS"), 0L).otherwise(1L))
-      .withColumn("__sid",
-        sum(col("__new_s")).over(byUser.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)))
+    val (marked, order) =
+      withSessionIds(events, userCol, tsCol, tieCols, gapSeconds)
     val bySession = Window
       .partitionBy(col(userCol), col("__sid")).orderBy(order: _*)
     val steps = (depth - 1 to 1 by -1).map(i =>
@@ -505,6 +497,32 @@ object Temporal {
         min(col("L.t")).as("peak_t"))
   }
 
+  /** The inactivity-gap sessionization rule, in ONE place: a session
+    * breaks when the gap to the previous event exceeds `gapSeconds`
+    * under the (ts, tie...) total order. Returns the frame with a
+    * per-user `__sid` running session id plus the order columns —
+    * [[sessionPaths]] and [[bounceRate]] both build on exactly this, so
+    * the gap semantics (strictly-greater boundary, NULL-lag = new
+    * session) can never silently diverge between them. */
+  private def withSessionIds(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCols: Seq[String],
+      gapSeconds: Long): (DataFrame, Seq[Column]) = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val byUser = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val marked = events
+      .withColumn("__new_s",
+        when(col(tsCol) < lag(col(tsCol), 1).over(byUser) +
+          expr(s"INTERVAL $gapSeconds SECONDS"), 0L).otherwise(1L))
+      .withColumn("__sid",
+        sum(col("__new_s")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    (marked, order)
+  }
+
   /** Session bounce rate by ENTRY event type — the landing-page health
     * metric: sessions form by the same inactivity-gap rule as
     * [[sessionPaths]] (new session when the gap to the previous event
@@ -519,16 +537,8 @@ object Temporal {
       typeCol: String,
       tieCols: Seq[String],
       gapSeconds: Long = 1800L): DataFrame = {
-    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
-    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
-    val byUser = Window.partitionBy(col(userCol)).orderBy(order: _*)
-    val marked = events
-      .withColumn("__new_s",
-        when(col(tsCol) < lag(col(tsCol), 1).over(byUser) +
-          expr(s"INTERVAL $gapSeconds SECONDS"), 0L).otherwise(1L))
-      .withColumn("__sid",
-        sum(col("__new_s")).over(byUser.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)))
+    val (marked, order) =
+      withSessionIds(events, userCol, tsCol, tieCols, gapSeconds)
     val sessions = marked
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(userCol), col("__sid")).orderBy(order: _*)))

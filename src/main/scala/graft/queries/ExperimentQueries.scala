@@ -392,10 +392,14 @@ object ExperimentQueries {
          |  FROM pu GROUP BY 1
          |)
          |SELECT variant, n, sum_x_cents, sum_y_cents,
-         |  (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx) AS theta,
+         |  CASE WHEN gn * gsxx - gsx * gsx = 0 THEN 0.0
+         |       ELSE (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx)
+         |  END AS theta,
          |  CAST(sum_y_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_y,
          |  (CAST(sum_y_cents AS DOUBLE) / CAST(n AS DOUBLE)
-         |    - ((gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx))
+         |    - (CASE WHEN gn * gsxx - gsx * gsx = 0 THEN 0.0
+         |            ELSE (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx)
+         |       END)
          |      * (CAST(sum_x_cents AS DOUBLE) / CAST(n AS DOUBLE) - gsx / gn))
          |    / 100.0 AS mean_adj
          |FROM v, g""".stripMargin,

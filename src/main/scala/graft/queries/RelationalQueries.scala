@@ -2100,8 +2100,12 @@ object RelationalQueries {
         |FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
         |WHERE c_acctbal IS NOT NULL
         |GROUP BY 1)
-        |SELECT a.*, coalesce(nn.n_null, 0) AS n_null
-        |FROM a LEFT JOIN nn ON a.c_mktsegment = nn.c_mktsegment""".stripMargin,
+        |SELECT coalesce(a.c_mktsegment, nn.c_mktsegment) AS c_mktsegment,
+        |       coalesce(a.n, 0) AS n, coalesce(a.n_low, 0) AS n_low,
+        |       coalesce(a.n_high, 0) AS n_high, a.p_lo, a.p_hi,
+        |       coalesce(a.wsum_micros, 0) AS wsum_micros, a.wmean,
+        |       coalesce(nn.n_null, 0) AS n_null
+        |FROM a FULL JOIN nn ON a.c_mktsegment = nn.c_mktsegment""".stripMargin,
 
 
     // the naive single-window sweep line — the oracle states the global

@@ -286,15 +286,25 @@ object Sources {
       val hconf = spark.sparkContext.hadoopConfiguration
       val pub = new org.apache.hadoop.fs.Path(publishDir)
       val fs = pub.getFileSystem(hconf)
-      // Promote without a window where the previous publish is already
-      // destroyed but the new one not yet in place: the old copy is
-      // renamed ASIDE first (cheap metadata op), the staging rename is
-      // CHECKED (rename returns false on cross-filesystem moves,
-      // permissions, concurrent writers), and the old copy is deleted
-      // only after the new publish provably exists — on a failed
-      // promote the old publish is restored and the failure surfaces
-      // as an exception, never as a silent (true, report).
+      // Promote with NO data-loss path: the old copy is renamed ASIDE
+      // first (cheap metadata op), the staging rename is CHECKED
+      // (rename returns false on cross-filesystem moves, permissions,
+      // concurrent writers), and the old copy is deleted only after the
+      // new publish provably exists. Failures surface as exceptions
+      // that say exactly where the data is — never a silent
+      // (true, report). There IS a brief no-publish-dir window between
+      // the two renames (single-directory rename semantics); readers
+      // needing zero unavailability put a manifest/symlink indirection
+      // on top — the contract here is that no committed batch is ever
+      // destroyed.
       val old = new org.apache.hadoop.fs.Path(publishDir + ".old")
+      // crash recovery: a previous promote that died between its two
+      // renames left the data at .old with no publish — restore it
+      // before anything else (and never delete a .old that is the only
+      // surviving copy)
+      if (fs.exists(old) && !fs.exists(pub) && !fs.rename(old, pub))
+        throw new java.io.IOException(
+          s"writeAuditPublish: crash-recovery restore failed: $old -> $pub")
       if (fs.exists(old)) fs.delete(old, true)
       val hadPrev = fs.exists(pub)
       if (hadPrev && !fs.rename(pub, old))
@@ -302,10 +312,12 @@ object Sources {
           s"writeAuditPublish: could not move previous publish aside: $pub")
       fs.mkdirs(pub.getParent)
       if (!fs.rename(new org.apache.hadoop.fs.Path(stagingDir), pub)) {
-        if (hadPrev) fs.rename(old, pub)
+        val restored = !hadPrev || fs.rename(old, pub)
         throw new java.io.IOException(
           s"writeAuditPublish: staging->publish rename failed: " +
-            s"$stagingDir -> $pub (previous publish restored)")
+            s"$stagingDir -> $pub " +
+            (if (restored) "(previous publish restored)"
+             else s"(previous publish STRANDED at $old — restore manually)"))
       }
       if (hadPrev) fs.delete(old, true)
     }

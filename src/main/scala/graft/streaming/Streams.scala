@@ -798,7 +798,14 @@ object Streams {
       .start()
     require(q.awaitTermination(300000),
       "AvailableNow DQ stream must drain")
-    spark.read.parquet(partialsDir)
+    readPartials(spark, partialsDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rule",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_violations",
+          org.apache.spark.sql.types.LongType))))
       .groupBy(col("rule"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("n_violations")).as("n_violations"))
@@ -846,11 +853,33 @@ object Streams {
       .start()
     require(q.awaitTermination(300000),
       "AvailableNow SRM stream must drain")
+    // zero micro-batches (empty source) never create partialsDir — the
+    // gate then reports an empty frame, not a path-not-found crash
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      eventsSchema(groupCol),
+      org.apache.spark.sql.types.StructField("n0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n1",
+        org.apache.spark.sql.types.LongType)))
     graft.ops.Experiment.srmFromCounts(
-      spark.read.parquet(partialsDir)
+      readPartials(spark, partialsDir, partialsSchema)
         .groupBy(col(groupCol))
         .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1")),
       groupCol, threshold)
+  }
+
+  /** Read a foreachBatch-appended partials directory, tolerating the
+    * zero-batch case where it was never created: an empty typed frame
+    * instead of PATH_NOT_FOUND, so empty sources yield empty reports. */
+  private def readPartials(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Streaming EXACT heavy hitters — the sketch-then-verify composition
@@ -894,9 +923,12 @@ object Streams {
       .start()
     require(q.awaitTermination(300000),
       "AvailableNow heavy-hitters stream must drain")
-    val cands = spark.read.parquet(partialsDir)
+    val cands = readPartials(spark, partialsDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
       .select(col("token")).distinct()
-    val toks = spark.read.parquet(docsDir)
+    val toks = spark.read.schema(docsSchema).parquet(docsDir)
       .select(explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
     val total = toks.agg(count(lit(1)).as("hh_total"))
     toks.join(broadcast(cands), Seq("token"), "left_semi")

@@ -90,6 +90,15 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") === 3L)
     assert(r.getAs[Long]("n_null") === 2L)
     assert(r.getAs[Double]("wmean") === 2.0)
+    // an ALL-NULL group must still surface (n=0, its n_null) rather
+    // than vanish from the report
+    val withDead = df.unionByName(
+      Seq(("dead", None: Option[Double]), ("dead", None)).toDF("g", "v"))
+    val dead = Profile.winsorizedStats(withDead, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap.apply("dead")
+    assert(dead.getAs[Long]("n") === 0L)
+    assert(dead.getAs[Long]("n_null") === 2L)
+    assert(dead.getAs[Long]("n_low") === 0L)
   }
 
   test("HLL merge law: shard-union estimate equals one-shot estimate; error bounded") {
