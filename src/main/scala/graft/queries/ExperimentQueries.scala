@@ -259,6 +259,90 @@ object ExperimentQueries {
     }),
 
 
+    // Covered time per user (union of overlapping activity intervals —
+    // the sweep the naive sum-of-durations gets wrong when intervals
+    // overlap): each event opens a 10-minute interval; islands form
+    // where a start exceeds the running max end (gaps-and-islands, one
+    // user-partitioned window pass); covered seconds = Σ island spans,
+    // all integer epoch math.
+    "q234_covered_time" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("st"))
+        .withColumn("en", col("st") + lit(600L * 1000000L))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val prevMax = max(col("en")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, -1))
+      val marked = iv
+        .withColumn("island_start",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("island_start")).over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      marked.groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_en") - col("i_st")).as("covered_us"))
+        // integer div, not float /: the micro sum need not divide evenly
+        // and double-cast truncation rules differ across engines
+        .withColumn("covered_s", expr("covered_us div 1000000"))
+        .drop("covered_us")
+    }),
+
+
+    // Out-of-order depth profile — the watermark-sizing diagnostic: how
+    // far behind its user-stream's running max (in ARRIVAL order, the
+    // event_id sequence) each event's timestamp lands, summarized per
+    // event type (max and exact p95/p99 lateness in whole seconds). The
+    // running max is one user-partitioned window pass.
+    "q235_ooo_depth" -> ((s, dir) => {
+      val byArrival = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("late_s",
+          expr("(max(us) OVER (PARTITION BY user_id ORDER BY event_id " +
+            "ROWS UNBOUNDED PRECEDING) - us) div 1000000"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("late_s")).as("max_late_s"),
+          percentile(col("late_s"), lit(0.95)).as("p95_late_s"),
+          percentile(col("late_s"), lit(0.99)).as("p99_late_s"))
+    }),
+
+
+    // Chi-square test of independence over the status × priority
+    // contingency table: observed counts exact, expected =
+    // row_total · col_total / grand (the only doubles), per-cell
+    // contribution reported — the categorical-association read a
+    // DQ/experiment pass runs before trusting a segmentation.
+    "q236_chi2_independence" -> ((s, dir) => {
+      val obs = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val rowT = obs.groupBy(col("o_orderstatus"))
+        .agg(sum(col("n")).as("row_n"))
+      val colT = obs.groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("col_n"))
+      val grand = obs.agg(sum(col("n")).as("grand_n"))
+      obs.join(broadcast(rowT), Seq("o_orderstatus"))
+        .join(broadcast(colT), Seq("o_orderpriority"))
+        .crossJoin(broadcast(grand))
+        .withColumn("expected",
+          col("row_n").cast("double") * col("col_n").cast("double") /
+            col("grand_n").cast("double"))
+        .withColumn("chi2_term",
+          (col("n").cast("double") - col("expected")) *
+            (col("n").cast("double") - col("expected")) / col("expected"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          col("expected"), col("chi2_term"))
+    }),
+
+
     // Decile lift table of a ranking score (the model-eval gains chart,
     // engine-exact): decile bins via broadcast percentile thresholds
     // (the q150/q220 idiom — no global ntile sort), positive rate and
@@ -642,6 +726,77 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q234_covered_time" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts) + 600 * 1000000 AS en
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv
+        |), mk AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR st > prev_max
+        |                 THEN 1 ELSE 0 END AS island_start
+        |  FROM m
+        |), isl AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CAST(sum(island_start) OVER (PARTITION BY user_id
+        |      ORDER BY st, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS island
+        |  FROM mk
+        |), spans AS (
+        |  SELECT user_id, island, min(st) AS i_st, max(en) AS i_en
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(i_en - i_st) // 1000000 AS BIGINT) AS covered_s
+        |FROM spans GROUP BY 1""".stripMargin,
+
+
+    "q235_ooo_depth" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type,
+        |    (max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |       ROWS UNBOUNDED PRECEDING) - us) // 1000000 AS late_s
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(late_s) AS BIGINT) AS max_late_s,
+        |       quantile_cont(late_s, 0.95) AS p95_late_s,
+        |       quantile_cont(late_s, 0.99) AS p99_late_s
+        |FROM l GROUP BY 1""".stripMargin,
+
+
+    "q236_chi2_independence" ->
+      """WITH obs AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS row_n
+        |  FROM obs GROUP BY 1
+        |), c AS (
+        |  SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS col_n
+        |  FROM obs GROUP BY 1
+        |), g AS (SELECT CAST(sum(n) AS BIGINT) AS grand_n FROM obs)
+        |SELECT obs.o_orderstatus, obs.o_orderpriority, obs.n,
+        |  CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) /
+        |    CAST(grand_n AS DOUBLE) AS expected,
+        |  (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |     / CAST(grand_n AS DOUBLE)) *
+        |  (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |     / CAST(grand_n AS DOUBLE)) /
+        |  (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |     / CAST(grand_n AS DOUBLE)) AS chi2_term
+        |FROM obs JOIN r USING (o_orderstatus)
+        |         JOIN c USING (o_orderpriority), g""".stripMargin,
 
 
     "q229_decile_lift" ->
