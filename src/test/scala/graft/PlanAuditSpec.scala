@@ -56,6 +56,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the priority gate must prune the anti build side:\n${anti.take(2500)}")
   }
 
+  test("round-8 TPC-H shapes: dims broadcast, facts alone shuffle (q202/q203/q204)") {
+    // Q7: both nation-pruned dim sides (supplier, customer) must ride
+    // broadcasts into the lineitem⋈orders fact join
+    val q7 = executed(SparkEntry.queries("q202_tpch_q7")(spark, TestSpark.sf))
+    assert(q7.contains("BroadcastHashJoin"),
+      s"q202 dims must broadcast:\n${q7.take(2500)}")
+    // Q8: the densest plan of the batch — part/nation/region/supplier
+    // all broadcast; the only sort-merge-eligible joins are fact-fact
+    val q8 = executed(SparkEntry.queries("q203_tpch_q8")(spark, TestSpark.sf))
+    assert(q8.sliding("BroadcastHashJoin".length).count(
+        _ == "BroadcastHashJoin") >= 3,
+      s"q203 needs at least 3 broadcast dim joins:\n${q8.take(2500)}")
+    // Q10: returned-lines filter must reach the lineitem scan
+    val q10 = executed(SparkEntry.queries("q204_tpch_q10")(spark, TestSpark.sf))
+    assert(q10.linesIterator.filter(_.contains("PushedFilters"))
+        .exists(_.contains("l_returnflag")),
+      s"q204's returnflag gate must push to the scan:\n${q10.take(2500)}")
+  }
+
+  test("q233 streamed heavy-hitter recount prunes via broadcast semi join " +
+      "before the shuffle") {
+    // the readout half's contract: candidates (≤ k·batches rows) prune
+    // the token stream BEFORE the grouped count — a full-domain
+    // aggregation here would defeat the sketch
+    val df = SparkEntry.queries("q233_topk_stream")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate prune must be a broadcast semi join:\n${plan.take(2500)}")
+  }
+
   test("q171 merkle diff: digest screen computed once, row diff semi-pruned by broadcast") {
     val plan = executed(SparkEntry.queries("q171_merkle_diff")(spark, TestSpark.sf))
     // the disagreement set is localCheckpoint-materialized: its digest
