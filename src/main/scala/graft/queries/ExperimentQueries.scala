@@ -354,14 +354,17 @@ object ExperimentQueries {
         .select(col("o_totalprice").as("score"),
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
       // thresholds AND grand totals in ONE scalar aggregate — one scan,
-      // one broadcast, instead of two passes over the scored frame
-      val gcols = (1 to 9).map(i =>
-        percentile(col("score"), lit(i / 10.0)).as(s"q$i")) ++
-        Seq(count(lit(1)).as("n_all"), sum(col("pos")).as("pos_all"))
-      val g = scored.agg(gcols.head, gcols.tail: _*)
+      // one broadcast; the nine thresholds come from a SINGLE
+      // array-percentile (one sort buffer, not nine copies of every
+      // value — the 7x-at-10x-data slope the per-threshold form showed)
+      val g = scored.agg(
+        percentile(col("score"),
+          typedLit((1 to 9).map(_ / 10.0))).as("qs"),
+        count(lit(1)).as("n_all"), sum(col("pos")).as("pos_all"))
       val binned = scored.crossJoin(broadcast(g))
         .withColumn("decile",
-          (1 to 9).map(i => when(col("score") > col(s"q$i"), 1).otherwise(0))
+          (1 to 9).map(i =>
+            when(col("score") > element_at(col("qs"), i), 1).otherwise(0))
             .reduce(_ + _).cast("int") + 1)
       binned.groupBy(col("decile"), col("n_all"), col("pos_all"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
@@ -805,26 +808,23 @@ object ExperimentQueries {
         |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
         |  FROM orders
         |), q AS (
-        |  SELECT quantile_cont(score, 0.1) AS q1, quantile_cont(score, 0.2) AS q2,
-        |         quantile_cont(score, 0.3) AS q3, quantile_cont(score, 0.4) AS q4,
-        |         quantile_cont(score, 0.5) AS q5, quantile_cont(score, 0.6) AS q6,
-        |         quantile_cont(score, 0.7) AS q7, quantile_cont(score, 0.8) AS q8,
-        |         quantile_cont(score, 0.9) AS q9
+        |  SELECT quantile_cont(score,
+        |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
         |  FROM scored
         |), t AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_all,
         |         CAST(sum(pos) AS BIGINT) AS pos_all
         |  FROM scored
         |), b AS (
-        |  SELECT CAST(1 + (CASE WHEN score > q1 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN score > q2 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN score > q3 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN score > q4 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN score > q5 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN score > q6 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN score > q7 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN score > q8 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN score > q9 THEN 1 ELSE 0 END) AS INT) AS decile,
+        |  SELECT CAST(1 + (CASE WHEN score > qs[1] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > qs[2] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > qs[3] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > qs[4] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > qs[5] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > qs[6] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > qs[7] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > qs[8] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN score > qs[9] THEN 1 ELSE 0 END) AS INT) AS decile,
         |    pos
         |  FROM scored, q
         |), a AS (
