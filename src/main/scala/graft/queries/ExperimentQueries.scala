@@ -259,6 +259,61 @@ object ExperimentQueries {
     }),
 
 
+    // Deterministic NEGATIVE SAMPLING (the recsys/contrastive training
+    // prep): each observed (customer, part) positive draws 2 negatives
+    // by md5-indexing into the part catalog — a pure function of the
+    // positive's key (same negatives on any cluster/partitioning, the
+    // q44/q59 portable-sampler recipe) — and accidental positives are
+    // anti-joined away. The catalog index is a row_number over the part
+    // DIM (dim-sized window, broadcast back); the only big shuffles are
+    // the positive join and the anti join, both key-equi.
+    "q237_negative_sampling" -> ((s, dir) => {
+      val pos = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("item")).distinct()
+      val nParts = lit(2000L)
+      val idx = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("p_partkey"))) - 1).cast("long").as("pidx"))
+      val draws = pos.select(col("user_id"), col("item"),
+          explode(array(lit(1), lit(2))).as("j"))
+        .withColumn("pidx",
+          pmod(conv(substring(md5(concat_ws("_",
+            col("user_id"), col("item"), col("j"))), 1, 8), 16, 10)
+            .cast("long"), nParts))
+      val negs = draws
+        .join(broadcast(idx), Seq("pidx"))
+        .select(col("user_id"), col("p_partkey").as("item"))
+        .join(pos, Seq("user_id", "item"), "left_anti")
+        .distinct()
+      pos.withColumn("label", lit(1))
+        .unionByName(negs.withColumn("label", lit(0)))
+    }),
+
+
+    // FEATURE HASHING (the hashing trick): tokens map to 256 buckets by
+    // portable md5, each occurrence signed ±1 by an independent hash
+    // bit, folded per (doc, bucket) — the fixed-width sparse featurizer
+    // that needs NO vocabulary fit, no broadcast dictionary, no OOV
+    // path; long-format output, one grouped pass.
+    "q238_feature_hashing" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("token")), 1, 8), 16, 10)
+            .cast("long"), lit(256L)).as("bucket"),
+          (pmod(conv(substring(md5(col("token")), 9, 1), 16, 10)
+            .cast("long"), lit(2L)) * 2 - 1).as("sign"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sign")).as("w"))),
+
+
     // Covered time per user (union of overlapping activity intervals —
     // the sweep the naive sum-of-durations gets wrong when intervals
     // overlap): each event opens a 10-minute interval; islands form
@@ -729,6 +784,49 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q237_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), idx AS (
+        |  SELECT p_partkey,
+        |         CAST(row_number() OVER (ORDER BY p_partkey) - 1 AS BIGINT)
+        |           AS pidx
+        |  FROM part
+        |), draws AS (
+        |  SELECT user_id, item,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+        |      CAST(item AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 2000 AS pidx
+        |  FROM pos, unnest([1, 2]) AS t(j)
+        |), negs AS (
+        |  SELECT DISTINCT d.user_id, idx.p_partkey AS item
+        |  FROM draws d JOIN idx USING (pidx)
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                    WHERE p.user_id = d.user_id
+        |                      AND p.item = idx.p_partkey)
+        |)
+        |SELECT user_id, item, 1 AS label FROM pos
+        |UNION ALL
+        |SELECT user_id, item, 0 AS label FROM negs""".stripMargin,
+
+
+    "q238_feature_hashing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 256 AS bucket,
+        |    (CAST('0x' || substr(md5(token), 9, 1) AS BIGINT) % 2) * 2 - 1
+        |      AS sign
+        |  FROM tok
+        |)
+        |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
+        |FROM h GROUP BY 1, 2""".stripMargin,
 
 
     "q234_covered_time" ->
