@@ -27,12 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object Centroid {
 
-  def classify(
+  /** The shared fit+score pipeline: per-vector rows scored against every
+    * centroid, argmin row marked `rn = 1`. [[classify]] and
+    * [[assignCells]] are both one projection away. */
+  private def scored(
       emb: DataFrame,
       idCol: String,
       labelCol: String,
       vecCol: String,
-      offset: Double = 1024.0): DataFrame = {
+      offset: Double): DataFrame = {
     val q = emb.select(col(idCol), col(labelCol).cast("long").as("label"),
       transform(col(vecCol),
         x => round((x.cast("double") + lit(offset)) * 1e6).cast("long"))
@@ -61,8 +64,31 @@ object Centroid {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("dist2"), col("c_label"))))
+  }
+
+  def classify(
+      emb: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      offset: Double = 1024.0): DataFrame =
+    scored(emb, idCol, labelCol, vecCol, offset)
       .filter(col("rn") === 1)
       .select(col(idCol), col("label"), col("c_label").as("pred_label"),
         col("dist2"))
-  }
+
+  /** Cell assignment for BLOCKING (hard-negative mining, semantic
+    * grouping): each vector with its nearest-centroid cell AND its
+    * quantized dims retained, so downstream within-cell pair work can
+    * compute exact integer distances without re-deriving the
+    * quantization. Same argmin/tie-break as [[classify]]. */
+  def assignCells(
+      emb: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      offset: Double = 1024.0): DataFrame =
+    scored(emb, idCol, labelCol, vecCol, offset)
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label"), col("c_label").as("cell"), col("q"))
 }

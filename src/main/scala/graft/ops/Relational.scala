@@ -533,6 +533,55 @@ object Relational {
     snapshotDiff(oldHit, newHit, keys :+ "bucket", valueCols)
   }
 
+  /** Association rules over [[cooccurrencePairs]]' capped basket
+    * universe: every surviving pair emits both directed rules A→B and
+    * B→A with exact integer support counts, confidence =
+    * support(A,B)/support(A), and lift = confidence · nBaskets /
+    * support(B) — the doubles are two final IEEE ratios over exact
+    * BIGINTs. Item supports and the basket total come from the SAME
+    * capped universe as the pairs, so the three statistics are mutually
+    * consistent by construction. Scale shape: the pair space stays
+    * bounded by the `maxBasket` cap; item supports are one grouped
+    * count; the basket total is a scalar broadcast. */
+  def associationRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int,
+      minSupport: Long): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val items = df.select(col(basketCol), col(itemCol)).distinct()
+    val sized = items
+      .withColumn("__bs",
+        count(lit(1)).over(Window.partitionBy(col(basketCol))))
+      .filter(col("__bs") <= maxBasket)
+      .drop("__bs")
+    val itemSupp = sized.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("item_support"))
+    val nb = sized.agg(countDistinct(col(basketCol)).as("n_baskets"))
+    val pairs = cooccurrencePairs(df, basketCol, itemCol, maxBasket,
+      minSupport)
+    val rules = pairs
+      .select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("support"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("support")))
+    rules
+      .join(broadcast(itemSupp.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("item_support", "ant_support")), Seq("antecedent"))
+      .join(broadcast(itemSupp.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("item_support", "cons_support")), Seq("consequent"))
+      .crossJoin(broadcast(nb))
+      .withColumn("confidence",
+        col("support").cast("double") / col("ant_support").cast("double"))
+      .withColumn("lift",
+        col("confidence") * col("n_baskets").cast("double") /
+          col("cons_support").cast("double"))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("ant_support"), col("cons_support"), col("confidence"),
+        col("lift"))
+  }
+
   /** Whole-table content checksum — [[merkleDiff]]'s digest collapsed to
     * ONE row: count + DECIMAL(30,0) sum of per-row 56-bit content
     * hashes over the same injective per-column-md5 token encoding.

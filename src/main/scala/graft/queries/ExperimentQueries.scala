@@ -259,6 +259,69 @@ object ExperimentQueries {
     }),
 
 
+    // Association rules (confidence + lift) over q146's capped basket
+    // universe — both directed rules per surviving pair, statistics
+    // mutually consistent by construction (same cap everywhere).
+    "q240_association_rules" -> ((s, dir) =>
+      graft.ops.Relational.associationRules(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", maxBasket = 8, minSupport = 2L)),
+
+
+    // Time-in-state: dwell seconds per event type (each event holds its
+    // state until the user's next event — the LOCF segment view), with
+    // exact integer share-of-total ppm. One user-partitioned lead pass.
+    "q241_time_in_state" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seg = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("nxt", lead(col("us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dur_s", expr("(nxt - us) div 1000000"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("dur_s")).as("total_s"))
+      seg.crossJoin(broadcast(seg.agg(sum(col("total_s")).as("grand_s"))))
+        .withColumn("share_ppm", expr("total_s * 1000000 div grand_s"))
+        .select(col("event_type"), col("n_segments"), col("total_s"),
+          col("share_ppm"))
+    }),
+
+
+    // HARD-NEGATIVE MINING (the contrastive-training prep q237's random
+    // negatives can't give): for each vector, the nearest
+    // DIFFERENT-label vector within its nearest-centroid cell — the
+    // cell blocking keeps the pair space Σ cell², never n² (declared
+    // in-cluster-negatives semantics, the SemDeDup/ANN family rule),
+    // with the family-standard cell-size cap. Exact BIGINT distances
+    // over the retained quantized dims; argmin ties break to the
+    // smaller candidate id.
+    "q239_hard_negatives" -> ((s, dir) => {
+      val cells = graft.ml.Centroid.assignCells(
+        Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+      val capped = cells
+        .withColumn("cn", count(lit(1)).over(
+          Window.partitionBy(col("cell"))))
+        .filter(col("cn") <= 200).drop("cn")
+      val other = capped.select(col("cell"), col("vec_id").as("o_id"),
+        col("label").as("o_label"), col("q").as("o_q"))
+      capped.join(other, Seq("cell"))
+        .filter(col("label") =!= col("o_label"))
+        .withColumn("pair_dist2",
+          aggregate(zip_with(col("q"), col("o_q"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("pair_dist2"), col("o_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("o_id").as("hard_neg_id"),
+          col("o_label").as("hard_neg_label"), col("pair_dist2"))
+    }),
+
+
     // Deterministic NEGATIVE SAMPLING (the recsys/contrastive training
     // prep): each observed (customer, part) positive draws 2 negatives
     // by md5-indexing into the part catalog — a pure function of the
@@ -784,6 +847,106 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q240_association_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |), sized AS (
+        |  SELECT basket, item FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY basket) AS bs FROM items)
+        |  WHERE bs <= 8
+        |), supp AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS item_support
+        |  FROM sized GROUP BY 1
+        |), nb AS (
+        |  SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+        |  FROM sized
+        |), pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b,
+        |         CAST(count(*) AS BIGINT) AS support
+        |  FROM sized a JOIN sized b ON a.basket = b.basket
+        |  WHERE a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), rules AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, support
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT item_b, item_a, support FROM pairs
+        |)
+        |SELECT r.antecedent, r.consequent, r.support,
+        |  sa.item_support AS ant_support, sc.item_support AS cons_support,
+        |  CAST(r.support AS DOUBLE) / CAST(sa.item_support AS DOUBLE)
+        |    AS confidence,
+        |  CAST(r.support AS DOUBLE) / CAST(sa.item_support AS DOUBLE)
+        |    * CAST(n_baskets AS DOUBLE) / CAST(sc.item_support AS DOUBLE)
+        |    AS lift
+        |FROM rules r
+        |JOIN supp sa ON sa.item = r.antecedent
+        |JOIN supp sc ON sc.item = r.consequent, nb""".stripMargin,
+
+
+    "q241_time_in_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |         lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events
+        |), seg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+        |         CAST(sum((nxt - us) // 1000000) AS BIGINT) AS total_s
+        |  FROM e WHERE nxt IS NOT NULL GROUP BY 1
+        |), g AS (SELECT CAST(sum(total_s) AS BIGINT) AS grand_s FROM seg)
+        |SELECT event_type, n_segments, total_s,
+        |       CAST(total_s * 1000000 // grand_s AS BIGINT) AS share_ppm
+        |FROM seg, g""".stripMargin,
+
+
+    // q211's centroid/assignment CTEs + the within-cell different-label
+    // pair argmin, capped at 200 members per cell
+    "q239_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(i - 1 AS INT) AS pos,
+        |         CAST(round((CAST(embedding[i] AS DOUBLE) + 1024.0) * 1e6)
+        |              AS BIGINT) AS v
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS t(i)
+        |), cent AS (
+        |  SELECT label AS c_label, pos,
+        |         CAST(sum(v) // count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY 1, 2
+        |), d AS (
+        |  SELECT q.vec_id, q.label, cent.c_label,
+        |         CAST(sum((q.v - cent.c) * (q.v - cent.c)) AS BIGINT) AS dist2
+        |  FROM q JOIN cent ON q.pos = cent.pos
+        |  GROUP BY 1, 2, 3
+        |), assign AS (
+        |  SELECT vec_id, label, c_label AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY dist2, c_label) AS rn
+        |    FROM d) WHERE rn = 1
+        |), capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY cell) AS cn FROM assign)
+        |  WHERE cn <= 200
+        |), pairs AS (
+        |  SELECT a.vec_id, a.label, b.vec_id AS o_id, b.label AS o_label,
+        |         CAST(sum((qa.v - qb.v) * (qa.v - qb.v)) AS BIGINT)
+        |           AS pair_dist2
+        |  FROM capped a
+        |  JOIN capped b ON a.cell = b.cell AND a.label <> b.label
+        |  JOIN q qa ON qa.vec_id = a.vec_id
+        |  JOIN q qb ON qb.vec_id = b.vec_id AND qb.pos = qa.pos
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT vec_id, label, o_id AS hard_neg_id,
+        |       o_label AS hard_neg_label, pair_dist2
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                   ORDER BY pair_dist2, o_id) AS rn
+        |      FROM pairs)
+        |WHERE rn = 1""".stripMargin,
 
 
     "q237_negative_sampling" ->
