@@ -42,7 +42,31 @@ object Temporal {
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      attachCols: Seq[String]): DataFrame = {
+      attachCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, tsCol, attachCols, forward = false)
+
+  /** FORWARD as-of: each left row attaches the EARLIEST right row at or
+    * after its timestamp — the "next reading / next fill" lookup
+    * (backward [[asofJoin]]'s mirror; same union-window shape, one
+    * shuffle, no inequality join; the only difference is the window's
+    * ts direction). Exactly-coincident right rows are visible, ties
+    * within the right side resolve to the window order like the
+    * backward form. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      attachCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, tsCol, attachCols, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      attachCols: Seq[String],
+      forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(attachCols.nonEmpty, "asofJoin needs at least one attach column")
     val rightCols = right.columns.toSet
@@ -61,9 +85,12 @@ object Temporal {
       .drop(attachCols: _*)
       .withColumn("__side", lit(0))
     // right (side 0) sorts BEFORE left (side 1) at equal ts, so an
-    // exactly-coincident right row is visible to the left row (ts >= ts)
+    // exactly-coincident right row is visible to the left row in BOTH
+    // directions; forward mode just walks the timeline from the other
+    // end (ts desc) so "last seen" becomes "earliest at-or-after"
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))

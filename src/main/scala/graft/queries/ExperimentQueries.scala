@@ -259,6 +259,24 @@ object ExperimentQueries {
     }),
 
 
+    // FORWARD as-of: each click attaches the user's NEXT purchase value
+    // at-or-after it (q30's mirror — the union-window shape walked from
+    // the other end of the timeline; one shuffle, no inequality join).
+    // Both sides pre-grouped to the (user, ts) grain the asof contract
+    // requires.
+    "q242_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("next_purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("n_clicks"))
+      graft.ops.Temporal.asofJoinForward(clicks, purchases,
+        Seq("user_id"), "ts", Seq("next_purchase_value"))
+    }),
+
+
     // Association rules (confidence + lift) over q146's capped basket
     // universe — both directed rules per surviving pair, statistics
     // mutually consistent by construction (same cap everywhere).
@@ -847,6 +865,30 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    // the union-window replay, walked in DESC ts order — right rows
+    // (side 0) sort before left at equal ts so coincident purchases
+    // are visible, exactly the engine's contract
+    "q242_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), c AS (
+        |  SELECT user_id, ts, CAST(count(*) AS BIGINT) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), u AS (
+        |  SELECT user_id, ts, 0 AS side, v, NULL::BIGINT AS n_clicks FROM p
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, n_clicks FROM c
+        |), w AS (
+        |  SELECT *, last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, side ASC
+        |    ROWS UNBOUNDED PRECEDING) AS nxt
+        |  FROM u
+        |)
+        |SELECT user_id, ts, n_clicks, nxt AS next_purchase_value
+        |FROM w WHERE side = 1""".stripMargin,
 
 
     "q240_association_rules" ->

@@ -33,6 +33,27 @@ class TemporalSpec extends AnyFunSuite {
       103L -> None, 104L -> None))
   }
 
+  test("asofJoinForward: earliest right row at or after each left ts; " +
+      "coincident rows visible; null when none follows") {
+    val right = Seq(
+      (1L, ts("2020-01-01 00:00:00"), 10.0),
+      (1L, ts("2020-01-01 02:00:00"), 20.0),
+      (2L, ts("2020-01-01 05:00:00"), 99.0)
+    ).toDF("k", "ts", "v")
+    val left = Seq(
+      (100L, 1L, ts("2020-01-01 01:00:00")), // next is the 02:00 row
+      (101L, 1L, ts("2020-01-01 02:00:00")), // exactly coincident -> 20.0
+      (102L, 1L, ts("2020-01-01 03:00:00")), // nothing follows -> null
+      (103L, 2L, ts("2020-01-01 04:00:00")), // key-2's row follows -> 99.0
+      (104L, 3L, ts("2020-01-01 04:00:00"))  // key with no right rows -> null
+    ).toDF("id", "k", "ts")
+    val got = Temporal.asofJoinForward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(
+      100L -> Some(20.0), 101L -> Some(20.0), 102L -> None,
+      103L -> Some(99.0), 104L -> None))
+  }
+
   test("sequenceDeltas: lag/lead/delta/day-gap per entity with total-order tie-break") {
     val df = Seq(
       (10L, 1L, ts("2024-01-01 00:00:00"), 100.0),
