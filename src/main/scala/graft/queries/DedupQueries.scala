@@ -130,6 +130,22 @@ object DedupQueries {
           "doc_id"))),
 
 
+    // The dedup REPORTING read over q43's clusters: cluster-size
+    // distribution plus the survivor/drop accounting a curation run
+    // publishes ("N docs in M clusters; K dropped"). Two tiny grouped
+    // rollups over the cluster frame.
+    "q244_cluster_size_histogram" -> ((s, dir) =>
+      llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(Tables.documents(s, dir), "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3),
+          "doc_id"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (sum(col("sz")) - count(lit(1))).as("n_dropped"))),
+
+
     // q70 at the beyond-broadcast scale: Bloom sketch over the bench grams
     // pre-prunes the corpus explode before the (non-broadcast) exact join.
     // Same oracle SQL as q70 — the hash match proves the sketch path
@@ -518,6 +534,50 @@ object DedupQueries {
         |)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+
+    // q43's recursive closure + the size rollup
+    "q244_cluster_size_histogram" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), clusters AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+        |  FROM clusters GROUP BY 1
+        |)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sum(sz) - count(*) AS BIGINT) AS n_dropped
+        |FROM sizes GROUP BY 1""".stripMargin,
 
 
     "q70_decontaminate" ->

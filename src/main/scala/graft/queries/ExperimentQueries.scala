@@ -259,6 +259,31 @@ object ExperimentQueries {
     }),
 
 
+    // Pareto (cumulative-share) curve of revenue by brand — the 80/20
+    // read: revenue folds to the BRAND grain first (exact cents,
+    // map-side partial), and only that tiny frame pays the ordered
+    // window; cumulative share is integer ppm with a (revenue desc,
+    // brand) total order.
+    "q243_pareto_revenue" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum((col("l_extendedprice").cast("decimal(30,2)") * 100)
+          .cast("long")).as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.crossJoin(broadcast(rev.agg(sum(col("rev_cents")).as("grand"))))
+        .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rev_cents").desc, col("p_brand"))))
+        .withColumn("cum_share_ppm", expr("cum_cents * 1000000 div grand"))
+        .select(col("rank"), col("p_brand"), col("rev_cents"),
+          col("cum_share_ppm"))
+    }),
+
+
     // FORWARD as-of: each click attaches the user's NEXT purchase value
     // at-or-after it (q30's mirror — the union-window shape walked from
     // the other end of the timeline; one shuffle, no inequality join).
@@ -865,6 +890,23 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q243_pareto_revenue" ->
+      """WITH rev AS (
+        |  SELECT p.p_brand,
+        |         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1
+        |), g AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS grand FROM rev)
+        |SELECT CAST(row_number() OVER (ORDER BY rev_cents DESC, p_brand)
+        |            AS INT) AS rank,
+        |       p_brand, rev_cents,
+        |       CAST(CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_brand
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000 // grand
+        |         AS BIGINT) AS cum_share_ppm
+        |FROM rev, g""".stripMargin,
 
 
     // the union-window replay, walked in DESC ts order — right rows
