@@ -259,6 +259,39 @@ object ExperimentQueries {
     }),
 
 
+    // New-vs-returning daily split: each active (user, day) classifies
+    // by whether the day is the user's FIRST activity date — the
+    // product-growth read next to q140's retention triangle. Two
+    // user-grain passes, exact counts.
+    "q246_new_vs_returning" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("first_d"))
+      ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .join(first, Seq("user_id"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("d") === col("first_d"), 1L).otherwise(0L))
+            .as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+    }),
+
+
+    // Monthly order-value percentile trend: exact p50/p90 per month
+    // from ONE array-percentile buffer per group (the q229 lesson),
+    // month-grain output.
+    "q247_monthly_percentiles" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("o_totalprice"), typedLit(Seq(0.5, 0.9)))
+            .as("qs"))
+        .select(col("month"), col("n"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"))),
+
+
     // Pareto (cumulative-share) curve of revenue by brand — the 80/20
     // read: revenue folds to the BRAND grain first (exact cents,
     // map-side partial), and only that tiny frame pays the ordered
@@ -890,6 +923,30 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q246_new_vs_returning" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_d
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_new,
+        |       CAST(count(*) - sum(CASE WHEN d = first_d THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_returning
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+
+    "q247_monthly_percentiles" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY 1""".stripMargin,
 
 
     "q243_pareto_revenue" ->

@@ -143,6 +143,25 @@ object TextQueries {
           when(col("bg_score") >= 80, "en").otherwise("other").as("lang_bg"))),
 
 
+    // Language-ID EVALUATION: confusion of the declared corpus lang
+    // against q34's bigram heuristic (en vs other), plus per-declared-
+    // lang detection ppm — the accuracy readout a curation pipeline
+    // publishes before trusting the gate. Exact counts; one grouped
+    // pass over the scored frame.
+    "q245_lang_confusion" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          when(TextOps.englishBigramScore(col("text")) >= 80, "en")
+            .otherwise("other").as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))))
+        .withColumn("share_ppm", expr("n * 1000000 div lang_total"))
+        .select(col("lang"), col("pred"), col("n"), col("share_ppm"))),
+
+
     // retrieval: BM25 over a fixed 3-term query — one corpus-stats pass
     // broadcast back, scoring a pure projection; the score ships
     // µ-quantized so the only non-portable bit (ln's last ulp) can't
@@ -640,6 +659,38 @@ object TextQueries {
         |SELECT doc_id, bg_score,
         |       CASE WHEN bg_score >= 80 THEN 'en' ELSE 'other' END AS lang_bg
         |FROM sc""".stripMargin,
+
+
+    // q34's scorer joined back to the declared lang + the grouped
+    // confusion rollup
+    "q245_lang_confusion" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |         array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS s
+        |  FROM documents
+        |), sc AS (
+        |  SELECT lang,
+        |    CASE WHEN len(s) >= 2 THEN
+        |      CAST(floor((len(list_filter(list_transform(generate_series(1, len(s)-1),
+        |                                                 i -> substr(s, i, 2)),
+        |             x -> x IN ('th','he','in','er','an','re','on','at','en','nd',
+        |                        'ti','es','or','te','of','ed','is','it','al','ar',
+        |                        'st','to','nt','ng','se','ha','as','ou','io','le'))) * 1000)
+        |                 / (len(s) - 1)) AS BIGINT)
+        |    ELSE 0 END AS bg_score
+        |  FROM n
+        |), p AS (
+        |  SELECT lang,
+        |         CASE WHEN bg_score >= 80 THEN 'en' ELSE 'other' END AS pred
+        |  FROM sc
+        |), c AS (
+        |  SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT lang, pred, n,
+        |       CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY lang)
+        |         AS BIGINT) AS BIGINT) AS share_ppm
+        |FROM c""".stripMargin,
 
 
     // Mirror of graft.text.Stemmer.stemToken — same ordered rule chain;
