@@ -259,6 +259,36 @@ object ExperimentQueries {
     }),
 
 
+    // GROWTH ACCOUNTING (the revenue bridge): the period-over-period
+    // delta decomposed into new / churned / expansion / contraction /
+    // flat user segments — per-user period revenues fold in ONE
+    // conditional-sum pass (exact cents), the segment label is pure
+    // derived algebra, and the category deltas provably sum to the
+    // total change. Periods: first vs second half of the corpus month.
+    "q248_growth_accounting" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"),
+          (col("ts") < lit(cut).cast("timestamp_ntz")).as("a"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("a"), col("c")).otherwise(0L)).as("rev_a"),
+          sum(when(col("a"), lit(0L)).otherwise(col("c"))).as("rev_b"))
+      perUser
+        .withColumn("segment",
+          when(col("rev_a") === 0L && col("rev_b") > 0L, "new")
+            .when(col("rev_a") > 0L && col("rev_b") === 0L, "churned")
+            .when(col("rev_b") > col("rev_a"), "expansion")
+            .when(col("rev_b") < col("rev_a"), "contraction")
+            .otherwise("flat"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("rev_a")).as("rev_a_cents"),
+          sum(col("rev_b")).as("rev_b_cents"),
+          sum(col("rev_b") - col("rev_a")).as("delta_cents"))
+    }),
+
+
     // New-vs-returning daily split: each active (user, day) classifies
     // by whether the day is the user's FIRST activity date — the
     // product-growth read next to q140's retention triangle. Two
@@ -923,6 +953,32 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q248_growth_accounting" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN ts < TIMESTAMP '$cut'
+         |      THEN CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS rev_a,
+         |    CAST(sum(CASE WHEN ts < TIMESTAMP '$cut' THEN 0
+         |      ELSE CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)
+         |      END) AS BIGINT) AS rev_b
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |), seg AS (
+         |  SELECT *,
+         |    CASE WHEN rev_a = 0 AND rev_b > 0 THEN 'new'
+         |         WHEN rev_a > 0 AND rev_b = 0 THEN 'churned'
+         |         WHEN rev_b > rev_a THEN 'expansion'
+         |         WHEN rev_b < rev_a THEN 'contraction'
+         |         ELSE 'flat' END AS segment
+         |  FROM pu
+         |)
+         |SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+         |       CAST(sum(rev_a) AS BIGINT) AS rev_a_cents,
+         |       CAST(sum(rev_b) AS BIGINT) AS rev_b_cents,
+         |       CAST(sum(rev_b - rev_a) AS BIGINT) AS delta_cents
+         |FROM seg GROUP BY 1""".stripMargin,
 
 
     "q246_new_vs_returning" ->
