@@ -259,6 +259,50 @@ object ExperimentQueries {
     }),
 
 
+    // ABC classification over q243's Pareto curve: brands bucket into
+    // A (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    // inventory-management rollup; class boundaries evaluated on the
+    // same integer-ppm cumulative shares.
+    "q249_abc_classification" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum((col("l_extendedprice").cast("decimal(30,2)") * 100)
+          .cast("long")).as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.crossJoin(broadcast(rev.agg(sum(col("rev_cents")).as("grand"))))
+        .withColumn("cum_ppm",
+          expr("(sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_brand " +
+            "ROWS UNBOUNDED PRECEDING)) * 1000000 div grand"))
+        .withColumn("abc",
+          when(col("cum_ppm") <= 800000L, "A")
+            .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_brands"),
+          sum(col("rev_cents")).as("rev_cents"))
+    }),
+
+
+    // Staleness histogram: days since each user's last activity
+    // (reference = the corpus max date, a scalar broadcast — no
+    // engine-divergent now()), bucketed exactly — the inactive-user /
+    // data-freshness read.
+    "q250_staleness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val lastAct = ev.groupBy(col("user_id"))
+        .agg(to_date(max(col("ts"))).as("last_d"))
+      lastAct
+        .crossJoin(broadcast(ev.agg(to_date(max(col("ts"))).as("ref_d"))))
+        .withColumn("stale_days",
+          datediff(col("ref_d"), col("last_d")).cast("long"))
+        .groupBy(col("stale_days"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+
     // GROWTH ACCOUNTING (the revenue bridge): the period-over-period
     // delta decomposed into new / churned / expansion / contraction /
     // flat user segments — per-user period revenues fold in ONE
@@ -953,6 +997,41 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q249_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT p.p_brand,
+        |         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1
+        |), g AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS grand FROM rev),
+        |c AS (
+        |  SELECT p_brand, rev_cents,
+        |    CAST(CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_brand
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000 // grand
+        |      AS BIGINT) AS cum_ppm
+        |  FROM rev, g
+        |), a AS (
+        |  SELECT CASE WHEN cum_ppm <= 800000 THEN 'A'
+        |              WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END AS abc,
+        |         rev_cents
+        |  FROM c
+        |)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_brands,
+        |       CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+        |FROM a GROUP BY 1""".stripMargin,
+
+
+    "q250_staleness" ->
+      """WITH la AS (
+        |  SELECT user_id, CAST(max(ts) AS DATE) AS last_d
+        |  FROM events GROUP BY 1
+        |), r AS (SELECT CAST(max(ts) AS DATE) AS ref_d FROM events)
+        |SELECT CAST(datediff('day', last_d, ref_d) AS BIGINT) AS stale_days,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM la, r GROUP BY 1""".stripMargin,
 
 
     "q248_growth_accounting" ->
