@@ -559,7 +559,7 @@ object Dedup {
     val bg = bench.select(explode(grams).as("gram")).distinct()
     val bfBytes = bg
       .select(graft.exprapi.bloomFilterAgg(xxhash64(col("gram")), expectedGrams, fpp))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     if (bfBytes == null) {
       // empty bench side: the sketch aggregate yields NULL; the exact
       // report is empty by the same emptiness — return that shape

@@ -526,7 +526,7 @@ object Similarity {
       .select(col("n_id"), col("cell").cast("int").as("cell"), col("n_unit"))
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("cell").cast("int").as("cell"), col("c_arr"))
-    val nlist = centroids.select(max(col("cell"))).head.getInt(0) + 1
+    val nlist = centroids.select(max(col("cell"))).head().getInt(0) + 1
     IvfIndex(cells, centroids, nlist)
   }
 

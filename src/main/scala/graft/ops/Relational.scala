@@ -802,7 +802,7 @@ object Relational {
     require(k >= 1, s"k must be >= 1, got $k")
     val cands = df
       .select(graft.exprapi.misraGries(col(valueCol), k).as("mg"))
-      .head.getSeq[org.apache.spark.sql.Row](0)
+      .head().getSeq[org.apache.spark.sql.Row](0)
       .map(_.getString(0))
     val hits = if (cands.isEmpty) df.filter(lit(false))
                else df.filter(col(valueCol).isInCollection(cands))

@@ -95,7 +95,7 @@ object Temporal {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         attachCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
@@ -347,7 +347,7 @@ object Temporal {
             col("__ts") <= col(t(prev)) + expr(s"INTERVAL $g SECONDS")
         }
         val next = acc.join(si, Seq(keyCol), "left")
-          .groupBy(acc.columns.map(col): _*)
+          .groupBy(acc.columns.toIndexedSeq.map(col): _*)
           .agg(min(when(inWindow, col("__ts"))).as(t(step)))
         (next, step)
     }._1

@@ -231,7 +231,7 @@ object Sources {
         .toDF("kb", "n_before", "n_deleted", "n_after")
     }
     val cur = spark.read.parquet(tableDir)
-      .filter(col("kb").isin(touched.map(Int.box): _*))
+      .filter(col("kb").isin(touched.toIndexedSeq.map(Int.box): _*))
     val before = cur.groupBy(col("kb"))
       .agg(count(lit(1)).as("n_before")).localCheckpoint(true)
     val kept = cur
