@@ -259,6 +259,39 @@ object ExperimentQueries {
     }),
 
 
+    // Frequency-cap audit: (user, day) activity cells over the k=50/day
+    // cap — the abuse/bot screen and ad-frequency hygiene read. Two
+    // grouped passes, exact counts.
+    "q251_frequency_cap" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_user_days"),
+          sum(when(col("n_events") > 50L, 1L).otherwise(0L))
+            .as("n_over_cap"),
+          max(col("n_events")).as("max_events"))),
+
+
+    // Basket-size profile: orders histogrammed by lineitem count with
+    // the exact mean order value per size (integer cents, one double
+    // division per size bucket) — the order-economics shape read.
+    "q252_basket_size_profile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(30,2)") * 100).cast("long")
+            .as("price_cents"))
+        .join(Tables.lineitem(s, dir)
+            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("basket_size")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("basket_size"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_cents"))
+        .withColumn("mean_value",
+          col("sum_cents").cast("double") /
+            (col("n_orders").cast("double") * 100.0))),
+
+
     // ABC classification over q243's Pareto curve: brands bucket into
     // A (first 80% of cumulative revenue), B (to 95%), C (tail) — the
     // inventory-management rollup; class boundaries evaluated on the
@@ -997,6 +1030,36 @@ object ExperimentQueries {
         |         + (CASE WHEN monetary_cents > m4 THEN 1 ELSE 0 END) AS INT)
         |    AS m_bin
         |FROM rfm, q""".stripMargin,
+
+
+    "q251_frequency_cap" ->
+      """WITH ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_user_days,
+        |       CAST(sum(CASE WHEN n_events > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_over_cap,
+        |       CAST(max(n_events) AS BIGINT) AS max_events
+        |FROM ud GROUP BY 1""".stripMargin,
+
+
+    "q252_basket_size_profile" ->
+      """WITH bs AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_size
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT bs.basket_size,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |           AS price_cents
+        |  FROM orders o JOIN bs ON o.o_orderkey = bs.l_orderkey
+        |)
+        |SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(price_cents) AS DOUBLE) /
+        |         (CAST(count(*) AS DOUBLE) * 100.0) AS mean_value
+        |FROM j GROUP BY 1""".stripMargin,
 
 
     "q249_abc_classification" ->
