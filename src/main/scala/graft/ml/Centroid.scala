@@ -49,9 +49,15 @@ object Centroid {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cvec"))
       .select(col("label").as("c_label"), col("cvec"))
-    q.withColumn("_k", pmod(col(idCol), lit(1L)).cast("int"))
+    // _k is constant 0 yet non-foldable (depends on a column) so the
+    // plan stays a BroadcastHashJoin; coalesce maps a NULL (or
+    // non-castable) id to 0 too — without it a NULL id made a NULL join
+    // key and the row silently vanished from the classification output
+    q.withColumn("_k",
+        pmod(coalesce(col(idCol).cast("long"), lit(0L)), lit(1L)).cast("int"))
       .join(broadcast(cent
-          .withColumn("_k", pmod(col("c_label"), lit(1L)).cast("int"))),
+          .withColumn("_k", pmod(coalesce(col("c_label"), lit(0L)),
+            lit(1L)).cast("int"))),
         Seq("_k"))
       .withColumn("dist2",
         aggregate(zip_with(col("q"), col("cvec"),

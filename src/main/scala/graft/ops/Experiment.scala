@@ -47,12 +47,20 @@ object Experiment {
       .groupBy(col("_u"))
       .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
         sum(when(col("pre"), lit(0L)).otherwise(col("c"))).as("y"))
+    // product moments fold as decimal(38,0) (operands lifted to
+    // decimal(19,0) BEFORE multiplying, so the product itself cannot
+    // wrap): a long product of two ~3e9-cent totals silently overflows,
+    // while DuckDB promotes its BIGINT sums to HUGEINT — decimal
+    // accumulation keeps the exact-integer → one-double-conversion
+    // contract on both engines at any operand magnitude up to 1e38
     val g = perUser.agg(
       count(lit(1)).cast("double").as("gn"),
       sum(col("x")).cast("double").as("gsx"),
       sum(col("y")).cast("double").as("gsy"),
-      sum(col("x") * col("y")).cast("double").as("gsxy"),
-      sum(col("x") * col("x")).cast("double").as("gsxx"))
+      sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast("double").as("gsxy"),
+      sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+        .cast("double").as("gsxx"))
     perUser
       .groupBy((col("_u") % nVariants).cast("int").as("variant"))
       .agg(count(lit(1)).as("n"),
@@ -162,7 +170,8 @@ object Experiment {
 
   /** Grouped simple least squares over integer-exact sufficient
     * statistics: per group, slope and intercept of y-on-x from
-    * (n, Σx, Σy, Σxy, Σx²) folded as BIGINTs in ONE map-side-partial
+    * (n, Σx, Σy as BIGINT; Σxy, Σx² as decimal(38,0) — overflow-safe
+    * past the long product bound) folded in ONE map-side-partial
     * pass — the closed form needs no iteration and no driver
     * round-trips at any scale. `xCol`/`yCol` must already be integral
     * (cast/quantize upstream); the coefficients are the only doubles. */
@@ -174,8 +183,12 @@ object Experiment {
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
-        sum(col(xCol) * col(yCol)).as("sxy"),
-        sum(col(xCol) * col(xCol)).as("sxx"))
+        // decimal(38,0) product moments (operands lifted first): long
+        // x·y wraps past ~3e9·3e9 while the oracle's HUGEINT doesn't
+        sum(col(xCol).cast("decimal(19,0)") * col(yCol).cast("decimal(19,0)"))
+          .as("sxy"),
+        sum(col(xCol).cast("decimal(19,0)") * col(xCol).cast("decimal(19,0)"))
+          .as("sxx"))
       .withColumn("slope",
         (col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /

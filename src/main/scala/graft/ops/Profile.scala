@@ -165,8 +165,10 @@ object Profile {
       .withColumn("wmean",
         col("wsum_micros").cast("double") / (col("n") * lit(1e6)))
       // FULL outer: an all-NULL group has no present-side row but must
-      // still surface with its n_null count
-      .join(broadcast(nulls), Seq(groupCol), "full_outer")
+      // still surface with its n_null count. No broadcast hint —
+      // BroadcastHashJoin cannot run a FullOuter, so a hint would be
+      // silently ignored; both sides are group-count-sized anyway
+      .join(nulls, Seq(groupCol), "full_outer")
       .withColumn("n_null", coalesce(col("n_null"), lit(0L)))
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("n_low", coalesce(col("n_low"), lit(0L)))

@@ -163,11 +163,19 @@ object ExperimentQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("prev")).as("sx"), sum(col("c")).as("sy"),
-          sum(col("prev") * col("c")).as("sxy"),
-          sum(col("prev") * col("prev")).as("sxx"),
-          sum(col("c") * col("c")).as("syy"))
-        .filter(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
-          col("n_pairs") * col("syy") - col("sy") * col("sy") > 0)
+          // product moments as decimal(38,0) (operands lifted first):
+          // a long cent-product wraps past ~3e9 per operand while the
+          // oracle promotes to HUGEINT — decimal keeps both exact
+          sum(col("prev").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+            .as("sxy"),
+          sum(col("prev").cast("decimal(19,0)") * col("prev").cast("decimal(19,0)"))
+            .as("sxx"),
+          sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+            .as("syy"))
+        .filter(col("n_pairs") * col("sxx") -
+            col("sx").cast("decimal(19,0)") * col("sx").cast("decimal(19,0)") > 0 &&
+          col("n_pairs") * col("syy") -
+            col("sy").cast("decimal(19,0)") * col("sy").cast("decimal(19,0)") > 0)
         .withColumn("r",
           (col("n_pairs").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
@@ -496,6 +504,10 @@ object ExperimentQueries {
         .withColumn("pair_dist2",
           aggregate(zip_with(col("q"), col("o_q"),
             (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+        // a ragged-vector pair folds to NULL, which sorts FIRST under
+        // the asc argmin and would silently win as the "nearest" hard
+        // negative — exclude it, mirroring Centroid.scored's guard
+        .filter(col("pair_dist2").isNotNull)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id"))
             .orderBy(col("pair_dist2"), col("o_id"))))
@@ -769,8 +781,8 @@ object ExperimentQueries {
          |  SELECT CAST(count(*) AS DOUBLE) AS gn,
          |         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS gsx,
          |         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS gsy,
-         |         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS gsxy,
-         |         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS gsxx
+         |         CAST(sum(x * y) AS DOUBLE) AS gsxy,
+         |         CAST(sum(x * x) AS DOUBLE) AS gsxx
          |  FROM pu
          |), v AS (
          |  SELECT CAST(user_id % 2 AS INT) AS variant,
@@ -839,8 +851,8 @@ object ExperimentQueries {
         |), a AS (
         |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |         CAST(sum(x * y) AS BIGINT) AS sxy,
-        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |         sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx
         |  FROM d GROUP BY 1
         |)
         |SELECT p_brand, n,
@@ -941,9 +953,9 @@ object ExperimentQueries {
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
         |         CAST(sum(prev) AS BIGINT) AS sx,
         |         CAST(sum(c) AS BIGINT) AS sy,
-        |         CAST(sum(prev * c) AS BIGINT) AS sxy,
-        |         CAST(sum(prev * prev) AS BIGINT) AS sxx,
-        |         CAST(sum(c * c) AS BIGINT) AS syy
+        |         sum(prev * c) AS sxy,
+        |         sum(prev * prev) AS sxx,
+        |         sum(c * c) AS syy
         |  FROM e WHERE prev IS NOT NULL GROUP BY 1
         |)
         |SELECT user_id, n_pairs,

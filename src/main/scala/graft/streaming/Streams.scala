@@ -819,9 +819,12 @@ object Streams {
     * associative, so arrival order and batch boundaries cannot change
     * the result); the readout merges partials and derives χ² through the
     * SAME [[graft.ops.Experiment.srmFromCounts]] algebra as the batch
-    * gate. Restart-safe via the checkpoint: a replayed batch would
-    * re-append, so the partials directory and checkpoint live and die
-    * together (the q175 dq-stream contract).
+    * gate. Replay-safe: each batch OVERWRITES its own
+    * `batch_id=<id>` partial, so a batch re-executed after a failure
+    * between the write and the checkpoint commit is idempotent — the
+    * counts (unlike [[heavyHittersStream]]'s distinct-then-recount
+    * candidates) are not replay-immune by construction, so the sink
+    * must be.
     *
     * At scale the state is zero (no watermark, no keyed store) — the
     * stream reduces to per-batch counts; partials grow one row per
@@ -842,12 +845,16 @@ object Streams {
     val q = stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // keyed-by-batchId overwrite, NOT a flat append: a batch
+        // replayed after a failure between write and checkpoint commit
+        // rewrites ITS OWN partial instead of double-counting (n0, n1)
+        // — exactly-once partials from an at-least-once sink
         batch.groupBy(col(groupCol))
           .agg(sum(when(col(userCol) % 2 === 0, 1L).otherwise(0L)).as("n0"),
             sum(when(col(userCol) % 2 === 1, 1L).otherwise(0L)).as("n1"))
           .coalesce(1)
-          .write.mode("append").parquet(partialsDir)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
