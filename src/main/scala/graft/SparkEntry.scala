@@ -43,6 +43,7 @@ object SparkEntry {
     (LayoutQueries.queries, LayoutQueries.sql),
     (TpchQueries.queries, TpchQueries.sql),
     (ExperimentQueries.queries, ExperimentQueries.sql),
+    (AnalyticsQueries.queries, AnalyticsQueries.sql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

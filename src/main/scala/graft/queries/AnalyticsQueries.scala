@@ -1,0 +1,1160 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 analytics + training-evaluation surfaces (q253–q273):
+  * inequality/concentration measures (Gini, HHI, Pareto's cousins), rank
+  * tests (Mann-Whitney U), feature engineering (target encoding, decision
+  * stumps, k-fold audits), ranking/classification evaluation (ROC points,
+  * quantized NDCG), survival (Kaplan-Meier life table), drift (PSI bins,
+  * source-cosine), and corpus-scaling diagnostics (learning curve, Heaps
+  * vocab growth, hapax/TTR).
+  *
+  * Portability recipes (the house rules): money quantizes to exact cents
+  * BEFORE any aggregate; ratios are integer ppm via `div`/`//` over
+  * non-negative operands; product moments lift operands to decimal(19,0)
+  * so neither product nor sum can wrap; the only doubles are a final
+  * fixed-text formula both engines evaluate identically over exact
+  * integers (and `ln`, which Spark and DuckDB agree on per the q83
+  * precedent). Decile/threshold binning uses the q220 idiom — ONE exact
+  * array-percentile scalar broadcast back, bin = 1 + #exceeded edges —
+  * never a global ntile (a single-partition sort at 100 TB).
+  *
+  * Scale notes: the only intentionally global windows are (a) the
+  * Mann-Whitney rank (an exact rank test is a total order by definition —
+  * the 100 TB path is the binned normal approximation) and (b) windows
+  * over already-tiny grains (50 part sizes, ≤ 100 months, 10 bins).
+  * Everything else shuffles once on its natural key and reduces map-side.
+  */
+object AnalyticsQueries {
+
+  private def cents(c: Column): Column =
+    (c.cast("decimal(30,2)") * 100).cast("long")
+
+  /** c·ln(c) with the 0·ln(0)=0 limit — the entropy term both engines
+    * share (Spark `log` and DuckDB `ln` are both natural log). */
+  private def xlnx(c: Column): Column =
+    when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+
+  /** The q237 portable-hash recipe: first 8 md5 hex chars as a long. */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gini coefficient of customer revenue per nation — the standard
+    // inequality read over the rank formula G = (2·Σi·vᵢ − (n+1)·Σv) /
+    // (n·Σv) on ascending (value, custkey) ranks: all sufficient stats
+    // are exact (rank·value lifts to decimal so the dot product cannot
+    // wrap), the coefficient is one fixed double expression. The window
+    // partitions by nation — no global sort.
+    "q253_gini_coefficient" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val j = rev
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey"), col("v"))
+      j.withColumn("rn", row_number().over(
+          Window.partitionBy(col("n_name"))
+            .orderBy(col("v"), col("o_custkey"))))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).cast("double").as("sd"),
+          sum(col("rn").cast("decimal(19,0)") * col("v").cast("decimal(19,0)"))
+            .cast("double").as("swd"))
+        .withColumn("gini",
+          (lit(2.0) * col("swd") - (col("n").cast("double") + lit(1.0)) * col("sd")) /
+            (col("n").cast("double") * col("sd")))
+        .select(col("n_name"), col("n"), col("gini"))
+    }),
+
+
+    // Herfindahl-Hirschman concentration of brand revenue within each
+    // supplier nation: shares in exact integer ppm (revenue·10⁶ div
+    // nation total — at 100 TB lift the numerator to decimal), HHI =
+    // Σshare² scaled back to ppm. Dim joins broadcast; one fact shuffle.
+    "q254_herfindahl" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(sum(cents(col("l_extendedprice"))).as("r"))
+      rev.withColumn("tot",
+          sum(col("r")).over(Window.partitionBy(col("n_name"))))
+        .withColumn("share_ppm", expr("r * 1000000 div tot"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_brands"),
+          expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
+    }),
+
+
+    // Mann-Whitney U (urgent vs low-priority order value): exact
+    // tie-averaged ranks carried as INTEGER doubled ranks (2·minrank +
+    // ties − 1 — halves never materialize), the tie-correction term
+    // Σ(t³−t) exact, and z one fixed double formula. The global rank IS
+    // the test (total order by definition); at 100 TB swap in the
+    // binned normal approximation.
+    "q255_mann_whitney" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(cents(col("o_totalprice")).as("v"),
+          (col("o_orderpriority") === "1-URGENT").as("g1"))
+      val ranked = d
+        .withColumn("mr", rank().over(Window.orderBy(col("v"))))
+        .withColumn("tc", count(lit(1)).over(Window.partitionBy(col("v"))))
+        .withColumn("dr", lit(2L) * col("mr") + col("tc") - lit(1L))
+      val ties = d.groupBy(col("v")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+      ranked.agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("g1"), col("dr")).otherwise(0L)).as("r1_doubled"))
+        .crossJoin(broadcast(ties))
+        .withColumn("u1",
+          col("r1_doubled").cast("double") / lit(2.0) -
+            col("n1").cast("double") * (col("n1").cast("double") + lit(1.0)) / lit(2.0))
+        .withColumn("nn", col("n1").cast("double") + col("n2").cast("double"))
+        .withColumn("var_u",
+          col("n1").cast("double") * col("n2").cast("double") / lit(12.0) *
+            ((col("nn") + lit(1.0)) -
+              col("tie_term").cast("double") / (col("nn") * (col("nn") - lit(1.0)))))
+        .withColumn("z",
+          (col("u1") - col("n1").cast("double") * col("n2").cast("double") / lit(2.0)) /
+            sqrt(col("var_u")))
+        .select(col("n1"), col("n2"), col("r1_doubled"), col("tie_term"),
+          col("u1"), col("z"))
+    }),
+
+
+    // Smoothed target (mean) encoding of brand → return rate, the
+    // leakage-prone feature-engineering op done exactly: enc =
+    // (pos·G + m·P) / ((n+m)·G) with m=10 — numerator and denominator
+    // exact integer products (lifted to decimal), ONE final double
+    // division. Global stats attach via the audited crossJoin(broadcast).
+    "q256_target_encoding" -> ((s, dir) => {
+      val d = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val g = d.agg(count(lit(1)).as("gn"), sum(col("y")).as("gpos"))
+      d.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .crossJoin(broadcast(g))
+        .withColumn("enc",
+          (col("pos").cast("decimal(19,0)") * col("gn").cast("decimal(19,0)") +
+            lit(10).cast("decimal(19,0)") * col("gpos").cast("decimal(19,0)"))
+            .cast("double") /
+            ((col("n") + lit(10L)).cast("decimal(19,0)") *
+              col("gn").cast("decimal(19,0)")).cast("double"))
+        .select(col("p_brand"), col("n"), col("pos"), col("enc"))
+    }),
+
+
+    // Decision-stump split search (best p_size threshold for the return
+    // label by weighted Gini impurity): per-size counts fold map-side,
+    // the cumulative scan runs over ≤ 50 rows, impurity is a fixed
+    // double expression over exact integer counts (squares lifted to
+    // decimal), argmin ties break to the smaller threshold.
+    "q257_gini_stump" -> ((s, dir) => {
+      val perSize = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_size").cast("long").as("split_size"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+      val wCum = Window.orderBy(col("split_size"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("split_size"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      def sq(c: Column): Column =
+        (c.cast("decimal(19,0)") * c.cast("decimal(19,0)")).cast("double")
+      perSize
+        .withColumn("nl", sum(col("cnt")).over(wCum))
+        .withColumn("posl", sum(col("pos")).over(wCum))
+        .withColumn("nt", sum(col("cnt")).over(wAll))
+        .withColumn("post", sum(col("pos")).over(wAll))
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("posr", col("post") - col("posl"))
+        .filter(col("nr") > 0)
+        .withColumn("impurity",
+          (sq(col("nl")) - sq(col("posl")) - sq(col("nl") - col("posl"))) /
+            col("nl").cast("double") +
+            (sq(col("nr")) - sq(col("posr")) - sq(col("nr") - col("posr"))) /
+              col("nr").cast("double"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("impurity"), col("split_size"))))
+        .filter(col("rnk") === 1)
+        .select(col("split_size"), col("nl").as("n_left"),
+          col("posl").as("pos_left"), col("nr").as("n_right"),
+          col("posr").as("pos_right"), col("impurity"))
+    }),
+
+
+    // Order fill rate by priority: per order, how many of its lines
+    // shipped within 30 days; rolled up to exact per-priority ppm plus
+    // the fully-on-time order count. One orderkey shuffle, one rollup.
+    "q258_fill_rate" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(datediff(col("sd"), col("od")) <= 30, 1L).otherwise(0L))
+            .as("n_fast"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("n_lines")).as("sum_lines"),
+          sum(col("n_fast")).as("sum_fast"),
+          sum(when(col("n_fast") === col("n_lines"), 1L).otherwise(0L))
+            .as("n_perfect"))
+        .withColumn("fill_ppm", expr("sum_fast * 1000000 div sum_lines"))),
+
+
+    // K-fold assignment audit: md5-hash folds (pure function of the key,
+    // re-derivable anywhere — the q44 hashSplit family), then the
+    // per-fold balance readout every CV split should pass: row count,
+    // exact revenue cents, urgent-priority share ppm.
+    "q259_kfold_assign" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("fold", pmod(md5Long(col("o_orderkey")), lit(5L)))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("rev_cents"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .as("n_urgent"))
+        .withColumn("urgent_ppm", expr("n_urgent * 1000000 div n"))),
+
+
+    // Learning-curve prefixes: corpus ordered by md5(doc_id) (a
+    // deterministic shuffle), stats at n/8, n/4, n/2, n — the
+    // scaling-law data-diet readout. The 4-row size table broadcasts;
+    // the doc rank is one window over the md5 order.
+    "q260_learning_curve" -> ((s, dir) => {
+      val ranked = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      val sizes = ranked.agg(count(lit(1)).as("n_total"))
+        .select(explode(array(lit(8L), lit(4L), lit(2L), lit(1L))).as("denom"),
+          col("n_total"))
+        .withColumn("size", expr("n_total div denom"))
+        .select(col("denom"), col("size"))
+      ranked.crossJoin(broadcast(sizes))
+        .filter(col("rn") <= col("size"))
+        .groupBy(col("denom"), col("size"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("mean_chars",
+          col("sum_chars").cast("double") / col("n_docs").cast("double"))
+    }),
+
+
+    // Behavioral trigrams: each user's event-type 3-grams in (ts,
+    // event_id) arrival order, global top-20 by (count desc, trigram).
+    // Two leads over one user-partitioned window; only the trigram
+    // rollup (tiny — ≤ |types|³ keys) pays the final ordered pick.
+    "q261_behavior_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("trigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("trigram"))))
+        .filter(col("rnk") <= 20)
+        .select(col("trigram"), col("cnt"))
+    }),
+
+
+    // Per-user session entropy over the FIXED event-type alphabet:
+    // H = ln(n) − Σc·ln(c)/n with the five type terms summed in one
+    // explicit left-to-right expression — identical association both
+    // engines, so the float sum is order-free by construction (the
+    // grouped-sum order nondeterminism never enters). The result ships
+    // floor-quantized to integer micro-nats (the q83 ln recipe —
+    // Java's and DuckDB's ln may differ in the last ulp, raw doubles
+    // hash-mismatched at sf0.01).
+    "q262_session_entropy" -> ((s, dir) => {
+      def c(t: String): Column =
+        sum(when(col("event_type") === t, 1L).otherwise(0L))
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          c("click").as("c_click"), c("error").as("c_error"),
+          c("purchase").as("c_purchase"), c("signup").as("c_signup"),
+          c("view").as("c_view"))
+        .withColumn("entropy_micronats",
+          floor(lit(1e6) * (log(col("n").cast("double")) -
+            (xlnx(col("c_click")) + xlnx(col("c_error")) +
+              xlnx(col("c_purchase")) + xlnx(col("c_signup")) +
+              xlnx(col("c_view"))) / col("n").cast("double")))
+            .cast("long"))
+        .select(col("user_id"), col("n"), col("entropy_micronats"))
+    }),
+
+
+    // Source-pair token-vector cosine — the corpus drift matrix: term
+    // counts fold to the (source, token) grain (one shuffle), dot
+    // products are exact integer sums over the token-equi self-join,
+    // norms are per-source scalars broadcast back; the cosine is one
+    // double expression over exact integers.
+    "q263_source_cosine" -> ((s, dir) => {
+      val tc = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val norms = tc.groupBy(col("source"))
+        .agg(sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("double").as("nrm2"))
+      val a = tc.select(col("source").as("src_a"), col("token"),
+        col("c").as("ca"))
+      val b = tc.select(col("source").as("src_b"), col("token"),
+        col("c").as("cb"))
+      a.join(b, Seq("token"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(col("ca").cast("decimal(19,0)") * col("cb").cast("decimal(19,0)"))
+          .cast("double").as("dot"))
+        .join(broadcast(norms.select(col("source").as("src_a"),
+          col("nrm2").as("na2"))), Seq("src_a"))
+        .join(broadcast(norms.select(col("source").as("src_b"),
+          col("nrm2").as("nb2"))), Seq("src_b"))
+        .withColumn("cosine", col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+        .select(col("src_a"), col("src_b"), col("cosine"))
+    }),
+
+
+    // Kaplan-Meier LIFE TABLE for signup→purchase conversion: per user,
+    // time from first event to first purchase (or censoring at the last
+    // event), in whole days of integer epoch math; per day, the at-risk
+    // count, events, and censorings — the survival curve's exact integer
+    // sufficient statistics without the float product (the curve itself
+    // is a trivial downstream fold). User grain shuffles once; the day
+    // table is ≤ observation-window days.
+    "q264_life_table" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          (col("event_type") === "purchase").as("isp"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("first_us"),
+          min(when(col("isp"), col("us"))).as("conv_us"),
+          max(col("us")).as("last_us"))
+        .withColumn("event", col("conv_us").isNotNull.cast("long"))
+        .withColumn("t_day", expr(
+          "(coalesce(conv_us, last_us) - first_us) div 86400000000"))
+      val exits = perUser.groupBy(col("t_day"))
+        .agg(sum(col("event")).as("n_event"),
+          sum(lit(1L) - col("event")).as("n_censored"))
+      val total = perUser.agg(count(lit(1)).as("n_total"))
+      exits.crossJoin(broadcast(total))
+        .withColumn("prior_exits", coalesce(
+          sum(col("n_event") + col("n_censored")).over(
+            Window.orderBy(col("t_day"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_risk", col("n_total") - col("prior_exits"))
+        .select(col("t_day"), col("n_risk"), col("n_event"),
+          col("n_censored"))
+    }),
+
+
+    // Two-proportion z-test of heavy-purchaser conversion (≥ 14
+    // purchases) by variant (user_id % 2): exact per-variant user and
+    // converter counts, pooled z as one fixed double formula. The
+    // degenerate pooled rates (0 or 1 — zero variance) surface as a
+    // NULL z, never a 0/0 (ANSI would throw, the oracle would NaN).
+    // One user-grain shuffle, scalar out.
+    "q265_two_proportion" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14).cast("long").as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+        .groupBy()
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+        .withColumn("pp",
+          (col("c0") + col("c1")).cast("double") /
+            (col("n0") + col("n1")).cast("double"))
+        .withColumn("z",
+          when(col("pp") > 0.0 && col("pp") < 1.0,
+            (col("c0").cast("double") / col("n0").cast("double") -
+              col("c1").cast("double") / col("n1").cast("double")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("n0").cast("double") +
+                  lit(1.0) / col("n1").cast("double")))))
+        .select(col("n0"), col("c0"), col("n1"), col("c1"), col("z"))),
+
+
+    // PSI (population stability index) drift bins for order value,
+    // pre-1998 vs 1998+: bin edges are ONE exact array-percentile over
+    // the reference half broadcast back (the q220 threshold idiom — no
+    // global ntile), bin = 1 + #exceeded edges via a codegen'd array
+    // filter; per-bin exact counts/ppm plus the ln-based PSI term (NULL
+    // where either side is empty — surfaced, not silently dropped).
+    "q266_psi_bins" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .select(cents(col("o_totalprice")).as("v"),
+          (year(col("o_orderdate")) < 1998).as("ref"))
+      val edges = d.filter(col("ref"))
+        .agg(percentile(col("v"),
+          typedLit(Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)))
+          .as("edges"))
+      val binned = d.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          (size(filter(col("edges"), e => col("v").cast("double") > e)) + 1)
+            .cast("long"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("ref"), 1L).otherwise(0L)).as("c2"))
+      val tot = binned.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      binned.crossJoin(broadcast(tot))
+        .withColumn("p1_ppm", expr("c1 * 1000000 div t1"))
+        .withColumn("p2_ppm", expr("c2 * 1000000 div t2"))
+        // floor-quantized to nano units (q83 ln recipe: raw ln doubles
+        // may drift a ulp between engines)
+        .withColumn("psi_term_nano",
+          when(col("c1") > 0 && col("c2") > 0,
+            floor(lit(1e9) *
+              ((col("c1").cast("double") / col("t1").cast("double") -
+                col("c2").cast("double") / col("t2").cast("double")) *
+                log((col("c1").cast("double") / col("t1").cast("double")) /
+                  (col("c2").cast("double") / col("t2").cast("double")))))
+              .cast("long")))
+        .select(col("bin"), col("c1"), col("c2"), col("p1_ppm"),
+          col("p2_ppm"), col("psi_term_nano"))
+    }),
+
+
+    // Inter-order gap distribution by market segment: exact day gaps
+    // from a customer-partitioned lag, then min/median/p90/max through
+    // the exact interpolated percentile (the q50/q219 recipe). The
+    // customer attach is the only second shuffle.
+    "q267_order_gap_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("od"))
+        .withColumn("prev", lag(col("od"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_days", datediff(col("od"), col("prev")).cast("long"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_days")).as("min_d"),
+          percentile(col("gap_days"), lit(0.5)).as("median_d"),
+          percentile(col("gap_days"), lit(0.9)).as("p90_d"),
+          max(col("gap_days")).as("max_d"))
+    }),
+
+
+    // Monthly seasonality index: each month's revenue against its
+    // trailing-12-month window, as exact integer ppm (rev·12·10⁶ div
+    // Σ12 — no float ratio). The window runs over the ≤ |months| rollup,
+    // never the fact table; months without a full window are excluded
+    // by the exact count, not a NULL-leaking average.
+    "q268_seasonality_index" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .withColumn("s12", sum(col("rev_cents")).over(
+          Window.orderBy(col("month")).rowsBetween(-11, 0)))
+        .withColumn("n12", count(lit(1)).over(
+          Window.orderBy(col("month")).rowsBetween(-11, 0)))
+        .filter(col("n12") === 12)
+        .withColumn("index_ppm", expr("rev_cents * 12 * 1000000 div s12"))
+        .select(col("month"), col("rev_cents"), col("index_ppm"))),
+
+
+    // Hapax/type-token profile per source — the vocabulary-richness
+    // screen: vocab size, hapax count (frequency-1 tokens), total
+    // tokens, TTR and hapax share in exact ppm. One (source, token)
+    // shuffle, tiny per-source rollup.
+    "q269_hapax_ttr" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(col("c")).as("total_tokens"))
+        .withColumn("ttr_ppm", expr("vocab * 1000000 div total_tokens"))
+        .withColumn("hapax_ppm", expr("hapax * 1000000 div vocab"))),
+
+
+    // ROC operating points for the value→F-status stump: decile
+    // thresholds from ONE exact array-percentile (q220 idiom, no global
+    // sort), per-bin exact pos/neg counts, cumulative from the
+    // highest-score bin down, TPR/FPR in exact ppm. The curve is 10
+    // rows; everything before it is map-side.
+    "q270_roc_points" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .select(cents(col("o_totalprice")).as("v"),
+          (col("o_orderstatus") === "F").as("pos"))
+      val edges = d.agg(percentile(col("v"),
+        typedLit(Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)))
+        .as("edges"))
+      val binned = d.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          (size(filter(col("edges"), e => col("v").cast("double") > e)) + 1)
+            .cast("long"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("q"))
+      val wDesc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      binned
+        .withColumn("cum_pos", sum(col("p")).over(wDesc))
+        .withColumn("cum_neg", sum(col("q")).over(wDesc))
+        .withColumn("tp", sum(col("p")).over(wAll))
+        .withColumn("tn", sum(col("q")).over(wAll))
+        .withColumn("tpr_ppm", expr("cum_pos * 1000000 div tp"))
+        .withColumn("fpr_ppm", expr("cum_neg * 1000000 div tn"))
+        .select(col("bin"), col("cum_pos"), col("cum_neg"),
+          col("tpr_ppm"), col("fpr_ppm"))
+    }),
+
+
+    // Quantized NDCG@10 of the popularity ranking against each
+    // customer's purchase set: position weights 1/log₂(pos+1) quantize
+    // to integer micro-units ONCE (a 10-row broadcast table), so DCG and
+    // ideal DCG are exact integer sums — the float-order trap in
+    // per-user gain sums never opens. Mean NDCG reports per segment in
+    // exact ppm.
+    "q271_ndcg_popularity" -> ((s, dir) => {
+      val top10 = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l_partkey"))))
+        .filter(col("pos") <= 10)
+        .withColumn("w_ppm",
+          round(lit(1e6) * log(lit(2.0)) / log(col("pos").cast("double") + lit(1.0)))
+            .cast("long"))
+      val cumw = top10.select(col("pos"), col("w_ppm"))
+        .withColumn("cw", sum(col("w_ppm")).over(Window.orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("pos"), col("cw"))
+      val rel = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct()
+      val perCust = rel
+        .join(broadcast(top10.select(col("l_partkey"), col("w_ppm"))),
+          Seq("l_partkey"), "left_outer")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("nrel"),
+          coalesce(sum(col("w_ppm")), lit(0L)).as("dcg_q"))
+        .withColumn("ideal_k", least(col("nrel"), lit(10L)).cast("int"))
+        .join(broadcast(cumw), col("ideal_k") === col("pos"))
+        .withColumn("ndcg_ppm", expr("dcg_q * 1000000 div cw"))
+      perCust
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(ndcg_ppm) div count(1)").as("mean_ndcg_ppm"))
+    }),
+
+
+    // Heaps-law vocabulary growth: distinct tokens seen within the
+    // md5-ordered corpus prefix at n/8, n/4, n/2, n — computed in ONE
+    // pass via each token's first-occurrence rank (min over a
+    // deterministic doc order), then four threshold counts against the
+    // broadcast size table. No per-prefix distinct scans.
+    "q272_vocab_growth" -> ((s, dir) => {
+      val ranked = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      val firstSeen = ranked
+        .select(col("rn"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(min(col("rn")).as("first_rn"))
+      val sizes = ranked.agg(count(lit(1)).as("n_total"))
+        .select(explode(array(lit(8L), lit(4L), lit(2L), lit(1L))).as("denom"),
+          col("n_total"))
+        .withColumn("size", expr("n_total div denom"))
+        .select(col("denom"), col("size"))
+      firstSeen.crossJoin(broadcast(sizes))
+        .filter(col("first_rn") <= col("size"))
+        .groupBy(col("denom"), col("size"))
+        .agg(count(lit(1)).as("vocab"))
+    }),
+
+
+    // WAU / trailing-28-day MAU stickiness per week: activity dedups to
+    // the (user, day) grain FIRST (the only fact-sized shuffle), then a
+    // 5-row week table broadcasts against it; both distinct counts and
+    // the ppm ratio are exact. Weeks truncate Monday-start in both
+    // engines.
+    "q273_wau_mau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val weeks = ud.select(date_trunc("week", col("d")).cast("date").as("wk"))
+        .distinct()
+      ud.crossJoin(broadcast(weeks))
+        .filter(col("d") >= date_sub(col("wk"), 21) &&
+          col("d") <= date_add(col("wk"), 6))
+        .groupBy(col("wk"))
+        .agg(countDistinct(col("user_id")).as("mau"),
+          countDistinct(when(col("d") >= col("wk"), col("user_id")))
+            .as("wau"))
+        .withColumn("stickiness_ppm", expr("wau * 1000000 div mau"))
+    }),
+  )
+
+  /** DuckDB-runnable oracle equivalents — same math, same fixed-order
+    * double formulas, same integer ppm/`//` conventions. */
+  val sql: Map[String, String] = Map(
+
+    "q253_gini_coefficient" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), j AS (
+        |  SELECT n.n_name, r.v, r.o_custkey
+        |  FROM rev r
+        |  JOIN customer c ON r.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |), rk AS (
+        |  SELECT n_name, v, row_number() OVER (PARTITION BY n_name
+        |                                       ORDER BY v, o_custkey) AS rn
+        |  FROM j
+        |), a AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(v) AS DOUBLE) AS sd,
+        |         CAST(sum(CAST(rn AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS swd
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT n_name, n,
+        |       (2.0 * swd - (CAST(n AS DOUBLE) + 1.0) * sd) /
+        |       (CAST(n AS DOUBLE) * sd) AS gini
+        |FROM a""".stripMargin,
+
+    "q254_herfindahl" ->
+      """WITH rev AS (
+        |  SELECT n.n_name, p.p_brand,
+        |         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT n_name, p_brand,
+        |         CAST(r * 1000000 // sum(r) OVER (PARTITION BY n_name)
+        |              AS BIGINT) AS share_ppm
+        |  FROM rev
+        |)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_brands,
+        |       CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+        |FROM sh GROUP BY 1""".stripMargin,
+
+    "q255_mann_whitney" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+        |         o_orderpriority = '1-URGENT' AS g1
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), rk AS (
+        |  SELECT v, g1,
+        |         2 * rank() OVER (ORDER BY v) +
+        |         count(*) OVER (PARTITION BY v) - 1 AS dr
+        |  FROM d
+        |), ties AS (
+        |  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+        |  FROM (SELECT count(*) AS t FROM d GROUP BY v)
+        |), a AS (
+        |  SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN g1 THEN dr ELSE 0 END) AS BIGINT)
+        |           AS r1_doubled
+        |  FROM rk
+        |), b AS (
+        |  SELECT n1, n2, r1_doubled, tie_term,
+        |         CAST(r1_doubled AS DOUBLE) / 2.0 -
+        |           CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
+        |         CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn
+        |  FROM a, ties
+        |)
+        |SELECT n1, n2, r1_doubled, tie_term, u1,
+        |       (u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |       sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |            ((nn + 1.0) - CAST(tie_term AS DOUBLE) /
+        |                          (nn * (nn - 1.0)))) AS z
+        |FROM b""".stripMargin,
+
+    "q256_target_encoding" ->
+      """WITH d AS (
+        |  SELECT p.p_brand,
+        |         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS gn,
+        |         CAST(sum(y) AS BIGINT) AS gpos
+        |  FROM d
+        |)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(y) AS BIGINT) AS pos,
+        |       CAST(CAST(sum(y) AS DECIMAL(19,0)) * CAST(gn AS DECIMAL(19,0)) +
+        |            CAST(10 AS DECIMAL(19,0)) * CAST(gpos AS DECIMAL(19,0))
+        |            AS DOUBLE) /
+        |       CAST(CAST(count(*) + 10 AS DECIMAL(19,0)) *
+        |            CAST(gn AS DECIMAL(19,0)) AS DOUBLE) AS enc
+        |FROM d, g GROUP BY p_brand, gn, gpos""".stripMargin,
+
+    "q257_gini_stump" ->
+      """WITH per_size AS (
+        |  SELECT CAST(p.p_size AS BIGINT) AS split_size,
+        |         CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS pos
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT split_size,
+        |    CAST(sum(cnt) OVER (ORDER BY split_size ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER (ORDER BY split_size ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS posl,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS nt,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS post
+        |  FROM per_size
+        |), im AS (
+        |  SELECT split_size, nl, posl, nt - nl AS nr, post - posl AS posr,
+        |    CAST(CAST(nl AS DECIMAL(19,0)) * CAST(nl AS DECIMAL(19,0)) -
+        |         CAST(posl AS DECIMAL(19,0)) * CAST(posl AS DECIMAL(19,0)) -
+        |         CAST(nl - posl AS DECIMAL(19,0)) *
+        |         CAST(nl - posl AS DECIMAL(19,0)) AS DOUBLE) /
+        |      CAST(nl AS DOUBLE) +
+        |    CAST(CAST(nt - nl AS DECIMAL(19,0)) * CAST(nt - nl AS DECIMAL(19,0)) -
+        |         CAST(post - posl AS DECIMAL(19,0)) *
+        |         CAST(post - posl AS DECIMAL(19,0)) -
+        |         CAST((nt - nl) - (post - posl) AS DECIMAL(19,0)) *
+        |         CAST((nt - nl) - (post - posl) AS DECIMAL(19,0)) AS DOUBLE) /
+        |      CAST(nt - nl AS DOUBLE) AS impurity
+        |  FROM cum WHERE nt - nl > 0
+        |)
+        |SELECT split_size, nl AS n_left, posl AS pos_left,
+        |       nr AS n_right, posr AS pos_right, impurity
+        |FROM (SELECT *, row_number() OVER (ORDER BY impurity, split_size)
+        |               AS rnk
+        |      FROM im)
+        |WHERE rnk = 1""".stripMargin,
+
+    "q258_fill_rate" ->
+      """WITH per_order AS (
+        |  SELECT o.o_orderkey, o.o_orderpriority,
+        |         CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(sum(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+        |                                     CAST(l.l_shipdate AS DATE)) <= 30
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_fast
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+        |       CAST(sum(n_fast) AS BIGINT) AS sum_fast,
+        |       CAST(sum(CASE WHEN n_fast = n_lines THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_perfect,
+        |       CAST(sum(n_fast) * 1000000 // sum(n_lines) AS BIGINT) AS fill_ppm
+        |FROM per_order GROUP BY 1""".stripMargin,
+
+    "q259_kfold_assign" ->
+      """SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |            AS BIGINT) % 5 AS fold,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |                     AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                     THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |            AS BIGINT) AS urgent_ppm
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q260_learning_curve" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |                            doc_id) AS rn
+        |  FROM documents
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r),
+        |sizes AS (
+        |  SELECT denom, CAST(n_total // denom AS BIGINT) AS sz
+        |  FROM t, unnest([8, 4, 2, 1]) AS u(denom)
+        |)
+        |SELECT CAST(s.denom AS BIGINT) AS denom, s.sz AS size,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(r.n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(CAST(sum(r.n_chars) AS BIGINT) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS mean_chars
+        |FROM sizes s JOIN r ON r.rn <= s.sz
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q261_behavior_trigrams" ->
+      """WITH tri AS (
+        |  SELECT event_type || '>' ||
+        |         lead(event_type, 1) OVER w || '>' ||
+        |         lead(event_type, 2) OVER w AS trigram
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), c AS (
+        |  SELECT trigram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tri WHERE trigram IS NOT NULL GROUP BY 1
+        |)
+        |SELECT trigram, cnt
+        |FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, trigram) AS rnk
+        |      FROM c)
+        |WHERE rnk <= 20""".stripMargin,
+
+    "q262_session_entropy" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c_view
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_id, n,
+        |  CAST(floor(1e6 * (ln(CAST(n AS DOUBLE)) -
+        |  (CASE WHEN c_click > 0
+        |        THEN CAST(c_click AS DOUBLE) * ln(CAST(c_click AS DOUBLE))
+        |        ELSE 0.0 END +
+        |   CASE WHEN c_error > 0
+        |        THEN CAST(c_error AS DOUBLE) * ln(CAST(c_error AS DOUBLE))
+        |        ELSE 0.0 END +
+        |   CASE WHEN c_purchase > 0
+        |        THEN CAST(c_purchase AS DOUBLE) * ln(CAST(c_purchase AS DOUBLE))
+        |        ELSE 0.0 END +
+        |   CASE WHEN c_signup > 0
+        |        THEN CAST(c_signup AS DOUBLE) * ln(CAST(c_signup AS DOUBLE))
+        |        ELSE 0.0 END +
+        |   CASE WHEN c_view > 0
+        |        THEN CAST(c_view AS DOUBLE) * ln(CAST(c_view AS DOUBLE))
+        |        ELSE 0.0 END) / CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS entropy_micronats
+        |FROM a""".stripMargin,
+
+    "q263_source_cosine" ->
+      """WITH tc AS (
+        |  SELECT source, tok AS token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |                 AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), norms AS (
+        |  SELECT source,
+        |         CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS nrm2
+        |  FROM tc GROUP BY 1
+        |), dots AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(sum(CAST(a.c AS DECIMAL(19,0)) *
+        |                  CAST(b.c AS DECIMAL(19,0))) AS DOUBLE) AS dot
+        |  FROM tc a JOIN tc b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.src_a, d.src_b,
+        |       d.dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) AS cosine
+        |FROM dots d
+        |JOIN norms na ON d.src_a = na.source
+        |JOIN norms nb ON d.src_b = nb.source""".stripMargin,
+
+    "q264_life_table" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(ts) END) AS conv_us,
+        |         max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |         (coalesce(conv_us, last_us) - first_us) // 86400000000
+        |           AS t_day
+        |  FROM pu
+        |), exits AS (
+        |  SELECT t_day, CAST(sum(event) AS BIGINT) AS n_event,
+        |         CAST(sum(1 - event) AS BIGINT) AS n_censored
+        |  FROM d GROUP BY 1
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pu)
+        |SELECT CAST(t_day AS BIGINT) AS t_day,
+        |       n_total - CAST(coalesce(
+        |         sum(n_event + n_censored) OVER (ORDER BY t_day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS n_risk,
+        |       n_event, n_censored
+        |FROM exits, tot""".stripMargin,
+
+    "q265_two_proportion" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) >= 14 AS BIGINT) AS conv,
+        |         user_id % 2 AS variant
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM pu
+        |), b AS (
+        |  SELECT n0, c0, n1, c1,
+        |         CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+        |  FROM a
+        |)
+        |SELECT n0, c0, n1, c1,
+        |       CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+        |         (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) -
+        |          CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |         sqrt(pp * (1.0 - pp) * (1.0 / CAST(n0 AS DOUBLE) +
+        |                                 1.0 / CAST(n1 AS DOUBLE)))
+        |       END AS z
+        |FROM b""".stripMargin,
+
+    "q266_psi_bins" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+        |         year(o_orderdate) < 1998 AS ref
+        |  FROM orders
+        |), e AS (
+        |  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                           0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM d WHERE ref
+        |), binned AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |                x -> CAST(d.v AS DOUBLE) > x)) + 1 AS BIGINT) AS bin,
+        |         CAST(sum(CASE WHEN d.ref THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN d.ref THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM d, e GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS t1,
+        |         CAST(sum(c2) AS BIGINT) AS t2
+        |  FROM binned
+        |)
+        |SELECT bin, c1, c2,
+        |       CAST(c1 * 1000000 // t1 AS BIGINT) AS p1_ppm,
+        |       CAST(c2 * 1000000 // t2 AS BIGINT) AS p2_ppm,
+        |       CASE WHEN c1 > 0 AND c2 > 0 THEN
+        |         CAST(floor(1e9 *
+        |           ((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) -
+        |             CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)) *
+        |            ln((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)) /
+        |               (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)))))
+        |              AS BIGINT)
+        |       END AS psi_term_nano
+        |FROM binned, tot""".stripMargin,
+
+    "q267_order_gap_stats" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         datediff('day',
+        |           lag(CAST(o_orderdate AS DATE), 1)
+        |             OVER (PARTITION BY o_custkey
+        |                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |           CAST(o_orderdate AS DATE)) AS gap_days
+        |  FROM orders
+        |), d AS (
+        |  SELECT c.c_mktsegment, CAST(g.gap_days AS BIGINT) AS gap_days
+        |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+        |  WHERE g.gap_days IS NOT NULL
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(min(gap_days) AS BIGINT) AS min_d,
+        |       quantile_cont(gap_days, 0.5) AS median_d,
+        |       quantile_cont(gap_days, 0.9) AS p90_d,
+        |       CAST(max(gap_days) AS BIGINT) AS max_d
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q268_seasonality_index" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT month, rev_cents,
+        |    CAST(sum(rev_cents) OVER (ORDER BY month
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS s12,
+        |    count(*) OVER (ORDER BY month
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS n12
+        |  FROM m
+        |)
+        |SELECT month, rev_cents,
+        |       CAST(rev_cents * 12 * 1000000 // s12 AS BIGINT) AS index_ppm
+        |FROM w WHERE n12 = 12""".stripMargin,
+
+    "q269_hapax_ttr" ->
+      """WITH tc AS (
+        |  SELECT source, tok AS token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |                 AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |       CAST(sum(c) AS BIGINT) AS total_tokens,
+        |       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS hapax_ppm
+        |FROM tc GROUP BY 1""".stripMargin,
+
+    "q270_roc_points" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+        |         o_orderstatus = 'F' AS pos
+        |  FROM orders
+        |), e AS (
+        |  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                           0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM d
+        |), binned AS (
+        |  SELECT CAST(len(list_filter(e.edges,
+        |                x -> CAST(d.v AS DOUBLE) > x)) + 1 AS BIGINT) AS bin,
+        |         CAST(sum(CASE WHEN d.pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |         CAST(sum(CASE WHEN d.pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+        |  FROM d, e GROUP BY 1
+        |)
+        |SELECT bin,
+        |  CAST(sum(p) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS cum_pos,
+        |  CAST(sum(q) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS cum_neg,
+        |  CAST(sum(p) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+        |       * 1000000 // sum(p) OVER () AS BIGINT) AS tpr_ppm,
+        |  CAST(sum(q) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+        |       * 1000000 // sum(q) OVER () AS BIGINT) AS fpr_ppm
+        |FROM binned""".stripMargin,
+
+    "q271_ndcg_popularity" ->
+      """WITH pop AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |), top10 AS (
+        |  SELECT l_partkey, pos,
+        |         CAST(round(1000000.0 * ln(2.0) /
+        |                    ln(CAST(pos AS DOUBLE) + 1.0)) AS BIGINT) AS w_ppm
+        |  FROM (SELECT l_partkey,
+        |               row_number() OVER (ORDER BY cnt DESC, l_partkey) AS pos
+        |        FROM pop)
+        |  WHERE pos <= 10
+        |), cumw AS (
+        |  SELECT pos, CAST(sum(w_ppm) OVER (ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+        |  FROM top10
+        |), rel AS (
+        |  SELECT DISTINCT o.o_custkey, l.l_partkey
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), per_cust AS (
+        |  SELECT r.o_custkey, CAST(count(*) AS BIGINT) AS nrel,
+        |         CAST(coalesce(sum(t.w_ppm), 0) AS BIGINT) AS dcg_q
+        |  FROM rel r LEFT JOIN top10 t ON r.l_partkey = t.l_partkey
+        |  GROUP BY 1
+        |), scored AS (
+        |  SELECT p.o_custkey,
+        |         CAST(p.dcg_q * 1000000 // c.cw AS BIGINT) AS ndcg_ppm
+        |  FROM per_cust p
+        |  JOIN cumw c ON c.pos = least(p.nrel, 10)
+        |)
+        |SELECT cu.c_mktsegment, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(s.ndcg_ppm) // count(*) AS BIGINT) AS mean_ndcg_ppm
+        |FROM scored s JOIN customer cu ON s.o_custkey = cu.c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q272_vocab_growth" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |                            doc_id) AS rn
+        |  FROM documents
+        |), fs AS (
+        |  SELECT tok AS token, CAST(min(rn) AS BIGINT) AS first_rn
+        |  FROM (SELECT rn,
+        |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |                 AS tok
+        |        FROM r)
+        |  GROUP BY 1
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r),
+        |sizes AS (
+        |  SELECT denom, CAST(n_total // denom AS BIGINT) AS sz
+        |  FROM t, unnest([8, 4, 2, 1]) AS u(denom)
+        |)
+        |SELECT CAST(s.denom AS BIGINT) AS denom, s.sz AS size,
+        |       CAST(count(*) AS BIGINT) AS vocab
+        |FROM sizes s JOIN fs f ON f.first_rn <= s.sz
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q273_wau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), weeks AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', d) AS DATE) AS wk FROM ud
+        |)
+        |SELECT w.wk,
+        |       CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau,
+        |       CAST(count(DISTINCT CASE WHEN u.d >= w.wk
+        |                                THEN u.user_id END) AS BIGINT) AS wau,
+        |       CAST(count(DISTINCT CASE WHEN u.d >= w.wk
+        |                                THEN u.user_id END) * 1000000 //
+        |            count(DISTINCT u.user_id) AS BIGINT) AS stickiness_ppm
+        |FROM weeks w JOIN ud u
+        |  ON u.d >= w.wk - INTERVAL 21 DAY AND u.d <= w.wk + INTERVAL 6 DAY
+        |GROUP BY 1""".stripMargin,
+  )
+}
