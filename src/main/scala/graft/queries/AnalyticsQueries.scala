@@ -623,22 +623,25 @@ object AnalyticsQueries {
 
 
     // WAU / trailing-28-day MAU stickiness per week: activity dedups to
-    // the (user, day) grain FIRST (the only fact-sized shuffle), then a
-    // 5-row week table broadcasts against it; both distinct counts and
-    // the ppm ratio are exact. Weeks truncate Monday-start in both
-    // engines.
+    // the (user, day) grain FIRST (the only fact-sized shuffle); a day d
+    // belongs to week wk's trailing-28 window iff wk ∈ {monday(d)+7k,
+    // k=0..3}, so each user-day EXPANDS to exactly its 4 candidate
+    // Mondays and equi-joins the observed-week table — a ×4 map-side
+    // expansion instead of a nested-loop range join (which a 100 TB
+    // fact side could never afford). k=0 rows are precisely the WAU
+    // membership. Weeks truncate Monday-start in both engines.
     "q273_wau_mau" -> ((s, dir) => {
       val ud = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
       val weeks = ud.select(date_trunc("week", col("d")).cast("date").as("wk"))
         .distinct()
-      ud.crossJoin(broadcast(weeks))
-        .filter(col("d") >= date_sub(col("wk"), 21) &&
-          col("d") <= date_add(col("wk"), 6))
+      ud.withColumn("k", explode(array(lit(0), lit(1), lit(2), lit(3))))
+        .withColumn("wk",
+          date_add(date_trunc("week", col("d")).cast("date"), col("k") * 7))
+        .join(broadcast(weeks), Seq("wk"))
         .groupBy(col("wk"))
         .agg(countDistinct(col("user_id")).as("mau"),
-          countDistinct(when(col("d") >= col("wk"), col("user_id")))
-            .as("wau"))
+          countDistinct(when(col("k") === 0, col("user_id"))).as("wau"))
         .withColumn("stickiness_ppm", expr("wau * 1000000 div mau"))
     }),
   )
@@ -1145,16 +1148,19 @@ object AnalyticsQueries {
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
         |), weeks AS (
         |  SELECT DISTINCT CAST(date_trunc('week', d) AS DATE) AS wk FROM ud
+        |), ex AS (
+        |  SELECT u.user_id, t.k,
+        |         CAST(date_trunc('week', u.d) AS DATE) + t.k * 7 AS wk
+        |  FROM ud u, unnest([0, 1, 2, 3]) AS t(k)
         |)
-        |SELECT w.wk,
-        |       CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau,
-        |       CAST(count(DISTINCT CASE WHEN u.d >= w.wk
-        |                                THEN u.user_id END) AS BIGINT) AS wau,
-        |       CAST(count(DISTINCT CASE WHEN u.d >= w.wk
-        |                                THEN u.user_id END) * 1000000 //
-        |            count(DISTINCT u.user_id) AS BIGINT) AS stickiness_ppm
-        |FROM weeks w JOIN ud u
-        |  ON u.d >= w.wk - INTERVAL 21 DAY AND u.d <= w.wk + INTERVAL 6 DAY
+        |SELECT e.wk,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS mau,
+        |       CAST(count(DISTINCT CASE WHEN e.k = 0
+        |                                THEN e.user_id END) AS BIGINT) AS wau,
+        |       CAST(count(DISTINCT CASE WHEN e.k = 0
+        |                                THEN e.user_id END) * 1000000 //
+        |            count(DISTINCT e.user_id) AS BIGINT) AS stickiness_ppm
+        |FROM ex e JOIN weeks w ON e.wk = w.wk
         |GROUP BY 1""".stripMargin,
   )
 }
