@@ -644,6 +644,224 @@ object AnalyticsQueries {
           countDistinct(when(col("k") === 0, col("user_id"))).as("wau"))
         .withColumn("stickiness_ppm", expr("wau * 1000000 div mau"))
     }),
+
+
+    // Collocation mining by PMI: adjacent-bigram vs unigram frequencies,
+    // PMI in log space as a FIXED-ORDER sum of five ln terms (ln c_xy +
+    // 2·ln N_uni − ln N_bi − ln c_x − ln c_y — no product can overflow
+    // at any scale), floor-quantized to micro-nats (q83 recipe); top 30
+    // by (pmi desc, bigram). Two token-grain shuffles; the ordered pick
+    // runs over the min-count-filtered bigram table only.
+    "q274_collocation_pmi" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("ts"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bi = toks
+        .select(explode(graft.text.TextOps.ngrams(col("ts"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val nUni = uni.agg(sum(col("c")).as("n_uni"))
+      val nBi = toks.select((size(col("ts")) - 1).cast("long").as("nb"))
+        .agg(sum(when(col("nb") > 0, col("nb")).otherwise(0L)).as("n_bi"))
+      bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .withColumn("pmi_micronats",
+          floor(lit(1e6) * (log(col("c_xy").cast("double")) +
+            lit(2.0) * log(col("n_uni").cast("double")) -
+            log(col("n_bi").cast("double")) -
+            log(col("c_x").cast("double")) -
+            log(col("c_y").cast("double")))).cast("long"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("pmi_micronats").desc, col("bigram"))))
+        .filter(col("rnk") <= 30)
+        .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+          col("pmi_micronats"))
+    }),
+
+
+    // MRR + hit-rate@10 of the popularity ranking (q271's retrieval
+    // cousin): per customer, the FIRST top-10 part they bought (min
+    // position); reciprocal rank is exact integer ppm (10⁶ div pos);
+    // per-segment means are integer div of integer sums — no float
+    // averaging anywhere.
+    "q275_mrr_hitrate" -> ((s, dir) => {
+      val top10 = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l_partkey"))))
+        .filter(col("pos") <= 10)
+        .select(col("l_partkey"), col("pos").cast("long").as("pos"))
+      val rel = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct()
+      rel.join(broadcast(top10), Seq("l_partkey"), "left_outer")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("pos")).as("first_pos"))
+        .withColumn("hit", col("first_pos").isNotNull.cast("long"))
+        .withColumn("rr_ppm",
+          when(col("first_pos").isNotNull, expr("1000000 div first_pos"))
+            .otherwise(lit(0L)))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("hit")).as("n_hits"),
+          expr("sum(hit) * 1000000 div count(1)").as("hit_ppm"),
+          expr("sum(rr_ppm) div count(1)").as("mean_rr_ppm"))
+    }),
+
+
+    // KMV (k-minimum-values) distinct sketch per event type, k=32, with
+    // the exact count alongside — the mergeable-sketch audit pair: the
+    // 60-bit md5 key space is engine-portable, the k-th minimum is an
+    // exact integer, and the estimator (k_eff−1)·2⁶⁰/kth is one double
+    // division (floor-quantized). The per-type window runs over DISTINCT
+    // hashes only.
+    "q276_kmv_distinct" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val exact = h.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact"))
+      val sketch = h
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("h"))))
+        .filter(col("rn") <= 32)
+        .groupBy(col("event_type"))
+        .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k_eff"))
+      sketch.join(exact, Seq("event_type"))
+        .withColumn("est",
+          floor((col("k_eff").cast("double") - lit(1.0)) *
+            pow(lit(2.0), lit(60.0)) / col("kth_min").cast("double"))
+            .cast("long"))
+        .select(col("event_type"), col("n_exact"), col("k_eff"),
+          col("kth_min"), col("est"))
+    }),
+
+
+    // Volume-weighted average retail price per brand-month: numerator
+    // Σ(price_cents·qty) lifts to decimal (no product wrap), denominator
+    // is an exact quantity sum, VWAP is ONE double division. Dim join
+    // broadcasts; one brand-month rollup shuffle.
+    "q277_vwap" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("p_retailprice")).cast("decimal(19,0)") *
+            col("l_quantity").cast("long").cast("decimal(19,0)"))
+            .cast("double").as("num"))
+        .withColumn("vwap_cents", col("num") / col("sum_qty").cast("double"))
+        .drop("num")),
+
+
+    // Degree assortativity of the customer-supplier trade graph: Pearson
+    // r of (customer degree, supplier degree) across distinct edges, all
+    // six sufficient statistics exact (decimal-lifted products), r one
+    // fixed double formula — do high-degree customers trade with
+    // high-degree suppliers? Edge grain shuffles once; degrees attach by
+    // two key joins.
+    "q278_degree_assortativity" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+      val dc = edges.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+      val ds = edges.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("y"))
+      def d19(c: Column): Column = c.cast("decimal(19,0)")
+      edges.join(dc, Seq("o_custkey")).join(broadcast(ds), Seq("l_suppkey"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d19(col("x")) * d19(col("y"))).cast("double").as("sxy"),
+          sum(d19(col("x")) * d19(col("x"))).cast("double").as("sxx"),
+          sum(d19(col("y")) * d19(col("y"))).cast("double").as("syy"))
+        .withColumn("r",
+          (col("n_edges").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n_edges").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n_edges").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+        .select(col("n_edges"), col("sx"), col("sy"), col("r"))
+    }),
+
+
+    // Poisson overdispersion check per event type: variance-to-mean
+    // ratio of per-(user, day) activity counts over observed cells —
+    // population moments from exact integer sums (squares decimal-
+    // lifted), VMR a fixed double expression. VMR ≫ 1 ⇒ the iid-Poisson
+    // traffic assumption is wrong (bursty users). One cell-grain
+    // shuffle, tiny per-type rollup.
+    "q279_overdispersion" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("n")).as("sum_n"),
+          sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+            .cast("double").as("sum_n2"))
+        .withColumn("vmr",
+          (col("n_cells").cast("double") * col("sum_n2") -
+            col("sum_n").cast("double") * col("sum_n").cast("double")) /
+            (col("n_cells").cast("double") * col("sum_n").cast("double")))
+        .select(col("event_type"), col("n_cells"), col("sum_n"), col("vmr"))),
+
+
+    // Catalog cold-start coverage: parts never ordered, by brand, in
+    // exact ppm — the recsys item-coverage gate. The sold-part set
+    // dedups at the part grain first, then ONE broadcast-able anti
+    // probe; never a fact-sized join per part.
+    "q280_catalog_coverage" -> ((s, dir) => {
+      val sold = Tables.lineitem(s, dir).select(col("l_partkey")).distinct()
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))
+        .join(sold, col("p_partkey") === col("l_partkey"), "left_outer")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(col("l_partkey").isNull, 1L).otherwise(0L)).as("n_cold"))
+        .withColumn("cold_ppm", expr("n_cold * 1000000 div n_parts"))
+    }),
+
+
+    // Price dispersion per part (n ≥ 8 lineitems): coefficient of
+    // variation from exact cent moments — population sd via one
+    // correctly-rounded sqrt over decimal-lifted integer sums, CV one
+    // double division. The per-part grain IS the output; no float
+    // averaging across parts.
+    "q281_price_dispersion" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("s"),
+          sum(cents(col("l_extendedprice")).cast("decimal(19,0)") *
+            cents(col("l_extendedprice")).cast("decimal(19,0)"))
+            .cast("double").as("s2"))
+        .filter(col("n") >= 8)
+        .withColumn("mean_cents", col("s").cast("double") / col("n").cast("double"))
+        .withColumn("cv",
+          sqrt((col("n").cast("double") * col("s2") -
+            col("s").cast("double") * col("s").cast("double"))) /
+            col("s").cast("double"))
+        .select(col("l_partkey"), col("n"), col("s").as("sum_cents"),
+          col("mean_cents"), col("cv"))),
   )
 
   /** DuckDB-runnable oracle equivalents — same math, same fixed-order
@@ -1162,5 +1380,186 @@ object AnalyticsQueries {
         |            count(DISTINCT e.user_id) AS BIGINT) AS stickiness_ppm
         |FROM ex e JOIN weeks w ON e.wk = w.wk
         |GROUP BY 1""".stripMargin,
+
+    "q274_collocation_pmi" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1
+        |), bi AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+        |                 i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        |        FROM t)
+        |  GROUP BY 1 HAVING count(*) >= 5
+        |), nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+        |nb AS (
+        |  SELECT CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS n_bi FROM t
+        |), j AS (
+        |  SELECT b.bigram, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |    CAST(floor(1e6 * (ln(CAST(b.c_xy AS DOUBLE)) +
+        |      2.0 * ln(CAST(nu.n_uni AS DOUBLE)) -
+        |      ln(CAST(nb.n_bi AS DOUBLE)) -
+        |      ln(CAST(ux.c AS DOUBLE)) -
+        |      ln(CAST(uy.c AS DOUBLE)))) AS BIGINT) AS pmi_micronats
+        |  FROM bi b
+        |  JOIN uni ux ON ux.w = split_part(b.bigram, ' ', 1)
+        |  JOIN uni uy ON uy.w = split_part(b.bigram, ' ', 2)
+        |  CROSS JOIN nu CROSS JOIN nb
+        |)
+        |SELECT bigram, c_xy, c_x, c_y, pmi_micronats
+        |FROM (SELECT *, row_number() OVER (ORDER BY pmi_micronats DESC,
+        |                                   bigram) AS rnk
+        |      FROM j)
+        |WHERE rnk <= 30""".stripMargin,
+
+    "q275_mrr_hitrate" ->
+      """WITH pop AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |), top10 AS (
+        |  SELECT l_partkey, CAST(pos AS BIGINT) AS pos
+        |  FROM (SELECT l_partkey,
+        |               row_number() OVER (ORDER BY cnt DESC, l_partkey) AS pos
+        |        FROM pop)
+        |  WHERE pos <= 10
+        |), rel AS (
+        |  SELECT DISTINCT o.o_custkey, l.l_partkey
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), per_cust AS (
+        |  SELECT r.o_custkey, min(t.pos) AS first_pos
+        |  FROM rel r LEFT JOIN top10 t ON r.l_partkey = t.l_partkey
+        |  GROUP BY 1
+        |), scored AS (
+        |  SELECT o_custkey,
+        |         CASE WHEN first_pos IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |         CASE WHEN first_pos IS NOT NULL
+        |              THEN CAST(1000000 // first_pos AS BIGINT)
+        |              ELSE 0 END AS rr_ppm
+        |  FROM per_cust
+        |)
+        |SELECT cu.c_mktsegment, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(s.hit) AS BIGINT) AS n_hits,
+        |       CAST(sum(s.hit) * 1000000 // count(*) AS BIGINT) AS hit_ppm,
+        |       CAST(sum(s.rr_ppm) // count(*) AS BIGINT) AS mean_rr_ppm
+        |FROM scored s JOIN customer cu ON s.o_custkey = cu.c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q276_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM events
+        |), exact AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM h GROUP BY 1
+        |), sk AS (
+        |  SELECT event_type, CAST(max(h) AS BIGINT) AS kth_min,
+        |         CAST(count(*) AS BIGINT) AS k_eff
+        |  FROM (SELECT event_type, h,
+        |               row_number() OVER (PARTITION BY event_type
+        |                                  ORDER BY h) AS rn
+        |        FROM h)
+        |  WHERE rn <= 32 GROUP BY 1
+        |)
+        |SELECT s.event_type, e.n_exact, s.k_eff, s.kth_min,
+        |       CAST(floor((CAST(s.k_eff AS DOUBLE) - 1.0) * pow(2.0, 60.0) /
+        |                   CAST(s.kth_min AS DOUBLE)) AS BIGINT) AS est
+        |FROM sk s JOIN exact e ON s.event_type = e.event_type""".stripMargin,
+
+    "q277_vwap" ->
+      """SELECT p.p_brand,
+        |       CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+        |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(CAST(CAST(p.p_retailprice AS DECIMAL(30,2)) * 100
+        |                          AS BIGINT) AS DECIMAL(19,0)) *
+        |                CAST(CAST(l.l_quantity AS BIGINT) AS DECIMAL(19,0)))
+        |            AS DOUBLE) /
+        |         CAST(CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+        |              AS DOUBLE) AS vwap_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q278_degree_assortativity" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o.o_custkey, l.l_suppkey
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), dc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        |  FROM edges GROUP BY 1
+        |), ds AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS y
+        |  FROM edges GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |         CAST(sum(dc.x) AS BIGINT) AS sx,
+        |         CAST(sum(ds.y) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(dc.x AS DECIMAL(19,0)) *
+        |                  CAST(ds.y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(dc.x AS DECIMAL(19,0)) *
+        |                  CAST(dc.x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(ds.y AS DECIMAL(19,0)) *
+        |                  CAST(ds.y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+        |  FROM edges e
+        |  JOIN dc ON e.o_custkey = dc.o_custkey
+        |  JOIN ds ON e.l_suppkey = ds.l_suppkey
+        |)
+        |SELECT n_edges, sx, sy,
+        |       (CAST(n_edges AS DOUBLE) * sxy -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       sqrt((CAST(n_edges AS DOUBLE) * sxx -
+        |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |            (CAST(n_edges AS DOUBLE) * syy -
+        |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM a""".stripMargin,
+
+    "q279_overdispersion" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+        |         CAST(sum(n) AS BIGINT) AS sum_n,
+        |         CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS sum_n2
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT event_type, n_cells, sum_n,
+        |       (CAST(n_cells AS DOUBLE) * sum_n2 -
+        |        CAST(sum_n AS DOUBLE) * CAST(sum_n AS DOUBLE)) /
+        |       (CAST(n_cells AS DOUBLE) * CAST(sum_n AS DOUBLE)) AS vmr
+        |FROM a""".stripMargin,
+
+    "q280_catalog_coverage" ->
+      """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
+        |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_cold,
+        |       CAST(sum(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+        |            * 1000000 // count(*) AS BIGINT) AS cold_ppm
+        |FROM part p LEFT JOIN sold s ON p.p_partkey = s.l_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "q281_price_dispersion" ->
+      """WITH a AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |                  AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT) AS DECIMAL(19,0)) *
+        |             CAST(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT) AS DECIMAL(19,0))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_partkey, n, s AS sum_cents,
+        |       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+        |       sqrt(CAST(n AS DOUBLE) * s2 -
+        |            CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+        |         CAST(s AS DOUBLE) AS cv
+        |FROM a WHERE n >= 8""".stripMargin,
   )
 }
