@@ -517,6 +517,23 @@ object StreamingQueries {
           "event_type_domain" ->
             !col("event_type").isin("view", "click", "purchase")))
     }),
+
+
+    // §2.8 streaming: the KMV distinct sketch maintained as batches land
+    // — per-batch k-minimum partials (batchId-keyed, replay-idempotent),
+    // merged k-min-of-union readout. The k globally-smallest keys are
+    // each within their own batch's k smallest, so the streamed sketch
+    // hash-equals the one-shot batch sketch (the q276 oracle verifies
+    // the mergeability law end-to-end).
+    "q282_kmv_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+      val root = predsPath(s"q282_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.kmvStream(s, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt",
+        groupCol = "event_type", keyCol = "user_id")
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -803,5 +820,31 @@ object StreamingQueries {
         |       CAST(v1 AS BIGINT), v1 = 0 FROM base
         |UNION ALL SELECT 'event_type_domain', n_rows,
         |       CAST(v2 AS BIGINT), v2 = 0 FROM base""".stripMargin,
+
+    // identical to the batch q276 oracle — the streamed per-batch
+    // k-min partials merge to EXACTLY the one-shot sketch, which is the
+    // mergeability law the hash match pins
+    "q282_kmv_stream" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM events
+        |), exact AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM h GROUP BY 1
+        |), sk AS (
+        |  SELECT event_type, CAST(max(h) AS BIGINT) AS kth_min,
+        |         CAST(count(*) AS BIGINT) AS k_eff
+        |  FROM (SELECT event_type, h,
+        |               row_number() OVER (PARTITION BY event_type
+        |                                  ORDER BY h) AS rn
+        |        FROM h)
+        |  WHERE rn <= 32 GROUP BY 1
+        |)
+        |SELECT s.event_type, e.n_exact, s.k_eff, s.kth_min,
+        |       CAST(floor((CAST(s.k_eff AS DOUBLE) - 1.0) * pow(2.0, 60.0) /
+        |                   CAST(s.kth_min AS DOUBLE)) AS BIGINT) AS est
+        |FROM sk s JOIN exact e ON s.event_type = e.event_type""".stripMargin,
   )
 }

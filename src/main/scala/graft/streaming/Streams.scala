@@ -875,6 +875,74 @@ object Streams {
       groupCol, threshold)
   }
 
+  /** Streaming KMV (k-minimum-values) distinct sketch per group — the
+    * mergeable-sketch law run live: each micro-batch keeps only its own
+    * k smallest distinct 60-bit keys per group (≤ k·groups rows, written
+    * idempotently under `batch_id=<id>` like [[srmGateStream]]), and the
+    * readout merges by taking the k smallest of the union. Since every
+    * one of the k globally-smallest keys is among its own batch's k
+    * smallest, the merged sketch EQUALS the one-shot batch sketch — the
+    * streamed answer hash-equals the batch oracle (q276). The exact
+    * distinct count audits alongside from the staged corpus.
+    *
+    * At scale the state is zero (no watermark, no keyed store); partials
+    * grow k rows per (batch, group). */
+  def kmvStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      groupCol: String,
+      keyCol: String,
+      k: Int = 32,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h")
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col(groupCol), h(col(keyCol)))
+          .distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col(groupCol)).orderBy(col("h"))))
+          .filter(col("rn") <= k)
+          .select(col(groupCol), col("h"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow KMV stream must drain")
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      eventsSchema(groupCol),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType)))
+    val merged = readPartials(spark, partialsDir, partialsSchema)
+      .select(col(groupCol), col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k_eff"))
+    val exact = spark.read.schema(eventsSchema).parquet(eventsDir)
+      .select(col(groupCol), h(col(keyCol))).distinct()
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    merged.join(exact, Seq(groupCol))
+      .withColumn("est",
+        floor((col("k_eff").cast("double") - lit(1.0)) *
+          pow(lit(2.0), lit(60.0)) / col("kth_min").cast("double"))
+          .cast("long"))
+      .select(col(groupCol), col("n_exact"), col("k_eff"),
+        col("kth_min"), col("est"))
+  }
+
   /** Read a foreachBatch-appended partials directory, tolerating the
     * zero-batch case where it was never created: an empty typed frame
     * instead of PATH_NOT_FOUND, so empty sources yield empty reports. */
