@@ -862,6 +862,128 @@ object AnalyticsQueries {
             col("s").cast("double"))
         .select(col("l_partkey"), col("n"), col("s").as("sum_cents"),
           col("mean_cents"), col("cv"))),
+
+
+    // K-anonymity / l-diversity audit per nation: quasi-identifier =
+    // (nation, segment, acctbal decile — edges from ONE broadcast
+    // percentile array, the q220 idiom), sensitive attribute = order
+    // priority. Per nation: group count, small-group (k < 5) count,
+    // users at risk in exact ppm, and the minimum sensitive diversity —
+    // the privacy pre-publish gate. Two shuffles (QI grain, nation
+    // rollup); the order join carries only (custkey, priority).
+    "q283_k_anonymity" -> ((s, dir) => {
+      val edges = Tables.customer(s, dir)
+        .agg(percentile(col("c_acctbal"),
+          typedLit(Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)))
+          .as("edges"))
+      val qi = Tables.customer(s, dir)
+        .crossJoin(broadcast(edges))
+        .withColumn("bal_bin",
+          (size(filter(col("edges"), e => col("c_acctbal") > e)) + 1)
+            .cast("long"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("bal_bin"))
+      val sens = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      val groups = qi
+        .join(sens, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"))
+        .agg(countDistinct(col("c_custkey")).as("k"),
+          countDistinct(col("o_orderpriority")).as("l"))
+      groups.groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(col("k")).as("n_users"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_at_risk"),
+          min(col("l")).as("min_l"))
+        .withColumn("risk_ppm", expr("n_at_risk * 1000000 div n_users"))
+    }),
+
+
+    // Corpus-level autocorrelation function, lags 1–7 days: the daily
+    // event-count series folds from the fact scan (the only real work),
+    // then each lag's Pearson r comes from exact integer sufficient
+    // stats over the (t, t+k) pair join of the tiny series. One row per
+    // lag — the seasonality/burstiness fingerprint q216's per-user lag-1
+    // cannot see.
+    "q284_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .select(datediff(col("d"), lit("2024-01-01").cast("date"))
+          .cast("long").as("t"), col("n"))
+      def d19(c: Column): Column = c.cast("decimal(19,0)")
+      daily
+        .withColumn("lag",
+          explode(array((1 to 7).map(i => lit(i.toLong)): _*)))
+        .withColumn("t2", col("t") + col("lag"))
+        .join(daily.select(col("t").as("t2"), col("n").as("n2")),
+          Seq("t2"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n")).as("sx"), sum(col("n2")).as("sy"),
+          sum(d19(col("n")) * d19(col("n2"))).cast("double").as("sxy"),
+          sum(d19(col("n")) * d19(col("n"))).cast("double").as("sxx"),
+          sum(d19(col("n2")) * d19(col("n2"))).cast("double").as("syy"))
+        .withColumn("r",
+          (col("n_pairs").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n_pairs").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n_pairs").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+        .select(col("lag"), col("n_pairs"), col("r"))
+    }),
+
+
+    // Seasonal-naive forecast backtest: predict month m's revenue with
+    // month m−12's (the standard baseline every real forecaster must
+    // beat), errors in exact cents, APE in exact integer ppm — the
+    // whole backtest is one lag over the ≤ |months| rollup.
+    "q285_seasonal_backtest" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("actual_cents"))
+        .withColumn("pred_cents",
+          lag(col("actual_cents"), 12).over(Window.orderBy(col("month"))))
+        .filter(col("pred_cents").isNotNull)
+        .withColumn("abs_err_cents",
+          abs(col("actual_cents") - col("pred_cents")))
+        .withColumn("ape_ppm", expr("abs_err_cents * 1000000 div actual_cents"))
+        .select(col("month"), col("actual_cents"), col("pred_cents"),
+          col("abs_err_cents"), col("ape_ppm"))),
+
+
+    // Difference-in-differences estimator: variant (user_id % 2) ×
+    // period (before/after the window midpoint), four cell means from
+    // exact cent sums, DiD = (T_post−T_pre) − (C_post−C_pre) as one
+    // fixed double formula — the causal-readout counterpart of q207's
+    // variance reduction. One grouped pass over the fact, scalar out.
+    "q286_diff_in_diff" -> ((s, dir) => {
+      def cell(v: Int, pre: Boolean, c: Column): Column =
+        sum(when(pmod(col("user_id"), lit(2L)) === v &&
+          (if (pre) col("pre") else !col("pre")), c).otherwise(0L))
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
+            .as("pre"),
+          cents(col("value")).as("c"))
+        .agg(
+          cell(0, pre = true, lit(1L)).as("n_c_pre"),
+          cell(0, pre = true, col("c")).as("s_c_pre"),
+          cell(0, pre = false, lit(1L)).as("n_c_post"),
+          cell(0, pre = false, col("c")).as("s_c_post"),
+          cell(1, pre = true, lit(1L)).as("n_t_pre"),
+          cell(1, pre = true, col("c")).as("s_t_pre"),
+          cell(1, pre = false, lit(1L)).as("n_t_post"),
+          cell(1, pre = false, col("c")).as("s_t_post"))
+        .withColumn("did_cents",
+          (col("s_t_post").cast("double") / col("n_t_post").cast("double") -
+            col("s_t_pre").cast("double") / col("n_t_pre").cast("double")) -
+            (col("s_c_post").cast("double") / col("n_c_post").cast("double") -
+              col("s_c_pre").cast("double") / col("n_c_pre").cast("double")))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — same math, same fixed-order
@@ -1561,5 +1683,118 @@ object AnalyticsQueries {
         |            CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
         |         CAST(s AS DOUBLE) AS cv
         |FROM a WHERE n >= 8""".stripMargin,
+
+    "q283_k_anonymity" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(c_acctbal, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                                   0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM customer
+        |), qi AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+        |         CAST(len(list_filter(e.edges, x -> c.c_acctbal > x)) + 1
+        |              AS BIGINT) AS bal_bin
+        |  FROM customer c, e
+        |), sens AS (
+        |  SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+        |), groups AS (
+        |  SELECT q.c_nationkey, q.c_mktsegment, q.bal_bin,
+        |         CAST(count(DISTINCT q.c_custkey) AS BIGINT) AS k,
+        |         CAST(count(DISTINCT s.o_orderpriority) AS BIGINT) AS l
+        |  FROM qi q LEFT JOIN sens s ON q.c_custkey = s.o_custkey
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_small_groups,
+        |       CAST(sum(k) AS BIGINT) AS n_users,
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |         AS n_at_risk,
+        |       CAST(min(l) AS BIGINT) AS min_l,
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000 //
+        |            sum(k) AS BIGINT) AS risk_ppm
+        |FROM groups GROUP BY 1""".stripMargin,
+
+    "q284_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS t,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), pairs AS (
+        |  SELECT l.lag, a.n AS x, b.n AS y
+        |  FROM unnest([1, 2, 3, 4, 5, 6, 7]) AS l(lag)
+        |  JOIN daily a ON TRUE
+        |  JOIN daily b ON b.t = a.t + l.lag
+        |), a AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS syy
+        |  FROM pairs GROUP BY 1
+        |)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |       (CAST(n_pairs AS DOUBLE) * sxy -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       sqrt((CAST(n_pairs AS DOUBLE) * sxx -
+        |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |            (CAST(n_pairs AS DOUBLE) * syy -
+        |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM a""".stripMargin,
+
+    "q285_seasonal_backtest" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS actual_cents
+        |  FROM orders GROUP BY 1
+        |), f AS (
+        |  SELECT month, actual_cents,
+        |         lag(actual_cents, 12) OVER (ORDER BY month) AS pred_cents
+        |  FROM m
+        |)
+        |SELECT month, actual_cents, pred_cents,
+        |       CAST(abs(actual_cents - pred_cents) AS BIGINT) AS abs_err_cents,
+        |       CAST(abs(actual_cents - pred_cents) * 1000000 // actual_cents
+        |            AS BIGINT) AS ape_ppm
+        |FROM f WHERE pred_cents IS NOT NULL""".stripMargin,
+
+    "q286_diff_in_diff" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         ts < TIMESTAMP '2024-01-16 00:00:00' AS pre,
+        |         CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_c_pre,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND pre THEN c ELSE 0 END)
+        |         AS BIGINT) AS s_c_pre,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_c_post,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT pre THEN c ELSE 0 END)
+        |         AS BIGINT) AS s_c_post,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_t_pre,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND pre THEN c ELSE 0 END)
+        |         AS BIGINT) AS s_t_pre,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND NOT pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_t_post,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND NOT pre THEN c ELSE 0 END)
+        |         AS BIGINT) AS s_t_post
+        |  FROM d
+        |)
+        |SELECT n_c_pre, s_c_pre, n_c_post, s_c_post,
+        |       n_t_pre, s_t_pre, n_t_post, s_t_post,
+        |       (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) -
+        |        CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)) -
+        |       (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) -
+        |        CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) AS did_cents
+        |FROM a""".stripMargin,
   )
 }
