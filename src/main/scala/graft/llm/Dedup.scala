@@ -243,14 +243,41 @@ object Dedup {
       hamMax: Int = 3,
       bands: Int = 4,
       shingleWidth: Int = 3,
-      maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
-    val sigs = docs
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) =
+    hamming64DupsWithDiagnostics(
+      simhashSignatures(docs, idCol, textCol, shingleWidth),
+      idCol, "sig", hamMax, bands, maxBucketSize)
+
+  /** The sketch half of [[simhashDups]] on its own: `(idCol, sig)` with
+    * `sig` the 64-bit SimHash of the doc's `shingleWidth`-word shingles.
+    * Split out so the engine-local hash family can be PERSISTED and the
+    * portable serve half ([[hamming64Dups]] — banding, bucket grouping,
+    * exact hamming verify) replayed by an independent engine over the
+    * stored bits (the q24/q25/q94 fit/serve oracle pattern). Docs with
+    * fewer than `shingleWidth` tokens have no shingles and are excluded
+    * up front (visible, never hashed-as-empty). */
+  def simhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleWidth: Int = 3): DataFrame =
+    docs
       .filter(size(TextOps.tokens(col(textCol))) >= shingleWidth)
       .select(col(idCol),
         graft.exprapi.simhash64(shingles(col(textCol), shingleWidth)).as("sig"))
-    hamming64DupsWithDiagnostics(sigs, idCol, "sig", hamMax, bands,
-      maxBucketSize)
-  }
+
+  /** [[hamming64DupsWithDiagnostics]] pairs-only — the serve half over
+    * persisted signatures when the caller does not consume the
+    * dropped-bucket diagnostics frame. */
+  def hamming64Dups(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      hamMax: Int,
+      bands: Int,
+      maxBucketSize: Int = 10000): DataFrame =
+    hamming64DupsWithDiagnostics(
+      sigs, idCol, sigCol, hamMax, bands, maxBucketSize)._1
 
   /** Banded-hamming near-duplicate join over PRECOMPUTED 64-bit
     * signatures — the LSH machinery behind [[simhashDups]] factored over

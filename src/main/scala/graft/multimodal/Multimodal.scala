@@ -278,8 +278,18 @@ object Multimodal {
       assets: DataFrame,
       hamMax: Int = 7,
       bands: Int = 8,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = assets
+      maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.hamming64DupsWithDiagnostics(
+      imageSignatures(assets), "asset_id", "sig", hamMax, bands,
+      maxBucketSize)._1
+
+  /** The decode→resize→dHash sketch half of [[imageNearDups]] on its
+    * own: `(asset_id, sig)`. Split out so the engine-local pipeline can
+    * be PERSISTED and the portable banded-hamming serve half replayed by
+    * an independent engine over the stored 64-bit values (the fit/serve
+    * oracle split). Non-decodable payloads are excluded up front. */
+  def imageSignatures(assets: DataFrame): DataFrame =
+    assets
       .filter(col("modality") === "image")
       .withColumn("img", coalesce(
         graft.exprapi.bmpDecode(col("content")),
@@ -290,9 +300,6 @@ object Multimodal {
         graft.expr.DHash64.W, graft.expr.DHash64.H))
       .select(col("asset_id"), graft.exprapi.dhash64(col("small")).as("sig"))
       .filter(col("sig").isNotNull)
-    graft.llm.Dedup.hamming64DupsWithDiagnostics(
-      sigs, "asset_id", "sig", hamMax, bands, maxBucketSize)._1
-  }
 
   /** Perceptual near-duplicate detection over AUDIO assets — the audio
     * leg of the dedup family, completing the text-SimHash / image-dHash
@@ -306,17 +313,23 @@ object Multimodal {
       assets: DataFrame,
       hamMax: Int = 7,
       bands: Int = 8,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = assets
+      maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.hamming64DupsWithDiagnostics(
+      audioSignatures(assets), "asset_id", "sig", hamMax, bands,
+      maxBucketSize)._1
+
+  /** The WAV-decode→energy-delta sketch half of [[audioNearDups]]:
+    * `(asset_id, sig)` — persisted for the portable serve-half replay,
+    * mirroring [[imageSignatures]]. Clips shorter than 130 samples hash
+    * NULL and are excluded (visible, never silently fingerprinted). */
+  def audioSignatures(assets: DataFrame): DataFrame =
+    assets
       .filter(col("modality") === "audio")
       .withColumn("aud", graft.exprapi.wavDecode(col("content")))
       .filter(col("aud").isNotNull)
       .select(col("asset_id"),
         graft.exprapi.audioHash64(col("aud.pcm")).as("sig"))
       .filter(col("sig").isNotNull)
-    graft.llm.Dedup.hamming64DupsWithDiagnostics(
-      sigs, "asset_id", "sig", hamMax, bands, maxBucketSize)._1
-  }
 
   /** Per-modality feature batches: decode + features, grouped stats as the
     * sanity surface (count, real-decoded count, avg feature norm) — every

@@ -259,26 +259,42 @@ object DedupQueries {
 
     // North-star rolling-hash fingerprinting, throughput path: the native
     // O(n) Karp-Rabin winnowing expression (one codegen'd pass per doc vs
-    // one md5 per k-gram in q35). Different hash family than the portable
-    // form, so rows-only — the q24-vs-q16 dual-path pattern.
-    "q36_winnow_fast" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(graft.exprapi.winnowFps(
-            text.TextOps.normalizedText(col("text")), 8, 4)).as("fp"))
+    // one md5 per k-gram in q35). The hash family is engine-local, so the
+    // FIT half (fingerprint extraction) persists its exploded
+    // (doc_id, fp) stream and the portable SERVE half — the shared-
+    // fingerprint grouping — is oracle-replayed over the stored values
+    // (the q24/q25/q94 fit/serve split; previously rows-only).
+    "q36_winnow_fast" -> ((s, dir) => {
+      sources.Sources.writeParquet(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.exprapi.winnowFps(
+              text.TextOps.normalizedText(col("text")), 8, 4)).as("fp")),
+        predsPath("q36_fps"))
+      s.read.parquet(predsPath("q36_fps"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= 2)),
+        .filter(col("n_docs") >= 2)
+    }),
 
 
 
 
     // North-star dedup, SimHash method: banded 64-bit sketches, exact
     // hamming verify — an EXACT hamming≤3 join by pigeonhole (hamMax <
-    // bands). xxhash64-based sketch has no DuckDB mirror ⇒ rows-only;
-    // the guarantee and separation contracts are pinned by DedupSpec.
-    "q40_simhash_dups" -> ((s, dir) =>
-      llm.Dedup.simhashDups(Tables.documents(s, dir))),
+    // bands). The xxhash64-based sketch has no DuckDB mirror, so the FIT
+    // half persists (doc_id, sig) and the portable SERVE half — banding,
+    // bucket saturation window, exact bit_count(xor) hamming — is
+    // oracle-replayed over the stored signatures; DedupSpec pins the
+    // guarantee/separation contracts of the sketch itself.
+    "q40_simhash_dups" -> ((s, dir) => {
+      sources.Sources.writeParquet(
+        llm.Dedup.simhashSignatures(Tables.documents(s, dir)),
+        predsPath("q40_sigs"))
+      llm.Dedup.hamming64Dups(
+        s.read.parquet(predsPath("q40_sigs")), "doc_id", "sig",
+        hamMax = 3, bands = 4)
+    }),
 
 
     // entity resolution ACROSS sources composed end-to-end: q65's
@@ -731,6 +747,20 @@ object DedupQueries {
          |  JOIN sh sb ON c.b_doc = sb.doc_id
          |)
          |SELECT a_doc, b_doc, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+
+    // fit/serve split: the serve half (shared-fingerprint grouping) is a
+    // plain GROUP BY over the persisted winnowing fingerprints
+    "q36_winnow_fast" ->
+      s"""SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM read_parquet('${predsPath("q36_fps")}/*.parquet')
+         |GROUP BY fp HAVING COUNT(*) >= 2""".stripMargin,
+
+
+    // fit/serve split: banded-hamming LSH serve replayed over the
+    // persisted SimHash signatures (text defaults: hamMax 3, 4 bands)
+    "q40_simhash_dups" ->
+      hammingReplaySql(predsPath("q40_sigs"), "doc_id", hamMax = 3, bands = 4),
 
 
     // q16/q45's md5-LSH pipeline with the pair space restricted to

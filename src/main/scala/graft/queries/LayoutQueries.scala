@@ -455,9 +455,11 @@ object LayoutQueries {
     // the corpus is every synthetic image plus a single-pixel-perturbed
     // copy of each (one byte of the first stored pixel forced to 0x7f),
     // so ground truth is known — each original pairs with its copy
-    // within a few bits. Rows-only (the decode→resize→dhash pipeline has
-    // no SQL form); MultimodalSpec pins the ground-truth recall and the
-    // unrelated-images-don't-pair precision.
+    // within a few bits. The decode→resize→dhash FIT half has no SQL
+    // form, so it persists (asset_id, sig) and the portable banded-
+    // hamming SERVE half is oracle-replayed over the stored signatures
+    // (previously rows-only); MultimodalSpec still pins the ground-truth
+    // recall and the unrelated-images-don't-pair precision.
     "q225_image_neardup" -> ((s, dir) => {
       val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
         .filter(col("modality") === "image")
@@ -469,15 +471,21 @@ object LayoutQueries {
           expr("substring(content, 56, length(content) - 55)"))
           .as("content"),
         col("meta"))
-      multimodal.Multimodal.imageNearDups(imgs.unionByName(copies))
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.imageSignatures(imgs.unionByName(copies)),
+        predsPath("q225_sigs"))
+      llm.Dedup.hamming64Dups(
+        s.read.parquet(predsPath("q225_sigs")), "asset_id", "sig",
+        hamMax = 7, bands = 8)
     }),
 
 
     // AUDIO near-dup via the energy-delta fingerprint — same known-
     // ground-truth construction as q225: every synthetic WAV plus a
     // single-sample-perturbed copy (one PCM byte mid-stream forced to
-    // 0x7f → at most two energy-comparison bits move). Rows-only;
-    // MultimodalSpec pins recall + precision.
+    // 0x7f → at most two energy-comparison bits move). Same fit/serve
+    // split as q225: WAV-decode fingerprints persisted, banded-hamming
+    // serve oracle-replayed; MultimodalSpec pins recall + precision.
     "q226_audio_neardup" -> ((s, dir) => {
       val auds = multimodal.Multimodal
         .syntheticAssets(s, 900, payloadBlocks = 64)
@@ -490,7 +498,12 @@ object LayoutQueries {
           expr("substring(content, 558, length(content) - 557)"))
           .as("content"),
         col("meta"))
-      multimodal.Multimodal.audioNearDups(auds.unionByName(copies))
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.audioSignatures(auds.unionByName(copies)),
+        predsPath("q226_sigs"))
+      llm.Dedup.hamming64Dups(
+        s.read.parquet(predsPath("q226_sigs")), "asset_id", "sig",
+        hamMax = 7, bands = 8)
     }),
 
 
@@ -647,6 +660,19 @@ object LayoutQueries {
     * rows-only checked by the driver (non-portable hash/codec/fit paths,
     * each pinned by a dedicated spec instead). */
   val sql: Map[String, String] = Map(
+
+    // fit/serve split: banded-hamming LSH serve replayed over persisted
+    // dHash signatures (image defaults: hamMax 7, 8 bands)
+    "q225_image_neardup" ->
+      hammingReplaySql(predsPath("q225_sigs"), "asset_id",
+        hamMax = 7, bands = 8),
+
+
+    // same split over the persisted audio energy-delta fingerprints
+    "q226_audio_neardup" ->
+      hammingReplaySql(predsPath("q226_sigs"), "asset_id",
+        hamMax = 7, bands = 8),
+
 
     // the Spark side ran this join+agg from bucketed tables with zero
     // hash exchanges; the oracle replays it over the original parquet —

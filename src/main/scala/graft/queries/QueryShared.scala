@@ -55,6 +55,47 @@ private[graft] object QueryShared {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** DuckDB replay of [[graft.llm.Dedup.hamming64Dups]] over a persisted
+    * `(id, sig)` signature parquet — the portable serve half of every
+    * 64-bit-sketch near-dup query (SimHash text, dHash image, energy-delta
+    * audio): band the sketch into `bands` equal slices, bucket per
+    * (band, key) with the same ≥2 / ≤maxBucketSize saturation window the
+    * engine applies, expand candidates, exact-hamming verify via
+    * `bit_count(xor(...))`. Banding reads the BIGINT sig as unsigned by
+    * lifting to HUGEINT (+2^64 when negative) and using exact integer
+    * div/mod — bit-identical to Spark's `shiftrightunsigned & mask`. */
+  def hammingReplaySql(
+      path: String, idCol: String, hamMax: Int, bands: Int,
+      maxBucketSize: Int = 10000): String = {
+    val width = 64 / bands
+    val modulus = BigInt(1) << width
+    val bandRows = (0 until bands)
+      .map(b => s"($b, CAST('${BigInt(1) << (b * width)}' AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH sigs AS (
+       |  SELECT $idCol AS id, sig,
+       |    CAST(sig AS HUGEINT)
+       |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+       |             ELSE CAST(0 AS HUGEINT) END AS usig
+       |  FROM read_parquet('$path/*.parquet')),
+       |banded AS (
+       |  SELECT s.id, s.sig, b.band, (s.usig // b.d) % $modulus AS key
+       |  FROM sigs s CROSS JOIN (VALUES $bandRows) b(band, d)),
+       |ok AS (
+       |  SELECT band, key FROM banded GROUP BY band, key
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucketSize),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a
+       |  JOIN ok o ON o.band = a.band AND o.key = a.key
+       |  JOIN banded b ON b.band = a.band AND b.key = a.key AND a.id < b.id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(sig_a, sig_b)) <= $hamMax""".stripMargin
+  }
+
   /** [[graft.ops.Relational.exactSum]] rendered in DuckDB SQL — exact
     * decimal accumulation surfaced as double, so both engines produce
     * bit-identical sums regardless of aggregation order. */
