@@ -97,4 +97,22 @@ object Centroid {
     scored(emb, idCol, labelCol, vecCol, offset)
       .filter(col("rn") === 1)
       .select(col(idCol), col("label"), col("c_label").as("cell"), col("q"))
+
+  /** Cell-size cap with the drop made OBSERVABLE — the family's "no
+    * silent caps" rule ([[graft.llm.Dedup.oversizedCells]],
+    * simhash's dropped-bucket frame): returns (rows of cells within
+    * `maxCellSize`, one `(cell, cell_size)` row per cell the cap
+    * dropped). At scale a hot cell silently vanishing from a
+    * hard-negative training set is invisible in the output; counting the
+    * dropped side makes the recall loss a monitorable quantity, and the
+    * diagnostics are lazy — the caller pays only if it executes them. */
+  def capCellsWithDiagnostics(
+      cells: DataFrame, maxCellSize: Int): (DataFrame, DataFrame) = {
+    val counted = cells.withColumn("cn",
+      count(lit(1)).over(Window.partitionBy(col("cell"))))
+    (counted.filter(col("cn") <= maxCellSize).drop("cn"),
+      counted.filter(col("cn") > maxCellSize)
+        .groupBy(col("cell"))
+        .agg(max(col("cn")).as("cell_size")))
+  }
 }

@@ -487,16 +487,16 @@ object ExperimentQueries {
     // DIFFERENT-label vector within its nearest-centroid cell — the
     // cell blocking keeps the pair space Σ cell², never n² (declared
     // in-cluster-negatives semantics, the SemDeDup/ANN family rule),
-    // with the family-standard cell-size cap. Exact BIGINT distances
-    // over the retained quantized dims; argmin ties break to the
-    // smaller candidate id.
+    // with the family-standard cell-size cap made LOUD via
+    // capCellsWithDiagnostics (the cap is mirrored in the oracle's
+    // `capped` CTE; ExperimentSpec pins that a forced-oversized cell
+    // surfaces on the diagnostics side). Exact BIGINT distances over the
+    // retained quantized dims; argmin ties break to the smaller
+    // candidate id.
     "q239_hard_negatives" -> ((s, dir) => {
       val cells = graft.ml.Centroid.assignCells(
         Tables.embeddings(s, dir), "vec_id", "label", "embedding")
-      val capped = cells
-        .withColumn("cn", count(lit(1)).over(
-          Window.partitionBy(col("cell"))))
-        .filter(col("cn") <= 200).drop("cn")
+      val capped = graft.ml.Centroid.capCellsWithDiagnostics(cells, 200)._1
       val other = capped.select(col("cell"), col("vec_id").as("o_id"),
         col("label").as("o_label"), col("q").as("o_q"))
       capped.join(other, Seq("cell"))

@@ -534,6 +534,21 @@ object StreamingQueries {
         s"$root/partials", s"$root/ckpt",
         groupCol = "event_type", keyCol = "user_id")
     }),
+
+
+    // streamed form of q234 covered time: per-batch interval islands
+    // appended as idempotent batch_id partials, readout re-islands the
+    // union — interval union is associative+idempotent over interval
+    // sets, so the multi-batch drain hash-equals the one-shot batch
+    // oracle (the q93/q98/q282 streamed-parity pattern)
+    "q294_covered_time_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val root = predsPath(s"q294_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.coveredTimeStream(s, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt")
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -846,5 +861,36 @@ object StreamingQueries {
         |       CAST(floor((CAST(s.k_eff AS DOUBLE) - 1.0) * pow(2.0, 60.0) /
         |                   CAST(s.kth_min AS DOUBLE)) AS BIGINT) AS est
         |FROM sk s JOIN exact e ON s.event_type = e.event_type""".stripMargin,
+
+
+    // q234's batch interval-union SQL verbatim — the Spark side EXECUTED
+    // it as a real multi-batch AvailableNow drain over per-batch island
+    // partials, so the hash match pins the mergeability law
+    "q294_covered_time_stream" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts) + 600 * 1000000 AS en
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv
+        |), mk AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR st > prev_max
+        |                 THEN 1 ELSE 0 END AS island_start
+        |  FROM m
+        |), isl AS (
+        |  SELECT user_id, st, en,
+        |    sum(island_start) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM mk
+        |), spans AS (
+        |  SELECT user_id, island, min(st) AS i_st, max(en) AS i_en
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(i_en - i_st) // 1000000 AS BIGINT) AS covered_s
+        |FROM spans GROUP BY 1""".stripMargin,
   )
 }

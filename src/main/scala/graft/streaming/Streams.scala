@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -1012,5 +1012,78 @@ object Streams {
       .crossJoin(broadcast(total))
       .filter(col("cnt") * lit(k.toLong) > col("hh_total"))
       .select(col("token"), col("cnt"))
+  }
+
+  /** Streaming covered-time maintenance — the interval-union
+    * gaps-and-islands of q234 kept current as batches land: each
+    * micro-batch coalesces ITS OWN events into per-user islands and
+    * appends only those `(user_id, i_st, i_en)` intervals (idempotently
+    * under `batch_id=<id>`, the [[srmGateStream]] replay rule), and the
+    * readout re-islands the union of per-batch islands. Interval union
+    * is associative and idempotent over interval SETS, so islands of a
+    * union of per-batch islands equal the one-shot islands of all
+    * events — the streamed per-user `(n_islands, covered_s)` hash-equals
+    * the batch oracle regardless of how the stream was batch-split.
+    *
+    * At scale: zero keyed state store (no watermark to size); partials
+    * hold ≤ one interval per in-batch island, already maximally merged
+    * within their batch, and the readout is one window + one grouped agg
+    * over intervals (≪ events). */
+  def coveredTimeStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      intervalUs: Long = 600L * 1000000L,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    def islands(iv: DataFrame, orderCols: Seq[Column]): DataFrame = {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(orderCols: _*)
+      val prevMax = max(col("en")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("island_start",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("island", sum(col("island_start")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"))
+    }
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        islands(
+          batch.select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("st"))
+            .withColumn("en", col("st") + lit(intervalUs)),
+          Seq(col("st"), col("event_id")))
+          .select(col("user_id"), col("i_st"), col("i_en"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow covered-time stream must drain")
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      eventsSchema("user_id"),
+      org.apache.spark.sql.types.StructField("i_st",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("i_en",
+        org.apache.spark.sql.types.LongType)))
+    islands(
+      readPartials(spark, partialsDir, partialsSchema)
+        .select(col("user_id"), col("i_st").as("st"), col("i_en").as("en")),
+      Seq(col("st"), col("en")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_en") - col("i_st")).as("covered_us"))
+      // integer div, not float /: the micro sum need not divide evenly
+      // and double-cast truncation rules differ across engines
+      .withColumn("covered_s", expr("covered_us div 1000000"))
+      .drop("covered_us")
   }
 }

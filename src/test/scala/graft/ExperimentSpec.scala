@@ -259,4 +259,21 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(day > 0) // keep the constant used (documentation of grain)
   }
+
+  test("capCellsWithDiagnostics: a forced-oversized cell is EXCLUDED from " +
+      "the capped side and SURFACED on the diagnostics side (no silent cap)") {
+    // cell 1 gets 5 members (over a cap of 4), cell 2 gets 3 (under)
+    val cells = ((1 to 5).map(i => (i.toLong, 0L, 1L)) ++
+      (6 to 8).map(i => (i.toLong, 1L, 2L)))
+      .toDF("vec_id", "label", "cell")
+    val (capped, dropped) =
+      graft.ml.Centroid.capCellsWithDiagnostics(cells, maxCellSize = 4)
+    assert(capped.select("cell").distinct().collect().map(_.getLong(0))
+      .toSet === Set(2L), "only the under-cap cell may survive")
+    assert(capped.count() === 3)
+    val d = dropped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.toSeq === Seq((1L, 5L)),
+      "the dropped cell must surface with its size — a hot cell " +
+        "vanishing from a hard-negative set must be monitorable")
+  }
 }

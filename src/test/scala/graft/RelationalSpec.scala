@@ -424,6 +424,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(floored === Set((10L, 20L)))
   }
 
+  test("associationRules broadcast size-gate: shuffle fallback at/over the " +
+      "item-cardinality threshold produces identical rules") {
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 30L)
+    ).toDF("basket", "item")
+    def run(maxBroadcastItems: Long) = graft.ops.Relational
+      .associationRules(rows, "basket", "item", maxBasket = 3,
+        minSupport = 1L, maxBroadcastItems = maxBroadcastItems)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    val broadcasted = run(maxBroadcastItems = 1000L) // 3 items, under
+    val shuffled = run(maxBroadcastItems = 2L)       // 3 items, OVER the gate
+    assert(broadcasted === shuffled,
+      "the size-gated shuffle fallback must be value-identical to the " +
+        "broadcast path — only the join strategy may change")
+    assert(broadcasted.nonEmpty)
+  }
+
   test("merkleDiff equals snapshotDiff and only touched buckets admit rows") {
     val v0 = (1L to 200L).map(k => (k, s"s$k", (k * 7 % 100).toString))
       .toDF("k", "a", "b")
