@@ -563,13 +563,25 @@ object Relational {
         count(lit(1)).over(Window.partitionBy(col(basketCol))))
       .filter(col("__bs") <= maxBasket)
       .drop("__bs")
-    // checkpoint-materialized: the grouped count runs once, the exact
-    // cardinality for the gate is then a metadata-cheap count()
-    val itemSupp = sized.groupBy(col(itemCol).as("item"))
+    // The gate needs the exact item cardinality, which is an ACTION: when
+    // a decision is required this builder deliberately breaks the
+    // lazy-builder family rule and runs two jobs up front (localCheckpoint
+    // of the support table + a count over the checkpointed partitions).
+    // That is a net win even for callers that execute the plan — the
+    // support table previously computed twice, once under each broadcast —
+    // but callers that only want the plan can pass a decided gate
+    // (maxBroadcastItems = Long.MaxValue to always broadcast, <= 0 to
+    // always shuffle) and keep construction action-free.
+    val itemSuppLazy = sized.groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("item_support"))
-      .localCheckpoint(true)
-    val gate: DataFrame => DataFrame =
-      if (itemSupp.count() <= maxBroadcastItems) broadcast else identity
+    val (itemSupp, gate): (DataFrame, DataFrame => DataFrame) =
+      if (maxBroadcastItems == Long.MaxValue) (itemSuppLazy, broadcast)
+      else if (maxBroadcastItems <= 0L) (itemSuppLazy, identity[DataFrame] _)
+      else {
+        val ck = itemSuppLazy.localCheckpoint(true)
+        (ck, if (ck.count() <= maxBroadcastItems) broadcast
+             else identity[DataFrame] _)
+      }
     val nb = sized.agg(countDistinct(col(basketCol)).as("n_baskets"))
     val pairs = cooccurrencePairs(df, basketCol, itemCol, maxBasket,
       minSupport)

@@ -287,14 +287,10 @@ object DedupQueries {
     // bucket saturation window, exact bit_count(xor) hamming — is
     // oracle-replayed over the stored signatures; DedupSpec pins the
     // guarantee/separation contracts of the sketch itself.
-    "q40_simhash_dups" -> ((s, dir) => {
-      sources.Sources.writeParquet(
+    "q40_simhash_dups" -> ((s, dir) =>
+      stageAndServeHamming(s,
         llm.Dedup.simhashSignatures(Tables.documents(s, dir)),
-        predsPath("q40_sigs"))
-      llm.Dedup.hamming64Dups(
-        s.read.parquet(predsPath("q40_sigs")), "doc_id", "sig",
-        hamMax = 3, bands = 4)
-    }),
+        "q40_sigs", "doc_id", textHamming)),
 
 
     // entity resolution ACROSS sources composed end-to-end: q65's
@@ -760,7 +756,7 @@ object DedupQueries {
     // fit/serve split: banded-hamming LSH serve replayed over the
     // persisted SimHash signatures (text defaults: hamMax 3, 4 bands)
     "q40_simhash_dups" ->
-      hammingReplaySql(predsPath("q40_sigs"), "doc_id", hamMax = 3, bands = 4),
+      hammingReplaySql(predsPath("q40_sigs"), "doc_id", textHamming),
 
 
     // q16/q45's md5-LSH pipeline with the pair space restricted to

@@ -471,12 +471,9 @@ object LayoutQueries {
           expr("substring(content, 56, length(content) - 55)"))
           .as("content"),
         col("meta"))
-      sources.Sources.writeParquet(
+      stageAndServeHamming(s,
         multimodal.Multimodal.imageSignatures(imgs.unionByName(copies)),
-        predsPath("q225_sigs"))
-      llm.Dedup.hamming64Dups(
-        s.read.parquet(predsPath("q225_sigs")), "asset_id", "sig",
-        hamMax = 7, bands = 8)
+        "q225_sigs", "asset_id", perceptualHamming)
     }),
 
 
@@ -498,12 +495,9 @@ object LayoutQueries {
           expr("substring(content, 558, length(content) - 557)"))
           .as("content"),
         col("meta"))
-      sources.Sources.writeParquet(
+      stageAndServeHamming(s,
         multimodal.Multimodal.audioSignatures(auds.unionByName(copies)),
-        predsPath("q226_sigs"))
-      llm.Dedup.hamming64Dups(
-        s.read.parquet(predsPath("q226_sigs")), "asset_id", "sig",
-        hamMax = 7, bands = 8)
+        "q226_sigs", "asset_id", perceptualHamming)
     }),
 
 
@@ -664,14 +658,12 @@ object LayoutQueries {
     // fit/serve split: banded-hamming LSH serve replayed over persisted
     // dHash signatures (image defaults: hamMax 7, 8 bands)
     "q225_image_neardup" ->
-      hammingReplaySql(predsPath("q225_sigs"), "asset_id",
-        hamMax = 7, bands = 8),
+      hammingReplaySql(predsPath("q225_sigs"), "asset_id", perceptualHamming),
 
 
     // same split over the persisted audio energy-delta fingerprints
     "q226_audio_neardup" ->
-      hammingReplaySql(predsPath("q226_sigs"), "asset_id",
-        hamMax = 7, bands = 8),
+      hammingReplaySql(predsPath("q226_sigs"), "asset_id", perceptualHamming),
 
 
     // the Spark side ran this join+agg from bucketed tables with zero

@@ -55,6 +55,29 @@ private[graft] object QueryShared {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Shared (hamMax, bands) per sketch family, coupling each query's
+    * Spark serve half to its oracle: both sides MUST read these, never
+    * restate the literals, so a drift between the engine's join and the
+    * DuckDB replay is impossible by construction. Text SimHash: 3 bits
+    * over 4 bands; perceptual (dHash / audio energy-delta): 7 over 8 —
+    * wider because one changed source pixel/sample moves several cells. */
+  val textHamming: (Int, Int) = (3, 4)
+  val perceptualHamming: (Int, Int) = (7, 8)
+
+  /** The Spark serve half of every 64-bit-sketch fit/serve split
+    * (q40/q225/q226): persist the engine-local `(id, sig)` signatures,
+    * read the stored bits back, run the banded-hamming join over them —
+    * so the serve input is EXACTLY what the oracle's
+    * [[hammingReplaySql]] reads. */
+  def stageAndServeHamming(
+      s: SparkSession, sigs: DataFrame, name: String, idCol: String,
+      hamming: (Int, Int)): DataFrame = {
+    graft.sources.Sources.writeParquet(sigs, predsPath(name))
+    graft.llm.Dedup.hamming64Dups(
+      s.read.parquet(predsPath(name)), idCol, "sig",
+      hamMax = hamming._1, bands = hamming._2)
+  }
+
   /** DuckDB replay of [[graft.llm.Dedup.hamming64Dups]] over a persisted
     * `(id, sig)` signature parquet — the portable serve half of every
     * 64-bit-sketch near-dup query (SimHash text, dHash image, energy-delta
@@ -65,8 +88,9 @@ private[graft] object QueryShared {
     * lifting to HUGEINT (+2^64 when negative) and using exact integer
     * div/mod — bit-identical to Spark's `shiftrightunsigned & mask`. */
   def hammingReplaySql(
-      path: String, idCol: String, hamMax: Int, bands: Int,
+      path: String, idCol: String, hamming: (Int, Int),
       maxBucketSize: Int = 10000): String = {
+    val (hamMax, bands) = hamming
     val width = 64 / bands
     val modulus = BigInt(1) << width
     val bandRows = (0 until bands)

@@ -61,30 +61,40 @@ object TpchQueries {
       sqlHash15("'rd:' || l_orderkey || ':' || l_linenumber") +
       " % 30 + 1 AS INT)"
 
-  /** Stage the md5-derived `partsupp` fixture (dbgen's 4 suppliers per
+  /** Stage the md5-derived `partsupp` fixture (4 distinct suppliers per
     * part, availqty/supplycost from the portable hash) to parquet once per
-    * SF-tagged run — idempotent via the parquet `_SUCCESS` marker since
-    * five queries share it, and the oracle reads the SAME files via
-    * `read_parquet`, so the derivation itself needs no SQL mirror.
+    * JVM per SF-tagged path — memoized IN PROCESS, never via an on-disk
+    * marker: a persistent marker would survive a fixture regeneration and
+    * let five queries (and their oracles, which read the SAME files via
+    * `read_parquet`) silently run over a partsupp keyed to the OLD
+    * fixtures, green forever because both engines share the stale bits.
+    * Every fresh process re-derives; within one Verify/Bench run the five
+    * sharers stage once.
     * Supplier keys are mapped through a dense rank (never assume key
     * contiguity in a fixture); the rank window runs on the supplier DIM
     * (10k rows/SF1 — single-partition sort is fine at any target scale).
     * Costs are exact cents (BIGINT) so every downstream aggregate is
     * integer-exact. */
-  private[queries] def ensurePartsupp(s: SparkSession, dir: String): String = {
+  private val stagedPartsupp = scala.collection.mutable.Set.empty[String]
+
+  private[graft] def ensurePartsupp(s: SparkSession, dir: String): String = {
     val path = predsPath("tpch_partsupp")
-    if (!new java.io.File(path, "_SUCCESS").exists) {
+    if (!stagedPartsupp.synchronized(stagedPartsupp.contains(path))) {
       val sup = Tables.supplier(s, dir).select(col("s_suppkey"))
       val nSup = sup.count()
+      require(nSup >= 4,
+        s"partsupp needs >= 4 suppliers for distinct spread, got $nSup")
       val supIdx = sup.withColumn("sidx",
         row_number().over(Window.orderBy(col("s_suppkey"))).cast("long") - 1)
-      // dbgen's supplier spread: index (p + i*(S/4 + (p-1) div S)) mod S
-      val quarter = math.max(nSup / 4L, 1L)
+      // supplier spread: index (p + floor(i·S/4)) mod S — the four
+      // offsets 0, ⌊S/4⌋, ⌊S/2⌋, ⌊3S/4⌋ are strictly increasing below S
+      // for S >= 4, so the four suppliers of a part are DISTINCT at any
+      // supplier count (dbgen's step formula degenerates when its step
+      // divides S — e.g. 10 suppliers, parts 81..90 all four collapse)
       val ps = Tables.part(s, dir).select(col("p_partkey"))
         .withColumn("i", explode(sequence(lit(0L), lit(3L))))
         .withColumn("sidx", pmod(
-          col("p_partkey") + col("i") *
-            (lit(quarter) + expr(s"(p_partkey - 1) div $nSup")),
+          col("p_partkey") + expr(s"(i * $nSup) div 4"),
           lit(nSup)))
         .withColumn("h", hash15(
           concat_ws(":", lit("ps"), col("p_partkey"), col("i"))))
@@ -97,6 +107,7 @@ object TpchQueries {
             col("s_suppkey").as("ps_suppkey"),
             col("ps_availqty"), col("ps_supplycost_cents")),
         path)
+      stagedPartsupp.synchronized(stagedPartsupp.add(path))
     }
     path
   }
@@ -348,6 +359,7 @@ object TpchQueries {
         .groupBy(col("ps_partkey"))
         .agg(sum((col("ps_supplycost_cents") * col("ps_availqty"))
           .cast("decimal(38,0)")).as("value_dec"))
+        .localCheckpoint(true) // feeds both the scalar total and the probe
       val total = vals.agg(sum(col("value_dec")).as("tot"))
       vals.join(broadcast(total))
         .filter(col("value_dec") * 5000 > col("tot"))

@@ -294,6 +294,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("staged partsupp: exactly 4 DISTINCT suppliers per part, valid keys") {
+    // the floor(i·S/4) spread must never collapse two of a part's four
+    // suppliers (the dbgen step formula did, for steps dividing S) — a
+    // collapse would double-count Q9 profit rows invisibly, since the
+    // oracle reads the same staged file
+    val path = graft.queries.TpchQueries.ensurePartsupp(spark, TestSpark.sf)
+    val ps = spark.read.parquet(path)
+    val perPart = ps.groupBy(col("ps_partkey"))
+      .agg(countDistinct(col("ps_suppkey")).as("d"),
+        count(lit(1)).as("n"))
+      .filter(col("d") =!= 4 || col("n") =!= 4)
+    assert(perPart.isEmpty,
+      s"every part needs 4 distinct suppliers:\n${perPart.head(5).mkString}")
+    val dangling = ps.join(
+      graft.Tables.supplier(spark, TestSpark.sf)
+        .select(col("s_suppkey")),
+      col("ps_suppkey") === col("s_suppkey"), "left_anti")
+    assert(dangling.isEmpty, "ps_suppkey must reference a real supplier")
+  }
+
   test("golden signatures: q36/q40 outputs are pinned bit-for-bit at sf0.001") {
     // The two queries whose sketch kernels (xxhash64 banding, Karp-Rabin
     // winnowing) have no SQL form: since round 9 their SERVE halves are
