@@ -984,6 +984,63 @@ object AnalyticsQueries {
             (col("s_c_post").cast("double") / col("n_c_post").cast("double") -
               col("s_c_pre").cast("double") / col("n_c_pre").cast("double")))
     }),
+
+
+    // SMA crossover signals (the trading-indicator shape applied to the
+    // revenue series): 7- vs 28-day trailing sums over the DAY grain,
+    // signal = sign(s7·28 − s28·7) — cross-multiplied so the comparison
+    // never divides — emitted only where the long window is full, and
+    // only on days the signal FLIPS (lag over the same ordered frame).
+    // The global-order window runs on the day grain, a bounded calendar
+    // dimension (~36.5k rows/century), never on the fact. All-integer:
+    // exact cents, exact products, no float anywhere.
+    "q295_sma_crossover" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val ord = Window.orderBy(col("d"))
+      val w7 = ord.rowsBetween(-6, 0)
+      val w28 = ord.rowsBetween(-27, 0)
+      daily
+        .withColumn("s7", sum(col("v")).over(w7))
+        .withColumn("s28", sum(col("v")).over(w28))
+        .withColumn("n28", count(lit(1)).over(w28))
+        .filter(col("n28") === 28)
+        .withColumn("sig",
+          when(col("s7") * 28 > col("s28") * 7, 1L)
+            .when(col("s7") * 28 < col("s28") * 7, -1L)
+            .otherwise(0L))
+        .withColumn("prev_sig", lag(col("sig"), 1).over(ord))
+        .filter(col("prev_sig").isNotNull && col("sig") =!= col("prev_sig"))
+        .select(col("d"), col("prev_sig"), col("sig"))
+    }),
+
+
+    // Bollinger-band breakouts in EXACT integer algebra: against the
+    // trailing 20 PRIOR days (the current day never contaminates its own
+    // band), flag |x − μ| > 2σ without ever computing μ or σ —
+    // (n·x − S)² > 4·(n·Q − S²) over decimal(38,0)-lifted cents, the
+    // whole inequality exact in both engines (DuckDB runs it in HUGEINT).
+    // The anomaly-gate counterpart of q153's rolling z-score, division-
+    // and sqrt-free.
+    "q296_bollinger_breakouts" -> ((s, dir) => {
+      def d38(c: Column): Column = c.cast("decimal(38,0)")
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val w = Window.orderBy(col("d")).rowsBetween(-20, -1)
+      daily
+        .withColumn("sp", sum(col("v")).over(w))
+        .withColumn("qp", sum(d38(col("v")) * d38(col("v"))).over(w))
+        .withColumn("np", count(lit(1)).over(w))
+        .filter(col("np") === 20)
+        .withColumn("dev", d38(col("v") * 20) - d38(col("sp")))
+        .withColumn("var4",
+          (d38(lit(20L)) * col("qp") - d38(col("sp")) * d38(col("sp"))) * 4)
+        .filter(col("dev") * col("dev") > col("var4"))
+        .withColumn("dir", when(col("dev") > 0, 1L).otherwise(-1L))
+        .select(col("d"), col("v"), col("dir"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — same math, same fixed-order
@@ -1796,5 +1853,56 @@ object AnalyticsQueries {
         |       (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) -
         |        CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) AS did_cents
         |FROM a""".stripMargin,
+
+
+    "q295_sma_crossover" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT d,
+        |    sum(v) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+        |                 AND CURRENT ROW) AS s7,
+        |    sum(v) OVER (ORDER BY d ROWS BETWEEN 27 PRECEDING
+        |                 AND CURRENT ROW) AS s28,
+        |    count(*) OVER (ORDER BY d ROWS BETWEEN 27 PRECEDING
+        |                   AND CURRENT ROW) AS n28
+        |  FROM daily
+        |), sg AS (
+        |  SELECT d,
+        |    CAST(CASE WHEN s7 * 28 > s28 * 7 THEN 1
+        |              WHEN s7 * 28 < s28 * 7 THEN -1 ELSE 0 END
+        |         AS BIGINT) AS sig
+        |  FROM r WHERE n28 = 28
+        |), x AS (
+        |  SELECT d, lag(sig) OVER (ORDER BY d) AS prev_sig, sig FROM sg
+        |)
+        |SELECT d, prev_sig, sig FROM x
+        |WHERE prev_sig IS NOT NULL AND sig <> prev_sig""".stripMargin,
+
+
+    "q296_bollinger_breakouts" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT d, v,
+        |    sum(v) OVER w AS sp,
+        |    sum(CAST(v AS HUGEINT) * v) OVER w AS qp,
+        |    count(*) OVER w AS np
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        |), b AS (
+        |  SELECT d, v,
+        |    CAST(v AS HUGEINT) * 20 - sp AS dev,
+        |    (CAST(20 AS HUGEINT) * qp - CAST(sp AS HUGEINT) * sp) * 4 AS var4
+        |  FROM r WHERE np = 20
+        |)
+        |SELECT d, v, CAST(CASE WHEN dev > 0 THEN 1 ELSE -1 END AS BIGINT) AS dir
+        |FROM b WHERE dev * dev > var4""".stripMargin,
   )
 }
