@@ -40,25 +40,32 @@ object TpchQueries {
   private def sqlHash15(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
-  /** Synthetic commit/receipt dates for Q12/Q21, derived per line from the
-    * md5 of (orderkey, linenumber): commit within ±30 days of ship,
-    * receipt 1–30 days after ship — a pure function of stored columns,
-    * identical in DuckDB via [[sqlCommitDate]]/[[sqlReceiptDate]]. */
+  /** Synthetic commit/receipt dates for Q12/Q21, derived per line from
+    * ONE md5 of (orderkey, linenumber): commit reads hex digits 1–15,
+    * receipt reads 16–30 (the [[graft.llm.Dedup.portableHash]] dual-slice
+    * trick — one digest feeds both families, and codegen's subexpression
+    * elimination evaluates the md5 once per row). Commit lands within
+    * ±30 days of ship, receipt 1–30 days after ship — a pure function of
+    * stored columns, identical in DuckDB via
+    * [[sqlCommitDate]]/[[sqlReceiptDate]]. */
+  private def dateDigest: Column =
+    md5(concat_ws(":", lit("dt"), col("l_orderkey"), col("l_linenumber")))
+  private def slice15(c: Column, off: Int): Column =
+    conv(substring(c, off, 15), 16, 10).cast("long")
   private def commitDate: Column =
     date_add(to_date(col("l_shipdate")),
-      (pmod(hash15(concat_ws(":", lit("cd"), col("l_orderkey"),
-        col("l_linenumber"))), lit(61L)) - 30L).cast("int"))
+      (pmod(slice15(dateDigest, 1), lit(61L)) - 30L).cast("int"))
   private def receiptDate: Column =
     date_add(to_date(col("l_shipdate")),
-      (pmod(hash15(concat_ws(":", lit("rd"), col("l_orderkey"),
-        col("l_linenumber"))), lit(30L)) + 1L).cast("int"))
+      (pmod(slice15(dateDigest, 16), lit(30L)) + 1L).cast("int"))
+  private val sqlDateDigest = "md5('dt:' || l_orderkey || ':' || l_linenumber)"
   private def sqlCommitDate: String =
     "CAST(l_shipdate AS DATE) + CAST(" +
-      sqlHash15("'cd:' || l_orderkey || ':' || l_linenumber") +
+      s"CAST('0x' || substr($sqlDateDigest, 1, 15) AS BIGINT)" +
       " % 61 - 30 AS INT)"
   private def sqlReceiptDate: String =
     "CAST(l_shipdate AS DATE) + CAST(" +
-      sqlHash15("'rd:' || l_orderkey || ':' || l_linenumber") +
+      s"CAST('0x' || substr($sqlDateDigest, 16, 15) AS BIGINT)" +
       " % 30 + 1 AS INT)"
 
   /** Stage the md5-derived `partsupp` fixture (4 distinct suppliers per
@@ -464,9 +471,14 @@ object TpchQueries {
           .select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
+      // checkpoint-materialized: `late` feeds BOTH the driving side and
+      // the anti probe — without it each use re-scans lineitem and
+      // re-evaluates two md5 date derivations per row (measured 3.8 s →
+      // the md5 work dominates this query's cost at sf0.1)
       val late = Tables.lineitem(s, dir)
         .filter(receiptDate > commitDate)
         .select(col("l_orderkey"), col("l_suppkey"))
+        .localCheckpoint(true)
       val l1 = late
         .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),
