@@ -536,6 +536,44 @@ object StreamingQueries {
     }),
 
 
+    // Pareto maintenance over the INCREMENTAL AGG TABLE (q128's
+    // aggTableApply): the brand-revenue rollup is maintained across a
+    // real multi-batch drain as decimal partials in a bucketed table,
+    // and the Pareto readout (rank, cumulative ppm) runs over the
+    // MAINTAINED table — hash-equals q243's one-shot SQL, proving the
+    // serving table a stream keeps current answers the same question the
+    // batch rollup does. Exact cents recovered from the decimal(30,2)
+    // partials (2-decimal money × 100 is integral, summation exact).
+    "q297_pareto_stream" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_extendedprice"))
+      val root = predsPath(s"q297_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(li.repartition(6), s"$root/rows")
+      streaming.Streams.aggTableApply(s, s"$root/rows", li.schema,
+        s"$root/table", s"$root/ckpt",
+        keyCol = "p_brand", valueCol = "l_extendedprice")
+      val rev = s.read.parquet(s"$root/table")
+        .groupBy(col("p_brand"))
+        .agg(sum(col("sum_dec").cast("decimal(30,2)")).as("sdec"))
+        .select(col("p_brand"),
+          (col("sdec") * 100).cast("long").as("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev_cents").desc, col("p_brand"))
+      rev.crossJoin(broadcast(rev.agg(sum(col("rev_cents")).as("grand"))))
+        .withColumn("cum_cents", sum(col("rev_cents")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_share_ppm", expr("cum_cents * 1000000 div grand"))
+        .select(col("rank"), col("p_brand"), col("rev_cents"),
+          col("cum_share_ppm"))
+    }),
+
+
     // streamed form of q234 covered time: per-batch interval islands
     // appended as idempotent batch_id partials, readout re-islands the
     // union — interval union is associative+idempotent over interval
@@ -861,6 +899,26 @@ object StreamingQueries {
         |       CAST(floor((CAST(s.k_eff AS DOUBLE) - 1.0) * pow(2.0, 60.0) /
         |                   CAST(s.kth_min AS DOUBLE)) AS BIGINT) AS est
         |FROM sk s JOIN exact e ON s.event_type = e.event_type""".stripMargin,
+
+
+    // q243's batch Pareto SQL verbatim — the Spark side served it from
+    // the stream-MAINTAINED incremental agg table after a real
+    // multi-batch drain
+    "q297_pareto_stream" ->
+      """WITH rev AS (
+        |  SELECT p.p_brand,
+        |         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1
+        |), g AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS grand FROM rev)
+        |SELECT CAST(row_number() OVER (ORDER BY rev_cents DESC, p_brand)
+        |            AS INT) AS rank,
+        |       p_brand, rev_cents,
+        |       CAST(CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_brand
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000 // grand
+        |         AS BIGINT) AS cum_share_ppm
+        |FROM rev, g""".stripMargin,
 
 
     // q234's batch interval-union SQL verbatim — the Spark side EXECUTED

@@ -173,4 +173,51 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(enc >= lo && enc <= hi, s"encoding not a shrinkage: $r")
     }
   }
+
+  test("LAW sma crossover == driver brute force over the collected daily " +
+      "series; every emitted day is a genuine sign flip") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")).as("v"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    // driver replay: trailing sums, sign of s7·28 − s28·7, flips only
+    val sigs = daily.indices.collect { case i if i >= 27 =>
+      val s7 = daily.slice(i - 6, i + 1).map(_._2).sum
+      val s28 = daily.slice(i - 27, i + 1).map(_._2).sum
+      (daily(i)._1, (s7 * 28 - s28 * 7).sign)
+    }
+    val want = sigs.sliding(2).collect {
+      case Seq((_, p), (dd, s)) if s != p => (dd, p, s)
+    }.toSet
+    val got = run("q295_sma_crossover")
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "crossover days must equal the brute-force replay")
+  }
+
+  test("LAW bollinger breakouts == driver brute force: flagged days " +
+      "violate the 2-sigma band against the 20 PRIOR days, others don't") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")).as("v"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val want = daily.indices.collect { case i if i >= 20 =>
+      val win = daily.slice(i - 20, i).map(_._2).map(BigInt(_))
+      val s = win.sum; val q = win.map(x => x * x).sum
+      val x = BigInt(daily(i)._2)
+      val dev = x * 20 - s
+      val var4 = (q * 20 - s * s) * 4
+      (daily(i)._1, daily(i)._2, dev, dev * dev > var4)
+    }.collect { case (dd, v, dev, true) =>
+      (dd, v, if (dev > 0) 1L else -1L)
+    }.toSet
+    val got = run("q296_bollinger_breakouts")
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "breakout set must equal the exact integer replay")
+  }
 }
