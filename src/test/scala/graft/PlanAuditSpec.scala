@@ -276,6 +276,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"both probes must key on l_orderkey:\n${probes.mkString("\n")}")
   }
 
+  test("q288 TPC-H Q9: part filter, partsupp natural-key attach, supplier " +
+      "roster all broadcast or key-equi — the only sort-merge joins are " +
+      "fact-fact") {
+    val plan = executed(SparkEntry.queries("q288_tpch_q9")(spark, TestSpark.sf))
+    assert(plan.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin") >= 2,
+      s"q288 needs the part filter and supplier roster broadcast:\n" +
+        plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no quadratic join anywhere in Q9:\n${plan.take(2500)}")
+  }
+
   test("q211/q239 centroid attach stays a broadcast HASH join (the " +
       "non-foldable constant key must not degrade to a nested-loop)") {
     // Centroid.scored's documented load-bearing trick: _k = pmod(id, 1)
