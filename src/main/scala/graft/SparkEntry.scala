@@ -44,6 +44,7 @@ object SparkEntry {
     (TpchQueries.queries, TpchQueries.sql),
     (ExperimentQueries.queries, ExperimentQueries.sql),
     (AnalyticsQueries.queries, AnalyticsQueries.sql),
+    (Analytics2Queries.queries, Analytics2Queries.sql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

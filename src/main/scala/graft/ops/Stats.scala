@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison and curve statistics (round-9 continuation):
+  * two-sample Kolmogorov–Smirnov, Lorenz curve points, and the item-item
+  * co-visitation top-k serving table. All exact-integer in the house
+  * style — the KS statistic is kept as the DIVISION-FREE integer
+  * `max |cum1·n2 − cum2·n1|` (the classical D is that over n1·n2, one
+  * final double), Lorenz shares are integer ppm, co-visitation counts
+  * are plain counts.
+  *
+  * Scale shapes: KS and Lorenz rank within a caller-chosen partition key
+  * (a rank statistic IS a total order over its partition — same declared
+  * tier as Mann-Whitney; at 100 TB partition by a real key or pre-bin).
+  * Co-visitation caps the basket fan-out explicitly (pair volume is
+  * Σ basket², bounded by `maxBasket²` per basket) and ships a loud
+  * dropped-baskets diagnostic rather than a silent cap. */
+object Stats {
+
+  /** Two-sample KS per `groupCol`: compares `valueCol`'s distribution
+    * between rows matching `labelA` and `labelB` of `labelCol`.
+    *
+    * The empirical CDFs only jump at distinct values, and under ties the
+    * gap is only meaningful AFTER a whole tie block — so the rows fold
+    * to the (group, value) grain first (per-value a/b counts), then one
+    * value-ordered window accumulates both CDFs and the statistic is
+    * the max of |cum_a·n_b − cum_b·n_a| (exact BIGINT — no per-row
+    * division), returned as `d_num` with `n_a`, `n_b`, and the classical
+    * `d = d_num / (n_a·n_b)` as one final double. Groups missing either
+    * sample emit NULL d. */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      valueCol: String,
+      labelA: String,
+      labelB: String): DataFrame = {
+    val perValue = df
+      .filter(col(labelCol) === labelA || col(labelCol) === labelB)
+      .select(col(groupCol), col(valueCol).as("_v"),
+        when(col(labelCol) === labelA, 1L).otherwise(0L).as("_a"),
+        when(col(labelCol) === labelB, 1L).otherwise(0L).as("_b"))
+      .groupBy(col(groupCol), col("_v"))
+      .agg(sum(col("_a")).as("da"), sum(col("_b")).as("db"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    perValue
+      .withColumn("cum_a", sum(col("da")).over(w))
+      .withColumn("cum_b", sum(col("db")).over(w))
+      .withColumn("n_a", sum(col("da")).over(tot))
+      .withColumn("n_b", sum(col("db")).over(tot))
+      .withColumn("gap", abs(col("cum_a").cast("decimal(38,0)") * col("n_b")
+        - col("cum_b").cast("decimal(38,0)") * col("n_a")))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("gap")).cast("long").as("d_num"))
+      .withColumn("d",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double"))))
+  }
+
+  /** Lorenz curve decile points per `groupCol`: entities ranked ascending
+    * by `valueCol` (ties broken by `keyCol` — deterministic), emitting
+    * the k/10 population boundary rows (rank = ⌊k·n/10⌋, k = 1..10) with
+    * exact-integer cumulative population and value shares in ppm.
+    * `valueCol` must be non-negative (shares are `div` over non-negative
+    * operands). Companion curve to the q253 Gini scalar. */
+  def lorenzPoints(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(col("_v"), col(keyCol))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(keyCol), col(valueCol).as("_v"))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_v", sum(col("_v")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wTot))
+      .withColumn("tot_v", sum(col("_v")).over(wTot))
+      // boundary row for decile k iff rn == floor(k*n/10) for some k;
+      // equivalently rn*10 div n > (rn-1)*10 div n (integer step)
+      .withColumn("k", expr("rn * 10 div n"))
+      .filter(expr("rn * 10 div n > (rn - 1) * 10 div n"))
+      .withColumn("pop_ppm", expr("rn * 1000000 div n"))
+      // decimal-lifted: cum_v·1e6 can wrap a long at large partitions
+      .withColumn("value_ppm",
+        expr("cast(cum_v as decimal(38,0)) * 1000000 div tot_v"))
+      .select(col(groupCol), col("k"), col("pop_ppm"), col("value_ppm"))
+  }
+
+  /** Item-item co-visitation top-k (the "bought with" serving table):
+    * baskets are `(basketCol, itemCol)` pairs; baskets larger than
+    * `maxBasket` distinct items are DROPPED LOUDLY (they dominate the
+    * Σ basket² pair volume and carry near-zero signal — the q240
+    * capped-universe rule), and the dropped set is returned alongside so
+    * the cap is never silent. Within kept baskets every ordered item
+    * pair is counted once per basket; the result is each item's top
+    * `k` co-items by (count desc, co_item asc) — deterministic.
+    *
+    * Returns (servingTable, droppedBaskets): serving rows are
+    * (item, co_item, n_cobaskets, rank); droppedBaskets rows are
+    * (basket, basket_size). Pair volume is bounded by
+    * Σ min(basket, maxBasket)² — never all-pairs. */
+  def covisitationTopK(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      k: Int = 5,
+      maxBasket: Int = 20): (DataFrame, DataFrame) = {
+    val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+    val sized = items
+      .withColumn("_bs", count(lit(1)).over(Window.partitionBy(col("_bk"))))
+    val dropped = sized.filter(col("_bs") > maxBasket)
+      .groupBy(col("_bk").as("basket"))
+      .agg(max(col("_bs")).as("basket_size"))
+    val kept = sized.filter(col("_bs") <= maxBasket)
+      .select(col("_bk"), col("_it"))
+    val pairs = kept.join(
+        kept.select(col("_bk"), col("_it").as("_co")), Seq("_bk"))
+      .filter(col("_it") =!= col("_co"))
+      .groupBy(col("_it").as("item"), col("_co").as("co_item"))
+      .agg(count(lit(1)).as("n_cobaskets"))
+    val wr = Window.partitionBy(col("item"))
+      .orderBy(col("n_cobaskets").desc, col("co_item"))
+    (pairs.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k), dropped)
+  }
+}

@@ -1,0 +1,863 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Round-9 continuation surfaces (q298–q310, less the streamed q306 which
+  * lives with its family in [[StreamingQueries]]): distributional
+  * conformance (Benford), rank correlation (Spearman with ties),
+  * concurrency sweeps, corpus power laws (Zipf slope), dependence
+  * (mutual information, lagged cross-correlation), robust location
+  * (trimmed mean), inequality (Theil), data-quality gap profiles,
+  * inter-event burstiness, calibration (ECE bins), and a Matryoshka
+  * prefix-dimension recall audit over the embedding corpus.
+  *
+  * Same house portability rules as [[AnalyticsQueries]]: money is exact
+  * cents BEFORE any aggregate; ratios are integer ppm via `div`/`//` on
+  * non-negative operands; product moments lift to decimal(38,0) (DuckDB
+  * HUGEINT) so nothing wraps; `ln` is quantized (`floor(1e6·ln x)`) or
+  * confined to ONE final fixed-text double formula evaluated identically
+  * by both engines over exact integer sufficient statistics (the q83 /
+  * cuped precedent — decimal(38,0)→double and HUGEINT→double round the
+  * same way).
+  *
+  * Scale notes: the deliberate global orders are (a) q310's calibration
+  * rank — like q255's Mann-Whitney it IS a rank statistic (the 100 TB
+  * path swaps the exact rank for q220-style broadcast percentile edges),
+  * and (b) windows over bounded grains (9 Benford digits, ≤15 MI cells,
+  * 1000 Zipf terms, the day calendar). Everything else partitions on its
+  * natural key (segment / nation / user) and reduces map-side.
+  */
+object Analytics2Queries {
+
+  private def cents(c: Column): Column =
+    (c.cast("decimal(30,2)") * 100).cast("long")
+
+  private def d38(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Exact integer → double through its DECIMAL STRING: beyond 2^53,
+    * Spark's decimal→double and DuckDB's HUGEINT→double round the last
+    * ulp differently (measured: q304 at sf0.01), but BOTH engines parse
+    * a decimal string with correct round-to-nearest (Double.parseDouble
+    * / fast_float) — so the string is the portable bridge. */
+  private def toD(c: Column): Column =
+    c.cast("string").cast("double")
+
+  /** Pearson correlation from decimal-lifted exact sufficient statistics:
+    * appends num/d1/d2 (double) and `corr` computed as ONE fixed-order
+    * formula `num / (sqrt(d1) * sqrt(d2))`, NULL when either side has
+    * zero variance. Inputs are the exact integer sums named by the five
+    * column args; the oracle mirrors the same text over HUGEINT. */
+  private def pearsonFromSums(df: DataFrame, n: String, sx: String,
+      sy: String, sxy: String, sxx: String, syy: String,
+      out: String): DataFrame =
+    df.withColumn("num",
+        toD(d38(col(n)) * col(sxy) - d38(col(sx)) * d38(col(sy))))
+      .withColumn("d1",
+        toD(d38(col(n)) * col(sxx) - d38(col(sx)) * d38(col(sx))))
+      .withColumn("d2",
+        toD(d38(col(n)) * col(syy) - d38(col(sy)) * d38(col(sy))))
+      .withColumn(out,
+        when(col("d1") > 0 && col("d2") > 0,
+          col("num") / (sqrt(col("d1")) * sqrt(col("d2")))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benford first-digit conformance over order amounts (the classic
+    // fraud/data-entry screen): first digit read off the BIGINT cents'
+    // decimal string (both engines render integers identically — no
+    // float formatting), observed share as integer ppm, expected share
+    // as the one fixed double formula floor(1e6·log10(1+1/d)). The only
+    // window runs over the 9-digit grain.
+    "q298_benford_digits" -> ((s, dir) => {
+      val v = Tables.orders(s, dir)
+        .select(cents(col("o_totalprice")).as("v"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      v.withColumn("digit",
+          substring(col("v").cast("string"), 1, 1).cast("int"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("obs_ppm", expr("n * 1000000 div total"))
+        .withColumn("exp_ppm",
+          floor((log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            / log(lit(10.0))) * lit(1000000.0)).cast("long"))
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"))
+    }),
+
+
+    // Spearman rank correlation WITH ties (account balance vs lifetime
+    // revenue, per market segment): tied ranks via the doubled-average-
+    // rank trick — 2·avgrank = 2·rank + |tie group| − 1 stays an exact
+    // integer — then Pearson over the doubled ranks from five decimal-
+    // lifted sums. Rank windows partition by segment (the rank test IS
+    // the total order, q255's declared exception); the final rho is one
+    // fixed-order double formula.
+    "q299_spearman_corr" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("x"))
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      val wx = Window.partitionBy(col("c_mktsegment")).orderBy(col("x"))
+      val wy = Window.partitionBy(col("c_mktsegment")).orderBy(col("y"))
+      val cx = Window.partitionBy(col("c_mktsegment"), col("x"))
+      val cy = Window.partitionBy(col("c_mktsegment"), col("y"))
+      val ranked = base
+        .withColumn("rx2", rank().over(wx).cast("long") * 2
+          + count(lit(1)).over(cx) - 1)
+        .withColumn("ry2", rank().over(wy).cast("long") * 2
+          + count(lit(1)).over(cy) - 1)
+      pearsonFromSums(
+        ranked.groupBy(col("c_mktsegment"))
+          // sx/sy lift to decimal too: doubled ranks grow with n, so at
+          // extreme partition sizes even the FIRST moment can wrap a long
+          .agg(count(lit(1)).as("n"),
+            sum(d38(col("rx2"))).as("sx"), sum(d38(col("ry2"))).as("sy"),
+            sum(d38(col("rx2")) * d38(col("ry2"))).as("sxy"),
+            sum(d38(col("rx2")) * d38(col("rx2"))).as("sxx"),
+            sum(d38(col("ry2")) * d38(col("ry2"))).as("syy")),
+        "n", "sx", "sy", "sxy", "sxx", "syy", "rho")
+        .select(col("c_mktsegment"), col("n"), col("rho"))
+    }),
+
+
+    // Peak concurrency per user (the boundary-sweep the naive max-of-
+    // counts-per-bucket gets wrong): each event opens a 10-minute
+    // interval; +1/−1 boundary rows, ends sorting BEFORE starts at the
+    // same instant (half-open [st, en) semantics), one user-partitioned
+    // running sum; peak and its first attainment time. Integer epoch
+    // micros throughout.
+    "q300_peak_concurrency" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("st"))
+        .withColumn("en", col("st") + lit(600L * 1000000L))
+      val bounds = iv.select(col("user_id"), col("st").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionByName(iv.select(col("user_id"), col("en").as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("run", sum(col("delta")).over(w))
+        .withColumn("pk",
+          max(col("run")).over(Window.partitionBy(col("user_id"))))
+        .filter(col("run") === col("pk"))
+        .groupBy(col("user_id"))
+        .agg(max(col("run")).as("peak_conc"), min(col("t")).as("peak_at_us"))
+    }),
+
+
+    // Zipf rank-frequency slope over the document corpus: top-1000
+    // tokens under a deterministic (freq desc, token) total order —
+    // TakeOrdered, never a full-vocab global sort — then least squares
+    // of quantized ln(freq) on quantized ln(rank): integer µ-nat sums
+    // (decimal-lifted products), slope and intercept as the final
+    // fixed-order double formulas. A healthy natural-language corpus
+    // reads slope ≈ −1; the power-law drift monitor for ingest.
+    "q301_zipf_slope" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("t")).limit(1000)
+      val w = Window.orderBy(col("f").desc, col("t"))
+      tf.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("lx",
+          floor(log(col("r").cast("double")) * lit(1000000.0)).cast("long"))
+        .withColumn("ly",
+          floor(log(col("f").cast("double")) * lit(1000000.0)).cast("long"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+          sum(d38(col("lx")) * d38(col("ly"))).as("sxy"),
+          sum(d38(col("lx")) * d38(col("lx"))).as("sxx"))
+        .withColumn("slope",
+          toD(d38(col("n_terms")) * col("sxy")
+            - d38(col("sx")) * d38(col("sy")))
+          / toD(d38(col("n_terms")) * col("sxx")
+            - d38(col("sx")) * d38(col("sx"))))
+        .withColumn("icept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / (col("n_terms").cast("double") * lit(1000000.0)))
+        .select(col("n_terms"), col("slope"), col("icept"))
+    }),
+
+
+    // Mutual-information cell table for two categorical feature pairs
+    // (order priority×status; lineitem returnflag×linestatus): per-cell
+    // pointwise term n_xy·(ln n_xy + ln N − ln n_x − ln n_y) quantized
+    // to integer µ-nats — the q274 PMI recipe applied to the full MI
+    // decomposition. Marginals come from windows over the cell grain
+    // (≤15 rows per pair), never a second fact pass.
+    "q302_mutual_information" -> ((s, dir) => {
+      def cellsOf(df: DataFrame, xc: String, yc: String,
+          tag: String): DataFrame = {
+        val wx = Window.partitionBy(col("x"))
+        val wy = Window.partitionBy(col("y"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        df.groupBy(col(xc).as("x"), col(yc).as("y"))
+          .agg(count(lit(1)).as("n_xy"))
+          .withColumn("n_x", sum(col("n_xy")).over(wx))
+          .withColumn("n_y", sum(col("n_xy")).over(wy))
+          .withColumn("n_tot", sum(col("n_xy")).over(wAll))
+          .withColumn("term_micro", floor(
+            (log(col("n_xy").cast("double")) + log(col("n_tot").cast("double"))
+              - log(col("n_x").cast("double")) - log(col("n_y").cast("double")))
+              * col("n_xy").cast("double") * lit(1000000.0)).cast("long"))
+          .select(lit(tag).as("pair"), col("x"), col("y"),
+            col("n_xy"), col("term_micro"))
+      }
+      cellsOf(Tables.orders(s, dir), "o_orderpriority", "o_orderstatus",
+          "priority_status")
+        .unionByName(cellsOf(Tables.lineitem(s, dir), "l_returnflag",
+          "l_linestatus", "returnflag_linestatus"))
+    }),
+
+
+    // Two-sided 10% trimmed mean of order value per market segment (the
+    // robust-location read the plain mean gets wrong under heavy
+    // tails): asc and desc row_numbers under one deterministic
+    // (value, orderkey) order, drop ⌊n/10⌋ from each side by COUNT (not
+    // by value — exact, tie-stable), mean in exact cents via `div`.
+    "q303_trimmed_mean" -> ((s, dir) => {
+      val v = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("v"))
+      val seg = Window.partitionBy(col("c_mktsegment"))
+      val wA = seg.orderBy(col("v"), col("o_orderkey"))
+      val wD = seg.orderBy(col("v").desc, col("o_orderkey").desc)
+      v.withColumn("ra", row_number().over(wA).cast("long"))
+        .withColumn("rd", row_number().over(wD).cast("long"))
+        .withColumn("cut",
+          expr("count(1) over (partition by c_mktsegment) div 10"))
+        .filter(col("ra") > col("cut") && col("rd") > col("cut"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("kept_n"), sum(col("v")).as("kept_sum"))
+        .withColumn("mean_cents", expr("kept_sum div kept_n"))
+    }),
+
+
+    // Lagged cross-correlation between the URGENT and LOW daily revenue
+    // series (does one family lead the other?): lags −7..+7 exploded
+    // ROW-LOCALLY onto the day grain (a literal sequence — no join, no
+    // nested loop), then ONE equi join aligns the shifted days. The
+    // fact table is touched once to build each series. Per lag:
+    // Pearson r from decimal-lifted exact cent sums over the aligned
+    // days, the q299 formula.
+    "q304_cross_correlation" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"), col("o_orderpriority"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val a = daily.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("d"), col("v").as("va"))
+      val b = daily.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("d").as("db"), col("v").as("vb"))
+      val joined = a
+        .withColumn("lag", explode(sequence(lit(-7), lit(7))))
+        .withColumn("d2", expr("date_add(d, lag)"))
+        .join(b, col("d2") === col("db"))
+      pearsonFromSums(
+        joined.groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("va")).as("sx"), sum(col("vb")).as("sy"),
+            sum(d38(col("va")) * d38(col("vb"))).as("sxy"),
+            sum(d38(col("va")) * d38(col("va"))).as("sxx"),
+            sum(d38(col("vb")) * d38(col("vb"))).as("syy")),
+        "n_days", "sx", "sy", "sxy", "sxx", "syy", "r")
+        .select(col("lag").cast("long").as("lag"), col("n_days"), col("r"))
+    }),
+
+
+    // Theil T inequality index of customer revenue per nation —
+    // the decomposable cousin of q253's Gini: T = (Σ v·ln v)/S − ln(S/n)
+    // computed division-free on the integer side — Σ v·⌊1e6·ln v⌋ `div`
+    // S over decimal(38,0) (HUGEINT in DuckDB) minus the one fixed
+    // double term ⌊1e6·ln(S/n)⌋. Output in µ-nats.
+    "q305_theil_index" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+        .filter(col("v") > 0)
+      rev.join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("lv",
+          floor(log(col("v").cast("double")) * lit(1000000.0)).cast("long"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s_cents"),
+          sum(d38(col("v")) * d38(col("lv"))).as("svl"))
+        .withColumn("theil_micro",
+          expr("svl div s_cents")
+            - floor(log(col("s_cents").cast("double")
+                / col("n").cast("double")) * lit(1000000.0)).cast("long"))
+        .select(col("n_name"), col("n"), col("s_cents"), col("theil_micro"))
+    }),
+
+
+    // Matryoshka prefix-dimension recall audit (MRL-style truncated
+    // embeddings): exact top-10 neighbor overlap between the full
+    // 64-dim ranking and its 8/16/32-dim prefixes, per query vector —
+    // the "how many dims can serving drop" read. Both rankings are the
+    // q17 integer-quantized dot under the same (dot desc, n_id)
+    // deterministic order; overlap and recall are exact integers.
+    "q307_matryoshka_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("ce"))
+      val full = llm.Similarity.bruteForceTopK(
+          q.select(col("q_id"), col("qe").as("q_emb")),
+          c.select(col("n_id"), col("ce").as("n_emb")), k = 10)
+        .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
+      Seq(8, 16, 32).map { m =>
+        llm.Similarity.bruteForceTopK(
+            q.select(col("q_id"), slice(col("qe"), 1, m).as("q_emb")),
+            c.select(col("n_id"), slice(col("ce"), 1, m).as("n_emb")),
+            k = 10)
+          .select(col("q_id"), col("n_id")).withColumn("m", lit(m))
+      }.reduce(_ unionByName _)
+        .join(full, Seq("q_id", "n_id"), "left")
+        .groupBy(col("m"), col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap"))
+        .withColumn("recall_ppm", expr("overlap * 1000000 div 10"))
+    }),
+
+
+    // Order-day gap profile per nation (the data-quality read for
+    // "did ingest skip days?"): distinct active days, span, missing-day
+    // count, gap count and the longest gap — all from ONE lag over the
+    // nation-partitioned day grain, no calendar explosion.
+    "q308_order_day_gaps" -> ((s, dir) => {
+      val days = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), to_date(col("o_orderdate")).as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("d"))
+      days.withColumn("gap",
+          (datediff(col("d"), lag(col("d"), 1).over(w)) - 1).cast("long"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_active"),
+          min(col("d")).as("first_d"), max(col("d")).as("last_d"),
+          sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+          max(coalesce(col("gap"), lit(0L))).as("max_gap"))
+        .withColumn("span_days",
+          datediff(col("last_d"), col("first_d")).cast("long") + 1)
+        .withColumn("n_missing", col("span_days") - col("n_active"))
+    }),
+
+
+    // Inter-event burstiness per user: B = (σ−μ)/(σ+μ) over whole-
+    // second gaps, computed n-free as (√D − S)/(√D + S) with
+    // D = n·Σg² − S² — the variance numerator in exact decimal-lifted
+    // integers, ONE sqrt in the final shared formula. B→−1 periodic,
+    // B→0 Poisson, B→1 bursty — the traffic-shape read per entity.
+    "q309_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("g", expr("(ts_us - prev) div 1000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s_g"),
+          sum(d38(col("g")) * d38(col("g"))).as("q_g"))
+        .filter(col("n_gaps") >= 2)
+        .withColumn("dd",
+          toD(d38(col("n_gaps")) * col("q_g")
+            - d38(col("s_g")) * d38(col("s_g"))))
+        .withColumn("b_coeff",
+          when(sqrt(col("dd")) + col("s_g").cast("double") > 0,
+            (sqrt(col("dd")) - col("s_g").cast("double"))
+              / (sqrt(col("dd")) + col("s_g").cast("double"))))
+        .select(col("user_id"), col("n_gaps"), col("s_g"), col("b_coeff"))
+    }),
+
+
+    // Lorenz curve decile points per nation — the CURVE behind q253's
+    // Gini scalar: customers ranked ascending by revenue, the k/10
+    // population boundary rows with exact-integer cumulative population
+    // and revenue shares in ppm (decimal-lifted so the cum·1e6 product
+    // cannot wrap). ops.Stats.lorenzPoints.
+    "q311_lorenz_points" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val j = rev
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey"), col("v"))
+      ops.Stats.lorenzPoints(j, "n_name", "o_custkey", "v")
+    }),
+
+
+    // Two-sample Kolmogorov–Smirnov per market segment (URGENT vs LOW
+    // order values): per-value CDF fold first (ties jump once, after the
+    // whole block), then the DIVISION-FREE exact statistic
+    // max |cum_a·n_b − cum_b·n_a| over decimal-lifted integers; the
+    // classical d is the one final double. ops.Stats.ksTest.
+    "q312_ks_test" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("v"))
+      ops.Stats.ksTest(t, "c_mktsegment", "o_orderpriority", "v",
+        "1-URGENT", "5-LOW")
+    }),
+
+
+    // Item-item co-visitation top-5 (the "bought with" serving table —
+    // the counts-only sibling of q240's association rules): distinct
+    // (order, part) baskets, oversized baskets dropped LOUDLY (cap 20 —
+    // pair volume is Σ basket², the capped-universe rule), ordered pair
+    // counts, deterministic per-item top-5. ops.Stats.covisitationTopK;
+    // the dropped-basket diagnostic frame is spec-pinned.
+    "q313_covisitation" -> ((s, dir) =>
+      ops.Stats.covisitationTopK(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", k = 5, maxBasket = 20)._1),
+
+
+    // Calibration bins + per-bin ECE contribution for a monotone score
+    // (global acctbal percent-rank as confidence ppm) against the
+    // repeat-buyer label: ten fixed-width confidence bins, per-bin
+    // accuracy vs mean confidence, |gap| — all integer ppm. The global
+    // rank is the declared exactness tier (q255's exception); the
+    // 100 TB path swaps it for q220 broadcast percentile edges.
+    "q310_calibration_ece" -> ((s, dir) => {
+      val nOrd = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
+        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("label",
+          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
+      val w = Window.orderBy(col("x"), col("c_custkey"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      base.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nc", count(lit(1)).over(wAll))
+        .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
+        .withColumn("bin", least(expr("conf_ppm div 100000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_b"), sum(col("label")).as("pos"),
+          sum(col("conf_ppm")).as("conf_sum"))
+        .withColumn("acc_ppm", expr("pos * 1000000 div n_b"))
+        .withColumn("conf_mean_ppm", expr("conf_sum div n_b"))
+        .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_mean_ppm")))
+        .select(col("bin"), col("n_b"), col("acc_ppm"),
+          col("conf_mean_ppm"), col("gap_ppm"))
+    }),
+  )
+
+  /** DuckDB-runnable oracle equivalents — same exact-integer sufficient
+    * statistics (HUGEINT where Spark lifts to decimal), same fixed-order
+    * final double formulas, same `//` truncating division. */
+  val sql: Map[String, String] = Map(
+
+    "q298_benford_digits" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS obs_ppm,
+        |  CAST(floor((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |       * 1000000.0) AS BIGINT) AS exp_ppm
+        |FROM d""".stripMargin,
+
+    "q299_spearman_corr" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(CAST(c.c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |         CAST(coalesce(r.y, 0) AS BIGINT) AS y
+        |  FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey),
+        |ranked AS (
+        |  SELECT c_mktsegment,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY x) AS BIGINT) * 2
+        |      + count(*) OVER (PARTITION BY c_mktsegment, x) - 1 AS rx2,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY y) AS BIGINT) * 2
+        |      + count(*) OVER (PARTITION BY c_mktsegment, y) - 1 AS ry2
+        |  FROM base),
+        |st AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rx2) AS sx, sum(ry2) AS sy,
+        |    sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+        |    sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+        |    sum(CAST(ry2 AS HUGEINT) * ry2) AS syy
+        |  FROM ranked GROUP BY 1),
+        |f AS (
+        |  SELECT c_mktsegment, n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS d1,
+        |    CAST(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) AS d2
+        |  FROM st)
+        |SELECT c_mktsegment, n,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |       THEN num / (sqrt(d1) * sqrt(d2)) END AS rho
+        |FROM f""".stripMargin,
+
+    "q300_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts) + 600 * 1000000 AS en
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, st AS t, CAST(1 AS BIGINT) AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT user_id, en AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM iv),
+        |r AS (
+        |  SELECT user_id, t,
+        |    sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b),
+        |p AS (
+        |  SELECT user_id, t, run,
+        |    max(run) OVER (PARTITION BY user_id) AS pk
+        |  FROM r)
+        |SELECT user_id, CAST(max(run) AS BIGINT) AS peak_conc,
+        |       CAST(min(t) AS BIGINT) AS peak_at_us
+        |FROM p WHERE run = pk GROUP BY 1""".stripMargin,
+
+    "q301_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |        FROM documents)
+        |  GROUP BY 1 ORDER BY f DESC, t LIMIT 1000),
+        |ranked AS (
+        |  SELECT f, CAST(row_number() OVER (ORDER BY f DESC, t) AS BIGINT) AS r
+        |  FROM tf),
+        |q AS (
+        |  SELECT *,
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx,
+        |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly
+        |  FROM ranked),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |    sum(lx) AS sx, sum(ly) AS sy,
+        |    sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+        |    sum(CAST(lx AS HUGEINT) * lx) AS sxx
+        |  FROM q),
+        |f AS (
+        |  SELECT n_terms, sx, sy,
+        |    CAST(CAST(CAST(n_terms AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+        |      AS slope
+        |  FROM st)
+        |SELECT n_terms, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / (CAST(n_terms AS DOUBLE) * 1000000.0) AS icept
+        |FROM f""".stripMargin,
+
+    "q302_mutual_information" ->
+      """WITH c1 AS (
+        |  SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |         CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM orders GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT l_returnflag AS x, l_linestatus AS y,
+        |         CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM lineitem GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT 'priority_status' AS pair, * FROM c1
+        |  UNION ALL
+        |  SELECT 'returnflag_linestatus' AS pair, * FROM c2),
+        |m AS (
+        |  SELECT pair, x, y, n_xy,
+        |    sum(n_xy) OVER (PARTITION BY pair, x) AS n_x,
+        |    sum(n_xy) OVER (PARTITION BY pair, y) AS n_y,
+        |    sum(n_xy) OVER (PARTITION BY pair) AS n_tot
+        |  FROM cells)
+        |SELECT pair, x, y, n_xy,
+        |  CAST(floor((ln(CAST(n_xy AS DOUBLE)) + ln(CAST(n_tot AS DOUBLE))
+        |    - ln(CAST(n_x AS DOUBLE)) - ln(CAST(n_y AS DOUBLE)))
+        |    * CAST(n_xy AS DOUBLE) * 1000000.0) AS BIGINT) AS term_micro
+        |FROM m""".stripMargin,
+
+    "q303_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, v,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY v, o_orderkey) AS BIGINT) AS ra,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY v DESC, o_orderkey DESC) AS BIGINT) AS rd,
+        |    count(*) OVER (PARTITION BY c_mktsegment) // 10 AS cut
+        |  FROM v)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS kept_n,
+        |  CAST(sum(v) AS BIGINT) AS kept_sum,
+        |  CAST(sum(v) // count(*) AS BIGINT) AS mean_cents
+        |FROM r WHERE ra > cut AND rd > cut
+        |GROUP BY 1""".stripMargin,
+
+    "q304_cross_correlation" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority,
+        |         sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |a AS (SELECT d, CAST(v AS BIGINT) AS va FROM daily
+        |      WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT d AS db, CAST(v AS BIGINT) AS vb FROM daily
+        |      WHERE o_orderpriority = '5-LOW'),
+        |lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        |j AS (
+        |  SELECT l.lag, a.va, b.vb
+        |  FROM a CROSS JOIN lags l
+        |  JOIN b ON b.db = a.d + CAST(l.lag AS INTEGER)),
+        |st AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(va) AS sx, sum(vb) AS sy,
+        |    sum(CAST(va AS HUGEINT) * vb) AS sxy,
+        |    sum(CAST(va AS HUGEINT) * va) AS sxx,
+        |    sum(CAST(vb AS HUGEINT) * vb) AS syy
+        |  FROM j GROUP BY 1),
+        |f AS (
+        |  SELECT lag, n_days,
+        |    CAST(CAST(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS d1,
+        |    CAST(CAST(CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) AS d2
+        |  FROM st)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |       THEN num / (sqrt(d1) * sqrt(d2)) END AS r
+        |FROM f""".stripMargin,
+
+    "q305_theil_index" ->
+      """WITH rev AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey,
+        |      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT))
+        |           AS BIGINT) AS v
+        |    FROM orders GROUP BY 1) WHERE v > 0),
+        |j AS (
+        |  SELECT n.n_name, r.v,
+        |    CAST(floor(ln(CAST(r.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lv
+        |  FROM rev r
+        |  JOIN customer c ON r.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |st AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s_cents,
+        |    sum(CAST(v AS HUGEINT) * lv) AS svl
+        |  FROM j GROUP BY 1)
+        |SELECT n_name, n, s_cents,
+        |  CAST(svl // s_cents AS BIGINT)
+        |    - CAST(floor(ln(CAST(s_cents AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * 1000000.0) AS BIGINT) AS theil_micro
+        |FROM st""".stripMargin,
+
+    "q307_matryoshka_recall" -> {
+      def topk(m: String, alias: String): String =
+        s"""$alias AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS rk
+           |    FROM (
+           |      SELECT q_id, n_id,
+           |        CAST(list_sum(list_transform(generate_series(1, $m), i ->
+           |          CAST(floor(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+           |            * 1000000000000) AS BIGINT))) AS BIGINT) AS dot_q
+           |      FROM q, c WHERE q_id <> n_id))
+           |  WHERE rk <= 10)"""
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS n_id, embedding AS ce FROM embeddings),
+         |${topk("len(qe)", "full_tk")},
+         |${topk("8", "p8")},
+         |${topk("16", "p16")},
+         |${topk("32", "p32")},
+         |pref AS (
+         |  SELECT CAST(8 AS INT) AS m, q_id, n_id FROM p8
+         |  UNION ALL SELECT CAST(16 AS INT), q_id, n_id FROM p16
+         |  UNION ALL SELECT CAST(32 AS INT), q_id, n_id FROM p32)
+         |SELECT p.m, p.q_id,
+         |  CAST(sum(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS overlap,
+         |  CAST(sum(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // 10 AS BIGINT) AS recall_ppm
+         |FROM pref p LEFT JOIN full_tk f
+         |  ON p.q_id = f.q_id AND p.n_id = f.n_id
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q308_order_day_gaps" ->
+      """WITH days AS (
+        |  SELECT DISTINCT c.c_nationkey, CAST(o.o_orderdate AS DATE) AS d
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (
+        |  SELECT c_nationkey, d,
+        |    CAST(d - lag(d) OVER (PARTITION BY c_nationkey ORDER BY d)
+        |         AS BIGINT) - 1 AS gap
+        |  FROM days),
+        |a AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_active,
+        |    min(d) AS first_d, max(d) AS last_d,
+        |    CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |    CAST(max(coalesce(gap, 0)) AS BIGINT) AS max_gap
+        |  FROM g GROUP BY 1)
+        |SELECT c_nationkey, n_active, first_d, last_d, n_gaps, max_gap,
+        |  CAST(last_d - first_d AS BIGINT) + 1 AS span_days,
+        |  CAST(last_d - first_d AS BIGINT) + 1 - n_active AS n_missing
+        |FROM a""".stripMargin,
+
+    "q309_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, CAST((ts_us - prev) // 1000000 AS BIGINT) AS g
+        |  FROM l WHERE prev IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS s_g,
+        |    sum(CAST(g AS HUGEINT) * g) AS q_g
+        |  FROM g GROUP BY 1 HAVING count(*) >= 2),
+        |f AS (
+        |  SELECT user_id, n_gaps, s_g,
+        |    CAST(CAST(CAST(n_gaps AS HUGEINT) * q_g
+        |         - CAST(s_g AS HUGEINT) * s_g AS VARCHAR) AS DOUBLE) AS dd
+        |  FROM st)
+        |SELECT user_id, n_gaps, s_g,
+        |  CASE WHEN sqrt(dd) + CAST(s_g AS DOUBLE) > 0
+        |       THEN (sqrt(dd) - CAST(s_g AS DOUBLE))
+        |            / (sqrt(dd) + CAST(s_g AS DOUBLE)) END AS b_coeff
+        |FROM f""".stripMargin,
+
+    "q311_lorenz_points" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n.n_name, r.o_custkey, r.v
+        |  FROM rev r
+        |  JOIN customer c ON r.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |r AS (
+        |  SELECT n_name,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY v, o_custkey) AS BIGINT) AS rn,
+        |    sum(v) OVER (PARTITION BY n_name ORDER BY v, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum_v,
+        |    count(*) OVER (PARTITION BY n_name) AS n,
+        |    sum(v) OVER (PARTITION BY n_name) AS tot_v
+        |  FROM j)
+        |SELECT n_name, CAST(rn * 10 // n AS BIGINT) AS k,
+        |  CAST(rn * 1000000 // n AS BIGINT) AS pop_ppm,
+        |  CAST(CAST(cum_v AS HUGEINT) * 1000000 // tot_v AS BIGINT) AS value_ppm
+        |FROM r WHERE rn * 10 // n > (rn - 1) * 10 // n""".stripMargin,
+
+    "q312_ks_test" ->
+      """WITH t AS (
+        |  SELECT c.c_mktsegment,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |pv AS (
+        |  SELECT c_mktsegment, v, CAST(sum(a) AS BIGINT) AS da,
+        |         CAST(sum(b) AS BIGINT) AS db
+        |  FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment,
+        |    sum(da) OVER (PARTITION BY c_mktsegment ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(db) OVER (PARTITION BY c_mktsegment ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum_b,
+        |    sum(da) OVER (PARTITION BY c_mktsegment) AS na,
+        |    sum(db) OVER (PARTITION BY c_mktsegment) AS nb
+        |  FROM pv),
+        |g AS (
+        |  SELECT c_mktsegment, CAST(na AS BIGINT) AS n_a,
+        |    CAST(nb AS BIGINT) AS n_b,
+        |    abs(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na) AS gap
+        |  FROM r),
+        |m AS (
+        |  SELECT c_mktsegment, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    CAST(max(gap) AS BIGINT) AS d_num
+        |  FROM g GROUP BY 1)
+        |SELECT c_mktsegment, n_a, n_b, d_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN CAST(d_num AS DOUBLE)
+        |            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS d
+        |FROM m""".stripMargin,
+
+    "q313_covisitation" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |sized AS (
+        |  SELECT bk, it, count(*) OVER (PARTITION BY bk) AS bs FROM items),
+        |kept AS (SELECT bk, it FROM sized WHERE bs <= 20),
+        |pairs AS (
+        |  SELECT a.it AS item, b.it AS co_item,
+        |         CAST(count(*) AS BIGINT) AS n_cobaskets
+        |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it <> b.it
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT item, co_item, n_cobaskets,
+        |    CAST(row_number() OVER (PARTITION BY item
+        |      ORDER BY n_cobaskets DESC, co_item) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT item, co_item, n_cobaskets, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q310_calibration_ece" ->
+      """WITH n_ord AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_custkey,
+        |    CAST(CAST(c.c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |    CASE WHEN coalesce(o.n_ord, 0) >= 2 THEN 1 ELSE 0 END AS label
+        |  FROM customer c LEFT JOIN n_ord o ON c.c_custkey = o.o_custkey),
+        |r AS (
+        |  SELECT label,
+        |    CAST(row_number() OVER (ORDER BY x, c_custkey) AS BIGINT) AS rn,
+        |    count(*) OVER () AS nc
+        |  FROM base),
+        |conf AS (
+        |  SELECT label, CAST((rn - 1) * 1000000 // (nc - 1) AS BIGINT) AS conf_ppm
+        |  FROM r),
+        |bins AS (
+        |  SELECT least(conf_ppm // 100000, 9) AS bin, label, conf_ppm
+        |  FROM conf)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_b,
+        |  CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+        |  CAST(sum(conf_ppm) // count(*) AS BIGINT) AS conf_mean_ppm,
+        |  CAST(abs(sum(label) * 1000000 // count(*)
+        |    - sum(conf_ppm) // count(*)) AS BIGINT) AS gap_ppm
+        |FROM bins GROUP BY 1""".stripMargin,
+  )
+}

@@ -587,6 +587,21 @@ object StreamingQueries {
       streaming.Streams.coveredTimeStream(s, s"$root/events", ev.schema,
         s"$root/partials", s"$root/ckpt")
     }),
+
+
+    // q140's retention triangle maintained across a real multi-batch
+    // drain: per-batch distinct (user, day) marks appended batchId-
+    // idempotently, cohorts derived at readout — min-cohort and
+    // distinct-count are both order-free mergeable, so the streamed
+    // readout hash-equals the one-shot batch oracle (the q294 pattern)
+    "q306_retention_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val root = predsPath(s"q306_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.retentionStream(s, s"$root/events", ev.schema,
+        s"$root/marks", s"$root/ckpt")
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -950,5 +965,16 @@ object StreamingQueries {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
         |       CAST(sum(i_en - i_st) // 1000000 AS BIGINT) AS covered_s
         |FROM spans GROUP BY 1""".stripMargin,
+
+    // q140's SQL verbatim — the streamed marks + readout must reproduce
+    // the one-shot cohort triangle exactly
+    "q306_retention_stream" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT f.cohort_day,
+        |       CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1086,4 +1086,56 @@ object Streams {
       .withColumn("covered_s", expr("covered_us div 1000000"))
       .drop("covered_us")
   }
+
+  /** Streaming retention-cohort maintenance — q140's cohort triangle kept
+    * current as batches land: each micro-batch appends only its DISTINCT
+    * `(user_id, day)` activity marks (idempotently under `batch_id=<id>`,
+    * the [[srmGateStream]] replay rule), and the readout derives cohorts
+    * from the union. Both building blocks are order-free and mergeable —
+    * a user's cohort day is `min(day)` (associative, commutative) and the
+    * triangle counts DISTINCT users per `(cohort, offset)` (idempotent
+    * under re-appearance) — so the streamed readout hash-equals the
+    * one-shot batch result regardless of how the stream was batch-split
+    * or replayed.
+    *
+    * At scale: zero keyed state store; partials are the per-batch active
+    * grain (≪ events — one row per user-day touched), the exact shape a
+    * production retention pipeline materializes anyway, and the readout
+    * shuffles the mark table once on user_id and once on the tiny
+    * (cohort, offset) grain. */
+  def retentionStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      marksDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$marksDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow retention stream must drain")
+    val marksSchema = org.apache.spark.sql.types.StructType(Seq(
+      eventsSchema("user_id"),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.DateType)))
+    val marks = readPartials(spark, marksDir, marksSchema).distinct()
+    val first = marks.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    marks.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -1,0 +1,361 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Analytics2Queries
+
+/** Invariant laws for the round-9 continuation family (q298–q310), over
+  * the sf0.001 fixtures: driver-side brute-force replays and exact
+  * conservation/bound properties the DuckDB hash-differential cannot
+  * express by itself. */
+class Analytics2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    Analytics2Queries.queries(name)(spark, dir).collect()
+
+  test("LAW benford digits are 1..9, counts conserve the order count, " +
+      "observed ppm sums to 1e6 within truncation slack, expected ppm " +
+      "matches the driver-side log10 formula") {
+    val rows = run("q298_benford_digits")
+    val digits = rows.map(_.getAs[Int]("digit")).sorted
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(digits.distinct.length == digits.length)
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum <= 1000000L && obsSum >= 1000000L - 9,
+      s"obs ppm sum $obsSum")
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      val expect =
+        math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6).toLong
+      assert(r.getAs[Long]("exp_ppm") == expect)
+    }
+  }
+
+  test("LAW spearman rho lies in [-1,1] and matches a driver-side " +
+      "tied-average-rank Pearson on one segment") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q299_spearman_corr")
+    rows.foreach { r =>
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12)
+    }
+    val seg = rows.head.getAs[String]("c_mktsegment")
+    // independent brute force: average ranks with ties, then Pearson
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")).as("y"))
+    val base = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === seg)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(30,2)") * 100).cast("long").as("x"))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def avgRanks(vs: Array[Long]): Array[Double] = {
+      val sorted = vs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](vs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1) j += 1
+        val avg = (i + 1 + j + 1) / 2.0
+        (i to j).foreach(k => out(sorted(k)._2) = avg)
+        i = j + 1
+      }
+      out
+    }
+    val rx = avgRanks(base.map(_._1)); val ry = avgRanks(base.map(_._2))
+    val n = rx.length.toDouble
+    val mx = rx.sum / n; val my = ry.sum / n
+    val num = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum) *
+      math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+    val expected = num / den
+    val got = rows.find(_.getAs[String]("c_mktsegment") == seg).get
+      .getAs[Double]("rho")
+    assert(math.abs(got - expected) < 1e-9, s"got $got want $expected")
+  }
+
+  test("LAW peak concurrency matches a driver-side sweep for every user") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q300_peak_concurrency")
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("peak_conc"), r.getAs[Long]("peak_at_us"))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("st"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    ev.foreach { case (u, es) =>
+      // brute force: concurrency evaluated at every start boundary,
+      // half-open [st, st+600s) intervals
+      val best = es.map { case (_, _, t0) =>
+        (es.count { case (_, _, t) => t <= t0 && t0 < t + 600000000L }, t0)
+      }
+      val peak = best.map(_._1).max
+      val at = best.filter(_._1 == peak).map(_._2).min
+      assert(rows(u) == (peak.toLong, at), s"user $u: ${rows(u)} vs ($peak,$at)")
+    }
+  }
+
+  test("LAW trimmed mean matches a driver-side sort-and-slice per segment " +
+      "and never exceeds the untrimmed extremes") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q303_trimmed_mean")
+    val all = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (col("o_totalprice").cast("decimal(30,2)") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      val vs = all(seg).map(_._2).sorted
+      val cut = vs.length / 10
+      val kept = vs.slice(cut, vs.length - cut)
+      assert(r.getAs[Long]("kept_n") == kept.length)
+      assert(r.getAs[Long]("kept_sum") == kept.sum)
+      assert(r.getAs[Long]("mean_cents") == kept.sum / kept.length)
+    }
+  }
+
+  test("LAW mutual information: marginals conserve the table count and " +
+      "the quantized MI sum is nonnegative up to floor slack per cell") {
+    val rows = run("q302_mutual_information")
+    val byPair = rows.groupBy(_.getAs[String]("pair"))
+    val nOrders = Tables.orders(spark, dir).count()
+    val nLines = Tables.lineitem(spark, dir).count()
+    assert(byPair("priority_status").map(_.getAs[Long]("n_xy")).sum == nOrders)
+    assert(byPair("returnflag_linestatus").map(_.getAs[Long]("n_xy")).sum
+      == nLines)
+    byPair.foreach { case (p, cells) =>
+      val mi = cells.map(_.getAs[Long]("term_micro")).sum
+      // true MI >= 0; each floor loses < 1 micro-nat
+      assert(mi >= -cells.length, s"pair $p quantized MI $mi")
+    }
+  }
+
+  test("LAW theil index is nonnegative up to quantization slack and zero " +
+      "for a constructed equal distribution") {
+    val rows = run("q305_theil_index")
+    rows.foreach { r =>
+      // per-customer floor loses < 1 micro-nat weighted by v/S (< 1 total),
+      // the ln(S/n) floor adds < 1 more
+      assert(r.getAs[Long]("theil_micro") >= -2L, s"$r")
+    }
+    // equal distribution: term1 = floor(1e6 ln v) exactly = term2
+    val v = 12345L; val n = 7
+    val lv = math.floor(math.log(v.toDouble) * 1e6).toLong
+    val term1 = (BigInt(v) * lv * n / (BigInt(v) * n)).toLong
+    val term2 = math.floor(math.log(v.toDouble * n / n) * 1e6).toLong
+    assert(term1 - term2 == 0L)
+  }
+
+  test("LAW zipf fit: slope is negative on the natural corpus and " +
+      "recovers -1 within tolerance on a constructed 1/r law") {
+    val r = run("q301_zipf_slope").head
+    assert(r.getAs[Long]("n_terms") > 10) // sf0.001 vocab is tiny (~31)
+    assert(r.getAs[Double]("slope") < 0.0)
+    // constructed f_r = round(1e6 / r): the quantized-ln least squares
+    // must read slope ~ -1
+    val ranks = (1 to 1000).map(_.toLong)
+    val lx = ranks.map(rr => math.floor(math.log(rr.toDouble) * 1e6).toLong)
+    val ly = ranks.map(rr =>
+      math.floor(math.log(math.round(1e6 / rr).toDouble) * 1e6).toLong)
+    val n = BigInt(1000)
+    val sx = lx.map(BigInt(_)).sum; val sy = ly.map(BigInt(_)).sum
+    val sxy = lx.zip(ly).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = lx.map(a => BigInt(a) * a).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(math.abs(slope + 1.0) < 0.01, s"constructed slope $slope")
+  }
+
+  test("LAW cross-correlation r lies in [-1,1] and every lag row aligned " +
+      "at least one day") {
+    val rows = run("q304_cross_correlation")
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 0)
+      if (!r.isNullAt(r.fieldIndex("r"))) {
+        val v = r.getAs[Double]("r")
+        assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12)
+      }
+    }
+  }
+
+  test("LAW burstiness lies in [-1,1] and matches the driver-side " +
+      "(sqrt(nQ-S^2)-S)/(sqrt(nQ-S^2)+S) for one user") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q309_burstiness")
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("b_coeff"))) {
+        val b = r.getAs[Double]("b_coeff")
+        assert(b >= -1.0 - 1e-12 && b <= 1.0 + 1e-12)
+      }
+    }
+    val u = rows.head.getAs[Long]("user_id")
+    val ts = Tables.events(spark, dir)
+      .filter(col("user_id") === u)
+      .select(unix_micros(col("ts").cast("timestamp")).as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.map(_._1)
+    val gaps = ts.sliding(2).map(p => (p(1) - p(0)) / 1000000L).toArray
+    val n = gaps.length
+    val s = gaps.sum
+    val q = gaps.map(g => BigInt(g) * g).sum
+    val dd = (BigInt(n) * q - BigInt(s) * s).toDouble
+    val expected = (math.sqrt(dd) - s) / (math.sqrt(dd) + s)
+    val got = rows.find(_.getAs[Long]("user_id") == u).get
+      .getAs[Double]("b_coeff")
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("LAW calibration bins partition the customer base with monotone " +
+      "confidence and in-range ppm") {
+    val rows = run("q310_calibration_ece").sortBy(_.getAs[Long]("bin"))
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    val nCust = Tables.customer(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_b")).sum == nCust)
+    rows.foreach { r =>
+      Seq("acc_ppm", "conf_mean_ppm", "gap_ppm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 1000000L, s"$c=$v")
+      }
+    }
+    val confs = rows.map(_.getAs[Long]("conf_mean_ppm"))
+    assert(confs.zip(confs.tail).forall { case (a, b) => a < b },
+      "bin mean confidence must strictly increase")
+  }
+
+  test("LAW matryoshka: overlap <= 10, recall in [0,1e6], and the " +
+      "full-dimension prefix recalls itself perfectly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q307_matryoshka_recall")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val o = r.getAs[Long]("overlap")
+      assert(o >= 0L && o <= 10L)
+      assert(r.getAs[Long]("recall_ppm") == o * 1000000L / 10L)
+    }
+    // prefix m = full dim reproduces the full ranking exactly
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val full = llm.Similarity.bruteForceTopK(q, c, k = 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sliced = llm.Similarity.bruteForceTopK(
+        q.withColumn("q_emb", slice(col("q_emb"), 1, 64)),
+        c.withColumn("n_emb", slice(col("n_emb"), 1, 64)), k = 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.toSet == sliced.toSet)
+  }
+
+  test("LAW ks statistic matches a driver-side two-sample CDF sweep and " +
+      "d lies in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q312_ks_test")
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("d"))) {
+        val d = r.getAs[Double]("d")
+        assert(d >= 0.0 && d <= 1.0)
+      }
+    }
+    val seg = rows.head.getAs[String]("c_mktsegment")
+    val vals = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === seg &&
+        col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(30,2)") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = vals.filter(_._1 == "1-URGENT").map(_._2).sorted
+    val b = vals.filter(_._1 == "5-LOW").map(_._2).sorted
+    val pooled = (a ++ b).distinct.sorted
+    val dNum = pooled.map { v =>
+      val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+      math.abs(ca * b.length - cb * a.length)
+    }.max
+    val got = rows.find(_.getAs[String]("c_mktsegment") == seg).get
+    assert(got.getAs[Long]("n_a") == a.length)
+    assert(got.getAs[Long]("n_b") == b.length)
+    assert(got.getAs[Long]("d_num") == dNum, s"d_num ${got} vs $dNum")
+  }
+
+  test("LAW lorenz decile points: ten deciles per nation, terminal point " +
+      "is (1e6, 1e6), curve is below the diagonal and monotone") {
+    val rows = run("q311_lorenz_points")
+    rows.groupBy(_.getAs[String]("n_name")).foreach { case (nat, ps) =>
+      val byK = ps.sortBy(_.getAs[Long]("k"))
+      val last = byK.last
+      assert(last.getAs[Long]("k") == 10L, s"$nat missing terminal decile")
+      assert(last.getAs[Long]("pop_ppm") == 1000000L)
+      assert(last.getAs[Long]("value_ppm") == 1000000L)
+      byK.foreach { p =>
+        // ascending-value order means cumulative value share can never
+        // exceed cumulative population share (truncation slack 1 ppm)
+        assert(p.getAs[Long]("value_ppm")
+          <= p.getAs[Long]("pop_ppm") + 1L, s"$nat above diagonal: $p")
+      }
+      val shares = byK.map(_.getAs[Long]("value_ppm"))
+      assert(shares.zip(shares.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("LAW covisitation counts are symmetric, bounded by basket " +
+      "participation, and the oversized-basket cap is LOUD") {
+    import org.apache.spark.sql.functions._
+    val (serving, dropped) = ops.Stats.covisitationTopK(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
+      k = 5, maxBasket = 20)
+    val pairs = serving.select("item", "co_item", "n_cobaskets").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // symmetry on pairs present in both directions' top-k
+    pairs.foreach { case ((i, j), n) =>
+      pairs.get((j, i)).foreach(m => assert(m == n, s"asym ($i,$j)"))
+    }
+    assert(dropped.collect().isEmpty) // TPC-H baskets are <= 7 lines
+    // forced oversized basket surfaces loudly and leaves the serving
+    // table free of its items
+    val spark2 = spark
+    import spark2.implicits._
+    val big = (1 to 25).map(i => (999L, i.toLong)) :+ (1L, 1L) :+ (1L, 2L)
+    val (srv2, drop2) = ops.Stats.covisitationTopK(
+      big.toDF("bk", "it"), "bk", "it", k = 5, maxBasket = 20)
+    val d2 = drop2.collect()
+    assert(d2.length == 1 && d2.head.getAs[Long]("basket") == 999L
+      && d2.head.getAs[Long]("basket_size") == 25L)
+    assert(srv2.collect().length == 2) // only the small basket's pair
+  }
+
+  test("LAW order-day gaps: span/active/missing conserve and gap counts " +
+      "match a driver-side replay per nation") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q308_order_day_gaps")
+    val days = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long"),
+        to_date(col("o_orderdate")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val nk = r.getAs[Number]("c_nationkey").longValue
+      val ds = days(nk).map(_._2).sortBy(_.toEpochDay)
+      val gaps = ds.sliding(2).map(p =>
+        p(1).toEpochDay - p(0).toEpochDay - 1).toArray
+      assert(r.getAs[Long]("n_active") == ds.length)
+      assert(r.getAs[Long]("span_days")
+        == ds.last.toEpochDay - ds.head.toEpochDay + 1)
+      assert(r.getAs[Long]("n_missing") == gaps.sum)
+      assert(r.getAs[Long]("n_gaps") == gaps.count(_ > 0))
+      assert(r.getAs[Long]("max_gap")
+        == (if (gaps.isEmpty) 0L else math.max(gaps.max, 0L)))
+    }
+  }
+}

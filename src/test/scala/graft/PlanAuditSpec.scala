@@ -140,11 +140,15 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - q186: constructing the frame FITS an ALS model (same class as
     //    q23/q28), and its serve half is the DECLARED all-pairs dense
     //    scoring baseline (the ANN family is the large-item-space path)
+    //  - q307: the Matryoshka recall AUDIT — all four of its rankings
+    //    (full-dim ground truth + three prefixes) are q17's declared-
+    //    quadratic brute force by contract (recall needs exact truth);
+    //    the production serving path it informs is the q94 shape
     val excluded = Set("q17_sim_topk", "q23_lr_confusion", "q27_pair_scoring",
       "q28_sim_ivf", "q57_sim_pq", "q58_sim_ivfpq", "q93_sessionize_stream",
       "q94_ivfpq_serving", "q98_tumbling_stream", "q99_keyed_state_stream",
       "q102_join_stream", "q137_ann_recall", "q186_als_recs",
-      "q187_word2vec")
+      "q187_word2vec", "q307_matryoshka_recall")
     def flatten(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(flatten)
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
     assert(names.size >= 80, s"audit should cover the whole map, got ${names.size}")
