@@ -20,24 +20,34 @@ import org.apache.spark.sql.functions._
   * dropped-baskets diagnostic rather than a silent cap. */
 object Stats {
 
-  /** Two-sample KS per `groupCol`: compares `valueCol`'s distribution
-    * between rows matching `labelA` and `labelB` of `labelCol`.
+  /** Two-sample EDF distance panel per `groupCol`: Kolmogorov–Smirnov
+    * (max CDF gap — already covered standalone by q230) PLUS the
+    * Cramér–von Mises statistic (the INTEGRAL of the squared CDF gap —
+    * tail-sensitive where KS sees only the single worst point), both
+    * from ONE pass. Compares `valueCol`'s distribution between rows
+    * matching `labelA` and `labelB` of `labelCol`.
     *
     * The empirical CDFs only jump at distinct values, and under ties the
     * gap is only meaningful AFTER a whole tie block — so the rows fold
     * to the (group, value) grain first (per-value a/b counts), then one
-    * value-ordered window accumulates both CDFs and the statistic is
-    * the max of |cum_a·n_b − cum_b·n_a| (exact BIGINT — no per-row
-    * division), returned as `d_num` with `n_a`, `n_b`, and the classical
-    * `d = d_num / (n_a·n_b)` as one final double. Groups missing either
-    * sample emit NULL d. */
-  def ksTest(
+    * value-ordered window accumulates both CDFs. With
+    * gap = |cum_a·n_b − cum_b·n_a| (exact — no per-row division):
+    * `ks_num = max gap` (classical D = ks_num/(n_a·n_b)) and
+    * `cvm_num = Σ_values cnt·gap²` (classical T = n_a·n_b/N² · Σ (F−G)²
+    * over pooled points = cvm_num/(n_a·n_b·N²)). Both numerators are
+    * exact integers; cvm_num travels as its decimal STRING (it exceeds
+    * BIGINT range at scale) and the classical forms are one final double
+    * each via the decimal-string bridge. Groups missing either sample
+    * emit NULL classical stats. */
+  def edfDistances(
       df: DataFrame,
       groupCol: String,
       labelCol: String,
       valueCol: String,
       labelA: String,
       labelB: String): DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    def toD(c: Column): Column = c.cast("string").cast("double")
     val perValue = df
       .filter(col(labelCol) === labelA || col(labelCol) === labelB)
       .select(col(groupCol), col(valueCol).as("_v"),
@@ -53,15 +63,24 @@ object Stats {
       .withColumn("cum_b", sum(col("db")).over(w))
       .withColumn("n_a", sum(col("da")).over(tot))
       .withColumn("n_b", sum(col("db")).over(tot))
-      .withColumn("gap", abs(col("cum_a").cast("decimal(38,0)") * col("n_b")
-        - col("cum_b").cast("decimal(38,0)") * col("n_a")))
+      .withColumn("gap", abs(d38(col("cum_a")) * col("n_b")
+        - d38(col("cum_b")) * col("n_a")))
       .groupBy(col(groupCol))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        max(col("gap")).cast("long").as("d_num"))
-      .withColumn("d",
+        max(col("gap")).cast("long").as("ks_num"),
+        sum(d38(col("da") + col("db")) * col("gap") * col("gap"))
+          .as("cvm_dec"))
+      .withColumn("cvm_num", col("cvm_dec").cast("string"))
+      .withColumn("ks",
         when(col("n_a") > 0 && col("n_b") > 0,
-          col("d_num").cast("double")
+          col("ks_num").cast("double")
             / (col("n_a").cast("double") * col("n_b").cast("double"))))
+      .withColumn("cvm",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          toD(col("cvm_dec"))
+            / toD(d38(col("n_a")) * col("n_b")
+              * (col("n_a") + col("n_b")) * (col("n_a") + col("n_b")))))
+      .drop("cvm_dec")
   }
 
   /** Lorenz curve decile points per `groupCol`: entities ranked ascending
@@ -95,14 +114,17 @@ object Stats {
       .select(col(groupCol), col("k"), col("pop_ppm"), col("value_ppm"))
   }
 
-  /** Item-item co-visitation top-k (the "bought with" serving table):
-    * baskets are `(basketCol, itemCol)` pairs; baskets larger than
-    * `maxBasket` distinct items are DROPPED LOUDLY (they dominate the
-    * Σ basket² pair volume and carry near-zero signal — the q240
-    * capped-universe rule), and the dropped set is returned alongside so
-    * the cap is never silent. Within kept baskets every ordered item
-    * pair is counted once per basket; the result is each item's top
-    * `k` co-items by (count desc, co_item asc) — deterministic.
+  /** Item-item co-visitation top-k (the "bought with" serving table) —
+    * the SERVING layer over the pair supports
+    * [[graft.ops.Relational.cooccurrencePairs]] mines: mirrored to both
+    * directions and cut to each item's top `k` by (count desc, co_item
+    * asc), deterministic. Implemented standalone (not on top of the
+    * miner) so the one basket-size window scan feeds BOTH the kept-pair
+    * path and the diagnostic: baskets larger than `maxBasket` distinct
+    * items are DROPPED LOUDLY (they dominate the Σ basket² pair volume
+    * and carry near-zero signal — the q240 capped-universe rule), and
+    * the dropped set is returned alongside so the cap is never silent
+    * (cooccurrencePairs drops them as declared-but-silent semantics).
     *
     * Returns (servingTable, droppedBaskets): serving rows are
     * (item, co_item, n_cobaskets, rank); droppedBaskets rows are

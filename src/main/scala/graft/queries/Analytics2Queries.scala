@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
 
-/** Round-9 continuation surfaces (q298–q310, less the streamed q306 which
-  * lives with its family in [[StreamingQueries]]): distributional
-  * conformance (Benford), rank correlation (Spearman with ties),
+/** Round-9 continuation surfaces (q298–q313, less the streamed q306 which
+  * lives with its family in [[StreamingQueries]]): group-to-group set
+  * overlap (Jaccard matrix), rank correlation (Spearman with ties),
   * concurrency sweeps, corpus power laws (Zipf slope), dependence
-  * (mutual information, lagged cross-correlation), robust location
-  * (trimmed mean), inequality (Theil), data-quality gap profiles,
-  * inter-event burstiness, calibration (ECE bins), and a Matryoshka
-  * prefix-dimension recall audit over the embedding corpus.
+  * (mutual information, lagged cross-correlation), EDF distances
+  * (KS + Cramér–von Mises), robust location (trimmed mean), inequality
+  * (Theil, Lorenz curve points), data-quality gap profiles, inter-event
+  * burstiness, calibration (ECE bins), item-item co-visitation, and a
+  * Matryoshka prefix-dimension recall audit over the embedding corpus.
   *
   * Same house portability rules as [[AnalyticsQueries]]: money is exact
   * cents BEFORE any aggregate; ratios are integer ppm via `div`/`//` on
@@ -28,9 +29,9 @@ import graft.text.TextOps
   * Scale notes: the deliberate global orders are (a) q310's calibration
   * rank — like q255's Mann-Whitney it IS a rank statistic (the 100 TB
   * path swaps the exact rank for q220-style broadcast percentile edges),
-  * and (b) windows over bounded grains (9 Benford digits, ≤15 MI cells,
-  * 1000 Zipf terms, the day calendar). Everything else partitions on its
-  * natural key (segment / nation / user) and reduces map-side.
+  * and (b) windows over bounded grains (≤15 MI cells, 1000 Zipf terms,
+  * the day calendar). Everything else partitions on its natural key
+  * (segment / nation / user) and reduces map-side.
   */
 object Analytics2Queries {
 
@@ -67,26 +68,35 @@ object Analytics2Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Benford first-digit conformance over order amounts (the classic
-    // fraud/data-entry screen): first digit read off the BIGINT cents'
-    // decimal string (both engines render integers identically — no
-    // float formatting), observed share as integer ppm, expected share
-    // as the one fixed double formula floor(1e6·log10(1+1/d)). The only
-    // window runs over the 9-digit grain.
-    "q298_benford_digits" -> ((s, dir) => {
-      val v = Tables.orders(s, dir)
-        .select(cents(col("o_totalprice")).as("v"))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      v.withColumn("digit",
-          substring(col("v").cast("string"), 1, 1).cast("int"))
-        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        .withColumn("total", sum(col("n")).over(wAll))
-        .withColumn("obs_ppm", expr("n * 1000000 div total"))
-        .withColumn("exp_ppm",
-          floor((log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
-            / log(lit(10.0))) * lit(1000000.0)).cast("long"))
-        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"))
+    // Group-to-group set overlap (the audience-overlap matrix): Jaccard
+    // and overlap coefficient between supplier nations' PART BASKETS,
+    // via a postings join on the part key — pair volume is Σ_part
+    // (nations-per-part)², bounded by |groups|² per posting, never
+    // |parts|². Intersections are exact counts, union = s1+s2−inter by
+    // inclusion-exclusion, shares in integer ppm. The set-similarity
+    // sibling of q313's item-item counts at the GROUP grain.
+    "q298_basket_overlap" -> ((s, dir) => {
+      val np = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("nk"),
+          col("l_partkey").as("pk"))
+        .distinct()
+      val sizes = np.groupBy(col("nk")).agg(count(lit(1)).as("sz"))
+      val inter = np.select(col("nk").as("n1"), col("pk"))
+        .join(np.select(col("nk").as("n2"), col("pk")), Seq("pk"))
+        .filter(col("n1") < col("n2"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("nk").as("n1"), col("sz").as("s1")), Seq("n1"))
+        .join(sizes.select(col("nk").as("n2"), col("sz").as("s2")), Seq("n2"))
+        .withColumn("uni", col("s1") + col("s2") - col("inter"))
+        .withColumn("jaccard_ppm", expr("inter * 1000000 div uni"))
+        .withColumn("overlap_ppm",
+          expr("inter * 1000000 div least(s1, s2)"))
+        .select(col("n1"), col("n2"), col("inter"), col("uni"),
+          col("jaccard_ppm"), col("overlap_ppm"))
     }),
 
 
@@ -129,30 +139,36 @@ object Analytics2Queries {
     }),
 
 
-    // Peak concurrency per user (the boundary-sweep the naive max-of-
-    // counts-per-bucket gets wrong): each event opens a 10-minute
-    // interval; +1/−1 boundary rows, ends sorting BEFORE starts at the
-    // same instant (half-open [st, en) semantics), one user-partitioned
-    // running sum; peak and its first attainment time. Integer epoch
-    // micros throughout.
-    "q300_peak_concurrency" -> ((s, dir) => {
-      val iv = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts").cast("timestamp")).as("st"))
-        .withColumn("en", col("st") + lit(600L * 1000000L))
-      val bounds = iv.select(col("user_id"), col("st").as("t"),
-          lit(1L).as("delta"), col("event_id"))
-        .unionByName(iv.select(col("user_id"), col("en").as("t"),
-          lit(-1L).as("delta"), col("event_id")))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("delta"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bounds.withColumn("run", sum(col("delta")).over(w))
-        .withColumn("pk",
-          max(col("run")).over(Window.partitionBy(col("user_id"))))
-        .filter(col("run") === col("pk"))
-        .groupBy(col("user_id"))
-        .agg(max(col("run")).as("peak_conc"), min(col("t")).as("peak_at_us"))
+    // Longest consecutive-active-day streak per user (the engagement
+    // read DAUs can't give): distinct (user, day) marks, a day-grain
+    // gaps-and-islands pass (new island iff the day gap exceeds 1),
+    // best and latest streak lengths plus the streak-ending day —
+    // all integer day arithmetic, windows partition by user. The
+    // "ending" streak is the island containing the user's last active
+    // day (a pipeline with a corpus cutoff reads it as the current
+    // streak, the q250 no-engine-now() rule).
+    "q300_active_streaks" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val isl = days
+        .withColumn("new_isl",
+          when(lag(col("day"), 1).over(w).isNull ||
+            datediff(col("day"), lag(col("day"), 1).over(w)) > 1, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"), max(col("day")).as("isl_end"))
+      isl.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_active_days"),
+          max(col("len")).as("best_streak"),
+          // isl_end is unique per user (islands are disjoint day runs),
+          // so max_by is deterministic without a tiebreak
+          max_by(col("len"), col("isl_end")).as("ending_streak"),
+          max(col("isl_end")).as("last_day"))
     }),
 
 
@@ -406,18 +422,21 @@ object Analytics2Queries {
     }),
 
 
-    // Two-sample Kolmogorov–Smirnov per market segment (URGENT vs LOW
-    // order values): per-value CDF fold first (ties jump once, after the
-    // whole block), then the DIVISION-FREE exact statistic
-    // max |cum_a·n_b − cum_b·n_a| over decimal-lifted integers; the
-    // classical d is the one final double. ops.Stats.ksTest.
-    "q312_ks_test" -> ((s, dir) => {
+    // Two-sample EDF distance panel per market segment (URGENT vs LOW
+    // order values): Cramér–von Mises — the INTEGRAL of the squared CDF
+    // gap, tail-sensitive where q230's KS sees only the worst point —
+    // plus KS itself from the same one-pass per-value CDF fold. Both
+    // numerators are division-free exact integers
+    // (max |cum_a·n_b − cum_b·n_a| and Σ cnt·gap²); cvm_num travels as
+    // its decimal string, classical forms via the decimal-string
+    // bridge. ops.Stats.edfDistances.
+    "q312_edf_distances" -> ((s, dir) => {
       val t = Tables.orders(s, dir)
         .join(Tables.customer(s, dir),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment"), col("o_orderpriority"),
           cents(col("o_totalprice")).as("v"))
-      ops.Stats.ksTest(t, "c_mktsegment", "o_orderpriority", "v",
+      ops.Stats.edfDistances(t, "c_mktsegment", "o_orderpriority", "v",
         "1-URGENT", "5-LOW")
     }),
 
@@ -470,19 +489,26 @@ object Analytics2Queries {
     * final double formulas, same `//` truncating division. */
   val sql: Map[String, String] = Map(
 
-    "q298_benford_digits" ->
-      """WITH v AS (
-        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v
-        |  FROM orders),
-        |d AS (
-        |  SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
-        |         CAST(count(*) AS BIGINT) AS n
-        |  FROM v GROUP BY 1)
-        |SELECT digit, n,
-        |  CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS obs_ppm,
-        |  CAST(floor((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
-        |       * 1000000.0) AS BIGINT) AS exp_ppm
-        |FROM d""".stripMargin,
+    "q298_basket_overlap" ->
+      """WITH np AS (
+        |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS nk,
+        |         l.l_partkey AS pk
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |sizes AS (
+        |  SELECT nk, CAST(count(*) AS BIGINT) AS sz FROM np GROUP BY 1),
+        |inter AS (
+        |  SELECT a.nk AS n1, b.nk AS n2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM np a JOIN np b ON a.pk = b.pk AND a.nk < b.nk
+        |  GROUP BY 1, 2)
+        |SELECT i.n1, i.n2, i.inter,
+        |  s1.sz + s2.sz - i.inter AS uni,
+        |  CAST(i.inter * 1000000 // (s1.sz + s2.sz - i.inter) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST(i.inter * 1000000 // least(s1.sz, s2.sz) AS BIGINT)
+        |    AS overlap_ppm
+        |FROM inter i
+        |JOIN sizes s1 ON i.n1 = s1.nk
+        |JOIN sizes s2 ON i.n2 = s2.nk""".stripMargin,
 
     "q299_spearman_corr" ->
       """WITH rev AS (
@@ -519,27 +545,32 @@ object Analytics2Queries {
         |       THEN num / (sqrt(d1) * sqrt(d2)) END AS rho
         |FROM f""".stripMargin,
 
-    "q300_peak_concurrency" ->
-      """WITH iv AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS st,
-        |         epoch_us(ts) + 600 * 1000000 AS en
-        |  FROM events),
-        |b AS (
-        |  SELECT user_id, st AS t, CAST(1 AS BIGINT) AS delta, event_id FROM iv
-        |  UNION ALL
-        |  SELECT user_id, en AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM iv),
-        |r AS (
-        |  SELECT user_id, t,
-        |    sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS run
-        |  FROM b),
-        |p AS (
-        |  SELECT user_id, t, run,
-        |    max(run) OVER (PARTITION BY user_id) AS pk
-        |  FROM r)
-        |SELECT user_id, CAST(max(run) AS BIGINT) AS peak_conc,
-        |       CAST(min(t) AS BIGINT) AS peak_at_us
-        |FROM p WHERE run = pk GROUP BY 1""".stripMargin,
+    "q300_active_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |m AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |              IS NULL
+        |           OR day - lag(day) OVER (PARTITION BY user_id
+        |                                   ORDER BY day) > 1
+        |         THEN 1 ELSE 0 END AS new_isl
+        |  FROM d),
+        |i AS (
+        |  SELECT user_id, day,
+        |    sum(new_isl) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM m),
+        |s AS (
+        |  SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len,
+        |         max(day) AS isl_end
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS best_streak,
+        |  CAST(max_by(len, isl_end) AS BIGINT) AS ending_streak,
+        |  max(isl_end) AS last_day
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q301_zipf_slope" ->
       """WITH tf AS (
@@ -778,7 +809,7 @@ object Analytics2Queries {
         |  CAST(CAST(cum_v AS HUGEINT) * 1000000 // tot_v AS BIGINT) AS value_ppm
         |FROM r WHERE rn * 10 // n > (rn - 1) * 10 // n""".stripMargin,
 
-    "q312_ks_test" ->
+    "q312_edf_distances" ->
       """WITH t AS (
         |  SELECT c.c_mktsegment,
         |    CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
@@ -791,7 +822,7 @@ object Analytics2Queries {
         |         CAST(sum(b) AS BIGINT) AS db
         |  FROM t GROUP BY 1, 2),
         |r AS (
-        |  SELECT c_mktsegment,
+        |  SELECT c_mktsegment, da, db,
         |    sum(da) OVER (PARTITION BY c_mktsegment ORDER BY v
         |      ROWS UNBOUNDED PRECEDING) AS cum_a,
         |    sum(db) OVER (PARTITION BY c_mktsegment ORDER BY v
@@ -800,18 +831,24 @@ object Analytics2Queries {
         |    sum(db) OVER (PARTITION BY c_mktsegment) AS nb
         |  FROM pv),
         |g AS (
-        |  SELECT c_mktsegment, CAST(na AS BIGINT) AS n_a,
+        |  SELECT c_mktsegment, da, db, CAST(na AS BIGINT) AS n_a,
         |    CAST(nb AS BIGINT) AS n_b,
         |    abs(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na) AS gap
         |  FROM r),
         |m AS (
         |  SELECT c_mktsegment, max(n_a) AS n_a, max(n_b) AS n_b,
-        |    CAST(max(gap) AS BIGINT) AS d_num
+        |    CAST(max(gap) AS BIGINT) AS ks_num,
+        |    sum(CAST(da + db AS HUGEINT) * gap * gap) AS cvm_dec
         |  FROM g GROUP BY 1)
-        |SELECT c_mktsegment, n_a, n_b, d_num,
+        |SELECT c_mktsegment, n_a, n_b, ks_num,
+        |  CAST(cvm_dec AS VARCHAR) AS cvm_num,
         |  CASE WHEN n_a > 0 AND n_b > 0
-        |       THEN CAST(d_num AS DOUBLE)
-        |            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS d
+        |       THEN CAST(ks_num AS DOUBLE)
+        |            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS ks,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN CAST(CAST(cvm_dec AS VARCHAR) AS DOUBLE)
+        |            / CAST(CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)
+        |                * (n_a + n_b) AS VARCHAR) AS DOUBLE) END AS cvm
         |FROM m""".stripMargin,
 
     "q313_covisitation" ->

@@ -15,24 +15,28 @@ class Analytics2Spec extends AnyFunSuite {
   private def run(name: String) =
     Analytics2Queries.queries(name)(spark, dir).collect()
 
-  test("LAW benford digits are 1..9, counts conserve the order count, " +
-      "observed ppm sums to 1e6 within truncation slack, expected ppm " +
-      "matches the driver-side log10 formula") {
-    val rows = run("q298_benford_digits")
-    val digits = rows.map(_.getAs[Int]("digit")).sorted
-    assert(digits.forall(d => d >= 1 && d <= 9))
-    assert(digits.distinct.length == digits.length)
-    val nOrders = Tables.orders(spark, dir).count()
-    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
-    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
-    assert(obsSum <= 1000000L && obsSum >= 1000000L - 9,
-      s"obs ppm sum $obsSum")
+  test("LAW basket overlap: inclusion-exclusion unions, jaccard <= " +
+      "overlap coefficient, and one pair matches a driver-side set replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q298_basket_overlap")
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val d = r.getAs[Int]("digit")
-      val expect =
-        math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6).toLong
-      assert(r.getAs[Long]("exp_ppm") == expect)
+      assert(r.getAs[Long]("n1") < r.getAs[Long]("n2"))
+      assert(r.getAs[Long]("inter") <= r.getAs[Long]("uni"))
+      assert(r.getAs[Long]("jaccard_ppm") <= r.getAs[Long]("overlap_ppm"))
+      assert(r.getAs[Long]("overlap_ppm") <= 1000000L)
     }
+    val np = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val r0 = rows.head
+    val (a, b) = (np(r0.getAs[Long]("n1")), np(r0.getAs[Long]("n2")))
+    assert(r0.getAs[Long]("inter") == (a & b).size.toLong)
+    assert(r0.getAs[Long]("uni") == (a | b).size.toLong)
+    assert(r0.getAs[Long]("jaccard_ppm")
+      == (a & b).size.toLong * 1000000L / (a | b).size)
   }
 
   test("LAW spearman rho lies in [-1,1] and matches a driver-side " +
@@ -81,26 +85,33 @@ class Analytics2Spec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-9, s"got $got want $expected")
   }
 
-  test("LAW peak concurrency matches a driver-side sweep for every user") {
+  test("LAW active streaks match a driver-side consecutive-day replay " +
+      "for every user and conserve active days") {
     import org.apache.spark.sql.functions._
-    val rows = run("q300_peak_concurrency")
+    val rows = run("q300_active_streaks")
       .map(r => r.getAs[Long]("user_id") ->
-        (r.getAs[Long]("peak_conc"), r.getAs[Long]("peak_at_us"))).toMap
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("st"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        (r.getAs[Long]("n_streaks"), r.getAs[Long]("n_active_days"),
+          r.getAs[Long]("best_streak"), r.getAs[Long]("ending_streak")))
+      .toMap
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
       .groupBy(_._1)
-    ev.foreach { case (u, es) =>
-      // brute force: concurrency evaluated at every start boundary,
-      // half-open [st, st+600s) intervals
-      val best = es.map { case (_, _, t0) =>
-        (es.count { case (_, _, t) => t <= t0 && t0 < t + 600000000L }, t0)
-      }
-      val peak = best.map(_._1).max
-      val at = best.filter(_._1 == peak).map(_._2).min
-      assert(rows(u) == (peak.toLong, at), s"user $u: ${rows(u)} vs ($peak,$at)")
+    byUser.foreach { case (u, ds) =>
+      val days = ds.map(_._2.toEpochDay).sorted
+      val streaks = days.foldLeft(List.empty[List[Long]]) {
+        case (acc, d) => acc match {
+          case (h @ (last :: _)) :: t if d == last + 1 => (d :: h) :: t
+          case _ => List(d) :: acc
+        }
+      }.map(_.length.toLong)
+      val got = rows(u)
+      assert(got._1 == streaks.length.toLong, s"user $u n_streaks")
+      assert(got._2 == days.length.toLong, s"user $u active days")
+      assert(got._3 == streaks.max, s"user $u best")
+      // foldLeft prepends: head of `streaks` is the LATEST island
+      assert(got._4 == streaks.head, s"user $u ending")
     }
   }
 
@@ -256,14 +267,15 @@ class Analytics2Spec extends AnyFunSuite {
     assert(full.toSet == sliced.toSet)
   }
 
-  test("LAW ks statistic matches a driver-side two-sample CDF sweep and " +
-      "d lies in [0,1]") {
+  test("LAW edf distances match a driver-side two-sample CDF sweep " +
+      "(KS max and CvM integral) and classical stats are in range") {
     import org.apache.spark.sql.functions._
-    val rows = run("q312_ks_test")
+    val rows = run("q312_edf_distances")
     rows.foreach { r =>
-      if (!r.isNullAt(r.fieldIndex("d"))) {
-        val d = r.getAs[Double]("d")
+      if (!r.isNullAt(r.fieldIndex("ks"))) {
+        val d = r.getAs[Double]("ks")
         assert(d >= 0.0 && d <= 1.0)
+        assert(r.getAs[Double]("cvm") >= 0.0)
       }
     }
     val seg = rows.head.getAs[String]("c_mktsegment")
@@ -277,14 +289,19 @@ class Analytics2Spec extends AnyFunSuite {
     val a = vals.filter(_._1 == "1-URGENT").map(_._2).sorted
     val b = vals.filter(_._1 == "5-LOW").map(_._2).sorted
     val pooled = (a ++ b).distinct.sorted
-    val dNum = pooled.map { v =>
+    val gaps = pooled.map { v =>
       val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
-      math.abs(ca * b.length - cb * a.length)
-    }.max
+      val cnt = a.count(_ == v).toLong + b.count(_ == v).toLong
+      (math.abs(ca * b.length - cb * a.length), cnt)
+    }
+    val ksNum = gaps.map(_._1).max
+    val cvmNum = gaps.map { case (g, cnt) => BigInt(g) * g * cnt }.sum
     val got = rows.find(_.getAs[String]("c_mktsegment") == seg).get
     assert(got.getAs[Long]("n_a") == a.length)
     assert(got.getAs[Long]("n_b") == b.length)
-    assert(got.getAs[Long]("d_num") == dNum, s"d_num ${got} vs $dNum")
+    assert(got.getAs[Long]("ks_num") == ksNum)
+    assert(BigInt(got.getAs[String]("cvm_num")) == cvmNum,
+      s"cvm_num ${got.getAs[String]("cvm_num")} vs $cvmNum")
   }
 
   test("LAW lorenz decile points: ten deciles per nation, terminal point " +
