@@ -452,6 +452,93 @@ object Analytics2Queries {
         "l_orderkey", "l_partkey", k = 5, maxBasket = 20)._1),
 
 
+    // Segment-migration matrix (period-over-period): customers
+    // classified into revenue quintiles independently in the pre- and
+    // post-1998 halves (q220's broadcast exact-percentile edges — no
+    // global ntile), class 0 = inactive that period; the transition
+    // matrix counts + per-origin row shares in integer ppm. The churn/
+    // upgrade/downgrade flow read behind cohort dashboards.
+    "q314_segment_migration" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("c"))
+      def rev(f: Column, out: String) =
+        o.filter(f).groupBy(col("o_custkey")).agg(sum(col("c")).as(out))
+      val p1 = rev(col("d") < to_date(lit("1998-01-01")), "v1")
+        .withColumnRenamed("o_custkey", "ck1")
+      val p2 = rev(col("d") >= to_date(lit("1998-01-01")), "v2")
+        .withColumnRenamed("o_custkey", "ck2")
+      val q1 = p1.agg(percentile(col("v1"), lit(0.2)).as("a1"),
+        percentile(col("v1"), lit(0.4)).as("a2"),
+        percentile(col("v1"), lit(0.6)).as("a3"),
+        percentile(col("v1"), lit(0.8)).as("a4"))
+      val q2 = p2.agg(percentile(col("v2"), lit(0.2)).as("b1"),
+        percentile(col("v2"), lit(0.4)).as("b2"),
+        percentile(col("v2"), lit(0.6)).as("b3"),
+        percentile(col("v2"), lit(0.8)).as("b4"))
+      def cls(v: String, t: Seq[String]) =
+        when(col(v).isNull, 0).otherwise(
+          t.map(q => when(col(v) > col(q), 1).otherwise(0))
+            .reduce(_ + _) + 1).cast("int")
+      p1.join(p2, col("ck1") === col("ck2"), "full_outer")
+        .crossJoin(broadcast(q1)).crossJoin(broadcast(q2))
+        .select(cls("v1", Seq("a1", "a2", "a3", "a4")).as("from_class"),
+          cls("v2", Seq("b1", "b2", "b3", "b4")).as("to_class"))
+        .groupBy(col("from_class"), col("to_class"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_ppm", expr(
+          "n * 1000000 div sum(n) over (partition by from_class)"))
+    }),
+
+
+    // Embedding-hygiene audit (the QA gate an ANN pipeline runs before
+    // indexing): per label — vector count, all-zero vectors, ragged
+    // dims, and L2-norm stats off the SAME integer-quantized
+    // self-dot the similarity family ranks with (norm_micro =
+    // floor(1e6·sqrt(dot_self/1e12)), one shared double formula).
+    // Row-local scan + one grouped fold; no joins.
+    "q315_embedding_audit" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          graft.exprapi.quantizedDotFast(col("embedding"), col("embedding"))
+            .as("dot_self"),
+          size(col("embedding")).as("dim"))
+        .withColumn("norm_micro",
+          floor(sqrt(col("dot_self").cast("double") / lit(1.0e12))
+            * lit(1000000.0)).cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("dot_self") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_ragged"),
+          min(col("norm_micro")).as("min_norm_micro"),
+          max(col("norm_micro")).as("max_norm_micro"),
+          sum(col("norm_micro")).as("sum_norm_micro"))),
+
+
+    // Brand rank momentum: monthly revenue rank per brand (deterministic
+    // row_number under (revenue desc, brand)) and its month-over-month
+    // delta — the leaderboard-movement read. Rank windows partition by
+    // MONTH (bounded grain); the lag partitions by brand over its own
+    // months. Exact cents only.
+    "q316_rank_momentum" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+            .as("month"), col("p_brand"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      val wRank = Window.partitionBy(col("month"))
+        .orderBy(col("rev_cents").desc, col("p_brand"))
+      val wLag = Window.partitionBy(col("p_brand")).orderBy(col("month"))
+      m.withColumn("rnk", row_number().over(wRank).cast("long"))
+        .withColumn("prev_rnk", lag(col("rnk"), 1).over(wLag))
+        .withColumn("rank_delta", col("prev_rnk") - col("rnk"))
+        .select(col("month"), col("p_brand"), col("rev_cents"),
+          col("rnk"), col("prev_rnk"), col("rank_delta"))
+    }),
+
+
     // Calibration bins + per-bin ECE contribution for a monotone score
     // (global acctbal percent-rank as confidence ppm) against the
     // repeat-buyer label: ten fixed-width confidence bins, per-bin
@@ -783,6 +870,81 @@ object Analytics2Queries {
         |       THEN (sqrt(dd) - CAST(s_g AS DOUBLE))
         |            / (sqrt(dd) + CAST(s_g AS DOUBLE)) END AS b_coeff
         |FROM f""".stripMargin,
+
+    "q314_segment_migration" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |p1 AS (SELECT o_custkey AS ck1, CAST(sum(c) AS BIGINT) AS v1
+        |       FROM o WHERE d < DATE '1998-01-01' GROUP BY 1),
+        |p2 AS (SELECT o_custkey AS ck2, CAST(sum(c) AS BIGINT) AS v2
+        |       FROM o WHERE d >= DATE '1998-01-01' GROUP BY 1),
+        |q1 AS (SELECT quantile_cont(v1, 0.2) AS a1, quantile_cont(v1, 0.4) AS a2,
+        |              quantile_cont(v1, 0.6) AS a3, quantile_cont(v1, 0.8) AS a4
+        |       FROM p1),
+        |q2 AS (SELECT quantile_cont(v2, 0.2) AS b1, quantile_cont(v2, 0.4) AS b2,
+        |              quantile_cont(v2, 0.6) AS b3, quantile_cont(v2, 0.8) AS b4
+        |       FROM p2),
+        |j AS (SELECT v1, v2 FROM p1 FULL OUTER JOIN p2 ON ck1 = ck2),
+        |cl AS (
+        |  SELECT
+        |    CAST(CASE WHEN v1 IS NULL THEN 0 ELSE
+        |      1 + (CASE WHEN v1 > a1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v1 > a2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v1 > a3 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v1 > a4 THEN 1 ELSE 0 END) END AS INT) AS from_class,
+        |    CAST(CASE WHEN v2 IS NULL THEN 0 ELSE
+        |      1 + (CASE WHEN v2 > b1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v2 > b2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v2 > b3 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v2 > b4 THEN 1 ELSE 0 END) END AS INT) AS to_class
+        |  FROM j CROSS JOIN q1 CROSS JOIN q2)
+        |SELECT from_class, to_class, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) * 1000000
+        |       // sum(count(*)) OVER (PARTITION BY from_class) AS BIGINT)
+        |    AS row_ppm
+        |FROM cl GROUP BY 1, 2""".stripMargin,
+
+    "q315_embedding_audit" ->
+      """WITH d AS (
+        |  SELECT label,
+        |    CAST(list_sum(list_transform(generate_series(1, len(embedding)), i ->
+        |      CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |        * 1000000000000) AS BIGINT))) AS BIGINT) AS dot_self,
+        |    len(embedding) AS dim
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT label, dot_self, dim,
+        |    CAST(floor(sqrt(CAST(dot_self AS DOUBLE) / 1000000000000.0)
+        |         * 1000000.0) AS BIGINT) AS norm_micro
+        |  FROM d)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN dot_self = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_ragged,
+        |  min(norm_micro) AS min_norm_micro,
+        |  max(norm_micro) AS max_norm_micro,
+        |  CAST(sum(norm_micro) AS BIGINT) AS sum_norm_micro
+        |FROM n GROUP BY 1""".stripMargin,
+
+    "q316_rank_momentum" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |    p.p_brand,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |             AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT month, p_brand, rev_cents,
+        |    CAST(row_number() OVER (PARTITION BY month
+        |      ORDER BY rev_cents DESC, p_brand) AS BIGINT) AS rnk
+        |  FROM m)
+        |SELECT month, p_brand, rev_cents, rnk,
+        |  lag(rnk) OVER (PARTITION BY p_brand ORDER BY month) AS prev_rnk,
+        |  lag(rnk) OVER (PARTITION BY p_brand ORDER BY month) - rnk
+        |    AS rank_delta
+        |FROM r""".stripMargin,
 
     "q311_lorenz_points" ->
       """WITH rev AS (

@@ -350,6 +350,69 @@ class Analytics2Spec extends AnyFunSuite {
     assert(srv2.collect().length == 2) // only the small basket's pair
   }
 
+  test("LAW segment migration: classes in 0..5, no inactive-to-inactive " +
+      "cell, matrix conserves the active customer base, row shares sum " +
+      "to 1e6 within truncation slack") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q314_segment_migration")
+    rows.foreach { r =>
+      val f = r.getAs[Int]("from_class"); val t = r.getAs[Int]("to_class")
+      assert(f >= 0 && f <= 5 && t >= 0 && t <= 5)
+      assert(!(f == 0 && t == 0), "customers come from orders - (0,0) impossible")
+    }
+    val active = Tables.orders(spark, dir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == active)
+    rows.groupBy(_.getAs[Int]("from_class")).foreach { case (f, cells) =>
+      val s = cells.map(_.getAs[Long]("row_ppm")).sum
+      assert(s <= 1000000L && s >= 1000000L - cells.length,
+        s"from_class $f row shares sum $s")
+    }
+  }
+
+  test("LAW embedding audit: counts conserve the corpus, no zero/ragged " +
+      "vectors in the fixture, and one vector's norm matches a driver " +
+      "replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q315_embedding_audit")
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_zero") == 0L)
+      assert(r.getAs[Long]("n_ragged") == 0L)
+      assert(r.getAs[Long]("min_norm_micro") <= r.getAs[Long]("max_norm_micro"))
+      assert(r.getAs[Long]("min_norm_micro") > 0L)
+    }
+    val one = Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding")).head()
+    val emb = one.getAs[scala.collection.Seq[Float]]("embedding")
+    val dotSelf = emb.map(x =>
+      math.floor(x.toDouble * x.toDouble * 1e12).toLong).sum
+    val normMicro = math.floor(math.sqrt(dotSelf.toDouble / 1e12) * 1e6).toLong
+    val lab = rows.find(_.getAs[Int]("label") == one.getAs[Int]("label")).get
+    assert(lab.getAs[Long]("min_norm_micro") <= normMicro &&
+      normMicro <= lab.getAs[Long]("max_norm_micro"))
+  }
+
+  test("LAW rank momentum: each month's ranks are a 1..n permutation and " +
+      "deltas telescope per brand") {
+    val rows = run("q316_rank_momentum")
+    rows.groupBy(_.getAs[java.sql.Date]("month")).foreach { case (m, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(ranks == (1L to ranks.length.toLong), s"month $m ranks")
+    }
+    rows.groupBy(_.getAs[String]("p_brand")).foreach { case (b, rs) =>
+      val ordered = rs.sortBy(_.getAs[java.sql.Date]("month").getTime)
+      assert(ordered.head.isNullAt(ordered.head.fieldIndex("prev_rnk")))
+      ordered.sliding(2).filter(_.length == 2).foreach { pair =>
+        val p = pair(0); val c = pair(1)
+        assert(c.getAs[Long]("prev_rnk") == p.getAs[Long]("rnk"), s"$b")
+        assert(c.getAs[Long]("rank_delta")
+          == p.getAs[Long]("rnk") - c.getAs[Long]("rnk"))
+      }
+    }
+  }
+
   test("LAW order-day gaps: span/active/missing conserve and gap counts " +
       "match a driver-side replay per nation") {
     import org.apache.spark.sql.functions._
