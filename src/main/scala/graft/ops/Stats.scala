@@ -85,7 +85,8 @@ object Stats {
 
   /** Lorenz curve decile points per `groupCol`: entities ranked ascending
     * by `valueCol` (ties broken by `keyCol` — deterministic), emitting
-    * the k/10 population boundary rows (rank = ⌊k·n/10⌋, k = 1..10) with
+    * the k/10 population boundary rows — the FIRST rank whose integer
+    * decile index reaches k, i.e. rank = ⌈k·n/10⌉, k = 1..10 — with
     * exact-integer cumulative population and value shares in ppm.
     * `valueCol` must be non-negative (shares are `div` over non-negative
     * operands). Companion curve to the q253 Gini scalar. */
@@ -103,8 +104,9 @@ object Stats {
       .withColumn("cum_v", sum(col("_v")).over(wCum))
       .withColumn("n", count(lit(1)).over(wTot))
       .withColumn("tot_v", sum(col("_v")).over(wTot))
-      // boundary row for decile k iff rn == floor(k*n/10) for some k;
-      // equivalently rn*10 div n > (rn-1)*10 div n (integer step)
+      // boundary row for decile k = the smallest rn with rn*10 div n = k
+      // (rn = ceil(k*n/10)), detected as the integer-step condition
+      // rn*10 div n > (rn-1)*10 div n
       .withColumn("k", expr("rn * 10 div n"))
       .filter(expr("rn * 10 div n > (rn - 1) * 10 div n"))
       .withColumn("pop_ppm", expr("rn * 1000000 div n"))

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
 
-/** Round-9 continuation surfaces (q298–q313, less the streamed q306 which
+/** Round-9 continuation surfaces (q298–q316, less the streamed q306 which
   * lives with its family in [[StreamingQueries]]): group-to-group set
   * overlap (Jaccard matrix), rank correlation (Spearman with ties),
-  * concurrency sweeps, corpus power laws (Zipf slope), dependence
-  * (mutual information, lagged cross-correlation), EDF distances
-  * (KS + Cramér–von Mises), robust location (trimmed mean), inequality
-  * (Theil, Lorenz curve points), data-quality gap profiles, inter-event
-  * burstiness, calibration (ECE bins), item-item co-visitation, and a
-  * Matryoshka prefix-dimension recall audit over the embedding corpus.
+  * consecutive-active-day streaks, corpus power laws (Zipf slope),
+  * dependence (mutual information, lagged cross-correlation), EDF
+  * distances (KS + Cramér–von Mises), robust location (trimmed mean),
+  * inequality (Theil, Lorenz curve points), data-quality gap profiles,
+  * inter-event burstiness, calibration (ECE bins), item-item
+  * co-visitation, a Matryoshka prefix-dimension recall audit over the
+  * embedding corpus, period-over-period segment migration, an
+  * embedding-hygiene audit, and brand rank momentum.
   *
   * Same house portability rules as [[AnalyticsQueries]]: money is exact
   * cents BEFORE any aggregate; ratios are integer ppm via `div`/`//` on
@@ -446,10 +448,17 @@ object Analytics2Queries {
     // (order, part) baskets, oversized baskets dropped LOUDLY (cap 20 —
     // pair volume is Σ basket², the capped-universe rule), ordered pair
     // counts, deterministic per-item top-5. ops.Stats.covisitationTopK;
-    // the dropped-basket diagnostic frame is spec-pinned.
-    "q313_covisitation" -> ((s, dir) =>
-      ops.Stats.covisitationTopK(Tables.lineitem(s, dir),
-        "l_orderkey", "l_partkey", k = 5, maxBasket = 20)._1),
+    // the drop count rides every serving row as a scalar-agg broadcast
+    // (n_dropped_baskets — the cap is visible IN the registered surface,
+    // not just in the helper's diagnostic frame), and the per-basket
+    // diagnostic frame is additionally spec-pinned.
+    "q313_covisitation" -> ((s, dir) => {
+      val (serving, dropped) = ops.Stats.covisitationTopK(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        k = 5, maxBasket = 20)
+      serving.crossJoin(broadcast(
+        dropped.agg(count(lit(1)).as("n_dropped_baskets"))))
+    }),
 
 
     // Segment-migration matrix (period-over-period): customers
@@ -1028,9 +1037,12 @@ object Analytics2Queries {
         |  SELECT item, co_item, n_cobaskets,
         |    CAST(row_number() OVER (PARTITION BY item
         |      ORDER BY n_cobaskets DESC, co_item) AS BIGINT) AS rank
-        |  FROM pairs)
-        |SELECT item, co_item, n_cobaskets, rank
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+        |  FROM pairs),
+        |dropped AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_dropped_baskets
+        |  FROM (SELECT bk FROM sized WHERE bs > 20 GROUP BY bk))
+        |SELECT item, co_item, n_cobaskets, rank, d.n_dropped_baskets
+        |FROM ranked CROSS JOIN dropped d WHERE rank <= 5""".stripMargin,
 
     "q310_calibration_ece" ->
       """WITH n_ord AS (

@@ -330,6 +330,9 @@ class Analytics2Spec extends AnyFunSuite {
     val (serving, dropped) = ops.Stats.covisitationTopK(
       Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
       k = 5, maxBasket = 20)
+    // the registered surface carries the drop count on every row
+    val reg = run("q313_covisitation")
+    assert(reg.forall(_.getAs[Long]("n_dropped_baskets") == 0L))
     val pairs = serving.select("item", "co_item", "n_cobaskets").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     // symmetry on pairs present in both directions' top-k
