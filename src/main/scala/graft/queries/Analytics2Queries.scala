@@ -548,6 +548,116 @@ object Analytics2Queries {
     }),
 
 
+    // Price/volume/mix decomposition of brand revenue change (1996 →
+    // 1997, the FP&A bridge): per (brand, part) conditional-sum pivot
+    // in ONE pass, div-derived integer unit prices, then
+    // Δrev = Σ(q1−q0)·p0 [volume] + Σq1·(p1−p0) [price] + residual
+    // (the declared div-truncation + mix remainder — the bridge always
+    // reconciles exactly because the residual is DEFINED as the gap).
+    // Only parts traded in both years enter; decimal-lifted products.
+    "q317_price_volume_mix" -> ((s, dir) => {
+      val pp = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("yr", year(col("l_shipdate")))
+        .filter(col("yr").isin(1996, 1997))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(
+          sum(when(col("yr") === 1996,
+            col("l_quantity").cast("long")).otherwise(0L)).as("q0"),
+          sum(when(col("yr") === 1996,
+            cents(col("l_extendedprice"))).otherwise(0L)).as("r0"),
+          sum(when(col("yr") === 1997,
+            col("l_quantity").cast("long")).otherwise(0L)).as("q1"),
+          sum(when(col("yr") === 1997,
+            cents(col("l_extendedprice"))).otherwise(0L)).as("r1"))
+        .filter(col("q0") > 0 && col("q1") > 0)
+        .withColumn("p0", expr("r0 div q0"))
+        .withColumn("p1", expr("r1 div q1"))
+      pp.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("r1") - col("r0")).as("d_rev"),
+          sum(d38(col("q1") - col("q0")) * d38(col("p0")))
+            .cast("long").as("vol_effect"),
+          sum(d38(col("q1")) * d38(col("p1") - col("p0")))
+            .cast("long").as("price_effect"))
+        .withColumn("residual",
+          col("d_rev") - col("vol_effect") - col("price_effect"))
+    }),
+
+
+    // Sequential probability ratio test (Wald's SPRT) on the B arm's
+    // daily purchase conversion — the "stop the experiment early"
+    // machinery: H0 p=0.04 vs H1 p=0.05, cumulative
+    // LLR = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) in floor-quantized
+    // µ-nats (constants are literal expressions both engines evaluate
+    // identically), boundaries ±ln(19) (α=β=0.05). Output: the daily
+    // LLR path with its accept/continue state — a window cumsum over
+    // the bounded day grain.
+    "q318_sprt" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("user_id") % 2 === 1)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_t"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("k_t"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c1 = log(lit(0.05 / 0.04))
+      val c2 = log(lit(0.95 / 0.96))
+      val upMicro = floor(log(lit(19.0)) * lit(1000000.0)).cast("long")
+      daily
+        .withColumn("n_cum", sum(col("n_t")).over(w))
+        .withColumn("k_cum", sum(col("k_t")).over(w))
+        .withColumn("llr_micro",
+          floor((col("k_cum").cast("double") * c1
+            + (col("n_cum") - col("k_cum")).cast("double") * c2)
+            * lit(1000000.0)).cast("long"))
+        .withColumn("state",
+          when(col("llr_micro") >= upMicro, "accept_h1")
+            .when(col("llr_micro") <= -upMicro, "accept_h0")
+            .otherwise("continue"))
+        .select(col("d"), col("n_cum"), col("k_cum"),
+          col("llr_micro"), col("state"))
+    }),
+
+
+    // Nelson–Aalen cumulative hazard over q264's life-table derivation
+    // (the estimator sibling: hazard increments instead of survival
+    // products): first event → first purchase, censored at last
+    // activity; per exit day, increment = d·1e6 div n_risk (integer
+    // µ-hazard), H = one cumulative window over the bounded day grain.
+    "q319_nelson_aalen" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          (col("event_type") === "purchase").as("isp"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("first_us"),
+          min(when(col("isp"), col("us"))).as("conv_us"),
+          max(col("us")).as("last_us"))
+        .withColumn("event", col("conv_us").isNotNull.cast("long"))
+        .withColumn("t_day", expr(
+          "(coalesce(conv_us, last_us) - first_us) div 86400000000"))
+      val exits = perUser.groupBy(col("t_day"))
+        .agg(sum(col("event")).as("n_event"),
+          sum(lit(1L) - col("event")).as("n_censored"))
+      val total = perUser.agg(count(lit(1)).as("n_total"))
+      val wPrior = Window.orderBy(col("t_day"))
+      exits.crossJoin(broadcast(total))
+        .withColumn("prior_exits", coalesce(
+          sum(col("n_event") + col("n_censored")).over(
+            wPrior.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_risk", col("n_total") - col("prior_exits"))
+        .withColumn("h_inc_micro", expr("n_event * 1000000 div n_risk"))
+        .withColumn("h_cum_micro", sum(col("h_inc_micro")).over(
+          wPrior.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("t_day"), col("n_risk"), col("n_event"),
+          col("h_inc_micro"), col("h_cum_micro"))
+    }),
+
+
     // Calibration bins + per-bin ECE contribution for a monotone score
     // (global acctbal percent-rank as confidence ppm) against the
     // repeat-buyer label: ten fixed-width confidence bins, per-bin
@@ -879,6 +989,94 @@ object Analytics2Queries {
         |       THEN (sqrt(dd) - CAST(s_g AS DOUBLE))
         |            / (sqrt(dd) + CAST(s_g AS DOUBLE)) END AS b_coeff
         |FROM f""".stripMargin,
+
+    "q317_price_volume_mix" ->
+      """WITH pp AS (
+        |  SELECT * FROM (
+        |    SELECT p.p_brand, l.l_partkey,
+        |      CAST(sum(CASE WHEN year(l.l_shipdate) = 1996
+        |        THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q0,
+        |      CAST(sum(CASE WHEN year(l.l_shipdate) = 1996
+        |        THEN CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+        |             AS BIGINT) ELSE 0 END) AS BIGINT) AS r0,
+        |      CAST(sum(CASE WHEN year(l.l_shipdate) = 1997
+        |        THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+        |      CAST(sum(CASE WHEN year(l.l_shipdate) = 1997
+        |        THEN CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+        |             AS BIGINT) ELSE 0 END) AS BIGINT) AS r1
+        |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |    WHERE year(l.l_shipdate) IN (1996, 1997)
+        |    GROUP BY 1, 2) WHERE q0 > 0 AND q1 > 0),
+        |pr AS (
+        |  SELECT p_brand, q0, r0, q1, r1,
+        |    CAST(r0 // q0 AS BIGINT) AS p0, CAST(r1 // q1 AS BIGINT) AS p1
+        |  FROM pp)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(r1 - r0) AS BIGINT) AS d_rev,
+        |  CAST(sum(CAST(q1 - q0 AS HUGEINT) * p0) AS BIGINT) AS vol_effect,
+        |  CAST(sum(CAST(q1 AS HUGEINT) * (p1 - p0)) AS BIGINT) AS price_effect,
+        |  CAST(sum(r1 - r0) AS BIGINT)
+        |    - CAST(sum(CAST(q1 - q0 AS HUGEINT) * p0) AS BIGINT)
+        |    - CAST(sum(CAST(q1 AS HUGEINT) * (p1 - p0)) AS BIGINT) AS residual
+        |FROM pr GROUP BY 1""".stripMargin,
+
+    "q318_sprt" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS k_t
+        |  FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        |c AS (
+        |  SELECT d,
+        |    sum(n_t) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS n_cum,
+        |    sum(k_t) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS k_cum
+        |  FROM daily),
+        |l AS (
+        |  SELECT d, CAST(n_cum AS BIGINT) AS n_cum,
+        |    CAST(k_cum AS BIGINT) AS k_cum,
+        |    CAST(floor((CAST(k_cum AS DOUBLE) * ln(0.05 / 0.04)
+        |      + CAST(n_cum - k_cum AS DOUBLE) * ln(0.95 / 0.96))
+        |      * 1000000.0) AS BIGINT) AS llr_micro
+        |  FROM c)
+        |SELECT d, n_cum, k_cum, llr_micro,
+        |  CASE WHEN llr_micro >= CAST(floor(ln(19.0) * 1000000.0) AS BIGINT)
+        |         THEN 'accept_h1'
+        |       WHEN llr_micro <= -CAST(floor(ln(19.0) * 1000000.0) AS BIGINT)
+        |         THEN 'accept_h0'
+        |       ELSE 'continue' END AS state
+        |FROM l""".stripMargin,
+
+    "q319_nelson_aalen" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS conv_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CAST((coalesce(conv_us, last_us) - first_us) // 86400000000
+        |         AS BIGINT) AS t_day
+        |  FROM pu),
+        |ex AS (
+        |  SELECT t_day, CAST(sum(event) AS BIGINT) AS n_event,
+        |    CAST(sum(1 - event) AS BIGINT) AS n_censored
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pu),
+        |r AS (
+        |  SELECT t_day, n_event,
+        |    n_total - coalesce(sum(n_event + n_censored) OVER (
+        |      ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM ex CROSS JOIN tot),
+        |h AS (
+        |  SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, n_event,
+        |    CAST(n_event * 1000000 // n_risk AS BIGINT) AS h_inc_micro
+        |  FROM r)
+        |SELECT t_day, n_risk, n_event, h_inc_micro,
+        |  CAST(sum(h_inc_micro) OVER (ORDER BY t_day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_cum_micro
+        |FROM h""".stripMargin,
 
     "q314_segment_migration" ->
       """WITH o AS (

@@ -602,6 +602,21 @@ object StreamingQueries {
       streaming.Streams.retentionStream(s, s"$root/events", ev.schema,
         s"$root/marks", s"$root/ckpt")
     }),
+
+
+    // q302's MI-cell machinery maintained as a stream: per-batch
+    // (event_type × engine-free dow) count partials (batchId-
+    // idempotent), counts merge by plain sums, readout applies the
+    // window marginals + floor-quantized µ-nat terms — hash-equals the
+    // one-shot batch MI under any batch split (the q294/q306 pattern)
+    "q320_mi_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val root = predsPath(s"q320_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.miCellsStream(s, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt")
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -976,5 +991,25 @@ object StreamingQueries {
         |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // one-shot MI over the same engine-free dow derivation — the
+    // streamed cell maintenance must reproduce it exactly
+    "q320_mi_stream" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x,
+        |    CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT x, y, n_xy,
+        |    sum(n_xy) OVER (PARTITION BY x) AS n_x,
+        |    sum(n_xy) OVER (PARTITION BY y) AS n_y,
+        |    sum(n_xy) OVER () AS n_tot
+        |  FROM cells)
+        |SELECT x, y, n_xy,
+        |  CAST(floor((ln(CAST(n_xy AS DOUBLE)) + ln(CAST(n_tot AS DOUBLE))
+        |    - ln(CAST(n_x AS DOUBLE)) - ln(CAST(n_y AS DOUBLE)))
+        |    * CAST(n_xy AS DOUBLE) * 1000000.0) AS BIGINT) AS term_micro
+        |FROM m""".stripMargin,
   )
 }

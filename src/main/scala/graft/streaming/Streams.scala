@@ -1138,4 +1138,70 @@ object Streams {
         datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Streaming mutual-information cell maintenance — the q302 MI table
+    * for (event_type × day-of-week) kept current as batches land: each
+    * micro-batch appends only its (x, y, n) cell-count partial
+    * (idempotently under `batch_id=<id>`, the [[srmGateStream]] replay
+    * rule); counts are order-free mergeable (plain sums), so the readout
+    * — merge, window marginals over the tiny cell grain, the
+    * floor-quantized µ-nat pointwise terms — hash-equals the one-shot
+    * batch MI regardless of batch splits or replays.
+    *
+    * Day-of-week is the ENGINE-FREE integer derivation
+    * `(epoch_days + 4) % 7` (1970-01-01 was a Thursday; 0 = Thursday) —
+    * never a locale/convention-dependent dayofweek() builtin.
+    *
+    * At scale: zero keyed state; partials are ≤ |types|·7 rows per
+    * batch and the readout runs on the merged cell grain. */
+  def miCellsStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    def cellsOf(df: DataFrame): DataFrame = df
+      .select(col("event_type").as("x"),
+        expr("(unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7")
+          .as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cellsOf(batch)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow MI-cells stream must drain")
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_xy",
+        org.apache.spark.sql.types.LongType)))
+    val cells = readPartials(spark, partialsDir, partialsSchema)
+      .groupBy(col("x"), col("y")).agg(sum(col("n_xy")).as("n_xy"))
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("n_x", sum(col("n_xy")).over(wx))
+      .withColumn("n_y", sum(col("n_xy")).over(wy))
+      .withColumn("n_tot", sum(col("n_xy")).over(wAll))
+      .withColumn("term_micro", floor(
+        (log(col("n_xy").cast("double")) + log(col("n_tot").cast("double"))
+          - log(col("n_x").cast("double")) - log(col("n_y").cast("double")))
+          * col("n_xy").cast("double") * lit(1000000.0)).cast("long"))
+      .select(col("x"), col("y"), col("n_xy"), col("term_micro"))
+  }
 }

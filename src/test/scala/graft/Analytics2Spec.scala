@@ -416,6 +416,71 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("LAW price/volume/mix bridge reconciles exactly per brand and " +
+      "one brand matches a driver-side decomposition") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q317_price_volume_mix")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d_rev") == r.getAs[Long]("vol_effect")
+        + r.getAs[Long]("price_effect") + r.getAs[Long]("residual"))
+    }
+    val b = rows.head.getAs[String]("p_brand")
+    val parts = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === b &&
+        year(col("l_shipdate")).isin(1996, 1997))
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(30,2)") * 100)
+          .cast("long").as("r"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .groupBy(_._1)
+    var vol = 0L; var price = 0L; var n = 0L
+    parts.foreach { case (_, ls) =>
+      val q0 = ls.filter(_._2 == 1996).map(_._3).sum
+      val r0 = ls.filter(_._2 == 1996).map(_._4).sum
+      val q1 = ls.filter(_._2 == 1997).map(_._3).sum
+      val r1 = ls.filter(_._2 == 1997).map(_._4).sum
+      if (q0 > 0 && q1 > 0) {
+        n += 1; val p0 = r0 / q0; val p1 = r1 / q1
+        vol += (q1 - q0) * p0; price += q1 * (p1 - p0)
+      }
+    }
+    val got = rows.find(_.getAs[String]("p_brand") == b).get
+    assert(got.getAs[Long]("n_parts") == n)
+    assert(got.getAs[Long]("vol_effect") == vol)
+    assert(got.getAs[Long]("price_effect") == price)
+  }
+
+  test("LAW sprt: llr path matches driver math per day and states " +
+      "respect the ln(19) boundaries") {
+    val rows = run("q318_sprt")
+    val up = math.floor(math.log(19.0) * 1e6).toLong
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k_cum"); val n = r.getAs[Long]("n_cum")
+      val expect = math.floor((k.toDouble * math.log(0.05 / 0.04)
+        + (n - k).toDouble * math.log(0.95 / 0.96)) * 1e6).toLong
+      assert(r.getAs[Long]("llr_micro") == expect)
+      val st = r.getAs[String]("state")
+      val l = r.getAs[Long]("llr_micro")
+      assert(st == (if (l >= up) "accept_h1"
+        else if (l <= -up) "accept_h0" else "continue"))
+    }
+  }
+
+  test("LAW nelson-aalen: cumulative hazard is nondecreasing, at-risk " +
+      "is strictly decreasing, and exits conserve the population") {
+    val rows = run("q319_nelson_aalen").sortBy(_.getAs[Long]("t_day"))
+    val h = rows.map(_.getAs[Long]("h_cum_micro"))
+    assert(h.zip(h.tail).forall { case (a, b) => a <= b })
+    val risk = rows.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a > b })
+    val nUsers = Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(risk.head == nUsers, "first at-risk set is everyone")
+  }
+
   test("LAW order-day gaps: span/active/missing conserve and gap counts " +
       "match a driver-side replay per nation") {
     import org.apache.spark.sql.functions._
