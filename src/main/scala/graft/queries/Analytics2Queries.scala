@@ -658,6 +658,116 @@ object Analytics2Queries {
     }),
 
 
+    // Fixed-round k-core peel of the thresholded customer–supplier
+    // graph (k=2 over edges with ≥2 linking orders; 8 rounds — fixture
+    // fixpoint is ≤4 at every SF, and the FIXED round count is the
+    // declared cross-engine semantics, the pageRankInt rule): each
+    // round recomputes degrees and keeps ≥k nodes via two semi joins;
+    // per-round localCheckpoint truncates the growing plan (the
+    // dupClusters iterative-loop rule). Output: surviving node
+    // (cust·2 / supp·2+1 encoding) and its final core degree.
+    "q321_kcore" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(countDistinct(col("o_orderkey")).as("w"))
+        .filter(col("w") >= 2).select(col("a"), col("b"))
+      var e = base.localCheckpoint()
+      for (_ <- 1 to 8) {
+        val deg = e.select(col("a").as("n"))
+          .unionByName(e.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2)
+        e = e.join(deg.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(deg.select(col("n").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint()
+      }
+      e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    }),
+
+
+    // First-order Markov attribution with removal effects (the
+    // model-based sibling of q209's rule-based linear credit): user
+    // paths truncate at the first purchase (CONV) or end in NULL;
+    // transition counts are distributed aggregation; the ≤7-state
+    // absorbing chain then solves by 48 JACOBI value-iteration rounds
+    // in EXACT integer micro-units — p'(s) = Σ n(s,s')·val(s') div
+    // total(s) — so both engines walk bit-identical paths (the oracle
+    // unrolls the same 48 rounds; float sums would be order-dependent,
+    // integer sums are not). Removal effect of channel c = share of
+    // conversion probability lost when c is forced non-converting.
+    // The matrix collect is BOUNDED (|event types|² cells — the vocab/
+    // scalar-witness allowance, not a data collect).
+    "q322_markov_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ranked = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+      val convRank = ranked.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("rn")).as("cr"))
+      val kept = ranked
+        .join(convRank, Seq("user_id"), "left")
+        .filter(col("cr").isNull || col("rn") <= col("cr"))
+        .withColumn("state", when(col("event_type") === "purchase",
+          lit("CONV")).otherwise(col("event_type")))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      val trans = kept
+        .withColumn("src", coalesce(lag(col("state"), 1).over(w2),
+          lit("START")))
+        .select(col("src"), col("state").as("dst"))
+      val terminal = kept
+        .withColumn("mx", max(col("rn")).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === col("mx") && col("state") =!= "CONV")
+        .select(col("state").as("src"), lit("NULL").as("dst"))
+      val counts = trans.unionByName(terminal)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSeq
+      val totals = counts.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._3).sum }
+      val states = counts.map(_._1).distinct.sorted
+      val channels = states.filter(_ != "START")
+      def pStart(removed: Option[String]): Long = {
+        var p = states.map(_ -> 0L).toMap
+        for (_ <- 1 to 48) {
+          p = states.map { st =>
+            st -> (if (removed.contains(st)) 0L
+            else {
+              val num = counts.filter(_._1 == st).map { case (_, dst, n) =>
+                val v = dst match {
+                  case "CONV" => 1000000L
+                  case "NULL" => 0L
+                  case d if removed.contains(d) => 0L
+                  case d => p(d)
+                }
+                BigInt(n) * v
+              }.sum
+              (num / totals(st)).toLong
+            })
+          }.toMap
+        }
+        p("START")
+      }
+      val base = pStart(None)
+      val rows = (("(none)", base, 0L) +: channels.map { c =>
+        val pr = pStart(Some(c))
+        (c, pr,
+          if (base > 0) (base - pr) * 1000000L / base else 0L)
+      }).toList
+      import s.implicits._
+      rows.toDF("removed", "p_start_micro", "removal_micro")
+    }),
+
+
     // Calibration bins + per-bin ECE contribution for a monotone score
     // (global acctbal percent-rank as confidence ppm) against the
     // repeat-buyer label: ten fixed-width confidence bins, per-bin
@@ -989,6 +1099,93 @@ object Analytics2Queries {
         |       THEN (sqrt(dd) - CAST(s_g AS DOUBLE))
         |            / (sqrt(dd) + CAST(s_g AS DOUBLE)) END AS b_coeff
         |FROM f""".stripMargin,
+
+    // 8 unrolled peel stages — the same FIXED round count the Spark
+    // loop runs (fixed-round semantics make the fixpoint question moot
+    // for parity; the fixture converges by round 4 at every SF)
+    "q321_kcore" -> {
+      val stages = (1 to 8).map { i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT n FROM (SELECT a AS n FROM e${i - 1}
+           |                 UNION ALL SELECT b FROM e${i - 1})
+           |  GROUP BY 1 HAVING count(*) >= 2),
+           |e$i AS MATERIALIZED (
+           |  SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT n FROM n$i) AND b IN (SELECT n FROM n$i))"""
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+         |           count(DISTINCT o.o_orderkey) AS w
+         |    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |    GROUP BY 1, 2) WHERE w >= 2),
+         |$stages
+         |SELECT n, CAST(count(*) AS BIGINT) AS degree
+         |FROM (SELECT a AS n FROM e8 UNION ALL SELECT b FROM e8)
+         |GROUP BY 1""".stripMargin
+    },
+
+    // the same 48 exact-integer Jacobi rounds the Spark driver loop
+    // runs, unrolled — integer micro-units make every round's sum
+    // order-free, so the two engines walk bit-identical paths
+    "q322_markov_attribution" -> {
+      val iters = (1 to 48).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT x.ch, x.s,
+           |    CASE WHEN x.s = x.ch THEN CAST(0 AS BIGINT) ELSE
+           |      CAST(COALESCE(sum(c.n * CASE WHEN c.dst = 'CONV' THEN 1000000
+           |        WHEN c.dst = 'NULL' THEN 0
+           |        WHEN c.dst = x.ch THEN 0
+           |        ELSE coalesce(pp.p, 0) END), 0) // max(t.total) AS BIGINT)
+           |    END AS p
+           |  FROM p${i - 1} x
+           |  JOIN counts c ON c.src = x.s
+           |  JOIN tot t ON t.src = x.s
+           |  LEFT JOIN p${i - 1} pp ON pp.ch = x.ch AND pp.s = c.dst
+           |  GROUP BY x.ch, x.s)"""
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id) AS rn FROM ev),
+         |cr AS (SELECT user_id, min(rn) AS crn FROM rk
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         |kept AS MATERIALIZED (
+         |  SELECT r.user_id, r.rn,
+         |    CASE WHEN r.event_type = 'purchase' THEN 'CONV'
+         |         ELSE r.event_type END AS state
+         |  FROM rk r LEFT JOIN cr ON r.user_id = cr.user_id
+         |  WHERE cr.crn IS NULL OR r.rn <= cr.crn),
+         |tr AS (
+         |  SELECT coalesce(lag(state) OVER (PARTITION BY user_id
+         |    ORDER BY rn), 'START') AS src, state AS dst FROM kept),
+         |term AS (
+         |  SELECT state AS src, 'NULL' AS dst FROM (
+         |    SELECT state, rn, max(rn) OVER (PARTITION BY user_id) AS mx
+         |    FROM kept) WHERE rn = mx AND state <> 'CONV'),
+         |counts AS MATERIALIZED (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT * FROM tr UNION ALL SELECT * FROM term)
+         |  GROUP BY 1, 2),
+         |tot AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS total
+         |        FROM counts GROUP BY 1),
+         |chs AS (SELECT DISTINCT src AS ch FROM counts WHERE src <> 'START'
+         |        UNION ALL SELECT '(none)'),
+         |sts AS (SELECT DISTINCT src AS s FROM counts),
+         |p0 AS MATERIALIZED (SELECT ch, s, CAST(0 AS BIGINT) AS p
+         |       FROM chs CROSS JOIN sts),
+         |$iters,
+         |pb AS (SELECT p AS base_p FROM p48
+         |       WHERE ch = '(none)' AND s = 'START')
+         |SELECT x.ch AS removed, x.p AS p_start_micro,
+         |  CASE WHEN x.ch = '(none)' THEN CAST(0 AS BIGINT)
+         |       WHEN pb.base_p > 0
+         |         THEN CAST((pb.base_p - x.p) * 1000000 // pb.base_p AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS removal_micro
+         |FROM p48 x CROSS JOIN pb WHERE x.s = 'START'""".stripMargin
+    },
 
     "q317_price_volume_mix" ->
       """WITH pp AS (

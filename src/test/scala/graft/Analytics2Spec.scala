@@ -481,6 +481,100 @@ class Analytics2Spec extends AnyFunSuite {
     assert(risk.head == nUsers, "first at-risk set is everyone")
   }
 
+  test("LAW k-core peel matches a driver-side fixpoint replay (node set " +
+      "and degrees)") {
+    import org.apache.spark.sql.functions._
+    val got = run("q321_kcore")
+      .map(r => r.getAs[Long]("n") -> r.getAs[Long]("degree")).toMap
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(countDistinct(col("o_orderkey")).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var e = edges.toSet
+    var stable = false
+    while (!stable) { // true fixpoint (the 8 fixed rounds cover it here)
+      val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val e2 = e.filter(p => keep(p._1) && keep(p._2))
+      stable = e2 == e; e = e2
+    }
+    val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == deg)
+  }
+
+  test("LAW markov attribution: removal probabilities are monotone below " +
+      "baseline, shares in range, and baseline agrees with an exact " +
+      "rational absorbing-chain solve within iteration tolerance") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q322_markov_attribution")
+    val base = rows.find(_.getAs[String]("removed") == "(none)").get
+      .getAs[Long]("p_start_micro")
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_start_micro")
+      assert(p >= 0L && p <= 1000000L)
+      assert(p <= base, "removal can only reduce conversion probability")
+      val rm = r.getAs[Long]("removal_micro")
+      assert(rm >= 0L && rm <= 1000000L)
+    }
+    // independent exact solve: P = (I - Q)^-1 R via Gaussian
+    // elimination on the transition counts
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val convRank = ranked.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("cr"))
+    val kept = ranked.join(convRank, Seq("user_id"), "left")
+      .filter(col("cr").isNull || col("rn") <= col("cr"))
+      .withColumn("state", when(col("event_type") === "purchase",
+        lit("CONV")).otherwise(col("event_type")))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val trans = kept.withColumn("src",
+        coalesce(lag(col("state"), 1).over(w2), lit("START")))
+      .select(col("src"), col("state").as("dst"))
+    val terminal = kept.withColumn("mx",
+        max(col("rn")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === col("mx") && col("state") =!= "CONV")
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    val counts = trans.unionByName(terminal)
+      .groupBy("src", "dst").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = counts.map(_._1).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val nS = states.length
+    val tot = counts.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    // solve (I - Q) x = r with doubles (fixture-sized; tolerance below)
+    val a = Array.tabulate(nS, nS) { (i, j) => if (i == j) 1.0 else 0.0 }
+    val b = new Array[Double](nS)
+    counts.foreach { case (s0, d0, n) =>
+      val i = idx(s0); val p = n.toDouble / tot(s0)
+      if (d0 == "CONV") b(i) += p
+      else if (d0 != "NULL") a(i)(idx(d0)) -= p
+    }
+    for (c <- 0 until nS) {
+      val piv = (c until nS).maxBy(r0 => math.abs(a(r0)(c)))
+      val t = a(c); a(c) = a(piv); a(piv) = t
+      val tb = b(c); b(c) = b(piv); b(piv) = tb
+      for (r0 <- 0 until nS if r0 != c && a(r0)(c) != 0.0) {
+        val f = a(r0)(c) / a(c)(c)
+        for (cc <- 0 until nS) a(r0)(cc) -= f * a(c)(cc)
+        b(r0) -= f * b(c)
+      }
+    }
+    val exact = b(idx("START")) / a(idx("START"))(idx("START"))
+    assert(math.abs(base / 1e6 - exact) < 1e-3,
+      s"baseline ${base / 1e6} vs exact $exact")
+  }
+
   test("LAW order-day gaps: span/active/missing conserve and gap counts " +
       "match a driver-side replay per nation") {
     import org.apache.spark.sql.functions._
