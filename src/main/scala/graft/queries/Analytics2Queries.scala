@@ -768,6 +768,68 @@ object Analytics2Queries {
     }),
 
 
+    // Personalized PageRank from a seed set (fixed 5 rounds, exact
+    // integer — the q69 discipline with a seed-restricted teleport):
+    // proximity-to-seeds over the undirected customer–supplier graph,
+    // the graph-expansion/trust-propagation read. Seeds = every 100th
+    // customer; mass leaks only from the damped walk, restarts land on
+    // seeds alone. ops.Graph.personalizedPageRankInt.
+    "q323_personalized_pagerank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      ops.Graph.personalizedPageRankInt(edges, seeds, iters = 5)
+    }),
+
+
+    // Time-decay + position-based (U-shaped) attribution micro-credits
+    // — the model family around q209's linear rule: per (purchase,
+    // view-within-24h) pair, exponential decay exp(age_h·ln½) (ONE
+    // shared double formula, half-life 1 h, floor-quantized micro) and
+    // the 40/20/40 U-shape on the (touch_us, touch id)-ordered rank —
+    // integer micro splits with `div` truncation declared. Rolled up
+    // by view hour like q209.
+    "q324_decay_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id").as("_u"),
+          unix_micros(col("ts").cast("timestamp")).as("conv_us"))
+      val touch = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("_u"), col("ts").as("touch_ts"),
+          col("event_id").as("t_eid"),
+          unix_micros(col("ts").cast("timestamp")).as("touch_us"))
+      val wc = Window.partitionBy(col("conv_id"))
+      val joined = conv.join(touch, Seq("_u"))
+        .filter(col("touch_us") <= col("conv_us") &&
+          col("touch_us") > col("conv_us") - lit(24L * 3600L * 1000000L))
+        .withColumn("rn", row_number().over(
+          wc.orderBy(col("touch_us"), col("t_eid"))))
+        .withColumn("n", count(lit(1)).over(wc))
+        .withColumn("age_s", expr("(conv_us - touch_us) div 1000000"))
+        .withColumn("decay_micro",
+          floor(exp(col("age_s").cast("double") / lit(3600.0)
+            * log(lit(0.5))) * lit(1000000.0)).cast("long"))
+        .withColumn("u_micro",
+          when(col("n") === 1, 1000000L)
+            .when(col("n") === 2, 500000L)
+            .when(col("rn") === 1 || col("rn") === col("n"), 400000L)
+            .otherwise(expr("200000 div (n - 2)")))
+      joined.groupBy(hour(col("touch_ts")).cast("long").as("view_hour"))
+        .agg(count(lit(1)).as("n_credited"),
+          sum(col("decay_micro")).as("decay_micros"),
+          sum(col("u_micro")).as("u_micros"))
+    }),
+
+
     // Calibration bins + per-bin ECE contribution for a monotone score
     // (global acctbal percent-rank as confidence ppm) against the
     // repeat-buyer label: ten fixed-width confidence bins, per-bin
@@ -1099,6 +1161,84 @@ object Analytics2Queries {
         |       THEN (sqrt(dd) - CAST(s_g AS DOUBLE))
         |            / (sqrt(dd) + CAST(s_g AS DOUBLE)) END AS b_coeff
         |FROM f""".stripMargin,
+
+    // q69's unrolled-round oracle shape with a seed-restricted teleport:
+    // per-node base mass (seeds only), 5 identical integer rounds
+    "q323_personalized_pagerank" -> {
+      def round(k: Int): String =
+        s"""pr$k AS (
+           |  SELECT n.node,
+           |    CAST(n.base + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS score
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p.score // d.deg) AS s
+           |    FROM pr${k - 1} p JOIN deg d ON p.node = d.node
+           |    JOIN edges e ON e.src = p.node
+           |    GROUP BY e.dst) m ON n.node = m.node)""".stripMargin
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY 1),
+        |nodes0 AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |sds AS (SELECT c_custkey * 2 AS node FROM customer
+        |        WHERE c_custkey % 100 = 0),
+        |sd AS (SELECT DISTINCT n.node FROM nodes0 n
+        |       JOIN sds s ON n.node = s.node),
+        |params AS (
+        |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+        |         CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT)
+        |           AS baseval
+        |  FROM sd),
+        |nodes AS (
+        |  SELECT n.node,
+        |    CASE WHEN s.node IS NOT NULL THEN (SELECT baseval FROM params)
+        |         ELSE CAST(0 AS BIGINT) END AS base
+        |  FROM nodes0 n LEFT JOIN sd s ON n.node = s.node),
+        |pr0 AS (
+        |  SELECT n.node,
+        |    CASE WHEN s.node IS NOT NULL THEN (SELECT init FROM params)
+        |         ELSE CAST(0 AS BIGINT) END AS score
+        |  FROM nodes0 n LEFT JOIN sd s ON n.node = s.node),
+        |""".stripMargin +
+        (1 to 5).map(round).mkString(",\n") +
+        "\nSELECT node, score FROM pr5"
+    },
+
+    "q324_decay_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id AS u, epoch_us(ts) AS conv_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id AS u, ts AS touch_ts, event_id AS t_eid,
+        |         epoch_us(ts) AS touch_us
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.conv_id, t.touch_ts, t.t_eid, t.touch_us, c.conv_us
+        |  FROM conv c JOIN touch t ON c.u = t.u
+        |  WHERE t.touch_us <= c.conv_us
+        |    AND t.touch_us > c.conv_us - CAST(86400000000 AS BIGINT)),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_us, t_eid) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY conv_id) AS n,
+        |    CAST((conv_us - touch_us) // 1000000 AS BIGINT) AS age_s
+        |  FROM j),
+        |cr AS (
+        |  SELECT touch_ts,
+        |    CAST(floor(exp(CAST(age_s AS DOUBLE) / 3600.0 * ln(0.5))
+        |         * 1000000.0) AS BIGINT) AS decay_micro,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = n THEN 400000
+        |         ELSE 200000 // (n - 2) END AS u_micro
+        |  FROM r)
+        |SELECT CAST(hour(touch_ts) AS BIGINT) AS view_hour,
+        |  CAST(count(*) AS BIGINT) AS n_credited,
+        |  CAST(sum(decay_micro) AS BIGINT) AS decay_micros,
+        |  CAST(sum(u_micro) AS BIGINT) AS u_micros
+        |FROM cr GROUP BY 1""".stripMargin,
 
     // 8 unrolled peel stages — the same FIXED round count the Spark
     // loop runs (fixed-round semantics make the fixpoint question moot

@@ -575,6 +575,64 @@ class Analytics2Spec extends AnyFunSuite {
       s"baseline ${base / 1e6} vs exact $exact")
   }
 
+  test("LAW personalized pagerank: seeds-equal-everyone degenerates to " +
+      "uniform pagerank exactly; mass stays bounded by the scale unit") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q323_personalized_pagerank")
+    val total = rows.map(_.getAs[Long]("score")).sum
+    assert(total > 0L && total <= 1000000000000L,
+      s"teleport mass must not be created: $total")
+    // degenerate law: seeds == all nodes -> identical to pageRankInt
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val uni = ops.Graph.pageRankInt(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val per = ops.Graph.personalizedPageRankInt(edges, allNodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni == per)
+  }
+
+  test("LAW decay attribution: decay in (0, 1e6], U-credits per " +
+      "conversion conserve up to declared div truncation") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q324_decay_attribution")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_credited")
+      // a ~24h-old touch floors to 0 micro (0.5^24 * 1e6 < 1) — zero is
+      // a legitimate bucket sum
+      assert(r.getAs[Long]("decay_micros") >= 0L)
+      assert(r.getAs[Long]("decay_micros") <= n * 1000000L)
+      assert(r.getAs[Long]("u_micros") <= n * 1000000L)
+    }
+    // per-conversion conservation, independently re-derived
+    val ev = Tables.events(spark, dir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id").as("_u"),
+        unix_micros(col("ts").cast("timestamp")).as("conv_us"))
+    val touch = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("_u"),
+        unix_micros(col("ts").cast("timestamp")).as("touch_us"))
+    val perConv = conv.join(touch, Seq("_u"))
+      .filter(col("touch_us") <= col("conv_us") &&
+        col("touch_us") > col("conv_us") - lit(86400000000L))
+      .groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    def uMass(n: Long): Long =
+      if (n == 1) 1000000L else if (n == 2) 1000000L
+      else 800000L + (n - 2) * (200000L / (n - 2))
+    val expectedU = perConv.map(uMass).sum
+    assert(rows.map(_.getAs[Long]("u_micros")).sum == expectedU)
+    assert(rows.map(_.getAs[Long]("n_credited")).sum == perConv.sum)
+  }
+
   test("LAW order-day gaps: span/active/missing conserve and gap counts " +
       "match a driver-side replay per nation") {
     import org.apache.spark.sql.functions._
