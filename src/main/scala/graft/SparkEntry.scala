@@ -45,6 +45,7 @@ object SparkEntry {
     (ExperimentQueries.queries, ExperimentQueries.sql),
     (AnalyticsQueries.queries, AnalyticsQueries.sql),
     (Analytics2Queries.queries, Analytics2Queries.sql),
+    (Analytics3Queries.queries, Analytics3Queries.sql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,940 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 session-4 surfaces (q325+): classical k-sample inference
+  * (one-way ANOVA F, Kruskal–Wallis H), rank association (Kendall
+  * tau-b), rater agreement (Cohen's kappa), graph link prediction
+  * (resource-allocation index) and two more fixed-round graph kernels
+  * (Bellman–Ford weighted shortest path, HITS hubs/authorities), plus
+  * the exact-arithmetic analytics that follow in this file's second
+  * half.
+  *
+  * House portability rules, inherited from [[AnalyticsQueries]] /
+  * [[Analytics2Queries]]: money is exact cents BEFORE any aggregate;
+  * product moments lift to decimal(38,0) (DuckDB HUGEINT) so nothing
+  * wraps; exact integer quotients use the mod-subtract-divide form on
+  * the Spark side (decimal `div` would overflow LongType) against
+  * DuckDB HUGEINT `//` (identical on the non-negative operands used
+  * here); every real-valued statistic is ONE final fixed-text double
+  * formula over exact integer sufficient statistics, bridged through
+  * [[toD]] (decimal STRING → double, the q304 rule). Iterative kernels
+  * run a FIXED round count in exact integers — the q69/q321/q322
+  * discipline — so the oracle unrolls the identical recurrence and the
+  * driver hash-checks the loop, not a tolerance band.
+  *
+  * Scale notes (the 100 TB lens): q326's per-nation pair join is the
+  * declared quadratic-within-group tier (pair volume Σ_g n_g²; the
+  * 100 TB path caps or samples groups, the thetaPairs rule); q327/q328
+  * use one global rank/percentile — a rank statistic IS a total order
+  * (q255's exception; the scale path swaps in q220-style broadcast
+  * percentile edges). q329 caps part hubs LOUDLY (candidate volume
+  * Σ deg², the covisitation rule) and rides the drop count on every
+  * output row. The graph loops localCheckpoint per round (plan
+  * truncation, the dupClusters rule) and their messages are sums/mins
+  * of integers — order-free, partition-count-invariant.
+  */
+object Analytics3Queries {
+
+  private def cents(c: Column): Column =
+    (c.cast("decimal(30,2)") * 100).cast("long")
+
+  private def d38(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Exact integer → double through its DECIMAL STRING (the q304 bridge:
+    * decimal(38,0)→double and HUGEINT→double round the last ulp
+    * differently beyond 2^53; both engines parse the string with correct
+    * round-to-nearest). */
+  private def toD(c: Column): Column =
+    c.cast("string").cast("double")
+
+  /** Exact integral quotient of two non-negative decimals, kept in
+    * decimal(38,0): (a − a mod b) / b. Spark's `div` returns LongType
+    * (which the ~1e20 quotients here would overflow); the oracle's
+    * HUGEINT `//` floors, which equals this truncation on non-negative
+    * operands. */
+  private def decDiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("decimal(38,0)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // One-way ANOVA F across order priorities on order value: per-group
+    // exact sufficient statistics (n, Σx, Σx² decimal-lifted), between/
+    // within sums of squares via the QUANTIZED per-group term
+    // S_g² div n_g (truncation ≤1 cent² per group — declared semantics,
+    // identical both engines), F from one fixed-order double formula.
+    // Everything reduces map-side to 5 group rows, then one global row.
+    "q325_anova_f" -> ((s, dir) => {
+      val g = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          cents(col("o_totalprice")).as("x"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+          sum(d38(col("x")) * col("x")).as("q_g"))
+        .withColumn("term",
+          decDiv(d38(col("s_g")) * col("s_g"), d38(col("n_g"))))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s_all"), sum(col("q_g")).as("q_all"),
+          sum(col("term")).as("t_all"))
+        .withColumn("s2n",
+          decDiv(d38(col("s_all")) * col("s_all"), d38(col("n"))))
+        .withColumn("ssb", toD(col("t_all") - col("s2n")))
+        .withColumn("ssw", toD(col("q_all") - col("t_all")))
+        .withColumn("f_stat",
+          when(col("k") > 1 && col("n") > col("k") && col("ssw") > 0,
+            (col("ssb") / (col("k") - 1).cast("double")) /
+              (col("ssw") / (col("n") - col("k")).cast("double"))))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f_stat"))
+    }),
+
+
+    // Kendall tau-b per nation (account balance vs lifetime revenue):
+    // every concordant / discordant / tied pair counted EXACTLY via the
+    // within-nation self-join (i<j on custkey), tau-b from the tie-
+    // adjusted fixed-order double formula. The O(n_g²) pair space is the
+    // declared quadratic tier (Σ_g n_g², bounded by the nation grain
+    // here; the 100 TB path caps the group like thetaPairs). Distinct
+    // from q299's Spearman: tau counts pair inversions, rho ranks.
+    "q326_kendall_tau" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+          cents(col("c_acctbal")).as("x"))
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("nk"), col("c_custkey").as("ck"), col("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val a = base.select(col("nk"), col("ck").as("k1"),
+        col("x").as("x1"), col("y").as("y1"))
+      val b = base.select(col("nk"), col("ck").as("k2"),
+        col("x").as("x2"), col("y").as("y2"))
+      a.join(b, Seq("nk")).filter(col("k1") < col("k2"))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("x1") < col("x2") && col("y1") < col("y2")) ||
+            (col("x1") > col("x2") && col("y1") > col("y2")), 1L)
+            .otherwise(0L)).as("nc"),
+          sum(when((col("x1") < col("x2") && col("y1") > col("y2")) ||
+            (col("x1") > col("x2") && col("y1") < col("y2")), 1L)
+            .otherwise(0L)).as("nd"),
+          sum(when(col("x1") === col("x2") && col("y1") =!= col("y2"), 1L)
+            .otherwise(0L)).as("tx"),
+          sum(when(col("y1") === col("y2") && col("x1") =!= col("x2"), 1L)
+            .otherwise(0L)).as("ty"),
+          sum(when(col("x1") === col("x2") && col("y1") === col("y2"), 1L)
+            .otherwise(0L)).as("txy"))
+        .withColumn("tau_b",
+          when(col("n_pairs") > col("tx") + col("txy") &&
+            col("n_pairs") > col("ty") + col("txy"),
+            (col("nc") - col("nd")).cast("double") /
+              (sqrt((col("n_pairs") - col("tx") - col("txy")).cast("double")) *
+               sqrt((col("n_pairs") - col("ty") - col("txy")).cast("double")))))
+    }),
+
+
+    // Kruskal–Wallis H across order priorities: tied ranks via the
+    // doubled-average-rank trick (2·avgrank = 2·rank + |tie group| − 1
+    // stays an exact integer — the q299 device), per-group rank-sum
+    // squares quantized with decDiv, the tie-correction factor from
+    // exact Σ(t³−t). H and the corrected H are each one fixed-order
+    // double formula over the exact integers (N³ stays under 2^53
+    // through sf0.1; the formula text is shared, so the bound is a
+    // fixture property, not a parity risk). The global rank is the
+    // declared total-order tier (q255's exception).
+    "q327_kruskal_wallis" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          cents(col("o_totalprice")).as("x"))
+      val ranked = t
+        .withColumn("rk", rank().over(Window.orderBy(col("x"))).cast("long"))
+        .withColumn("tsz", count(lit(1)).over(Window.partitionBy(col("x"))))
+        .withColumn("r2", lit(2L) * col("rk") + col("tsz") - 1L)
+      val g = ranked.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("r2")).as("r2_g"))
+        .withColumn("term",
+          decDiv(d38(col("r2_g")) * col("r2_g"), d38(col("n_g"))))
+      val ties = t.groupBy(col("x")).agg(count(lit(1)).as("tt"))
+        .agg(sum(d38(col("tt")) * col("tt") * col("tt") - col("tt"))
+          .as("tie_s"))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("term")).as("t_all"))
+        .crossJoin(broadcast(ties))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("h",
+          lit(3.0) * toD(col("t_all")) / (col("nd") * (col("nd") + 1.0)) -
+            lit(3.0) * (col("nd") + 1.0))
+        .withColumn("c_tie",
+          lit(1.0) - toD(col("tie_s")) /
+            (col("nd") * col("nd") * col("nd") - col("nd")))
+        .withColumn("h_corr", when(col("c_tie") > 0, col("h") / col("c_tie")))
+        .select(col("k"), col("n"), col("h"), col("c_tie"), col("h_corr"))
+    }),
+
+
+    // Cohen's kappa between two deterministic raters over customers —
+    // "repeat buyer" (≥2 orders) vs "above-median balance" (exact
+    // percentile edge, broadcast — the q314 idiom): the 2×2 agreement
+    // counts are exact, kappa = (po − pe)/(1 − pe) rewritten over exact
+    // integers as (N·agree − Σrc)/(N² − Σrc), decimal-lifted so the
+    // 100 TB N² cannot wrap, evaluated as one fixed double division.
+    "q328_cohens_kappa" -> ((s, dir) => {
+      val nOrd = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
+        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("a",
+          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
+      val med = base.agg(percentile(col("x"), lit(0.5)).as("med"))
+      base.crossJoin(broadcast(med))
+        .withColumn("b",
+          when(col("x").cast("double") > col("med"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+            .as("n10"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+            .as("n00"))
+        .withColumn("rc",
+          d38(col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            d38(col("n00") + col("n01")) * (col("n00") + col("n10")))
+        .withColumn("kappa",
+          when(d38(col("n")) * col("n") =!= col("rc"),
+            toD(d38(col("n")) * (col("n11") + col("n00")) - col("rc")) /
+              toD(d38(col("n")) * col("n") - col("rc"))))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          col("kappa"))
+    }),
+
+
+    // Link prediction by the resource-allocation index (Zhou–Lü–Zhang):
+    // supplier pairs sharing parts, scored Σ_shared 1e6 div deg(part) —
+    // the inverse-hub weighting that separates RA from q313's raw
+    // co-counts, in EXACT integer micro-units (no ln, unlike
+    // Adamic–Adar — exactness chose the index). Part hubs above deg 20
+    // are dropped LOUDLY (pair volume is Σ deg² — the covisitation cap
+    // rule) and the drop count rides every row as a scalar-agg
+    // broadcast. Output kept to pairs with ≥2 shared parts.
+    "q329_resource_allocation" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val deg = ps.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+      val kept = ps.join(deg.filter(col("deg").between(2, 20)), Seq("pk"))
+      val dropped = deg.filter(col("deg") > 20)
+      val a = kept.select(col("pk"), col("deg"), col("sk").as("s1"))
+      val b = kept.select(col("pk"), col("sk").as("s2"))
+      a.join(b, Seq("pk")).filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000 div deg")).as("ra_micro"))
+        .filter(col("n_common") >= 2)
+        .crossJoin(broadcast(
+          dropped.agg(count(lit(1)).as("n_dropped_parts"))))
+    }),
+
+
+    // Bellman–Ford weighted shortest path from a seed set (every 100th
+    // customer) over the customer↔supplier trade graph, edge weight
+    // 1e6 div (#linking orders) — stronger trade = shorter edge. SIX
+    // fixed relaxation rounds (the q69/q321 fixed-round semantics);
+    // each round is union + min — an order-free integer reduction that
+    // any partitioning reproduces — with per-round localCheckpoint.
+    // Distinct from q156's BFS (unweighted hop counts): this relaxes
+    // WEIGHTED distances, and a later round may SHORTEN an
+    // already-reached node. Output: reached node → exact distance.
+    "q330_bellman_ford" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(countDistinct(col("o_orderkey")).as("no"))
+        .withColumn("w", expr("1000000 div no"))
+        .select(col("a"), col("b"), col("w"))
+      val edges = base.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(
+          base.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .localCheckpoint()
+      var dist = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("node"), lit(0L).as("d"))
+        .localCheckpoint()
+      for (_ <- 1 to 6) {
+        val relaxed = edges
+          .join(dist, edges("src") === dist("node"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint()
+      }
+      dist
+    }),
+
+
+    // HITS hubs & authorities on the directed customer→supplier trade
+    // graph: five fixed rounds of a(v)=Σ_{u→v}h(u), h(u)=Σ_{u→v}a(v),
+    // each half-step max-normalized to the 1e6 integer grid (score·1e6
+    // div max — exact, order-free; the max is a broadcast scalar-agg,
+    // never a driver collect). Integer products stay ≤ |nodes|·1e12 —
+    // comfortably in BIGINT; the 100 TB path lifts the sums to decimal.
+    // Distinct from q69's PageRank: no damping/teleport, bipartite
+    // mutual reinforcement, max (not mass) normalization.
+    "q331_hits" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      var hub = e.select(col("src").as("node")).distinct()
+        .withColumn("h", lit(1000000L))
+        .localCheckpoint()
+      var auth: DataFrame = null
+      for (_ <- 1 to 5) {
+        val a0 = e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a0"))
+        auth = a0
+          .crossJoin(broadcast(a0.agg(max(col("a0")).as("mxa"))))
+          .select(col("dst").as("node"),
+            expr("a0 * 1000000 div mxa").as("a"))
+          .localCheckpoint()
+        val h0 = e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h0"))
+        hub = h0
+          .crossJoin(broadcast(h0.agg(max(col("h0")).as("mxh"))))
+          .select(col("src").as("node"),
+            expr("h0 * 1000000 div mxh").as("h"))
+          .localCheckpoint()
+      }
+      hub.select(col("node"), lit("hub").as("kind"), col("h").as("score"))
+        .unionByName(auth.select(col("node"), lit("auth").as("kind"),
+          col("a").as("score")))
+    }),
+
+
+    // EWMA smoothing with α = 1/2 over each region's daily revenue, in
+    // EXACT integer e8 units: the 8-lag closed form Σ x_{t−j}·w_j with
+    // w_j = 1e8·2^{−(j+1)} (tail lag carries the remaining mass so
+    // Σw = 1e8 exactly — every weight is an integer because 2^8 | 1e8).
+    // No float pow/recursion anywhere, so the smoothing is bit-exact
+    // and order-free on both engines; rows emit once the window is full
+    // (rn ≥ 8, declared). The per-key sequential model every control
+    // chart needs, kept hash-checkable. Partitions by region; the
+    // window grain is the day calendar.
+    "q332_ewma_exact" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("c"))
+      val w = Window.partitionBy(col("r_name")).orderBy(col("d"))
+      val wts = Seq(50000000L, 25000000L, 12500000L, 6250000L,
+        3125000L, 1562500L, 781250L, 781250L)
+      daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ewma_e8",
+          wts.zipWithIndex.map { case (wt, j) =>
+            lag(col("c"), j).over(w) * lit(wt)
+          }.reduce(_ + _))
+        .filter(col("rn") >= 8)
+        .select(col("r_name"), col("d"), col("c"), col("ewma_e8"))
+    }),
+
+
+    // RAKE keyword scoring (Rose et al.): candidate phrases are maximal
+    // stopword-free token runs (phrase id = running stopword count per
+    // doc — one window), word degree = Σ length of containing phrases,
+    // word score = deg/freq in integer ppm via `div`. All counts exact;
+    // min support 5. Everything shuffles on the word key after a
+    // map-side phrase pass — no pair space at all.
+    "q333_rake_keywords" -> ((s, dir) => {
+      val stop = text.TextOps.EnglishFunctionWords
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(text.TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+        .withColumn("is_stop", col("w").isInCollection(stop))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val ph = toks
+        .withColumn("pid",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("is_stop"))
+        .select(col("doc_id"), col("pid"), col("w"))
+      val plen = ph.groupBy(col("doc_id"), col("pid"))
+        .agg(count(lit(1)).as("plen"))
+      ph.join(plen, Seq("doc_id", "pid"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .filter(col("freq") >= 5)
+        .withColumn("score_ppm", expr("deg * 1000000 div freq"))
+    }),
+
+
+    // TextRank keywords (Mihalcea–Tarau): co-occurrence edges between
+    // non-stopword tokens at original distance ≤2, then the SAME
+    // fixed-round exact-integer PageRank kernel as q69
+    // (ops.Graph.pageRankInt, 5 rounds) over md5-derived word nodes,
+    // scores joined back to the word strings. The shifted-copy
+    // self-join is two equi-joins on (doc, pos) — never a per-doc
+    // quadratic pair space.
+    "q334_textrank" -> ((s, dir) => {
+      val stop = text.TextOps.EnglishFunctionWords
+      def h15(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val a = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(text.TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+        .filter(!col("w").isInCollection(stop))
+      val shifted = a.select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("w").as("w2"))
+        .unionByName(a.select(col("doc_id"), (col("pos") + 2).as("pos"),
+          col("w").as("w2")))
+      val pairs = a.join(shifted, Seq("doc_id", "pos"))
+        .filter(col("w") =!= col("w2"))
+        .select(h15(col("w")).as("src"), h15(col("w2")).as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val vocab = a.select(col("w")).distinct()
+        .withColumn("node", h15(col("w")))
+      ops.Graph.pageRankInt(edges, iters = 5)
+        .join(vocab, Seq("node"))
+        .select(col("w"), col("score"))
+    }),
+
+
+    // Mean average precision @10 for the popularity recommender (the
+    // precision-curve sibling of q275's MRR): top-10 parts per nation
+    // from pre-1997 orders, relevance = the customer's own post-1997
+    // distinct purchases, AP in integer micro-units (hits@i·1e6 div i,
+    // summed over hit ranks, div min(10, |relevant|)) — truncating
+    // `div` at each step is the declared quantization, identical both
+    // engines. Partitions by customer; the rec list is a broadcast-size
+    // dim (10 rows per nation).
+    "q335_map_eval" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir)
+        .select(col("c_custkey").as("ck"), col("c_nationkey").cast("long").as("nk"))
+      val ol = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(cn, col("o_custkey") === col("ck"))
+        .select(col("ck"), col("nk"), col("l_partkey").as("pk"),
+          to_date(col("o_orderdate")).as("d"))
+      val split = to_date(lit("1997-01-01"))
+      val recs = ol.filter(col("d") < split)
+        .groupBy(col("nk"), col("pk")).agg(count(lit(1)).as("cnt"))
+        .withColumn("pos", row_number().over(Window.partitionBy(col("nk"))
+          .orderBy(col("cnt").desc, col("pk"))).cast("long"))
+        .filter(col("pos") <= 10)
+        .select(col("nk"), col("pk"), col("pos"))
+      val rel = ol.filter(col("d") >= split)
+        .select(col("ck"), col("nk"), col("pk")).distinct()
+      val nrel = rel.groupBy(col("ck"), col("nk"))
+        .agg(count(lit(1)).as("n_rel"))
+      val hits = rel.join(broadcast(recs), Seq("nk", "pk"))
+        .withColumn("hr", row_number().over(Window.partitionBy(col("ck"))
+          .orderBy(col("pos"))).cast("long"))
+        .withColumn("term", expr("hr * 1000000 div pos"))
+        .groupBy(col("ck")).agg(sum(col("term")).as("tsum"))
+      nrel.join(hits, Seq("ck"), "left")
+        .withColumn("ap_micro",
+          expr("coalesce(tsum, 0) div least(10, n_rel)"))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_users"), sum(col("ap_micro")).as("ap_sum"))
+        .withColumn("map_micro", expr("ap_sum div n_users"))
+    }),
+
+
+    // Quantile normalization (the bioinformatics/feature-prep mapper):
+    // each supplier balance is replaced by the customer balance at the
+    // SAME quantile — rank r of n maps to reference index
+    // ceil(r·m/n) = (r·m + n − 1) div n, a pure exact-integer mapping
+    // with no interpolation, then one equi-join on the index. Both
+    // total orders are the declared rank tier (q255's exception).
+    "q336_quantile_normalize" -> ((s, dir) => {
+      val src = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), cents(col("s_acctbal")).as("x_orig"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("x_orig"), col("s_suppkey"))).cast("long"))
+      val ref = Tables.customer(s, dir)
+        .select(cents(col("c_acctbal")).as("x_mapped"), col("c_custkey"))
+        .withColumn("idx", row_number().over(
+          Window.orderBy(col("x_mapped"), col("c_custkey"))).cast("long"))
+        .select(col("idx"), col("x_mapped"))
+      val n = src.agg(count(lit(1)).as("n"))
+      val m = ref.agg(count(lit(1)).as("m"))
+      src.crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        .withColumn("idx", expr("(r * m + n - 1) div n"))
+        .join(ref, Seq("idx"))
+        .select(col("s_suppkey"), col("x_orig"), col("x_mapped"))
+    }),
+
+
+    // Unnormalized Haar wavelet coefficients over the global daily
+    // revenue series, 8-day blocks × 3 levels: every coefficient is a
+    // SIGNED SUM over the block's 8 positions (one groupBy — no
+    // recursion, no floats), so the whole transform is exact integers.
+    // The multi-resolution fingerprint behind series similarity /
+    // anomaly localization, kept hash-checkable. Partial trailing
+    // blocks are dropped (count = 8 required, declared).
+    "q337_haar_wavelet" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("c"))
+        .withColumn("rn0",
+          row_number().over(Window.orderBy(col("d"))).cast("long") - 1L)
+        .withColumn("blk", expr("rn0 div 8"))
+        .withColumn("pos", expr("rn0 % 8"))
+        .withColumn("nb", count(lit(1)).over(
+          Window.partitionBy(col("blk"))))
+        .filter(col("nb") === 8)
+      def signed(sign: Column): Column = sum(sign * col("c"))
+      daily.groupBy(col("blk"))
+        .agg(min(col("d")).as("d_start"),
+          sum(col("c")).as("a3"),
+          signed(when(col("pos") < 4, 1L).otherwise(-1L)).as("d3"),
+          signed(when(col("pos") < 2, 1L).when(col("pos") < 4, -1L)
+            .otherwise(0L)).as("d2_0"),
+          signed(when(col("pos") >= 6, -1L).when(col("pos") >= 4, 1L)
+            .otherwise(0L)).as("d2_1"),
+          signed(when(col("pos") === 0, 1L).when(col("pos") === 1, -1L)
+            .otherwise(0L)).as("d1_0"),
+          signed(when(col("pos") === 2, 1L).when(col("pos") === 3, -1L)
+            .otherwise(0L)).as("d1_1"),
+          signed(when(col("pos") === 4, 1L).when(col("pos") === 5, -1L)
+            .otherwise(0L)).as("d1_2"),
+          signed(when(col("pos") === 6, 1L).when(col("pos") === 7, -1L)
+            .otherwise(0L)).as("d1_3"))
+    }),
+  )
+
+  /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
+    * decimal(38,0), `//` where Spark runs decDiv/`div` (non-negative
+    * operands throughout), the SAME fixed-order double formula texts,
+    * and the SAME unrolled fixed-round recurrences (MATERIALIZED when a
+    * stage references its predecessor more than once — plain CTEs
+    * inline exponentially, the q321 lesson). */
+  val sql: Map[String, String] = Map(
+
+    "q325_anova_f" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS s_g,
+        |    sum(CAST(x AS HUGEINT) * x) AS q_g
+        |  FROM t GROUP BY 1),
+        |gt AS (SELECT *, (CAST(s_g AS HUGEINT) * s_g) // n_g AS term FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS HUGEINT) AS s_all, sum(q_g) AS q_all,
+        |    sum(term) AS t_all
+        |  FROM gt),
+        |b AS (SELECT *, (s_all * s_all) // n AS s2n FROM a),
+        |c AS (
+        |  SELECT k, n,
+        |    CAST(CAST(t_all - s2n AS VARCHAR) AS DOUBLE) AS ssb,
+        |    CAST(CAST(q_all - t_all AS VARCHAR) AS DOUBLE) AS ssw
+        |  FROM b)
+        |SELECT k, n, ssb, ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0
+        |       THEN (ssb / CAST(k - 1 AS DOUBLE)) /
+        |            (ssw / CAST(n - k AS DOUBLE)) END AS f_stat
+        |FROM c""".stripMargin,
+
+    "q326_kendall_tau" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_custkey AS ck,
+        |    CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |    COALESCE(y, 0) AS y
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+        |p AS (
+        |  SELECT a.nk, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |  FROM base a JOIN base b ON a.nk = b.nk AND a.ck < b.ck),
+        |agg AS (
+        |  SELECT nk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (x1 < x2 AND y1 < y2)
+        |      OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN (x1 < x2 AND y1 > y2)
+        |      OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tx,
+        |    CAST(sum(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ty,
+        |    CAST(sum(CASE WHEN x1 = x2 AND y1 = y2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS txy
+        |  FROM p GROUP BY 1)
+        |SELECT *,
+        |  CASE WHEN n_pairs > tx + txy AND n_pairs > ty + txy
+        |       THEN CAST(nc - nd AS DOUBLE) /
+        |            (sqrt(CAST(n_pairs - tx - txy AS DOUBLE)) *
+        |             sqrt(CAST(n_pairs - ty - txy AS DOUBLE))) END AS tau_b
+        |FROM agg""".stripMargin,
+
+    "q327_kruskal_wallis" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp,
+        |    2 * CAST(rank() OVER (ORDER BY x) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS r2
+        |  FROM t),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(r2) AS BIGINT) AS r2_g
+        |  FROM r GROUP BY 1),
+        |gt AS (SELECT *, (CAST(r2_g AS HUGEINT) * r2_g) // n_g AS term FROM g),
+        |ties AS (
+        |  SELECT sum(CAST(tt AS HUGEINT) * tt * tt - tt) AS tie_s
+        |  FROM (SELECT count(*) AS tt FROM t GROUP BY x)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(term) AS t_all
+        |  FROM gt),
+        |b AS (
+        |  SELECT k, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(t_all AS VARCHAR) AS DOUBLE) AS t_d,
+        |    CAST(CAST(tie_s AS VARCHAR) AS DOUBLE) AS tie_d
+        |  FROM a CROSS JOIN ties),
+        |c AS (
+        |  SELECT k, n,
+        |    3.0 * t_d / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0) AS h,
+        |    1.0 - tie_d / (nd * nd * nd - nd) AS c_tie
+        |  FROM b)
+        |SELECT k, n, h, c_tie,
+        |  CASE WHEN c_tie > 0 THEN h / c_tie END AS h_corr
+        |FROM c""".stripMargin,
+
+    "q328_cohens_kappa" ->
+      """WITH nord AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |    CASE WHEN COALESCE(n_ord, 0) >= 2 THEN 1 ELSE 0 END AS a
+        |  FROM customer LEFT JOIN nord ON c_custkey = o_custkey),
+        |med AS (SELECT quantile_cont(x, 0.5) AS med FROM base),
+        |lab AS (
+        |  SELECT a,
+        |    CASE WHEN CAST(x AS DOUBLE) > med THEN 1 ELSE 0 END AS b
+        |  FROM base CROSS JOIN med),
+        |cm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n00
+        |  FROM lab),
+        |rc AS (
+        |  SELECT *,
+        |    CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+        |      + CAST(n00 + n01 AS HUGEINT) * (n00 + n10) AS rcv
+        |  FROM cm)
+        |SELECT n, n11, n10, n01, n00,
+        |  CASE WHEN CAST(n AS HUGEINT) * n <> rcv THEN
+        |    CAST(CAST(CAST(n AS HUGEINT) * (n11 + n00) - rcv AS VARCHAR)
+        |      AS DOUBLE) /
+        |    CAST(CAST(CAST(n AS HUGEINT) * n - rcv AS VARCHAR) AS DOUBLE)
+        |  END AS kappa
+        |FROM rc""".stripMargin,
+
+    "q329_resource_allocation" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS deg
+        |        FROM ps GROUP BY 1),
+        |kept AS (
+        |  SELECT ps.pk, ps.sk, deg.deg
+        |  FROM ps JOIN deg ON ps.pk = deg.pk
+        |  WHERE deg.deg BETWEEN 2 AND 20),
+        |dropped AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_dropped_parts
+        |  FROM deg WHERE deg > 20)
+        |SELECT a.sk AS s1, b.sk AS s2,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(1000000 // a.deg) AS BIGINT) AS ra_micro,
+        |  (SELECT n_dropped_parts FROM dropped) AS n_dropped_parts
+        |FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // 6 unrolled relaxation rounds — union + min is the same order-free
+    // recurrence the Spark loop runs
+    "q330_bellman_ford" -> {
+      def round(k: Int): String =
+        s"""d$k AS MATERIALIZED (
+           |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+           |    SELECT node, d FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.d + e.w AS d
+           |    FROM d${k - 1} p JOIN edges e ON e.src = p.node)
+           |  GROUP BY 1)""".stripMargin
+      """WITH base AS (
+        |  SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+        |    CAST(1000000 // count(DISTINCT o.o_orderkey) AS BIGINT) AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst, w FROM base
+        |  UNION ALL SELECT b, a, w FROM base),
+        |d0 AS (
+        |  SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
+        |  FROM customer WHERE c_custkey % 100 = 0),
+        |""".stripMargin +
+        (1 to 6).map(round).mkString(",\n") +
+        "\nSELECT node, d FROM d6"
+    },
+
+    // 5 unrolled mutual-reinforcement rounds, each half-step
+    // max-normalized to the 1e6 grid — the same integer recurrence
+    "q331_hits" -> {
+      def round(k: Int): String =
+        s"""a${k}0 AS MATERIALIZED (
+           |  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a0
+           |  FROM edges e JOIN h${k - 1} h ON e.src = h.node
+           |  GROUP BY 1),
+           |a$k AS MATERIALIZED (
+           |  SELECT dst AS node,
+           |    CAST(a0 * 1000000 // (SELECT max(a0) FROM a${k}0) AS BIGINT)
+           |      AS a
+           |  FROM a${k}0),
+           |h${k}0 AS MATERIALIZED (
+           |  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h0
+           |  FROM edges e JOIN a$k a ON e.dst = a.node
+           |  GROUP BY 1),
+           |h$k AS MATERIALIZED (
+           |  SELECT src AS node,
+           |    CAST(h0 * 1000000 // (SELECT max(h0) FROM h${k}0) AS BIGINT)
+           |      AS h
+           |  FROM h${k}0)""".stripMargin
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h0 AS (
+        |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h
+        |  FROM edges),
+        |""".stripMargin +
+        (1 to 5).map(round).mkString(",\n") +
+        """
+          |SELECT node, 'hub' AS kind, h AS score FROM h5
+          |UNION ALL
+          |SELECT node, 'auth' AS kind, a AS score FROM a5""".stripMargin
+    },
+
+    "q332_ewma_exact" ->
+      """WITH daily AS (
+        |  SELECT r_name, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT r_name, d, c,
+        |    row_number() OVER (PARTITION BY r_name ORDER BY d) AS rn,
+        |    lag(c, 0) OVER (PARTITION BY r_name ORDER BY d) * 50000000
+        |    + lag(c, 1) OVER (PARTITION BY r_name ORDER BY d) * 25000000
+        |    + lag(c, 2) OVER (PARTITION BY r_name ORDER BY d) * 12500000
+        |    + lag(c, 3) OVER (PARTITION BY r_name ORDER BY d) * 6250000
+        |    + lag(c, 4) OVER (PARTITION BY r_name ORDER BY d) * 3125000
+        |    + lag(c, 5) OVER (PARTITION BY r_name ORDER BY d) * 1562500
+        |    + lag(c, 6) OVER (PARTITION BY r_name ORDER BY d) * 781250
+        |    + lag(c, 7) OVER (PARTITION BY r_name ORDER BY d) * 781250
+        |      AS ewma_e8
+        |  FROM daily)
+        |SELECT r_name, d, c, CAST(ewma_e8 AS BIGINT) AS ewma_e8
+        |FROM w WHERE rn >= 8""".stripMargin,
+
+    "q333_rake_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, ts[i] AS w
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts))) AS i FROM t)),
+        |mk AS (
+        |  SELECT doc_id, i, w,
+        |    CASE WHEN w IN ('the','a','an','of','to','and','in','is','it',
+        |      'that') THEN 1 ELSE 0 END AS st
+        |  FROM tok),
+        |ph AS (
+        |  SELECT doc_id, w, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+        |  FROM mk),
+        |nw AS (SELECT doc_id, pid, w FROM ph WHERE st = 0),
+        |pl AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+        |       FROM nw GROUP BY 1, 2)
+        |SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(plen) AS BIGINT) AS deg,
+        |  CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS score_ppm
+        |FROM nw JOIN pl USING (doc_id, pid)
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+    // word co-occurrence edges + the q69 unrolled 5-round integer
+    // PageRank, scores joined back to word strings
+    "q334_textrank" -> {
+      def round(k: Int): String =
+        s"""pr$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CAST((SELECT base FROM params)
+           |      + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS score
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p.score // d.deg) AS s
+           |    FROM pr${k - 1} p JOIN deg d ON p.node = d.node
+           |    JOIN edges e ON e.src = p.node
+           |    GROUP BY e.dst) m ON n.node = m.node)""".stripMargin
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, ts[i] AS w
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts))) AS i FROM t)
+        |  WHERE ts[i] NOT IN ('the','a','an','of','to','and','in','is',
+        |    'it','that')),
+        |sh AS (
+        |  SELECT doc_id, i + 1 AS i, w AS w2 FROM tok
+        |  UNION ALL SELECT doc_id, i + 2, w FROM tok),
+        |pw AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(a.w), 1, 15) AS BIGINT) AS src,
+        |    CAST('0x' || substr(md5(b.w2), 1, 15) AS BIGINT) AS dst
+        |  FROM tok a JOIN sh b ON a.doc_id = b.doc_id AND a.i = b.i
+        |  WHERE a.w <> b.w2),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst
+        |  FROM (SELECT src, dst FROM pw UNION ALL SELECT dst, src FROM pw)),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |params AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+        |  CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS base
+        |  FROM nodes),
+        |pr0 AS (SELECT node, (SELECT init FROM params) AS score FROM nodes),
+        |""".stripMargin +
+        (1 to 5).map(round).mkString(",\n") +
+        """,
+          |vocab AS (
+          |  SELECT DISTINCT w,
+          |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS node
+          |  FROM tok)
+          |SELECT v.w, p.score FROM pr5 p JOIN vocab v ON p.node = v.node"""
+          .stripMargin
+    },
+
+    "q335_map_eval" ->
+      """WITH cn AS (
+        |  SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nk
+        |  FROM customer),
+        |ol AS (
+        |  SELECT ck, nk, l_partkey AS pk, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN cn ON o_custkey = ck),
+        |recs AS (
+        |  SELECT nk, pk, pos FROM (
+        |    SELECT nk, pk,
+        |      CAST(row_number() OVER (PARTITION BY nk
+        |        ORDER BY count(*) DESC, pk) AS BIGINT) AS pos
+        |    FROM ol WHERE d < DATE '1997-01-01' GROUP BY nk, pk)
+        |  WHERE pos <= 10),
+        |rel AS (
+        |  SELECT DISTINCT ck, nk, pk FROM ol WHERE d >= DATE '1997-01-01'),
+        |nrel AS (
+        |  SELECT ck, nk, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM rel GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT ck, CAST(sum(term) AS BIGINT) AS tsum FROM (
+        |    SELECT r.ck,
+        |      CAST(row_number() OVER (PARTITION BY r.ck ORDER BY t.pos)
+        |        AS BIGINT) * 1000000 // t.pos AS term
+        |    FROM rel r JOIN recs t ON r.nk = t.nk AND r.pk = t.pk)
+        |  GROUP BY 1),
+        |pc AS (
+        |  SELECT n.nk,
+        |    COALESCE(h.tsum, 0) // least(10, n.n_rel) AS ap_micro
+        |  FROM nrel n LEFT JOIN hits h ON n.ck = h.ck)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(ap_micro) AS BIGINT) AS ap_sum,
+        |  CAST(sum(ap_micro) // count(*) AS BIGINT) AS map_micro
+        |FROM pc GROUP BY 1""".stripMargin,
+
+    "q336_quantile_normalize" ->
+      """WITH src AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x_orig,
+        |    CAST(row_number() OVER (ORDER BY
+        |      CAST(CAST(s_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT),
+        |      s_suppkey) AS BIGINT) AS r
+        |  FROM supplier),
+        |ref AS (
+        |  SELECT
+        |    CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |      AS x_mapped,
+        |    CAST(row_number() OVER (ORDER BY
+        |      CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT),
+        |      c_custkey) AS BIGINT) AS idx
+        |  FROM customer),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ref)
+        |SELECT s.s_suppkey, s.x_orig, f.x_mapped
+        |FROM src s CROSS JOIN nn CROSS JOIN mm
+        |JOIN ref f ON f.idx = (s.r * mm.m + nn.n - 1) // nn.n"""
+        .stripMargin,
+
+    "q337_haar_wavelet" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT d, c,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS rn0
+        |  FROM daily),
+        |b AS (
+        |  SELECT d, c, rn0 // 8 AS blk, rn0 % 8 AS pos,
+        |    count(*) OVER (PARTITION BY rn0 // 8) AS nb
+        |  FROM r)
+        |SELECT blk, min(d) AS d_start,
+        |  CAST(sum(c) AS BIGINT) AS a3,
+        |  CAST(sum(CASE WHEN pos < 4 THEN c ELSE -c END) AS BIGINT) AS d3,
+        |  CAST(sum(CASE WHEN pos < 2 THEN c WHEN pos < 4 THEN -c
+        |    ELSE 0 END) AS BIGINT) AS d2_0,
+        |  CAST(sum(CASE WHEN pos >= 6 THEN -c WHEN pos >= 4 THEN c
+        |    ELSE 0 END) AS BIGINT) AS d2_1,
+        |  CAST(sum(CASE WHEN pos = 0 THEN c WHEN pos = 1 THEN -c
+        |    ELSE 0 END) AS BIGINT) AS d1_0,
+        |  CAST(sum(CASE WHEN pos = 2 THEN c WHEN pos = 3 THEN -c
+        |    ELSE 0 END) AS BIGINT) AS d1_1,
+        |  CAST(sum(CASE WHEN pos = 4 THEN c WHEN pos = 5 THEN -c
+        |    ELSE 0 END) AS BIGINT) AS d1_2,
+        |  CAST(sum(CASE WHEN pos = 6 THEN c WHEN pos = 7 THEN -c
+        |    ELSE 0 END) AS BIGINT) AS d1_3
+        |FROM b WHERE nb = 8 GROUP BY 1""".stripMargin,
+  )
+}

@@ -617,6 +617,22 @@ object StreamingQueries {
       streaming.Streams.miCellsStream(s, s"$root/events", ev.schema,
         s"$root/partials", s"$root/ckpt")
     }),
+
+
+    // q332's exact-integer EWMA kernel maintained as a stream: per-batch
+    // per-day cent-sum partials (batchId-idempotent), day sums merge by
+    // plain addition, readout applies the 8-lag α=1/2 e8-integer closed
+    // form and the 50%-deviation drift flag — hash-equals the one-shot
+    // batch computation under any batch split (the q294/q306/q320
+    // pattern)
+    "q338_ewma_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("value"))
+      val root = predsPath(s"q338_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.ewmaGateStream(s, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt")
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -1011,5 +1027,31 @@ object StreamingQueries {
         |    - ln(CAST(n_x AS DOUBLE)) - ln(CAST(n_y AS DOUBLE)))
         |    * CAST(n_xy AS DOUBLE) * 1000000.0) AS BIGINT) AS term_micro
         |FROM m""".stripMargin,
+
+    // one-shot batch replay of the streamed-maintained day sums + the
+    // same 8-lag exact-integer EWMA and drift flag
+    "q338_ewma_stream" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS ed,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT ed, c,
+        |    row_number() OVER (ORDER BY ed) AS rn,
+        |    lag(c, 0) OVER (ORDER BY ed) * 50000000
+        |    + lag(c, 1) OVER (ORDER BY ed) * 25000000
+        |    + lag(c, 2) OVER (ORDER BY ed) * 12500000
+        |    + lag(c, 3) OVER (ORDER BY ed) * 6250000
+        |    + lag(c, 4) OVER (ORDER BY ed) * 3125000
+        |    + lag(c, 5) OVER (ORDER BY ed) * 1562500
+        |    + lag(c, 6) OVER (ORDER BY ed) * 781250
+        |    + lag(c, 7) OVER (ORDER BY ed) * 781250 AS ewma_e8
+        |  FROM daily)
+        |SELECT ed, c, CAST(ewma_e8 AS BIGINT) AS ewma_e8,
+        |  CAST(c * 100000000 - ewma_e8 AS BIGINT) AS dev_e8,
+        |  CAST(CASE WHEN abs(c * 100000000 - ewma_e8) * 2 > ewma_e8
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_drift
+        |FROM w WHERE rn >= 8""".stripMargin,
   )
 }

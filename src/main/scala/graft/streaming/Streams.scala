@@ -521,7 +521,7 @@ object Streams {
           .collect().map(_.getInt(0)).sorted
         if (touched.nonEmpty) {
           val subset = spark.read.parquet(tableDir)
-            .filter(col("kb").isin(touched.map(Int.box): _*))
+            .filter(col("kb").isin(touched.map(Int.box).toIndexedSeq: _*))
           Relational.upsertVersioned(subset, b, keys, orderCol, tieCol)
             .localCheckpoint()
             .write.mode("overwrite")
@@ -639,7 +639,7 @@ object Streams {
           val merged =
             if (!hasTable) part
             else spark.read.parquet(tableDir)
-              .filter(col("kb").isin(touched.map(Int.box): _*))
+              .filter(col("kb").isin(touched.map(Int.box).toIndexedSeq: _*))
               .select(col(keyCol), col("n_events"),
                 col("sum_dec").cast("decimal(30,2)").as("sum_dec"), col("kb"))
               .unionByName(part)
@@ -1203,5 +1203,75 @@ object Streams {
           - log(col("n_x").cast("double")) - log(col("n_y").cast("double")))
           * col("n_xy").cast("double") * lit(1000000.0)).cast("long"))
       .select(col("x"), col("y"), col("n_xy"), col("term_micro"))
+  }
+
+  /** Streaming EWMA drift gate — q332's exact-integer smoothing kernel
+    * maintained over a live event stream: each micro-batch appends only
+    * its per-day cent-sum partial (idempotently under `batch_id=<id>`,
+    * the [[srmGateStream]] replay rule); day sums merge by plain
+    * addition (order-free), and the readout applies the 8-lag
+    * α = 1/2 closed form in EXACT e8 integer units (w_j = 1e8·2^{−(j+1)},
+    * tail lag doubled so Σw = 1e8 — no float pow, no recursion) and
+    * flags days whose value deviates from the smoothed level by more
+    * than 50% (2·|dev| > ewma). Because every stage is an order-free
+    * integer reduction, the streamed readout hash-equals the one-shot
+    * batch computation under ANY batch split or replay — the q294/q306/
+    * q320 pattern.
+    *
+    * Day grain is the ENGINE-FREE integer derivation
+    * `epoch_us div 86400000000` (the [[miCellsStream]] rule — never a
+    * timezone/locale-dependent date builtin).
+    *
+    * At scale: zero keyed state; partials are ≤ |days-in-batch| rows
+    * per batch and the readout runs on the tiny day grain. */
+  def ewmaGateStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    def daysOf(df: DataFrame): DataFrame = df
+      .select(
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("ed"),
+        (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
+      .groupBy(col("ed")).agg(sum(col("c")).as("c"))
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        daysOf(batch)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow EWMA-gate stream must drain")
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ed",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType)))
+    val days = readPartials(spark, partialsDir, partialsSchema)
+      .groupBy(col("ed")).agg(sum(col("c")).as("c"))
+    val w = Window.orderBy(col("ed"))
+    val wts = Seq(50000000L, 25000000L, 12500000L, 6250000L,
+      3125000L, 1562500L, 781250L, 781250L)
+    days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ewma_e8",
+        wts.zipWithIndex.map { case (wt, j) =>
+          lag(col("c"), j).over(w) * lit(wt)
+        }.reduce(_ + _))
+      .filter(col("rn") >= 8)
+      .withColumn("dev_e8", col("c") * lit(100000000L) - col("ewma_e8"))
+      .withColumn("is_drift",
+        when(abs(col("dev_e8")) * 2 > col("ewma_e8"), 1L).otherwise(0L))
+      .select(col("ed"), col("c"), col("ewma_e8"), col("dev_e8"),
+        col("is_drift"))
   }
 }

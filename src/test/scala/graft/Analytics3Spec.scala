@@ -1,0 +1,288 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Analytics3Queries
+
+/** Invariant laws for the round-9 session-4 family (q325+), over the
+  * sf0.001 fixtures: driver-side brute-force replays and exact
+  * conservation/bound properties beyond what the DuckDB hash
+  * differential expresses on its own. */
+class Analytics3Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    Analytics3Queries.queries(name)(spark, dir).collect()
+
+  private def orderCents(): Array[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(30,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  test("LAW anova: partition of total SS holds within the declared " +
+      "per-group quantization, and F matches a driver-side replay") {
+    val row = run("q325_anova_f").head
+    val xs = orderCents()
+    val k = xs.map(_._1).distinct.length
+    val n = xs.length
+    assert(row.getAs[Long]("k") == k.toLong)
+    assert(row.getAs[Long]("n") == n.toLong)
+    // brute force in exact BigInt, same quantization (term = S_g^2 / n_g
+    // truncated; s2n likewise)
+    val groups = xs.groupBy(_._1).values.toSeq
+    val t = groups.map { g =>
+      val s = g.map(x => BigInt(x._2)).sum
+      s * s / g.length
+    }.sum
+    val q = xs.map(x => BigInt(x._2) * x._2).sum
+    val s = xs.map(x => BigInt(x._2)).sum
+    val ssb = (t - s * s / n).toDouble
+    val ssw = (q - t).toDouble
+    assert(math.abs(row.getAs[Double]("ssb") - ssb) <= math.ulp(ssb) * 4)
+    assert(math.abs(row.getAs[Double]("ssw") - ssw) <= math.ulp(ssw) * 4)
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(row.getAs[Double]("f_stat") - f) <= math.abs(f) * 1e-12)
+  }
+
+  test("LAW kendall: tau_b in [-1,1], pair counts partition n_pairs, and " +
+      "one nation matches an O(n^2) driver replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q326_kendall_tau")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("nc") + r.getAs[Long]("nd") +
+        r.getAs[Long]("tx") + r.getAs[Long]("ty") + r.getAs[Long]("txy")
+      assert(total == r.getAs[Long]("n_pairs"))
+      val tau = r.getAs[Double]("tau_b")
+      if (!r.isNullAt(r.fieldIndex("tau_b")))
+        assert(tau >= -1.0 - 1e-12 && tau <= 1.0 + 1e-12)
+    }
+    val nk = rows.head.getAs[Long]("nk")
+    val rev = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")).as("y"))
+    val base = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").cast("long") === nk)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(30,2)") * 100).cast("long").as("x"))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var nc = 0L; var nd = 0L
+    for (i <- base.indices; j <- (i + 1) until base.length) {
+      val s = java.lang.Long.signum(java.lang.Long.compare(base(i)._1, base(j)._1)) *
+        java.lang.Long.signum(java.lang.Long.compare(base(i)._2, base(j)._2))
+      if (s > 0) nc += 1 else if (s < 0) nd += 1
+    }
+    val r0 = rows.find(_.getAs[Long]("nk") == nk).get
+    assert(r0.getAs[Long]("nc") == nc && r0.getAs[Long]("nd") == nd)
+    assert(r0.getAs[Long]("n_pairs") ==
+      base.length.toLong * (base.length - 1) / 2)
+  }
+
+  test("LAW kruskal-wallis: doubled ranks conserve 2*N*(N+1)/2 and H " +
+      "matches a driver-side tied-rank replay within quantization") {
+    val row = run("q327_kruskal_wallis").head
+    val xs = orderCents()
+    val n = xs.length
+    assert(row.getAs[Long]("n") == n.toLong)
+    // driver replay: average ranks with ties (doubled to stay integral)
+    val byVal = xs.map(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val sortedVals = byVal.keys.toArray.sorted
+    val firstRank = scala.collection.mutable.Map[Long, Long]()
+    var acc = 1L
+    sortedVals.foreach { v => firstRank(v) = acc; acc += byVal(v) }
+    def r2(v: Long): Long = 2 * firstRank(v) + byVal(v) - 1
+    val groups = xs.groupBy(_._1)
+    val t = groups.values.map { g =>
+      val s = g.map(x => BigInt(r2(x._2))).sum
+      s * s / g.length
+    }.sum
+    val nd = n.toDouble
+    val h = 3.0 * t.toDouble / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    assert(math.abs(row.getAs[Double]("h") - h) <= math.abs(h) * 1e-12 + 1e-9)
+    val tieS = byVal.values.map(t0 => BigInt(t0) * t0 * t0 - t0).sum
+    val c = 1.0 - tieS.toDouble / (nd * nd * nd - nd)
+    assert(math.abs(row.getAs[Double]("c_tie") - c) <= 1e-12)
+  }
+
+  test("LAW kappa: confusion counts partition n and kappa in [-1,1]") {
+    val row = run("q328_cohens_kappa").head
+    val n = row.getAs[Long]("n")
+    assert(n == row.getAs[Long]("n11") + row.getAs[Long]("n10") +
+      row.getAs[Long]("n01") + row.getAs[Long]("n00"))
+    if (!row.isNullAt(row.fieldIndex("kappa"))) {
+      val kap = row.getAs[Double]("kappa")
+      assert(kap >= -1.0 - 1e-12 && kap <= 1.0 + 1e-12)
+    }
+  }
+
+  test("LAW resource allocation: every pair has >=2 shared parts, " +
+      "ra_micro <= n_common * 500000 (deg >= 2), and one pair matches " +
+      "a driver-side set replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q329_resource_allocation")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("s1") < r.getAs[Long]("s2"))
+      assert(r.getAs[Long]("n_common") >= 2)
+      assert(r.getAs[Long]("ra_micro") <= r.getAs[Long]("n_common") * 500000L)
+    }
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = ps.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val r0 = rows.head
+    val (s1, s2) = (r0.getAs[Long]("s1"), r0.getAs[Long]("s2"))
+    val p1 = ps.filter(_._2 == s1).map(_._1).toSet
+    val p2 = ps.filter(_._2 == s2).map(_._1).toSet
+    val shared = (p1 & p2).filter(p => deg(p) >= 2 && deg(p) <= 20)
+    assert(r0.getAs[Long]("n_common") == shared.size.toLong)
+    assert(r0.getAs[Long]("ra_micro") ==
+      shared.toSeq.map(p => 1000000L / deg(p)).sum)
+  }
+
+  test("LAW bellman-ford: seeds sit at distance 0 and the 6-round fixed " +
+      "point matches a driver-side Dijkstra capped at 6 hops") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q330_bellman_ford")
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") * 2)).collect().map(_.getLong(0)).toSet
+    seeds.foreach(sd => assert(rows(sd) == 0L))
+    assert(rows.values.forall(_ >= 0L))
+    // driver replay: round-synchronous relaxation (exactly 6 rounds)
+    val base = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(countDistinct(col("o_orderkey")).as("no"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1000000L / r.getLong(2)))
+    val adj = (base.map(e => (e._1, e._2, e._3)) ++
+      base.map(e => (e._2, e._1, e._3))).groupBy(_._1)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 6) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Array.empty).map(e => e._2 -> (du + e._3))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+    }
+    assert(rows == dist)
+  }
+
+  test("LAW ewma: one region matches a driver-side closed-form replay " +
+      "and the weights sum to exactly 1e8") {
+    import org.apache.spark.sql.functions._
+    val wts = Seq(50000000L, 25000000L, 12500000L, 6250000L,
+      3125000L, 1562500L, 781250L, 781250L)
+    assert(wts.sum == 100000000L)
+    val rows = run("q332_ewma_exact")
+    assert(rows.nonEmpty)
+    val rg = rows.head.getAs[String]("r_name")
+    val series = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === rg)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")).as("c"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val expected = (7 until series.length).map { t =>
+      series(t)._1 -> wts.zipWithIndex.map { case (w, j) =>
+        series(t - j)._2 * w
+      }.sum
+    }.toMap
+    rows.filter(_.getAs[String]("r_name") == rg).foreach { r =>
+      assert(r.getAs[Long]("ewma_e8") == expected(r.getAs[java.sql.Date]("d")))
+    }
+  }
+
+  test("LAW rake: deg >= freq so score_ppm >= 1e6, and freq respects " +
+      "the min-support gate") {
+    val rows = run("q333_rake_keywords")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("freq") >= 5)
+      assert(r.getAs[Long]("deg") >= r.getAs[Long]("freq"))
+      assert(r.getAs[Long]("score_ppm") >= 1000000L)
+    }
+  }
+
+  test("LAW textrank: every surviving word scores positive and the " +
+      "md5 node space is collision-free on this vocabulary") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q334_textrank")
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("score") > 0))
+    val words = rows.map(_.getAs[String]("w"))
+    assert(words.distinct.length == words.length)
+  }
+
+  test("LAW map: ap and map stay within the 1e6 grid") {
+    val rows = run("q335_map_eval")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("map_micro") >= 0L)
+      assert(r.getAs[Long]("map_micro") <= 1000000L)
+      assert(r.getAs[Long]("ap_sum") <=
+        r.getAs[Long]("n_users") * 1000000L)
+    }
+  }
+
+  test("LAW quantile normalize: every supplier maps, and the mapping " +
+      "is monotone in the source value") {
+    val rows = run("q336_quantile_normalize")
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("x_orig"),
+        r.getAs[Long]("x_mapped")))
+    val nSupp = Tables.supplier(spark, dir).count()
+    assert(rows.length.toLong == nSupp)
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3)
+      case _ =>
+    }
+  }
+
+  test("LAW haar: one block matches a driver-side transform and the " +
+      "level sums telescope (a3 = sum of the 8 days)") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q337_haar_wavelet")
+    assert(rows.nonEmpty)
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")).as("c"))
+      .orderBy(col("d"))
+      .collect().map(_.getLong(1))
+    val blk0 = rows.find(_.getAs[Long]("blk") == 0L).get
+    val x = daily.take(8)
+    assert(blk0.getAs[Long]("a3") == x.sum)
+    assert(blk0.getAs[Long]("d3") == x.take(4).sum - x.drop(4).sum)
+    assert(blk0.getAs[Long]("d2_0") == x(0) + x(1) - x(2) - x(3))
+    assert(blk0.getAs[Long]("d2_1") == x(4) + x(5) - x(6) - x(7))
+    assert(blk0.getAs[Long]("d1_0") == x(0) - x(1))
+    assert(blk0.getAs[Long]("d1_3") == x(6) - x(7))
+  }
+
+  test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
+      "exactly the 1e6 grid top") {
+    val rows = run("q331_hits")
+    val hubs = rows.filter(_.getAs[String]("kind") == "hub")
+      .map(_.getAs[Long]("score"))
+    val auths = rows.filter(_.getAs[String]("kind") == "auth")
+      .map(_.getAs[Long]("score"))
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    assert(hubs.forall(s => s >= 0 && s <= 1000000L))
+    assert(auths.forall(s => s >= 0 && s <= 1000000L))
+    assert(hubs.max == 1000000L)
+    assert(auths.max == 1000000L)
+  }
+}
