@@ -515,6 +515,311 @@ object Analytics3Queries {
           signed(when(col("pos") === 6, 1L).when(col("pos") === 7, -1L)
             .otherwise(0L)).as("d1_3"))
     }),
+
+
+    // Jensen–Shannon divergence of each source's token distribution vs
+    // the rest of the corpus (the symmetric, bounded cousin of q188's
+    // log-ratio drift): add-one-smoothed probabilities over the shared
+    // vocabulary grid (|sources|·|vocab| rows — vocabulary-sized, never
+    // corpus-sized), each token's pointwise term floor-quantized to
+    // µnats (the q274/q188 ln discipline) so the per-source sum is an
+    // order-free integer.
+    "q339_js_divergence" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(text.TextOps.tokens(col("text"))).as("token"))
+      val bySrc = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c1"))
+      val glob = toks.groupBy(col("token")).agg(count(lit(1)).as("g"))
+      val tot = glob.agg(sum(col("g")).as("n_all"),
+        count(lit(1)).as("v"))
+      val np = toks.groupBy(col("source")).agg(count(lit(1)).as("np"))
+      val grid = toks.select(col("source")).distinct()
+        .crossJoin(glob)
+        .join(bySrc, Seq("source", "token"), "left")
+        .withColumn("c1", coalesce(col("c1"), lit(0L)))
+        .withColumn("c2", col("g") - col("c1"))
+        .join(np, Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("p",
+          (col("c1") + 1).cast("double") / (col("np") + col("v")).cast("double"))
+        .withColumn("q",
+          (col("c2") + 1).cast("double") /
+            (col("n_all") - col("np") + col("v")).cast("double"))
+        .withColumn("term_micro",
+          floor(lit(1e6) * (col("p") * log(lit(2.0) * col("p") /
+            (col("p") + col("q"))) + col("q") * log(lit(2.0) * col("q") /
+            (col("p") + col("q"))))).cast("long"))
+      grid.groupBy(col("source"))
+        .agg(max(col("np")).as("n_src_tok"),
+          sum(col("term_micro")).as("jsd_micro"))
+    }),
+
+
+    // Brown–Forsythe variance-homogeneity test across return flags on
+    // line price: absolute deviations from the GROUP MEDIAN, kept exact
+    // by doubling (2·|x − med| = |2x − 2·med| and 2·med is an exact
+    // integer for any half-grid percentile of cents), then the q325
+    // ANOVA machinery on the deviations — exact decimal sufficient
+    // statistics, quantized per-group terms, one fixed-order W formula.
+    // The robust sibling of q325: same F shape, deviations not levels.
+    "q340_brown_forsythe" -> ((s, dir) => {
+      val t = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("grp"),
+          cents(col("l_extendedprice")).as("x"))
+      val med = t.groupBy(col("grp"))
+        .agg((percentile(col("x"), lit(0.5)) * 2).cast("long").as("m2"))
+      val z = t.join(broadcast(med), Seq("grp"))
+        .select(col("grp"), abs(col("x") * 2 - col("m2")).as("z2"))
+      val g = z.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("z2")).as("s_g"),
+          sum(d38(col("z2")) * col("z2")).as("q_g"))
+        .withColumn("term",
+          decDiv(d38(col("s_g")) * col("s_g"), d38(col("n_g"))))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s_all"), sum(col("q_g")).as("q_all"),
+          sum(col("term")).as("t_all"))
+        .withColumn("s2n",
+          decDiv(d38(col("s_all")) * col("s_all"), d38(col("n"))))
+        .withColumn("ssb", toD(col("t_all") - col("s2n")))
+        .withColumn("ssw", toD(col("q_all") - col("t_all")))
+        .withColumn("w_stat",
+          when(col("k") > 1 && col("n") > col("k") && col("ssw") > 0,
+            (col("ssb") / (col("k") - 1).cast("double")) /
+              (col("ssw") / (col("n") - col("k")).cast("double"))))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"), col("w_stat"))
+    }),
+
+
+    // Partial autocorrelation (lags 1–3) of the daily event-count
+    // series via the unrolled Durbin–Levinson recursion: each lag's r_k
+    // folds from exact integer sufficient statistics over the (t, t+k)
+    // pair join (the q284 device, decimal-lifted), then φ11/φ22/φ33 are
+    // fixed-text double formulas over (r1, r2, r3). PACF separates
+    // direct lag effects from propagated ones — the AR-order diagnostic
+    // q284's raw ACF cannot express.
+    "q341_pacf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .select(datediff(col("d"), lit("2024-01-01").cast("date"))
+          .cast("long").as("t"), col("n"))
+      val r = daily
+        .withColumn("lag",
+          explode(array((1 to 3).map(i => lit(i.toLong)): _*)))
+        .withColumn("t2", col("t") + col("lag"))
+        .join(daily.select(col("t").as("t2"), col("n").as("n2")), Seq("t2"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("np"),
+          sum(col("n")).as("sx"), sum(col("n2")).as("sy"),
+          sum(d38(col("n")) * col("n2")).cast("double").as("sxy"),
+          sum(d38(col("n")) * col("n")).cast("double").as("sxx"),
+          sum(d38(col("n2")) * col("n2")).cast("double").as("syy"))
+        .withColumn("r",
+          (col("np").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("np").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("np").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+      r.agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+          max(when(col("lag") === 2, col("r"))).as("r2"),
+          max(when(col("lag") === 3, col("r"))).as("r3"))
+        .withColumn("pacf1", col("r1"))
+        .withColumn("pacf2",
+          (col("r2") - col("r1") * col("r1")) /
+            (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("phi21", col("r1") * (lit(1.0) - col("pacf2")))
+        .withColumn("pacf3",
+          (col("r3") - col("phi21") * col("r2") - col("pacf2") * col("r1")) /
+            (lit(1.0) - col("phi21") * col("r1") - col("pacf2") * col("r2")))
+        .select(col("r1"), col("r2"), col("r3"),
+          col("pacf1"), col("pacf2"), col("pacf3"))
+    }),
+
+
+    // Friedman blocked rank test: nations are blocks, market segments
+    // are treatments, the cell value is the block×treatment revenue
+    // (missing cells coalesce to 0 on the complete grid). Within-block
+    // ranks use the doubled-average-rank trick (exact integers under
+    // ties), treatment rank sums square through decimal, and Q is one
+    // fixed-order double formula — the repeated-measures sibling of
+    // q327 (which ranks one global pool, not per block).
+    "q342_friedman" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("seg"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val grid = cells.select(col("nk")).distinct()
+        .crossJoin(cells.select(col("seg")).distinct())
+        .join(cells, Seq("nk", "seg"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val ranked = grid
+        .withColumn("rk", rank().over(
+          Window.partitionBy(col("nk")).orderBy(col("x"))).cast("long"))
+        .withColumn("tsz", count(lit(1)).over(
+          Window.partitionBy(col("nk"), col("x"))))
+        .withColumn("r2", lit(2L) * col("rk") + col("tsz") - 1L)
+      val byTreat = ranked.groupBy(col("seg"))
+        .agg(sum(col("r2")).as("r2_j"))
+      val nBlocks = grid.select(col("nk")).distinct()
+        .agg(count(lit(1)).as("n"))
+      byTreat.agg(count(lit(1)).as("k"),
+          sum(d38(col("r2_j")) * col("r2_j")).as("sq"))
+        .crossJoin(broadcast(nBlocks))
+        .withColumn("q_stat",
+          lit(3.0) * toD(col("sq")) /
+            (col("n").cast("double") * col("k").cast("double") *
+              (col("k").cast("double") + 1.0)) -
+            lit(3.0) * col("n").cast("double") *
+              (col("k").cast("double") + 1.0))
+        .select(col("n"), col("k"), col("q_stat"))
+    }),
+
+
+    // Theil–Sen slope per nation (balance → revenue): the median of all
+    // pairwise slopes — the high-breakdown robust regressor. Slopes are
+    // single IEEE divisions of exact cent deltas (identical both
+    // engines); the median picks rank (m+1) div 2 under the total order
+    // (slope, k1, k2) — declared lower-median semantics, no averaging.
+    // Shares q326's declared within-nation quadratic tier.
+    "q343_theil_sen" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+          cents(col("c_acctbal")).as("x"))
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("nk"), col("c_custkey").as("ck"), col("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val a = base.select(col("nk"), col("ck").as("k1"),
+        col("x").as("x1"), col("y").as("y1"))
+      val b = base.select(col("nk"), col("ck").as("k2"),
+        col("x").as("x2"), col("y").as("y2"))
+      val slopes = a.join(b, Seq("nk"))
+        .filter(col("k1") < col("k2") && col("x1") =!= col("x2"))
+        .select(col("nk"), col("k1"), col("k2"),
+          ((col("y2") - col("y1")).cast("double") /
+            (col("x2") - col("x1")).cast("double")).as("slope"))
+      val w = Window.partitionBy(col("nk"))
+      slopes
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("slope"), col("k1"), col("k2"))).cast("long"))
+        .withColumn("m", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("nk"), col("m").as("n_slopes"),
+          col("slope").as("ts_slope"))
+    }),
+
+
+    // Wilcoxon signed-rank test on paired pre/post-1997 customer
+    // revenue: zero differences drop (declared), |d| ranks use the
+    // doubled-average-rank trick, W⁺/W⁻ stay exact integers (their sum
+    // conserves n(n+1) — spec law), and the normal-approximation z is
+    // one fixed-text double formula. Completes the nonparametric
+    // family: q255 unpaired, q327 k-sample, q342 blocked, this paired.
+    "q344_wilcoxon" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("c"))
+      val split = to_date(lit("1997-01-01"))
+      def half(f: Column, out: String) =
+        o.filter(f).groupBy(col("o_custkey")).agg(sum(col("c")).as(out))
+      val pre = half(col("d") < split, "pre")
+        .withColumnRenamed("o_custkey", "ck1")
+      val post = half(col("d") >= split, "post")
+        .withColumnRenamed("o_custkey", "ck2")
+      val diffs = pre.join(post, col("ck1") === col("ck2"), "full_outer")
+        .select((coalesce(col("post"), lit(0L)) -
+          coalesce(col("pre"), lit(0L))).as("dd"))
+        .filter(col("dd") =!= 0)
+        .withColumn("ad", abs(col("dd")))
+      val ranked = diffs
+        .withColumn("rk", rank().over(Window.orderBy(col("ad"))).cast("long"))
+        .withColumn("tsz", count(lit(1)).over(
+          Window.partitionBy(col("ad"))))
+        .withColumn("r2", lit(2L) * col("rk") + col("tsz") - 1L)
+      ranked.agg(count(lit(1)).as("n"),
+          sum(when(col("dd") > 0, col("r2")).otherwise(0L)).as("w2_plus"),
+          sum(when(col("dd") < 0, col("r2")).otherwise(0L)).as("w2_minus"))
+        .withColumn("z",
+          (col("w2_plus").cast("double") / 2.0 -
+            col("n").cast("double") * (col("n").cast("double") + 1.0) / 4.0) /
+            sqrt(col("n").cast("double") * (col("n").cast("double") + 1.0) *
+              (lit(2.0) * col("n").cast("double") + 1.0) / 24.0))
+        .select(col("n"), col("w2_plus"), col("w2_minus"), col("z"))
+    }),
+
+
+    // Gumbel fit on monthly block maxima of daily revenue (extreme-value
+    // capacity planning): block maxima are exact cents; the
+    // method-of-moments fit (β = s√6/π, μ = m − γβ) and the 12-block
+    // return level are ONE fixed-text double formula over exact decimal
+    // sufficient statistics — γ and π enter as shared literals.
+    "q345_gumbel_maxima" -> ((s, dir) => {
+      val mx = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("c"))
+        .groupBy(date_trunc("month", col("d")).cast("date").as("month"))
+        .agg(max(col("c")).as("mx"))
+      mx.agg(count(lit(1)).as("n"), sum(col("mx")).as("s"),
+          sum(d38(col("mx")) * col("mx")).as("q"))
+        .withColumn("mean_c", toD(col("s")) / col("n").cast("double"))
+        .withColumn("var_c",
+          toD(d38(col("n")) * col("q") - d38(col("s")) * col("s")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+        .withColumn("sd_c", sqrt(col("var_c")))
+        .withColumn("beta",
+          col("sd_c") * sqrt(lit(6.0)) / lit(3.141592653589793))
+        .withColumn("mu",
+          col("mean_c") - lit(0.5772156649015329) * col("beta"))
+        .withColumn("rl12",
+          col("mu") - col("beta") * log(-log(lit(1.0) - lit(1.0) / 12.0)))
+        .select(col("n"), col("mean_c"), col("sd_c"), col("beta"),
+          col("mu"), col("rl12"))
+    }),
+
+
+    // Hurst rescaled-range diagnostic over non-overlapping 16-day
+    // windows of daily revenue: deviations stay exact by scaling
+    // through the window length (dev = 16·x − Σx — no fractional mean),
+    // the cumulative-deviation range R is an exact integer, σ folds
+    // from Σdev² (decimal-lifted), and R/S plus the ln-ratio Hurst
+    // proxy are fixed-text double formulas (µ-quantized, the q274 ln
+    // rule). The long-memory fingerprint behind burstiness (q309) that
+    // a variance alone cannot see.
+    "q346_hurst_rs" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("c"))
+        .withColumn("rn0",
+          row_number().over(Window.orderBy(col("d"))).cast("long") - 1L)
+        .withColumn("blk", expr("rn0 div 16"))
+        .withColumn("pos", expr("rn0 % 16"))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("blk"))))
+        .filter(col("nb") === 16)
+      val wBlk = Window.partitionBy(col("blk"))
+      val z = daily
+        .withColumn("s16", sum(col("c")).over(wBlk))
+        .withColumn("dev", col("c") * 16 - col("s16"))
+        .withColumn("zc", sum(col("dev")).over(
+          wBlk.orderBy(col("pos"))))
+      z.groupBy(col("blk"))
+        .agg(min(col("d")).as("d_start"),
+          (max(col("zc")) - min(least(col("zc"), lit(0L)))).as("r16"),
+          sum(d38(col("dev")) * col("dev")).as("q_dev"))
+        .withColumn("s_dev",
+          sqrt(toD(col("q_dev")) / 16.0) / 16.0)
+        .withColumn("rs",
+          when(col("s_dev") > 0,
+            col("r16").cast("double") / 16.0 / col("s_dev")))
+        .withColumn("h_micro",
+          floor(lit(1e6) * log(col("rs")) / log(lit(8.0))).cast("long"))
+        .select(col("blk"), col("d_start"), col("r16"), col("rs"),
+          col("h_micro"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
@@ -936,5 +1241,279 @@ object Analytics3Queries {
         |  CAST(sum(CASE WHEN pos = 6 THEN c WHEN pos = 7 THEN -c
         |    ELSE 0 END) AS BIGINT) AS d1_3
         |FROM b WHERE nb = 8 GROUP BY 1""".stripMargin,
+
+    "q339_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |bysrc AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c1
+        |  FROM toks GROUP BY 1, 2),
+        |gl AS (SELECT token, CAST(count(*) AS BIGINT) AS g
+        |         FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_all,
+        |               CAST(count(*) AS BIGINT) AS v FROM gl),
+        |np AS (SELECT source, CAST(count(*) AS BIGINT) AS np
+        |       FROM toks GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, g.token, COALESCE(b.c1, 0) AS c1,
+        |    g.g - COALESCE(b.c1, 0) AS c2, np.np, tot.n_all, tot.v
+        |  FROM (SELECT DISTINCT source FROM toks) s
+        |  CROSS JOIN gl g
+        |  LEFT JOIN bysrc b ON b.source = s.source AND b.token = g.token
+        |  JOIN np ON np.source = s.source
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT source, np,
+        |    CAST(floor(1e6 * (p * ln(2.0 * p / (p + q))
+        |      + q * ln(2.0 * q / (p + q)))) AS BIGINT) AS term_micro
+        |  FROM (
+        |    SELECT source, np,
+        |      CAST(c1 + 1 AS DOUBLE) / CAST(np + v AS DOUBLE) AS p,
+        |      CAST(c2 + 1 AS DOUBLE) / CAST(n_all - np + v AS DOUBLE) AS q
+        |    FROM grid))
+        |SELECT source, CAST(max(np) AS BIGINT) AS n_src_tok,
+        |  CAST(sum(term_micro) AS BIGINT) AS jsd_micro
+        |FROM terms GROUP BY 1""".stripMargin,
+
+    "q340_brown_forsythe" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT grp, CAST(quantile_cont(x, 0.5) * 2 AS BIGINT) AS m2
+        |  FROM t GROUP BY 1),
+        |z AS (
+        |  SELECT t.grp, abs(t.x * 2 - med.m2) AS z2
+        |  FROM t JOIN med ON t.grp = med.grp),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(z2) AS BIGINT) AS s_g,
+        |    sum(CAST(z2 AS HUGEINT) * z2) AS q_g
+        |  FROM z GROUP BY 1),
+        |gt AS (SELECT *, (CAST(s_g AS HUGEINT) * s_g) // n_g AS term FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS HUGEINT) AS s_all, sum(q_g) AS q_all,
+        |    sum(term) AS t_all
+        |  FROM gt),
+        |b AS (SELECT *, (s_all * s_all) // n AS s2n FROM a),
+        |c AS (
+        |  SELECT k, n,
+        |    CAST(CAST(t_all - s2n AS VARCHAR) AS DOUBLE) AS ssb,
+        |    CAST(CAST(q_all - t_all AS VARCHAR) AS DOUBLE) AS ssw
+        |  FROM b)
+        |SELECT k, n, ssb, ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0
+        |       THEN (ssb / CAST(k - 1 AS DOUBLE)) /
+        |            (ssw / CAST(n - k AS DOUBLE)) END AS w_stat
+        |FROM c""".stripMargin,
+
+    "q341_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |    CAST(ts AS DATE)) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT l.lag, a.n AS n, b.n AS n2
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l
+        |  JOIN daily b ON b.t = a.t + l.lag),
+        |agg AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n2) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(n AS HUGEINT) * n2) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(n2 AS HUGEINT) * n2) AS DOUBLE) AS syy
+        |  FROM p GROUP BY 1),
+        |rr AS (
+        |  SELECT lag,
+        |    (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(np AS DOUBLE) * sxx
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(np AS DOUBLE) * syy
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |  FROM agg),
+        |pv AS (
+        |  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    max(CASE WHEN lag = 3 THEN r END) AS r3
+        |  FROM rr),
+        |d2 AS (
+        |  SELECT r1, r2, r3, r1 AS pacf1,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf2
+        |  FROM pv),
+        |d3 AS (
+        |  SELECT *, r1 * (1.0 - pacf2) AS phi21 FROM d2)
+        |SELECT r1, r2, r3, pacf1, pacf2,
+        |  (r3 - phi21 * r2 - pacf2 * r1)
+        |    / (1.0 - phi21 * r1 - pacf2 * r2) AS pacf3
+        |FROM d3""".stripMargin,
+
+    "q342_friedman" ->
+      """WITH cells AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT n.nk, s.seg, COALESCE(c.x, 0) AS x
+        |  FROM (SELECT DISTINCT nk FROM cells) n
+        |  CROSS JOIN (SELECT DISTINCT seg FROM cells) s
+        |  LEFT JOIN cells c ON c.nk = n.nk AND c.seg = s.seg),
+        |r AS (
+        |  SELECT nk, seg,
+        |    2 * CAST(rank() OVER (PARTITION BY nk ORDER BY x) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY nk, x) AS BIGINT) - 1 AS r2
+        |  FROM grid),
+        |bt AS (
+        |  SELECT seg, CAST(sum(r2) AS BIGINT) AS r2_j FROM r GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT nk) AS BIGINT) AS n FROM grid),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(r2_j AS HUGEINT) * r2_j) AS sq
+        |  FROM bt)
+        |SELECT nb.n, a.k,
+        |  3.0 * CAST(CAST(a.sq AS VARCHAR) AS DOUBLE)
+        |    / (CAST(nb.n AS DOUBLE) * CAST(a.k AS DOUBLE)
+        |       * (CAST(a.k AS DOUBLE) + 1.0))
+        |  - 3.0 * CAST(nb.n AS DOUBLE) * (CAST(a.k AS DOUBLE) + 1.0)
+        |    AS q_stat
+        |FROM a CROSS JOIN nb""".stripMargin,
+
+    "q343_theil_sen" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_custkey AS ck,
+        |    CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |    COALESCE(y, 0) AS y
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+        |slopes AS (
+        |  SELECT a.nk, a.ck AS k1, b.ck AS k2,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM base a JOIN base b
+        |    ON a.nk = b.nk AND a.ck < b.ck AND a.x <> b.x),
+        |w AS (
+        |  SELECT nk, slope,
+        |    CAST(row_number() OVER (PARTITION BY nk
+        |      ORDER BY slope, k1, k2) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY nk) AS BIGINT) AS m
+        |  FROM slopes)
+        |SELECT nk, m AS n_slopes, slope AS ts_slope
+        |FROM w WHERE rn = (m + 1) // 2""".stripMargin,
+
+    "q344_wilcoxon" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |pre AS (SELECT o_custkey AS ck1, CAST(sum(c) AS BIGINT) AS pre
+        |        FROM o WHERE d < DATE '1997-01-01' GROUP BY 1),
+        |post AS (SELECT o_custkey AS ck2, CAST(sum(c) AS BIGINT) AS post
+        |         FROM o WHERE d >= DATE '1997-01-01' GROUP BY 1),
+        |diffs AS (
+        |  SELECT COALESCE(post, 0) - COALESCE(pre, 0) AS dd,
+        |    abs(COALESCE(post, 0) - COALESCE(pre, 0)) AS ad
+        |  FROM pre FULL OUTER JOIN post ON ck1 = ck2
+        |  WHERE COALESCE(post, 0) - COALESCE(pre, 0) <> 0),
+        |r AS (
+        |  SELECT dd,
+        |    2 * CAST(rank() OVER (ORDER BY ad) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) - 1 AS r2
+        |  FROM diffs),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w2_plus,
+        |    CAST(sum(CASE WHEN dd < 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w2_minus
+        |  FROM r)
+        |SELECT n, w2_plus, w2_minus,
+        |  (CAST(w2_plus AS DOUBLE) / 2.0
+        |    - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+        |  / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0) AS z
+        |FROM a""".stripMargin,
+
+    "q345_gumbel_maxima" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |mx AS (
+        |  SELECT date_trunc('month', d) AS month,
+        |    CAST(max(c) AS BIGINT) AS mx
+        |  FROM daily GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mx) AS BIGINT) AS s,
+        |    sum(CAST(mx AS HUGEINT) * mx) AS q
+        |  FROM mx),
+        |b AS (
+        |  SELECT n,
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |    sqrt(CAST(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+        |        AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_c
+        |  FROM a),
+        |c AS (
+        |  SELECT n, mean_c, sd_c,
+        |    sd_c * sqrt(6.0) / 3.141592653589793 AS beta
+        |  FROM b),
+        |d AS (
+        |  SELECT *, mean_c - 0.5772156649015329 * beta AS mu FROM c)
+        |SELECT n, mean_c, sd_c, beta, mu,
+        |  mu - beta * ln(-ln(1.0 - 1.0 / 12.0)) AS rl12
+        |FROM d""".stripMargin,
+
+    "q346_hurst_rs" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT d, c,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS rn0
+        |  FROM daily),
+        |b AS (
+        |  SELECT d, c, rn0 // 16 AS blk, rn0 % 16 AS pos,
+        |    count(*) OVER (PARTITION BY rn0 // 16) AS nb
+        |  FROM r),
+        |f AS (SELECT d, c, blk, pos FROM b WHERE nb = 16),
+        |z AS (
+        |  SELECT blk, d, pos,
+        |    c * 16 - sum(c) OVER (PARTITION BY blk) AS dev,
+        |    sum(c * 16) OVER (PARTITION BY blk ORDER BY pos)
+        |      - pos_sum AS zc_raw
+        |  FROM (SELECT *,
+        |          (pos + 1) * sum(c) OVER (PARTITION BY blk) AS pos_sum
+        |        FROM f)),
+        |g AS (
+        |  SELECT blk, min(d) AS d_start,
+        |    CAST(max(zc_raw) - min(least(zc_raw, 0)) AS BIGINT) AS r16,
+        |    sum(CAST(dev AS HUGEINT) * dev) AS q_dev
+        |  FROM z GROUP BY 1),
+        |h AS (
+        |  SELECT blk, d_start, r16,
+        |    sqrt(CAST(CAST(q_dev AS VARCHAR) AS DOUBLE) / 16.0) / 16.0
+        |      AS s_dev
+        |  FROM g),
+        |i AS (
+        |  SELECT blk, d_start, r16,
+        |    CASE WHEN s_dev > 0
+        |         THEN CAST(r16 AS DOUBLE) / 16.0 / s_dev END AS rs
+        |  FROM h)
+        |SELECT blk, d_start, r16, rs,
+        |  CAST(floor(1e6 * ln(rs) / ln(8.0)) AS BIGINT) AS h_micro
+        |FROM i""".stripMargin,
   )
 }

@@ -272,6 +272,119 @@ class Analytics3Spec extends AnyFunSuite {
     assert(blk0.getAs[Long]("d1_3") == x(6) - x(7))
   }
 
+  test("LAW jsd: bounded by ln2 in micro-nats (up to one quantum per " +
+      "vocab term) and non-negative up to quantization") {
+    val rows = run("q339_js_divergence")
+    assert(rows.nonEmpty)
+    val v = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.TextOps.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("t"))
+      .distinct().count()
+    rows.foreach { r =>
+      val j = r.getAs[Long]("jsd_micro")
+      assert(j >= -v && j <= 693148L)
+    }
+  }
+
+  test("LAW brown-forsythe: sums of squares stay non-negative within " +
+      "per-group quantization and W >= 0") {
+    val row = run("q340_brown_forsythe").head
+    assert(row.getAs[Double]("ssb") >= -row.getAs[Long]("k").toDouble)
+    assert(row.getAs[Double]("ssw") >= 0.0)
+    if (!row.isNullAt(row.fieldIndex("w_stat")))
+      assert(row.getAs[Double]("w_stat") >= 0.0)
+  }
+
+  test("LAW pacf: phi11 equals r1 and the Durbin-Levinson values match " +
+      "a driver-side replay from the emitted r's") {
+    val row = run("q341_pacf").head
+    val (r1, r2, r3) = (row.getAs[Double]("r1"), row.getAs[Double]("r2"),
+      row.getAs[Double]("r3"))
+    assert(row.getAs[Double]("pacf1") == r1)
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(row.getAs[Double]("pacf2") == p2)
+    val phi21 = r1 * (1.0 - p2)
+    val p3 = (r3 - phi21 * r2 - p2 * r1) / (1.0 - phi21 * r1 - p2 * r2)
+    assert(row.getAs[Double]("pacf3") == p3)
+  }
+
+  test("LAW friedman: Q is non-negative and the grid is complete " +
+      "(k treatments x n blocks)") {
+    val row = run("q342_friedman").head
+    assert(row.getAs[Double]("q_stat") >= -1e-9)
+    assert(row.getAs[Long]("k") >= 2L)
+    assert(row.getAs[Long]("n") >= 2L)
+  }
+
+  test("LAW theil-sen: one nation's slope is the exact lower median of " +
+      "the driver-side pairwise slope set") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q343_theil_sen")
+    assert(rows.nonEmpty)
+    val nk = rows.head.getAs[Long]("nk")
+    val rev = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")).as("y"))
+    val base = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").cast("long") === nk)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(30,2)") * 100).cast("long").as("x"))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val slopes = (for {
+      i <- base.indices; j <- (i + 1) until base.length
+      if base(i)._2 != base(j)._2
+    } yield ((base(j)._3 - base(i)._3).toDouble /
+        (base(j)._2 - base(i)._2).toDouble,
+      base(i)._1, base(j)._1)).sortBy(identity)
+    val r0 = rows.find(_.getAs[Long]("nk") == nk).get
+    assert(r0.getAs[Long]("n_slopes") == slopes.length.toLong)
+    assert(r0.getAs[Double]("ts_slope") ==
+      slopes((slopes.length + 1) / 2 - 1)._1)
+  }
+
+  test("LAW wilcoxon: doubled signed ranks conserve n(n+1)") {
+    val row = run("q344_wilcoxon").head
+    val n = row.getAs[Long]("n")
+    assert(row.getAs[Long]("w2_plus") + row.getAs[Long]("w2_minus") ==
+      n * (n + 1))
+  }
+
+  test("LAW gumbel: scale is positive and the 12-block return level " +
+      "sits above the location parameter") {
+    val row = run("q345_gumbel_maxima").head
+    assert(row.getAs[Double]("beta") > 0.0)
+    assert(row.getAs[Double]("rl12") > row.getAs[Double]("mu"))
+  }
+
+  test("LAW hurst: one block matches a driver-side R/S replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q346_hurst_rs")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("r16") >= 0L)
+      assert(r.getAs[Double]("rs") > 0.0)
+    }
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")).as("c"))
+      .orderBy(col("d"))
+      .collect().map(_.getLong(1))
+    val x = daily.take(16)
+    val s16 = x.sum
+    val dev = x.map(_ * 16 - s16)
+    val z = dev.scanLeft(0L)(_ + _).drop(1)
+    val r16 = z.max - math.min(z.min, 0L)
+    val sDev = math.sqrt(dev.map(d => BigInt(d) * d).sum.toDouble / 16.0) / 16.0
+    val blk0 = rows.find(_.getAs[Long]("blk") == 0L).get
+    assert(blk0.getAs[Long]("r16") == r16)
+    assert(math.abs(blk0.getAs[Double]("rs") - r16.toDouble / 16.0 / sDev)
+      <= 1e-9 * blk0.getAs[Double]("rs"))
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
