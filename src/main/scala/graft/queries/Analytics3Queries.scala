@@ -820,6 +820,213 @@ object Analytics3Queries {
         .select(col("blk"), col("d_start"), col("r16"), col("rs"),
           col("h_micro"))
     }),
+
+
+    // Brier score for the q310 confidence/label pairing (the
+    // squared-error sibling of its ECE): confidence is the global
+    // acctbal percent-rank in ppm, label the repeat-buyer bit, and the
+    // score folds from ONE exact integer sum Σ(conf − label·1e6)² —
+    // brier_micro = SSE div (n·1e6) is pure integer arithmetic, no
+    // float anywhere. The global rank is the declared tier (q255).
+    "q347_brier_score" -> ((s, dir) => {
+      val nOrd = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
+        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("label",
+          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
+      val w = Window.orderBy(col("x"), col("c_custkey"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      base.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nc", count(lit(1)).over(wAll))
+        .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
+        .withColumn("e", col("conf_ppm") - col("label") * 1000000L)
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("e")) * col("e")).as("sse"))
+        .withColumn("brier_micro",
+          decDiv(col("sse"), d38(col("n")) * 1000000L).cast("long"))
+        .select(col("n"), toD(col("sse")).as("sse_d"), col("brier_micro"))
+    }),
+
+
+    // Standardized mean difference (Cohen's d with pooled variance)
+    // between the deterministic A/B split (custkey parity) for three
+    // covariates — the balance audit run before any q207/q286-style
+    // causal read: per covariate, means and variances fold from exact
+    // decimal sufficient statistics, and SMD is one fixed-text double
+    // formula. Output one row per covariate.
+    "q348_smd_balance" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("no"), sum(cents(col("o_totalprice"))).as("rv"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), (col("c_custkey") % 2).as("v"),
+          cents(col("c_acctbal")).as("bal"))
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("v"), col("bal"),
+          coalesce(col("no"), lit(0L)).as("no"),
+          coalesce(col("rv"), lit(0L)).as("rv"))
+      val melted = base.select(col("v"), explode(map(
+        lit("acctbal_cents"), col("bal"),
+        lit("n_orders"), col("no"),
+        lit("revenue_cents"), col("rv"))).as(Seq("covariate", "x")))
+      val g = melted.groupBy(col("covariate"), col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(d38(col("x")) * col("x")).as("q"))
+        .withColumn("m", toD(col("s")) / col("n").cast("double"))
+        .withColumn("var",
+          toD(d38(col("n")) * col("q") - d38(col("s")) * col("s")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+      val g0 = g.filter(col("v") === 0).select(col("covariate"),
+        col("n").as("n0"), col("m").as("m0"), col("var").as("v0"))
+      val g1 = g.filter(col("v") === 1).select(col("covariate"),
+        col("n").as("n1"), col("m").as("m1"), col("var").as("v1"))
+      g0.join(g1, Seq("covariate"))
+        .withColumn("smd",
+          (col("m1") - col("m0")) /
+            sqrt((col("v1") + col("v0")) / lit(2.0)))
+        .select(col("covariate"), col("n0"), col("n1"), col("m0"),
+          col("m1"), col("smd"))
+    }),
+
+
+    // Minimum detectable effect at α=.05 (two-sided) / 80% power for
+    // the running A/B split, per event type: the experiment-DESIGN
+    // number (how small a lift this sample could even see) —
+    // mde = (z_{α/2}+z_{β})·√(v0/n0 + v1/n1) with the z's as shared
+    // literals, variances from exact decimal sums, relative MDE
+    // micro-quantized against the control mean.
+    "q349_mde" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_type"), (col("user_id") % 2).as("v"),
+          cents(col("value")).as("x"))
+      val g = base.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(d38(col("x")) * col("x")).as("q"))
+        .withColumn("m", toD(col("s")) / col("n").cast("double"))
+        .withColumn("var",
+          toD(d38(col("n")) * col("q") - d38(col("s")) * col("s")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+      val g0 = g.filter(col("v") === 0).select(col("event_type"),
+        col("n").as("n0"), col("m").as("m0"), col("var").as("v0"))
+      val g1 = g.filter(col("v") === 1).select(col("event_type"),
+        col("n").as("n1"), col("var").as("v1"))
+      g0.join(g1, Seq("event_type"))
+        .withColumn("mde_abs",
+          lit(2.8015852181129683) *
+            sqrt(col("v0") / col("n0").cast("double") +
+              col("v1") / col("n1").cast("double")))
+        .withColumn("mde_rel_micro",
+          floor(lit(1e6) * col("mde_abs") / col("m0")).cast("long"))
+        .select(col("event_type"), col("n0"), col("n1"), col("mde_abs"),
+          col("mde_rel_micro"))
+    }),
+
+
+    // Rolling 16-day market beta of Europe's daily revenue against the
+    // global series: per window, cov/var fold from exact decimal window
+    // sums (the regression coefficient is one fixed-text double formula
+    // per day) — the rolling-regression primitive behind exposure and
+    // hedge dashboards. Missing Europe days coalesce to 0 on the global
+    // calendar, so the window is always 16 actual days.
+    "q350_rolling_beta" -> ((s, dir) => {
+      val glob = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val eur = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+      val series = glob.join(eur, Seq("d"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      val w = Window.orderBy(col("d")).rowsBetween(-15, 0)
+      series
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxy", sum(d38(col("x")) * col("y")).over(w))
+        .withColumn("sxx", sum(d38(col("x")) * col("x")).over(w))
+        .filter(col("rn") >= 16)
+        .withColumn("num",
+          toD(lit(16L).cast("decimal(38,0)") * col("sxy") -
+            d38(col("sx")) * col("sy")))
+        .withColumn("den",
+          toD(lit(16L).cast("decimal(38,0)") * col("sxx") -
+            d38(col("sx")) * col("sx")))
+        .withColumn("beta", when(col("den") > 0, col("num") / col("den")))
+        .select(col("d"), col("x"), col("y"), col("beta"))
+    }),
+
+
+    // Laspeyres / Paasche / Fisher price indices, 1996 → 1997, over the
+    // parts traded in BOTH years: per-part unit prices quantize to
+    // exact micro-cents (r·1e6 div q — declared), index numerators and
+    // denominators lift to decimal, L and P land as integer ppm and
+    // Fisher is the one √(L·P) double formula. The index-number
+    // economics read on top of q317's additive price/volume/mix bridge.
+    "q351_price_index" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("yr", year(col("l_shipdate")))
+        .filter(col("yr").isin(1996, 1997))
+        .groupBy(col("l_partkey"), col("yr"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"),
+          sum(cents(col("l_extendedprice"))).as("r"))
+        .withColumn("p_micro", expr("r * 1000000 div q"))
+      val y0 = li.filter(col("yr") === 1996).select(col("l_partkey"),
+        col("q").as("q0"), col("p_micro").as("p0"))
+      val y1 = li.filter(col("yr") === 1997).select(col("l_partkey"),
+        col("q").as("q1"), col("p_micro").as("p1"))
+      y0.join(y1, Seq("l_partkey"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(d38(col("p1")) * col("q0")).as("l_num"),
+          sum(d38(col("p0")) * col("q0")).as("l_den"),
+          sum(d38(col("p1")) * col("q1")).as("p_num"),
+          sum(d38(col("p0")) * col("q1")).as("p_den"))
+        .withColumn("l_ppm",
+          decDiv(col("l_num") * 1000000L, col("l_den")).cast("long"))
+        .withColumn("p_ppm",
+          decDiv(col("p_num") * 1000000L, col("p_den")).cast("long"))
+        .withColumn("fisher",
+          sqrt(col("l_ppm").cast("double") * col("p_ppm").cast("double"))
+            / lit(1000000.0))
+        .select(col("n_parts"), col("l_ppm"), col("p_ppm"), col("fisher"))
+    }),
+
+
+    // Knee-point detection on the cumulative part-revenue curve (q243's
+    // Pareto base): the classic max-distance-to-chord rule with the
+    // distance kept as an EXACT integer cross product
+    // (n−1)(cum_i−c_1) − (c_n−c_1)(i−1), decimal-lifted; argmax breaks
+    // ties toward the smaller rank. Where the 80/20 curve actually
+    // bends — the cutoff picker for curation and assortment decisions.
+    "q352_knee_point" -> ((s, dir) => {
+      val curve = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("rev").desc, col("l_partkey"))).cast("long"))
+        .withColumn("cum", sum(col("rev")).over(
+          Window.orderBy(col("rev").desc, col("l_partkey"))))
+      val ends = curve.agg(max(col("i")).as("nn"),
+        max(when(col("i") === 1, col("cum"))).as("c1"),
+        max(col("cum")).as("cn"))
+      curve.crossJoin(broadcast(ends))
+        .withColumn("cross",
+          d38(col("nn") - 1) * (col("cum") - col("c1")) -
+            d38(col("cn") - col("c1")) * (col("i") - 1))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cross").desc, col("i"))))
+        .filter(col("rk") === 1)
+        .withColumn("share_ppm", expr("cum * 1000000 div cn"))
+        .select(col("i").as("knee_i"), col("nn").as("n_parts"),
+          col("cum").as("cum_at_knee"), col("share_ppm"),
+          toD(col("cross")).as("cross_d"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
@@ -1515,5 +1722,181 @@ object Analytics3Queries {
         |SELECT blk, d_start, r16, rs,
         |  CAST(floor(1e6 * ln(rs) / ln(8.0)) AS BIGINT) AS h_micro
         |FROM i""".stripMargin,
+
+    "q347_brier_score" ->
+      """WITH nord AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |    CASE WHEN COALESCE(n_ord, 0) >= 2 THEN 1 ELSE 0 END AS label
+        |  FROM customer LEFT JOIN nord ON c_custkey = o_custkey),
+        |r AS (
+        |  SELECT label,
+        |    (CAST(row_number() OVER (ORDER BY x, c_custkey) AS BIGINT) - 1)
+        |      * 1000000 // (count(*) OVER () - 1) AS conf_ppm
+        |  FROM base),
+        |e AS (SELECT conf_ppm - label * 1000000 AS e FROM r),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(e AS HUGEINT) * e) AS sse
+        |  FROM e)
+        |SELECT n, CAST(CAST(sse AS VARCHAR) AS DOUBLE) AS sse_d,
+        |  CAST(sse // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+        |    AS brier_micro
+        |FROM a""".stripMargin,
+
+    "q348_smd_balance" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS no,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rv
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_custkey % 2 AS v,
+        |    CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS bal,
+        |    COALESCE(no, 0) AS no, COALESCE(rv, 0) AS rv
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+        |melted AS (
+        |  SELECT v, 'acctbal_cents' AS covariate, bal AS x FROM base
+        |  UNION ALL SELECT v, 'n_orders', no FROM base
+        |  UNION ALL SELECT v, 'revenue_cents', rv FROM base),
+        |g AS (
+        |  SELECT covariate, v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+        |  FROM melted GROUP BY 1, 2),
+        |st AS (
+        |  SELECT covariate, v, n,
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+        |        AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+        |  FROM g)
+        |SELECT a.covariate, a.n AS n0, b.n AS n1, a.m AS m0, b.m AS m1,
+        |  (b.m - a.m) / sqrt((b.var + a.var) / 2.0) AS smd
+        |FROM st a JOIN st b ON a.covariate = b.covariate
+        |WHERE a.v = 0 AND b.v = 1""".stripMargin,
+
+    "q349_mde" ->
+      """WITH base AS (
+        |  SELECT event_type, user_id % 2 AS v,
+        |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+        |  FROM base GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, v, n,
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+        |        AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+        |  FROM g),
+        |j AS (
+        |  SELECT a.event_type, a.n AS n0, b.n AS n1, a.m AS m0,
+        |    2.8015852181129683 * sqrt(a.var / CAST(a.n AS DOUBLE)
+        |      + b.var / CAST(b.n AS DOUBLE)) AS mde_abs
+        |  FROM st a JOIN st b ON a.event_type = b.event_type
+        |  WHERE a.v = 0 AND b.v = 1)
+        |SELECT event_type, n0, n1, mde_abs,
+        |  CAST(floor(1e6 * mde_abs / m0) AS BIGINT) AS mde_rel_micro
+        |FROM j""".stripMargin,
+
+    "q350_rolling_beta" ->
+      """WITH gb AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |eur AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' GROUP BY 1),
+        |series AS (
+        |  SELECT g.d, g.x, COALESCE(e.y, 0) AS y
+        |  FROM gb g LEFT JOIN eur e ON g.d = e.d),
+        |w AS (
+        |  SELECT d, x, y,
+        |    row_number() OVER (ORDER BY d) AS rn,
+        |    CAST(sum(x) OVER win AS HUGEINT) AS sx,
+        |    CAST(sum(y) OVER win AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) OVER win AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) OVER win AS sxx
+        |  FROM series
+        |  WINDOW win AS (ORDER BY d ROWS BETWEEN 15 PRECEDING
+        |    AND CURRENT ROW)),
+        |f AS (
+        |  SELECT d, x, y,
+        |    CAST(CAST(16 * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+        |    CAST(CAST(16 * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den
+        |  FROM w WHERE rn >= 16)
+        |SELECT d, x, y,
+        |  CASE WHEN den > 0 THEN num / den END AS beta
+        |FROM f""".stripMargin,
+
+    "q351_price_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey, year(l_shipdate) AS yr,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |pq AS (SELECT l_partkey, yr, q, r * 1000000 // q AS p_micro FROM li),
+        |y0 AS (SELECT l_partkey, q AS q0, p_micro AS p0
+        |       FROM pq WHERE yr = 1996),
+        |y1 AS (SELECT l_partkey, q AS q1, p_micro AS p1
+        |       FROM pq WHERE yr = 1997),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |    sum(CAST(p1 AS HUGEINT) * q0) AS l_num,
+        |    sum(CAST(p0 AS HUGEINT) * q0) AS l_den,
+        |    sum(CAST(p1 AS HUGEINT) * q1) AS p_num,
+        |    sum(CAST(p0 AS HUGEINT) * q1) AS p_den
+        |  FROM y0 JOIN y1 USING (l_partkey)),
+        |b AS (
+        |  SELECT n_parts,
+        |    CAST((l_num * 1000000) // l_den AS BIGINT) AS l_ppm,
+        |    CAST((p_num * 1000000) // p_den AS BIGINT) AS p_ppm
+        |  FROM a)
+        |SELECT n_parts, l_ppm, p_ppm,
+        |  sqrt(CAST(l_ppm AS DOUBLE) * CAST(p_ppm AS DOUBLE)) / 1000000.0
+        |    AS fisher
+        |FROM b""".stripMargin,
+
+    "q352_knee_point" ->
+      """WITH curve AS (
+        |  SELECT
+        |    CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+        |      AS BIGINT) AS i,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM (
+        |    SELECT l_partkey,
+        |      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |        AS BIGINT)) AS BIGINT) AS rev
+        |    FROM lineitem GROUP BY 1)),
+        |ends AS (
+        |  SELECT max(i) AS nn, max(CASE WHEN i = 1 THEN cum END) AS c1,
+        |    max(cum) AS cn
+        |  FROM curve),
+        |x AS (
+        |  SELECT i, cum, nn, cn,
+        |    CAST(nn - 1 AS HUGEINT) * (cum - c1)
+        |      - CAST(cn - c1 AS HUGEINT) * (i - 1) AS cr
+        |  FROM curve CROSS JOIN ends),
+        |k AS (
+        |  SELECT *, row_number() OVER (ORDER BY cr DESC, i) AS rk FROM x)
+        |SELECT i AS knee_i, nn AS n_parts, cum AS cum_at_knee,
+        |  CAST(cum * 1000000 // cn AS BIGINT) AS share_ppm,
+        |  CAST(CAST(cr AS VARCHAR) AS DOUBLE) AS cross_d
+        |FROM k WHERE rk = 1""".stripMargin,
   )
 }

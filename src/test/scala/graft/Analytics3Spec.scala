@@ -385,6 +385,63 @@ class Analytics3Spec extends AnyFunSuite {
       <= 1e-9 * blk0.getAs[Double]("rs"))
   }
 
+  test("LAW brier: score lies on the [0, 1e6] micro grid") {
+    val row = run("q347_brier_score").head
+    val b = row.getAs[Long]("brier_micro")
+    assert(b >= 0L && b <= 1000000L)
+    assert(row.getAs[Double]("sse_d") >= 0.0)
+  }
+
+  test("LAW smd balance: three covariate rows, arms partition the " +
+      "customer table") {
+    val rows = run("q348_smd_balance")
+    assert(rows.length == 3)
+    val nCust = Tables.customer(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") == nCust)
+    }
+  }
+
+  test("LAW mde: absolute and relative effects are strictly positive") {
+    val rows = run("q349_mde")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mde_abs") > 0.0)
+      assert(r.getAs[Long]("mde_rel_micro") > 0L)
+    }
+  }
+
+  test("LAW rolling beta: emits exactly days-15 rows and Europe never " +
+      "exceeds the global series") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q350_rolling_beta")
+    val nDays = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(rows.length.toLong == nDays - 15)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("y") <= r.getAs[Long]("x"))
+    }
+  }
+
+  test("LAW price index: Fisher is the geometric mean, between L and P") {
+    val row = run("q351_price_index").head
+    val l = row.getAs[Long]("l_ppm").toDouble / 1e6
+    val p = row.getAs[Long]("p_ppm").toDouble / 1e6
+    val f = row.getAs[Double]("fisher")
+    assert(f >= math.min(l, p) - 1e-9 && f <= math.max(l, p) + 1e-9)
+    assert(math.abs(f - math.sqrt(l * p)) <= 1e-9)
+  }
+
+  test("LAW knee point: rank within range, share on the ppm grid, " +
+      "chord distance non-negative at the argmax") {
+    val row = run("q352_knee_point").head
+    val i = row.getAs[Long]("knee_i")
+    val n = row.getAs[Long]("n_parts")
+    assert(i >= 1L && i <= n)
+    assert(row.getAs[Long]("share_ppm") <= 1000000L)
+    assert(row.getAs[Double]("cross_d") >= 0.0)
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
