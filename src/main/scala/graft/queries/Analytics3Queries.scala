@@ -1027,6 +1027,236 @@ object Analytics3Queries {
           col("cum").as("cum_at_knee"), col("share_ppm"),
           toD(col("cross")).as("cross_d"))
     }),
+
+
+    // MATCH_RECOGNIZE-style motif detection on the daily revenue
+    // series: V (down-down-up-up) and Λ (up-up-down-down) shapes over
+    // four consecutive day-over-day deltas, matched with a lag chain —
+    // four exact sign comparisons per row, no state machine needed for
+    // a fixed motif. Emits the match date, the motif, and the exact
+    // amplitude (max−min of the five points).
+    "q354_motif_vshape" -> ((s, dir) => {
+      val w = Window.orderBy(col("d"))
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("c"))
+      val lagged = daily
+        .withColumn("c1", lag(col("c"), 1).over(w))
+        .withColumn("c2", lag(col("c"), 2).over(w))
+        .withColumn("c3", lag(col("c"), 3).over(w))
+        .withColumn("c4", lag(col("c"), 4).over(w))
+        .filter(col("c4").isNotNull)
+      val v = lagged.filter(col("c3") < col("c4") && col("c2") < col("c3") &&
+          col("c1") > col("c2") && col("c") > col("c1"))
+        .withColumn("motif", lit("V"))
+      val cap = lagged.filter(col("c3") > col("c4") && col("c2") > col("c3") &&
+          col("c1") < col("c2") && col("c") < col("c1"))
+        .withColumn("motif", lit("A"))
+      v.unionByName(cap)
+        .withColumn("amplitude_cents",
+          greatest(col("c"), col("c1"), col("c2"), col("c3"), col("c4")) -
+            least(col("c"), col("c1"), col("c2"), col("c3"), col("c4")))
+        .select(col("d"), col("motif"), col("amplitude_cents"))
+    }),
+
+
+    // Nearest-VALUE join (each supplier balance to its closest customer
+    // balance): ONE merged sort of both tables, then the preceding/
+    // following customer row via IGNORE-NULLS window edges — an exact
+    // nearest-neighbor join in a single sort-merge pass, never a
+    // quadratic pair space (the scale story: both engines sort once;
+    // at 100 TB the merge range-partitions on value). Ties at equal
+    // distance resolve to the preceding row (declared); customers sort
+    // before suppliers at equal value ('c' < 's'), so an exact match is
+    // always the preceding row with distance 0.
+    "q355_nearest_value_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(cents(col("c_acctbal")).as("v"), col("c_custkey").as("k"),
+          lit("c").as("tag"))
+      val supp = Tables.supplier(s, dir)
+        .select(cents(col("s_acctbal")).as("v"), col("s_suppkey").as("k"),
+          lit("s").as("tag"))
+      val w = Window.orderBy(col("v"), col("tag"), col("k"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      val cv = when(col("tag") === "c", col("v"))
+      val ck = when(col("tag") === "c", col("k"))
+      cust.unionByName(supp)
+        .withColumn("pcv", last(cv, ignoreNulls = true).over(wPrev))
+        .withColumn("pck", last(ck, ignoreNulls = true).over(wPrev))
+        .withColumn("ncv", first(cv, ignoreNulls = true).over(wNext))
+        .withColumn("nck", first(ck, ignoreNulls = true).over(wNext))
+        .filter(col("tag") === "s")
+        .withColumn("use_prev",
+          col("ncv").isNull ||
+            (col("pcv").isNotNull &&
+              col("v") - col("pcv") <= col("ncv") - col("v")))
+        .select(col("k").as("s_suppkey"), col("v").as("s_val"),
+          when(col("use_prev"), col("pck")).otherwise(col("nck"))
+            .as("nearest_ck"),
+          when(col("use_prev"), col("pcv")).otherwise(col("ncv"))
+            .as("nearest_val"),
+          when(col("use_prev"), col("v") - col("pcv"))
+            .otherwise(col("ncv") - col("v")).as("dist"))
+    }),
+
+
+    // Multinomial Naive Bayes, trained and served in ONE declarative
+    // plan with exact integer scores: even doc_ids train, odd serve;
+    // per-(lang, token) log-likelihoods and per-lang log-priors are
+    // floor-quantized µnats (the q274 ln rule) over add-one-smoothed
+    // counts, so the per-doc score is an order-free integer SUM and the
+    // argmax (score desc, lang asc) is exact. Unseen-at-train tokens
+    // drop (declared). Output: the test confusion matrix. The
+    // classifier IS aggregation — no fit artifact, no UDF, fully
+    // hash-checkable, which no float NB can offer.
+    "q356_naive_bayes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          text.TextOps.tokens(col("text")).as("ts"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      val tokTr = train.select(col("lang"), explode(col("ts")).as("w"))
+      val cLw = tokTr.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c1"))
+      val nL = tokTr.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      val vocab = tokTr.select(col("w")).distinct()
+      val vCount = vocab.agg(count(lit(1)).as("v"))
+      val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      val nDocs = train.agg(count(lit(1)).as("ndoc"))
+      val grid = nL.crossJoin(vocab)
+        .join(cLw, Seq("lang", "w"), "left")
+        .withColumn("c1", coalesce(col("c1"), lit(0L)))
+        .crossJoin(broadcast(vCount))
+        .withColumn("term_micro",
+          floor(lit(1e6) * log((col("c1") + 1).cast("double") /
+            (col("nl") + col("v")).cast("double"))).cast("long"))
+        .select(col("lang"), col("w"), col("term_micro"))
+      val priorM = priors.crossJoin(broadcast(nDocs))
+        .withColumn("prior_micro",
+          floor(lit(1e6) * log(col("nd").cast("double") /
+            col("ndoc").cast("double"))).cast("long"))
+        .select(col("lang").as("cand"), col("prior_micro"))
+      val scores = test
+        .select(col("doc_id"), col("lang").as("actual"),
+          explode(col("ts")).as("w"))
+        .join(broadcast(grid.withColumnRenamed("lang", "cand")), Seq("w"))
+        .groupBy(col("doc_id"), col("actual"), col("cand"))
+        .agg(sum(col("term_micro")).as("ll"))
+        .join(broadcast(priorM), Seq("cand"))
+        .withColumn("score", col("ll") + col("prior_micro"))
+      scores
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("cand"))))
+        .filter(col("rk") === 1)
+        .groupBy(col("actual"), col("cand").as("pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+
+    // Weight-of-evidence / information-value profile (the credit-
+    // scoring binning standard): acctbal deciles by exact global rank
+    // (declared tier) against the repeat-buyer label, add-one smoothed
+    // class shares in integer ppm, WoE as ONE floor-quantized ln of an
+    // exact integer cross-ratio, IV contributions in exact pico units
+    // (micro × micro). Output one row per bin; the spec pins ΣIV ≥ 0.
+    "q357_woe_iv" -> ((s, dir) => {
+      val nOrd = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
+        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("label",
+          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
+      val w = Window.orderBy(col("x"), col("c_custkey"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val binned = base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nc", count(lit(1)).over(wAll))
+        .withColumn("bin", least(expr("(rn - 1) * 10 div nc"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_b"), sum(col("label")).as("g"))
+        .withColumn("b", col("n_b") - col("g"))
+      val tot = binned.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+      binned.crossJoin(broadcast(tot))
+        .withColumn("gs_micro", expr("(g + 1) * 1000000 div (gt + 10)"))
+        .withColumn("bs_micro", expr("(b + 1) * 1000000 div (bt + 10)"))
+        .withColumn("woe_micro",
+          floor(lit(1e6) * log(
+            ((col("g") + 1) * (col("bt") + 10)).cast("double") /
+              ((col("b") + 1) * (col("gt") + 10)).cast("double")))
+            .cast("long"))
+        .withColumn("iv_term_pico",
+          (col("gs_micro") - col("bs_micro")) * col("woe_micro"))
+        .select(col("bin"), col("n_b"), col("g"), col("b"),
+          col("gs_micro"), col("bs_micro"), col("woe_micro"),
+          col("iv_term_pico"))
+    }),
+
+
+    // Calendarization (finance proration): each line's revenue spreads
+    // evenly across the days from order to ship, the integer remainder
+    // pinned to day 0 so cents CONSERVE EXACTLY (spec law). Spans gate
+    // to [0, 120] days (declared — the synthetic fixture has symmetric
+    // spans) which also bounds the explode fan-out; the monthly rollup
+    // is map-side combinable right after the explode.
+    "q358_calendarize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("v"),
+          to_date(col("l_shipdate")).as("ship"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("span", datediff(col("ship"), col("od")))
+        .filter(col("span").between(0, 120))
+        .withColumn("days", (col("span") + 1).cast("long"))
+      li.select(col("v"), col("od"), col("days"),
+          explode(sequence(lit(0), col("span"))).as("pos"))
+        .withColumn("day", date_add(col("od"), col("pos")))
+        .withColumn("slice",
+          expr("v div days") +
+            when(col("pos") === 0, expr("v % days")).otherwise(0L))
+        .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_slices"),
+          sum(col("slice")).as("prorated_cents"))
+    }),
+
+
+    // Grid-bucketed spatial neighbor join: synthetic md5-derived
+    // coordinates on a 100×100 grid, suppliers exploded to their 3×3
+    // neighbor cells, one equi-join on the cell key, then the exact
+    // integer squared-distance gate d² ≤ 100 — the classic spatial-
+    // index join shape (bucket, probe neighbors, refine) with no trig
+    // and no cross product; candidate volume is supplier × 9 × cell
+    // density, never |cust|·|supp|.
+    "q359_grid_neighbors" -> ((s, dir) => {
+      def coord(c: Column, salt: String): Column =
+        pmod(conv(substring(md5(concat(lit(salt), c)), 1, 15), 16, 10)
+          .cast("long"), lit(100L))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("ck"),
+          coord(col("c_custkey"), "cgx").as("cx"),
+          coord(col("c_custkey"), "cgy").as("cy"))
+        .withColumn("gx", expr("cx div 10"))
+        .withColumn("gy", expr("cy div 10"))
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("sk"),
+          coord(col("s_suppkey"), "sgx").as("sx"),
+          coord(col("s_suppkey"), "sgy").as("sy"))
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("gx", expr("sx div 10") + col("dx"))
+        .withColumn("gy", expr("sy div 10") + col("dy"))
+      supp.join(cust, Seq("gx", "gy"))
+        .withColumn("d2",
+          (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+            (col("cy") - col("sy")) * (col("cy") - col("sy")))
+        .filter(col("d2") <= 100)
+        .select(col("ck"), col("sk"), col("cx"), col("cy"),
+          col("sx"), col("sy"), col("d2"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
@@ -1898,5 +2128,191 @@ object Analytics3Queries {
         |  CAST(cum * 1000000 // cn AS BIGINT) AS share_ppm,
         |  CAST(CAST(cr AS VARCHAR) AS DOUBLE) AS cross_d
         |FROM k WHERE rk = 1""".stripMargin,
+
+    "q354_motif_vshape" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT d, c,
+        |    lag(c, 1) OVER (ORDER BY d) AS c1,
+        |    lag(c, 2) OVER (ORDER BY d) AS c2,
+        |    lag(c, 3) OVER (ORDER BY d) AS c3,
+        |    lag(c, 4) OVER (ORDER BY d) AS c4
+        |  FROM daily),
+        |m AS (
+        |  SELECT d, 'V' AS motif, c, c1, c2, c3, c4 FROM l
+        |  WHERE c4 IS NOT NULL AND c3 < c4 AND c2 < c3
+        |    AND c1 > c2 AND c > c1
+        |  UNION ALL
+        |  SELECT d, 'A', c, c1, c2, c3, c4 FROM l
+        |  WHERE c4 IS NOT NULL AND c3 > c4 AND c2 > c3
+        |    AND c1 < c2 AND c < c1)
+        |SELECT d, motif,
+        |  CAST(greatest(c, c1, c2, c3, c4) - least(c, c1, c2, c3, c4)
+        |    AS BIGINT) AS amplitude_cents
+        |FROM m""".stripMargin,
+
+    "q355_nearest_value_join" ->
+      """WITH u AS (
+        |  SELECT CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |    AS v, c_custkey AS k, 'c' AS tag FROM customer
+        |  UNION ALL
+        |  SELECT CAST(CAST(s_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT),
+        |    s_suppkey, 's' FROM supplier),
+        |w AS (
+        |  SELECT v, k, tag,
+        |    last_value(CASE WHEN tag = 'c' THEN v END IGNORE NULLS)
+        |      OVER pw AS pcv,
+        |    last_value(CASE WHEN tag = 'c' THEN k END IGNORE NULLS)
+        |      OVER pw AS pck,
+        |    first_value(CASE WHEN tag = 'c' THEN v END IGNORE NULLS)
+        |      OVER nw AS ncv,
+        |    first_value(CASE WHEN tag = 'c' THEN k END IGNORE NULLS)
+        |      OVER nw AS nck
+        |  FROM u
+        |  WINDOW pw AS (ORDER BY v, tag, k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  nw AS (ORDER BY v, tag, k
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |s AS (
+        |  SELECT *,
+        |    (ncv IS NULL OR (pcv IS NOT NULL AND v - pcv <= ncv - v))
+        |      AS use_prev
+        |  FROM w WHERE tag = 's')
+        |SELECT k AS s_suppkey, v AS s_val,
+        |  CASE WHEN use_prev THEN pck ELSE nck END AS nearest_ck,
+        |  CASE WHEN use_prev THEN pcv ELSE ncv END AS nearest_val,
+        |  CASE WHEN use_prev THEN v - pcv ELSE ncv - v END AS dist
+        |FROM s""".stripMargin,
+
+    "q356_naive_bayes" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |toktr AS (
+        |  SELECT lang, unnest(ts) AS w FROM docs WHERE doc_id % 2 = 0),
+        |clw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c1
+        |        FROM toktr GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |       FROM toktr GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM toktr),
+        |vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |priors AS (
+        |  SELECT lang AS cand,
+        |    CAST(floor(1e6 * ln(CAST(count(*) AS DOUBLE) /
+        |      (SELECT CAST(count(*) AS DOUBLE) FROM docs
+        |       WHERE doc_id % 2 = 0))) AS BIGINT) AS prior_micro
+        |  FROM docs WHERE doc_id % 2 = 0 GROUP BY 1),
+        |grid AS MATERIALIZED (
+        |  SELECT nl.lang AS cand, vb.w,
+        |    CAST(floor(1e6 * ln(CAST(COALESCE(c.c1, 0) + 1 AS DOUBLE) /
+        |      CAST(nl.nl + vc.v AS DOUBLE))) AS BIGINT) AS term_micro
+        |  FROM nl CROSS JOIN vocab vb
+        |  LEFT JOIN clw c ON c.lang = nl.lang AND c.w = vb.w
+        |  CROSS JOIN vc),
+        |testtok AS (
+        |  SELECT doc_id, lang AS actual, unnest(ts) AS w
+        |  FROM docs WHERE doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.actual, g.cand,
+        |    CAST(sum(g.term_micro) AS BIGINT) + max(p.prior_micro) AS score
+        |  FROM testtok t JOIN grid g ON t.w = g.w
+        |  JOIN priors p ON p.cand = g.cand
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT actual, cand AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rk FROM sc)
+        |  WHERE rk = 1)
+        |SELECT actual, pred, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    "q357_woe_iv" ->
+      """WITH nord AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |    CASE WHEN COALESCE(n_ord, 0) >= 2 THEN 1 ELSE 0 END AS label
+        |  FROM customer LEFT JOIN nord ON c_custkey = o_custkey),
+        |r AS (
+        |  SELECT label,
+        |    least((CAST(row_number() OVER (ORDER BY x, c_custkey)
+        |      AS BIGINT) - 1) * 10 // count(*) OVER (), 9) AS bin
+        |  FROM base),
+        |binned AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(label) AS BIGINT) AS g,
+        |    CAST(count(*) - sum(label) AS BIGINT) AS b
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS gt,
+        |               CAST(sum(b) AS BIGINT) AS bt FROM binned)
+        |SELECT bin, n_b, g, b,
+        |  CAST((g + 1) * 1000000 // (gt + 10) AS BIGINT) AS gs_micro,
+        |  CAST((b + 1) * 1000000 // (bt + 10) AS BIGINT) AS bs_micro,
+        |  CAST(floor(1e6 * ln(CAST((g + 1) * (bt + 10) AS DOUBLE) /
+        |    CAST((b + 1) * (gt + 10) AS DOUBLE))) AS BIGINT) AS woe_micro,
+        |  CAST(((g + 1) * 1000000 // (gt + 10)
+        |      - (b + 1) * 1000000 // (bt + 10))
+        |    * floor(1e6 * ln(CAST((g + 1) * (bt + 10) AS DOUBLE) /
+        |        CAST((b + 1) * (gt + 10) AS DOUBLE))) AS BIGINT)
+        |    AS iv_term_pico
+        |FROM binned CROSS JOIN tot""".stripMargin,
+
+    "q358_calendarize" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT) AS v,
+        |    CAST(o_orderdate AS DATE) AS od,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS span
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) BETWEEN 0 AND 120),
+        |e AS (
+        |  SELECT v, od, span + 1 AS days,
+        |    unnest(generate_series(0, span)) AS pos
+        |  FROM li),
+        |s AS (
+        |  SELECT od + CAST(pos AS INTEGER) AS day,
+        |    v // days + CASE WHEN pos = 0 THEN v % days ELSE 0 END AS slice
+        |  FROM e)
+        |SELECT date_trunc('month', day) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_slices,
+        |  CAST(sum(slice) AS BIGINT) AS prorated_cents
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q359_grid_neighbors" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS ck,
+        |    CAST('0x' || substr(md5('cgx' || c_custkey), 1, 15) AS BIGINT)
+        |      % 100 AS cx,
+        |    CAST('0x' || substr(md5('cgy' || c_custkey), 1, 15) AS BIGINT)
+        |      % 100 AS cy
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey AS sk,
+        |    CAST('0x' || substr(md5('sgx' || s_suppkey), 1, 15) AS BIGINT)
+        |      % 100 AS sx,
+        |    CAST('0x' || substr(md5('sgy' || s_suppkey), 1, 15) AS BIGINT)
+        |      % 100 AS sy
+        |  FROM supplier),
+        |se AS (
+        |  SELECT sk, sx, sy, sx // 10 + dx.d AS gx, sy // 10 + dy.d AS gy
+        |  FROM supp
+        |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |cc AS (SELECT ck, cx, cy, cx // 10 AS gx, cy // 10 AS gy FROM cust)
+        |SELECT cc.ck, se.sk, cc.cx, cc.cy, se.sx, se.sy,
+        |  CAST((cc.cx - se.sx) * (cc.cx - se.sx)
+        |    + (cc.cy - se.sy) * (cc.cy - se.sy) AS BIGINT) AS d2
+        |FROM se JOIN cc ON se.gx = cc.gx AND se.gy = cc.gy
+        |WHERE (cc.cx - se.sx) * (cc.cx - se.sx)
+        |  + (cc.cy - se.sy) * (cc.cy - se.sy) <= 100""".stripMargin,
   )
 }

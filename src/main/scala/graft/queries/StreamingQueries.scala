@@ -633,6 +633,20 @@ object StreamingQueries {
       streaming.Streams.ewmaGateStream(s, s"$root/events", ev.schema,
         s"$root/partials", s"$root/ckpt")
     }),
+
+
+    // q345's block-maxima family maintained as a stream: per-batch
+    // per-week MAX partials (batchId-idempotent; max merges by max —
+    // order-free), readout flags running records — hash-equals the
+    // one-shot batch computation under any batch split
+    "q353_maxima_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("value"))
+      val root = predsPath(s"q353_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(6), s"$root/events")
+      streaming.Streams.maximaStream(s, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt")
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -1053,5 +1067,23 @@ object StreamingQueries {
         |  CAST(CASE WHEN abs(c * 100000000 - ewma_e8) * 2 > ewma_e8
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_drift
         |FROM w WHERE rn >= 8""".stripMargin,
+
+    // one-shot batch replay of the streamed-maintained weekly maxima +
+    // the same running-record flag
+    "q353_maxima_stream" ->
+      """WITH weeks AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS wk,
+        |    CAST(max(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS mx
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT wk, mx,
+        |    max(mx) OVER (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS prev_mx
+        |  FROM weeks)
+        |SELECT wk, mx, COALESCE(prev_mx, 0) AS prev_mx,
+        |  CAST(CASE WHEN prev_mx IS NULL OR mx > prev_mx THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_record
+        |FROM w""".stripMargin,
   )
 }

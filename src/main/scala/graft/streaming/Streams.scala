@@ -1274,4 +1274,65 @@ object Streams {
       .select(col("ed"), col("c"), col("ewma_e8"), col("dev_e8"),
         col("is_drift"))
   }
+
+  /** Streaming block-maxima maintenance — the extreme-value base table
+    * (q345's family) kept current as batches land: each micro-batch
+    * appends only its per-week MAX partial (idempotently under
+    * `batch_id=<id>`); maxima merge by MAX — the third mergeable-
+    * partial monoid in the family after counts ([[miCellsStream]]) and
+    * sums ([[ewmaGateStream]]), and like them order-free under any
+    * batch split or replay. The readout emits each week's running
+    * record flag (is_record = this week strictly exceeds every prior
+    * week) — the "new all-time high" monitor.
+    *
+    * Week grain is the ENGINE-FREE integer derivation
+    * `epoch_us div 86400000000 div 7`.
+    *
+    * At scale: zero keyed state; partials are ≤ |weeks-in-batch| rows
+    * per batch and the readout runs on the tiny week grain. */
+  def maximaStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    def weeksOf(df: DataFrame): DataFrame = df
+      .select(
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7")
+          .as("wk"),
+        (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
+      .groupBy(col("wk")).agg(max(col("c")).as("mx"))
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        weeksOf(batch)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow maxima stream must drain")
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("wk",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mx",
+        org.apache.spark.sql.types.LongType)))
+    val weeks = readPartials(spark, partialsDir, partialsSchema)
+      .groupBy(col("wk")).agg(max(col("mx")).as("mx"))
+    val w = Window.orderBy(col("wk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    weeks
+      .withColumn("prev_mx", max(col("mx")).over(w))
+      .withColumn("is_record",
+        when(col("prev_mx").isNull || col("mx") > col("prev_mx"), 1L)
+          .otherwise(0L))
+      .select(col("wk"), col("mx"),
+        coalesce(col("prev_mx"), lit(0L)).as("prev_mx"), col("is_record"))
+  }
 }

@@ -442,6 +442,96 @@ class Analytics3Spec extends AnyFunSuite {
     assert(row.getAs[Double]("cross_d") >= 0.0)
   }
 
+  test("LAW motif: V and A matches carry strictly positive amplitude") {
+    val rows = run("q354_motif_vshape")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("V", "A").contains(r.getAs[String]("motif")))
+      assert(r.getAs[Long]("amplitude_cents") > 0L)
+    }
+  }
+
+  test("LAW nearest join: every supplier maps to the true brute-force " +
+      "nearest customer balance") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q355_nearest_value_join")
+    val nSupp = Tables.supplier(spark, dir).count()
+    assert(rows.length.toLong == nSupp)
+    val cust = Tables.customer(spark, dir)
+      .select((col("c_acctbal").cast("decimal(30,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    rows.foreach { r =>
+      val best = cust.map(cv => math.abs(r.getAs[Long]("s_val") - cv)).min
+      assert(r.getAs[Long]("dist") == best)
+    }
+  }
+
+  test("LAW naive bayes: confusion counts every test doc with an " +
+      "in-vocabulary token, predictions drawn from train langs") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q356_naive_bayes")
+    val langs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(langs.contains(r.getAs[String]("pred"))))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nTest = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(total <= nTest && total > 0)
+  }
+
+  test("LAW woe/iv: bins partition the customers and total IV is " +
+      "non-negative up to quantization") {
+    val rows = run("q357_woe_iv")
+    assert(rows.length == 10)
+    val nCust = Tables.customer(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_b")).sum == nCust)
+    val iv = rows.map(_.getAs[Long]("iv_term_pico")).sum
+    assert(iv >= -10L * 1000000L)
+  }
+
+  test("LAW calendarize: prorated cents conserve the gated line total " +
+      "exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q358_calendarize")
+    val prorated = rows.map(_.getAs[Long]("prorated_cents")).sum
+    val gated = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(30,2)") * 100)
+          .cast("long").as("v"),
+        to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("ship"), col("od")).between(0, 120))
+      .agg(sum(col("v"))).collect().head.getLong(0)
+    assert(prorated == gated)
+  }
+
+  test("LAW grid neighbors: matches the brute-force all-pairs scan " +
+      "within radius 10") {
+    val rows = run("q359_grid_neighbors")
+      .map(r => (r.getAs[Long]("ck"), r.getAs[Long]("sk"))).toSet
+    def coord(salt: String, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + k).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    import org.apache.spark.sql.functions._
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+      .map(k => (k, coord("cgx", k), coord("cgy", k)))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"))
+      .collect().map(_.getLong(0))
+      .map(k => (k, coord("sgx", k), coord("sgy", k)))
+    val brute = (for {
+      (ck, cx, cy) <- cust; (sk, sx, sy) <- supp
+      if (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 100
+    } yield (ck, sk)).toSet
+    assert(rows == brute)
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
