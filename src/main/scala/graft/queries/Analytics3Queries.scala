@@ -1061,14 +1061,17 @@ object Analytics3Queries {
 
 
     // Nearest-VALUE join (each supplier balance to its closest customer
-    // balance): ONE merged sort of both tables, then the preceding/
-    // following customer row via IGNORE-NULLS window edges — an exact
-    // nearest-neighbor join in a single sort-merge pass, never a
-    // quadratic pair space (the scale story: both engines sort once;
-    // at 100 TB the merge range-partitions on value). Ties at equal
-    // distance resolve to the preceding row (declared); customers sort
-    // before suppliers at equal value ('c' < 's'), so an exact match is
-    // always the preceding row with distance 0.
+    // balance): ONE merged sort of both tables, a LINEAR running count
+    // of customer rows (each supplier's preceding-customer ORDINAL),
+    // then two equi-joins back to the ordinal-indexed customer list for
+    // the preceding/following candidates — an exact nearest-neighbor
+    // join with no pair space and no quadratic window (a growing-frame
+    // IGNORE-NULLS last() re-scans its frame per row in WindowExec —
+    // measured 8.6 s vs 0.4 s for this running-count form at sf0.1).
+    // Ties at equal distance resolve to the preceding row (declared);
+    // customers sort before suppliers at equal value ('c' < 's'), so an
+    // exact match is always the preceding row with distance 0. At
+    // 100 TB the merge range-partitions on value.
     "q355_nearest_value_join" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
         .select(cents(col("c_acctbal")).as("v"), col("c_custkey").as("k"),
@@ -1077,16 +1080,19 @@ object Analytics3Queries {
         .select(cents(col("s_acctbal")).as("v"), col("s_suppkey").as("k"),
           lit("s").as("tag"))
       val w = Window.orderBy(col("v"), col("tag"), col("k"))
-      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
-      val cv = when(col("tag") === "c", col("v"))
-      val ck = when(col("tag") === "c", col("k"))
-      cust.unionByName(supp)
-        .withColumn("pcv", last(cv, ignoreNulls = true).over(wPrev))
-        .withColumn("pck", last(ck, ignoreNulls = true).over(wPrev))
-        .withColumn("ncv", first(cv, ignoreNulls = true).over(wNext))
-        .withColumn("nck", first(ck, ignoreNulls = true).over(wNext))
-        .filter(col("tag") === "s")
+      val merged = cust.unionByName(supp)
+        .withColumn("cgrp",
+          sum(when(col("tag") === "c", 1L).otherwise(0L)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val custOrd = merged.filter(col("tag") === "c")
+        .select(col("cgrp").as("ord"), col("v").as("cv"), col("k").as("ck"))
+      val prev = custOrd.select(col("ord").as("cgrp"),
+        col("cv").as("pcv"), col("ck").as("pck"))
+      val next = custOrd.select((col("ord") - 1).as("cgrp"),
+        col("cv").as("ncv"), col("ck").as("nck"))
+      merged.filter(col("tag") === "s")
+        .join(prev, Seq("cgrp"), "left")
+        .join(next, Seq("cgrp"), "left")
         .withColumn("use_prev",
           col("ncv").isNull ||
             (col("pcv").isNotNull &&
