@@ -1263,6 +1263,140 @@ object Analytics3Queries {
         .select(col("ck"), col("sk"), col("cx"), col("cy"),
           col("sx"), col("sy"), col("d2"))
     }),
+
+
+    // Declarative hyperparameter grid search: Platt-style affine
+    // recalibration p = clip(a·conf/10 + b/10) fitted by EXACT integer
+    // squared error over a 21×21 (slope, offset) grid — the sweep is a
+    // cross join, the objective one decimal-lifted sum per cell, the
+    // winner an exact argmin (sse, a, b). Model selection as a JOIN:
+    // no iterations, no floats, hash-checkable — and at 100 TB the grid
+    // is a broadcast while the data side streams one pass.
+    "q360_grid_search_calibration" -> ((s, dir) => {
+      val nOrd = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
+        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("label",
+          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("x"), col("c_custkey"))).cast("long"))
+        .withColumn("nc", count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
+        .select(col("conf_ppm"), col("label"))
+      val grid = s.range(0, 21).select(col("id").as("a"))
+        .crossJoin(s.range(-10, 11).select(col("id").as("b")))
+      base.crossJoin(broadcast(grid))
+        .withColumn("p_ppm",
+          greatest(lit(0L), least(lit(1000000L),
+            expr("a * conf_ppm div 10") + col("b") * 100000L)))
+        .withColumn("e", col("p_ppm") - col("label") * 1000000L)
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n"), sum(d38(col("e")) * col("e")).as("sse"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("sse"), col("a"), col("b"))))
+        .filter(col("rk") === 1)
+        .select(col("a"), col("b"), col("n"), toD(col("sse")).as("sse_d"))
+    }),
+
+
+    // Greedy maximum-coverage assortment (the classic submodular 1−1/e
+    // greedy): five fixed rounds, each picking the part that NEWLY
+    // covers the most customers (count desc, partkey asc — exact
+    // argmax), then semi-join-removing its customers from the residual
+    // universe; per-round localCheckpoint truncates the plan. The
+    // oracle unrolls the identical five rounds. Output: the pick per
+    // round with its exact marginal gain and the running covered total.
+    "q361_greedy_cover" -> ((s, dir) => {
+      val pc = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_partkey").as("pk"), col("o_custkey").as("ck"))
+        .distinct()
+        .localCheckpoint()
+      var remaining = pc
+      var total = 0L
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      for (round <- 1 to 5) {
+        val top = remaining.groupBy(col("pk"))
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("pk"))
+          .limit(1)
+          .collect()(0) // bounded: ONE row per round (scalar witness)
+        val (pk, gain) = (top.getLong(0), top.getLong(1))
+        total += gain
+        picks += ((round.toLong, pk, gain, total))
+        val covered = remaining.filter(col("pk") === pk)
+          .select(col("ck")).distinct()
+        remaining = remaining
+          .join(covered, Seq("ck"), "left_anti")
+          .localCheckpoint()
+      }
+      import s.implicits._
+      picks.toSeq.toDF("round", "pk", "gain", "covered_total")
+    }),
+
+
+    // Prefix-index top-k (the autocomplete/trie materialization): every
+    // 1–4-char prefix of every token maps to its most frequent
+    // completion (count desc, token asc — exact argmax), with the
+    // prefix's distinct-completion and total-occurrence counts. One
+    // explode bounded by 4× the token count, then word-key shuffles.
+    "q362_prefix_topk" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(text.TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val pref = tok
+        .withColumn("l", explode(sequence(lit(1),
+          least(length(col("w")), lit(4)))))
+        .withColumn("prefix", col("w").substr(lit(1), col("l")))
+      val stats = pref.groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_completions"),
+          sum(col("cnt")).as("total_cnt"))
+      val top = pref
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("prefix"))
+            .orderBy(col("cnt").desc, col("w"))))
+        .filter(col("rk") === 1)
+        .select(col("prefix"), col("w").as("top_token"),
+          col("cnt").as("top_cnt"))
+      stats.join(top, Seq("prefix"))
+    }),
+
+
+    // Tukey median polish (one row sweep + one column sweep) on the
+    // nation × segment revenue matrix: values pre-scale by 4 so BOTH
+    // median passes stay exact integers (a median of two multiples of
+    // 2^k is a multiple of 2^{k-1} — the doubled-rank idea applied to
+    // iterative medians), leaving exact row effects, column effects and
+    // residuals. The robust two-way decomposition behind outlier-cell
+    // detection in cohort grids — q342's Friedman asks IF treatments
+    // differ, the polish shows WHERE.
+    "q363_median_polish" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("seg"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val grid = cells.select(col("nk")).distinct()
+        .crossJoin(cells.select(col("seg")).distinct())
+        .join(cells, Seq("nk", "seg"), "left")
+        .withColumn("x4", coalesce(col("x"), lit(0L)) * 4)
+      val rowMed = grid.groupBy(col("nk"))
+        .agg(percentile(col("x4"), lit(0.5)).cast("long").as("row_eff"))
+      val r1 = grid.join(broadcast(rowMed), Seq("nk"))
+        .withColumn("res1", col("x4") - col("row_eff"))
+      val colMed = r1.groupBy(col("seg"))
+        .agg(percentile(col("res1"), lit(0.5)).cast("long").as("col_eff"))
+      r1.join(broadcast(colMed), Seq("seg"))
+        .withColumn("resid_x4", col("res1") - col("col_eff"))
+        .select(col("nk"), col("seg"), col("x4"), col("row_eff"),
+          col("col_eff"), col("resid_x4"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
@@ -2320,5 +2454,117 @@ object Analytics3Queries {
         |FROM se JOIN cc ON se.gx = cc.gx AND se.gy = cc.gy
         |WHERE (cc.cx - se.sx) * (cc.cx - se.sx)
         |  + (cc.cy - se.sy) * (cc.cy - se.sy) <= 100""".stripMargin,
+
+    "q360_grid_search_calibration" ->
+      """WITH nord AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |    CASE WHEN COALESCE(n_ord, 0) >= 2 THEN 1 ELSE 0 END AS label
+        |  FROM customer LEFT JOIN nord ON c_custkey = o_custkey),
+        |r AS (
+        |  SELECT label,
+        |    (CAST(row_number() OVER (ORDER BY x, c_custkey) AS BIGINT) - 1)
+        |      * 1000000 // (count(*) OVER () - 1) AS conf_ppm
+        |  FROM base),
+        |grid AS (
+        |  SELECT a.a, b.b
+        |  FROM (SELECT unnest(generate_series(0, 20)) AS a) a
+        |  CROSS JOIN (SELECT unnest(generate_series(-10, 10)) AS b) b),
+        |sc AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(e AS HUGEINT) * e) AS sse
+        |  FROM (
+        |    SELECT g.a, g.b,
+        |      greatest(0, least(1000000,
+        |        (g.a * r.conf_ppm) // 10 + g.b * 100000))
+        |        - r.label * 1000000 AS e
+        |    FROM r CROSS JOIN grid g)
+        |  GROUP BY 1, 2),
+        |k AS (
+        |  SELECT *, row_number() OVER (ORDER BY sse, a, b) AS rk FROM sc)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, n,
+        |  CAST(CAST(sse AS VARCHAR) AS DOUBLE) AS sse_d
+        |FROM k WHERE rk = 1""".stripMargin,
+
+    // five unrolled greedy rounds — argmax by (gain desc, pk), then
+    // anti-join the picked part's customers out of the residual
+    "q361_greedy_cover" -> {
+      def round(k: Int): String =
+        s"""t$k AS MATERIALIZED (
+           |  SELECT pk, CAST(count(*) AS BIGINT) AS gain
+           |  FROM pc$k GROUP BY 1 ORDER BY gain DESC, pk LIMIT 1),
+           |cov$k AS MATERIALIZED (
+           |  SELECT DISTINCT ck FROM pc$k
+           |  WHERE pk = (SELECT pk FROM t$k)),
+           |pc${k + 1} AS MATERIALIZED (
+           |  SELECT p.pk, p.ck FROM pc$k p
+           |  WHERE p.ck NOT IN (SELECT ck FROM cov$k))""".stripMargin
+      """WITH pc1 AS MATERIALIZED (
+        |  SELECT DISTINCT l.l_partkey AS pk, o.o_custkey AS ck
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |""".stripMargin +
+        (1 to 5).map(round).mkString(",\n") +
+        """
+          |SELECT CAST(r AS BIGINT) AS round, pk, gain,
+          |  CAST(sum(gain) OVER (ORDER BY r) AS BIGINT) AS covered_total
+          |FROM (
+          |  SELECT 1 AS r, pk, gain FROM t1
+          |  UNION ALL SELECT 2, pk, gain FROM t2
+          |  UNION ALL SELECT 3, pk, gain FROM t3
+          |  UNION ALL SELECT 4, pk, gain FROM t4
+          |  UNION ALL SELECT 5, pk, gain FROM t5)""".stripMargin
+    },
+
+    "q362_prefix_topk" ->
+      """WITH tok AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1),
+        |pref AS (
+        |  SELECT substr(w, 1, l) AS prefix, w, cnt
+        |  FROM (SELECT w, cnt,
+        |          unnest(generate_series(1, least(length(w), 4))) AS l
+        |        FROM tok)),
+        |stats AS (
+        |  SELECT prefix, CAST(count(*) AS BIGINT) AS n_completions,
+        |    CAST(sum(cnt) AS BIGINT) AS total_cnt
+        |  FROM pref GROUP BY 1),
+        |top AS (
+        |  SELECT prefix, w AS top_token, cnt AS top_cnt FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prefix
+        |      ORDER BY cnt DESC, w) AS rk FROM pref)
+        |  WHERE rk = 1)
+        |SELECT s.prefix, s.n_completions, s.total_cnt, t.top_token,
+        |  t.top_cnt
+        |FROM stats s JOIN top t ON s.prefix = t.prefix""".stripMargin,
+
+    "q363_median_polish" ->
+      """WITH cells AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT n.nk, s.seg, COALESCE(c.x, 0) * 4 AS x4
+        |  FROM (SELECT DISTINCT nk FROM cells) n
+        |  CROSS JOIN (SELECT DISTINCT seg FROM cells) s
+        |  LEFT JOIN cells c ON c.nk = n.nk AND c.seg = s.seg),
+        |rowmed AS (
+        |  SELECT nk, CAST(quantile_cont(x4, 0.5) AS BIGINT) AS row_eff
+        |  FROM grid GROUP BY 1),
+        |r1 AS (
+        |  SELECT g.nk, g.seg, g.x4, m.row_eff, g.x4 - m.row_eff AS res1
+        |  FROM grid g JOIN rowmed m ON g.nk = m.nk),
+        |colmed AS (
+        |  SELECT seg, CAST(quantile_cont(res1, 0.5) AS BIGINT) AS col_eff
+        |  FROM r1 GROUP BY 1)
+        |SELECT r.nk, r.seg, r.x4, r.row_eff, c.col_eff,
+        |  r.res1 - c.col_eff AS resid_x4
+        |FROM r1 r JOIN colmed c ON r.seg = c.seg""".stripMargin,
   )
 }

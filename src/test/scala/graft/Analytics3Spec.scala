@@ -532,6 +532,86 @@ class Analytics3Spec extends AnyFunSuite {
     assert(rows == brute)
   }
 
+  test("LAW grid search: the winner's SSE is no worse than the " +
+      "identity calibration (a=10, b=0), which the grid contains") {
+    import org.apache.spark.sql.functions._
+    val row = run("q360_grid_search_calibration").head
+    assert(row.getAs[Long]("a") >= 0L && row.getAs[Long]("a") <= 20L)
+    assert(row.getAs[Long]("b") >= -10L && row.getAs[Long]("b") <= 10L)
+    val base = {
+      val nOrd = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast("decimal(30,2)") * 100).cast("long").as("x"))
+        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("x"), col("c_custkey"),
+          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L)
+            .as("label"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+    }
+    val n = base.length
+    val identSse = base.zipWithIndex.map { case ((_, _, y), i) =>
+      val conf = i.toLong * 1000000L / (n - 1)
+      val e = BigInt(conf - y * 1000000L); e * e
+    }.sum
+    assert(BigInt(row.getAs[Double]("sse_d").toLong) <= identSse)
+  }
+
+  test("LAW greedy cover: marginal gains are non-increasing, the total " +
+      "telescopes, and round 1 is the global argmax") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q361_greedy_cover").sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 5)
+    val gains = rows.map(_.getAs[Long]("gain"))
+    gains.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+    assert(rows.last.getAs[Long]("covered_total") == gains.sum)
+    val top1 = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey"), col("o_custkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("g"))
+      .orderBy(col("g").desc, col("l_partkey")).limit(1)
+      .collect()(0)
+    assert(rows.head.getAs[Long]("pk") == top1.getLong(0))
+    assert(rows.head.getAs[Long]("gain") == top1.getLong(1))
+  }
+
+  test("LAW prefix top-k: every top completion starts with its prefix " +
+      "and never outweighs the prefix total") {
+    val rows = run("q362_prefix_topk")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("top_token")
+        .startsWith(r.getAs[String]("prefix")))
+      assert(r.getAs[Long]("top_cnt") <= r.getAs[Long]("total_cnt"))
+      assert(r.getAs[Long]("n_completions") >= 1L)
+    }
+  }
+
+  test("LAW median polish: the interpolated median of residuals is " +
+      "exactly zero within every column (segment)") {
+    val rows = run("q363_median_polish")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x4") == r.getAs[Long]("row_eff") +
+        r.getAs[Long]("col_eff") + r.getAs[Long]("resid_x4"))
+    }
+    rows.groupBy(_.getAs[String]("seg")).foreach { case (_, rs) =>
+      val v = rs.map(_.getAs[Long]("resid_x4")).sorted
+      val m = v.length
+      val med2 = if (m % 2 == 1) 2 * v(m / 2)
+        else v(m / 2 - 1) + v(m / 2)
+      assert(med2 == 0L)
+    }
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
