@@ -59,6 +59,55 @@ object Analytics3Queries {
   private def decDiv(a: Column, b: Column): Column =
     ((a - a % b) / b).cast("decimal(38,0)")
 
+  /** Customer repeat-buyer base — (c_custkey, x = balance cents,
+    * label = 1 iff ≥2 orders) — shared by q328/q347/q357/q360 so the
+    * label rule lives in ONE Spark-side place (the oracle SQL texts
+    * necessarily restate it, but the engine side cannot drift). */
+  private def labeledCustomers(s: SparkSession, dir: String): DataFrame = {
+    val nOrd = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
+      .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("label",
+        when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
+      .select(col("c_custkey"), col("x"), col("label"))
+  }
+
+  /** [[labeledCustomers]] plus the q310 global percent-rank grid:
+    * rn (1-based rank by (x, key)), nc (total), and
+    * conf_ppm = (rn−1)·1e6 div (nc−1). The global rank is the declared
+    * total-order tier (q255's exception). Shared by q347/q357/q360. */
+  private def labeledConfBase(s: SparkSession, dir: String): DataFrame =
+    labeledCustomers(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("x"), col("c_custkey"))).cast("long"))
+      .withColumn("nc", count(lit(1)).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
+
+  /** Within-nation customer pair frame over (x = balance cents,
+    * y = lifetime revenue cents), k1 < k2 — the declared quadratic
+    * tier (pair volume Σ_g n_g²; the 100 TB path caps or samples the
+    * group, the thetaPairs rule). Shared by q326 (Kendall tau-b) and
+    * q343 (Theil–Sen). */
+  private def nationPairs(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+        cents(col("c_acctbal")).as("x"))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("nk"), col("c_custkey").as("ck"), col("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val a = base.select(col("nk"), col("ck").as("k1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = base.select(col("nk"), col("ck").as("k2"),
+      col("x").as("x2"), col("y").as("y2"))
+    a.join(b, Seq("nk")).filter(col("k1") < col("k2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // One-way ANOVA F across order priorities on order value: per-group
@@ -99,20 +148,7 @@ object Analytics3Queries {
     // here; the 100 TB path caps the group like thetaPairs). Distinct
     // from q299's Spearman: tau counts pair inversions, rho ranks.
     "q326_kendall_tau" -> ((s, dir) => {
-      val rev = Tables.orders(s, dir)
-        .groupBy(col("o_custkey"))
-        .agg(sum(cents(col("o_totalprice"))).as("y"))
-      val base = Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
-          cents(col("c_acctbal")).as("x"))
-        .join(rev, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("nk"), col("c_custkey").as("ck"), col("x"),
-          coalesce(col("y"), lit(0L)).as("y"))
-      val a = base.select(col("nk"), col("ck").as("k1"),
-        col("x").as("x1"), col("y").as("y1"))
-      val b = base.select(col("nk"), col("ck").as("k2"),
-        col("x").as("x2"), col("y").as("y2"))
-      a.join(b, Seq("nk")).filter(col("k1") < col("k2"))
+      nationPairs(s, dir)
         .groupBy(col("nk"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when((col("x1") < col("x2") && col("y1") < col("y2")) ||
@@ -182,13 +218,7 @@ object Analytics3Queries {
     // integers as (N·agree − Σrc)/(N² − Σrc), decimal-lifted so the
     // 100 TB N² cannot wrap, evaluated as one fixed double division.
     "q328_cohens_kappa" -> ((s, dir) => {
-      val nOrd = Tables.orders(s, dir)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
-      val base = Tables.customer(s, dir)
-        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
-        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
-        .withColumn("a",
-          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
+      val base = labeledCustomers(s, dir).withColumn("a", col("label"))
       val med = base.agg(percentile(col("x"), lit(0.5)).as("med"))
       base.crossJoin(broadcast(med))
         .withColumn("b",
@@ -521,9 +551,9 @@ object Analytics3Queries {
     // the rest of the corpus (the symmetric, bounded cousin of q188's
     // log-ratio drift): add-one-smoothed probabilities over the shared
     // vocabulary grid (|sources|·|vocab| rows — vocabulary-sized, never
-    // corpus-sized), each token's pointwise term floor-quantized to
-    // µnats (the q274/q188 ln discipline) so the per-source sum is an
-    // order-free integer.
+    // corpus-sized), each token's pointwise ½·(KL(p‖m)+KL(q‖m)) term
+    // floor-quantized to µnats (the q274/q188 ln discipline) so the
+    // per-source sum is an order-free integer bounded by ln 2 µnats.
     "q339_js_divergence" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("source"),
@@ -547,7 +577,7 @@ object Analytics3Queries {
           (col("c2") + 1).cast("double") /
             (col("n_all") - col("np") + col("v")).cast("double"))
         .withColumn("term_micro",
-          floor(lit(1e6) * (col("p") * log(lit(2.0) * col("p") /
+          floor(lit(1e6) * lit(0.5) * (col("p") * log(lit(2.0) * col("p") /
             (col("p") + col("q"))) + col("q") * log(lit(2.0) * col("q") /
             (col("p") + col("q"))))).cast("long"))
       grid.groupBy(col("source"))
@@ -685,21 +715,8 @@ object Analytics3Queries {
     // (slope, k1, k2) — declared lower-median semantics, no averaging.
     // Shares q326's declared within-nation quadratic tier.
     "q343_theil_sen" -> ((s, dir) => {
-      val rev = Tables.orders(s, dir)
-        .groupBy(col("o_custkey"))
-        .agg(sum(cents(col("o_totalprice"))).as("y"))
-      val base = Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
-          cents(col("c_acctbal")).as("x"))
-        .join(rev, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("nk"), col("c_custkey").as("ck"), col("x"),
-          coalesce(col("y"), lit(0L)).as("y"))
-      val a = base.select(col("nk"), col("ck").as("k1"),
-        col("x").as("x1"), col("y").as("y1"))
-      val b = base.select(col("nk"), col("ck").as("k2"),
-        col("x").as("x2"), col("y").as("y2"))
-      val slopes = a.join(b, Seq("nk"))
-        .filter(col("k1") < col("k2") && col("x1") =!= col("x2"))
+      val slopes = nationPairs(s, dir)
+        .filter(col("x1") =!= col("x2"))
         .select(col("nk"), col("k1"), col("k2"),
           ((col("y2") - col("y1")).cast("double") /
             (col("x2") - col("x1")).cast("double")).as("slope"))
@@ -829,19 +846,7 @@ object Analytics3Queries {
     // brier_micro = SSE div (n·1e6) is pure integer arithmetic, no
     // float anywhere. The global rank is the declared tier (q255).
     "q347_brier_score" -> ((s, dir) => {
-      val nOrd = Tables.orders(s, dir)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
-      val base = Tables.customer(s, dir)
-        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
-        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
-        .withColumn("label",
-          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
-      val w = Window.orderBy(col("x"), col("c_custkey"))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      base.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("nc", count(lit(1)).over(wAll))
-        .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
+      labeledConfBase(s, dir)
         .withColumn("e", col("conf_ppm") - col("label") * 1000000L)
         .agg(count(lit(1)).as("n"),
           sum(d38(col("e")) * col("e")).as("sse"))
@@ -1168,19 +1173,7 @@ object Analytics3Queries {
     // exact integer cross-ratio, IV contributions in exact pico units
     // (micro × micro). Output one row per bin; the spec pins ΣIV ≥ 0.
     "q357_woe_iv" -> ((s, dir) => {
-      val nOrd = Tables.orders(s, dir)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
-      val base = Tables.customer(s, dir)
-        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
-        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
-        .withColumn("label",
-          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
-      val w = Window.orderBy(col("x"), col("c_custkey"))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val binned = base
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("nc", count(lit(1)).over(wAll))
+      val binned = labeledConfBase(s, dir)
         .withColumn("bin", least(expr("(rn - 1) * 10 div nc"), lit(9L)))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_b"), sum(col("label")).as("g"))
@@ -1273,19 +1266,7 @@ object Analytics3Queries {
     // no iterations, no floats, hash-checkable — and at 100 TB the grid
     // is a broadcast while the data side streams one pass.
     "q360_grid_search_calibration" -> ((s, dir) => {
-      val nOrd = Tables.orders(s, dir)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
-      val base = Tables.customer(s, dir)
-        .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
-        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
-        .withColumn("label",
-          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("x"), col("c_custkey"))).cast("long"))
-        .withColumn("nc", count(lit(1)).over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
-        .select(col("conf_ppm"), col("label"))
+      val base = labeledConfBase(s, dir).select(col("conf_ppm"), col("label"))
       val grid = s.range(0, 21).select(col("id").as("a"))
         .crossJoin(s.range(-10, 11).select(col("id").as("b")))
       base.crossJoin(broadcast(grid))
@@ -1320,21 +1301,28 @@ object Analytics3Queries {
         .localCheckpoint()
       var remaining = pc
       var total = 0L
+      var exhausted = false
       val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-      for (round <- 1 to 5) {
+      for (round <- 1 to 5 if !exhausted) {
+        // bounded: ONE row per round (scalar witness); empty when the
+        // residual universe runs dry before round 5 — then STOP, the
+        // same <5-row output the oracle's empty LIMIT 1 CTEs produce
         val top = remaining.groupBy(col("pk"))
           .agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("pk"))
           .limit(1)
-          .collect()(0) // bounded: ONE row per round (scalar witness)
-        val (pk, gain) = (top.getLong(0), top.getLong(1))
-        total += gain
-        picks += ((round.toLong, pk, gain, total))
-        val covered = remaining.filter(col("pk") === pk)
-          .select(col("ck")).distinct()
-        remaining = remaining
-          .join(covered, Seq("ck"), "left_anti")
-          .localCheckpoint()
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (pk, gain) = (top(0).getLong(0), top(0).getLong(1))
+          total += gain
+          picks += ((round.toLong, pk, gain, total))
+          val covered = remaining.filter(col("pk") === pk)
+            .select(col("ck")).distinct()
+          remaining = remaining
+            .join(covered, Seq("ck"), "left_anti")
+            .localCheckpoint()
+        }
       }
       import s.implicits._
       picks.toSeq.toDF("round", "pk", "gain", "covered_total")
@@ -1843,7 +1831,7 @@ object Analytics3Queries {
         |  CROSS JOIN tot),
         |terms AS (
         |  SELECT source, np,
-        |    CAST(floor(1e6 * (p * ln(2.0 * p / (p + q))
+        |    CAST(floor(1e6 * 0.5 * (p * ln(2.0 * p / (p + q))
         |      + q * ln(2.0 * q / (p + q)))) AS BIGINT) AS term_micro
         |  FROM (
         |    SELECT source, np,

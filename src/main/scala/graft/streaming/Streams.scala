@@ -957,6 +957,39 @@ object Streams {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Shared scaffold for the mergeable-partials stream family
+    * ([[miCellsStream]] counts, [[ewmaGateStream]] sums,
+    * [[maximaStream]] maxima): AvailableNow-drains `eventsDir`, runs
+    * `partialsOf` over each micro-batch, and overwrites the result
+    * under `batch_id=<id>` — the [[srmGateStream]] replay rule that
+    * makes re-delivered batches idempotent. Readouts stay per-surface;
+    * only the drain/idempotence plumbing lives here, so a fix to it
+    * lands in every kernel at once. */
+  private def drainPartials(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int,
+      what: String)(partialsOf: DataFrame => DataFrame): Unit = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        partialsOf(batch)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      s"AvailableNow $what stream must drain")
+  }
+
   /** Streaming EXACT heavy hitters — the sketch-then-verify composition
     * of [[graft.ops.Relational.heavyHitters]] maintained as batches
     * land: each micro-batch runs its own Misra-Gries pass and appends
@@ -1161,26 +1194,13 @@ object Streams {
       partialsDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 2): DataFrame = {
-    def cellsOf(df: DataFrame): DataFrame = df
-      .select(col("event_type").as("x"),
-        expr("(unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7")
-          .as("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(eventsDir)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cellsOf(batch)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    require(q.awaitTermination(300000),
-      "AvailableNow MI-cells stream must drain")
+    drainPartials(spark, eventsDir, eventsSchema, partialsDir,
+      checkpointDir, maxFilesPerTrigger, "MI-cells") { df =>
+      df.select(col("event_type").as("x"),
+          expr("(unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7")
+            .as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    }
     val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("x",
         org.apache.spark.sql.types.StringType),
@@ -1231,26 +1251,13 @@ object Streams {
       partialsDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 2): DataFrame = {
-    def daysOf(df: DataFrame): DataFrame = df
-      .select(
-        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("ed"),
-        (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
-      .groupBy(col("ed")).agg(sum(col("c")).as("c"))
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(eventsDir)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        daysOf(batch)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    require(q.awaitTermination(300000),
-      "AvailableNow EWMA-gate stream must drain")
+    drainPartials(spark, eventsDir, eventsSchema, partialsDir,
+      checkpointDir, maxFilesPerTrigger, "EWMA-gate") { df =>
+      df.select(
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("ed"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
+        .groupBy(col("ed")).agg(sum(col("c")).as("c"))
+    }
     val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ed",
         org.apache.spark.sql.types.LongType),
@@ -1297,27 +1304,14 @@ object Streams {
       partialsDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 2): DataFrame = {
-    def weeksOf(df: DataFrame): DataFrame = df
-      .select(
-        expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7")
-          .as("wk"),
-        (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
-      .groupBy(col("wk")).agg(max(col("c")).as("mx"))
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(eventsDir)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        weeksOf(batch)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    require(q.awaitTermination(300000),
-      "AvailableNow maxima stream must drain")
+    drainPartials(spark, eventsDir, eventsSchema, partialsDir,
+      checkpointDir, maxFilesPerTrigger, "maxima") { df =>
+      df.select(
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7")
+            .as("wk"),
+          (col("value").cast("decimal(30,2)") * 100).cast("long").as("c"))
+        .groupBy(col("wk")).agg(max(col("c")).as("mx"))
+    }
     val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("wk",
         org.apache.spark.sql.types.LongType),
