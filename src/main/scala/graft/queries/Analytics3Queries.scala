@@ -1409,6 +1409,190 @@ object Analytics3Queries {
         .select(col("nk"), col("seg"), col("x4"), col("row_eff"),
           col("col_eff"), col("resid_x4"))
     }),
+
+
+    // Consistent-hash ring rebalance audit: 16 md5-placed virtual nodes,
+    // every customer key assigned to its clockwise successor (wrap =
+    // global min), then the SAME assignment re-run with a 17th node —
+    // per-node key counts before/after and the exact remap count (the
+    // 1/(n+1) promise of consistent hashing, measured). The 16/17-way
+    // vnode table rides as an explode (pure row multiplier, no join);
+    // assignment is one min-aggregate per key.
+    "q364_hash_ring" -> ((s, dir) => {
+      def h15(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      def assigned(nNodes: Int, out: String): DataFrame =
+        Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"),
+            h15(concat(lit("k"), col("c_custkey"))).as("kp"))
+          .withColumn("i", explode(sequence(lit(0), lit(nNodes - 1))))
+          .withColumn("pos", h15(concat(lit("node"), col("i"))))
+          .groupBy(col("ck"), col("kp"))
+          .agg(min(when(col("pos") >= col("kp"), col("pos"))).as("ge"),
+            min(col("pos")).as("mn"))
+          .select(col("ck"), coalesce(col("ge"), col("mn")).as(out))
+      val a16 = assigned(16, "pos16")
+      val a17 = assigned(17, "pos17")
+      val vn = Tables.customer(s, dir).limit(1)
+        .withColumn("i", explode(sequence(lit(0), lit(16))))
+        .select(col("i").cast("long").as("node_id"),
+          h15(concat(lit("node"), col("i"))).as("pos"))
+      val both = a16.join(a17, Seq("ck"))
+      val remap = both
+        .agg(sum(when(col("pos16") =!= col("pos17"), 1L).otherwise(0L))
+          .as("n_remapped"))
+      both
+        .join(vn.select(col("pos").as("pos17"), col("node_id")), Seq("pos17"))
+        .groupBy(col("node_id"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("pos16") === col("pos17"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .crossJoin(broadcast(remap))
+    }),
+
+
+    // 2-D skyline (Pareto-dominance query) over parts minimizing
+    // (retail price, size): one sort, one strictly-cheaper RANGE window
+    // for the running size minimum, one equal-price partition minimum —
+    // a point survives iff nothing cheaper-or-equal is also
+    // smaller-or-equal with one strict. Linear, no pair space — the
+    // dominance join every "best tradeoff" screen needs.
+    "q365_skyline_2d" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("pk"),
+          cents(col("p_retailprice")).as("price"),
+          col("p_size").cast("long").as("sz"))
+      val wCheaper = Window.orderBy(col("price"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy(col("price"))
+      p.withColumn("min_cheaper", min(col("sz")).over(wCheaper))
+        .withColumn("min_eq", min(col("sz")).over(wEq))
+        .filter((col("min_cheaper").isNull ||
+          col("sz") < col("min_cheaper")) && col("sz") === col("min_eq"))
+        .select(col("pk"), col("price"), col("sz"))
+    }),
+
+
+    // Largest-remainder (Hamilton) apportionment of 100 seats to
+    // nations by exact revenue share: base = v·100 div S, remainders
+    // ranked (desc, nation asc) hand out the leftover — all integer,
+    // seats conserve exactly (spec law). The proportional-allocation
+    // primitive behind budget splits and quota assignment.
+    "q366_apportionment" -> ((s, dir) => {
+      val v = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nk"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val tot = v.agg(sum(col("v")).as("s"))
+      val based = v.crossJoin(broadcast(tot))
+        .withColumn("base", decDiv(d38(col("v")) * 100L, d38(col("s")))
+          .cast("long"))
+        .withColumn("rem", toD((d38(col("v")) * 100L) % d38(col("s"))))
+      val leftover = based
+        .agg((lit(100L) - sum(col("base"))).as("leftover"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("nk"))).cast("long"))
+        .withColumn("extra",
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .withColumn("seats", col("base") + col("extra"))
+        .select(col("nk"), col("v"), col("base"), col("extra"),
+          col("seats"))
+    }),
+
+
+    // Intra-list diversity of each nation's top-10 popularity recs (the
+    // recsys health metric next to q335's MAP and q275's MRR): exact
+    // integer pair distance 1000·[brand differs] + |size delta| over
+    // the 45 in-list pairs, averaged with `div`. Pair space is 45 rows
+    // per nation by construction — a bounded self-join on the rec list,
+    // never on the catalog.
+    "q367_intra_list_diversity" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir)
+        .select(col("c_custkey").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      val recs = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(cn, col("o_custkey") === col("ck"))
+        .groupBy(col("nk"), col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pos", row_number().over(Window.partitionBy(col("nk"))
+          .orderBy(col("cnt").desc, col("pk"))))
+        .filter(col("pos") <= 10)
+        .join(Tables.part(s, dir).select(col("p_partkey").as("pk"),
+          col("p_brand"), col("p_size").cast("long").as("sz")), Seq("pk"))
+      val a = recs.select(col("nk"), col("pk").as("p1"),
+        col("p_brand").as("b1"), col("sz").as("s1"))
+      val b = recs.select(col("nk"), col("pk").as("p2"),
+        col("p_brand").as("b2"), col("sz").as("s2"))
+      a.join(b, Seq("nk")).filter(col("p1") < col("p2"))
+        .withColumn("d",
+          when(col("b1") =!= col("b2"), 1000L).otherwise(0L) +
+            abs(col("s1") - col("s2")))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("d")).as("d_sum"))
+        .withColumn("ild_milli", expr("d_sum * 1000 div n_pairs"))
+    }),
+
+
+    // Synthetic-control gap read: EUROPE's monthly revenue vs its best
+    // single donor region — the donor minimizing EXACT pre-1997 monthly
+    // squared error (decimal-lifted; argmin ties break by name), then
+    // the post-period month-by-month gap. The causal-read sibling of
+    // q286's diff-in-differences with a DATA-CHOSEN control.
+    "q368_synthetic_control" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("c"))
+      val tgt = monthly.filter(col("r_name") === "EUROPE")
+        .select(col("month"), col("c").as("tc"))
+      val don = monthly.filter(col("r_name") =!= "EUROPE")
+        .select(col("r_name").as("donor"), col("month"), col("c").as("dc"))
+      val split = to_date(lit("1997-01-01"))
+      val best = don.filter(col("month") < split)
+        .join(tgt.filter(col("month") < split), Seq("month"))
+        .groupBy(col("donor"))
+        .agg(sum(d38(col("tc") - col("dc")) * (col("tc") - col("dc")))
+          .as("sse"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("sse"), col("donor"))))
+        .filter(col("rk") === 1)
+        .select(col("donor"), toD(col("sse")).as("pre_sse_d"))
+      tgt.filter(col("month") >= split)
+        .withColumn("_k", zeroKeyNum(col("tc")))
+        .join(broadcast(best.withColumn("_k", zeroKeyStr(col("donor")))),
+          Seq("_k"))
+        .drop("_k")
+        .join(don, Seq("month", "donor"))
+        .withColumn("gap_cents", col("tc") - col("dc"))
+        .select(col("month"), col("donor"), col("tc").as("target_cents"),
+          col("dc").as("donor_cents"), col("gap_cents"),
+          col("pre_sse_d"))
+    }),
+
+
+    // Hierarchy (BOM-style) subtree rollup WITHOUT a join: the part
+    // tree is the integer division chain parent = pk div 7, so every
+    // part's ancestors at depths 1..4 are pure column math — one
+    // explode enumerates (part → each ancestor), one groupBy sums the
+    // subtree. The path-arithmetic trick that turns a recursive
+    // hierarchy walk into a single shuffle at any scale.
+    "q369_bom_rollup" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("pk"),
+          cents(col("p_retailprice")).as("cost"))
+      p.withColumn("l", explode(sequence(lit(1), lit(4))))
+        .withColumn("anc",
+          expr("pk div cast(pow(7, l) as long)"))
+        .filter(col("anc") > 0)
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"), sum(col("cost")).as("subtree_cents"))
+        .filter(col("n_desc") >= 2)
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
@@ -2578,5 +2762,158 @@ object Analytics3Queries {
         |SELECT r.nk, r.seg, r.x4, r.row_eff, c.col_eff,
         |  r.res1 - c.col_eff AS resid_x4
         |FROM r1 r JOIN colmed c ON r.seg = c.seg""".stripMargin,
+
+    "q364_hash_ring" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS ck,
+        |    CAST('0x' || substr(md5('k' || c_custkey), 1, 15) AS BIGINT)
+        |      AS kp
+        |  FROM customer),
+        |vn AS (
+        |  SELECT i,
+        |    CAST('0x' || substr(md5('node' || i), 1, 15) AS BIGINT) AS pos
+        |  FROM (SELECT unnest(generate_series(0, 16)) AS i)),
+        |a16 AS (
+        |  SELECT ck,
+        |    COALESCE(min(CASE WHEN pos >= kp THEN pos END), min(pos))
+        |      AS pos16
+        |  FROM keys CROSS JOIN (SELECT pos FROM vn WHERE i < 16)
+        |  GROUP BY ck),
+        |a17 AS (
+        |  SELECT ck,
+        |    COALESCE(min(CASE WHEN pos >= kp THEN pos END), min(pos))
+        |      AS pos17
+        |  FROM keys CROSS JOIN vn
+        |  GROUP BY ck),
+        |bx AS (
+        |  SELECT a16.ck, pos16, pos17 FROM a16 JOIN a17 ON a16.ck = a17.ck),
+        |remap AS (
+        |  SELECT CAST(sum(CASE WHEN pos16 <> pos17 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_remapped
+        |  FROM bx)
+        |SELECT CAST(v.i AS BIGINT) AS node_id,
+        |  CAST(count(*) AS BIGINT) AS n_after,
+        |  CAST(sum(CASE WHEN b.pos16 = b.pos17 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  (SELECT n_remapped FROM remap) AS n_remapped
+        |FROM bx b JOIN vn v ON v.pos = b.pos17
+        |GROUP BY 1""".stripMargin,
+
+    "q365_skyline_2d" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS pk,
+        |    CAST(CAST(p_retailprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |      AS price,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part),
+        |w AS (
+        |  SELECT pk, price, sz,
+        |    min(sz) OVER (ORDER BY price RANGE BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS min_cheaper,
+        |    min(sz) OVER (PARTITION BY price) AS min_eq
+        |  FROM p)
+        |SELECT pk, price, sz FROM w
+        |WHERE (min_cheaper IS NULL OR sz < min_cheaper) AND sz = min_eq"""
+        .stripMargin,
+
+    "q366_apportionment" ->
+      """WITH v AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(v) AS HUGEINT) AS s FROM v),
+        |based AS (
+        |  SELECT nk, v,
+        |    CAST((CAST(v AS HUGEINT) * 100) // s AS BIGINT) AS base,
+        |    CAST(CAST((CAST(v AS HUGEINT) * 100) % s AS VARCHAR) AS DOUBLE)
+        |      AS rem
+        |  FROM v CROSS JOIN tot),
+        |lo AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS leftover
+        |       FROM based),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, nk)
+        |    AS BIGINT) AS rk
+        |  FROM based)
+        |SELECT nk, v, base,
+        |  CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS extra,
+        |  base + CAST(CASE WHEN rk <= (SELECT leftover FROM lo)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS seats
+        |FROM rk""".stripMargin,
+
+    "q367_intra_list_diversity" ->
+      """WITH cn AS (
+        |  SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nk
+        |  FROM customer),
+        |recs AS (
+        |  SELECT nk, pk, p_brand, CAST(p_size AS BIGINT) AS sz
+        |  FROM (
+        |    SELECT nk, l_partkey AS pk,
+        |      row_number() OVER (PARTITION BY nk
+        |        ORDER BY count(*) DESC, l_partkey) AS pos
+        |    FROM orders
+        |    JOIN lineitem ON o_orderkey = l_orderkey
+        |    JOIN cn ON o_custkey = ck
+        |    GROUP BY nk, l_partkey)
+        |  JOIN part ON pk = p_partkey
+        |  WHERE pos <= 10)
+        |SELECT a.nk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN a.p_brand <> b.p_brand THEN 1000 ELSE 0 END
+        |    + abs(a.sz - b.sz)) AS BIGINT) AS d_sum,
+        |  CAST(sum(CASE WHEN a.p_brand <> b.p_brand THEN 1000 ELSE 0 END
+        |    + abs(a.sz - b.sz)) * 1000
+        |    // count(*) AS BIGINT) AS ild_milli
+        |FROM recs a JOIN recs b ON a.nk = b.nk AND a.pk < b.pk
+        |GROUP BY 1""".stripMargin,
+
+    "q368_synthetic_control" ->
+      """WITH monthly AS (
+        |  SELECT r_name,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |tgt AS (SELECT month, c AS tc FROM monthly WHERE r_name = 'EUROPE'),
+        |don AS (SELECT r_name AS donor, month, c AS dc FROM monthly
+        |        WHERE r_name <> 'EUROPE'),
+        |best AS (
+        |  SELECT donor,
+        |    CAST(CAST(sse AS VARCHAR) AS DOUBLE) AS pre_sse_d
+        |  FROM (
+        |    SELECT d.donor,
+        |      sum(CAST(t.tc - d.dc AS HUGEINT) * (t.tc - d.dc)) AS sse,
+        |      row_number() OVER (ORDER BY
+        |        sum(CAST(t.tc - d.dc AS HUGEINT) * (t.tc - d.dc)),
+        |        d.donor) AS rk
+        |    FROM don d JOIN tgt t ON d.month = t.month
+        |    WHERE d.month < DATE '1997-01-01'
+        |    GROUP BY d.donor)
+        |  WHERE rk = 1)
+        |SELECT t.month, b.donor, t.tc AS target_cents, d.dc AS donor_cents,
+        |  t.tc - d.dc AS gap_cents, b.pre_sse_d
+        |FROM tgt t CROSS JOIN best b
+        |JOIN don d ON d.month = t.month AND d.donor = b.donor
+        |WHERE t.month >= DATE '1997-01-01'""".stripMargin,
+
+    "q369_bom_rollup" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS pk,
+        |    CAST(CAST(p_retailprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |      AS cost
+        |  FROM part),
+        |e AS (
+        |  SELECT pk // CAST(power(7, l) AS BIGINT) AS anc, cost
+        |  FROM (SELECT pk, cost, unnest(generate_series(1, 4)) AS l
+        |        FROM p)
+        |  WHERE pk // CAST(power(7, l) AS BIGINT) > 0)
+        |SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
+        |  CAST(sum(cost) AS BIGINT) AS subtree_cents
+        |FROM e GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
   )
 }

@@ -612,6 +612,93 @@ class Analytics3Spec extends AnyFunSuite {
     }
   }
 
+  test("LAW hash ring: assignments partition the keys, kept <= after, " +
+      "and the remap fraction is consistent-hashing small") {
+    val rows = run("q364_hash_ring")
+    val nCust = Tables.customer(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_after")).sum == nCust)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_after")))
+    val remapped = rows.head.getAs[Long]("n_remapped")
+    assert(remapped == nCust - rows.map(_.getAs[Long]("n_kept")).sum)
+    assert(remapped <= nCust / 4)
+  }
+
+  test("LAW skyline: mutually non-dominated, and every excluded part " +
+      "is dominated by a skyline member") {
+    import org.apache.spark.sql.functions._
+    val sky = run("q365_skyline_2d")
+      .map(r => (r.getAs[Long]("pk"), r.getAs[Long]("price"),
+        r.getAs[Long]("sz")))
+    assert(sky.nonEmpty)
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 <= b._2 && a._3 <= b._3 && (a._2 < b._2 || a._3 < b._3)
+    for (a <- sky; b <- sky if a._1 != b._1)
+      assert(!dominates(a, b))
+    val all = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(30,2)") * 100).cast("long"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val skySet = sky.map(_._1).toSet
+    all.filterNot(p => skySet.contains(p._1)).foreach { p =>
+      assert(sky.exists(s => dominates(s, p)))
+    }
+  }
+
+  test("LAW apportionment: seats conserve to exactly 100") {
+    val rows = run("q366_apportionment")
+    assert(rows.map(_.getAs[Long]("seats")).sum == 100L)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("extra")
+      assert(e == 0L || e == 1L)
+      assert(r.getAs[Long]("seats") == r.getAs[Long]("base") + e)
+    }
+  }
+
+  test("LAW intra-list diversity: bounded pair counts and the milli " +
+      "grid bound (brand term 1000 + max size delta)") {
+    val rows = run("q367_intra_list_diversity")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") <= 45L)
+      // d per pair <= 1000 (brand) + 49 (max size delta); ild is the
+      // milli-scaled average, so the ceiling is 1049 * 1000
+      assert(r.getAs[Long]("ild_milli") <= 1049000L)
+      assert(r.getAs[Long]("ild_milli") >= 0L)
+    }
+  }
+
+  test("LAW synthetic control: a single data-chosen donor region, gaps " +
+      "reconcile exactly") {
+    val rows = run("q368_synthetic_control")
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("donor")).distinct.length == 1)
+    assert(rows.head.getAs[String]("donor") != "EUROPE")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_cents") ==
+        r.getAs[Long]("target_cents") - r.getAs[Long]("donor_cents"))
+      assert(r.getAs[Double]("pre_sse_d") >= 0.0)
+    }
+  }
+
+  test("LAW bom rollup: one ancestor's subtree matches a driver-side " +
+      "4-level descendant scan") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q369_bom_rollup")
+    assert(rows.nonEmpty)
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(30,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val anc0 = rows.head.getAs[Long]("anc")
+    val desc = parts.filter { case (pk, _) =>
+      (1 to 4).exists(l => pk / math.pow(7, l).toLong == anc0)
+    }
+    assert(rows.head.getAs[Long]("n_desc") == desc.length.toLong)
+    assert(rows.head.getAs[Long]("subtree_cents") == desc.map(_._2).sum)
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
