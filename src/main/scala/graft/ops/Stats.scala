@@ -157,4 +157,24 @@ object Stats {
     (pairs.withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k), dropped)
   }
+
+  /** 2-D skyline (Pareto-dominance) minimizing (`price`, `sz`): one
+    * sort, one strictly-cheaper RANGE window for the running size
+    * minimum, one equal-price partition minimum — a point survives iff
+    * nothing cheaper-or-equal is also smaller-or-equal with one strict.
+    * Linear, no pair space. Columns must be integral (the RANGE frame
+    * offset needs a numeric order key). Shared by q365 and the streamed
+    * q373 — dominance is a merge SEMILATTICE (the skyline of a union is
+    * the skyline of the per-part skylines), which is what makes the
+    * streamed form's per-batch partials correct under any split. */
+  def skyline2D(df: DataFrame, price: String, sz: String): DataFrame = {
+    val wCheaper = Window.orderBy(col(price))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col(price))
+    df.withColumn("_min_cheaper", min(col(sz)).over(wCheaper))
+      .withColumn("_min_eq", min(col(sz)).over(wEq))
+      .filter((col("_min_cheaper").isNull ||
+        col(sz) < col("_min_cheaper")) && col(sz) === col("_min_eq"))
+      .drop("_min_cheaper", "_min_eq")
+  }
 }

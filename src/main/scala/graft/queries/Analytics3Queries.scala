@@ -1458,18 +1458,12 @@ object Analytics3Queries {
     // smaller-or-equal with one strict. Linear, no pair space — the
     // dominance join every "best tradeoff" screen needs.
     "q365_skyline_2d" -> ((s, dir) => {
-      val p = Tables.part(s, dir)
-        .select(col("p_partkey").as("pk"),
-          cents(col("p_retailprice")).as("price"),
-          col("p_size").cast("long").as("sz"))
-      val wCheaper = Window.orderBy(col("price"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val wEq = Window.partitionBy(col("price"))
-      p.withColumn("min_cheaper", min(col("sz")).over(wCheaper))
-        .withColumn("min_eq", min(col("sz")).over(wEq))
-        .filter((col("min_cheaper").isNull ||
-          col("sz") < col("min_cheaper")) && col("sz") === col("min_eq"))
-        .select(col("pk"), col("price"), col("sz"))
+      ops.Stats.skyline2D(
+        Tables.part(s, dir)
+          .select(col("p_partkey").as("pk"),
+            cents(col("p_retailprice")).as("price"),
+            col("p_size").cast("long").as("sz")),
+        "price", "sz")
     }),
 
 
@@ -1592,6 +1586,158 @@ object Analytics3Queries {
         .groupBy(col("anc"))
         .agg(count(lit(1)).as("n_desc"), sum(col("cost")).as("subtree_cents"))
         .filter(col("n_desc") >= 2)
+    }),
+
+
+    // Kneser–Ney smoothed bigram probabilities (the LM smoothing that
+    // actually works, next to q115's raw bigram NLL): absolute discount
+    // d = 3/4 kept EXACT by the ×4 integer trick (max(4c−3, 0) div 4·c₁),
+    // the continuation probability from distinct-context counts, all in
+    // truncating ppm — the full back-off formula as pure integer
+    // arithmetic, no float smoothing anywhere. Top-30 bigrams by count.
+    "q370_kneser_ney" -> ((s, dir) => {
+      // the corpus-sized bigram explode feeds FOUR consumers (counts,
+      // left/right context stats, the type total) — checkpoint the
+      // vocab²-sized grouped result once instead of re-scanning 4×.
+      // tokens() MUST be materialized as its own column first: nested
+      // inside ngrams(), codegen re-evaluates the regexp per emitted
+      // n-gram (measured 8.1 s vs 0.6 s at sf0.1 — the q274 lesson).
+      val bi = Tables.documents(s, dir)
+        .select(text.TextOps.tokens(col("text")).as("ts"))
+        .select(explode(text.TextOps.ngrams(col("ts"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .localCheckpoint()
+      val left = bi.groupBy(col("w1"))
+        .agg(sum(col("c")).as("ctot"), count(lit(1)).as("n_after"))
+      val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_before"))
+      val types = bi.agg(count(lit(1)).as("t"))
+      bi.join(left, Seq("w1")).join(right, Seq("w2"))
+        .crossJoin(broadcast(types))
+        .withColumn("pkn_ppm",
+          expr("(greatest(4 * c - 3, 0) * 1000000) div (4 * ctot)") +
+            expr("((3 * n_after * 1000000 div (4 * ctot)) * " +
+              "(n_before * 1000000 div t)) div 1000000"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("bigram"))))
+        .filter(col("rk") <= 30)
+        .select(col("bigram"), col("c"), col("pkn_ppm"))
+    }),
+
+
+    // Offline bandit policy replay (counterfactual eval without an
+    // experiment): the greedy policy picks, each day, the order
+    // priority with the highest CUMULATIVE revenue so far (ties by
+    // name), realizes that day's actual revenue, and the regret ledger
+    // compares it to the best FIXED arm in hindsight — all exact cents,
+    // the pick an exact window argmax over yesterday's knowledge (no
+    // lookahead leak: the cumulative window ends at −1).
+    "q371_bandit_replay" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"),
+          col("o_orderpriority").as("arm"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val grid = daily.select(col("d")).distinct()
+        .withColumn("_k", zeroKeyNum(datediff(col("d"),
+          to_date(lit("1992-01-01")))))
+        .join(broadcast(daily.select(col("arm")).distinct()
+          .withColumn("_k", zeroKeyStr(col("arm")))), Seq("_k"))
+        .drop("_k")
+        .join(daily, Seq("d", "arm"), "left")
+        .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      val wArm = Window.partitionBy(col("arm")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val picked = grid
+        .withColumn("cum_prev",
+          coalesce(sum(col("rev")).over(wArm), lit(0L)))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("d"))
+          .orderBy(col("cum_prev").desc, col("arm"))))
+        .filter(col("rn") === 1)
+        .select(col("d"), col("arm").as("picked_arm"),
+          col("rev").as("realized_cents"))
+      val best = daily.groupBy(col("arm")).agg(sum(col("rev")).as("tot"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("tot").desc, col("arm"))))
+        .filter(col("rk") === 1)
+        .select(col("arm"), col("tot"))
+      val bestDaily = grid.join(broadcast(best), Seq("arm"))
+        .select(col("d"), col("rev").as("best_daily_cents"))
+      picked.join(bestDaily, Seq("d"))
+        .withColumn("cum_regret_cents",
+          sum(col("best_daily_cents") - col("realized_cents")).over(
+            Window.orderBy(col("d"))))
+    }),
+
+
+    // Raking / iterative proportional fitting, two full (row, column)
+    // iterations unrolled: the pre-1997 nation×segment count table is
+    // scaled to the post-1997 margins in exact micro-count units (every
+    // factor application is one decimal-lifted decDiv — truncating, the
+    // declared quantization; zero margins guard to zero). The survey-
+    // weighting primitive; the oracle unrolls the identical four passes.
+    "q372_raking" -> ((s, dir) => {
+      def counts(f: Column => Column): DataFrame = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(f(to_date(col("o_orderdate"))))
+        .groupBy(col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      val split = to_date(lit("1997-01-01"))
+      val pre = counts(_ < split)
+      val post = counts(_ >= split)
+      val rowT = post.groupBy(col("nk")).agg(sum(col("n")).as("rt"))
+      val colT = post.groupBy(col("seg")).agg(sum(col("n")).as("ct"))
+      val base = pre
+        .join(rowT, Seq("nk")).join(broadcast(colT), Seq("seg"))
+        .withColumn("x0", col("n") * 1000000L)
+      def rowPass(df: DataFrame, in: String, out: String): DataFrame = {
+        val sums = df.groupBy(col("nk")).agg(sum(col(in)).as("_rs"))
+        df.join(sums, Seq("nk"))
+          .withColumn(out, when(col("_rs") > 0,
+            decDiv(d38(col(in)) * col("rt") * 1000000L, d38(col("_rs")))
+              .cast("long")).otherwise(0L))
+          .drop("_rs")
+      }
+      def colPass(df: DataFrame, in: String, out: String): DataFrame = {
+        val sums = df.groupBy(col("seg")).agg(sum(col(in)).as("_cs"))
+        df.join(broadcast(sums), Seq("seg"))
+          .withColumn(out, when(col("_cs") > 0,
+            decDiv(d38(col(in)) * col("ct") * 1000000L, d38(col("_cs")))
+              .cast("long")).otherwise(0L))
+          .drop("_cs")
+      }
+      val done = colPass(rowPass(colPass(rowPass(
+        base, "x0", "x1"), "x1", "x2"), "x2", "x3"), "x3", "x4")
+      done.select(col("nk"), col("seg"), col("n").as("n_pre"),
+        col("x4").as("x_micro"))
+    }),
+
+
+    // Leave-one-out peer z-score per nation: each nation's revenue
+    // against the mean/variance of the OTHER nations, both folded from
+    // the global exact sufficient statistics (S−x, Q−x² — no second
+    // scan, no self-bias), the z one fixed-text double formula. The
+    // peer-anomaly screen behind "which region is actually off".
+    "q374_peer_loo_zscore" -> ((s, dir) => {
+      val v = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nk"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val tot = v.agg(count(lit(1)).as("k"), sum(col("x")).as("s"),
+        sum(d38(col("x")) * col("x")).as("q"))
+      v.crossJoin(broadcast(tot))
+        .withColumn("kd", (col("k") - 1).cast("double"))
+        .withColumn("mean_others", toD(col("s") - col("x")) / col("kd"))
+        .withColumn("var_others",
+          toD((d38(col("k")) - 1) * (col("q") - d38(col("x")) * col("x")) -
+            d38(col("s") - col("x")) * (col("s") - col("x"))) /
+            (col("kd") * (col("kd") - 1.0)))
+        .withColumn("z_loo",
+          when(col("var_others") > 0,
+            (col("x").cast("double") - col("mean_others")) /
+              sqrt(col("var_others"))))
+        .select(col("nk"), col("x"), col("mean_others"), col("z_loo"))
     }),
   )
 
@@ -2915,5 +3061,144 @@ object Analytics3Queries {
         |SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
         |  CAST(sum(cost) AS BIGINT) AS subtree_cents
         |FROM e GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q370_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c,
+        |    split_part(bigram, ' ', 1) AS w1,
+        |    split_part(bigram, ' ', 2) AS w2
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+        |                 i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        |        FROM t)
+        |  GROUP BY 1),
+        |lft AS (
+        |  SELECT w1, CAST(sum(c) AS BIGINT) AS ctot,
+        |    CAST(count(*) AS BIGINT) AS n_after
+        |  FROM bi GROUP BY 1),
+        |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_before
+        |        FROM bi GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bi),
+        |sc AS (
+        |  SELECT bi.bigram, bi.c,
+        |    (greatest(4 * bi.c - 3, 0) * 1000000) // (4 * lft.ctot)
+        |    + ((3 * lft.n_after * 1000000 // (4 * lft.ctot))
+        |       * (rgt.n_before * 1000000 // ty.t)) // 1000000 AS pkn_ppm
+        |  FROM bi JOIN lft ON bi.w1 = lft.w1
+        |  JOIN rgt ON bi.w2 = rgt.w2
+        |  CROSS JOIN ty)
+        |SELECT bigram, c, CAST(pkn_ppm AS BIGINT) AS pkn_ppm
+        |FROM (SELECT *, row_number() OVER (ORDER BY c DESC, bigram) AS rk
+        |      FROM sc)
+        |WHERE rk <= 30""".stripMargin,
+
+    "q371_bandit_replay" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS arm,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dd.d, a.arm, COALESCE(daily.rev, 0) AS rev
+        |  FROM (SELECT DISTINCT d FROM daily) dd
+        |  CROSS JOIN (SELECT DISTINCT arm FROM daily) a
+        |  LEFT JOIN daily ON daily.d = dd.d AND daily.arm = a.arm),
+        |cum AS (
+        |  SELECT d, arm, rev,
+        |    COALESCE(sum(rev) OVER (PARTITION BY arm ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM grid),
+        |picked AS (
+        |  SELECT d, arm AS picked_arm, rev AS realized_cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY d
+        |      ORDER BY cum_prev DESC, arm) AS rn FROM cum)
+        |  WHERE rn = 1),
+        |best AS (
+        |  SELECT arm FROM (
+        |    SELECT arm, row_number() OVER (ORDER BY sum(rev) DESC, arm)
+        |      AS rk
+        |    FROM daily GROUP BY arm)
+        |  WHERE rk = 1),
+        |bd AS (
+        |  SELECT g.d, g.rev AS best_daily_cents
+        |  FROM grid g JOIN best b ON g.arm = b.arm)
+        |SELECT p.d, p.picked_arm, p.realized_cents, bd.best_daily_cents,
+        |  CAST(sum(bd.best_daily_cents - p.realized_cents)
+        |    OVER (ORDER BY p.d) AS BIGINT) AS cum_regret_cents
+        |FROM picked p JOIN bd ON p.d = bd.d""".stripMargin,
+
+    "q372_raking" -> {
+      def rowPass(in: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT g.*, CASE WHEN s._rs > 0
+           |    THEN CAST((CAST(g.${in}v AS HUGEINT) * g.rt * 1000000)
+           |      // s._rs AS BIGINT)
+           |    ELSE 0 END AS ${out}v
+           |  FROM $in g JOIN (SELECT nk, CAST(sum(${in}v) AS HUGEINT)
+           |    AS _rs FROM $in GROUP BY 1) s ON g.nk = s.nk)""".stripMargin
+      def colPass(in: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT g.*, CASE WHEN s._cs > 0
+           |    THEN CAST((CAST(g.${in}v AS HUGEINT) * g.ct * 1000000)
+           |      // s._cs AS BIGINT)
+           |    ELSE 0 END AS ${out}v
+           |  FROM $in g JOIN (SELECT seg, CAST(sum(${in}v) AS HUGEINT)
+           |    AS _cs FROM $in GROUP BY 1) s ON g.seg = s.seg)""".stripMargin
+      """WITH pre AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |  GROUP BY 1, 2),
+        |post AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT nk, CAST(sum(n) AS BIGINT) AS rt FROM post
+        |       GROUP BY 1),
+        |ct AS (SELECT seg, CAST(sum(n) AS BIGINT) AS ct FROM post
+        |       GROUP BY 1),
+        |x0 AS MATERIALIZED (
+        |  SELECT p.nk, p.seg, p.n, rt.rt, ct.ct,
+        |    p.n * 1000000 AS x0v
+        |  FROM pre p JOIN rt ON p.nk = rt.nk JOIN ct ON p.seg = ct.seg),
+        |""".stripMargin +
+        Seq(rowPass("x0", "x1"), colPass("x1", "x2"),
+          rowPass("x2", "x3"), colPass("x3", "x4")).mkString(",\n") +
+        """
+          |SELECT nk, seg, n AS n_pre, x4v AS x_micro FROM x4""".stripMargin
+    },
+
+    "q374_peer_loo_zscore" ->
+      """WITH v AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS s,
+        |    sum(CAST(x AS HUGEINT) * x) AS q
+        |  FROM v),
+        |e AS (
+        |  SELECT nk, x, CAST(k - 1 AS DOUBLE) AS kd,
+        |    CAST(CAST(s - x AS VARCHAR) AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+        |      AS mean_others,
+        |    CAST(CAST((CAST(k AS HUGEINT) - 1)
+        |        * (q - CAST(x AS HUGEINT) * x)
+        |      - CAST(s - x AS HUGEINT) * (s - x) AS VARCHAR) AS DOUBLE)
+        |      / (CAST(k - 1 AS DOUBLE) * (CAST(k - 1 AS DOUBLE) - 1.0))
+        |      AS var_others
+        |  FROM v CROSS JOIN tot)
+        |SELECT nk, x, mean_others,
+        |  CASE WHEN var_others > 0
+        |       THEN (CAST(x AS DOUBLE) - mean_others) / sqrt(var_others)
+        |  END AS z_loo
+        |FROM e""".stripMargin,
   )
 }

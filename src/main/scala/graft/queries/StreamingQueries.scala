@@ -647,6 +647,21 @@ object StreamingQueries {
       streaming.Streams.maximaStream(s, s"$root/events", ev.schema,
         s"$root/partials", s"$root/ckpt")
     }),
+
+
+    // q365's Pareto skyline maintained as a stream: per-batch LOCAL
+    // skylines appended batchId-idempotently (dominance is a merge
+    // semilattice — skyline(A∪B) = skyline(skyline(A)∪skyline(B))),
+    // readout re-applies the same operator over the merged partials —
+    // hash-equals the one-shot batch skyline under any batch split
+    "q373_skyline_stream" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val root = predsPath(s"q373_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(p.repartition(6), s"$root/parts")
+      streaming.Streams.skylineStream(s, s"$root/parts", p.schema,
+        s"$root/partials", s"$root/ckpt")
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
@@ -1085,5 +1100,24 @@ object StreamingQueries {
         |  CAST(CASE WHEN prev_mx IS NULL OR mx > prev_mx THEN 1 ELSE 0 END
         |    AS BIGINT) AS is_record
         |FROM w""".stripMargin,
+
+    // the one-shot batch skyline (q365's SQL) — the streamed partials
+    // must merge to exactly this
+    "q373_skyline_stream" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS pk,
+        |    CAST(CAST(p_retailprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |      AS price,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part),
+        |w AS (
+        |  SELECT pk, price, sz,
+        |    min(sz) OVER (ORDER BY price RANGE BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS min_cheaper,
+        |    min(sz) OVER (PARTITION BY price) AS min_eq
+        |  FROM p)
+        |SELECT pk, price, sz FROM w
+        |WHERE (min_cheaper IS NULL OR sz < min_cheaper) AND sz = min_eq"""
+        .stripMargin,
   )
 }

@@ -1329,4 +1329,43 @@ object Streams {
       .select(col("wk"), col("mx"),
         coalesce(col("prev_mx"), lit(0L)).as("prev_mx"), col("is_record"))
   }
+
+  /** Streaming skyline maintenance — dominance is a merge SEMILATTICE
+    * (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))), the FOURTH
+    * mergeable-partials family after counts ([[miCellsStream]]), sums
+    * ([[ewmaGateStream]]) and maxima ([[maximaStream]]): each
+    * micro-batch appends only its LOCAL Pareto skyline (idempotent
+    * under `batch_id=<id>`), and the readout re-runs the SAME skyline
+    * operator ([[graft.ops.Stats.skyline2D]]) over the merged partials —
+    * provably equal to the one-shot batch skyline under any split,
+    * because every globally dominated point is dominated by some point
+    * that survives its own batch. Partials are skyline-sized (tiny),
+    * state is zero. */
+  def skylineStream(
+      spark: org.apache.spark.sql.SparkSession,
+      partsDir: String,
+      partsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    def shape(df: DataFrame): DataFrame = df
+      .select(col("p_partkey").as("pk"),
+        (col("p_retailprice").cast("decimal(30,2)") * 100)
+          .cast("long").as("price"),
+        col("p_size").cast("long").as("sz"))
+    drainPartials(spark, partsDir, partsSchema, partialsDir,
+      checkpointDir, maxFilesPerTrigger, "skyline") { df =>
+      graft.ops.Stats.skyline2D(shape(df), "price", "sz")
+    }
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pk",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sz",
+        org.apache.spark.sql.types.LongType)))
+    graft.ops.Stats.skyline2D(
+      readPartials(spark, partialsDir, partialsSchema)
+        .select(col("pk"), col("price"), col("sz")), "price", "sz")
+  }
 }

@@ -699,6 +699,74 @@ class Analytics3Spec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("subtree_cents") == desc.map(_._2).sum)
   }
 
+  test("LAW kneser-ney: smoothed probabilities sit strictly inside the " +
+      "ppm grid") {
+    val rows = run("q370_kneser_ney")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("pkn_ppm")
+      assert(p > 0L && p <= 1000000L)
+    }
+  }
+
+  test("LAW bandit replay: one pick per day and the regret ledger " +
+      "telescopes exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q371_bandit_replay")
+      .sortBy(_.getAs[java.sql.Date]("d").getTime)
+    val nDays = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(rows.length.toLong == nDays)
+    var acc = 0L
+    rows.foreach { r =>
+      acc += r.getAs[Long]("best_daily_cents") -
+        r.getAs[Long]("realized_cents")
+      assert(r.getAs[Long]("cum_regret_cents") == acc)
+    }
+  }
+
+  test("LAW raking: after the final column pass, every segment margin " +
+      "matches its target within one truncation quantum per cell") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q372_raking")
+    assert(rows.nonEmpty)
+    val ct = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(to_date(col("o_orderdate")) >= to_date(lit("1997-01-01")))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("seg")).foreach { case (seg, rs) =>
+      val got = rs.map(_.getAs[Long]("x_micro")).sum
+      val want = ct(seg) * 1000000L
+      assert(math.abs(got - want) <= rs.length.toLong,
+        s"$seg margin off by ${got - want} for ${rs.length} cells")
+    }
+  }
+
+  test("LAW skyline stream: the streamed merge equals the one-shot " +
+      "batch skyline exactly") {
+    val streamed = graft.queries.StreamingQueries
+      .queries("q373_skyline_stream")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("pk"), r.getAs[Long]("price"),
+        r.getAs[Long]("sz"))).toSet
+    val batch = run("q365_skyline_2d")
+      .map(r => (r.getAs[Long]("pk"), r.getAs[Long]("price"),
+        r.getAs[Long]("sz"))).toSet
+    assert(streamed == batch)
+  }
+
+  test("LAW peer LOO z-score: mean of others reconciles with the " +
+      "global sum") {
+    val rows = run("q374_peer_loo_zscore")
+    val k = rows.length
+    val s = rows.map(_.getAs[Long]("x")).sum
+    rows.foreach { r =>
+      val expect = (s - r.getAs[Long]("x")).toDouble / (k - 1)
+      assert(math.abs(r.getAs[Double]("mean_others") - expect) <=
+        math.ulp(expect) * 4)
+    }
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
