@@ -1739,6 +1739,177 @@ object Analytics3Queries {
               sqrt(col("var_others"))))
         .select(col("nk"), col("x"), col("mean_others"), col("z_loo"))
     }),
+
+
+    // Allen interval-algebra classification of consecutive order
+    // intervals per customer (order date → last ship date): under the
+    // (start, end, key) total order only seven of Allen's thirteen
+    // relations can appear — precedes / meets / overlaps / starts /
+    // equals / finished_by / contains — each an exact boundary
+    // comparison. The formal temporal-reasoning layer over the
+    // overlap-join family (q85 finds overlaps; this NAMES the
+    // relation). One lag per customer, no pair space.
+    "q375_allen_relations" -> ((s, dir) => {
+      val iv = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("st"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("o_orderkey"), col("st"))
+        .agg(greatest(max(col("sd")), max(col("st"))).as("en"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("st"), col("en"), col("o_orderkey"))
+      iv.withColumn("st2", lead(col("st"), 1).over(w))
+        .withColumn("en2", lead(col("en"), 1).over(w))
+        .filter(col("st2").isNotNull)
+        .withColumn("relation",
+          when(col("en") < col("st2"), "precedes")
+            .when(col("en") === col("st2"), "meets")
+            .when(col("st") === col("st2") && col("en") === col("en2"),
+              "equals")
+            .when(col("st") === col("st2") && col("en") < col("en2"),
+              "starts")
+            .when(col("st") < col("st2") && col("en") === col("en2"),
+              "finished_by")
+            .when(col("st") < col("st2") && col("en") > col("en2"),
+              "contains")
+            .otherwise("overlaps"))
+        .groupBy(col("relation")).agg(count(lit(1)).as("n"))
+    }),
+
+
+    // SAX (symbolic aggregate approximation) of the daily revenue
+    // series: 8-day PAA blocks carried as exact block SUMS, global
+    // quartile breakpoints (the q314 percentile idiom — interpolated
+    // halves of integers compare exactly), symbols a–d, then 4-block
+    // WORDS and their frequencies — the series-motif vocabulary behind
+    // similarity search over time series, fully hash-checkable.
+    "q376_sax" -> ((s, dir) => {
+      val blocks = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("c"))
+        .withColumn("rn0",
+          row_number().over(Window.orderBy(col("d"))).cast("long") - 1L)
+        .withColumn("blk", expr("rn0 div 8"))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("blk"))))
+        .filter(col("nb") === 8)
+        .groupBy(col("blk")).agg(sum(col("c")).as("bs"))
+      val qs = blocks.agg(
+        percentile(col("bs"), lit(0.25)).as("q1"),
+        percentile(col("bs"), lit(0.5)).as("q2"),
+        percentile(col("bs"), lit(0.75)).as("q3"))
+      val sym = blocks.crossJoin(broadcast(qs))
+        .withColumn("sym",
+          when(col("bs").cast("double") <= col("q1"), "a")
+            .when(col("bs").cast("double") <= col("q2"), "b")
+            .when(col("bs").cast("double") <= col("q3"), "c")
+            .otherwise("d"))
+        .withColumn("wblk", expr("blk div 4"))
+        .withColumn("pos", expr("blk % 4"))
+        .withColumn("nw", count(lit(1)).over(
+          Window.partitionBy(col("wblk"))))
+        .filter(col("nw") === 4)
+      sym.groupBy(col("wblk"))
+        .agg(concat_ws("", array_sort(collect_list(
+          struct(col("pos"), col("sym")))).getField("sym")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    }),
+
+
+    // Hill estimator of the revenue tail index over the top-100 parts:
+    // per-item ln(x) floor-quantized to µnats (the q274 rule), the tail
+    // sum an order-free integer, α one final division — the power-law
+    // heaviness read q301's Zipf slope approximates from ranks, here
+    // from the MLE form.
+    "q377_hill_tail" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("x"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("x").desc, col("l_partkey"))).cast("long"))
+        .filter(col("rk") <= 100)
+        .withColumn("ln_micro",
+          floor(lit(1e6) * log(col("x").cast("double"))).cast("long"))
+      val xmin = rev.filter(col("rk") === 100)
+        .select(col("x").as("xmin"), col("ln_micro").as("ln_min"))
+      rev.filter(col("rk") < 100)
+        .crossJoin(broadcast(
+          xmin.agg(max(col("xmin")).as("xmin"), max(col("ln_min")).as("ln_min"))))
+        .agg(count(lit(1)).as("k_tail"), max(col("xmin")).as("xmin"),
+          sum(col("ln_micro") - col("ln_min")).as("sum_ln_micro"))
+        .withColumn("alpha",
+          when(col("sum_ln_micro") > 0,
+            col("k_tail").cast("double") * 1e6 /
+              col("sum_ln_micro").cast("double")))
+    }),
+
+
+    // Fold-based periodicity detection (the periodogram without an
+    // FFT): candidate periods 2–14 ride as one explode, each scoring
+    // the day-count series by the exact between-fold share of total
+    // variance (the q325 quantized-term machinery, score in ppm), the
+    // winner an exact argmax. Finds the weekly cycle from counts alone.
+    "q378_period_detect" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("t"))
+        .agg(count(lit(1)).as("n"))
+      val folded = daily
+        .withColumn("p", explode(sequence(lit(2L), lit(14L))))
+        .withColumn("fold", pmod(col("t"), col("p")))
+      val g = folded.groupBy(col("p"), col("fold"))
+        .agg(count(lit(1)).as("n_g"), sum(col("n")).as("s_g"))
+        .withColumn("term",
+          decDiv(d38(col("s_g")) * col("s_g"), d38(col("n_g"))))
+      val tot = daily.agg(count(lit(1)).as("nn"), sum(col("n")).as("s"),
+        sum(d38(col("n")) * col("n")).as("q"))
+      g.groupBy(col("p"))
+        .agg(sum(col("term")).as("t_all"))
+        .crossJoin(broadcast(tot))
+        .withColumn("ssb",
+          greatest(col("t_all") - decDiv(d38(col("s")) * col("s"),
+            d38(col("nn"))), lit(0L).cast("decimal(38,0)")))
+        .withColumn("sst", col("q") - decDiv(d38(col("s")) * col("s"),
+          d38(col("nn"))))
+        .withColumn("score_ppm",
+          decDiv(col("ssb") * 1000000L, col("sst")).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("p"))).cast("long"))
+        .select(col("p"), col("score_ppm"), col("rk"))
+    }),
+
+
+    // Bitemporal as-of lookup (valid time × transaction time): each
+    // order carries a v1 row effective/known at its order date, and
+    // every third key a v2 correction effective 30 days later but only
+    // KNOWN 60 days later — the query answers "as of valid time V, as
+    // the system knew it at transaction time T" by filtering both
+    // dimensions and taking the (tx, valid)-max version per key. The
+    // audit-grade time-travel read SCD2 (one time axis) cannot express.
+    "q379_bitemporal_lookup" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("od"),
+          cents(col("o_totalprice")).as("price"))
+      val v1 = base.select(col("k"), col("od").as("valid_from"),
+        col("od").as("tx_from"), col("price"), lit(1L).as("ver"))
+      val v2 = base.filter(col("k") % 3 === 0)
+        .select(col("k"), date_add(col("od"), 30).as("valid_from"),
+          date_add(col("od"), 60).as("tx_from"),
+          (col("price") + 500L).as("price"), lit(2L).as("ver"))
+      val vv = to_date(lit("1997-06-01"))
+      val tt = to_date(lit("1997-09-01"))
+      v1.unionByName(v2)
+        .filter(col("valid_from") <= vv && col("tx_from") <= tt)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("k"))
+            .orderBy(col("tx_from").desc, col("valid_from").desc,
+              col("ver").desc)))
+        .filter(col("rk") === 1)
+        .select(col("k"), col("ver"), col("price"),
+          col("valid_from"), col("tx_from"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
@@ -3200,5 +3371,147 @@ object Analytics3Queries {
         |       THEN (CAST(x AS DOUBLE) - mean_others) / sqrt(var_others)
         |  END AS z_loo
         |FROM e""".stripMargin,
+
+    "q375_allen_relations" ->
+      """WITH iv AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS st,
+        |    greatest(max(CAST(l_shipdate AS DATE)),
+        |      CAST(o_orderdate AS DATE)) AS en
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT st, en,
+        |    lead(st) OVER w AS st2, lead(en) OVER w AS en2
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY st, en, o_orderkey)),
+        |c AS (
+        |  SELECT CASE
+        |    WHEN en < st2 THEN 'precedes'
+        |    WHEN en = st2 THEN 'meets'
+        |    WHEN st = st2 AND en = en2 THEN 'equals'
+        |    WHEN st = st2 AND en < en2 THEN 'starts'
+        |    WHEN st < st2 AND en = en2 THEN 'finished_by'
+        |    WHEN st < st2 AND en > en2 THEN 'contains'
+        |    ELSE 'overlaps' END AS relation
+        |  FROM p WHERE st2 IS NOT NULL)
+        |SELECT relation, CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q376_sax" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |r0 AS (
+        |  SELECT c,
+        |    (CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1) // 8
+        |      AS blk
+        |  FROM daily),
+        |b AS (
+        |  SELECT blk, c, count(*) OVER (PARTITION BY blk) AS nb
+        |  FROM r0),
+        |blocks AS (
+        |  SELECT blk, CAST(sum(c) AS BIGINT) AS bs
+        |  FROM (SELECT * FROM b WHERE nb = 8) GROUP BY 1),
+        |qs AS (
+        |  SELECT quantile_cont(bs, 0.25) AS q1, quantile_cont(bs, 0.5) AS q2,
+        |    quantile_cont(bs, 0.75) AS q3
+        |  FROM blocks),
+        |sym AS (
+        |  SELECT blk, blk // 4 AS wblk, blk % 4 AS pos,
+        |    CASE WHEN CAST(bs AS DOUBLE) <= q1 THEN 'a'
+        |         WHEN CAST(bs AS DOUBLE) <= q2 THEN 'b'
+        |         WHEN CAST(bs AS DOUBLE) <= q3 THEN 'c'
+        |         ELSE 'd' END AS sym
+        |  FROM blocks CROSS JOIN qs),
+        |words AS (
+        |  SELECT wblk, string_agg(sym, '' ORDER BY pos) AS word
+        |  FROM (SELECT *, count(*) OVER (PARTITION BY wblk) AS nw FROM sym)
+        |  WHERE nw = 4 GROUP BY 1)
+        |SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM words GROUP BY 1""".stripMargin,
+
+    "q377_hill_tail" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x DESC, l_partkey)
+        |      AS BIGINT) AS rk,
+        |    CAST(floor(1e6 * ln(CAST(x AS DOUBLE))) AS BIGINT) AS ln_micro
+        |  FROM rev),
+        |mn AS (
+        |  SELECT max(x) AS xmin, max(ln_micro) AS ln_min
+        |  FROM r WHERE rk = 100),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_tail,
+        |    CAST(max(mn.xmin) AS BIGINT) AS xmin,
+        |    CAST(sum(r.ln_micro - mn.ln_min) AS BIGINT) AS sum_ln_micro
+        |  FROM r CROSS JOIN mn WHERE r.rk < 100)
+        |SELECT k_tail, xmin, sum_ln_micro,
+        |  CASE WHEN sum_ln_micro > 0
+        |       THEN CAST(k_tail AS DOUBLE) * 1e6
+        |            / CAST(sum_ln_micro AS DOUBLE) END AS alpha
+        |FROM a""".stripMargin,
+
+    "q378_period_detect" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |folded AS (
+        |  SELECT p.p, daily.t % p.p AS fold, daily.n
+        |  FROM daily
+        |  CROSS JOIN (SELECT unnest(generate_series(2, 14)) AS p) p),
+        |g AS (
+        |  SELECT p, fold, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(n) AS BIGINT) AS s_g
+        |  FROM folded GROUP BY 1, 2),
+        |gt AS (SELECT p, (CAST(s_g AS HUGEINT) * s_g) // n_g AS term
+        |       FROM g),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n) AS BIGINT) AS s,
+        |    sum(CAST(n AS HUGEINT) * n) AS q
+        |  FROM daily),
+        |sc AS (
+        |  SELECT gt.p,
+        |    greatest(sum(gt.term)
+        |      - (CAST(tot.s AS HUGEINT) * tot.s) // tot.nn, 0) AS ssb,
+        |    tot.q - (CAST(tot.s AS HUGEINT) * tot.s) // tot.nn AS sst
+        |  FROM gt CROSS JOIN tot
+        |  GROUP BY gt.p, tot.s, tot.nn, tot.q)
+        |SELECT CAST(p AS BIGINT) AS p,
+        |  CAST((ssb * 1000000) // sst AS BIGINT) AS score_ppm,
+        |  CAST(row_number() OVER (ORDER BY (ssb * 1000000) // sst DESC, p)
+        |    AS BIGINT) AS rk
+        |FROM sc""".stripMargin,
+
+    "q379_bitemporal_lookup" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od,
+        |    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |      AS price
+        |  FROM orders),
+        |vers AS (
+        |  SELECT k, od AS valid_from, od AS tx_from, price,
+        |    CAST(1 AS BIGINT) AS ver
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k, od + 30, od + 60, price + 500, CAST(2 AS BIGINT)
+        |  FROM base WHERE k % 3 = 0),
+        |f AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY tx_from DESC, valid_from DESC, ver DESC) AS rk
+        |  FROM vers
+        |  WHERE valid_from <= DATE '1997-06-01'
+        |    AND tx_from <= DATE '1997-09-01')
+        |SELECT k, ver, price, valid_from, tx_from
+        |FROM f WHERE rk = 1""".stripMargin,
   )
 }

@@ -767,6 +767,75 @@ class Analytics3Spec extends AnyFunSuite {
     }
   }
 
+  test("LAW allen: only the seven start-ordered relations appear and " +
+      "pairs count (orders - 1) per customer") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q375_allen_relations")
+    val allowed = Set("precedes", "meets", "overlaps", "starts", "equals",
+      "finished_by", "contains")
+    rows.foreach(r => assert(allowed.contains(r.getAs[String]("relation"))))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val expect = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey")).distinct()
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1)).collect().head.getLong(0)
+    assert(total == expect)
+  }
+
+  test("LAW sax: words are length-4 strings over the a-d alphabet") {
+    val rows = run("q376_sax")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      assert(w.length == 4 && w.forall("abcd".contains(_)))
+      assert(r.getAs[Long]("n") >= 1L)
+    }
+  }
+
+  test("LAW hill: 99 tail items above xmin, positive alpha") {
+    val row = run("q377_hill_tail").head
+    assert(row.getAs[Long]("k_tail") == 99L)
+    assert(row.getAs[Long]("sum_ln_micro") >= 0L)
+    if (!row.isNullAt(row.fieldIndex("alpha")))
+      assert(row.getAs[Double]("alpha") > 0.0)
+  }
+
+  test("LAW period detect: thirteen candidates, ranks a permutation, " +
+      "scores on the ppm grid") {
+    val rows = run("q378_period_detect")
+    assert(rows.length == 13)
+    assert(rows.map(_.getAs[Long]("p")).sorted.toSeq == (2L to 14L))
+    assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 13L))
+    rows.foreach { r =>
+      val s = r.getAs[Long]("score_ppm")
+      assert(s >= 0L && s <= 1000000L)
+    }
+  }
+
+  test("LAW bitemporal: both time gates hold, v2 only on mod-3 keys " +
+      "with the +500 correction") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q379_bitemporal_lookup")
+    assert(rows.nonEmpty)
+    val vv = java.sql.Date.valueOf("1997-06-01")
+    val tt = java.sql.Date.valueOf("1997-09-01")
+    val basePrice = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(30,2)") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Date]("valid_from").after(vv))
+      assert(!r.getAs[java.sql.Date]("tx_from").after(tt))
+      val k = r.getAs[Long]("k")
+      if (r.getAs[Long]("ver") == 2L) {
+        assert(k % 3 == 0)
+        assert(r.getAs[Long]("price") == basePrice(k) + 500L)
+      } else assert(r.getAs[Long]("price") == basePrice(k))
+    }
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
