@@ -1910,6 +1910,106 @@ object Analytics3Queries {
         .select(col("k"), col("ver"), col("price"),
           col("valid_from"), col("tx_from"))
     }),
+
+
+    // Split-conformal prediction intervals with EXACT order statistics:
+    // custkey%3 thirds (train/calibrate/test), the model is the
+    // train-side segment mean (quantized by div — declared), q̂ is the
+    // ⌈0.9(n+1)⌉-th smallest calibration residual picked by exact rank
+    // (never an interpolated percentile — conformal validity needs the
+    // order statistic), and the test row reports the realized coverage
+    // in ppm. The distribution-free uncertainty wrapper, hash-checkable
+    // end to end.
+    "q380_conformal" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+        .join(rev, col("ck") === col("o_custkey"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+        .withColumn("fold", col("ck") % 3)
+      val model = base.filter(col("fold") === 0)
+        .groupBy(col("seg"))
+        .agg(expr("sum(y) div count(1)").as("yhat"))
+      val cal = base.filter(col("fold") === 1)
+        .join(broadcast(model), Seq("seg"))
+        .withColumn("resid", abs(col("y") - col("yhat")))
+      val qhat = cal
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("resid"), col("ck"))).cast("long"))
+        .withColumn("n_cal", count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("target", expr("(9 * (n_cal + 1) + 9) div 10"))
+        .agg(max(col("n_cal")).as("n_cal"),
+          max(when(col("rn") === col("target"), col("resid"))).as("q_hat"))
+      val test = base.filter(col("fold") === 2)
+        .join(broadcast(model), Seq("seg"))
+        .withColumn("resid", abs(col("y") - col("yhat")))
+      test.crossJoin(broadcast(qhat))
+        .agg(max(col("n_cal")).as("n_cal"), max(col("q_hat")).as("q_hat"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("resid") <= col("q_hat"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage_ppm", expr("n_covered * 1000000 div n_test"))
+    }),
+
+
+    // Inverse-propensity-score off-policy evaluation: the logged
+    // "policy" is the event-type mix as recorded, empirical
+    // propensities p̂(a) = n_a/n, and the TARGET policy deterministically
+    // assigns each user the arm at rank (user_id mod k) — the IPS value
+    // Σ r·1[a=π(u)]/p̂(a) folds to exact integer micro-units
+    // (r·1e6·n div (n·n_a) per matching event, quantized by div), with
+    // the self-normalizing denominator reported alongside. How you
+    // grade a new policy from logs WITHOUT an experiment.
+    "q381_ips_eval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("arm"),
+          cents(col("value")).as("r"))
+      val arms = ev.groupBy(col("arm")).agg(count(lit(1)).as("n_a"))
+        .withColumn("arm_idx", row_number().over(
+          Window.orderBy(col("arm"))).cast("long") - 1L)
+      val k = arms.agg(count(lit(1)).as("k"))
+      val matched = ev
+        .join(broadcast(arms), Seq("arm"))
+        .crossJoin(broadcast(k))
+        .withColumn("is_match",
+          when(pmod(col("user_id"), col("k")) === col("arm_idx"), 1L)
+            .otherwise(0L))
+      matched.agg(count(lit(1)).as("n"),
+          sum(col("is_match")).as("n_match"),
+          sum(when(col("is_match") === 1,
+            expr("r * 1000000 div n_a")).otherwise(0L)).as("ips_num_micro"),
+          sum(when(col("is_match") === 1,
+            expr("1000000000 div n_a")).otherwise(0L)).as("snips_den_nano"))
+        .withColumn("ips_value_micro", expr("ips_num_micro div n"))
+        .select(col("n"), col("n_match"), col("ips_num_micro"),
+          col("snips_den_nano"), col("ips_value_micro"))
+    }),
+
+
+    // Pinball (quantile) loss at τ = 0.9 for the q285 seasonal-naive
+    // forecast: per month the asymmetric loss 9(y−ŷ) or (ŷ−y) in exact
+    // deci-scale (τ = 9/10 cleared by ×10), plus the running total —
+    // the metric that grades QUANTILE forecasts where MAPE grades point
+    // forecasts.
+    "q382_pinball_loss" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("actual_cents"))
+        .withColumn("pred_cents",
+          lag(col("actual_cents"), 12).over(Window.orderBy(col("month"))))
+        .filter(col("pred_cents").isNotNull)
+        .withColumn("pinball_x10",
+          greatest(lit(9L) * (col("actual_cents") - col("pred_cents")),
+            col("pred_cents") - col("actual_cents")))
+        .withColumn("cum_pinball_x10",
+          sum(col("pinball_x10")).over(Window.orderBy(col("month"))))
+        .select(col("month"), col("actual_cents"), col("pred_cents"),
+          col("pinball_x10"), col("cum_pinball_x10"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
@@ -3513,5 +3613,92 @@ object Analytics3Queries {
         |    AND tx_from <= DATE '1997-09-01')
         |SELECT k, ver, price, valid_from, tx_from
         |FROM f WHERE rk = 1""".stripMargin,
+
+    "q380_conformal" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_custkey AS ck, c_mktsegment AS seg,
+        |    COALESCE(y, 0) AS y, c_custkey % 3 AS fold
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+        |model AS (
+        |  SELECT seg, CAST(sum(y) // count(*) AS BIGINT) AS yhat
+        |  FROM base WHERE fold = 0 GROUP BY 1),
+        |cal AS (
+        |  SELECT b.ck, abs(b.y - m.yhat) AS resid
+        |  FROM base b JOIN model m ON b.seg = m.seg WHERE b.fold = 1),
+        |calr AS (
+        |  SELECT resid,
+        |    CAST(row_number() OVER (ORDER BY resid, ck) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_cal
+        |  FROM cal),
+        |qh AS (
+        |  SELECT max(n_cal) AS n_cal,
+        |    max(CASE WHEN rn = (9 * (n_cal + 1) + 9) // 10
+        |        THEN resid END) AS q_hat
+        |  FROM calr),
+        |test AS (
+        |  SELECT abs(b.y - m.yhat) AS resid
+        |  FROM base b JOIN model m ON b.seg = m.seg WHERE b.fold = 2),
+        |agg AS (
+        |  SELECT max(qh.n_cal) AS n_cal, max(qh.q_hat) AS q_hat,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN t.resid <= qh.q_hat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered
+        |  FROM test t CROSS JOIN qh)
+        |SELECT n_cal, q_hat, n_test, n_covered,
+        |  CAST(n_covered * 1000000 // n_test AS BIGINT) AS coverage_ppm
+        |FROM agg""".stripMargin,
+
+    "q381_ips_eval" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS arm,
+        |    CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS r
+        |  FROM events),
+        |arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(row_number() OVER (ORDER BY arm) AS BIGINT) - 1 AS arm_idx
+        |  FROM ev GROUP BY arm),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM arms),
+        |m AS (
+        |  SELECT ev.r, arms.n_a,
+        |    CASE WHEN ev.user_id % kk.k = arms.arm_idx THEN 1 ELSE 0 END
+        |      AS is_match
+        |  FROM ev JOIN arms ON ev.arm = arms.arm CROSS JOIN kk),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(is_match) AS BIGINT) AS n_match,
+        |    CAST(sum(CASE WHEN is_match = 1
+        |      THEN r * 1000000 // n_a ELSE 0 END) AS BIGINT)
+        |      AS ips_num_micro,
+        |    CAST(sum(CASE WHEN is_match = 1
+        |      THEN 1000000000 // n_a ELSE 0 END) AS BIGINT)
+        |      AS snips_den_nano
+        |  FROM m)
+        |SELECT n, n_match, ips_num_micro, snips_den_nano,
+        |  CAST(ips_num_micro // n AS BIGINT) AS ips_value_micro
+        |FROM a""".stripMargin,
+
+    "q382_pinball_loss" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS actual_cents
+        |  FROM orders GROUP BY 1),
+        |f AS (
+        |  SELECT month, actual_cents,
+        |    lag(actual_cents, 12) OVER (ORDER BY month) AS pred_cents
+        |  FROM monthly),
+        |l AS (
+        |  SELECT *, greatest(9 * (actual_cents - pred_cents),
+        |    pred_cents - actual_cents) AS pinball_x10
+        |  FROM f WHERE pred_cents IS NOT NULL)
+        |SELECT month, actual_cents, pred_cents, pinball_x10,
+        |  CAST(sum(pinball_x10) OVER (ORDER BY month) AS BIGINT)
+        |    AS cum_pinball_x10
+        |FROM l""".stripMargin,
   )
 }

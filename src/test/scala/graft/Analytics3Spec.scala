@@ -836,6 +836,37 @@ class Analytics3Spec extends AnyFunSuite {
     }
   }
 
+  test("LAW conformal: realized coverage clears the 90% target within " +
+      "finite-sample slack") {
+    val row = run("q380_conformal").head
+    assert(row.getAs[Long]("q_hat") >= 0L)
+    assert(row.getAs[Long]("n_covered") <= row.getAs[Long]("n_test"))
+    assert(row.getAs[Long]("coverage_ppm") >= 850000L)
+  }
+
+  test("LAW ips: match counts and value stay on their grids") {
+    val row = run("q381_ips_eval").head
+    assert(row.getAs[Long]("n_match") <= row.getAs[Long]("n"))
+    assert(row.getAs[Long]("n_match") > 0L)
+    assert(row.getAs[Long]("ips_value_micro") >= 0L)
+    assert(row.getAs[Long]("snips_den_nano") > 0L)
+  }
+
+  test("LAW pinball: losses are non-negative and the ledger telescopes") {
+    val rows = run("q382_pinball_loss")
+      .sortBy(_.getAs[java.sql.Date]("month").getTime)
+    assert(rows.nonEmpty)
+    var acc = 0L
+    rows.foreach { r =>
+      val p = r.getAs[Long]("pinball_x10")
+      assert(p >= 0L)
+      val d = r.getAs[Long]("actual_cents") - r.getAs[Long]("pred_cents")
+      assert(p == math.max(9 * d, -d))
+      acc += p
+      assert(r.getAs[Long]("cum_pinball_x10") == acc)
+    }
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
