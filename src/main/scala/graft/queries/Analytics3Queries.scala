@@ -92,8 +92,10 @@ object Analytics3Queries {
     * evaluates to 0 on every row but survives as a hash key, so the
     * bounded grid attaches via BroadcastHashJoin — which keeps
     * PlanAuditSpec's no-nested-loop rule mechanical over the whole map. */
-  private def zeroKeyNum(c: Column): Column = pmod(c, lit(1L))
-  private def zeroKeyStr(c: Column): Column = pmod(length(c), lit(1))
+  private def zeroKeyNum(c: Column): Column =
+    pmod(coalesce(c, lit(0L)), lit(1L))
+  private def zeroKeyStr(c: Column): Column =
+    pmod(coalesce(length(c), lit(0)), lit(1))
 
   /** Within-nation customer pair frame over (x = balance cents,
     * y = lifetime revenue cents), k1 < k2 — the declared quadratic
@@ -573,10 +575,11 @@ object Analytics3Queries {
       val tot = glob.agg(sum(col("g")).as("n_all"),
         count(lit(1)).as("v"))
       val np = toks.groupBy(col("source")).agg(count(lit(1)).as("np"))
-      val grid = toks.select(col("source")).distinct()
-        .withColumn("_k", zeroKeyStr(col("source")))
-        .join(broadcast(glob.withColumn("_k", zeroKeyStr(col("token")))),
-          Seq("_k"))
+      // broadcast the BOUNDED side (the source list); the vocabulary
+      // side is corpus-dependent and streams
+      val grid = glob.withColumn("_k", zeroKeyStr(col("token")))
+        .join(broadcast(toks.select(col("source")).distinct()
+          .withColumn("_k", zeroKeyStr(col("source")))), Seq("_k"))
         .drop("_k")
         .join(bySrc, Seq("source", "token"), "left")
         .withColumn("c1", coalesce(col("c1"), lit(0L)))
@@ -1150,8 +1153,10 @@ object Analytics3Queries {
       val vCount = vocab.agg(count(lit(1)).as("v"))
       val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       val nDocs = train.agg(count(lit(1)).as("ndoc"))
-      val grid = nL.withColumn("_k", zeroKeyStr(col("lang")))
-        .join(broadcast(vocab.withColumn("_k", zeroKeyStr(col("w")))),
+      // broadcast the BOUNDED side (per-language totals); the vocabulary
+      // side is corpus-dependent and streams
+      val grid = vocab.withColumn("_k", zeroKeyStr(col("w")))
+        .join(broadcast(nL.withColumn("_k", zeroKeyStr(col("lang")))),
           Seq("_k"))
         .drop("_k")
         .join(cLw, Seq("lang", "w"), "left")
@@ -1433,7 +1438,7 @@ object Analytics3Queries {
           .select(col("ck"), coalesce(col("ge"), col("mn")).as(out))
       val a16 = assigned(16, "pos16")
       val a17 = assigned(17, "pos17")
-      val vn = Tables.customer(s, dir).limit(1)
+      val vn = s.range(1)
         .withColumn("i", explode(sequence(lit(0), lit(16))))
         .select(col("i").cast("long").as("node_id"),
           h15(concat(lit("node"), col("i"))).as("pos"))
@@ -1481,7 +1486,9 @@ object Analytics3Queries {
       val based = v.crossJoin(broadcast(tot))
         .withColumn("base", decDiv(d38(col("v")) * 100L, d38(col("s")))
           .cast("long"))
-        .withColumn("rem", toD((d38(col("v")) * 100L) % d38(col("s"))))
+        // the remainder stays DECIMAL for the rank — a double detour
+        // could collide two distinct remainders beyond 2^53
+        .withColumn("rem", (d38(col("v")) * 100L) % d38(col("s")))
       val leftover = based
         .agg((lit(100L) - sum(col("base"))).as("leftover"))
       based.crossJoin(broadcast(leftover))
@@ -1515,6 +1522,10 @@ object Analytics3Queries {
         .filter(col("pos") <= 10)
         .join(Tables.part(s, dir).select(col("p_partkey").as("pk"),
           col("p_brand"), col("p_size").cast("long").as("sz")), Seq("pk"))
+        // the rec list feeds BOTH sides of the pair self-join —
+        // checkpoint the (10 rows × nations) frame instead of
+        // re-running the fact scan twice (the q370 lesson)
+        .localCheckpoint()
       val a = recs.select(col("nk"), col("pk").as("p1"),
         col("p_brand").as("b1"), col("sz").as("s1"))
       val b = recs.select(col("nk"), col("pk").as("p2"),
@@ -3244,8 +3255,7 @@ object Analytics3Queries {
         |based AS (
         |  SELECT nk, v,
         |    CAST((CAST(v AS HUGEINT) * 100) // s AS BIGINT) AS base,
-        |    CAST(CAST((CAST(v AS HUGEINT) * 100) % s AS VARCHAR) AS DOUBLE)
-        |      AS rem
+        |    (CAST(v AS HUGEINT) * 100) % s AS rem
         |  FROM v CROSS JOIN tot),
         |lo AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS leftover
         |       FROM based),
