@@ -2021,6 +2021,121 @@ object Analytics3Queries {
         .select(col("month"), col("actual_cents"), col("pred_cents"),
           col("pinball_x10"), col("cum_pinball_x10"))
     }),
+
+
+    // Intra-cluster correlation + survey design effect (Kish): nations
+    // as clusters over order values, MSB/MSW from the q325 exact-
+    // quantized machinery, ICC = (MSB−MSW)/(MSB+(m̄−1)·MSW) and
+    // DEFF = 1+(m̄−1)·ICC as fixed-text double formulas — the number
+    // that says how much clustering inflates your variance (and
+    // deflates your effective sample size).
+    "q383_icc_deff" -> ((s, dir) => {
+      val g = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("grp"),
+          cents(col("o_totalprice")).as("x"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+          sum(d38(col("x")) * col("x")).as("q_g"))
+        .withColumn("term",
+          decDiv(d38(col("s_g")) * col("s_g"), d38(col("n_g"))))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s_all"), sum(col("q_g")).as("q_all"),
+          sum(col("term")).as("t_all"))
+        .withColumn("ssb", toD(col("t_all") -
+          decDiv(d38(col("s_all")) * col("s_all"), d38(col("n")))))
+        .withColumn("ssw", toD(col("q_all") - col("t_all")))
+        .withColumn("msb", col("ssb") / (col("k") - 1).cast("double"))
+        .withColumn("msw", col("ssw") / (col("n") - col("k")).cast("double"))
+        .withColumn("m_bar",
+          col("n").cast("double") / col("k").cast("double"))
+        .withColumn("icc",
+          (col("msb") - col("msw")) /
+            (col("msb") + (col("m_bar") - 1.0) * col("msw")))
+        .withColumn("deff", lit(1.0) + (col("m_bar") - 1.0) * col("icc"))
+        .select(col("k"), col("n"), col("icc"), col("deff"))
+    }),
+
+
+    // l-diversity audit (the sensitive-value strength check ON TOP of
+    // q283's k-anonymity): per (nation, segment) quasi-identifier
+    // group, the distinct count AND the µnat entropy of the sensitive
+    // order-priority distribution — entropy terms fold as
+    // c·(ln_µ(n) − ln_µ(c)) div n from floor-quantized logs (order-free
+    // integers), so entropy-l is hash-checkable. The global minimum
+    // rides every row (the LOUD-diagnostic rule).
+    "q384_l_diversity" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("seg"), col("o_orderpriority").as("sv"))
+      def lnMicro(c: Column): Column =
+        floor(lit(1e6) * log(c.cast("double"))).cast("long")
+      val cells = base.groupBy(col("nk"), col("seg"), col("sv"))
+        .agg(count(lit(1)).as("c"))
+      val shaped = cells
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("nk"), col("seg"))))
+        .withColumn("lnn", lnMicro(col("n")))
+        .withColumn("lnc", lnMicro(col("c")))
+        .withColumn("term", expr("c * (lnn - lnc) div n"))
+        .groupBy(col("nk"), col("seg"))
+        .agg(max(col("n")).as("n"), count(lit(1)).as("l_distinct"),
+          sum(col("term")).as("ent_micro"))
+        .localCheckpoint() // feeds both the rows and the min-l diagnostic
+      shaped.crossJoin(broadcast(
+        shaped.agg(min(col("l_distinct")).as("min_l"))))
+    }),
+
+
+    // Bias-model recommender baseline (the Koren μ + b_item + b_user
+    // predictor every factor model must beat): quantity "ratings" in
+    // exact centi-units, item bias on the train half, user bias on the
+    // residual AFTER the item bias (the standard sequential fit), every
+    // mean a truncating div (declared), test RMSE from one exact
+    // decimal SSE. The whole fit-predict-evaluate loop is three
+    // aggregations and two broadcast-shaped joins — no model artifact.
+    "q385_bias_model" -> ((s, dir) => {
+      val r = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"),
+            (col("l_quantity").cast("long") * 100).as("q_c")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+          col("q_c"), (col("o_orderkey") % 2).as("fold"))
+      val train = r.filter(col("fold") === 1)
+      val mu = train.agg(expr("sum(q_c) div count(1)").as("mu_c"))
+      // bias means go through the OFFSET-POSITIVE form: residual sums
+      // can be negative, where Spark div truncates but DuckDB // floors
+      // — shifting each element by a bound (+5000 / +10000) keeps the
+      // dividend non-negative so the two agree (the round-8 recipe)
+      val bi = train.crossJoin(broadcast(mu))
+        .groupBy(col("i"), col("mu_c"))
+        .agg((expr("sum(q_c - mu_c + 5000) div count(1)") - 5000L)
+          .as("b_i"))
+        .select(col("i"), col("b_i"))
+      val bu = train.crossJoin(broadcast(mu))
+        .join(bi, Seq("i"), "left")
+        .withColumn("b_i", coalesce(col("b_i"), lit(0L)))
+        .groupBy(col("u"))
+        .agg((expr("sum(q_c - mu_c - b_i + 10000) div count(1)") - 10000L)
+          .as("b_u"))
+      r.filter(col("fold") === 0)
+        .crossJoin(broadcast(mu))
+        .join(bi, Seq("i"), "left")
+        .join(bu, Seq("u"), "left")
+        .withColumn("pred_c",
+          greatest(lit(100L), least(lit(5000L),
+            col("mu_c") + coalesce(col("b_i"), lit(0L)) +
+              coalesce(col("b_u"), lit(0L)))))
+        .withColumn("e", col("q_c") - col("pred_c"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(d38(col("e")) * col("e")).as("sse"))
+        .withColumn("rmse_c",
+          sqrt(toD(col("sse")) / col("n_test").cast("double")))
+        .select(col("n_test"), toD(col("sse")).as("sse_d"), col("rmse_c"))
+    }),
   )
 
   /** DuckDB-runnable oracle equivalents — HUGEINT where Spark lifts to
@@ -3710,5 +3825,105 @@ object Analytics3Queries {
         |  CAST(sum(pinball_x10) OVER (ORDER BY month) AS BIGINT)
         |    AS cum_pinball_x10
         |FROM l""".stripMargin,
+
+    "q383_icc_deff" ->
+      """WITH t AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS s_g,
+        |    sum(CAST(x AS HUGEINT) * x) AS q_g
+        |  FROM t GROUP BY 1),
+        |gt AS (SELECT *, (CAST(s_g AS HUGEINT) * s_g) // n_g AS term FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS HUGEINT) AS s_all, sum(q_g) AS q_all,
+        |    sum(term) AS t_all
+        |  FROM gt),
+        |b AS (
+        |  SELECT k, n,
+        |    CAST(CAST(t_all - (s_all * s_all) // n AS VARCHAR) AS DOUBLE)
+        |      AS ssb,
+        |    CAST(CAST(q_all - t_all AS VARCHAR) AS DOUBLE) AS ssw
+        |  FROM a),
+        |c AS (
+        |  SELECT k, n,
+        |    ssb / CAST(k - 1 AS DOUBLE) AS msb,
+        |    ssw / CAST(n - k AS DOUBLE) AS msw,
+        |    CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS m_bar
+        |  FROM b),
+        |d AS (
+        |  SELECT k, n, m_bar,
+        |    (msb - msw) / (msb + (m_bar - 1.0) * msw) AS icc
+        |  FROM c)
+        |SELECT k, n, icc, 1.0 + (m_bar - 1.0) * icc AS deff
+        |FROM d""".stripMargin,
+
+    "q384_l_diversity" ->
+      """WITH base AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |    o_orderpriority AS sv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT nk, seg, sv, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT nk, seg, c,
+        |    CAST(sum(c) OVER (PARTITION BY nk, seg) AS BIGINT) AS n
+        |  FROM cells),
+        |terms AS (
+        |  SELECT nk, seg, n,
+        |    c * (CAST(floor(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+        |       - CAST(floor(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT)) // n
+        |      AS term
+        |  FROM w),
+        |shaped AS (
+        |  SELECT nk, seg, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS l_distinct,
+        |    CAST(sum(term) AS BIGINT) AS ent_micro
+        |  FROM terms GROUP BY 1, 2),
+        |mn AS (SELECT CAST(min(l_distinct) AS BIGINT) AS min_l FROM shaped)
+        |SELECT s.nk, s.seg, s.n, s.l_distinct, s.ent_micro, mn.min_l
+        |FROM shaped s CROSS JOIN mn""".stripMargin,
+
+    "q385_bias_model" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(l_quantity AS BIGINT) * 100 AS q_c,
+        |    o_orderkey % 2 AS fold
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |train AS (SELECT * FROM r WHERE fold = 1),
+        |mu AS (SELECT CAST(sum(q_c) // count(*) AS BIGINT) AS mu_c
+        |       FROM train),
+        |bi AS (
+        |  SELECT i,
+        |    CAST(sum(q_c - mu.mu_c + 5000) // count(*) - 5000 AS BIGINT)
+        |      AS b_i
+        |  FROM train CROSS JOIN mu GROUP BY i, mu.mu_c),
+        |bu AS (
+        |  SELECT u,
+        |    CAST(sum(q_c - mu.mu_c - COALESCE(bi.b_i, 0) + 10000)
+        |      // count(*) - 10000 AS BIGINT) AS b_u
+        |  FROM train CROSS JOIN mu
+        |  LEFT JOIN bi ON train.i = bi.i
+        |  GROUP BY u, mu.mu_c),
+        |test AS (
+        |  SELECT r.q_c,
+        |    greatest(100, least(5000, mu.mu_c + COALESCE(bi.b_i, 0)
+        |      + COALESCE(bu.b_u, 0))) AS pred_c
+        |  FROM r CROSS JOIN mu
+        |  LEFT JOIN bi ON r.i = bi.i
+        |  LEFT JOIN bu ON r.u = bu.u
+        |  WHERE r.fold = 0),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    sum(CAST(q_c - pred_c AS HUGEINT) * (q_c - pred_c)) AS sse
+        |  FROM test)
+        |SELECT n_test, CAST(CAST(sse AS VARCHAR) AS DOUBLE) AS sse_d,
+        |  sqrt(CAST(CAST(sse AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_test AS DOUBLE)) AS rmse_c
+        |FROM a""".stripMargin,
   )
 }

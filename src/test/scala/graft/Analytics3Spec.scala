@@ -867,6 +867,38 @@ class Analytics3Spec extends AnyFunSuite {
     }
   }
 
+  test("LAW icc/deff: ICC bounded by 1 and DEFF at least 1 when " +
+      "clustering is non-negative") {
+    val row = run("q383_icc_deff").head
+    val icc = row.getAs[Double]("icc")
+    assert(icc <= 1.0 + 1e-12)
+    if (icc >= 0) assert(row.getAs[Double]("deff") >= 1.0 - 1e-12)
+  }
+
+  test("LAW l-diversity: l bounded by the sensitive alphabet, entropy " +
+      "bounded by ln(l), min_l is the true minimum") {
+    val rows = run("q384_l_diversity")
+    assert(rows.nonEmpty)
+    val minL = rows.map(_.getAs[Long]("l_distinct")).min
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l_distinct")
+      assert(l >= 1L && l <= 5L)
+      assert(r.getAs[Long]("min_l") == minL)
+      // quantized entropy stays under ln(l) plus one quantum per cell
+      assert(r.getAs[Long]("ent_micro") <=
+        math.ceil(1e6 * math.log(l.toDouble)).toLong + l)
+      assert(r.getAs[Long]("ent_micro") >= -l)
+    }
+  }
+
+  test("LAW bias model: predictions clamp to the rating range so RMSE " +
+      "is bounded by the range width") {
+    val row = run("q385_bias_model").head
+    assert(row.getAs[Long]("n_test") > 0L)
+    assert(row.getAs[Double]("rmse_c") >= 0.0)
+    assert(row.getAs[Double]("rmse_c") <= 4900.0)
+  }
+
   test("LAW hits: scores lie in [0, 1e6] and each side's max is " +
       "exactly the 1e6 grid top") {
     val rows = run("q331_hits")
