@@ -20,6 +20,80 @@ import org.apache.spark.sql.functions._
   * dropped-baskets diagnostic rather than a silent cap. */
 object Stats {
 
+  /** Distributed global rank — the shared 100 TB tier for the rank-
+    * statistic family (Mann–Whitney q255, Kruskal–Wallis q327, Wilcoxon
+    * q344, the q310 calibration percent-rank grid), replacing the
+    * single-partition `Window.orderBy` global sort (Spark's "No
+    * Partition Defined for Window operation" trap — every row moves to
+    * ONE task) with the two-phase bucketed device already proven in
+    * [[graft.llm.Packing.packOffsets]] / Temporal.intervalConcurrency:
+    *
+    *   1. range-bucket the VALUE (`_rb = value div bucketWidth` —
+    *      truncating division by a positive width is monotone in the
+    *      value, so bucket order IS value order and a tie never spans
+    *      buckets), rank WITHIN each bucket (parallel window, bounded
+    *      partitions);
+    *   2. aggregate one row count per bucket (tiny frame — n/width
+    *      rows), exclusive-prefix-sum those counts in a single-partition
+    *      window over the TINY frame only, broadcast the bucket base
+    *      offsets back; global rank = bucket base + local rank.
+    *
+    * Bit-identical to the naive global window — `rank()` ties share the
+    * minimum rank because equal values share a bucket; `row_number()`
+    * ties break on the caller's `tieBreak` columns — so every oracle
+    * keeps stating the naive formulation and stays hash-green. The
+    * input is lazily localCheckpoint-ed (both phases consume it; without
+    * truncation the upstream plan — often a join or aggregate — would
+    * evaluate once per phase, the covisitation re-scan ADVICE).
+    *
+    * Value-range bucketing is data-independent and deterministic but not
+    * skew-proof: a value distribution concentrated inside one width
+    * degrades toward the global sort. `bucketWidth` is the knob — size
+    * it so a bucket's expected row count fits one task (cents grids at
+    * width 2²⁰ give ~10⁶ buckets over a ±$5B domain; per-bucket load is
+    * rows/width × density). Heavily-tied domains keep their whole tie
+    * block in one bucket by construction, which is also what the rank
+    * algebra needs.
+    *
+    * @param df          input frame (all columns ride through)
+    * @param valueCol    integral column (LONG semantics) defining the
+    *                    global order — cents, counts, ppm grids
+    * @param tieBreak    empty → `rank()` semantics (ties share the min
+    *                    rank); non-empty → `row_number()` over
+    *                    (value, tieBreak...) — deterministic iff the
+    *                    tieBreak is a key
+    * @param out         output rank column name
+    * @param bucketWidth value-range width of one bucket (positive)
+    */
+  def distributedRank(
+      df: DataFrame,
+      valueCol: String,
+      tieBreak: Seq[String] = Nil,
+      out: String = "rk",
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val v = col(valueCol)
+    val base = df
+      .withColumn("_rb", expr(s"cast($valueCol as bigint) div $bucketWidth"))
+      .localCheckpoint(false)
+    val wIn = Window.partitionBy(col("_rb"))
+      .orderBy((v +: tieBreak.map(col)).map(_.asc): _*)
+    val local = base.withColumn("_lrk",
+      (if (tieBreak.isEmpty) rank().over(wIn) else row_number().over(wIn))
+        .cast("long"))
+    // exclusive prefix over per-bucket counts — the single-partition
+    // window touches only the bucket-total frame, then broadcasts
+    val wTot = Window.orderBy(col("_rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(col("_rb"))
+      .agg(count(lit(1)).as("_bn"))
+      .select(col("_rb"),
+        coalesce(sum(col("_bn")).over(wTot), lit(0L)).as("_bb"))
+    local.join(broadcast(bases), "_rb")
+      .withColumn(out, col("_bb") + col("_lrk"))
+      .drop("_rb", "_lrk", "_bb")
+  }
+
   /** Two-sample EDF distance panel per `groupCol`: Kolmogorov–Smirnov
     * (max CDF gap — already covered standalone by q230) PLUS the
     * Cramér–von Mises statistic (the INTEGRAL of the squared CDF gap —
@@ -35,10 +109,12 @@ object Stats {
     * `ks_num = max gap` (classical D = ks_num/(n_a·n_b)) and
     * `cvm_num = Σ_values cnt·gap²` (classical T = n_a·n_b/N² · Σ (F−G)²
     * over pooled points = cvm_num/(n_a·n_b·N²)). Both numerators are
-    * exact integers; cvm_num travels as its decimal STRING (it exceeds
-    * BIGINT range at scale) and the classical forms are one final double
-    * each via the decimal-string bridge. Groups missing either sample
-    * emit NULL classical stats. */
+    * exact integers and BOTH travel as their decimal STRINGS — ks_num is
+    * bounded by n_a·n_b, which itself exceeds BIGINT past ~3B rows a
+    * side (round-9 ADVICE: the old long cast would silently wrap there
+    * while cvm_num was already string-carried for exactly that reason).
+    * The classical forms are one final double each via the decimal-string
+    * bridge. Groups missing either sample emit NULL classical stats. */
   def edfDistances(
       df: DataFrame,
       groupCol: String,
@@ -67,20 +143,21 @@ object Stats {
         - d38(col("cum_b")) * col("n_a")))
       .groupBy(col(groupCol))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        max(col("gap")).cast("long").as("ks_num"),
+        max(col("gap")).as("ks_dec"),
         sum(d38(col("da") + col("db")) * col("gap") * col("gap"))
           .as("cvm_dec"))
+      .withColumn("ks_num", col("ks_dec").cast("string"))
       .withColumn("cvm_num", col("cvm_dec").cast("string"))
       .withColumn("ks",
         when(col("n_a") > 0 && col("n_b") > 0,
-          col("ks_num").cast("double")
-            / (col("n_a").cast("double") * col("n_b").cast("double"))))
+          toD(col("ks_dec")) / toD(d38(col("n_a")) * col("n_b"))))
       .withColumn("cvm",
         when(col("n_a") > 0 && col("n_b") > 0,
           toD(col("cvm_dec"))
             / toD(d38(col("n_a")) * col("n_b")
               * (col("n_a") + col("n_b")) * (col("n_a") + col("n_b")))))
-      .drop("cvm_dec")
+      .select(col(groupCol), col("n_a"), col("n_b"), col("ks_num"),
+        col("cvm_num"), col("ks"), col("cvm"))
   }
 
   /** Lorenz curve decile points per `groupCol`: entities ranked ascending
@@ -89,7 +166,16 @@ object Stats {
     * decile index reaches k, i.e. rank = ⌈k·n/10⌉, k = 1..10 — with
     * exact-integer cumulative population and value shares in ppm.
     * `valueCol` must be non-negative (shares are `div` over non-negative
-    * operands). Companion curve to the q253 Gini scalar. */
+    * operands). Companion curve to the q253 Gini scalar.
+    *
+    * Assumes each group has n ≥ 10 entities: below that, consecutive
+    * decile indices land on the SAME boundary rank and the integer-step
+    * filter emits only the highest k reached — a 3-entity group yields
+    * rows k = 3, 6, 10, not ten rows (round-9 ADVICE, documented
+    * semantics). Every emitted row is still an exact boundary; only the
+    * k-grid is sparse. Callers wanting a dense curve on micro-groups
+    * should pre-filter (the q311 nation grain is thousands of
+    * customers per group at every SF). */
   def lorenzPoints(
       df: DataFrame,
       groupCol: String,
@@ -140,8 +226,15 @@ object Stats {
       maxBasket: Int = 20): (DataFrame, DataFrame) = {
     val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
       .distinct()
+    // lazily checkpointed: the basket-size window scan feeds THREE
+    // consumers (both sides of the self-join plus the dropped-basket
+    // diagnostic) — without truncation the whole upstream plan evaluates
+    // once per consumer (round-9 ADVICE; the hamming joiner avoids the
+    // same re-scan via group-then-expand). Lazy keeps construction
+    // action-free; the first action materializes the sized frame once.
     val sized = items
       .withColumn("_bs", count(lit(1)).over(Window.partitionBy(col("_bk"))))
+      .localCheckpoint(false)
     val dropped = sized.filter(col("_bs") > maxBasket)
       .groupBy(col("_bk").as("basket"))
       .agg(max(col("_bs")).as("basket_size"))

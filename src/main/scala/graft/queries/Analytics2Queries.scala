@@ -429,9 +429,9 @@ object Analytics2Queries {
     // gap, tail-sensitive where q230's KS sees only the worst point —
     // plus KS itself from the same one-pass per-value CDF fold. Both
     // numerators are division-free exact integers
-    // (max |cum_a·n_b − cum_b·n_a| and Σ cnt·gap²); cvm_num travels as
-    // its decimal string, classical forms via the decimal-string
-    // bridge. ops.Stats.edfDistances.
+    // (max |cum_a·n_b − cum_b·n_a| and Σ cnt·gap²); both travel as
+    // decimal strings (each exceeds BIGINT at scale), classical forms
+    // via the decimal-string bridge. ops.Stats.edfDistances.
     "q312_edf_distances" -> ((s, dir) => {
       val t = Tables.orders(s, dir)
         .join(Tables.customer(s, dir),
@@ -834,8 +834,10 @@ object Analytics2Queries {
     // (global acctbal percent-rank as confidence ppm) against the
     // repeat-buyer label: ten fixed-width confidence bins, per-bin
     // accuracy vs mean confidence, |gap| — all integer ppm. The global
-    // rank is the declared exactness tier (q255's exception); the
-    // 100 TB path swaps it for q220 broadcast percentile edges.
+    // percent-rank EXECUTES as the two-phase bucketed
+    // Stats.distributedRank (round-9 "implement the declared tier");
+    // the total attaches as the audited scalar-agg broadcast and the
+    // oracle keeps the naive row_number() form.
     "q310_calibration_ece" -> ((s, dir) => {
       val nOrd = Tables.orders(s, dir)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
@@ -844,11 +846,9 @@ object Analytics2Queries {
         .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
         .withColumn("label",
           when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
-      val w = Window.orderBy(col("x"), col("c_custkey"))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      base.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("nc", count(lit(1)).over(wAll))
+      val rk = ops.Stats.distributedRank(
+        base, "x", tieBreak = Seq("c_custkey"), out = "rn")
+      rk.crossJoin(broadcast(rk.agg(count(lit(1)).as("nc"))))
         .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
         .withColumn("bin", least(expr("conf_ppm div 100000"), lit(9L)))
         .groupBy(col("bin"))
@@ -1543,14 +1543,16 @@ object Analytics2Queries {
         |  FROM r),
         |m AS (
         |  SELECT c_mktsegment, max(n_a) AS n_a, max(n_b) AS n_b,
-        |    CAST(max(gap) AS BIGINT) AS ks_num,
+        |    max(gap) AS ks_dec,
         |    sum(CAST(da + db AS HUGEINT) * gap * gap) AS cvm_dec
         |  FROM g GROUP BY 1)
-        |SELECT c_mktsegment, n_a, n_b, ks_num,
+        |SELECT c_mktsegment, n_a, n_b,
+        |  CAST(ks_dec AS VARCHAR) AS ks_num,
         |  CAST(cvm_dec AS VARCHAR) AS cvm_num,
         |  CASE WHEN n_a > 0 AND n_b > 0
-        |       THEN CAST(ks_num AS DOUBLE)
-        |            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS ks,
+        |       THEN CAST(CAST(ks_dec AS VARCHAR) AS DOUBLE)
+        |            / CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR)
+        |                   AS DOUBLE) END AS ks,
         |  CASE WHEN n_a > 0 AND n_b > 0
         |       THEN CAST(CAST(cvm_dec AS VARCHAR) AS DOUBLE)
         |            / CAST(CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)

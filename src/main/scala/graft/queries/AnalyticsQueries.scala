@@ -108,15 +108,16 @@ object AnalyticsQueries {
     // tie-averaged ranks carried as INTEGER doubled ranks (2·minrank +
     // ties − 1 — halves never materialize), the tie-correction term
     // Σ(t³−t) exact, and z one fixed double formula. The global rank IS
-    // the test (total order by definition); at 100 TB swap in the
-    // binned normal approximation.
+    // the test (total order by definition) but its EXECUTION is the
+    // two-phase bucketed Stats.distributedRank — no single-partition
+    // sort of the fact table; the oracle still states the naive
+    // rank() OVER (ORDER BY v) and hash-matches bit-for-bit.
     "q255_mann_whitney" -> ((s, dir) => {
       val d = Tables.orders(s, dir)
         .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
         .select(cents(col("o_totalprice")).as("v"),
           (col("o_orderpriority") === "1-URGENT").as("g1"))
-      val ranked = d
-        .withColumn("mr", rank().over(Window.orderBy(col("v"))))
+      val ranked = ops.Stats.distributedRank(d, "v", out = "mr")
         .withColumn("tc", count(lit(1)).over(Window.partitionBy(col("v"))))
         .withColumn("dr", lit(2L) * col("mr") + col("tc") - lit(1L))
       val ties = d.groupBy(col("v")).agg(count(lit(1)).as("t"))

@@ -86,7 +86,14 @@ object TpchQueries {
 
   private[graft] def ensurePartsupp(s: SparkSession, dir: String): String = {
     val path = predsPath("tpch_partsupp")
-    if (!stagedPartsupp.synchronized(stagedPartsupp.contains(path))) {
+    // ONE synchronized block around check-stage-add: a split
+    // check-then-act (separate contains()/add() critical sections) lets
+    // two concurrent callers both pass the check and overwrite the same
+    // parquet path mid-read (round-9 ADVICE). Staging holds the monitor
+    // for its duration — the write is seconds, once per JVM, and the
+    // sharers would have to wait for the file anyway.
+    stagedPartsupp.synchronized {
+      if (!stagedPartsupp.contains(path)) {
       val sup = Tables.supplier(s, dir).select(col("s_suppkey"))
       val nSup = sup.count()
       require(nSup >= 4,
@@ -114,7 +121,8 @@ object TpchQueries {
             col("s_suppkey").as("ps_suppkey"),
             col("ps_availqty"), col("ps_supplycost_cents")),
         path)
-      stagedPartsupp.synchronized(stagedPartsupp.add(path))
+      stagedPartsupp.add(path)
+      }
     }
     path
   }

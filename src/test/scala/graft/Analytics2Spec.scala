@@ -299,7 +299,7 @@ class Analytics2Spec extends AnyFunSuite {
     val got = rows.find(_.getAs[String]("c_mktsegment") == seg).get
     assert(got.getAs[Long]("n_a") == a.length)
     assert(got.getAs[Long]("n_b") == b.length)
-    assert(got.getAs[Long]("ks_num") == ksNum)
+    assert(BigInt(got.getAs[String]("ks_num")) == BigInt(ksNum))
     assert(BigInt(got.getAs[String]("cvm_num")) == cvmNum,
       s"cvm_num ${got.getAs[String]("cvm_num")} vs $cvmNum")
   }

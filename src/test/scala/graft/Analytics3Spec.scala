@@ -912,4 +912,48 @@ class Analytics3Spec extends AnyFunSuite {
     assert(hubs.max == 1000000L)
     assert(auths.max == 1000000L)
   }
+
+  test("DIFFERENTIAL nationPairs cap: cap-off == cap-on on fixture-sized " +
+      "groups, and an engaged cap keeps exactly the md5-order prefix") {
+    import org.apache.spark.sql.functions._
+    // fixture groups (~6 customers/nation at sf0.001) sit far under the
+    // 256 default, so the capped frame must be IDENTICAL to the uncapped
+    // one — the cap only ever changes semantics where a group actually
+    // exceeds it (the q78/incrementalDupMarks mirror discipline)
+    def pairSet(cap: Long) =
+      Analytics3Queries.nationPairs(spark, dir, cap)
+        .select("nk", "k1", "k2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = pairSet(Analytics3Queries.NationPairCap)
+    val uncapped = pairSet(Long.MaxValue)
+    assert(capped === uncapped,
+      "slack cap must be a no-op on fixture-sized groups")
+    assert(capped.nonEmpty)
+
+    // force the cap to engage (cap=3): kept keys per nation must be the
+    // driver-computed md5(custkey)-order prefix, and pair volume exactly
+    // C(min(n,3), 2) per nation
+    val kept3 = Analytics3Queries.nationPairs(spark, dir, 3L)
+      .select("nk", "k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byNation = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long"), col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    byNation.foreach { case (nk, cs) =>
+      val want = cs.map(_._2).sortBy(k => (md5hex(k.toString), k)).take(3).toSet
+      val gotKeys = kept3.filter(_._1 == nk)
+        .flatMap(p => Seq(p._2, p._3)).toSet
+      val m = math.min(cs.length, 3)
+      assert(kept3.count(_._1 == nk) == m * (m - 1) / 2,
+        s"nation $nk pair count")
+      if (m >= 2) assert(gotKeys.subsetOf(want),
+        s"nation $nk kept keys $gotKeys not the md5 prefix $want")
+    }
+  }
 }

@@ -244,4 +244,41 @@ class LawsSpec extends AnyFunSuite {
       assert(got === want, s"round $round diverged (bucket=$bucketSeconds)")
     }
   }
+
+  test("LAW distributedRank == naive global-window rank on random frames " +
+      "(both tie modes, negative values, bucket widths straddling ties)") {
+    val rnd = new Random(21)
+    for (round <- 1 to 8) {
+      // values drawn from a NARROW domain so ties are dense, spanning
+      // negatives (acctbal cents go negative); keys unique
+      val rows = (1L to (60 + round * 7).toLong)
+        .map(k => (k, (rnd.nextInt(41) - 20).toLong))
+      val df = rows.toDF("k", "v")
+      // widths 1 (every distinct value its own bucket), a mid width, and
+      // one wider than the whole domain (degenerates to the naive form)
+      val width = Seq(1L, 7L, 1000L)(round % 3)
+
+      // rank() mode: ties share the min rank
+      val gotR = graft.ops.Stats
+        .distributedRank(df, "v", out = "rk", bucketWidth = width)
+        .select("k", "rk").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sortedV = rows.map(_._2).sorted
+      val wantR = rows.map { case (k, v) =>
+        k -> (sortedV.count(_ < v) + 1L)
+      }.toMap
+      assert(gotR === wantR, s"round $round rank() diverged (width=$width)")
+
+      // row_number() mode over (v, k)
+      val gotN = graft.ops.Stats
+        .distributedRank(df, "v", tieBreak = Seq("k"), out = "rn",
+          bucketWidth = width)
+        .select("k", "rn").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wantN = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((k, _), i) => k -> (i + 1L) }.toMap
+      assert(gotN === wantN,
+        s"round $round row_number() diverged (width=$width)")
+    }
+  }
 }

@@ -173,6 +173,60 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no query plan single-partition-sorts a fact-scale frame: every " +
+      "partition-less Window is either aggregate-bounded or named (FULL map)") {
+    // The round-9 "implement the declared 100 TB tier" rule, made
+    // mechanical: a Window with an EMPTY partition spec moves every input
+    // row to one task (Spark's own WindowExec warning). That is only
+    // acceptable when the frame beneath it is provably collapsed — an
+    // Aggregate/GlobalLimit/LocalRelation on EVERY path to a leaf (bucket
+    // totals, calendar/vocab/grid grains, scalar argmins) — or when the
+    // query is in the named exclusion list below. The rank-statistic
+    // family (q255/q310/q327/q344 + labeledConfBase consumers) passes via
+    // Stats.distributedRank: its only partition-less window orders the
+    // per-bucket totals frame (`_rb`), which sits on an Aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LeafNode, LocalRelation, LogicalPlan, Window => LWindow}
+    // same construction-cost exclusions as the nested-loop audit
+    val constructionExcluded = Set("q17_sim_topk", "q23_lr_confusion",
+      "q27_pair_scoring", "q28_sim_ivf", "q57_sim_pq", "q58_sim_ivfpq",
+      "q93_sessionize_stream", "q94_ivfpq_serving", "q98_tumbling_stream",
+      "q99_keyed_state_stream", "q102_join_stream", "q137_ann_recall",
+      "q186_als_recs", "q187_word2vec", "q307_matryoshka_recall")
+    // queries whose global-order window is not yet aggregate-bounded,
+    // each with the declared reason (round-10 conversion queue — shrink,
+    // don't grow):
+    val globalOrderExcluded = Set(
+      "q237_negative_sampling",   // part-dim row_number sampling index
+      "q260_learning_curve",      // doc-scale md5-order training prefix
+      "q272_vocab_growth",        // doc-scale md5-order heaps curve
+      "q336_quantile_normalize",  // two dim-scale rank maps (supp/cust)
+      "q355_nearest_value_join",  // tagged union sort-merge lag device
+      "q365_skyline_2d",          // running-min prefix over part dim
+      "q373_skyline_stream",      // streamed twin of q365
+      "q380_conformal")           // customer-scale residual rank
+    def flat(p: LogicalPlan): Seq[LogicalPlan] = p +: p.children.flatMap(flat)
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalRelation => true
+      case _: LeafNode => false
+      case other => other.children.forall(bounded)
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(constructionExcluded)
+    names.filterNot(globalOrderExcluded).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.optimizedPlan
+      flat(plan).collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          assert(bounded(w.child),
+            s"$name has a partition-less Window over an unaggregated " +
+              s"frame (single-partition fact sort at scale) — use " +
+              s"Stats.distributedRank or bound the frame first:\n$w")
+        }
+    }
+  }
+
   test("q95 bucketed join+agg runs with ZERO hash exchanges (co-located layout)") {
     // the bucketed layout's whole point: the scan's bucket partitioning
     // satisfies the join's AND the aggregation's required distribution, so

@@ -443,6 +443,18 @@ class RelationalSpec extends AnyFunSuite {
       "the size-gated shuffle fallback must be value-identical to the " +
         "broadcast path — only the join strategy may change")
     assert(broadcasted.nonEmpty)
+    // the BYTE gate trips independently of the row gate (round-9 ADVICE:
+    // wide keys at a modest row count): 3 items easily clear the row
+    // bound but a 1-byte budget forces the shuffle path — still
+    // value-identical
+    val byteGated = graft.ops.Relational
+      .associationRules(rows, "basket", "item", maxBasket = 3,
+        minSupport = 1L, maxBroadcastItems = 1000L, maxBroadcastBytes = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(byteGated === broadcasted,
+      "the byte-gated shuffle fallback must be value-identical too")
   }
 
   test("merkleDiff equals snapshotDiff and only touched buckets admit rows") {

@@ -602,4 +602,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(worst < raw.head._2.size,
       s"a constant sign row would be a degenerate projection (|sum|=$worst)")
   }
+
+  test("q187 shortlist serving: recall floor vs the dense vocab² baseline " +
+      "(retained here as the recall truth, never in the served plan)") {
+    import org.apache.spark.sql.functions._
+    // run the registered query: fits word2vec, persists unit vectors +
+    // LSH candidates, returns the shortlist top-3
+    val got = graft.queries.MlQueries.queries("q187_word2vec")(
+        spark, TestSpark.sf)
+      .select($"w1", $"w2", $"rk").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.nonEmpty)
+    // dense baseline over the SAME persisted unit vectors — the recall
+    // truth the shortlist is measured against (the q17/q137 contract)
+    val v = spark.read.parquet(
+      graft.queries.QueryShared.predsPath("q187_w2v"))
+    val dense = v.select($"word".as("w1"), $"u".as("u1"))
+      .crossJoin(v.select($"word".as("w2"), $"u".as("u2")))
+      .filter($"w1" =!= $"w2")
+      .select($"w1", $"w2",
+        graft.exprapi.quantizedDotFast($"u1", $"u2").as("sim_q"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"w1").orderBy($"sim_q".desc, $"w2".asc)))
+      .filter($"rk" <= 3)
+      .select($"w1", $"w2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = got.intersect(dense).size.toDouble / dense.size
+    assert(recall >= 0.6,
+      f"shortlist top-3 recall $recall%.3f below the 0.6 floor " +
+        f"(|shortlist|=${got.size}, |dense|=${dense.size})")
+  }
 }
