@@ -94,6 +94,76 @@ object Stats {
       .drop("_rb", "_lrk", "_bb")
   }
 
+  /** Distributed INCLUSIVE prefix sum over a global (value, tieBreak...)
+    * order — [[distributedRank]]'s sibling for running-count/cumsum
+    * devices (the q355 merged-sort ordinal): `out` = Σ `addend` over all
+    * rows at-or-before the current row in the total order. Same two
+    * phases: per-bucket window cumsum, exclusive prefix over the tiny
+    * per-bucket totals, broadcast back. Bit-identical to
+    * `sum(addend) OVER (ORDER BY value, tieBreak ROWS UNBOUNDED
+    * PRECEDING)`; same bucketWidth sizing rule as distributedRank. */
+  def distributedPrefixSum(
+      df: DataFrame,
+      valueCol: String,
+      tieBreak: Seq[String],
+      addend: Column,
+      out: String,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val base = df
+      .withColumn("_ps", addend.cast("long"))
+      .withColumn("_rb", expr(s"cast($valueCol as bigint) div $bucketWidth"))
+      .localCheckpoint(false)
+    val wIn = Window.partitionBy(col("_rb"))
+      .orderBy((col(valueCol) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("_lps", sum(col("_ps")).over(wIn))
+    val wTot = Window.orderBy(col("_rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(col("_rb"))
+      .agg(sum(col("_ps")).as("_bn"))
+      .select(col("_rb"),
+        coalesce(sum(col("_bn")).over(wTot), lit(0L)).as("_bb"))
+    local.join(broadcast(bases), "_rb")
+      .withColumn(out, col("_bb") + col("_lps"))
+      .drop("_rb", "_ps", "_lps", "_bb")
+  }
+
+  /** Distributed STRICT prefix minimum over a global value order — the
+    * skyline device: `out` = min `minCol` over all rows whose `valueCol`
+    * is STRICTLY smaller than the current row's (the
+    * `RANGE UNBOUNDED PRECEDING TO -1` frame), NULL when no such row
+    * exists. Phase 1 computes the strict range min within each value
+    * bucket; phase 2 folds one min per bucket, exclusive-prefix-mins the
+    * tiny totals frame, and broadcasts — rows see least(local strict
+    * min, previous buckets' min), exactly the global strict frame
+    * because a tie never spans buckets. */
+  def distributedPrefixMin(
+      df: DataFrame,
+      valueCol: String,
+      minCol: String,
+      out: String,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val base = df
+      .withColumn("_rb", expr(s"cast($valueCol as bigint) div $bucketWidth"))
+      .localCheckpoint(false)
+    val wIn = Window.partitionBy(col("_rb")).orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("_lpm", min(col(minCol)).over(wIn))
+    val wTot = Window.orderBy(col("_rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(col("_rb"))
+      .agg(min(col(minCol)).as("_bm"))
+      .select(col("_rb"), min(col("_bm")).over(wTot).as("_bb"))
+    // least() skips NULLs (empty local frame / no previous bucket), so
+    // the composition stays NULL only when BOTH halves are empty —
+    // matching the global strict frame's NULL-on-first-row contract
+    local.join(broadcast(bases), "_rb")
+      .withColumn(out, least(col("_lpm"), col("_bb")))
+      .drop("_rb", "_lpm", "_bb")
+  }
+
   /** Two-sample EDF distance panel per `groupCol`: Kolmogorov–Smirnov
     * (max CDF gap — already covered standalone by q230) PLUS the
     * Cramér–von Mises statistic (the INTEGRAL of the squared CDF gap —
@@ -251,20 +321,23 @@ object Stats {
       .filter(col("rank") <= k), dropped)
   }
 
-  /** 2-D skyline (Pareto-dominance) minimizing (`price`, `sz`): one
-    * sort, one strictly-cheaper RANGE window for the running size
-    * minimum, one equal-price partition minimum — a point survives iff
-    * nothing cheaper-or-equal is also smaller-or-equal with one strict.
-    * Linear, no pair space. Columns must be integral (the RANGE frame
-    * offset needs a numeric order key). Shared by q365 and the streamed
-    * q373 — dominance is a merge SEMILATTICE (the skyline of a union is
-    * the skyline of the per-part skylines), which is what makes the
-    * streamed form's per-batch partials correct under any split. */
-  def skyline2D(df: DataFrame, price: String, sz: String): DataFrame = {
-    val wCheaper = Window.orderBy(col(price))
-      .rangeBetween(Window.unboundedPreceding, -1)
+  /** 2-D skyline (Pareto-dominance) minimizing (`price`, `sz`): the
+    * strictly-cheaper running size minimum via [[distributedPrefixMin]]
+    * (two-phase bucketed — no single-partition sort of the input), one
+    * equal-price partition minimum — a point survives iff nothing
+    * cheaper-or-equal is also smaller-or-equal with one strict. Linear,
+    * no pair space. Columns must be integral (the RANGE frame offset
+    * needs a numeric order key). Shared by q365 and the streamed q373 —
+    * dominance is a merge SEMILATTICE (the skyline of a union is the
+    * skyline of the per-part skylines), which is what makes the streamed
+    * form's per-batch partials correct under any split. */
+  def skyline2D(
+      df: DataFrame,
+      price: String,
+      sz: String,
+      bucketWidth: Long = 1L << 12): DataFrame = {
     val wEq = Window.partitionBy(col(price))
-    df.withColumn("_min_cheaper", min(col(sz)).over(wCheaper))
+    distributedPrefixMin(df, price, sz, "_min_cheaper", bucketWidth)
       .withColumn("_min_eq", min(col(sz)).over(wEq))
       .filter((col("_min_cheaper").isNull ||
         col(sz) < col("_min_cheaper")) && col(sz) === col("_min_eq"))

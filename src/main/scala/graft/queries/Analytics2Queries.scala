@@ -847,7 +847,8 @@ object Analytics2Queries {
         .withColumn("label",
           when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
       val rk = ops.Stats.distributedRank(
-        base, "x", tieBreak = Seq("c_custkey"), out = "rn")
+        base, "x", tieBreak = Seq("c_custkey"), out = "rn",
+        bucketWidth = 1L << 14)
       rk.crossJoin(broadcast(rk.agg(count(lit(1)).as("nc"))))
         .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
         .withColumn("bin", least(expr("conf_ppm div 100000"), lit(9L)))

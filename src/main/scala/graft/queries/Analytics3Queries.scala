@@ -84,8 +84,11 @@ object Analytics3Queries {
     * scalar-agg broadcast. Shared by q347/q357/q360; oracles keep
     * stating the naive row_number() OVER (ORDER BY x, key). */
   private def labeledConfBase(s: SparkSession, dir: String): DataFrame = {
+    // width 2^14 over the ±1e6-cent acctbal domain → ~130 balanced
+    // buckets (the default 2^20 would collapse this narrow domain to ~2)
     val rk = ops.Stats.distributedRank(
-      labeledCustomers(s, dir), "x", tieBreak = Seq("c_custkey"), out = "rn")
+      labeledCustomers(s, dir), "x", tieBreak = Seq("c_custkey"),
+      out = "rn", bucketWidth = 1L << 14)
     rk.crossJoin(broadcast(rk.agg(count(lit(1)).as("nc"))))
       .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
   }
@@ -528,16 +531,19 @@ object Analytics3Queries {
     // SAME quantile — rank r of n maps to reference index
     // ceil(r·m/n) = (r·m + n − 1) div n, a pure exact-integer mapping
     // with no interpolation, then one equi-join on the index. Both
-    // total orders are the declared rank tier (q255's exception).
+    // total orders execute as the two-phase bucketed
+    // Stats.distributedRank (no single-partition entity sort).
     "q336_quantile_normalize" -> ((s, dir) => {
-      val src = Tables.supplier(s, dir)
-        .select(col("s_suppkey"), cents(col("s_acctbal")).as("x_orig"))
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("x_orig"), col("s_suppkey"))).cast("long"))
-      val ref = Tables.customer(s, dir)
-        .select(cents(col("c_acctbal")).as("x_mapped"), col("c_custkey"))
-        .withColumn("idx", row_number().over(
-          Window.orderBy(col("x_mapped"), col("c_custkey"))).cast("long"))
+      val src = ops.Stats.distributedRank(
+        Tables.supplier(s, dir)
+          .select(col("s_suppkey"), cents(col("s_acctbal")).as("x_orig")),
+        "x_orig", tieBreak = Seq("s_suppkey"), out = "r",
+        bucketWidth = 1L << 14)
+      val ref = ops.Stats.distributedRank(
+        Tables.customer(s, dir)
+          .select(cents(col("c_acctbal")).as("x_mapped"), col("c_custkey")),
+        "x_mapped", tieBreak = Seq("c_custkey"), out = "idx",
+        bucketWidth = 1L << 14)
         .select(col("idx"), col("x_mapped"))
       val n = src.agg(count(lit(1)).as("n"))
       val m = ref.agg(count(lit(1)).as("m"))
@@ -1125,8 +1131,10 @@ object Analytics3Queries {
     // measured 8.6 s vs 0.4 s for this running-count form at sf0.1).
     // Ties at equal distance resolve to the preceding row (declared);
     // customers sort before suppliers at equal value ('c' < 's'), so an
-    // exact match is always the preceding row with distance 0. At
-    // 100 TB the merge range-partitions on value.
+    // exact match is always the preceding row with distance 0. The
+    // merged running count executes as the two-phase bucketed
+    // Stats.distributedPrefixSum — value-range buckets ARE the 100 TB
+    // range partitioning, no single-partition sort.
     "q355_nearest_value_join" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
         .select(cents(col("c_acctbal")).as("v"), col("c_custkey").as("k"),
@@ -1134,11 +1142,10 @@ object Analytics3Queries {
       val supp = Tables.supplier(s, dir)
         .select(cents(col("s_acctbal")).as("v"), col("s_suppkey").as("k"),
           lit("s").as("tag"))
-      val w = Window.orderBy(col("v"), col("tag"), col("k"))
-      val merged = cust.unionByName(supp)
-        .withColumn("cgrp",
-          sum(when(col("tag") === "c", 1L).otherwise(0L)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val merged = ops.Stats.distributedPrefixSum(
+        cust.unionByName(supp), "v", tieBreak = Seq("tag", "k"),
+        addend = when(col("tag") === "c", 1L).otherwise(0L),
+        out = "cgrp", bucketWidth = 1L << 14)
       val custOrd = merged.filter(col("tag") === "c")
         .select(col("cgrp").as("ord"), col("v").as("cv"), col("k").as("ck"))
       val prev = custOrd.select(col("ord").as("cgrp"),
@@ -1978,11 +1985,12 @@ object Analytics3Queries {
       val cal = base.filter(col("fold") === 1)
         .join(broadcast(model), Seq("seg"))
         .withColumn("resid", abs(col("y") - col("yhat")))
-      val qhat = cal
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("resid"), col("ck"))).cast("long"))
-        .withColumn("n_cal", count(lit(1)).over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+      // exact-rank order statistic via the two-phase bucketed device
+      // (customer-scale residual frame — no single-partition sort); the
+      // calibration count attaches as the audited scalar-agg broadcast
+      val qhat = ops.Stats.distributedRank(
+          cal, "resid", tieBreak = Seq("ck"), out = "rn")
+        .crossJoin(broadcast(cal.agg(count(lit(1)).as("n_cal"))))
         .withColumn("target", expr("(9 * (n_cal + 1) + 9) div 10"))
         .agg(max(col("n_cal")).as("n_cal"),
           max(when(col("rn") === col("target"), col("resid"))).as("q_hat"))

@@ -251,12 +251,21 @@ object AnalyticsQueries {
     // Learning-curve prefixes: corpus ordered by md5(doc_id) (a
     // deterministic shuffle), stats at n/8, n/4, n/2, n — the
     // scaling-law data-diet readout. The 4-row size table broadcasts;
-    // the doc rank is one window over the md5 order.
+    // the doc rank executes as the two-phase bucketed device over the
+    // numeric md5 prefix (hex lexicographic == numeric order; ties
+    // break on the full digest then doc_id, identical to the oracle's
+    // ORDER BY md5, doc_id), width 2^49 over the 2^60 digest domain
+    // → ~2k balanced buckets at any corpus size.
     "q260_learning_curve" -> ((s, dir) => {
-      val ranked = Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      val ranked = ops.Stats.distributedRank(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("n_chars"))
+            .withColumn("_h", md5(col("doc_id").cast("string")))
+            .withColumn("_hv",
+              conv(substring(col("_h"), 1, 15), 16, 10).cast("long")),
+          "_hv", tieBreak = Seq("_h", "doc_id"), out = "rn",
+          bucketWidth = 1L << 49)
+        .drop("_h", "_hv")
       val sizes = ranked.agg(count(lit(1)).as("n_total"))
         .select(explode(array(lit(8L), lit(4L), lit(2L), lit(1L))).as("denom"),
           col("n_total"))
@@ -601,12 +610,18 @@ object AnalyticsQueries {
     // md5-ordered corpus prefix at n/8, n/4, n/2, n — computed in ONE
     // pass via each token's first-occurrence rank (min over a
     // deterministic doc order), then four threshold counts against the
-    // broadcast size table. No per-prefix distinct scans.
+    // broadcast size table. No per-prefix distinct scans; the doc rank
+    // rides the q260 two-phase numeric-md5 device (no global sort).
     "q272_vocab_growth" -> ((s, dir) => {
-      val ranked = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      val ranked = ops.Stats.distributedRank(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .withColumn("_h", md5(col("doc_id").cast("string")))
+            .withColumn("_hv",
+              conv(substring(col("_h"), 1, 15), 16, 10).cast("long")),
+          "_hv", tieBreak = Seq("_h", "doc_id"), out = "rn",
+          bucketWidth = 1L << 49)
+        .drop("_h", "_hv")
       val firstSeen = ranked
         .select(col("rn"),
           explode(graft.text.TextOps.tokens(col("text"))).as("token"))

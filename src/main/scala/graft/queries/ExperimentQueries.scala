@@ -534,10 +534,13 @@ object ExperimentQueries {
         .select(col("o_custkey").as("user_id"),
           col("l_partkey").as("item")).distinct()
       val nParts = lit(2000L)
-      val idx = Tables.part(s, dir)
-        .select(col("p_partkey"),
-          (row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("p_partkey"))) - 1).cast("long").as("pidx"))
+      // catalog index via the two-phase bucketed rank (p_partkey unique,
+      // so rank() == row_number) — dim-sized today, but the device holds
+      // at a 100 TB catalog where a partition-less window would not
+      val idx = ops.Stats.distributedRank(
+          Tables.part(s, dir).select(col("p_partkey")),
+          "p_partkey", out = "rn", bucketWidth = 1L << 10)
+        .select(col("p_partkey"), (col("rn") - 1).as("pidx"))
       val draws = pos.select(col("user_id"), col("item"),
           explode(array(lit(1), lit(2))).as("j"))
         .withColumn("pidx",

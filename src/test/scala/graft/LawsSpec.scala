@@ -279,6 +279,38 @@ class LawsSpec extends AnyFunSuite {
         .map { case ((k, _), i) => k -> (i + 1L) }.toMap
       assert(gotN === wantN,
         s"round $round row_number() diverged (width=$width)")
+
+      // inclusive prefix sum of an indicator (the q355 running-ordinal
+      // shape): addend = 1 iff the key is even
+      val gotS = graft.ops.Stats
+        .distributedPrefixSum(df, "v", Seq("k"),
+          when(col("k") % 2 === 0, 1L).otherwise(0L), "ps",
+          bucketWidth = width)
+        .select("k", "ps").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      var acc = 0L
+      val wantS = ordered.map { case (k, _) =>
+        acc += (if (k % 2 == 0) 1L else 0L); k -> acc
+      }.toMap
+      assert(gotS === wantS,
+        s"round $round prefixSum diverged (width=$width)")
+
+      // strict prefix min over a second attribute (the skyline shape):
+      // NULL exactly on the rows tied for the global minimum value
+      val df2 = rows.map { case (k, v) => (k, v, (k * 31 % 17)) }
+        .toDF("k", "v", "m")
+      val gotM = graft.ops.Stats
+        .distributedPrefixMin(df2, "v", "m", "pm", bucketWidth = width)
+        .select("k", "pm").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val wantM = rows.map { case (k, v) =>
+        val strictly = rows.filter(_._2 < v).map(r => r._1 * 31 % 17)
+        k -> (if (strictly.isEmpty) None else Some(strictly.min))
+      }.toMap
+      assert(gotM === wantM,
+        s"round $round prefixMin diverged (width=$width)")
     }
   }
 }

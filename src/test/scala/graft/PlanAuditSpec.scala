@@ -192,18 +192,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q93_sessionize_stream", "q94_ivfpq_serving", "q98_tumbling_stream",
       "q99_keyed_state_stream", "q102_join_stream", "q137_ann_recall",
       "q186_als_recs", "q187_word2vec", "q307_matryoshka_recall")
-    // queries whose global-order window is not yet aggregate-bounded,
-    // each with the declared reason (round-10 conversion queue — shrink,
-    // don't grow):
-    val globalOrderExcluded = Set(
-      "q237_negative_sampling",   // part-dim row_number sampling index
-      "q260_learning_curve",      // doc-scale md5-order training prefix
-      "q272_vocab_growth",        // doc-scale md5-order heaps curve
-      "q336_quantile_normalize",  // two dim-scale rank maps (supp/cust)
-      "q355_nearest_value_join",  // tagged union sort-merge lag device
-      "q365_skyline_2d",          // running-min prefix over part dim
-      "q373_skyline_stream",      // streamed twin of q365
-      "q380_conformal")           // customer-scale residual rank
+    // round-10: the conversion queue is EMPTY — every former global-
+    // order window (q237/q260/q272/q336/q355/q365/q373/q380) now rides
+    // distributedRank / distributedPrefixSum / distributedPrefixMin.
+    // Keep it empty: a new entry here needs a named reason.
+    val globalOrderExcluded = Set.empty[String]
     def flat(p: LogicalPlan): Seq[LogicalPlan] = p +: p.children.flatMap(flat)
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => true
