@@ -32,7 +32,11 @@ object SparkEntry {
     Relational.labelJoin(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
   }
 
-  private val areas: Seq[(Map[String, (SparkSession, String) => DataFrame],
+  // a def, not a val: Analytics4Queries.sql is DYNAMIC (its q386 oracle
+  // embeds the stop round the engine realized at run time), so the area
+  // list must be re-evaluated whenever oracleSql is re-read — Verify
+  // dumps oracle_sql.json only after running every query
+  private def areas: Seq[(Map[String, (SparkSession, String) => DataFrame],
                           Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.sql),
     (TextQueries.queries, TextQueries.sql),
@@ -46,6 +50,7 @@ object SparkEntry {
     (AnalyticsQueries.queries, AnalyticsQueries.sql),
     (Analytics2Queries.queries, Analytics2Queries.sql),
     (Analytics3Queries.queries, Analytics3Queries.sql),
+    (Analytics4Queries.queries, Analytics4Queries.sql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -58,8 +63,10 @@ object SparkEntry {
   }
 
   /** DuckDB equivalents (driver registers each fixture parquet as a view
-    * named by table basename). Aliases match the Spark column names. */
-  lazy val oracleSql: Map[String, String] = {
+    * named by table basename). Aliases match the Spark column names.
+    * A def (re-merged per access) so dynamic entries — q386's
+    * realized-stop-round unroll — are read post-run; see [[areas]]. */
+  def oracleSql: Map[String, String] = {
     val maps = areas.map(_._2)
     val merged = maps.reduce(_ ++ _)
     require(merged.size == maps.map(_.size).sum,

@@ -214,4 +214,45 @@ object Models {
   def savePipeline(model: PipelineModel, path: String): Unit =
     model.write.overwrite().save(path)
   def loadPipeline(path: String): PipelineModel = PipelineModel.load(path)
+
+  /** Bias-baseline recommender fit (μ + b_i + b_u — the Koren/Netflix
+    * "baseline predictor"), promoted from the q385 inline recipe into a
+    * reusable fit/serve artifact (round-9 "promote the bias-model
+    * recipe"): three grouped integer aggregates, no iteration, no
+    * floats. All means go through the OFFSET-POSITIVE integer form —
+    * residual sums can be negative, where Spark's `div` truncates but
+    * DuckDB's `//` floors; shifting each element by a per-level bound
+    * (`biOffset`, `buOffset` — caller-declared residual magnitude
+    * bounds) keeps every dividend non-negative so both engines agree
+    * exactly (the round-8 recipe).
+    *
+    * @param ratings (uCol, iCol, qCol) — qCol an exact integer rating
+    *                (cents/centi-units); the fit is one pass per level
+    * @return (mu, bi, bu): mu is ONE row (mu_c), bi is item-grain
+    *         (iCol, b_i), bu user-grain (uCol, b_u) — the persistable
+    *         model artifact; serve = μ + b_i + b_u with missing levels
+    *         coalesced to 0, clamped by the caller's rating bounds.
+    *         Item biases fold against μ, user biases against μ + b_i —
+    *         the standard sequential residual fit. */
+  def biasBaseline(
+      ratings: DataFrame,
+      uCol: String,
+      iCol: String,
+      qCol: String,
+      biOffset: Long = 5000L,
+      buOffset: Long = 10000L): (DataFrame, DataFrame, DataFrame) = {
+    val mu = ratings.agg(expr(s"sum($qCol) div count(1)").as("mu_c"))
+    val bi = ratings.crossJoin(broadcast(mu))
+      .groupBy(col(iCol), col("mu_c"))
+      .agg((expr(s"sum($qCol - mu_c + $biOffset) div count(1)") - biOffset)
+        .as("b_i"))
+      .select(col(iCol), col("b_i"))
+    val bu = ratings.crossJoin(broadcast(mu))
+      .join(bi, Seq(iCol), "left")
+      .withColumn("b_i", coalesce(col("b_i"), lit(0L)))
+      .groupBy(col(uCol))
+      .agg((expr(s"sum($qCol - mu_c - b_i + $buOffset) div count(1)")
+        - buOffset).as("b_u"))
+    (mu, bi, bu)
+  }
 }

@@ -299,4 +299,82 @@ object Graph {
     }
     scores.select(col("node"), col("score"))
   }
+
+  /** Epsilon-stop PageRank — [[pageRankInt]]'s CONVERGENCE-WITNESSED
+    * twin (round-9 "convergence-tested variant"): iterates the IDENTICAL
+    * exact-integer recurrence, measuring after each round the exact L1
+    * residual Σ|sᵣ − sᵣ₋₁| in scale units (one node-key join + one
+    * scalar aggregate per round — a bounded driver action, the
+    * greedy-cover witness rule; total |Δ| is ≤ 2·scaleUnit by mass
+    * conservation, so the sum is a plain BIGINT), and stopping at the
+    * FIRST round whose residual ≤ `epsilonUnits`, or at `maxIters`.
+    *
+    * Returns (scores, stopRound, residuals-by-round). The realized stop
+    * round is the convergence WITNESS: the caller rides it on every
+    * output row and the oracle unrolls exactly that many rounds of the
+    * same recurrence (the fixed-round q69 anchor), recomputing the final
+    * residual from its own last two rounds — so the loop's termination
+    * behavior, not just its final scores, is oracle-checked. Under a
+    * row-stochastic damped update the residual contracts by ≤
+    * dampingPct/100 per round (dangling leak only shrinks it), so the
+    * residual sequence is non-increasing — pinned as a GraphSpec law —
+    * and the stop round is a deterministic function of the data. */
+  def pageRankIntConverged(
+      edges: DataFrame, // (src: long, dst: long)
+      maxIters: Int = 20,
+      epsilonUnits: Long = 100000000000L,
+      dampingPct: Int = 85,
+      scaleUnit: Long = 1000000000000L): (DataFrame, Int, Seq[Long]) = {
+    require(maxIters >= 1 && maxIters <= 50,
+      s"maxIters must be in [1,50], got $maxIters")
+    require(epsilonUnits >= 0, s"epsilonUnits must be >= 0")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    var scores = nodes
+      .crossJoin(broadcast(nFrame))
+      .select(col("node"),
+        expr(s"$scaleUnit DIV n").as("score"),
+        expr(s"(${100 - dampingPct} * ($scaleUnit DIV n)) DIV 100").as("base"))
+      .localCheckpoint(true)
+    val residuals = scala.collection.mutable.ArrayBuffer[Long]()
+    var round = 0
+    var converged = false
+    while (round < maxIters && !converged) {
+      round += 1
+      val msgs = eDeg
+        .join(scores.select(col("node"), col("score")),
+          eDeg("src") === col("node"))
+        .select(col("dst"), expr("score DIV deg").as("msg"))
+        .groupBy(col("dst")).agg(sum(col("msg")).as("inbound"))
+      val next = scores
+        .select(col("node"), col("base"), col("score").as("prev_score"))
+        .join(msgs, scores("node") === msgs("dst"), "left_outer")
+        .select(col("node"),
+          (col("base") +
+            expr(s"($dampingPct * coalesce(inbound, 0L)) DIV 100"))
+            .as("score"),
+          col("base"), col("prev_score"))
+        .localCheckpoint(true)
+      // bounded scalar witness: the exact L1 residual of this round
+      val resid = next
+        .agg(sum(abs(col("score") - col("prev_score"))).as("r"))
+        .head().getLong(0)
+      residuals += resid
+      converged = resid <= epsilonUnits
+      scores = next.select(col("node"), col("score"), col("base"))
+    }
+    (scores.select(col("node"), col("score")), round, residuals.toSeq)
+  }
 }

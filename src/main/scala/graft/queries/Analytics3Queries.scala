@@ -2145,22 +2145,10 @@ object Analytics3Queries {
         .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
           col("q_c"), (col("o_orderkey") % 2).as("fold"))
       val train = r.filter(col("fold") === 1)
-      val mu = train.agg(expr("sum(q_c) div count(1)").as("mu_c"))
-      // bias means go through the OFFSET-POSITIVE form: residual sums
-      // can be negative, where Spark div truncates but DuckDB // floors
-      // — shifting each element by a bound (+5000 / +10000) keeps the
-      // dividend non-negative so the two agree (the round-8 recipe)
-      val bi = train.crossJoin(broadcast(mu))
-        .groupBy(col("i"), col("mu_c"))
-        .agg((expr("sum(q_c - mu_c + 5000) div count(1)") - 5000L)
-          .as("b_i"))
-        .select(col("i"), col("b_i"))
-      val bu = train.crossJoin(broadcast(mu))
-        .join(bi, Seq("i"), "left")
-        .withColumn("b_i", coalesce(col("b_i"), lit(0L)))
-        .groupBy(col("u"))
-        .agg((expr("sum(q_c - mu_c - b_i + 10000) div count(1)") - 10000L)
-          .as("b_u"))
+      // offset-positive integer bias fit, promoted to the reusable
+      // ml.Models.biasBaseline (identical algebra — oracle unchanged);
+      // q387 persists the same artifacts and serves from disk
+      val (mu, bi, bu) = ml.Models.biasBaseline(train, "u", "i", "q_c")
       r.filter(col("fold") === 0)
         .crossJoin(broadcast(mu))
         .join(bi, Seq("i"), "left")

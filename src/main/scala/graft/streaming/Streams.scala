@@ -33,6 +33,10 @@ case class FunnelUpdate(user_id: Long, times: Seq[Option[Long]], stage: Int)
   * event arrives later (see the pruning proof on the method). */
 case class FunnelState(times: Seq[Long], pending: Seq[Seq[Long]])
 
+/** Keyed state AND output row of [[Streams.srmKeyedStream]]: one variant's
+  * cumulative even/odd user-parity assignment counters. */
+case class VariantCounts(variant: String, n0: Long, n1: Long)
+
 /** Structured Streaming surface (SURVEY.md §2.8 — additive; the reference is
   * batch-only, the `events` fixture and north-star require streams).
   *
@@ -873,6 +877,86 @@ object Streams {
         .groupBy(col(groupCol))
         .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1")),
       groupCol, threshold)
+  }
+
+  /** The SRM gate's CUSTOM-KEYED-STATE form (round-9 "streaming
+    * keyed-state coverage for the experiment gates"): per-variant
+    * (n0, n1) assignment counters held in `flatMapGroupsWithState`
+    * rather than re-aggregated per batch — the §2.8 arbitrary-state
+    * primitive run over the experiment surface. Each micro-batch folds
+    * its rows into the variant's cumulative state and emits the updated
+    * counters (Update mode); emissions land batchId-keyed (the
+    * [[srmGateStream]] replay rule), and the readout takes each
+    * variant's LATEST cumulative emission — max batch_id, exact because
+    * the state is cumulative — then derives χ² through the SAME
+    * [[graft.ops.Experiment.srmFromCounts]] algebra as batch q208, so
+    * the drained result hash-equals the batch oracle.
+    *
+    * State bound: ONE small record per variant — the experiment's arm
+    * domain, bounded by design, which is why `GroupStateTimeout.NoTimeout`
+    * is correct here with no watermark eviction; a gate keyed by an
+    * UNBOUNDED domain (per-user state) must instead pair this with a
+    * timeout/eviction policy, as [[streamingFunnel]]'s watermark
+    * analysis documents. */
+  def srmKeyedStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      groupCol: String,
+      userCol: String,
+      threshold: Double = 3.841,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(eventsDir)
+    val folded = stream
+      .select(col(groupCol).cast("string"),
+        pmod(col(userCol).cast("long"), lit(2L)))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[VariantCounts, VariantCounts](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (variant: String, rows: Iterator[(String, Long)],
+         state: GroupState[VariantCounts]) =>
+          val prev = state.getOption.getOrElse(VariantCounts(variant, 0L, 0L))
+          var n0 = prev.n0
+          var n1 = prev.n1
+          rows.foreach { case (_, par) =>
+            if (par == 0L) n0 += 1 else n1 += 1
+          }
+          val updated = VariantCounts(variant, n0, n1)
+          state.update(updated)
+          Iterator(updated)
+      }
+    val q = folded.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.coalesce(1)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow keyed SRM stream must drain")
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("variant",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    val latest = readPartials(spark, partialsDir, partialsSchema)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("variant")).orderBy(col("batch_id").desc)))
+      .filter(col("_rk") === 1)
+      .select(col("variant").as(groupCol), col("n0"), col("n1"))
+    graft.ops.Experiment.srmFromCounts(latest, groupCol, threshold)
   }
 
   /** Streaming KMV (k-minimum-values) distinct sketch per group — the

@@ -139,4 +139,35 @@ class GraphSpec extends AnyFunSuite {
     // node 1 has degree 3; nodes 2,3,4,5,6 have degree 1
     assert(hist === Map(3L -> 1L, 1L -> 5L))
   }
+
+  test("LAW pageRankIntConverged: residuals monotone non-increasing, the " +
+      "stop condition is tight, and stop-round scores == the fixed-round " +
+      "form at the same round count") {
+    // an irregular graph (hub + tail + ring) so the residual sequence is
+    // non-trivial; small enough that every round is a handful of rows
+    val edges = undirected(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L,
+      5L -> 6L, 6L -> 7L, 7L -> 8L, 8L -> 5L, 3L -> 9L)
+    val eps = 50000000000L // 5% of mass — forces several rounds
+    val (scores, stopRound, residuals) =
+      Graph.pageRankIntConverged(edges, maxIters = 40, epsilonUnits = eps)
+    assert(residuals.length == stopRound)
+    // monotone non-increasing (damped row-stochastic contraction)
+    residuals.zip(residuals.tail).foreach { case (a, b) =>
+      assert(b <= a, s"residuals not monotone: $residuals")
+    }
+    // tight stop: the loop neither overshoots nor quits early — every
+    // pre-stop residual > eps, and (when it converged before the cap)
+    // the final one <= eps
+    assert(stopRound < 40, s"expected convergence under the cap: $residuals")
+    assert(residuals.last <= eps)
+    residuals.init.foreach(r => assert(r > eps,
+      s"loop ran past convergence: $residuals"))
+    // the witnessed scores are EXACTLY the fixed-round form's — the
+    // oracle-anchoring contract
+    val got = scores.as[(Long, Long)].collect().toMap
+    val want = Graph.pageRankInt(edges, iters = stopRound)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
 }

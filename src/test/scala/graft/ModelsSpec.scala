@@ -193,4 +193,29 @@ class ModelsSpec extends AnyFunSuite {
       .as[(Long, Seq[Double])].collect().toMap
     assert(before === after)
   }
+
+  test("biasBaseline: artifacts match a driver-side offset-positive " +
+      "integer replay (mu, item bias vs mu, user bias vs mu + b_i)") {
+    import org.apache.spark.sql.functions._
+    val ratings = Seq(
+      (1L, 10L, 300L), (1L, 11L, 500L), (2L, 10L, 100L),
+      (2L, 12L, 900L), (3L, 11L, 700L), (3L, 12L, 200L), (3L, 10L, 400L))
+      .toDF("u", "i", "q_c")
+    val (mu, bi, bu) = graft.ml.Models.biasBaseline(ratings, "u", "i", "q_c")
+    def floorDivPos(sum: Long, n: Long, off: Long): Long =
+      (sum + off * n) / n - off // dividend kept non-negative by off
+    val rows = Seq((1L, 10L, 300L), (1L, 11L, 500L), (2L, 10L, 100L),
+      (2L, 12L, 900L), (3L, 11L, 700L), (3L, 12L, 200L), (3L, 10L, 400L))
+    val muW = rows.map(_._3).sum / rows.length
+    assert(mu.head().getLong(0) == muW)
+    val biW = rows.groupBy(_._2).map { case (i, rs) =>
+      i -> floorDivPos(rs.map(_._3 - muW).sum, rs.length, 5000L)
+    }
+    assert(bi.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === biW)
+    val buW = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> floorDivPos(rs.map(r => r._3 - muW - biW(r._2)).sum,
+        rs.length, 10000L)
+    }
+    assert(bu.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === buW)
+  }
 }
