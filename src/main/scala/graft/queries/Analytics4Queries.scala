@@ -29,6 +29,9 @@ object Analytics4Queries {
     * dynamic oracle entry (-1 = not run this process). */
   private[graft] val prStopRound = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Realized q390 stop round — same dynamic-oracle contract. */
+  private[graft] val hitsStopRound = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** The q69 interaction graph (customer/supplier bipartite, doubled to
     * undirected) — reused so the convergence twin anchors to the same
     * fixed-round recurrence the q69 oracle already replays. */
@@ -87,7 +90,11 @@ object Analytics4Queries {
       mu.coalesce(1).write.mode("overwrite").parquet(predsPath("q387_mu"))
       bi.coalesce(1).write.mode("overwrite").parquet(predsPath("q387_bi"))
       bu.coalesce(1).write.mode("overwrite").parquet(predsPath("q387_bu"))
+      // the stored one-row mu attaches as a keys=[] aggregate over its
+      // parquet (max of the single row — value-identical), keeping the
+      // crossJoin(broadcast(...)) inside the audited scalar-agg idiom
       val muS = s.read.parquet(predsPath("q387_mu"))
+        .agg(max(col("mu_c")).as("mu_c"))
       val biS = s.read.parquet(predsPath("q387_bi"))
       val buS = s.read.parquet(predsPath("q387_bu"))
       r.filter(col("fold") === 0 && col("u") % 20 === 0)
@@ -99,6 +106,91 @@ object Analytics4Queries {
             col("mu_c") + coalesce(col("b_i"), lit(0L)) +
               coalesce(col("b_u"), lit(0L)))))
         .select(col("u"), col("i"), col("q_c"), col("pred_c"))
+    }),
+
+
+    // EXACT global quantiles at scale — the distributedRank device's
+    // flagship use: the p50/p90/p99 order statistics of order value
+    // picked by exact rank ceil(q·n/100) = (q·n + 99) div 100 (never an
+    // interpolated percentile), with the total attaching as the audited
+    // scalar-agg broadcast. The naive formulation (one global
+    // row_number) is what the oracle states; the engine pays two
+    // parallel passes and one tiny single-partition fold instead of
+    // sorting the fact table on one task.
+    "q389_exact_quantiles" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .select(cents(col("o_totalprice")).as("v"), col("o_orderkey").as("k"))
+      val ranked = ops.Stats.distributedRank(
+        d, "v", tieBreak = Seq("k"), out = "rn", bucketWidth = 1L << 19)
+      ranked.crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+        .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
+        .filter(col("rn") === expr("(q * n + 99) div 100"))
+        .select(col("q"), col("n"), col("v").as("value_cents"))
+    }),
+
+
+    // Convergence-WITNESSED HITS — q331's recurrence (integer ppm
+    // hub/authority scores, max-normalized per half-round) with the
+    // q386 epsilon-stop discipline: iterate until the hub scores' exact
+    // L1 residual Σ|hᵣ − hᵣ₋₁| (ppm units over the hub node set) drops
+    // to <= epsilon, or 15 rounds. Stop round + final residual ride
+    // every row; the oracle is generated post-run and unrolls exactly
+    // that many rounds, recomputing the residual from its last two hub
+    // frames — the second member of the convergence-witnessed pair.
+    "q390_hits_converged" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val maxIters = 15
+      var hub = e.select(col("src").as("node")).distinct()
+        .withColumn("h", lit(1000000L))
+        .localCheckpoint()
+      // RELATIVE epsilon: stop when the average hub moves < 200 ppm
+      // (0.02% of the 1e6 normalization) — scale-invariant, unlike an
+      // absolute residual which a 10× hub count would never reach; the
+      // hub count is one bounded scalar action (the loop does one per
+      // round anyway)
+      val eps = 200L * hub.count()
+      var auth: DataFrame = null
+      var round = 0
+      var finalResid = 0L
+      var converged = false
+      while (round < maxIters && !converged) {
+        round += 1
+        val a0 = e.join(hub.select(col("node"), col("h")),
+            e("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a0"))
+        auth = a0
+          .crossJoin(broadcast(a0.agg(max(col("a0")).as("mxa"))))
+          .select(col("dst").as("node"), expr("a0 * 1000000 div mxa").as("a"))
+          .localCheckpoint()
+        val h0 = e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h0"))
+        val nextHub = h0
+          .crossJoin(broadcast(h0.agg(max(col("h0")).as("mxh"))))
+          .select(col("src").as("node"), expr("h0 * 1000000 div mxh").as("h"))
+          .localCheckpoint()
+        // bounded scalar witness: exact hub L1 residual this round (the
+        // hub node set — sources — is round-invariant, so the join is
+        // total)
+        finalResid = nextHub
+          .join(hub.select(col("node"), col("h").as("hp")), "node")
+          .agg(sum(abs(col("h") - col("hp"))).as("r"))
+          .head().getLong(0)
+        converged = finalResid <= eps
+        hub = nextHub
+      }
+      hitsStopRound.set(round)
+      hub.select(col("node"), lit("hub").as("kind"), col("h").as("score"))
+        .unionByName(auth.select(col("node"), lit("auth").as("kind"),
+          col("a").as("score")))
+        .withColumn("stop_round", lit(round.toLong))
+        .withColumn("final_residual", lit(finalResid))
     }),
 
 
@@ -118,6 +210,57 @@ object Analytics4Queries {
       streaming.Streams.srmKeyedStream(s, s"$root/events", ev.schema,
         s"$root/partials", s"$root/ckpt",
         groupCol = "event_type", userCol = "user_id")
+    }),
+
+
+    // Weighted sampling WITHOUT replacement, deterministic (Efraimidis–
+    // Spirakis A-Res with the md5 portable-uniform): u = (md5₁₅(pk)+1) /
+    // 16¹⁵ (one exact double division — identical IEEE both engines),
+    // the exponential key -ln(u)/w carried as the NON-NEGATIVE integer
+    // key_q = (-floor(1e6·ln u)) · 1e6 div w (the q274 floor-quantized
+    // ln rule + non-negative div — trunc == floor on both engines;
+    // quantization IS the declared key), smallest-key-first = largest
+    // u^(1/w). The top-100 revenue-weighted part sample, selected by
+    // exact rank via the distributedRank device — a pure function of
+    // (key, weight): identical on any cluster or partitioning.
+    "q391_weighted_sample" -> ((s, dir) => {
+      val w = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(cents(col("l_extendedprice"))).as("w"))
+        .filter(col("w") > 0)
+      val keyed = w
+        .withColumn("u",
+          (conv(substring(md5(col("pk").cast("string")), 1, 15), 16, 10)
+            .cast("double") + 1.0) / 1152921504606846976.0)
+        .withColumn("nlq", -floor(lit(1e6) * log(col("u"))).cast("long"))
+        .withColumn("key_q", expr("nlq * 1000000 div w"))
+      ops.Stats.distributedRank(keyed, "key_q",
+          tieBreak = Seq("pk"), out = "rn", bucketWidth = 1L << 16)
+        .filter(col("rn") <= 100)
+        .select(col("pk"), col("w"), col("key_q"), col("rn"))
+    }),
+
+
+    // Temperature-scaled corpus mixture (the data-recipe op behind
+    // multilingual/multi-domain pretraining mixes): per-source sampling
+    // shares ∝ n_tokens^(1/T) with T = 2 — IEEE sqrt is exact-rounded in
+    // every engine, floored to integer milli-units — then integer-ppm
+    // shares and a 10M-token budget allocation via div. Flattens the
+    // source distribution exactly the way raw proportional sampling
+    // (T=1) does not; one grouped pass + one broadcast total.
+    "q392_temperature_mixture" -> ((s, dir) => {
+      val src = Tables.documents(s, dir)
+        .select(col("source"),
+          size(text.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("w_milli",
+          floor(sqrt(col("n_tokens").cast("double")) * 1000.0).cast("long"))
+      src.crossJoin(broadcast(src.agg(sum(col("w_milli")).as("w_tot"))))
+        .withColumn("share_ppm", expr("w_milli * 1000000 div w_tot"))
+        .withColumn("alloc_tokens", expr("share_ppm * 10000000 div 1000000"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("w_milli"), col("share_ppm"), col("alloc_tokens"))
     }),
   )
 
@@ -155,12 +298,116 @@ object Analytics4Queries {
          |FROM pr$rounds a CROSS JOIN resid""".stripMargin
   }
 
+  /** q331's unrolled HITS oracle generator, parameterized by rounds. */
+  private def hitsUnrolledSql(rounds: Int): String = {
+    def round(k: Int): String =
+      s"""a${k}0 AS MATERIALIZED (
+         |  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a0
+         |  FROM edges e JOIN h${k - 1} h ON e.src = h.node
+         |  GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         |  SELECT dst AS node,
+         |    CAST(a0 * 1000000 // (SELECT max(a0) FROM a${k}0) AS BIGINT)
+         |      AS a
+         |  FROM a${k}0),
+         |h${k}0 AS MATERIALIZED (
+         |  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h0
+         |  FROM edges e JOIN a$k a ON e.dst = a.node
+         |  GROUP BY 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT src AS node,
+         |    CAST(h0 * 1000000 // (SELECT max(h0) FROM h${k}0) AS BIGINT)
+         |      AS h
+         |  FROM h${k}0)""".stripMargin
+    val prev = if (rounds == 1) "h0" else s"h${rounds - 1}"
+    """WITH edges AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |h0 AS (
+      |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h
+      |  FROM edges),
+      |""".stripMargin +
+      (1 to rounds).map(round).mkString(",\n") +
+      s""",
+         |resid AS (
+         |  SELECT CAST(SUM(ABS(a.h - b.h)) AS BIGINT) AS r
+         |  FROM h$rounds a JOIN $prev b ON a.node = b.node)
+         |SELECT node, 'hub' AS kind, h AS score,
+         |  CAST($rounds AS BIGINT) AS stop_round, resid.r AS final_residual
+         |FROM h$rounds CROSS JOIN resid
+         |UNION ALL
+         |SELECT node, 'auth' AS kind, a AS score,
+         |  CAST($rounds AS BIGINT) AS stop_round, resid.r AS final_residual
+         |FROM a$rounds CROSS JOIN resid""".stripMargin
+  }
+
   /** Dynamic oracle map — see the object scaladoc for why this is a
-    * `def`: the q386 entry must embed the post-run stop round. */
+    * `def`: the q386/q390 entries must embed the post-run stop round. */
   def sql: Map[String, String] = Map(
 
     "q386_pagerank_converged" ->
       pagerankUnrolledSql(math.max(1, prStopRound.get)),
+
+    "q390_hits_converged" ->
+      hitsUnrolledSql(math.max(1, hitsStopRound.get)),
+
+    // the naive global row_number formulation — the engine's two-phase
+    // decomposition must land on exactly these order statistics
+    "q389_exact_quantiles" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+        |    AS v, o_orderkey AS k
+        |  FROM orders),
+        |r AS (
+        |  SELECT v,
+        |    CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM d)
+        |SELECT q, n, v AS value_cents
+        |FROM r CROSS JOIN (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q)
+        |WHERE rn = (q * n + 99) // 100""".stripMargin,
+
+    // identical md5-uniform, identical floor-quantized ln key, identical
+    // rank pick — the sample is a pure function of (key, weight)
+    "q391_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(CAST(l_extendedprice
+        |    AS DECIMAL(30,2)) * 100 AS BIGINT)) > 0),
+        |keyed AS (
+        |  SELECT pk, w,
+        |    CAST(-floor(1e6 * ln(
+        |      (CAST('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 15)
+        |        AS BIGINT) + 1.0) / 1152921504606846976.0)) AS BIGINT)
+        |      AS nlq
+        |  FROM w),
+        |r AS (
+        |  SELECT pk, w, nlq * 1000000 // w AS key_q
+        |  FROM keyed),
+        |rk AS (
+        |  SELECT pk, w, CAST(key_q AS BIGINT) AS key_q,
+        |    CAST(row_number() OVER (ORDER BY key_q, pk) AS BIGINT) AS rn
+        |  FROM r)
+        |SELECT pk, w, key_q, rn FROM rk WHERE rn <= 100""".stripMargin,
+
+    "q392_temperature_mixture" ->
+      """WITH src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |wm AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0)
+        |    AS BIGINT) AS w_milli
+        |  FROM src),
+        |t AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_tot FROM wm)
+        |SELECT source, n_docs, n_tokens, w_milli,
+        |  CAST(w_milli * 1000000 // w_tot AS BIGINT) AS share_ppm,
+        |  CAST((w_milli * 1000000 // w_tot) * 10000000 // 1000000
+        |    AS BIGINT) AS alloc_tokens
+        |FROM wm CROSS JOIN t""".stripMargin,
 
     // serve replayed from the SAME persisted bias artifacts: identical
     // coalesce-and-clamp arithmetic, identical sampled user set
