@@ -2,6 +2,7 @@ package graft
 package queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryShared.predsPath
@@ -262,6 +263,101 @@ object Analytics4Queries {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("w_milli"), col("share_ppm"), col("alloc_tokens"))
     }),
+
+
+    // Curriculum-ordered GPT packing — the two distributed devices
+    // COMPOSED end to end: documents ranked by descending language
+    // quality (function-word per-mille, tie doc_id) via distributedRank,
+    // then the token stream packed in CURRICULUM order via
+    // Packing.packOffsets keyed on the rank (its id-range buckets ARE
+    // the rank space) — the curriculum-learning corpus layout, fully
+    // distributed: no single-partition sort anywhere. The oracle states
+    // both naive windows (row_number over fw desc, cumsum over rank).
+    "q393_curriculum_pack" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(text.TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+          text.TextOps.functionWordScore(text.TextOps.tokens(col("text")))
+            .as("fw"))
+      val ranked = ops.Stats.distributedRank(
+        base.withColumn("negfw", -col("fw")),
+        "negfw", tieBreak = Seq("doc_id"), out = "crank", bucketWidth = 64L)
+      llm.Packing.packOffsets(ranked, "crank", col("n_tok"), budget = 512L)
+        .join(ranked.select(col("crank"), col("doc_id"), col("fw")), "crank")
+        .select(col("doc_id"), col("crank"), col("fw"), col("n_tok"),
+          col("start_off"), col("end_off"), col("first_seq"), col("last_seq"))
+    }),
+
+
+    // Prequential (online add-one) code length per user — the MDL
+    // "compression = prediction" diagnostic over behavioral sequences:
+    // each event's cost is ln((i−1+A)/(c_prev+1)) nats, where c_prev is
+    // the count of the SAME type before position i and A the global
+    // type-alphabet size; both lns are floor-quantized to µnats
+    // SEPARATELY (two quantized terms — the declared form, exact and
+    // identical both engines) and summed order-free. The per-user total
+    // against the uniform baseline n·ln(A) gives a predictability ratio
+    // in ppm. Windows partition by user / (user, type) — never global.
+    "q394_prequential_code" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val alpha = ev.select(col("event_type")).distinct()
+        .agg(count(lit(1)).as("a"))
+      def lnMicro(c: org.apache.spark.sql.Column) =
+        floor(lit(1e6) * log(c.cast("double"))).cast("long")
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wUT = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.crossJoin(broadcast(alpha))
+        .withColumn("i", row_number().over(wU).cast("long"))
+        .withColumn("c_prev", row_number().over(wUT).cast("long") - 1L)
+        .withColumn("cost_micro",
+          lnMicro(col("i") - 1 + col("a")) - lnMicro(col("c_prev") + 1))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("a")).as("a"),
+          sum(col("cost_micro")).as("code_micro"))
+        .withColumn("uniform_micro",
+          col("n_events") * lnMicro(col("a")))
+        .withColumn("ratio_ppm",
+          expr("code_micro * 1000000 div uniform_micro"))
+        .select(col("user_id"), col("n_events"), col("code_micro"),
+          col("uniform_micro"), col("ratio_ppm"))
+    }),
+
+
+    // Deterministic FRACTIONAL epoch upsampling — the data-recipe op
+    // behind quality-weighted corpus repetition ("2.5 epochs of the
+    // high-quality tier"): per-tier factors in tenths (long 25,
+    // medium 15, short 10); every doc contributes floor(f/10) full
+    // epochs and one more iff md5₁₅(doc_id) mod 10 < f mod 10 — a pure
+    // function of the key, so the realized plan is identical on any
+    // cluster. Output: per-tier doc/token totals, realized epoch rows,
+    // exact effective tokens, and the effective-share ppm.
+    "q395_epoch_upsample" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(text.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("tier", text.TextOps.qualityBucket(col("n_tok")))
+        .withColumn("f_tenths",
+          when(col("tier") === "long", 25L)
+            .when(col("tier") === "medium", 15L).otherwise(10L))
+        .withColumn("extra",
+          when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long"), lit(10L)) < col("f_tenths") % 10, 1L)
+            .otherwise(0L))
+        .withColumn("epochs", expr("f_tenths div 10") + col("extra"))
+      val tiers = base.groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("base_tokens"),
+          sum(col("epochs")).as("epoch_rows"),
+          sum(col("n_tok") * col("epochs")).as("effective_tokens"))
+      tiers.crossJoin(broadcast(
+          tiers.agg(sum(col("effective_tokens")).as("eff_tot"))))
+        .withColumn("share_ppm",
+          expr("effective_tokens * 1000000 div eff_tot"))
+        .select(col("tier"), col("n_docs"), col("base_tokens"),
+          col("epoch_rows"), col("effective_tokens"), col("share_ppm"))
+    }),
   )
 
   /** q69's unrolled-round oracle generator, parameterized by round count
@@ -391,6 +487,98 @@ object Analytics4Queries {
         |    CAST(row_number() OVER (ORDER BY key_q, pk) AS BIGINT) AS rn
         |  FROM r)
         |SELECT pk, w, key_q, rn FROM rk WHERE rn <= 100""".stripMargin,
+
+    // both naive windows stated: the quality rank (row_number over
+    // fw desc) and the global stream cumsum — the engine's composed
+    // two-phase devices must land bit-identically
+    "q393_curriculum_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ts) > 0 THEN
+        |      CAST(floor(1000.0 * len(list_filter(ts,
+        |        x -> x IN ('the','a','an','of','to','and','in','is','it','that')))
+        |        / len(ts)) AS BIGINT)
+        |    ELSE 0 END AS fw
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tok, fw,
+        |    CAST(row_number() OVER (ORDER BY -fw, doc_id) AS BIGINT) AS crank
+        |  FROM base),
+        |o AS (
+        |  SELECT doc_id, crank, fw, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY crank
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        |  FROM r)
+        |SELECT doc_id, crank, fw, n_tok, end_off - n_tok AS start_off,
+        |  end_off,
+        |  CAST((end_off - n_tok) // 512 AS BIGINT) AS first_seq,
+        |  CAST(greatest((end_off - 1) // 512, (end_off - n_tok) // 512)
+        |    AS BIGINT) AS last_seq
+        |FROM o""".stripMargin,
+
+    "q394_prequential_code" ->
+      """WITH al AS (
+        |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS a
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS i,
+        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) - 1 AS BIGINT) AS c_prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, al.a,
+        |    CAST(floor(1e6 * ln(CAST(i - 1 + al.a AS DOUBLE))) AS BIGINT)
+        |    - CAST(floor(1e6 * ln(CAST(c_prev + 1 AS DOUBLE))) AS BIGINT)
+        |      AS cost_micro
+        |  FROM r CROSS JOIN al),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(a) AS BIGINT) AS a,
+        |    CAST(sum(cost_micro) AS BIGINT) AS code_micro
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events, code_micro,
+        |  n_events * CAST(floor(1e6 * ln(CAST(a AS DOUBLE))) AS BIGINT)
+        |    AS uniform_micro,
+        |  CAST(code_micro * 1000000
+        |    // (n_events * CAST(floor(1e6 * ln(CAST(a AS DOUBLE))) AS BIGINT))
+        |    AS BIGINT) AS ratio_ppm
+        |FROM g""".stripMargin,
+
+    "q395_epoch_upsample" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok >= 80 THEN 'long'
+        |         WHEN n_tok >= 40 THEN 'medium' ELSE 'short' END AS tier,
+        |    CASE WHEN n_tok >= 80 THEN 25
+        |         WHEN n_tok >= 40 THEN 15 ELSE 10 END AS f_tenths
+        |  FROM base),
+        |e AS (
+        |  SELECT tier, n_tok,
+        |    (f_tenths // 10) + CASE WHEN
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) % 10 < f_tenths % 10 THEN 1 ELSE 0 END AS epochs
+        |  FROM t),
+        |g AS (
+        |  SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS base_tokens,
+        |    CAST(sum(epochs) AS BIGINT) AS epoch_rows,
+        |    CAST(sum(n_tok * epochs) AS BIGINT) AS effective_tokens
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(effective_tokens) AS BIGINT) AS eff_tot
+        |        FROM g)
+        |SELECT tier, n_docs, base_tokens, epoch_rows, effective_tokens,
+        |  CAST(effective_tokens * 1000000 // eff_tot AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN tot""".stripMargin,
 
     "q392_temperature_mixture" ->
       """WITH src AS (
