@@ -694,4 +694,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(joined.filter($"n" =!= $"n2").count() === 0)
     assert(viaStreamOp.count() === viaTrunc.count())
   }
+
+  test("srmKeyedStream (flatMapGroupsWithState) == srmGateStream (partial " +
+      "tables) == batch srmCheck, under single-file micro-batches") {
+    // the same gate computed three independent ways: cumulative keyed
+    // state, per-batch mergeable partials, and the one-shot batch fold —
+    // a disagreement anywhere is a state-management bug
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"event_type")
+    val root = s"target/tmp/streams/srm_keyed_${System.nanoTime()}"
+    ev.repartition(5).write.mode("overwrite").parquet(s"$root/events")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_type", $"n0", $"n1", $"chi2", $"srm")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    val keyed = canon(Streams.srmKeyedStream(spark, s"$root/events",
+      ev.schema, s"$root/p1", s"$root/c1",
+      groupCol = "event_type", userCol = "user_id", maxFilesPerTrigger = 1))
+    val partials = canon(Streams.srmGateStream(spark, s"$root/events",
+      ev.schema, s"$root/p2", s"$root/c2",
+      groupCol = "event_type", userCol = "user_id", maxFilesPerTrigger = 1))
+    val batch = canon(graft.ops.Experiment.srmCheck(ev,
+      "event_type", "user_id"))
+    assert(keyed === batch, "keyed-state gate must equal the batch fold")
+    assert(partials === batch, "partials gate must equal the batch fold")
+  }
 }
