@@ -331,6 +331,51 @@ object Analytics4Queries {
     }),
 
 
+    // Corpus n-gram NOVELTY curve (the memorization/duplication read
+    // behind data-diet decisions): documents take the md5-deterministic
+    // corpus order (the q260 two-phase rank device), each doc's distinct
+    // 5-gram shingles map to their FIRST corpus occurrence (one grouped
+    // min on the gram key), and the doc's novelty is the ppm share of
+    // its grams it introduces. Pure key-equi shuffles — gram grain,
+    // never pair grain; short docs (<5 tokens) emit nothing (declared).
+    "q396_ngram_novelty" -> ((s, dir) => {
+      val ranked = ops.Stats.distributedRank(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+            .withColumn("_h", md5(col("doc_id").cast("string")))
+            .withColumn("_hv",
+              conv(substring(col("_h"), 1, 15), 16, 10).cast("long")),
+          "_hv", tieBreak = Seq("_h", "doc_id"), out = "rn",
+          bucketWidth = 1L << 49)
+        .drop("_h", "_hv")
+      // tokens() materialized as its own column BEFORE ngrams() — nested
+      // inside the n-gram lambda, codegen re-evaluates the regexp per
+      // emitted gram (the q370/q274 lesson; measured 12.5 s → ~1 s for
+      // the explode at sf0.1). Grams then travel as their 60-bit
+      // md5-prefix key (the rowDigest56 trade — portable to the oracle,
+      // 8 shuffle bytes instead of a ~40-byte string), and the frame is
+      // checkpointed because BOTH the first-occurrence fold and the
+      // join probe consume it (the covisitation re-scan rule).
+      val grams = ranked
+        .select(col("doc_id"), col("rn"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("rn"),
+          explode(array_distinct(text.TextOps.ngrams(col("ts"), 5))).as("g"))
+        .select(col("doc_id"), col("rn"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+        .localCheckpoint(true)
+      val first = grams.groupBy(col("gh")).agg(min(col("rn")).as("first_rn"))
+      grams.join(first, "gh")
+        .groupBy(col("doc_id"), col("rn"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_rn") === col("rn"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          col("novelty_ppm"))
+    }),
+
+
     // Deterministic FRACTIONAL epoch upsampling — the data-recipe op
     // behind quality-weighted corpus repetition ("2.5 epochs of the
     // high-quality tier"): per-tier factors in tenths (long 25,
@@ -553,6 +598,36 @@ object Analytics4Queries {
         |    // (n_events * CAST(floor(1e6 * ln(CAST(a AS DOUBLE))) AS BIGINT))
         |    AS BIGINT) AS ratio_ppm
         |FROM g""".stripMargin,
+
+    "q396_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, ts,
+        |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM t),
+        |g0 AS (
+        |  SELECT doc_id, rn, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(ts) - 4), i ->
+        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |      ts[i+3] || ' ' || ts[i+4]))) AS g
+        |  FROM r WHERE len(ts) >= 5),
+        |g AS (
+        |  SELECT doc_id, rn,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        |  FROM g0),
+        |f AS (
+        |  SELECT gh, CAST(min(rn) AS BIGINT) AS first_rn FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_rn = g.rn THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_rn = g.rn THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM g JOIN f ON g.gh = f.gh
+        |GROUP BY 1""".stripMargin,
 
     "q395_epoch_upsample" ->
       """WITH base AS (
