@@ -20,6 +20,46 @@ import org.apache.spark.sql.functions._
   * dropped-baskets diagnostic rather than a silent cap. */
 object Stats {
 
+  /** Loud mis-sizing guard for the distributedRank-family bucket-totals
+    * frame (round-10 ADVICE + VERDICT "Watch"): the device's whole
+    * premise is that the per-bucket frame is TINY (broadcast) and no
+    * single bucket holds a task-breaking share of the rows (per-bucket
+    * window). Both premises are `bucketWidth` choices, and a bad width
+    * previously DEGRADED silently — too-small width reinstates the
+    * driver/broadcast bottleneck, too-large width (or a domain
+    * concentrated inside one width) recreates the single-task sort the
+    * device exists to remove. The guard stays PLAN-RESIDENT (no eager
+    * action): one scalar aggregate over the already-aggregated bucket
+    * frame rides the broadcast side, and the prefix column itself is
+    * wrapped in the check — it cannot be pruned because every output
+    * row reads it, and it fires on the FIRST row the broadcast
+    * materializes, before the driver absorbs a row-scale "tiny" frame.
+    *
+    * `perBucket` must carry `_rb`, the prefix output `_bb`, and a
+    * per-bucket row count `_bn_rows`; returns (`_rb`, `_bb`) with the
+    * guard fused into `_bb`. */
+  private def guardedBucketPrefix(
+      perBucket: DataFrame,
+      device: String,
+      maxBuckets: Long,
+      maxBucketRows: Long): DataFrame = {
+    val diag = perBucket.agg(
+      count(lit(1)).as("_nb"), max(col("_bn_rows")).as("_mxr"))
+    perBucket.crossJoin(broadcast(diag))
+      .select(col("_rb"),
+        when(col("_nb") > maxBuckets, raise_error(concat(
+            lit(s"$device: bucket-totals frame has "), col("_nb"),
+            lit(s" buckets (> $maxBuckets) — bucketWidth is too small " +
+              "for this value domain; the broadcast side would become " +
+              "the bottleneck. Widen bucketWidth."))))
+          .when(col("_mxr") > maxBucketRows, raise_error(concat(
+            lit(s"$device: fattest bucket holds "), col("_mxr"),
+            lit(s" rows (> $maxBucketRows) — the domain is concentrated " +
+              "inside one bucketWidth and the per-bucket window degrades " +
+              "toward the single-task global sort. Shrink bucketWidth."))))
+          .otherwise(col("_bb")).as("_bb"))
+  }
+
   /** Distributed global rank — the shared 100 TB tier for the rank-
     * statistic family (Mann–Whitney q255, Kruskal–Wallis q327, Wilcoxon
     * q344, the q310 calibration percent-rank grid), replacing the
@@ -64,13 +104,19 @@ object Stats {
     *                    tieBreak is a key
     * @param out         output rank column name
     * @param bucketWidth value-range width of one bucket (positive)
+    * @param maxBuckets  loud-failure bound on the bucket-totals frame
+    *                    (the broadcast side must stay tiny)
+    * @param maxBucketRows loud-failure bound on the fattest bucket (one
+    *                    bucket is one window task)
     */
   def distributedRank(
       df: DataFrame,
       valueCol: String,
       tieBreak: Seq[String] = Nil,
       out: String = "rk",
-      bucketWidth: Long = 1L << 20): DataFrame = {
+      bucketWidth: Long = 1L << 20,
+      maxBuckets: Long = 1L << 22,
+      maxBucketRows: Long = 1L << 25): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val v = col(valueCol)
     val base = df
@@ -85,10 +131,12 @@ object Stats {
     // window touches only the bucket-total frame, then broadcasts
     val wTot = Window.orderBy(col("_rb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = base.groupBy(col("_rb"))
-      .agg(count(lit(1)).as("_bn"))
-      .select(col("_rb"),
-        coalesce(sum(col("_bn")).over(wTot), lit(0L)).as("_bb"))
+    val bases = guardedBucketPrefix(
+      base.groupBy(col("_rb"))
+        .agg(count(lit(1)).as("_bn"))
+        .select(col("_rb"), col("_bn").as("_bn_rows"),
+          coalesce(sum(col("_bn")).over(wTot), lit(0L)).as("_bb")),
+      "distributedRank", maxBuckets, maxBucketRows)
     local.join(broadcast(bases), "_rb")
       .withColumn(out, col("_bb") + col("_lrk"))
       .drop("_rb", "_lrk", "_bb")
@@ -108,7 +156,9 @@ object Stats {
       tieBreak: Seq[String],
       addend: Column,
       out: String,
-      bucketWidth: Long = 1L << 20): DataFrame = {
+      bucketWidth: Long = 1L << 20,
+      maxBuckets: Long = 1L << 22,
+      maxBucketRows: Long = 1L << 25): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val base = df
       .withColumn("_ps", addend.cast("long"))
@@ -120,10 +170,12 @@ object Stats {
     val local = base.withColumn("_lps", sum(col("_ps")).over(wIn))
     val wTot = Window.orderBy(col("_rb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = base.groupBy(col("_rb"))
-      .agg(sum(col("_ps")).as("_bn"))
-      .select(col("_rb"),
-        coalesce(sum(col("_bn")).over(wTot), lit(0L)).as("_bb"))
+    val bases = guardedBucketPrefix(
+      base.groupBy(col("_rb"))
+        .agg(sum(col("_ps")).as("_bn"), count(lit(1)).as("_bn_rows"))
+        .select(col("_rb"), col("_bn_rows"),
+          coalesce(sum(col("_bn")).over(wTot), lit(0L)).as("_bb")),
+      "distributedPrefixSum", maxBuckets, maxBucketRows)
     local.join(broadcast(bases), "_rb")
       .withColumn(out, col("_bb") + col("_lps"))
       .drop("_rb", "_ps", "_lps", "_bb")
@@ -143,7 +195,9 @@ object Stats {
       valueCol: String,
       minCol: String,
       out: String,
-      bucketWidth: Long = 1L << 20): DataFrame = {
+      bucketWidth: Long = 1L << 20,
+      maxBuckets: Long = 1L << 22,
+      maxBucketRows: Long = 1L << 25): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val base = df
       .withColumn("_rb", expr(s"cast($valueCol as bigint) div $bucketWidth"))
@@ -153,9 +207,12 @@ object Stats {
     val local = base.withColumn("_lpm", min(col(minCol)).over(wIn))
     val wTot = Window.orderBy(col("_rb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = base.groupBy(col("_rb"))
-      .agg(min(col(minCol)).as("_bm"))
-      .select(col("_rb"), min(col("_bm")).over(wTot).as("_bb"))
+    val bases = guardedBucketPrefix(
+      base.groupBy(col("_rb"))
+        .agg(min(col(minCol)).as("_bm"), count(lit(1)).as("_bn_rows"))
+        .select(col("_rb"), col("_bn_rows"),
+          min(col("_bm")).over(wTot).as("_bb")),
+      "distributedPrefixMin", maxBuckets, maxBucketRows)
     // least() skips NULLs (empty local frame / no previous bucket), so
     // the composition stays NULL only when BOTH halves are empty —
     // matching the global strict frame's NULL-on-first-row contract

@@ -19,8 +19,9 @@ import QueryShared.predsPath
   * `oracle_sql.json` after executing every query, and
   * [[graft.SparkEntry.oracleSql]] re-merges the area maps on each
   * access, so the dynamic entry is always read post-run. Entries for
-  * queries that have not run fall back to a 1-round unroll — harmless,
-  * because the driver only replays oracles for dumped results. */
+  * queries that have NOT run emit an invalid-SQL sentinel instead of a
+  * silent 1-round fallback (round-10 ADVICE): a stale or never-run
+  * dynamic oracle must fail loudly in DuckDB, never replay wrong. */
 object Analytics4Queries {
 
   private def cents(c: org.apache.spark.sql.Column) =
@@ -324,8 +325,12 @@ object Analytics4Queries {
           sum(col("cost_micro")).as("code_micro"))
         .withColumn("uniform_micro",
           col("n_events") * lnMicro(col("a")))
+        // degenerate one-type alphabet ⇒ uniform_micro = n·ln(1) = 0:
+        // Spark's div NULLs on /0 while DuckDB's // raises, so BOTH
+        // sides guard explicitly and agree on NULL (round-10 ADVICE)
         .withColumn("ratio_ppm",
-          expr("code_micro * 1000000 div uniform_micro"))
+          when(col("uniform_micro") > 0,
+            expr("code_micro * 1000000 div uniform_micro")))
         .select(col("user_id"), col("n_events"), col("code_micro"),
           col("uniform_micro"), col("ratio_ppm"))
     }),
@@ -487,15 +492,27 @@ object Analytics4Queries {
          |FROM a$rounds CROSS JOIN resid""".stripMargin
   }
 
+  /** A dynamic oracle read before its query has run in this process is
+    * a BUG (cross-process replay, subset dump, interleaved run) — a
+    * silent 1-round fallback would be a plausible-looking but WRONG
+    * oracle (round-10 ADVICE). The sentinel is deliberately invalid
+    * SQL: a stale dump fails loudly in DuckDB instead of hash-
+    * mismatching mysteriously or — worse — matching by luck. */
+  private def realizedOrSentinel(name: String, round: Int)(
+      unroll: Int => String): String =
+    if (round < 1) s"-- ORACLE NOT REALIZED: $name must run in this " +
+      "process before its stop-round-parameterized oracle exists"
+    else unroll(round)
+
   /** Dynamic oracle map — see the object scaladoc for why this is a
     * `def`: the q386/q390 entries must embed the post-run stop round. */
   def sql: Map[String, String] = Map(
 
     "q386_pagerank_converged" ->
-      pagerankUnrolledSql(math.max(1, prStopRound.get)),
+      realizedOrSentinel("q386", prStopRound.get)(pagerankUnrolledSql),
 
     "q390_hits_converged" ->
-      hitsUnrolledSql(math.max(1, hitsStopRound.get)),
+      realizedOrSentinel("q390", hitsStopRound.get)(hitsUnrolledSql),
 
     // the naive global row_number formulation — the engine's two-phase
     // decomposition must land on exactly these order statistics
@@ -594,9 +611,12 @@ object Analytics4Queries {
         |SELECT user_id, n_events, code_micro,
         |  n_events * CAST(floor(1e6 * ln(CAST(a AS DOUBLE))) AS BIGINT)
         |    AS uniform_micro,
-        |  CAST(code_micro * 1000000
-        |    // (n_events * CAST(floor(1e6 * ln(CAST(a AS DOUBLE))) AS BIGINT))
-        |    AS BIGINT) AS ratio_ppm
+        |  CASE WHEN n_events * CAST(floor(1e6 * ln(CAST(a AS DOUBLE)))
+        |                           AS BIGINT) > 0
+        |    THEN CAST(code_micro * 1000000
+        |      // (n_events * CAST(floor(1e6 * ln(CAST(a AS DOUBLE))) AS BIGINT))
+        |      AS BIGINT)
+        |    ELSE NULL END AS ratio_ppm
         |FROM g""".stripMargin,
 
     "q396_ngram_novelty" ->
@@ -700,12 +720,17 @@ object Analytics4Queries {
          |WHERE r.fold = 0 AND r.u % 20 = 0""".stripMargin,
 
     // the q208 batch algebra — the keyed-state drain must land exactly
-    // here under any batch split
+    // here under any batch split. The parity MIRRORS the engine's
+    // pmod(user_id, 2) — ((x % 2) + 2) % 2 — so a negative user_id
+    // lands in n1 on BOTH sides instead of diverging (DuckDB's % is
+    // signed; round-10 ADVICE)
     "q388_srm_keyed_stream" ->
       """WITH a AS (
         |  SELECT event_type,
-        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n1
         |  FROM events GROUP BY 1
         |), e AS (
         |  SELECT *, CAST(n0 + n1 AS DOUBLE) / 2.0 AS expected FROM a

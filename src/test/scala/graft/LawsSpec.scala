@@ -313,4 +313,51 @@ class LawsSpec extends AnyFunSuite {
         s"round $round prefixMin diverged (width=$width)")
     }
   }
+
+  test("LAW distributedRank family fails LOUDLY on a mis-sized bucketWidth " +
+      "(all-one-bucket skew and bucket-explosion) instead of degrading") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .take(12).map(_.toString).mkString("\n")
+    val df = (1L to 200L).map(k => (k, k % 7)).toDF("k", "v")
+
+    // degenerate all-one-bucket domain (7 distinct values, width far
+    // wider): the fattest-bucket guard must raise, never silently
+    // recreate the single-task sort the device exists to prevent
+    val fat = intercept[Throwable] {
+      graft.ops.Stats.distributedRank(df, "v", tieBreak = Seq("k"),
+          out = "rk", bucketWidth = 1L << 20, maxBucketRows = 100L)
+        .collect()
+    }
+    assert(chain(fat).contains("fattest bucket"), chain(fat))
+
+    // bucket explosion (unique values, width 1, bound below the count):
+    // the broadcast-side guard must raise before the frame broadcasts
+    val wide = (1L to 200L).map(k => (k, k)).toDF("k", "v")
+    val many = intercept[Throwable] {
+      graft.ops.Stats.distributedRank(wide, "v", tieBreak = Seq("k"),
+          out = "rk", bucketWidth = 1L, maxBuckets = 50L)
+        .collect()
+    }
+    assert(chain(many).contains("bucket-totals frame"), chain(many))
+
+    // same wiring on the two siblings (one guard each suffices)
+    val fatS = intercept[Throwable] {
+      graft.ops.Stats.distributedPrefixSum(df, "v", Seq("k"), lit(1L),
+          "ps", bucketWidth = 1L << 20, maxBucketRows = 100L)
+        .collect()
+    }
+    assert(chain(fatS).contains("fattest bucket"), chain(fatS))
+    val df2 = (1L to 200L).map(k => (k, k % 7, k % 17)).toDF("k", "v", "m")
+    val fatM = intercept[Throwable] {
+      graft.ops.Stats.distributedPrefixMin(df2, "v", "m", "pm",
+          bucketWidth = 1L << 20, maxBucketRows = 100L)
+        .collect()
+    }
+    assert(chain(fatM).contains("fattest bucket"), chain(fatM))
+
+    // in-bounds frames stay silent: same calls, default bounds
+    assert(graft.ops.Stats.distributedRank(df, "v", tieBreak = Seq("k"),
+      out = "rk", bucketWidth = 1L << 20).count() === 200L)
+  }
 }
