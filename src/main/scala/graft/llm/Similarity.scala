@@ -571,6 +571,23 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
 
+  /** [[ivfCandidatePairs]] for CROSS-DOMAIN retrieval (queries and
+    * candidates are DIFFERENT entity spaces — users probing an item
+    * index, docs probing a passage index): identical probed-cell join,
+    * but NO `q_id =!= n_id` self-exclusion — across domains an id
+    * collision is two unrelated entities, and silently dropping their
+    * pair would be wrong (the round-10 q186 ALS serve: user ids and item
+    * ids overlap numerically). Work per query is still
+    * ~|candidates|·nprobe/nlist. */
+  def ivfCrossCandidates(
+      index: IvfIndex,
+      queries: DataFrame, // (q_id, q_emb: array<float>)
+      nprobe: Int = 4): DataFrame =
+    index.cells
+      .join(broadcast(probedCells(index, queries, nprobe).select(col("q_id"), col("cell"))),
+        Seq("cell"))
+      .select(col("q_id"), col("n_id"))
+
   def ivfProbe(
       index: IvfIndex,
       queries: DataFrame, // (q_id, q_emb: array<float>)

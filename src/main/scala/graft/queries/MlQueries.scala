@@ -293,12 +293,22 @@ object MlQueries {
     // collaborative filtering via MLlib ALS (Hu/Koren/Volinsky-style
     // alternating least squares, block-parallel): the factor matrices
     // are the MODEL ARTIFACT (fit floats never enter the checked
-    // surface — the q23/q169 discipline); the serve half scores a
-    // sampled user set against ALL items from the STORED factors with
-    // the per-term floor(·10¹²)→BIGINT quantized dot (integer sum —
-    // order-free, the q94 recipe) and takes top-3 per user. The
-    // all-pairs scoring is the declared dense-serve baseline (the ANN
-    // family q17/q94 is the scale path for huge item spaces).
+    // surface — the q23/q169 discipline). The SERVE half routes through
+    // a persisted ANN SHORTLIST (the q187 recipe — round-10 VERDICT
+    // weak #1; the old item-by-user dense crossJoin broadcast grows
+    // linearly with users and dies past the broadcast limit at 100×):
+    // max-inner-product reduces to cosine via the Bachrach et al. 2014
+    // augmentation — items gain one dimension sqrt(M²−|i|²) (every
+    // augmented item has norm M = max item norm), users gain a zero —
+    // so the IVF index's cosine cells route by EXACTLY the dot ranking.
+    // Candidates come from Similarity.ivfCrossCandidates (nprobe of
+    // nlist cells — per-user work |items|·nprobe/nlist) and are
+    // THEMSELVES persisted; the exact re-rank scores only the shortlist
+    // with the per-term floor(·10¹²)→BIGINT quantized dot over the RAW
+    // stored factors. The oracle replays scoring + ranking over the
+    // SAME stored candidates and factors, so the check is exact
+    // regardless of IVF recall; the recall floor vs the retained dense
+    // baseline is pinned in SimilaritySpec.
     "q186_als_recs" -> ((s, dir) => {
       val ratings = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"))
@@ -333,10 +343,34 @@ object MlQueries {
         .select(col("id").as("user"), col("features").as("ufeat"))
       val itf = s.read.parquet(predsPath("q186_itemf"))
         .select(col("id").as("item"), col("features").as("ifeat"))
-      // native quantized_dot (codegen'd fused loop) — the interpreted
-      // zip_with/aggregate HOF allocates an intermediate array per pair
-      // in the innermost scoring loop
-      val scored = itf.crossJoin(broadcast(uf))
+      // MIPS→cosine augmentation (Bachrach et al. 2014): one appended
+      // dimension sqrt(M²−|i|²) gives every item vector the same norm M,
+      // so cosine over the augmented space ranks by EXACTLY the raw dot —
+      // the IVF cells route the true MIPS signal, not a norm-blind proxy
+      val itemSq = itf.withColumn("_sq",
+        expr("aggregate(ifeat, cast(0.0 as double), " +
+          "(a, x) -> a + cast(x as double) * cast(x as double))"))
+      val augItems = itemSq
+        .crossJoin(broadcast(itemSq.agg(max(col("_sq")).as("_m2"))))
+        .select(col("item").as("n_id"),
+          concat(col("ifeat"), array(sqrt(greatest(lit(0.0),
+            col("_m2") - col("_sq"))).cast("float"))).as("n_emb"))
+      val augUsers = uf.select(col("user").as("q_id"),
+        concat(col("ufeat"), array(lit(0.0f))).as("q_emb"))
+      val index = graft.llm.Similarity.fitIvfIndex(augItems, nlist = 16,
+        persistCells = false)
+      graft.llm.Similarity.ivfCrossCandidates(index, augUsers, nprobe = 4)
+        .select(col("q_id").as("user"), col("n_id").as("item"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q186_cands"))
+      // serve half: exact quantized re-rank of the STORED shortlist over
+      // the RAW stored factors (native codegen'd quantized_dot — the
+      // interpreted zip_with/aggregate HOF allocates an intermediate
+      // array per pair), top-3 per user — pure relational work the
+      // oracle replays over the same three parquet artifacts
+      val scored = s.read.parquet(predsPath("q186_cands"))
+        .join(uf, "user")
+        .join(itf, "item")
         .select(col("user"), col("item"),
           graft.exprapi.quantizedDotFast(col("ufeat"), col("ifeat"))
             .as("score_q"))
@@ -609,10 +643,17 @@ object MlQueries {
          |FROM r WHERE rk <= 3""".stripMargin,
 
 
-    // serve replayed from the SAME persisted factor matrices: identical
-    // per-term quantization, identical ranking
+    // serve replayed from the SAME persisted artifacts — the STORED
+    // shortlist joined back to the STORED factor matrices: identical
+    // per-term quantization, identical ranking. The IVF probe that
+    // SELECTED the candidates is the only index-dependent stage and is
+    // itself persisted, so the check is exact regardless of recall
+    // (recall vs the dense baseline is pinned in SimilaritySpec).
     "q186_als_recs" ->
-      s"""WITH uf AS (
+      s"""WITH cd AS (
+         |  SELECT "user" AS u, item
+         |  FROM read_parquet('${predsPath("q186_cands")}/*.parquet')
+         |), uf AS (
          |  SELECT id AS u, features AS f
          |  FROM read_parquet('${predsPath("q186_userf")}/*.parquet')
          |  WHERE id % 50 = 0
@@ -620,11 +661,11 @@ object MlQueries {
          |  SELECT id AS item, features AS g
          |  FROM read_parquet('${predsPath("q186_itemf")}/*.parquet')
          |), sc AS (
-         |  SELECT uf.u, itf.item,
+         |  SELECT cd.u, cd.item,
          |    CAST(list_sum(list_transform(generate_series(1, len(f)), i ->
          |      CAST(floor(CAST(f[i] AS DOUBLE) * CAST(g[i] AS DOUBLE)
          |                 * 1000000000000) AS BIGINT))) AS BIGINT) AS score_q
-         |  FROM uf, itf
+         |  FROM cd JOIN uf ON cd.u = uf.u JOIN itf ON cd.item = itf.item
          |), r AS (
          |  SELECT u, item, score_q,
          |         row_number() OVER (PARTITION BY u

@@ -100,34 +100,40 @@ object StreamingQueries {
 
 
     // §2.8 streaming #3, EXECUTED AS A STREAM: the CUSTOM-KEYED-STATE
-    // primitive (flatMapGroupsWithState) — cumulative per-user totals
-    // folded across micro-batches, drained under AvailableNow in update
-    // mode. Every micro-batch emits each touched user's running total;
-    // n_events is strictly monotone per user, so max(n_events) is the
-    // completed fold, and being an integer it oracle-compares exactly
-    // (the double total_value stays spec-pinned — a cross-batch float
-    // fold's addition ORDER is execution-dependent, which is precisely
-    // why the hash-checked column is the count). Oracle = plain
-    // per-user COUNT over events: a hash match proves arbitrary keyed
-    // state executed across batches loses and duplicates nothing.
+    // primitive (flatMapGroupsWithState) with EVICTION IN CODE (round-10
+    // VERDICT weak #2) — per-user totals are an UNBOUNDED key domain, so
+    // the state carries an EventTimeTimeout: users idle > 12 event-time
+    // hours are EVICTED mid-drain (closing record to the batchId-keyed
+    // partials; a later event starts a fresh incarnation), and the
+    // readout reassembles exact per-user counts from incarnation finals
+    // + the trailing incarnation's latest cumulative. The stage is
+    // time-range files (watermark advances monotonically — the
+    // production ingest-directory shape), and the run REQUIRES at least
+    // one eviction to have fired, so this surface can never silently
+    // regress to testing the no-eviction path. Oracle = plain per-user
+    // COUNT: a hash match proves keyed state crossed eviction
+    // boundaries losing and duplicating nothing. (The double
+    // total_value stays spec-pinned — a cross-batch float fold's
+    // addition order is execution-dependent, which is precisely why the
+    // hash-checked column is the count.)
     "q99_keyed_state_stream" -> ((s, dir) => {
       val batchEv = Tables.events(s, dir)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val stage = predsPath("q99_events")
-      sources.Sources.writeParquet(batchEv.repartition(4), stage)
-      val stream = s.readStream.schema(batchEv.schema)
-        .option("maxFilesPerTrigger", "2").parquet(stage)
-      val q = streaming.Streams.runningUserTotals(stream)
-        .writeStream
-        .format("memory").queryName("q99_totals").outputMode("update")
-        .option("checkpointLocation",
-          predsPath(s"q99_ckpt_${System.nanoTime()}"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(300000), "AvailableNow stream must drain")
-      s.table("q99_totals")
-        .groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"))
+      val root = predsPath(s"q99_root_${System.nanoTime()}")
+      streaming.Streams.stageTimeOrdered(batchEv, "ts", s"$root/events", 8)
+      // narrow shuffle pin: state stores per partition per micro-batch
+      // dominate drain cost (the q388 rule)
+      val out = QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.runningUserTotalsEvicting(s, s"$root/events",
+          batchEv.schema, s"$root/partials", s"$root/ckpt",
+          watermarkDelay = "1 hour", idleGapMs = 12L * 3600 * 1000)
+      }
+      val nEvicted = s.read.parquet(s"$root/partials")
+        .filter(col("is_final")).count()
+      require(nEvicted > 0,
+        "q99 must cross at least one eviction boundary — idle gap or " +
+          "staging changed in a way that defeats the timeout")
+      out
     }),
 
 

@@ -137,9 +137,11 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - q137: the recall HARNESS — its ground-truth half IS q17's
     //    declared-quadratic brute force (that's what recall is measured
     //    against); the approximate half under test is the q94 shape
-    //  - q186: constructing the frame FITS an ALS model (same class as
-    //    q23/q28), and its serve half is the DECLARED all-pairs dense
-    //    scoring baseline (the ANN family is the large-item-space path)
+    //  - q186: constructing the frame FITS an ALS model AND an IVF
+    //    index (same class as q23/q28); the serve half is the
+    //    persisted-shortlist exact re-rank (the q94 shape, round-11 —
+    //    the former dense crossJoin survives only as SimilaritySpec's
+    //    recall truth)
     //  - q307: the Matryoshka recall AUDIT — all four of its rankings
     //    (full-dim ground truth + three prefixes) are q17's declared-
     //    quadratic brute force by contract (recall needs exact truth);

@@ -100,6 +100,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch === last)
   }
 
+  test("LAW runningUserTotalsEvicting: drained == batch with eviction " +
+      "boundaries CROSSED (idle users expire mid-drain; a re-appearing " +
+      "user re-incarnates and still counts exactly)") {
+    // user 1: two early events, 10h idle, one late event — evicted then
+    // REBORN; user 2: early events only — evicted, never returns;
+    // user 3: steady 30-min cadence — never idle past the 2h gap
+    val evs = Seq(
+      Ev(1, t(0), 1, "c", 1.0), Ev(2, t(5), 1, "c", 1.0),
+      Ev(3, t(600), 1, "c", 1.0),
+      Ev(4, t(2), 2, "c", 1.0), Ev(5, t(8), 2, "c", 1.0)) ++
+      (0 until 21).map(i => Ev(100L + i, t(i * 30), 3, "c", 1.0))
+    val root = s"target/tmp/streams/evict_${System.nanoTime()}"
+    val df = evs.toDF()
+    graft.streaming.Streams.stageTimeOrdered(df, "ts", s"$root/events", 6)
+    val got = graft.streaming.Streams.runningUserTotalsEvicting(
+        spark, s"$root/events", df.schema, s"$root/partials", s"$root/ckpt",
+        watermarkDelay = "10 minutes", idleGapMs = 2L * 3600 * 1000,
+        maxFilesPerTrigger = 1)
+      .as[(Long, Long)].collect().toMap
+    val want = evs.groupBy(_.user_id)
+      .map { case (u, es) => u -> es.size.toLong }
+    assert(got === want, s"drained != batch: $got vs $want")
+    // the boundaries must actually have been crossed, or the law above
+    // tested only the no-eviction path
+    val partials = spark.read.parquet(s"$root/partials")
+    val finals = partials.filter($"is_final")
+      .select($"user_id", $"batch_id").as[(Long, Long)].collect()
+    assert(finals.nonEmpty, "no eviction fired")
+    val lastFinal = finals.groupBy(_._1).map { case (u, r) =>
+      u -> r.map(_._2).max }
+    val post = partials.filter(!$"is_final")
+      .select($"user_id", $"batch_id").as[(Long, Long)].collect()
+    assert(post.exists { case (u, b) => lastFinal.get(u).exists(b > _) },
+      "no user re-incarnated after its eviction — the rebirth path " +
+        "went untested")
+  }
+
   test("file-source streaming: readStream over the events fixture matches batch") {
     // stream the real fixture parquet through the same transform; event-time
     // watermarks require TIMESTAMP (not NTZ), so cast — value-preserving
