@@ -445,10 +445,35 @@ object LayoutQueries {
     // from BMPs by content alone), PCM16 WAV (stats over actual samples),
     // YUV4MPEG2 (stats over actual luma planes). n_decoded == n_assets in
     // the image row proves the compressed path decodes, not just parses.
-    "q26_multimodal_stats" -> ((s, dir) =>
-      multimodal.Multimodal.featureStats(
-        multimodal.Multimodal.syntheticAssets(s, 2000).unionByName(
-          multimodal.Multimodal.syntheticJpegAssets(s, 500)))),
+    // Round-11 serve split (the q91 recipe — previously no_oracle): the
+    // DECODE half persists per-asset rows (asset_id, modality, decoded,
+    // features) — the codecs stay spec-pinned (JpegSpec javax.imageio
+    // differential, MultimodalSpec) — and the modality ROLLUP is pure
+    // relational work both engines replay over the stored doubles:
+    // per-asset energy = Σ floor(x²·10⁶) (per-ELEMENT quantization, so
+    // the sum is exact integer algebra — no cross-engine float-fold
+    // order dependence), then count/sum/div per modality.
+    "q26_multimodal_stats" -> ((s, dir) => {
+      val perAsset = multimodal.Multimodal.decodeFeatures(
+          multimodal.Multimodal.syntheticAssets(s, 2000).unionByName(
+            multimodal.Multimodal.syntheticJpegAssets(s, 500)))
+        .select(col("asset_id"), col("modality"),
+          (col("modality") === "image" && col("img").isNotNull ||
+            col("modality") === "audio" && col("aud").isNotNull ||
+            col("modality") === "video" && col("vid").isNotNull)
+            .cast("long").as("decoded"),
+          col("features"))
+      sources.Sources.writeParquet(perAsset, predsPath("q26_assets"))
+      s.read.parquet(predsPath("q26_assets"))
+        .withColumn("energy_q",
+          expr("""aggregate(features, cast(0 as bigint), (a, x) ->
+                    a + cast(floor(x * x * 1000000) as bigint))"""))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("decoded")).as("n_decoded"),
+          sum(col("energy_q")).as("sum_energy_q"),
+          expr("sum(energy_q) div count(1)").as("avg_energy_q"))
+    }),
 
 
     // IMAGE near-dup via dHash + the text path's banded-hamming LSH:
@@ -662,6 +687,24 @@ object LayoutQueries {
     * rows-only checked by the driver (non-portable hash/codec/fit paths,
     * each pinned by a dedicated spec instead). */
   val sql: Map[String, String] = Map(
+
+    // modality rollup replayed from the persisted per-asset decode rows
+    // (the q91 serve-split recipe) — the codecs stay engine-local and
+    // spec-pinned; per-element floor quantization makes the energy sum
+    // exact integer algebra in both engines
+    "q26_multimodal_stats" ->
+      s"""WITH a AS (
+         |  SELECT modality, decoded,
+         |    CAST(list_sum(list_transform(features, x ->
+         |      CAST(floor(x * x * 1000000) AS BIGINT))) AS BIGINT)
+         |      AS energy_q
+         |  FROM read_parquet('${predsPath("q26_assets")}/*.parquet')
+         |)
+         |SELECT modality, CAST(count(*) AS BIGINT) AS n_assets,
+         |  CAST(sum(decoded) AS BIGINT) AS n_decoded,
+         |  CAST(sum(energy_q) AS BIGINT) AS sum_energy_q,
+         |  CAST(sum(energy_q) // count(*) AS BIGINT) AS avg_energy_q
+         |FROM a GROUP BY 1""".stripMargin,
 
     // serve half replayed from the persisted per-doc deflate sizes —
     // the codec itself stays engine-local (TextOpsSpec-pinned); the
