@@ -377,4 +377,59 @@ object Graph {
     }
     (scores.select(col("node"), col("score")), round, residuals.toSeq)
   }
+
+  /** No-change-stop Bellman–Ford — the weighted-shortest-path analog of
+    * [[pageRankIntConverged]] (round-10 VERDICT "What's missing" #3: the
+    * last fixed-round iterative kernel gains its convergence twin).
+    * Iterates the IDENTICAL union+min relaxation as the fixed-round form
+    * (q330), measuring after each round the exact count of IMPROVED
+    * entries — nodes newly reached or whose distance strictly dropped
+    * (one key join + one scalar count per round, the bounded-witness
+    * rule) — and stopping at the first round that improves NOTHING, or
+    * at `maxIters`. Distances are non-increasing integers bounded below
+    * and |V|−1 relaxation rounds always suffice with non-negative
+    * weights, so the stop is reached, and every pre-stop round improved
+    * ≥1 entry BY CONSTRUCTION (a zero-improvement round exits the loop).
+    *
+    * Returns (dist, stopRound, improvedByRound). Fixed-round equality —
+    * running the fixed-round recurrence `stopRound` (or more) rounds
+    * yields bit-identical distances — is the GraphSpec law that lets the
+    * dynamically-unrolled oracle (the q386 mechanism) state the naive
+    * unrolled form. Per-round localCheckpoint keeps plans constant-size
+    * across rounds. */
+  def bellmanFordConverged(
+      edges: DataFrame, // (src, dst, w) — non-negative integer weights
+      seeds: DataFrame, // (node)
+      maxIters: Int = 20): (DataFrame, Int, Seq[Long]) = {
+    require(maxIters >= 1 && maxIters <= 50,
+      s"maxIters must be in [1,50], got $maxIters")
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    var dist = seeds
+      .select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    val improvedByRound = scala.collection.mutable.ArrayBuffer[Long]()
+    var round = 0
+    var converged = false
+    while (round < maxIters && !converged) {
+      round += 1
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      // bounded scalar witness: first-reached or strictly-shortened nodes
+      val improved = next.as("n")
+        .join(dist.as("p"), col("n.node") === col("p.node"), "left_outer")
+        .filter(col("p.node").isNull || col("n.d") < col("p.d"))
+        .count()
+      improvedByRound += improved
+      converged = improved == 0L
+      dist = next
+    }
+    (dist, round, improvedByRound.toSeq)
+  }
 }

@@ -34,6 +34,9 @@ object Analytics4Queries {
   /** Realized q390 stop round — same dynamic-oracle contract. */
   private[graft] val hitsStopRound = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Realized q397 stop round — same dynamic-oracle contract. */
+  private[graft] val bfStopRound = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** The q69 interaction graph (customer/supplier bipartite, doubled to
     * undirected) — reused so the convergence twin anchors to the same
     * fixed-round recurrence the q69 oracle already replays. */
@@ -381,6 +384,43 @@ object Analytics4Queries {
     }),
 
 
+    // Convergence-WITNESSED Bellman–Ford (q330's weighted union+min
+    // relaxation with the q386 no-change-stop discipline — the last
+    // fixed-round iterative kernel gets its epsilon-stop twin): iterate
+    // until a round reaches or shortens NOTHING, ride the realized stop
+    // round plus the last two rounds' improvement counts on every row,
+    // and unroll the oracle exactly stop_round rounds, recomputing both
+    // counts from its own last three frames — the termination behavior
+    // itself is hash-checked. changed_last must be 0 (that is WHY the
+    // loop stopped) and changed_prev > 0 (the stop round is minimal —
+    // every earlier round improved, by loop construction).
+    "q397_bellman_converged" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(countDistinct(col("o_orderkey")).as("no"))
+        .withColumn("w", expr("1000000 div no"))
+        .select(col("a"), col("b"), col("w"))
+      val edges = base.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(
+          base.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      val (dist, stopRound, improved) =
+        ops.Graph.bellmanFordConverged(edges, seeds, maxIters = 20)
+      bfStopRound.set(stopRound)
+      dist
+        .withColumn("stop_round", lit(stopRound.toLong))
+        .withColumn("changed_last", lit(improved.last))
+        .withColumn("changed_prev",
+          lit(if (improved.size >= 2) improved(improved.size - 2) else -1L))
+    }),
+
+
     // Deterministic FRACTIONAL epoch upsampling — the data-recipe op
     // behind quality-weighted corpus repetition ("2.5 epochs of the
     // high-quality tier"): per-tier factors in tenths (long 25,
@@ -492,6 +532,46 @@ object Analytics4Queries {
          |FROM a$rounds CROSS JOIN resid""".stripMargin
   }
 
+  /** q397's dynamically-unrolled oracle: `rounds` Bellman–Ford
+    * relaxation rounds over the q330 trade graph, with the last two
+    * rounds' improvement counts recomputed from the oracle's OWN
+    * unrolled frames — the loop's termination evidence, not just its
+    * distances, must hash-match. */
+  private def bellmanUnrolledSql(rounds: Int): String = {
+    def round(k: Int): String =
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+         |    SELECT node, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.d + e.w AS d
+         |    FROM d${k - 1} p JOIN edges e ON e.src = p.node)
+         |  GROUP BY 1)""".stripMargin
+    def improved(kNew: Int): String =
+      s"""(SELECT CAST(count(*) AS BIGINT)
+         |   FROM d$kNew n LEFT JOIN d${kNew - 1} p ON n.node = p.node
+         |   WHERE p.node IS NULL OR n.d < p.d)""".stripMargin
+    val prev =
+      if (rounds >= 2) improved(rounds - 1) else "CAST(-1 AS BIGINT)"
+    """WITH base AS (
+      |  SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+      |    CAST(1000000 // count(DISTINCT o.o_orderkey) AS BIGINT) AS w
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst, w FROM base
+      |  UNION ALL SELECT b, a, w FROM base),
+      |d0 AS (
+      |  SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
+      |  FROM customer WHERE c_custkey % 100 = 0),
+      |""".stripMargin +
+      (1 to rounds).map(round).mkString(",\n") +
+      s"""
+         |SELECT node, d, CAST($rounds AS BIGINT) AS stop_round,
+         |  ${improved(rounds)} AS changed_last,
+         |  $prev AS changed_prev
+         |FROM d$rounds""".stripMargin
+  }
+
   /** A dynamic oracle read before its query has run in this process is
     * a BUG (cross-process replay, subset dump, interleaved run) — a
     * silent 1-round fallback would be a plausible-looking but WRONG
@@ -513,6 +593,9 @@ object Analytics4Queries {
 
     "q390_hits_converged" ->
       realizedOrSentinel("q390", hitsStopRound.get)(hitsUnrolledSql),
+
+    "q397_bellman_converged" ->
+      realizedOrSentinel("q397", bfStopRound.get)(bellmanUnrolledSql),
 
     // the naive global row_number formulation — the engine's two-phase
     // decomposition must land on exactly these order statistics

@@ -170,4 +170,57 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === want)
   }
+
+  test("LAW bellmanFordConverged: stop is tight (every pre-stop round " +
+      "improves, the stop round improves nothing) and distances == the " +
+      "fixed-round union+min form at stopRound AND beyond") {
+    // weighted path + shortcut + detached ring: several relaxation
+    // rounds, later rounds SHORTEN already-reached nodes (the property
+    // that distinguishes Bellman-Ford from BFS)
+    val base = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (3L, 4L, 10L), (4L, 5L, 10L),
+      (1L, 6L, 50L), (6L, 5L, 1L),   // long-hop shortcut into the tail
+      (7L, 8L, 5L), (8L, 9L, 5L), (9L, 7L, 5L))
+    val edges = (base ++ base.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val (dist, stopRound, improved) =
+      Graph.bellmanFordConverged(edges, seeds, maxIters = 20)
+    assert(improved.length == stopRound)
+    assert(stopRound < 20, s"expected convergence under the cap: $improved")
+    assert(improved.last == 0L, s"stop round must improve nothing: $improved")
+    improved.init.foreach(c => assert(c > 0L,
+      s"loop ran past convergence: $improved"))
+    val got = dist.as[(Long, Long)].collect().toMap
+    // driver-side Dijkstra over the tiny graph = ground truth
+    val adj = (base ++ base.map(e => (e._2, e._1, e._3)))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(e => (e._2, e._3)) }
+    val truth = scala.collection.mutable.Map(1L -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, 1L))(
+      Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (truth(u) == d) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+        if (truth.get(v).forall(_ > d + w)) {
+          truth(v) = d + w; pq.enqueue((d + w, v))
+        }
+      }
+    }
+    assert(got === truth.toMap, "converged distances != Dijkstra truth")
+    // fixed-round equality at stopRound and past it — the contract the
+    // dynamically-unrolled oracle leans on
+    def fixedRounds(r: Int): Map[Long, Long] = {
+      var d = seeds.select($"node", lit(0L).as("d"))
+      for (_ <- 1 to r) {
+        val relaxed = edges.join(d, edges("src") === d("node"))
+          .select(edges("dst").as("node"), (col("d") + col("w")).as("d"))
+        d = d.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint()
+      }
+      d.as[(Long, Long)].collect().toMap
+    }
+    assert(fixedRounds(stopRound) === got)
+    assert(fixedRounds(stopRound + 2) === got)
+  }
 }
