@@ -891,6 +891,104 @@ object Dedup {
         expr("CAST(dup_tokens * 1000000 DIV n_tok AS BIGINT)"))
   }
 
+  /** Cross-document EXACT-substring duplication at PAIR grain — the
+    * suffix-array "verbatim overlap" read of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022) re-expressed as anchor-and-extend. [[dupSpanCoverage]] is the
+    * position-coverage member of this family; this one answers WHICH
+    * documents share a verbatim run and HOW LONG:
+    *
+    *   1. content-defined k-mer ANCHORS — token positions whose k-gram's
+    *      60-bit md5 ≡ 0 (mod `anchorMod`). Both copies of a duplicated
+    *      substring select the SAME anchor positions, so any shared run
+    *      containing an anchored gram is found (expected anchor spacing
+    *      is `anchorMod` grams — a declared recall knob, not a cap);
+    *   2. capped equi-join on the anchor gram — both sides capped to
+    *      `maxPerGram` postings in deterministic md5 order (the q78
+    *      both-side-caps rule: pair volume per gram is ≤ maxPerGram²,
+    *      never posting², so a boilerplate gram cannot go quadratic);
+    *   3. EXACT token-by-token extension of every candidate within
+    *      ±`window` of the anchor — constant fan-out (k + 2·window
+    *      offset rows per candidate); out-of-bounds positions are
+    *      guarded to NULL ⇒ mismatch on BOTH engines (Spark's
+    *      element_at and DuckDB's list index both treat negatives as
+    *      from-the-END, so the bound check is part of the contract).
+    *
+    * Output: (a_doc, b_doc, n_anchor_pairs, max_len) for pairs whose
+    * longest verbatim run is ≥ `minLen` tokens. max_len saturates at
+    * k + 2·window by construction — a DECLARED bounded-window read; the
+    * unbounded-length variant stitches anchor islands, which is
+    * [[dupSpanCoverage]]'s gaps-and-islands machinery.
+    *
+    * 100 TB shape: postings are linear in corpus tokens ÷ anchorMod, the
+    * join is key-equi with hard per-key caps, extension is a constant
+    * per candidate, and token arrays re-attach via two 1:1 equi-joins —
+    * no pairwise product anywhere. Every stage (md5 anchors, md5-order
+    * caps, guarded indexing) is engine-portable, so the oracle states
+    * the identical computation and the check is exact. */
+  def crossDocSubstrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      anchorMod: Int = 8,
+      window: Int = 48,
+      minLen: Int = 16,
+      maxPerGram: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(anchorMod >= 1, s"anchorMod must be >= 1, got $anchorMod")
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxPerGram >= 1, s"maxPerGram must be >= 1, got $maxPerGram")
+    // lazily checkpointed: the posting build and BOTH extension joins
+    // consume the tokenized frame (the covisitation re-scan rule)
+    val toks = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .localCheckpoint(false)
+    val anchors = toks
+      .select(col("id"), posexplode(graft.exprapi.wordShingles(col("ts"), k)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      .filter(conv(substring(md5(col("gram")), 1, 15), 16, 10)
+        .cast("long") % anchorMod === 0)
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+      .orderBy(md5(concat_ws("#", col("id"), col("pos"))))
+    val capped = anchors
+      .withColumn("_rk", row_number().over(wCap))
+      .filter(col("_rk") <= maxPerGram)
+      .drop("_rk")
+    val cands = capped.as("x").join(capped.as("y"), "gram")
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_doc"), col("x.pos").as("a_pos"),
+        col("y.id").as("b_doc"), col("y.pos").as("b_pos"))
+    // guarded 1-based lookup: out-of-range must be NULL, never
+    // from-the-end indexing (and never an ANSI index error)
+    def at(ts: Column, p: Column): Column =
+      when(p >= 1 && p <= size(ts), element_at(ts, p))
+    val ext = cands
+      .join(toks.select(col("id").as("a_doc"), col("ts").as("a_ts")), "a_doc")
+      .join(toks.select(col("id").as("b_doc"), col("ts").as("b_ts")), "b_doc")
+      .select(col("a_doc"), col("b_doc"), col("a_pos"), col("b_pos"),
+        explode(sequence(lit(-window), lit(k + window - 1))).as("i"),
+        col("a_ts"), col("b_ts"))
+      .select(col("a_doc"), col("b_doc"), col("a_pos"), col("b_pos"), col("i"),
+        coalesce(
+          at(col("a_ts"), col("a_pos") + col("i")) ===
+            at(col("b_ts"), col("b_pos") + col("i")),
+          lit(false)).as("eq"))
+    ext
+      .groupBy(col("a_doc"), col("b_doc"), col("a_pos"), col("b_pos"))
+      .agg(
+        coalesce(min(when(col("i") >= k && !col("eq"), col("i"))),
+          lit(k + window)).as("rmiss"),
+        coalesce(max(when(col("i") < 0 && !col("eq"), col("i"))),
+          lit(-window - 1)).as("lmiss"))
+      .groupBy(col("a_doc"), col("b_doc"))
+      .agg(count(lit(1)).as("n_anchor_pairs"),
+        max(col("rmiss") - col("lmiss") - 1).cast("long").as("max_len"))
+      .filter(col("max_len") >= minLen)
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

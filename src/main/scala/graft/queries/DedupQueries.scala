@@ -257,6 +257,16 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text", l = 8, minDocs = 2)),
 
 
+    // training-pipeline: cross-doc EXACT-substring duplication at PAIR
+    // grain (anchor-and-extend — which documents share a verbatim run
+    // and how long; q103 is the position-coverage member). Anchors,
+    // caps, and the guarded bounded-window extension are all
+    // engine-portable, so the oracle states the identical computation.
+    "q398_cross_doc_substrings" -> ((s, dir) =>
+      llm.Dedup.crossDocSubstrings(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+
     // North-star rolling-hash fingerprinting, throughput path: the native
     // O(n) Karp-Rabin winnowing expression (one codegen'd pass per doc vs
     // one md5 per k-gram in q35). The hash family is engine-local, so the
@@ -445,6 +455,58 @@ object DedupQueries {
          |SELECT w.vec_id, w.cell FROM w
          |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = w.vec_id)""".stripMargin,
 
+
+    // the identical anchor-cap-extend computation, stated relationally:
+    // 60-bit md5 anchor mod, md5-order both-side caps, guarded 1-based
+    // indexing (out-of-range is NULL/mismatch — NEVER from-the-end)
+    "q398_cross_doc_substrings" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), tt AS (
+        |  SELECT id, ts FROM t WHERE len(ts) >= 8
+        |), g AS (
+        |  SELECT id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+        |  FROM tt, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |), a AS (
+        |  SELECT id, pos, gram FROM g
+        |  WHERE CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 8 = 0
+        |), c AS (
+        |  SELECT id, pos, gram,
+        |         row_number() OVER (PARTITION BY gram
+        |           ORDER BY md5(CAST(id AS VARCHAR) || '#'
+        |                        || CAST(pos AS VARCHAR))) AS rk
+        |  FROM a
+        |), cap AS (
+        |  SELECT id, pos, gram FROM c WHERE rk <= 64
+        |), cand AS (
+        |  SELECT x.id AS a_doc, x.pos AS a_pos, y.id AS b_doc, y.pos AS b_pos
+        |  FROM cap x JOIN cap y USING (gram) WHERE x.id < y.id
+        |), w AS (
+        |  SELECT cand.*, ta.ts AS a_ts, tb.ts AS b_ts
+        |  FROM cand JOIN tt ta ON cand.a_doc = ta.id
+        |            JOIN tt tb ON cand.b_doc = tb.id
+        |), e AS (
+        |  SELECT a_doc, b_doc, a_pos, b_pos, i,
+        |    coalesce(
+        |      (CASE WHEN a_pos + i BETWEEN 1 AND len(a_ts)
+        |            THEN a_ts[CAST(a_pos + i AS BIGINT)] END) =
+        |      (CASE WHEN b_pos + i BETWEEN 1 AND len(b_ts)
+        |            THEN b_ts[CAST(b_pos + i AS BIGINT)] END),
+        |      false) AS eq
+        |  FROM w, unnest(generate_series(-48, 8 + 48 - 1)) AS u(i)
+        |), x AS (
+        |  SELECT a_doc, b_doc, a_pos, b_pos,
+        |    coalesce(min(CASE WHEN i >= 8 AND NOT eq THEN i END), 8 + 48)
+        |      AS rmiss,
+        |    coalesce(max(CASE WHEN i < 0 AND NOT eq THEN i END), -48 - 1)
+        |      AS lmiss
+        |  FROM e GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT a_doc, b_doc, CAST(count(*) AS BIGINT) AS n_anchor_pairs,
+        |       CAST(max(rmiss - lmiss - 1) AS BIGINT) AS max_len
+        |FROM x GROUP BY 1, 2 HAVING max(rmiss - lmiss - 1) >= 16""".stripMargin,
 
     "q103_dup_spans" ->
       """WITH t AS (

@@ -195,6 +195,37 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) === ((10L, 2L, 6L, 600000L)))
   }
 
+  test("crossDocSubstrings: a planted verbatim cross-doc run is found and " +
+      "extends to EXACTLY its length; clean docs never pair") {
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ") // 30-token run
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"zeta eta $shared theta iota kappa"),
+      (3L, "unrelated words only nothing common here at all with anything")
+    ).toDF("doc_id", "text")
+    // window >= run length so any anchored gram measures the full run
+    val got = Dedup.crossDocSubstrings(docs, "doc_id", "text",
+        k = 4, anchorMod = 2, window = 32, minLen = 8)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)),
+      s"exactly the planted pair must surface: ${got.mkString(", ")}")
+    assert(got.head.getAs[Long]("max_len") === 30L,
+      "the 30-token planted run must extend to exactly 30 — boundaries " +
+        "differ on both sides, so neither direction can over-extend")
+    // a run ending AT the document edge must stop at the guard, not
+    // index from the end: doc 5 ENDS with the run's first 10 tokens
+    val edge = Seq(
+      (4L, s"$shared x1 x2"),
+      (5L, "y1 y2 " + (1 to 10).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val e = Dedup.crossDocSubstrings(edge, "doc_id", "text",
+        k = 4, anchorMod = 1, window = 32, minLen = 4)
+      .collect()
+    assert(e.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    assert(e.head.getAs[Long]("max_len") === 10L,
+      "edge-bounded run is exactly the 10 shared tokens")
+  }
+
   test("exactDedup keeps exactly one survivor per fingerprint, the lowest id") {
     val d = Seq(
       (10L, "Hello,  World!"), (7L, "hello world"), (3L, "something else")
