@@ -51,6 +51,7 @@ object SparkEntry {
     (Analytics2Queries.queries, Analytics2Queries.sql),
     (Analytics3Queries.queries, Analytics3Queries.sql),
     (Analytics4Queries.queries, Analytics4Queries.sql),
+    (Analytics5Queries.queries, Analytics5Queries.sql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,279 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 surfaces (q399+): corpus data-recipe planners — the
+  * budget/shape decisions a training-data pipeline makes once the
+  * curation ops (dedup, quality, mixture) have produced per-source and
+  * per-document statistics. All exact-integer in the house style; the
+  * planning algebra runs on AGGREGATED grains (source, quantile bucket,
+  * language), so its windows sit on Aggregate-bounded frames — the shape
+  * the plan audit's partition-less-Window rule explicitly allows. */
+object Analytics5Queries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token-budget WATERFILLING across sources — the constrained-mixture
+    // allocator ("give each source tokens proportional to its quality
+    // weight, but never more than it has") behind every data-recipe
+    // with per-source caps: alloc_s = min(c_s, λ·w_s) with Σ alloc = B.
+    // Exact-integer closed form: order sources by the quantized ratio
+    // c·10⁶ div w (the DECLARED order — both engines state it
+    // identically), exclusive prefix sums give each row its remaining
+    // budget and remaining weight, a row saturates iff spreading the
+    // remaining budget over remaining weights already covers its
+    // capacity ((B − Cc)·w ≥ c·Wrem — cross-multiplied, division-free),
+    // and the capped set is the prefix-AND of that flag (waterfilling's
+    // capped set is a ratio-order prefix). Uncapped rows split the
+    // residual budget by weight with floor division (Σ alloc ≤ B; the
+    // floor residue is declared), clamped to capacity. The fact-scale
+    // work is ONE linear per-source rollup; the planning windows touch
+    // only the source-grain aggregate.
+    "q399_token_waterfill" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"), text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("source"), size(col("ts")).cast("long").as("n_tok"),
+          size(array_distinct(col("ts"))).cast("long").as("n_dist"))
+      val src = per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("c"),
+          // per-source quality weight: mean lexical diversity in ppm
+          sum(expr("n_dist * 1000000 div greatest(n_tok, 1L)")).as("qsum"))
+        .withColumn("w", greatest(lit(1L), expr("qsum div n_docs")))
+      val base = src
+        .crossJoin(broadcast(src.agg(sum(col("c")).as("ctot"),
+          sum(col("w")).as("wtot"))))
+        .withColumn("b", expr("ctot * 6 div 10")) // budget = 60% of corpus
+        .withColumn("ratio_q", expr("c * 1000000 div w"))
+      val wOrd = Window.orderBy(col("ratio_q"), col("source"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = base
+        .withColumn("cc_prev",
+          coalesce(sum(col("c")).over(wPrev), lit(0L)))
+        .withColumn("w_rem",
+          col("wtot") - coalesce(sum(col("w")).over(wPrev), lit(0L)))
+        .withColumn("flag",
+          (col("b") - col("cc_prev")) * col("w") >= col("c") * col("w_rem"))
+        .withColumn("capped",
+          min(when(col("flag"), 1L).otherwise(0L)).over(wRun) === 1L)
+      flagged
+        .crossJoin(broadcast(flagged.agg(
+          sum(when(col("capped"), col("c")).otherwise(0L)).as("cc_star"),
+          sum(when(!col("capped"), col("w")).otherwise(0L)).as("wu_star"))))
+        .withColumn("alloc",
+          when(col("capped"), col("c"))
+            .otherwise(least(col("c"),
+              expr("greatest(0L, b - cc_star) * w div wu_star"))))
+        .withColumn("share_ppm", expr("alloc * 1000000 div b"))
+        .select(col("source"), col("n_docs"), col("c"), col("w"),
+          col("capped"), col("alloc"), col("share_ppm"))
+    }),
+
+
+    // Sequence-length BUCKET planner — the padding-waste read behind
+    // length-bucketed batching ("how much compute does padding to the
+    // bucket boundary burn?"): documents land in exact-quartile buckets
+    // by token length (rank via the distributedRank device — the naive
+    // global row_number is what the oracle states), every doc pads to
+    // its bucket's max length, and the bucket reports its exact padded
+    // vs real token totals and waste ppm. One linear pass + the
+    // two-phase rank; the planning grain is 4 rows.
+    "q400_padding_buckets" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(text.TextOps.tokens(col("text"))).cast("long").as("len"))
+      val ranked = ops.Stats.distributedRank(
+        d, "len", tieBreak = Seq("doc_id"), out = "rn",
+        bucketWidth = 1L << 8)
+      ranked
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+        .withColumn("q",
+          when(col("rn") * 100 <= col("n") * 25, 25L)
+            .when(col("rn") * 100 <= col("n") * 50, 50L)
+            .when(col("rn") * 100 <= col("n") * 75, 75L)
+            .otherwise(100L))
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("real_tokens"),
+          max(col("len")).as("bucket_len"))
+        .withColumn("padded_tokens", col("n_docs") * col("bucket_len"))
+        .withColumn("waste_ppm",
+          when(col("padded_tokens") > 0, expr(
+            "(padded_tokens - real_tokens) * 1000000 div padded_tokens")))
+        .select(col("q"), col("n_docs"), col("bucket_len"),
+          col("real_tokens"), col("padded_tokens"), col("waste_ppm"))
+    }),
+
+
+    // Inter-rater AGREEMENT (Cohen's kappa) between two deterministic
+    // heuristic labelers — the labeling-pipeline read behind "do my
+    // quality gates even agree?": rater A = lexical diversity > 1/2
+    // (distinct·2 > total tokens), rater B = mean token length ≥ 5
+    // chars (n_chars > 5·tokens), per language. The 2×2 contingency is
+    // one pass; kappa = (p_o − p_e)/(1 − p_e) carried division-free as
+    // kappa_ppm = (po_num·n − pe_num)·10⁶ div (n² − pe_num) with
+    // po_num = n11+n00 (×n) and pe_num = marginal products (×n²) —
+    // exact integers, NULL when the raters are degenerate (pe = 1).
+    "q401_rater_kappa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars").cast("long").as("n_chars"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("lang"),
+          (size(array_distinct(col("ts"))) * 2 > size(col("ts")))
+            .cast("long").as("ra"),
+          (col("n_chars") > size(col("ts")).cast("long") * 5L)
+            .cast("long").as("rb"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L))
+            .as("n10"),
+          sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L))
+            .as("n00"))
+        .withColumn("po_num", col("n11") + col("n00"))
+        .withColumn("pe_num",
+          (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n00") + col("n01")) * (col("n00") + col("n10")))
+        .withColumn("kappa_ppm",
+          when(col("n") * col("n") =!= col("pe_num"),
+            expr("(po_num * n - pe_num) * 1000000 div (n * n - pe_num)")))
+        .select(col("lang"), col("n"), col("n11"), col("n10"),
+          col("n01"), col("n00"), col("kappa_ppm"))
+    }),
+  )
+
+  val sql: Map[String, String] = Map(
+
+    // the identical division-free waterfilling algebra over the same
+    // source-grain rollup; windows and prefix-AND stated verbatim
+    "q399_token_waterfill" ->
+      """WITH pp AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+'))) AS BIGINT) AS n_dist
+        |  FROM documents
+        |), src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS c,
+        |    CAST(sum(n_dist * 1000000 // greatest(n_tok, 1)) AS BIGINT)
+        |      AS qsum
+        |  FROM pp GROUP BY 1
+        |), sw AS (
+        |  SELECT *, greatest(1, qsum // n_docs) AS w FROM src
+        |), b0 AS (
+        |  SELECT *, (SELECT sum(c) FROM sw) * 6 // 10 AS b,
+        |    (SELECT sum(w) FROM sw) AS wtot,
+        |    c * 1000000 // w AS ratio_q
+        |  FROM sw
+        |), f AS (
+        |  SELECT *,
+        |    coalesce(sum(c) OVER (ORDER BY ratio_q, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cc_prev,
+        |    wtot - coalesce(sum(w) OVER (ORDER BY ratio_q, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS w_rem
+        |  FROM b0
+        |), g AS (
+        |  SELECT *, CASE WHEN (b - cc_prev) * w >= c * w_rem
+        |                 THEN 1 ELSE 0 END AS flag
+        |  FROM f
+        |), h AS (
+        |  SELECT *, min(flag) OVER (ORDER BY ratio_q, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |      AS capped
+        |  FROM g
+        |), agg AS (
+        |  SELECT coalesce(sum(CASE WHEN capped THEN c END), 0) AS cc_star,
+        |         coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS wu_star
+        |  FROM h
+        |), fin AS (
+        |  SELECT source, n_docs, c, w, capped, b,
+        |    CASE WHEN capped THEN c
+        |         ELSE least(c, greatest(0, b - agg.cc_star) * w
+        |                       // agg.wu_star) END AS alloc
+        |  FROM h CROSS JOIN agg
+        |)
+        |SELECT source, n_docs, c, w, capped,
+        |  CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(alloc * 1000000 // b AS BIGINT) AS share_ppm
+        |FROM fin""".stripMargin,
+
+    // the naive global row_number formulation of the quartile buckets —
+    // the engine's two-phase rank must land on the identical assignment
+    "q400_padding_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS len
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, len,
+        |    CAST(row_number() OVER (ORDER BY len, doc_id) AS BIGINT) AS rn,
+        |    (SELECT count(*) FROM d) AS n
+        |  FROM d
+        |), b AS (
+        |  SELECT *, CASE WHEN rn * 100 <= n * 25 THEN 25
+        |                 WHEN rn * 100 <= n * 50 THEN 50
+        |                 WHEN rn * 100 <= n * 75 THEN 75
+        |                 ELSE 100 END AS q
+        |  FROM r
+        |), g AS (
+        |  SELECT q, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len) AS BIGINT) AS real_tokens,
+        |    CAST(max(len) AS BIGINT) AS bucket_len
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT CAST(q AS BIGINT) AS q, n_docs, bucket_len, real_tokens,
+        |  n_docs * bucket_len AS padded_tokens,
+        |  CASE WHEN n_docs * bucket_len > 0
+        |    THEN CAST((n_docs * bucket_len - real_tokens) * 1000000
+        |              // (n_docs * bucket_len) AS BIGINT)
+        |    END AS waste_ppm
+        |FROM g""".stripMargin,
+
+    // identical contingency + division-free kappa ppm
+    "q401_rater_kappa" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN len(list_distinct(regexp_extract_all(lower(text),
+        |           '[a-z0-9]+'))) * 2
+        |         > len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |         THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN n_chars
+        |         > len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5
+        |         THEN 1 ELSE 0 END AS rb
+        |  FROM documents
+        |), g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT lang, n, n11, n10, n01, n00,
+        |  CASE WHEN n * n <> (n11 + n10) * (n11 + n01)
+        |                     + (n00 + n01) * (n00 + n10)
+        |    THEN CAST(((n11 + n00) * n
+        |               - ((n11 + n10) * (n11 + n01)
+        |                  + (n00 + n01) * (n00 + n10))) * 1000000
+        |              // (n * n - ((n11 + n10) * (n11 + n01)
+        |                          + (n00 + n01) * (n00 + n10)))
+        |         AS BIGINT)
+        |    END AS kappa_ppm
+        |FROM g""".stripMargin,
+  )
+}
