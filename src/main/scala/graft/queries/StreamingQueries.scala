@@ -122,8 +122,9 @@ object StreamingQueries {
       val root = predsPath(s"q99_root_${System.nanoTime()}")
       streaming.Streams.stageTimeOrdered(batchEv, "ts", s"$root/events", 8)
       // narrow shuffle pin: state stores per partition per micro-batch
-      // dominate drain cost (the q388 rule)
-      val out = QueryShared.withShufflePartitions(s, 8) {
+      // dominate drain cost (the q388 rule) — 8 single-file batches ×
+      // partitions, at a ≤150-key domain, wants the narrowest pin
+      val out = QueryShared.withShufflePartitions(s, 4) {
         streaming.Streams.runningUserTotalsEvicting(s, s"$root/events",
           batchEv.schema, s"$root/partials", s"$root/ckpt",
           watermarkDelay = "1 hour", idleGapMs = 12L * 3600 * 1000)
