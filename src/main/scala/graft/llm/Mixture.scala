@@ -50,4 +50,69 @@ object Mixture {
         col("alloc0") + when(col("r") <= col("spare"), 1L).otherwise(0L))
       .select(col(groupCol), col("n_tokens"), col("wq"), col("alloc"))
   }
+
+  /** Capacity-capped weighted budget split — WATERFILLING: the
+    * constrained-mixture allocator behind every data recipe with
+    * per-source caps ("tokens proportional to quality weight, but never
+    * more than the source has"): alloc_s = min(c_s, λ·w_s) with
+    * Σ alloc = B where B = Σc · budgetNum/budgetDen.
+    *
+    * Exact-integer closed form, division-free where it matters:
+    *   1. order sources by the quantized ratio c·10⁶ div w (the
+    *      DECLARED order — the oracle states it identically; a true-
+    *      rational tie allocates identically either way because
+    *      λ = c/w gives alloc = c on both branches);
+    *   2. exclusive prefix sums give each row the budget and weight
+    *      remaining if every smaller-ratio row saturates; the row
+    *      saturates iff its proportional share already covers its
+    *      capacity — (B − Cc)·w ≥ c·Wrem, cross-multiplied;
+    *   3. waterfilling's capped set is a ratio-order PREFIX, so the
+    *      capped flag is the running AND of the saturation flag;
+    *   4. uncapped rows floor-split the residual budget by weight
+    *      (Σ alloc ≤ B; the per-row floor residue < 1 is declared),
+    *      clamped to capacity.
+    *
+    * Input: one row per source with integer `c` (capacity ≥ 0) and `w`
+    * (weight ≥ 1) — an AGGREGATED grain by contract, so the global
+    * windows here run on a tiny frame (the plan-audit-allowed shape).
+    * Returns the input columns + b, capped, alloc, share_ppm.
+    * LawsSpec pins this against an independent driver-side iterative
+    * fixpoint with exact rational tests. */
+  def waterfill(
+      sources: DataFrame, // (keyCol, ..., c, w)
+      keyCol: String,
+      budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen >= 1,
+      s"budget fraction must be >= 0 with positive denominator, " +
+        s"got $budgetNum/$budgetDen")
+    val base = sources
+      .crossJoin(broadcast(sources.agg(sum(col("c")).as("ctot"),
+        sum(col("w")).as("wtot"))))
+      .withColumn("b", expr(s"ctot * $budgetNum div $budgetDen"))
+      .withColumn("ratio_q", expr("c * 1000000 div w"))
+    val wOrd = Window.orderBy(col("ratio_q"), col(keyCol))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = base
+      .withColumn("cc_prev", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("w_rem",
+        col("wtot") - coalesce(sum(col("w")).over(wPrev), lit(0L)))
+      .withColumn("flag",
+        (col("b") - col("cc_prev")) * col("w") >= col("c") * col("w_rem"))
+      .withColumn("capped",
+        min(when(col("flag"), 1L).otherwise(0L)).over(wRun) === 1L)
+    flagged
+      .crossJoin(broadcast(flagged.agg(
+        sum(when(col("capped"), col("c")).otherwise(0L)).as("cc_star"),
+        sum(when(!col("capped"), col("w")).otherwise(0L)).as("wu_star"))))
+      .withColumn("alloc",
+        when(col("capped"), col("c"))
+          .otherwise(least(col("c"),
+            expr("greatest(0L, b - cc_star) * w div wu_star"))))
+      .withColumn("share_ppm",
+        when(col("b") > 0, expr("alloc * 1000000 div b")).otherwise(lit(0L)))
+      .drop("ctot", "wtot", "ratio_q", "cc_prev", "w_rem", "flag",
+        "cc_star", "wu_star")
+  }
 }

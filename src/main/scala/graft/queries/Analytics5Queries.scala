@@ -42,32 +42,10 @@ object Analytics5Queries {
           // per-source quality weight: mean lexical diversity in ppm
           sum(expr("n_dist * 1000000 div greatest(n_tok, 1L)")).as("qsum"))
         .withColumn("w", greatest(lit(1L), expr("qsum div n_docs")))
-      val base = src
-        .crossJoin(broadcast(src.agg(sum(col("c")).as("ctot"),
-          sum(col("w")).as("wtot"))))
-        .withColumn("b", expr("ctot * 6 div 10")) // budget = 60% of corpus
-        .withColumn("ratio_q", expr("c * 1000000 div w"))
-      val wOrd = Window.orderBy(col("ratio_q"), col("source"))
-      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val flagged = base
-        .withColumn("cc_prev",
-          coalesce(sum(col("c")).over(wPrev), lit(0L)))
-        .withColumn("w_rem",
-          col("wtot") - coalesce(sum(col("w")).over(wPrev), lit(0L)))
-        .withColumn("flag",
-          (col("b") - col("cc_prev")) * col("w") >= col("c") * col("w_rem"))
-        .withColumn("capped",
-          min(when(col("flag"), 1L).otherwise(0L)).over(wRun) === 1L)
-      flagged
-        .crossJoin(broadcast(flagged.agg(
-          sum(when(col("capped"), col("c")).otherwise(0L)).as("cc_star"),
-          sum(when(!col("capped"), col("w")).otherwise(0L)).as("wu_star"))))
-        .withColumn("alloc",
-          when(col("capped"), col("c"))
-            .otherwise(least(col("c"),
-              expr("greatest(0L, b - cc_star) * w div wu_star"))))
-        .withColumn("share_ppm", expr("alloc * 1000000 div b"))
+      // budget = 60% of corpus tokens; the allocation algebra lives in
+      // llm.Mixture.waterfill (LawsSpec-pinned against an independent
+      // driver-side rational fixpoint)
+      llm.Mixture.waterfill(src, "source", budgetNum = 6L, budgetDen = 10L)
         .select(col("source"), col("n_docs"), col("c"), col("w"),
           col("capped"), col("alloc"), col("share_ppm"))
     }),

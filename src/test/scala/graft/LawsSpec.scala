@@ -360,4 +360,54 @@ class LawsSpec extends AnyFunSuite {
     assert(graft.ops.Stats.distributedRank(df, "v", tieBreak = Seq("k"),
       out = "rk", bucketWidth = 1L << 20).count() === 200L)
   }
+
+  test("LAW Mixture.waterfill == independent driver-side iterative " +
+      "fixpoint waterfilling (exact rational saturation tests) on " +
+      "random capacity/weight frames") {
+    val rnd = new Random(31)
+    for (round <- 1 to 12) {
+      val k = 3 + rnd.nextInt(6)
+      val rows = (1 to k).map(i =>
+        (s"s$i", 1L + rnd.nextInt(100), 1L + rnd.nextInt(9)))
+      val df = rows.toDF("source", "c", "w")
+      val (num, den) = Seq((6L, 10L), (1L, 2L), (9L, 10L), (1L, 1L))(round % 4)
+      val got = graft.llm.Mixture.waterfill(df, "source", num, den)
+        .select("source", "capped", "alloc").collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+
+      // independent model: iterate "mark any source whose proportional
+      // share of the remaining budget covers its capacity" to fixpoint
+      // (marking only raises the water level, so marks are monotone and
+      // the fixpoint unique); exact BigInt cross-multiplication
+      val b = rows.map(_._2).sum * num / den
+      var capped = Set.empty[String]
+      var changed = true
+      while (changed) {
+        changed = false
+        val cc = rows.filter(r => capped(r._1)).map(_._2).sum
+        val wu = rows.filter(r => !capped(r._1)).map(_._3).sum
+        rows.filter(r => !capped(r._1)).foreach { r =>
+          if (BigInt(r._2) * wu <= BigInt(b - cc).max(0) * r._3) {
+            capped += r._1; changed = true
+          }
+        }
+      }
+      val cc = rows.filter(r => capped(r._1)).map(_._2).sum
+      val wu = rows.filter(r => !capped(r._1)).map(_._3).sum
+      val want = rows.map { r =>
+        val alloc =
+          if (capped(r._1)) r._2
+          else math.min(r._2, math.max(0L, b - cc) * r._3 / wu)
+        r._1 -> ((capped(r._1), alloc))
+      }.toMap
+      assert(got === want, s"round $round (b=$b, rows=$rows)")
+      // invariants the recipe leans on, independent of either model
+      val total = got.values.map(_._2).sum
+      assert(total <= b, s"round $round overspent: $total > $b")
+      got.foreach { case (s, (_, a)) =>
+        val cap = rows.find(_._1 == s).get._2
+        assert(a <= cap, s"round $round $s allocated past capacity")
+      }
+    }
+  }
 }
