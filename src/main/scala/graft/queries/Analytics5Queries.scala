@@ -124,6 +124,76 @@ object Analytics5Queries {
         .select(col("lang"), col("n"), col("n11"), col("n10"),
           col("n01"), col("n00"), col("kappa_ppm"))
     }),
+
+
+    // Held-out bigram LM cross-entropy — the EVAL half of the LM-quality
+    // family (q115 scores the corpus under a model fit on ITSELF; a real
+    // data-quality loop scores held-out text under a model fit on train
+    // only): md5 hash split (the q44 rule), add-one-smoothed bigram
+    // probabilities p = (cb+1)/(cw1+V+1) from TRAIN counts only (unseen
+    // contexts and bigrams degrade gracefully to the uniform floor),
+    // per-bigram cost floor-quantized to µnats (one integer-ratio IEEE
+    // division + one ln per DISTINCT join row — the q115 portability
+    // rule). The fit here is RELATIONAL (count tables), so the whole
+    // fit+serve is oracle-stated with no persisted artifact. Scale:
+    // count tables are map-side partial aggregations; scoring is two
+    // key-equi left joins + one scalar broadcast; no windows.
+    "q402_heldout_bigram_xent" -> ((s, dir) => {
+      val docs = ml.Models.hashSplit(Tables.documents(s, dir), "doc_id")
+      val pairs = docs
+        .select(col("doc_id"), col("split"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("split"),
+          explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("split"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val train = pairs.filter(col("split") === "train")
+      val cb = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val cw1 = train.groupBy(col("w1")).agg(count(lit(1)).as("cw1"))
+      val vocab = docs.filter(col("split") === "train")
+        .select(explode(text.TextOps.tokens(col("text"))).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      pairs.filter(col("split") === "holdout")
+        .join(cb, Seq("w1", "w2"), "left_outer")
+        .join(cw1, Seq("w1"), "left_outer")
+        .crossJoin(broadcast(vocab))
+        .withColumn("q", floor(lit(-1e6) * log(
+          (coalesce(col("cb"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("cw1"), lit(0L)).cast("double") +
+              col("v").cast("double") + 1.0))).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+        .withColumn("xent_q", expr("sum_q div n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+          col("xent_q"))
+    }),
+
+
+    // Stratified QUOTA split — the eval-set construction op q44's
+    // proportional hash split can't express ("exactly 20 eval docs per
+    // language, deterministically"): per-stratum md5-order rank, first
+    // `quota` rows are eval, the rest train. The rank is a PARTITIONED
+    // window (per-stratum — the grouped-top-k tier, never a global
+    // sort); the selection is a pure function of content, so any
+    // cluster and the oracle reproduce it bit-for-bit.
+    "q403_quota_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(text.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("sk", md5(col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("sk"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .withColumn("split",
+          when(col("rk") <= 20, lit("eval")).otherwise(lit("train")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -217,6 +287,64 @@ object Analytics5Queries {
         |              // (n_docs * bucket_len) AS BIGINT)
         |    END AS waste_ppm
         |FROM g""".stripMargin,
+
+    // the ENTIRE fit+serve stated relationally: same md5 split, same
+    // train-only count tables, same add-one µnat quantization
+    "q402_heldout_bigram_xent" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                   1, 2) AS INT) < 205
+        |         THEN 'train' ELSE 'holdout' END AS split
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, split, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM d, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2
+        |), cb AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+        |  FROM p WHERE split = 'train' GROUP BY 1, 2
+        |), cw1 AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS cw1
+        |  FROM p WHERE split = 'train' GROUP BY 1
+        |), v AS (
+        |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT unnest(ts) AS w FROM d WHERE split = 'train')
+        |), h AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(-1e6 * ln(
+        |      (CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0)
+        |      / (CAST(coalesce(cw1.cw1, 0) AS DOUBLE)
+        |         + CAST(v.v AS DOUBLE) + 1.0))) AS BIGINT) AS q
+        |  FROM p
+        |  LEFT JOIN cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
+        |  LEFT JOIN cw1 ON p.w1 = cw1.w1
+        |  CROSS JOIN v
+        |  WHERE p.split = 'holdout'
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(sum(q) // count(*) AS BIGINT) AS xent_q
+        |FROM h GROUP BY 1""".stripMargin,
+
+    // same per-stratum md5-order rank and quota
+    "q403_quota_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, n_tok,
+        |    row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS rk
+        |  FROM d
+        |)
+        |SELECT lang, CASE WHEN rk <= 20 THEN 'eval' ELSE 'train' END
+        |         AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // identical contingency + division-free kappa ppm
     "q401_rater_kappa" ->
