@@ -174,6 +174,34 @@ object Analytics5Queries {
     }),
 
 
+    // Vocabulary COVERAGE curve — the tokenizer-budget read ("what share
+    // of corpus token instances does a top-k vocab cover?"): term
+    // frequencies fold once (map-side partial), the VOCAB grain —
+    // aggregated by construction — ranks by (freq desc, term) in one
+    // window, and the inclusive frequency prefix at k ∈ {100, 1000,
+    // 10000} over the corpus total gives exact coverage ppm. The only
+    // windows run on the distinct-term frame; the corpus total attaches
+    // as the audited scalar-agg broadcast.
+    "q405_vocab_coverage" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(explode(text.TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val wOrd = Window.orderBy(col("f").desc, col("w").asc)
+      val ranked = tf
+        .withColumn("rk", row_number().over(wOrd).cast("long"))
+        .withColumn("cum_f", sum(col("f")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked
+        .crossJoin(broadcast(tf.agg(sum(col("f")).as("total_f"),
+          count(lit(1)).as("n_terms"))))
+        .withColumn("k", explode(array(lit(100L), lit(1000L), lit(10000L))))
+        .filter(col("rk") === least(col("k"), col("n_terms")))
+        .select(col("k"), col("n_terms"), col("total_f"),
+          col("cum_f").as("covered_f"),
+          expr("cum_f * 1000000 div total_f").as("coverage_ppm"))
+    }),
+
+
     // Stratified QUOTA split — the eval-set construction op q44's
     // proportional hash split can't express ("exactly 20 eval docs per
     // language, deterministically"): per-stratum md5-order rank, first
@@ -326,6 +354,31 @@ object Analytics5Queries {
         |  CAST(sum(q) AS BIGINT) AS sum_q,
         |  CAST(sum(q) // count(*) AS BIGINT) AS xent_q
         |FROM h GROUP BY 1""".stripMargin,
+
+    // identical vocab-grain ranking and prefix; the k grid clamps to the
+    // vocab size exactly as the engine does
+    "q405_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |          AS w FROM documents)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT w, f,
+        |    CAST(row_number() OVER (ORDER BY f DESC, w ASC) AS BIGINT)
+        |      AS rk,
+        |    CAST(sum(f) OVER (ORDER BY f DESC, w ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_f,
+        |    (SELECT CAST(sum(f) AS BIGINT) FROM tf) AS total_f,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_terms
+        |  FROM tf
+        |)
+        |SELECT k, n_terms, total_f, cum_f AS covered_f,
+        |  CAST(cum_f * 1000000 // total_f AS BIGINT) AS coverage_ppm
+        |FROM r, unnest([CAST(100 AS BIGINT), CAST(1000 AS BIGINT),
+        |                CAST(10000 AS BIGINT)]) AS u(k)
+        |WHERE rk = least(k, n_terms)""".stripMargin,
 
     // same per-stratum md5-order rank and quota
     "q403_quota_split" ->

@@ -257,6 +257,35 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text", l = 8, minDocs = 2)),
 
 
+    // training-pipeline: QUALITY-AWARE survivor selection per near-dup
+    // cluster — the curation POLICY layered on q43's components ("keep
+    // the best copy", here the longest document, not the arbitrary
+    // min-id): per-cluster argmax by (token count desc, doc_id asc),
+    // plus the cluster's member count and total tokens so the dedup's
+    // token savings are a read-off. The rank is a PARTITIONED window
+    // (per-cluster — bounded by cluster size); survivor extraction is
+    // the max-of-flagged idiom (no second join back).
+    "q404_quality_survivor" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3), "doc_id"))
+      val withQ = docs.select(col("doc_id"),
+          size(text.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(clusters, Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_tok").desc, col("doc_id").asc)
+      withQ.withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("survivor"),
+          max(when(col("rk") === 1, col("n_tok"))).as("survivor_n_tok"),
+          sum(col("n_tok")).as("cluster_n_tok"))
+    }),
+
+
     // training-pipeline: cross-doc EXACT-substring duplication at PAIR
     // grain (anchor-and-extend — which documents share a verbatim run
     // and how long; q103 is the position-coverage member). Anchors,
@@ -455,6 +484,56 @@ object DedupQueries {
          |SELECT w.vec_id, w.cell FROM w
          |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = w.vec_id)""".stripMargin,
 
+
+    // q43's recursive closure + per-cluster argmax by (n_tok desc, id)
+    "q404_quality_survivor" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), cl AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), q AS (
+        |  SELECT cl.cluster_id, cl.doc_id,
+        |         CAST(len(t.ts) AS BIGINT) AS n_tok,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |                            ORDER BY len(t.ts) DESC, cl.doc_id ASC)
+        |           AS rk
+        |  FROM cl JOIN t ON cl.doc_id = t.doc_id
+        |)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor,
+        |  CAST(max(CASE WHEN rk = 1 THEN n_tok END) AS BIGINT)
+        |    AS survivor_n_tok,
+        |  CAST(sum(n_tok) AS BIGINT) AS cluster_n_tok
+        |FROM q GROUP BY 1""".stripMargin,
 
     // the identical anchor-cap-extend computation, stated relationally:
     // 60-bit md5 anchor mod, md5-order both-side caps, guarded 1-based
