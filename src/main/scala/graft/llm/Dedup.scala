@@ -926,15 +926,18 @@ object Dedup {
     * no pairwise product anywhere. Every stage (md5 anchors, md5-order
     * caps, guarded indexing) is engine-portable, so the oracle states
     * the identical computation and the check is exact. */
-  def crossDocSubstrings(
+  /** Shared core of [[crossDocSubstrings]] / [[stitchedSubstrings]]:
+    * per-anchor-pair extension bounds — one row per candidate anchor
+    * pair with the first-mismatch offsets (`rmiss`, `lmiss`) of its
+    * exact ±window extension. */
+  private def anchorExtensions(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8,
-      anchorMod: Int = 8,
-      window: Int = 48,
-      minLen: Int = 16,
-      maxPerGram: Int = 64): DataFrame = {
+      k: Int,
+      anchorMod: Int,
+      window: Int,
+      maxPerGram: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(anchorMod >= 1, s"anchorMod must be >= 1, got $anchorMod")
     require(window >= 1, s"window must be >= 1, got $window")
@@ -965,7 +968,7 @@ object Dedup {
     // from-the-end indexing (and never an ANSI index error)
     def at(ts: Column, p: Column): Column =
       when(p >= 1 && p <= size(ts), element_at(ts, p))
-    val ext = cands
+    cands
       .join(toks.select(col("id").as("a_doc"), col("ts").as("a_ts")), "a_doc")
       .join(toks.select(col("id").as("b_doc"), col("ts").as("b_ts")), "b_doc")
       .select(col("a_doc"), col("b_doc"), col("a_pos"), col("b_pos"),
@@ -976,17 +979,77 @@ object Dedup {
           at(col("a_ts"), col("a_pos") + col("i")) ===
             at(col("b_ts"), col("b_pos") + col("i")),
           lit(false)).as("eq"))
-    ext
       .groupBy(col("a_doc"), col("b_doc"), col("a_pos"), col("b_pos"))
       .agg(
         coalesce(min(when(col("i") >= k && !col("eq"), col("i"))),
           lit(k + window)).as("rmiss"),
         coalesce(max(when(col("i") < 0 && !col("eq"), col("i"))),
           lit(-window - 1)).as("lmiss"))
+  }
+
+  def crossDocSubstrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      anchorMod: Int = 8,
+      window: Int = 48,
+      minLen: Int = 16,
+      maxPerGram: Int = 64): DataFrame =
+    anchorExtensions(docs, idCol, textCol, k, anchorMod, window, maxPerGram)
       .groupBy(col("a_doc"), col("b_doc"))
       .agg(count(lit(1)).as("n_anchor_pairs"),
         max(col("rmiss") - col("lmiss") - 1).cast("long").as("max_len"))
       .filter(col("max_len") >= minLen)
+
+  /** [[crossDocSubstrings]] WITHOUT the window length ceiling — the
+    * full-length exact read: anchor extensions that belong to the SAME
+    * verbatim run share a DIAGONAL (a_pos − b_pos is constant along a
+    * run), and because anchors recur every ~anchorMod grams ≪ window,
+    * consecutive anchors' ±window intervals overlap — so a
+    * gaps-and-islands union per (pair, diagonal) (the q103/q22 pattern)
+    * stitches them into the run's full extent. Each island's length is
+    * EXACT (interval ends are mismatch-bounded; two islands on one
+    * diagonal can only abut where a window CLIPPED — merging adjacent
+    * is therefore correct, a mismatch-bounded end can never abut a
+    * match start). Returns (a_doc, b_doc, n_runs, max_run) for pairs
+    * whose longest stitched verbatim run ≥ `minLen` — max_run is no
+    * longer saturated at k + 2·window. Same capped-join scale shape as
+    * [[crossDocSubstrings]] plus one partitioned window at the
+    * (pair, diagonal) grain (bounded by anchor count). */
+  def stitchedSubstrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      anchorMod: Int = 8,
+      window: Int = 48,
+      minLen: Int = 16,
+      maxPerGram: Int = 64): DataFrame = {
+    val iv = anchorExtensions(docs, idCol, textCol, k, anchorMod, window,
+        maxPerGram)
+      .select(col("a_doc"), col("b_doc"),
+        (col("a_pos") - col("b_pos")).as("diag"),
+        (col("a_pos") + col("lmiss") + 1).as("s"),
+        (col("a_pos") + col("rmiss") - 1).as("e"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_doc"), col("b_doc"), col("diag"))
+      .orderBy(col("s"), col("e"))
+    val marked = iv
+      .withColumn("pme", max(col("e")).over(
+        byPos.rowsBetween(Long.MinValue, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byPos))
+    marked
+      .groupBy(col("a_doc"), col("b_doc"), col("diag"), col("island"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+      .select(col("a_doc"), col("b_doc"),
+        (col("ie") - col("is") + 1).cast("long").as("run_len"))
+      .groupBy(col("a_doc"), col("b_doc"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"))
+      .filter(col("max_run") >= minLen)
   }
 
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the

@@ -296,6 +296,16 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text")),
 
 
+    // q398 without the length ceiling: extensions that share a DIAGONAL
+    // (a_pos − b_pos) stitch into full-length runs via the q103
+    // gaps-and-islands union — max_run is exact even when the verbatim
+    // run is many times the per-anchor window (DedupSpec plants a
+    // 200-token run under a 48-token window and recovers exactly 200).
+    "q406_stitched_substrings" -> ((s, dir) =>
+      llm.Dedup.stitchedSubstrings(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+
     // North-star rolling-hash fingerprinting, throughput path: the native
     // O(n) Karp-Rabin winnowing expression (one codegen'd pass per doc vs
     // one md5 per k-gram in q35). The hash family is engine-local, so the
@@ -390,6 +400,55 @@ object DedupQueries {
   /** DuckDB-runnable oracle equivalents; keys lacking an entry here are
     * rows-only checked by the driver (non-portable hash/codec/fit paths,
     * each pinned by a dedicated spec instead). */
+  /** Shared CTE prefix of the q398/q406 oracles — everything up to the
+    * per-anchor extension frame `x` (a_doc, b_doc, a_pos, b_pos, rmiss,
+    * lmiss): md5 anchor selection, both-side caps, guarded indexing. */
+  private val substringExtensionsCte: String =
+    """WITH t AS (
+      |  SELECT doc_id AS id,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |  FROM documents
+      |), tt AS (
+      |  SELECT id, ts FROM t WHERE len(ts) >= 8
+      |), g AS (
+      |  SELECT id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+      |  FROM tt, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+      |), a AS (
+      |  SELECT id, pos, gram FROM g
+      |  WHERE CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 8 = 0
+      |), c AS (
+      |  SELECT id, pos, gram,
+      |         row_number() OVER (PARTITION BY gram
+      |           ORDER BY md5(CAST(id AS VARCHAR) || '#'
+      |                        || CAST(pos AS VARCHAR))) AS rk
+      |  FROM a
+      |), cap AS (
+      |  SELECT id, pos, gram FROM c WHERE rk <= 64
+      |), cand AS (
+      |  SELECT x.id AS a_doc, x.pos AS a_pos, y.id AS b_doc, y.pos AS b_pos
+      |  FROM cap x JOIN cap y USING (gram) WHERE x.id < y.id
+      |), w AS (
+      |  SELECT cand.*, ta.ts AS a_ts, tb.ts AS b_ts
+      |  FROM cand JOIN tt ta ON cand.a_doc = ta.id
+      |            JOIN tt tb ON cand.b_doc = tb.id
+      |), e AS (
+      |  SELECT a_doc, b_doc, a_pos, b_pos, i,
+      |    coalesce(
+      |      (CASE WHEN a_pos + i BETWEEN 1 AND len(a_ts)
+      |            THEN a_ts[CAST(a_pos + i AS BIGINT)] END) =
+      |      (CASE WHEN b_pos + i BETWEEN 1 AND len(b_ts)
+      |            THEN b_ts[CAST(b_pos + i AS BIGINT)] END),
+      |      false) AS eq
+      |  FROM w, unnest(generate_series(-48, 8 + 48 - 1)) AS u(i)
+      |), x AS (
+      |  SELECT a_doc, b_doc, a_pos, b_pos,
+      |    coalesce(min(CASE WHEN i >= 8 AND NOT eq THEN i END), 8 + 48)
+      |      AS rmiss,
+      |    coalesce(max(CASE WHEN i < 0 AND NOT eq THEN i END), -48 - 1)
+      |      AS lmiss
+      |  FROM e GROUP BY 1, 2, 3, 4
+      |)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // hash_j(s) = a 15-hex (60-bit) slice of md5(ceil(j/2):s) as BIGINT —
@@ -539,53 +598,42 @@ object DedupQueries {
     // 60-bit md5 anchor mod, md5-order both-side caps, guarded 1-based
     // indexing (out-of-range is NULL/mismatch — NEVER from-the-end)
     "q398_cross_doc_substrings" ->
-      """WITH t AS (
-        |  SELECT doc_id AS id,
-        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-        |  FROM documents
-        |), tt AS (
-        |  SELECT id, ts FROM t WHERE len(ts) >= 8
-        |), g AS (
-        |  SELECT id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
-        |  FROM tt, unnest(generate_series(1, len(ts) - 7)) AS u(i)
-        |), a AS (
-        |  SELECT id, pos, gram FROM g
-        |  WHERE CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 8 = 0
-        |), c AS (
-        |  SELECT id, pos, gram,
-        |         row_number() OVER (PARTITION BY gram
-        |           ORDER BY md5(CAST(id AS VARCHAR) || '#'
-        |                        || CAST(pos AS VARCHAR))) AS rk
-        |  FROM a
-        |), cap AS (
-        |  SELECT id, pos, gram FROM c WHERE rk <= 64
-        |), cand AS (
-        |  SELECT x.id AS a_doc, x.pos AS a_pos, y.id AS b_doc, y.pos AS b_pos
-        |  FROM cap x JOIN cap y USING (gram) WHERE x.id < y.id
-        |), w AS (
-        |  SELECT cand.*, ta.ts AS a_ts, tb.ts AS b_ts
-        |  FROM cand JOIN tt ta ON cand.a_doc = ta.id
-        |            JOIN tt tb ON cand.b_doc = tb.id
-        |), e AS (
-        |  SELECT a_doc, b_doc, a_pos, b_pos, i,
-        |    coalesce(
-        |      (CASE WHEN a_pos + i BETWEEN 1 AND len(a_ts)
-        |            THEN a_ts[CAST(a_pos + i AS BIGINT)] END) =
-        |      (CASE WHEN b_pos + i BETWEEN 1 AND len(b_ts)
-        |            THEN b_ts[CAST(b_pos + i AS BIGINT)] END),
-        |      false) AS eq
-        |  FROM w, unnest(generate_series(-48, 8 + 48 - 1)) AS u(i)
-        |), x AS (
-        |  SELECT a_doc, b_doc, a_pos, b_pos,
-        |    coalesce(min(CASE WHEN i >= 8 AND NOT eq THEN i END), 8 + 48)
-        |      AS rmiss,
-        |    coalesce(max(CASE WHEN i < 0 AND NOT eq THEN i END), -48 - 1)
-        |      AS lmiss
-        |  FROM e GROUP BY 1, 2, 3, 4
-        |)
-        |SELECT a_doc, b_doc, CAST(count(*) AS BIGINT) AS n_anchor_pairs,
-        |       CAST(max(rmiss - lmiss - 1) AS BIGINT) AS max_len
-        |FROM x GROUP BY 1, 2 HAVING max(rmiss - lmiss - 1) >= 16""".stripMargin,
+      (substringExtensionsCte +
+        """
+          |SELECT a_doc, b_doc, CAST(count(*) AS BIGINT) AS n_anchor_pairs,
+          |       CAST(max(rmiss - lmiss - 1) AS BIGINT) AS max_len
+          |FROM x GROUP BY 1, 2 HAVING max(rmiss - lmiss - 1) >= 16""".stripMargin),
+
+    // q398's extension CTEs + the diagonal gaps-and-islands stitch
+    "q406_stitched_substrings" ->
+      (substringExtensionsCte +
+        """
+          |, iv AS (
+          |  SELECT a_doc, b_doc, a_pos - b_pos AS diag,
+          |         a_pos + lmiss + 1 AS s, a_pos + rmiss - 1 AS e
+          |  FROM x
+          |), m AS (
+          |  SELECT a_doc, b_doc, diag, s, e,
+          |    max(e) OVER (PARTITION BY a_doc, b_doc, diag ORDER BY s, e
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |  FROM iv
+          |), isl AS (
+          |  SELECT *, CASE WHEN pme IS NULL OR s > pme + 1
+          |                 THEN 1 ELSE 0 END AS ni
+          |  FROM m
+          |), num AS (
+          |  SELECT *, sum(ni) OVER (PARTITION BY a_doc, b_doc, diag
+          |                          ORDER BY s, e) AS island
+          |  FROM isl
+          |), sp AS (
+          |  SELECT a_doc, b_doc, diag, island,
+          |         min(s) AS i_s, max(e) AS i_e
+          |  FROM num GROUP BY 1, 2, 3, 4
+          |)
+          |SELECT a_doc, b_doc, CAST(count(*) AS BIGINT) AS n_runs,
+          |       CAST(max(i_e - i_s + 1) AS BIGINT) AS max_run
+          |FROM sp GROUP BY 1, 2
+          |HAVING max(i_e - i_s + 1) >= 16""".stripMargin),
 
     "q103_dup_spans" ->
       """WITH t AS (

@@ -226,6 +226,28 @@ class DedupSpec extends AnyFunSuite {
       "edge-bounded run is exactly the 10 shared tokens")
   }
 
+  test("stitchedSubstrings recovers a planted verbatim run FAR beyond the " +
+      "per-anchor window; the bounded form saturates at k + 2*window") {
+    val shared = (1 to 200).map(i => s"tok$i").mkString(" ") // 200 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"x0 $shared y0 y1"),
+      (3L, "unrelated words only nothing common here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stitchedSubstrings(docs, "doc_id", "text",
+        k = 8, anchorMod = 4, window = 48, minLen = 16)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(got.head.getAs[Long]("max_run") === 200L,
+      "the diagonal stitch must recover the FULL 200-token run " +
+        "(4x the 48-token window)")
+    // the bounded-window member of the family tops out at k + 2*window
+    val bounded = Dedup.crossDocSubstrings(docs, "doc_id", "text",
+        k = 8, anchorMod = 4, window = 48, minLen = 16)
+      .collect()
+    assert(bounded.head.getAs[Long]("max_len") === (8L + 2L * 48L))
+  }
+
   test("exactDedup keeps exactly one survivor per fingerprint, the lowest id") {
     val d = Seq(
       (10L, "Hello,  World!"), (7L, "hello world"), (3L, "something else")
