@@ -296,6 +296,38 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text")),
 
 
+    // PROVENANCE of duplication: the near-dup pair volume as a
+    // source-by-source matrix ("which collections copy from which") —
+    // q16/q43's banded MinHash candidate pairs joined to each side's
+    // source tag, counted per canonically-ordered source pair with the
+    // distinct duplicated-doc count per side. One broadcast-sized dim
+    // join per side on the already-bounded pair frame.
+    "q407_source_dup_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = llm.Dedup.candidatePairs(
+        llm.Dedup.bandBuckets(docs, "doc_id", "text",
+          numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
+      val srcs = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(srcs.select(col("doc_id").as("a_doc"),
+          col("source").as("sa")), "a_doc")
+        .join(srcs.select(col("doc_id").as("b_doc"),
+          col("source").as("sb")), "b_doc")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          // docs swap WITH their sources so n_docs_a always counts the
+          // lexicographically-smaller source's side
+          when(col("sa") <= col("sb"), col("a_doc")).otherwise(col("b_doc"))
+            .as("da"),
+          when(col("sa") <= col("sb"), col("b_doc")).otherwise(col("a_doc"))
+            .as("db"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("da")).as("n_docs_a"),
+          countDistinct(col("db")).as("n_docs_b"))
+    }),
+
+
     // q398 without the length ceiling: extensions that share a DIAGONAL
     // (a_pos − b_pos) stitch into full-length runs via the q103
     // gaps-and-islands union — max_run is exact even when the verbatim
@@ -543,6 +575,48 @@ object DedupQueries {
          |SELECT w.vec_id, w.cell FROM w
          |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = w.vec_id)""".stripMargin,
 
+
+    // the q43 banded-minhash pair CTEs + the source dim join and the
+    // same canonical source ordering (docs swap with their sources)
+    "q407_source_dup_matrix" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), sp AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b,
+        |         CASE WHEN da.source <= db.source THEN p.a_doc
+        |              ELSE p.b_doc END AS da,
+        |         CASE WHEN da.source <= db.source THEN p.b_doc
+        |              ELSE p.a_doc END AS db
+        |  FROM pairs p
+        |  JOIN documents da ON p.a_doc = da.doc_id
+        |  JOIN documents db ON p.b_doc = db.doc_id
+        |)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a,
+        |  CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
+        |FROM sp GROUP BY 1, 2""".stripMargin,
 
     // q43's recursive closure + per-cluster argmax by (n_tok desc, id)
     "q404_quality_survivor" ->
