@@ -174,6 +174,35 @@ object Analytics5Queries {
     }),
 
 
+    // Embedding-space label AUDIT: the pairwise centroid-distance matrix
+    // over the embeddings table ("are my labels geometrically distinct
+    // before I train on them?"). Per-(label, dim) sums of µ-quantized
+    // components fold in one pass (map-side partial; the element grid
+    // is floor(x·10⁶) — exact both engines on identical stored floats);
+    // centroid components divide on the +2·10⁶ OFFSET so the numerator
+    // is non-negative and Spark's truncating div == DuckDB's floor //
+    // (the q391 non-negative-div parity rule — components here are
+    // signed, unlike the ln keys); the label×label distance join runs
+    // on the tiny (labels × dims) centroid grain.
+    "q408_label_centroids" -> ((s, dir) => {
+      val off = 2000000L // |x| <= 2 by contract; quantized offset
+      val c = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * 1e6).cast("long")).as("sq"))
+        .withColumn("c_q", expr(s"(sq + n * ${off}L) div n - ${off}L"))
+        .select(col("label"), col("dim"), col("c_q"))
+      c.as("a").join(c.as("b"), "dim")
+        .filter(col("a.label") < col("b.label"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          ((col("a.c_q") - col("b.c_q")) *
+            (col("a.c_q") - col("b.c_q"))).as("d2"))
+        .groupBy(col("la"), col("lb"))
+        .agg(count(lit(1)).as("n_dims"), sum(col("d2")).as("dist2_q"))
+    }),
+
+
     // Vocabulary COVERAGE curve — the tokenizer-budget read ("what share
     // of corpus token instances does a top-k vocab cover?"): term
     // frequencies fold once (map-side partial), the VOCAB grain —
@@ -354,6 +383,31 @@ object Analytics5Queries {
         |  CAST(sum(q) AS BIGINT) AS sum_q,
         |  CAST(sum(q) // count(*) AS BIGINT) AS xent_q
         |FROM h GROUP BY 1""".stripMargin,
+
+    // same µ-grid, same offset-div centroid, same pair join — dims are
+    // 0-based on both sides (posexplode's ordinal / i - 1)
+    "q408_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+        |    AS u(i)
+        |), c AS (
+        |  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq
+        |  FROM x GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT label, dim,
+        |    (sq + n * 2000000) // n - 2000000 AS c_q
+        |  FROM c
+        |)
+        |SELECT a.label AS la, b.label AS lb,
+        |  CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum((a.c_q - b.c_q) * (a.c_q - b.c_q)) AS BIGINT)
+        |    AS dist2_q
+        |FROM cc a JOIN cc b ON a.dim = b.dim AND a.label < b.label
+        |GROUP BY 1, 2""".stripMargin,
 
     // identical vocab-grain ranking and prefix; the k grid clamps to the
     // vocab size exactly as the engine does
