@@ -174,6 +174,37 @@ object Analytics5Queries {
     }),
 
 
+    // Robust outlier detection by MEDIAN/MAD (the heavy-tail-safe
+    // z-score — mean/stddev break down exactly on the outliers you are
+    // hunting): exact lower median of token length via the
+    // distributedRank device, exact MAD (median absolute deviation) via
+    // a SECOND rank pass over the deviations, flag docs whose deviation
+    // clears 1.5·MAD (2·dev > 3·mad — cross-multiplied, integer-exact;
+    // on this bounded-length corpus the classical 3·MAD fence flags
+    // nothing, declared). Both medians are exact order statistics
+    // (never interpolated); the oracle states both as naive global
+    // row_numbers.
+    "q410_mad_outliers" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(text.TextOps.tokens(col("text"))).cast("long").as("len"))
+      def lowerMedian(df: DataFrame, vCol: String): DataFrame =
+        ops.Stats.distributedRank(df, vCol, tieBreak = Seq("doc_id"),
+            out = "_rn", bucketWidth = 1L << 8)
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("_n"))))
+          .filter(col("_rn") === expr("(_n + 1) div 2"))
+          .select(col(vCol).as("_m"))
+      val med = lowerMedian(d, "len")
+      val dev = d.crossJoin(broadcast(med.select(col("_m").as("med"))))
+        .withColumn("dev", abs(col("len") - col("med")))
+      val mad = lowerMedian(dev.select(col("doc_id"), col("dev")), "dev")
+      dev.crossJoin(broadcast(mad.select(col("_m").as("mad"))))
+        .filter(lit(2L) * col("dev") > lit(3L) * col("mad"))
+        .select(col("doc_id"), col("len"), col("med"), col("mad"),
+          col("dev"))
+    }),
+
+
     // Embedding-space label AUDIT: the pairwise centroid-distance matrix
     // over the embeddings table ("are my labels geometrically distinct
     // before I train on them?"). Per-(label, dim) sums of µ-quantized
@@ -383,6 +414,34 @@ object Analytics5Queries {
         |  CAST(sum(q) AS BIGINT) AS sum_q,
         |  CAST(sum(q) // count(*) AS BIGINT) AS xent_q
         |FROM h GROUP BY 1""".stripMargin,
+
+    // both medians as naive global row_numbers (the engine's two-phase
+    // rank must land on the identical order statistics)
+    "q410_mad_outliers" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS len
+        |  FROM documents
+        |), m AS (
+        |  SELECT len AS med FROM (
+        |    SELECT len, row_number() OVER (ORDER BY len, doc_id) AS rn,
+        |           (SELECT count(*) FROM d) AS n
+        |    FROM d)
+        |  WHERE rn = (n + 1) // 2
+        |), dv AS (
+        |  SELECT doc_id, len, (SELECT med FROM m) AS med,
+        |         abs(len - (SELECT med FROM m)) AS dev
+        |  FROM d
+        |), md AS (
+        |  SELECT dev AS mad FROM (
+        |    SELECT dev, row_number() OVER (ORDER BY dev, doc_id) AS rn,
+        |           (SELECT count(*) FROM dv) AS n
+        |    FROM dv)
+        |  WHERE rn = (n + 1) // 2
+        |)
+        |SELECT doc_id, len, med, (SELECT mad FROM md) AS mad, dev
+        |FROM dv WHERE 2 * dev > 3 * (SELECT mad FROM md)""".stripMargin,
 
     // same µ-grid, same offset-div centroid, same pair join — dims are
     // 0-based on both sides (posexplode's ordinal / i - 1)
