@@ -578,7 +578,7 @@ object Analytics4Queries {
     * oracle (round-10 ADVICE). The sentinel is deliberately invalid
     * SQL: a stale dump fails loudly in DuckDB instead of hash-
     * mismatching mysteriously or — worse — matching by luck. */
-  private def realizedOrSentinel(name: String, round: Int)(
+  private[queries] def realizedOrSentinel(name: String, round: Int)(
       unroll: Int => String): String =
     if (round < 1) s"-- ORACLE NOT REALIZED: $name must run in this " +
       "process before its stop-round-parameterized oracle exists"

@@ -14,7 +14,71 @@ import org.apache.spark.sql.functions._
   * the plan audit's partition-less-Window rule explicitly allows. */
 object Analytics5Queries {
 
+  /** Realized q409 stop round — the q386 dynamic-oracle contract
+    * ([[Analytics4Queries.realizedOrSentinel]]). */
+  private[graft] val mkStopRound =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Convergence-WITNESSED Markov stationary distribution — the q386
+    // epsilon-stop discipline applied to a LINEAR-OPERATOR fixpoint
+    // (the third kernel class after mass-propagation PageRank/HITS and
+    // path-relaxation Bellman-Ford): per-user consecutive event-type
+    // transitions build the integer-ppm transition matrix, and the
+    // behavior chain's stationary distribution power-iterates from
+    // uniform with per-round floor quantization (s div 10⁶ — exact,
+    // order-free integer algebra) until the exact L1 residual ≤ 100
+    // ppm-units or 30 rounds. The realized stop round parameterizes the
+    // dynamically-unrolled oracle, which recomputes the final residual
+    // from its own last two iterates — termination is hash-checked.
+    // Per-round cost: one key-equi join + one grouped sum on the
+    // (types × types) matrix grain — tiny by construction.
+    "q409_markov_stationary" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = ev
+        .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("i"), col("nxt").as("j"))
+        .agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true)
+      val p = trans
+        .withColumn("ni", sum(col("nij")).over(
+          Window.partitionBy(col("i"))))
+        .select(col("i"), col("j"), expr("nij * 1000000 div ni").as("p_ppm"))
+        .localCheckpoint(true)
+      val types = ev.select(col("event_type").as("t")).distinct()
+        .localCheckpoint(true)
+      val k = types.count()
+      var pi = types.select(col("t"), lit(1000000L / k).as("pi_q"))
+        .localCheckpoint(true)
+      var round = 0
+      var lastResid = -1L
+      var converged = false
+      while (round < 30 && !converged) {
+        round += 1
+        val sums = pi.join(p, pi("t") === p("i"))
+          .groupBy(col("j"))
+          .agg(sum(col("pi_q") * col("p_ppm")).as("s"))
+        val next = types
+          .join(sums, types("t") === sums("j"), "left_outer")
+          .select(col("t"),
+            coalesce(expr("s div 1000000"), lit(0L)).as("pi_q"))
+          .localCheckpoint(true)
+        lastResid = next.as("n").join(pi.as("o"), col("n.t") === col("o.t"))
+          .agg(sum(abs(col("n.pi_q") - col("o.pi_q"))).as("r"))
+          .head().getLong(0)
+        converged = lastResid <= 100L
+        pi = next
+      }
+      mkStopRound.set(round)
+      pi.withColumn("stop_round", lit(round.toLong))
+        .withColumn("final_residual", lit(lastResid))
+    }),
 
     // Token-budget WATERFILLING across sources — the constrained-mixture
     // allocator ("give each source tokens proportional to its quality
@@ -284,7 +348,55 @@ object Analytics5Queries {
     }),
   )
 
-  val sql: Map[String, String] = Map(
+  /** q409's dynamically-unrolled oracle: `rounds` power-iteration steps
+    * of the same integer-ppm recurrence, final residual recomputed from
+    * the oracle's OWN last two iterates (the q386/q397 mechanism). */
+  private def markovUnrolledSql(rounds: Int): String = {
+    def round(k: Int): String =
+      s"""pi$k AS MATERIALIZED (
+         |  SELECT ty.t,
+         |    CAST(coalesce(s.s // 1000000, 0) AS BIGINT) AS pi_q
+         |  FROM ty LEFT JOIN (
+         |    SELECT p.j AS t, sum(pi.pi_q * p.p_ppm) AS s
+         |    FROM pi${k - 1} pi JOIN p ON pi.t = p.i GROUP BY 1) s
+         |    ON ty.t = s.t)""".stripMargin
+    """WITH tr AS (
+      |  SELECT event_type AS i,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS j
+      |  FROM events
+      |), tc AS (
+      |  SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+      |  FROM tr WHERE j IS NOT NULL GROUP BY 1, 2
+      |), p AS (
+      |  SELECT i, j,
+      |    CAST(nij * 1000000 // sum(nij) OVER (PARTITION BY i) AS BIGINT)
+      |      AS p_ppm
+      |  FROM tc
+      |), ty AS (
+      |  SELECT DISTINCT event_type AS t FROM events
+      |), pi0 AS (
+      |  SELECT t, CAST(1000000 // (SELECT count(*) FROM ty) AS BIGINT)
+      |    AS pi_q
+      |  FROM ty),
+      |""".stripMargin +
+      (1 to rounds).map(round).mkString(",\n") +
+      s""",
+         |resid AS (
+         |  SELECT CAST(sum(abs(a.pi_q - b.pi_q)) AS BIGINT) AS r
+         |  FROM pi$rounds a JOIN pi${rounds - 1} b ON a.t = b.t)
+         |SELECT t, pi_q, CAST($rounds AS BIGINT) AS stop_round,
+         |  resid.r AS final_residual
+         |FROM pi$rounds CROSS JOIN resid""".stripMargin
+  }
+
+  /** A def, not a val: the q409 entry embeds the post-run stop round
+    * (the [[Analytics4Queries]] dynamic-oracle contract). */
+  def sql: Map[String, String] = Map(
+
+    "q409_markov_stationary" ->
+      Analytics4Queries.realizedOrSentinel("q409", mkStopRound.get)(
+        markovUnrolledSql),
 
     // the identical division-free waterfilling algebra over the same
     // source-grain rollup; windows and prefix-AND stated verbatim
