@@ -258,11 +258,15 @@ object Analytics5Queries {
           .crossJoin(broadcast(df.agg(count(lit(1)).as("_n"))))
           .filter(col("_rn") === expr("(_n + 1) div 2"))
           .select(col(vCol).as("_m"))
-      val med = lowerMedian(d, "len")
-      val dev = d.crossJoin(broadcast(med.select(col("_m").as("med"))))
+      // the one-row medians ride as keys=[] aggregates (max of the
+      // single row — value-identical) so the broadcast stays inside the
+      // audited scalar-agg idiom (the q387 BNLJ rule)
+      val med = lowerMedian(d, "len").agg(max(col("_m")).as("med"))
+      val dev = d.crossJoin(broadcast(med))
         .withColumn("dev", abs(col("len") - col("med")))
       val mad = lowerMedian(dev.select(col("doc_id"), col("dev")), "dev")
-      dev.crossJoin(broadcast(mad.select(col("_m").as("mad"))))
+        .agg(max(col("_m")).as("mad"))
+      dev.crossJoin(broadcast(mad))
         .filter(lit(2L) * col("dev") > lit(3L) * col("mad"))
         .select(col("doc_id"), col("len"), col("med"), col("mad"),
           col("dev"))
