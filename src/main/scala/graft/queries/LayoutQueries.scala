@@ -476,6 +476,43 @@ object LayoutQueries {
     }),
 
 
+    // VIDEO temporal analysis at FRAME grain (the q26/q91 serve split
+    // one level deeper): videoFrameFeatures decodes each Y4M asset to
+    // one row per frame (codegen'd fixed-size luma slice, explode fans
+    // out WITHIN partitions — no shuffle) and the per-frame µ-quantized
+    // mean luma persists once; the oracle replays the TEMPORAL read —
+    // per-asset inter-frame jump series (lag over frame order), total
+    // and peak jump, and the argmin peak frame — over the stored rows.
+    // The scene-cut signal a frame-level curation model thresholds.
+    "q411_video_frame_jumps" -> ((s, dir) => {
+      val vids = multimodal.Multimodal.syntheticAssets(s, 600)
+        .filter(col("modality") === "video")
+      val perFrame = multimodal.Multimodal.videoFrameFeatures(vids)
+        .select(col("asset_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          floor(element_at(col("features"), 1) * 1e6).cast("long")
+            .as("mean_q"))
+      sources.Sources.writeParquet(perFrame, predsPath("q411_frames"))
+      val f = s.read.parquet(predsPath("q411_frames"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("asset_id")).orderBy(col("frame_no"))
+      val j = f.withColumn("jump",
+        abs(col("mean_q") - lag(col("mean_q"), 1).over(w)))
+      val g = j.groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          coalesce(sum(col("jump")), lit(0L)).as("sum_jump_q"),
+          max(col("jump")).as("max_jump_q"))
+      val peak = j
+        .join(g.select(col("asset_id"), col("max_jump_q")), Seq("asset_id"))
+        .filter(col("jump") === col("max_jump_q"))
+        .groupBy(col("asset_id"))
+        .agg(min(col("frame_no")).as("peak_frame"))
+      g.join(peak, Seq("asset_id"), "left_outer")
+        .select(col("asset_id"), col("n_frames"), col("sum_jump_q"),
+          col("max_jump_q"), col("peak_frame"))
+    }),
+
+
     // IMAGE near-dup via dHash + the text path's banded-hamming LSH:
     // the corpus is every synthetic image plus a single-pixel-perturbed
     // copy of each (one byte of the first stored pixel forced to 0x7f),
@@ -705,6 +742,32 @@ object LayoutQueries {
          |  CAST(sum(energy_q) AS BIGINT) AS sum_energy_q,
          |  CAST(sum(energy_q) // count(*) AS BIGINT) AS avg_energy_q
          |FROM a GROUP BY 1""".stripMargin,
+
+    // temporal read replayed from the persisted per-frame means: same
+    // lag series, same rollup, same argmin peak
+    "q411_video_frame_jumps" ->
+      s"""WITH f AS (
+         |  SELECT asset_id, frame_no, mean_q
+         |  FROM read_parquet('${predsPath("q411_frames")}/*.parquet')
+         |), j AS (
+         |  SELECT asset_id, frame_no,
+         |    abs(mean_q - lag(mean_q) OVER (PARTITION BY asset_id
+         |                                   ORDER BY frame_no)) AS jump
+         |  FROM f
+         |), g AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |    CAST(coalesce(sum(jump), 0) AS BIGINT) AS sum_jump_q,
+         |    CAST(max(jump) AS BIGINT) AS max_jump_q
+         |  FROM j GROUP BY 1
+         |), p AS (
+         |  SELECT j.asset_id, CAST(min(j.frame_no) AS BIGINT) AS peak_frame
+         |  FROM j JOIN g ON j.asset_id = g.asset_id
+         |              AND j.jump = g.max_jump_q
+         |  GROUP BY 1
+         |)
+         |SELECT g.asset_id, g.n_frames, g.sum_jump_q, g.max_jump_q,
+         |       p.peak_frame
+         |FROM g LEFT JOIN p ON g.asset_id = p.asset_id""".stripMargin,
 
     // serve half replayed from the persisted per-doc deflate sizes —
     // the codec itself stays engine-local (TextOpsSpec-pinned); the
