@@ -160,12 +160,16 @@ object Dedup {
     * stage proportional to |candidates|, not |corpus| (at 100 TB
     * candidates are orders of magnitude smaller). Returns
     * (a_doc, b_doc, jaccard) for pairs with jaccard ≥ threshold. */
-  def jaccardVerify(
+  /** Exact shingle-set overlap COUNTS per candidate pair — the integer
+    * core [[jaccardVerify]] divides and the threshold-sweep family
+    * (q412) cross-multiplies: (a_doc, b_doc, inter, uni). Same
+    * candidates-only scale shape (sets built for candidate ids via a
+    * left-semi, never the corpus). */
+  def jaccardCounts(
       docs: DataFrame,
       cands: DataFrame, // (a_doc, b_doc)
       idCol: String,
       textCol: String,
-      threshold: Double,
       shingleWidth: Int = 3): DataFrame = {
     val candIds = cands.select(col("a_doc").as(idCol))
       .union(cands.select(col("b_doc").as(idCol)))
@@ -176,12 +180,25 @@ object Dedup {
     cands
       .join(sets.select(col(idCol).as("a_doc"), col("sset").as("a_set")), "a_doc")
       .join(sets.select(col(idCol).as("b_doc"), col("sset").as("b_set")), "b_doc")
+      .select(col("a_doc"), col("b_doc"),
+        size(array_intersect(col("a_set"), col("b_set"))).cast("long")
+          .as("inter"),
+        size(array_union(col("a_set"), col("b_set"))).cast("long")
+          .as("uni"))
+  }
+
+  def jaccardVerify(
+      docs: DataFrame,
+      cands: DataFrame, // (a_doc, b_doc)
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleWidth: Int = 3): DataFrame =
+    jaccardCounts(docs, cands, idCol, textCol, shingleWidth)
       .withColumn("jaccard",
-        size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
-          size(array_union(col("a_set"), col("b_set"))))
+        col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("a_doc"), col("b_doc"), col("jaccard"))
-  }
 
   /** End-to-end near-dup pairs: fast-path LSH candidates + exact Jaccard
     * verification ([[jaccardVerify]]). */

@@ -296,6 +296,33 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text")),
 
 
+    // Threshold-SENSITIVITY curve for the near-dup verify stage ("how
+    // much does the corpus shrink if I tighten jaccard?"): exact
+    // shingle-overlap counts per banded-MinHash candidate pair, swept
+    // over a percent grid with the cross-multiplied integer test
+    // inter·100 ≥ uni·t (division-free — no float threshold compare),
+    // reporting surviving pairs and distinct touched docs per
+    // threshold. One counts pass; the sweep is a 5-way explode on the
+    // already-bounded candidate frame.
+    "q412_dedup_threshold_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = llm.Dedup.candidatePairs(
+        llm.Dedup.bandBuckets(docs, "doc_id", "text",
+          numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
+      val kept = llm.Dedup.jaccardCounts(docs, cands, "doc_id", "text")
+        .withColumn("t_pct", explode(array(
+          lit(50L), lit(60L), lit(70L), lit(80L), lit(90L))))
+        .filter(col("inter") * 100 >= col("uni") * col("t_pct"))
+      val pairsAgg = kept.groupBy(col("t_pct"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val docsAgg = kept.select(col("t_pct"), col("a_doc").as("d"))
+        .unionByName(kept.select(col("t_pct"), col("b_doc").as("d")))
+        .groupBy(col("t_pct"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      pairsAgg.join(docsAgg, Seq("t_pct"))
+    }),
+
+
     // PROVENANCE of duplication: the near-dup pair volume as a
     // source-by-source matrix ("which collections copy from which") —
     // q16/q43's banded MinHash candidate pairs joined to each side's
@@ -575,6 +602,60 @@ object DedupQueries {
          |SELECT w.vec_id, w.cell FROM w
          |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = w.vec_id)""".stripMargin,
 
+
+    // the q43 pair CTEs + exact shingle-set counts and the identical
+    // cross-multiplied percent sweep
+    "q412_dedup_threshold_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), ss AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |), jc AS (
+        |  SELECT p.a_doc, p.b_doc,
+        |    CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS BIGINT)
+        |      AS uni
+        |  FROM pairs p JOIN ss a ON p.a_doc = a.doc_id
+        |               JOIN ss b ON p.b_doc = b.doc_id
+        |), k AS (
+        |  SELECT t_pct, a_doc, b_doc FROM jc,
+        |    unnest([CAST(50 AS BIGINT), CAST(60 AS BIGINT),
+        |            CAST(70 AS BIGINT), CAST(80 AS BIGINT),
+        |            CAST(90 AS BIGINT)]) AS u(t_pct)
+        |  WHERE inter * 100 >= uni * t_pct
+        |), dd AS (
+        |  SELECT t_pct, a_doc AS d FROM k
+        |  UNION ALL SELECT t_pct, b_doc FROM k
+        |), p2 AS (
+        |  SELECT t_pct, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM k GROUP BY 1
+        |), d2 AS (
+        |  SELECT t_pct, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        |  FROM dd GROUP BY 1
+        |)
+        |SELECT p2.t_pct, p2.n_pairs, d2.n_docs
+        |FROM p2 JOIN d2 ON p2.t_pct = d2.t_pct""".stripMargin,
 
     // the q43 banded-minhash pair CTEs + the source dim join and the
     // same canonical source ordering (docs swap with their sources)
