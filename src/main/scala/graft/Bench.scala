@@ -115,8 +115,22 @@ object Bench {
     //               real regression would survive to the next clean run)
     //   regressed — the re-run stays >2× with CLEAN controls: the slow
     //               plan reproduces on a quiet host. Investigate.
+    // Rerun side effects are safe by construction (round-11 ADVICE): the
+    // primary pass already executes every query twice (min-of-2), so an
+    // adjudication rerun is never a surface's first re-execution; and
+    // artifact-persisting queries write under this JVM's preds tag —
+    // Verify runs in a separate JVM under a per-SF tag, so a rerun can
+    // never rewrite artifacts an oracle replay reads. The assert pins
+    // that namespace isolation: if Bench ever inherits a Verify tag, the
+    // adjudicator refuses to re-execute rather than silently decouple
+    // dumped results from re-realized artifacts.
     val flaggedFirst = ratios.filter(_._2 > 3.0).toMap
     def rnd2(v: Double): Double = math.round(v * 100.0) / 100.0
+    require(flaggedFirst.isEmpty ||
+      sys.props.getOrElse("graft.preds.tag", "default") == "default",
+      "adjudication reruns require the bench-local artifact namespace " +
+        "(graft.preds.tag unset) — rerunning inside a Verify tag would " +
+        "rewrite artifacts the oracle replay reads")
     val outliers: String =
       if (flaggedFirst.isEmpty) "{}"
       else {

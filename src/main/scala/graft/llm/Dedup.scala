@@ -946,7 +946,15 @@ object Dedup {
   /** Shared core of [[crossDocSubstrings]] / [[stitchedSubstrings]]:
     * per-anchor-pair extension bounds — one row per candidate anchor
     * pair with the first-mismatch offsets (`rmiss`, `lmiss`) of its
-    * exact ±window extension. */
+    * exact ±window extension — PLUS a lazy dropped-postings diagnostics
+    * frame (the [[simhashDupsWithDiagnostics]] treatment): one row
+    * `(gram, postings, dropped)` per gram whose posting list exceeded
+    * `maxPerGram`. The per-gram cap is a declared recall knob (candidate
+    * volume is bounded by Σ min(postings, cap)²), but on a
+    * boilerplate-heavy corpus — every doc sharing a header gram — it
+    * silently truncates exactly the grams that matter; counting the
+    * drops makes that recall loss observable with no eager action in
+    * the builder. */
   private def anchorExtensions(
       docs: DataFrame,
       idCol: String,
@@ -954,7 +962,7 @@ object Dedup {
       k: Int,
       anchorMod: Int,
       window: Int,
-      maxPerGram: Int): DataFrame = {
+      maxPerGram: Int): (DataFrame, DataFrame) = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(anchorMod >= 1, s"anchorMod must be >= 1, got $anchorMod")
     require(window >= 1, s"window must be >= 1, got $window")
@@ -977,6 +985,11 @@ object Dedup {
       .withColumn("_rk", row_number().over(wCap))
       .filter(col("_rk") <= maxPerGram)
       .drop("_rk")
+    val droppedDiag = anchors
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("postings"))
+      .filter(col("postings") > maxPerGram)
+      .withColumn("dropped", col("postings") - maxPerGram)
     val cands = capped.as("x").join(capped.as("y"), "gram")
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_doc"), col("x.pos").as("a_pos"),
@@ -985,7 +998,7 @@ object Dedup {
     // from-the-end indexing (and never an ANSI index error)
     def at(ts: Column, p: Column): Column =
       when(p >= 1 && p <= size(ts), element_at(ts, p))
-    cands
+    val exts = cands
       .join(toks.select(col("id").as("a_doc"), col("ts").as("a_ts")), "a_doc")
       .join(toks.select(col("id").as("b_doc"), col("ts").as("b_ts")), "b_doc")
       .select(col("a_doc"), col("b_doc"), col("a_pos"), col("b_pos"),
@@ -1002,6 +1015,7 @@ object Dedup {
           lit(k + window)).as("rmiss"),
         coalesce(max(when(col("i") < 0 && !col("eq"), col("i"))),
           lit(-window - 1)).as("lmiss"))
+    (exts, droppedDiag)
   }
 
   def crossDocSubstrings(
@@ -1013,11 +1027,33 @@ object Dedup {
       window: Int = 48,
       minLen: Int = 16,
       maxPerGram: Int = 64): DataFrame =
-    anchorExtensions(docs, idCol, textCol, k, anchorMod, window, maxPerGram)
+    crossDocSubstringsWithDiagnostics(
+      docs, idCol, textCol, k, anchorMod, window, minLen, maxPerGram)._1
+
+  /** [[crossDocSubstrings]] plus the lazy `(gram, postings, dropped)`
+    * diagnostics frame of anchor postings the per-gram cap truncated —
+    * recall is exact only while this frame is empty (a boilerplate-heavy
+    * corpus where every doc shares a header gram otherwise degrades
+    * invisibly); the caller pays only if it executes the diagnostics
+    * side. */
+  def crossDocSubstringsWithDiagnostics(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      anchorMod: Int = 8,
+      window: Int = 48,
+      minLen: Int = 16,
+      maxPerGram: Int = 64): (DataFrame, DataFrame) = {
+    val (exts, diag) =
+      anchorExtensions(docs, idCol, textCol, k, anchorMod, window, maxPerGram)
+    val pairs = exts
       .groupBy(col("a_doc"), col("b_doc"))
       .agg(count(lit(1)).as("n_anchor_pairs"),
         max(col("rmiss") - col("lmiss") - 1).cast("long").as("max_len"))
       .filter(col("max_len") >= minLen)
+    (pairs, diag)
+  }
 
   /** [[crossDocSubstrings]] WITHOUT the window length ceiling — the
     * full-length exact read: anchor extensions that belong to the SAME
@@ -1025,13 +1061,22 @@ object Dedup {
     * run), and because anchors recur every ~anchorMod grams ≪ window,
     * consecutive anchors' ±window intervals overlap — so a
     * gaps-and-islands union per (pair, diagonal) (the q103/q22 pattern)
-    * stitches them into the run's full extent. Each island's length is
-    * EXACT (interval ends are mismatch-bounded; two islands on one
-    * diagonal can only abut where a window CLIPPED — merging adjacent
-    * is therefore correct, a mismatch-bounded end can never abut a
-    * match start). Returns (a_doc, b_doc, n_runs, max_run) for pairs
-    * whose longest stitched verbatim run ≥ `minLen` — max_run is no
-    * longer saturated at k + 2·window. Same capped-join scale shape as
+    * stitches them into the run's full extent. Each retained island's
+    * length is exact (interval ends are mismatch-bounded; two islands on
+    * one diagonal can only abut where a window CLIPPED — merging
+    * adjacent is therefore correct, a mismatch-bounded end can never
+    * abut a match start). COMPLETENESS of a run is probabilistic, not
+    * guaranteed: it needs every anchor gap along the run to stay ≤
+    * `window`, and md5 anchor selection only gives EXPECTED spacing
+    * ~`anchorMod` grams (a gap can exceed `window` by chance, and the
+    * `maxPerGram` cap can drop anchors outright — see the diagnostics
+    * frame) — a long gap splits one run into two islands and undercounts
+    * max_run. anchorMod ≪ window makes that rare; it is the same recall
+    * knob [[crossDocSubstrings]] declares, and the oracle states the
+    * identical computation so the check stays exact either way. Returns
+    * (a_doc, b_doc, n_runs, max_run) for pairs whose longest stitched
+    * verbatim run ≥ `minLen` — max_run is no longer saturated at
+    * k + 2·window. Same capped-join scale shape as
     * [[crossDocSubstrings]] plus one partitioned window at the
     * (pair, diagonal) grain (bounded by anchor count). */
   def stitchedSubstrings(
@@ -1042,9 +1087,25 @@ object Dedup {
       anchorMod: Int = 8,
       window: Int = 48,
       minLen: Int = 16,
-      maxPerGram: Int = 64): DataFrame = {
-    val iv = anchorExtensions(docs, idCol, textCol, k, anchorMod, window,
-        maxPerGram)
+      maxPerGram: Int = 64): DataFrame =
+    stitchedSubstringsWithDiagnostics(
+      docs, idCol, textCol, k, anchorMod, window, minLen, maxPerGram)._1
+
+  /** [[stitchedSubstrings]] plus the shared `(gram, postings, dropped)`
+    * anchor-cap diagnostics frame ([[crossDocSubstringsWithDiagnostics]]
+    * has the contract). */
+  def stitchedSubstringsWithDiagnostics(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      anchorMod: Int = 8,
+      window: Int = 48,
+      minLen: Int = 16,
+      maxPerGram: Int = 64): (DataFrame, DataFrame) = {
+    val (exts, diag) = anchorExtensions(docs, idCol, textCol, k, anchorMod,
+      window, maxPerGram)
+    val iv = exts
       .select(col("a_doc"), col("b_doc"),
         (col("a_pos") - col("b_pos")).as("diag"),
         (col("a_pos") + col("lmiss") + 1).as("s"),
@@ -1059,7 +1120,7 @@ object Dedup {
         when(col("pme").isNull || col("s") > col("pme") + 1, 1L)
           .otherwise(0L))
       .withColumn("island", sum(col("ni")).over(byPos))
-    marked
+    val pairs = marked
       .groupBy(col("a_doc"), col("b_doc"), col("diag"), col("island"))
       .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
       .select(col("a_doc"), col("b_doc"),
@@ -1067,6 +1128,7 @@ object Dedup {
       .groupBy(col("a_doc"), col("b_doc"))
       .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"))
       .filter(col("max_run") >= minLen)
+    (pairs, diag)
   }
 
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the

@@ -86,10 +86,40 @@ object Mixture {
     require(budgetNum >= 0 && budgetDen >= 1,
       s"budget fraction must be >= 0 with positive denominator, " +
         s"got $budgetNum/$budgetDen")
+    // Loud input-contract + overflow guard (round-11 ADVICE), plan-
+    // resident like Stats.guardedBucketPrefix: the c>=0 / w>=1 contract
+    // was previously doc-only (a negative capacity or zero weight
+    // diverges engine vs oracle instead of failing), and the cross-
+    // multiplied saturation test (b-cc_prev)*w >= c*w_rem multiplies
+    // token-scale capacities by weight sums — at 100 TB grain that can
+    // exceed Long, where Spark wraps silently while DuckDB raises.
+    // Every product in the algebra is bounded by ctot*wtot (saturation,
+    // residual split), ctot*1e6 (ratio_q, share_ppm), or ctot*budgetNum
+    // (b), so one scalar bound on ctot covers them all. The guard is
+    // fused into `b`, which every output row reads (flag, alloc,
+    // share_ppm) — it cannot be pruned and fires on the first row.
+    val guardDen = greatest(col("wtot"), lit(1000000L), lit(budgetNum))
     val base = sources
       .crossJoin(broadcast(sources.agg(sum(col("c")).as("ctot"),
-        sum(col("w")).as("wtot"))))
-      .withColumn("b", expr(s"ctot * $budgetNum div $budgetDen"))
+        sum(col("w")).as("wtot"),
+        min(col("c")).as("_minc"), min(col("w")).as("_minw"))))
+      .withColumn("b",
+        when(col("_minc") < 0L, raise_error(concat(
+            lit("waterfill: capacity column c has a negative value ("),
+            col("_minc"), lit(") — the c >= 0 input contract is violated; " +
+              "the prefix-AND capped set is meaningless on negative " +
+              "capacities. Fix the upstream rollup."))))
+          .when(col("_minw") < 1L, raise_error(concat(
+            lit("waterfill: weight column w has a value below 1 ("),
+            col("_minw"), lit(") — the w >= 1 input contract is violated; " +
+              "a zero weight divides by zero in the ratio order. Clamp " +
+              "weights with greatest(1L, ...) upstream."))))
+          .when(col("ctot") > lit(Long.MaxValue) / guardDen, raise_error(concat(
+            lit("waterfill: total capacity "), col("ctot"),
+            lit(" x max(weight-sum, 1e6, budgetNum) overflows Long — the " +
+              "cross-multiplied saturation test would wrap silently. " +
+              "Rescale capacities to a coarser token grain."))))
+          .otherwise(expr(s"ctot * $budgetNum div $budgetDen")))
       .withColumn("ratio_q", expr("c * 1000000 div w"))
     val wOrd = Window.orderBy(col("ratio_q"), col(keyCol))
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
@@ -112,7 +142,7 @@ object Mixture {
             expr("greatest(0L, b - cc_star) * w div wu_star"))))
       .withColumn("share_ppm",
         when(col("b") > 0, expr("alloc * 1000000 div b")).otherwise(lit(0L)))
-      .drop("ctot", "wtot", "ratio_q", "cc_prev", "w_rem", "flag",
-        "cc_star", "wu_star")
+      .drop("ctot", "wtot", "_minc", "_minw", "ratio_q", "cc_prev",
+        "w_rem", "flag", "cc_star", "wu_star")
   }
 }

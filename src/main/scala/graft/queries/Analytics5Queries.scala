@@ -456,7 +456,8 @@ object Analytics5Queries {
         |)
         |SELECT source, n_docs, c, w, capped,
         |  CAST(alloc AS BIGINT) AS alloc,
-        |  CAST(alloc * 1000000 // b AS BIGINT) AS share_ppm
+        |  CAST(CASE WHEN b > 0 THEN alloc * 1000000 // b ELSE 0 END
+        |    AS BIGINT) AS share_ppm
         |FROM fin""".stripMargin,
 
     // the naive global row_number formulation of the quartile buckets —

@@ -301,8 +301,14 @@ object Streams {
     * makes micro-batches arrive in event-time order and the watermark
     * advances monotonically (required for event-time timeouts to cross
     * idle gaps in-order; a randomly-ordered stage jumps the watermark to
-    * max on an early batch and turns everything late). nFiles tiny
-    * sequential jobs — drain-scale staging only. */
+    * max on an early batch and turns everything late). Sequential writes
+    * alone do NOT guarantee that order — two part files landing inside
+    * one filesystem mtime granule tie, the source's sort becomes
+    * arbitrary, and a reordered early file's rows silently drop as late
+    * data (round-11 ADVICE) — so each range's fresh part files get an
+    * EXPLICIT mtime pinned strictly (+2 s, beyond any fs granularity)
+    * above the previous range's, with the set verified to take. nFiles
+    * tiny sequential jobs — drain-scale staging only. */
   def stageTimeOrdered(
       df: DataFrame, tsCol: String, dir: String, nFiles: Int): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
@@ -311,12 +317,26 @@ object Streams {
     require(!mm.isNullAt(0), "stageTimeOrdered needs a non-empty frame")
     val lo = mm.getLong(0)
     val width = math.max(1L, (mm.getLong(1) - lo) / nFiles + 1L)
+    val seen = scala.collection.mutable.Set.empty[String]
+    var lastMtime = 0L
     for (i <- 0 until nFiles) {
       val a = lo + i * width
       df.filter(col(tsCol).cast("long") >= a &&
           col(tsCol).cast("long") < a + width)
         .coalesce(1)
         .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
+      val fresh = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+        .filter(f => f.isFile && f.getName.startsWith("part-") &&
+          !seen.contains(f.getName))
+      val target = math.max(lastMtime + 2000L,
+        (fresh.map(_.lastModified()) :+ 0L).max)
+      fresh.foreach { f =>
+        require(f.setLastModified(target),
+          s"stageTimeOrdered: cannot pin mtime on $f — modification-time " +
+            "ordering (the source's batch order) would be unverified")
+        seen += f.getName
+      }
+      lastMtime = target
     }
   }
 

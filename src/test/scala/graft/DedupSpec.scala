@@ -248,6 +248,42 @@ class DedupSpec extends AnyFunSuite {
     assert(bounded.head.getAs[Long]("max_len") === (8L + 2L * 48L))
   }
 
+  test("crossDocSubstrings boilerplate corpus: the per-gram cap bounds " +
+      "candidates AND the dropped postings are VISIBLE in the diagnostics " +
+      "frame, never a silent recall loss") {
+    // every doc opens with the same 4-token header (the header-gram
+    // pathology from the round-11 verdict): 10 postings on one gram,
+    // cap 4 -> 6 dropped, candidate pairs bounded by C(cap,2)
+    val header = "h1 h2 h3 h4"
+    val docs = (1L to 10L).map(i =>
+      (i, s"$header u${i}a u${i}b u${i}c u${i}d")).toDF("doc_id", "text")
+    val (pairs, diag) = Dedup.crossDocSubstringsWithDiagnostics(
+      docs, "doc_id", "text",
+      k = 4, anchorMod = 1, window = 8, minLen = 4, maxPerGram = 4)
+    val d = diag.collect()
+    assert(d.length === 1, s"exactly the header gram saturates: ${d.mkString}")
+    assert(d.head.getAs[String]("gram") === header)
+    assert(d.head.getAs[Long]("postings") === 10L)
+    assert(d.head.getAs[Long]("dropped") === 6L)
+    // the capped join touched at most C(4,2) doc pairs — the silent-cap
+    // volume bound the 100 TB story leans on
+    val p = pairs.collect()
+    assert(p.nonEmpty && p.length <= 6,
+      s"candidates must stay within cap*(cap-1)/2: ${p.length}")
+    assert(p.forall(_.getAs[Long]("max_len") === 4L),
+      "survivor pairs share exactly the 4-token header")
+    // the stitched sibling rides the same core and the same frame
+    val (_, diag2) = Dedup.stitchedSubstringsWithDiagnostics(
+      docs, "doc_id", "text",
+      k = 4, anchorMod = 1, window = 8, minLen = 4, maxPerGram = 4)
+    assert(diag2.collect().map(_.getAs[Long]("dropped")).toSeq === Seq(6L))
+    // an unsaturated corpus reports an EMPTY frame (exactness holds)
+    val (_, clean) = Dedup.crossDocSubstringsWithDiagnostics(
+      docs, "doc_id", "text",
+      k = 4, anchorMod = 1, window = 8, minLen = 4, maxPerGram = 16)
+    assert(clean.isEmpty)
+  }
+
   test("exactDedup keeps exactly one survivor per fingerprint, the lowest id") {
     val d = Seq(
       (10L, "Hello,  World!"), (7L, "hello world"), (3L, "something else")

@@ -410,4 +410,41 @@ class LawsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Mixture.waterfill input-contract + overflow guards fire loudly " +
+      "(round-11 ADVICE: degenerate inputs diverged engine vs oracle " +
+      "instead of failing; Long-wrapping saturation tests were silent)") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .take(12).map(_.toString).mkString("\n")
+    // negative capacity: the prefix-AND capped set is meaningless
+    val negC = intercept[Throwable] {
+      graft.llm.Mixture.waterfill(
+        Seq(("a", -5L, 2L), ("b", 10L, 1L)).toDF("source", "c", "w"),
+        "source", 1L, 2L).collect()
+    }
+    assert(chain(negC).contains("negative value"), chain(negC))
+    // zero weight: divides by zero in the ratio order
+    val zeroW = intercept[Throwable] {
+      graft.llm.Mixture.waterfill(
+        Seq(("a", 5L, 0L), ("b", 10L, 1L)).toDF("source", "c", "w"),
+        "source", 1L, 2L).collect()
+    }
+    assert(chain(zeroW).contains("below 1"), chain(zeroW))
+    // capacity grain that wraps the cross-multiplied saturation test:
+    // Spark wraps Long silently where DuckDB raises — the guard makes
+    // the engine the loud one
+    val huge = intercept[Throwable] {
+      graft.llm.Mixture.waterfill(
+        Seq(("a", Long.MaxValue / 4, 3L), ("b", Long.MaxValue / 4, 5L))
+          .toDF("source", "c", "w"),
+        "source", 1L, 2L).collect()
+    }
+    assert(chain(huge).contains("overflows Long"), chain(huge))
+    // in-bounds frames stay silent (the LAW test above covers values;
+    // this pins that adding the guard changed no legal-input behavior)
+    assert(graft.llm.Mixture.waterfill(
+      Seq(("a", 5L, 1L), ("b", 10L, 2L)).toDF("source", "c", "w"),
+      "source", 1L, 2L).count() === 2L)
+  }
 }
