@@ -17,6 +17,68 @@ confusion/pair-scoring oracles, hash split, LDA topic fit/serve split.
   */
 object MlQueries {
 
+  /** SERVE halves of the fit/serve-split queries, split out as named
+    * builders so (a) the query entries below route through EXACTLY this
+    * code after their fit stages, and (b) the whole-map plan audits can
+    * run the no-cartesian / no-global-window rules over these plans with
+    * tiny staged artifacts instead of paying the fits (round-11 VERDICT
+    * next #1 — a re-densified serve, the regression class q186 escaped
+    * in round 11, now fails the suite). Each reads only persisted
+    * artifacts under [[QueryShared.predsPath]]. */
+  def serveQ23(s: SparkSession): DataFrame =
+    Relational.confusionMatrix(
+      s.read.parquet(predsPath("q23_preds")), "label", "prediction")
+
+  def serveQ27(s: SparkSession): DataFrame = {
+    val scored = pairs.Pairing.scoredPositivesFlat(
+      s.read.parquet(predsPath("q27_preds")), "doc_id", "sic")
+    pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
+  }
+
+  /** q186 serve: exact quantized re-rank of the STORED shortlist over
+    * the RAW stored factors, top-3 per user — the plan that must stay a
+    * shortlist join, never re-densify to the user×item cross. */
+  def serveQ186(s: SparkSession): DataFrame = {
+    val uf = s.read.parquet(predsPath("q186_userf"))
+      .filter(col("id") % 50 === 0)
+      .select(col("id").as("user"), col("features").as("ufeat"))
+    val itf = s.read.parquet(predsPath("q186_itemf"))
+      .select(col("id").as("item"), col("features").as("ifeat"))
+    val scored = s.read.parquet(predsPath("q186_cands"))
+      .join(uf, "user")
+      .join(itf, "item")
+      .select(col("user"), col("item"),
+        graft.exprapi.quantizedDotFast(col("ufeat"), col("ifeat"))
+          .as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user"))
+      .orderBy(col("score_q").desc, col("item").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("user"), col("item"), col("score_q"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** q187 serve: symmetric shortlist (canonical a<b pairs mirrored to
+    * both directions), exact quantized re-rank, top-3 per word. */
+  def serveQ187(s: SparkSession): DataFrame = {
+    val v = s.read.parquet(predsPath("q187_w2v"))
+    val cands = s.read.parquet(predsPath("q187_cands"))
+    val dirPairs = cands.select(col("a_doc").as("w1"), col("b_doc").as("w2"))
+      .unionByName(cands.select(col("b_doc").as("w1"), col("a_doc").as("w2")))
+    val scored = dirPairs
+      .join(v.select(col("word").as("w1"), col("u").as("u1")), "w1")
+      .join(v.select(col("word").as("w2"), col("u").as("u2")), "w2")
+      .select(col("w1"), col("w2"),
+        graft.exprapi.quantizedDotFast(col("u1"), col("u2")).as("sim_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("sim_q").desc, col("w2").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("w1"), col("w2"), col("sim_q"),
+        col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // M7/A5: class-balancing weights as a pure plan (two-scalar agg
@@ -88,8 +150,7 @@ object MlQueries {
         element_at(org.apache.spark.ml.functions.vector_to_array(
           col("probability")), 2).as("prob"))
       sources.Sources.writeParquet(preds, predsPath("q23_preds"))
-      Relational.confusionMatrix(
-        s.read.parquet(predsPath("q23_preds")), "label", "prediction")
+      serveQ23(s)
     }),
 
 
@@ -118,9 +179,7 @@ object MlQueries {
         element_at(org.apache.spark.ml.functions.vector_to_array(
           col("probability")), 2).as("prob"))
       sources.Sources.writeParquet(preds, predsPath("q27_preds"))
-      val scored = pairs.Pairing.scoredPositivesFlat(
-        s.read.parquet(predsPath("q27_preds")), "doc_id", "sic")
-      pairs.Pairing.pairCandidates(scored, scored, "doc_id", maxPerBucket = 50)
+      serveQ27(s)
     }),
 
 
@@ -271,22 +330,7 @@ object MlQueries {
           tables = 8, seed = 187L, maxBucketSize = 2000)
         .coalesce(1).write.mode("overwrite")
         .parquet(predsPath("q187_cands"))
-      // serve half: symmetric shortlist (canonical a<b pairs mirrored to
-      // both directions), exact quantized re-rank, top-3 per word
-      val cands = s.read.parquet(predsPath("q187_cands"))
-      val dirPairs = cands.select(col("a_doc").as("w1"), col("b_doc").as("w2"))
-        .unionByName(cands.select(col("b_doc").as("w1"), col("a_doc").as("w2")))
-      val scored = dirPairs
-        .join(v.select(col("word").as("w1"), col("u").as("u1")), "w1")
-        .join(v.select(col("word").as("w2"), col("u").as("u2")), "w2")
-        .select(col("w1"), col("w2"),
-          graft.exprapi.quantizedDotFast(col("u1"), col("u2")).as("sim_q"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("w1")).orderBy(col("sim_q").desc, col("w2").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("w1"), col("w2"), col("sim_q"),
-          col("rk").cast("int").as("rk"))
+      serveQ187(s)
     }),
 
 
@@ -368,19 +412,7 @@ object MlQueries {
       // interpreted zip_with/aggregate HOF allocates an intermediate
       // array per pair), top-3 per user — pure relational work the
       // oracle replays over the same three parquet artifacts
-      val scored = s.read.parquet(predsPath("q186_cands"))
-        .join(uf, "user")
-        .join(itf, "item")
-        .select(col("user"), col("item"),
-          graft.exprapi.quantizedDotFast(col("ufeat"), col("ifeat"))
-            .as("score_q"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user"))
-        .orderBy(col("score_q").desc, col("item").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("user"), col("item"), col("score_q"),
-          col("rk").cast("int").as("rk"))
+      serveQ186(s)
     }),
 
 

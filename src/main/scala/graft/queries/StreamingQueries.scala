@@ -19,6 +19,34 @@ apply.
   */
 object StreamingQueries {
 
+  /** SERVE halves (post-drain readouts) of the streaming drains, split
+    * out so the whole-map plan audits cover them without executing a
+    * stream (round-11 VERDICT next #1). For q93/q98/q102 the readout is
+    * a typed projection over the drained sink — kept as named builders
+    * so the fit-vs-serve split is total: the exclusion list covers drain
+    * EXECUTION only, and any relational logic that ever grows onto a
+    * readout lands in an audited plan. q99's readout (the incarnation
+    * fold, the one with real join/agg structure) lives in
+    * [[graft.streaming.Streams.userTotalsReadout]]. */
+  def serveQ93(sessions: DataFrame): DataFrame =
+    sessions.select(
+      col("session_start").cast("timestamp_ntz").as("session_start"),
+      col("session_end").cast("timestamp_ntz").as("session_end"),
+      col("user_id"), col("n_events"))
+
+  def serveQ98(windows: DataFrame): DataFrame =
+    windows.select(
+      col("window_start").cast("timestamp_ntz").as("hour"),
+      col("event_type"), col("n"), col("sum_value"))
+
+  def serveQ102(pairsDf: DataFrame): DataFrame =
+    pairsDf.select(
+      col("click_id"), col("user_id"),
+      col("click_ts").cast("timestamp_ntz").as("click_ts"),
+      col("purchase_id"),
+      col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+      col("purchase_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.8 streaming, EXECUTED AS A STREAM: the events fixture staged to a
@@ -63,10 +91,7 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       require(q.awaitTermination(300000), "AvailableNow stream must drain")
-      s.table("q93_sessions").select(
-        col("session_start").cast("timestamp_ntz").as("session_start"),
-        col("session_end").cast("timestamp_ntz").as("session_end"),
-        col("user_id"), col("n_events"))
+      serveQ93(s.table("q93_sessions"))
     }),
 
 
@@ -93,9 +118,7 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       require(q.awaitTermination(300000), "AvailableNow stream must drain")
-      s.table("q98_windows").select(
-        col("window_start").cast("timestamp_ntz").as("hour"),
-        col("event_type"), col("n"), col("sum_value"))
+      serveQ98(s.table("q98_windows"))
     }),
 
 
@@ -267,12 +290,7 @@ object StreamingQueries {
           .start()
       }
       require(q.awaitTermination(300000), "AvailableNow stream must drain")
-      s.table("q102_pairs").select(
-        col("click_id"), col("user_id"),
-        col("click_ts").cast("timestamp_ntz").as("click_ts"),
-        col("purchase_id"),
-        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
-        col("purchase_value"))
+      serveQ102(s.table("q102_pairs"))
     }),
 
 

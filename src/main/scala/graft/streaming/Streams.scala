@@ -277,7 +277,18 @@ object Streams {
         org.apache.spark.sql.types.BooleanType),
       org.apache.spark.sql.types.StructField("batch_id",
         org.apache.spark.sql.types.LongType)))
-    val p = readPartials(spark, partialsDir, partialsSchema)
+    userTotalsReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
+  /** The SERVE half of [[runningUserTotalsEvicting]] on its own — the
+    * post-drain fold over the batchId-keyed partials parquet: exact
+    * per-user counts = Σ closed-incarnation finals + the trailing
+    * incarnation's latest cumulative (rows from batches at or before a
+    * user's last final belong to a CLOSED incarnation and must not
+    * double-count). Pure relational work over persisted rows — split out
+    * so the whole-map plan audits cover it without executing a drain
+    * (round-11 VERDICT next #1). */
+  def userTotalsReadout(p: DataFrame): DataFrame = {
     val finals = p.filter(col("is_final"))
       .groupBy(col("user_id"))
       .agg(sum(col("n_events")).as("_evn"), max(col("batch_id")).as("_lfb"))
