@@ -969,22 +969,10 @@ object Dedup {
     require(maxPerGram >= 1, s"maxPerGram must be >= 1, got $maxPerGram")
     // lazily checkpointed: the posting build and BOTH extension joins
     // consume the tokenized frame (the covisitation re-scan rule)
-    val toks = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
-      .filter(size(col("ts")) >= k)
+    val toks = substringTokenRows(docs, idCol, textCol, k)
       .localCheckpoint(false)
-    val anchors = toks
-      .select(col("id"), posexplode(graft.exprapi.wordShingles(col("ts"), k)))
-      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-      .filter(conv(substring(md5(col("gram")), 1, 15), 16, 10)
-        .cast("long") % anchorMod === 0)
-    val wCap = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gram"))
-      .orderBy(md5(concat_ws("#", col("id"), col("pos"))))
-    val capped = anchors
-      .withColumn("_rk", row_number().over(wCap))
-      .filter(col("_rk") <= maxPerGram)
-      .drop("_rk")
+    val anchors = substringAnchors(toks, k, anchorMod)
+    val capped = cappedPostings(anchors, maxPerGram)
     val droppedDiag = anchors
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("postings"))
@@ -994,13 +982,61 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_doc"), col("x.pos").as("a_pos"),
         col("y.id").as("b_doc"), col("y.pos").as("b_pos"))
+    (extendPairs(cands, toks, toks, k, window), droppedDiag)
+  }
+
+  /** Tokenized `(id, ts)` rows with at least `k` tokens — the
+    * extension-side frame of the anchor family, shared by the
+    * within-corpus ([[crossDocSubstrings]]) and cross-corpus
+    * ([[crossCorpusSubstrings]]) members and persistable as the
+    * old-corpus artifact of the streaming twin. */
+  def substringTokenRows(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= k)
+
+  /** Content-defined anchor sampling: one `(id, pos, gram)` row per
+    * k-gram whose 60-bit md5 is ≡ 0 mod `anchorMod` (expected spacing
+    * ~anchorMod grams — the declared recall knob). */
+  def substringAnchors(
+      toks: DataFrame, k: Int, anchorMod: Int): DataFrame =
+    toks
+      .select(col("id"), posexplode(graft.exprapi.wordShingles(col("ts"), k)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      .filter(conv(substring(md5(col("gram")), 1, 15), 16, 10)
+        .cast("long") % anchorMod === 0)
+
+  /** Per-gram md5-order cap over an anchor frame — the postings-INDEX
+    * half: at most `maxPerGram` `(gram, id, pos)` postings survive per
+    * gram, in md5(id#pos) order so the survivors are deterministic and
+    * engine-portable. */
+  def cappedPostings(anchors: DataFrame, maxPerGram: Int): DataFrame = {
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+      .orderBy(md5(concat_ws("#", col("id"), col("pos"))))
+    anchors
+      .withColumn("_rk", row_number().over(wCap))
+      .filter(col("_rk") <= maxPerGram)
+      .drop("_rk")
+  }
+
+  /** Exact ±window extension of candidate anchor pairs: one row per
+    * candidate with the first-mismatch offsets (`rmiss`, `lmiss`).
+    * `aToks`/`bToks` are `(id, ts)` frames for the respective sides. */
+  private def extendPairs(
+      cands: DataFrame,
+      aToks: DataFrame,
+      bToks: DataFrame,
+      k: Int,
+      window: Int): DataFrame = {
     // guarded 1-based lookup: out-of-range must be NULL, never
     // from-the-end indexing (and never an ANSI index error)
     def at(ts: Column, p: Column): Column =
       when(p >= 1 && p <= size(ts), element_at(ts, p))
-    val exts = cands
-      .join(toks.select(col("id").as("a_doc"), col("ts").as("a_ts")), "a_doc")
-      .join(toks.select(col("id").as("b_doc"), col("ts").as("b_ts")), "b_doc")
+    cands
+      .join(aToks.select(col("id").as("a_doc"), col("ts").as("a_ts")), "a_doc")
+      .join(bToks.select(col("id").as("b_doc"), col("ts").as("b_ts")), "b_doc")
       .select(col("a_doc"), col("b_doc"), col("a_pos"), col("b_pos"),
         explode(sequence(lit(-window), lit(k + window - 1))).as("i"),
         col("a_ts"), col("b_ts"))
@@ -1015,7 +1051,46 @@ object Dedup {
           lit(k + window)).as("rmiss"),
         coalesce(max(when(col("i") < 0 && !col("eq"), col("i"))),
           lit(-window - 1)).as("lmiss"))
-    (exts, droppedDiag)
+  }
+
+  /** Cross-CORPUS exact-substring marks — the ingestion-time member of
+    * the anchor family (the q398 semantics split at the index boundary):
+    * `newDocs` route their sampled k-mer anchors (UNCAPPED — per-doc
+    * anchor count is the doc's own grams ÷ anchorMod, and each anchor
+    * meets at most the index's `maxPerGram` postings, so per-doc work is
+    * bounded without a cross-doc coordination point; the cap lives on
+    * the INDEX side only, applied once at build time) against a
+    * PREBUILT old-corpus postings index ([[cappedPostings]] output) and
+    * extend exactly ±window against the stored old token arrays.
+    * Returns (new_doc, old_doc, n_anchor_pairs, max_len ≥ minLen).
+    * Micro-batch-exact by construction: a new doc's rows are atomic
+    * within a batch and the old side is static, so marks computed per
+    * micro-batch equal the one-shot batch computation
+    * (StreamsSpec law; the streaming drain is
+    * [[graft.streaming.Streams.streamingSubstringMarks]]). */
+  def crossCorpusSubstrings(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      postings: DataFrame, // (gram, id, pos) — cappedPostings of the OLD corpus
+      oldToks: DataFrame,  // (id, ts) — substringTokenRows of the OLD corpus
+      k: Int = 8,
+      anchorMod: Int = 8,
+      window: Int = 48,
+      minLen: Int = 16): DataFrame = {
+    require(k >= 2 && anchorMod >= 1 && window >= 1,
+      s"bad anchor-family params: k=$k anchorMod=$anchorMod window=$window")
+    val newToks = substringTokenRows(newDocs, idCol, textCol, k)
+      .localCheckpoint(false)
+    val cands = substringAnchors(newToks, k, anchorMod).as("x")
+      .join(postings.as("y"), "gram")
+      .select(col("x.id").as("a_doc"), col("x.pos").as("a_pos"),
+        col("y.id").as("b_doc"), col("y.pos").as("b_pos"))
+    extendPairs(cands, newToks, oldToks, k, window)
+      .groupBy(col("a_doc").as("new_doc"), col("b_doc").as("old_doc"))
+      .agg(count(lit(1)).as("n_anchor_pairs"),
+        max(col("rmiss") - col("lmiss") - 1).cast("long").as("max_len"))
+      .filter(col("max_len") >= minLen)
   }
 
   def crossDocSubstrings(

@@ -142,6 +142,16 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q99_partials")))
     }),
 
+    "q413_substring_marks_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q413_marks",
+        Seq((4L, 1L, 2L, 30L, 0L), (8L, 1L, 1L, 16L, 1L))
+          .toDF("new_doc", "old_doc", "n_anchor_pairs", "max_len",
+            "batch_id"))
+      graft.streaming.Streams.substringMarksReadout(
+        s.read.parquet(QueryShared.predsPath("audit_q413_marks")))
+    }),
+
     "q102_join_stream" -> (s => {
       import s.implicits._
       val t = new java.sql.Timestamp(0L)

@@ -1265,6 +1265,62 @@ object Streams {
       s"AvailableNow $what stream must drain")
   }
 
+  /** Ingestion-time cross-corpus EXACT-substring marks — the streaming
+    * twin of [[graft.llm.Dedup.crossDocSubstrings]] (round-11 VERDICT
+    * next #3): new documents drain as micro-batches and route their
+    * sampled k-mer anchors against a PREBUILT old-corpus postings index
+    * + stored token arrays
+    * ([[graft.llm.Dedup.cappedPostings]]/[[graft.llm.Dedup.substringTokenRows]]
+    * artifacts), emitting (new_doc, old_doc, n_anchor_pairs, max_len)
+    * marks per batch into batchId-keyed partials (idempotent under
+    * re-delivery — each batch overwrites its own dir). Streamed == batch
+    * EXACTLY: a new doc's row is atomic within one micro-batch and the
+    * old side is static, so per-batch marks partition the one-shot
+    * result by new doc (StreamsSpec law). Readout =
+    * [[substringMarksReadout]]. */
+  def streamingSubstringMarks(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String,
+      docsSchema: org.apache.spark.sql.types.StructType,
+      postingsPath: String,
+      oldToksPath: String,
+      partialsDir: String,
+      checkpointDir: String,
+      k: Int = 8,
+      anchorMod: Int = 8,
+      window: Int = 48,
+      minLen: Int = 16,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    drainPartials(spark, newDocsDir, docsSchema, partialsDir, checkpointDir,
+        maxFilesPerTrigger, "substring-marks") { batch =>
+      graft.llm.Dedup.crossCorpusSubstrings(batch, "doc_id", "text",
+        spark.read.parquet(postingsPath), spark.read.parquet(oldToksPath),
+        k, anchorMod, window, minLen)
+    }
+    val marksSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("new_doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("old_doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_anchor_pairs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    substringMarksReadout(readPartials(spark, partialsDir, marksSchema))
+  }
+
+  /** SERVE half of [[streamingSubstringMarks]]: fold the batchId-keyed
+    * mark partials back to pair grain. Because a (new_doc, old_doc)
+    * pair's anchors live wholly in the new doc's one batch, the sum/max
+    * is an identity fold — it exists so the readout is robust to a
+    * re-partitioned stage and auditable as a plain relational plan. */
+  def substringMarksReadout(marks: DataFrame): DataFrame =
+    marks.groupBy(col("new_doc"), col("old_doc"))
+      .agg(sum(col("n_anchor_pairs")).as("n_anchor_pairs"),
+        max(col("max_len")).as("max_len"))
+
   /** Streaming EXACT heavy hitters — the sketch-then-verify composition
     * of [[graft.ops.Relational.heavyHitters]] maintained as batches
     * land: each micro-batch runs its own Misra-Gries pass and appends

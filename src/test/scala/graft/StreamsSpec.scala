@@ -567,6 +567,52 @@ class StreamsSpec extends AnyFunSuite {
     assert(slFiles >= 2, s"expected multi-batch appends, got $slFiles files")
   }
 
+  test("streamingSubstringMarks: micro-batched ingestion marks equal the " +
+      "one-shot cross-corpus batch computation; planted run exact") {
+    import graft.llm.Dedup
+    val root = s"target/tmp/streams/submarks_${System.nanoTime()}"
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val old = Seq(
+      (1L, s"alpha beta gamma $shared delta"),
+      (2L, "unrelated words only nothing common here at all with anything"),
+      (3L, "zeta eta " + (1 to 10).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (4L, s"intro words $shared outro stuff"),
+      (8L, "totally novel content with zero overlap whatsoever in any gram"))
+      .toDF("doc_id", "text")
+    val (k, mod, win, minLen) = (4, 2, 32, 8)
+    Dedup.substringTokenRows(old, "doc_id", "text", k)
+      .write.parquet(s"$root/oldtoks")
+    Dedup.cappedPostings(
+        Dedup.substringAnchors(spark.read.parquet(s"$root/oldtoks"), k, mod),
+        maxPerGram = 64)
+      .write.parquet(s"$root/postings")
+    fresh.repartition(2).write.parquet(s"$root/new")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rows(Streams.streamingSubstringMarks(spark, s"$root/new",
+      fresh.schema, s"$root/postings", s"$root/oldtoks",
+      s"$root/partials", s"$root/ckpt",
+      k = k, anchorMod = mod, window = win, minLen = minLen))
+    val batch = rows(Dedup.crossCorpusSubstrings(fresh, "doc_id", "text",
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/oldtoks"),
+      k = k, anchorMod = mod, window = win, minLen = minLen))
+    assert(streamed === batch,
+      s"streamed marks must equal the one-shot batch: $streamed vs $batch")
+    assert(streamed.exists { case (nd, od, _, ml) =>
+      nd == 4L && od == 1L && ml == 30L },
+      s"the planted 30-token run must mark (4, 1) at exactly 30: $streamed")
+    assert(!streamed.exists(_._1 == 8L),
+      "the clean new doc must mark nothing")
+    // the drain really was micro-batched: multiple batch_id partitions
+    val batches = new java.io.File(s"$root/partials").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
