@@ -513,6 +513,59 @@ object LayoutQueries {
     }),
 
 
+    // AUDIO temporal analysis at WINDOW grain — q411's WAV twin
+    // (round-11 VERDICT next #4), completing modality symmetry (video
+    // had a temporal read, audio was whole-asset-only):
+    // audioWindowFeatures decodes each PCM16 clip to one row per
+    // 32-sample window (codegen'd fixed-size byte slice, explode fans
+    // out WITHIN partitions — no shuffle) and the per-window µ-quantized
+    // RMS + ZCR persist once; the oracle replays the TEMPORAL read —
+    // per-asset inter-window energy-jump series, peak-jump argmin, mean
+    // ZCR, and low-energy segmentation (below-threshold window count +
+    // gaps-and-islands run count, the silence-trimming signal an audio
+    // curation pass thresholds) — over the stored rows.
+    "q414_audio_window_energy" -> ((s, dir) => {
+      val auds = multimodal.Multimodal.syntheticAssets(s, 600,
+          payloadBlocks = 64)
+        .filter(col("modality") === "audio")
+      val perWin = multimodal.Multimodal
+        .audioWindowFeatures(auds, windowSamples = 32)
+        .select(col("asset_id"),
+          col("win_no").cast("long").as("win_no"),
+          floor(element_at(col("features"), 2) * 1e6).cast("long")
+            .as("rms_q"),
+          floor(element_at(col("features"), 4) * 1e6).cast("long")
+            .as("zcr_q"))
+      sources.Sources.writeParquet(perWin, predsPath("q414_windows"))
+      val f = s.read.parquet(predsPath("q414_windows"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("asset_id")).orderBy(col("win_no"))
+      val j = f
+        .withColumn("jump",
+          abs(col("rms_q") - lag(col("rms_q"), 1).over(w)))
+        .withColumn("low", (col("rms_q") < 550000L).cast("long"))
+        .withColumn("prev_low", lag(col("low"), 1).over(w))
+      val g = j.groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          coalesce(sum(col("jump")), lit(0L)).as("sum_jump_q"),
+          max(col("jump")).as("max_jump_q"),
+          expr("sum(zcr_q) div count(1)").as("avg_zcr_q"),
+          sum(col("low")).as("n_low"),
+          sum(when(col("low") === 1L &&
+              (col("prev_low").isNull || col("prev_low") === 0L), 1L)
+            .otherwise(0L)).as("n_low_runs"))
+      val peak = j
+        .join(g.select(col("asset_id"), col("max_jump_q")), Seq("asset_id"))
+        .filter(col("jump") === col("max_jump_q"))
+        .groupBy(col("asset_id"))
+        .agg(min(col("win_no")).as("peak_win"))
+      g.join(peak, Seq("asset_id"), "left_outer")
+        .select(col("asset_id"), col("n_windows"), col("sum_jump_q"),
+          col("max_jump_q"), col("avg_zcr_q"), col("n_low"),
+          col("n_low_runs"), col("peak_win"))
+    }),
+
+
     // IMAGE near-dup via dHash + the text path's banded-hamming LSH:
     // the corpus is every synthetic image plus a single-pixel-perturbed
     // copy of each (one byte of the first stored pixel forced to 0x7f),
@@ -767,6 +820,40 @@ object LayoutQueries {
          |)
          |SELECT g.asset_id, g.n_frames, g.sum_jump_q, g.max_jump_q,
          |       p.peak_frame
+         |FROM g LEFT JOIN p ON g.asset_id = p.asset_id""".stripMargin,
+
+    // temporal + segmentation read replayed from the persisted
+    // per-window RMS/ZCR rows: same lag series, same rollup, same
+    // argmin peak, same below-threshold run starts
+    "q414_audio_window_energy" ->
+      s"""WITH f AS (
+         |  SELECT asset_id, win_no, rms_q, zcr_q
+         |  FROM read_parquet('${predsPath("q414_windows")}/*.parquet')
+         |), j AS (
+         |  SELECT asset_id, win_no, rms_q, zcr_q,
+         |    abs(rms_q - lag(rms_q) OVER (PARTITION BY asset_id
+         |                                 ORDER BY win_no)) AS jump,
+         |    CASE WHEN rms_q < 550000 THEN 1 ELSE 0 END AS low,
+         |    lag(CASE WHEN rms_q < 550000 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY asset_id ORDER BY win_no) AS prev_low
+         |  FROM f
+         |), g AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(coalesce(sum(jump), 0) AS BIGINT) AS sum_jump_q,
+         |    CAST(max(jump) AS BIGINT) AS max_jump_q,
+         |    CAST(sum(zcr_q) // count(*) AS BIGINT) AS avg_zcr_q,
+         |    CAST(sum(low) AS BIGINT) AS n_low,
+         |    CAST(sum(CASE WHEN low = 1 AND (prev_low IS NULL OR prev_low = 0)
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low_runs
+         |  FROM j GROUP BY 1
+         |), p AS (
+         |  SELECT j.asset_id, CAST(min(j.win_no) AS BIGINT) AS peak_win
+         |  FROM j JOIN g ON j.asset_id = g.asset_id
+         |              AND j.jump = g.max_jump_q
+         |  GROUP BY 1
+         |)
+         |SELECT g.asset_id, g.n_windows, g.sum_jump_q, g.max_jump_q,
+         |       g.avg_zcr_q, g.n_low, g.n_low_runs, p.peak_win
          |FROM g LEFT JOIN p ON g.asset_id = p.asset_id""".stripMargin,
 
     // serve half replayed from the persisted per-doc deflate sizes —

@@ -222,6 +222,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0 !== f1, "distinct frames must yield distinct stats")
   }
 
+  test("audioWindowFeatures: one row per whole window, golden RMS/ZCR per " +
+      "window, short clips excluded") {
+    // 12 mono samples, windows of 4: [half-scale DC] [silence] [alternating]
+    def s16(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val pcm = (Seq.fill(4)(16384) ++ Seq.fill(4)(0) ++
+      Seq(-16384, 16384, -16384, 16384)).flatMap(s16).toArray
+    val wav = graft.expr.WavDecode.encode(1, 8000, pcm)
+    val tiny = graft.expr.WavDecode.encode(1, 8000, s16(5) ++ s16(-5))
+    val assets = Seq((1L, "audio", wav), (2L, "audio", tiny))
+      .toDF("asset_id", "modality", "content")
+    val rows = Multimodal.audioWindowFeatures(assets, windowSamples = 4)
+      .select($"asset_id", $"win_no",
+        element_at($"features", 2).as("rms"),
+        element_at($"features", 4).as("zcr"))
+      .as[(Long, Int, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    // the 2-sample clip is below one window and must be excluded
+    assert(rows.forall(_._1 == 1L) && rows.length === 3,
+      s"3 whole windows from the 12-sample clip only: ${rows.mkString(", ")}")
+    val eps = 1e-12
+    assert(math.abs(rows(0)._3 - 16384.0 / 32768.0) < eps, "DC window RMS = 0.5")
+    assert(rows(0)._4 === 0.0, "DC window has no crossings")
+    assert(rows(1)._3 === 0.0 && rows(1)._4 === 0.0, "silent window")
+    assert(math.abs(rows(2)._3 - 16384.0 / 32768.0) < eps)
+    assert(rows(2)._4 === 1.0, "alternating signs cross at every step: 3/3")
+  }
+
   test("decodeStub: fixed-width features in [0,1), deterministic (STUB contract)") {
     val feats = Multimodal.decodeStub(Multimodal.syntheticAssets(spark, 6), dims = 12)
       .select($"asset_id", $"features").as[(Long, Seq[Double])].collect().toMap
