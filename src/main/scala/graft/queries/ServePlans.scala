@@ -63,6 +63,14 @@ object ServePlans {
       MlQueries.serveQ23(s)
     }),
 
+    "q415_hashed_lr_confusion" -> (s => {
+      import s.implicits._
+      stage(s, "q415_preds",
+        Seq((1L, 1.0, 1.0, 0.9), (2L, 0.0, 1.0, 0.8), (3L, 0.0, 0.0, 0.1))
+          .toDF("doc_id", "label", "prediction", "prob"))
+      MlQueries.serveQ415(s)
+    }),
+
     "q27_pair_scoring" -> (s => {
       import s.implicits._
       stage(s, "q27_preds",

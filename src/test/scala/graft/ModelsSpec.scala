@@ -64,6 +64,36 @@ class ModelsSpec extends AnyFunSuite {
     assert(probs.forall(p => p >= 0.0 && p <= 1.0))
   }
 
+  test("hashedTfidf (vocabulary-free hashing trick): no vocab collect, and the " +
+      "hashed-features LR holds an AUC floor vs the q23 vocabulary model") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .withColumn("label",
+        when($"lang" === "en", 1.0).otherwise(0.0))
+    // featurization is a pure projection — same row count, fixed width
+    val hashed = Models.hashedTfidf(docs, numFeatures = 1 << 15)
+      .select($"doc_id", $"label", $"tfidf")
+    assert(hashed.count() === docs.count())
+    def fitAuc(feats: org.apache.spark.sql.DataFrame): Double = {
+      val weighted = Models.withClassWeights(
+        feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        "label")
+      try Models.auc(
+        Models.fitWeightedLR(weighted, "label").transform(weighted), "label")
+      finally { feats.unpersist(); () }
+    }
+    val aucHashed = fitAuc(hashed)
+    val aucVocab = fitAuc(
+      Models.fitTfidf(docs, minDF = 2.0, vocabSize = 1000).transform(docs)
+        .select($"doc_id", $"label", $"tfidf"))
+    // the collision trade is measured, not assumed: hash buckets may fold
+    // rare tokens together, but the model must stay within a declared
+    // band of the vocabulary model on the same corpus
+    assert(aucHashed >= aucVocab - 0.05,
+      s"hashed-features AUC $aucHashed fell more than 0.05 below the " +
+        s"vocabulary model's $aucVocab")
+    assert(aucHashed >= 0.7, s"classifier must actually separate: $aucHashed")
+  }
+
   test("tfidf pipeline: pinned vocabulary and exact golden vector (SURVEY §5.3)") {
     val docs = Seq(
       (1L, "alpha beta alpha"),

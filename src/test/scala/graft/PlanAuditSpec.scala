@@ -169,7 +169,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // audited under BOTH rules in the dedicated serve-halves test below
   // (graft.queries.ServePlans — round-11 VERDICT next #1), so the
   // exclusion can no longer hide a re-densified serve.
-  //  - q23/q27/q28/q57/q58/q94: constructing the frame FITS a model
+  //  - q23/q27/q28/q57/q58/q94/q415: constructing the frame FITS a model
   //    (LR / KMeans / PQ codebooks) or writes an index — minutes of
   //    suite time; serve halves audited via ServePlans
   //  - q93/q98/q99/q102/q413: constructing them executes an actual
@@ -194,7 +194,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q93_sessionize_stream", "q94_ivfpq_serving", "q98_tumbling_stream",
     "q99_keyed_state_stream", "q102_join_stream", "q137_ann_recall",
     "q186_als_recs", "q187_word2vec", "q307_matryoshka_recall",
-    "q413_substring_marks_stream")
+    "q413_substring_marks_stream", "q415_hashed_lr_confusion")
 
   test("no query plan contains a cartesian or unbounded nested-loop join (FULL map)") {
     // every graft operator is designed to avoid quadratic joins (grain
