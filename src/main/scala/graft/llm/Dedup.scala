@@ -1206,6 +1206,29 @@ object Dedup {
     (pairs, diag)
   }
 
+  /** Parameterized survivor POLICY over near-dup clusters (round-11
+    * VERDICT next #7): keep, per cluster, the first member under a
+    * caller-supplied LEXICOGRAPHIC ordering chain — source priority,
+    * quality rank, token count, id tie-break, in whatever order the
+    * curation policy dictates. The rank is a PARTITIONED window (per
+    * cluster — bounded by cluster size, never a global sort), so any
+    * policy chain keeps the q43/q404 scale shape. Callers MUST end the
+    * chain with a unique-id tie-break or survivors are
+    * nondeterministic across runs. Returns the surviving member rows
+    * (all input columns, one row per cluster). */
+  def clusterSurvivors(
+      members: DataFrame,
+      clusterCol: String,
+      ordering: Seq[Column]): DataFrame = {
+    require(ordering.nonEmpty, "survivor policy needs an ordering chain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol)).orderBy(ordering: _*)
+    members
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** Exact dedup on a fingerprint of the canonical token stream — keeps the
     * lowest id per fingerprint group (deterministic survivor rule). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

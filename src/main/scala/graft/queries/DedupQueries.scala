@@ -296,6 +296,46 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text")),
 
 
+    // q404's survivor selection PARAMETERIZED as a curation policy
+    // (round-11 VERDICT next #7): the survivor per q43 cluster is the
+    // first member under the lexicographic chain source-tier ASC
+    // (trusted collections first: numeric source suffix mod 4), lexical
+    // diversity ppm DESC (quality rank), token count DESC, doc_id ASC —
+    // vs q404's length-only rule, so the two surfaces together pin that
+    // the policy CHANGES survivors (DedupSpec holds the difference
+    // case). Same partitioned-window scale shape; every policy term is
+    // integer-exact and engine-portable, so the oracle states the
+    // identical chain.
+    "q416_survivor_policy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3), "doc_id"))
+      val members = docs
+        .select(col("doc_id"), col("source"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("source"),
+          size(col("ts")).cast("long").as("n_tok"),
+          size(array_distinct(col("ts"))).cast("long").as("n_dist"))
+        .withColumn("src_tier",
+          expr("cast(regexp_extract(source, '([0-9]+)', 1) as int) % 4")
+            .cast("long"))
+        .withColumn("quality_ppm",
+          expr("n_dist * 1000000 div greatest(n_tok, 1L)"))
+        .join(clusters, Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))))
+      llm.Dedup.clusterSurvivors(members, "cluster_id",
+          Seq(col("src_tier").asc, col("quality_ppm").desc,
+            col("n_tok").desc, col("doc_id").asc))
+        .select(col("cluster_id"), col("doc_id").as("survivor"),
+          col("src_tier"), col("quality_ppm"), col("n_tok"),
+          col("n_members"))
+    }),
+
+
     // Threshold-SENSITIVITY curve for the near-dup verify stage ("how
     // much does the corpus shrink if I tighten jaccard?"): exact
     // shingle-overlap counts per banded-MinHash candidate pair, swept
@@ -748,6 +788,64 @@ object DedupQueries {
         |    AS survivor_n_tok,
         |  CAST(sum(n_tok) AS BIGINT) AS cluster_n_tok
         |FROM q GROUP BY 1""".stripMargin,
+
+    // q43's recursive closure + the identical lexicographic policy chain
+    // (src_tier asc, quality_ppm desc, n_tok desc, doc_id asc)
+    "q416_survivor_policy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, source,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), cl AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), m AS (
+        |  SELECT cl.cluster_id, cl.doc_id,
+        |         CAST(CAST(regexp_extract(t.source, '([0-9]+)', 1) AS INT) % 4
+        |           AS BIGINT) AS src_tier,
+        |         CAST(len(list_distinct(t.ts)) * 1000000
+        |           // greatest(len(t.ts), 1) AS BIGINT) AS quality_ppm,
+        |         CAST(len(t.ts) AS BIGINT) AS n_tok,
+        |         CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT)
+        |           AS n_members
+        |  FROM cl JOIN t ON cl.doc_id = t.doc_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY src_tier ASC, quality_ppm DESC, n_tok DESC, doc_id ASC)
+        |    AS rk
+        |  FROM m
+        |)
+        |SELECT cluster_id, doc_id AS survivor, src_tier, quality_ppm,
+        |       n_tok, n_members
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // the identical anchor-cap-extend computation, stated relationally:
     // 60-bit md5 anchor mod, md5-order both-side caps, guarded 1-based

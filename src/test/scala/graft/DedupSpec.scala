@@ -284,6 +284,33 @@ class DedupSpec extends AnyFunSuite {
     assert(clean.isEmpty)
   }
 
+  test("clusterSurvivors: the policy chain CHANGES the survivor vs the " +
+      "length-only and min-id rules, and ranks strictly lexicographically") {
+    // one 3-member cluster where every rule disagrees:
+    //   min-id        -> doc 1 (worst tier, longest)
+    //   length-only   -> doc 1 (n_tok 50)
+    //   policy chain  -> doc 3 (best src tier wins before quality/length)
+    val members = Seq(
+      (1L, 3L, 900000L, 50L, 10L), // (doc, src_tier, quality_ppm, n_tok, cluster)
+      (2L, 1L, 800000L, 40L, 10L),
+      (3L, 0L, 100000L, 5L, 10L),
+      // a second cluster exercises the quality tie-break inside one tier
+      (7L, 2L, 700000L, 8L, 20L),
+      (8L, 2L, 900000L, 6L, 20L)
+    ).toDF("doc_id", "src_tier", "quality_ppm", "n_tok", "cluster_id")
+    val policy = Dedup.clusterSurvivors(members, "cluster_id",
+        Seq($"src_tier".asc, $"quality_ppm".desc, $"n_tok".desc, $"doc_id".asc))
+      .select($"cluster_id", $"doc_id").as[(Long, Long)].collect().toMap
+    assert(policy === Map(10L -> 3L, 20L -> 8L),
+      s"tier dominates, then quality: $policy")
+    val lengthOnly = Dedup.clusterSurvivors(members, "cluster_id",
+        Seq($"n_tok".desc, $"doc_id".asc))
+      .select($"cluster_id", $"doc_id").as[(Long, Long)].collect().toMap
+    assert(lengthOnly === Map(10L -> 1L, 20L -> 7L))
+    assert(policy(10L) !== lengthOnly(10L),
+      "the parameterized policy must actually change the q404 outcome")
+  }
+
   test("exactDedup keeps exactly one survivor per fingerprint, the lowest id") {
     val d = Seq(
       (10L, "Hello,  World!"), (7L, "hello world"), (3L, "something else")
