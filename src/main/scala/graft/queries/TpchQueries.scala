@@ -506,6 +506,30 @@ object TpchQueries {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }),
+
+
+    // TPC-H Q13 (customer order-count distribution) — the LAST member of
+    // the 22-query battery (Q4/Q19/Q22 live as the adapted
+    // q160/q161/q162 shapes): LEFT OUTER customer⋈orders with the
+    // order-side exclusion filter (fixture has no o_comment, so the
+    // "special requests" gate adapts to the 1-URGENT priority class —
+    // same plan shape: the filter prunes the PROBE side before the
+    // join), count(o_orderkey) per customer — count of a NULLABLE column
+    // so no-order customers land in the c_count = 0 bucket, Q13's whole
+    // point — then the tiny distribution re-aggregation. One shuffle
+    // join on custkey + one order-count-grain hash agg; no window, no
+    // global sort.
+    "q417_tpch_q13" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -751,5 +775,18 @@ object TpchQueries {
          |GROUP BY 1
          |ORDER BY numwait DESC, s_name
          |LIMIT 100""".stripMargin,
+
+    // Q13 distribution: count over the nullable order key keeps
+    // no-order customers in the c_count = 0 bucket
+    "q417_tpch_q13" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust GROUP BY 1""".stripMargin,
   )
 }
