@@ -296,6 +296,36 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text")),
 
 
+    // OBSERVABILITY of the q398/q406/q413 per-gram anchor cap as a
+    // CHECKED surface (the round-11 watch item, beyond the lazy
+    // diagnostics frame): the full anchor-postings histogram
+    // (postings-per-gram level → gram count) joined against the
+    // crossDocSubstringsWithDiagnostics drop report at a DELIBERATELY
+    // tight cap (2 — the fixture's postings reach 3, so real drops are
+    // exercised on real data). A hash match certifies the diagnostics
+    // frame AGREES with the independently-stated histogram: n_saturated
+    // must equal n_grams at every level above the cap and dropped must
+    // be (postings − cap)·n_grams — the frame a recall dashboard
+    // thresholds before trusting the anchor family's exactness. Every
+    // term is md5-portable, so the oracle states both sides.
+    "q418_anchor_saturation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hist = llm.Dedup.substringAnchors(
+          llm.Dedup.substringTokenRows(docs, "doc_id", "text", 8),
+          k = 8, anchorMod = 8)
+        .groupBy(col("gram")).agg(count(lit(1)).as("postings"))
+        .groupBy(col("postings")).agg(count(lit(1)).as("n_grams"))
+      val diag = llm.Dedup.crossDocSubstringsWithDiagnostics(
+          docs, "doc_id", "text", maxPerGram = 2)._2
+        .groupBy(col("postings"))
+        .agg(count(lit(1)).as("n_saturated"), sum(col("dropped")).as("dropped"))
+      hist.join(diag, Seq("postings"), "left_outer")
+        .select(col("postings"), col("n_grams"),
+          coalesce(col("n_saturated"), lit(0L)).as("n_saturated"),
+          coalesce(col("dropped"), lit(0L)).as("dropped"))
+    }),
+
+
     // q404's survivor selection PARAMETERIZED as a curation policy
     // (round-11 VERDICT next #7): the survivor per q43 cluster is the
     // first member under the lexicographic chain source-tier ASC
@@ -788,6 +818,36 @@ object DedupQueries {
         |    AS survivor_n_tok,
         |  CAST(sum(n_tok) AS BIGINT) AS cluster_n_tok
         |FROM q GROUP BY 1""".stripMargin,
+
+    // both sides of the saturation consistency check stated
+    // independently from the same anchor derivation
+    "q418_anchor_saturation" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), tt AS (
+        |  SELECT id, ts FROM t WHERE len(ts) >= 8
+        |), g AS (
+        |  SELECT id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+        |  FROM tt, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |), a AS (
+        |  SELECT id, pos, gram FROM g
+        |  WHERE CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 8 = 0
+        |), p AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS postings FROM a GROUP BY 1
+        |), h AS (
+        |  SELECT postings, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM p GROUP BY 1
+        |), d AS (
+        |  SELECT postings, CAST(count(*) AS BIGINT) AS n_saturated,
+        |         CAST(sum(postings - 2) AS BIGINT) AS dropped
+        |  FROM p WHERE postings > 2 GROUP BY 1
+        |)
+        |SELECT h.postings, h.n_grams,
+        |       CAST(coalesce(d.n_saturated, 0) AS BIGINT) AS n_saturated,
+        |       CAST(coalesce(d.dropped, 0) AS BIGINT) AS dropped
+        |FROM h LEFT JOIN d ON h.postings = d.postings""".stripMargin,
 
     // q43's recursive closure + the identical lexicographic policy chain
     // (src_tier asc, quality_ppm desc, n_tok desc, doc_id asc)

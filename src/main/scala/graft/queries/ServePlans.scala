@@ -160,6 +160,18 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q413_marks")))
     }),
 
+    "q419_survivor_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q419_partials",
+        Seq(("aa", 1L, 0L, 900000L, 20L, 2L, 0L),
+          ("aa", 5L, 0L, 950000L, 22L, 1L, 1L),
+          ("bb", 2L, 1L, 500000L, 9L, 1L, 0L))
+          .toDF("fp", "doc_id", "src_tier", "quality_ppm", "n_tok",
+            "n_copies", "batch_id"))
+      graft.streaming.Streams.survivorReadout(
+        s.read.parquet(QueryShared.predsPath("audit_q419_partials")))
+    }),
+
     "q102_join_stream" -> (s => {
       import s.implicits._
       val t = new java.sql.Timestamp(0L)

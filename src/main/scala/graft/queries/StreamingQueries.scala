@@ -689,6 +689,27 @@ object StreamingQueries {
     }),
 
 
+    // q416's survivor policy at INGESTION time, EXECUTED AS A STREAM:
+    // exact (fingerprint-grain) dedup where each micro-batch emits only
+    // its per-fingerprint local policy-best + copy count (lexicographic
+    // argmin is a merge semilattice — the fifth mergeable monoid after
+    // counts/sums/maxima/skyline), and the readout re-applies the same
+    // policy window over the tiny partials. Streamed == one-shot batch
+    // under any batch split, including a better copy arriving in a LATER
+    // batch than the first copy (StreamsSpec law). Oracle = the one-shot
+    // per-fingerprint policy SQL over documents.
+    "q419_survivor_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val root = predsPath(s"q419_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(docs.repartition(6), s"$root/docs")
+      QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.survivorStream(s, s"$root/docs", docs.schema,
+          s"$root/partials", s"$root/ckpt")
+      }
+    }),
+
+
     // q398's cross-doc exact-substring dedup at INGESTION time, EXECUTED
     // AS A STREAM (round-11 VERDICT next #3): the old 3/4 of the corpus
     // builds the persisted anchor-postings index (per-gram md5-order cap
@@ -1181,6 +1202,34 @@ object StreamingQueries {
         |SELECT pk, price, sz FROM w
         |WHERE (min_cheaper IS NULL OR sz < min_cheaper) AND sz = min_eq"""
         .stripMargin,
+
+    // the one-shot statement of the streamed fold: per-fingerprint
+    // policy argmin + copy count over the whole corpus
+    "q419_survivor_stream" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+        |    CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |      AS BIGINT) AS src_tier,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(
+        |        regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1000000
+        |      // greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+        |                  1) AS BIGINT) AS quality_ppm
+        |  FROM documents
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY src_tier ASC, quality_ppm DESC, n_tok DESC,
+        |               doc_id ASC) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+        |  FROM m
+        |)
+        |SELECT fp, doc_id AS survivor, src_tier, quality_ppm, n_tok,
+        |       n_copies
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // the one-shot batch statement of the ingestion-time computation:
     // old-side anchors capped per gram in md5 order (the INDEX build),

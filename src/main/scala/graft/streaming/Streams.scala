@@ -1321,6 +1321,89 @@ object Streams {
       .agg(sum(col("n_anchor_pairs")).as("n_anchor_pairs"),
         max(col("max_len")).as("max_len"))
 
+  /** Ingestion-time EXACT dedup with a SURVIVOR POLICY — streamed
+    * [[graft.llm.Dedup.clusterSurvivors]] at the fingerprint grain:
+    * lexicographic argmin is a merge SEMILATTICE (best(A∪B) =
+    * best(best(A), best(B)) — the FIFTH mergeable monoid after counts /
+    * sums / maxima / skyline dominance), so each micro-batch emits only
+    * its per-fingerprint local best + copy count into batchId-keyed
+    * idempotent partials, and the readout re-applies the SAME policy
+    * window over the (tiny) partials — exactly the one-shot batch answer
+    * under ANY batch split, even when a later batch carries a better
+    * copy of an earlier fingerprint (StreamsSpec law). Policy chain is
+    * the q416 curation order: src_tier ASC, quality_ppm DESC, n_tok
+    * DESC, doc_id ASC. Docs must carry (doc_id, source, text). */
+  def survivorStream(
+      spark: org.apache.spark.sql.SparkSession,
+      docsDir: String,
+      docsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    drainPartials(spark, docsDir, docsSchema, partialsDir, checkpointDir,
+        maxFilesPerTrigger, "survivor") { batch =>
+      val w = Window.partitionBy(col("fp")).orderBy(
+        col("src_tier").asc, col("quality_ppm").desc,
+        col("n_tok").desc, col("doc_id").asc)
+      survivorPolicyRows(batch)
+        .withColumn("__rk", row_number().over(w))
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("__rk") === 1)
+        .select(col("fp"), col("doc_id"), col("src_tier"),
+          col("quality_ppm"), col("n_tok"), col("n_copies"))
+    }
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src_tier",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("quality_ppm",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tok",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_copies",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    survivorReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
+  /** The per-doc policy grain shared by [[survivorStream]]'s per-batch
+    * fold and its one-shot batch twin: fingerprint + the q416 policy
+    * columns, every term engine-portable. */
+  def survivorPolicyRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.fingerprint(col("text")).as("fp"),
+        graft.text.TextOps.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("fp"),
+        expr("cast(regexp_extract(source, '([0-9]+)', 1) as int) % 4")
+          .cast("long").as("src_tier"),
+        size(col("ts")).cast("long").as("n_tok"),
+        size(array_distinct(col("ts"))).cast("long").as("n_dist"))
+      .withColumn("quality_ppm",
+        expr("n_dist * 1000000 div greatest(n_tok, 1L)"))
+      .drop("n_dist")
+
+  /** SERVE half of [[survivorStream]]: the same policy window over the
+    * merged partials (per-fingerprint frame — bounded by batch count),
+    * copy counts summed across batches. */
+  def survivorReadout(p: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(
+      col("src_tier").asc, col("quality_ppm").desc,
+      col("n_tok").desc, col("doc_id").asc)
+    p.withColumn("__rk", row_number().over(w))
+      .withColumn("n_copies_tot",
+        sum(col("n_copies")).over(Window.partitionBy(col("fp"))))
+      .filter(col("__rk") === 1)
+      .select(col("fp"), col("doc_id").as("survivor"), col("src_tier"),
+        col("quality_ppm"), col("n_tok"),
+        col("n_copies_tot").as("n_copies"))
+  }
+
   /** Streaming EXACT heavy hitters — the sketch-then-verify composition
     * of [[graft.ops.Relational.heavyHitters]] maintained as batches
     * land: each micro-batch runs its own Misra-Gries pass and appends

@@ -172,7 +172,7 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - q23/q27/q28/q57/q58/q94/q415: constructing the frame FITS a model
   //    (LR / KMeans / PQ codebooks) or writes an index — minutes of
   //    suite time; serve halves audited via ServePlans
-  //  - q93/q98/q99/q102/q413: constructing them executes an actual
+  //  - q93/q98/q99/q102/q413/q419: constructing them executes an actual
   //    streaming query; their post-drain readouts are audited via
   //    ServePlans
   //  - q186/q187: constructing the frame FITS an ALS/word2vec model AND
@@ -194,7 +194,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q93_sessionize_stream", "q94_ivfpq_serving", "q98_tumbling_stream",
     "q99_keyed_state_stream", "q102_join_stream", "q137_ann_recall",
     "q186_als_recs", "q187_word2vec", "q307_matryoshka_recall",
-    "q413_substring_marks_stream", "q415_hashed_lr_confusion")
+    "q413_substring_marks_stream", "q415_hashed_lr_confusion",
+    "q419_survivor_stream")
 
   test("no query plan contains a cartesian or unbounded nested-loop join (FULL map)") {
     // every graft operator is designed to avoid quadratic joins (grain

@@ -613,6 +613,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(batches >= 2, s"expected a multi-batch drain, got $batches")
   }
 
+  test("survivorStream: streamed per-fingerprint policy argmin equals the " +
+      "one-shot batch fold; a better copy in a LATER batch wins") {
+    val root = s"target/tmp/streams/surv_${System.nanoTime()}"
+    // three copies of one text across different sources/batches: the
+    // policy-best (src1 -> tier 1) must win even though the tier-3 copy
+    // (src3, doc 1) arrives first; clean doc keeps its own fp
+    val docs = Seq(
+      (1L, "src3", "alpha beta gamma delta"),
+      (9L, "src7", "completely different content here"),
+      (5L, "src1", "alpha beta gamma delta"),
+      (7L, "src5", "Alpha  BETA gamma delta!")) // normalizes to same fp, tier 1
+      .toDF("doc_id", "source", "text")
+    // one row per file => one doc per micro-batch, copies split across
+    // batches in id order is NOT guaranteed; what matters is they land
+    // in different batches at maxFilesPerTrigger = 1
+    docs.repartition(4, $"doc_id").write.parquet(s"$root/docs")
+    val streamed = Streams.survivorStream(spark, s"$root/docs", docs.schema,
+        s"$root/partials", s"$root/ckpt", maxFilesPerTrigger = 1)
+      .select($"fp", $"survivor", $"src_tier", $"n_copies")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = Streams.survivorReadout(
+        Streams.survivorPolicyRows(docs)
+          .withColumn("n_copies", org.apache.spark.sql.functions.lit(1L))
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L)))
+      .select($"fp", $"survivor", $"src_tier", $"n_copies")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"streamed survivors must equal the one-shot fold: $streamed vs $batch")
+    // the dup fingerprint keeps exactly one survivor: the tier-1 copy
+    // with the lower doc_id among the two tier-1 copies (5 vs 7 — doc 5
+    // wins the id tie-break at equal tier/quality/length)
+    val dup = streamed.find(_._4 == 3L).get
+    assert(dup._2 === 5L && dup._3 === 1L,
+      s"policy-best copy must survive across batches: $dup")
+    assert(streamed.exists(r => r._2 == 9L && r._4 == 1L),
+      "the clean doc survives alone")
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
