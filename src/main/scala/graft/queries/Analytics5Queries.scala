@@ -96,6 +96,40 @@ object Analytics5Queries {
     // floor residue is declared), clamped to capacity. The fact-scale
     // work is ONE linear per-source rollup; the planning windows touch
     // only the source-grain aggregate.
+    // The COMPOSED data recipe — dedup THEN budget (round 12): q419's
+    // fingerprint-grain survivor policy feeds q399's waterfilling
+    // allocator, so the per-source capacities are SURVIVING tokens only
+    // (allocating against raw token counts double-budgets every
+    // duplicate — the recipe mistake this surface exists to prevent;
+    // compare c here vs q399's c to read each source's dedup haircut).
+    // Same scale shape as its parts: one policy window at the
+    // fingerprint grain + the source-grain waterfill algebra.
+    "q421_dedup_waterfill" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = docs
+        .select(col("doc_id"), col("source"),
+          text.TextOps.fingerprint(col("text")).as("fp"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("source"), col("fp"),
+          expr("cast(regexp_extract(source, '([0-9]+)', 1) as int) % 4")
+            .cast("long").as("src_tier"),
+          size(col("ts")).cast("long").as("n_tok"),
+          size(array_distinct(col("ts"))).cast("long").as("n_dist"))
+        .withColumn("quality_ppm",
+          expr("n_dist * 1000000 div greatest(n_tok, 1L)"))
+      val surv = llm.Dedup.clusterSurvivors(m, "fp",
+        Seq(col("src_tier").asc, col("quality_ppm").desc,
+          col("n_tok").desc, col("doc_id").asc))
+      val src = surv.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("c"),
+          sum(col("quality_ppm")).as("qsum"))
+        .withColumn("w", greatest(lit(1L), expr("qsum div n_docs")))
+      llm.Mixture.waterfill(src, "source", budgetNum = 6L, budgetDen = 10L)
+        .select(col("source"), col("n_docs"), col("c"), col("w"),
+          col("capped"), col("alloc"), col("share_ppm"))
+    }),
+
+
     "q399_token_waterfill" -> ((s, dir) => {
       val per = Tables.documents(s, dir)
         .select(col("source"), text.TextOps.tokens(col("text")).as("ts"))
@@ -401,6 +435,76 @@ object Analytics5Queries {
     "q409_markov_stationary" ->
       Analytics4Queries.realizedOrSentinel("q409", mkStopRound.get)(
         markovUnrolledSql),
+
+    // the q419 survivor policy chained into the q399 waterfill algebra,
+    // both stated verbatim over the surviving-token source rollup
+    "q421_dedup_waterfill" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+        |    CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |      AS BIGINT) AS src_tier,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(
+        |        regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1000000
+        |      // greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+        |                  1) AS BIGINT) AS quality_ppm
+        |  FROM documents
+        |), rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY src_tier ASC, quality_ppm DESC, n_tok DESC,
+        |             doc_id ASC) AS rk
+        |  FROM m
+        |), surv AS (
+        |  SELECT * FROM rr WHERE rk = 1
+        |), src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS c,
+        |    CAST(sum(quality_ppm) AS BIGINT) AS qsum
+        |  FROM surv GROUP BY 1
+        |), sw AS (
+        |  SELECT *, greatest(1, qsum // n_docs) AS w FROM src
+        |), b0 AS (
+        |  SELECT *, (SELECT sum(c) FROM sw) * 6 // 10 AS b,
+        |    (SELECT sum(w) FROM sw) AS wtot,
+        |    c * 1000000 // w AS ratio_q
+        |  FROM sw
+        |), f AS (
+        |  SELECT *,
+        |    coalesce(sum(c) OVER (ORDER BY ratio_q, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cc_prev,
+        |    wtot - coalesce(sum(w) OVER (ORDER BY ratio_q, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS w_rem
+        |  FROM b0
+        |), g AS (
+        |  SELECT *, CASE WHEN (b - cc_prev) * w >= c * w_rem
+        |                 THEN 1 ELSE 0 END AS flag
+        |  FROM f
+        |), h AS (
+        |  SELECT *, min(flag) OVER (ORDER BY ratio_q, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |      AS capped
+        |  FROM g
+        |), agg AS (
+        |  SELECT coalesce(sum(CASE WHEN capped THEN c END), 0) AS cc_star,
+        |         coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS wu_star
+        |  FROM h
+        |), fin AS (
+        |  SELECT source, n_docs, c, w, capped, b,
+        |    CASE WHEN capped THEN c
+        |         ELSE least(c, greatest(0, b - agg.cc_star) * w
+        |                       // agg.wu_star) END AS alloc
+        |  FROM h CROSS JOIN agg
+        |)
+        |SELECT source, n_docs, c, w, capped,
+        |  CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN b > 0 THEN alloc * 1000000 // b ELSE 0 END
+        |    AS BIGINT) AS share_ppm
+        |FROM fin""".stripMargin,
 
     // the identical division-free waterfilling algebra over the same
     // source-grain rollup; windows and prefix-AND stated verbatim

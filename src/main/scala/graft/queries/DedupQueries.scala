@@ -296,6 +296,43 @@ object DedupQueries {
         Tables.documents(s, dir), "doc_id", "text")),
 
 
+    // EVAL DECONTAMINATION at the SUBSTRING grain (the anchor family's
+    // third member; q73 is the exact-hash Bloom screen — this catches
+    // PARTIAL copies an exact fingerprint misses): the train 9/10 of
+    // the corpus builds the capped anchor-postings index, eval docs
+    // (doc_id % 10 = 0) route their anchors against it, and every eval
+    // doc gets a verdict row — max verbatim run shared with ANY train
+    // doc, how many train docs are implicated (report floor 12 tokens),
+    // and the contaminated flag at the 16-token threshold (clean evals
+    // surface explicitly via the left join, never silently absent —
+    // max_shared 0 means "below the report floor"). Same bounded-candidate
+    // scale shape as q398/q413; fully md5-portable, oracle states the
+    // identical computation.
+    "q420_eval_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evals = docs.filter(col("doc_id") % 10 === 0)
+      val trainToks = llm.Dedup
+        .substringTokenRows(train, "doc_id", "text", 8)
+        .localCheckpoint(false) // feeds the posting build AND extension
+      val postings = llm.Dedup.cappedPostings(
+        llm.Dedup.substringAnchors(trainToks, k = 8, anchorMod = 8),
+        maxPerGram = 64)
+      val marks = llm.Dedup.crossCorpusSubstrings(evals, "doc_id", "text",
+        postings, trainToks, minLen = 12)
+      evals.select(col("doc_id"))
+        .join(marks
+            .groupBy(col("new_doc").as("doc_id"))
+            .agg(max(col("max_len")).as("mx"),
+              countDistinct(col("old_doc")).as("nt")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("mx"), lit(0L)).as("max_shared"),
+          coalesce(col("nt"), lit(0L)).as("n_train_docs"),
+          (coalesce(col("mx"), lit(0L)) >= 16L).as("contaminated"))
+    }),
+
+
     // OBSERVABILITY of the q398/q406/q413 per-gram anchor cap as a
     // CHECKED surface (the round-11 watch item, beyond the lazy
     // diagnostics frame): the full anchor-postings histogram
@@ -818,6 +855,69 @@ object DedupQueries {
         |    AS survivor_n_tok,
         |  CAST(sum(n_tok) AS BIGINT) AS cluster_n_tok
         |FROM q GROUP BY 1""".stripMargin,
+
+    // the identical cross-corpus computation (train-side-only cap, eval
+    // anchors uncapped, guarded indexing) + the per-eval verdict rollup
+    // with the explicit clean-eval left join
+    "q420_eval_decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), tt AS (
+        |  SELECT id, ts FROM t WHERE len(ts) >= 8
+        |), g AS (
+        |  SELECT id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+        |  FROM tt, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |), a AS (
+        |  SELECT id, pos, gram FROM g
+        |  WHERE CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 8 = 0
+        |), c AS (
+        |  SELECT id, pos, gram,
+        |         row_number() OVER (PARTITION BY gram
+        |           ORDER BY md5(CAST(id AS VARCHAR) || '#'
+        |                        || CAST(pos AS VARCHAR))) AS rk
+        |  FROM a WHERE id % 10 <> 0
+        |), cap AS (
+        |  SELECT id, pos, gram FROM c WHERE rk <= 64
+        |), cand AS (
+        |  SELECT x.id AS a_doc, x.pos AS a_pos, y.id AS b_doc, y.pos AS b_pos
+        |  FROM (SELECT id, pos, gram FROM a WHERE id % 10 = 0) x
+        |  JOIN cap y USING (gram)
+        |), w AS (
+        |  SELECT cand.*, ta.ts AS a_ts, tb.ts AS b_ts
+        |  FROM cand JOIN tt ta ON cand.a_doc = ta.id
+        |            JOIN tt tb ON cand.b_doc = tb.id
+        |), e AS (
+        |  SELECT a_doc, b_doc, a_pos, b_pos, i,
+        |    coalesce(
+        |      (CASE WHEN a_pos + i BETWEEN 1 AND len(a_ts)
+        |            THEN a_ts[CAST(a_pos + i AS BIGINT)] END) =
+        |      (CASE WHEN b_pos + i BETWEEN 1 AND len(b_ts)
+        |            THEN b_ts[CAST(b_pos + i AS BIGINT)] END),
+        |      false) AS eq
+        |  FROM w, unnest(generate_series(-48, 8 + 48 - 1)) AS u(i)
+        |), x AS (
+        |  SELECT a_doc, b_doc, a_pos, b_pos,
+        |    coalesce(min(CASE WHEN i >= 8 AND NOT eq THEN i END), 8 + 48)
+        |      AS rmiss,
+        |    coalesce(max(CASE WHEN i < 0 AND NOT eq THEN i END), -48 - 1)
+        |      AS lmiss
+        |  FROM e GROUP BY 1, 2, 3, 4
+        |), marks AS (
+        |  SELECT a_doc, b_doc, max(rmiss - lmiss - 1) AS max_len
+        |  FROM x GROUP BY 1, 2 HAVING max(rmiss - lmiss - 1) >= 12
+        |), per_eval AS (
+        |  SELECT a_doc AS doc_id, CAST(max(max_len) AS BIGINT) AS mx,
+        |         CAST(count(DISTINCT b_doc) AS BIGINT) AS nt
+        |  FROM marks GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.mx, 0) AS BIGINT) AS max_shared,
+        |       CAST(coalesce(p.nt, 0) AS BIGINT) AS n_train_docs,
+        |       coalesce(p.mx, 0) >= 16 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN per_eval p ON d.doc_id = p.doc_id""".stripMargin,
 
     // both sides of the saturation consistency check stated
     // independently from the same anchor derivation
