@@ -1,9 +1,11 @@
 package graft
 package queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import QueryShared.predsPath
 
 /** Round-11 surfaces (q399+): corpus data-recipe planners — the
   * budget/shape decisions a training-data pipeline makes once the
@@ -17,6 +19,10 @@ object Analytics5Queries {
   /** Realized q409 stop round — the q386 dynamic-oracle contract
     * ([[Analytics4Queries.realizedOrSentinel]]). */
   private[graft] val mkStopRound =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Realized q422 Lloyd round count — same contract. */
+  private[graft] val kmStopRound =
     new java.util.concurrent.atomic.AtomicInteger(-1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -384,6 +390,518 @@ object Analytics5Queries {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
     }),
+
+    // Convergence-WITNESSED Lloyd k-means over the embeddings table —
+    // the FOURTH dynamic-oracle kernel class (alternating minimization;
+    // see ml.Kmeans for the exact-integer contract). Seeds are the k=4
+    // vectors smallest by (md5(vec_id), vec_id) — content-deterministic,
+    // no RNG; the stop witness is ZERO membership changes (or the
+    // 12-round cap, with the realized change count riding the output).
+    // The oracle unrolls exactly the realized rounds and recomputes
+    // changed_last from its OWN last two assignment frames, so
+    // termination is hash-checked, not trusted. Per-round cost: one
+    // broadcast of the k·64 centroid grid against the exploded vector
+    // frame — the 100 TB shape (centroids are always tiny; vectors
+    // stream through one hash join + two partial aggregations).
+    "q422_kmeans_converged" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+      val seeds = Tables.embeddings(s, dir)
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("sk"))
+        .orderBy(col("sk"), col("vec_id")).limit(4)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("sk"), col("vec_id")))
+            .cast("long") - 1)
+        .select(col("vec_id"), col("cid"))
+      val (assign, _, round, changed) =
+        ml.Kmeans.lloydConverged(x, seeds, maxRounds = 12)
+      kmStopRound.set(round)
+      assign.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist2")).as("inertia_q"))
+        .withColumn("stop_round", lit(round.toLong))
+        .withColumn("changed_last", lit(changed))
+    }),
+
+    // t-CLOSENESS audit — the distributional member of the privacy
+    // family (q283 k-anonymity counts rows, q384 l-diversity counts/
+    // entropies values; this measures how far each QI cell's SENSITIVE
+    // distribution drifts from the corpus-wide one). Sensitive attribute
+    // o_orderpriority is ORDINAL, so t is the ordered earth-mover
+    // distance: per cell, Σ|cumulative(q−p)| div (m−1) over the sv
+    // alphabet in its natural order, everything in exact integer ppm.
+    // Zero cells matter (a cell missing a priority IS drift), so the
+    // alphabet+global-counts ride ONE keys=[] scalar-agg broadcast
+    // (sort_array(collect_list(struct))) and explode back — the
+    // BNLJ-audit-legal densification; the alphabet is bounded (5 values)
+    // by construction. Cumulative windows sit on the (QI × sv) aggregate
+    // grain, never on facts.
+    "q423_t_closeness" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("seg"), col("o_orderpriority").as("sv"))
+      val cells = base.groupBy(col("nk"), col("seg"), col("sv"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val galph = cells.groupBy(col("sv")).agg(sum(col("c")).as("gc"))
+        .agg(sort_array(collect_list(struct(col("sv"), col("gc"))))
+            .as("al"),
+          sum(col("gc")).as("n_total"))
+      val groups = cells.groupBy(col("nk"), col("seg"))
+        .agg(sum(col("c")).as("n"))
+      val wCum = Window.partitionBy(col("nk"), col("seg"))
+        .orderBy(col("sv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val emd = groups.crossJoin(broadcast(galph))
+        .select(col("nk"), col("seg"), col("n"), col("n_total"),
+          size(col("al")).cast("long").as("m"), explode(col("al")).as("a"))
+        .select(col("nk"), col("seg"), col("n"), col("n_total"), col("m"),
+          col("a.sv").as("sv"), col("a.gc").as("gc"))
+        .join(cells, Seq("nk", "seg", "sv"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("diff_ppm",
+          expr("c * 1000000 div n - gc * 1000000 div n_total"))
+        .withColumn("cum_ppm", sum(col("diff_ppm")).over(wCum))
+        .groupBy(col("nk"), col("seg"), col("n"), col("m"))
+        .agg(sum(abs(col("cum_ppm"))).as("absum_ppm"))
+        .select(col("nk"), col("seg"), col("n"),
+          expr("absum_ppm div (m - 1)").as("t_ppm"))
+        .localCheckpoint(true)
+      emd.crossJoin(broadcast(emd.agg(max(col("t_ppm")).as("max_t_ppm"))))
+    }),
+
+    // Benjamini–Hochberg FDR step-up over the per-event-type SRM family
+    // (q208/q388 test ONE split; a real experimentation platform tests
+    // MANY and must control the false-discovery rate across them). Each
+    // event type's odd/even user split yields an exact z² statistic —
+    // the split form a·10⁶ + b·10⁶ div n with (a, b) = divmod((2·odd −
+    // n)², n) keeps every intermediate ≤ n²·2 (Long-safe to n ≈ 3·10⁹
+    // per hypothesis; the plain (…)²·10⁶ form would wrap at n ≥ 3·10⁶ —
+    // the round-11 ADVICE overflow class) — and the Chebyshev bound
+    // p ≤ 1/z² gives a REAL (conservative) p-value in exact ppm, no
+    // erf needed. The step-up is division-free: reject the prefix up to
+    // the largest rank with p_ppm·m·20 ≤ 10⁶·rk (α = 0.05). Windows sit
+    // on the event-type aggregate grain; m and k* attach as keys=[]
+    // scalar-agg broadcasts.
+    "q424_bh_fdr" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 2 === 1).cast("long")).as("n_odd"))
+        .withColumn("z2_micro", expr(
+          "((2 * n_odd - n) * (2 * n_odd - n) div n) * 1000000" +
+            " + ((2 * n_odd - n) * (2 * n_odd - n) % n) * 1000000 div n"))
+        .withColumn("p_ppm", least(lit(1000000L),
+          expr("1000000000000 div greatest(z2_micro, 1)")))
+      // no checkpoint before the rank: the partition-less window must sit
+      // directly on the event-type Aggregate for the whole-map audit's
+      // bounded-frame rule (a LogicalRDD leaf would hide the shape);
+      // the hypothesis grain is a handful of rows, recompute is free
+      val ranked = h
+        .withColumn("rk",
+          row_number().over(
+            Window.orderBy(col("p_ppm"), col("event_type"))).cast("long"))
+        .crossJoin(broadcast(h.agg(count(lit(1)).as("m"))))
+        .withColumn("pass_bh",
+          col("p_ppm") * col("m") * 20 <= lit(1000000L) * col("rk"))
+      ranked.crossJoin(broadcast(ranked.agg(
+          max(when(col("pass_bh"), col("rk")).otherwise(lit(0L)))
+            .as("k_star"))))
+        .select(col("event_type"), col("n"), col("n_odd"), col("z2_micro"),
+          col("p_ppm"), col("rk"), col("pass_bh"),
+          (col("rk") <= col("k_star")).as("rejected"))
+    }),
+
+    // Kaplan–Meier product-limit survival — the estimator q319's
+    // Nelson–Aalen hazard is the increment form of, over the IDENTICAL
+    // first-event → first-purchase lifetime derivation (conversion =
+    // death, last activity = censoring). The survival product stays
+    // exact-integer by living in LOG space: each exit day contributes
+    // lnq(n_risk − n_event) − lnq(n_risk) with lnq(x) = floor(10⁶·ln x)
+    // on INTEGER arguments (the q384 µnat rule — integer-argument logs
+    // are the bit-stable cross-engine form), and the cumulative sum of
+    // pre-quantized terms is order-free. A day where every at-risk user
+    // converts drives survival to exactly 0 — from that day on the log
+    // is undefined, so s_zero flags the regime and s_ln_micro goes NULL
+    // (declared, oracle-mirrored). One fact pass; windows on the
+    // exit-day aggregate grain.
+    "q425_kaplan_meier" -> ((s, dir) => {
+      def lnMicro(c: Column): Column =
+        floor(lit(1e6) * log(c.cast("double"))).cast("long")
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          (col("event_type") === "purchase").as("isp"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("first_us"),
+          min(when(col("isp"), col("us"))).as("conv_us"),
+          max(col("us")).as("last_us"))
+        .withColumn("event", col("conv_us").isNotNull.cast("long"))
+        .withColumn("t_day", expr(
+          "(coalesce(conv_us, last_us) - first_us) div 86400000000"))
+      val exits = perUser.groupBy(col("t_day"))
+        .agg(sum(col("event")).as("n_event"),
+          sum(lit(1L) - col("event")).as("n_censored"))
+      val total = perUser.agg(count(lit(1)).as("n_total"))
+      val wPrior = Window.orderBy(col("t_day"))
+      exits.crossJoin(broadcast(total))
+        .withColumn("prior_exits", coalesce(
+          sum(col("n_event") + col("n_censored")).over(
+            wPrior.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_risk", col("n_total") - col("prior_exits"))
+        .withColumn("ln_inc_micro",
+          when(col("n_event") < col("n_risk"),
+            lnMicro(col("n_risk") - col("n_event"))
+              - lnMicro(col("n_risk")))
+            .otherwise(lit(null).cast("long")))
+        .withColumn("s_zero",
+          max((col("n_event") === col("n_risk")).cast("long")).over(
+            wPrior.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .withColumn("s_ln_micro",
+          when(col("s_zero") === 1, lit(null).cast("long"))
+            .otherwise(sum(coalesce(col("ln_inc_micro"), lit(0L))).over(
+              wPrior.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow))))
+        .select(col("t_day"), col("n_risk"), col("n_event"),
+          col("n_censored"), col("ln_inc_micro"), col("s_ln_micro"),
+          col("s_zero"))
+    }),
+
+    // Adamic–Adar link prediction over the order-basket bipartite graph
+    // (q313's covisitation counts common baskets; AA discounts each
+    // common basket by 1/ln(its size), so promiscuous baskets predict
+    // less). Exact integers end-to-end: per kept basket, inv_micro =
+    // 10¹² div lnq(basket_size) with the same integer-argument µnat log
+    // as q425; pair score = Σ inv_micro over common baskets. Scale
+    // guard: baskets > 20 items are DROPPED before the within-basket
+    // self-join (the q313 cap — candidate volume Σ min(bs,20)², stated
+    // in the oracle), and only pairs sharing ≥ 2 baskets surface (the
+    // link-prediction read; singleton co-occurrence is noise).
+    "q426_adamic_adar" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val sized = items
+        .withColumn("bs", count(lit(1)).over(
+          Window.partitionBy(col("bk"))))
+        .filter(col("bs") >= 2 && col("bs") <= 20)
+        .withColumn("lnq",
+          floor(lit(1e6) * log(col("bs").cast("double"))).cast("long"))
+        .withColumn("inv_micro", expr("1000000000000 div lnq"))
+        .localCheckpoint(true)
+      sized.as("a").join(sized.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(col("a.inv_micro")).as("aa_micro"))
+        .filter(col("n_common") >= 2)
+    }),
+
+    // Log-rank test — the INFERENTIAL member of the survival family
+    // (q264 life table, q319 hazard, q425 survival curve — this one asks
+    // "do the odd and even user cohorts convert at the same rate?").
+    // Per exit day: group-1 observed events vs hypergeometric expecteds
+    // e1 = d·n1/n and variance v = d·(n1/n)(n0/n)(n−d)/(n−1), every
+    // factor a STAGED ppm division (a_ppm·b_ppm div 10⁶ chains keep all
+    // intermediates ≤ d·10¹² — Long-safe at any realistic cohort size;
+    // the single-expression product would wrap at ~10⁴ users, the q424
+    // overflow class). The statistic folds once: z²_milli =
+    // (ΣO−ΣE div 10³)² div (ΣV div 10³) — milli-scaled so the square
+    // stays Long-safe to ~3·10⁶ expected-event units. Windows on the
+    // exit-day aggregate grain only.
+    "q428_logrank" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          (col("event_type") === "purchase").as("isp"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("first_us"),
+          min(when(col("isp"), col("us"))).as("conv_us"),
+          max(col("us")).as("last_us"))
+        .select((col("user_id") % 2).as("g"),
+          col("conv_us").isNotNull.cast("long").as("event"),
+          expr("(coalesce(conv_us, last_us) - first_us) div 86400000000")
+            .as("t_day"))
+      val exits = perUser.groupBy(col("t_day"))
+        .agg(count(lit(1)).as("x_all"), sum(col("event")).as("d_all"),
+          sum(col("g")).as("x_g1"),
+          sum(col("g") * col("event")).as("d_g1"))
+      val totals = perUser.agg(count(lit(1)).as("n_all_0"),
+        sum(col("g")).as("n_g1_0"))
+      val wPrior = Window.orderBy(col("t_day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perDay = exits.crossJoin(broadcast(totals))
+        .withColumn("n_all",
+          col("n_all_0") - coalesce(sum(col("x_all")).over(wPrior), lit(0L)))
+        .withColumn("n_g1",
+          col("n_g1_0") - coalesce(sum(col("x_g1")).over(wPrior), lit(0L)))
+        .withColumn("e1_micro", expr("d_all * n_g1 * 1000000 div n_all"))
+        .withColumn("a_ppm", expr("n_g1 * 1000000 div n_all"))
+        .withColumn("b_ppm", expr("(n_all - n_g1) * 1000000 div n_all"))
+        .withColumn("c_ppm", expr(
+          "(n_all - d_all) * 1000000 div greatest(n_all - 1, 1)"))
+        .withColumn("v_micro", expr(
+          "((d_all * a_ppm * b_ppm) div 1000000 * c_ppm) div 1000000"))
+        .select(col("t_day"), col("n_all"), col("n_g1"), col("d_all"),
+          col("d_g1"), col("e1_micro"), col("v_micro"))
+        .localCheckpoint(true)
+      // abs BEFORE the milli-scaling: the (O−E) sum is signed, and
+      // Spark's truncating div disagrees with DuckDB's floor div on
+      // negative numerators — the square is sign-free anyway
+      perDay.crossJoin(broadcast(perDay.agg(
+          abs(sum(col("d_g1") * 1000000L - col("e1_micro"))).as("num_abs"),
+          sum(col("v_micro")).as("v_sum_micro"))
+        .select(expr("(num_abs div 1000) * (num_abs div 1000)" +
+            " div greatest(v_sum_micro div 1000, 1)").as("z2_milli"))))
+    }),
+
+    // G² log-likelihood-ratio independence test — q236's chi-square
+    // sibling on the same event-type × user-parity contingency, in the
+    // µnat algebra the entropy family already speaks: each cell
+    // contributes 2·O·(lnq(O·N) − lnq(R·C)) since O/E = O·N/(R·C), with
+    // lnq the integer-argument floor-µnat log (bit-stable cross-engine,
+    // the q384 rule; O = 0 cells contribute exactly 0 by the limit,
+    // guarded with a CASE on both sides). Cell grain only; the total and
+    // degrees of freedom attach as keys=[] scalar-agg broadcasts.
+    "q429_g2_independence" -> ((s, dir) => {
+      def lnMicro(c: Column): Column =
+        floor(lit(1e6) * log(c.cast("double"))).cast("long")
+      val cell = Tables.events(s, dir)
+        .groupBy(col("event_type").as("t"), (col("user_id") % 2).as("g"))
+        .agg(count(lit(1)).as("o"))
+      val shaped = cell
+        .withColumn("r", sum(col("o")).over(
+          Window.partitionBy(col("t"))))
+        .withColumn("c", sum(col("o")).over(
+          Window.partitionBy(col("g"))))
+        .crossJoin(broadcast(
+          cell.agg(sum(col("o")).as("n"),
+            countDistinct(col("t")).as("nt"),
+            countDistinct(col("g")).as("ng"))))
+        .withColumn("term_micro",
+          when(col("o") > 0,
+            lit(2L) * col("o")
+              * (lnMicro(col("o") * col("n")) - lnMicro(col("r") * col("c"))))
+            .otherwise(lit(0L)))
+        .select(col("t"), col("g"), col("o"), col("r"), col("c"),
+          col("term_micro"),
+          ((col("nt") - 1) * (col("ng") - 1)).as("dof"))
+        .localCheckpoint(true)
+      shaped.crossJoin(broadcast(
+        shaped.agg(sum(col("term_micro")).as("g2_micro"))))
+    }),
+
+    // Davies–Bouldin cluster-quality audit — q422's serve split: the
+    // Lloyd fit persists ONLY the final membership (vec_id, cid) once,
+    // and EVERYTHING downstream is plain relational algebra both engines
+    // state over the stored rows + the embeddings table: per-cluster
+    // OFFSET-div centroids, mean squared scatter (Σdist² div n·D stays
+    // per-dim scaled), pairwise centroid separations on the k² grain,
+    // and DB_i = max_j (s_i + s_j)·10⁶ div sep²_ij. No unrolled oracle
+    // needed — the fit's only export is the assignment artifact (the
+    // q26/q38 persisted-serve recipe applied to clustering).
+    "q430_cluster_quality" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+      val seeds = Tables.embeddings(s, dir)
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("sk"))
+        .orderBy(col("sk"), col("vec_id")).limit(4)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("sk"), col("vec_id")))
+            .cast("long") - 1)
+        .select(col("vec_id"), col("cid"))
+      val (assign, _, _, _) = ml.Kmeans.lloydConverged(x, seeds, maxRounds = 12)
+      assign.select(col("vec_id"), col("cid")).coalesce(1)
+        .write.mode("overwrite").parquet(predsPath("q430_assign"))
+      val stored = s.read.parquet(predsPath("q430_assign"))
+      val cent = stored.join(x, "vec_id")
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(col("cid"), col("dim"),
+          expr("(sq + n * 2000000) div n - 2000000").as("c_q"))
+        .localCheckpoint(true)
+      val scat = stored.join(x, "vec_id")
+        .join(cent, Seq("cid", "dim"))
+        .groupBy(col("cid"))
+        .agg(countDistinct(col("vec_id")).as("n_vecs"),
+          sum((col("q") - col("c_q")) * (col("q") - col("c_q"))).as("ss"))
+        .select(col("cid"), col("n_vecs"),
+          expr("ss div n_vecs").as("scatter2"))
+      val sep = cent.as("a").join(cent.as("b"),
+          col("a.dim") === col("b.dim") && col("a.cid") =!= col("b.cid"))
+        .groupBy(col("a.cid").as("ci"), col("b.cid").as("cj"))
+        .agg(sum((col("a.c_q") - col("b.c_q"))
+          * (col("a.c_q") - col("b.c_q"))).as("sep2"))
+      val db = sep
+        .join(scat.select(col("cid").as("ci"), col("scatter2").as("si")),
+          "ci")
+        .join(scat.select(col("cid").as("cj"), col("scatter2").as("sj")),
+          "cj")
+        .groupBy(col("ci").as("cid"))
+        .agg(max(expr("(si + sj) * 1000000 div greatest(sep2, 1)"))
+          .as("db_component_ppm"))
+      val out = scat.join(db, "cid").localCheckpoint(true)
+      out.crossJoin(broadcast(out
+        .agg(sum(col("db_component_ppm")).as("sdb"), count(lit(1)).as("k"))
+        .select(expr("sdb div k").as("db_index_ppm"))))
+    }),
+
+    // Model-based quality GATE — the per-document consumer of q115's
+    // interpolated-bigram cross-entropy (the CCNet-direction "perplexity
+    // filter" every crawl pipeline runs before an expensive classifier):
+    // docs scoring above 1.25× the exact corpus lower-median NLL are
+    // flagged, cross-multiplied (nll·100 > med·125, division-free), and
+    // the per-source cut rate is the curation read. The median rides
+    // distributedRank + the keys=[] one-row fold (the q410 device);
+    // sub-2-token docs have no bigrams and are dropped by the scorer
+    // (inner join — declared, oracle-mirrored).
+    "q431_lm_quality_gate" -> ((s, dir) => {
+      val nll = text.Lm.bigramLogLoss(
+          Tables.documents(s, dir), "doc_id", "text")
+        .localCheckpoint(true)
+      val med = ops.Stats.distributedRank(nll, "nll_q",
+          tieBreak = Seq("doc_id"), out = "_rn", bucketWidth = 1L << 16)
+        .crossJoin(broadcast(nll.agg(count(lit(1)).as("_n"))))
+        .filter(col("_rn") === expr("(_n + 1) div 2"))
+        .agg(max(col("nll_q")).as("med_nll_q"))
+      nll.crossJoin(broadcast(med))
+        .withColumn("flagged",
+          (col("nll_q") * 100 > col("med_nll_q") * 125).cast("long"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("flagged")).as("n_flagged"),
+          max(col("med_nll_q")).as("med_nll_q"))
+        .withColumn("flag_ppm", expr("n_flagged * 1000000 div n_docs"))
+    }),
+
+    // ROUGE-N overlap eval over the q16 MinHash candidate pairs — the
+    // summarization/dedup eval metric on the pairs the LSH screen already
+    // surfaced (never all-pairs): clipped n-gram overlap Σ min(tf_a,
+    // tf_b) per pair for n ∈ {1, 2}, recall/precision against each
+    // side's total gram mass, F1 = 2PR div (P+R), all in exact ppm. The
+    // per-pair gram join is keyed (doc, gram) — candidate volume is the
+    // LSH bucket bound, gram mass per doc is linear.
+    "q432_rouge_ngram_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
+        .localCheckpoint(true)
+      def tf(n: Int): DataFrame = docs
+        .select(col("doc_id"),
+          explode(text.TextOps.ngrams(text.TextOps.tokens(col("text")), n))
+            .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+      def rouge(n: Int): DataFrame = {
+        val t = tf(n).localCheckpoint(true)
+        val tot = t.groupBy(col("doc_id")).agg(sum(col("tf")).as("tot"))
+        pairs
+          .join(t.select(col("doc_id").as("a_doc"), col("g"),
+            col("tf").as("tfa")), Seq("a_doc"))
+          .join(t.select(col("doc_id").as("b_doc"), col("g"),
+            col("tf").as("tfb")), Seq("b_doc", "g"))
+          .groupBy(col("a_doc"), col("b_doc"))
+          .agg(sum(least(col("tfa"), col("tfb"))).as("clip"))
+          .join(tot.select(col("doc_id").as("a_doc"), col("tot").as("ta")),
+            Seq("a_doc"))
+          .join(tot.select(col("doc_id").as("b_doc"), col("tot").as("tb")),
+            Seq("b_doc"))
+          .select(col("a_doc"), col("b_doc"), lit(n.toLong).as("n"),
+            col("clip"),
+            expr("clip * 1000000 div ta").as("p_ppm"),
+            expr("clip * 1000000 div tb").as("r_ppm"))
+          .withColumn("f1_ppm",
+            expr("2 * p_ppm * r_ppm div greatest(p_ppm + r_ppm, 1)"))
+      }
+      rouge(1).unionByName(rouge(2))
+    }),
+
+    // Isotonic calibration (PAVA) over q310's reliability bins — the
+    // monotone-fit step a real calibration pipeline runs after reading
+    // the ECE: fitted_k = max_{i≤k} min_{j≥k} avg(pos, i..j) (the
+    // classical minimax characterization of the pool-adjacent-violators
+    // fit — monotone by construction), with every interval average the
+    // declared quantization Σpos·10⁶ div Σn. The bin frame is ≤10 rows,
+    // so the whole minimax folds through ONE keys=[] collect_list row
+    // and array lambdas (sequence/transform/array_min/max — codegen'd
+    // collection expressions, no O(n²) join ever touches fact scale;
+    // the oracle states the same integers via an interval triple-join
+    // on its tiny bin CTE).
+    "q433_isotonic_calibration" -> ((s, dir) => {
+      val nOrd = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast("decimal(30,2)") * 100).cast("long")
+            .as("x"))
+        .join(nOrd, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("label",
+          when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L))
+      val rk = ops.Stats.distributedRank(
+        base, "x", tieBreak = Seq("c_custkey"), out = "rn",
+        bucketWidth = 1L << 14)
+      val bins = rk
+        .crossJoin(broadcast(rk.agg(count(lit(1)).as("nc"))))
+        .withColumn("conf_ppm", expr("(rn - 1) * 1000000 div (nc - 1)"))
+        .withColumn("bin", least(expr("conf_ppm div 100000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_b"), sum(col("label")).as("pos"))
+      val packed = bins
+        .agg(sort_array(collect_list(
+          struct(col("bin"), col("n_b"), col("pos")))).as("bs"))
+        .select(col("bs"),
+          expr("transform(sequence(0, size(bs)), t -> " +
+            "aggregate(slice(bs, 1, t), bigint(0), (a, x) -> a + x.n_b))")
+            .as("cn0"),
+          expr("transform(sequence(0, size(bs)), t -> " +
+            "aggregate(slice(bs, 1, t), bigint(0), (a, x) -> a + x.pos))")
+            .as("cp0"))
+      packed
+        .select(posexplode(col("bs")).as(Seq("kx", "b")),
+          col("bs"), col("cn0"), col("cp0"))
+        .select(col("b.bin").as("bin"), col("b.n_b").as("n_b"),
+          col("b.pos").as("pos"),
+          (col("kx") + 1).as("k"), size(col("bs")).as("m"),
+          col("cn0"), col("cp0"))
+        .withColumn("raw_ppm", expr("pos * 1000000 div n_b"))
+        .withColumn("iso_ppm", expr(
+          "array_max(transform(sequence(1, k), i -> " +
+            "array_min(transform(sequence(k, m), j -> " +
+            "(element_at(cp0, j + 1) - element_at(cp0, i)) * 1000000 div " +
+            "(element_at(cn0, j + 1) - element_at(cn0, i))))))"))
+        .select(col("bin"), col("n_b"), col("pos"), col("raw_ppm"),
+          col("iso_ppm"))
+    }),
+
+    // Sequence-length planning curve — q400 reads padding waste at ONE
+    // max_len; this sweeps the grid a pipeline actually chooses from:
+    // per candidate length, exact chunk counts ⌈n_tok/L⌉ (integer
+    // (n+L−1) div L), padded vs real token mass, waste ppm. One linear
+    // pass; the grid explode multiplies the doc-grain rollup, never the
+    // token grain.
+    "q434_pack_efficiency_curve" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(size(text.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("max_len",
+          explode(array(lit(128L), lit(256L), lit(512L), lit(1024L))))
+        .withColumn("chunks", expr("(n_tok + max_len - 1) div max_len"))
+        .groupBy(col("max_len"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_tokens"),
+          sum(col("chunks") * col("max_len")).as("padded_tokens"),
+          sum(col("chunks")).as("n_chunks"))
+        .withColumn("waste_ppm", expr(
+          "(padded_tokens - real_tokens) * 1000000 div padded_tokens"))
+    }),
   )
 
   /** q409's dynamically-unrolled oracle: `rounds` power-iteration steps
@@ -428,6 +946,67 @@ object Analytics5Queries {
          |FROM pi$rounds CROSS JOIN resid""".stripMargin
   }
 
+  /** q422's dynamically-unrolled oracle: the realized Lloyd rounds as
+    * materialized CTE pairs (assign r from centroids r−1, update r), with
+    * changed_last recomputed from the oracle's OWN last two assignment
+    * frames — termination AND the final membership are hash-checked
+    * (the q386/q397/q409 mechanism, fourth kernel class). */
+  private def kmeansUnrolledSql(rounds: Int): String = {
+    def assign(r: Int): String =
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, cid, dist2 FROM (
+         |    SELECT vec_id, cid, dist2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+         |    FROM (
+         |      SELECT x.vec_id, c.cid,
+         |        CAST(sum((x.q - c.c_q) * (x.q - c.c_q)) AS BIGINT)
+         |          AS dist2
+         |      FROM x JOIN c${r - 1} c ON x.dim = c.dim
+         |      GROUP BY 1, 2))
+         |  WHERE rk = 1)""".stripMargin
+    def update(r: Int): String =
+      s"""c$r AS MATERIALIZED (
+         |  SELECT p.cid, p.dim,
+         |    CAST(coalesce((u.sq + u.n * 2000000) // u.n - 2000000,
+         |                  p.c_q) AS BIGINT) AS c_q
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT a.cid, x.dim, CAST(count(*) AS BIGINT) AS n,
+         |      CAST(sum(x.q) AS BIGINT) AS sq
+         |    FROM a$r a JOIN x ON a.vec_id = x.vec_id
+         |    GROUP BY 1, 2) u
+         |    ON p.cid = u.cid AND p.dim = u.dim)""".stripMargin
+    // the final round needs no centroid update — the output reads aR
+    val body = (1 until rounds).map(r => assign(r) + ",\n" + update(r))
+      .mkString(",\n") + (if (rounds > 1) ",\n" else "") + assign(rounds)
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+       |    AS u(i)
+       |), sd AS (
+       |  SELECT vec_id, CAST(row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+       |    AS BIGINT) AS cid
+       |  FROM embeddings
+       |), c0 AS MATERIALIZED (
+       |  SELECT s.cid, x.dim, x.q AS c_q
+       |  FROM sd s JOIN x ON s.vec_id = x.vec_id WHERE s.cid < 4
+       |),
+       |""".stripMargin + body +
+      s""",
+         |chg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS c
+         |  FROM a$rounds n JOIN a${rounds - 1} o
+         |    ON n.vec_id = o.vec_id AND n.cid <> o.cid)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(dist2) AS BIGINT) AS inertia_q,
+         |  CAST($rounds AS BIGINT) AS stop_round,
+         |  chg.c AS changed_last
+         |FROM a$rounds CROSS JOIN chg
+         |GROUP BY cid, chg.c""".stripMargin
+  }
+
   /** A def, not a val: the q409 entry embeds the post-run stop round
     * (the [[Analytics4Queries]] dynamic-oracle contract). */
   def sql: Map[String, String] = Map(
@@ -435,6 +1014,464 @@ object Analytics5Queries {
     "q409_markov_stationary" ->
       Analytics4Queries.realizedOrSentinel("q409", mkStopRound.get)(
         markovUnrolledSql),
+
+    "q422_kmeans_converged" ->
+      Analytics4Queries.realizedOrSentinel("q422", kmStopRound.get)(
+        kmeansUnrolledSql),
+
+    // identical ordered-EMD algebra: densify via the global alphabet,
+    // cumulative ppm diffs in sv order, Σ|·| div (m−1)
+    "q423_t_closeness" ->
+      """WITH base AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |    o_orderpriority AS sv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), cells AS (
+        |  SELECT nk, seg, sv, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3
+        |), gd AS (
+        |  SELECT sv, CAST(sum(c) AS BIGINT) AS gc FROM cells GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(gc) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM gd
+        |), grp AS (
+        |  SELECT nk, seg, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT g.nk, g.seg, g.n, t.n_total, t.m, gl.sv, gl.gc,
+        |    coalesce(c.c, 0) AS c
+        |  FROM grp g CROSS JOIN tot t CROSS JOIN gd gl
+        |  LEFT JOIN cells c
+        |    ON c.nk = g.nk AND c.seg = g.seg AND c.sv = gl.sv
+        |), cum AS (
+        |  SELECT nk, seg, n, m,
+        |    sum(c * 1000000 // n - gc * 1000000 // n_total) OVER (
+        |      PARTITION BY nk, seg ORDER BY sv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_ppm
+        |  FROM dense
+        |), emd AS (
+        |  SELECT nk, seg, n,
+        |    CAST(sum(abs(cum_ppm)) // (m - 1) AS BIGINT) AS t_ppm
+        |  FROM cum GROUP BY nk, seg, n, m
+        |)
+        |SELECT nk, seg, n, t_ppm,
+        |  (SELECT max(t_ppm) FROM emd) AS max_t_ppm
+        |FROM emd""".stripMargin,
+
+    // identical split-form z², Chebyshev ppm bound, cross-multiplied
+    // step-up and prefix rejection
+    "q424_bh_fdr" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_odd
+        |  FROM events GROUP BY 1
+        |), z AS (
+        |  SELECT event_type, n, n_odd,
+        |    CAST(((2 * n_odd - n) * (2 * n_odd - n) // n) * 1000000
+        |      + ((2 * n_odd - n) * (2 * n_odd - n) % n) * 1000000 // n
+        |      AS BIGINT) AS z2_micro
+        |  FROM h
+        |), p AS (
+        |  SELECT *, CAST(least(1000000,
+        |      1000000000000 // greatest(z2_micro, 1)) AS BIGINT) AS p_ppm
+        |  FROM z
+        |), r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY p_ppm, event_type)
+        |      AS BIGINT) AS rk,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS m
+        |  FROM p
+        |), f AS (
+        |  SELECT *, p_ppm * m * 20 <= 1000000 * rk AS pass_bh FROM r
+        |), k AS (
+        |  SELECT coalesce(max(CASE WHEN pass_bh THEN rk END), 0) AS k_star
+        |  FROM f
+        |)
+        |SELECT event_type, n, n_odd, z2_micro, p_ppm, rk, pass_bh,
+        |  rk <= k.k_star AS rejected
+        |FROM f CROSS JOIN k""".stripMargin,
+
+    // q319's lifetime derivation verbatim; KM factors as integer-argument
+    // µnat log differences, zero-survival regime mirrored
+    "q425_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS conv_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CAST((coalesce(conv_us, last_us) - first_us) // 86400000000
+        |         AS BIGINT) AS t_day
+        |  FROM pu
+        |), ex AS (
+        |  SELECT t_day, CAST(sum(event) AS BIGINT) AS n_event,
+        |    CAST(sum(1 - event) AS BIGINT) AS n_censored
+        |  FROM t GROUP BY 1
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pu),
+        |r AS (
+        |  SELECT t_day, n_event, n_censored,
+        |    n_total - coalesce(sum(n_event + n_censored) OVER (
+        |      ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM ex CROSS JOIN tot
+        |), l AS (
+        |  SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, n_event,
+        |    n_censored,
+        |    CASE WHEN n_event < n_risk THEN
+        |      CAST(floor(1e6 * ln(CAST(n_risk - n_event AS DOUBLE)))
+        |        AS BIGINT)
+        |      - CAST(floor(1e6 * ln(CAST(n_risk AS DOUBLE))) AS BIGINT)
+        |    END AS ln_inc_micro,
+        |    CAST(max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS s_zero
+        |  FROM r
+        |)
+        |SELECT t_day, n_risk, n_event, n_censored, ln_inc_micro,
+        |  CASE WHEN s_zero = 0 THEN
+        |    CAST(sum(coalesce(ln_inc_micro, 0)) OVER (
+        |      ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT)
+        |  END AS s_ln_micro,
+        |  s_zero
+        |FROM l""".stripMargin,
+
+    // q115's interpolated-bigram scorer verbatim, then the exact lower
+    // median, the cross-multiplied 1.25× gate and the source rollup
+    "q431_lm_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), pb AS (
+        |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(ts)-1),
+        |             i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS bg
+        |    FROM t WHERE len(ts) >= 2)
+        |), tfb AS (
+        |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tfb
+        |  FROM pb GROUP BY 1, 2, 3
+        |), cb AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pb GROUP BY 1, 2
+        |), cw1 AS (
+        |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cb GROUP BY 1
+        |), uni AS (
+        |  SELECT unnest(ts) AS w2 FROM t
+        |), cu AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY 1
+        |), model AS (
+        |  SELECT cb.w1, cb.w2,
+        |         CAST(floor(-1e6 * ln(
+        |           CAST(0.75 AS DOUBLE) * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE)) +
+        |           CAST(0.25 AS DOUBLE) * (CAST(cu AS DOUBLE) /
+        |             CAST((SELECT count(*) FROM uni) AS DOUBLE)))) AS BIGINT) AS q
+        |  FROM cb JOIN cw1 USING (w1) JOIN cu USING (w2)
+        |), scored AS (
+        |  SELECT doc_id,
+        |         CAST(sum(tfb * q) // sum(tfb) AS BIGINT) AS nll_q
+        |  FROM tfb JOIN model USING (w1, w2)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY nll_q, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM scored
+        |), med AS (
+        |  SELECT nll_q AS med_nll_q FROM r WHERE rn = (n + 1) // 2
+        |), gated AS (
+        |  SELECT s.doc_id, s.nll_q, m.med_nll_q,
+        |    CASE WHEN s.nll_q * 100 > m.med_nll_q * 125 THEN 1 ELSE 0 END
+        |      AS flagged
+        |  FROM scored s CROSS JOIN med m
+        |)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(g.flagged) AS BIGINT) AS n_flagged,
+        |  CAST(max(g.med_nll_q) AS BIGINT) AS med_nll_q,
+        |  CAST(sum(g.flagged) * 1000000 // count(*) AS BIGINT) AS flag_ppm
+        |FROM gated g JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
+    // q16's banded-MinHash pair CTE verbatim, then clipped n-gram
+    // overlap, ppm P/R and the guarded F1 for n ∈ {1, 2}
+    "q432_rouge_ngram_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), grams AS (
+        |  SELECT doc_id, n, g FROM (
+        |    SELECT doc_id, 1 AS n, unnest(ts) AS g FROM t
+        |    UNION ALL
+        |    SELECT doc_id, 2 AS n,
+        |      unnest(CASE WHEN len(ts) >= 2 THEN
+        |        list_transform(generate_series(1, len(ts)-1),
+        |          i -> ts[i] || ' ' || ts[i+1]) ELSE [] END) AS g
+        |    FROM t)
+        |), tf AS (
+        |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tf
+        |  FROM grams GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, n, CAST(sum(tf) AS BIGINT) AS tot
+        |  FROM tf GROUP BY 1, 2
+        |), clip AS (
+        |  SELECT p.a_doc, p.b_doc, a.n,
+        |    CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS clip
+        |  FROM pairs p
+        |  JOIN tf a ON a.doc_id = p.a_doc
+        |  JOIN tf b ON b.doc_id = p.b_doc AND b.n = a.n AND b.g = a.g
+        |  GROUP BY 1, 2, 3
+        |), pr AS (
+        |  SELECT c.a_doc, c.b_doc, CAST(c.n AS BIGINT) AS n, c.clip,
+        |    CAST(c.clip * 1000000 // ta.tot AS BIGINT) AS p_ppm,
+        |    CAST(c.clip * 1000000 // tb.tot AS BIGINT) AS r_ppm
+        |  FROM clip c
+        |  JOIN tot ta ON ta.doc_id = c.a_doc AND ta.n = c.n
+        |  JOIN tot tb ON tb.doc_id = c.b_doc AND tb.n = c.n
+        |)
+        |SELECT a_doc, b_doc, n, clip, p_ppm, r_ppm,
+        |  CAST(2 * p_ppm * r_ppm // greatest(p_ppm + r_ppm, 1) AS BIGINT)
+        |    AS f1_ppm
+        |FROM pr""".stripMargin,
+
+    // q310's bin chain verbatim, then the PAVA minimax over interval
+    // averages as an i≤k≤j triple join on the ≤10-row bin grain
+    "q433_isotonic_calibration" ->
+      """WITH n_ord AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_custkey,
+        |    CAST(CAST(c.c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS x,
+        |    CASE WHEN coalesce(o.n_ord, 0) >= 2 THEN 1 ELSE 0 END AS label
+        |  FROM customer c LEFT JOIN n_ord o ON c.c_custkey = o.o_custkey),
+        |r AS (
+        |  SELECT label,
+        |    CAST(row_number() OVER (ORDER BY x, c_custkey) AS BIGINT) AS rn,
+        |    count(*) OVER () AS nc
+        |  FROM base),
+        |bins AS (
+        |  SELECT least((rn - 1) * 1000000 // (nc - 1) // 100000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(label) AS BIGINT) AS pos
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT bin, n_b, pos,
+        |    sum(n_b) OVER (ORDER BY bin) AS cn,
+        |    sum(pos) OVER (ORDER BY bin) AS cp
+        |  FROM bins),
+        |c0 AS (SELECT *, cn - n_b AS cn_prev, cp - pos AS cp_prev FROM c),
+        |iv AS (
+        |  SELECT i.bin AS i, j.bin AS j,
+        |    (j.cp - i.cp_prev) * 1000000 // (j.cn - i.cn_prev) AS avg_ppm
+        |  FROM c0 i JOIN c0 j ON i.bin <= j.bin),
+        |mn AS (
+        |  SELECT k.bin AS k, iv.i, min(iv.avg_ppm) AS mn
+        |  FROM c0 k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT k AS bin, CAST(max(mn) AS BIGINT) AS iso_ppm
+        |        FROM mn GROUP BY 1)
+        |SELECT b.bin, b.n_b, b.pos,
+        |  CAST(b.pos * 1000000 // b.n_b AS BIGINT) AS raw_ppm,
+        |  iso.iso_ppm
+        |FROM bins b JOIN iso USING (bin)""".stripMargin,
+
+    // identical grid sweep over the doc token-count grain
+    "q434_pack_efficiency_curve" ->
+      """WITH d AS (
+        |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS BIGINT) AS n_tok
+        |  FROM documents
+        |), g AS (
+        |  SELECT n_tok, max_len,
+        |    (n_tok + max_len - 1) // max_len AS chunks
+        |  FROM d, unnest([CAST(128 AS BIGINT), CAST(256 AS BIGINT),
+        |                  CAST(512 AS BIGINT), CAST(1024 AS BIGINT)])
+        |    AS u(max_len)
+        |  WHERE n_tok > 0
+        |)
+        |SELECT max_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+        |  CAST(sum(chunks * max_len) AS BIGINT) AS padded_tokens,
+        |  CAST(sum(chunks) AS BIGINT) AS n_chunks,
+        |  CAST((sum(chunks * max_len) - sum(n_tok)) * 1000000
+        |    // sum(chunks * max_len) AS BIGINT) AS waste_ppm
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // identical lifetime derivation, staged-ppm hypergeometric moments,
+    // abs-milli-scaled statistic
+    "q428_logrank" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS conv_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT user_id % 2 AS g,
+        |    CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CAST((coalesce(conv_us, last_us) - first_us) // 86400000000
+        |         AS BIGINT) AS t_day
+        |  FROM pu
+        |), ex AS (
+        |  SELECT t_day, CAST(count(*) AS BIGINT) AS x_all,
+        |    CAST(sum(event) AS BIGINT) AS d_all,
+        |    CAST(sum(g) AS BIGINT) AS x_g1,
+        |    CAST(sum(g * event) AS BIGINT) AS d_g1
+        |  FROM t GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_all_0,
+        |    CAST(sum(g) AS BIGINT) AS n_g1_0
+        |  FROM t
+        |), r AS (
+        |  SELECT t_day, d_all, d_g1,
+        |    n_all_0 - coalesce(sum(x_all) OVER (ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_all,
+        |    n_g1_0 - coalesce(sum(x_g1) OVER (ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_g1
+        |  FROM ex CROSS JOIN tot
+        |), v AS (
+        |  SELECT t_day, CAST(n_all AS BIGINT) AS n_all,
+        |    CAST(n_g1 AS BIGINT) AS n_g1, d_all, d_g1,
+        |    CAST(d_all * n_g1 * 1000000 // n_all AS BIGINT) AS e1_micro,
+        |    CAST(((d_all * (n_g1 * 1000000 // n_all)
+        |           * ((n_all - n_g1) * 1000000 // n_all)) // 1000000
+        |          * ((n_all - d_all) * 1000000
+        |             // greatest(n_all - 1, 1))) // 1000000
+        |      AS BIGINT) AS v_micro
+        |  FROM r
+        |), z AS (
+        |  SELECT CAST(
+        |    (abs(sum(d_g1 * 1000000 - e1_micro)) // 1000)
+        |      * (abs(sum(d_g1 * 1000000 - e1_micro)) // 1000)
+        |      // greatest(sum(v_micro) // 1000, 1) AS BIGINT) AS z2_milli
+        |  FROM v
+        |)
+        |SELECT t_day, n_all, n_g1, d_all, d_g1, e1_micro, v_micro,
+        |  z.z2_milli
+        |FROM v CROSS JOIN z""".stripMargin,
+
+    // identical µnat cell terms over the same contingency
+    "q429_g2_independence" ->
+      """WITH cell AS (
+        |  SELECT event_type AS t, user_id % 2 AS g,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2
+        |), shaped AS (
+        |  SELECT t, g, o,
+        |    CAST(sum(o) OVER (PARTITION BY t) AS BIGINT) AS r,
+        |    CAST(sum(o) OVER (PARTITION BY g) AS BIGINT) AS c,
+        |    (SELECT CAST(sum(o) AS BIGINT) FROM cell) AS n,
+        |    (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM cell) AS nt,
+        |    (SELECT CAST(count(DISTINCT g) AS BIGINT) FROM cell) AS ng
+        |  FROM cell
+        |), terms AS (
+        |  SELECT t, g, o, r, c,
+        |    CASE WHEN o > 0 THEN
+        |      2 * o * (CAST(floor(1e6 * ln(CAST(o * n AS DOUBLE)))
+        |                 AS BIGINT)
+        |               - CAST(floor(1e6 * ln(CAST(r * c AS DOUBLE)))
+        |                 AS BIGINT))
+        |    ELSE 0 END AS term_micro,
+        |    (nt - 1) * (ng - 1) AS dof
+        |  FROM shaped
+        |)
+        |SELECT t, g, o, r, c, CAST(term_micro AS BIGINT) AS term_micro,
+        |  CAST(dof AS BIGINT) AS dof,
+        |  (SELECT CAST(sum(term_micro) AS BIGINT) FROM terms) AS g2_micro
+        |FROM terms""".stripMargin,
+
+    // the stored-membership replay: centroids, scatter, separations and
+    // the DB index all restated relationally over the persisted
+    // assignment + the embeddings table (no unroll — the fit's only
+    // export is the artifact)
+    "q430_cluster_quality" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+         |      AS q
+         |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+         |    AS u(i)
+         |), a AS (
+         |  SELECT * FROM read_parquet('${predsPath("q430_assign")}/*.parquet')
+         |), cent AS (
+         |  SELECT a.cid, x.dim, CAST(count(*) AS BIGINT) AS n,
+         |    CAST((sum(x.q) + count(*) * 2000000) // count(*) - 2000000
+         |      AS BIGINT) AS c_q
+         |  FROM a JOIN x ON a.vec_id = x.vec_id
+         |  GROUP BY 1, 2
+         |), scat AS (
+         |  SELECT a.cid,
+         |    CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n_vecs,
+         |    CAST(sum((x.q - c.c_q) * (x.q - c.c_q))
+         |      // count(DISTINCT a.vec_id) AS BIGINT) AS scatter2
+         |  FROM a JOIN x ON a.vec_id = x.vec_id
+         |  JOIN cent c ON c.cid = a.cid AND c.dim = x.dim
+         |  GROUP BY 1
+         |), sep AS (
+         |  SELECT a.cid AS ci, b.cid AS cj,
+         |    CAST(sum((a.c_q - b.c_q) * (a.c_q - b.c_q)) AS BIGINT) AS sep2
+         |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.cid <> b.cid
+         |  GROUP BY 1, 2
+         |), db AS (
+         |  SELECT sep.ci AS cid,
+         |    CAST(max((si.scatter2 + sj.scatter2) * 1000000
+         |      // greatest(sep.sep2, 1)) AS BIGINT) AS db_component_ppm
+         |  FROM sep
+         |  JOIN scat si ON si.cid = sep.ci
+         |  JOIN scat sj ON sj.cid = sep.cj
+         |  GROUP BY 1
+         |), o AS (
+         |  SELECT s.cid, s.n_vecs, s.scatter2, db.db_component_ppm
+         |  FROM scat s JOIN db ON db.cid = s.cid
+         |)
+         |SELECT cid, n_vecs, scatter2, db_component_ppm,
+         |  (SELECT CAST(sum(db_component_ppm) // count(*) AS BIGINT)
+         |   FROM o) AS db_index_ppm
+         |FROM o""".stripMargin,
+
+    // identical capped-basket pair join and µnat-discounted sum
+    "q426_adamic_adar" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |), sized AS (
+        |  SELECT bk, it, count(*) OVER (PARTITION BY bk) AS bs FROM items
+        |), kept AS (
+        |  SELECT bk, it,
+        |    1000000000000 // CAST(floor(1e6 * ln(CAST(bs AS DOUBLE)))
+        |      AS BIGINT) AS inv_micro
+        |  FROM sized WHERE bs BETWEEN 2 AND 20
+        |)
+        |SELECT a.it AS item_a, b.it AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(a.inv_micro) AS BIGINT) AS aa_micro
+        |FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     // the q419 survivor policy chained into the q399 waterfill algebra,
     // both stated verbatim over the surviving-token source rollup

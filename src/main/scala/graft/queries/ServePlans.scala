@@ -172,6 +172,15 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q419_partials")))
     }),
 
+    "q427_kmeans_assign_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q427_partials",
+        Seq((0L, 3L, 120L, 0L), (1L, 2L, 40L, 0L), (0L, 1L, 9L, 1L))
+          .toDF("cid", "n_vecs", "sum_dist2", "batch_id"))
+      graft.streaming.Streams.centroidAssignReadout(
+        s.read.parquet(QueryShared.predsPath("audit_q427_partials")))
+    }),
+
     "q102_join_stream" -> (s => {
       import s.implicits._
       val t = new java.sql.Timestamp(0L)

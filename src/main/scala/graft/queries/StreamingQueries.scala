@@ -2,6 +2,7 @@ package graft
 package queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
@@ -710,6 +711,42 @@ object StreamingQueries {
     }),
 
 
+    // q422's Lloyd model SERVED at ingestion time — the clustering
+    // family's streaming member (round-12): the fit persists the
+    // post-final-update centroid grid ONCE, embedding batches drain as
+    // micro-batches against the stored artifact (broadcast k·D join +
+    // exact-integer argmin — see Streams.centroidAssignStream), and
+    // per-batch per-cluster (count, inertia) partials fold to cluster
+    // grain in the readout (sums — mergeable, exact under any split).
+    // The oracle replays the one-shot assignment against the SAME stored
+    // centroids, so the model artifact, not the fit loop, is what's
+    // hash-checked — no unrolled oracle needed (the q430 recipe).
+    "q427_kmeans_assign_stream" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val x = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+      val seeds = Tables.embeddings(s, dir)
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("sk"))
+        .orderBy(col("sk"), col("vec_id")).limit(4)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("sk"), col("vec_id")))
+            .cast("long") - 1)
+        .select(col("vec_id"), col("cid"))
+      val (_, cent, _, _) = ml.Kmeans.lloydConverged(x, seeds, maxRounds = 12)
+      cent.coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q427_cent"))
+      val root = predsPath(s"q427_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(emb.repartition(4), s"$root/vecs")
+      QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.centroidAssignStream(s, s"$root/vecs", emb.schema,
+          predsPath("q427_cent"), s"$root/partials", s"$root/ckpt")
+      }
+    }),
+
+
     // q398's cross-doc exact-substring dedup at INGESTION time, EXECUTED
     // AS A STREAM (round-11 VERDICT next #3): the old 3/4 of the corpus
     // builds the persisted anchor-postings index (per-gram md5-order cap
@@ -1202,6 +1239,32 @@ object StreamingQueries {
         |SELECT pk, price, sz FROM w
         |WHERE (min_cheaper IS NULL OR sz < min_cheaper) AND sz = min_eq"""
         .stripMargin,
+
+    // the one-shot assignment against the SAME stored centroid artifact
+    // the drain served — what's hash-checked is the model, not the fit
+    "q427_kmeans_assign_stream" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+         |      AS q
+         |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+         |    AS u(i)
+         |), cent AS (
+         |  SELECT * FROM read_parquet('${predsPath("q427_cent")}/*.parquet')
+         |), d AS (
+         |  SELECT x.vec_id, c.cid,
+         |    CAST(sum((x.q - c.c_q) * (x.q - c.c_q)) AS BIGINT) AS dist2
+         |  FROM x JOIN cent c ON x.dim = c.dim
+         |  GROUP BY 1, 2
+         |), a AS (
+         |  SELECT vec_id, cid, dist2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, cid) AS rk FROM d)
+         |  WHERE rk = 1
+         |)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(dist2) AS BIGINT) AS sum_dist2_q
+         |FROM a GROUP BY 1""".stripMargin,
 
     // the one-shot statement of the streamed fold: per-fingerprint
     // policy argmin + copy count over the whole corpus

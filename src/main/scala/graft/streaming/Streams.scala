@@ -1321,6 +1321,62 @@ object Streams {
       .agg(sum(col("n_anchor_pairs")).as("n_anchor_pairs"),
         max(col("max_len")).as("max_len"))
 
+  /** Ingestion-time nearest-centroid assignment — the Lloyd model
+    * ([[graft.ml.Kmeans]], q422) SERVED as a stream: vector batches drain
+    * against the PERSISTED centroid artifact (the k·D grid rides a
+    * broadcast hash join on dim; the exact-integer (dist², cid) argmin is
+    * a per-vec partitioned top-1 window). Assignment is a PER-ROW pure
+    * function of (vector, stored centroids) and cluster counts/inertia
+    * are mergeable sums, so per-batch per-cluster partials partition the
+    * one-shot batch answer — streamed == batch under ANY split
+    * (StreamsSpec law). Partials are batchId-keyed idempotent overwrites;
+    * readout = [[centroidAssignReadout]]. */
+  def centroidAssignStream(
+      spark: org.apache.spark.sql.SparkSession,
+      vecsDir: String,
+      vecsSchema: org.apache.spark.sql.types.StructType,
+      centPath: String,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    drainPartials(spark, vecsDir, vecsSchema, partialsDir, checkpointDir,
+        maxFilesPerTrigger, "centroid-assign") { batch =>
+      val x = batch
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("cid"))
+      x.join(broadcast(spark.read.parquet(centPath)), "dim")
+        .select(col("vec_id"), col("cid"),
+          ((col("q") - col("c_q")) * (col("q") - col("c_q"))).as("dd"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("dd")).as("dist2"))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist2")).as("sum_dist2"))
+    }
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_vecs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_dist2",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    centroidAssignReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
+  /** SERVE half of [[centroidAssignStream]]: fold the batchId-keyed
+    * per-cluster partials to cluster grain — counts and inertia are sums
+    * (mergeable monoid), so the fold is exact under any batch split. */
+  def centroidAssignReadout(partials: DataFrame): DataFrame =
+    partials.groupBy(col("cid"))
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        sum(col("sum_dist2")).as("sum_dist2_q"))
+
   /** Ingestion-time EXACT dedup with a SURVIVOR POLICY — streamed
     * [[graft.llm.Dedup.clusterSurvivors]] at the fingerprint grain:
     * lexicographic argmin is a merge SEMILATTICE (best(A∪B) =

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-scratch plain-Scala replays of the round-12 statistics surfaces
+  * (q423–q426) at sf0.001 — the independent-differential discipline: the
+  * engine's distributed plan and a naive in-memory reimplementation of the
+  * DECLARED integer algebra must agree bit-for-bit. */
+class Analytics5Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def lnMicro(x: Long): Long =
+    math.floor(1e6 * math.log(x.toDouble)).toLong
+
+  test("q423 t-closeness equals a naive ordered-EMD replay") {
+    val base = Tables.orders(spark, TestSpark.sf)
+      .join(Tables.customer(spark, TestSpark.sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val alphabet = base.map(_._3).distinct.sorted
+    val m = alphabet.length.toLong
+    val nTotal = base.length.toLong
+    val globC = base.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val expected = base.groupBy(t => (t._1, t._2)).map { case (g, rows) =>
+      val n = rows.length.toLong
+      val cs = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      var cum = 0L
+      var absum = 0L
+      alphabet.foreach { sv =>
+        cum += cs.getOrElse(sv, 0L) * 1000000L / n -
+          globC(sv) * 1000000L / nTotal
+        absum += math.abs(cum)
+      }
+      g -> absum / (m - 1)
+    }
+    val got = SparkEntry.queries("q423_t_closeness")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (g, (t, maxT)) =>
+      assert(t === expected(g), s"t_ppm mismatch for $g")
+      assert(maxT === expected.values.max)
+    }
+  }
+
+  test("q424 BH step-up equals a naive replay; rejections are a p-prefix") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val n = rows.length.toLong
+      val odd = rows.count(_._2 % 2 == 1).toLong
+      val x2 = (2 * odd - n) * (2 * odd - n)
+      val z2 = (x2 / n) * 1000000L + (x2 % n) * 1000000L / n
+      val p = math.min(1000000L, 1000000000000L / math.max(z2, 1L))
+      t -> ((n, odd, z2, p))
+    }
+    val m = expected.size.toLong
+    val order = expected.toSeq.sortBy { case (t, (_, _, _, p)) => (p, t) }
+    val kStar = order.zipWithIndex.collect {
+      case ((_, (_, _, _, p)), i) if p * m * 20 <= 1000000L * (i + 1) =>
+        (i + 1).toLong
+    }.foldLeft(0L)(math.max)
+    val got = SparkEntry.queries("q424_bh_fdr")(spark, TestSpark.sf)
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(7)))
+      }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (t, (n, odd, z2, p, rk, rej)) =>
+      val (en, eodd, ez2, ep) = expected(t)
+      assert((n, odd, z2, p) === ((en, eodd, ez2, ep)), s"stats for $t")
+      assert(rk === order.indexWhere(_._1 == t).toLong + 1)
+      assert(rej === (rk <= kStar), s"BH decision for $t")
+    }
+  }
+
+  test("q425 Kaplan-Meier equals a naive product-limit replay") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // .toSeq BEFORE the map: mapping a Map to pairs rebuilds a Map and
+    // would collapse users sharing a t_day
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val first = rows.map(_._2).min
+      val conv = rows.filter(_._3 == "purchase").map(_._2).minOption
+      val last = rows.map(_._2).max
+      val t = (conv.getOrElse(last) - first) / 86400000000L
+      (t, conv.isDefined)
+    }
+    val days = perUser.map(_._1).distinct.sorted
+    val total = perUser.size.toLong
+    var priorExits = 0L
+    var cumLn = 0L
+    var zero = false
+    val expected = days.map { d =>
+      val exits = perUser.filter(_._1 == d)
+      val nEvent = exits.count(_._2).toLong
+      val nCens = exits.size.toLong - nEvent
+      val nRisk = total - priorExits
+      priorExits += exits.size.toLong
+      val lnInc =
+        if (nEvent < nRisk) Some(lnMicro(nRisk - nEvent) - lnMicro(nRisk))
+        else None
+      if (nEvent == nRisk) zero = true
+      cumLn += lnInc.getOrElse(0L)
+      d -> ((nRisk, nEvent, nCens, lnInc,
+        if (zero) None else Some(cumLn), if (zero) 1L else 0L))
+    }.toMap
+    val got = SparkEntry.queries("q425_kaplan_meier")(spark, TestSpark.sf)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getLong(6)))
+      }.toMap
+    assert(got === expected)
+    // survival is non-increasing: cumulative log never rises
+    val lnSeq = days.flatMap(d => expected(d)._5)
+    assert(lnSeq === lnSeq.sorted.reverse)
+  }
+
+  test("q431 gate median equals q115's scored distribution; flags are consistent") {
+    // q115 is the independently-differentialed scorer (LmSpec); the gate
+    // surface must agree with a replay over ITS output
+    val scored = SparkEntry.queries("q115_bigram_nll")(spark, TestSpark.sf)
+      .select(col("doc_id"), col("nll_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val med = scored.sortBy(t => (t._2, t._1))
+      .apply(((scored.length + 1) / 2) - 1)._2
+    val srcOf = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = scored.groupBy(t => srcOf(t._1)).map { case (src, rows) =>
+      val flagged = rows.count(_._2 * 100 > med * 125).toLong
+      src -> ((rows.length.toLong, flagged,
+        flagged * 1000000L / rows.length))
+    }
+    val got = SparkEntry.queries("q431_lm_quality_gate")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (src, (n, nf, ppm, m)) =>
+      assert(m === med, s"gate median for $src")
+      assert((n, nf, ppm) === expected(src), s"gate counts for $src")
+    }
+  }
+
+  test("q432 ROUGE: P/R bounded, F1 between harmonic bounds, clip symmetric-consistent") {
+    val rows = SparkEntry.queries("q432_rouge_ngram_eval")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty, "the LSH screen must surface candidate pairs")
+    rows.foreach { case (a, b, n, clip, p, r, f1) =>
+      assert(a < b && (n == 1L || n == 2L))
+      assert(clip >= 1L && p >= 0L && p <= 1000000L && r >= 0L && r <= 1000000L,
+        s"ppm bounds for ($a,$b,$n)")
+      assert(f1 <= math.max(p, r) && f1 >= 0L, s"F1 bound for ($a,$b,$n)")
+      // exact F1 identity on the reported ppms
+      assert(f1 === 2 * p * r / math.max(p + r, 1L))
+    }
+    // every pair carries both gram orders (unigram row implies bigram row
+    // may be absent only when no bigram overlaps — but n=1 must exist)
+    val byPair = rows.groupBy(t => (t._1, t._2))
+    byPair.foreach { case (pr, rs) =>
+      assert(rs.exists(_._3 == 1L), s"pair $pr missing its unigram row")
+    }
+  }
+
+  test("q433 isotonic fit equals a from-scratch sequential PAVA (exact rationals)") {
+    val got = SparkEntry.queries("q433_isotonic_calibration")(
+        spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // sequential pool-adjacent-violators on exact (pos, n) rationals,
+    // quantized per element at the END — the classical minimax
+    // equivalence means the engine's max-min over quantized interval
+    // averages must land on exactly these values
+    var blocks = List.empty[(Long, Long)] // (pos, n), newest first
+    got.foreach { case (_, n, pos, _, _) =>
+      blocks = (pos, n) :: blocks
+      var merged = true
+      while (merged && blocks.size >= 2) {
+        val (p1, n1) :: (p0, n0) :: rest = blocks: @unchecked
+        // violation: newer block avg < older block avg (cross-multiplied)
+        if (p1 * n0 < p0 * n1) blocks = (p0 + p1, n0 + n1) :: rest
+        else merged = false
+      }
+    }
+    val fitted = blocks.reverse.flatMap { case (p, n0) =>
+      // every element of the block gets the block average; recover the
+      // element count from n0 by expanding per bin below
+      List((p, n0))
+    }
+    // expand block averages back onto bins in order
+    val isoExpected = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var remaining = got.map(_._2).toList
+      fitted.foreach { case (p, n0) =>
+        var acc = 0L
+        while (acc < n0) {
+          out += p * 1000000L / n0
+          acc += remaining.head
+          remaining = remaining.tail
+        }
+      }
+      out.toSeq
+    }
+    assert(got.map(_._5) === isoExpected,
+      "engine minimax fit must equal sequential PAVA")
+    // monotone by construction
+    assert(got.map(_._5) === got.map(_._5).sorted)
+    assert(got.map(_._4).sum / got.length >= 0) // raw ppm sanity
+  }
+
+  test("q434 pack curve equals a naive grid replay") {
+    val toks = Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect()
+      .map(r => "[a-z0-9]+".r.findAllIn(r.getString(0).toLowerCase).length.toLong)
+      .filter(_ > 0)
+    val expected = Seq(128L, 256L, 512L, 1024L).map { l =>
+      val chunks = toks.map(n => (n + l - 1) / l)
+      val padded = chunks.zip(toks).map { case (c, _) => c * l }.sum
+      l -> ((toks.length.toLong, toks.sum, padded, chunks.sum,
+        (padded - toks.sum) * 1000000L / padded))
+    }.toMap
+    val got = SparkEntry.queries("q434_pack_efficiency_curve")(
+        spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+  }
+
+  test("q426 Adamic-Adar equals a naive capped replay") {
+    val items = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = items.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+      .filter { case (_, its) => its.size >= 2 && its.size <= 20 }
+    val expected = baskets.toSeq.flatMap { case (_, its) =>
+      val inv = 1000000000000L / lnMicro(its.size.toLong)
+      for (a <- its; b <- its if a < b) yield (a, b) -> inv
+    }.groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum))
+      .filter(_._2._1 >= 2).toMap
+    val got = SparkEntry.queries("q426_adamic_adar")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+  }
+}

@@ -651,6 +651,51 @@ class StreamsSpec extends AnyFunSuite {
       "the clean doc survives alone")
   }
 
+  test("centroidAssignStream: streamed per-cluster counts/inertia equal " +
+      "the one-shot batch assignment against the same stored centroids") {
+    val root = s"target/tmp/streams/kmassign_${System.nanoTime()}"
+    // two stored centroids; five vectors split across micro-batches.
+    // vec 30 is EQUIDISTANT from both centroids — the (dist2, cid) tie
+    // must resolve to cid 0 in the stream exactly as in batch
+    Seq((0L, 0L, 0L), (0L, 1L, 0L), (1L, 0L, 1000L), (1L, 1L, 1000L))
+      .toDF("cid", "dim", "c_q")
+      .write.parquet(s"$root/cent")
+    val vecs = Seq(
+      (10L, Array(0.0001f, -0.0002f)),
+      (20L, Array(0.0009f, 0.0011f)),
+      (30L, Array(0.0005f, 0.0005f)),
+      (40L, Array(0.0f, 0.0f)),
+      (50L, Array(0.0012f, 0.0008f)))
+      .toDF("vec_id", "embedding")
+    vecs.repartition(4, $"vec_id").write.parquet(s"$root/vecs")
+    val streamed = Streams.centroidAssignStream(spark, s"$root/vecs",
+        vecs.schema, s"$root/cent", s"$root/partials", s"$root/ckpt",
+        maxFilesPerTrigger = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // naive one-shot replay with the same integer algebra
+    val cent = Map(0L -> Seq(0L, 0L), 1L -> Seq(1000L, 1000L))
+    val expected = Seq(
+      10L -> Seq(0.0001f, -0.0002f), 20L -> Seq(0.0009f, 0.0011f),
+      30L -> Seq(0.0005f, 0.0005f), 40L -> Seq(0.0f, 0.0f),
+      50L -> Seq(0.0012f, 0.0008f))
+      .map { case (v, fs) =>
+        val qs = fs.map(f => math.floor(f.toDouble * 1e6).toLong)
+        val best = cent.toSeq.map { case (c, cq) =>
+          (qs.zip(cq).map { case (q, cc) => (q - cc) * (q - cc) }.sum, c)
+        }.min
+        (best._2, best._1)
+      }
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum))
+      .map { case (c, (n, ss)) => (c, n, ss) }.toSet
+    assert(streamed === expected,
+      s"streamed fold must equal the one-shot assignment: " +
+        s"$streamed vs $expected")
+    val batches = new java.io.File(s"$root/partials").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
