@@ -286,6 +286,44 @@ object DedupQueries {
     }),
 
 
+    // PREFERENCE-PAIR mining over near-dup clusters (round 12) — the
+    // DPO/RLHF data-construction read: near-duplicate copies of one
+    // content differ mostly in QUALITY (boilerplate, truncation, noise),
+    // which is exactly the contrast a preference pair wants with the
+    // topic held constant. Chosen = the policy-best cluster member,
+    // rejected = the policy-worst (the q416 chain minus source tier,
+    // inverted), both via clusterSurvivors' per-cluster bounded window;
+    // the quality gap rides in exact ppm. Clusters are q43's connected
+    // components, so every cluster has ≥2 members and the two chains
+    // always pick distinct docs (reversed id tie-break).
+    "q435_preference_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = llm.Dedup.dupClusters(
+        llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3), "doc_id"))
+      val members = clusters.join(docs.select(col("doc_id"),
+          size(text.TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+          size(array_distinct(text.TextOps.tokens(col("text"))))
+            .cast("long").as("nd")), Seq("doc_id"))
+        .withColumn("quality_ppm",
+          expr("nd * 1000000 div greatest(n_tok, 1)"))
+      val chosen = llm.Dedup.clusterSurvivors(members, "cluster_id",
+          Seq(col("quality_ppm").desc, col("n_tok").desc,
+            col("doc_id").asc))
+        .select(col("cluster_id"), col("doc_id").as("chosen"),
+          col("quality_ppm").as("chosen_q"))
+      val rejected = llm.Dedup.clusterSurvivors(members, "cluster_id",
+          Seq(col("quality_ppm").asc, col("n_tok").asc,
+            col("doc_id").desc))
+        .select(col("cluster_id"), col("doc_id").as("rejected"),
+          col("quality_ppm").as("rejected_q"))
+      chosen.join(rejected, Seq("cluster_id"))
+        .filter(col("chosen") =!= col("rejected"))
+        .withColumn("gap_ppm", col("chosen_q") - col("rejected_q"))
+    }),
+
+
     // training-pipeline: cross-doc EXACT-substring duplication at PAIR
     // grain (anchor-and-extend — which documents share a verbatim run
     // and how long; q103 is the position-coverage member). Anchors,
@@ -807,6 +845,70 @@ object DedupQueries {
         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     // q43's recursive closure + per-cluster argmax by (n_tok desc, id)
+    // q404's recursive closure + the two inverted policy chains; the
+    // HAVING mirrors the engine's chosen<>rejected singleton guard
+    "q435_preference_pairs" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), cl AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), m AS (
+        |  SELECT cl.cluster_id, cl.doc_id,
+        |         CAST(len(t.ts) AS BIGINT) AS n_tok,
+        |         CAST(len(list_distinct(t.ts)) * 1000000
+        |           // greatest(len(t.ts), 1) AS BIGINT) AS quality_ppm
+        |  FROM cl JOIN t ON cl.doc_id = t.doc_id
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality_ppm DESC, n_tok DESC, doc_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality_ppm ASC, n_tok ASC, doc_id DESC) AS rr
+        |  FROM m
+        |)
+        |SELECT cluster_id,
+        |  CAST(max(CASE WHEN rc = 1 THEN doc_id END) AS BIGINT) AS chosen,
+        |  CAST(max(CASE WHEN rc = 1 THEN quality_ppm END) AS BIGINT)
+        |    AS chosen_q,
+        |  CAST(max(CASE WHEN rr = 1 THEN doc_id END) AS BIGINT) AS rejected,
+        |  CAST(max(CASE WHEN rr = 1 THEN quality_ppm END) AS BIGINT)
+        |    AS rejected_q,
+        |  CAST(max(CASE WHEN rc = 1 THEN quality_ppm END)
+        |    - max(CASE WHEN rr = 1 THEN quality_ppm END) AS BIGINT)
+        |    AS gap_ppm
+        |FROM r GROUP BY 1
+        |HAVING max(CASE WHEN rc = 1 THEN doc_id END)
+        |    <> max(CASE WHEN rr = 1 THEN doc_id END)""".stripMargin,
+
     "q404_quality_survivor" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents

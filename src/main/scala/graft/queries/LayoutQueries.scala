@@ -513,6 +513,56 @@ object LayoutQueries {
     }),
 
 
+    // ViT-style image PATCH GRID (round 12) — the spatial member of the
+    // temporal family (q411 frames, q414 windows): each decoded BMP runs
+    // through the REAL nearest-neighbor resize kernel (RgbResize, 8×6 →
+    // 4×3 — one representative pixel per patch, the patch-embedding
+    // precursor shape), per-patch integer luma (299r+587g+114b milli
+    // weights over hex-extracted bytes — codegen'd, no UDF) persists
+    // ONCE, and the serve replays per-asset patch contrast plus
+    // horizontal/vertical gradient energy relationally from the stored
+    // grid. Decode + resize + explode all stay within partitions; the
+    // serve joins are keyed on (asset, row/col) at the 12-patch grain.
+    "q437_image_patch_grid" -> ((s, dir) => {
+      val imgs = multimodal.Multimodal.syntheticAssets(s, 2000)
+        .filter(col("modality") === "image")
+        .withColumn("img", graft.exprapi.bmpDecode(col("content")))
+        .filter(col("img").isNotNull)
+        .withColumn("grid", graft.exprapi.rgbResize(col("img.rgb"),
+          col("img.w"), col("img.h"), 4, 3))
+      def byteAt(off: String): String =
+        s"cast(conv(hex(substring(grid, cast($off as int), 1)), 16, 10) as bigint)"
+      val patches = imgs
+        .select(col("asset_id"),
+          explode(sequence(lit(0L), lit(11L))).as("p"), col("grid"))
+        .select(col("asset_id"), expr("p div 4").as("prow"),
+          expr("p % 4").as("pcol"),
+          expr(s"299 * ${byteAt("p * 3 + 1")} + 587 * ${byteAt("p * 3 + 2")}" +
+            s" + 114 * ${byteAt("p * 3 + 3")}").as("luma_milli"))
+      sources.Sources.writeParquet(patches, predsPath("q437_patches"))
+      val st = s.read.parquet(predsPath("q437_patches"))
+      val base = st.groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_patches"),
+          (max(col("luma_milli")) - min(col("luma_milli")))
+            .as("contrast_milli"))
+      val hg = st.as("a").join(st.as("b"),
+          col("a.asset_id") === col("b.asset_id")
+            && col("a.prow") === col("b.prow")
+            && col("b.pcol") === col("a.pcol") + 1)
+        .groupBy(col("a.asset_id").as("asset_id"))
+        .agg(sum(abs(col("a.luma_milli") - col("b.luma_milli")))
+          .as("h_grad_milli"))
+      val vg = st.as("a").join(st.as("b"),
+          col("a.asset_id") === col("b.asset_id")
+            && col("a.pcol") === col("b.pcol")
+            && col("b.prow") === col("a.prow") + 1)
+        .groupBy(col("a.asset_id").as("asset_id"))
+        .agg(sum(abs(col("a.luma_milli") - col("b.luma_milli")))
+          .as("v_grad_milli"))
+      base.join(hg, Seq("asset_id")).join(vg, Seq("asset_id"))
+    }),
+
+
     // AUDIO temporal analysis at WINDOW grain — q411's WAV twin
     // (round-11 VERDICT next #4), completing modality symmetry (video
     // had a temporal read, audio was whole-asset-only):
@@ -795,6 +845,37 @@ object LayoutQueries {
          |  CAST(sum(energy_q) AS BIGINT) AS sum_energy_q,
          |  CAST(sum(energy_q) // count(*) AS BIGINT) AS avg_energy_q
          |FROM a GROUP BY 1""".stripMargin,
+
+    // spatial read replayed from the persisted patch grid: contrast +
+    // neighbor-gradient energy over the stored (asset, row, col) rows
+    "q437_image_patch_grid" ->
+      s"""WITH p AS (
+         |  SELECT asset_id, prow, pcol, luma_milli
+         |  FROM read_parquet('${predsPath("q437_patches")}/*.parquet')
+         |), base AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_patches,
+         |    CAST(max(luma_milli) - min(luma_milli) AS BIGINT)
+         |      AS contrast_milli
+         |  FROM p GROUP BY 1
+         |), hg AS (
+         |  SELECT a.asset_id,
+         |    CAST(sum(abs(a.luma_milli - b.luma_milli)) AS BIGINT)
+         |      AS h_grad_milli
+         |  FROM p a JOIN p b ON a.asset_id = b.asset_id
+         |    AND a.prow = b.prow AND b.pcol = a.pcol + 1
+         |  GROUP BY 1
+         |), vg AS (
+         |  SELECT a.asset_id,
+         |    CAST(sum(abs(a.luma_milli - b.luma_milli)) AS BIGINT)
+         |      AS v_grad_milli
+         |  FROM p a JOIN p b ON a.asset_id = b.asset_id
+         |    AND a.pcol = b.pcol AND b.prow = a.prow + 1
+         |  GROUP BY 1
+         |)
+         |SELECT base.asset_id, base.n_patches, base.contrast_milli,
+         |  hg.h_grad_milli, vg.v_grad_milli
+         |FROM base JOIN hg USING (asset_id) JOIN vg USING (asset_id)"""
+        .stripMargin,
 
     // temporal read replayed from the persisted per-frame means: same
     // lag series, same rollup, same argmin peak

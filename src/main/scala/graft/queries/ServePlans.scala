@@ -181,6 +181,16 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q427_partials")))
     }),
 
+    "q436_bh_fdr_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q436_partials",
+        Seq(("click", 10L, 7L, 0L), ("view", 8L, 4L, 0L),
+          ("click", 6L, 5L, 1L))
+          .toDF("event_type", "n", "n_odd", "batch_id"))
+      graft.streaming.Streams.bhFdrReadout(
+        s.read.parquet(QueryShared.predsPath("audit_q436_partials")))
+    }),
+
     "q102_join_stream" -> (s => {
       import s.implicits._
       val t = new java.sql.Timestamp(0L)

@@ -750,6 +750,25 @@ object StreamingQueries {
     }),
 
 
+    // q424's Benjamini–Hochberg control EXECUTED AS A STREAM (round 12):
+    // the per-hypothesis sufficient statistics (n, n_odd per event type)
+    // are plain sums — mergeable — so micro-batches emit only local
+    // counts and the whole inferential chain (split-div z², Chebyshev
+    // p_ppm, ranked step-up, prefix rejection) re-derives in the readout
+    // over the folded state. Streamed == batch under any split; the
+    // oracle is q424's one-shot SQL verbatim.
+    "q436_bh_fdr_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+      val root = predsPath(s"q436_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(4), s"$root/events")
+      QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.bhFdrStream(s, s"$root/events", ev.schema,
+          s"$root/partials", s"$root/ckpt")
+      }
+    }),
+
+
     // q398's cross-doc exact-substring dedup at INGESTION time, EXECUTED
     // AS A STREAM (round-11 VERDICT next #3): the old 3/4 of the corpus
     // builds the persisted anchor-postings index (per-gram md5-order cap
@@ -1242,6 +1261,39 @@ object StreamingQueries {
         |SELECT pk, price, sz FROM w
         |WHERE (min_cheaper IS NULL OR sz < min_cheaper) AND sz = min_eq"""
         .stripMargin,
+
+    // q424's one-shot BH algebra — the streamed fold must land on it
+    "q436_bh_fdr_stream" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_odd
+        |  FROM events GROUP BY 1
+        |), z AS (
+        |  SELECT event_type, n, n_odd,
+        |    CAST(((2 * n_odd - n) * (2 * n_odd - n) // n) * 1000000
+        |      + ((2 * n_odd - n) * (2 * n_odd - n) % n) * 1000000 // n
+        |      AS BIGINT) AS z2_micro
+        |  FROM h
+        |), p AS (
+        |  SELECT *, CAST(least(1000000,
+        |      1000000000000 // greatest(z2_micro, 1)) AS BIGINT) AS p_ppm
+        |  FROM z
+        |), r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY p_ppm, event_type)
+        |      AS BIGINT) AS rk,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS m
+        |  FROM p
+        |), f AS (
+        |  SELECT *, p_ppm * m * 20 <= 1000000 * rk AS pass_bh FROM r
+        |), k AS (
+        |  SELECT coalesce(max(CASE WHEN pass_bh THEN rk END), 0) AS k_star
+        |  FROM f
+        |)
+        |SELECT event_type, n, n_odd, z2_micro, p_ppm, rk, pass_bh,
+        |  rk <= k.k_star AS rejected
+        |FROM f CROSS JOIN k""".stripMargin,
 
     // the one-shot assignment against the SAME stored centroid artifact
     // the drain served — what's hash-checked is the model, not the fit

@@ -1377,6 +1377,67 @@ object Streams {
       .agg(sum(col("n_vecs")).as("n_vecs"),
         sum(col("sum_dist2")).as("sum_dist2_q"))
 
+  /** Streaming multiple-testing control — the q424 BH step-up computed
+    * OVER A DRAIN: per-hypothesis sufficient statistics (n, n_odd per
+    * event type) are plain sums, so each micro-batch emits its local
+    * counts to batchId-keyed idempotent partials and the ENTIRE
+    * inferential machinery (z², Chebyshev p, ranked step-up, prefix
+    * rejection) runs once in the readout over the folded counts —
+    * exactly the one-shot batch answer under any split. This is the
+    * experimentation-platform shape: ingest updates cheap mergeable
+    * state, decisions re-derive from state, never from raw history.
+    * Readout = [[bhFdrReadout]]. */
+  def bhFdrStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    drainPartials(spark, eventsDir, eventsSchema, partialsDir, checkpointDir,
+        maxFilesPerTrigger, "bh-fdr") { batch =>
+      batch.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 2 === 1).cast("long")).as("n_odd"))
+    }
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_odd",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    bhFdrReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
+  /** SERVE half of [[bhFdrStream]]: fold the count partials to hypothesis
+    * grain, then the q424 algebra verbatim — overflow-safe split-div z²,
+    * Chebyshev p_ppm, division-free ranked step-up (α = 0.05), prefix
+    * rejection. Windows sit on the hypothesis-grain Aggregate. */
+  def bhFdrReadout(partials: DataFrame): DataFrame = {
+    val h = partials.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("n_odd")).as("n_odd"))
+      .withColumn("z2_micro", expr(
+        "((2 * n_odd - n) * (2 * n_odd - n) div n) * 1000000" +
+          " + ((2 * n_odd - n) * (2 * n_odd - n) % n) * 1000000 div n"))
+      .withColumn("p_ppm", least(lit(1000000L),
+        expr("1000000000000 div greatest(z2_micro, 1)")))
+    val ranked = h
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p_ppm"), col("event_type"))).cast("long"))
+      .crossJoin(broadcast(h.agg(count(lit(1)).as("m"))))
+      .withColumn("pass_bh",
+        col("p_ppm") * col("m") * 20 <= lit(1000000L) * col("rk"))
+    ranked.crossJoin(broadcast(ranked.agg(
+        max(when(col("pass_bh"), col("rk")).otherwise(lit(0L)))
+          .as("k_star"))))
+      .select(col("event_type"), col("n"), col("n_odd"), col("z2_micro"),
+        col("p_ppm"), col("rk"), col("pass_bh"),
+        (col("rk") <= col("k_star")).as("rejected"))
+  }
+
   /** Ingestion-time EXACT dedup with a SURVIVOR POLICY — streamed
     * [[graft.llm.Dedup.clusterSurvivors]] at the fingerprint grain:
     * lexicographic argmin is a merge SEMILATTICE (best(A∪B) =

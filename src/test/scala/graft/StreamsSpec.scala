@@ -696,6 +696,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(batches >= 2, s"expected a multi-batch drain, got $batches")
   }
 
+  test("bhFdrStream: streamed count partials fold to exactly the one-shot " +
+      "BH decision, including a rejection only visible after the fold") {
+    val root = s"target/tmp/streams/bhfdr_${System.nanoTime()}"
+    // type "skew" is perfectly balanced inside each single batch half but
+    // HEAVILY skewed overall only when both batches fold — a per-batch
+    // decision would never reject it; type "even" stays balanced
+    // skew: 60 odd vs 4 even → z² = 49, Chebyshev p ≈ 20408 ppm,
+    // 20408·m(2)·20 ≤ 10⁶·rk(1) → rejected; even: z² = 0 → survives
+    val ev = (
+      (1L to 60L).map(u => (2 * u + 1, "skew")) ++
+        (1L to 4L).map(u => (2 * u, "skew")) ++
+        (1L to 20L).map(u => (2 * u, "even")) ++
+        (1L to 20L).map(u => (2 * u + 1, "even")))
+      .toDF("user_id", "event_type")
+    ev.repartition(4, $"user_id").write.parquet(s"$root/events")
+    val streamed = Streams.bhFdrStream(spark, s"$root/events", ev.schema,
+        s"$root/partials", s"$root/ckpt", maxFilesPerTrigger = 1)
+      .select($"event_type", $"n", $"n_odd", $"rejected")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    val batch = Streams.bhFdrReadout(
+        ev.groupBy($"event_type")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum(($"user_id" % 2 === 1)
+              .cast("long")).as("n_odd"))
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L)))
+      .select($"event_type", $"n", $"n_odd", $"rejected")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch,
+      s"streamed fold must equal the one-shot BH: $streamed vs $batch")
+    assert(streamed.exists(r => r._1 == "skew" && r._4),
+      "the globally-skewed hypothesis must be rejected after the fold")
+    assert(streamed.exists(r => r._1 == "even" && !r._4),
+      "the balanced hypothesis must survive")
+    val batches = new java.io.File(s"$root/partials").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
