@@ -912,6 +912,72 @@ object Analytics5Queries {
         .withColumn("waste_ppm", expr(
           "(padded_tokens - real_tokens) * 1000000 div padded_tokens"))
     }),
+
+    // McNemar's paired test over q401's two deterministic raters — the
+    // PAIRED member of the agreement family (kappa measures agreement;
+    // McNemar asks whether the DISAGREEMENTS are one-sided, i.e. whether
+    // rater B systematically flags what rater A passes): χ² = (b−c)²/(b+c)
+    // over the discordant cells only, exact micro via the q424 split-div
+    // device, flagged against the declared χ²₁,₀.₀₅ = 3.841459 quantile
+    // (a stated constant, not a computed CDF). One corpus-level row.
+    "q438_mcnemar" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("n_chars").cast("long").as("n_chars"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(
+          (size(array_distinct(col("ts"))) * 2 > size(col("ts")))
+            .cast("long").as("ra"),
+          (col("n_chars") > size(col("ts")).cast("long") * 5L)
+            .cast("long").as("rb"))
+      d.agg(count(lit(1)).as("n"),
+          sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L))
+            .as("n10"),
+          sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L))
+            .as("n00"))
+        .withColumn("mcnemar_micro", expr(
+          "((n10 - n01) * (n10 - n01) div greatest(n10 + n01, 1)) * 1000000" +
+            " + ((n10 - n01) * (n10 - n01) % greatest(n10 + n01, 1))" +
+            " * 1000000 div greatest(n10 + n01, 1)"))
+        .withColumn("significant", col("mcnemar_micro") > 3841459L)
+    }),
+
+    // Mantel–Haenszel pooled odds ratio — the STRATIFIED member of the
+    // experiment family (q265 tests one 2×2; MH pools per-stratum 2×2
+    // tables without letting a confounded stratum mix Simpson-style):
+    // strata = language, treatment = doc parity, outcome = the lexical-
+    // diversity rater. OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ), each term the
+    // declared a·d·10⁶ div n quantization (non-negative — truncating div
+    // == floor), the final ratio one more guarded div. Per-stratum rows
+    // ride with the pooled estimate attached as a keys=[] broadcast.
+    "q439_mantel_haenszel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), (col("doc_id") % 2).as("t"),
+          (size(array_distinct(text.TextOps.tokens(col("text")))) * 2
+            > size(text.TextOps.tokens(col("text"))))
+            .cast("long").as("y"))
+      val strat = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("t") === 1 && col("y") === 1, 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("t") === 1 && col("y") === 0, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("t") === 0 && col("y") === 1, 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("t") === 0 && col("y") === 0, 1L).otherwise(0L))
+            .as("d"))
+        .withColumn("num_micro", expr("a * d * 1000000 div n"))
+        .withColumn("den_micro", expr("b * c * 1000000 div n"))
+        .localCheckpoint(true)
+      strat.crossJoin(broadcast(strat
+        .agg(sum(col("num_micro")).as("num_sum"),
+          sum(col("den_micro")).as("den_sum"))
+        .select(expr("num_sum * 1000000 div greatest(den_sum, 1)")
+          .as("or_mh_ppm"))))
+    }),
   )
 
   /** q409's dynamically-unrolled oracle: `rounds` power-iteration steps
@@ -1307,6 +1373,72 @@ object Analytics5Queries {
         |  CAST(b.pos * 1000000 // b.n_b AS BIGINT) AS raw_ppm,
         |  iso.iso_ppm
         |FROM bins b JOIN iso USING (bin)""".stripMargin,
+
+    // identical discordant-cell statistic and declared quantile constant
+    "q438_mcnemar" ->
+      """WITH d AS (
+        |  SELECT
+        |    CASE WHEN len(list_distinct(regexp_extract_all(lower(text),
+        |           '[a-z0-9]+'))) * 2
+        |         > len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |         THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN n_chars
+        |         > len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5
+        |         THEN 1 ELSE 0 END AS rb
+        |  FROM documents
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM d
+        |)
+        |SELECT n, n11, n10, n01, n00,
+        |  CAST(((n10 - n01) * (n10 - n01) // greatest(n10 + n01, 1))
+        |      * 1000000
+        |    + ((n10 - n01) * (n10 - n01) % greatest(n10 + n01, 1))
+        |      * 1000000 // greatest(n10 + n01, 1) AS BIGINT)
+        |    AS mcnemar_micro,
+        |  ((n10 - n01) * (n10 - n01) // greatest(n10 + n01, 1)) * 1000000
+        |    + ((n10 - n01) * (n10 - n01) % greatest(n10 + n01, 1))
+        |      * 1000000 // greatest(n10 + n01, 1) > 3841459 AS significant
+        |FROM g""".stripMargin,
+
+    // identical per-stratum 2×2 terms and pooled ratio
+    "q439_mantel_haenszel" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id % 2 AS t,
+        |    CASE WHEN len(list_distinct(regexp_extract_all(lower(text),
+        |           '[a-z0-9]+'))) * 2
+        |         > len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), strat AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM d GROUP BY 1
+        |), terms AS (
+        |  SELECT *, CAST(a * d * 1000000 // n AS BIGINT) AS num_micro,
+        |    CAST(b * c * 1000000 // n AS BIGINT) AS den_micro
+        |  FROM strat
+        |)
+        |SELECT lang, n, a, b, c, d, num_micro, den_micro,
+        |  (SELECT CAST(sum(num_micro) * 1000000
+        |     // greatest(sum(den_micro), 1) AS BIGINT) FROM terms)
+        |    AS or_mh_ppm
+        |FROM terms""".stripMargin,
 
     // identical grid sweep over the doc token-count grain
     "q434_pack_efficiency_curve" ->

@@ -158,6 +158,42 @@ object LayoutQueries {
     }),
 
 
+    // Per-node CLUSTERING COEFFICIENT (round 12) — q92's triangle counts
+    // normalized into the local-density read every graph audit wants:
+    // cc = 2·T_v·10⁶ div (d·(d−1)) over the SAME thresholded co-supply
+    // graph (degree from the distinct undirected edge set; isolated
+    // triangle-free nodes ride the left join with cc 0). The degree-
+    // ordered wedge counting stays inside Graph.triangleCounts — this
+    // adds only the degree rollup and one key-equi join on the node
+    // grain, plus the corpus mean as the keys=[] scalar broadcast.
+    "q440_clustering_coeff" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val cc = deg
+        .join(ops.Graph.triangleCounts(e), Seq("node"), "left_outer")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("cc_ppm", expr(
+          "case when d >= 2 then 2 * n_tri * 1000000 div (d * (d - 1)) " +
+            "else 0 end"))
+        .localCheckpoint(true)
+      cc.crossJoin(broadcast(cc
+        .agg(sum(col("cc_ppm")).as("s"), count(lit(1)).as("k"))
+        .select(expr("s div k").as("mean_cc_ppm"))))
+    }),
+
+
     // training-pipeline: WEIGHTED k-per-language sampling (Efraimidis–
     // Spirakis keyed by a content-addressed uniform) — longer docs more
     // likely picked, the pick a pure function of (doc_id, n_tok); the
@@ -1291,6 +1327,44 @@ object LayoutQueries {
         |)
         |SELECT doc_id, lang, w, key_q FROM r WHERE rn <= 15""".stripMargin,
 
+
+    // q92's triangle CTE + degrees off the same undirected edge set,
+    // normalized per node, pooled mean attached
+    "q440_clustering_coeff" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45
+        |), e AS (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        |), tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tc AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri
+        |  ) GROUP BY 1
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        |  ) GROUP BY 1
+        |), cc AS (
+        |  SELECT deg.node, deg.d, coalesce(tc.n_tri, 0) AS n_tri,
+        |    CASE WHEN deg.d >= 2
+        |         THEN 2 * coalesce(tc.n_tri, 0) * 1000000
+        |              // (deg.d * (deg.d - 1))
+        |         ELSE 0 END AS cc_ppm
+        |  FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |)
+        |SELECT node, d, CAST(n_tri AS BIGINT) AS n_tri,
+        |  CAST(cc_ppm AS BIGINT) AS cc_ppm,
+        |  (SELECT CAST(sum(cc_ppm) // count(*) AS BIGINT) FROM cc)
+        |    AS mean_cc_ppm
+        |FROM cc""".stripMargin,
 
     "q92_triangles" ->
       """WITH li AS (
