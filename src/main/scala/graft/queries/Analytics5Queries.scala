@@ -978,6 +978,121 @@ object Analytics5Queries {
         .select(expr("num_sum * 1000000 div greatest(den_sum, 1)")
           .as("or_mh_ppm"))))
     }),
+
+    // kNN-DENSITY outlier screen over embeddings — the DBSCAN
+    // core-distance read, cell-bounded (never all-pairs): the IVF index
+    // routes each vector to its nprobe=2 nearest cells, candidates cap
+    // at ≤64 in md5 order (declared — Σ64 work per vector at any corpus
+    // size), the capped pair set and unit vectors PERSIST once (the q94
+    // split: the codebook-dependent probe is frozen in the artifact; the
+    // exact quantized-dot re-rank is pure relational work both engines
+    // replay). Core similarity = the min(8, candidates)-th highest dot;
+    // a vector whose neighborhood is less than half the corpus median
+    // (2·core < med — multiplication only, sign-safe) is isolated.
+    "q441_knn_density" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, persistCells = false)
+      val wCap = Window.partitionBy(col("q_id"))
+        .orderBy(md5(col("n_id").cast("string")), col("n_id"))
+      val pairs = llm.Similarity.ivfCandidatePairs(idx,
+          e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          nprobe = 2)
+        .withColumn("_rk", row_number().over(wCap))
+        .filter(col("_rk") <= 64).drop("_rk")
+      sources.Sources.writeParquet(pairs, predsPath("q441_pairs"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q441_units"))
+      val u = s.read.parquet(predsPath("q441_units"))
+      val st = s.read.parquet(predsPath("q441_pairs"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("dot_q").desc, col("n_id"))
+      val core = st
+        .join(u.select(col("vec_id").as("q_id"), col("unit").as("ua")),
+          Seq("q_id"))
+        .join(u.select(col("vec_id").as("n_id"), col("unit").as("ub")),
+          Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          llm.Similarity.quantizedDot(col("ua"), col("ub")).as("dot_q"))
+        .withColumn("rk", row_number().over(wTop))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_cands"),
+          min(when(col("rk") <= 8, col("dot_q"))).as("core_sim_q"))
+        .localCheckpoint(true)
+      val med = ops.Stats.distributedRank(core, "core_sim_q",
+          tieBreak = Seq("q_id"), out = "_rn", bucketWidth = 1L << 34)
+        .crossJoin(broadcast(core.agg(count(lit(1)).as("_n"))))
+        .filter(col("_rn") === expr("(_n + 1) div 2"))
+        .agg(max(col("core_sim_q")).as("med_core_q"))
+      core.crossJoin(broadcast(med))
+        .withColumn("outlier", col("core_sim_q") * 2 < col("med_core_q"))
+    }),
+
+    // The CORPUS COMPILE — the whole training-data recipe as ONE call,
+    // each stage the already-verified algebra of its standalone surface:
+    // (1) exact-dedup survivor policy at the fingerprint grain (q419's
+    // chain), (2) per-language eval quota carved out of the SURVIVORS
+    // (q403's md5 rank — eval never trains), (3) waterfilled per-source
+    // token budget over SURVIVING TRAIN tokens only (q421's lesson:
+    // budgeting raw counts double-spends every duplicate), (4) greedy
+    // md5-order selection under each source's allocation, (5) packing
+    // accounting at max_len 512. Every stage is one partitioned window
+    // or one rollup on an already-reduced grain; the oracle states the
+    // identical five-stage chain.
+    "q442_corpus_compile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = docs
+        .select(col("doc_id"), col("source"), col("lang"),
+          text.TextOps.fingerprint(col("text")).as("fp"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("source"), col("lang"), col("fp"),
+          expr("cast(regexp_extract(source, '([0-9]+)', 1) as int) % 4")
+            .cast("long").as("src_tier"),
+          size(col("ts")).cast("long").as("n_tok"),
+          size(array_distinct(col("ts"))).cast("long").as("n_dist"))
+        .withColumn("quality_ppm",
+          expr("n_dist * 1000000 div greatest(n_tok, 1L)"))
+      val surv = llm.Dedup.clusterSurvivors(m, "fp",
+          Seq(col("src_tier").asc, col("quality_ppm").desc,
+            col("n_tok").desc, col("doc_id").asc))
+        .localCheckpoint(true)
+      val wL = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val train = surv.withColumn("erk", row_number().over(wL))
+        .filter(col("erk") > 20)
+        .localCheckpoint(true)
+      val src = train.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"), sum(col("n_tok")).as("c"),
+          sum(col("quality_ppm")).as("qsum"))
+        .withColumn("w", greatest(lit(1L), expr("qsum div n_train")))
+      val alloc = llm.Mixture
+        .waterfill(src, "source", budgetNum = 6L, budgetDen = 10L)
+        .select(col("source"), col("n_train"),
+          col("c").as("train_tokens"), col("alloc"))
+        .localCheckpoint(true)
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = train
+        .join(alloc.select(col("source"), col("alloc")), Seq("source"))
+        .withColumn("cum", sum(col("n_tok")).over(wS))
+        .filter(col("cum") <= col("alloc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_tok")).as("sel_tokens"),
+          sum(expr("(n_tok + 511) div 512")).as("n_chunks"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+        .join(surv.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_survivors")), Seq("source"))
+        .join(alloc, Seq("source"))
+        .join(kept, Seq("source"), "left_outer")
+        .select(col("source"), col("n_raw"), col("n_survivors"),
+          col("n_train"), col("train_tokens"), col("alloc"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
+    }),
   )
 
   /** q409's dynamically-unrolled oracle: `rounds` power-iteration steps
@@ -1373,6 +1488,144 @@ object Analytics5Queries {
         |  CAST(b.pos * 1000000 // b.n_b AS BIGINT) AS raw_ppm,
         |  iso.iso_ppm
         |FROM bins b JOIN iso USING (bin)""".stripMargin,
+
+    // the q94 split replayed at density grain: quantized dots over the
+    // STORED capped pairs + units, top-8 min, exact lower median, the
+    // multiplication-only isolation test
+    "q441_knn_density" ->
+      s"""WITH p AS (
+         |  SELECT q_id, n_id
+         |  FROM read_parquet('${predsPath("q441_pairs")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit
+         |  FROM read_parquet('${predsPath("q441_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT p.q_id, p.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)),
+         |      i -> CAST(floor(CAST(a.unit[i] AS DOUBLE)
+         |        * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM p
+         |  JOIN u a ON p.q_id = a.vec_id
+         |  JOIN u b ON p.n_id = b.vec_id
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dot_q DESC, n_id) AS rk
+         |  FROM dots
+         |), core AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_cands,
+         |    CAST(min(CASE WHEN rk <= 8 THEN dot_q END) AS BIGINT)
+         |      AS core_sim_q
+         |  FROM r GROUP BY 1
+         |), mr AS (
+         |  SELECT *, row_number() OVER (ORDER BY core_sim_q, q_id) AS mrn,
+         |    count(*) OVER () AS mn
+         |  FROM core
+         |), med AS (
+         |  SELECT core_sim_q AS med_core_q FROM mr WHERE mrn = (mn + 1) // 2
+         |)
+         |SELECT c.q_id, c.n_cands, c.core_sim_q, med.med_core_q,
+         |  2 * c.core_sim_q < med.med_core_q AS outlier
+         |FROM core c CROSS JOIN med""".stripMargin,
+
+    // the five-stage chain stated end to end: q419's survivor policy,
+    // q403's eval quota over the survivors, q421's waterfill over
+    // surviving TRAIN tokens, md5-order greedy selection, packing rollup
+    "q442_corpus_compile" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, lang,
+        |    md5(array_to_string(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+        |    CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |      AS BIGINT) AS src_tier,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(
+        |        regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1000000
+        |      // greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+        |                  1) AS BIGINT) AS quality_ppm
+        |  FROM documents
+        |), rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY src_tier ASC, quality_ppm DESC, n_tok DESC,
+        |             doc_id ASC) AS rk
+        |  FROM m
+        |), surv AS (
+        |  SELECT * FROM rr WHERE rk = 1
+        |), spl AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS erk
+        |  FROM surv
+        |), train AS (
+        |  SELECT * FROM spl WHERE erk > 20
+        |), src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_train,
+        |    CAST(sum(n_tok) AS BIGINT) AS c,
+        |    CAST(sum(quality_ppm) AS BIGINT) AS qsum
+        |  FROM train GROUP BY 1
+        |), sw AS (
+        |  SELECT *, greatest(1, qsum // n_train) AS w FROM src
+        |), b0 AS (
+        |  SELECT *, (SELECT sum(c) FROM sw) * 6 // 10 AS b,
+        |    (SELECT sum(w) FROM sw) AS wtot,
+        |    c * 1000000 // w AS ratio_q
+        |  FROM sw
+        |), f AS (
+        |  SELECT *,
+        |    coalesce(sum(c) OVER (ORDER BY ratio_q, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cc_prev,
+        |    wtot - coalesce(sum(w) OVER (ORDER BY ratio_q, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS w_rem
+        |  FROM b0
+        |), g AS (
+        |  SELECT *, CASE WHEN (b - cc_prev) * w >= c * w_rem
+        |                 THEN 1 ELSE 0 END AS flag
+        |  FROM f
+        |), h AS (
+        |  SELECT *, min(flag) OVER (ORDER BY ratio_q, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |      AS capped
+        |  FROM g
+        |), agg AS (
+        |  SELECT coalesce(sum(CASE WHEN capped THEN c END), 0) AS cc_star,
+        |         coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS wu_star
+        |  FROM h
+        |), fin AS (
+        |  SELECT source, n_train, c AS train_tokens,
+        |    CAST(CASE WHEN capped THEN c
+        |         ELSE least(c, greatest(0, b - agg.cc_star) * w
+        |                       // agg.wu_star) END AS BIGINT) AS alloc
+        |  FROM h CROSS JOIN agg
+        |), sel AS (
+        |  SELECT t.source, t.n_tok,
+        |    sum(t.n_tok) OVER (PARTITION BY t.source
+        |      ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    fin.alloc
+        |  FROM train t JOIN fin ON t.source = fin.source
+        |), kept AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+        |    CAST(sum(n_tok) AS BIGINT) AS sel_tokens,
+        |    CAST(sum((n_tok + 511) // 512) AS BIGINT) AS n_chunks
+        |  FROM sel WHERE cum <= alloc GROUP BY 1
+        |), raw AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+        |  FROM documents GROUP BY 1
+        |), sv AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+        |  FROM surv GROUP BY 1
+        |)
+        |SELECT raw.source, raw.n_raw, sv.n_survivors, fin.n_train,
+        |  fin.train_tokens, fin.alloc,
+        |  coalesce(kept.n_selected, 0) AS n_selected,
+        |  coalesce(kept.sel_tokens, 0) AS sel_tokens,
+        |  coalesce(kept.n_chunks, 0) AS n_chunks
+        |FROM raw
+        |JOIN sv ON raw.source = sv.source
+        |JOIN fin ON raw.source = fin.source
+        |LEFT JOIN kept ON raw.source = kept.source""".stripMargin,
 
     // identical discordant-cell statistic and declared quantile constant
     "q438_mcnemar" ->

@@ -237,6 +237,60 @@ class Analytics5Spec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q435/q438/q439/q440 invariants: pair ordering, cell conservation, bounds") {
+    val pp = SparkEntry.queries("q435_preference_pairs")(spark, TestSpark.sf)
+      .collect()
+    assert(pp.nonEmpty)
+    pp.foreach { r =>
+      val (chosen, cq, rejected, rq, gap) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(chosen != rejected && cq >= rq && gap === cq - rq)
+    }
+    val mc = SparkEntry.queries("q438_mcnemar")(spark, TestSpark.sf).head()
+    assert(mc.getLong(1) + mc.getLong(2) + mc.getLong(3) + mc.getLong(4)
+      === mc.getLong(0), "McNemar cells must conserve n")
+    val mh = SparkEntry.queries("q439_mantel_haenszel")(spark, TestSpark.sf)
+      .collect()
+    mh.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        === r.getLong(1), s"MH stratum ${r.getString(0)} must conserve n")
+    }
+    val cc = SparkEntry.queries("q440_clustering_coeff")(spark, TestSpark.sf)
+      .collect()
+    assert(cc.nonEmpty)
+    cc.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L,
+        "clustering coefficient must live in [0, 1] ppm")
+    }
+  }
+
+  test("q441/q442 invariants: candidate caps and recipe conservation") {
+    val kd = SparkEntry.queries("q441_knn_density")(spark, TestSpark.sf)
+      .collect()
+    assert(kd.nonEmpty)
+    kd.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 64L,
+        "candidate count must respect the md5-order cap")
+    }
+    val compiled = SparkEntry.queries("q442_corpus_compile")(
+        spark, TestSpark.sf)
+      .collect()
+    assert(compiled.nonEmpty)
+    compiled.foreach { r =>
+      val (nRaw, nSurv, nTrain, trainTok, alloc, nSel, selTok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(nSurv <= nRaw && nTrain <= nSurv && nSel <= nTrain,
+        s"funnel must only shrink: ${r.getString(0)}")
+      assert(alloc <= trainTok, "waterfill never allocates above capacity")
+      assert(selTok <= alloc, "greedy selection never exceeds the allocation")
+    }
+    // the budget binds globally: Σ alloc ≤ 60% of surviving train tokens
+    val totTrain = compiled.map(_.getLong(4)).sum
+    val totAlloc = compiled.map(_.getLong(5)).sum
+    assert(totAlloc <= totTrain * 6 / 10)
+  }
+
   test("q426 Adamic-Adar equals a naive capped replay") {
     val items = Tables.lineitem(spark, TestSpark.sf)
       .select(col("l_orderkey"), col("l_partkey"))
