@@ -1206,6 +1206,101 @@ object RelationalQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
 
 
+    // ERASURE WITH PROOF (round 12) — the GDPR-shaped governance
+    // composition over q195's targeted delete and q232's additive
+    // checksum: the erase set (custkeys ≡ 0 mod 97 — "the users who
+    // asked") is deleted by REWRITING storage (the surviving rows
+    // persist to parquet and the proof reads the STORED table, not a
+    // plan), and the certificate is pure algebra both engines state:
+    // the 56-bit row digests are summed, so checksum(before) must equal
+    // checksum(after) + checksum(deleted) exactly (DECIMAL — no float
+    // loss), counts must reconcile, and a residual scan of the stored
+    // table for erased keys must return zero. All three sides are
+    // keys=[] scalar aggregates riding one broadcast chain.
+    "q443_erasure_proof" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val base = Tables.orders(s, dir)
+        .select(cols.map(col): _*)
+      val erased = col("o_custkey") % 97 === 0
+      sources.Sources.writeParquet(base.filter(!erased),
+        predsPath("q443_after"))
+      val stored = s.read.parquet(predsPath("q443_after"))
+      val cb = Relational.tableChecksum(base, cols)
+        .select(col("n_rows").as("n_before"),
+          col("content_checksum").as("ck_before"))
+      val cd = Relational.tableChecksum(base.filter(erased), cols)
+        .select(col("n_rows").as("n_deleted"),
+          col("content_checksum").as("ck_deleted"))
+      val ca = Relational.tableChecksum(stored, cols)
+        .select(col("n_rows").as("n_after"),
+          col("content_checksum").as("ck_after"))
+      val residual = stored
+        .agg(sum(when(erased, 1L).otherwise(0L)).as("residual_rows"))
+      cb.crossJoin(broadcast(cd)).crossJoin(broadcast(ca))
+        .crossJoin(broadcast(residual))
+        .withColumn("counts_reconcile",
+          col("n_before") === col("n_after") + col("n_deleted"))
+        .withColumn("checksums_reconcile",
+          col("ck_before").cast("decimal(30,0)") ===
+            col("ck_after").cast("decimal(30,0)")
+              + col("ck_deleted").cast("decimal(30,0)"))
+    }),
+
+
+    // Community MODULARITY (round 12) — the quality score of q222's
+    // label-propagation communities: Q = Σ_c [e_c/m − (d_c/2m)²] in
+    // exact ppm (term2 via the split-div device — d_c ≤ 2m keeps it in
+    // [0, 10⁶]; the square's Long bound is the declared d_c ≤ 3·10⁹
+    // contract, the q424 overflow class). Per-community rows carry the
+    // signed q_c contribution; the corpus modularity attaches as the
+    // keys=[] scalar broadcast. Labels come from the same fixed-3-round
+    // propagation the q222 oracle unrolls.
+    "q444_modularity" -> ((s, dir) => {
+      // q92's co-supply graph at a TIGHTER threshold (>48): the >45 and
+      // bipartite forms min-label into one giant community (score 0);
+      // at >48 the fixture yields real multi-community structure
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        .distinct().localCheckpoint(true)
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = ops.Graph.minLabelPropagation(edges, rounds = 3)
+        .localCheckpoint(true)
+      val mAgg = pairs.agg(count(lit(1)).as("m"))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val dC = labels.join(deg, Seq("node"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_c"))
+      val eC = pairs
+        .join(labels.select(col("node").as("src"), col("label").as("ls")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("ld")),
+          Seq("dst"))
+        .filter(col("ls") === col("ld"))
+        .groupBy(col("ls").as("label"))
+        .agg(count(lit(1)).as("e_intra"))
+      val perC = dC.join(eC, Seq("label"), "left_outer")
+        .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
+        .crossJoin(broadcast(mAgg))
+        .withColumn("q_c_ppm", expr(
+          "e_intra * 1000000 div m" +
+            " - ((d_c * d_c div (4 * m * m)) * 1000000" +
+            "    + (d_c * d_c % (4 * m * m)) * 1000000 div (4 * m * m))"))
+        .select(col("label"), col("n_nodes"), col("e_intra"), col("d_c"),
+          col("q_c_ppm"))
+        .localCheckpoint(true)
+      perC.crossJoin(broadcast(
+        perC.agg(sum(col("q_c_ppm")).as("modularity_ppm"))))
+    }),
+
+
     // Benford first-digit conformance test on order totals — the
     // forensic-accounting DQ read: leading digit via exact integer→
     // string math (no libm log10 on data), expected mass from the
@@ -2507,6 +2602,120 @@ object RelationalQueries {
         |)
         |SELECT l_returnflag, qty AS mode_qty, n FROM r WHERE rn = 1""".stripMargin,
 
+
+    // the q232 digest stated three ways (source, erased slice, STORED
+    // survivors) + the decimal reconciliation and residual scan
+    "q443_erasure_proof" ->
+      s"""WITH dig AS (
+         |  SELECT o_custkey,
+         |    CAST(CAST('0x' || substr(md5(
+         |      coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'N') || '|' ||
+         |      coalesce(md5(CAST(o_custkey AS VARCHAR)), 'N') || '|' ||
+         |      coalesce(md5(o_orderstatus), 'N') || '|' ||
+         |      coalesce(md5(o_orderpriority), 'N')), 1, 14)
+         |      AS BIGINT) AS DECIMAL(20,0)) AS h
+         |  FROM orders
+         |), adig AS (
+         |  SELECT o_custkey,
+         |    CAST(CAST('0x' || substr(md5(
+         |      coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'N') || '|' ||
+         |      coalesce(md5(CAST(o_custkey AS VARCHAR)), 'N') || '|' ||
+         |      coalesce(md5(o_orderstatus), 'N') || '|' ||
+         |      coalesce(md5(o_orderpriority), 'N')), 1, 14)
+         |      AS BIGINT) AS DECIMAL(20,0)) AS h
+         |  FROM read_parquet('${predsPath("q443_after")}/*.parquet')
+         |), cb AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_before,
+         |    CAST(CAST(sum(h) AS DECIMAL(30,0)) AS VARCHAR) AS ck_before
+         |  FROM dig
+         |), cd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+         |    CAST(CAST(sum(h) AS DECIMAL(30,0)) AS VARCHAR) AS ck_deleted
+         |  FROM dig WHERE o_custkey % 97 = 0
+         |), ca AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_after,
+         |    CAST(CAST(sum(h) AS DECIMAL(30,0)) AS VARCHAR) AS ck_after
+         |  FROM adig
+         |), res AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN o_custkey % 97 = 0
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS residual_rows
+         |  FROM adig
+         |)
+         |SELECT cb.n_before, cb.ck_before, cd.n_deleted, cd.ck_deleted,
+         |  ca.n_after, ca.ck_after, res.residual_rows,
+         |  cb.n_before = ca.n_after + cd.n_deleted AS counts_reconcile,
+         |  CAST(cb.ck_before AS DECIMAL(30,0)) =
+         |    CAST(ca.ck_after AS DECIMAL(30,0))
+         |      + CAST(cd.ck_deleted AS DECIMAL(30,0))
+         |    AS checksums_reconcile
+         |FROM cb CROSS JOIN cd CROSS JOIN ca CROSS JOIN res""".stripMargin,
+
+    // the fixed-3-round min-label unroll over q92's thresholded graph
+    // + the exact modularity algebra
+    "q444_modularity" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48
+        |), pairs AS (
+        |  SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        |), edges AS (
+        |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+        |), l0 AS (
+        |  SELECT node, node AS label FROM
+        |    (SELECT src AS node FROM edges
+        |     UNION SELECT dst FROM edges) n
+        |), l1 AS (
+        |  SELECT l.node,
+        |         least(l.label, coalesce(m.nl, l.label)) AS label
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT e.src AS node, min(x.label) AS nl
+        |    FROM edges e JOIN l0 x ON x.node = e.dst GROUP BY 1) m
+        |    USING (node)
+        |), l2 AS (
+        |  SELECT l.node,
+        |         least(l.label, coalesce(m.nl, l.label)) AS label
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT e.src AS node, min(x.label) AS nl
+        |    FROM edges e JOIN l1 x ON x.node = e.dst GROUP BY 1) m
+        |    USING (node)
+        |), l3 AS (
+        |  SELECT l.node,
+        |         least(l.label, coalesce(m.nl, l.label)) AS label
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT e.src AS node, min(x.label) AS nl
+        |    FROM edges e JOIN l2 x ON x.node = e.dst GROUP BY 1) m
+        |    USING (node)
+        |), mm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m FROM pairs
+        |), deg AS (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |  FROM edges GROUP BY 1
+        |), dc AS (
+        |  SELECT l3.label, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg.d) AS BIGINT) AS d_c
+        |  FROM l3 JOIN deg ON l3.node = deg.node GROUP BY 1
+        |), ec AS (
+        |  SELECT ls.label, CAST(count(*) AS BIGINT) AS e_intra
+        |  FROM pairs p
+        |  JOIN l3 ls ON p.src = ls.node
+        |  JOIN l3 ld ON p.dst = ld.node
+        |  WHERE ls.label = ld.label
+        |  GROUP BY 1
+        |), perc AS (
+        |  SELECT dc.label, dc.n_nodes, coalesce(ec.e_intra, 0) AS e_intra,
+        |    dc.d_c,
+        |    CAST(coalesce(ec.e_intra, 0) * 1000000 // mm.m
+        |      - ((dc.d_c * dc.d_c // (4 * mm.m * mm.m)) * 1000000
+        |         + (dc.d_c * dc.d_c % (4 * mm.m * mm.m)) * 1000000
+        |           // (4 * mm.m * mm.m)) AS BIGINT) AS q_c_ppm
+        |  FROM dc LEFT JOIN ec ON dc.label = ec.label CROSS JOIN mm
+        |)
+        |SELECT label, n_nodes, CAST(e_intra AS BIGINT) AS e_intra, d_c,
+        |  q_c_ppm,
+        |  (SELECT CAST(sum(q_c_ppm) AS BIGINT) FROM perc)
+        |    AS modularity_ppm
+        |FROM perc""".stripMargin,
 
     "q232_table_checksum" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
