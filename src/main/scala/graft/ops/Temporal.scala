@@ -60,6 +60,37 @@ object Temporal {
       attachCols: Seq[String]): DataFrame =
     asofImpl(left, right, keys, tsCol, attachCols, forward = true)
 
+  /** Backward as-of with a FRESHNESS TOLERANCE — the "stale quote is no
+    * quote" rule every market-data / feature-store lookup needs: the
+    * match is [[asofJoin]]'s match, but a right row older than
+    * `toleranceUs` microseconds is nulled AFTER the window (a pure
+    * post-projection — the tolerance must never turn the one-shuffle
+    * union-window shape into a range join). Requires TIMESTAMP ts on
+    * both sides. `matched_ts` and a 0/1 `fresh` flag ride the output so
+    * staleness is auditable, never silent. */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      attachCols: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"tolerance must be >= 0, got $toleranceUs")
+    val joined = asofImpl(left,
+      right.withColumn("__match_ts", col(tsCol)),
+      keys, tsCol, attachCols :+ "__match_ts", forward = false)
+    // fixture timestamps are NTZ; unix_micros wants TIMESTAMP (q319 rule)
+    val fresh = col("__match_ts").isNotNull &&
+      unix_micros(col(tsCol).cast("timestamp")) -
+        unix_micros(col("__match_ts").cast("timestamp")) <= toleranceUs
+    attachCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, when(fresh, col(c)))
+      }
+      .withColumn("matched_ts", when(fresh, col("__match_ts")))
+      .withColumn("fresh", fresh.cast("long"))
+      .drop("__match_ts")
+  }
+
   private def asofImpl(
       left: DataFrame,
       right: DataFrame,

@@ -129,6 +129,56 @@ object RelationalQueries {
     }),
 
 
+    // As-of with a freshness TOLERANCE (round 12) — completes the as-of
+    // family (backward q30, forward q242): matches older than 7 days are
+    // nulled AFTER the window (Temporal.asofJoinTolerance — the shape
+    // stays the one-shuffle union-window, never a range join), and the
+    // matched timestamp + 0/1 fresh flag make staleness auditable.
+    "q446_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.Temporal.asofJoinTolerance(
+        clicks, purchases, Seq("user_id"), "ts",
+        Seq("last_purchase_value"), toleranceUs = 7L * 86400000000L)
+    }),
+
+
+    // The SQL-STRING entry point exercised as a checked surface (SURVEY
+    // §2: the reference drives Spark through createOrReplaceTempView +
+    // spark.sql interchangeably with the DSL — both entries must exist
+    // AND be correct): per-segment top-3 customers by exact-cents spend
+    // with integer ppm shares, the whole analysis one SQL string through
+    // the session parser over registered views. Catalyst sees the same
+    // plan a DSL formulation would — the audits and the oracle treat it
+    // identically.
+    "q445_sql_entry" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+      s.sql("""
+        WITH spend AS (
+          SELECT c.c_mktsegment AS segment, c.c_custkey AS cust,
+                 sum(CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+                     AS BIGINT)) AS cents
+          FROM g_orders o JOIN g_customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        seg AS (
+          SELECT segment, sum(cents) AS seg_cents FROM spend GROUP BY 1),
+        r AS (
+          SELECT s.*, row_number() OVER (PARTITION BY segment
+            ORDER BY cents DESC, cust) AS rk
+          FROM spend s)
+        SELECT r.segment, CAST(r.rk AS BIGINT) AS rk, r.cust, r.cents,
+               r.cents * 1000000 DIV g.seg_cents AS share_ppm
+        FROM r JOIN seg g ON r.segment = g.segment
+        WHERE r.rk <= 3
+      """)
+    }),
+
+
     // Range join (point-in-interval; Temporal.rangeJoin): clicks inside the
     // 30-minute window after each purchase, counted per window. Equi join
     // on (user, grain cell) + residual — no inequality-driven cross product.
@@ -1641,6 +1691,52 @@ object RelationalQueries {
         |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+
+    // the same ASOF match with the 7-day freshness CASE applied after
+    "q446_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS v
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |     j AS (
+        |  SELECT c.event_id, c.user_id, c.ts, p.v, p.ts AS mts
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts
+        |)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN mts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(mts) <= 604800000000
+        |       THEN v END AS last_purchase_value,
+        |  CASE WHEN mts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(mts) <= 604800000000
+        |       THEN mts END AS matched_ts,
+        |  CAST(CASE WHEN mts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(mts) <= 604800000000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS fresh
+        |FROM j""".stripMargin,
+
+
+    // the identical SQL (dialect-translated: DIV → //) — the entry point
+    // itself is what this surface checks
+    "q445_sql_entry" ->
+      """WITH spend AS (
+        |  SELECT c.c_mktsegment AS segment, c.c_custkey AS cust,
+        |         CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+        |             AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT segment, CAST(sum(cents) AS BIGINT) AS seg_cents
+        |  FROM spend GROUP BY 1),
+        |r AS (
+        |  SELECT s.*, row_number() OVER (PARTITION BY segment
+        |    ORDER BY cents DESC, cust) AS rk
+        |  FROM spend s)
+        |SELECT r.segment, CAST(r.rk AS BIGINT) AS rk, r.cust, r.cents,
+        |       CAST(r.cents * 1000000 // g.seg_cents AS BIGINT) AS share_ppm
+        |FROM r JOIN seg g ON r.segment = g.segment
+        |WHERE r.rk <= 3""".stripMargin,
 
 
     "q31_range_join" ->
