@@ -1029,6 +1029,95 @@ object Analytics5Queries {
         .withColumn("outlier", col("core_sim_q") * 2 < col("med_core_q"))
     }),
 
+    // Cochran's Q — the k-rater completion of the agreement trilogy
+    // (q401 kappa: 2 raters agree?; q438 McNemar: are 2 raters' flips
+    // one-sided?; this: do k=3 binary raters flag at the SAME rate?).
+    // Third rater = "document carries a numeric token" (deterministic
+    // content predicate). Q = (k−1)·(k·ΣG² − T²) / (k·T − ΣL²) with G
+    // the per-rater totals and L the per-doc row sums — ALL sums fold in
+    // one pass, the statistic is one guarded division in exact micro,
+    // flagged against the declared χ²₂,₀.₀₅ = 5.991465 quantile.
+    "q447_cochran_q" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("n_chars").cast("long").as("n_chars"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(
+          (size(array_distinct(col("ts"))) * 2 > size(col("ts")))
+            .cast("long").as("ra"),
+          (col("n_chars") > size(col("ts")).cast("long") * 5L)
+            .cast("long").as("rb"),
+          expr("exists(ts, t -> t rlike '^[0-9]+$')")
+            .cast("long").as("rc"))
+      d.agg(count(lit(1)).as("n"),
+          sum(col("ra")).as("g1"), sum(col("rb")).as("g2"),
+          sum(col("rc")).as("g3"),
+          sum((col("ra") + col("rb") + col("rc"))
+            * (col("ra") + col("rb") + col("rc"))).as("sum_l2"))
+        .withColumn("t", col("g1") + col("g2") + col("g3"))
+        .withColumn("q_micro", expr(
+          "2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3) - t * t) * 1000000" +
+            " div greatest(3 * t - sum_l2, 1)"))
+        .withColumn("significant", col("q_micro") > 5991465L)
+    }),
+
+    // DATASET CARD — the per-source datasheet a corpus release ships
+    // with, as ONE rollup: volume (docs, tokens), language profile
+    // (distinct langs, majority lang + its ppm share), duplication
+    // exposure (share of docs the q16 LSH screen implicates in ANY
+    // candidate pair), mean lexical-diversity quality, and the exact
+    // per-source median document length (a PARTITIONED rank — the
+    // source grain bounds every window). The one-stop audit read built
+    // from already-verified pieces.
+    "q448_dataset_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), col("source"), col("lang"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("ts")).cast("long").as("n_tok"),
+          size(array_distinct(col("ts"))).cast("long").as("nd"))
+        .withColumn("quality_ppm",
+          expr("nd * 1000000 div greatest(n_tok, 1)"))
+        .localCheckpoint(true)
+      val pairs = llm.Dedup.candidatePairs(
+        llm.Dedup.bandBuckets(docs, "doc_id", "text",
+          numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
+      val dupDocs = pairs.select(col("a_doc").as("doc_id"))
+        .unionByName(pairs.select(col("b_doc").as("doc_id")))
+        .distinct()
+      val vol = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("quality_ppm")).as("qsum"))
+        .withColumn("mean_quality_ppm", expr("qsum div n_docs"))
+      val topLang = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("nl").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("nl").as("top_lang_docs"))
+      val medLen = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_tok"), col("doc_id"))))
+        .withColumn("nsrc", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .filter(col("rn") === expr("(nsrc + 1) div 2"))
+        .select(col("source"), col("n_tok").as("p50_tokens"))
+      val dup = base.join(dupDocs, Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+      vol.join(topLang, Seq("source"))
+        .join(medLen, Seq("source"))
+        .join(dup, Seq("source"), "left_outer")
+        .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"), col("top_lang"),
+          expr("top_lang_docs * 1000000 div n_docs").as("top_lang_ppm"),
+          col("mean_quality_ppm"), col("p50_tokens"),
+          expr("n_dup_docs * 1000000 div n_docs").as("dup_doc_ppm"))
+    }),
+
     // The CORPUS COMPILE — the whole training-data recipe as ONE call,
     // each stage the already-verified algebra of its standalone surface:
     // (1) exact-dedup survivor policy at the fingerprint grain (q419's
@@ -1626,6 +1715,117 @@ object Analytics5Queries {
         |JOIN sv ON raw.source = sv.source
         |JOIN fin ON raw.source = fin.source
         |LEFT JOIN kept ON raw.source = kept.source""".stripMargin,
+
+    // identical one-pass sums and guarded micro statistic
+    "q447_cochran_q" ->
+      """WITH d AS (
+        |  SELECT
+        |    CASE WHEN len(list_distinct(regexp_extract_all(lower(text),
+        |           '[a-z0-9]+'))) * 2
+        |         > len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |         THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN n_chars
+        |         > len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5
+        |         THEN 1 ELSE 0 END AS rb,
+        |    CASE WHEN len(list_filter(
+        |           regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |           t -> regexp_matches(t, '^[0-9]+$'))) > 0
+        |         THEN 1 ELSE 0 END AS rc
+        |  FROM documents
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ra) AS BIGINT) AS g1, CAST(sum(rb) AS BIGINT) AS g2,
+        |    CAST(sum(rc) AS BIGINT) AS g3,
+        |    CAST(sum((ra + rb + rc) * (ra + rb + rc)) AS BIGINT) AS sum_l2
+        |  FROM d
+        |)
+        |SELECT n, g1, g2, g3, sum_l2, g1 + g2 + g3 AS t,
+        |  CAST(2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+        |            - (g1 + g2 + g3) * (g1 + g2 + g3)) * 1000000
+        |    // greatest(3 * (g1 + g2 + g3) - sum_l2, 1) AS BIGINT)
+        |    AS q_micro,
+        |  2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+        |       - (g1 + g2 + g3) * (g1 + g2 + g3)) * 1000000
+        |    // greatest(3 * (g1 + g2 + g3) - sum_l2, 1) > 5991465
+        |    AS significant
+        |FROM g""".stripMargin,
+
+    // q16's pair CTE feeding the dup share; the rest is plain rollups
+    // over the same token grain
+    "q448_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(ts)) * 1000000
+        |      // greatest(len(ts), 1) AS BIGINT) AS quality_ppm
+        |  FROM t
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), dupd AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT a_doc AS doc_id FROM pairs
+        |    UNION ALL SELECT b_doc FROM pairs)
+        |), vol AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(quality_ppm) // count(*) AS BIGINT)
+        |      AS mean_quality_ppm
+        |  FROM base GROUP BY 1
+        |), tl AS (
+        |  SELECT source, lang AS top_lang,
+        |    CAST(nl AS BIGINT) AS top_lang_docs
+        |  FROM (
+        |    SELECT source, lang, count(*) AS nl, row_number() OVER (
+        |      PARTITION BY source ORDER BY count(*) DESC, lang) AS rk
+        |    FROM base GROUP BY source, lang)
+        |  WHERE rk = 1
+        |), ml AS (
+        |  SELECT source, n_tok AS p50_tokens FROM (
+        |    SELECT source, n_tok, doc_id, row_number() OVER (
+        |      PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY source) AS nsrc
+        |    FROM base)
+        |  WHERE rn = (nsrc + 1) // 2
+        |), dup AS (
+        |  SELECT b.source, CAST(count(*) AS BIGINT) AS n_dup_docs
+        |  FROM base b JOIN dupd ON b.doc_id = dupd.doc_id
+        |  GROUP BY 1
+        |)
+        |SELECT vol.source, vol.n_docs, vol.n_tokens, vol.n_langs,
+        |  tl.top_lang,
+        |  CAST(tl.top_lang_docs * 1000000 // vol.n_docs AS BIGINT)
+        |    AS top_lang_ppm,
+        |  vol.mean_quality_ppm, ml.p50_tokens,
+        |  CAST(coalesce(dup.n_dup_docs, 0) * 1000000 // vol.n_docs
+        |    AS BIGINT) AS dup_doc_ppm
+        |FROM vol
+        |JOIN tl ON vol.source = tl.source
+        |JOIN ml ON vol.source = ml.source
+        |LEFT JOIN dup ON vol.source = dup.source""".stripMargin,
 
     // identical discordant-cell statistic and declared quantile constant
     "q438_mcnemar" ->
