@@ -1029,6 +1029,64 @@ object Analytics5Queries {
         .withColumn("outlier", col("core_sim_q") * 2 < col("med_core_q"))
     }),
 
+    // Page–Hinkley mean-shift detector — the SEQUENTIAL drift member
+    // next to q214's CUSUM (CUSUM tracks deviations from a FIXED
+    // reference; PH tracks deviations from the RUNNING mean, the form
+    // monitoring pipelines actually deploy when no reference exists):
+    // per day, x = exact-cents daily mean (truncating div on the
+    // non-negative fixture contract), term = x − prefix-mean − δ(50¢),
+    // m = prefix sum of pre-quantized terms (order-free), PH = m −
+    // prefix-min(m), alert at λ = 100$ (declared constants). Day-grain
+    // aggregate windows only.
+    "q449_page_hinkley" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr(
+          "cast(unix_micros(cast(ts as timestamp)) div 86400000000" +
+            " as bigint)").as("d"))
+        .agg(sum(expr("cast(cast(value as decimal(30,2)) * 100 as bigint)"))
+          .as("cents"), count(lit(1)).as("n"))
+        .withColumn("x", expr("cents div n"))
+      val wOrd = Window.orderBy(col("d"))
+      val wP = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      daily
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("cum_x", sum(col("x")).over(wP))
+        .withColumn("mean_t", expr("cum_x div t"))
+        .withColumn("term", col("x") - col("mean_t") - lit(50L))
+        .withColumn("m", sum(col("term")).over(wP))
+        .withColumn("ph", col("m") - min(col("m")).over(wP))
+        .withColumn("alert", col("ph") > lit(10000L))
+        .select(col("d"), col("n"), col("x"), col("mean_t"), col("m"),
+          col("ph"), col("alert"))
+    }),
+
+    // Wilson score bounds — the small-sample-honest conversion interval
+    // (the plain p̂ ± z√(p̂q̂/n) interval lies badly at small n or extreme
+    // p; every experimentation UI quotes Wilson instead): per event
+    // type, conversion = odd-user share (the q424 derivation), bounds
+    // from the z = 1.96 closed form evaluated in IEEE doubles on exact
+    // integer inputs — both engines state the identical expression tree
+    // (the q25 cosine discipline) — floor-quantized to ppm at the end.
+    "q450_wilson_bounds" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 2 === 1).cast("long")).as("k"))
+      val z2 = lit(1.96 * 1.96)
+      val nD = col("n").cast("double")
+      val p = col("k").cast("double") / nD
+      val center = p + z2 / (lit(2.0) * nD)
+      val margin = lit(1.96) * sqrt(
+        p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
+      val denom = lit(1.0) + z2 / nD
+      h.withColumn("p_ppm", expr("k * 1000000 div n"))
+        .withColumn("lo_ppm",
+          floor(lit(1e6) * (center - margin) / denom).cast("long"))
+        .withColumn("hi_ppm",
+          floor(lit(1e6) * (center + margin) / denom).cast("long"))
+    }),
+
     // Cochran's Q — the k-rater completion of the agreement trilogy
     // (q401 kappa: 2 raters agree?; q438 McNemar: are 2 raters' flips
     // one-sided?; this: do k=3 binary raters flag at the SAME rate?).
@@ -1715,6 +1773,67 @@ object Analytics5Queries {
         |JOIN sv ON raw.source = sv.source
         |JOIN fin ON raw.source = fin.source
         |LEFT JOIN kept ON raw.source = kept.source""".stripMargin,
+
+    // identical day grain, running-mean terms and prefix-min detector
+    "q449_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), x AS (
+        |  SELECT d, n, cents // n AS x FROM daily
+        |), pre AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+        |    sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_x
+        |  FROM x
+        |), term AS (
+        |  SELECT *, x - cum_x // t - 50 AS term FROM pre
+        |), mseq AS (
+        |  SELECT *, sum(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS m
+        |  FROM term
+        |)
+        |SELECT d, n, CAST(x AS BIGINT) AS x,
+        |  CAST(cum_x // t AS BIGINT) AS mean_t, CAST(m AS BIGINT) AS m,
+        |  CAST(m - min(m) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS ph,
+        |  m - min(m) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) > 10000 AS alert
+        |FROM mseq""".stripMargin,
+
+    // the identical IEEE expression tree on exact integer inputs,
+    // floor-quantized at the end (the q25 discipline)
+    "q450_wilson_bounds" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, n, k,
+        |  CAST(k * 1000000 // n AS BIGINT) AS p_ppm,
+        |  CAST(floor(1e6 * ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        |    - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE))))
+        |    / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS lo_ppm,
+        |  CAST(floor(1e6 * ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        |    + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE))))
+        |    / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS hi_ppm
+        |FROM h""".stripMargin,
 
     // identical one-pass sums and guarded micro statistic
     "q447_cochran_q" ->

@@ -286,6 +286,47 @@ object DedupQueries {
     }),
 
 
+    // MinHash CALIBRATION audit (round 12) — "how honest is the sketch?":
+    // per LSH candidate pair, the signature-agreement estimate (matching
+    // components / 6, the textbook unbiased Jaccard estimator) is binned
+    // against the EXACT shingle Jaccard (jaccardCounts — computed only on
+    // the candidate pairs, never all-pairs), so the calibration table
+    // reads how much the 6-hash sketch over- or under-claims at each
+    // agreement level. Everything integer ppm; the signature is the
+    // md5-portable form both engines state.
+    "q451_minhash_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
+        .localCheckpoint(true)
+      // unpaired short docs never join; paired docs always have shingles
+      val sigs = docs.select(col("doc_id"),
+        llm.Dedup.minhashSignatureMd5(
+          llm.Dedup.shingles(col("text"), 3), 6).as("mh"))
+      val est = pairs
+        .join(sigs.select(col("doc_id").as("a_doc"), col("mh").as("am")),
+          Seq("a_doc"))
+        .join(sigs.select(col("doc_id").as("b_doc"), col("mh").as("bm")),
+          Seq("b_doc"))
+        .select(col("a_doc"), col("b_doc"),
+          expr("aggregate(zip_with(am, bm, (x, y) -> if(x = y, 1, 0))," +
+            " 0, (a, b) -> a + b)").cast("long").as("matches"))
+      val exact = llm.Dedup.jaccardCounts(docs, pairs, "doc_id", "text")
+        .select(col("a_doc"), col("b_doc"),
+          expr("inter * 1000000 div uni").as("exact_ppm"))
+      est.join(exact, Seq("a_doc", "b_doc"))
+        .groupBy(col("matches"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("exact_ppm")).as("sum_exact"))
+        .withColumn("est_ppm", expr("matches * 1000000 div 6"))
+        .withColumn("mean_exact_ppm", expr("sum_exact div n_pairs"))
+        .withColumn("bias_ppm", col("est_ppm") - col("mean_exact_ppm"))
+        .select(col("matches"), col("n_pairs"), col("est_ppm"),
+          col("mean_exact_ppm"), col("bias_ppm"))
+    }),
+
+
     // PREFERENCE-PAIR mining over near-dup clusters (round 12) — the
     // DPO/RLHF data-construction read: near-duplicate copies of one
     // content differ mostly in QUALITY (boilerplate, truncation, noise),
@@ -845,6 +886,65 @@ object DedupQueries {
         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     // q43's recursive closure + per-cluster argmax by (n_tok desc, id)
+    // q16's signature CTE reused twice: component agreement vs the exact
+    // candidate-pair Jaccard, binned at the matches grain
+    "q451_minhash_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT p.a_doc, p.b_doc,
+        |    CAST(len(list_filter(generate_series(1, 6),
+        |      j -> sa.mh[j] = sb.mh[j])) AS BIGINT) AS matches
+        |  FROM pairs p
+        |  JOIN sig sa ON p.a_doc = sa.doc_id
+        |  JOIN sig sb ON p.b_doc = sb.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |), ex AS (
+        |  SELECT p.a_doc, p.b_doc,
+        |    CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x)))
+        |      * 1000000
+        |      // (len(sa.sset) + len(sb.sset)
+        |         - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+        |      AS BIGINT) AS exact_ppm
+        |  FROM pairs p
+        |  JOIN sets sa ON p.a_doc = sa.doc_id
+        |  JOIN sets sb ON p.b_doc = sb.doc_id
+        |), binned AS (
+        |  SELECT e.matches, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x.exact_ppm) AS BIGINT) AS sum_exact
+        |  FROM est e JOIN ex x
+        |    ON e.a_doc = x.a_doc AND e.b_doc = x.b_doc
+        |  GROUP BY 1
+        |)
+        |SELECT matches, n_pairs,
+        |  CAST(matches * 1000000 // 6 AS BIGINT) AS est_ppm,
+        |  CAST(sum_exact // n_pairs AS BIGINT) AS mean_exact_ppm,
+        |  CAST(matches * 1000000 // 6 - sum_exact // n_pairs AS BIGINT)
+        |    AS bias_ppm
+        |FROM binned""".stripMargin,
+
     // q404's recursive closure + the two inverted policy chains; the
     // HAVING mirrors the engine's chosen<>rejected singleton guard
     "q435_preference_pairs" ->
