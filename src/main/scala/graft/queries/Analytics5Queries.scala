@@ -25,6 +25,10 @@ object Analytics5Queries {
   private[graft] val kmStopRound =
     new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Realized q452 power-iteration round count — same contract. */
+  private[graft] val pcaStopRound =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Convergence-WITNESSED Markov stationary distribution — the q386
@@ -1029,6 +1033,79 @@ object Analytics5Queries {
         .withColumn("outlier", col("core_sim_q") * 2 < col("med_core_q"))
     }),
 
+    // Convergence-WITNESSED top-PC power iteration — exact-integer PCA
+    // head over the embeddings (the q409 linear-operator discipline on
+    // the COVARIANCE operator): per-dim OFFSET-div means center the
+    // µ-grid, the 64×64 covariance folds ONCE from the per-vector
+    // self-join (exact Long sums; the matrix grain is 4096 rows — tiny
+    // by construction), scaled to cm by a signed floor div through the
+    // +2⁶¹ OFFSET (divisible by 2²⁰, so Spark's truncating div equals
+    // DuckDB's floor //). Each round applies the matrix (one broadcast
+    // of the 64-row iterate), renormalizes by the round-toward-zero
+    // sign-split division by K = max|w| div 10⁶ (declared — identical
+    // CASE on both engines; keeps every product Long-safe), and stops
+    // when the exact L1 change ≤ 1000 µ-units or 12 rounds. The oracle
+    // unrolls the realized rounds and recomputes the final residual
+    // from its OWN last two iterates. Deterministic md5-free init
+    // (5·10⁵ + dim·7919 mod 10⁶) avoids the orthogonal-start stall.
+    // NOTE the fixture embeddings are near-isotropic (λ₂/λ₁ ≈ 1), so
+    // the witness records HONEST non-convergence at the cap — the
+    // hash-check is about trajectory exactness; the residual riding the
+    // output is the spectral-flatness read a real corpus would confirm
+    // or beat.
+    "q452_pca_power_converged" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+        .localCheckpoint(true)
+      val mu = x.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(col("dim"),
+          expr("(sq + n * 2000000) div n - 2000000").as("mu"))
+      val cen = x.join(broadcast(mu), "dim")
+        .select(col("vec_id"), col("dim"), (col("q") - col("mu")).as("c"))
+      val cov = cen.as("a").join(cen.as("b"),
+          col("a.vec_id") === col("b.vec_id"))
+        .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+        .agg(sum(col("a.c") * col("b.c")).as("cc"))
+        // signed floor-div via the +2⁶¹ offset (divisible by the 2²⁴
+        // shift); cm ≤ n·(4µ)²/2²⁴ keeps Σⱼ cm·vq Long-safe past 10⁶
+        // vectors
+        .select(col("i"), col("j"), expr(
+          "(cc + 2305843009213693952L) div 16777216 - 137438953472L")
+          .as("cm"))
+        .localCheckpoint(true)
+      var v = mu.select(col("dim"),
+          expr("500000 + dim * 7919 % 1000000").as("vq"))
+        .localCheckpoint(true)
+      var round = 0
+      var resid = -1L
+      var converged = false
+      while (round < 12 && !converged) {
+        round += 1
+        val w = cov.join(broadcast(v.select(col("dim").as("j"), col("vq"))),
+            Seq("j"))
+          .groupBy(col("i").as("dim"))
+          .agg(sum(col("cm") * col("vq")).as("w"))
+          .localCheckpoint(true)
+        val k = math.max(
+          w.agg(max(abs(col("w")))).head().getLong(0) / 1000000L, 1L)
+        val vn = w.select(col("dim"), expr(
+            s"case when w >= 0 then w div ${k}L" +
+              s" else -((-w) div ${k}L) end").as("vq"))
+          .localCheckpoint(true)
+        resid = vn.join(v.select(col("dim"), col("vq").as("pv")), "dim")
+          .agg(sum(abs(col("vq") - col("pv"))).as("r")).head().getLong(0)
+        converged = resid <= 1000L
+        v = vn
+      }
+      pcaStopRound.set(round)
+      v.withColumn("stop_round", lit(round.toLong))
+        .withColumn("final_residual", lit(resid))
+    }),
+
     // Page–Hinkley mean-shift detector — the SEQUENTIAL drift member
     // next to q214's CUSUM (CUSUM tracks deviations from a FIXED
     // reference; PH tracks deviations from the RUNNING mean, the form
@@ -1345,9 +1422,63 @@ object Analytics5Queries {
          |GROUP BY cid, chg.c""".stripMargin
   }
 
+  /** q452's dynamically-unrolled oracle: the realized power-iteration
+    * rounds over the 64×64 scaled covariance, K renormalization and the
+    * final L1 residual recomputed from the oracle's OWN last two
+    * iterates (the q386/q409/q422 mechanism). */
+  private def pcaUnrolledSql(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""w$r AS MATERIALIZED (
+         |  SELECT c.i AS dim, CAST(sum(c.cm * v.vq) AS BIGINT) AS w
+         |  FROM cov c JOIN v${r - 1} v ON c.j = v.dim GROUP BY 1
+         |), k$r AS (
+         |  SELECT greatest(max(abs(w)) // 1000000, 1) AS k FROM w$r
+         |), v$r AS MATERIALIZED (
+         |  SELECT dim, CAST(CASE WHEN w >= 0 THEN w // k$r.k
+         |                   ELSE -((-w) // k$r.k) END AS BIGINT) AS vq
+         |  FROM w$r CROSS JOIN k$r)""".stripMargin
+    """WITH x AS MATERIALIZED (
+      |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+      |    AS u(i)
+      |), mu AS (
+      |  SELECT dim,
+      |    CAST((sum(q) + count(*) * 2000000) // count(*) - 2000000
+      |      AS BIGINT) AS mu
+      |  FROM x GROUP BY 1
+      |), cen AS (
+      |  SELECT x.vec_id, x.dim, x.q - mu.mu AS c
+      |  FROM x JOIN mu ON x.dim = mu.dim
+      |), cov AS MATERIALIZED (
+      |  SELECT a.dim AS i, b.dim AS j,
+      |    CAST((sum(a.c * b.c) + 2305843009213693952) // 16777216
+      |      - 137438953472 AS BIGINT) AS cm
+      |  FROM cen a JOIN cen b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2
+      |), v0 AS (
+      |  SELECT dim, CAST(500000 + dim * 7919 % 1000000 AS BIGINT) AS vq
+      |  FROM mu
+      |),
+      |""".stripMargin +
+      (1 to rounds).map(round).mkString(",\n") +
+      s""",
+         |resid AS (
+         |  SELECT CAST(sum(abs(a.vq - b.vq)) AS BIGINT) AS r
+         |  FROM v$rounds a JOIN v${rounds - 1} b ON a.dim = b.dim)
+         |SELECT dim, vq, CAST($rounds AS BIGINT) AS stop_round,
+         |  resid.r AS final_residual
+         |FROM v$rounds CROSS JOIN resid""".stripMargin
+  }
+
   /** A def, not a val: the q409 entry embeds the post-run stop round
     * (the [[Analytics4Queries]] dynamic-oracle contract). */
   def sql: Map[String, String] = Map(
+
+    "q452_pca_power_converged" ->
+      Analytics4Queries.realizedOrSentinel("q452", pcaStopRound.get)(
+        pcaUnrolledSql),
 
     "q409_markov_stationary" ->
       Analytics4Queries.realizedOrSentinel("q409", mkStopRound.get)(
