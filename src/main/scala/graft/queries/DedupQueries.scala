@@ -286,6 +286,42 @@ object DedupQueries {
     }),
 
 
+    // Eval-LEAKAGE probe (round 12) — the NEGATIVE CONTROL for q131's
+    // cluster-safe split: under the naive per-lang md5 quota (q403's
+    // rule, which ignores near-dup structure), how many eval docs have a
+    // near-duplicate sitting in TRAIN? The per-lang leak rate is the
+    // number that justifies paying for the cluster-aware split; the q16
+    // LSH pairs bound all work.
+    "q453_leakage_probe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = docs.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .withColumn("is_eval", col("rk") <= 20)
+        .localCheckpoint(true)
+      val pairs = llm.Dedup.candidatePairs(
+        llm.Dedup.bandBuckets(docs, "doc_id", "text",
+          numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
+      val sym = pairs.select(col("a_doc").as("e"), col("b_doc").as("o"))
+        .unionByName(pairs.select(col("b_doc").as("e"),
+          col("a_doc").as("o")))
+      val evalDocs = split.filter(col("is_eval"))
+        .select(col("doc_id").as("e"), col("lang"))
+      val trainDocs = split.filter(!col("is_eval"))
+        .select(col("doc_id").as("o"))
+      val leaky = sym.join(evalDocs, Seq("e"))
+        .join(trainDocs, Seq("o"), "left_semi")
+        .select(col("e"), col("lang")).distinct()
+      evalDocs.groupBy(col("lang")).agg(count(lit(1)).as("n_eval"))
+        .join(leaky.groupBy(col("lang")).agg(count(lit(1)).as("n_leaky")),
+          Seq("lang"), "left_outer")
+        .withColumn("n_leaky", coalesce(col("n_leaky"), lit(0L)))
+        .withColumn("leak_ppm", expr("n_leaky * 1000000 div n_eval"))
+    }),
+
+
     // MinHash CALIBRATION audit (round 12) — "how honest is the sketch?":
     // per LSH candidate pair, the signature-agreement estimate (matching
     // components / 6, the textbook unbiased Jaccard estimator) is binned
@@ -886,6 +922,61 @@ object DedupQueries {
         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     // q43's recursive closure + per-cluster argmax by (n_tok desc, id)
+    // q16's pair CTE + the q403 split rule + the per-lang leak rollup
+    "q453_leakage_probe" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), spl AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |      AS is_eval
+        |  FROM documents
+        |), sym AS (
+        |  SELECT a_doc AS e, b_doc AS o FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), ev AS (
+        |  SELECT doc_id AS e, lang FROM spl WHERE is_eval
+        |), tr AS (
+        |  SELECT doc_id AS o FROM spl WHERE NOT is_eval
+        |), leaky AS (
+        |  SELECT DISTINCT ev.e, ev.lang
+        |  FROM sym JOIN ev ON sym.e = ev.e
+        |  WHERE sym.o IN (SELECT o FROM tr)
+        |), ne AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_eval
+        |  FROM ev GROUP BY 1
+        |), nl AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_leaky
+        |  FROM leaky GROUP BY 1
+        |)
+        |SELECT ne.lang, ne.n_eval,
+        |  CAST(coalesce(nl.n_leaky, 0) AS BIGINT) AS n_leaky,
+        |  CAST(coalesce(nl.n_leaky, 0) * 1000000 // ne.n_eval AS BIGINT)
+        |    AS leak_ppm
+        |FROM ne LEFT JOIN nl ON ne.lang = nl.lang""".stripMargin,
+
     // q16's signature CTE reused twice: component agreement vs the exact
     // candidate-pair Jaccard, binned at the matches grain
     "q451_minhash_calibration" ->

@@ -191,6 +191,16 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q436_partials")))
     }),
 
+    "q454_ph_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q454_partials",
+        Seq((0L, 10000L, 10L, 0L), (1L, 30000L, 10L, 0L),
+          (0L, 5000L, 5L, 1L))
+          .toDF("d", "cents", "n", "batch_id"))
+      graft.streaming.Streams.pageHinkleyReadout(
+        s.read.parquet(QueryShared.predsPath("audit_q454_partials")))
+    }),
+
     "q102_join_stream" -> (s => {
       import s.implicits._
       val t = new java.sql.Timestamp(0L)

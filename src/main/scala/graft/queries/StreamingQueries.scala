@@ -750,6 +750,22 @@ object StreamingQueries {
     }),
 
 
+    // q449's Page–Hinkley drift detector EXECUTED AS A STREAM (round
+    // 12): the day-grain (cents, n) statistics are mergeable sums, so
+    // batches emit day partials and the sequential detector re-derives
+    // in the readout — arrival order never matters because the detector
+    // reads the day SERIES, not the stream. Oracle = q449's one-shot SQL.
+    "q454_ph_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("ts"), col("value"))
+      val root = predsPath(s"q454_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(4), s"$root/events")
+      QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.pageHinkleyStream(s, s"$root/events", ev.schema,
+          s"$root/partials", s"$root/ckpt")
+      }
+    }),
+
+
     // q424's Benjamini–Hochberg control EXECUTED AS A STREAM (round 12):
     // the per-hypothesis sufficient statistics (n, n_odd per event type)
     // are plain sums — mergeable — so micro-batches emit only local
@@ -1261,6 +1277,37 @@ object StreamingQueries {
         |SELECT pk, price, sz FROM w
         |WHERE (min_cheaper IS NULL OR sz < min_cheaper) AND sz = min_eq"""
         .stripMargin,
+
+    // q449's one-shot detector — the streamed day-partial fold must
+    // land on it exactly
+    "q454_ph_stream" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), x AS (
+        |  SELECT d, n, cents // n AS x FROM daily
+        |), pre AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+        |    sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_x
+        |  FROM x
+        |), term AS (
+        |  SELECT *, x - cum_x // t - 50 AS term FROM pre
+        |), mseq AS (
+        |  SELECT *, sum(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS m
+        |  FROM term
+        |)
+        |SELECT d, n, CAST(x AS BIGINT) AS x,
+        |  CAST(cum_x // t AS BIGINT) AS mean_t, CAST(m AS BIGINT) AS m,
+        |  CAST(m - min(m) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS ph,
+        |  m - min(m) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) > 10000 AS alert
+        |FROM mseq""".stripMargin,
 
     // q424's one-shot BH algebra — the streamed fold must land on it
     "q436_bh_fdr_stream" ->

@@ -1412,6 +1412,61 @@ object Streams {
     bhFdrReadout(readPartials(spark, partialsDir, partialsSchema))
   }
 
+  /** Streaming drift monitor — q449's Page–Hinkley detector over a
+    * drain: per-day (cents, n) sufficient statistics are sums, so
+    * micro-batches emit day-grain partials and the SEQUENTIAL detector
+    * (running-mean terms, prefix-sum m, prefix-min PH) re-derives in the
+    * readout over the folded days — exactly the one-shot answer under
+    * any split, because the detector reads only the day series, never
+    * arrival order. Readout = [[pageHinkleyReadout]]. */
+  def pageHinkleyStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    drainPartials(spark, eventsDir, eventsSchema, partialsDir, checkpointDir,
+        maxFilesPerTrigger, "page-hinkley") { batch =>
+      batch.groupBy(expr(
+          "cast(unix_micros(cast(ts as timestamp)) div 86400000000" +
+            " as bigint)").as("d"))
+        .agg(sum(expr("cast(cast(value as decimal(30,2)) * 100 as bigint)"))
+          .as("cents"), count(lit(1)).as("n"))
+    }
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    pageHinkleyReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
+  /** SERVE half of [[pageHinkleyStream]]: fold the day partials, then
+    * the q449 detector algebra verbatim (δ = 50¢, λ = 100$; day-grain
+    * aggregate windows only). */
+  def pageHinkleyReadout(partials: DataFrame): DataFrame = {
+    val daily = partials.groupBy(col("d"))
+      .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+      .withColumn("x", expr("cents div n"))
+    val wOrd = Window.orderBy(col("d"))
+    val wP = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_x", sum(col("x")).over(wP))
+      .withColumn("mean_t", expr("cum_x div t"))
+      .withColumn("term", col("x") - col("mean_t") - lit(50L))
+      .withColumn("m", sum(col("term")).over(wP))
+      .withColumn("ph", col("m") - min(col("m")).over(wP))
+      .withColumn("alert", col("ph") > lit(10000L))
+      .select(col("d"), col("n"), col("x"), col("mean_t"), col("m"),
+        col("ph"), col("alert"))
+  }
+
   /** SERVE half of [[bhFdrStream]]: fold the count partials to hypothesis
     * grain, then the q424 algebra verbatim — overflow-safe split-div z²,
     * Chebyshev p_ppm, division-free ranked step-up (α = 0.05), prefix

@@ -735,6 +735,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(batches >= 2, s"expected a multi-batch drain, got $batches")
   }
 
+  test("pageHinkleyStream: streamed day partials fold to exactly the " +
+      "one-shot detector, with a day SPLIT across two batches") {
+    val root = s"target/tmp/streams/ph_${System.nanoTime()}"
+    // day 0 rows land in different micro-batches: the day's mean exists
+    // only after the fold; day 2 jumps to trip the detector shape
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(day: Int, off: Int) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L + off * 1000L)
+    val ev = Seq(
+      (at(0, 1), 10.0), (at(0, 2), 30.0), (at(0, 3), 20.0),
+      (at(1, 1), 22.0), (at(1, 2), 18.0),
+      (at(2, 1), 500.0), (at(2, 2), 480.0))
+      .toDF("ts", "value")
+    ev.repartition(4).write.parquet(s"$root/events")
+    val streamed = Streams.pageHinkleyStream(spark, s"$root/events",
+        ev.schema, s"$root/partials", s"$root/ckpt",
+        maxFilesPerTrigger = 1)
+      .select($"d", $"n", $"x", $"m", $"ph", $"alert")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    val batch = Streams.pageHinkleyReadout(
+        ev.groupBy(org.apache.spark.sql.functions.expr(
+            "cast(unix_micros(cast(ts as timestamp)) div 86400000000" +
+              " as bigint)").as("d"))
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.expr(
+              "cast(cast(value as decimal(30,2)) * 100 as bigint)"))
+            .as("cents"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L)))
+      .select($"d", $"n", $"x", $"m", $"ph", $"alert")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch,
+      s"streamed fold must equal the one-shot detector: " +
+        s"$streamed vs $batch")
+    val batches = new java.io.File(s"$root/partials").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
