@@ -1033,6 +1033,71 @@ object Analytics5Queries {
         .withColumn("outlier", col("core_sim_q") * 2 < col("med_core_q"))
     }),
 
+    // Simpson-flip flags over q439's strata — the reason Mantel–Haenszel
+    // exists, made visible: a stratum whose own odds direction (sign of
+    // ad − bc — the division-free OR-vs-1 test) disagrees with the
+    // pooled direction (sign of Σnum − Σden) is where naive pooling
+    // would mislead. Strict signs only (zero-margin strata are neither);
+    // the pooled sign and flip count attach as keys=[] broadcasts.
+    "q455_simpson_flags" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), (col("doc_id") % 2).as("t"),
+          (size(array_distinct(text.TextOps.tokens(col("text")))) * 2
+            > size(text.TextOps.tokens(col("text"))))
+            .cast("long").as("y"))
+      val strat = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("t") === 1 && col("y") === 1, 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("t") === 1 && col("y") === 0, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("t") === 0 && col("y") === 1, 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("t") === 0 && col("y") === 0, 1L).otherwise(0L))
+            .as("d"))
+        .withColumn("margin", expr("a * d - b * c"))
+        .withColumn("num_micro", expr("a * d * 1000000 div n"))
+        .withColumn("den_micro", expr("b * c * 1000000 div n"))
+        .localCheckpoint(true)
+      val pooled = strat.agg(
+          sum(col("num_micro")).as("ns"), sum(col("den_micro")).as("ds"))
+        .select(signum(col("ns") - col("ds")).cast("long")
+          .as("pooled_sign"))
+      val flagged = strat.crossJoin(broadcast(pooled))
+        .withColumn("stratum_sign", signum(col("margin")).cast("long"))
+        .withColumn("flip",
+          col("stratum_sign") =!= lit(0L) &&
+            col("pooled_sign") =!= lit(0L) &&
+            col("stratum_sign") =!= col("pooled_sign"))
+        .select(col("lang"), col("n"), col("margin"),
+          col("stratum_sign"), col("pooled_sign"), col("flip"))
+        .localCheckpoint(true)
+      flagged.crossJoin(broadcast(flagged
+        .agg(sum(col("flip").cast("long")).as("n_flips"))))
+    }),
+
+    // Trailing-7-day rolling MEDIAN of daily revenue — the robust
+    // monitoring read q449's mean detector pairs with (a one-day spike
+    // moves the mean, not the median): daily exact-cents totals, then
+    // the lower median of each trailing ≤7-day window via
+    // sort_array(collect_list) over the day-grain frame — windows only
+    // ever hold ≤7 elements of an Aggregate, never facts.
+    "q456_rolling_median" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr(
+          "cast(unix_micros(cast(ts as timestamp)) div 86400000000" +
+            " as bigint)").as("d"))
+        .agg(sum(expr("cast(cast(value as decimal(30,2)) * 100 as bigint)"))
+          .as("cents"))
+      val w7 = Window.orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("win", sort_array(collect_list(col("cents")).over(w7)))
+        .select(col("d"), col("cents"),
+          size(col("win")).cast("long").as("n_days"),
+          expr("element_at(win, cast((size(win) + 1) div 2 as int))")
+            .as("p50_cents"))
+    }),
+
     // Convergence-WITNESSED top-PC power iteration — exact-integer PCA
     // head over the embeddings (the q409 linear-operator discipline on
     // the COVARIANCE operator): per-dim OFFSET-div means center the
@@ -1904,6 +1969,66 @@ object Analytics5Queries {
         |JOIN sv ON raw.source = sv.source
         |JOIN fin ON raw.source = fin.source
         |LEFT JOIN kept ON raw.source = kept.source""".stripMargin,
+
+    // identical division-free stratum signs vs the pooled sign
+    "q455_simpson_flags" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id % 2 AS t,
+        |    CASE WHEN len(list_distinct(regexp_extract_all(lower(text),
+        |           '[a-z0-9]+'))) * 2
+        |         > len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), strat AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM d GROUP BY 1
+        |), terms AS (
+        |  SELECT *, a * d - b * c AS margin,
+        |    a * d * 1000000 // n AS num_micro,
+        |    b * c * 1000000 // n AS den_micro
+        |  FROM strat
+        |), pooled AS (
+        |  SELECT CAST(sign(sum(num_micro) - sum(den_micro)) AS BIGINT)
+        |    AS pooled_sign
+        |  FROM terms
+        |), fl AS (
+        |  SELECT t.lang, t.n, CAST(t.margin AS BIGINT) AS margin,
+        |    CAST(sign(t.margin) AS BIGINT) AS stratum_sign,
+        |    p.pooled_sign,
+        |    sign(t.margin) <> 0 AND p.pooled_sign <> 0
+        |      AND CAST(sign(t.margin) AS BIGINT) <> p.pooled_sign AS flip
+        |  FROM terms t CROSS JOIN pooled p
+        |)
+        |SELECT lang, n, margin, stratum_sign, pooled_sign, flip,
+        |  (SELECT CAST(sum(CASE WHEN flip THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM fl) AS n_flips
+        |FROM fl""".stripMargin,
+
+    // identical trailing window, sorted frame, lower-median pick
+    "q456_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1
+        |), w AS (
+        |  SELECT d, cents,
+        |    list_sort(list(cents) OVER (ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM daily
+        |)
+        |SELECT d, cents, CAST(len(win) AS BIGINT) AS n_days,
+        |  CAST(win[CAST((len(win) + 1) // 2 AS INT)] AS BIGINT)
+        |    AS p50_cents
+        |FROM w""".stripMargin,
 
     // identical day grain, running-mean terms and prefix-min detector
     "q449_page_hinkley" ->
