@@ -1033,6 +1033,47 @@ object Analytics5Queries {
         .withColumn("outlier", col("core_sim_q") * 2 < col("med_core_q"))
     }),
 
+    // Pocock group-sequential monitor — the INTERIM-ANALYSIS member of
+    // the experiment family (q318's SPRT peeks per-day with a likelihood
+    // boundary; Pocock peeks at K=5 planned interims with one constant
+    // boundary, the form IRBs actually pre-register): event days split
+    // into 5 equal-width interim windows by day rank (day-grain
+    // aggregate windows), cumulative (n, k) per interim, z² in exact
+    // micro via the split-div device, crossed against the DECLARED
+    // Pocock z₅,₀.₀₅ = 2.413 boundary (z² > 5.822569, a stated
+    // constant); first_cross rides as the prefix-min interim.
+    "q457_pocock_interims" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr(
+          "cast(unix_micros(cast(ts as timestamp)) div 86400000000" +
+            " as bigint)").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 2 === 1).cast("long")).as("k"))
+      val wOrd = Window.orderBy(col("d"))
+      val interim = daily
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+        .withColumn("interim", expr("least((rn - 1) * 5 div nd, 4)"))
+        .groupBy(col("interim"))
+        .agg(sum(col("n")).as("n_i"), sum(col("k")).as("k_i"))
+      val wI = Window.orderBy(col("interim"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val z = interim
+        .withColumn("n_cum", sum(col("n_i")).over(wI))
+        .withColumn("k_cum", sum(col("k_i")).over(wI))
+        .withColumn("z2_micro", expr(
+          "((2 * k_cum - n_cum) * (2 * k_cum - n_cum) div n_cum)" +
+            " * 1000000" +
+            " + ((2 * k_cum - n_cum) * (2 * k_cum - n_cum) % n_cum)" +
+            " * 1000000 div n_cum"))
+        .withColumn("crossed", col("z2_micro") > 5822569L)
+        .localCheckpoint(true)
+      z.crossJoin(broadcast(z.agg(
+          min(when(col("crossed"), col("interim"))).as("first_cross"))))
+        .select(col("interim"), col("n_cum"), col("k_cum"),
+          col("z2_micro"), col("crossed"), col("first_cross"))
+    }),
+
     // Simpson-flip flags over q439's strata — the reason Mantel–Haenszel
     // exists, made visible: a stratum whose own odds direction (sign of
     // ad − bc — the division-free OR-vs-1 test) disagrees with the
@@ -1969,6 +2010,45 @@ object Analytics5Queries {
         |JOIN sv ON raw.source = sv.source
         |JOIN fin ON raw.source = fin.source
         |LEFT JOIN kept ON raw.source = kept.source""".stripMargin,
+
+    // identical interim bucketing, cumulative split-div z² and the
+    // declared Pocock constant
+    "q457_pocock_interims" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM daily) AS nd
+        |  FROM daily
+        |), buck AS (
+        |  SELECT least((rn - 1) * 5 // nd, 4) AS interim,
+        |    CAST(sum(n) AS BIGINT) AS n_i, CAST(sum(k) AS BIGINT) AS k_i
+        |  FROM r GROUP BY 1
+        |), cum AS (
+        |  SELECT interim,
+        |    CAST(sum(n_i) OVER (ORDER BY interim ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+        |    CAST(sum(k_i) OVER (ORDER BY interim ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS k_cum
+        |  FROM buck
+        |), z AS (
+        |  SELECT CAST(interim AS BIGINT) AS interim, n_cum, k_cum,
+        |    CAST(((2 * k_cum - n_cum) * (2 * k_cum - n_cum) // n_cum)
+        |        * 1000000
+        |      + ((2 * k_cum - n_cum) * (2 * k_cum - n_cum) % n_cum)
+        |        * 1000000 // n_cum AS BIGINT) AS z2_micro
+        |  FROM cum
+        |), f AS (
+        |  SELECT *, z2_micro > 5822569 AS crossed FROM z
+        |)
+        |SELECT interim, n_cum, k_cum, z2_micro, crossed,
+        |  (SELECT CAST(min(CASE WHEN crossed THEN interim END) AS BIGINT)
+        |   FROM f) AS first_cross
+        |FROM f""".stripMargin,
 
     // identical division-free stratum signs vs the pooled sign
     "q455_simpson_flags" ->

@@ -201,6 +201,18 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q454_partials")))
     }),
 
+    "q458_card_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q458_partials",
+        Seq(("s1", "en", 3L, 90L, 2400000L, 0L),
+          ("s1", "de", 1L, 20L, 900000L, 0L),
+          ("s1", "en", 2L, 50L, 1500000L, 1L))
+          .toDF("source", "lang", "n_docs", "n_tokens", "qsum",
+            "batch_id"))
+      graft.streaming.Streams.datasetCardReadout(
+        s.read.parquet(QueryShared.predsPath("audit_q458_partials")))
+    }),
+
     "q102_join_stream" -> (s => {
       import s.implicits._
       val t = new java.sql.Timestamp(0L)

@@ -750,6 +750,24 @@ object StreamingQueries {
     }),
 
 
+    // q448's dataset card MAINTAINED AS A STREAM (round 12): the
+    // mergeable card members (volume, language profile, quality sums)
+    // fold from per-batch (source, lang) partials — 34th drain; the
+    // non-mergeable members (exact median, LSH dup exposure) stay
+    // batch-only in q448 by declaration. Oracle: the one-shot card
+    // restricted to the streamed columns.
+    "q458_card_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val root = predsPath(s"q458_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(docs.repartition(4), s"$root/docs")
+      QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.datasetCardStream(s, s"$root/docs", docs.schema,
+          s"$root/partials", s"$root/ckpt")
+      }
+    }),
+
+
     // q449's Page–Hinkley drift detector EXECUTED AS A STREAM (round
     // 12): the day-grain (cents, n) statistics are mergeable sums, so
     // batches emit day partials and the sequential detector re-derives
@@ -1277,6 +1295,42 @@ object StreamingQueries {
         |SELECT pk, price, sz FROM w
         |WHERE (min_cheaper IS NULL OR sz < min_cheaper) AND sz = min_eq"""
         .stripMargin,
+
+    // the one-shot card restricted to the mergeable columns
+    "q458_card_stream" ->
+      """WITH base AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(
+        |        regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1000000
+        |      // greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+        |                  1) AS BIGINT) AS quality_ppm
+        |  FROM documents
+        |), sl AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(quality_ppm) AS BIGINT) AS qsum
+        |  FROM base GROUP BY 1, 2
+        |), vol AS (
+        |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_langs,
+        |    CAST(sum(qsum) // sum(n_docs) AS BIGINT) AS mean_quality_ppm
+        |  FROM sl GROUP BY 1
+        |), top AS (
+        |  SELECT source, lang AS top_lang,
+        |    CAST(n_docs AS BIGINT) AS top_lang_docs
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY n_docs DESC, lang) AS rk FROM sl)
+        |  WHERE rk = 1
+        |)
+        |SELECT vol.source, vol.n_docs, vol.n_tokens, vol.n_langs,
+        |  top.top_lang,
+        |  CAST(top.top_lang_docs * 1000000 // vol.n_docs AS BIGINT)
+        |    AS top_lang_ppm,
+        |  vol.mean_quality_ppm
+        |FROM vol JOIN top ON vol.source = top.source""".stripMargin,
 
     // q449's one-shot detector — the streamed day-partial fold must
     // land on it exactly

@@ -1467,6 +1467,78 @@ object Streams {
         col("ph"), col("alert"))
   }
 
+  /** Streaming dataset card — q448's per-source datasheet maintained at
+    * ingestion: everything the card quotes that is MERGEABLE (doc/token
+    * counts, per-(source, lang) counts for the majority-language read,
+    * quality-ppm sums) folds from per-batch partials at the
+    * (source, lang) grain; the non-mergeable members (exact median
+    * length, LSH dup exposure) stay batch-only in q448 BY DECLARATION —
+    * a streamed card that silently approximated them would be worse
+    * than one that names what it drops. Readout =
+    * [[datasetCardReadout]]. */
+  def datasetCardStream(
+      spark: org.apache.spark.sql.SparkSession,
+      docsDir: String,
+      docsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    drainPartials(spark, docsDir, docsSchema, partialsDir, checkpointDir,
+        maxFilesPerTrigger, "dataset-card") { batch =>
+      batch
+        .select(col("source"), col("lang"),
+          graft.text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("source"), col("lang"),
+          size(col("ts")).cast("long").as("n_tok"),
+          size(array_distinct(col("ts"))).cast("long").as("nd"))
+        .withColumn("quality_ppm",
+          expr("nd * 1000000 div greatest(n_tok, 1)"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("quality_ppm")).as("qsum"))
+    }
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qsum",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    datasetCardReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
+  /** SERVE half of [[datasetCardStream]]: fold the (source, lang)-grain
+    * partials, then the card rollup — majority language via the
+    * per-source partitioned rank over the folded language counts. */
+  def datasetCardReadout(partials: DataFrame): DataFrame = {
+    val sl = partials.groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("qsum")).as("qsum"))
+    val vol = sl.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_langs"), sum(col("qsum")).as("qsum"))
+      .withColumn("mean_quality_ppm", expr("qsum div n_docs"))
+    val top = sl
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_docs").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n_docs").as("top_lang_docs"))
+    vol.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("top_lang"),
+        expr("top_lang_docs * 1000000 div n_docs").as("top_lang_ppm"),
+        col("mean_quality_ppm"))
+  }
+
   /** SERVE half of [[bhFdrStream]]: fold the count partials to hypothesis
     * grain, then the q424 algebra verbatim — overflow-safe split-div z²,
     * Chebyshev p_ppm, division-free ranked step-up (α = 0.05), prefix

@@ -775,6 +775,60 @@ class StreamsSpec extends AnyFunSuite {
     assert(batches >= 2, s"expected a multi-batch drain, got $batches")
   }
 
+  test("datasetCardStream: streamed (source, lang) partials fold to the " +
+      "one-shot card; majority language decided only after the fold") {
+    val root = s"target/tmp/streams/card_${System.nanoTime()}"
+    // source s1: per-batch 'de' can outnumber 'en' locally, but after
+    // the fold 'en' must win the majority read
+    val docs = Seq(
+      (1L, "s1", "en", "alpha beta gamma"),
+      (2L, "s1", "de", "eins zwei drei vier"),
+      (3L, "s1", "en", "delta epsilon"),
+      (4L, "s1", "en", "zeta eta theta iota"),
+      (5L, "s2", "fr", "un deux trois"))
+      .toDF("doc_id", "source", "lang", "text")
+    docs.repartition(4, $"doc_id").write.parquet(s"$root/docs")
+    val streamed = Streams.datasetCardStream(spark, s"$root/docs",
+        docs.schema, s"$root/partials", s"$root/ckpt",
+        maxFilesPerTrigger = 1)
+      .select($"source", $"n_docs", $"n_tokens", $"n_langs", $"top_lang",
+        $"top_lang_ppm", $"mean_quality_ppm")
+      .as[(String, Long, Long, Long, String, Long, Long)].collect().toSet
+    // the one-shot answer: the same per-batch shape folded as ONE batch
+    val oneBatch = {
+      val b = docs
+        .select($"source", $"lang",
+          graft.text.TextOps.tokens($"text").as("ts"))
+        .select($"source", $"lang",
+          org.apache.spark.sql.functions.size($"ts").cast("long")
+            .as("n_tok"),
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.array_distinct($"ts"))
+            .cast("long").as("nd"))
+        .withColumn("quality_ppm",
+          org.apache.spark.sql.functions.expr(
+            "nd * 1000000 div greatest(n_tok, 1)"))
+        .groupBy($"source", $"lang")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum($"n_tok").as("n_tokens"),
+          org.apache.spark.sql.functions.sum($"quality_ppm").as("qsum"))
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      Streams.datasetCardReadout(b)
+        .select($"source", $"n_docs", $"n_tokens", $"n_langs", $"top_lang",
+          $"top_lang_ppm", $"mean_quality_ppm")
+        .as[(String, Long, Long, Long, String, Long, Long)].collect().toSet
+    }
+    assert(streamed === oneBatch,
+      s"streamed card must equal the one-shot fold: $streamed vs $oneBatch")
+    val s1 = streamed.find(_._1 == "s1").get
+    assert(s1._2 === 4L && s1._5 === "en",
+      s"majority language must be decided after the fold: $s1")
+    val batches = new java.io.File(s"$root/partials").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+  }
+
   test("streamingNearDupMarks: marks equal batch simhashDups pairs; later batches match earlier state") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
