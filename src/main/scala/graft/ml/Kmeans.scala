@@ -83,4 +83,48 @@ object Kmeans {
     }
     (assign, cent, round, changed)
   }
+
+  /** FIXED-round Lloyd (no convergence witness): exactly `rounds`
+    * assignment passes with `rounds − 1` interleaved centroid updates —
+    * the declared cross-engine semantics when the caller wants a STATIC
+    * oracle (the pageRankInt fixed-round rule) instead of the
+    * [[lloydConverged]] dynamic unroll; used by the elbow sweep where
+    * three k values would otherwise need three stop-round atomics.
+    * Same exact-integer algebra throughout. */
+  def lloydFixed(x: DataFrame, seeds: DataFrame, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val xc = x.localCheckpoint(true)
+    var cent = seeds.join(xc, "vec_id")
+      .select(col("cid"), col("dim"), col("q").as("c_q"))
+      .localCheckpoint(true)
+    var assign: DataFrame = null
+    for (r <- 1 to rounds) {
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("cid"))
+      assign = xc.join(broadcast(cent), "dim")
+        .select(col("vec_id"), col("cid"),
+          ((col("q") - col("c_q")) * (col("q") - col("c_q"))).as("dd"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("dd")).as("dist2"))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("dist2"))
+        .localCheckpoint(true)
+      if (r < rounds) {
+        val upd = assign.select(col("vec_id"), col("cid"))
+          .join(xc, "vec_id")
+          .groupBy(col("cid"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+          .select(col("cid"), col("dim"),
+            expr(s"(sq + n * ${Offset}L) div n - ${Offset}L").as("c_q"))
+        cent = cent.select(col("cid"), col("dim"), col("c_q").as("o_q"))
+          .join(upd, Seq("cid", "dim"), "left_outer")
+          .select(col("cid"), col("dim"),
+            coalesce(col("c_q"), col("o_q")).as("c_q"))
+          .localCheckpoint(true)
+      }
+    }
+    assign
+  }
 }

@@ -141,6 +141,48 @@ object Analytics2Queries {
     }),
 
 
+    // Compressibility × quality VALIDATION (round 12) — the zlib gate's
+    // justification measured: per-doc deflate ratio (engine-local codec
+    // — persisted ONCE, the q91 split) against the lexical-diversity
+    // quality signal, Spearman per source via q299's doubled-rank +
+    // decimal-moment device over the STORED scores. A strongly negative
+    // rho is the "compressible ⇒ boilerplate" assumption the cheap
+    // quality gates rest on — now a number per source, not folklore.
+    "q459_compress_quality_corr" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.exprapi.deflateLen(col("text").cast("binary"))
+            .cast("long").as("zlen"),
+          length(col("text")).cast("long").as("rawlen"),
+          TextOps.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("source"),
+          expr("zlen * 1000000 div greatest(rawlen, 1)").as("comp_ppm"),
+          expr("size(array_distinct(ts)) * 1000000" +
+            " div greatest(size(ts), 1)").cast("long").as("quality_ppm"))
+      sources.Sources.writeParquet(per,
+        QueryShared.predsPath("q459_scores"))
+      val st = s.read.parquet(QueryShared.predsPath("q459_scores"))
+      val wx = Window.partitionBy(col("source")).orderBy(col("comp_ppm"))
+      val wy = Window.partitionBy(col("source")).orderBy(col("quality_ppm"))
+      val cx = Window.partitionBy(col("source"), col("comp_ppm"))
+      val cy = Window.partitionBy(col("source"), col("quality_ppm"))
+      val ranked = st
+        .withColumn("rx2", rank().over(wx).cast("long") * 2
+          + count(lit(1)).over(cx) - 1)
+        .withColumn("ry2", rank().over(wy).cast("long") * 2
+          + count(lit(1)).over(cy) - 1)
+      pearsonFromSums(
+        ranked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(d38(col("rx2"))).as("sx"), sum(d38(col("ry2"))).as("sy"),
+            sum(d38(col("rx2")) * d38(col("ry2"))).as("sxy"),
+            sum(d38(col("rx2")) * d38(col("rx2"))).as("sxx"),
+            sum(d38(col("ry2")) * d38(col("ry2"))).as("syy")),
+        "n", "sx", "sy", "sxy", "sxx", "syy", "rho")
+        .select(col("source"), col("n"), col("rho"))
+    }),
+
+
     // Longest consecutive-active-day streak per user (the engagement
     // read DAUs can't give): distinct (user, day) marks, a day-grain
     // gaps-and-islands pass (new island iff the day gap exceeds 1),
@@ -888,6 +930,40 @@ object Analytics2Queries {
         |FROM inter i
         |JOIN sizes s1 ON i.n1 = s1.nk
         |JOIN sizes s2 ON i.n2 = s2.nk""".stripMargin,
+
+    // q299's doubled-rank Spearman over the STORED per-doc scores (the
+    // deflate codec is engine-local; the artifact is the contract)
+    "q459_compress_quality_corr" ->
+      s"""WITH st AS (
+         |  SELECT source, comp_ppm, quality_ppm
+         |  FROM read_parquet('${QueryShared.predsPath("q459_scores")}/*.parquet')
+         |), ranked AS (
+         |  SELECT source,
+         |    CAST(rank() OVER (PARTITION BY source ORDER BY comp_ppm)
+         |      AS BIGINT) * 2
+         |      + count(*) OVER (PARTITION BY source, comp_ppm) - 1 AS rx2,
+         |    CAST(rank() OVER (PARTITION BY source ORDER BY quality_ppm)
+         |      AS BIGINT) * 2
+         |      + count(*) OVER (PARTITION BY source, quality_ppm) - 1
+         |      AS ry2
+         |  FROM st
+         |), mo AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    sum(rx2) AS sx, sum(ry2) AS sy,
+         |    sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+         |    sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         |    sum(CAST(ry2 AS HUGEINT) * ry2) AS syy
+         |  FROM ranked GROUP BY 1
+         |), f AS (
+         |  SELECT source, n,
+         |    CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) AS num,
+         |    CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS d1,
+         |    CAST(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) AS d2
+         |  FROM mo)
+         |SELECT source, n,
+         |  CASE WHEN d1 > 0 AND d2 > 0
+         |       THEN num / (sqrt(d1) * sqrt(d2)) END AS rho
+         |FROM f""".stripMargin,
 
     "q299_spearman_corr" ->
       """WITH rev AS (

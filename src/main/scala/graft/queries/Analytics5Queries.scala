@@ -1033,6 +1033,36 @@ object Analytics5Queries {
         .withColumn("outlier", col("core_sim_q") * 2 < col("med_core_q"))
     }),
 
+    // k-means ELBOW sweep — the "choose k" planning read over the same
+    // exact-integer Lloyd algebra: FIXED 3 rounds per k ∈ {2, 4, 8}
+    // (Kmeans.lloydFixed — fixed rounds are the declared cross-engine
+    // semantics, so ONE static oracle unrolls all three chains instead
+    // of three stop-round atomics), seeds the md5-order prefix (k = 8's
+    // seed set contains k = 4's contains k = 2's), per-k total inertia
+    // and sizes union to the 3-row curve.
+    "q460_kmeans_elbow" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+        .localCheckpoint(true)
+      val seedBase = Tables.embeddings(s, dir)
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("sk"))
+        .orderBy(col("sk"), col("vec_id")).limit(8)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("sk"), col("vec_id")))
+            .cast("long") - 1)
+        .select(col("vec_id"), col("cid"))
+        .localCheckpoint(true)
+      Seq(2, 4, 8).map { k =>
+        ml.Kmeans.lloydFixed(x,
+            seedBase.filter(col("cid") < k), rounds = 3)
+          .agg(count(lit(1)).as("n_vecs"), sum(col("dist2")).as("inertia_q"))
+          .select(lit(k.toLong).as("kk"), col("n_vecs"), col("inertia_q"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Pocock group-sequential monitor — the INTERIM-ANALYSIS member of
     // the experiment family (q318's SPRT peeks per-day with a likelihood
     // boundary; Pocock peeks at K=5 planned interims with one constant
@@ -1578,9 +1608,68 @@ object Analytics5Queries {
          |FROM v$rounds CROSS JOIN resid""".stripMargin
   }
 
+  /** q460's STATIC oracle: three fixed-3-round Lloyd chains (k = 2/4/8,
+    * md5-prefix seeds) unrolled side by side and unioned — fixed rounds
+    * are the declared semantics, so no stop-round atomic is needed. */
+  private def elbowSql: String = {
+    def assign(k: Int, r: Int): String =
+      s"""ek${k}a$r AS MATERIALIZED (
+         |  SELECT vec_id, cid, dist2 FROM (
+         |    SELECT vec_id, cid, dist2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+         |    FROM (
+         |      SELECT x.vec_id, c.cid,
+         |        CAST(sum((x.q - c.c_q) * (x.q - c.c_q)) AS BIGINT)
+         |          AS dist2
+         |      FROM x JOIN ek${k}c${r - 1} c ON x.dim = c.dim
+         |      GROUP BY 1, 2))
+         |  WHERE rk = 1)""".stripMargin
+    def update(k: Int, r: Int): String =
+      s"""ek${k}c$r AS MATERIALIZED (
+         |  SELECT p.cid, p.dim,
+         |    CAST(coalesce((u.sq + u.n * 2000000) // u.n - 2000000,
+         |                  p.c_q) AS BIGINT) AS c_q
+         |  FROM ek${k}c${r - 1} p LEFT JOIN (
+         |    SELECT a.cid, x.dim, CAST(count(*) AS BIGINT) AS n,
+         |      CAST(sum(x.q) AS BIGINT) AS sq
+         |    FROM ek${k}a$r a JOIN x ON a.vec_id = x.vec_id
+         |    GROUP BY 1, 2) u
+         |    ON p.cid = u.cid AND p.dim = u.dim)""".stripMargin
+    def chain(k: Int): String =
+      s"""ek${k}c0 AS MATERIALIZED (
+         |  SELECT s.cid, x.dim, x.q AS c_q
+         |  FROM sd s JOIN x ON s.vec_id = x.vec_id WHERE s.cid < $k
+         |)""".stripMargin + ",\n" +
+        assign(k, 1) + ",\n" + update(k, 1) + ",\n" +
+        assign(k, 2) + ",\n" + update(k, 2) + ",\n" +
+        assign(k, 3)
+    def fin(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS kk,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(dist2) AS BIGINT) AS inertia_q
+         |FROM ek${k}a3""".stripMargin
+    """WITH x AS MATERIALIZED (
+      |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+      |    AS u(i)
+      |), sd AS (
+      |  SELECT vec_id, CAST(row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+      |    AS BIGINT) AS cid
+      |  FROM embeddings
+      |),
+      |""".stripMargin +
+      Seq(2, 4, 8).map(chain).mkString(",\n") + "\n" +
+      Seq(2, 4, 8).map(fin).mkString("\nUNION ALL\n")
+  }
+
   /** A def, not a val: the q409 entry embeds the post-run stop round
     * (the [[Analytics4Queries]] dynamic-oracle contract). */
   def sql: Map[String, String] = Map(
+
+    "q460_kmeans_elbow" -> elbowSql,
 
     "q452_pca_power_converged" ->
       Analytics4Queries.realizedOrSentinel("q452", pcaStopRound.get)(
