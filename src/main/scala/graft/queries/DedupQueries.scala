@@ -286,6 +286,46 @@ object DedupQueries {
     }),
 
 
+    // PLANTED-contamination catch test (round 12) — the detector's
+    // detector: verbatim copies of known train docs (docs with id ≡ 0
+    // mod 50 and ≥ 24 tokens, re-keyed +10⁶ — derived frames, fixtures
+    // untouched) route through the EXACT q420 verdict machinery against
+    // an index over the full corpus. Every plant shares its whole body
+    // with its original, so the screen must flag it; the per-plant rows
+    // and the corpus catch rate make the screen's recall a CHECKED
+    // number instead of an assumption (the q453 probe's positive-control
+    // twin). Oracle states the identical plant + verdict computation.
+    "q461_decontamination_catch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs
+        .filter(col("doc_id") % 50 === 0 &&
+          size(TextOps.tokens(col("text"))) >= 24)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val trainToks = llm.Dedup
+        .substringTokenRows(docs, "doc_id", "text", 8)
+        .localCheckpoint(false)
+      val postings = llm.Dedup.cappedPostings(
+        llm.Dedup.substringAnchors(trainToks, k = 8, anchorMod = 8),
+        maxPerGram = 64)
+      val marks = llm.Dedup.crossCorpusSubstrings(planted, "doc_id",
+        "text", postings, trainToks, minLen = 12)
+      val per = planted
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(marks.groupBy(col("new_doc").as("doc_id"))
+            .agg(max(col("max_len")).as("mx")),
+          Seq("doc_id"), "left_outer")
+        .select((col("doc_id") - 1000000L).as("orig_id"), col("n_tok"),
+          coalesce(col("mx"), lit(0L)).as("max_shared"),
+          (coalesce(col("mx"), lit(0L)) >= 16L).cast("long").as("caught"))
+        .localCheckpoint(true)
+      per.crossJoin(broadcast(per
+        .agg(count(lit(1)).as("n_planted"), sum(col("caught")).as("nc"))
+        .select(col("n_planted"),
+          expr("nc * 1000000 div n_planted").as("catch_ppm"))))
+    }),
+
+
     // Eval-LEAKAGE probe (round 12) — the NEGATIVE CONTROL for q131's
     // cluster-safe split: under the naive per-lang md5 quota (q403's
     // rule, which ignores near-dup structure), how many eval docs have a
@@ -922,6 +962,82 @@ object DedupQueries {
         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     // q43's recursive closure + per-cluster argmax by (n_tok desc, id)
+    // the identical plant derivation + the q420 verdict chain with the
+    // train side unfiltered and the eval side the re-keyed copies
+    "q461_decontamination_catch" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), tt AS (
+        |  SELECT id, ts FROM t WHERE len(ts) >= 8
+        |), pl AS (
+        |  SELECT id + 1000000 AS id, ts FROM tt
+        |  WHERE id % 50 = 0 AND len(ts) >= 24
+        |), g AS (
+        |  SELECT id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+        |  FROM tt, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |), a AS (
+        |  SELECT id, pos, gram FROM g
+        |  WHERE CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 8 = 0
+        |), c AS (
+        |  SELECT id, pos, gram,
+        |         row_number() OVER (PARTITION BY gram
+        |           ORDER BY md5(CAST(id AS VARCHAR) || '#'
+        |                        || CAST(pos AS VARCHAR))) AS rk
+        |  FROM a
+        |), cap AS (
+        |  SELECT id, pos, gram FROM c WHERE rk <= 64
+        |), ge AS (
+        |  SELECT id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+        |  FROM pl, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |), ae AS (
+        |  SELECT id, pos, gram FROM ge
+        |  WHERE CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 8 = 0
+        |), cand AS (
+        |  SELECT x.id AS a_doc, x.pos AS a_pos, y.id AS b_doc, y.pos AS b_pos
+        |  FROM ae x JOIN cap y USING (gram)
+        |), w AS (
+        |  SELECT cand.*, ta.ts AS a_ts, tb.ts AS b_ts
+        |  FROM cand JOIN pl ta ON cand.a_doc = ta.id
+        |            JOIN tt tb ON cand.b_doc = tb.id
+        |), e AS (
+        |  SELECT a_doc, b_doc, a_pos, b_pos, i,
+        |    coalesce(
+        |      (CASE WHEN a_pos + i BETWEEN 1 AND len(a_ts)
+        |            THEN a_ts[CAST(a_pos + i AS BIGINT)] END) =
+        |      (CASE WHEN b_pos + i BETWEEN 1 AND len(b_ts)
+        |            THEN b_ts[CAST(b_pos + i AS BIGINT)] END),
+        |      false) AS eq
+        |  FROM w, unnest(generate_series(-48, 8 + 48 - 1)) AS u(i)
+        |), x AS (
+        |  SELECT a_doc, b_doc, a_pos, b_pos,
+        |    coalesce(min(CASE WHEN i >= 8 AND NOT eq THEN i END), 8 + 48)
+        |      AS rmiss,
+        |    coalesce(max(CASE WHEN i < 0 AND NOT eq THEN i END), -48 - 1)
+        |      AS lmiss
+        |  FROM e GROUP BY 1, 2, 3, 4
+        |), marks AS (
+        |  SELECT a_doc, b_doc, max(rmiss - lmiss - 1) AS max_len
+        |  FROM x GROUP BY 1, 2 HAVING max(rmiss - lmiss - 1) >= 12
+        |), per AS (
+        |  SELECT pl.id - 1000000 AS orig_id,
+        |    CAST(len(pl.ts) AS BIGINT) AS n_tok,
+        |    CAST(coalesce(m.mx, 0) AS BIGINT) AS max_shared,
+        |    CAST(CASE WHEN coalesce(m.mx, 0) >= 16 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS caught
+        |  FROM pl LEFT JOIN (
+        |    SELECT a_doc, CAST(max(max_len) AS BIGINT) AS mx
+        |    FROM marks GROUP BY 1) m ON pl.id = m.a_doc
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |    CAST(sum(caught) * 1000000 // count(*) AS BIGINT) AS catch_ppm
+        |  FROM per
+        |)
+        |SELECT per.orig_id, per.n_tok, per.max_shared, per.caught,
+        |  tot.n_planted, tot.catch_ppm
+        |FROM per CROSS JOIN tot""".stripMargin,
+
     // q16's pair CTE + the q403 split rule + the per-lang leak rollup
     "q453_leakage_probe" ->
       """WITH t AS (
