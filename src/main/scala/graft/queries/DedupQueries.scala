@@ -286,6 +286,41 @@ object DedupQueries {
     }),
 
 
+    // Cluster CHAINING audit (round 12) — transitive closure's known
+    // failure mode measured: connected components union A~B~C even when
+    // A and C share almost nothing, so each q43 cluster reports the
+    // min/max exact Jaccard over its LSH candidate pairs and a
+    // `chained` flag when any internal pair sits below the 0.5 verify
+    // threshold — the clusters where a survivor policy is quietly
+    // deduping non-duplicates. Pair work stays LSH-bounded; the cluster
+    // rollup is aggregate grain.
+    "q462_cluster_chaining_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = llm.Dedup.candidatePairs(
+          llm.Dedup.bandBuckets(docs, "doc_id", "text",
+            numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
+        .localCheckpoint(true)
+      val clusters = llm.Dedup.dupClusters(pairs).localCheckpoint(true)
+      val jc = llm.Dedup.jaccardCounts(docs, pairs, "doc_id", "text")
+        .select(col("a_doc"), col("b_doc"),
+          expr("inter * 1000000 div uni").as("j_ppm"))
+      val perPair = jc.join(clusters
+          .select(col("doc_id").as("a_doc"), col("cluster_id")),
+        Seq("a_doc"))
+      val stats = perPair.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_cand_pairs"),
+          min(col("j_ppm")).as("min_j_ppm"),
+          max(col("j_ppm")).as("max_j_ppm"))
+      val out = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .join(stats, Seq("cluster_id"))
+        .withColumn("chained", col("min_j_ppm") < 500000L)
+        .localCheckpoint(true)
+      out.crossJoin(broadcast(out
+        .agg(sum(col("chained").cast("long")).as("n_chained"))))
+    }),
+
+
     // PLANTED-contamination catch test (round 12) — the detector's
     // detector: verbatim copies of known train docs (docs with id ≡ 0
     // mod 50 and ≥ 24 tokens, re-keyed +10⁶ — derived frames, fixtures
@@ -962,6 +997,74 @@ object DedupQueries {
         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     // q43's recursive closure + per-cluster argmax by (n_tok desc, id)
+    // q404's closure + q45's exact-Jaccard chain + the per-cluster
+    // min/max rollup and the 0.5-threshold chaining flag
+    "q462_cluster_chaining_audit" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ts)-2),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shingles
+        |  FROM t WHERE len(ts) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, 6),
+        |                        j -> list_aggregate(list_transform(shingles,
+        |                               s -> CAST('0x' || substr(md5(CAST((j+1)//2 AS VARCHAR) || ':' || s),
+        |                                                 CASE WHEN j%2=1 THEN 1 ELSE 16 END, 15) AS BIGINT)),
+        |                             'min')) AS mh
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |         md5(CAST(mh[2*b-1] AS VARCHAR) || '|' || CAST(mh[2*b] AS VARCHAR)) AS bucket
+        |  FROM sig, unnest(generate_series(1, 3)) AS u(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a_doc AS src, b_doc AS dst FROM pairs
+        |  UNION ALL SELECT b_doc, a_doc FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        |), cl AS (
+        |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |), jc AS (
+        |  SELECT p.a_doc, p.b_doc,
+        |    CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x)))
+        |      * 1000000
+        |      // (len(sa.sset) + len(sb.sset)
+        |         - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+        |      AS BIGINT) AS j_ppm
+        |  FROM pairs p
+        |  JOIN sets sa ON p.a_doc = sa.doc_id
+        |  JOIN sets sb ON p.b_doc = sb.doc_id
+        |), stats AS (
+        |  SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_cand_pairs,
+        |    CAST(min(jc.j_ppm) AS BIGINT) AS min_j_ppm,
+        |    CAST(max(jc.j_ppm) AS BIGINT) AS max_j_ppm
+        |  FROM jc JOIN cl ON jc.a_doc = cl.doc_id
+        |  GROUP BY 1
+        |), mem AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM cl GROUP BY 1
+        |), out AS (
+        |  SELECT mem.cluster_id, mem.n_members, stats.n_cand_pairs,
+        |    stats.min_j_ppm, stats.max_j_ppm,
+        |    stats.min_j_ppm < 500000 AS chained
+        |  FROM mem JOIN stats ON mem.cluster_id = stats.cluster_id
+        |)
+        |SELECT out.*,
+        |  (SELECT CAST(sum(CASE WHEN chained THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM out) AS n_chained
+        |FROM out""".stripMargin,
+
     // the identical plant derivation + the q420 verdict chain with the
     // train side unfiltered and the eval side the re-keyed copies
     "q461_decontamination_catch" ->

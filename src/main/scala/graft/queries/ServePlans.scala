@@ -201,6 +201,15 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q454_partials")))
     }),
 
+    "q463_pocock_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q463_partials",
+        Seq((0L, 10L, 7L, 0L), (1L, 8L, 4L, 0L), (0L, 6L, 5L, 1L))
+          .toDF("d", "n", "k", "batch_id"))
+      graft.streaming.Streams.pocockReadout(
+        s.read.parquet(QueryShared.predsPath("audit_q463_partials")))
+    }),
+
     "q458_card_stream" -> (s => {
       import s.implicits._
       stage(s, "audit_q458_partials",

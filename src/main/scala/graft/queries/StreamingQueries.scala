@@ -750,6 +750,21 @@ object StreamingQueries {
     }),
 
 
+    // q457's Pocock interim monitor EXECUTED AS A STREAM (round 12):
+    // day-grain (n, k) statistics are mergeable sums; the whole interim
+    // machinery (bucketing, cumulative z², boundary, first crossing)
+    // re-derives in the readout — 35th drain. Oracle = q457's SQL.
+    "q463_pocock_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("ts"), col("user_id"))
+      val root = predsPath(s"q463_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(ev.repartition(4), s"$root/events")
+      QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.pocockStream(s, s"$root/events", ev.schema,
+          s"$root/partials", s"$root/ckpt")
+      }
+    }),
+
+
     // q448's dataset card MAINTAINED AS A STREAM (round 12): the
     // mergeable card members (volume, language profile, quality sums)
     // fold from per-batch (source, lang) partials — 34th drain; the
@@ -1295,6 +1310,45 @@ object StreamingQueries {
         |SELECT pk, price, sz FROM w
         |WHERE (min_cheaper IS NULL OR sz < min_cheaper) AND sz = min_eq"""
         .stripMargin,
+
+    // q457's one-shot interim algebra — the streamed day fold must
+    // land on it exactly
+    "q463_pocock_stream" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM daily) AS nd
+        |  FROM daily
+        |), buck AS (
+        |  SELECT least((rn - 1) * 5 // nd, 4) AS interim,
+        |    CAST(sum(n) AS BIGINT) AS n_i, CAST(sum(k) AS BIGINT) AS k_i
+        |  FROM r GROUP BY 1
+        |), cum AS (
+        |  SELECT interim,
+        |    CAST(sum(n_i) OVER (ORDER BY interim ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+        |    CAST(sum(k_i) OVER (ORDER BY interim ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS k_cum
+        |  FROM buck
+        |), z AS (
+        |  SELECT CAST(interim AS BIGINT) AS interim, n_cum, k_cum,
+        |    CAST(((2 * k_cum - n_cum) * (2 * k_cum - n_cum) // n_cum)
+        |        * 1000000
+        |      + ((2 * k_cum - n_cum) * (2 * k_cum - n_cum) % n_cum)
+        |        * 1000000 // n_cum AS BIGINT) AS z2_micro
+        |  FROM cum
+        |), f AS (
+        |  SELECT *, z2_micro > 5822569 AS crossed FROM z
+        |)
+        |SELECT interim, n_cum, k_cum, z2_micro, crossed,
+        |  (SELECT CAST(min(CASE WHEN crossed THEN interim END) AS BIGINT)
+        |   FROM f) AS first_cross
+        |FROM f""".stripMargin,
 
     // the one-shot card restricted to the mergeable columns
     "q458_card_stream" ->

@@ -1539,6 +1539,68 @@ object Streams {
         col("mean_quality_ppm"))
   }
 
+  /** Streaming Pocock monitor — q457's pre-registered interim analysis
+    * over a drain: the per-day (n, k) sufficient statistics are sums,
+    * so micro-batches emit day partials and the ENTIRE interim
+    * machinery (day-rank bucketing into K=5 windows, cumulative
+    * split-div z², the declared boundary, first crossing) re-derives in
+    * the readout over the folded days. Readout = [[pocockReadout]]. */
+  def pocockStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String,
+      eventsSchema: org.apache.spark.sql.types.StructType,
+      partialsDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    drainPartials(spark, eventsDir, eventsSchema, partialsDir, checkpointDir,
+        maxFilesPerTrigger, "pocock") { batch =>
+      batch.groupBy(expr(
+          "cast(unix_micros(cast(ts as timestamp)) div 86400000000" +
+            " as bigint)").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 2 === 1).cast("long")).as("k"))
+    }
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    pocockReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
+  /** SERVE half of [[pocockStream]]: fold the day partials, then q457's
+    * interim algebra verbatim (K = 5, declared Pocock boundary). */
+  def pocockReadout(partials: DataFrame): DataFrame = {
+    val daily = partials.groupBy(col("d"))
+      .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))
+    val wOrd = Window.orderBy(col("d"))
+    val interim = daily
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+      .withColumn("interim", expr("least((rn - 1) * 5 div nd, 4)"))
+      .groupBy(col("interim"))
+      .agg(sum(col("n")).as("n_i"), sum(col("k")).as("k_i"))
+    val wI = Window.orderBy(col("interim"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = interim
+      .withColumn("n_cum", sum(col("n_i")).over(wI))
+      .withColumn("k_cum", sum(col("k_i")).over(wI))
+      .withColumn("z2_micro", expr(
+        "((2 * k_cum - n_cum) * (2 * k_cum - n_cum) div n_cum) * 1000000" +
+          " + ((2 * k_cum - n_cum) * (2 * k_cum - n_cum) % n_cum)" +
+          " * 1000000 div n_cum"))
+      .withColumn("crossed", col("z2_micro") > 5822569L)
+      .localCheckpoint(true)
+    z.crossJoin(broadcast(z.agg(
+        min(when(col("crossed"), col("interim"))).as("first_cross"))))
+      .select(col("interim"), col("n_cum"), col("k_cum"),
+        col("z2_micro"), col("crossed"), col("first_cross"))
+  }
+
   /** SERVE half of [[bhFdrStream]]: fold the count partials to hypothesis
     * grain, then the q424 algebra verbatim — overflow-safe split-div z²,
     * Chebyshev p_ppm, division-free ranked step-up (α = 0.05), prefix
