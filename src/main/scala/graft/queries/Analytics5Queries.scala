@@ -1033,6 +1033,43 @@ object Analytics5Queries {
         .withColumn("outlier", col("core_sim_q") * 2 < col("med_core_q"))
     }),
 
+    // Fleiss' kappa — the MULTI-rater agreement coefficient closing the
+    // family (q401 two-rater kappa, q438 McNemar, q447 Cochran's Q):
+    // the same k=3 deterministic raters on the binary scale, chance-
+    // corrected via the category-share expectation. Exact staged
+    // integers: per-doc agreeing-pair counts Σ[p(p−1)+(3−p)(2−p)] fold
+    // once; P̄ and the category shares quantize to ppm; Pe = share²
+    // sums via div-10⁶ stages; κ = (P̄−Pe)·10⁶ div (10⁶−Pe), guarded.
+    "q464_fleiss_kappa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("n_chars").cast("long").as("n_chars"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select((
+          (size(array_distinct(col("ts"))) * 2 > size(col("ts")))
+            .cast("long")
+            + (col("n_chars") > size(col("ts")).cast("long") * 5L)
+              .cast("long")
+            + expr("exists(ts, t -> t rlike '^[0-9]+$')").cast("long"))
+          .as("p"))
+      d.agg(count(lit(1)).as("n"),
+          sum(col("p")).as("sum_pos"),
+          sum(col("p") * (col("p") - 1)
+            + (lit(3L) - col("p")) * (lit(2L) - col("p"))).as("sum_pairs"))
+        .withColumn("pbar_ppm", expr("sum_pairs * 1000000 div (n * 6)"))
+        .withColumn("ppos_ppm", expr("sum_pos * 1000000 div (n * 3)"))
+        .withColumn("pe_ppm", expr(
+          "(ppos_ppm * ppos_ppm) div 1000000" +
+            " + ((1000000 - ppos_ppm) * (1000000 - ppos_ppm)) div 1000000"))
+        // sign-split: the numerator is signed and truncating div must
+        // match floor // — round-toward-zero stated on both engines
+        .withColumn("kappa_ppm", expr(
+          "case when pbar_ppm >= pe_ppm then" +
+            " (pbar_ppm - pe_ppm) * 1000000" +
+            " div greatest(1000000 - pe_ppm, 1)" +
+            " else -((pe_ppm - pbar_ppm) * 1000000" +
+            " div greatest(1000000 - pe_ppm, 1)) end"))
+    }),
+
     // k-means ELBOW sweep — the "choose k" planning read over the same
     // exact-integer Lloyd algebra: FIXED 3 rounds per k ∈ {2, 4, 8}
     // (Kmeans.lloydFixed — fixed rounds are the declared cross-engine
@@ -2099,6 +2136,51 @@ object Analytics5Queries {
         |JOIN sv ON raw.source = sv.source
         |JOIN fin ON raw.source = fin.source
         |LEFT JOIN kept ON raw.source = kept.source""".stripMargin,
+
+    // identical staged ppm shares and the sign-split chance correction
+    "q464_fleiss_kappa" ->
+      """WITH d AS (
+        |  SELECT
+        |    (CASE WHEN len(list_distinct(regexp_extract_all(lower(text),
+        |            '[a-z0-9]+'))) * 2
+        |          > len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |          THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_chars
+        |            > len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5
+        |            THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(list_filter(
+        |            regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |            t -> regexp_matches(t, '^[0-9]+$'))) > 0
+        |            THEN 1 ELSE 0 END) AS p
+        |  FROM documents
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS sum_pos,
+        |    CAST(sum(p * (p - 1) + (3 - p) * (2 - p)) AS BIGINT)
+        |      AS sum_pairs
+        |  FROM d
+        |), q AS (
+        |  SELECT n, sum_pos, sum_pairs,
+        |    sum_pairs * 1000000 // (n * 6) AS pbar_ppm,
+        |    sum_pos * 1000000 // (n * 3) AS ppos_ppm
+        |  FROM g
+        |), e AS (
+        |  SELECT *, (ppos_ppm * ppos_ppm) // 1000000
+        |    + ((1000000 - ppos_ppm) * (1000000 - ppos_ppm)) // 1000000
+        |    AS pe_ppm
+        |  FROM q
+        |)
+        |SELECT n, sum_pos, sum_pairs,
+        |  CAST(pbar_ppm AS BIGINT) AS pbar_ppm,
+        |  CAST(ppos_ppm AS BIGINT) AS ppos_ppm,
+        |  CAST(pe_ppm AS BIGINT) AS pe_ppm,
+        |  CAST(CASE WHEN pbar_ppm >= pe_ppm THEN
+        |      (pbar_ppm - pe_ppm) * 1000000
+        |        // greatest(1000000 - pe_ppm, 1)
+        |    ELSE -((pe_ppm - pbar_ppm) * 1000000
+        |        // greatest(1000000 - pe_ppm, 1)) END AS BIGINT)
+        |    AS kappa_ppm
+        |FROM e""".stripMargin,
 
     // identical interim bucketing, cumulative split-div z² and the
     // declared Pocock constant
