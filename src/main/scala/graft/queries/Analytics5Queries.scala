@@ -519,6 +519,36 @@ object Analytics5Queries {
           (col("rk") <= col("k_star")).as("rejected"))
     }),
 
+    // Holm step-DOWN — FWER control next to q424's FDR step-up (Holm
+    // rejects only while EVERY smaller p has also rejected, so the
+    // rejection set is a prefix-AND — the waterfill capped-set device
+    // applied to inference): same Chebyshev p_ppm family, threshold
+    // p·(m−rk+1)·20 ≤ 10⁶ (α = 0.05, division-free), rejected =
+    // running AND of the flag in p order. Hypothesis-grain windows only.
+    "q465_holm_stepdown" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 2 === 1).cast("long")).as("n_odd"))
+        .withColumn("z2_micro", expr(
+          "((2 * n_odd - n) * (2 * n_odd - n) div n) * 1000000" +
+            " + ((2 * n_odd - n) * (2 * n_odd - n) % n) * 1000000 div n"))
+        .withColumn("p_ppm", least(lit(1000000L),
+          expr("1000000000000 div greatest(z2_micro, 1)")))
+      val wOrd = Window.orderBy(col("p_ppm"), col("event_type"))
+      h.withColumn("rk", row_number().over(wOrd).cast("long"))
+        .crossJoin(broadcast(h.agg(count(lit(1)).as("m"))))
+        .withColumn("flag",
+          (col("p_ppm") * (col("m") - col("rk") + 1) * 20
+            <= lit(1000000L)).cast("long"))
+        .withColumn("rejected",
+          min(col("flag")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)) === 1L)
+        .select(col("event_type"), col("n"), col("n_odd"), col("z2_micro"),
+          col("p_ppm"), col("rk"), col("rejected"))
+    }),
+
     // Kaplan–Meier product-limit survival — the estimator q319's
     // Nelson–Aalen hazard is the increment form of, over the IDENTICAL
     // first-event → first-purchase lifetime derivation (conversion =
@@ -1794,6 +1824,40 @@ object Analytics5Queries {
         |SELECT event_type, n, n_odd, z2_micro, p_ppm, rk, pass_bh,
         |  rk <= k.k_star AS rejected
         |FROM f CROSS JOIN k""".stripMargin,
+
+    // identical Chebyshev family, step-down threshold and prefix-AND
+    "q465_holm_stepdown" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_odd
+        |  FROM events GROUP BY 1
+        |), z AS (
+        |  SELECT event_type, n, n_odd,
+        |    CAST(((2 * n_odd - n) * (2 * n_odd - n) // n) * 1000000
+        |      + ((2 * n_odd - n) * (2 * n_odd - n) % n) * 1000000 // n
+        |      AS BIGINT) AS z2_micro
+        |  FROM h
+        |), p AS (
+        |  SELECT *, CAST(least(1000000,
+        |      1000000000000 // greatest(z2_micro, 1)) AS BIGINT) AS p_ppm
+        |  FROM z
+        |), r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY p_ppm, event_type)
+        |      AS BIGINT) AS rk,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS m
+        |  FROM p
+        |), f AS (
+        |  SELECT *, CASE WHEN p_ppm * (m - rk + 1) * 20 <= 1000000
+        |                 THEN 1 ELSE 0 END AS flag
+        |  FROM r
+        |)
+        |SELECT event_type, n, n_odd, z2_micro, p_ppm, rk,
+        |  min(flag) OVER (ORDER BY p_ppm, event_type
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS rejected
+        |FROM f""".stripMargin,
 
     // q319's lifetime derivation verbatim; KM factors as integer-argument
     // µnat log differences, zero-survival regime mirrored
