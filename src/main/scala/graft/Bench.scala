@@ -198,8 +198,25 @@ object Bench {
       if (sortedRatios.isEmpty) 0.0 else sortedRatios(sortedRatios.size / 2)
     val nOk = results.count(_._2 >= 0)
     val fullRef = if (fullWritten) "BENCH_FULL.json" else ""
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nOk,"n_errors":${errors.size},"median_vs_norm":$median,"outliers":$outliers,"queries":$hq,"full":"$fullRef","sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nOk,"n_errors":${errors.size},"median_vs_norm":$median,"outliers":$outliers,"queries":$hq,"full":"$fullRef","sf":"$sfDir"}"""
+    println(compact)
+    // The driver tail-parses this process's stdout, but sbt appends its
+    // own "[success] Total time: ..." footer AFTER the compact line, so
+    // the tail parse failed every round (BENCH_r01..r12 all "parsed":
+    // null). The compact summary therefore ALSO lands in a dedicated
+    // file the driver and judge can read without stdout forensics.
+    // Same staleness rule as BENCH_FULL.json: full-suite runs only.
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter(
+          new java.io.File("BENCH_SUMMARY.json"), "UTF-8")
+        try w.println(compact) finally w.close()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH_SUMMARY.json write failed: $e")
+      }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -38,6 +38,47 @@ object Stats {
     * `perBucket` must carry `_rb`, the prefix output `_bb`, and a
     * per-bucket row count `_bn_rows`; returns (`_rb`, `_bb`) with the
     * guard fused into `_bb`. */
+  /** Plan-resident cardinality guard for a frame a driver-side fold is
+    * about to `collect()` (round-12 VERDICT wrong #1): the fold's
+    * premise is that the frame is alphabet-bounded (event-type
+    * transitions, vocab rows, bucket ids), and a fact-scale domain
+    * previously OOM'd the driver SILENTLY instead of failing with a
+    * sizing message. Same shape as [[guardedBucketPrefix]]: one scalar
+    * count rides a broadcast crossJoin and the FIRST data column is
+    * wrapped in the check — it fires on the first collected row, before
+    * the driver absorbs a row-scale "alphabet". No eager action. */
+  def guardedSmallFrame(
+      df: DataFrame, maxRows: Long, device: String): DataFrame = {
+    val cols = df.columns
+    require(cols.nonEmpty, s"$device: guard needs at least one column")
+    val diag = df.agg(count(lit(1)).as("_gn"))
+    df.crossJoin(broadcast(diag))
+      .select(
+        when(col("_gn") > maxRows, raise_error(concat(
+            lit(s"$device: frame bound for a driver-side fold holds "),
+            col("_gn"),
+            lit(s" rows (> $maxRows) — the domain is fact-scale, not an " +
+              "alphabet; collecting it would OOM the driver. Reduce the " +
+              "state/alphabet domain or raise the bound deliberately."))))
+          .otherwise(col(cols.head)).as(cols.head)
+        +: cols.tail.map(col): _*)
+  }
+
+  /** Array twin of [[guardedSmallFrame]] for the keys=[] `collect_list`
+    * alphabet broadcasts (q423's sensitive alphabet, q433's bin frame):
+    * the collected array must stay alphabet-sized or the broadcast row
+    * itself becomes the bottleneck. Fused into the array column — fires
+    * when the single aggregate row materializes. */
+  def guardedAlphabetArray(
+      arr: Column, maxLen: Int, device: String): Column =
+    when(size(arr) > maxLen, raise_error(concat(
+        lit(s"$device: collected alphabet holds "),
+        size(arr).cast("string"),
+        lit(s" entries (> $maxLen) — the domain is fact-scale, not an " +
+          "alphabet; broadcasting it would bottleneck. Reduce the domain " +
+          "or raise the bound deliberately."))))
+      .otherwise(arr)
+
   private def guardedBucketPrefix(
       perBucket: DataFrame,
       device: String,

@@ -451,8 +451,9 @@ object Analytics5Queries {
       val cells = base.groupBy(col("nk"), col("seg"), col("sv"))
         .agg(count(lit(1)).as("c")).localCheckpoint(true)
       val galph = cells.groupBy(col("sv")).agg(sum(col("c")).as("gc"))
-        .agg(sort_array(collect_list(struct(col("sv"), col("gc"))))
-            .as("al"),
+        .agg(ops.Stats.guardedAlphabetArray(
+            sort_array(collect_list(struct(col("sv"), col("gc")))),
+            maxLen = 64, device = "q423 sensitive alphabet").as("al"),
           sum(col("gc")).as("n_total"))
       val groups = cells.groupBy(col("nk"), col("seg"))
         .agg(sum(col("c")).as("n"))
@@ -899,8 +900,10 @@ object Analytics5Queries {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_b"), sum(col("label")).as("pos"))
       val packed = bins
-        .agg(sort_array(collect_list(
-          struct(col("bin"), col("n_b"), col("pos")))).as("bs"))
+        .agg(ops.Stats.guardedAlphabetArray(
+          sort_array(collect_list(
+            struct(col("bin"), col("n_b"), col("pos")))),
+          maxLen = 64, device = "q433 reliability-bin frame").as("bs"))
         .select(col("bs"),
           expr("transform(sequence(0, size(bs)), t -> " +
             "aggregate(slice(bs, 1, t), bigint(0), (a, x) -> a + x.n_b))")

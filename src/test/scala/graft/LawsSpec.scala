@@ -314,6 +314,45 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("LAW driver-fold cardinality guards fail LOUDLY on a fact-scale " +
+      "'alphabet' (guardedSmallFrame / guardedAlphabetArray) and stay " +
+      "silent in bounds") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .take(12).map(_.toString).mkString("\n")
+    // a degenerate domain: every row its own "state" — the q322-class
+    // collect would absorb the fact table; the guard must raise with a
+    // sizing message before the driver does
+    val facts = (1L to 500L).map(k => (s"s$k", k)).toDF("st", "n")
+    val big = intercept[Throwable] {
+      graft.ops.Stats.guardedSmallFrame(facts, maxRows = 100,
+        device = "law-test fold").collect()
+    }
+    assert(chain(big).contains("fact-scale") &&
+      chain(big).contains("law-test fold"), chain(big))
+    // in bounds: values AND row count unchanged
+    val ok = graft.ops.Stats.guardedSmallFrame(
+      facts.limit(50), maxRows = 100, device = "law-test fold")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ok.size === 50 && ok.contains(("s1", 1L)))
+
+    // the collect_list alphabet twin (q423/q433 wiring)
+    val arr = intercept[Throwable] {
+      facts.agg(graft.ops.Stats.guardedAlphabetArray(
+          collect_list(col("st")), maxLen = 100,
+          device = "law-test alphabet").as("al"))
+        .collect()
+    }
+    assert(chain(arr).contains("fact-scale") &&
+      chain(arr).contains("law-test alphabet"), chain(arr))
+    val okArr = facts.limit(50)
+      .agg(graft.ops.Stats.guardedAlphabetArray(
+        sort_array(collect_list(col("st"))), maxLen = 100,
+        device = "law-test alphabet").as("al"))
+      .head().getSeq[String](0)
+    assert(okArr.size === 50 && okArr.contains("s1"))
+  }
+
   test("LAW distributedRank family fails LOUDLY on a mis-sized bucketWidth " +
       "(all-one-bucket skew and bucket-explosion) instead of degrading") {
     def chain(t: Throwable): String =
