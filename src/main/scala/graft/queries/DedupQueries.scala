@@ -118,6 +118,75 @@ object DedupQueries {
     }),
 
 
+    // MULTI-SIGNAL survivor policy (round-12 VERDICT next #5): text
+    // fingerprint clusters and perceptual image-hash clusters composed
+    // into ONE joint cluster frame — the "same text, different assets /
+    // same asset, different text" case every multimodal corpus hits.
+    // Corpus per original doc d: member A (d: fixture text, image
+    // seeded by d), member B (d+1e6: SAME text, different image), and
+    // member C (d+2e6: text||' v2', PERTURBED copy of A's image) — so
+    // the A–B text edge and the A–C perceptual edge only chain into the
+    // {A,B,C} component when BOTH signals feed one connected-components
+    // pass. Survivor per component by (text length desc, id asc) via
+    // clusterSurvivors. The decode→dhash sketch half persists and the
+    // oracle replays banding+closure+survivor relationally (the q43 +
+    // q225 recipes composed). Edges are equi-joins on fp / LSH buckets;
+    // components are ≤3 rows — nothing quadratic at any grain.
+    "q468_multisignal_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pixelBytes = multimodal.Multimodal.SyntheticImageW *
+        multimodal.Multimodal.SyntheticImageH * 3
+      val blocks = (pixelBytes * 2 + 31) / 32
+      val header = graft.expr.BmpDecode.encode(
+        multimodal.Multimodal.SyntheticImageW,
+        multimodal.Multimodal.SyntheticImageH,
+        new Array[Byte](pixelBytes)).take(54)
+      def bmpFor(seed: org.apache.spark.sql.Column) = concat(
+        lit(header),
+        to_binary(substring(concat_ws("",
+          (0 until blocks).map(b => md5(concat(seed, lit(s"_$b")))): _*),
+          1, pixelBytes * 2), lit("hex")))
+      def perturbed(c: org.apache.spark.sql.Column) = concat(
+        substring(c, 1, 54), lit(Array[Byte](0x7f.toByte)),
+        c.substr(lit(56), length(c) - 55))
+      val a = docs.select(col("doc_id").as("id"), col("text"),
+        bmpFor(col("doc_id")).as("content"))
+      val b = docs.select((col("doc_id") + 1000000L).as("id"), col("text"),
+        bmpFor(col("doc_id") + lit(5000000L)).as("content"))
+      val c = docs.select((col("doc_id") + 2000000L).as("id"),
+        concat(col("text"), lit(" v2")).as("text"),
+        perturbed(bmpFor(col("doc_id"))).as("content"))
+      val corpus = a.unionByName(b).unionByName(c)
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.imageSignatures(corpus.select(
+          col("id").as("asset_id"), lit("image").as("modality"),
+          col("content"))),
+        predsPath("q468_sigs"))
+      // hamMax 3, not the generic 7: the planted perturbation moves ≤2
+      // gradient bits, and the tighter verify threshold keeps chance
+      // near-collisions between unrelated md5 images out of the joint
+      // graph (8 bands' pigeonhole covers ≤7, so ≤3 stays exact)
+      val imgPairs = llm.Dedup.hamming64Dups(
+          s.read.parquet(predsPath("q468_sigs")), "asset_id", "sig",
+          hamMax = 3, bands = perceptualHamming._2)
+        .select(col("id_a").as("a_doc"), col("id_b").as("b_doc"))
+      val fps = corpus.select(col("id"), md5(col("text")).as("fp"))
+      val textPairs = fps.as("x")
+        .join(fps.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_doc"), col("y.id").as("b_doc"))
+      val clusters = llm.Dedup.dupClusters(
+        textPairs.unionByName(imgPairs))
+      val members = clusters
+        .join(corpus.select(col("id").as("doc_id"), col("text")), "doc_id")
+      val survivors = llm.Dedup.clusterSurvivors(members, "cluster_id",
+        Seq(length(col("text")).desc, col("doc_id").asc))
+      survivors.select(col("cluster_id"), col("doc_id").as("survivor_id"))
+        .join(clusters.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members")), "cluster_id")
+    }),
+
+
     // Dedup survivor selection: connected components over the q16 LSH pair
     // graph — min-label propagation to a fixpoint; every doc in a
     // component labeled with the component's min doc id. Oracle is the
@@ -1620,6 +1689,75 @@ object DedupQueries {
         |), e AS (SELECT doc_id, unnest(fps) AS fp FROM m)
         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
         |FROM e GROUP BY fp HAVING count(*) >= 2""".stripMargin,
+
+
+    // the q43 closure + q225 hamming-replay recipes COMPOSED: text
+    // edges re-derived by the md5 rule over the stated corpus, image
+    // edges replayed over the persisted dhash signatures (8 bands of
+    // 8 bits, ≤3 hamming), one recursive transitive closure over the
+    // union, survivor per component by (text length desc, id)
+    "q468_multisignal_survivors" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+         |  UNION ALL SELECT doc_id + 2000000, text || ' v2' FROM documents
+         |), tp AS (
+         |  SELECT x.id AS a_doc, y.id AS b_doc
+         |  FROM corpus x JOIN corpus y
+         |    ON md5(x.text) = md5(y.text) AND x.id < y.id
+         |), sigs AS (
+         |  SELECT asset_id AS id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q468_sigs")}/*.parquet')
+         |), banded AS (
+         |  SELECT s.id, s.sig, b.band, (s.usig // b.d) % 256 AS key
+         |  FROM sigs s CROSS JOIN (VALUES
+         |    (0, CAST('1' AS HUGEINT)),
+         |    (1, CAST('256' AS HUGEINT)),
+         |    (2, CAST('65536' AS HUGEINT)),
+         |    (3, CAST('16777216' AS HUGEINT)),
+         |    (4, CAST('4294967296' AS HUGEINT)),
+         |    (5, CAST('1099511627776' AS HUGEINT)),
+         |    (6, CAST('281474976710656' AS HUGEINT)),
+         |    (7, CAST('72057594037927936' AS HUGEINT))) b(band, d)
+         |), ok AS (
+         |  SELECT band, key FROM banded GROUP BY band, key
+         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 10000
+         |), ip AS (
+         |  SELECT DISTINCT a.id AS a_doc, b.id AS b_doc
+         |  FROM banded a
+         |  JOIN ok o ON o.band = a.band AND o.key = a.key
+         |  JOIN banded b ON b.band = a.band AND b.key = a.key AND a.id < b.id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |), edges AS (
+         |  SELECT a_doc AS src, b_doc AS dst FROM tp
+         |  UNION SELECT b_doc, a_doc FROM tp
+         |  UNION SELECT a_doc, b_doc FROM ip
+         |  UNION SELECT b_doc, a_doc FROM ip
+         |), reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |), clusters AS (
+         |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY id
+         |), members AS (
+         |  SELECT c.cluster_id, c.doc_id, co.text
+         |  FROM clusters c JOIN corpus co ON co.id = c.doc_id
+         |), surv AS (
+         |  SELECT cluster_id, doc_id AS survivor_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY length(text) DESC, doc_id) AS rk
+         |  FROM members
+         |)
+         |SELECT s.cluster_id, CAST(s.survivor_id AS BIGINT) AS survivor_id,
+         |  CAST(m.n AS BIGINT) AS n_members
+         |FROM surv s
+         |JOIN (SELECT cluster_id, count(*) AS n FROM clusters
+         |      GROUP BY cluster_id) m USING (cluster_id)
+         |WHERE s.rk = 1""".stripMargin,
 
 
     // q16's pair derivation verbatim, then connected components as a

@@ -678,6 +678,35 @@ object LayoutQueries {
     }),
 
 
+    // VIDEO near-dup via the majority-folded per-frame gradient
+    // fingerprint (vhash64) — completes the image/audio/video symmetry
+    // over the SAME banded-hamming LSH join (round-12 VERDICT next #2).
+    // Ground truth mirrors q225: every synthetic Y4M plus a
+    // single-luma-byte-perturbed copy (source pixel (2,2) of frame 1 —
+    // a cell sampled by exactly ONE 9×8 grid point, so at most 2
+    // gradient bits move in that frame's hash and at most 2 in the
+    // fold). Fit/serve split: decode→vhash signatures persisted, the
+    // portable banded-hamming serve oracle-replayed over the stored
+    // 64-bit values; MultimodalSpec pins recall + precision.
+    "q466_video_neardup" -> ((s, dir) => {
+      val vids = multimodal.Multimodal.syntheticAssets(s, 900)
+        .filter(col("modality") === "video")
+      // Y4M layout: 36-byte header, then FRAME\n + 48-byte luma per
+      // frame; byte 61 (1-based) = frame-1 luma offset 18 = pixel (2,2)
+      val copies = vids.select(
+        (col("asset_id") + 1000000L).as("asset_id"),
+        col("modality"),
+        concat(substring(col("content"), 1, 60),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 62, length(content) - 61)"))
+          .as("content"),
+        col("meta"))
+      stageAndServeHamming(s,
+        multimodal.Multimodal.videoSignatures(vids.unionByName(copies)),
+        "q466_sigs", "asset_id", perceptualHamming)
+    }),
+
+
     // AUDIO near-dup via the energy-delta fingerprint — same known-
     // ground-truth construction as q225: every synthetic WAV plus a
     // single-sample-perturbed copy (one PCM byte mid-stream forced to
@@ -990,6 +1019,11 @@ object LayoutQueries {
     // same split over the persisted audio energy-delta fingerprints
     "q226_audio_neardup" ->
       hammingReplaySql(predsPath("q226_sigs"), "asset_id", perceptualHamming),
+
+
+    // same split over the persisted video majority-fold fingerprints
+    "q466_video_neardup" ->
+      hammingReplaySql(predsPath("q466_sigs"), "asset_id", perceptualHamming),
 
 
     // the Spark side ran this join+agg from bucketed tables with zero

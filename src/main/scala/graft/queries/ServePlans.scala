@@ -222,6 +222,31 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q458_partials")))
     }),
 
+    "q467_erasure_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q467_table",
+        Seq((1L, 3L, "O", "1-URGENT"), (2L, 5L, "F", "2-HIGH"))
+          .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"))
+      stage(s, "audit_q467_before",
+        Seq((3L, "99999")).toDF("n_rows", "content_checksum"))
+      stage(s, "audit_q467_partials",
+        Seq((1L, "12345", 0L)).toDF("n_deleted", "ck", "batch_id")
+          .select(col("n_deleted"),
+            col("ck").cast("decimal(30,0)").as("ck_deleted"),
+            col("batch_id")))
+      stage(s, "audit_q467_deletes", Seq(99L).toDF("o_orderkey"))
+      graft.streaming.Streams.erasureReadout(s,
+        QueryShared.predsPath("audit_q467_table"), Seq("o_orderkey"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        QueryShared.predsPath("audit_q467_before"),
+        QueryShared.predsPath("audit_q467_partials"),
+        QueryShared.predsPath("audit_q467_deletes"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
     "q102_join_stream" -> (s => {
       import s.implicits._
       val t = new java.sql.Timestamp(0L)

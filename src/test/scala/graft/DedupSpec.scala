@@ -594,4 +594,31 @@ class DedupSpec extends AnyFunSuite {
     val bigDrops = overMembers.count(id => !uncapped.contains(id))
     assert(capped.size == uncapped.size + bigDrops)
   }
+
+  test("q468 multi-signal survivors: text and perceptual edges chain into " +
+      "one component per doc; the joint policy picks the longest text") {
+    // the corpus construction plants, per original doc d: a text edge
+    // d–(d+1e6) and a perceptual image edge d–(d+2e6). Recall of BOTH
+    // signals is pinned by Σ n_members == 3·N (a missed text edge
+    // orphans B out of every cluster; a missed image edge orphans C)
+    // and by n_members ≡ 0 mod 3 (merges happen only at whole-triple
+    // granularity). Rare CHANCE perceptual near-collisions between
+    // unrelated md5 images may merge a handful of triples — real
+    // near-dup behavior, tolerated up to 1% — and the survivor policy
+    // must still pick a C member (the '… v2' texts are strictly
+    // longest, within and across triples).
+    val out = SparkEntry
+      .queries("q468_multisignal_survivors")(spark, TestSpark.sf)
+      .collect()
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id")).as[Long].collect().length
+    assert(out.map(_.getAs[Long]("n_members")).sum === 3L * nDocs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_members") % 3 === 0L, r.toString)
+      assert(r.getAs[Long]("survivor_id") >= 2000000L, r.toString)
+    }
+    val merged = out.count(_.getAs[Long]("n_members") != 3L)
+    assert(merged <= nDocs / 100,
+      s"$merged merged clusters — chance collisions should be rare")
+  }
 }
