@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs shuffles, caches and ml fits in ONE JVM — size the heap
   // like driver+executors combined, not like a driver alone
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // deliberate plans.json regeneration (PlanAuditSpec fingerprint pin):
+  // tests fork, so the flag must be re-exported into the test JVM
+  s"-Dgraft.plans.regen=${sys.props.getOrElse("graft.plans.regen", "false")}",
 )
