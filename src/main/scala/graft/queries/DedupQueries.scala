@@ -162,13 +162,17 @@ object DedupQueries {
           col("id").as("asset_id"), lit("image").as("modality"),
           col("content"))),
         predsPath("q468_sigs"))
-      // hamMax 3, not the generic 7: the planted perturbation moves ≤2
-      // gradient bits, and the tighter verify threshold keeps chance
-      // near-collisions between unrelated md5 images out of the joint
-      // graph (8 bands' pigeonhole covers ≤7, so ≤3 stays exact)
+      // hamMax 3 with 4 bands of 16 bits, not the generic (7, 8): the
+      // planted perturbation moves ≤2 gradient bits, so the pigeonhole
+      // guarantee only needs bands > 3 — and WIDER band keys matter at
+      // this corpus size (3·|docs| sigs over 8-bit keys collide into
+      // ~n/256-member buckets whose in-bucket expansion is Σ bucket²;
+      // 16-bit keys keep buckets near-singleton). The tighter verify
+      // threshold also keeps chance near-collisions between unrelated
+      // md5 images out of the joint graph.
       val imgPairs = llm.Dedup.hamming64Dups(
           s.read.parquet(predsPath("q468_sigs")), "asset_id", "sig",
-          hamMax = 3, bands = perceptualHamming._2)
+          hamMax = 3, bands = 4)
         .select(col("id_a").as("a_doc"), col("id_b").as("b_doc"))
       val fps = corpus.select(col("id"), md5(col("text")).as("fp"))
       val textPairs = fps.as("x")
@@ -1693,8 +1697,8 @@ object DedupQueries {
 
     // the q43 closure + q225 hamming-replay recipes COMPOSED: text
     // edges re-derived by the md5 rule over the stated corpus, image
-    // edges replayed over the persisted dhash signatures (8 bands of
-    // 8 bits, ≤3 hamming), one recursive transitive closure over the
+    // edges replayed over the persisted dhash signatures (4 bands of
+    // 16 bits, ≤3 hamming), one recursive transitive closure over the
     // union, survivor per component by (text length desc, id)
     "q468_multisignal_survivors" ->
       s"""WITH RECURSIVE corpus AS (
@@ -1712,16 +1716,12 @@ object DedupQueries {
          |             ELSE CAST(0 AS HUGEINT) END AS usig
          |  FROM read_parquet('${predsPath("q468_sigs")}/*.parquet')
          |), banded AS (
-         |  SELECT s.id, s.sig, b.band, (s.usig // b.d) % 256 AS key
+         |  SELECT s.id, s.sig, b.band, (s.usig // b.d) % 65536 AS key
          |  FROM sigs s CROSS JOIN (VALUES
          |    (0, CAST('1' AS HUGEINT)),
-         |    (1, CAST('256' AS HUGEINT)),
-         |    (2, CAST('65536' AS HUGEINT)),
-         |    (3, CAST('16777216' AS HUGEINT)),
-         |    (4, CAST('4294967296' AS HUGEINT)),
-         |    (5, CAST('1099511627776' AS HUGEINT)),
-         |    (6, CAST('281474976710656' AS HUGEINT)),
-         |    (7, CAST('72057594037927936' AS HUGEINT))) b(band, d)
+         |    (1, CAST('65536' AS HUGEINT)),
+         |    (2, CAST('4294967296' AS HUGEINT)),
+         |    (3, CAST('281474976710656' AS HUGEINT))) b(band, d)
          |), ok AS (
          |  SELECT band, key FROM banded GROUP BY band, key
          |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 10000
