@@ -367,6 +367,61 @@ object Dedup {
     (dups, dropped)
   }
 
+  /** CROSS-SET banded-hamming near-duplicate join — the two-corpus form
+    * of [[hamming64Dups]] (train×eval decontamination, new-batch×index
+    * ingestion dedup): left and right signature frames band
+    * independently, candidates come from the (band, key) equi-join —
+    * never an all-pairs product — and exact hamming verifies ≤ `hamMax`.
+    * Same pigeonhole contract as the single-set form: a cross pair
+    * within `hamMax` bits shares at least one of `bands` slices
+    * verbatim. The right side's per-(band, key) fan-out is capped at
+    * `maxRightPerKey` (md5-order — deterministic, and a saturated key is
+    * boilerplate by construction), bounding per-left-row work the way
+    * [[cappedPostings]] bounds anchor routing; at production scale the
+    * small side (eval set, day batch) goes RIGHT so the equi-join can
+    * broadcast it. Returns (leftId, rightId, hamming) distinct pairs. */
+  def hamming64CrossDups(
+      left: DataFrame,
+      leftId: String,
+      right: DataFrame,
+      rightId: String,
+      sigCol: String,
+      hamMax: Int,
+      bands: Int,
+      maxRightPerKey: Int = 10000): DataFrame = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(hamMax < bands,
+      s"hamming guarantee needs hamMax < bands (got $hamMax >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def banded(df: DataFrame, id: String, as: String): DataFrame =
+      df.select(col(id).as(as), col(sigCol).as(s"${as}_sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col(sigCol), b * width).bitwiseAND(lit(mask))
+              .as("key"))): _*)).as("bk"))
+        .select(col(as), col(s"${as}_sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded(left, leftId, "_lid")
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+      .orderBy(md5(concat_ws("|", col("_rid").cast("string"),
+        col("_rid_sig").cast("string"))))
+    val r = banded(right, rightId, "_rid")
+      .withColumn("_rk", row_number().over(wCap))
+      .filter(col("_rk") <= maxRightPerKey)
+      .drop("_rk")
+    l.join(r, Seq("band", "key"))
+      .select(col("_lid"), col("_rid"),
+        bit_count(col("_lid_sig").bitwiseXOR(col("_rid_sig"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= hamMax)
+      .distinct()
+      .select(col("_lid").as(leftId), col("_rid").as(rightId),
+        col("hamming"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the
     * survivor-selection step that completes dedup: every doc in a
     * component gets the component's MINIMUM doc id as `cluster_id`

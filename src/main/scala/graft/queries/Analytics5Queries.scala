@@ -1073,6 +1073,127 @@ object Analytics5Queries {
     // integers: per-doc agreeing-pair counts Σ[p(p−1)+(3−p)(2−p)] fold
     // once; P̄ and the category shares quantize to ppm; Pe = share²
     // sums via div-10⁶ stages; κ = (P̄−Pe)·10⁶ div (10⁶−Pe), guarded.
+    // O'BRIEN–FLEMING interim boundaries (round 13) — the conservative
+    // sibling of q457's Pocock monitor, completing the group-sequential
+    // pair every experimentation platform ships: where Pocock spends
+    // alpha evenly (constant z boundary), OBF spends almost nothing
+    // early (boundary z_k = C·sqrt(K/k), so z²_k·k ≥ C²·K — an exact
+    // INTEGER product test, no sqrt needed). Same day-grain bucketing,
+    // cumulative split-div z² micro-units, and declared constant
+    // (C = 2.040 for K = 5 two-sided α = .05 → C²·K = 20 808 000 micro)
+    // as q457; the per-interim boundary is also reported so the
+    // decreasing spend is visible. Windows on the 5-row interim grain
+    // only.
+    "q473_obf_interims" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr(
+          "cast(unix_micros(cast(ts as timestamp)) div 86400000000" +
+            " as bigint)").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 2 === 1).cast("long")).as("k"))
+      val wOrd = Window.orderBy(col("d"))
+      val interim = daily
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+        .withColumn("interim", expr("least((rn - 1) * 5 div nd, 4)"))
+        .groupBy(col("interim"))
+        .agg(sum(col("n")).as("n_i"), sum(col("k")).as("k_i"))
+      val wI = Window.orderBy(col("interim"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val z = interim
+        .withColumn("n_cum", sum(col("n_i")).over(wI))
+        .withColumn("k_cum", sum(col("k_i")).over(wI))
+        .withColumn("z2_micro", expr(
+          "((2 * k_cum - n_cum) * (2 * k_cum - n_cum) div n_cum)" +
+            " * 1000000" +
+            " + ((2 * k_cum - n_cum) * (2 * k_cum - n_cum) % n_cum)" +
+            " * 1000000 div n_cum"))
+        .withColumn("bound_micro", expr("20808000 div (interim + 1)"))
+        .withColumn("crossed",
+          expr("z2_micro * (interim + 1) > 20808000"))
+        .localCheckpoint(true)
+      z.crossJoin(broadcast(z.agg(
+          min(when(col("crossed"), col("interim"))).as("first_cross"))))
+        .select(col("interim"), col("n_cum"), col("k_cum"),
+          col("z2_micro"), col("bound_micro"), col("crossed"),
+          col("first_cross"))
+    }),
+
+
+    // PURGED K-fold time splits (round 13) — the leakage-safe
+    // cross-validation recipe for temporal data (the standard purged-CV
+    // construction): the date span partitions into K=5 contiguous test
+    // windows by exact integer division; per fold, training rows inside
+    // an EMBARGO of ±15 days around the test window are PURGED (near-
+    // boundary rows leak label information through autocorrelation).
+    // Everything is day-integer algebra off one global (min, max)
+    // broadcast + one fact pass — pure filters, no window, no shuffle
+    // beyond the final 5-row rollup; the fold frame is a 5-row
+    // generator, so the fact join is the BNLJ-audit-legal scalar-
+    // aggregate broadcast.
+    "q469_purged_time_folds" -> ((s, dir) => {
+      val k = 5
+      val embargo = 15
+      val o = Tables.orders(s, dir).select(
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      val span = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val folds = span
+        .select(col("lo"), (col("hi") - col("lo") + 1).as("w"),
+          explode(sequence(lit(0L), lit(k - 1L))).as("fold"))
+        .select(col("fold"),
+          (col("lo") + expr("fold * w div 5")).as("t_lo"),
+          (col("lo") + expr("(fold + 1) * w div 5") - 1).as("t_hi"))
+      o.crossJoin(broadcast(folds))
+        .groupBy(col("fold"), col("t_lo"), col("t_hi"))
+        .agg(
+          sum(when(col("d").between(col("t_lo"), col("t_hi")), 1L)
+            .otherwise(0L)).as("n_test"),
+          sum(when(!col("d").between(col("t_lo"), col("t_hi")) &&
+              col("d").between(col("t_lo") - embargo, col("t_hi") + embargo),
+            1L).otherwise(0L)).as("n_purged"),
+          sum(when(!col("d")
+              .between(col("t_lo") - embargo, col("t_hi") + embargo), 1L)
+            .otherwise(0L)).as("n_train"))
+    }),
+
+
+    // KRIPPENDORFF'S ALPHA, nominal data (round 13) — the last standard
+    // member of the rater-agreement family (q328 Cohen pairwise, q401
+    // per-rater kappas, q447 Cochran's Q, q464 Fleiss): unlike Fleiss'
+    // expected-agreement-from-squared-marginals, alpha corrects
+    // disagreement by the PAIRABLE-VALUE count (3n−1), making it exact
+    // for small samples and missing-data-ready. Same three deterministic
+    // binary raters over each document (distinct-ratio, chars-per-token,
+    // digit-token); with n_u = 3 everywhere the observed-disagreement
+    // term collapses to Σ p(3−p) and
+    //   alpha = 1 − Σp(3−p)·(3n−1) / (2·n₁·n₀)
+    // — one fact pass, keys=[] scalar aggregate, exact integer ppm with
+    // the house sign-split truncating division.
+    "q470_krippendorff_alpha" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("n_chars").cast("long").as("n_chars"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select((
+          (size(array_distinct(col("ts"))) * 2 > size(col("ts")))
+            .cast("long")
+            + (col("n_chars") > size(col("ts")).cast("long") * 5L)
+              .cast("long")
+            + expr("exists(ts, t -> t rlike '^[0-9]+$')").cast("long"))
+          .as("p"))
+      d.agg(count(lit(1)).as("n"),
+          sum(col("p")).as("n1"),
+          sum(col("p") * (lit(3L) - col("p"))).as("do_pairs"))
+        .withColumn("n0", col("n") * 3 - col("n1"))
+        .withColumn("alpha_ppm", expr(
+          "case when 2 * n1 * n0 >= do_pairs * (3 * n - 1) then" +
+            " (2 * n1 * n0 - do_pairs * (3 * n - 1)) * 1000000" +
+            " div greatest(2 * n1 * n0, 1)" +
+            " else -((do_pairs * (3 * n - 1) - 2 * n1 * n0) * 1000000" +
+            " div greatest(2 * n1 * n0, 1)) end"))
+    }),
+
+
     "q464_fleiss_kappa" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("n_chars").cast("long").as("n_chars"),
@@ -2203,6 +2324,110 @@ object Analytics5Queries {
         |JOIN sv ON raw.source = sv.source
         |JOIN fin ON raw.source = fin.source
         |LEFT JOIN kept ON raw.source = kept.source""".stripMargin,
+
+    // q457's interim machinery with the OBF product test z²·k > C²·K
+    // and the reported decreasing boundary
+    "q473_obf_interims" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM daily) AS nd
+        |  FROM daily
+        |), buck AS (
+        |  SELECT least((rn - 1) * 5 // nd, 4) AS interim,
+        |    CAST(sum(n) AS BIGINT) AS n_i, CAST(sum(k) AS BIGINT) AS k_i
+        |  FROM r GROUP BY 1
+        |), cum AS (
+        |  SELECT interim,
+        |    CAST(sum(n_i) OVER (ORDER BY interim ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+        |    CAST(sum(k_i) OVER (ORDER BY interim ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS k_cum
+        |  FROM buck
+        |), z AS (
+        |  SELECT CAST(interim AS BIGINT) AS interim, n_cum, k_cum,
+        |    CAST(((2 * k_cum - n_cum) * (2 * k_cum - n_cum) // n_cum)
+        |        * 1000000
+        |      + ((2 * k_cum - n_cum) * (2 * k_cum - n_cum) % n_cum)
+        |        * 1000000 // n_cum AS BIGINT) AS z2_micro
+        |  FROM cum
+        |), f AS (
+        |  SELECT *, CAST(20808000 // (interim + 1) AS BIGINT)
+        |      AS bound_micro,
+        |    z2_micro * (interim + 1) > 20808000 AS crossed
+        |  FROM z
+        |)
+        |SELECT interim, n_cum, k_cum, z2_micro, bound_micro, crossed,
+        |  (SELECT CAST(min(CASE WHEN crossed THEN interim END) AS BIGINT)
+        |   FROM f) AS first_cross
+        |FROM f""".stripMargin,
+
+
+    // same day-integer fold algebra off the orders date span; DuckDB
+    // DATE subtraction is exact day count, // is the same truncating
+    // division on the non-negative operands
+    "q469_purged_time_folds" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |    AS BIGINT) AS d
+        |  FROM orders
+        |), s AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+        |f AS (
+        |  SELECT CAST(fold AS BIGINT) AS fold,
+        |    CAST(lo + (fold * (hi - lo + 1)) // 5 AS BIGINT) AS t_lo,
+        |    CAST(lo + ((fold + 1) * (hi - lo + 1)) // 5 - 1 AS BIGINT)
+        |      AS t_hi
+        |  FROM s, unnest(generate_series(0, 4)) AS u(fold)
+        |)
+        |SELECT f.fold, f.t_lo, f.t_hi,
+        |  CAST(sum(CASE WHEN d BETWEEN t_lo AND t_hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN NOT (d BETWEEN t_lo AND t_hi)
+        |    AND d BETWEEN t_lo - 15 AND t_hi + 15 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purged,
+        |  CAST(sum(CASE WHEN NOT (d BETWEEN t_lo - 15 AND t_hi + 15)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+        |FROM o, f
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+
+    // q464's three deterministic raters verbatim; alpha's (3n−1)
+    // pairable-value correction in the same exact sign-split ppm algebra
+    "q470_krippendorff_alpha" ->
+      """WITH d AS (
+        |  SELECT
+        |    (CASE WHEN len(list_distinct(regexp_extract_all(lower(text),
+        |            '[a-z0-9]+'))) * 2
+        |          > len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |          THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_chars
+        |            > len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5
+        |            THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(list_filter(
+        |            regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |            t -> regexp_matches(t, '^[0-9]+$'))) > 0
+        |            THEN 1 ELSE 0 END) AS p
+        |  FROM documents
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS n1,
+        |    CAST(sum(p * (3 - p)) AS BIGINT) AS do_pairs
+        |  FROM d
+        |)
+        |SELECT n, n1, do_pairs, CAST(n * 3 - n1 AS BIGINT) AS n0,
+        |  CAST(CASE WHEN 2 * n1 * (n * 3 - n1) >= do_pairs * (3 * n - 1)
+        |    THEN (2 * n1 * (n * 3 - n1) - do_pairs * (3 * n - 1)) * 1000000
+        |      // greatest(2 * n1 * (n * 3 - n1), 1)
+        |    ELSE -((do_pairs * (3 * n - 1) - 2 * n1 * (n * 3 - n1)) * 1000000
+        |      // greatest(2 * n1 * (n * 3 - n1), 1)) END AS BIGINT)
+        |    AS alpha_ppm
+        |FROM g""".stripMargin,
+
 
     // identical staged ppm shares and the sign-split chance correction
     "q464_fleiss_kappa" ->

@@ -765,6 +765,66 @@ object AnalyticsQueries {
     }),
 
 
+    // KMV SET ALGEBRA (round 13) — what makes bottom-k sketches the
+    // 100 TB cohort tool: two cohorts' sketches MERGE into the union's
+    // sketch (k smallest of the combined distinct hashes — union is
+    // closed under KMV), and the intersection estimates WITHOUT ever
+    // joining the cohorts at fact scale (Beyer et al. 2007: ρ = the
+    // share of union-sketch hashes present in both sets, |A∩B| ≈
+    // ρ·|A∪B|). Per-cohort and union sketches are ORDER BY h LIMIT k
+    // (TakeOrderedAndProject — k-bounded, no global window); membership
+    // probes are semi joins of the 64-row sketch against the hash sets;
+    // every scalar rides a keys=[] broadcast. md5-derived hashes make
+    // the whole estimator portable — the oracle replays it exactly,
+    // including the floor-double estimate and the integer ρ division.
+    "q475_kmv_setops" -> ((s, dir) => {
+      val k = 64
+      val h = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val ha = h.filter(col("event_type") === "click").select(col("h"))
+      val hb = h.filter(col("event_type") === "purchase").select(col("h"))
+      def sketch(df: org.apache.spark.sql.DataFrame, est: String,
+          keff: String): org.apache.spark.sql.DataFrame =
+        df.orderBy(col("h")).limit(k)
+          .agg(max(col("h")).as("kth"), count(lit(1)).as(keff))
+          .select(col(keff),
+            floor((col(keff).cast("double") - lit(1.0)) *
+              pow(lit(2.0), lit(60.0)) / col("kth").cast("double"))
+              .cast("long").as(est))
+      val sku = ha.unionByName(hb).distinct().orderBy(col("h")).limit(k)
+      val rho = sku
+        .join(ha, Seq("h"), "left_semi")
+        .join(hb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("rho_cnt"))
+      ha.agg(count(lit(1)).as("n_exact_a"))
+        .crossJoin(broadcast(hb.agg(count(lit(1)).as("n_exact_b"))))
+        .crossJoin(broadcast(ha.join(hb, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("n_exact_intersect"))))
+        .crossJoin(broadcast(sketch(ha, "est_a", "k_a")))
+        .crossJoin(broadcast(sketch(hb, "est_b", "k_b")))
+        .crossJoin(broadcast(
+          sku.agg(max(col("h")).as("kth"), count(lit(1)).as("k_u"))
+            .select(col("k_u"),
+              floor((col("k_u").cast("double") - lit(1.0)) *
+                pow(lit(2.0), lit(60.0)) / col("kth").cast("double"))
+                .cast("long").as("est_union"))))
+        .crossJoin(broadcast(rho))
+        .withColumn("n_exact_union",
+          col("n_exact_a") + col("n_exact_b") - col("n_exact_intersect"))
+        .withColumn("est_intersect",
+          expr("rho_cnt * est_union div k_u"))
+        .select(col("n_exact_a"), col("n_exact_b"),
+          col("n_exact_intersect"), col("n_exact_union"),
+          col("k_a"), col("est_a"), col("k_b"), col("est_b"),
+          col("k_u"), col("est_union"), col("rho_cnt"),
+          col("est_intersect"))
+    }),
+
+
     // Volume-weighted average retail price per brand-month: numerator
     // Σ(price_cents·qty) lifts to decimal (no product wrap), denominator
     // is an exact quantity sum, VWAP is ONE double division. Dim join
@@ -1664,6 +1724,57 @@ object AnalyticsQueries {
         |       CAST(floor((CAST(s.k_eff AS DOUBLE) - 1.0) * pow(2.0, 60.0) /
         |                   CAST(s.kth_min AS DOUBLE)) AS BIGINT) AS est
         |FROM sk s JOIN exact e ON s.event_type = e.event_type""".stripMargin,
+
+    // identical md5 hash space, LIMIT-k sketches, floor-double
+    // estimates and the integer rho division
+    "q475_kmv_setops" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), ha AS (SELECT h FROM h WHERE event_type = 'click'),
+        |hb AS (SELECT h FROM h WHERE event_type = 'purchase'),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |sku AS (
+        |  SELECT h FROM (SELECT DISTINCT h FROM (
+        |    SELECT h FROM ska UNION ALL SELECT h FROM skb))
+        |  ORDER BY h LIMIT 64
+        |), ea AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_a,
+        |    CAST(floor((CAST(count(*) AS DOUBLE) - 1.0) * pow(2.0, 60.0)
+        |      / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_a
+        |  FROM ska
+        |), eb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_b,
+        |    CAST(floor((CAST(count(*) AS DOUBLE) - 1.0) * pow(2.0, 60.0)
+        |      / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_b
+        |  FROM skb
+        |), eu AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_u,
+        |    CAST(floor((CAST(count(*) AS DOUBLE) - 1.0) * pow(2.0, 60.0)
+        |      / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_union
+        |  FROM sku
+        |), xa AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_a FROM ha),
+        |xb AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_b FROM hb),
+        |xi AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_exact_intersect
+        |  FROM ha WHERE h IN (SELECT h FROM hb)
+        |), r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rho_cnt
+        |  FROM sku WHERE h IN (SELECT h FROM ha)
+        |    AND h IN (SELECT h FROM hb)
+        |)
+        |SELECT xa.n_exact_a, xb.n_exact_b, xi.n_exact_intersect,
+        |  CAST(xa.n_exact_a + xb.n_exact_b - xi.n_exact_intersect
+        |    AS BIGINT) AS n_exact_union,
+        |  ea.k_a, ea.est_a, eb.k_b, eb.est_b, eu.k_u, eu.est_union,
+        |  r.rho_cnt,
+        |  CAST(r.rho_cnt * eu.est_union // eu.k_u AS BIGINT)
+        |    AS est_intersect
+        |FROM xa, xb, xi, ea, eb, eu, r""".stripMargin,
+
 
     "q277_vwap" ->
       """SELECT p.p_brand,

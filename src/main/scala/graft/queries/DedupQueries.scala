@@ -118,6 +118,56 @@ object DedupQueries {
     }),
 
 
+    // PERCEPTUAL eval-set decontamination (round 13) — the image-
+    // modality twin of the exact/Bloom text decontamination family
+    // (q70/q73/q420/q461): training assets perceptually near ANY eval
+    // asset are flagged before training, catching re-encoded or
+    // retouched eval leakage that byte-level hashes miss. Train corpus =
+    // 300 clean images + 300 PLANTED single-pixel-perturbed eval copies
+    // (ground truth known); the cross-set banded-hamming join
+    // ([[graft.llm.Dedup.hamming64CrossDups]]) generates candidates from
+    // (band, key) buckets with an md5-order right-side cap — never
+    // train×eval all-pairs — and the decision frame (per train asset:
+    // match count, min hamming, contaminated flag) is what a curation
+    // run gates on. Sketch halves persist; the oracle replays banding,
+    // cap, verify and the decision join relationally.
+    "q472_perceptual_decontamination" -> ((s, dir) => {
+      val trainBase = multimodal.Multimodal.syntheticAssets(s, 900)
+        .filter(col("modality") === "image")
+      val eval = multimodal.Multimodal.syntheticAssets(s, 3000)
+        .filter(col("modality") === "image" && col("asset_id") >= 2100)
+      val planted = eval.select(
+        (col("asset_id") + 3000000L).as("asset_id"), col("modality"),
+        concat(substring(col("content"), 1, 54),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 56, length(content) - 55)"))
+          .as("content"),
+        col("meta"))
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.imageSignatures(
+          trainBase.unionByName(planted)),
+        predsPath("q472_train_sigs"))
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.imageSignatures(eval),
+        predsPath("q472_eval_sigs"))
+      val ts = s.read.parquet(predsPath("q472_train_sigs"))
+        .withColumnRenamed("asset_id", "train_id")
+      val es = s.read.parquet(predsPath("q472_eval_sigs"))
+        .withColumnRenamed("asset_id", "eval_id")
+      val pairs = llm.Dedup.hamming64CrossDups(ts, "train_id",
+        es, "eval_id", "sig",
+        hamMax = perceptualHamming._1, bands = perceptualHamming._2)
+      val hits = pairs.groupBy(col("train_id"))
+        .agg(count(lit(1)).as("nm"), min(col("hamming")).as("mh"))
+      ts.select(col("train_id"))
+        .join(hits, Seq("train_id"), "left_outer")
+        .select(col("train_id"),
+          coalesce(col("nm"), lit(0L)).as("n_eval_matches"),
+          coalesce(col("mh"), lit(-1)).cast("int").as("min_hamming"),
+          (coalesce(col("nm"), lit(0L)) > 0).as("contaminated"))
+    }),
+
+
     // MULTI-SIGNAL survivor policy (round-12 VERDICT next #5): text
     // fingerprint clusters and perceptual image-hash clusters composed
     // into ONE joint cluster frame — the "same text, different assets /
@@ -1693,6 +1743,62 @@ object DedupQueries {
         |), e AS (SELECT doc_id, unnest(fps) AS fp FROM m)
         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
         |FROM e GROUP BY fp HAVING count(*) >= 2""".stripMargin,
+
+
+    // cross-set banding replay over the two persisted signature files:
+    // both sides band into 8×8-bit keys, the eval side capped per
+    // (band, key) in the same md5 order the engine uses, candidates from
+    // the key equi-join, exact hamming ≤7 verify, then the per-train
+    // decision join
+    "q472_perceptual_decontamination" ->
+      s"""WITH t AS (
+         |  SELECT asset_id AS train_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q472_train_sigs")}/*.parquet')
+         |), e AS (
+         |  SELECT asset_id AS eval_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q472_eval_sigs")}/*.parquet')
+         |), bands(band, d) AS (VALUES
+         |    (0, CAST('1' AS HUGEINT)),
+         |    (1, CAST('256' AS HUGEINT)),
+         |    (2, CAST('65536' AS HUGEINT)),
+         |    (3, CAST('16777216' AS HUGEINT)),
+         |    (4, CAST('4294967296' AS HUGEINT)),
+         |    (5, CAST('1099511627776' AS HUGEINT)),
+         |    (6, CAST('281474976710656' AS HUGEINT)),
+         |    (7, CAST('72057594037927936' AS HUGEINT))
+         |), bt AS (
+         |  SELECT train_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM t CROSS JOIN bands b
+         |), be AS (
+         |  SELECT eval_id, sig, band, key FROM (
+         |    SELECT eval_id, sig, b.band, (usig // b.d) % 256 AS key,
+         |      row_number() OVER (PARTITION BY b.band, (usig // b.d) % 256
+         |        ORDER BY md5(CAST(eval_id AS VARCHAR) || '|'
+         |                     || CAST(sig AS VARCHAR))) AS rk
+         |    FROM e CROSS JOIN bands b)
+         |  WHERE rk <= 10000
+         |), p AS (
+         |  SELECT DISTINCT bt.train_id, be.eval_id,
+         |    CAST(bit_count(xor(bt.sig, be.sig)) AS INT) AS hamming
+         |  FROM bt JOIN be ON bt.band = be.band AND bt.key = be.key
+         |  WHERE bit_count(xor(bt.sig, be.sig)) <= 7
+         |), h AS (
+         |  SELECT train_id, CAST(count(*) AS BIGINT) AS nm,
+         |    min(hamming) AS mh
+         |  FROM p GROUP BY 1
+         |)
+         |SELECT ti.train_id,
+         |  coalesce(h.nm, 0) AS n_eval_matches,
+         |  CAST(coalesce(h.mh, -1) AS INT) AS min_hamming,
+         |  (coalesce(h.nm, 0) > 0) AS contaminated
+         |FROM (SELECT DISTINCT train_id FROM t) ti
+         |LEFT JOIN h USING (train_id)""".stripMargin,
 
 
     // the q43 closure + q225 hamming-replay recipes COMPOSED: text

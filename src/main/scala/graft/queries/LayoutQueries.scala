@@ -678,6 +678,68 @@ object LayoutQueries {
     }),
 
 
+    // VIDEO shot-boundary detection (round 13) — the temporal
+    // segmentation read a video-curation pipeline runs before sampling
+    // keyframes: per-frame 9×8 gray gradient hashes (vhash64 on a
+    // single-frame slice — the same kernel q466 majority-folds), then a
+    // cut wherever consecutive frames' hamming exceeds 16 bits (within
+    // a shot the gradient field is stable; across a cut ~half the 64
+    // bits flip). The synthetic corpus plants the ground truth: 8-frame
+    // clips whose frames 0–3 share one md5 seed and 4–7 another, so
+    // every clip cuts exactly once at frame 4. Decode → per-frame hash
+    // is the persisted FIT half (native kernel, no SQL form); the lag /
+    // threshold / rollup SERVE half replays in DuckDB over the stored
+    // hashes. Frame explode fans out within partitions; the lag window
+    // partitions by asset — nothing global.
+    "q474_shot_boundaries" -> ((s, dir) => {
+      val w = multimodal.Multimodal.SyntheticImageW
+      val h = multimodal.Multimodal.SyntheticImageH
+      val luma = w * h
+      val hexBlocks = (luma * 2 + 31) / 32
+      val ref = graft.expr.Y4mDecode.encode(w, h, 1, new Array[Byte](luma))
+      val header = ref.take(ref.length - luma - 6)
+      val nFrames = 8
+      def frameBytes(f: Int) = {
+        val seed = concat(col("id"), lit(if (f < 4) "_shotA_" else "_shotB_"))
+        to_binary(substring(concat_ws("",
+          (0 until hexBlocks).map(b => md5(concat(seed, lit(s"$b")))): _*),
+          1, luma * 2), lit("hex"))
+      }
+      val content = concat(
+        lit(header) +:
+          (0 until nFrames).flatMap(f => Seq(
+            lit("FRAME\n".getBytes("US-ASCII")), frameBytes(f))): _*)
+      val assets = s.range(300).select(col("id").as("asset_id"),
+        content.as("content"))
+      val hashes = assets
+        .withColumn("vid", graft.exprapi.y4mDecode(col("content")))
+        .filter(col("vid").isNotNull)
+        .select(col("asset_id"), col("vid"),
+          explode(sequence(lit(0), col("vid.n_frames") - 1)).as("frame_no"))
+        .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
+          graft.exprapi.vhash64(
+            col("vid.y").substr(
+              (col("frame_no") * col("vid.w") * col("vid.h") + 1)
+                .cast("int"),
+              (col("vid.w") * col("vid.h")).cast("int")),
+            col("vid.w"), col("vid.h"), lit(1)).as("fh"))
+      sources.Sources.writeParquet(hashes, predsPath("q474_frame_hashes"))
+      val stored = s.read.parquet(predsPath("q474_frame_hashes"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("asset_id")).orderBy(col("frame_no"))
+      stored
+        .withColumn("prev", lag(col("fh"), 1).over(wA))
+        .withColumn("cut",
+          col("prev").isNotNull &&
+            bit_count(col("fh").bitwiseXOR(col("prev"))) > 16)
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("cut").cast("long")).as("n_cuts"),
+          coalesce(min(when(col("cut"), col("frame_no"))), lit(-1L))
+            .as("first_cut"))
+    }),
+
+
     // VIDEO near-dup via the majority-folded per-frame gradient
     // fingerprint (vhash64) — completes the image/audio/video symmetry
     // over the SAME banded-hamming LSH join (round-12 VERDICT next #2).
@@ -1024,6 +1086,28 @@ object LayoutQueries {
     // same split over the persisted video majority-fold fingerprints
     "q466_video_neardup" ->
       hammingReplaySql(predsPath("q466_sigs"), "asset_id", perceptualHamming),
+
+
+    // the lag/threshold/rollup serve replayed over the persisted
+    // per-frame gradient hashes (the fit half has no SQL form)
+    "q474_shot_boundaries" ->
+      s"""WITH h AS (
+         |  SELECT asset_id, frame_no, fh
+         |  FROM read_parquet('${predsPath("q474_frame_hashes")}/*.parquet')
+         |), l AS (
+         |  SELECT asset_id, frame_no, fh,
+         |    lag(fh) OVER (PARTITION BY asset_id ORDER BY frame_no) AS prev
+         |  FROM h
+         |), c AS (
+         |  SELECT asset_id, frame_no,
+         |    (prev IS NOT NULL AND bit_count(xor(fh, prev)) > 16) AS cut
+         |  FROM l
+         |)
+         |SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  CAST(coalesce(min(CASE WHEN cut THEN frame_no END), -1)
+         |    AS BIGINT) AS first_cut
+         |FROM c GROUP BY 1""".stripMargin,
 
 
     // the Spark side ran this join+agg from bucketed tables with zero

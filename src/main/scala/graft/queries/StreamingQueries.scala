@@ -818,6 +818,43 @@ object StreamingQueries {
     }),
 
 
+    // VIDEO ingestion-time perceptual dedup EXECUTED AS A STREAM (round
+    // 13 — the vhash64 twin of q413's text-anchor ingestion routing):
+    // the old corpus's vhash index persists ONCE; new assets (perturbed
+    // copies of every original, ground truth known) drain as single-
+    // file micro-batches, each decoding → vhash64 → cross-set banded-
+    // hamming join against the stored index — candidates from (band,
+    // key) buckets, never batch×index pairs. Streamed == batch exactly
+    // (new asset atomic per batch, index static — StreamsSpec law); the
+    // per-batch signatures re-stage so the oracle replays banding +
+    // verify over the two stored 64-bit sets.
+    "q471_video_ingest_stream" -> ((s, dir) => {
+      val vids = multimodal.Multimodal.syntheticAssets(s, 900)
+        .filter(col("modality") === "video")
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.videoSignatures(vids),
+        predsPath("q471_index_sigs"))
+      val copies = vids.select(
+        (col("asset_id") + 1000000L).as("asset_id"), col("modality"),
+        concat(substring(col("content"), 1, 60),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 62, length(content) - 61)"))
+          .as("content"),
+        col("meta"))
+      val root = predsPath(s"q471_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(copies.repartition(4), s"$root/new")
+      val marks = QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.videoIngestStream(s, s"$root/new",
+          copies.schema, predsPath("q471_index_sigs"),
+          s"$root/newsigs", s"$root/partials", s"$root/ckpt")
+      }
+      s.read.parquet(s"$root/newsigs").select(col("asset_id"), col("sig"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q471_new_sigs"))
+      marks
+    }),
+
+
     // q443's GDPR delete-and-certify with the deletes arriving AS A
     // STREAM (round-12 VERDICT next #3 — the production shape): each
     // micro-batch digests the rows it is about to delete from a
@@ -894,6 +931,49 @@ object StreamingQueries {
     * rows-only checked by the driver (non-portable hash/codec/fit paths,
     * each pinned by a dedicated spec instead). */
   val sql: Map[String, String] = Map(
+
+    // cross-set banding replay over the re-staged new signatures × the
+    // persisted index: 8×8-bit keys, index side capped per (band, key)
+    // in the engine's md5 order, exact hamming ≤7 verify
+    "q471_video_ingest_stream" ->
+      s"""WITH n AS (
+         |  SELECT asset_id AS new_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q471_new_sigs")}/*.parquet')
+         |), o AS (
+         |  SELECT asset_id AS old_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q471_index_sigs")}/*.parquet')
+         |), bands(band, d) AS (VALUES
+         |    (0, CAST('1' AS HUGEINT)),
+         |    (1, CAST('256' AS HUGEINT)),
+         |    (2, CAST('65536' AS HUGEINT)),
+         |    (3, CAST('16777216' AS HUGEINT)),
+         |    (4, CAST('4294967296' AS HUGEINT)),
+         |    (5, CAST('1099511627776' AS HUGEINT)),
+         |    (6, CAST('281474976710656' AS HUGEINT)),
+         |    (7, CAST('72057594037927936' AS HUGEINT))
+         |), bn AS (
+         |  SELECT new_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM n CROSS JOIN bands b
+         |), bo AS (
+         |  SELECT old_id, sig, band, key FROM (
+         |    SELECT old_id, sig, b.band, (usig // b.d) % 256 AS key,
+         |      row_number() OVER (PARTITION BY b.band, (usig // b.d) % 256
+         |        ORDER BY md5(CAST(old_id AS VARCHAR) || '|'
+         |                     || CAST(sig AS VARCHAR))) AS rk
+         |    FROM o CROSS JOIN bands b)
+         |  WHERE rk <= 10000
+         |)
+         |SELECT DISTINCT bn.new_id, bo.old_id,
+         |  CAST(bit_count(xor(bn.sig, bo.sig)) AS INT) AS hamming
+         |FROM bn JOIN bo ON bn.band = bo.band AND bn.key = bo.key
+         |WHERE bit_count(xor(bn.sig, bo.sig)) <= 7""".stripMargin,
+
 
     // the q443 certificate replayed over the STORED post-drain
     // survivors: digests from orders (before + deleted slice), digests

@@ -828,6 +828,73 @@ object Streams {
       partialsDir, deletesDir, deletesSchema)
   }
 
+  /** VIDEO ingestion-time perceptual dedup (round 13) — the vhash64
+    * member of the ingestion-dedup family ([[streamingSubstringMarks]]
+    * routes text anchors; this routes 64-bit video fingerprints): new
+    * video assets drain as micro-batches, each batch decodes → vhash64
+    * ([[graft.multimodal.Multimodal.videoSignatures]]), joins its
+    * fingerprints against the PERSISTED index signatures via the
+    * cross-set banded-hamming join
+    * ([[graft.llm.Dedup.hamming64CrossDups]] — bucket candidates, never
+    * batch×index pairs), and lands (new_id, old_id, hamming) marks plus
+    * its own signatures under `batch_id=<id>` (idempotent overwrite).
+    * Streamed == batch EXACTLY: a new asset is atomic within one batch
+    * and the index side is static, so per-batch marks partition the
+    * one-shot cross join by new asset (StreamsSpec law). Readout =
+    * [[videoIngestReadout]]; the per-batch signatures make the banding
+    * oracle-replayable over stored 64-bit values. */
+  def videoIngestStream(
+      spark: org.apache.spark.sql.SparkSession,
+      newAssetsDir: String,
+      assetsSchema: org.apache.spark.sql.types.StructType,
+      indexSigsPath: String,
+      newSigsDir: String,
+      partialsDir: String,
+      checkpointDir: String,
+      hamMax: Int = 7,
+      bands: Int = 8,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val stream = spark.readStream.schema(assetsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(newAssetsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = graft.multimodal.Multimodal.videoSignatures(batch)
+          .localCheckpoint(true)
+        sigs.coalesce(1).write.mode("overwrite")
+          .parquet(s"$newSigsDir/batch_id=$batchId")
+        graft.llm.Dedup.hamming64CrossDups(
+            sigs.withColumnRenamed("asset_id", "new_id"), "new_id",
+            spark.read.parquet(indexSigsPath)
+              .withColumnRenamed("asset_id", "old_id"), "old_id",
+            "sig", hamMax, bands)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow video-ingest stream must drain")
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("new_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("old_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hamming",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    videoIngestReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
+  /** SERVE half of [[videoIngestStream]]: fold the per-batch mark
+    * partials to the distinct pair grain (a replayed batch overwrote its
+    * own dir, so distinct is idempotence insurance, not dedup). */
+  def videoIngestReadout(partials: DataFrame): DataFrame =
+    partials.select(col("new_id"), col("old_id"), col("hamming")).distinct()
+
   /** SERVE half of [[erasureStream]]: fold the per-batch deletion
     * digests and state the erasure certificate against the stored
     * survivors — all sides keys=[] scalar aggregates riding one

@@ -595,6 +595,29 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.size == uncapped.size + bigDrops)
   }
 
+  test("hamming64CrossDups: candidates need a shared band, verify is exact, " +
+      "right-side cap drops the md5-order tail") {
+    val left = Seq((1L, 0L), (2L, -1L)).toDF("lid", "sig")
+    val right = Seq((10L, 3L), (11L, 0L), (12L, Long.MinValue))
+      .toDF("rid", "sig")
+    val pairs = Dedup
+      .hamming64CrossDups(left, "lid", right, "rid", "sig",
+        hamMax = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // sig 0 shares ≥1 of the 4 16-bit bands with 3 (bands 1-3), with 0
+    // (all) and with MinValue (bands 0-2); hammings 2/0/1. sig -1
+    // (all-ones bands) shares nothing within ≤3 bits.
+    assert(pairs === Set((1L, 10L, 2), (1L, 11L, 0), (1L, 12L, 1)))
+    // cap: two identical right sigs, cap 1 → exactly one survives the
+    // md5-order window, so the left row pairs once
+    val dupRight = Seq((10L, 0L), (11L, 0L)).toDF("rid", "sig")
+    val capped = Dedup.hamming64CrossDups(
+        Seq((1L, 0L)).toDF("lid", "sig"), "lid", dupRight, "rid", "sig",
+        hamMax = 3, bands = 4, maxRightPerKey = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(capped.length === 1 && capped.head._3 === 0)
+  }
+
   test("q468 multi-signal survivors: text and perceptual edges chain into " +
       "one component per doc; the joint policy picks the longest text") {
     // the corpus construction plants, per original doc d: a text edge

@@ -395,6 +395,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(crossBase.isEmpty, s"unrelated clips paired: $crossBase")
   }
 
+  test("q474 shot boundaries: a cut only ever lands at the planted shot " +
+      "change (frame 4), never inside a shot; ≥98% of clips detect it") {
+    // within a shot the frames are IDENTICAL (hamming 0), so a false
+    // positive is impossible — n_cuts ≤ 1 and first_cut ∈ {-1, 4} are
+    // exact invariants. Across the shot change two independent md5
+    // frames sit ~28±5 bits apart, so a >16 threshold MISSES ~0.6% of
+    // clips by chance — real detector behavior, tolerated at 2%.
+    val out = SparkEntry.queries("q474_shot_boundaries")(spark, TestSpark.sf)
+      .collect()
+    assert(out.length === 300)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_frames") === 8L, r.toString)
+      assert(r.getAs[Long]("n_cuts") <= 1L, r.toString)
+      assert(Set(-1L, 4L).contains(r.getAs[Long]("first_cut")), r.toString)
+      assert((r.getAs[Long]("n_cuts") === 1L) ===
+        (r.getAs[Long]("first_cut") === 4L), r.toString)
+    }
+    val detected = out.count(_.getAs[Long]("n_cuts") === 1L)
+    assert(detected >= 294, s"only $detected/300 clips detected the cut")
+  }
+
   test("vhash64: majority fold is frame-drop tolerant and shape-strict; " +
       "videoNearDups pairs every perturbed copy with its original") {
     // unit laws on the kernel itself

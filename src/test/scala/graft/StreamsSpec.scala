@@ -422,6 +422,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"orphan checkpoints left behind: ${orphans.toSeq}")
   }
 
+  test("videoIngestStream: per-batch vhash marks against a static index " +
+      "equal the one-shot cross join; every perturbed copy marks its original") {
+    val root = s"target/tmp/streams/vingest_${System.nanoTime()}"
+    val vids = graft.multimodal.Multimodal.syntheticAssets(spark, 120)
+      .filter(col("modality") === "video") // 40 videos
+    graft.multimodal.Multimodal.videoSignatures(vids)
+      .write.parquet(s"$root/index")
+    val copies = vids.select(
+      (col("asset_id") + 1000000L).as("asset_id"), col("modality"),
+      concat(substring(col("content"), 1, 60),
+        lit(Array[Byte](0x7f.toByte)),
+        expr("substring(content, 62, length(content) - 61)")).as("content"),
+      col("meta"))
+    copies.repartition(3).write.parquet(s"$root/new")
+    val streamed = Streams.videoIngestStream(spark, s"$root/new",
+      copies.schema, s"$root/index", s"$root/newsigs", s"$root/partials",
+      ckpt("vingest"))
+      .as[(Long, Long, Int)].collect().toSet
+    val oneShot = graft.llm.Dedup.hamming64CrossDups(
+        graft.multimodal.Multimodal.videoSignatures(copies)
+          .withColumnRenamed("asset_id", "new_id"), "new_id",
+        spark.read.parquet(s"$root/index")
+          .withColumnRenamed("asset_id", "old_id"), "old_id",
+        "sig", hamMax = 7, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed === oneShot)
+    val ids = vids.select(col("asset_id")).as[Long].collect().toSet
+    assert(ids.map(i => (i + 1000000L, i))
+      .subsetOf(streamed.map(t => (t._1, t._2))),
+      "every perturbed copy must mark its original")
+  }
+
   test("erasureStream: streamed delete-and-certify reconciles exactly, " +
       "equals the one-shot digest algebra, and replays are partial-safe") {
     import graft.sources.Sources
