@@ -422,6 +422,90 @@ object Dedup {
         col("hamming"))
   }
 
+  /** PERSISTED banded-hamming INDEX — the serving layout that makes
+    * cross-set probes partition-pruned at 100 TB (the hamming analogue
+    * of the IVF cell layout `Similarity.writeIvfIndex` uses): each
+    * signature explodes into its `bands` (band, key) slices and lands
+    * hive-partitioned by `(band, kb = key mod kbBuckets)`. A probe
+    * batch's keys hash into a BOUNDED set of (band, kb) directories —
+    * ≤ bands·kbBuckets regardless of index size — so
+    * [[probeHammingIndex]] reads only those, never the whole index.
+    * Write cost is bands× the signature volume (8 longs per asset at
+    * the default), the classic read-optimized trade. */
+  def writeHammingIndex(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      path: String,
+      bands: Int = 8,
+      kbBuckets: Int = 64): Unit = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(kbBuckets > 0, s"kbBuckets must be > 0, got $kbBuckets")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col(sigCol), b * width).bitwiseAND(lit(mask))
+              .as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .withColumn("kb", pmod(col("key"), lit(kbBuckets.toLong)).cast("int"))
+      // shuffle onto the partition columns BEFORE the hive write: each
+      // (band, kb) directory then gets exactly ONE file from one task —
+      // without this, every task holding any rows of a directory writes
+      // its own fragment (tasks × dirs small files, the classic
+      // dynamic-partition-write explosion)
+      .repartition(col("band"), col("kb"))
+      .write.mode("overwrite").partitionBy("band", "kb").parquet(path)
+  }
+
+  /** Partition-pruned probe against a [[writeHammingIndex]] layout:
+    * the query batch bands, its distinct `kb` buckets collect to the
+    * driver (≤ kbBuckets ints — bounded by the LAYOUT, not the data),
+    * the scan filters to those `kb=` directories (partition pruning —
+    * unmatched dirs are never listed), and candidates come from the
+    * (band, key) equi-join with the exact-hamming verify. Returns
+    * distinct (qIdCol, id, hamming ≤ hamMax) pairs — identical results
+    * to [[hamming64CrossDups]] against the unexploded signatures, at
+    * a fraction of the index bytes read (DedupSpec pins both). */
+  def probeHammingIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      qIdCol: String,
+      sigCol: String,
+      hamMax: Int,
+      bands: Int = 8,
+      kbBuckets: Int = 64): DataFrame = {
+    require(hamMax < bands,
+      s"hamming guarantee needs hamMax < bands (got $hamMax >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val qb = queries.select(col(qIdCol).as("_qid"),
+        col(sigCol).as("_qsig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col(sigCol), b * width).bitwiseAND(lit(mask))
+              .as("key"))): _*)).as("bk"))
+      .select(col("_qid"), col("_qsig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("kb", pmod(col("key"), lit(kbBuckets.toLong)).cast("int"))
+      .localCheckpoint(true)
+    val touched = qb.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ kbBuckets — layout-bounded
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("kb").isin(touched.toIndexedSeq.map(Int.box): _*))
+    qb.join(idx, Seq("band", "kb", "key"))
+      .select(col("_qid"), col("id"),
+        bit_count(col("_qsig").bitwiseXOR(col("sig"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= hamMax)
+      .distinct()
+      .select(col("_qid").as(qIdCol), col("id"), col("hamming"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the
     * survivor-selection step that completes dedup: every doc in a
     * component gets the component's MINIMUM doc id as `cluster_id`

@@ -18,6 +18,10 @@ decontamination (exact/Bloom/containment), survivor selection.
   */
 object DedupQueries {
 
+  // once-per-JVM guard for the q476 exploded index build (the
+  // ensurePartsupp discipline: one synchronized check-stage-add)
+  private val q476IndexOnce = scala.collection.mutable.Set.empty[String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // North-star near-dedup: MinHash (k=6, md5-portable) -> 3 LSH bands of
@@ -115,6 +119,52 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
         .withColumn("recall_ppm", expr("(n_hit * 1000000) DIV n_exact"))
+    }),
+
+
+    // PERSISTED HAMMING INDEX serving (round 13) — the layout that
+    // turns perceptual near-dup lookup into a partition-pruned read at
+    // 100 TB: the image corpus's dHash signatures explode into banded
+    // (band, key) slices hive-partitioned by (band, key mod 64)
+    // ([[graft.llm.Dedup.writeHammingIndex]] — the hamming analogue of
+    // the IVF cell layout), and a probe batch reads ONLY the kb=
+    // directories its own keys hash into (bounded by the LAYOUT:
+    // ≤ 64 buckets, never by index size). Probes are perturbed copies
+    // of the first 50 originals — ground truth known; results are
+    // pair-identical to the unpruned cross join (DedupSpec pins
+    // equality + the pruned scan). Oracle recovers the base signatures
+    // from the exploded layout (DISTINCT id, sig) and replays the
+    // banding relationally.
+    "q476_hamming_index_serve" -> ((s, dir) => {
+      val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
+        .filter(col("modality") === "image")
+      // ensure-style build: the exploded hive layout costs one file per
+      // (band, kb) directory — written ONCE per namespace (deterministic
+      // function of the synthetic corpus), the q94-index discipline; the
+      // probe is the per-run serving surface
+      q476IndexOnce.synchronized {
+        val ip = predsPath("q476_index")
+        if (!q476IndexOnce.contains(ip)) {
+          llm.Dedup.writeHammingIndex(
+            multimodal.Multimodal.imageSignatures(imgs),
+            "asset_id", "sig", ip)
+          q476IndexOnce.add(ip)
+        }
+      }
+      val probes = imgs.filter(col("asset_id") < 150).select(
+        (col("asset_id") + 1000000L).as("asset_id"), col("modality"),
+        concat(substring(col("content"), 1, 54),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 56, length(content) - 55)"))
+          .as("content"),
+        col("meta"))
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.imageSignatures(probes)
+          .withColumnRenamed("asset_id", "q_id"),
+        predsPath("q476_probe_sigs"))
+      llm.Dedup.probeHammingIndex(s, predsPath("q476_index"),
+        s.read.parquet(predsPath("q476_probe_sigs")), "q_id", "sig",
+        hamMax = perceptualHamming._1, bands = perceptualHamming._2)
     }),
 
 
@@ -1743,6 +1793,48 @@ object DedupQueries {
         |), e AS (SELECT doc_id, unnest(fps) AS fp FROM m)
         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
         |FROM e GROUP BY fp HAVING count(*) >= 2""".stripMargin,
+
+
+    // base signatures recovered from the exploded hive layout
+    // (DISTINCT id, sig across the band=/kb= dirs), probe signatures
+    // from their plain file, then the standard cross banding replay —
+    // the kb pruning is a read optimization with identical results
+    "q476_hamming_index_serve" ->
+      s"""WITH o AS (
+         |  SELECT DISTINCT id, sig FROM
+         |    read_parquet('${predsPath("q476_index")}/*/*/*.parquet')
+         |), ob AS (
+         |  SELECT id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM o
+         |), q AS (
+         |  SELECT q_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q476_probe_sigs")}/*.parquet')
+         |), bands(band, d) AS (VALUES
+         |    (0, CAST('1' AS HUGEINT)),
+         |    (1, CAST('256' AS HUGEINT)),
+         |    (2, CAST('65536' AS HUGEINT)),
+         |    (3, CAST('16777216' AS HUGEINT)),
+         |    (4, CAST('4294967296' AS HUGEINT)),
+         |    (5, CAST('1099511627776' AS HUGEINT)),
+         |    (6, CAST('281474976710656' AS HUGEINT)),
+         |    (7, CAST('72057594037927936' AS HUGEINT))
+         |), bo AS (
+         |  SELECT id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM ob CROSS JOIN bands b
+         |), bq AS (
+         |  SELECT q_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM q CROSS JOIN bands b
+         |)
+         |SELECT DISTINCT bq.q_id, bo.id,
+         |  CAST(bit_count(xor(bq.sig, bo.sig)) AS INT) AS hamming
+         |FROM bq JOIN bo ON bq.band = bo.band AND bq.key = bo.key
+         |WHERE bit_count(xor(bq.sig, bo.sig)) <= 7""".stripMargin,
 
 
     // cross-set banding replay over the two persisted signature files:

@@ -618,6 +618,36 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.length === 1 && capped.head._3 === 0)
   }
 
+  test("hamming index: partition-pruned probe equals the unpruned cross " +
+      "join and the scan carries a kb partition filter") {
+    val path = s"target/tmp/dedup/hidx_${System.nanoTime()}"
+    val rnd = new scala.util.Random(41)
+    val base = (1L to 200L).map(i => (i, rnd.nextLong())).toDF("id", "sig")
+    Dedup.writeHammingIndex(base, "id", "sig", path,
+      bands = 4, kbBuckets = 16)
+    // probes: 5 exact copies (ham 0) + 5 one-bit flips (ham 1)
+    val baseRows = base.as[(Long, Long)].collect()
+    val probeRows = baseRows.take(5).map { case (i, s) => (i + 1000L, s) } ++
+      baseRows.slice(5, 10).map { case (i, s) => (i + 1000L, s ^ 1L) }
+    val probeDf = probeRows.toSeq.toDF("q_id", "sig")
+    val viaIndex = Dedup.probeHammingIndex(spark, path, probeDf,
+      "q_id", "sig", hamMax = 3, bands = 4, kbBuckets = 16)
+    val plan = viaIndex.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters: [kb") ||
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("kb")),
+      s"probe scan must prune kb partitions:\n${plan.take(2000)}")
+    val got = viaIndex.as[(Long, Long, Int)].collect().toSet
+    val brute = Dedup.hamming64CrossDups(probeDf, "q_id",
+        base, "id", "sig", hamMax = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+    // planted recall: each probe finds its source
+    probeRows.foreach { case (qid, _) =>
+      assert(got.exists(t => t._1 == qid && t._2 == qid - 1000L), s"$qid")
+    }
+  }
+
   test("q468 multi-signal survivors: text and perceptual edges chain into " +
       "one component per doc; the joint policy picks the longest text") {
     // the corpus construction plants, per original doc d: a text edge
