@@ -760,6 +760,56 @@ object Analytics3Queries {
     }),
 
 
+    // PAGE'S L TREND TEST (round 13) — the ordered-alternative sibling
+    // of q342's Friedman: when the k treatments carry a HYPOTHESIZED
+    // order (here: mktsegment alphabetical, declared), L = Σ j·R_j
+    // weights each treatment's rank sum by its position, detecting a
+    // monotone trend Friedman's omnibus squares away. Same block grid,
+    // zero-filled cells and doubled midranks (r2 = 2·rank + ties − 1 —
+    // exact under ties); doubled L against the doubled no-ties null
+    // moments E[2L] = b·k(k+1)²/2 and 4·Var[L] = b·k²(k+1)(k²−1)/36,
+    // z² in exact integer micro vs the declared 1.96² = 3 841 600
+    // bound. The position map is a k-row aggregate-bounded window;
+    // block ranks partition by block — nothing global.
+    "q480_page_trend" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("seg"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val grid = cells.select(col("nk")).distinct()
+        .withColumn("_k", zeroKeyNum(col("nk")))
+        .join(broadcast(cells.select(col("seg")).distinct()
+          .withColumn("_k", zeroKeyStr(col("seg")))), Seq("_k"))
+        .drop("_k")
+        .join(cells, Seq("nk", "seg"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val jmap = cells.select(col("seg")).distinct()
+        .withColumn("j", row_number().over(
+          Window.orderBy(col("seg"))).cast("long"))
+      val ranked = grid
+        .withColumn("rk", rank().over(
+          Window.partitionBy(col("nk")).orderBy(col("x"))).cast("long"))
+        .withColumn("tsz", count(lit(1)).over(
+          Window.partitionBy(col("nk"), col("x"))))
+        .withColumn("r2", lit(2L) * col("rk") + col("tsz") - 1L)
+      val l2 = ranked.join(broadcast(jmap), Seq("seg"))
+        .agg(sum(col("j") * col("r2")).as("l2"))
+      val dims = grid.agg(
+        countDistinct(col("nk")).as("b"),
+        countDistinct(col("seg")).as("k"))
+      l2.crossJoin(broadcast(dims))
+        .withColumn("e2", expr("b * k * (k + 1) * (k + 1) div 2"))
+        .withColumn("var4",
+          expr("b * k * k * (k + 1) * (k * k - 1) div 36"))
+        .withColumn("z2_micro", expr(
+          "(l2 - e2) * (l2 - e2) * 1000000 div greatest(var4, 1)"))
+        .withColumn("trend", col("z2_micro") > 3841600L)
+        .select(col("b"), col("k"), col("l2"), col("e2"), col("var4"),
+          col("z2_micro"), col("trend"))
+    }),
+
+
     // Theil–Sen slope per nation (balance → revenue): the median of all
     // pairwise slopes — the high-breakdown robust regressor. Slopes are
     // single IEEE divisions of exact cent deltas (identical both
@@ -2735,6 +2785,49 @@ object Analytics3Queries {
         |  - 3.0 * CAST(nb.n AS DOUBLE) * (CAST(a.k AS DOUBLE) + 1.0)
         |    AS q_stat
         |FROM a CROSS JOIN nb""".stripMargin,
+
+    // q342's grid and doubled midranks with the alphabetical position
+    // weights and the integer null-moment algebra
+    "q480_page_trend" ->
+      """WITH cells AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT n.nk, s.seg, COALESCE(c.x, 0) AS x
+        |  FROM (SELECT DISTINCT nk FROM cells) n
+        |  CROSS JOIN (SELECT DISTINCT seg FROM cells) s
+        |  LEFT JOIN cells c ON c.nk = n.nk AND c.seg = s.seg),
+        |jm AS (
+        |  SELECT seg, CAST(row_number() OVER (ORDER BY seg) AS BIGINT) AS j
+        |  FROM (SELECT DISTINCT seg FROM cells)),
+        |r AS (
+        |  SELECT nk, seg,
+        |    2 * CAST(rank() OVER (PARTITION BY nk ORDER BY x) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY nk, x) AS BIGINT) - 1 AS r2
+        |  FROM grid),
+        |l AS (
+        |  SELECT CAST(sum(jm.j * r.r2) AS BIGINT) AS l2
+        |  FROM r JOIN jm ON r.seg = jm.seg),
+        |d AS (
+        |  SELECT CAST(count(DISTINCT nk) AS BIGINT) AS b,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS k
+        |  FROM grid),
+        |m AS (
+        |  SELECT l.l2, d.b, d.k,
+        |    CAST(d.b * d.k * (d.k + 1) * (d.k + 1) // 2 AS BIGINT) AS e2,
+        |    CAST(d.b * d.k * d.k * (d.k + 1) * (d.k * d.k - 1) // 36
+        |      AS BIGINT) AS var4
+        |  FROM l CROSS JOIN d)
+        |SELECT b, k, l2, e2, var4,
+        |  CAST((l2 - e2) * (l2 - e2) * 1000000 // greatest(var4, 1)
+        |    AS BIGINT) AS z2_micro,
+        |  ((l2 - e2) * (l2 - e2) * 1000000 // greatest(var4, 1)) > 3841600
+        |    AS trend
+        |FROM m""".stripMargin,
+
 
     "q343_theil_sen" ->
       """WITH rev AS (

@@ -1530,6 +1530,50 @@ object Analytics5Queries {
     // per-source median document length (a PARTITIONED rank — the
     // source grain bounds every window). The one-stop audit read built
     // from already-verified pieces.
+    // DATASET DIFF CARD (round 13) — the release-to-release changelog a
+    // dataset card (q448) implies but cannot state alone: the previous
+    // release (doc_id % 10 ≠ 0 — the declared v1 slice) and the current
+    // corpus compare per source on volume, token mass, majority
+    // language (window on the (source, lang) aggregate grain,
+    // count-desc/lang tie-break), and mean distinct-token quality in
+    // exact ppm; the card flags majority-language changes and quality
+    // drift beyond ±5 000 ppm. Everything is two grouped passes + one
+    // source-grain join — the shape a nightly release gate runs.
+    "q479_dataset_diff_card" -> ((s, dir) => {
+      def members(df: org.apache.spark.sql.DataFrame, sfx: String) = {
+        val base = df
+          .withColumn("ts", text.TextOps.tokens(col("text")))
+          .select(col("source"), col("lang"),
+            size(col("ts")).cast("long").as("ntok"),
+            expr("cast(size(array_distinct(ts)) as bigint) * 1000000" +
+              " div greatest(cast(size(ts) as bigint), 1)").as("q_ppm"))
+        val byLang = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("ntok")).as("ntok"),
+            sum(col("q_ppm")).as("qsum"))
+        val wM = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang"))
+        val maj = byLang
+          .withColumn("rk", row_number().over(wM))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("lang").as(s"maj_lang$sfx"))
+        byLang.groupBy(col("source"))
+          .agg(sum(col("n")).as(s"n_docs$sfx"),
+            sum(col("ntok")).as(s"n_tokens$sfx"),
+            expr("sum(qsum) div sum(n)").as(s"q_ppm$sfx"))
+          .join(maj, Seq("source"))
+      }
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      members(docs.filter(col("doc_id") % 10 =!= 0), "_v1")
+        .join(members(docs, "_v2"), Seq("source"))
+        .withColumn("delta_docs", col("n_docs_v2") - col("n_docs_v1"))
+        .withColumn("delta_tokens", col("n_tokens_v2") - col("n_tokens_v1"))
+        .withColumn("lang_changed", col("maj_lang_v2") =!= col("maj_lang_v1"))
+        .withColumn("quality_drift",
+          abs(col("q_ppm_v2") - col("q_ppm_v1")) > 5000L)
+    }),
+
+
     "q448_dataset_card" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val base = docs.select(col("doc_id"), col("source"), col("lang"),
@@ -2324,6 +2368,54 @@ object Analytics5Queries {
         |JOIN sv ON raw.source = sv.source
         |JOIN fin ON raw.source = fin.source
         |LEFT JOIN kept ON raw.source = kept.source""".stripMargin,
+
+    // same two grouped passes per release slice, the count-desc/lang
+    // majority window, and the integer ppm quality mean
+    "q479_dataset_diff_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS ntok,
+        |    CAST(len(list_distinct(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+'))) AS BIGINT) * 1000000
+        |      // greatest(CAST(len(regexp_extract_all(lower(text),
+        |        '[a-z0-9]+')) AS BIGINT), 1) AS q_ppm
+        |  FROM documents
+        |), mk AS (
+        |  SELECT v, source, lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ntok) AS BIGINT) AS ntok,
+        |    CAST(sum(q_ppm) AS BIGINT) AS qsum
+        |  FROM (
+        |    SELECT 1 AS v, * FROM base WHERE doc_id % 10 <> 0
+        |    UNION ALL SELECT 2 AS v, * FROM base)
+        |  GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT v, source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(qsum) // sum(n) AS BIGINT) AS q_ppm
+        |  FROM mk GROUP BY 1, 2
+        |), maj AS (
+        |  SELECT v, source, lang AS maj_lang FROM (
+        |    SELECT v, source, lang,
+        |      row_number() OVER (PARTITION BY v, source
+        |        ORDER BY n DESC, lang) AS rk
+        |    FROM mk) WHERE rk = 1
+        |)
+        |SELECT a1.source,
+        |  a1.n_docs AS n_docs_v1, a1.n_tokens AS n_tokens_v1,
+        |  a1.q_ppm AS q_ppm_v1, m1.maj_lang AS maj_lang_v1,
+        |  a2.n_docs AS n_docs_v2, a2.n_tokens AS n_tokens_v2,
+        |  a2.q_ppm AS q_ppm_v2, m2.maj_lang AS maj_lang_v2,
+        |  CAST(a2.n_docs - a1.n_docs AS BIGINT) AS delta_docs,
+        |  CAST(a2.n_tokens - a1.n_tokens AS BIGINT) AS delta_tokens,
+        |  (m2.maj_lang <> m1.maj_lang) AS lang_changed,
+        |  (abs(a2.q_ppm - a1.q_ppm) > 5000) AS quality_drift
+        |FROM agg a1
+        |JOIN maj m1 ON m1.v = 1 AND m1.source = a1.source
+        |JOIN agg a2 ON a2.v = 2 AND a2.source = a1.source
+        |JOIN maj m2 ON m2.v = 2 AND m2.source = a1.source
+        |WHERE a1.v = 1""".stripMargin,
+
 
     // q457's interim machinery with the OBF product test z²·k > C²·K
     // and the reported decreasing boundary

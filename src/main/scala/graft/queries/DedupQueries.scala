@@ -18,10 +18,6 @@ decontamination (exact/Bloom/containment), survivor selection.
   */
 object DedupQueries {
 
-  // once-per-JVM guard for the q476 exploded index build (the
-  // ensurePartsupp discipline: one synchronized check-stage-add)
-  private val q476IndexOnce = scala.collection.mutable.Set.empty[String]
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // North-star near-dedup: MinHash (k=6, md5-portable) -> 3 LSH bands of
@@ -138,19 +134,10 @@ object DedupQueries {
     "q476_hamming_index_serve" -> ((s, dir) => {
       val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
         .filter(col("modality") === "image")
-      // ensure-style build: the exploded hive layout costs one file per
-      // (band, kb) directory — written ONCE per namespace (deterministic
-      // function of the synthetic corpus), the q94-index discipline; the
-      // probe is the per-run serving surface
-      q476IndexOnce.synchronized {
-        val ip = predsPath("q476_index")
-        if (!q476IndexOnce.contains(ip)) {
-          llm.Dedup.writeHammingIndex(
-            multimodal.Multimodal.imageSignatures(imgs),
-            "asset_id", "sig", ip)
-          q476IndexOnce.add(ip)
-        }
-      }
+      // ensure-style build shared with q477's streamed ingestion: the
+      // exploded hive layout is written once per namespace (the
+      // q94-index discipline); the probe is the per-run serving surface
+      QueryShared.ensureImageHammingIndex(s)
       val probes = imgs.filter(col("asset_id") < 150).select(
         (col("asset_id") + 1000000L).as("asset_id"), col("modality"),
         concat(substring(col("content"), 1, 54),

@@ -659,6 +659,43 @@ object ExperimentQueries {
     }),
 
 
+    // CRAMÉR'S V (round 13) — the effect-size read over q236's
+    // independence test: chi² says WHETHER status and priority
+    // associate, V² = chi²/(N·(min(r,c)−1)) says HOW MUCH on a 0–1
+    // scale comparable across tables. Division-free until the end:
+    // per-cell deviation n·N − r·c is exact in long, its square lifts
+    // to DECIMAL(38,0), each cell's chi² term quantizes to micro by
+    // truncating div (deterministic both engines — no float sum
+    // order), and V² is one more integer division. One fact pass +
+    // three broadcast marginals.
+    "q478_cramers_v" -> ((s, dir) => {
+      val obs = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val rowT = obs.groupBy(col("o_orderstatus"))
+        .agg(sum(col("n")).as("row_n"))
+      val colT = obs.groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("col_n"))
+      val grand = obs.agg(sum(col("n")).as("grand_n"),
+        countDistinct(col("o_orderstatus")).as("r"),
+        countDistinct(col("o_orderpriority")).as("c"))
+      obs.join(broadcast(rowT), Seq("o_orderstatus"))
+        .join(broadcast(colT), Seq("o_orderpriority"))
+        .crossJoin(broadcast(grand))
+        .withColumn("dev", col("n") * col("grand_n")
+          - col("row_n") * col("col_n"))
+        .withColumn("term_micro", expr(
+          "cast(dev as decimal(38,0)) * dev * 1000000" +
+            " div (row_n * col_n * grand_n)"))
+        .groupBy(col("grand_n"), col("r"), col("c"))
+        .agg(sum(col("term_micro")).as("chi2_micro"))
+        .withColumn("v2_ppm", expr(
+          "chi2_micro div (grand_n * (least(r, c) - 1))"))
+        .select(col("grand_n"), col("r"), col("c"), col("chi2_micro"),
+          col("v2_ppm"))
+    }),
+
+
     // Decile lift table of a ranking score (the model-eval gains chart,
     // engine-exact): decile bins via broadcast percentile thresholds
     // (the q150/q220 idiom — no global ntile sort), positive rate and
@@ -1390,6 +1427,41 @@ object ExperimentQueries {
         |       quantile_cont(late_s, 0.95) AS p95_late_s,
         |       quantile_cont(late_s, 0.99) AS p99_late_s
         |FROM l GROUP BY 1""".stripMargin,
+
+
+    // identical integer deviation/marginal algebra; HUGEINT carries the
+    // squared deviation, // the same truncating micro quantization
+    "q478_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS row_n
+        |  FROM obs GROUP BY 1
+        |), ct AS (
+        |  SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS col_n
+        |  FROM obs GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS grand_n,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS c
+        |  FROM obs
+        |), t AS (
+        |  SELECT g.grand_n, g.r, g.c,
+        |    CAST(CAST(obs.n * g.grand_n - rt.row_n * ct.col_n AS HUGEINT)
+        |      * (obs.n * g.grand_n - rt.row_n * ct.col_n) * 1000000
+        |      // (rt.row_n * ct.col_n * g.grand_n) AS BIGINT) AS term_micro
+        |  FROM obs
+        |  JOIN rt ON obs.o_orderstatus = rt.o_orderstatus
+        |  JOIN ct ON obs.o_orderpriority = ct.o_orderpriority
+        |  CROSS JOIN g
+        |)
+        |SELECT grand_n, r, c,
+        |  CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+        |  CAST(sum(term_micro) // (grand_n * (least(r, c) - 1))
+        |    AS BIGINT) AS v2_ppm
+        |FROM t GROUP BY 1, 2, 3""".stripMargin,
 
 
     "q236_chi2_independence" ->

@@ -19,6 +19,30 @@ private[graft] object QueryShared {
     new java.io.File(s"target/tmp/$tag/$name").getAbsolutePath
   }
 
+  // once-per-JVM guard for the exploded image hamming index shared by
+  // q476 (batch serving) and q477 (streamed ingestion): the layout costs
+  // one file per (band, kb) directory, written once per namespace
+  // (deterministic function of the synthetic corpus) — the
+  // ensurePartsupp discipline, one synchronized check-stage-add
+  private val stagedIndexes = scala.collection.mutable.Set.empty[String]
+
+  /** Build-if-absent the [[graft.llm.Dedup.writeHammingIndex]] layout
+    * over the 300-image synthetic corpus; returns its path. */
+  def ensureImageHammingIndex(s: SparkSession): String = {
+    val path = predsPath("q476_index")
+    stagedIndexes.synchronized {
+      if (!stagedIndexes.contains(path)) {
+        val imgs = graft.multimodal.Multimodal.syntheticAssets(s, 900)
+          .filter(col("modality") === "image")
+        graft.llm.Dedup.writeHammingIndex(
+          graft.multimodal.Multimodal.imageSignatures(imgs),
+          "asset_id", "sig", path)
+        stagedIndexes.add(path)
+      }
+    }
+    path
+  }
+
   /** Keyed base table for the MERGE/CDC/SCD2 family (q108/q109/q111/q122). */
   def ordersSnapshot(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -818,6 +818,41 @@ object StreamingQueries {
     }),
 
 
+    // IMAGE ingestion-time perceptual dedup against the PERSISTED
+    // partition-pruned hamming index, EXECUTED AS A STREAM (round 13 —
+    // q471's image twin upgraded to the q476 serving layout): every
+    // micro-batch dHashes its assets and probes ONLY the kb= index
+    // directories its keys hash into (probeHammingIndex — per-batch
+    // index bytes bounded by the layout, never the index size).
+    // Streamed == batch exactly (asset atomic per batch, index static);
+    // per-batch signatures re-stage so the oracle replays banding +
+    // verify over the stored sets (pruning is a read optimization with
+    // identical pairs — DedupSpec pins that equality).
+    "q477_image_ingest_stream" -> ((s, dir) => {
+      val ip = QueryShared.ensureImageHammingIndex(s)
+      val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
+        .filter(col("modality") === "image")
+      val newAssets = imgs.select(
+        (col("asset_id") + 2000000L).as("asset_id"), col("modality"),
+        concat(substring(col("content"), 1, 54),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 56, length(content) - 55)"))
+          .as("content"),
+        col("meta"))
+      val root = predsPath(s"q477_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(newAssets.repartition(4), s"$root/new")
+      val marks = QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.imageIngestStream(s, s"$root/new",
+          newAssets.schema, ip, s"$root/newsigs", s"$root/partials",
+          s"$root/ckpt")
+      }
+      s.read.parquet(s"$root/newsigs").select(col("asset_id"), col("sig"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q477_new_sigs"))
+      marks
+    }),
+
+
     // VIDEO ingestion-time perceptual dedup EXECUTED AS A STREAM (round
     // 13 — the vhash64 twin of q413's text-anchor ingestion routing):
     // the old corpus's vhash index persists ONCE; new assets (perturbed
@@ -931,6 +966,47 @@ object StreamingQueries {
     * rows-only checked by the driver (non-portable hash/codec/fit paths,
     * each pinned by a dedicated spec instead). */
   val sql: Map[String, String] = Map(
+
+    // cross-set banding replay over the re-staged new signatures × the
+    // base signatures recovered from the exploded index layout — the kb
+    // pruning is a read optimization with identical pairs
+    "q477_image_ingest_stream" ->
+      s"""WITH n AS (
+         |  SELECT asset_id AS new_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q477_new_sigs")}/*.parquet')
+         |), o AS (
+         |  SELECT DISTINCT id AS old_id, sig FROM
+         |    read_parquet('${predsPath("q476_index")}/*/*/*.parquet')
+         |), ob AS (
+         |  SELECT old_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM o
+         |), bands(band, d) AS (VALUES
+         |    (0, CAST('1' AS HUGEINT)),
+         |    (1, CAST('256' AS HUGEINT)),
+         |    (2, CAST('65536' AS HUGEINT)),
+         |    (3, CAST('16777216' AS HUGEINT)),
+         |    (4, CAST('4294967296' AS HUGEINT)),
+         |    (5, CAST('1099511627776' AS HUGEINT)),
+         |    (6, CAST('281474976710656' AS HUGEINT)),
+         |    (7, CAST('72057594037927936' AS HUGEINT))
+         |), bn AS (
+         |  SELECT new_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM n CROSS JOIN bands b
+         |), bo AS (
+         |  SELECT old_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM ob CROSS JOIN bands b
+         |)
+         |SELECT DISTINCT bn.new_id, bo.old_id,
+         |  CAST(bit_count(xor(bn.sig, bo.sig)) AS INT) AS hamming
+         |FROM bn JOIN bo ON bn.band = bo.band AND bn.key = bo.key
+         |WHERE bit_count(xor(bn.sig, bo.sig)) <= 7""".stripMargin,
+
 
     // cross-set banding replay over the re-staged new signatures × the
     // persisted index: 8×8-bit keys, index side capped per (band, key)

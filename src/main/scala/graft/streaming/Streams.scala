@@ -889,6 +889,65 @@ object Streams {
     videoIngestReadout(readPartials(spark, partialsDir, partialsSchema))
   }
 
+  /** IMAGE ingestion-time perceptual dedup against the PERSISTED
+    * partition-pruned hamming index (round 13 — [[videoIngestStream]]'s
+    * image twin, upgraded to the
+    * [[graft.llm.Dedup.writeHammingIndex]] serving layout): each
+    * micro-batch decodes → dHash
+    * ([[graft.multimodal.Multimodal.imageSignatures]]) and probes via
+    * [[graft.llm.Dedup.probeHammingIndex]], so a batch reads ONLY the
+    * kb= directories its own keys hash into — per-batch index bytes
+    * read are bounded by the LAYOUT (≤ kbBuckets dirs), not by index
+    * size, which is what ingestion against a 100 TB index needs.
+    * Same batchId-keyed idempotent partials and streamed == one-shot
+    * law as the video twin; readout = [[videoIngestReadout]] (shared
+    * mark-grain fold). */
+  def imageIngestStream(
+      spark: org.apache.spark.sql.SparkSession,
+      newAssetsDir: String,
+      assetsSchema: org.apache.spark.sql.types.StructType,
+      indexPath: String,
+      newSigsDir: String,
+      partialsDir: String,
+      checkpointDir: String,
+      hamMax: Int = 7,
+      bands: Int = 8,
+      kbBuckets: Int = 64,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val stream = spark.readStream.schema(assetsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(newAssetsDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = graft.multimodal.Multimodal.imageSignatures(batch)
+          .localCheckpoint(true)
+        sigs.coalesce(1).write.mode("overwrite")
+          .parquet(s"$newSigsDir/batch_id=$batchId")
+        graft.llm.Dedup.probeHammingIndex(spark, indexPath,
+            sigs.withColumnRenamed("asset_id", "new_id"), "new_id",
+            "sig", hamMax, bands, kbBuckets)
+          .withColumnRenamed("id", "old_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$partialsDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow image-ingest stream must drain")
+    val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("new_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("old_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hamming",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    videoIngestReadout(readPartials(spark, partialsDir, partialsSchema))
+  }
+
   /** SERVE half of [[videoIngestStream]]: fold the per-batch mark
     * partials to the distinct pair grain (a replayed batch overwrote its
     * own dir, so distinct is idempotence insurance, not dedup). */

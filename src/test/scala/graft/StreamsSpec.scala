@@ -454,6 +454,38 @@ class StreamsSpec extends AnyFunSuite {
       "every perturbed copy must mark its original")
   }
 
+  test("imageIngestStream: per-batch pruned-index probes equal the " +
+      "one-shot unpruned cross join over the same signatures") {
+    val root = s"target/tmp/streams/iingest_${System.nanoTime()}"
+    val imgs = graft.multimodal.Multimodal.syntheticAssets(spark, 120)
+      .filter(col("modality") === "image") // 40 images
+    val sigs = graft.multimodal.Multimodal.imageSignatures(imgs)
+    graft.llm.Dedup.writeHammingIndex(sigs, "asset_id", "sig",
+      s"$root/index", bands = 8, kbBuckets = 16)
+    val copies = imgs.select(
+      (col("asset_id") + 2000000L).as("asset_id"), col("modality"),
+      concat(substring(col("content"), 1, 54),
+        lit(Array[Byte](0x7f.toByte)),
+        expr("substring(content, 56, length(content) - 55)")).as("content"),
+      col("meta"))
+    copies.repartition(3).write.parquet(s"$root/new")
+    val streamed = Streams.imageIngestStream(spark, s"$root/new",
+      copies.schema, s"$root/index", s"$root/newsigs", s"$root/partials",
+      ckpt("iingest"), kbBuckets = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    val oneShot = graft.llm.Dedup.hamming64CrossDups(
+        graft.multimodal.Multimodal.imageSignatures(copies)
+          .withColumnRenamed("asset_id", "new_id"), "new_id",
+        sigs.withColumnRenamed("asset_id", "old_id"), "old_id",
+        "sig", hamMax = 7, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed === oneShot)
+    val ids = imgs.select(col("asset_id")).as[Long].collect().toSet
+    assert(ids.map(i => (i + 2000000L, i))
+      .subsetOf(streamed.map(t => (t._1, t._2))),
+      "every perturbed copy must mark its original")
+  }
+
   test("erasureStream: streamed delete-and-certify reconciles exactly, " +
       "equals the one-shot digest algebra, and replays are partial-safe") {
     import graft.sources.Sources
