@@ -520,6 +520,43 @@ object Analytics5Queries {
           (col("rk") <= col("k_star")).as("rejected"))
     }),
 
+    // BENJAMINI–YEKUTIELI step-up (round 13) — q424's BH guarantee
+    // holds only under independence/PRDS; BY divides the threshold by
+    // the harmonic factor c(m) = Σ 1/i and controls FDR under ARBITRARY
+    // dependence — the honest default when the hypotheses share users.
+    // c(m) quantizes as Σ(10⁶ div i) over the realized ranks (declared
+    // truncating terms, both engines), and the pass test multiplies
+    // through — p·m·c_ppm·20 ≤ 10⁶·rk·10⁶ — so the whole chain stays
+    // division-free integers. Same Chebyshev p_ppm family and
+    // hypothesis-grain windows as q424/q465.
+    "q482_by_fdr" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 2 === 1).cast("long")).as("n_odd"))
+        .withColumn("z2_micro", expr(
+          "((2 * n_odd - n) * (2 * n_odd - n) div n) * 1000000" +
+            " + ((2 * n_odd - n) * (2 * n_odd - n) % n) * 1000000 div n"))
+        .withColumn("p_ppm", least(lit(1000000L),
+          expr("1000000000000 div greatest(z2_micro, 1)")))
+      val ranked = h
+        .withColumn("rk",
+          row_number().over(
+            Window.orderBy(col("p_ppm"), col("event_type"))).cast("long"))
+      val dims = ranked.agg(count(lit(1)).as("m"),
+        sum(expr("1000000 div rk")).as("c_ppm"))
+      val flagged = ranked.crossJoin(broadcast(dims))
+        .withColumn("pass_by", expr(
+          "p_ppm * m * c_ppm * 20 <= 1000000 * rk * 1000000"))
+      flagged.crossJoin(broadcast(flagged.agg(
+          max(when(col("pass_by"), col("rk")).otherwise(lit(0L)))
+            .as("k_star"))))
+        .select(col("event_type"), col("n"), col("n_odd"), col("z2_micro"),
+          col("p_ppm"), col("rk"), col("m"), col("c_ppm"), col("pass_by"),
+          (col("rk") <= col("k_star")).as("rejected"))
+    }),
+
+
     // Holm step-DOWN — FWER control next to q424's FDR step-up (Holm
     // rejects only while EVERY smaller p has also rejected, so the
     // rejection set is a prefix-AND — the waterfill capped-set device
@@ -1992,6 +2029,47 @@ object Analytics5Queries {
         |SELECT event_type, n, n_odd, z2_micro, p_ppm, rk, pass_bh,
         |  rk <= k.k_star AS rejected
         |FROM f CROSS JOIN k""".stripMargin,
+
+    // q424's chain with the harmonic c(m) = Σ(10⁶ // i) factor
+    // multiplied through
+    "q482_by_fdr" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_odd
+        |  FROM events GROUP BY 1
+        |), z AS (
+        |  SELECT event_type, n, n_odd,
+        |    CAST(((2 * n_odd - n) * (2 * n_odd - n) // n) * 1000000
+        |      + ((2 * n_odd - n) * (2 * n_odd - n) % n) * 1000000 // n
+        |      AS BIGINT) AS z2_micro
+        |  FROM h
+        |), p AS (
+        |  SELECT *, CAST(least(1000000,
+        |      1000000000000 // greatest(z2_micro, 1)) AS BIGINT) AS p_ppm
+        |  FROM z
+        |), r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY p_ppm, event_type)
+        |      AS BIGINT) AS rk
+        |  FROM p
+        |), d AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(1000000 // rk) AS BIGINT) AS c_ppm
+        |  FROM r
+        |), f AS (
+        |  SELECT r.*, d.m, d.c_ppm,
+        |    p_ppm * d.m * d.c_ppm * 20 <= CAST(1000000 AS BIGINT) * rk * 1000000
+        |      AS pass_by
+        |  FROM r CROSS JOIN d
+        |), k AS (
+        |  SELECT coalesce(max(CASE WHEN pass_by THEN rk END), 0) AS k_star
+        |  FROM f
+        |)
+        |SELECT event_type, n, n_odd, z2_micro, p_ppm, rk, m, c_ppm,
+        |  pass_by, rk <= k.k_star AS rejected
+        |FROM f CROSS JOIN k""".stripMargin,
+
 
     // identical Chebyshev family, step-down threshold and prefix-AND
     "q465_holm_stepdown" ->

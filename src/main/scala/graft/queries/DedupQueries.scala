@@ -151,7 +151,8 @@ object DedupQueries {
         predsPath("q476_probe_sigs"))
       llm.Dedup.probeHammingIndex(s, predsPath("q476_index"),
         s.read.parquet(predsPath("q476_probe_sigs")), "q_id", "sig",
-        hamMax = perceptualHamming._1, bands = perceptualHamming._2)
+        hamMax = perceptualHamming._1, bands = perceptualHamming._2,
+        kbBuckets = QueryShared.IndexKbBuckets)
     }),
 
 

@@ -26,6 +26,12 @@ private[graft] object QueryShared {
   // ensurePartsupp discipline, one synchronized check-stage-add
   private val stagedIndexes = scala.collection.mutable.Set.empty[String]
 
+  /** kb fan-out for the staged perceptual indexes: 8 bands × 16 = 128
+    * directories — enough pruning to demonstrate and audit the layout
+    * while keeping per-run directory listings cheap at fixture scale;
+    * a production deployment sizes this to its probe-batch locality. */
+  val IndexKbBuckets = 16
+
   /** Build-if-absent the [[graft.llm.Dedup.writeHammingIndex]] layout
     * over the 300-image synthetic corpus; returns its path. */
   def ensureImageHammingIndex(s: SparkSession): String = {
@@ -36,7 +42,27 @@ private[graft] object QueryShared {
           .filter(col("modality") === "image")
         graft.llm.Dedup.writeHammingIndex(
           graft.multimodal.Multimodal.imageSignatures(imgs),
-          "asset_id", "sig", path)
+          "asset_id", "sig", path, kbBuckets = IndexKbBuckets)
+        stagedIndexes.add(path)
+      }
+    }
+    path
+  }
+
+  /** Audio sibling of [[ensureImageHammingIndex]]: build-if-absent the
+    * exploded index over the 300-clip synthetic WAV corpus
+    * (payloadBlocks = 64 — clips must exceed AudioHash64's 130-sample
+    * floor); returns its path. */
+  def ensureAudioHammingIndex(s: SparkSession): String = {
+    val path = predsPath("q481_index")
+    stagedIndexes.synchronized {
+      if (!stagedIndexes.contains(path)) {
+        val auds = graft.multimodal.Multimodal
+          .syntheticAssets(s, 900, payloadBlocks = 64)
+          .filter(col("modality") === "audio")
+        graft.llm.Dedup.writeHammingIndex(
+          graft.multimodal.Multimodal.audioSignatures(auds),
+          "asset_id", "sig", path, kbBuckets = IndexKbBuckets)
         stagedIndexes.add(path)
       }
     }

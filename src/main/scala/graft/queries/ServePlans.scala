@@ -222,6 +222,15 @@ object ServePlans {
         s.read.parquet(QueryShared.predsPath("audit_q458_partials")))
     }),
 
+    "q481_audio_ingest_stream" -> (s => {
+      import s.implicits._
+      stage(s, "audit_q481_partials",
+        Seq((2000001L, 1L, 1, 0L), (2000004L, 4L, 0, 1L))
+          .toDF("new_id", "old_id", "hamming", "batch_id"))
+      graft.streaming.Streams.videoIngestReadout(
+        s.read.parquet(QueryShared.predsPath("audit_q481_partials")))
+    }),
+
     "q477_image_ingest_stream" -> (s => {
       import s.implicits._
       stage(s, "audit_q477_partials",

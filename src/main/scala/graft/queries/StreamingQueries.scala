@@ -818,6 +818,40 @@ object StreamingQueries {
     }),
 
 
+    // AUDIO ingestion-time perceptual dedup against its own persisted
+    // pruned index — completes the text/image/audio/video ingestion
+    // symmetry (q413/q477/q481/q471) over the SAME drain scaffold:
+    // per-batch WAV decode → energy-delta fingerprints → kb-pruned
+    // probe; single-sample-perturbed copies of every original are the
+    // known ground truth (the q226 recipe). Streamed == batch; oracle
+    // replays banding over the re-staged new signatures × the index's
+    // recovered base signatures.
+    "q481_audio_ingest_stream" -> ((s, dir) => {
+      val ip = QueryShared.ensureAudioHammingIndex(s)
+      val auds = multimodal.Multimodal
+        .syntheticAssets(s, 900, payloadBlocks = 64)
+        .filter(col("modality") === "audio")
+      val newAssets = auds.select(
+        (col("asset_id") + 2000000L).as("asset_id"), col("modality"),
+        concat(substring(col("content"), 1, 556),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 558, length(content) - 557)"))
+          .as("content"),
+        col("meta"))
+      val root = predsPath(s"q481_root_${System.nanoTime()}")
+      sources.Sources.writeParquet(newAssets.repartition(4), s"$root/new")
+      val marks = QueryShared.withShufflePartitions(s, 8) {
+        streaming.Streams.audioIngestStream(s, s"$root/new",
+          newAssets.schema, ip, s"$root/newsigs", s"$root/partials",
+          s"$root/ckpt", kbBuckets = QueryShared.IndexKbBuckets)
+      }
+      s.read.parquet(s"$root/newsigs").select(col("asset_id"), col("sig"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q481_new_sigs"))
+      marks
+    }),
+
+
     // IMAGE ingestion-time perceptual dedup against the PERSISTED
     // partition-pruned hamming index, EXECUTED AS A STREAM (round 13 —
     // q471's image twin upgraded to the q476 serving layout): every
@@ -844,7 +878,7 @@ object StreamingQueries {
       val marks = QueryShared.withShufflePartitions(s, 8) {
         streaming.Streams.imageIngestStream(s, s"$root/new",
           newAssets.schema, ip, s"$root/newsigs", s"$root/partials",
-          s"$root/ckpt")
+          s"$root/ckpt", kbBuckets = QueryShared.IndexKbBuckets)
       }
       s.read.parquet(s"$root/newsigs").select(col("asset_id"), col("sig"))
         .coalesce(1).write.mode("overwrite")
@@ -966,6 +1000,45 @@ object StreamingQueries {
     * rows-only checked by the driver (non-portable hash/codec/fit paths,
     * each pinned by a dedicated spec instead). */
   val sql: Map[String, String] = Map(
+
+    // the q477 replay over the audio index's recovered base signatures
+    "q481_audio_ingest_stream" ->
+      s"""WITH n AS (
+         |  SELECT asset_id AS new_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q481_new_sigs")}/*.parquet')
+         |), o AS (
+         |  SELECT DISTINCT id AS old_id, sig FROM
+         |    read_parquet('${predsPath("q481_index")}/*/*/*.parquet')
+         |), ob AS (
+         |  SELECT old_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM o
+         |), bands(band, d) AS (VALUES
+         |    (0, CAST('1' AS HUGEINT)),
+         |    (1, CAST('256' AS HUGEINT)),
+         |    (2, CAST('65536' AS HUGEINT)),
+         |    (3, CAST('16777216' AS HUGEINT)),
+         |    (4, CAST('4294967296' AS HUGEINT)),
+         |    (5, CAST('1099511627776' AS HUGEINT)),
+         |    (6, CAST('281474976710656' AS HUGEINT)),
+         |    (7, CAST('72057594037927936' AS HUGEINT))
+         |), bn AS (
+         |  SELECT new_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM n CROSS JOIN bands b
+         |), bo AS (
+         |  SELECT old_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM ob CROSS JOIN bands b
+         |)
+         |SELECT DISTINCT bn.new_id, bo.old_id,
+         |  CAST(bit_count(xor(bn.sig, bo.sig)) AS INT) AS hamming
+         |FROM bn JOIN bo ON bn.band = bo.band AND bn.key = bo.key
+         |WHERE bit_count(xor(bn.sig, bo.sig)) <= 7""".stripMargin,
+
 
     // cross-set banding replay over the re-staged new signatures × the
     // base signatures recovered from the exploded index layout — the kb

@@ -913,7 +913,55 @@ object Streams {
       hamMax: Int = 7,
       bands: Int = 8,
       kbBuckets: Int = 64,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    sigIngestStream(spark, newAssetsDir, assetsSchema, indexPath,
+      newSigsDir, partialsDir, checkpointDir, "image-ingest",
+      hamMax, bands, kbBuckets, maxFilesPerTrigger)(
+      graft.multimodal.Multimodal.imageSignatures)
+
+  /** AUDIO twin of [[imageIngestStream]] over the same pruned-index
+    * drain scaffold: decode → [[graft.expr.AudioHash64]] energy-delta
+    * fingerprints → partition-pruned probe. Completes the
+    * text/image/audio/video ingestion-dedup symmetry
+    * (q413/q477/q481/q471). */
+  def audioIngestStream(
+      spark: org.apache.spark.sql.SparkSession,
+      newAssetsDir: String,
+      assetsSchema: org.apache.spark.sql.types.StructType,
+      indexPath: String,
+      newSigsDir: String,
+      partialsDir: String,
+      checkpointDir: String,
+      hamMax: Int = 7,
+      bands: Int = 8,
+      kbBuckets: Int = 64,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    sigIngestStream(spark, newAssetsDir, assetsSchema, indexPath,
+      newSigsDir, partialsDir, checkpointDir, "audio-ingest",
+      hamMax, bands, kbBuckets, maxFilesPerTrigger)(
+      graft.multimodal.Multimodal.audioSignatures)
+
+  /** Shared drain scaffold for the perceptual ingestion family: each
+    * micro-batch runs `sigOf` (the modality's decode→64-bit sketch),
+    * lands its signatures AND its pruned-index probe marks under
+    * `batch_id=<id>` (idempotent overwrite), then the readout folds
+    * marks at the pair grain. One body so a fix to the
+    * drain/idempotence plumbing lands in every modality at once —
+    * the [[drainPartials]] discipline. */
+  private def sigIngestStream(
+      spark: org.apache.spark.sql.SparkSession,
+      newAssetsDir: String,
+      assetsSchema: org.apache.spark.sql.types.StructType,
+      indexPath: String,
+      newSigsDir: String,
+      partialsDir: String,
+      checkpointDir: String,
+      what: String,
+      hamMax: Int,
+      bands: Int,
+      kbBuckets: Int,
+      maxFilesPerTrigger: Int)(
+      sigOf: DataFrame => DataFrame): DataFrame = {
     val stream = spark.readStream.schema(assetsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(newAssetsDir)
@@ -921,8 +969,7 @@ object Streams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sigs = graft.multimodal.Multimodal.imageSignatures(batch)
-          .localCheckpoint(true)
+        val sigs = sigOf(batch).localCheckpoint(true)
         sigs.coalesce(1).write.mode("overwrite")
           .parquet(s"$newSigsDir/batch_id=$batchId")
         graft.llm.Dedup.probeHammingIndex(spark, indexPath,
@@ -935,7 +982,7 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     require(q.awaitTermination(300000),
-      "AvailableNow image-ingest stream must drain")
+      s"AvailableNow $what stream must drain")
     val partialsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("new_id",
         org.apache.spark.sql.types.LongType),

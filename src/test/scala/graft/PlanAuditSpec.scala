@@ -198,7 +198,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q419_survivor_stream", "q427_kmeans_assign_stream",
     "q436_bh_fdr_stream", "q454_ph_stream", "q458_card_stream",
     "q463_pocock_stream", "q467_erasure_stream",
-    "q471_video_ingest_stream", "q477_image_ingest_stream")
+    "q471_video_ingest_stream", "q477_image_ingest_stream",
+    "q481_audio_ingest_stream")
 
   test("no query plan contains a cartesian or unbounded nested-loop join (FULL map)") {
     // every graft operator is designed to avoid quadratic joins (grain
