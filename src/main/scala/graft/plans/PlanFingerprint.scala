@@ -13,13 +13,15 @@ import org.apache.spark.sql.execution.joins.BaseJoinExec
   * readings every round.
   *
   * What the canonical form keeps (the 100 TB-relevant shape):
-  *   - every operator's node name, in tree order (an extra Exchange, a
-  *     dropped WholeStageCodegen boundary, a widened scan node all
-  *     change the string);
+  *   - every operator's node name, in tree order (an extra Exchange or
+  *     a dropped WholeStageCodegen boundary changes the string);
   *   - join TYPE and strategy for every join node (a broadcast that
   *     silently degrades to sort-merge or nested-loop changes it);
   *   - exchange partitioning KIND (hash vs single vs range — a
-  *     partition-less sort sneaking in changes it).
+  *     partition-less sort sneaking in changes it);
+  *   - per file scan: the READ SCHEMA (a widened scan reads columns the
+  *     query never consumes) and the data/partition filter COUNTS (a
+  *     predicate that stops pushing down, pruning that silently drops).
   *
   * What it strips: literal values, file paths (fixture roots embed
   * nano-stamped staging dirs), exprIds, column ordinals, row-count
@@ -45,8 +47,14 @@ object PlanFingerprint {
         s"${e.nodeName}[${e.mode.getClass.getSimpleName}]"
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         // nodeName embeds the location (nano-stamped staging roots vary
-        // per run) — keep only the format
-        s"Scan[${f.relation.fileFormat.getClass.getSimpleName}]"
+        // per run) — keep the format plus the three pruning facts a
+        // de-optimization changes: the read schema (a widened scan
+        // reads columns the query never consumes), the pushed-filter
+        // count (a filter that stops reaching the scan), and the
+        // partition-filter count (pruning that silently drops)
+        s"Scan[${f.relation.fileFormat.getClass.getSimpleName}]" +
+          s"[read=${f.requiredSchema.fieldNames.mkString(",")}]" +
+          s"[df=${f.dataFilters.size},pf=${f.partitionFilters.size}]"
       case other =>
         other.nodeName
     }
