@@ -767,6 +767,49 @@ object Analytics5Queries {
         shaped.agg(sum(col("term_micro")).as("g2_micro"))))
     }),
 
+    // THEIL'S U uncertainty coefficients (round 13) — the DIRECTIONAL
+    // member completing the association family (q236 χ², q429 G², q478
+    // V, q302 MI): U(t|g) = MI/H(t) answers "how much of t does knowing
+    // g explain" on a 0–1 scale, and U(t|g) ≠ U(g|t) when the marginals
+    // differ. Same contingency and lnq = floor(10⁶·ln x) integer-
+    // argument quantization as q429; every entropy is n-SCALED so the
+    // whole chain stays integer — Hn(t)µ = n·lnq(n) − Σ r·lnq(r),
+    // MIn·µ = Σ o·(lnq(o·n) − lnq(r·c)), U_ppm one final integer div.
+    "q483_theils_u" -> ((s, dir) => {
+      def lnMicro(c: Column): Column =
+        floor(lit(1e6) * log(c.cast("double"))).cast("long")
+      val cell = Tables.events(s, dir)
+        .groupBy(col("event_type").as("t"), (col("user_id") % 2).as("g"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true)
+      val n1 = cell.agg(sum(col("o")).as("n"))
+      val ht = cell.groupBy(col("t")).agg(sum(col("o")).as("r"))
+        .crossJoin(broadcast(n1))
+        .agg((max(col("n")) * lnMicro(max(col("n")))
+          - sum(col("r") * lnMicro(col("r")))).as("ht_micro"))
+      val hg = cell.groupBy(col("g")).agg(sum(col("o")).as("c"))
+        .crossJoin(broadcast(n1))
+        .agg((max(col("n")) * lnMicro(max(col("n")))
+          - sum(col("c") * lnMicro(col("c")))).as("hg_micro"))
+      val mi = cell
+        .withColumn("r", sum(col("o")).over(Window.partitionBy(col("t"))))
+        .withColumn("c", sum(col("o")).over(Window.partitionBy(col("g"))))
+        .crossJoin(broadcast(n1))
+        .agg(sum(when(col("o") > 0,
+          col("o") * (lnMicro(col("o") * col("n"))
+            - lnMicro(col("r") * col("c")))).otherwise(lit(0L)))
+          .as("mi_micro"))
+      n1.crossJoin(broadcast(mi)).crossJoin(broadcast(ht))
+        .crossJoin(broadcast(hg))
+        .withColumn("u_tg_ppm",
+          expr("mi_micro * 1000000 div greatest(ht_micro, 1)"))
+        .withColumn("u_gt_ppm",
+          expr("mi_micro * 1000000 div greatest(hg_micro, 1)"))
+        .select(col("n"), col("mi_micro"), col("ht_micro"),
+          col("hg_micro"), col("u_tg_ppm"), col("u_gt_ppm"))
+    }),
+
+
     // Davies–Bouldin cluster-quality audit — q422's serve split: the
     // Lloyd fit persists ONLY the final membership (vec_id, cid) once,
     // and EVERYTHING downstream is plain relational algebra both engines
@@ -3059,6 +3102,47 @@ object Analytics5Queries {
         |FROM v CROSS JOIN z""".stripMargin,
 
     // identical µnat cell terms over the same contingency
+    // q429's contingency and lnq quantization; n-scaled entropies and
+    // the two directional integer divisions
+    "q483_theils_u" ->
+      """WITH cell AS (
+        |  SELECT event_type AS t, user_id % 2 AS g,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2
+        |), n1 AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+        |ht AS (
+        |  SELECT CAST(max(n) * CAST(floor(1e6 * ln(CAST(max(n) AS DOUBLE)))
+        |      AS BIGINT)
+        |    - sum(r * CAST(floor(1e6 * ln(CAST(r AS DOUBLE))) AS BIGINT))
+        |    AS BIGINT) AS ht_micro
+        |  FROM (SELECT t, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1)
+        |  CROSS JOIN n1
+        |), hg AS (
+        |  SELECT CAST(max(n) * CAST(floor(1e6 * ln(CAST(max(n) AS DOUBLE)))
+        |      AS BIGINT)
+        |    - sum(c * CAST(floor(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT))
+        |    AS BIGINT) AS hg_micro
+        |  FROM (SELECT g, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1)
+        |  CROSS JOIN n1
+        |), mi AS (
+        |  SELECT CAST(sum(CASE WHEN o > 0 THEN
+        |      o * (CAST(floor(1e6 * ln(CAST(o * n AS DOUBLE))) AS BIGINT)
+        |           - CAST(floor(1e6 * ln(CAST(r * c AS DOUBLE))) AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS mi_micro
+        |  FROM (
+        |    SELECT t, g, o,
+        |      CAST(sum(o) OVER (PARTITION BY t) AS BIGINT) AS r,
+        |      CAST(sum(o) OVER (PARTITION BY g) AS BIGINT) AS c
+        |    FROM cell) CROSS JOIN n1
+        |)
+        |SELECT n1.n, mi.mi_micro, ht.ht_micro, hg.hg_micro,
+        |  CAST(mi_micro * 1000000 // greatest(ht_micro, 1) AS BIGINT)
+        |    AS u_tg_ppm,
+        |  CAST(mi_micro * 1000000 // greatest(hg_micro, 1) AS BIGINT)
+        |    AS u_gt_ppm
+        |FROM n1, mi, ht, hg""".stripMargin,
+
+
     "q429_g2_independence" ->
       """WITH cell AS (
         |  SELECT event_type AS t, user_id % 2 AS g,
