@@ -42,6 +42,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // Per-query I/O metrics (round-13 VERDICT next #5): plan fingerprints
+    // pin plan SHAPE; these pin VOLUME. A widened scan or lost pruning
+    // shows up as a bytes-read diff even when wall time hides in window
+    // noise — and unlike wall time, bytes are immune to CPU-steal bursts.
+    // Listener events are delivered async; `settle()` waits until no new
+    // task-end has arrived for 100 ms before reading the sums.
+    val io = new graft.BenchIoListener
+    spark.sparkContext.addSparkListener(io)
+
     var errors = List.empty[(String, String)]
     // SPARK_GRAFT_ONLY=q69_pagerank,q25_sim_lsh benches a subset while
     // iterating on specific queries; unset = the full suite (driver mode)
@@ -67,10 +76,31 @@ object Bench {
       }
       math.min(once(), once())
     }
+    // bytes are captured on the SECOND run only: run 1 of an artifact-
+    // persisting query does fit + write work run 2 skips (first-writer-
+    // wins), so run 2 is the repeatable steady-state I/O profile — the
+    // same state every later bench run measures.
+    var ioStats = Map.empty[String, (Long, Long)]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val elapsed =
-        try timeMinOf2(fn)
-        catch {
+        try {
+          val first = {
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          io.settle(); io.reset()
+          val second = {
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          io.settle()
+          ioStats += name -> (io.bytesRead.get(), io.shuffleWrite.get())
+          math.min(first, second)
+        } catch {
           case e: Throwable =>
             errors ::= (name -> e.toString.take(200))
             -1.0
@@ -79,6 +109,7 @@ object Bench {
     }
     // 1 ms precision: sub-ms digits are noise and double the line length
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val resMap = results.toMap
     val qs = results.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
@@ -124,7 +155,16 @@ object Bench {
     // that namespace isolation: if Bench ever inherits a Verify tag, the
     // adjudicator refuses to re-execute rather than silently decouple
     // dumped results from re-realized artifacts.
-    val flaggedFirst = ratios.filter(_._2 > 3.0).toMap
+    // Threshold lowered per round-13 VERDICT next #1: the q227–q282 block
+    // showed 18 rows in the 2–3× "dead zone" that the 3×-only rule never
+    // adjudicated (q27/q282 sat at 2.5× unexplained for a round). Multi-
+    // second rows (≥2 s measured) now self-adjudicate at >2×; sub-2 s
+    // rows keep the 3× bar — their absolute noise floor (scheduler
+    // jitter ~100–300 ms) makes 2× flags there all bursts by
+    // construction.
+    val flaggedFirst = ratios.filter { case (k, r) =>
+      r > 3.0 || (r > 2.0 && resMap.getOrElse(k, 0.0) >= 2.0)
+    }.toMap
     def rnd2(v: Double): Double = math.round(v * 100.0) / 100.0
     require(flaggedFirst.isEmpty ||
       sys.props.getOrElse("graft.preds.tag", "default") == "default",
@@ -155,8 +195,35 @@ object Bench {
             s""""controls_max":$controlMax,"verdict":${jstr(verdict)}}"""
         }.mkString("{", ",", "}")
       }
+    // Bytes norms live in norms.json under "bytes_norms" with keys
+    // prefixed "b:" — the prefix keeps them invisible to the time-norm
+    // regex above (which requires the quote directly before the q).
+    // Ratios > 1.5 are reported; bytes are burst-immune, so any flag
+    // here is a real plan/volume change, never scheduler luck.
+    val bytesNorms: Map[String, Double] = {
+      val f = new java.io.File("norms.json")
+      if (!f.exists()) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+        """"b:(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap
+      }
+    }
+    val bytesReadJson = ioStats.toSeq.sortBy(_._1)
+      .map { case (k, (br, _)) => s"${jstr(k)}:$br" }.mkString("{", ",", "}")
+    val shuffleWriteJson = ioStats.toSeq.sortBy(_._1)
+      .map { case (k, (_, sw)) => s"${jstr(k)}:$sw" }.mkString("{", ",", "}")
+    val bytesRatios = ioStats.toSeq.sortBy(_._1).collect {
+      case (k, (br, _)) if bytesNorms.get(k).exists(_ > 0) =>
+        k -> rnd2(br / bytesNorms(k))
+    }
+    val vsBytesNorm = bytesRatios
+      .map { case (k, r) => s"${jstr(k)}:$r" }.mkString("{", ",", "}")
+    val bytesFlags = bytesRatios.filter(_._2 > 1.5)
+      .map { case (k, r) => s"${jstr(k)}:$r" }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_norm":$vsNorm,"outliers":$outliers,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"vs_norm":$vsNorm,"outliers":$outliers,"bytes_read":$bytesReadJson,"shuffle_write":$shuffleWriteJson,"vs_bytes_norm":$vsBytesNorm,"bytes_outliers":$bytesFlags,"errors":$errs,"sf":"$sfDir"}"""
     println(full)
     // The driver records only the LAST ~2000 chars of this run's output;
     // a 200-query map is ~5000 chars, so the line above always arrives
@@ -190,7 +257,6 @@ object Bench {
       "q122_cdc_stream", "q143_tpch_q3", "q154_tpch_q18",
       "q165_winsorized_stats", "q171_merkle_diff", "q184_fpgrowth",
       "q190_funnel_windowed", "q200_attribution")
-    val resMap = results.toMap
     val hq = headline.flatMap(k => resMap.get(k).map(v => s"${jstr(k)}:${r3(v)}"))
       .mkString("{", ",", "}")
     val sortedRatios = ratios.map(_._2).sorted
@@ -199,7 +265,7 @@ object Bench {
     val nOk = results.count(_._2 >= 0)
     val fullRef = if (fullWritten) "BENCH_FULL.json" else ""
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nOk,"n_errors":${errors.size},"median_vs_norm":$median,"outliers":$outliers,"queries":$hq,"full":"$fullRef","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nOk,"n_errors":${errors.size},"median_vs_norm":$median,"outliers":$outliers,"bytes_outliers":$bytesFlags,"queries":$hq,"full":"$fullRef","sf":"$sfDir"}"""
     println(compact)
     // The driver tail-parses this process's stdout, but sbt appends its
     // own "[success] Total time: ..." footer AFTER the compact line, so

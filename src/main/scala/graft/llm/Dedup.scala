@@ -459,6 +459,50 @@ object Dedup {
       // dynamic-partition-write explosion)
       .repartition(col("band"), col("kb"))
       .write.mode("overwrite").partitionBy("band", "kb").parquet(path)
+    // Layout contract travels WITH the index (round-13 ADVICE): a probe
+    // run with different (bands, kbBuckets) than the index was written
+    // with computes different keys/kb and silently returns INCOMPLETE
+    // pairs — a correctness hole, not a perf one. The marker is a tiny
+    // driver-side file; probeHammingIndex validates it before scanning.
+    writeHammingMeta(sigs.sparkSession, path, bands, kbBuckets)
+  }
+
+  private def metaPath(indexPath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(indexPath, "_graft_hamming_meta")
+
+  private def writeHammingMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, bands: Int, kbBuckets: Int): Unit = {
+    val p = metaPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"bands=$bands\nkbBuckets=$kbBuckets\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Reads the layout marker [[writeHammingIndex]] persists next to the
+    * index; None for pre-marker indexes (probe then proceeds on the
+    * caller's word, the old behavior). */
+  private def readHammingMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(Int, Int)] = {
+    val p = metaPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = txt.linesIterator.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim.toInt)
+          case _ => None
+        }
+      }.toMap
+      for (b <- kv.get("bands"); k <- kv.get("kbBuckets")) yield (b, k)
+    }
   }
 
   /** Partition-pruned probe against a [[writeHammingIndex]] layout:
@@ -481,6 +525,16 @@ object Dedup {
       kbBuckets: Int = 64): DataFrame = {
     require(hamMax < bands,
       s"hamming guarantee needs hamMax < bands (got $hamMax >= $bands)")
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(kbBuckets > 0, s"kbBuckets must be > 0, got $kbBuckets")
+    readHammingMeta(spark, indexPath).foreach { case (ib, ikb) =>
+      require(ib == bands && ikb == kbBuckets,
+        s"probe layout (bands=$bands, kbBuckets=$kbBuckets) does not " +
+          s"match the index at $indexPath (bands=$ib, kbBuckets=$ikb) — " +
+          "a mismatched probe computes different band keys and silently " +
+          "returns incomplete pairs")
+    }
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val qb = queries.select(col(qIdCol).as("_qid"),

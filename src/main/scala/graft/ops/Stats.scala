@@ -52,16 +52,21 @@ object Stats {
     val cols = df.columns
     require(cols.nonEmpty, s"$device: guard needs at least one column")
     val diag = df.agg(count(lit(1)).as("_gn"))
-    df.crossJoin(broadcast(diag))
-      .select(
-        when(col("_gn") > maxRows, raise_error(concat(
-            lit(s"$device: frame bound for a driver-side fold holds "),
-            col("_gn"),
-            lit(s" rows (> $maxRows) — the domain is fact-scale, not an " +
-              "alphabet; collecting it would OOM the driver. Reduce the " +
-              "state/alphabet domain or raise the bound deliberately."))))
-          .otherwise(col(cols.head)).as(cols.head)
-        +: cols.tail.map(col): _*)
+    // The guard is fused into EVERY column, not just the first
+    // (round-13 ADVICE): a consumer that selects a column subset lets
+    // the optimizer prune unguarded columns, and a guard living only in
+    // column 0 would then silently never fire. With the check wrapped
+    // around each column, any projection that reads ANY data column
+    // still trips the bound.
+    def guarded(c: String): Column =
+      when(col("_gn") > maxRows, raise_error(concat(
+          lit(s"$device: frame bound for a driver-side fold holds "),
+          col("_gn"),
+          lit(s" rows (> $maxRows) — the domain is fact-scale, not an " +
+            "alphabet; collecting it would OOM the driver. Reduce the " +
+            "state/alphabet domain or raise the bound deliberately."))))
+        .otherwise(col(c)).as(c)
+    df.crossJoin(broadcast(diag)).select(cols.map(guarded): _*)
   }
 
   /** Array twin of [[guardedSmallFrame]] for the keys=[] `collect_list`

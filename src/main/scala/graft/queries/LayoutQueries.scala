@@ -796,9 +796,14 @@ object LayoutQueries {
     // Sketch aggregates — the 100-TB aggregation staple: HyperLogLog++
     // distinct counts and t-digest-style percentiles in ONE map-side-
     // partial pass, constant memory per group regardless of cardinality.
-    // Sketch families differ across engines, so rows-only; the tolerance
-    // contract (approx within 5% of exact) is pinned in RelationalSpec.
-    "q37_approx_stats" -> ((s, dir) =>
+    // Round-14 serve split (the q91 recipe, round-13 VERDICT next #6):
+    // the sketch ESTIMATES stay engine-local (HLL++/percentile-digest
+    // internals have no DuckDB mirror — tolerance vs exact pinned in
+    // RelationalSpec), but they persist ONCE per flag, and the serve
+    // half — the consuming rollup arithmetic — replays hash-exactly
+    // from the stored scalars: tail dispersion p95/p50 (IEEE double
+    // division) and per-mille lines-per-order (integral division).
+    "q37_approx_stats" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
@@ -813,7 +818,15 @@ object LayoutQueries {
           col("l_returnflag"), col("approx_orders"),
           element_at(col("price_pcts"), 1).as("p50"),
           element_at(col("price_pcts"), 2).as("p95"),
-          col("n"))),
+          col("n"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q37_sketches"))
+      s.read.parquet(predsPath("q37_sketches"))
+        .select(col("l_returnflag"), col("approx_orders"),
+          col("p50"), col("p95"), col("n"),
+          (col("p95") / col("p50")).as("tail_ratio"),
+          expr("(n * 1000) DIV approx_orders").as("lines_per_order_pm"))
+    }),
 
 
     // quality: DEFLATE compression ratio per doc (per-mille) — the
@@ -1071,6 +1084,17 @@ object LayoutQueries {
       s"""SELECT doc_id, n_bytes, z_bytes,
          |  (z_bytes * 1000) // n_bytes AS ratio_pm
          |FROM read_parquet('${predsPath("q91_sizes")}/*.parquet')""".stripMargin,
+
+    // serve half replayed from the persisted per-flag sketch scalars —
+    // the HLL++/percentile sketches themselves stay engine-local
+    // (RelationalSpec pins their 2%/5% tolerance vs exact); the
+    // consuming rollup (IEEE double tail ratio, integral per-mille
+    // lines-per-order) is checked exactly over the stored values
+    "q37_approx_stats" ->
+      s"""SELECT l_returnflag, approx_orders, p50, p95, n,
+         |  p95 / p50 AS tail_ratio,
+         |  (n * 1000) // approx_orders AS lines_per_order_pm
+         |FROM read_parquet('${predsPath("q37_sketches")}/*.parquet')""".stripMargin,
 
     // fit/serve split: banded-hamming LSH serve replayed over persisted
     // dHash signatures (image defaults: hamMax 7, 8 bands)

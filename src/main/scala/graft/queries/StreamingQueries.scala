@@ -955,6 +955,15 @@ object StreamingQueries {
       s.read.parquet(s"$root/table").select(cols.map(col): _*)
         .coalesce(1).write.mode("overwrite")
         .parquet(predsPath("q467_after"))
+      // Re-stage the per-batch partials so the oracle DERIVES n_batches
+      // from the same artifact the readout folds (round-13 ADVICE: the
+      // old literal 4 was coupled to repartition(4) emitting exactly 4
+      // non-empty files — an empty partition at another SF would break
+      // the row for a reason unrelated to the erasure logic).
+      s.read.parquet(s"$root/partials")
+        .select(col("batch_id"), col("n_deleted"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(predsPath("q467_partials"))
       cert
     }),
 
@@ -1162,16 +1171,19 @@ object StreamingQueries {
          |), res AS (
          |  SELECT CAST(count(*) AS BIGINT) AS residual_rows
          |  FROM adig WHERE o_custkey % 97 = 0
+         |), nb AS (
+         |  SELECT CAST(count(DISTINCT batch_id) AS BIGINT) AS n_batches
+         |  FROM read_parquet('${predsPath("q467_partials")}/*.parquet')
          |)
          |SELECT cb.n_before, cb.ck_before, cd.n_deleted, cd.ck_deleted,
-         |  CAST(4 AS BIGINT) AS n_batches,
+         |  nb.n_batches,
          |  ca.n_after, ca.ck_after, res.residual_rows,
          |  (cb.n_before = ca.n_after + cd.n_deleted) AS counts_reconcile,
          |  (CAST(cb.ck_before AS DECIMAL(30,0)) =
          |     CAST(ca.ck_after AS DECIMAL(30,0))
          |       + CAST(cd.ck_deleted AS DECIMAL(30,0)))
          |    AS checksums_reconcile
-         |FROM cb, cd, ca, res""".stripMargin,
+         |FROM cb, cd, ca, res, nb""".stripMargin,
 
 
     // identical gaps-and-islands semantics as q22 — here the Spark side

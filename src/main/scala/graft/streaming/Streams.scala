@@ -802,7 +802,19 @@ object Streams {
         val pdir = new org.apache.hadoop.fs.Path(
           s"$partialsDir/batch_id=$batchId")
         val fs = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(pdir)) {
+        // Replay gate keys off the COMMIT marker, not bare directory
+        // existence (round-13 ADVICE, medium): a crash after the parquet
+        // job created the directory but before job commit leaves only
+        // _temporary — no _SUCCESS. Such an attempt never ran the delete
+        // below (the digest write precedes it in-batch), so recomputing
+        // is safe AND required; skipping would lose the pre-delete
+        // digest forever and the certificate could never reconcile. A
+        // directory WITH _SUCCESS means the digest committed — the
+        // crash, if any, hit the delete, which is a key-level no-op on
+        // replay — so first-writer-wins skip stays correct.
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(pdir, "_SUCCESS"))
+        if (!committed) {
           val kb = graft.sources.Sources.keyBucket(keys, nBuckets)
           val touched = del.withColumn("kb", kb).select(col("kb"))
             .distinct().collect().map(_.getInt(0)) // ≤ nBuckets ints

@@ -503,4 +503,82 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(got.getLong(1) === sig, s"$name output signature drifted")
     }
   }
+
+  test("AQE skew-join fires on a Zipf-skewed J6-shape bucket join: the " +
+      "hot partition is split at runtime and results are unchanged") {
+    // J6 (SURVEY §7.4) is the one join where key skew matters: entities
+    // bucket by SIC/nation and real SIC distributions are Zipf. The
+    // engine's first defenses are the groupedTopK cap and saltedJoin
+    // (q96); this audit demonstrates the THIRD layer — AQE's runtime
+    // skew split — actually firing, which no spec had shown before
+    // (round-13 VERDICT next #7). Thresholds are scaled down to fixture
+    // bytes; on a cluster the defaults (256 MB / factor 5) play the
+    // same role against TB-scale partitions.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    try {
+      // force a shuffled SMJ (no broadcast escape hatch), and lower the
+      // skew thresholds so the fixture-scale hot partition qualifies
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+
+      // Zipf-ish bucket key: 60% of entities in bucket 0, the rest
+      // uniform over 1..100; ~120-byte payload so the hot partition
+      // clears the lowered byte threshold
+      val left = spark.range(0, 60000).select(
+        when(col("id") < 36000, lit(0L))
+          .otherwise(pmod(col("id"), lit(100L)) + 1L).as("k"),
+        col("id").as("lid"),
+        lpad(col("id").cast("string"), 120, "x").as("payload"))
+      val right = spark.range(0, 101).select(
+        col("id").as("k"), concat(lit("dim_"), col("id")).as("dim"))
+
+      // The consumer must not REQUIRE the join's hash partitioning — a
+      // groupBy on the join key would pin the output partitioning and
+      // make OptimizeSkewedJoin refuse (splitting would force an extra
+      // shuffle). A global rollup mirrors J6's real consumer (pairs are
+      // written out / top-k'd, not re-aggregated on the bucket key).
+      // sum(length(payload)) keeps the wide column alive through the
+      // join so the hot partition's shuffle bytes clear the threshold.
+      def rollup() = left.join(right, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("pay_bytes"),
+          sum(when(col("k") === 0L, 1L).otherwise(0L)).as("hot_n"))
+      val joined = rollup()
+      // collect() executes THIS DataFrame's own QueryExecution, which is
+      // what finalizes its AdaptiveSparkPlan (a write wraps the plan in
+      // a separate execution and leaves this one isFinalPlan=false)
+      val row = joined.collect().head
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not split the skewed partition — final plan:\n$plan")
+
+      // law: skew splitting is result-invisible
+      assert(row.getLong(0) === 60000L, "every row joins exactly once")
+      assert(row.getLong(2) === 36000L, "hot bucket rows")
+
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val unskewed = rollup().collect().head
+      assert(unskewed.getLong(0) === row.getLong(0) &&
+        unskewed.getLong(1) === row.getLong(1) &&
+        unskewed.getLong(2) === row.getLong(2),
+        "skew split must not change results")
+    } finally restore()
+  }
 }
