@@ -1768,6 +1768,104 @@ object Analytics5Queries {
           coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
           coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
     }),
+
+
+    // GUMBEL block-maxima fit + return level (round 14) — extreme-value
+    // analysis, the capacity-planning read ("what weekly peak should we
+    // provision for once in 100 weeks?"): weekly maxima of order totals,
+    // method-of-moments Gumbel (β = s·√6/π, μ = x̄ − γβ), and the
+    // T=100 return level μ − β·ln(−ln(1−1/T)). Distinct from q377's
+    // Hill estimator (tail EXPONENT on top-k order stats); this is the
+    // block-maxima EVT branch. Exactness: block maxima in exact BIGINT
+    // cents, Σx/Σx² as exact integer sums, and the closing float math
+    // uses only IEEE-exact ops (±·/·sqrt — sqrt is correctly rounded by
+    // the standard, unlike ln) with the √6/π, Euler-γ, ln(−ln .99)
+    // constants as SHARED literals, so no libm transcendental ever runs
+    // on data in either engine. Block grain is weeks — aggregate-
+    // bounded, a few hundred rows at any SF.
+    "q484_gumbel_maxima" -> ((s, dir) => {
+      val blocks = Tables.orders(s, dir)
+        .groupBy(date_trunc("week", col("o_orderdate")).cast("date")
+          .as("wk"))
+        .agg(max((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("mc"))
+      blocks.agg(
+          count(lit(1)).as("n_blocks"),
+          sum(col("mc")).as("sx"),
+          sum(col("mc") * col("mc")).as("sxx"),
+          max(col("mc")).as("max_cents"))
+        .withColumn("mean_cents", expr("cast(sx as double) / n_blocks"))
+        .withColumn("beta_cents", expr(
+          "sqrt((cast(sxx as double) - cast(sx as double) * cast(sx as " +
+            "double) / n_blocks) / (n_blocks - 1)) * 0.779696801233676"))
+        .withColumn("mu_cents",
+          expr("mean_cents - 0.5772156649015329 * beta_cents"))
+        .withColumn("rl100_cents",
+          expr("mu_cents + 4.600149226776579 * beta_cents"))
+        .select(col("n_blocks"), col("max_cents"), col("mean_cents"),
+          col("beta_cents"), col("mu_cents"), col("rl100_cents"))
+    }),
+
+
+    // Cross-SOURCE verbatim-overlap matrix (round 14) — the provenance
+    // read a contamination investigation starts from: which source
+    // pairs share verbatim 8-gram shingles, and how many distinct ones.
+    // Grain discipline is what makes it scale: distinct (source,
+    // gram-fp) FIRST (dedup within source), then an equi-join on the
+    // fingerprint — per-fp expansion is bounded by C(|sources|, 2)
+    // (sources are an alphabet, ~20), never by document volume, and the
+    // join shuffles on the content hash exactly like exact dedup. The
+    // md5 gram fingerprint is the engine-portable device throughout.
+    "q485_source_overlap" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(llm.Dedup.shingles(col("text"), 8)).as("g"))
+        .select(col("source"), md5(col("g")).as("fp"))
+        .distinct()
+      val a = grams.select(col("source").as("source_a"), col("fp"))
+      val b = grams.select(col("source").as("source_b"), col("fp"))
+      a.join(b, Seq("fp"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
+
+    // Wald–Wolfowitz RUNS test (round 14) on the daily event-value
+    // series — the randomness screen next to q449's Page–Hinkley
+    // (drift) and q480's Page trend (monotone): too FEW runs of
+    // same-sign day-over-day moves means positive autocorrelation /
+    // regime persistence, too many means oscillation. Day deltas sign
+    // over the DAILY rollup (aggregate-bounded frame, so the global
+    // date window is plan-audit-legal); zero deltas drop per the
+    // textbook treatment. μ and σ² of the run count are pure integer
+    // ppm rationals in n1/n2 — no cross-engine float folds anywhere
+    // (the daily sums ride the established decimal(30,6) cast).
+    "q486_runs_test" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(30,6)")).as("v"))
+      val w = Window.orderBy(col("day"))
+      val signs = daily
+        .withColumn("d", col("v") - lag(col("v"), 1).over(w))
+        .filter(col("d").isNotNull && col("d") =!= 0)
+        .withColumn("sgn", when(col("d") > 0, 1).otherwise(-1))
+      val runs = signs
+        .withColumn("chg",
+          when(lag(col("sgn"), 1).over(w).isNull ||
+            lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L).otherwise(0L))
+        .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n2"),
+          sum(col("chg")).as("n_runs"))
+      runs
+        .withColumn("mu_ppm",
+          expr("2 * n1 * n2 * 1000000 div greatest(n1 + n2, 1) + 1000000"))
+        .withColumn("sigma2_ppm",
+          expr("2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) * 1000000 div " +
+            "greatest((n1 + n2) * (n1 + n2) * (n1 + n2 - 1), 1)"))
+        .select(col("n1"), col("n2"), col("n_runs"),
+          col("mu_ppm"), col("sigma2_ppm"))
+    }),
   )
 
   /** q409's dynamically-unrolled oracle: `rounds` power-iteration steps
@@ -3572,5 +3670,83 @@ object Analytics5Queries {
         |         AS BIGINT)
         |    END AS kappa_ppm
         |FROM g""".stripMargin,
+
+    // exact bigint-cents block maxima; closing float math is ±·/·sqrt
+    // only (IEEE-exact) with the same three shared constants
+    "q484_gumbel_maxima" ->
+      """WITH b AS (
+        |  SELECT date_trunc('week', o_orderdate) AS wk,
+        |    max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS mc
+        |  FROM orders GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(mc) AS BIGINT) AS sx,
+        |    CAST(sum(mc * mc) AS BIGINT) AS sxx,
+        |    CAST(max(mc) AS BIGINT) AS max_cents
+        |  FROM b
+        |), f AS (
+        |  SELECT n_blocks, max_cents,
+        |    CAST(sx AS DOUBLE) / n_blocks AS mean_cents,
+        |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |          * CAST(sx AS DOUBLE) / n_blocks) / (n_blocks - 1))
+        |      * 0.779696801233676 AS beta_cents
+        |  FROM s
+        |)
+        |SELECT n_blocks, max_cents, mean_cents, beta_cents,
+        |  mean_cents - 0.5772156649015329 * beta_cents AS mu_cents,
+        |  mean_cents - 0.5772156649015329 * beta_cents
+        |    + 4.600149226776579 * beta_cents AS rl100_cents
+        |FROM f""".stripMargin,
+
+    // same tokenizer + 8-gram shingle + md5 fingerprint the dedup
+    // family states; distinct (source, fp) grain before the fp join
+    "q485_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(ts[i:i+7], ' ')) AS fp
+        |  FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |  WHERE len(ts) >= 8
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
+    // daily decimal(30,6) rollup, day-over-day sign series, runs =
+    // sign changes + 1; mu/sigma2 pure integer-ppm rationals
+    "q486_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(30,6))) AS v
+        |  FROM events GROUP BY 1
+        |), dd AS (
+        |  SELECT day, v - lag(v) OVER (ORDER BY day) AS d FROM daily
+        |), sg AS (
+        |  SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM dd WHERE d IS NOT NULL AND d <> 0
+        |), ch AS (
+        |  SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+        |                     OR lag(sgn) OVER (ORDER BY day) <> sgn
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM sg
+        |), r AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(chg) AS BIGINT) AS n_runs
+        |  FROM ch
+        |)
+        |SELECT n1, n2, n_runs,
+        |  2 * n1 * n2 * 1000000 // greatest(n1 + n2, 1) + 1000000
+        |    AS mu_ppm,
+        |  2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) * 1000000
+        |    // greatest((n1 + n2) * (n1 + n2) * (n1 + n2 - 1), 1)
+        |    AS sigma2_ppm
+        |FROM r""".stripMargin,
   )
 }

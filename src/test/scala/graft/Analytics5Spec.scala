@@ -291,6 +291,82 @@ class Analytics5Spec extends AnyFunSuite {
     assert(totAlloc <= totTrain * 6 / 10)
   }
 
+  test("q484 Gumbel block maxima equals a driver-side replay; return " +
+      "level sits above the fitted location") {
+    val row = SparkEntry.queries("q484_gumbel_maxima")(spark, TestSpark.sf)
+      .head()
+    // driver replay from the weekly maxima in exact cents
+    val maxima = Tables.orders(spark, TestSpark.sf)
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("wk"))
+      .agg(max((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("mc"))
+      .collect().map(_.getLong(1))
+    val n = maxima.length.toLong
+    assert(row.getAs[Long]("n_blocks") === n)
+    assert(row.getAs[Long]("max_cents") === maxima.max)
+    val sx = maxima.sum
+    val sxx = maxima.map(m => m * m).sum
+    val mean = sx.toDouble / n
+    val beta = math.sqrt((sxx.toDouble - sx.toDouble * sx.toDouble / n)
+      / (n - 1)) * 0.779696801233676
+    val mu = mean - 0.5772156649015329 * beta
+    assert(row.getAs[Double]("mean_cents") === mean)
+    assert(row.getAs[Double]("beta_cents") === beta)
+    assert(row.getAs[Double]("mu_cents") === mu)
+    assert(row.getAs[Double]("rl100_cents") ===
+      mu + 4.600149226776579 * beta)
+    // EVT sanity: scale positive, location below the mean (Gumbel mean
+    // = μ + γβ), 100-block return level above the observed mean
+    assert(beta > 0 && mu < mean)
+    assert(row.getAs[Double]("rl100_cents") > mean,
+      "1-in-100 return level must exceed the typical weekly max")
+    assert(n >= 100, "block grain must be non-trivial at fixture scale")
+  }
+
+  test("q485 source overlap: matrix is upper-triangular, bounded by the " +
+      "source alphabet, and symmetric under relabeling") {
+    val rows = SparkEntry.queries("q485_source_overlap")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty, "fixture must have cross-source verbatim grams")
+    rows.foreach { case (a, b, n) =>
+      assert(a < b, "strictly upper-triangular pair grain")
+      assert(n >= 1L)
+    }
+    assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length,
+      "one row per source pair")
+    val nSources = Tables.documents(spark, TestSpark.sf)
+      .select(col("source")).distinct().count()
+    assert(rows.length <= nSources * (nSources - 1) / 2,
+      "pair grain bounded by C(|sources|, 2)")
+  }
+
+  test("q486 runs test equals a driver-side replay of the daily series") {
+    val row = SparkEntry.queries("q486_runs_test")(spark, TestSpark.sf)
+      .head()
+    val daily = Tables.events(spark, TestSpark.sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(30,6)")).as("v"))
+      .orderBy(col("day"))
+      .collect().map(r => r.getDecimal(1))
+    val signs = daily.sliding(2).collect {
+      case Array(a, b) if b.compareTo(a) != 0 =>
+        if (b.compareTo(a) > 0) 1 else -1
+    }.toSeq
+    val n1 = signs.count(_ == 1).toLong
+    val n2 = signs.count(_ == -1).toLong
+    val nRuns = if (signs.isEmpty) 0L
+      else 1L + signs.sliding(2).count {
+        case Seq(a, b) => a != b
+        case _ => false
+      }
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n2") === n2)
+    assert(row.getAs[Long]("n_runs") === nRuns)
+    assert(row.getAs[Long]("mu_ppm") ===
+      2 * n1 * n2 * 1000000L / math.max(n1 + n2, 1L) + 1000000L)
+    assert(n1 > 0 && n2 > 0, "fixture series must move both ways")
+  }
+
   test("q426 Adamic-Adar equals a naive capped replay") {
     val items = Tables.lineitem(spark, TestSpark.sf)
       .select(col("l_orderkey"), col("l_partkey"))
