@@ -1866,6 +1866,77 @@ object Analytics5Queries {
         .select(col("n1"), col("n2"), col("n_runs"),
           col("mu_ppm"), col("sigma2_ppm"))
     }),
+
+
+    // JARQUE–BERA normality test (round 14) — the moment-based member
+    // beside the q230 KS distance: per-segment skewness and excess
+    // kurtosis from EXACT integer power sums (cents as decimal(10,0);
+    // x²/x³/x⁴ stay exact integers — ≤1e24, inside decimal(38,0) /
+    // DuckDB HUGEINT — so both engines cast the SAME exact sums to
+    // double), then the closing float chain is staged IDENTICALLY on
+    // both sides (mean → raw moments → central moments → S, K, JB) so
+    // every intermediate double is bit-equal; ±·/·sqrt only. JB =
+    // n/6·(S² + K²/4) against χ²(2). Group grain is segments — 5 rows.
+    "q487_jarque_bera" -> ((s, dir) => {
+      val x = Tables.customer(s, dir).select(
+        col("c_mktsegment").as("seg"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100)
+          .cast("decimal(10,0)").as("x"))
+      x.groupBy(col("seg")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .withColumn("mean", expr("cast(s1 as double) / n"))
+        .withColumn("r2", expr("cast(s2 as double) / n"))
+        .withColumn("r3", expr("cast(s3 as double) / n"))
+        .withColumn("r4", expr("cast(s4 as double) / n"))
+        .withColumn("m2", expr("r2 - mean * mean"))
+        .withColumn("m3",
+          expr("r3 - 3 * mean * r2 + 2 * mean * mean * mean"))
+        .withColumn("m4", expr("r4 - 4 * mean * r3 + 6 * mean * mean " +
+          "* r2 - 3 * mean * mean * mean * mean"))
+        .withColumn("skew", expr("m3 / (m2 * sqrt(m2))"))
+        .withColumn("kurt_excess", expr("m4 / (m2 * m2) - 3.0"))
+        // n must be cast to double BEFORE the /6.0: Spark parses a bare
+        // `bigint / 6.0` as DECIMAL division (literal 6.0 is
+        // decimal(2,1); quotient scale 6), so n/6 would ROUND at the
+        // 6th fractional digit — a measured 7e-9 relative drift vs the
+        // IEEE double division every other engine states
+        .withColumn("jb", expr("cast(n as double) / 6.0 " +
+          "* (skew * skew + kurt_excess * kurt_excess / 4.0)"))
+        .select(col("seg"), col("n"), col("mean"), col("skew"),
+          col("kurt_excess"), col("jb"))
+    }),
+
+
+    // PREFIX-CACHE audit (round 14) — the LLM-serving economics read:
+    // documents sharing their first-32-token prefix hit the same KV
+    // cache entry, so per source: how many docs share a prefix bucket
+    // and what token share is cacheable (Σ (n_docs−1)·prefix_tok over
+    // Σ tokens, ppm). Prefix identity via md5 of the joined token
+    // slice — a doc shorter than 32 tokens hashes its full body, so
+    // equal buckets imply equal prefix length by construction. Scale:
+    // one groupBy on (source, prefix-hash) — exact-dedup shape.
+    "q488_prefix_cache" -> ((s, dir) => {
+      val p = Tables.documents(s, dir).select(col("source"),
+          text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("source"),
+          size(col("ts")).cast("long").as("n_tok"),
+          md5(array_join(slice(col("ts"), 1, 32), " ")).as("pfx"),
+          least(size(col("ts")).cast("long"), lit(32L)).as("pfx_tok"))
+      p.groupBy(col("source"), col("pfx"), col("pfx_tok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+        .groupBy(col("source")).agg(
+          sum(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_prefixes"),
+          sum(col("n_docs") - 1).as("dup_prefix_docs"),
+          sum((col("n_docs") - 1) * col("pfx_tok")).as("cacheable_tok"),
+          sum(col("tok")).as("total_tok"))
+        .withColumn("cacheable_ppm",
+          expr("cacheable_tok * 1000000 div greatest(total_tok, 1)"))
+    }),
   )
 
   /** q409's dynamically-unrolled oracle: `rounds` power-iteration steps
@@ -3748,5 +3819,69 @@ object Analytics5Queries {
         |    // greatest((n1 + n2) * (n1 + n2) * (n1 + n2 - 1), 1)
         |    AS sigma2_ppm
         |FROM r""".stripMargin,
+
+    // exact HUGEINT power sums (the decimal(38,0) mirror), then the
+    // identically-staged double chain. The int→double casts route
+    // through VARCHAR: DuckDB's direct HUGEINT→DOUBLE is NOT correctly
+    // rounded (measured 1-ulp miss on a 20-digit sum), while strtod is
+    // — and Spark's decimal→double matches the correctly-rounded value
+    "q487_jarque_bera" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x
+        |  FROM customer
+        |), s AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
+        |    sum(x*x*x*x) AS s4
+        |  FROM c GROUP BY 1
+        |), f AS (
+        |  SELECT seg, n,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mean,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n AS r2,
+        |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / n AS r3,
+        |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / n AS r4
+        |  FROM s
+        |), m AS (
+        |  SELECT seg, n, mean,
+        |    r2 - mean * mean AS m2,
+        |    r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+        |    r4 - 4 * mean * r3 + 6 * mean * mean * r2
+        |      - 3 * mean * mean * mean * mean AS m4
+        |  FROM f
+        |)
+        |SELECT seg, n, mean, skew, kurt_excess,
+        |  n / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4.0) AS jb
+        |FROM (
+        |  SELECT seg, n, mean, m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2 * m2) - 3.0 AS kurt_excess
+        |  FROM m)""".stripMargin,
+
+    // same tokenizer; prefix = md5 of the joined ≤32-token slice;
+    // integer-ppm cacheable share
+    "q488_prefix_cache" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, CAST(len(ts) AS BIGINT) AS n_tok,
+        |    md5(array_to_string(ts[1:least(len(ts), 32)], ' ')) AS pfx,
+        |    CAST(least(len(ts), 32) AS BIGINT) AS pfx_tok
+        |  FROM t
+        |), b AS (
+        |  SELECT source, pfx, pfx_tok,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS tok
+        |  FROM p GROUP BY 1, 2, 3
+        |)
+        |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_prefixes,
+        |  CAST(sum(n_docs - 1) AS BIGINT) AS dup_prefix_docs,
+        |  CAST(sum((n_docs - 1) * pfx_tok) AS BIGINT) AS cacheable_tok,
+        |  CAST(sum(tok) AS BIGINT) AS total_tok,
+        |  CAST(sum((n_docs - 1) * pfx_tok) AS BIGINT) * 1000000
+        |    // greatest(CAST(sum(tok) AS BIGINT), 1) AS cacheable_ppm
+        |FROM b GROUP BY 1""".stripMargin,
   )
 }

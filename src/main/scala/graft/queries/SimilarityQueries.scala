@@ -254,6 +254,48 @@ object SimilarityQueries {
       serveRerank(s, "q28_units", "q28_cands")
     }),
 
+    // FILTERED ANN (round 14) — production vector search is rarely
+    // unconstrained: "nearest neighbors WITH THE SAME label/tenant/
+    // language" is the common shape (FAISS/Milvus call it metadata
+    // filtering). Strategy here is candidate PRE-FILTERING: the IVF
+    // probe shortlists by geometry (cells), the label predicate prunes
+    // BEFORE the exact re-rank, so top-k slots are never wasted on
+    // filtered-out rows (the post-filter alternative loses recall when
+    // the predicate is selective). Everything after the fit is
+    // relational over persisted artifacts — the probe shortlist, the
+    // unit vectors, and the label map — so the oracle states the same
+    // filter + exact-rerank chain (the q28 recipe plus the predicate).
+    "q489_filtered_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, persistCells = false)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfCandidatePairs(idx, queries, nprobe = 4),
+        predsPath("q489_cands"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q489_units"))
+      sources.Sources.writeParquet(
+        e.select(col("vec_id"), col("label")), predsPath("q489_labels"))
+      val labels = s.read.parquet(predsPath("q489_labels"))
+      val filtered = s.read.parquet(predsPath("q489_cands"))
+        .join(labels.select(col("vec_id").as("q_id"),
+          col("label").as("q_label")), "q_id")
+        .join(labels.select(col("vec_id").as("n_id"),
+          col("label").as("n_label")), "n_id")
+        .filter(col("q_label") === col("n_label"))
+      llm.Similarity.exactRerankFromUnits(
+          s.read.parquet(predsPath("q489_units")),
+          filtered.select(col("q_id"), col("n_id")), k = 5)
+        .join(labels.select(col("vec_id").as("q_id"), col("label")),
+          "q_id")
+        .select(col("q_id"), col("n_id"), col("dot_q"), col("rank"),
+          col("label"))
+    }),
+
+
     // incremental index maintenance: fit on 90% of the corpus, persist,
     // APPEND the late 10% against the frozen quantizers (no refit — new
     // codes land only in their routed cell= dirs), then serve the grown
@@ -413,6 +455,34 @@ object SimilarityQueries {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
          |  FROM dots) WHERE rank <= 5""".stripMargin,
 
+
+    // the q28 rerank chain plus the same-label pre-filter, all stated
+    // over the persisted shortlist / units / label map
+    "q489_filtered_ann" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q489_cands")}/*.parquet')
+         |), l AS (
+         |  SELECT vec_id, label FROM read_parquet('${predsPath("q489_labels")}/*.parquet')
+         |), f AS (
+         |  SELECT s.q_id, s.n_id, la.label
+         |  FROM sl s
+         |  JOIN l la ON s.q_id = la.vec_id
+         |  JOIN l lb ON s.n_id = lb.vec_id AND la.label = lb.label
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q489_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT f.q_id, f.n_id, f.label,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM f
+         |  JOIN u a ON f.q_id = a.vec_id
+         |  JOIN u b ON f.n_id = b.vec_id
+         |)
+         |SELECT q_id, n_id, dot_q, rank, label FROM (
+         |  SELECT q_id, n_id, label, dot_q,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |  FROM dots) WHERE rank <= 5""".stripMargin,
 
     // shortlist/re-rank split (q94's oracle, flat-PQ path): exact
     // quantized-dot re-rank + deterministic top-k over the persisted ADC

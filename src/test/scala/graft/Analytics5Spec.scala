@@ -367,6 +367,62 @@ class Analytics5Spec extends AnyFunSuite {
     assert(n1 > 0 && n2 > 0, "fixture series must move both ways")
   }
 
+  test("q487 Jarque-Bera equals an exact-BigInt driver replay") {
+    val rows = SparkEntry.queries("q487_jarque_bera")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cents = Tables.customer(spark, TestSpark.sf)
+      .select(col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100)
+          .cast("decimal(10,0)").cast("long"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    cents.groupBy(_._1).foreach { case (seg, xs) =>
+      val v = xs.map(_._2)
+      val n = v.length.toLong
+      val (s1, s2, s3, s4) = (v.sum, v.map(x => x * x).sum,
+        v.map(x => x * x * x).sum, v.map(x => x * x * x * x).sum)
+      val mean = s1.toDouble / n
+      val (r2, r3, r4) =
+        (s2.toDouble / n, s3.toDouble / n, s4.toDouble / n)
+      val m2 = r2 - mean * mean
+      val m3 = r3 - 3 * mean * r2 + 2 * mean * mean * mean
+      val m4 = r4 - 4 * mean * r3 + 6 * mean * mean * r2 -
+        3 * mean * mean * mean * mean
+      val skew = m3 / (m2 * math.sqrt(m2))
+      val kurt = m4 / (m2 * m2) - 3.0
+      val row = rows(seg)
+      assert(row.getAs[Long]("n") === n, seg)
+      assert(row.getAs[Double]("mean") === mean, seg)
+      assert(row.getAs[Double]("skew") === skew, seg)
+      assert(row.getAs[Double]("kurt_excess") === kurt, seg)
+      assert(row.getAs[Double]("jb") ===
+        n.toDouble / 6.0 * (skew * skew + kurt * kurt / 4.0), seg)
+      assert(m2 > 0, s"$seg: degenerate variance would poison the test")
+    }
+    assert(rows.size >= 2, "segment grain must be non-trivial")
+  }
+
+  test("q488 prefix cache: per-source identities hold and planted " +
+      "duplicate prefixes are counted") {
+    val rows = SparkEntry.queries("q488_prefix_cache")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nPfx, dup, cacheable, total, ppm) =>
+      assert(dup === nDocs - nPfx,
+        s"$src: dup_prefix_docs must equal docs minus distinct prefixes")
+      assert(cacheable <= dup * 32,
+        s"$src: cacheable tokens bounded by 32 per duplicate doc")
+      assert(cacheable <= total, s"$src: cannot cache more than exists")
+      assert(ppm === (if (total > 0) cacheable * 1000000L / total else 0L),
+        s"$src: ppm identity")
+    }
+    val docTotal = Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_._2).sum === docTotal,
+      "every document lands in exactly one source row")
+    assert(rows.map(_._4).sum > 0,
+      "fixture's planted exact dups must share prefixes")
+  }
+
   test("q426 Adamic-Adar equals a naive capped replay") {
     val items = Tables.lineitem(spark, TestSpark.sf)
       .select(col("l_orderkey"), col("l_partkey"))

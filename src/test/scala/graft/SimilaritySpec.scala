@@ -668,4 +668,40 @@ class SimilaritySpec extends AnyFunSuite {
       f"ALS shortlist top-3 recall $recall%.3f below the 0.6 floor " +
         f"(|shortlist|=${got.size}, |dense|=${dense.size})")
   }
+
+  test("q489 filtered ANN: every neighbor shares the query's label; " +
+      "recall floor vs the exact same-label brute force") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q489_filtered_ann")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val labelOf = e.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (q, n, _, lab) =>
+      assert(labelOf(q) === lab, s"query $q label column wrong")
+      assert(labelOf(n) === lab,
+        s"neighbor $n of query $q violates the label predicate")
+    }
+    // recall vs exact: brute-force top-5 restricted to the query's label
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = e.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("label").as("n_label"))
+      .join(broadcast(qs),
+        col("q_id") =!= col("n_id") && col("q_label") === col("n_label"))
+      .withColumn("dot_q",
+        graft.exprapi.quantizedDotFast(col("q_emb"), col("n_emb")))
+    val exactSet = graft.ops.Relational
+      .groupedTopK(scored, Seq("q_id"), "dot_q", "n_id", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val gotSet = rows.map(t => (t._1, t._2)).toSet
+    val recall = gotSet.count(exactSet).toDouble / math.max(exactSet.size, 1)
+    assert(recall >= 0.4,
+      f"filtered-ANN recall $recall%.3f below the 0.4 floor " +
+        f"(nprobe=4 of nlist=16; |got|=${gotSet.size}, |exact|=${exactSet.size})")
+  }
 }
