@@ -560,6 +560,37 @@ object Dedup {
       .select(col("_qid").as(qIdCol), col("id"), col("hamming"))
   }
 
+  /** Merge two persisted [[writeHammingIndex]] layouts into one — the
+    * segment-merge maintenance step of the serving layout (two ingest
+    * epochs, a backfill meeting the live index): reads the STORED
+    * (id, sig) pairs from both layouts — no signature recompute; band
+    * keys re-derive deterministically from the stored sig — validates
+    * both layout markers against the requested (bands, kbBuckets),
+    * unions distinct, writes the same layout at `out`. The probe
+    * equivalence law `probe(merged) == distinct(probe(a) ∪ probe(b))`
+    * is what DedupSpec pins. Scale: one distinct-union shuffle over
+    * the two indexes' (id, sig) grain — same cost class as writing
+    * either index. */
+  def mergeHammingIndexes(
+      spark: org.apache.spark.sql.SparkSession,
+      pathA: String,
+      pathB: String,
+      out: String,
+      bands: Int = 8,
+      kbBuckets: Int = 64): Unit = {
+    Seq(pathA, pathB).foreach { p =>
+      readHammingMeta(spark, p).foreach { case (ib, ikb) =>
+        require(ib == bands && ikb == kbBuckets,
+          s"merge layout (bands=$bands, kbBuckets=$kbBuckets) does not " +
+            s"match the index at $p (bands=$ib, kbBuckets=$ikb)")
+      }
+    }
+    val union = spark.read.parquet(pathA).select(col("id"), col("sig"))
+      .union(spark.read.parquet(pathB).select(col("id"), col("sig")))
+      .distinct()
+    writeHammingIndex(union, "id", "sig", out, bands, kbBuckets)
+  }
+
   /** Connected components over a near-duplicate pair graph — the
     * survivor-selection step that completes dedup: every doc in a
     * component gets the component's MINIMUM doc id as `cluster_id`

@@ -1937,6 +1937,406 @@ object Analytics5Queries {
         .withColumn("cacheable_ppm",
           expr("cacheable_tok * 1000000 div greatest(total_tok, 1)"))
     }),
+
+
+    // DURBIN–WATSON residual-autocorrelation test (round 14) — the
+    // regression-diagnostics member beside q284's ACF: fit the
+    // per-region daily-revenue trend y = a + b·t by closed-form OLS
+    // (exact BIGINT sums → one identically-staged double chain, the
+    // q487 discipline; Σt·y ≲ 6e15 stays BIGINT-exact, Σy² rides
+    // decimal(38,0)/HUGEINT with the q304 string-route cast), then
+    // DW = Σ(e_t−e_{t−1})²/Σe_t² over CENT-FLOORED residuals — the
+    // floor turns each residual into an exact integer, so both square
+    // sums are order-free exact decimals and DW is one final divide.
+    // Scale: one groupBy to the daily grain, one 5-row broadcast of
+    // the coefficients, one partitioned lag window.
+    "q492_durbin_watson" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("y"))
+        .withColumn("t", datediff(col("day"), lit("1992-01-01").cast("date"))
+          .cast("long"))
+      val fit = daily.groupBy(col("r_name")).agg(
+          count(lit(1)).as("n"),
+          sum(col("t")).as("st"),
+          sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty"))
+        .withColumn("mt", expr("cast(st as double) / n"))
+        .withColumn("my", expr("cast(sy as double) / n"))
+        .withColumn("vt", expr("cast(stt as double) / n - mt * mt"))
+        .withColumn("cty", expr("cast(sty as double) / n - mt * my"))
+        .withColumn("slope", expr("cty / vt"))
+        .withColumn("intercept", expr("my - slope * mt"))
+        .select(col("r_name"), col("n"), col("slope"), col("intercept"))
+      val resid = daily.join(broadcast(fit), Seq("r_name"))
+        .withColumn("e", expr("cast(floor(cast(y as double) " +
+          "- (intercept + slope * cast(t as double))) as bigint)"))
+      val w = Window.partitionBy(col("r_name")).orderBy(col("day"))
+      resid
+        .withColumn("d", col("e") - lag(col("e"), 1).over(w))
+        .groupBy(col("r_name"), col("n"), col("slope"), col("intercept"))
+        .agg(
+          sum((col("e").cast("decimal(19,0)") * col("e"))
+            .cast("decimal(38,0)")).as("den"),
+          sum((col("d").cast("decimal(19,0)") * col("d"))
+            .cast("decimal(38,0)")).as("num"))
+        .withColumn("dw", expr("cast(cast(num as string) as double) " +
+          "/ cast(cast(den as string) as double)"))
+        .select(col("r_name"), col("n"), col("slope"), col("intercept"),
+          col("dw"))
+    }),
+
+
+    // CHOW structural-break F-test (round 14) — did the trend CHANGE at
+    // a known date: pooled-vs-split OLS on the per-region daily series,
+    // F = ((RSSp − RSS1 − RSS2)/k) / ((RSS1+RSS2)/(n1+n2−2k)), k = 2,
+    // break at 1995-06-17 (the fixture date span's midpoint). Each RSS
+    // comes from the SAME closed form n·(vy − cty²/vt) over per-segment
+    // exact sums; pooled sums are the exact integer sums of the two
+    // segments' (never a refold of floats), and Σy² rides decimal(38,0)
+    // with the string-route double cast. One aggregation per region ×
+    // segment, one 5-row closing rollup — no second scan.
+    "q493_chow_break" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("y"))
+        .withColumn("t", datediff(col("day"), lit("1992-01-01").cast("date"))
+          .cast("long"))
+        .withColumn("seg",
+          when(col("day") < lit("1995-06-17").cast("date"), 0L).otherwise(1L))
+      val per = daily.groupBy(col("r_name"), col("seg")).agg(
+        count(lit(1)).as("n"),
+        sum(col("t")).as("st"),
+        sum(col("y")).as("sy"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("y")).as("sty"),
+        sum((col("y").cast("decimal(19,0)") * col("y"))
+          .cast("decimal(38,0)")).as("syy"))
+      // RSS = n·(vy − cty²/vt) from raw-moment doubles — the one float
+      // chain, written once here and restated verbatim in the oracle
+      def rss(p: String): String =
+        s"""cast(n$p as double) * (
+           |  (cast(cast(syy$p as string) as double) / n$p
+           |     - (cast(sy$p as double) / n$p) * (cast(sy$p as double) / n$p))
+           |  - (cast(sty$p as double) / n$p
+           |     - (cast(st$p as double) / n$p) * (cast(sy$p as double) / n$p))
+           |    * (cast(sty$p as double) / n$p
+           |     - (cast(st$p as double) / n$p) * (cast(sy$p as double) / n$p))
+           |    / (cast(stt$p as double) / n$p
+           |     - (cast(st$p as double) / n$p) * (cast(st$p as double) / n$p))
+           |)""".stripMargin.replaceAll("\n", " ")
+      per.groupBy(col("r_name")).agg(
+          sum(when(col("seg") === 0, col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("seg") === 1, col("n")).otherwise(0L)).as("n2"),
+          sum(when(col("seg") === 0, col("st")).otherwise(0L)).as("st1"),
+          sum(when(col("seg") === 1, col("st")).otherwise(0L)).as("st2"),
+          sum(when(col("seg") === 0, col("sy")).otherwise(0L)).as("sy1"),
+          sum(when(col("seg") === 1, col("sy")).otherwise(0L)).as("sy2"),
+          sum(when(col("seg") === 0, col("stt")).otherwise(0L)).as("stt1"),
+          sum(when(col("seg") === 1, col("stt")).otherwise(0L)).as("stt2"),
+          sum(when(col("seg") === 0, col("sty")).otherwise(0L)).as("sty1"),
+          sum(when(col("seg") === 1, col("sty")).otherwise(0L)).as("sty2"),
+          sum(when(col("seg") === 0, col("syy"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("syy1"),
+          sum(when(col("seg") === 1, col("syy"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("syy2"))
+        .withColumn("np", col("n1") + col("n2"))
+        .withColumn("stp", col("st1") + col("st2"))
+        .withColumn("syp", col("sy1") + col("sy2"))
+        .withColumn("sttp", col("stt1") + col("stt2"))
+        .withColumn("styp", col("sty1") + col("sty2"))
+        .withColumn("syyp", (col("syy1") + col("syy2")).cast("decimal(38,0)"))
+        .withColumn("rss1", expr(rss("1")))
+        .withColumn("rss2", expr(rss("2")))
+        .withColumn("rssp", expr(rss("p")))
+        .withColumn("f_chow", expr("((rssp - rss1 - rss2) / cast(2 as " +
+          "double)) / ((rss1 + rss2) / cast(n1 + n2 - 4 as double))"))
+        .select(col("r_name"), col("n1"), col("n2"), col("rss1"),
+          col("rss2"), col("rssp"), col("f_chow"))
+    }),
+
+
+    // BARTLETT equal-variance test (round 14) — the homoscedasticity
+    // screen beside q340's Brown–Forsythe (which tests centers of
+    // spread robustly; Bartlett is the exact-normal-theory version and
+    // the one that feeds ANOVA validity): per-segment sample variances
+    // from exact BIGINT sums, then every cross-segment fold QUANTIZED
+    // to integers before summing — Σ(nᵢ−1)ln(Sᵢ²) in μ-units,
+    // Σ(nᵢ−1)Sᵢ² cent²-floored, Σ1/(nᵢ−1) in 1e-12 units — so the
+    // 5-row closing aggregation is order-free exact and the statistic
+    // is assembled from integers in one final double chain.
+    "q494_bartlett" -> ((s, dir) => {
+      val per = Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("seg"),
+          (col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").as("x"))
+        .groupBy(col("seg")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+        .withColumn("v", expr("(cast(s2 as double) - cast(s1 as double) " +
+          "* cast(s1 as double) / n) / (n - 1)"))
+        .withColumn("term_q",
+          expr("cast(floor((n - 1) * ln(v) * 1000000) as bigint)"))
+        .withColumn("spn_q", expr("cast(floor((n - 1) * v) as bigint)"))
+        .withColumn("inv_q", expr("1000000000000 div (n - 1)"))
+      per.agg(
+          count(lit(1)).as("k"),
+          sum(col("n")).as("nn"),
+          sum(col("term_q")).as("t1"),
+          sum(col("spn_q")).as("spn"),
+          sum(col("inv_q")).as("inv"))
+        .withColumn("sp2",
+          expr("cast(spn as double) / cast(nn - k as double)"))
+        .withColumn("t_bartlett", expr(
+          "(cast(nn - k as double) * ln(sp2) " +
+            "- cast(t1 as double) / cast(1000000 as double)) " +
+            "/ (cast(1 as double) + (cast(inv as double) " +
+            "/ cast(1000000000000 as double) " +
+            "- cast(1 as double) / cast(nn - k as double)) " +
+            "/ (cast(3 as double) * cast(k - 1 as double)))"))
+        .select(col("k"), col("nn"), col("sp2"), col("t_bartlett"))
+    }),
+
+
+    // WELCH's unequal-variance t-test + Cohen's d (round 14) — the
+    // parametric two-sample member beside q255's Mann–Whitney (rank)
+    // and q265's two-proportion z: heavy buyers (order count ≥ the
+    // corpus average — an integer CROSS-MULTIPLIED predicate, so the
+    // split is exact and non-degenerate at every SF) vs the rest, on
+    // balance cents. With exactly TWO groups the cross-group fold
+    // needs no quantization at all: conditional integer sums land
+    // both groups' (n, Σx, Σx²) in ONE exact row, then the whole
+    // t / Welch–Satterthwaite df / pooled-d chain is a single staged
+    // double expression. Scale: one broadcast-joined order count, one
+    // scalar broadcast, one map-side-partial aggregation.
+    "q495_welch_t" -> ((s, dir) => {
+      val nOrd = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val totals = Tables.customer(s, dir)
+        .agg(count(lit(1)).as("n_cust"))
+        .crossJoin(broadcast(
+          Tables.orders(s, dir).agg(count(lit(1)).as("n_orders"))))
+      Tables.customer(s, dir)
+        .join(nOrd, col("c_custkey") === col("o_custkey"), "left_outer")
+        .crossJoin(broadcast(totals))
+        .select(
+          when(coalesce(col("n_ord"), lit(0L)) * col("n_cust")
+            >= col("n_orders"), 1L).otherwise(0L).as("g"),
+          (col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").as("x"))
+        .agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0, col("x")).otherwise(0L)).as("s10"),
+          sum(when(col("g") === 1, col("x")).otherwise(0L)).as("s11"),
+          sum(when(col("g") === 0, col("x") * col("x")).otherwise(0L))
+            .as("s20"),
+          sum(when(col("g") === 1, col("x") * col("x")).otherwise(0L))
+            .as("s21"))
+        .withColumn("mean0", expr("cast(s10 as double) / n0"))
+        .withColumn("mean1", expr("cast(s11 as double) / n1"))
+        .withColumn("v0", expr("(cast(s20 as double) - cast(s10 as " +
+          "double) * cast(s10 as double) / n0) / (n0 - 1)"))
+        .withColumn("v1", expr("(cast(s21 as double) - cast(s11 as " +
+          "double) * cast(s11 as double) / n1) / (n1 - 1)"))
+        .withColumn("se2", expr("v0 / n0 + v1 / n1"))
+        .withColumn("t_welch", expr("(mean1 - mean0) / sqrt(se2)"))
+        .withColumn("df_welch", expr("se2 * se2 / ((v0 / n0) * (v0 / n0)" +
+          " / (n0 - 1) + (v1 / n1) * (v1 / n1) / (n1 - 1))"))
+        .withColumn("cohens_d", expr("(mean1 - mean0) / sqrt(((n0 - 1) " +
+          "* v0 + (n1 - 1) * v1) / cast(n0 + n1 - 2 as double))"))
+        .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+          col("t_welch"), col("df_welch"), col("cohens_d"))
+    }),
+
+
+    // LJUNG–BOX portmanteau test (round 14) — q284's per-lag ACF rolled
+    // into the single "is this series white noise" statistic:
+    // Q = n(n+2)·Σ_{k≤7} ρ_k²/(n−k) over the daily event-count series.
+    // Mean-centered ρ_k from exact per-lag integer sums (the q284 pair
+    // join); the cross-LAG fold — the only place floats would meet an
+    // unordered sum — is pre-quantized to 1e-12 units per lag, so the
+    // closing Σ is exact integers and Q is assembled in one final
+    // double chain. The lag frame is a 7-row explode join: same scale
+    // shape as q284 (7 shuffles' worth of pairs on the daily grain).
+    "q496_ljung_box" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .select(datediff(col("d"), lit("2024-01-01").cast("date"))
+          .cast("long").as("t"), col("n"))
+      def d19(c: Column): Column = c.cast("decimal(19,0)")
+      val glob = daily.agg(
+        count(lit(1)).as("nn"),
+        sum(col("n")).as("s1"),
+        sum(d19(col("n")) * d19(col("n"))).cast("double").as("s2"))
+      val lags = daily
+        .withColumn("lag",
+          explode(array((1 to 7).map(i => lit(i.toLong)): _*)))
+        .withColumn("t2", col("t") + col("lag"))
+        .join(daily.select(col("t").as("t2"), col("n").as("n2")),
+          Seq("t2"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n")).as("sx"), sum(col("n2")).as("sy"),
+          sum(d19(col("n")) * d19(col("n2"))).cast("double").as("sxy"))
+      lags.crossJoin(broadcast(glob))
+        .withColumn("mean", expr("cast(s1 as double) / nn"))
+        .withColumn("rho", expr(
+          "(sxy - mean * (cast(sx as double) + cast(sy as double)) " +
+            "+ n_pairs * mean * mean) / (s2 - nn * mean * mean)"))
+        .withColumn("term_q", expr("cast(floor(rho * rho " +
+          "/ cast(nn - lag as double) * 1000000000000) as bigint)"))
+        .agg(max(col("nn")).as("n"),
+          count(lit(1)).as("h"),
+          sum(col("term_q")).as("lb_sum_q"))
+        .withColumn("q_lb", expr("cast(n * (n + 2) as double) " +
+          "* (cast(lb_sum_q as double) / cast(1000000000000 as double))"))
+        .select(col("n"), col("h"), col("lb_sum_q"), col("q_lb"))
+    }),
+
+
+    // DoReMi-style source REWEIGHTING (round 14) — one multiplicative-
+    // weights step of the domain-mixture optimization (Xie et al. 2023,
+    // simplified to a unigram-NLL proxy): per-source token-weighted
+    // excess loss vs the corpus reference, then
+    // w_new ∝ n_tok · exp(η·excess), η = 1. The exp factor is the only
+    // float; each source's unnormalized weight is floor-quantized to an
+    // integer TOKEN scale before the normalizing Σ, so the mixture ppm
+    // row is exact-integer arithmetic (the q119/q392 discipline, with a
+    // loss signal instead of a temperature exponent). Scale: rides the
+    // q83 vocab broadcast — one tf shuffle, one source rollup.
+    "q498_doremi_reweight" -> ((s, dir) => {
+      val perDoc = text.TextOps.unigramLogLoss(
+        Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tok"),
+          (col("nll_q") * col("n_tok")).as("sum_q"))
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .join(perDoc, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tok"),
+          sum(col("sum_q")).as("sq"))
+        .withColumn("nll_q", expr("sq div n_tok"))
+      val ref = src.agg(
+        sum(col("sq")).as("rsq"), sum(col("n_tok")).as("rtok"))
+        .withColumn("ref_q", expr("rsq div rtok"))
+        .select(col("ref_q"), col("rtok"))
+      val w = src.crossJoin(broadcast(ref))
+        .withColumn("excess_q", col("nll_q") - col("ref_q"))
+        .withColumn("u_q", expr("cast(floor(cast(n_tok as double) " +
+          "* exp(cast(excess_q as double) " +
+          "/ cast(1000000 as double))) as bigint)"))
+      val tot = w.agg(sum(col("u_q")).as("tu"))
+      w.crossJoin(broadcast(tot))
+        .withColumn("w_old_ppm", expr("n_tok * 1000000 div rtok"))
+        .withColumn("w_new_ppm", expr("u_q * 1000000 div tu"))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          col("nll_q"), col("excess_q"), col("w_old_ppm"),
+          col("w_new_ppm"))
+    }),
+
+
+    // BREUSCH–PAGAN / Koenker heteroscedasticity test (round 14) — the
+    // third leg of the q492/q493 regression-diagnostics triplet: after
+    // the same per-region daily OLS, regress the SQUARED residual on t;
+    // LM = n·R². Residuals are DOLLAR-floored (not cents) so e⁴ sums
+    // stay inside decimal(38,0)/HUGEINT at sf1 scale; all four residual
+    // power sums are exact decimals with the q304 string-route double
+    // cast, and R² is one closing double chain. Same scan/shuffle
+    // profile as q492 (daily grain twice, one 5-row broadcast).
+    "q499_breusch_pagan" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("y"))
+        .withColumn("t", datediff(col("day"), lit("1992-01-01").cast("date"))
+          .cast("long"))
+      val fit = daily.groupBy(col("r_name")).agg(
+          count(lit(1)).as("n"),
+          sum(col("t")).as("st"),
+          sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty"))
+        .withColumn("mt", expr("cast(st as double) / n"))
+        .withColumn("my", expr("cast(sy as double) / n"))
+        .withColumn("vt", expr("cast(stt as double) / n - mt * mt"))
+        .withColumn("cty", expr("cast(sty as double) / n - mt * my"))
+        .withColumn("slope", expr("cty / vt"))
+        .withColumn("intercept", expr("my - slope * mt"))
+        .select(col("r_name"), col("n"), col("st"), col("stt"),
+          col("slope"), col("intercept"))
+      daily.join(broadcast(fit), Seq("r_name"))
+        .withColumn("e", expr("cast(floor((cast(y as double) " +
+          "- (intercept + slope * cast(t as double))) " +
+          "/ cast(100 as double)) as bigint)"))
+        .withColumn("e2", (col("e").cast("decimal(19,0)") * col("e"))
+          .cast("decimal(38,0)"))
+        .groupBy(col("r_name"), col("n"), col("st"), col("stt"))
+        .agg(sum(col("e2")).as("se"),
+          sum((col("t").cast("decimal(19,0)") * col("e2"))
+            .cast("decimal(38,0)")).as("ste"),
+          sum((col("e2") * col("e2")).cast("decimal(38,0)")).as("see"))
+        .withColumn("mt", expr("cast(st as double) / n"))
+        .withColumn("me2", expr("cast(cast(se as string) as double) / n"))
+        .withColumn("vt", expr("cast(stt as double) / n - mt * mt"))
+        .withColumn("vy",
+          expr("cast(cast(see as string) as double) / n - me2 * me2"))
+        .withColumn("cty",
+          expr("cast(cast(ste as string) as double) / n - mt * me2"))
+        .withColumn("r2_e2", expr("cty * cty / (vt * vy)"))
+        .withColumn("bp_lm", expr("cast(n as double) * r2_e2"))
+        .select(col("r_name"), col("n"), col("r2_e2"), col("bp_lm"))
+    }),
+
+
+    // CLASSICAL seasonal decomposition (round 14) — trend / seasonal /
+    // remainder with ZERO divisions and ZERO floats: the centered 7-day
+    // moving TOTAL stands in for the moving average (working in "7×"
+    // units: det7 = 7·y − Σ±3), day-of-week cells come from t % 7 (an
+    // engine-neutral weekday — Spark's dayofweek and DuckDB's differ in
+    // origin), and the remainder is cross-multiplied against the cell
+    // total (rem = n_dow·det7 − Σ_dow det7) so no mean is ever divided
+    // out. Every column is an exact BIGINT — the whole decomposition is
+    // hash-portable by construction. One global-window pass on the
+    // daily grain (aggregate-bounded frame) + one 7-row broadcast.
+    "q500_classical_decomposition" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("y"))
+        .withColumn("t", datediff(col("day"), lit("1992-01-01").cast("date"))
+          .cast("long"))
+      val w7 = Window.orderBy(col("t")).rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("ma_sum7", sum(col("y")).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("det7", col("y") * 7 - col("ma_sum7"))
+        .withColumn("dow", pmod(col("t"), lit(7L)))
+      val seas = det.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_dow"),
+          sum(col("det7")).as("sum_det7_dow"))
+      det.join(broadcast(seas), Seq("dow"))
+        .withColumn("rem_x",
+          col("n_dow") * col("det7") - col("sum_det7_dow"))
+        .select(col("day"), col("y"), col("ma_sum7"), col("det7"),
+          col("dow"), col("n_dow"), col("sum_det7_dow"), col("rem_x"))
+    }),
   )
 
   /** q409's dynamically-unrolled oracle: `rounds` power-iteration steps
@@ -3883,5 +4283,405 @@ object Analytics5Queries {
         |  CAST(sum((n_docs - 1) * pfx_tok) AS BIGINT) * 1000000
         |    // greatest(CAST(sum(tok) AS BIGINT), 1) AS cacheable_ppm
         |FROM b GROUP BY 1""".stripMargin,
+
+    // the same exact-sum OLS, cent-floored residuals, and exact decimal
+    // square sums; HUGEINT→DOUBLE routes via VARCHAR (q304 bridge)
+    "q492_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT r_name, day, y,
+        |    CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS t
+        |  FROM daily
+        |), fit AS (
+        |  SELECT r_name, n, slope, my - slope * mt AS intercept FROM (
+        |    SELECT r_name, n, mt, my, cty / vt AS slope FROM (
+        |      SELECT r_name, n,
+        |        CAST(st AS DOUBLE) / n AS mt,
+        |        CAST(sy AS DOUBLE) / n AS my,
+        |        CAST(stt AS DOUBLE) / n
+        |          - (CAST(st AS DOUBLE) / n) * (CAST(st AS DOUBLE) / n)
+        |          AS vt,
+        |        CAST(sty AS DOUBLE) / n
+        |          - (CAST(st AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+        |          AS cty
+        |      FROM (
+        |        SELECT r_name, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(t) AS BIGINT) AS st,
+        |          CAST(sum(y) AS BIGINT) AS sy,
+        |          CAST(sum(t * t) AS BIGINT) AS stt,
+        |          CAST(sum(t * y) AS BIGINT) AS sty
+        |        FROM d2 GROUP BY 1)))
+        |), resid AS (
+        |  SELECT d.r_name, f.n, f.slope, f.intercept, d.day,
+        |    CAST(floor(CAST(d.y AS DOUBLE)
+        |      - (f.intercept + f.slope * CAST(d.t AS DOUBLE))) AS BIGINT)
+        |      AS e
+        |  FROM d2 d JOIN fit f ON d.r_name = f.r_name
+        |), lagd AS (
+        |  SELECT r_name, n, slope, intercept, e,
+        |    e - lag(e) OVER (PARTITION BY r_name ORDER BY day) AS d
+        |  FROM resid
+        |), sums AS (
+        |  SELECT r_name, n, slope, intercept,
+        |    sum(CAST(e AS HUGEINT) * e) AS den,
+        |    sum(CAST(d AS HUGEINT) * d) AS num
+        |  FROM lagd GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT r_name, n, slope, intercept,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS dw
+        |FROM sums""".stripMargin,
+
+    // per-(region, segment) exact sums, pooled = exact integer sums of
+    // the segments, identical RSS closed form on every leg
+    "q493_chow_break" ->
+      """WITH daily AS (
+        |  SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT r_name, y,
+        |    CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS t,
+        |    CASE WHEN day < DATE '1995-06-17' THEN 0 ELSE 1 END AS seg
+        |  FROM daily
+        |), per AS (
+        |  SELECT r_name, seg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * t) AS BIGINT) AS stt,
+        |    CAST(sum(t * y) AS BIGINT) AS sty,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM d2 GROUP BY 1, 2
+        |), wide AS (
+        |  SELECT r_name,
+        |    CAST(sum(CASE WHEN seg = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN seg = 1 THEN n ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN seg = 0 THEN st ELSE 0 END) AS BIGINT) AS st1,
+        |    CAST(sum(CASE WHEN seg = 1 THEN st ELSE 0 END) AS BIGINT) AS st2,
+        |    CAST(sum(CASE WHEN seg = 0 THEN sy ELSE 0 END) AS BIGINT) AS sy1,
+        |    CAST(sum(CASE WHEN seg = 1 THEN sy ELSE 0 END) AS BIGINT) AS sy2,
+        |    CAST(sum(CASE WHEN seg = 0 THEN stt ELSE 0 END) AS BIGINT) AS stt1,
+        |    CAST(sum(CASE WHEN seg = 1 THEN stt ELSE 0 END) AS BIGINT) AS stt2,
+        |    CAST(sum(CASE WHEN seg = 0 THEN sty ELSE 0 END) AS BIGINT) AS sty1,
+        |    CAST(sum(CASE WHEN seg = 1 THEN sty ELSE 0 END) AS BIGINT) AS sty2,
+        |    sum(CASE WHEN seg = 0 THEN syy ELSE CAST(0 AS HUGEINT) END)
+        |      AS syy1,
+        |    sum(CASE WHEN seg = 1 THEN syy ELSE CAST(0 AS HUGEINT) END)
+        |      AS syy2
+        |  FROM per GROUP BY 1
+        |), pooled AS (
+        |  SELECT *, n1 + n2 AS np, st1 + st2 AS stp, sy1 + sy2 AS syp,
+        |    stt1 + stt2 AS sttp, sty1 + sty2 AS styp, syy1 + syy2 AS syyp
+        |  FROM wide
+        |), rs AS (
+        |  SELECT r_name, n1, n2,
+        |    cast(n1 as double) * ( (cast(cast(syy1 as varchar) as double) / n1 - (cast(sy1 as double) / n1) * (cast(sy1 as double) / n1)) - (cast(sty1 as double) / n1 - (cast(st1 as double) / n1) * (cast(sy1 as double) / n1)) * (cast(sty1 as double) / n1 - (cast(st1 as double) / n1) * (cast(sy1 as double) / n1)) / (cast(stt1 as double) / n1 - (cast(st1 as double) / n1) * (cast(st1 as double) / n1)) ) AS rss1,
+        |    cast(n2 as double) * ( (cast(cast(syy2 as varchar) as double) / n2 - (cast(sy2 as double) / n2) * (cast(sy2 as double) / n2)) - (cast(sty2 as double) / n2 - (cast(st2 as double) / n2) * (cast(sy2 as double) / n2)) * (cast(sty2 as double) / n2 - (cast(st2 as double) / n2) * (cast(sy2 as double) / n2)) / (cast(stt2 as double) / n2 - (cast(st2 as double) / n2) * (cast(st2 as double) / n2)) ) AS rss2,
+        |    cast(np as double) * ( (cast(cast(syyp as varchar) as double) / np - (cast(syp as double) / np) * (cast(syp as double) / np)) - (cast(styp as double) / np - (cast(stp as double) / np) * (cast(syp as double) / np)) * (cast(styp as double) / np - (cast(stp as double) / np) * (cast(syp as double) / np)) / (cast(sttp as double) / np - (cast(stp as double) / np) * (cast(stp as double) / np)) ) AS rssp
+        |  FROM pooled
+        |)
+        |SELECT r_name, n1, n2, rss1, rss2, rssp,
+        |  ((rssp - rss1 - rss2) / cast(2 as double))
+        |    / ((rss1 + rss2) / cast(n1 + n2 - 4 as double)) AS f_chow
+        |FROM rs""".stripMargin,
+
+    // per-segment variances from exact sums; every cross-segment fold
+    // pre-quantized to integers so the closing aggregation is exact
+    "q494_bartlett" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2
+        |  FROM (
+        |    SELECT c_mktsegment,
+        |      CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |    FROM customer)
+        |  GROUP BY 1
+        |), q AS (
+        |  SELECT seg, n,
+        |    CAST(floor((n - 1) * ln(v) * 1000000) AS BIGINT) AS term_q,
+        |    CAST(floor((n - 1) * v) AS BIGINT) AS spn_q,
+        |    1000000000000 // (n - 1) AS inv_q
+        |  FROM (
+        |    SELECT seg, n,
+        |      (cast(s2 as double) - cast(s1 as double) * cast(s1 as double)
+        |        / n) / (n - 1) AS v
+        |    FROM per)
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(term_q) AS BIGINT) AS t1,
+        |    CAST(sum(spn_q) AS BIGINT) AS spn,
+        |    CAST(sum(inv_q) AS BIGINT) AS inv
+        |  FROM q
+        |)
+        |SELECT k, nn, sp2,
+        |  (cast(nn - k as double) * ln(sp2)
+        |    - cast(t1 as double) / cast(1000000 as double))
+        |  / (cast(1 as double) + (cast(inv as double)
+        |    / cast(1000000000000 as double)
+        |    - cast(1 as double) / cast(nn - k as double))
+        |  / (cast(3 as double) * cast(k - 1 as double))) AS t_bartlett
+        |FROM (
+        |  SELECT k, nn, t1, inv,
+        |    cast(spn as double) / cast(nn - k as double) AS sp2
+        |  FROM agg)""".stripMargin,
+
+    // two-group conditional exact sums in one row, then the identical
+    // Welch / Satterthwaite / pooled-d double chain
+    "q495_welch_t" ->
+      """WITH tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_cust,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders
+        |), base AS (
+        |  SELECT CASE WHEN coalesce(n_ord, 0) * n_cust >= n_orders
+        |         THEN 1 ELSE 0 END AS g,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM customer
+        |  LEFT JOIN (
+        |    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |    FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+        |  CROSS JOIN tot
+        |), s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS s10,
+        |    CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS s11,
+        |    CAST(sum(CASE WHEN g = 0 THEN x * x ELSE 0 END) AS BIGINT)
+        |      AS s20,
+        |    CAST(sum(CASE WHEN g = 1 THEN x * x ELSE 0 END) AS BIGINT)
+        |      AS s21
+        |  FROM base
+        |), m AS (
+        |  SELECT n0, n1,
+        |    cast(s10 as double) / n0 AS mean0,
+        |    cast(s11 as double) / n1 AS mean1,
+        |    (cast(s20 as double) - cast(s10 as double) * cast(s10 as
+        |      double) / n0) / (n0 - 1) AS v0,
+        |    (cast(s21 as double) - cast(s11 as double) * cast(s11 as
+        |      double) / n1) / (n1 - 1) AS v1
+        |  FROM s
+        |), w AS (
+        |  SELECT *, v0 / n0 + v1 / n1 AS se2 FROM m
+        |)
+        |SELECT n0, n1, mean0, mean1,
+        |  (mean1 - mean0) / sqrt(se2) AS t_welch,
+        |  se2 * se2 / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+        |    + (v1 / n1) * (v1 / n1) / (n1 - 1)) AS df_welch,
+        |  (mean1 - mean0) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1)
+        |    / cast(n0 + n1 - 2 as double)) AS cohens_d
+        |FROM w""".stripMargin,
+
+    // q284's pair join per lag; per-lag rho from exact sums; the cross-
+    // lag fold pre-quantized to 1e-12 units before the exact Σ
+    "q496_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS t,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), gstats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(n) AS BIGINT) AS s1,
+        |         CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS s2
+        |  FROM daily
+        |), pairs AS (
+        |  SELECT l.lag, a.n AS x, b.n AS y
+        |  FROM unnest([1, 2, 3, 4, 5, 6, 7]) AS l(lag)
+        |  JOIN daily a ON TRUE
+        |  JOIN daily b ON b.t = a.t + l.lag
+        |), lags AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS sxy
+        |  FROM pairs GROUP BY 1
+        |), r AS (
+        |  SELECT lag, n_pairs, nn, s2, cast(s1 as double) / nn AS mean,
+        |         (sxy - (cast(s1 as double) / nn) * (cast(sx as double)
+        |            + cast(sy as double))
+        |          + n_pairs * (cast(s1 as double) / nn)
+        |            * (cast(s1 as double) / nn))
+        |         / (s2 - nn * (cast(s1 as double) / nn)
+        |            * (cast(s1 as double) / nn)) AS rho
+        |  FROM lags, gstats
+        |), q AS (
+        |  SELECT CAST(max(nn) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS h,
+        |    CAST(sum(CAST(floor(rho * rho / cast(nn - lag as double)
+        |      * 1000000000000) AS BIGINT)) AS BIGINT) AS lb_sum_q
+        |  FROM r
+        |)
+        |SELECT n, h, lb_sum_q,
+        |  cast(n * (n + 2) as double)
+        |    * (cast(lb_sum_q as double) / cast(1000000000000 as double))
+        |    AS q_lb
+        |FROM q""".stripMargin,
+
+    // the q83 per-doc quantized-NLL grain re-aggregated per source, one
+    // multiplicative-weights step with the exp factor floor-quantized
+    // to the integer token scale before the normalizing sum
+    "q498_doremi_reweight" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |          '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+        |), vq AS (
+        |  SELECT tok,
+        |    CAST(floor(1e6 * (ln(CAST((SELECT sum(c) FROM c) AS DOUBLE))
+        |                      - ln(CAST(c AS DOUBLE)))) AS BIGINT) AS q
+        |  FROM c
+        |), perdoc AS (
+        |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tok,
+        |    CAST(sum(t.tf * v.q) AS BIGINT) // CAST(sum(t.tf) AS BIGINT)
+        |      AS nll_q
+        |  FROM tf t JOIN vq v ON t.tok = v.tok
+        |  GROUP BY 1
+        |), src AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(p.n_tok) AS BIGINT) AS n_tok,
+        |    CAST(sum(p.nll_q * p.n_tok) AS BIGINT) AS sq
+        |  FROM documents d JOIN perdoc p ON d.doc_id = p.doc_id
+        |  GROUP BY 1
+        |), s2 AS (
+        |  SELECT *, sq // n_tok AS nll_q FROM src
+        |), ref AS (
+        |  SELECT CAST(sum(sq) AS BIGINT) // CAST(sum(n_tok) AS BIGINT)
+        |    AS ref_q, CAST(sum(n_tok) AS BIGINT) AS rtok
+        |  FROM s2
+        |), w AS (
+        |  SELECT s2.source, s2.n_docs, s2.n_tok, s2.nll_q,
+        |    s2.nll_q - ref.ref_q AS excess_q, ref.rtok,
+        |    CAST(floor(cast(s2.n_tok as double)
+        |      * exp(cast(s2.nll_q - ref.ref_q as double)
+        |        / cast(1000000 as double))) AS BIGINT) AS u_q
+        |  FROM s2, ref
+        |), tot AS (
+        |  SELECT CAST(sum(u_q) AS BIGINT) AS tu FROM w
+        |)
+        |SELECT w.source, w.n_docs, w.n_tok, w.nll_q, w.excess_q,
+        |  w.n_tok * 1000000 // w.rtok AS w_old_ppm,
+        |  w.u_q * 1000000 // tot.tu AS w_new_ppm
+        |FROM w, tot""".stripMargin,
+
+    // the q492 OLS restated, dollar-floored residuals, HUGEINT power
+    // sums with the VARCHAR-route double casts, closing n·R² chain
+    "q499_breusch_pagan" ->
+      """WITH daily AS (
+        |  SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT r_name, day, y,
+        |    CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS t
+        |  FROM daily
+        |), fit AS (
+        |  SELECT r_name, n, st, stt, slope, my - slope * mt AS intercept
+        |  FROM (
+        |    SELECT r_name, n, st, stt, mt, my, cty / vt AS slope FROM (
+        |      SELECT r_name, n, st, stt,
+        |        CAST(st AS DOUBLE) / n AS mt,
+        |        CAST(sy AS DOUBLE) / n AS my,
+        |        CAST(stt AS DOUBLE) / n
+        |          - (CAST(st AS DOUBLE) / n) * (CAST(st AS DOUBLE) / n)
+        |          AS vt,
+        |        CAST(sty AS DOUBLE) / n
+        |          - (CAST(st AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+        |          AS cty
+        |      FROM (
+        |        SELECT r_name, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(t) AS BIGINT) AS st,
+        |          CAST(sum(y) AS BIGINT) AS sy,
+        |          CAST(sum(t * t) AS BIGINT) AS stt,
+        |          CAST(sum(t * y) AS BIGINT) AS sty
+        |        FROM d2 GROUP BY 1)))
+        |), resid AS (
+        |  SELECT r_name, n, st, stt, t,
+        |    CAST(e AS HUGEINT) * e AS e2
+        |  FROM (
+        |    SELECT d.r_name, d.t,
+        |      CAST(floor((CAST(d.y AS DOUBLE)
+        |        - (f.intercept + f.slope * CAST(d.t AS DOUBLE)))
+        |        / CAST(100 AS DOUBLE)) AS BIGINT) AS e,
+        |      f.n, f.st, f.stt
+        |    FROM d2 d JOIN fit f ON d.r_name = f.r_name)
+        |), sums AS (
+        |  SELECT r_name, n, st, stt,
+        |    sum(e2) AS se,
+        |    sum(CAST(t AS HUGEINT) * e2) AS ste,
+        |    sum(e2 * e2) AS see
+        |  FROM resid GROUP BY 1, 2, 3, 4
+        |), m AS (
+        |  SELECT r_name, n,
+        |    CAST(st AS DOUBLE) / n AS mt,
+        |    CAST(CAST(se AS VARCHAR) AS DOUBLE) / n AS me2,
+        |    CAST(stt AS DOUBLE) / n
+        |      - (CAST(st AS DOUBLE) / n) * (CAST(st AS DOUBLE) / n) AS vt,
+        |    CAST(CAST(see AS VARCHAR) AS DOUBLE) / n AS ree,
+        |    CAST(CAST(ste AS VARCHAR) AS DOUBLE) / n AS rte
+        |  FROM sums
+        |)
+        |SELECT r_name, n, r2_e2,
+        |  cast(n as double) * r2_e2 AS bp_lm
+        |FROM (
+        |  SELECT r_name, n,
+        |    (rte - mt * me2) * (rte - mt * me2)
+        |      / (vt * (ree - me2 * me2)) AS r2_e2
+        |  FROM m)""".stripMargin,
+
+    // the division-free decomposition: 7-day moving total, t%7 weekday
+    // cells, cross-multiplied remainder — every column exact BIGINT
+    "q500_classical_decomposition" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), d2 AS (
+        |  SELECT day, y,
+        |    CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS t
+        |  FROM daily
+        |), win AS (
+        |  SELECT day, y, t,
+        |    CAST(count(*) OVER w AS BIGINT) AS n7,
+        |    CAST(sum(y) OVER w AS BIGINT) AS ma_sum7
+        |  FROM d2
+        |  WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), det AS (
+        |  SELECT day, y, ma_sum7, y * 7 - ma_sum7 AS det7, t % 7 AS dow
+        |  FROM win WHERE n7 = 7
+        |), seas AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS n_dow,
+        |    CAST(sum(det7) AS BIGINT) AS sum_det7_dow
+        |  FROM det GROUP BY 1
+        |)
+        |SELECT d.day, d.y, d.ma_sum7, d.det7, d.dow, s.n_dow,
+        |  s.sum_det7_dow,
+        |  s.n_dow * d.det7 - s.sum_det7_dow AS rem_x
+        |FROM det d JOIN seas s ON d.dow = s.dow""".stripMargin,
   )
 }

@@ -156,6 +156,46 @@ object DedupQueries {
     }),
 
 
+    // Hamming-index SEGMENT MERGE (round 14) — the maintenance step the
+    // persisted layout needs in production: two ingest epochs (the
+    // corpus split at asset 450) each build their own q476-shape
+    // layout, then merge into ONE (stored (id, sig) pairs unioned
+    // distinct and re-banded — no signature recompute; both layout
+    // markers validated). The served surface is a probe of the MERGED
+    // index; DedupSpec pins the equivalence law probe(merged) ==
+    // distinct(probe(a) ∪ probe(b)), and the oracle replays the probe
+    // from the merged layout's stored bits (the q476 banding replay).
+    "q502_index_merge" -> ((s, dir) => {
+      val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
+        .filter(col("modality") === "image")
+      val sigs = multimodal.Multimodal.imageSignatures(imgs)
+      llm.Dedup.writeHammingIndex(
+        sigs.filter(col("asset_id") < 450), "asset_id", "sig",
+        predsPath("q502_index_a"), kbBuckets = QueryShared.IndexKbBuckets)
+      llm.Dedup.writeHammingIndex(
+        sigs.filter(col("asset_id") >= 450), "asset_id", "sig",
+        predsPath("q502_index_b"), kbBuckets = QueryShared.IndexKbBuckets)
+      llm.Dedup.mergeHammingIndexes(s,
+        predsPath("q502_index_a"), predsPath("q502_index_b"),
+        predsPath("q502_index"), kbBuckets = QueryShared.IndexKbBuckets)
+      val probes = imgs.filter(col("asset_id") < 150).select(
+        (col("asset_id") + 1000000L).as("asset_id"), col("modality"),
+        concat(substring(col("content"), 1, 54),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 56, length(content) - 55)"))
+          .as("content"),
+        col("meta"))
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.imageSignatures(probes)
+          .withColumnRenamed("asset_id", "q_id"),
+        predsPath("q502_probe_sigs"))
+      llm.Dedup.probeHammingIndex(s, predsPath("q502_index"),
+        s.read.parquet(predsPath("q502_probe_sigs")), "q_id", "sig",
+        hamMax = perceptualHamming._1, bands = perceptualHamming._2,
+        kbBuckets = QueryShared.IndexKbBuckets)
+    }),
+
+
     // PERCEPTUAL eval-set decontamination (round 13) — the image-
     // modality twin of the exact/Bloom text decontamination family
     // (q70/q73/q420/q461): training assets perceptually near ANY eval
@@ -1803,6 +1843,45 @@ object DedupQueries {
          |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
          |             ELSE CAST(0 AS HUGEINT) END AS usig
          |  FROM read_parquet('${predsPath("q476_probe_sigs")}/*.parquet')
+         |), bands(band, d) AS (VALUES
+         |    (0, CAST('1' AS HUGEINT)),
+         |    (1, CAST('256' AS HUGEINT)),
+         |    (2, CAST('65536' AS HUGEINT)),
+         |    (3, CAST('16777216' AS HUGEINT)),
+         |    (4, CAST('4294967296' AS HUGEINT)),
+         |    (5, CAST('1099511627776' AS HUGEINT)),
+         |    (6, CAST('281474976710656' AS HUGEINT)),
+         |    (7, CAST('72057594037927936' AS HUGEINT))
+         |), bo AS (
+         |  SELECT id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM ob CROSS JOIN bands b
+         |), bq AS (
+         |  SELECT q_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM q CROSS JOIN bands b
+         |)
+         |SELECT DISTINCT bq.q_id, bo.id,
+         |  CAST(bit_count(xor(bq.sig, bo.sig)) AS INT) AS hamming
+         |FROM bq JOIN bo ON bq.band = bo.band AND bq.key = bo.key
+         |WHERE bit_count(xor(bq.sig, bo.sig)) <= 7""".stripMargin,
+
+
+    // the q476 banding replay, read from the MERGED layout's stored bits
+    "q502_index_merge" ->
+      s"""WITH o AS (
+         |  SELECT DISTINCT id, sig FROM
+         |    read_parquet('${predsPath("q502_index")}/*/*/*.parquet')
+         |), ob AS (
+         |  SELECT id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM o
+         |), q AS (
+         |  SELECT q_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q502_probe_sigs")}/*.parquet')
          |), bands(band, d) AS (VALUES
          |    (0, CAST('1' AS HUGEINT)),
          |    (1, CAST('256' AS HUGEINT)),

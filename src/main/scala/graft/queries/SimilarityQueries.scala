@@ -31,6 +31,51 @@ object SimilarityQueries {
       s.read.parquet(predsPath(unitsName)),
       s.read.parquet(predsPath(shortlistName)), k = 5)
 
+  /** The LEXICAL leg of hybrid retrieval (q490 batch / q501 streamed):
+    * inverted-index retrieval on rare tokens (2 ≤ df ≤ 20 — the postings
+    * cap that bounds candidate volume per query by Σ df over its rare
+    * tokens, never all-pairs), ranked by shared-token count. One token-
+    * key shuffle; deterministic (shared DESC, n_id) rank. */
+  private[queries] def lexicalLeg(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    val rare = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 20)
+      .select(col("tok"))
+    val post = toks.join(rare, "tok")
+    val overlap = post.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(post.select(col("doc_id").as("n_id"), col("tok")), "tok")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(count(lit(1)).as("shared"))
+    Relational.groupedTopK(overlap, Seq("q_id"), "shared", "n_id", 10)
+      .select(col("q_id"), col("n_id"),
+        col("rank").cast("long").as("rank_l"))
+  }
+
+  /** The SERVE half of hybrid retrieval: exact re-rank of the persisted
+    * vector-leg candidates (k=10) + [[lexicalLeg]] + reciprocal-rank
+    * fusion in exact integers (1e9 DIV (60+rank) per leg), top-5 per
+    * query. Shared verbatim by q490 (batch candidates) and q501
+    * (streamed candidates) so both provably serve the same plan. */
+  private[queries] def rrfServe(
+      s: SparkSession, dir: String,
+      unitsName: String, candsName: String): DataFrame = {
+    val vec = llm.Similarity.exactRerankFromUnits(
+        s.read.parquet(predsPath(unitsName)),
+        s.read.parquet(predsPath(candsName)), k = 10)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
+    val fused = vec.join(lexicalLeg(s, dir), Seq("q_id", "n_id"), "full_outer")
+      .withColumn("score_rrf",
+        coalesce(expr("1000000000 div (60 + rank_v)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + rank_l)"), lit(0L)))
+    Relational.groupedTopK(fused, Seq("q_id"), "score_rrf", "n_id", 5)
+      .select(col("q_id"), col("n_id"), col("score_rrf"),
+        col("rank").cast("long").as("rank_rrf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // North-star similarity search, exactness baseline: broadcast 10 query
@@ -409,6 +454,179 @@ object SimilarityQueries {
           sample("d").cast("long") === scaler("dim"))
         .select(col("vec_id"), col("dim"),
           ((col("x").cast("double") - col("mu")) / col("sigma")).as("z"))
+    }),
+
+
+    // HYBRID RETRIEVAL via reciprocal-rank fusion (round 14) — the
+    // production RAG shape: a VECTOR leg (IVF probe + exact re-rank,
+    // the q28 serving split) and a LEXICAL leg (inverted-index
+    // retrieval: rare-token postings joined query→candidate, ranked by
+    // shared-token count) fused with RRF (Cormack et al., SIGIR'09):
+    // score = Σ_legs 1/(60 + rank). The fusion is stated in EXACT
+    // integers — 1e9 DIV (60+rank) per leg — so the fused ranking is
+    // engine-portable with no float in sight. Scale: the lexical leg
+    // shuffles on the token key with a df ≤ 20 postings cap (candidate
+    // volume per query ≤ Σ df over its rare tokens — bounded like the
+    // LSH bucket caps, never all-pairs); the vector leg reads ≤ nprobe
+    // of nlist cells; fusion joins two ≤10-row-per-query rank lists.
+    "q490_rrf_hybrid" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, persistCells = false)
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfCandidatePairs(idx, qs, nprobe = 4),
+        predsPath("q490_cands"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q490_units"))
+      rrfServe(s, dir, "q490_units", "q490_cands")
+    }),
+
+
+    // STREAMED hybrid retrieval (round 14) — q490's serving loop as it
+    // runs in production: query batches ARRIVE (AvailableNow file
+    // stream, one file per trigger), each batch probes the frozen IVF
+    // quantizer and appends its vector-leg candidates; the lexical leg
+    // and RRF fusion serve over the drained candidates through the
+    // SAME rrfServe code path as q490. Batch rows are independent, so
+    // streamed candidates equal the one-shot probe set exactly
+    // (SimilaritySpec asserts streamed == batch end-to-end); the
+    // oracle replays the identical rerank+fusion chain over the
+    // drained files. Scale: per-batch work is the bounded nprobe
+    // probe; state is the append-only candidate log.
+    "q501_hybrid_stream" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, persistCells = false)
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sources.Sources.writeParquet(qs.repartition(4),
+        predsPath("q501_queries"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q501_units"))
+      val candsDir = predsPath("q501_cands")
+      val candsFile = new java.io.File(candsDir)
+      if (candsFile.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(candsFile).deleteRecursively()
+      }
+      streaming.Streams.ivfCandidateStream(s, predsPath("q501_queries"),
+        qs.schema, idx, candsDir,
+        predsPath(s"q501_ckpt_${System.nanoTime()}"), nprobe = 4)
+      rrfServe(s, dir, "q501_units", "q501_cands")
+    }),
+
+
+    // MMR DIVERSIFIED RE-RANK (round 14) — Carbonell & Goldstein '98:
+    // after retrieval, pick results that are relevant AND mutually
+    // diverse: greedily select argmax λ·rel(c) − (1−λ)·max_{s∈S}
+    // sim(c,s). λ = 0.7 stated as exact integers (mmr = 7·rel −
+    // 3·maxsim over the shared quantized-dot scale ×10). The greedy
+    // loop is UNROLLED to k=3 relational steps — each step is one join
+    // + one per-query argmax window over the ≤10-candidate shortlist,
+    // so both engines state the identical computation (no iteration
+    // construct needed; DuckDB replays the same three steps). All
+    // inputs are the persisted q490-style artifacts: the probe
+    // shortlist and the stored unit vectors; rel and every pairwise
+    // sim are integer quantized dots over stored float bits.
+    "q491_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, persistCells = false)
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfCandidatePairs(idx, qs, nprobe = 4),
+        predsPath("q491_cands"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q491_units"))
+      val units = s.read.parquet(predsPath("q491_units"))
+      // integer dot between two id columns, both resolved from the
+      // persisted units — the same stored bits the oracle reads
+      def dot(df: DataFrame, a: String, b: String, out: String): DataFrame =
+        df.join(units.select(col("vec_id").as(a),
+            col("unit").as("__ua")), a)
+          .join(units.select(col("vec_id").as(b),
+            col("unit").as("__ub")), b)
+          .withColumn(out,
+            graft.exprapi.quantizedDotFast(col("__ua"), col("__ub")))
+          .drop("__ua", "__ub")
+      val rel = llm.Similarity.exactRerankFromUnits(units,
+          s.read.parquet(predsPath("q491_cands")), k = 10)
+        .select(col("q_id"), col("n_id"), col("dot_q").as("rel"))
+      val s1 = Relational.groupedTopK(rel, Seq("q_id"), "rel", "n_id", 1)
+        .select(col("q_id"), col("n_id").as("s1_id"),
+          (col("rel") * 7).as("mmr1"))
+      val m2 = dot(rel.join(s1.select(col("q_id"), col("s1_id")), "q_id")
+          .filter(col("n_id") =!= col("s1_id")),
+          "n_id", "s1_id", "sim1")
+        .withColumn("mmr", col("rel") * 7 - col("sim1") * 3)
+      val s2 = Relational.groupedTopK(m2, Seq("q_id"), "mmr", "n_id", 1)
+        .select(col("q_id"), col("n_id").as("s2_id"), col("mmr").as("mmr2"))
+      val m3 = dot(dot(
+          rel.join(s1.select(col("q_id"), col("s1_id")), "q_id")
+            .join(s2.select(col("q_id"), col("s2_id")), "q_id")
+            .filter(col("n_id") =!= col("s1_id") &&
+              col("n_id") =!= col("s2_id")),
+          "n_id", "s1_id", "sim1"), "n_id", "s2_id", "sim2")
+        .withColumn("mmr",
+          col("rel") * 7 - greatest(col("sim1"), col("sim2")) * 3)
+      val s3 = Relational.groupedTopK(m3, Seq("q_id"), "mmr", "n_id", 1)
+        .select(col("q_id"), col("n_id").as("s3_id"), col("mmr").as("mmr3"))
+      s1.select(col("q_id"), col("s1_id").as("n_id"),
+          lit(1L).as("step"), col("mmr1").as("mmr_q"))
+        .unionByName(s2.select(col("q_id"), col("s2_id").as("n_id"),
+          lit(2L).as("step"), col("mmr2").as("mmr_q")))
+        .unionByName(s3.select(col("q_id"), col("s3_id").as("n_id"),
+          lit(3L).as("step"), col("mmr3").as("mmr_q")))
+    }),
+
+
+    // SEMANTIC eval-train decontamination (round 14) — the EMBEDDING
+    // member of the decontamination family (verbatim q70, bloom q73,
+    // n-gram containment q97, perceptual q472): an eval item whose
+    // nearest TRAIN embedding clears 0.95 cosine is a paraphrase-level
+    // leak no verbatim screen catches. The train side is IVF-indexed
+    // (fit on train ONLY — eval must never shape the index); each eval
+    // item probes nprobe cells and its top-1 candidate is exact-
+    // reranked over persisted units, flag = dot ≥ 0.95 in the integer
+    // dot scale. A planted positive control rides inside the QUERY
+    // itself: copies of every 97th train vector (id-offset by 2e6)
+    // join the eval set, so the spec can assert 100% catch recall.
+    // Scale: probe reads ≤ nprobe/nlist of the train corpus; flags are
+    // one comparison on the already-computed top-1 dot.
+    "q497_semantic_decon" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val train = e.filter(col("vec_id") % 50 =!= 0)
+      val planted = train.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val evalSet = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(planted)
+      val idx = llm.Similarity.fitIvfIndex(
+        train.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, persistCells = false)
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfCandidatePairs(idx,
+          evalSet.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb")),
+          nprobe = 4),
+        predsPath("q497_cands"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(
+          train.select(col("vec_id"), col("embedding"))
+            .unionByName(evalSet)),
+        predsPath("q497_units"))
+      llm.Similarity.exactRerankFromUnits(
+          s.read.parquet(predsPath("q497_units")),
+          s.read.parquet(predsPath("q497_cands")), k = 1)
+        .withColumn("flagged",
+          (col("dot_q") >= lit(950000000000L)).cast("long"))
+        .select(col("q_id"), col("n_id"), col("dot_q"), col("flagged"))
     }),
   )
 
@@ -808,5 +1026,221 @@ object SimilarityQueries {
          |)
          |SELECT e.vec_id, e.dim, (e.x - m.mu) / m.sigma AS z
          |FROM e JOIN m ON e.dim = m.dim""".stripMargin,
+
+
+    // both legs + the integer RRF fusion replayed: the vector leg is the
+    // q28 rerank chain over the persisted shortlist/units (k=10), the
+    // lexical leg is restated in full from `documents` (rare-token
+    // postings, shared-count rank), fusion is 1e9 // (60+rank) per leg
+    "q490_rrf_hybrid" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q490_cands")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q490_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |), vec AS (
+         |  SELECT q_id, n_id, rank_v FROM (
+         |    SELECT q_id, n_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank_v
+         |    FROM dots) WHERE rank_v <= 10
+         |), toks AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+         |  FROM documents
+         |), rare AS (
+         |  SELECT tok FROM toks GROUP BY tok
+         |  HAVING count(*) BETWEEN 2 AND 20
+         |), post AS (
+         |  SELECT t.doc_id, t.tok FROM toks t JOIN rare r ON t.tok = r.tok
+         |), ov AS (
+         |  SELECT q.doc_id AS q_id, n.doc_id AS n_id,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM post q JOIN post n ON q.tok = n.tok
+         |  WHERE q.doc_id % 50 = 0 AND q.doc_id <> n.doc_id
+         |  GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT q_id, n_id, rank_l FROM (
+         |    SELECT q_id, n_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY shared DESC, n_id) AS BIGINT) AS rank_l
+         |    FROM ov) WHERE rank_l <= 10
+         |), fused AS (
+         |  SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+         |    COALESCE(v.n_id, l.n_id) AS n_id,
+         |    CAST(COALESCE(1000000000 // (60 + v.rank_v), 0)
+         |       + COALESCE(1000000000 // (60 + l.rank_l), 0) AS BIGINT)
+         |      AS score_rrf
+         |  FROM vec v FULL OUTER JOIN lex l
+         |    ON v.q_id = l.q_id AND v.n_id = l.n_id
+         |)
+         |SELECT q_id, n_id, score_rrf, rank_rrf FROM (
+         |  SELECT q_id, n_id, score_rrf,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score_rrf DESC, n_id) AS BIGINT) AS rank_rrf
+         |  FROM fused) WHERE rank_rrf <= 5""".stripMargin,
+
+
+    // the three unrolled greedy steps restated over the same persisted
+    // shortlist + units: rel = quantized dot (k=10 rank), every
+    // pairwise sim the same dot formula, mmr = 7*rel - 3*maxsim
+    "q491_mmr_rerank" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q491_cands")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q491_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |), rel AS (
+         |  SELECT q_id, n_id, rel FROM (
+         |    SELECT q_id, n_id, dot_q AS rel,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |    FROM dots) WHERE rank <= 10
+         |), sim AS (
+         |  SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+         |    CAST(list_sum(list_transform(generate_series(1, len(x.unit)), t ->
+         |      CAST(floor(CAST(x.unit[t] AS DOUBLE) * CAST(y.unit[t] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS s
+         |  FROM rel a JOIN rel b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+         |  JOIN u x ON a.n_id = x.vec_id
+         |  JOIN u y ON b.n_id = y.vec_id
+         |), s1 AS (
+         |  SELECT q_id, n_id, rel FROM (
+         |    SELECT q_id, n_id, rel,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY rel DESC, n_id) AS rn
+         |    FROM rel) WHERE rn = 1
+         |), m2 AS (
+         |  SELECT r.q_id, r.n_id, 7 * r.rel - 3 * s.s AS mmr
+         |  FROM rel r
+         |  JOIN s1 ON r.q_id = s1.q_id AND r.n_id <> s1.n_id
+         |  JOIN sim s ON s.q_id = r.q_id AND s.i = r.n_id AND s.j = s1.n_id
+         |), s2 AS (
+         |  SELECT q_id, n_id, mmr FROM (
+         |    SELECT q_id, n_id, mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY mmr DESC, n_id) AS rn
+         |    FROM m2) WHERE rn = 1
+         |), m3 AS (
+         |  SELECT r.q_id, r.n_id,
+         |    7 * r.rel - 3 * greatest(sa.s, sb.s) AS mmr
+         |  FROM rel r
+         |  JOIN s1 ON r.q_id = s1.q_id
+         |  JOIN s2 ON r.q_id = s2.q_id
+         |  JOIN sim sa ON sa.q_id = r.q_id AND sa.i = r.n_id AND sa.j = s1.n_id
+         |  JOIN sim sb ON sb.q_id = r.q_id AND sb.i = r.n_id AND sb.j = s2.n_id
+         |  WHERE r.n_id <> s1.n_id AND r.n_id <> s2.n_id
+         |), s3 AS (
+         |  SELECT q_id, n_id, mmr FROM (
+         |    SELECT q_id, n_id, mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY mmr DESC, n_id) AS rn
+         |    FROM m3) WHERE rn = 1
+         |)
+         |SELECT q_id, n_id, CAST(1 AS BIGINT) AS step,
+         |  CAST(7 * rel AS BIGINT) AS mmr_q FROM s1
+         |UNION ALL SELECT q_id, n_id, CAST(2 AS BIGINT),
+         |  CAST(mmr AS BIGINT) FROM s2
+         |UNION ALL SELECT q_id, n_id, CAST(3 AS BIGINT),
+         |  CAST(mmr AS BIGINT) FROM s3""".stripMargin,
+
+
+    // the q28 rerank chain at k=1 plus the threshold flag, over the
+    // decontamination probe's persisted shortlist and units
+    "q497_semantic_decon" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q497_cands")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q497_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |)
+         |SELECT q_id, n_id, dot_q,
+         |  CAST(CASE WHEN dot_q >= 950000000000 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS flagged
+         |FROM (
+         |  SELECT q_id, n_id, dot_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank
+         |  FROM dots) WHERE rank <= 1""".stripMargin,
+
+
+    // the q490 oracle chain verbatim over the STREAMED candidate log —
+    // a green row certifies the drained per-batch probes feed the same
+    // fusion the batch path serves
+    "q501_hybrid_stream" ->
+      s"""WITH sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q501_cands")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q501_units")}/*.parquet')
+         |), dots AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |), vec AS (
+         |  SELECT q_id, n_id, rank_v FROM (
+         |    SELECT q_id, n_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY dot_q DESC, n_id) AS BIGINT) AS rank_v
+         |    FROM dots) WHERE rank_v <= 10
+         |), toks AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+         |  FROM documents
+         |), rare AS (
+         |  SELECT tok FROM toks GROUP BY tok
+         |  HAVING count(*) BETWEEN 2 AND 20
+         |), post AS (
+         |  SELECT t.doc_id, t.tok FROM toks t JOIN rare r ON t.tok = r.tok
+         |), ov AS (
+         |  SELECT q.doc_id AS q_id, n.doc_id AS n_id,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM post q JOIN post n ON q.tok = n.tok
+         |  WHERE q.doc_id % 50 = 0 AND q.doc_id <> n.doc_id
+         |  GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT q_id, n_id, rank_l FROM (
+         |    SELECT q_id, n_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY shared DESC, n_id) AS BIGINT) AS rank_l
+         |    FROM ov) WHERE rank_l <= 10
+         |), fused AS (
+         |  SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+         |    COALESCE(v.n_id, l.n_id) AS n_id,
+         |    CAST(COALESCE(1000000000 // (60 + v.rank_v), 0)
+         |       + COALESCE(1000000000 // (60 + l.rank_l), 0) AS BIGINT)
+         |      AS score_rrf
+         |  FROM vec v FULL OUTER JOIN lex l
+         |    ON v.q_id = l.q_id AND v.n_id = l.n_id
+         |)
+         |SELECT q_id, n_id, score_rrf, rank_rrf FROM (
+         |  SELECT q_id, n_id, score_rrf,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score_rrf DESC, n_id) AS BIGINT) AS rank_rrf
+         |  FROM fused) WHERE rank_rrf <= 5""".stripMargin,
   )
 }

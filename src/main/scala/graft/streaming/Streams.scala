@@ -1109,6 +1109,40 @@ object Streams {
       spark.read.parquet(shortlistDir), k)
   }
 
+  /** Streaming HYBRID-retrieval candidate generation (q501): arriving
+    * query-vector batches probe the FROZEN IVF coarse quantizer and
+    * append their (q_id, n_id) vector-leg candidates. Only the
+    * index-dependent half streams — the lexical leg and the RRF fusion
+    * are pure relational serve work over the drained candidates. Batch
+    * rows are independent (each query's probe depends only on the
+    * frozen centroids), so the drained candidate set equals the
+    * one-shot [[graft.llm.Similarity.ivfCandidatePairs]] set exactly —
+    * the law SimilaritySpec asserts. */
+  def ivfCandidateStream(
+      spark: org.apache.spark.sql.SparkSession,
+      queriesDir: String,
+      queriesSchema: org.apache.spark.sql.types.StructType,
+      index: graft.llm.Similarity.IvfIndex,
+      candsDir: String,
+      checkpointDir: String,
+      nprobe: Int = 4,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val stream = spark.readStream.schema(queriesSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(queriesDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Similarity.ivfCandidatePairs(index, batch, nprobe)
+          .write.mode("append").parquet(candsDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "AvailableNow hybrid candidate stream must drain")
+  }
+
   /** Incremental aggregate table — a materialized per-key (count, sum)
     * maintained in a [[graft.sources.Sources.writeKeyBucketed]]-layout
     * parquet table by a stream, the table-backed alternative to keeping

@@ -442,4 +442,360 @@ class Analytics5Spec extends AnyFunSuite {
       .toMap
     assert(got === expected)
   }
+
+  /** Shared by the q492/q493 replays: the per-region daily revenue series
+    * (r_name → sorted (t, y cents)) exactly as both queries stage it. */
+  private def dailySeries(): Map[String, Seq[(Long, Long)]] = {
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    Tables.orders(spark, TestSpark.sf)
+      .join(Tables.customer(spark, TestSpark.sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, TestSpark.sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, TestSpark.sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("y"))
+      .collect()
+      .map(r => (r.getString(0),
+        java.time.temporal.ChronoUnit.DAYS.between(
+          epoch, r.getDate(1).toLocalDate),
+        r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (rn, xs) =>
+        rn -> xs.map(x => (x._2, x._3)).sortBy(_._1).toSeq
+      }
+  }
+
+  private def olsFit(pts: Seq[(Long, Long)]): (Long, Double, Double) = {
+    val n = pts.length.toLong
+    val st = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val stt = pts.map(p => p._1 * p._1).sum
+    val sty = pts.map(p => p._1 * p._2).sum
+    val mt = st.toDouble / n
+    val my = sy.toDouble / n
+    val vt = stt.toDouble / n - mt * mt
+    val cty = sty.toDouble / n - mt * my
+    val slope = cty / vt
+    (n, slope, my - slope * mt)
+  }
+
+  test("q492 Durbin-Watson equals an exact driver replay; 0 < dw < 4") {
+    val rows = SparkEntry.queries("q492_durbin_watson")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val series = dailySeries()
+    assert(rows.keySet === series.keySet)
+    series.foreach { case (rn, pts) =>
+      val (n, slope, intercept) = olsFit(pts)
+      val e = pts.map { case (t, y) =>
+        math.floor(y.toDouble - (intercept + slope * t.toDouble)).toLong
+      }
+      val den = e.map(x => BigInt(x) * x).sum
+      val num = e.sliding(2).collect { case Seq(a, b) =>
+        val d = BigInt(b) - BigInt(a); d * d
+      }.sum
+      val dw = num.toDouble / den.toDouble
+      val (gn, gs, gi, gdw) = rows(rn)
+      assert(gn === n, rn)
+      assert(gs === slope, rn)
+      assert(gi === intercept, rn)
+      assert(gdw === dw, rn)
+      assert(gdw > 0.0 && gdw < 4.0, s"$rn: DW out of its (0,4) range")
+    }
+  }
+
+  test("q493 Chow break equals an exact driver replay; split never " +
+      "increases RSS") {
+    val rows = SparkEntry.queries("q493_chow_break")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val split = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse("1992-01-01"),
+      java.time.LocalDate.parse("1995-06-17"))
+    def rssOf(pts: Seq[(Long, Long)]): Double = {
+      val n = pts.length.toLong
+      val st = pts.map(_._1).sum
+      val sy = pts.map(_._2).sum
+      val stt = pts.map(p => p._1 * p._1).sum
+      val sty = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => BigInt(p._2) * p._2).sum
+      n.toDouble * ((syy.toDouble / n -
+        (sy.toDouble / n) * (sy.toDouble / n)) -
+        (sty.toDouble / n - (st.toDouble / n) * (sy.toDouble / n)) *
+          (sty.toDouble / n - (st.toDouble / n) * (sy.toDouble / n)) /
+          (stt.toDouble / n - (st.toDouble / n) * (st.toDouble / n)))
+    }
+    dailySeries().foreach { case (rn, pts) =>
+      val (a, b) = pts.partition(_._1 < split)
+      val (rss1, rss2, rssp) = (rssOf(a), rssOf(b), rssOf(pts))
+      val f = ((rssp - rss1 - rss2) / 2.0d) /
+        ((rss1 + rss2) / (a.length + b.length - 4).toDouble)
+      val (gn1, gn2, g1, g2, gp, gf) = rows(rn)
+      assert(gn1 === a.length.toLong, rn)
+      assert(gn2 === b.length.toLong, rn)
+      assert(g1 === rss1, rn)
+      assert(g2 === rss2, rn)
+      assert(gp === rssp, rn)
+      assert(gf === f, rn)
+      assert(rss1 + rss2 <= rssp * (1 + 1e-12),
+        s"$rn: a free break point can never fit worse than the pooled line")
+    }
+  }
+
+  test("q494 Bartlett equals an exact driver replay and is positive on " +
+      "the fixture's unequal segment variances") {
+    val got = SparkEntry.queries("q494_bartlett")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length === 1)
+    val segs = Tables.customer(spark, TestSpark.sf)
+      .select(col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq }
+    val per = segs.values.map { v =>
+      val n = v.length.toLong
+      val s1 = v.sum
+      val s2 = v.map(x => x * x).sum
+      val variance =
+        (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1)
+      (n, math.floor((n - 1) * math.log(variance) * 1000000).toLong,
+        math.floor((n - 1) * variance).toLong, 1000000000000L / (n - 1))
+    }.toSeq
+    val k = per.length.toLong
+    val nn = per.map(_._1).sum
+    val t1 = per.map(_._2).sum
+    val spn = per.map(_._3).sum
+    val inv = per.map(_._4).sum
+    val sp2 = spn.toDouble / (nn - k).toDouble
+    val t = ((nn - k).toDouble * math.log(sp2) - t1.toDouble / 1000000.0d) /
+      (1.0d + (inv.toDouble / 1000000000000.0d -
+        1.0d / (nn - k).toDouble) / (3.0d * (k - 1).toDouble))
+    val row = got.head
+    assert(row.getAs[Long]("k") === k)
+    assert(row.getAs[Long]("nn") === nn)
+    assert(row.getAs[Double]("sp2") === sp2)
+    assert(row.getAs[Double]("t_bartlett") === t)
+    assert(t > 0.0, "fixture variances differ across segments")
+  }
+
+  test("q495 Welch t equals an exact driver replay; df within its " +
+      "theoretical band") {
+    val got = SparkEntry.queries("q495_welch_t")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length === 1)
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nOrders = orders.values.sum
+    val custs = Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = custs.length.toLong
+    val groups = custs
+      .map { case (ck, x) =>
+        (if (orders.getOrElse(ck, 0L) * nCust >= nOrders) 1 else 0, x)
+      }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSeq }
+    def stats(v: Seq[Long]): (Long, Double, Double) = {
+      val n = v.length.toLong
+      val s1 = v.sum
+      val s2 = v.map(x => x * x).sum
+      (n, s1.toDouble / n,
+        (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1))
+    }
+    val (n0, m0, v0) = stats(groups(0))
+    val (n1, m1, v1) = stats(groups(1))
+    val se2 = v0 / n0 + v1 / n1
+    val tW = (m1 - m0) / math.sqrt(se2)
+    val df = se2 * se2 / ((v0 / n0) * (v0 / n0) / (n0 - 1) +
+      (v1 / n1) * (v1 / n1) / (n1 - 1))
+    val d = (m1 - m0) /
+      math.sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2).toDouble)
+    val row = got.head
+    assert(row.getAs[Long]("n0") === n0)
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Double]("mean0") === m0)
+    assert(row.getAs[Double]("mean1") === m1)
+    assert(row.getAs[Double]("t_welch") === tW)
+    assert(row.getAs[Double]("df_welch") === df)
+    assert(row.getAs[Double]("cohens_d") === d)
+    assert(df >= math.min(n0, n1) - 1.0 && df <= (n0 + n1 - 2).toDouble,
+      "Welch-Satterthwaite df must sit between min(n)-1 and pooled df")
+  }
+
+  test("q496 Ljung-Box equals an exact driver replay and is " +
+      "non-negative") {
+    val got = SparkEntry.queries("q496_ljung_box")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length === 1)
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val daily = Tables.events(spark, TestSpark.sf)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, r.getDate(0).toLocalDate) -> r.getLong(1))
+      .toMap
+    val nn = daily.size.toLong
+    val s1 = daily.values.sum
+    val s2 = daily.values.map(x => BigInt(x) * x).sum.toDouble
+    val mean = s1.toDouble / nn
+    val terms = (1 to 7).map { k =>
+      val pairs = daily.toSeq.flatMap { case (t, x) =>
+        daily.get(t + k).map(y => (x, y))
+      }
+      val np = pairs.length.toLong
+      val sx = pairs.map(_._1).sum
+      val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum.toDouble
+      val rho = (sxy - mean * (sx.toDouble + sy.toDouble) +
+        np * mean * mean) / (s2 - nn * mean * mean)
+      math.floor(rho * rho / (nn - k).toDouble * 1000000000000L).toLong
+    }
+    val lbSum = terms.sum
+    val qLb = (nn * (nn + 2)).toDouble * (lbSum.toDouble / 1000000000000.0d)
+    val row = got.head
+    assert(row.getAs[Long]("n") === nn)
+    assert(row.getAs[Long]("h") === 7L)
+    assert(row.getAs[Long]("lb_sum_q") === lbSum)
+    assert(row.getAs[Double]("q_lb") === qLb)
+    assert(qLb >= 0.0)
+  }
+
+  test("q498 DoReMi reweight equals an exact driver replay; mixture " +
+      "sums to ~1e6 ppm and moves weight toward high-loss sources") {
+    val got = SparkEntry.queries("q498_doremi_reweight")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.nonEmpty)
+    // from-scratch unigram-NLL replay (the q83 algebra) + the MW step
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        "[a-z0-9]+".r.findAllIn(r.getString(2).toLowerCase).toSeq))
+    val counts = docs.flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val total = counts.values.sum
+    val vq = counts.map { case (t, c) =>
+      t -> math.floor(1e6 * (math.log(total.toDouble) -
+        math.log(c.toDouble))).toLong
+    }
+    val perDoc = docs.filter(_._3.nonEmpty).map { case (id, src, ts) =>
+      val nTok = ts.length.toLong
+      val sumQ = ts.map(vq).sum
+      (src, nTok, sumQ / nTok)
+    }
+    val perSrc = perDoc.groupBy(_._1).map { case (src, xs) =>
+      val nTok = xs.map(_._2).sum
+      src -> ((xs.length.toLong, nTok,
+        xs.map(x => x._3 * x._2).sum / nTok,
+        xs.map(x => x._3 * x._2).sum))
+    }
+    val rtok = perSrc.values.map(_._2).sum
+    val refQ = perSrc.values.map(_._4).sum / rtok
+    val u = perSrc.map { case (src, (nd, nt, nq, _)) =>
+      src -> ((nd, nt, nq, nq - refQ,
+        math.floor(nt.toDouble *
+          math.exp((nq - refQ).toDouble / 1000000.0d)).toLong))
+    }
+    val tu = u.values.map(_._5).sum
+    u.foreach { case (src, (nd, nt, nq, ex, uq)) =>
+      val (gnd, gnt, gnq, gex, gwOld, gwNew) = got(src)
+      assert(gnd === nd, src)
+      assert(gnt === nt, src)
+      assert(gnq === nq, src)
+      assert(gex === ex, src)
+      assert(gwOld === nt * 1000000L / rtok, src)
+      assert(gwNew === uq * 1000000L / tu, src)
+    }
+    assert(got.keySet === u.keySet)
+    val sumNew = got.values.map(_._6).sum
+    assert(sumNew <= 1000000L && sumNew > 1000000L - got.size,
+      "floor-quantized mixture must sum to 1e6 ppm minus sub-ppm dust")
+    assert(got.values.exists(v => v._6 != v._5),
+      "the multiplicative-weights step must actually move some weight")
+  }
+
+  test("q499 Breusch-Pagan equals an exact driver replay; LM bounded " +
+      "by n") {
+    val rows = SparkEntry.queries("q499_breusch_pagan")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val series = dailySeries()
+    assert(rows.keySet === series.keySet)
+    series.foreach { case (rn, pts) =>
+      val (n, slope, intercept) = olsFit(pts)
+      val e2 = pts.map { case (t, y) =>
+        val e = math.floor(
+          (y.toDouble - (intercept + slope * t.toDouble)) / 100.0d).toLong
+        (t, BigInt(e) * e)
+      }
+      val st = pts.map(_._1).sum
+      val stt = pts.map(p => p._1 * p._1).sum
+      val se = e2.map(_._2).sum
+      val ste = e2.map(p => BigInt(p._1) * p._2).sum
+      val see = e2.map(p => p._2 * p._2).sum
+      val mt = st.toDouble / n
+      val me2 = se.toDouble / n
+      val vt = stt.toDouble / n - mt * mt
+      val vy = see.toDouble / n - me2 * me2
+      val cty = ste.toDouble / n - mt * me2
+      val r2 = cty * cty / (vt * vy)
+      val (gn, gr2, glm) = rows(rn)
+      assert(gn === n, rn)
+      assert(gr2 === r2, rn)
+      assert(glm === n.toDouble * r2, rn)
+      assert(gr2 >= 0.0 && gr2 <= 1.0, s"$rn: R² out of [0,1]")
+      assert(glm <= n.toDouble, s"$rn: LM = nR² cannot exceed n")
+    }
+  }
+
+  test("q500 classical decomposition: exact identities hold on every " +
+      "row and seasonal cells balance to zero") {
+    val rows = SparkEntry.queries("q500_classical_decomposition")(
+        spark, TestSpark.sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    rows.foreach { case (day, y, ma7, det7, dow, nDow, sumDow, remX) =>
+      assert(det7 === y * 7 - ma7, s"$day: det7 identity")
+      assert(dow === java.time.temporal.ChronoUnit.DAYS.between(epoch, day) % 7,
+        s"$day: weekday cell")
+      assert(remX === nDow * det7 - sumDow, s"$day: remainder identity")
+    }
+    // within each weekday cell the remainders sum to zero EXACTLY —
+    // the division-free analogue of "residuals around the cell mean"
+    rows.groupBy(_._5).foreach { case (dow, cell) =>
+      assert(cell.map(_._8).sum === 0L,
+        s"dow $dow: cross-multiplied remainders must cancel")
+      assert(cell.map(_._4).sum === cell.head._7 * 1,
+        s"dow $dow: cell total consistent")
+      assert(cell.length.toLong === cell.head._6, s"dow $dow: cell size")
+    }
+    // trend window is ±3 ROWS of the t-ordered daily series (calendar
+    // gaps close up, as in the engine's rows-frame): full replay
+    val daily = Tables.orders(spark, TestSpark.sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("y"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+      .sortBy(_._1)
+    val ma = daily.sliding(7).map { w =>
+      w(3)._1 -> w.map(_._2).sum
+    }.toMap
+    val got = rows.map(r => r._1 -> r._3).toMap
+    assert(got === ma, "moving totals must equal the sliding-7 replay " +
+      "over the t-ordered daily series")
+  }
 }

@@ -674,4 +674,32 @@ class DedupSpec extends AnyFunSuite {
     assert(merged <= nDocs / 100,
       s"$merged merged clusters — chance collisions should be rare")
   }
+
+  test("q502 hamming-index merge: probe(merged) == distinct(probe(a) ∪ " +
+      "probe(b)) and equals a from-scratch full rebuild") {
+    import graft.queries.QueryShared
+    val got = SparkEntry.queries("q502_index_merge")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty, "probe against the merged index must hit " +
+      "(near-identical planted probes exist)")
+    val probes = spark.read.parquet(
+      graft.queries.QueryShared.predsPath("q502_probe_sigs"))
+    def probe(path: String) =
+      graft.llm.Dedup.probeHammingIndex(spark,
+          graft.queries.QueryShared.predsPath(path), probes, "q_id", "sig",
+          hamMax = 7, bands = 8, kbBuckets = QueryShared.IndexKbBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === (probe("q502_index_a") ++ probe("q502_index_b")),
+      "merged-index probe must equal the union of per-segment probes")
+    // strongest form: merge == full rebuild over all signatures
+    val imgs = graft.multimodal.Multimodal.syntheticAssets(spark, 900)
+      .filter(org.apache.spark.sql.functions.col("modality") === "image")
+    val full = graft.queries.QueryShared.predsPath("q502_index_full")
+    graft.llm.Dedup.writeHammingIndex(
+      graft.multimodal.Multimodal.imageSignatures(imgs), "asset_id", "sig",
+      full, kbBuckets = QueryShared.IndexKbBuckets)
+    assert(got === probe("q502_index_full"),
+      "merging two epoch layouts must equal indexing the full corpus")
+  }
 }

@@ -704,4 +704,165 @@ class SimilaritySpec extends AnyFunSuite {
       f"filtered-ANN recall $recall%.3f below the 0.4 floor " +
         f"(nprobe=4 of nlist=16; |got|=${gotSet.size}, |exact|=${exactSet.size})")
   }
+
+  // shared by the q490/q491 differential recomputes: the exact integer
+  // dot formula (the quantized_dot contract proven native==HOF above)
+  private def specDot(a: Array[Float], b: Array[Float]): Long =
+    a.indices.map(i =>
+      math.floor(a(i).toDouble * b(i).toDouble * 1e12).toLong).sum
+
+  private def readUnits(name: String): Map[Long, Array[Float]] =
+    spark.read.parquet(graft.queries.QueryShared.predsPath(name))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def readCands(name: String): Array[(Long, Long)] =
+    spark.read.parquet(graft.queries.QueryShared.predsPath(name))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("q490 RRF hybrid: full differential — both legs and the fusion " +
+      "recomputed independently driver-side match the engine exactly") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q490_rrf_hybrid")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty)
+    // vector leg from the persisted artifacts (independent rerank impl)
+    val units = readUnits("q490_units")
+    val rankV: Map[(Long, Long), Long] =
+      readCands("q490_cands").groupBy(_._1).flatMap { case (q, ps) =>
+        ps.map { case (_, n) => (n, specDot(units(q), units(n))) }
+          .sortBy { case (n, d) => (-d, n) }.take(10).zipWithIndex
+          .map { case ((n, _), i) => (q, n) -> (i + 1).toLong }
+      }
+    // lexical leg from the raw documents (independent inverted index)
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq.distinct)
+    val dfCount = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length }
+    val rare = dfCount.filter { case (_, c) => c >= 2 && c <= 20 }.keySet
+    val post = docs.map { case (id, ts) => id -> ts.filter(rare) }
+    val rankL: Map[(Long, Long), Long] =
+      post.filter(_._1 % 50 == 0).flatMap { case (q, qt) =>
+        val qset = qt.toSet
+        post.filter { case (n, _) => n != q }
+          .map { case (n, nt) => (n, nt.count(qset).toLong) }
+          .filter(_._2 > 0)
+          .sortBy { case (n, sh) => (-sh, n) }.take(10).zipWithIndex
+          .map { case ((n, _), i) => (q, n) -> (i + 1).toLong }
+      }.toMap
+    val want = (rankV.keySet ++ rankL.keySet).toSeq.map { case (q, n) =>
+        val s =
+          rankV.get((q, n)).map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+          rankL.get((q, n)).map(r => 1000000000L / (60L + r)).getOrElse(0L)
+        (q, n, s)
+      }.groupBy(_._1).flatMap { case (_, xs) =>
+        xs.sortBy { case (_, n, s) => (-s, n) }.take(5).zipWithIndex
+          .map { case ((q, n, s), i) => (q, n, s, (i + 1).toLong) }
+      }.toSet
+    assert(got === want,
+      s"RRF differential mismatch: engine-only=${(got -- want).take(3)} " +
+        s"spec-only=${(want -- got).take(3)}")
+  }
+
+  test("q491 MMR: the greedy diversified selection recomputed " +
+      "independently from the persisted artifacts matches exactly") {
+    val got = SparkEntry.queries("q491_mmr_rerank")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty)
+    val units = readUnits("q491_units")
+    val want = readCands("q491_cands").groupBy(_._1)
+      .flatMap { case (q, ps) =>
+        val rel = ps.map { case (_, n) => n -> specDot(units(q), units(n)) }
+          .sortBy { case (n, d) => (-d, n) }.take(10)
+        val relMap = rel.toMap
+        var selected = List.empty[Long]
+        val out = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+        for (step <- 1 to 3) {
+          val remaining = rel.map(_._1).filterNot(selected.contains)
+          if (remaining.nonEmpty) {
+            val scored = remaining.map { c =>
+              val mmr =
+                if (selected.isEmpty) 7L * relMap(c)
+                else 7L * relMap(c) -
+                  3L * selected.map(sid => specDot(units(c), units(sid))).max
+              (c, mmr)
+            }
+            val (best, mmr) = scored.sortBy { case (c, m) => (-m, c) }.head
+            out += ((q, best, step.toLong, mmr))
+            selected = selected :+ best
+          }
+        }
+        out
+      }.toSet
+    assert(got === want,
+      s"MMR differential mismatch: engine-only=${(got -- want).take(3)} " +
+        s"spec-only=${(want -- got).take(3)}")
+    // the diversity term must actually bind somewhere: at least one
+    // query's step-2/3 pick differs from plain relevance order
+    val relOrder = readCands("q491_cands").groupBy(_._1).flatMap {
+      case (q, ps) =>
+        ps.map { case (_, n) => n -> specDot(units(q), units(n)) }
+          .sortBy { case (n, d) => (-d, n) }.take(3).zipWithIndex
+          .map { case ((n, _), i) => (q, n, (i + 1).toLong) }.toSeq
+    }.toSet
+    val mmrPicks = got.map(t => (t._1, t._2, t._3))
+    assert(mmrPicks.exists(p => !relOrder.contains(p)),
+      "MMR selected exactly the relevance order everywhere — diversity " +
+        "term never bound, λ staging suspect")
+  }
+
+  test("q497 semantic decontamination: top-1 and flag recomputed from " +
+      "the persisted artifacts; planted contamination caught at 100%") {
+    val rows = SparkEntry.queries("q497_semantic_decon")(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.nonEmpty)
+    val units = readUnits("q497_units")
+    val want = readCands("q497_cands").groupBy(_._1).map { case (q, ps) =>
+      val (n, d) = ps.map { case (_, n) => (n, specDot(units(q), units(n))) }
+        .minBy { case (n, d) => (-d, n) }
+      q -> ((n, d, if (d >= 950000000000L) 1L else 0L))
+    }
+    assert(rows === want,
+      "engine top-1/flag must equal the independent recompute")
+    // planted copies (id offset 2e6) must ALL be flagged — the positive
+    // control: a copy's unit vector is bit-identical to its original's,
+    // so its integer self-dot is within `dim` of 1e12 and clears 0.95
+    val planted = rows.keys.filter(_ >= 2000000L)
+    assert(planted.nonEmpty, "planted control set must be non-empty")
+    planted.foreach { q =>
+      val (_, d, f) = rows(q)
+      assert(f === 1L, s"planted contaminant $q escaped the screen")
+      assert(d >= 950000000000L, s"planted contaminant $q dot $d")
+    }
+    // flag consistency everywhere
+    rows.foreach { case (q, (_, d, f)) =>
+      assert(f === (if (d >= 950000000000L) 1L else 0L), s"flag law at $q")
+    }
+  }
+
+  test("q501 streamed hybrid retrieval equals the q490 batch path " +
+      "end-to-end (streamed == one-shot law)") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val batch = rows("q490_rrf_hybrid")
+    val streamed = rows("q501_hybrid_stream")
+    assert(streamed === batch,
+      s"streamed-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+    // and the streamed candidate log equals the one-shot probe set
+    val streamedCands = readCands("q501_cands").toSet
+    val batchCands = readCands("q490_cands").toSet
+    assert(streamedCands === batchCands,
+      "drained per-batch probes must equal the one-shot candidate set")
+  }
 }
