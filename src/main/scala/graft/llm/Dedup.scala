@@ -560,6 +560,63 @@ object Dedup {
       .select(col("_qid").as(qIdCol), col("id"), col("hamming"))
   }
 
+  /** GDPR-grade erasure from a persisted [[writeHammingIndex]] layout —
+    * the tombstone-free delete the serving index needs (the q443/q467
+    * erasure family, applied to the LAYOUT): each deleted (id, sig)
+    * determines its `bands` (band, kb) directories exactly (band keys
+    * re-derive from the sig), so the rewrite touches ≤ |deletes|·bands
+    * directories — O(touched partitions), never a full-index rewrite.
+    * Remaining rows are materialized (localCheckpoint) BEFORE the
+    * dynamic overwrite truncates them, and directories left EMPTY by
+    * the delete are removed explicitly — dynamic overwrite only
+    * rewrites partitions present in the output, so an emptied dir
+    * would otherwise keep its stale files and keep serving the deleted
+    * ids. Returns (touched dirs, emptied dirs) as the audit witness. */
+  def deleteFromHammingIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      deletes: DataFrame, // (id, sig)
+      bands: Int = 8,
+      kbBuckets: Int = 64): (Int, Int) = {
+    readHammingMeta(spark, indexPath).foreach { case (ib, ikb) =>
+      require(ib == bands && ikb == kbBuckets,
+        s"delete layout (bands=$bands, kbBuckets=$kbBuckets) does not " +
+          s"match the index at $indexPath (bands=$ib, kbBuckets=$ikb)")
+    }
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val touched = deletes
+      .select(explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          pmod(shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND(lit(mask)), lit(kbBuckets.toLong)).cast("int")
+            .as("kb"))): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.kb").as("kb"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    if (touched.isEmpty) return (0, 0)
+    val pred = touched.map { case (b, k) =>
+      col("band") === b && col("kb") === k
+    }.reduce(_ || _)
+    val remaining = spark.read.parquet(indexPath).filter(pred)
+      .join(broadcast(deletes.select(col("id")).distinct()),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val nonEmpty = remaining.select(col("band"), col("kb")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    remaining.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("band", "kb").parquet(indexPath)
+    val emptied = touched.filterNot(nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { case (b, k) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        indexPath, s"band=$b/kb=$k"), true)
+    }
+    (touched.length, emptied.length)
+  }
+
   /** Merge two persisted [[writeHammingIndex]] layouts into one — the
     * segment-merge maintenance step of the serving layout (two ingest
     * epochs, a backfill meeting the live index): reads the STORED

@@ -196,6 +196,109 @@ object DedupQueries {
     }),
 
 
+    // Hamming-index ERASURE (round 14) — GDPR delete applied to the
+    // serving LAYOUT (the q443/q467 erasure family covered tables and
+    // streams; the index is the remaining stateful surface): every 7th
+    // asset's (id, sig) is deleted via the partition-pruned rewrite —
+    // each delete determines its ≤ bands directories from the stored
+    // sig, so the rewrite is O(touched dirs), and directories emptied
+    // by the delete are removed explicitly (dynamic overwrite alone
+    // would leave their stale files serving deleted ids). The served
+    // surface is a probe of the post-erasure index; DedupSpec pins the
+    // erasure laws (no deleted id anywhere, probe(after) ==
+    // probe(before) minus deleted pairs, untouched dirs byte-stable).
+    "q505_index_erasure" -> ((s, dir) => {
+      val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
+        .filter(col("modality") === "image")
+      val sigs = multimodal.Multimodal.imageSignatures(imgs)
+      llm.Dedup.writeHammingIndex(sigs, "asset_id", "sig",
+        predsPath("q505_index"), kbBuckets = QueryShared.IndexKbBuckets)
+      llm.Dedup.deleteFromHammingIndex(s, predsPath("q505_index"),
+        sigs.filter(col("asset_id") % 7 === 0)
+          .select(col("asset_id").as("id"), col("sig")),
+        kbBuckets = QueryShared.IndexKbBuckets)
+      val probes = imgs.filter(col("asset_id") < 150).select(
+        (col("asset_id") + 1000000L).as("asset_id"), col("modality"),
+        concat(substring(col("content"), 1, 54),
+          lit(Array[Byte](0x7f.toByte)),
+          expr("substring(content, 56, length(content) - 55)"))
+          .as("content"),
+        col("meta"))
+      sources.Sources.writeParquet(
+        multimodal.Multimodal.imageSignatures(probes)
+          .withColumnRenamed("asset_id", "q_id"),
+        predsPath("q505_probe_sigs"))
+      llm.Dedup.probeHammingIndex(s, predsPath("q505_index"),
+        s.read.parquet(predsPath("q505_probe_sigs")), "q_id", "sig",
+        hamMax = perceptualHamming._1, bands = perceptualHamming._2,
+        kbBuckets = QueryShared.IndexKbBuckets)
+    }),
+
+
+    // Contamination SCORECARD (round 14) — the per-source risk report a
+    // data team actually reads, composing two independent decon screens
+    // over the SAME train/eval split (eval = doc_id % 50 == 0):
+    // VERBATIM (train doc shares ≥1 8-gram md5 fingerprint with any
+    // eval doc — the q70/q485 grain: distinct (doc, fp) first, equi-
+    // join on the content hash) and SEMANTIC (train embedding within
+    // 0.95 cosine of an eval embedding among the IVF-probed candidate
+    // pairs — the q497 screen, at the pair grain instead of top-1).
+    // Output: per source, train volume and each screen's hit count +
+    // exact ppm rate. Scale: verbatim shuffles on the gram hash;
+    // semantic reads ≤ nprobe/nlist of the corpus.
+    "q503_decon_scorecard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val grams = docs
+        .select(col("doc_id"),
+          explode(llm.Dedup.shingles(col("text"), 8)).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("fp"))
+        .distinct()
+      val evalFps = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("fp")).distinct()
+      val verbatim = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(evalFps, Seq("fp"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("verb", lit(1L))
+      val e = Tables.embeddings(s, dir)
+      val idx = llm.Similarity.fitIvfIndex(
+        e.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        nlist = 16, persistCells = false)
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfCandidatePairs(idx,
+          e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          nprobe = 4),
+        predsPath("q503_cands"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q503_units"))
+      val units = s.read.parquet(predsPath("q503_units"))
+      // thresholded at the PAIR grain (no top-k — a silent rank cap
+      // would under-count hits on a dense corpus)
+      val semantic = s.read.parquet(predsPath("q503_cands"))
+        .join(units.select(col("vec_id").as("q_id"),
+          col("unit").as("qu")), "q_id")
+        .join(units.select(col("vec_id").as("n_id"),
+          col("unit").as("nu")), "n_id")
+        .filter(graft.exprapi.quantizedDotFast(col("qu"), col("nu"))
+          >= lit(950000000000L))
+        .select(col("n_id").as("doc_id")).distinct()
+        .withColumn("sem", lit(1L))
+      train.select(col("doc_id"), col("source"))
+        .join(verbatim, Seq("doc_id"), "left_outer")
+        .join(semantic, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(coalesce(col("verb"), lit(0L))).as("verbatim_hits"),
+          sum(coalesce(col("sem"), lit(0L))).as("semantic_hits"))
+        .withColumn("verbatim_ppm",
+          expr("verbatim_hits * 1000000 div greatest(n_train, 1)"))
+        .withColumn("semantic_ppm",
+          expr("semantic_hits * 1000000 div greatest(n_train, 1)"))
+    }),
+
+
     // PERCEPTUAL eval-set decontamination (round 13) — the image-
     // modality twin of the exact/Bloom text decontamination family
     // (q70/q73/q420/q461): training assets perceptually near ANY eval
@@ -1863,6 +1966,97 @@ object DedupQueries {
          |  CAST(bit_count(xor(bq.sig, bo.sig)) AS INT) AS hamming
          |FROM bq JOIN bo ON bq.band = bo.band AND bq.key = bo.key
          |WHERE bit_count(xor(bq.sig, bo.sig)) <= 7""".stripMargin,
+
+
+    // the q476 banding replay over the POST-ERASURE layout's stored
+    // bits (the erasure laws themselves live in DedupSpec — the oracle
+    // certifies probe == layout replay on what remains)
+    "q505_index_erasure" ->
+      s"""WITH o AS (
+         |  SELECT DISTINCT id, sig FROM
+         |    read_parquet('${predsPath("q505_index")}/*/*/*.parquet')
+         |), ob AS (
+         |  SELECT id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM o
+         |), q AS (
+         |  SELECT q_id, sig,
+         |    CAST(sig AS HUGEINT)
+         |      + CASE WHEN sig < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+         |             ELSE CAST(0 AS HUGEINT) END AS usig
+         |  FROM read_parquet('${predsPath("q505_probe_sigs")}/*.parquet')
+         |), bands(band, d) AS (VALUES
+         |    (0, CAST('1' AS HUGEINT)),
+         |    (1, CAST('256' AS HUGEINT)),
+         |    (2, CAST('65536' AS HUGEINT)),
+         |    (3, CAST('16777216' AS HUGEINT)),
+         |    (4, CAST('4294967296' AS HUGEINT)),
+         |    (5, CAST('1099511627776' AS HUGEINT)),
+         |    (6, CAST('281474976710656' AS HUGEINT)),
+         |    (7, CAST('72057594037927936' AS HUGEINT))
+         |), bo AS (
+         |  SELECT id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM ob CROSS JOIN bands b
+         |), bq AS (
+         |  SELECT q_id, sig, b.band, (usig // b.d) % 256 AS key
+         |  FROM q CROSS JOIN bands b
+         |)
+         |SELECT DISTINCT bq.q_id, bo.id,
+         |  CAST(bit_count(xor(bq.sig, bo.sig)) AS INT) AS hamming
+         |FROM bq JOIN bo ON bq.band = bo.band AND bq.key = bo.key
+         |WHERE bit_count(xor(bq.sig, bo.sig)) <= 7""".stripMargin,
+
+
+    // verbatim leg restated from `documents` (the q485 gram grain over
+    // the train/eval split); semantic leg over the persisted candidate
+    // pairs + units with the 0.95 integer-dot threshold
+    "q503_decon_scorecard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+         |  FROM documents
+         |), g AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(ts[i:i+7], ' ')) AS fp
+         |  FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+         |  WHERE len(ts) >= 8
+         |), ef AS (
+         |  SELECT DISTINCT fp FROM g WHERE doc_id % 50 = 0
+         |), verb AS (
+         |  SELECT DISTINCT g.doc_id FROM g
+         |  JOIN ef ON g.fp = ef.fp
+         |  WHERE g.doc_id % 50 <> 0
+         |), sl AS (
+         |  SELECT q_id, n_id FROM read_parquet('${predsPath("q503_cands")}/*.parquet')
+         |), u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q503_units")}/*.parquet')
+         |), sem AS (
+         |  SELECT DISTINCT s.n_id AS doc_id
+         |  FROM sl s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |  WHERE CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) >= 950000000000
+         |)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS verbatim_hits,
+         |  CAST(sum(CASE WHEN sm.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS semantic_hits,
+         |  CAST(sum(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000
+         |    // greatest(CAST(count(*) AS BIGINT), 1) AS verbatim_ppm,
+         |  CAST(sum(CASE WHEN sm.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000
+         |    // greatest(CAST(count(*) AS BIGINT), 1) AS semantic_ppm
+         |FROM documents d
+         |LEFT JOIN verb v ON d.doc_id = v.doc_id
+         |LEFT JOIN sem sm ON d.doc_id = sm.doc_id
+         |WHERE d.doc_id % 50 <> 0
+         |GROUP BY 1""".stripMargin,
 
 
     // the q476 banding replay, read from the MERGED layout's stored bits

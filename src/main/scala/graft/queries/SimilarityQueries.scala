@@ -520,6 +520,51 @@ object SimilarityQueries {
     }),
 
 
+    // SHADOW-DEPLOYMENT index compare (round 14) — the canary read an
+    // index upgrade needs: the SAME queries served by the incumbent
+    // (plain IVF) and the candidate (IVFPQ, quantized codes) side by
+    // side, per-query top-5 agreement in exact integers. Both
+    // shortlists persist; both exact re-ranks and the overlap rollup
+    // are pure relational work the oracle restates over the stored
+    // bits — the agreement numbers themselves are hash-certified.
+    // Scale: two bounded probes + a join of two ≤5-row-per-query lists.
+    "q506_index_shadow" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cands = e.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val idxA = llm.Similarity.fitIvfIndex(cands, nlist = 16,
+        persistCells = false)
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfCandidatePairs(idxA, qs, nprobe = 4),
+        predsPath("q506_cands_a"))
+      val idxB = llm.Similarity.fitIvfPqIndex(cands, nlist = 16, m = 8,
+        kc = 16, persistEntries = false)
+      sources.Sources.writeParquet(
+        llm.Similarity.ivfPqShortlist(idxB, qs, k = 5, nprobe = 4,
+          rerankFactor = 4),
+        predsPath("q506_sl_b"))
+      sources.Sources.writeParquet(
+        llm.Similarity.unitVectors(e), predsPath("q506_units"))
+      val units = s.read.parquet(predsPath("q506_units"))
+      val a = llm.Similarity.exactRerankFromUnits(units,
+          s.read.parquet(predsPath("q506_cands_a")), k = 5)
+        .select(col("q_id"), col("n_id"), lit(1L).as("in_a"))
+      val b = llm.Similarity.exactRerankFromUnits(units,
+          s.read.parquet(predsPath("q506_sl_b")), k = 5)
+        .select(col("q_id"), col("n_id"), lit(1L).as("in_b"))
+      a.join(b, Seq("q_id", "n_id"), "full_outer")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("in_a"), lit(0L))).as("n_a"),
+          sum(coalesce(col("in_b"), lit(0L))).as("n_b"),
+          sum(coalesce(col("in_a"), lit(0L))
+            * coalesce(col("in_b"), lit(0L))).as("n_both"))
+        .withColumn("overlap_ppm",
+          expr("n_both * 1000000 div greatest(n_a, 1)"))
+    }),
+
+
     // MMR DIVERSIFIED RE-RANK (round 14) — Carbonell & Goldstein '98:
     // after retrieval, pick results that are relevant AND mutually
     // diverse: greedily select argmax λ·rel(c) − (1−λ)·max_{s∈S}
@@ -1242,5 +1287,53 @@ object SimilarityQueries {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY score_rrf DESC, n_id) AS BIGINT) AS rank_rrf
          |  FROM fused) WHERE rank_rrf <= 5""".stripMargin,
+
+
+    // both reranks replayed from the stored shortlists + units, then
+    // the same exact-integer agreement rollup
+    "q506_index_shadow" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unit FROM read_parquet('${predsPath("q506_units")}/*.parquet')
+         |), da AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM read_parquet('${predsPath("q506_cands_a")}/*.parquet') s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |), ta AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY dot_q DESC, n_id) AS rnk
+         |    FROM da) WHERE rnk <= 5
+         |), db AS (
+         |  SELECT s.q_id, s.n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.unit)), i ->
+         |      CAST(floor(CAST(a.unit[i] AS DOUBLE) * CAST(b.unit[i] AS DOUBLE) * 1000000000000) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM read_parquet('${predsPath("q506_sl_b")}/*.parquet') s
+         |  JOIN u a ON s.q_id = a.vec_id
+         |  JOIN u b ON s.n_id = b.vec_id
+         |), tb AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY dot_q DESC, n_id) AS rnk
+         |    FROM db) WHERE rnk <= 5
+         |), j AS (
+         |  SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+         |    CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         |    CASE WHEN b.n_id IS NOT NULL THEN 1 ELSE 0 END AS in_b
+         |  FROM ta a FULL OUTER JOIN tb b
+         |    ON a.q_id = b.q_id AND a.n_id = b.n_id
+         |)
+         |SELECT q_id, CAST(sum(in_a) AS BIGINT) AS n_a,
+         |  CAST(sum(in_b) AS BIGINT) AS n_b,
+         |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         |  CAST(sum(in_a * in_b) AS BIGINT) * 1000000
+         |    // greatest(CAST(sum(in_a) AS BIGINT), 1) AS overlap_ppm
+         |FROM j GROUP BY 1""".stripMargin,
   )
 }

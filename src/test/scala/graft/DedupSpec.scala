@@ -702,4 +702,116 @@ class DedupSpec extends AnyFunSuite {
     assert(got === probe("q502_index_full"),
       "merging two epoch layouts must equal indexing the full corpus")
   }
+
+  test("q505 index erasure: deleted ids vanish from layout AND probes, " +
+      "survivors are untouched, and only determined dirs are rewritten") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryShared
+    val imgs = graft.multimodal.Multimodal.syntheticAssets(spark, 900)
+      .filter(col("modality") === "image")
+    val sigs = graft.multimodal.Multimodal.imageSignatures(imgs)
+      .cache()
+    val path = graft.queries.QueryShared.predsPath("q505_spec_index")
+    graft.llm.Dedup.writeHammingIndex(sigs, "asset_id", "sig", path,
+      kbBuckets = QueryShared.IndexKbBuckets)
+    val probes = sigs.filter(col("asset_id") % 5 === 1)
+      .select((col("asset_id") + 500000L).as("q_id"), col("sig"))
+      .cache()
+    def probe() = graft.llm.Dedup.probeHammingIndex(spark, path, probes,
+        "q_id", "sig", hamMax = 7, bands = 8,
+        kbBuckets = QueryShared.IndexKbBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = probe()
+    val delIds = sigs.filter(col("asset_id") % 7 === 0)
+      .select(col("asset_id")).collect().map(_.getLong(0)).toSet
+    // snapshot the layout's file metadata before the delete
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.lastModified() ^ f.length()))
+        .toMap
+    }
+    val preFiles = files()
+    val dels = sigs.filter(col("asset_id") % 7 === 0)
+      .select(col("asset_id").as("id"), col("sig"))
+    val (touched, _) = graft.llm.Dedup.deleteFromHammingIndex(spark, path,
+      dels, kbBuckets = QueryShared.IndexKbBuckets)
+    assert(touched > 0 && touched <= 8 * QueryShared.IndexKbBuckets)
+    // law 1: the layout holds no deleted id anywhere
+    val residual = spark.read.parquet(path)
+      .filter(col("id").isin(delIds.toSeq.map(Long.box): _*)).count()
+    assert(residual === 0L, "deleted ids must not survive in any dir")
+    // law 2: probe(after) == probe(before) minus deleted-id pairs
+    assert(probe() === before.filterNot(p => delIds(p._2)),
+      "post-erasure probes must lose exactly the deleted ids' pairs")
+    // law 3: files in dirs the deletes do not determine are byte-stable
+    val touchedDirs = dels
+      .select(explode(org.apache.spark.sql.functions.array(
+        (0 until 8).map(b => struct(lit(b).as("band"),
+          pmod(shiftrightunsigned(col("sig"), b * 8)
+            .bitwiseAND(lit(255L)),
+            lit(QueryShared.IndexKbBuckets.toLong)).cast("int")
+            .as("kb"))): _*)).as("bk"))
+      .select(col("bk.band"), col("bk.kb")).distinct()
+      .collect().map(r => s"band=${r.getInt(0)}/kb=${r.getInt(1)}").toSet
+    val postFiles = files()
+    preFiles.foreach { case (f, sigHash) =>
+      if (!touchedDirs.exists(f.contains)) {
+        assert(postFiles.get(f).contains(sigHash),
+          s"untouched dir file $f was rewritten — not O(touched dirs)")
+      }
+    }
+    sigs.unpersist(); probes.unpersist()
+  }
+
+  test("q503 decon scorecard: verbatim leg equals a from-scratch " +
+      "shingle replay; semantic leg equals the artifact recompute; " +
+      "ppm identities hold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q503_decon_scorecard")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+      .toMap
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        "[a-z0-9]+".r.findAllIn(r.getString(2).toLowerCase).toSeq))
+    def grams(ts: Seq[String]): Set[String] =
+      if (ts.length < 8) Set.empty
+      else ts.sliding(8).map(_.mkString(" ")).toSet
+    val evalG = docs.filter(_._1 % 50 == 0).flatMap(d => grams(d._3)).toSet
+    val verbatim = docs.filter(_._1 % 50 != 0)
+      .filter(d => grams(d._3).exists(evalG)).map(_._1).toSet
+    // semantic from the persisted artifacts (independent dot recompute)
+    val units = spark.read.parquet(
+        graft.queries.QueryShared.predsPath("q503_units"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i =>
+        math.floor(a(i).toDouble * b(i).toDouble * 1e12).toLong).sum
+    val semantic = spark.read.parquet(
+        graft.queries.QueryShared.predsPath("q503_cands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (q, n) => dot(units(q), units(n)) >= 950000000000L }
+      .map(_._2).toSet
+    val bySource = docs.filter(_._1 % 50 != 0).groupBy(_._2)
+    assert(rows.keySet === bySource.keySet)
+    bySource.foreach { case (src, ds) =>
+      val n = ds.length.toLong
+      val vh = ds.count(d => verbatim(d._1)).toLong
+      val sh = ds.count(d => semantic(d._1)).toLong
+      val (gn, gv, gs, gvp, gsp) = rows(src)
+      assert(gn === n, src)
+      assert(gv === vh, s"$src verbatim")
+      assert(gs === sh, s"$src semantic")
+      assert(gvp === vh * 1000000L / math.max(n, 1L), src)
+      assert(gsp === sh * 1000000L / math.max(n, 1L), src)
+    }
+    assert(verbatim.nonEmpty,
+      "fixture's cross-doc duplicate structure must produce verbatim hits")
+  }
 }

@@ -865,4 +865,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(streamedCands === batchCands,
       "drained per-batch probes must equal the one-shot candidate set")
   }
+
+  test("q506 shadow compare: agreement numbers recomputed independently " +
+      "from the persisted artifacts; bounds hold") {
+    val rows = SparkEntry.queries("q506_index_shadow")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    val units = readUnits("q506_units")
+    def top5(name: String): Map[Long, Set[Long]] =
+      readCands(name).groupBy(_._1).map { case (q, ps) =>
+        q -> ps.map { case (_, n) => (n, specDot(units(q), units(n))) }
+          .sortBy { case (n, d) => (-d, n) }.take(5).map(_._1).toSet
+      }
+    val a = top5("q506_cands_a")
+    val b = top5("q506_sl_b")
+    assert(rows.keySet === (a.keySet ++ b.keySet))
+    rows.foreach { case (q, (na, nb, nboth, ppm)) =>
+      val sa = a.getOrElse(q, Set.empty)
+      val sb = b.getOrElse(q, Set.empty)
+      assert(na === sa.size.toLong, s"$q n_a")
+      assert(nb === sb.size.toLong, s"$q n_b")
+      assert(nboth === (sa & sb).size.toLong, s"$q n_both")
+      assert(ppm === nboth * 1000000L / math.max(na, 1L), s"$q ppm")
+      assert(na <= 5 && nb <= 5 && nboth <= math.min(na, nb), s"$q bounds")
+    }
+    // the canary must be informative on the fixture: indices agree on
+    // SOMETHING and disagree on something (else the compare is vacuous)
+    assert(rows.values.exists(_._3 > 0), "some agreement expected")
+    assert(rows.values.exists(v => v._3 < math.min(v._1, v._2)) ||
+      rows.values.exists(v => v._1 != v._2),
+      "quantized candidate index should diverge somewhere at top-5")
+  }
 }
