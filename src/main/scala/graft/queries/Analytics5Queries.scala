@@ -2337,6 +2337,80 @@ object Analytics5Queries {
         .select(col("day"), col("y"), col("ma_sum7"), col("det7"),
           col("dow"), col("n_dow"), col("sum_det7_dow"), col("rem_x"))
     }),
+
+
+    // GRANGER causality, lag-1 (round 14) — does EUROPE's daily revenue
+    // lead AMERICA's? The bivariate member of the q492/q493/q499
+    // regression family: unrestricted y_t = a + b·y_{t−1} + c·x_{t−1}
+    // vs restricted y_t = a + b·y_{t−1}, F = (RSSr − RSSu)·(n−3)/RSSu
+    // from CLOSED-FORM two-predictor OLS (Cramer's rule on the 2×2
+    // centered-moment system). All ten sufficient sums are exact
+    // (products in decimal(38,0)/HUGEINT, q304 string-route casts);
+    // the coefficient/F chain is one identically-staged double
+    // expression. Frame: days where BOTH regions trade, one lag
+    // window, one global aggregation.
+    "q504_granger" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("EUROPE", "AMERICA"))
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(
+          sum(when(col("r_name") === "EUROPE",
+            (col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("long")).otherwise(0L)).as("x"),
+          sum(when(col("r_name") === "AMERICA",
+            (col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("long")).otherwise(0L)).as("y"),
+          sum(when(col("r_name") === "EUROPE", 1L).otherwise(0L)).as("ne"),
+          sum(when(col("r_name") === "AMERICA", 1L).otherwise(0L)).as("na"))
+        .filter(col("ne") > 0 && col("na") > 0)
+      val w = Window.orderBy(col("day"))
+      def d19(c: Column): Column = c.cast("decimal(19,0)")
+      val lagged = daily
+        .withColumn("u", lag(col("y"), 1).over(w))
+        .withColumn("v", lag(col("x"), 1).over(w))
+        .filter(col("u").isNotNull)
+        .select(col("y").as("wv"), col("u"), col("v"))
+      lagged.agg(
+          count(lit(1)).as("n"),
+          sum(col("u")).as("su"), sum(col("v")).as("sv"),
+          sum(col("wv")).as("sw"),
+          sum((d19(col("u")) * col("u")).cast("decimal(38,0)")).as("suu"),
+          sum((d19(col("v")) * col("v")).cast("decimal(38,0)")).as("svv"),
+          sum((d19(col("wv")) * col("wv")).cast("decimal(38,0)")).as("sww"),
+          sum((d19(col("u")) * col("v")).cast("decimal(38,0)")).as("suv"),
+          sum((d19(col("u")) * col("wv")).cast("decimal(38,0)")).as("suw"),
+          sum((d19(col("v")) * col("wv")).cast("decimal(38,0)")).as("svw"))
+        .withColumn("mu", expr("cast(su as double) / n"))
+        .withColumn("mv", expr("cast(sv as double) / n"))
+        .withColumn("mw", expr("cast(sw as double) / n"))
+        .withColumn("cuu",
+          expr("cast(cast(suu as string) as double) / n - mu * mu"))
+        .withColumn("cvv",
+          expr("cast(cast(svv as string) as double) / n - mv * mv"))
+        .withColumn("cww",
+          expr("cast(cast(sww as string) as double) / n - mw * mw"))
+        .withColumn("cuv",
+          expr("cast(cast(suv as string) as double) / n - mu * mv"))
+        .withColumn("cuw",
+          expr("cast(cast(suw as string) as double) / n - mu * mw"))
+        .withColumn("cvw",
+          expr("cast(cast(svw as string) as double) / n - mv * mw"))
+        .withColumn("det", expr("cuu * cvv - cuv * cuv"))
+        .withColumn("coef_ylag",
+          expr("(cvv * cuw - cuv * cvw) / det"))
+        .withColumn("coef_xlag",
+          expr("(cuu * cvw - cuv * cuw) / det"))
+        .withColumn("rss_u",
+          expr("cww - coef_ylag * cuw - coef_xlag * cvw"))
+        .withColumn("rss_r", expr("cww - cuw * cuw / cuu"))
+        .withColumn("f_granger",
+          expr("(rss_r - rss_u) * cast(n - 3 as double) / rss_u"))
+        .select(col("n"), col("coef_ylag"), col("coef_xlag"),
+          col("rss_u"), col("rss_r"), col("f_granger"))
+    }),
   )
 
   /** q409's dynamically-unrolled oracle: `rounds` power-iteration steps
@@ -4683,5 +4757,79 @@ object Analytics5Queries {
         |  s.sum_det7_dow,
         |  s.n_dow * d.det7 - s.sum_det7_dow AS rem_x
         |FROM det d JOIN seas s ON d.dow = s.dow""".stripMargin,
+
+    // the identical ten exact sums (HUGEINT products, VARCHAR-route
+    // casts) and the same Cramer / RSS / F double chain
+    "q504_granger" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CASE WHEN r_name = 'EUROPE'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN r_name = 'AMERICA'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(sum(CASE WHEN r_name = 'EUROPE' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ne,
+        |    CAST(sum(CASE WHEN r_name = 'AMERICA' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('EUROPE', 'AMERICA')
+        |  GROUP BY 1
+        |), f AS (
+        |  SELECT * FROM daily WHERE ne > 0 AND na > 0
+        |), lagged AS (
+        |  SELECT y AS wv,
+        |    lag(y) OVER (ORDER BY day) AS u,
+        |    lag(x) OVER (ORDER BY day) AS v
+        |  FROM f
+        |), l AS (
+        |  SELECT wv, u, v FROM lagged WHERE u IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+        |    CAST(sum(wv) AS BIGINT) AS sw,
+        |    sum(CAST(u AS HUGEINT) * u) AS suu,
+        |    sum(CAST(v AS HUGEINT) * v) AS svv,
+        |    sum(CAST(wv AS HUGEINT) * wv) AS sww,
+        |    sum(CAST(u AS HUGEINT) * v) AS suv,
+        |    sum(CAST(u AS HUGEINT) * wv) AS suw,
+        |    sum(CAST(v AS HUGEINT) * wv) AS svw
+        |  FROM l
+        |), m AS (
+        |  SELECT n,
+        |    CAST(su AS DOUBLE) / n AS mu,
+        |    CAST(sv AS DOUBLE) / n AS mv,
+        |    CAST(sw AS DOUBLE) / n AS mw,
+        |    suu, svv, sww, suv, suw, svw
+        |  FROM s
+        |), c AS (
+        |  SELECT n,
+        |    CAST(CAST(suu AS VARCHAR) AS DOUBLE) / n - mu * mu AS cuu,
+        |    CAST(CAST(svv AS VARCHAR) AS DOUBLE) / n - mv * mv AS cvv,
+        |    CAST(CAST(sww AS VARCHAR) AS DOUBLE) / n - mw * mw AS cww,
+        |    CAST(CAST(suv AS VARCHAR) AS DOUBLE) / n - mu * mv AS cuv,
+        |    CAST(CAST(suw AS VARCHAR) AS DOUBLE) / n - mu * mw AS cuw,
+        |    CAST(CAST(svw AS VARCHAR) AS DOUBLE) / n - mv * mw AS cvw
+        |  FROM m
+        |), k AS (
+        |  SELECT n, cuw, cvw, cww, cuu,
+        |    (cvv * cuw - cuv * cvw) / (cuu * cvv - cuv * cuv)
+        |      AS coef_ylag,
+        |    (cuu * cvw - cuv * cuw) / (cuu * cvv - cuv * cuv)
+        |      AS coef_xlag
+        |  FROM c
+        |), r AS (
+        |  SELECT n, coef_ylag, coef_xlag,
+        |    cww - coef_ylag * cuw - coef_xlag * cvw AS rss_u,
+        |    cww - cuw * cuw / cuu AS rss_r
+        |  FROM k
+        |)
+        |SELECT n, coef_ylag, coef_xlag, rss_u, rss_r,
+        |  (rss_r - rss_u) * cast(n - 3 as double) / rss_u AS f_granger
+        |FROM r""".stripMargin,
   )
 }

@@ -798,4 +798,64 @@ class Analytics5Spec extends AnyFunSuite {
     assert(got === ma, "moving totals must equal the sliding-7 replay " +
       "over the t-ordered daily series")
   }
+
+  test("q504 Granger equals an exact driver replay; restricted RSS " +
+      "never beats unrestricted") {
+    val got = SparkEntry.queries("q504_granger")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length === 1)
+    val daily = Tables.orders(spark, TestSpark.sf)
+      .join(Tables.customer(spark, TestSpark.sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, TestSpark.sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, TestSpark.sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("EUROPE", "AMERICA"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        sum(when(col("r_name") === "EUROPE",
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("r_name") === "AMERICA",
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).otherwise(0L)).as("y"),
+        sum(when(col("r_name") === "EUROPE", 1L).otherwise(0L)).as("ne"),
+        sum(when(col("r_name") === "AMERICA", 1L).otherwise(0L)).as("na"))
+      .filter(col("ne") > 0 && col("na") > 0)
+      .select(col("day"), col("x"), col("y"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val triples = daily.sliding(2).collect { case Array(p, c) =>
+      (c._3, p._3, p._2) // (w = y_t, u = y_{t-1}, v = x_{t-1})
+    }.toSeq
+    val n = triples.length.toLong
+    def dsum(f: ((Long, Long, Long)) => BigInt): BigInt = triples.map(f).sum
+    val (su, sv, sw) = (triples.map(_._2).sum, triples.map(_._3).sum,
+      triples.map(_._1).sum)
+    val (mu, mv, mw) = (su.toDouble / n, sv.toDouble / n, sw.toDouble / n)
+    val cuu = dsum(t => BigInt(t._2) * t._2).toDouble / n - mu * mu
+    val cvv = dsum(t => BigInt(t._3) * t._3).toDouble / n - mv * mv
+    val cww = dsum(t => BigInt(t._1) * t._1).toDouble / n - mw * mw
+    val cuv = dsum(t => BigInt(t._2) * t._3).toDouble / n - mu * mv
+    val cuw = dsum(t => BigInt(t._2) * t._1).toDouble / n - mu * mw
+    val cvw = dsum(t => BigInt(t._3) * t._1).toDouble / n - mv * mw
+    val det = cuu * cvv - cuv * cuv
+    val bY = (cvv * cuw - cuv * cvw) / det
+    val cX = (cuu * cvw - cuv * cuw) / det
+    val rssU = cww - bY * cuw - cX * cvw
+    val rssR = cww - cuw * cuw / cuu
+    val f = (rssR - rssU) * (n - 3).toDouble / rssU
+    val row = got.head
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Double]("coef_ylag") === bY)
+    assert(row.getAs[Double]("coef_xlag") === cX)
+    assert(row.getAs[Double]("rss_u") === rssU)
+    assert(row.getAs[Double]("rss_r") === rssR)
+    assert(row.getAs[Double]("f_granger") === f)
+    assert(rssR >= rssU - math.abs(rssU) * 1e-12,
+      "dropping a regressor can never reduce RSS")
+    assert(det > 0, "centered moment matrix must be positive definite")
+  }
 }
