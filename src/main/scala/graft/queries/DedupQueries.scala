@@ -715,10 +715,25 @@ object DedupQueries {
           llm.Dedup.bandBuckets(docs, "doc_id", "text",
             numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
         .localCheckpoint(true)
-      // unpaired short docs never join; paired docs always have shingles
-      val sigs = docs.select(col("doc_id"),
-        llm.Dedup.minhashSignatureMd5(
-          llm.Dedup.shingles(col("text"), 3), 6).as("mh"))
+      // unpaired short docs never join; paired docs always have shingles.
+      // r14 optimization (guide §2.3, the candidates-only rule jaccard-
+      // Counts already applies): the est legs are INNER joins on the
+      // pair ids, so signatures are only ever consumed for paired docs —
+      // semi-prune the corpus before the 6-way md5 minhash instead of
+      // sketching every doc and discarding the unpaired ones in the
+      // join. At corpus scale the paired set is a sliver of the corpus.
+      val pairedIds = pairs.select(col("a_doc").as("doc_id"))
+        .unionByName(pairs.select(col("b_doc").as("doc_id")))
+        .distinct()
+      // materialized once: the a-side and b-side joins below would
+      // otherwise each re-evaluate the md5 sketch subtree (no exchange
+      // reuse across different join keys)
+      val sigs = docs
+        .join(pairedIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          llm.Dedup.minhashSignatureMd5(
+            llm.Dedup.shingles(col("text"), 3), 6).as("mh"))
+        .localCheckpoint(true)
       val est = pairs
         .join(sigs.select(col("doc_id").as("a_doc"), col("mh").as("am")),
           Seq("a_doc"))
@@ -910,10 +925,17 @@ object DedupQueries {
       val cands = llm.Dedup.candidatePairs(
         llm.Dedup.bandBuckets(docs, "doc_id", "text",
           numHashes = 6, bands = 3, shingleWidth = 3), "doc_id")
+      // materialized once (r14, guide §1.2/§5): `kept` feeds THREE
+      // downstream consumers (pairsAgg + both unionByName legs of
+      // docsAgg), and without a checkpoint each re-evaluates the whole
+      // shingle-set jaccard join — the dominant cost — per consumer.
+      // The frame itself is candidate-pairs × surviving thresholds,
+      // bounded by the LSH bucket caps.
       val kept = llm.Dedup.jaccardCounts(docs, cands, "doc_id", "text")
         .withColumn("t_pct", explode(array(
           lit(50L), lit(60L), lit(70L), lit(80L), lit(90L))))
         .filter(col("inter") * 100 >= col("uni") * col("t_pct"))
+        .localCheckpoint(true)
       val pairsAgg = kept.groupBy(col("t_pct"))
         .agg(count(lit(1)).as("n_pairs"))
       val docsAgg = kept.select(col("t_pct"), col("a_doc").as("d"))

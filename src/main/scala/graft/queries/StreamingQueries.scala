@@ -946,7 +946,34 @@ object StreamingQueries {
         .coalesce(1).write.mode("overwrite").parquet(s"$root/before")
       val dels = base.filter(col("o_custkey") % 97 === 0)
         .select(col("o_orderkey"))
-      sources.Sources.writeParquet(dels.repartition(4), s"$root/deletes")
+      // BUCKET-ALIGNED delete staging (r14 optimization, guide §6/§2.3):
+      // route each staged delete file to kb % 4 of the table's 16 kb
+      // buckets instead of round-robin. Each micro-batch then touches
+      // exactly 4 bucket dirs (digest scan + rewrite read 4/16 of the
+      // table, and every bucket dir is rewritten ONCE per drain instead
+      // of up to 4×). At 100 TB this is the production shape: deletes
+      // routed by the table's bucket function so per-batch work is
+      // O(its buckets), not O(all buckets). The certificate is
+      // batch-split-invariant (additive digests, n_batches derived from
+      // the staged partials), so the result is unchanged — oracle
+      // hash-match proves it. The grouped write is 4 appends of one
+      // file each; group g is never empty at any tested SF (deletes
+      // spread over all 16 kb values).
+      val delsKb = dels.withColumn("_kb",
+        sources.Sources.keyBucket(Seq("o_orderkey"), 16))
+        .localCheckpoint(true)
+      // a group with no keys (possible at tiny SFs) stages no file — a
+      // zero-row micro-batch would write a null-checksum partial;
+      // n_batches stays consistent on both sides because the oracle
+      // derives it from the staged partials, not a literal. Presence is
+      // ONE tiny collect, not a per-group isEmpty job.
+      val present = delsKb.select((col("_kb") % 4).as("g")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      present.zipWithIndex.foreach { case (g, i) =>
+        delsKb.filter(col("_kb") % 4 === g).drop("_kb").coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(s"$root/deletes")
+      }
       val cert = QueryShared.withShufflePartitions(s, 8) {
         streaming.Streams.erasureStream(s, s"$root/deletes", dels.schema,
           s"$root/table", Seq("o_orderkey"), cols, nBuckets = 16,

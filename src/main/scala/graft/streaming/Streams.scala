@@ -797,8 +797,16 @@ object Streams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one materialization + one touched-bucket collect per batch,
+        // shared by the digest scan AND the delete (r14, guide §1.2 —
+        // the old shape recomputed distinct/kb/touched inside
+        // deleteKeysBucketed and paid a before-counts report pass the
+        // certificate never reads: 3 extra driver jobs per batch)
         val del = batch.select(keys.map(col): _*).distinct()
+          .withColumn("kb", graft.sources.Sources.keyBucket(keys, nBuckets))
           .localCheckpoint(true)
+        val touched = del.select(col("kb")).distinct()
+          .collect().map(_.getInt(0)).sorted // ≤ nBuckets ints
         val pdir = new org.apache.hadoop.fs.Path(
           s"$partialsDir/batch_id=$batchId")
         val fs = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -815,12 +823,9 @@ object Streams {
         val committed = fs.exists(
           new org.apache.hadoop.fs.Path(pdir, "_SUCCESS"))
         if (!committed) {
-          val kb = graft.sources.Sources.keyBucket(keys, nBuckets)
-          val touched = del.withColumn("kb", kb).select(col("kb"))
-            .distinct().collect().map(_.getInt(0)) // ≤ nBuckets ints
           val doomed = spark.read.parquet(tableDir)
             .filter(col("kb").isin(touched.toIndexedSeq.map(Int.box): _*))
-            .join(del, keys, "left_semi")
+            .join(del.select(keys.map(col): _*), keys, "left_semi")
           Relational.tableChecksum(doomed, digestCols)
             .select(col("n_rows").as("n_deleted"),
               col("content_checksum").cast("decimal(30,0)")
@@ -828,8 +833,8 @@ object Streams {
             .coalesce(1)
             .write.mode("overwrite").parquet(pdir.toString)
         }
-        graft.sources.Sources.deleteKeysBucketed(
-          spark, tableDir, keys, nBuckets, del)
+        graft.sources.Sources.deleteKeysBucketedPrepared(
+          spark, tableDir, keys, del, touched)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
