@@ -30,13 +30,19 @@ object Dsir {
     * the k docs with the highest w_q (ties broken by id). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, k: Int = 50): DataFrame = {
+    // tf is consumed three times (raw pool counts, target counts, the
+    // final per-doc weighting) — materialize the corpus term-freq once
+    // instead of re-tokenizing the corpus per consumer (r14, guide §5;
+    // the q104 before plan held 28 scans)
     val tf = TextOps.termFreq(docs, idCol, textCol) // (id, token, tf)
+      .localCheckpoint(true)
     val raw = tf.groupBy(col("token")).agg(sum(col("tf")).as("cr"))
     val tgtIds = docs.filter(targetPred).select(col(idCol))
     val tgt = tf.join(tgtIds, Seq(idCol), "left_semi")
       .groupBy(col("token")).agg(sum(col("tf")).as("ct"))
     val vocab = raw.join(tgt, Seq("token"), "left_outer")
       .select(col("token"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .localCheckpoint(true) // two consumers: the totals + the lr scores
     val tot = vocab.agg(
       sum(col("cr")).as("nr"), sum(col("ct")).as("nt"), count(lit(1)).as("v"))
     // same operation ORDER as the oracle SQL: (ln(ct+1) − ln(nt+v)) −
@@ -54,6 +60,7 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tok"),
         sum(col("tf") * col("q")).as("w_q"))
+      .localCheckpoint(true) // two consumers: top-k + the final join
     val top = w.orderBy(col("w_q").desc, col(idCol)).limit(k)
       .select(col(idCol)).withColumn("sel", lit(1))
     w.join(broadcast(top), Seq(idCol), "left_outer")

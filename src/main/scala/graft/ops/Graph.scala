@@ -34,6 +34,10 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      // consumed by both degree legs and the oriented-edge join —
+      // materialize the deduped edge list once instead of re-running
+      // the upstream edge derivation per reference (r14, guide §5)
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val aLower = col("da") < col("db") ||

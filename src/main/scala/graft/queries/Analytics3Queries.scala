@@ -534,17 +534,22 @@ object Analytics3Queries {
     // total orders execute as the two-phase bucketed
     // Stats.distributedRank (no single-partition entity sort).
     "q336_quantile_normalize" -> ((s, dir) => {
+      // src and ref each feed two consumers (the scalar count + the map
+      // join) — materialize each multi-stage rank once (r14, guide §5;
+      // before plan: 24 scans)
       val src = ops.Stats.distributedRank(
         Tables.supplier(s, dir)
           .select(col("s_suppkey"), cents(col("s_acctbal")).as("x_orig")),
         "x_orig", tieBreak = Seq("s_suppkey"), out = "r",
         bucketWidth = 1L << 14)
+        .localCheckpoint(true)
       val ref = ops.Stats.distributedRank(
         Tables.customer(s, dir)
           .select(cents(col("c_acctbal")).as("x_mapped"), col("c_custkey")),
         "x_mapped", tieBreak = Seq("c_custkey"), out = "idx",
         bucketWidth = 1L << 14)
         .select(col("idx"), col("x_mapped"))
+        .localCheckpoint(true)
       val n = src.agg(count(lit(1)).as("n"))
       val m = ref.agg(count(lit(1)).as("m"))
       src.crossJoin(broadcast(n)).crossJoin(broadcast(m))
@@ -772,11 +777,15 @@ object Analytics3Queries {
     // bound. The position map is a k-row aggregate-bounded window;
     // block ranks partition by block — nothing global.
     "q480_page_trend" -> ((s, dir) => {
+      // cells feeds four consumers (grid ×3 + jmap) and grid two
+      // (ranked + dims) — materialize each nation×segment stage once
+      // (r14, guide §5; before plan: 24 scans)
       val cells = Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").cast("long").as("nk"),
           col("c_mktsegment").as("seg"))
         .agg(sum(cents(col("o_totalprice"))).as("x"))
+        .localCheckpoint(true)
       val grid = cells.select(col("nk")).distinct()
         .withColumn("_k", zeroKeyNum(col("nk")))
         .join(broadcast(cells.select(col("seg")).distinct()
@@ -784,6 +793,7 @@ object Analytics3Queries {
         .drop("_k")
         .join(cells, Seq("nk", "seg"), "left")
         .withColumn("x", coalesce(col("x"), lit(0L)))
+        .localCheckpoint(true)
       val jmap = cells.select(col("seg")).distinct()
         .withColumn("j", row_number().over(
           Window.orderBy(col("seg"))).cast("long"))
@@ -1290,6 +1300,9 @@ object Analytics3Queries {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_b"), sum(col("label")).as("g"))
         .withColumn("b", col("n_b") - col("g"))
+        // 10-row bin frame, two consumers — materialize instead of
+        // re-running labeledConfBase per reference (r14, guide §5)
+        .localCheckpoint(true)
       val tot = binned.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
       binned.crossJoin(broadcast(tot))
         .withColumn("gs_micro", expr("(g + 1) * 1000000 div (gt + 10)"))
@@ -1485,6 +1498,10 @@ object Analytics3Queries {
         .groupBy(col("c_nationkey").cast("long").as("nk"),
           col("c_mktsegment").as("seg"))
         .agg(sum(cents(col("o_totalprice"))).as("x"))
+        // cells/grid/r1 each feed ≥2 consumers — materialize the
+        // nation×segment grain once per stage instead of re-running the
+        // fact join per reference (r14, guide §5; before plan: 48 scans)
+        .localCheckpoint(true)
       val grid = cells.select(col("nk")).distinct()
         .withColumn("_k", zeroKeyNum(col("nk")))
         .join(broadcast(cells.select(col("seg")).distinct()
@@ -1492,10 +1509,12 @@ object Analytics3Queries {
         .drop("_k")
         .join(cells, Seq("nk", "seg"), "left")
         .withColumn("x4", coalesce(col("x"), lit(0L)) * 4)
+        .localCheckpoint(true)
       val rowMed = grid.groupBy(col("nk"))
         .agg(percentile(col("x4"), lit(0.5)).cast("long").as("row_eff"))
       val r1 = grid.join(broadcast(rowMed), Seq("nk"))
         .withColumn("res1", col("x4") - col("row_eff"))
+        .localCheckpoint(true)
       val colMed = r1.groupBy(col("seg"))
         .agg(percentile(col("res1"), lit(0.5)).cast("long").as("col_eff"))
       r1.join(broadcast(colMed), Seq("seg"))
@@ -1642,6 +1661,10 @@ object Analytics3Queries {
         .groupBy(col("r_name"),
           date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(sum(cents(col("o_totalprice"))).as("c"))
+        // tgt and don below are each consumed twice — materialize the
+        // region×month grain once instead of re-running the 4-way fact
+        // join per reference (r14, guide §5; before plan: 32 scans)
+        .localCheckpoint(true)
       val tgt = monthly.filter(col("r_name") === "EUROPE")
         .select(col("month"), col("c").as("tc"))
       val don = monthly.filter(col("r_name") =!= "EUROPE")
@@ -1788,9 +1811,15 @@ object Analytics3Queries {
       val post = counts(_ >= split)
       val rowT = post.groupBy(col("nk")).agg(sum(col("n")).as("rt"))
       val colT = post.groupBy(col("seg")).agg(sum(col("n")).as("ct"))
+      // each pass below references its input TWICE (margin sums + the
+      // factor join), so an unmaterialized 4-pass chain inlines the
+      // whole upstream 2⁴ times (the before plan: 192 scans, 4.8k
+      // lines). The frame is nation×segment grain — materialize the
+      // base and every pass (r14, guide §3.3/§5).
       val base = pre
         .join(rowT, Seq("nk")).join(broadcast(colT), Seq("seg"))
         .withColumn("x0", col("n") * 1000000L)
+        .localCheckpoint(true)
       def rowPass(df: DataFrame, in: String, out: String): DataFrame = {
         val sums = df.groupBy(col("nk")).agg(sum(col(in)).as("_rs"))
         df.join(sums, Seq("nk"))
@@ -1807,8 +1836,10 @@ object Analytics3Queries {
               .cast("long")).otherwise(0L))
           .drop("_cs")
       }
-      val done = colPass(rowPass(colPass(rowPass(
-        base, "x0", "x1"), "x1", "x2"), "x2", "x3"), "x3", "x4")
+      val p1 = rowPass(base, "x0", "x1").localCheckpoint(true)
+      val p2 = colPass(p1, "x1", "x2").localCheckpoint(true)
+      val p3 = rowPass(p2, "x2", "x3").localCheckpoint(true)
+      val done = colPass(p3, "x3", "x4")
       done.select(col("nk"), col("seg"), col("n").as("n_pre"),
         col("x4").as("x_micro"))
     }),
@@ -2194,6 +2225,10 @@ object Analytics3Queries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
           col("q_c"), (col("o_orderkey") % 2).as("fold"))
+        // the bias fit consumes train three times (mu/bi/bu) and the
+        // test fold reads r again — materialize the fact join once
+        // (r14, guide §5; before plan: 32 scans)
+        .localCheckpoint(true)
       val train = r.filter(col("fold") === 1)
       // offset-positive integer bias fit, promoted to the reusable
       // ml.Models.biasBaseline (identical algebra — oracle unchanged);

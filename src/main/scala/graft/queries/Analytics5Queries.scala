@@ -293,9 +293,14 @@ object Analytics5Queries {
     // (never interpolated); the oracle states both as naive global
     // row_numbers.
     "q410_mad_outliers" -> ((s, dir) => {
+      // d feeds the median rank, the scalar count, and the deviation
+      // frame; dev feeds the MAD rank and the final filter — materialize
+      // both so the corpus tokenization runs once, not ~5× (r14, guide
+      // §5; before plan: 26 scans)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(text.TextOps.tokens(col("text"))).cast("long").as("len"))
+        .localCheckpoint(true)
       def lowerMedian(df: DataFrame, vCol: String): DataFrame =
         ops.Stats.distributedRank(df, vCol, tieBreak = Seq("doc_id"),
             out = "_rn", bucketWidth = 1L << 8)
@@ -308,6 +313,7 @@ object Analytics5Queries {
       val med = lowerMedian(d, "len").agg(max(col("_m")).as("med"))
       val dev = d.crossJoin(broadcast(med))
         .withColumn("dev", abs(col("len") - col("med")))
+        .localCheckpoint(true)
       val mad = lowerMedian(dev.select(col("doc_id"), col("dev")), "dev")
         .agg(max(col("_m")).as("mad"))
       dev.crossJoin(broadcast(mad))
@@ -2229,6 +2235,10 @@ object Analytics5Queries {
           sum(col("n_tok")).as("n_tok"),
           sum(col("sum_q")).as("sq"))
         .withColumn("nll_q", expr("sq div n_tok"))
+        // source-grain frame with two consumers (ref + w) — materialize
+        // so the corpus-scale unigram NLL runs once (r14, guide §5;
+        // before plan: 32 scans)
+        .localCheckpoint(true)
       val ref = src.agg(
         sum(col("sq")).as("rsq"), sum(col("n_tok")).as("rtok"))
         .withColumn("ref_q", expr("rsq div rtok"))
@@ -2238,6 +2248,7 @@ object Analytics5Queries {
         .withColumn("u_q", expr("cast(floor(cast(n_tok as double) " +
           "* exp(cast(excess_q as double) " +
           "/ cast(1000000 as double))) as bigint)"))
+        .localCheckpoint(true)
       val tot = w.agg(sum(col("u_q")).as("tu"))
       w.crossJoin(broadcast(tot))
         .withColumn("w_old_ppm", expr("n_tok * 1000000 div rtok"))

@@ -785,6 +785,10 @@ object AnalyticsQueries {
           conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
             .cast("long").as("h"))
         .distinct()
+        // ha/hb are filtered views consumed 5×/4× by the sketch and
+        // exact legs — materialize the hashed distinct set once (r14,
+        // guide §5; before plan: 24 scans)
+        .localCheckpoint(true)
       val ha = h.filter(col("event_type") === "click").select(col("h"))
       val hb = h.filter(col("event_type") === "purchase").select(col("h"))
       def sketch(df: org.apache.spark.sql.DataFrame, est: String,
@@ -796,6 +800,7 @@ object AnalyticsQueries {
               pow(lit(2.0), lit(60.0)) / col("kth").cast("double"))
               .cast("long").as(est))
       val sku = ha.unionByName(hb).distinct().orderBy(col("h")).limit(k)
+        .localCheckpoint(true)
       val rho = sku
         .join(ha, Seq("h"), "left_semi")
         .join(hb, Seq("h"), "left_semi")

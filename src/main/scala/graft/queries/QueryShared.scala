@@ -105,6 +105,34 @@ private[graft] object QueryShared {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** BUCKET-ALIGNED change/delete staging for the partition-pruned
+    * maintenance drains (r14 optimization, guide §6 — route work by the
+    * TABLE's bucket function so each micro-batch touches a bounded slice
+    * of the kb domain instead of all of it). Writes `nGroups` file
+    * groups of `filesPerGroup` files each; group g holds the rows whose
+    * `kb % nGroups == g`, so a `maxFilesPerTrigger = filesPerGroup`
+    * drain reads/rewrites ~nBuckets/nGroups dirs per batch. The folds
+    * these drains run (upsertVersioned, additive digests) are
+    * batch-split- and order-invariant, so results are unchanged under
+    * any grouping; an mtime tie that interleaves groups degrades to the
+    * old unaligned batching, never to a wrong result. Empty groups
+    * stage no file (possible at tiny SFs) — batch counts derive from
+    * the staged artifacts on both engine and oracle sides. */
+  def stageBucketAligned(
+      df: DataFrame, keys: Seq[String], nBuckets: Int, nGroups: Int,
+      filesPerGroup: Int, path: String): Unit = {
+    val withKb = df.withColumn("_kb",
+      graft.sources.Sources.keyBucket(keys, nBuckets))
+      .localCheckpoint(true)
+    val present = withKb.select((col("_kb") % nGroups).as("g")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    present.zipWithIndex.foreach { case (g, i) =>
+      withKb.filter(col("_kb") % nGroups === g).drop("_kb")
+        .repartition(filesPerGroup)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(path)
+    }
+  }
+
   /** Shared (hamMax, bands) per sketch family, coupling each query's
     * Spark serve half to its oracle: both sides MUST read these, never
     * restate the literals, so a drift between the engine's join and the

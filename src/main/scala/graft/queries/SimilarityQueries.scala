@@ -600,18 +600,25 @@ object SimilarityQueries {
           .withColumn(out,
             graft.exprapi.quantizedDotFast(col("__ua"), col("__ub")))
           .drop("__ua", "__ub")
+      // rel feeds all three greedy steps, s1 feeds two plus the output,
+      // s2 two — each unmaterialized step would inline its predecessors'
+      // whole subtree (before plan: 58 scans). The frames are ≤10 rows
+      // per query; materialize each step (r14, guide §3.3/§5).
       val rel = llm.Similarity.exactRerankFromUnits(units,
           s.read.parquet(predsPath("q491_cands")), k = 10)
         .select(col("q_id"), col("n_id"), col("dot_q").as("rel"))
+        .localCheckpoint(true)
       val s1 = Relational.groupedTopK(rel, Seq("q_id"), "rel", "n_id", 1)
         .select(col("q_id"), col("n_id").as("s1_id"),
           (col("rel") * 7).as("mmr1"))
+        .localCheckpoint(true)
       val m2 = dot(rel.join(s1.select(col("q_id"), col("s1_id")), "q_id")
           .filter(col("n_id") =!= col("s1_id")),
           "n_id", "s1_id", "sim1")
         .withColumn("mmr", col("rel") * 7 - col("sim1") * 3)
       val s2 = Relational.groupedTopK(m2, Seq("q_id"), "mmr", "n_id", 1)
         .select(col("q_id"), col("n_id").as("s2_id"), col("mmr").as("mmr2"))
+        .localCheckpoint(true)
       val m3 = dot(dot(
           rel.join(s1.select(col("q_id"), col("s1_id")), "q_id")
             .join(s2.select(col("q_id"), col("s2_id")), "q_id")

@@ -312,7 +312,13 @@ object StreamingQueries {
       val root = predsPath(s"q122_root_${System.nanoTime()}")
       sources.Sources.writeKeyBucketed(base, s"$root/table",
         Seq("o_orderkey"), nBuckets = 16)
-      sources.Sources.writeParquet(changes.repartition(4), s"$root/changes")
+      // bucket-aligned change staging (r14, guide §6 — see
+      // QueryShared.stageBucketAligned): each 2-file micro-batch carries
+      // changes for half the kb domain, so the partition-pruned merge
+      // touches ~8 of 16 dirs per batch; upsertVersioned is split- and
+      // order-invariant, so the folded table is unchanged
+      QueryShared.stageBucketAligned(changes, Seq("o_orderkey"),
+        nBuckets = 16, nGroups = 2, filesPerGroup = 2, s"$root/changes")
       streaming.Streams.cdcApplyPartitioned(s, s"$root/changes",
           changes.schema, s"$root/table", Seq("o_orderkey"),
           orderCol = "ver", tieCol = "o_orderstatus", nBuckets = 16)
@@ -367,7 +373,10 @@ object StreamingQueries {
       val root = predsPath(s"q135_root_${System.nanoTime()}")
       sources.Sources.writeKeyBucketed(base, s"$root/table",
         Seq("o_orderkey"), nBuckets = 16)
-      sources.Sources.writeParquet(changes.repartition(4), s"$root/changes")
+      // bucket-aligned change staging (r14, guide §6 — the q122 recipe;
+      // the compaction that follows is already partition-selective)
+      QueryShared.stageBucketAligned(changes, Seq("o_orderkey"),
+        nBuckets = 16, nGroups = 2, filesPerGroup = 2, s"$root/changes")
       streaming.Streams.cdcApplyPartitioned(s, s"$root/changes",
         changes.schema, s"$root/table", Seq("o_orderkey"),
         orderCol = "ver", tieCol = "o_orderstatus", nBuckets = 16)
@@ -956,24 +965,9 @@ object StreamingQueries {
       // O(its buckets), not O(all buckets). The certificate is
       // batch-split-invariant (additive digests, n_batches derived from
       // the staged partials), so the result is unchanged — oracle
-      // hash-match proves it. The grouped write is 4 appends of one
-      // file each; group g is never empty at any tested SF (deletes
-      // spread over all 16 kb values).
-      val delsKb = dels.withColumn("_kb",
-        sources.Sources.keyBucket(Seq("o_orderkey"), 16))
-        .localCheckpoint(true)
-      // a group with no keys (possible at tiny SFs) stages no file — a
-      // zero-row micro-batch would write a null-checksum partial;
-      // n_batches stays consistent on both sides because the oracle
-      // derives it from the staged partials, not a literal. Presence is
-      // ONE tiny collect, not a per-group isEmpty job.
-      val present = delsKb.select((col("_kb") % 4).as("g")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      present.zipWithIndex.foreach { case (g, i) =>
-        delsKb.filter(col("_kb") % 4 === g).drop("_kb").coalesce(1)
-          .write.mode(if (i == 0) "overwrite" else "append")
-          .parquet(s"$root/deletes")
-      }
+      // hash-match proves it.
+      QueryShared.stageBucketAligned(dels, Seq("o_orderkey"),
+        nBuckets = 16, nGroups = 4, filesPerGroup = 1, s"$root/deletes")
       val cert = QueryShared.withShufflePartitions(s, 8) {
         streaming.Streams.erasureStream(s, s"$root/deletes", dels.schema,
           s"$root/table", Seq("o_orderkey"), cols, nBuckets = 16,
