@@ -177,6 +177,10 @@ object Dedup {
     val sets = docs
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), array_distinct(shingles(col(textCol), shingleWidth)).as("sset"))
+      // both pair sides read the shingle sets — materialize the
+      // candidates-only set build once instead of tokenizing the pruned
+      // corpus twice (r14, guide §5; bounded by the candidate id set)
+      .localCheckpoint(true)
     cands
       .join(sets.select(col(idCol).as("a_doc"), col("sset").as("a_set")), "a_doc")
       .join(sets.select(col(idCol).as("b_doc"), col("sset").as("b_set")), "b_doc")
@@ -963,6 +967,11 @@ object Dedup {
     val cands = nb.join(ob, Seq("band_id", "bucket"))
       .select(col("a_doc"), col("b_doc"))
       .distinct()
+      // jaccardVerify references the candidate frame three times (both
+      // candIds union legs + the pair join) — materialize the bounded
+      // pair set once instead of re-running both banding passes per
+      // reference (r14, guide §5; the q78 before plan held 44 scans)
+      .localCheckpoint(true)
     jaccardVerify(newDocs.unionByName(oldDocs), cands, idCol, textCol,
       threshold, shingleWidth)
   }
@@ -1057,6 +1066,10 @@ object Dedup {
     val q8 = Similarity.quantizeInt8Global(embeddings, idCol, embCol)
       .withColumn("n2", graft.exprapi.int8Dot(col("qv"), col("qv")))
       .join(assignments.select(col(idCol), col("cell")), idCol)
+      // four consumers (both pair sides, the drop set's anti-join spine)
+      // — materialize the global quantization pass once (r14, guide §5;
+      // the q100 before plan held 22 scans)
+      .localCheckpoint(true)
     // pairing universe: only cells within the cap (the semi-join is a tiny
     // aggregate over the assignment table, broadcast-able at any scale)
     val okCells = assignments.groupBy(col("cell"))

@@ -604,8 +604,12 @@ object Relational {
         (ck, if (fits) broadcast else identity[DataFrame] _)
       }
     val nb = sized.agg(countDistinct(col(basketCol)).as("n_baskets"))
+    // both directed-rule union legs read the pair frame — materialize
+    // the basket pair explode once (r14, guide §5); bounded by
+    // minSupport and the basket cap
     val pairs = cooccurrencePairs(df, basketCol, itemCol, maxBasket,
       minSupport)
+      .localCheckpoint(true)
     val rules = pairs
       .select(col("item_a").as("antecedent"),
         col("item_b").as("consequent"), col("support"))

@@ -533,6 +533,10 @@ object ExperimentQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("user_id"),
           col("l_partkey").as("item")).distinct()
+        // three consumers (draws, the accidental-positive anti-join, the
+        // final union) — materialize the fact-scale positive set once
+        // (r14, guide §5; before plan: 18 scans)
+        .localCheckpoint(true)
       val nParts = lit(2000L)
       // catalog index via the two-phase bucketed rank (p_partkey unique,
       // so rank() == row_number) — dim-sized today, but the device holds
