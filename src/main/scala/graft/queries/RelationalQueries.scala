@@ -946,13 +946,14 @@ object RelationalQueries {
     // decimal columns round-trip as non-comparable objects in the
     // driver's pandas compare).
     "q171_merkle_diff" -> ((s, dir) => {
-      // v0 feeds both v1 legs and the diff; v1 feeds the digest screen
-      // and the row diff — materialize both snapshots once (r14, §5)
+      // v0/v1 are bare projection scans — deliberately NOT checkpointed
+      // (r14): caching a full-snapshot projection trades a cheap prunable
+      // re-scan for block storage, and the cached-block reads pollute the
+      // bytes_read tripwire (counted as input); measured no wall win.
       val v0 = ordersSnapshot(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(30,2)").cast("string")
             .as("o_price"))
-        .localCheckpoint(true)
       val v1 = v0.filter(col("o_orderkey") % 11 =!= 0)
         .withColumn("o_orderstatus",
           when(col("o_orderkey") % 7 === 0, lit("X"))
@@ -960,7 +961,6 @@ object RelationalQueries {
         .unionByName(v0.filter(col("o_orderkey") % 13 === 0)
           .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
             lit("N").as("o_orderstatus"), col("o_price")))
-        .localCheckpoint(true)
       Relational.merkleDiff(v0, v1, Seq("o_orderkey"),
         Seq("o_orderstatus", "o_price"), nBuckets = 64)
     }),
@@ -1052,14 +1052,12 @@ object RelationalQueries {
     // This is the 100 TB replica-sync path: ship only the changed
     // buckets' rows, replay them, converge.
     "q180_merkle_sync" -> ((s, dir) => {
-      // v0 feeds both v1 legs, the merkle diff, and the CDC apply —
-      // materialize both snapshots once (r14, guide §5; before plan:
-      // 26 scans)
+      // v0/v1 bare projection scans — not checkpointed (r14, the q171
+      // rationale: cheap prunable re-scan beats block storage here)
       val v0 = ordersSnapshot(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(30,2)").cast("string")
             .as("o_price"))
-        .localCheckpoint(true)
       val v1 = v0.filter(col("o_orderkey") % 11 =!= 0)
         .withColumn("o_orderstatus",
           when(col("o_orderkey") % 7 === 0, lit("X"))
@@ -1067,7 +1065,6 @@ object RelationalQueries {
         .unionByName(v0.filter(col("o_orderkey") % 13 === 0)
           .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
             lit("N").as("o_orderstatus"), col("o_price")))
-        .localCheckpoint(true)
       val ops = Relational.merkleDiff(v0, v1, Seq("o_orderkey"),
           Seq("o_orderstatus", "o_price"), nBuckets = 64)
         .select(col("o_orderkey"),
