@@ -496,7 +496,14 @@ object ExperimentQueries {
     "q239_hard_negatives" -> ((s, dir) => {
       val cells = graft.ml.Centroid.assignCells(
         Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+      // both sides of the within-cell self-join consume `capped`; without a
+      // materialization the whole assignCells pipeline (posexplode centroid
+      // fit + argmin window) is inlined and executed twice (r15, guide §5).
+      // The frame is BOUNDED, not corpus-grain: the cap keeps only cells
+      // with <= 200 members and cells are centroid labels, so the
+      // checkpoint holds at most 200 x |labels| rows.
       val capped = graft.ml.Centroid.capCellsWithDiagnostics(cells, 200)._1
+        .localCheckpoint(true)
       val other = capped.select(col("cell"), col("vec_id").as("o_id"),
         col("label").as("o_label"), col("q").as("o_q"))
       capped.join(other, Seq("cell"))
