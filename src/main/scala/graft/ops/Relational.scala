@@ -694,6 +694,11 @@ object Relational {
     val winners = ops
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
+      // two consumers (anti-join keys, survivors) each re-ran the op-log
+      // window — and in the q148 round-trip the op log is itself a full
+      // snapshotDiff pipeline; change-batch grain — materialize once
+      // (r15, guide §5)
+      .localCheckpoint(true)
     val survivors = winners
       .filter(col(opCol) =!= "D")
       .select(cols.map(col): _*)
@@ -958,6 +963,10 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+      // two consumers (the anti-join key side and the union branch) each
+      // re-ran the update-set window; change-batch grain, one row per
+      // key — materialize once (r15, guide §5)
+      .localCheckpoint(true)
     base.join(winners.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(winners.select(base.columns.map(col).toIndexedSeq: _*))
   }

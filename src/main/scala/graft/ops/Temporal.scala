@@ -545,6 +545,13 @@ object Temporal {
         coalesce(sum(col("bucket_d")).over(wTot), lit(0L)).as("bucket_base"): _*)
     val live = local.join(broadcast(bases), keyBucket)
       .withColumn("c", col("bucket_base") + col("local_c"))
+      // two consumers (the peak aggregate and the peak-instant join) each
+      // re-ran the union + two-phase cumsum + bases join. The frame is
+      // interval-grain but NARROW — keys plus four fixed-width longs, a
+      // fraction of the source row — and folding the peak filter into one
+      // keys-only window would reintroduce the single-task-per-key
+      // partition this sweep deliberately avoids (r15, guide §5/§2).
+      .localCheckpoint(true)
     val peaks = broadcast(
       live.groupBy(keys: _*).agg(max(col("c")).as("max_concurrent")))
     live.as("L").join(peaks.as("P"),

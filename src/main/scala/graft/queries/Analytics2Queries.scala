@@ -84,6 +84,10 @@ object Analytics2Queries {
         .select(col("s_nationkey").cast("long").as("nk"),
           col("l_partkey").as("pk"))
         .distinct()
+        // three consumers (sizes + both self-join sides) re-ran the
+        // lineitem⋈supplier distinct; nation×part grain is reduced vs the
+        // fact — materialize once (r15, guide §5)
+        .localCheckpoint(true)
       val sizes = np.groupBy(col("nk")).agg(count(lit(1)).as("sz"))
       val inter = np.select(col("nk").as("n1"), col("pk"))
         .join(np.select(col("nk").as("n2"), col("pk")), Seq("pk"))

@@ -510,6 +510,11 @@ object Analytics3Queries {
         .select(col("nk"), col("pk"), col("pos"))
       val rel = ol.filter(col("d") >= split)
         .select(col("ck"), col("nk"), col("pk")).distinct()
+        // NOT checkpointed (r15): tried materializing the distinct-triple
+        // frame for its two consumers (nrel, hits) and measured a 46%
+        // regression (1.42 → 2.07 s) — the distinct's exchange is already
+        // shared via ReuseExchange (the q45 trap), so the checkpoint only
+        // added an eager serialization barrier.
       val nrel = rel.groupBy(col("ck"), col("nk"))
         .agg(count(lit(1)).as("n_rel"))
       val hits = rel.join(broadcast(recs), Seq("nk", "pk"))
@@ -730,11 +735,16 @@ object Analytics3Queries {
     // fixed-order double formula — the repeated-measures sibling of
     // q327 (which ranks one global pool, not per block).
     "q342_friedman" -> ((s, dir) => {
+      // cells feeds three consumers (nk grid, seg grid, the left join)
+      // and grid three (ranked, nBlocks) — materialize each
+      // nation×segment-grain stage once, mirroring q480_page_trend
+      // (r15, guide §5; before plan: 24 scans)
       val cells = Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").cast("long").as("nk"),
           col("c_mktsegment").as("seg"))
         .agg(sum(cents(col("o_totalprice"))).as("x"))
+        .localCheckpoint(true)
       val grid = cells.select(col("nk")).distinct()
         .withColumn("_k", zeroKeyNum(col("nk")))
         .join(broadcast(cells.select(col("seg")).distinct()
@@ -742,6 +752,7 @@ object Analytics3Queries {
         .drop("_k")
         .join(cells, Seq("nk", "seg"), "left")
         .withColumn("x", coalesce(col("x"), lit(0L)))
+        .localCheckpoint(true)
       val ranked = grid
         .withColumn("rk", rank().over(
           Window.partitionBy(col("nk")).orderBy(col("x"))).cast("long"))
@@ -1206,6 +1217,10 @@ object Analytics3Queries {
         cust.unionByName(supp), "v", tieBreak = Seq("tag", "k"),
         addend = when(col("tag") === "c", 1L).otherwise(0L),
         out = "cgrp", bucketWidth = 1L << 14)
+        // three consumers (prev, next, the supplier filter) each inlined
+        // the whole two-phase prefix-sum pipeline — materialize the
+        // merged rank frame once (r15, guide §5)
+        .localCheckpoint(true)
       val custOrd = merged.filter(col("tag") === "c")
         .select(col("cgrp").as("ord"), col("v").as("cv"), col("k").as("ck"))
       val prev = custOrd.select(col("ord").as("cgrp"),
@@ -1245,10 +1260,16 @@ object Analytics3Queries {
       val train = docs.filter(col("doc_id") % 2 === 0)
       val test = docs.filter(col("doc_id") % 2 === 1)
       val tokTr = train.select(col("lang"), explode(col("ts")).as("w"))
+      // nL and vocab used to re-tokenize the whole training corpus; both
+      // are derivable from the (lang, token)-grain counts — nl is the sum
+      // of c1 per lang and vocab the distinct tokens of cLw — so the
+      // explode runs once and the materialized frame is vocab-grain, not
+      // corpus-grain (r15, guide §2.3/§5)
       val cLw = tokTr.groupBy(col("lang"), col("w"))
         .agg(count(lit(1)).as("c1"))
-      val nL = tokTr.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
-      val vocab = tokTr.select(col("w")).distinct()
+        .localCheckpoint(true)
+      val nL = cLw.groupBy(col("lang")).agg(sum(col("c1")).as("nl"))
+      val vocab = cLw.select(col("w")).distinct()
       val vCount = vocab.agg(count(lit(1)).as("v"))
       val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
       val nDocs = train.agg(count(lit(1)).as("ndoc"))
@@ -1586,20 +1607,26 @@ object Analytics3Queries {
     // seats conserve exactly (spec law). The proportional-allocation
     // primitive behind budget splits and quota assignment.
     "q366_apportionment" -> ((s, dir) => {
-      val v = Tables.orders(s, dir)
+      // ONE pass over the nation-grain aggregate (r15, guide §2.4/§5):
+      // the grand total and the leftover used to attach via
+      // crossJoin(broadcast(agg)) — two extra scalar consumers that each
+      // re-ran the orders⋈customer aggregate (before plan: 16 scans).
+      // Both are partition-less window sums instead, sitting directly on
+      // the Aggregate so the global-window audit can still PROVE the
+      // frame bounded (a checkpoint here would erase that proof).
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").cast("long").as("nk"))
         .agg(sum(cents(col("o_totalprice"))).as("v"))
-      val tot = v.agg(sum(col("v")).as("s"))
-      val based = v.crossJoin(broadcast(tot))
+        .withColumn("s", sum(col("v")).over(wAll))
         .withColumn("base", decDiv(d38(col("v")) * 100L, d38(col("s")))
           .cast("long"))
         // the remainder stays DECIMAL for the rank — a double detour
         // could collide two distinct remainders beyond 2^53
         .withColumn("rem", (d38(col("v")) * 100L) % d38(col("s")))
-      val leftover = based
-        .agg((lit(100L) - sum(col("base"))).as("leftover"))
-      based.crossJoin(broadcast(leftover))
+        .withColumn("leftover", lit(100L) - sum(col("base")).over(wAll))
         .withColumn("rk", row_number().over(
           Window.orderBy(col("rem").desc, col("nk"))).cast("long"))
         .withColumn("extra",
@@ -1757,10 +1784,15 @@ object Analytics3Queries {
     // the pick an exact window argmax over yesterday's knowledge (no
     // lookahead leak: the cumulative window ends at −1).
     "q371_bandit_replay" -> ((s, dir) => {
+      // daily feeds four consumers (both grid dims, the left join, best)
+      // and grid two (picked, bestDaily) — each re-ran the orders
+      // aggregate; day×arm grain is bounded — materialize once,
+      // mirroring q372_raking (r15, guide §5)
       val daily = Tables.orders(s, dir)
         .groupBy(to_date(col("o_orderdate")).as("d"),
           col("o_orderpriority").as("arm"))
         .agg(sum(cents(col("o_totalprice"))).as("rev"))
+        .localCheckpoint(true)
       val grid = daily.select(col("d")).distinct()
         .withColumn("_k", zeroKeyNum(datediff(col("d"),
           to_date(lit("1992-01-01")))))
@@ -1769,6 +1801,7 @@ object Analytics3Queries {
         .drop("_k")
         .join(daily, Seq("d", "arm"), "left")
         .withColumn("rev", coalesce(col("rev"), lit(0L)))
+        .localCheckpoint(true)
       val wArm = Window.partitionBy(col("arm")).orderBy(col("d"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val picked = grid
@@ -1787,6 +1820,15 @@ object Analytics3Queries {
       val bestDaily = grid.join(broadcast(best), Seq("arm"))
         .select(col("d"), col("rev").as("best_daily_cents"))
       picked.join(bestDaily, Seq("d"))
+        // (d) is unique on both sides (rn = 1 per day; one best arm), so
+        // this aggregate has singleton groups and changes nothing — it
+        // re-establishes the day-grain BOUND the global-window audit
+        // proves structurally, which the checkpoints above erased
+        // (checkpointed frames are opaque LogicalRDDs to the audit)
+        .groupBy(col("d"))
+        .agg(max(col("picked_arm")).as("picked_arm"),
+          max(col("realized_cents")).as("realized_cents"),
+          max(col("best_daily_cents")).as("best_daily_cents"))
         .withColumn("cum_regret_cents",
           sum(col("best_daily_cents") - col("realized_cents")).over(
             Window.orderBy(col("d"))))
@@ -2060,6 +2102,10 @@ object Analytics3Queries {
         .join(rev, col("ck") === col("o_custkey"), "left")
         .withColumn("y", coalesce(col("y"), lit(0L)))
         .withColumn("fold", col("ck") % 3)
+        // three consumers (model, cal, test) each re-ran the orders
+        // aggregate + customer join; customer-grain, four narrow columns
+        // — materialize once (r15, guide §5)
+        .localCheckpoint(true)
       val model = base.filter(col("fold") === 0)
         .groupBy(col("seg"))
         .agg(expr("sum(y) div count(1)").as("yhat"))

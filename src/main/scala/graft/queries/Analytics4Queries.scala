@@ -284,13 +284,18 @@ object Analytics4Queries {
     // both naive windows (row_number over fw desc, cumsum over rank).
     "q393_curriculum_pack" -> ((s, dir) => {
       val base = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          size(text.TextOps.tokens(col("text"))).cast("long").as("n_tok"),
-          text.TextOps.functionWordScore(text.TextOps.tokens(col("text")))
-            .as("fw"))
+        // tokenize once per row — n_tok and fw both fold over the same
+        // token array (r15, guide §1.2: don't compute things twice)
+        .select(col("doc_id"), text.TextOps.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"),
+          text.TextOps.functionWordScore(col("ts")).as("fw"))
       val ranked = ops.Stats.distributedRank(
         base.withColumn("negfw", -col("fw")),
         "negfw", tieBreak = Seq("doc_id"), out = "crank", bucketWidth = 64L)
+        // two consumers (packOffsets, the closing join) each re-ran the
+        // tokenizer + two-phase rank; doc-grain, five numeric columns —
+        // materialize once (r15, guide §5)
+        .localCheckpoint(true)
       llm.Packing.packOffsets(ranked, "crank", col("n_tok"), budget = 512L)
         .join(ranked.select(col("crank"), col("doc_id"), col("fw")), "crank")
         .select(col("doc_id"), col("crank"), col("fw"), col("n_tok"),

@@ -1966,6 +1966,10 @@ object Analytics5Queries {
           .cast("long")).as("y"))
         .withColumn("t", datediff(col("day"), lit("1992-01-01").cast("date"))
           .cast("long"))
+        // two consumers (fit, resid) each inlined the 4-table join +
+        // day-grain aggregate; region×day grain is bounded — materialize
+        // once (r15, guide §5)
+        .localCheckpoint(true)
       val fit = daily.groupBy(col("r_name")).agg(
           count(lit(1)).as("n"),
           sum(col("t")).as("st"),
@@ -2277,6 +2281,10 @@ object Analytics5Queries {
           .cast("long")).as("y"))
         .withColumn("t", datediff(col("day"), lit("1992-01-01").cast("date"))
           .cast("long"))
+        // two consumers (fit, the residual pass) each inlined the 4-table
+        // join + day-grain aggregate; region×day grain is bounded —
+        // materialize once (r15, guide §5)
+        .localCheckpoint(true)
       val fit = daily.groupBy(col("r_name")).agg(
           count(lit(1)).as("n"),
           sum(col("t")).as("st"),
@@ -2339,6 +2347,10 @@ object Analytics5Queries {
         .filter(col("n7") === 7)
         .withColumn("det7", col("y") * 7 - col("ma_sum7"))
         .withColumn("dow", pmod(col("t"), lit(7L)))
+        // two consumers (seas, the closing join) re-ran the global moving
+        // window; day-grain aggregate-bounded frame — materialize once
+        // (r15, guide §5)
+        .localCheckpoint(true)
       val seas = det.groupBy(col("dow"))
         .agg(count(lit(1)).as("n_dow"),
           sum(col("det7")).as("sum_det7_dow"))

@@ -451,11 +451,19 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qualOk = scored.filter(col("bg_score") >= 80 &&
       col("n_tokens") >= 40 && col("punct_score") <= 300)
-    val minFp = qualOk.groupBy(col("fp")).agg(min(col("doc_id")).as("min_doc"))
-    val dupLoser = qualOk.join(minFp, "fp")
+    // per-fp min via ONE fp-partitioned window instead of groupBy + join:
+    // the join ran twice (dupLoser and dupOk legs), costing four shuffle
+    // legs over the survivor set; the window costs one per leg and fp
+    // groups are dup-cluster-sized, never skewed hot (r15, guide §2.4).
+    // fp is md5(text) and qualOk implies non-null text, so NULL-key
+    // semantics cannot diverge from the inner join this replaces.
+    val dupMarked = qualOk.withColumn("min_doc",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    val dupLoser = dupMarked
       .filter(col("doc_id") =!= col("min_doc"))
       .select(col("doc_id"), lit(1).as("is_dup"))
-    val dupOk = qualOk.join(minFp, "fp")
+    val dupOk = dupMarked
       .filter(col("doc_id") === col("min_doc"))
       .select(col("doc_id"), col("text"))
     val contam = graft.llm.Dedup.contaminationReport(dupOk, bench,

@@ -201,16 +201,52 @@ class PlanAuditSpec extends AnyFunSuite {
     "q471_video_ingest_stream", "q477_image_ingest_stream",
     "q481_audio_ingest_stream")
 
+  /** ONE construction per query, shared by the three whole-map audits
+    * (quadratic-join, global-window, fingerprints). Constructing a query's
+    * DataFrame executes its eager materializations (localCheckpoint /
+    * staged artifacts), so each additional full-map pass used to cost
+    * minutes of suite wall — three passes dominated the whole suite
+    * (r15: the suite must fit the driver's test budget). Construction and
+    * planning fan out over a small driver pool (guide §2.6 — independent
+    * planning/jobs back-fill idle cores); plan phases are forced inside
+    * the pool, then every audit reads the cached QueryExecution phases.
+    * Fingerprint safety: the canonical tree keeps only node/partitioning
+    * CLASS names and scan schema/filter COUNTS — nothing that varies with
+    * concurrent session-conf pins — so pooled construction cannot change
+    * a hash. */
+  private lazy val builtQueries: Seq[(String, DataFrame)] = {
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(fitExcluded)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[(String, DataFrame)]] =
+        names.map { name =>
+          () => {
+            try {
+              val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+              df.queryExecution.optimizedPlan
+              df.queryExecution.sparkPlan
+              name -> df
+            } catch {
+              case e: Throwable =>
+                throw new RuntimeException(s"building $name failed: $e", e)
+            }
+          }
+        }
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } finally pool.shutdown()
+  }
+
   test("no query plan contains a cartesian or unbounded nested-loop join (FULL map)") {
     // every graft operator is designed to avoid quadratic joins (grain
     // cells, LSH buckets, equi keys). The audit covers EVERY query in
     // the map so a future query cannot introduce one unnoticed; rules
     // and the fit-only exclusion rationale are documented on
     // assertNoQuadraticJoin / fitExcluded.
-    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(fitExcluded)
-    assert(names.size >= 80, s"audit should cover the whole map, got ${names.size}")
-    names.foreach { name =>
-      assertNoQuadraticJoin(name, SparkEntry.queries(name)(spark, TestSpark.sf))
+    assert(builtQueries.size >= 80,
+      s"audit should cover the whole map, got ${builtQueries.size}")
+    builtQueries.foreach { case (name, df) =>
+      assertNoQuadraticJoin(name, df)
     }
   }
 
@@ -260,10 +296,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // distributedRank / distributedPrefixSum / distributedPrefixMin.
     // Keep it empty: a new entry here needs a named reason.
     val globalOrderExcluded = Set.empty[String]
-    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(fitExcluded)
-    names.filterNot(globalOrderExcluded).foreach { name =>
-      assertNoGlobalWindow(name, SparkEntry.queries(name)(spark, TestSpark.sf))
-    }
+    builtQueries.filterNot(kv => globalOrderExcluded(kv._1))
+      .foreach { case (name, df) => assertNoGlobalWindow(name, df) }
   }
 
   test("q95 bucketed join+agg runs with ZERO hash exchanges (co-located layout)") {
@@ -394,8 +428,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // degrade every centroid probe to BroadcastNestedLoopJoin — this
     // audit turns that into a CI failure (round-8 VERDICT "What's wrong"
     // #3).
-    for (name <- Seq("q211_centroid_classify", "q239_hard_negatives")) {
-      val plan = executed(SparkEntry.queries(name)(spark, TestSpark.sf))
+    // q239's attach now executes inside its capped-frame materialization
+    // (r15 — the self-join consumed the whole assignCells pipeline twice),
+    // so its SERVE plan no longer contains the join; audit the underlying
+    // assignCells pipeline directly instead — the exact frame q239
+    // materializes.
+    val audited: Seq[(String, DataFrame)] = Seq(
+      "q211_centroid_classify" ->
+        SparkEntry.queries("q211_centroid_classify")(spark, TestSpark.sf),
+      "q239 assignCells" -> graft.ml.Centroid.assignCells(
+        Tables.embeddings(spark, TestSpark.sf), "vec_id", "label",
+        "embedding"))
+    for ((name, df) <- audited) {
+      val plan = executed(df)
       val attach = plan.linesIterator
         .filter(l => l.contains("Join") && l.contains("_k")).toSeq
       assert(attach.nonEmpty && attach.forall(_.contains("BroadcastHashJoin")),
@@ -439,11 +484,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // then review the git diff of plans.json.
     import graft.plans.PlanFingerprint
     val current = scala.collection.mutable.Map.empty[String, String]
-    SparkEntry.queries.keys.toSeq.sorted.filterNot(fitExcluded)
-      .foreach { name =>
-        current(name) =
-          PlanFingerprint.hash(SparkEntry.queries(name)(spark, TestSpark.sf))
-      }
+    builtQueries.foreach { case (name, df) =>
+      current(name) = PlanFingerprint.hash(df)
+    }
     val prev = sys.props.get("graft.preds.tag")
     sys.props("graft.preds.tag") = "planaudit"
     try graft.queries.ServePlans.plans.toSeq.sortBy(_._1).foreach {

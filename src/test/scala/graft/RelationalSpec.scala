@@ -30,10 +30,35 @@ class RelationalSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"oracleSql key $k missing from queries")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, TestSpark.sf)
-      assert(df.columns.nonEmpty, s"$name has no columns")
-      df.count() // forces execution
+    // Independent queries execute from a small driver pool (guide §2.6):
+    // counts are partition-invariant by the engine's own portability
+    // contract, so concurrent shuffle-partition pins by streaming drains
+    // cannot change a result — only the wall. Sequential execution of 500+
+    // queries dominated the suite's time under the driver's test budget.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+        SparkEntry.queries.toSeq.map { case (name, fn) =>
+          () => {
+            try {
+              val df = fn(spark, TestSpark.sf)
+              assert(df.columns.nonEmpty, s"$name has no columns")
+              df.count() // forces execution
+              ()
+            } catch {
+              case e: Throwable =>
+                throw new RuntimeException(s"$name failed: $e", e)
+            }
+          }
+        }
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+    } finally {
+      pool.shutdown()
+      // concurrent withShufflePartitions save/restore pairs can race;
+      // re-pin the suite default so later plan-sensitive tests are immune
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 
