@@ -1062,15 +1062,19 @@ object Dedup {
       tau2E4: Long,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      maxCellSize: Int = 10000): DataFrame = {
+      maxCellSize: Int = 10000,
+      materializeQ8: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
-    val q8 = Similarity.quantizeInt8Global(embeddings, idCol, embCol)
-      .withColumn("n2", graft.exprapi.int8Dot(col("qv"), col("qv")))
-      .join(assignments.select(col(idCol), col("cell")), idCol)
-      // four consumers (both pair sides, the drop set's anti-join spine)
-      // — materialize the global quantization pass once (r14, guide §5;
-      // the q100 before plan held 22 scans)
-      .localCheckpoint(true)
+    // four consumers (both pair sides, the drop set's anti-join spine)
+    // — materialize the global quantization pass once (r14, guide §5;
+    // the q100 before plan held 22 scans). The frame is corpus-grain
+    // (every vector with its quantized dims), so callers at scale pass a
+    // durable staging materializer instead of the default in-memory
+    // checkpoint (r15, r14 VERDICT #3).
+    val q8 = materializeQ8(
+      Similarity.quantizeInt8Global(embeddings, idCol, embCol)
+        .withColumn("n2", graft.exprapi.int8Dot(col("qv"), col("qv")))
+        .join(assignments.select(col(idCol), col("cell")), idCol))
     // pairing universe: only cells within the cap (the semi-join is a tiny
     // aggregate over the assignment table, broadcast-able at any scale)
     val okCells = assignments.groupBy(col("cell"))

@@ -29,13 +29,18 @@ object Dsir {
     * q = ⌊1e6·(ln p_target − ln p_raw)⌋ under add-1 smoothing; sel = 1 for
     * the k docs with the highest w_q (ties broken by id). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, k: Int = 50): DataFrame = {
+      targetPred: Column, k: Int = 50,
+      materializeTf: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     // tf is consumed three times (raw pool counts, target counts, the
     // final per-doc weighting) — materialize the corpus term-freq once
     // instead of re-tokenizing the corpus per consumer (r14, guide §5;
-    // the q104 before plan held 28 scans)
-    val tf = TextOps.termFreq(docs, idCol, textCol) // (id, token, tf)
-      .localCheckpoint(true)
+    // the q104 before plan held 28 scans). tf is corpus×token grain —
+    // the one frame here whose storage tracks the corpus — so callers at
+    // scale pass a durable staging materializer (r15, r14 VERDICT #3);
+    // vocab and w below stay localCheckpoint (vocab- and doc-grain,
+    // narrow numeric columns).
+    val tf = materializeTf(
+      TextOps.termFreq(docs, idCol, textCol)) // (id, token, tf)
     val raw = tf.groupBy(col("token")).agg(sum(col("tf")).as("cr"))
     val tgtIds = docs.filter(targetPred).select(col(idCol))
     val tgt = tf.join(tgtIds, Seq(idCol), "left_semi")

@@ -548,7 +548,11 @@ object DedupQueries {
         idx.cells.select(col("n_id").as("vec_id"), col("cell")),
         predsPath("q100_cells"))
       llm.Dedup.semanticDedup(
-        s.read.parquet(predsPath("q100_cells")), e, tau2E4 = 1600L)
+        s.read.parquet(predsPath("q100_cells")), e, tau2E4 = 1600L,
+        // corpus-grain quantized-embedding frame stages to parquet:
+        // replayable after executor loss, not pinned in executor memory
+        // (r15, r14 VERDICT #3)
+        materializeQ8 = df => QueryShared.stageFrame(df, "q100_q8"))
     }),
 
 

@@ -533,17 +533,21 @@ object ExperimentQueries {
     // DIM (dim-sized window, broadcast back); the only big shuffles are
     // the positive join and the anti join, both key-equi.
     "q237_negative_sampling" -> ((s, dir) => {
-      val pos = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir)
-            .select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("user_id"),
-          col("l_partkey").as("item")).distinct()
-        // three consumers (draws, the accidental-positive anti-join, the
-        // final union) — materialize the fact-scale positive set once
-        // (r14, guide §5; before plan: 18 scans)
-        .localCheckpoint(true)
+      // three consumers (draws, the accidental-positive anti-join, the
+      // final union) — materialize the fact-scale positive set once
+      // (r14, guide §5; before plan: 18 scans). Staged to parquet rather
+      // than localCheckpoint (r15, r14 VERDICT #3): the frame is
+      // order-line-derived, so the materialization must be replayable
+      // and off-heap at 100 TB, not pinned in executor memory.
+      val pos = QueryShared.stageFrame(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir)
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("user_id"),
+            col("l_partkey").as("item")).distinct(),
+        "q237_pos")
       val nParts = lit(2000L)
       // catalog index via the two-phase bucketed rank (p_partkey unique,
       // so rank() == row_number) — dim-sized today, but the device holds

@@ -318,7 +318,10 @@ object LayoutQueries {
     // curation family (sampling: q59/q77/q80/q81; quality: q19/q76).
     "q104_dsir_weights" -> ((s, dir) =>
       llm.Dsir.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
-        col("lang") === "en", k = 50)),
+        col("lang") === "en", k = 50,
+        // corpus×token-grain tf stages to parquet: replayable after
+        // executor loss, not pinned in memory (r15, r14 VERDICT #3)
+        materializeTf = df => QueryShared.stageFrame(df, "q104_tf"))),
 
 
     // Spark-4 native XML source round trip (format("xml") is built into

@@ -133,6 +133,21 @@ private[graft] object QueryShared {
     }
   }
 
+  /** Durable materialization for FACT-SCALE multi-consumer frames (r15,
+    * r14 VERDICT #3): write the frame to parquet under the query's per-run
+    * staging root and read it back. Unlike `localCheckpoint(true)` —
+    * executor-local, non-replicated, corpus-sized storage pinned in
+    * memory — the staged artifact is replayable after an executor loss
+    * and spills to storage, the right trade for frames whose grain tracks
+    * the corpus. Rewritten on EVERY invocation (overwrite), so no state
+    * ever crosses bench or oracle runs. Reduced-grain frames should keep
+    * using localCheckpoint (cheaper, and bounded by construction). */
+  def stageFrame(df: DataFrame, name: String): DataFrame = {
+    val p = predsPath(name)
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+
   /** Shared (hamMax, bands) per sketch family, coupling each query's
     * Spark serve half to its oracle: both sides MUST read these, never
     * restate the literals, so a drift between the engine's join and the
