@@ -91,6 +91,22 @@ object Graph {
     * scores twice (degree scatter + gather join), so an uncheckpointed loop
     * would grow its logical plan ~2^rounds (see dupClusters' loop comment).
     */
+  /** Pin the per-round shuffle width to the materialized edge frame's
+    * own (post-AQE, size-coalesced) partition count for the duration of
+    * an iterative loop (r15, guide §2.2). The session default is sized
+    * for whole-table scans; an iterative kernel re-shuffles node/edge-
+    * sized frames every round, so the right width tracks the DATA: at
+    * fixture scale the rounds stop paying a core-count-wide exchange for
+    * KB frames, at 100 TB the edge frame's thousands of partitions carry
+    * through unchanged — derived from input, never a constant. */
+  private[graft] def withLoopWidth[T](anchor: DataFrame)(body: => T): T = {
+    val s = anchor.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(anchor.rdd.getNumPartitions, 1).toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def pageRankInt(
       edges: DataFrame, // (src: long, dst: long)
       iters: Int = 5,
@@ -104,6 +120,7 @@ object Graph {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint(true)
+    withLoopWidth(e) {
     // the out-degree is iteration-INVARIANT: join it onto the edge list
     // once, outside the loop, so each round pays one join (scores), not
     // two — at scale this halves the per-round probe work on the
@@ -150,6 +167,7 @@ object Graph {
         .localCheckpoint(true)
     }
     scores.select(col("node"), col("score"))
+    }
   }
 
   /** Multi-source BFS hop distances: every node reachable from `seeds`
@@ -171,6 +189,7 @@ object Graph {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint(true)
+    withLoopWidth(e) {
     var dist = seeds
       .select(col("node").cast("long").as("node")).distinct()
       .select(col("node"), lit(0).as("hop"))
@@ -193,6 +212,7 @@ object Graph {
       h += 1
     }
     dist
+    }
   }
 
   /** Synchronous min-label propagation, `rounds` fixed iterations:
@@ -213,6 +233,7 @@ object Graph {
     // left as a plan each round would re-run its whole upstream
     // (joins/distinct/union) — the pageRankInt rule
     val e = edges.localCheckpoint(true)
+    withLoopWidth(e) {
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -228,6 +249,7 @@ object Graph {
         .localCheckpoint(true)
     }
     labels
+    }
   }
 
   /** Degree histogram of a symmetric edge list: per-node degree (one
@@ -264,6 +286,7 @@ object Graph {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .localCheckpoint(true)
+    withLoopWidth(e) {
     val eDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(true)
@@ -302,6 +325,7 @@ object Graph {
         .localCheckpoint(true)
     }
     scores.select(col("node"), col("score"))
+    }
   }
 
   /** Epsilon-stop PageRank — [[pageRankInt]]'s CONVERGENCE-WITNESSED
@@ -338,6 +362,7 @@ object Graph {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .localCheckpoint(true)
+    withLoopWidth(e) {
     val eDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(true)
@@ -380,6 +405,7 @@ object Graph {
       scores = next.select(col("node"), col("score"), col("base"))
     }
     (scores.select(col("node"), col("score")), round, residuals.toSeq)
+    }
   }
 
   /** No-change-stop Bellman–Ford — the weighted-shortest-path analog of
@@ -411,6 +437,7 @@ object Graph {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .localCheckpoint(true)
+    withLoopWidth(e) {
     var dist = seeds
       .select(col("node").cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("d"))
@@ -435,5 +462,6 @@ object Graph {
       dist = next
     }
     (dist, round, improvedByRound.toSeq)
+    }
   }
 }

@@ -723,6 +723,9 @@ object Analytics2Queries {
         .agg(countDistinct(col("o_orderkey")).as("w"))
         .filter(col("w") >= 2).select(col("a"), col("b"))
       var e = base.localCheckpoint()
+      // per-round shuffle width tracks the edge frame, not the core
+      // count (r15, guide §2.2 — the pageRankInt loop-width rule)
+      ops.Graph.withLoopWidth(e) {
       for (_ <- 1 to 8) {
         val deg = e.select(col("a").as("n"))
           .unionByName(e.select(col("b").as("n")))
@@ -734,6 +737,7 @@ object Analytics2Queries {
       }
       e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      }
     }),
 
 

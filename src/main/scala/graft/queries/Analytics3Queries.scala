@@ -369,6 +369,9 @@ object Analytics3Queries {
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
         .localCheckpoint()
+      // per-round shuffle width tracks the edge frame, not the core
+      // count (r15, guide §2.2 — the pageRankInt loop-width rule)
+      ops.Graph.withLoopWidth(e) {
       var hub = e.select(col("src").as("node")).distinct()
         .withColumn("h", lit(1000000L))
         .localCheckpoint()
@@ -392,6 +395,7 @@ object Analytics3Queries {
       hub.select(col("node"), lit("hub").as("kind"), col("h").as("score"))
         .unionByName(auth.select(col("node"), lit("auth").as("kind"),
           col("a").as("score")))
+      }
     }),
 
 

@@ -151,6 +151,9 @@ object Analytics4Queries {
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
         .localCheckpoint()
+      // per-round shuffle width tracks the edge frame, not the core
+      // count (r15, guide §2.2 — the pageRankInt loop-width rule)
+      ops.Graph.withLoopWidth(e) {
       val maxIters = 15
       var hub = e.select(col("src").as("node")).distinct()
         .withColumn("h", lit(1000000L))
@@ -196,6 +199,7 @@ object Analytics4Queries {
           col("a").as("score")))
         .withColumn("stop_round", lit(round.toLong))
         .withColumn("final_residual", lit(finalResid))
+      }
     }),
 
 

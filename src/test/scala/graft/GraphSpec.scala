@@ -223,4 +223,34 @@ class GraphSpec extends AnyFunSuite {
     assert(fixedRounds(stopRound) === got)
     assert(fixedRounds(stopRound + 2) === got)
   }
+
+  test("withLoopWidth pins the loop shuffle width to the anchor frame " +
+      "and restores the session default after (r15 loop-width rule)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val anchor = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .repartition(3).localCheckpoint(true)
+    val inside = Graph.withLoopWidth(anchor) {
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(inside === anchor.rdd.getNumPartitions.toString,
+      "loop width must track the materialized anchor's partition count")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "session default must be restored after the loop")
+    // and the pinned width changes nothing about kernel results: the
+    // fixed-round recurrence is partition-invariant integer algebra
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    val a = Graph.pageRankInt(edges, iters = 3).as[(Long, Long)].collect().toMap
+    val b = withSessionWidth17(spark) {
+      Graph.pageRankInt(edges, iters = 3).as[(Long, Long)].collect().toMap
+    }
+    assert(a === b, "scores must be identical under any session width")
+  }
+
+  // run `body` with a deliberately different session shuffle width, so the
+  // invariance assertion above exercises a real contrast
+  private def withSessionWidth17[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "17")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
