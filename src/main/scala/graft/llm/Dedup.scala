@@ -647,9 +647,14 @@ object Dedup {
             s"match the index at $p (bands=$ib, kbBuckets=$ikb)")
       }
     }
-    val union = spark.read.parquet(pathA).select(col("id"), col("sig"))
-      .union(spark.read.parquet(pathB).select(col("id"), col("sig")))
-      .distinct()
+    // every id appears exactly once in EVERY band directory, so band 0
+    // alone recovers the full (id, sig) set — the partition filter prunes
+    // the scan to 1/bands of each half's bytes (r15, guide §6; reading
+    // the whole exploded layout only to distinct it back down read 8×
+    // the pairs)
+    def pairs(p: String) = spark.read.parquet(p)
+      .filter(col("band") === 0).select(col("id"), col("sig"))
+    val union = pairs(pathA).union(pairs(pathB)).distinct()
     writeHammingIndex(union, "id", "sig", out, bands, kbBuckets)
   }
 

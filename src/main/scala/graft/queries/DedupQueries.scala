@@ -168,7 +168,11 @@ object DedupQueries {
     "q502_index_merge" -> ((s, dir) => {
       val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
         .filter(col("modality") === "image")
+      // both epoch writes consume sigs — checkpoint so the JPEG decode +
+      // dHash runs once, not per epoch (r15, guide §5; the frame is the
+      // 16-byte-per-asset (id, sig) proxy, never the image bytes)
       val sigs = multimodal.Multimodal.imageSignatures(imgs)
+        .localCheckpoint(true)
       llm.Dedup.writeHammingIndex(
         sigs.filter(col("asset_id") < 450), "asset_id", "sig",
         predsPath("q502_index_a"), kbBuckets = QueryShared.IndexKbBuckets)
@@ -210,7 +214,11 @@ object DedupQueries {
     "q505_index_erasure" -> ((s, dir) => {
       val imgs = multimodal.Multimodal.syntheticAssets(s, 900)
         .filter(col("modality") === "image")
+      // the index write and the delete set both consume sigs — checkpoint
+      // so the JPEG decode + dHash runs once (r15, guide §5; the frame is
+      // the 16-byte-per-asset (id, sig) proxy, never the image bytes)
       val sigs = multimodal.Multimodal.imageSignatures(imgs)
+        .localCheckpoint(true)
       llm.Dedup.writeHammingIndex(sigs, "asset_id", "sig",
         predsPath("q505_index"), kbBuckets = QueryShared.IndexKbBuckets)
       llm.Dedup.deleteFromHammingIndex(s, predsPath("q505_index"),
